@@ -8,8 +8,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // See Verify.scala: events.ts is parquet TIMESTAMP(NANOS).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup: run every query once at the smallest SF first so
+    // the timed pass measures query execution, not JVM/codegen warmup (the
+    // generated whole-stage code is identical across scale factors, so the
+    // JIT code cache carries over; measured: 22 queries cold ≈ 120 s,
+    // steady-state ≈ 8 s on this container).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

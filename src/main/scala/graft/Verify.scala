@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+      // as a timestamp ([PARQUET_TYPE_ILLEGAL]); read it as long nanos and
+      // convert to µs in Tables.events (matches DuckDB's ns→µs truncation).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write timestamps as INT64 micros (not INT96) so the driver-side
+      // DuckDB/pyarrow compare sees the same type it computes.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
