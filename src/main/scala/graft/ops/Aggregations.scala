@@ -1,0 +1,215 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.GeoMean
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — aggregation operators.
+  *
+  * Scale posture: every groupBy here is a `HashAggregate` with a partial
+  * (map-side) phase, so the shuffle carries one row per (partition, group),
+  * not per input row — the only formulation that works at 100 TB. Money sums
+  * ride as exact long cents (Det.moneySum): order-independent AND cheaper to
+  * aggregate than doubles. `collect_list` is the one op that cannot partial-
+  * aggregate (ObjectHashAggregate); its group cardinality (custkey) bounds
+  * state. `q_agg_approx_distinct` is the scale path for COUNT(DISTINCT) —
+  * HLL sketches merge associatively, no expand-shuffle.
+  */
+object Aggregations extends OpModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 analog: the canonical partial+final hash aggregation.
+    "q_agg_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
+          Det.moneySum(col("l_extendedprice")).as("sum_base_cents"),
+          Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_cents"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_agg_global" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(count(lit(1)).as("cnt"),
+             Det.moneySum(col("o_totalprice")).as("sum_price_cents"),
+             round(avg(col("o_totalprice")), 4).as("avg_price"),
+             min(col("o_orderdate")).as("first_date"),
+             max(col("o_orderdate")).as("last_date"))),
+
+    "q_agg_having" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+        .filter(col("n_cust") > 3)
+        .orderBy(col("c_nationkey"))),
+
+    // Mixed distinct + plain aggregates in one pass (Expand-based rewrite).
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
+    "q_agg_rollup" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping(col("r_name")).cast("int").as("g_r"),
+             grouping(col("n_name")).cast("int").as("g_n"),
+             count(lit(1)).as("n"))
+        .select(col("r_name"), col("n_name"), col("g_r"), col("g_n"), col("n"))
+        .orderBy(col("g_r"), col("g_n"),
+                 col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    "q_agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_r"),
+             grouping(col("l_linestatus")).cast("int").as("g_l"),
+             count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+                col("g_r"), col("g_l"), col("n"), col("sum_qty"))
+        .orderBy(col("g_r"), col("g_l"),
+                 col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Explicit grouping sets — SQL-only surface in Spark.
+    "q_agg_gsets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gsets_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              |FROM orders_gsets_v
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+             round(var_samp(col("l_quantity")), 4).as("var_qty"),
+             round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+             min(col("l_quantity")).as("min_q"),
+             max(col("l_quantity")).as("max_q"))
+        .orderBy(col("l_returnflag"))),
+
+    // Exact interpolated percentiles (not approx — oracle must hash-match).
+    "q_agg_percentile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+             round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Per-group ordered list; collect order is nondeterministic → sort_array (D3).
+    "q_agg_collect" -> ((s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_totalprice") > 200000)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .orderBy(col("o_custkey"))),
+
+    // HLL sketch — merges associatively, the 100 TB COUNT(DISTINCT) path.
+    // Non-oracle: sketch estimate ≠ DuckDB's; own suite asserts within 5%.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))),
+
+    // Custom typed UDAF (Aggregator) — geometric mean of event values.
+    "q_agg_custom" -> ((s, d) => {
+      val geo = udaf(GeoMean)
+      Tables.events(s, d)
+        .where(col("value") > 0)
+        .groupBy(col("event_type"))
+        .agg(round(geo(col("value")), 4).as("geo_value"))
+        .orderBy(col("event_type"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  ROUND(AVG(o_totalprice), 4) AS avg_price,
+        |  MIN(o_orderdate) AS first_date,
+        |  MAX(o_orderdate) AS last_date
+        |FROM orders""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |GROUP BY c_nationkey HAVING COUNT(*) > 3
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+        |  CAST(GROUPING(n_name) AS INTEGER) AS g_n,
+        |  COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_r,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_l,
+        |  COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_r, g_l, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_gsets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+        |  ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+        |  ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_pq,
+        |  MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT o_orderpriority,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT o_custkey, LIST_SORT(LIST(o_orderkey)) AS order_keys
+        |FROM orders WHERE o_totalprice > 200000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_custom" ->
+      """SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geo_value
+        |FROM events WHERE value > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

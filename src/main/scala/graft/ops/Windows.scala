@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Scale posture: every window is partitioned by a high-cardinality key
+  * (custkey / user_id), so state per partition stays bounded and the single
+  * shuffle is on the partition key. The one global window (`q_win_dist`,
+  * account-balance distribution) is inherently single-partition — at 100 TB
+  * that query would pre-aggregate or sample first; documented here as the
+  * known exception. Running/range frames use the streaming frame evaluator
+  * (`WindowExec` keeps only the frame, not the partition, for bounded
+  * frames). Determinism: every ORDER BY inside a window carries a unique
+  * tie-break key (D3).
+  */
+object Windows extends OpModule {
+
+  private def centsCol = round(col("o_totalprice") * 100).cast("long")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                row_number().over(w).as("rn"),
+                rank().over(w).as("rk"),
+                dense_rank().over(w).as("drk"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_win_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                sum(centsCol).over(w).as("run_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_win_leadlag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+                (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+                lead(col("event_id"), 1).over(w).as("next_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Moving 30-day revenue per customer — RANGE frame over unix seconds.
+    "q_win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-2592000L, 0L)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                sum(centsCol).over(w).as("rev30d_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_win_dist" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+                ntile(4).over(w).as("quartile"),
+                round(percent_rank().over(w), 4).as("pct_rank"),
+                round(cume_dist().over(w), 4).as("cume"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // THE top-k-per-group idiom: rank inside partition, filter k.
+    "q_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |  CAST(RANK() OVER w AS INTEGER) AS rk,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_leadlag" ->
+      """SELECT user_id, event_id,
+        |  EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER w AS gap_us,
+        |  LEAD(event_id, 1) OVER w AS next_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS rev30d_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(EPOCH(o_orderdate) AS BIGINT)
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_dist" ->
+      """SELECT c_custkey,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 4) AS cume
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+  )
+}

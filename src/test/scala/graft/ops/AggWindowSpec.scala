@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AggWindowSpec extends SparkSpec {
+
+  test("q_agg_approx_distinct within 5% of exact (SURVEY §5.2)") {
+    val approx = Aggregations.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1, 0.05 * n), s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("q_win_running equals brute-force per-customer prefix sums") {
+    val rows = Windows.queries("q_win_running")(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("string"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val sorted = os.toSeq.sortBy(o => (o._3, o._2)) // ISO strings sort chronologically
+      sorted.scanLeft(0L)(_ + _._4).tail.zip(sorted).map { case (run, o) => (ck, o._2) -> run }
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected((r.getLong(0), r.getLong(1))))
+    }
+  }
+
+  test("q_topk_group returns at most 3 rows per customer, ranked") {
+    val df = Windows.queries("q_topk_group")(spark, sf)
+    val bad = df.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"), max(col("rn")).as("mx"))
+      .where(col("n") > 3 || col("mx") > 3).count()
+    assert(bad == 0)
+  }
+
+  test("custom GeoMean Aggregator merges correctly across partitions") {
+    import graft.functions.GeoMean
+    val geo = udaf(GeoMean)
+    val vals = Seq(1.0, 2.0, 4.0, 8.0)
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("v").repartition(4)
+    val got = df.agg(geo(col("v"))).collect()(0).getDouble(0)
+    val want = math.exp(vals.map(math.log).sum / vals.size) // = 2.828...
+    assert(math.abs(got - want) < 1e-12)
+  }
+}
