@@ -13,7 +13,7 @@ import graft.ops._
 object SparkEntry {
 
   private val modules: Seq[OpModule] = Seq(
-    Scans, Expressions, Joins, SortSetOps, Aggregations, Windows,
+    Scans, Expressions, Joins, SortSetOps, Aggregations, Windows, ScalarFuncs,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,220 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.7 — string / regex / date / math / array / map / JSON scalar
+  * functions. All Catalyst built-ins (incl. higher-order array lambdas) —
+  * zero UDFs, so everything stays codegen'd and pushdown-safe (§2.10).
+  *
+  * Dialect drift handled per D5 (verified empirically against DuckDB 1.0):
+  * DuckDB LENGTH/INSTR/ranks return BIGINT (cast to INTEGER in oracle SQL);
+  * DuckDB `dayofweek` is 0=Sunday vs Spark 1=Sunday (+1 in oracle);
+  * DuckDB `regexp_replace` needs the 'g' flag to match Spark's replace-all;
+  * DuckDB map access `m[k]` yields a LIST (unwrap with [1]); DuckDB list
+  * slicing `l[a:b]` is 1-based inclusive = Spark `slice(l, a, b-a+1)`.
+  */
+object ScalarFuncs extends OpModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          length(col("p_name")).as("len"),
+          trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
+          expr("replace(p_type, ' ', '_')").as("rep"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("pad"),
+          instr(col("p_name"), "e").as("pos_e"),
+          col("p_name").like("%e%").as("has_e"))
+        .orderBy(col("p_partkey"))),
+
+    "q_str_regex" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .select(
+          col("s_suppkey"),
+          regexp_extract(col("s_name"), "([0-9]+)", 1).cast("int").as("num"),
+          regexp_replace(col("s_name"), "[0-9]+", "#").as("masked"),
+          col("s_name").rlike("0{3,}").as("z3"))
+        .orderBy(col("s_suppkey"))),
+
+    "q_str_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), " ")).as("n_tokens"),
+          element_at(split(trim(col("text")), " "), 1).as("first_tok"))
+        .orderBy(col("doc_id"))),
+
+    "q_date_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dy"),
+          // o_orderdate loads as TIMESTAMP_NTZ (ms parquet, no UTC flag);
+          // date_trunc yields tz-aware TIMESTAMP — cast back so the output
+          // schema matches DuckDB's naive TIMESTAMP.
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("mstart"),
+          col("o_orderdate").cast("date").as("od"),
+          date_add(col("o_orderdate").cast("date"), 7).as("d7"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_math_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          round(col("p_retailprice"), 1).as("r1"),
+          floor(col("p_retailprice")).as("flr"),
+          ceil(col("p_retailprice")).as("cl"),
+          abs(col("p_size") - 25).as("ab"),
+          pow(col("p_size"), 2).as("sq"),
+          sqrt(col("p_size").cast("double")).as("sqr"),
+          round(log(col("p_retailprice")), 4).as("ln_p"),
+          round(log10(col("p_retailprice")), 4).as("log10_p"),
+          (col("p_size") % 7).as("md"),
+          signum(col("p_size") - 25).cast("int").as("sgn"),
+          greatest(col("p_size"), lit(10)).as("gr"),
+          least(col("p_size"), lit(40)).as("ls"))
+        .orderBy(col("p_partkey"))),
+
+    "q_array_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("first"),
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+          expr("round(aggregate(embedding, cast(0.0 as double), (a, x) -> a + abs(cast(x as double))), 3)").as("l1"),
+          sort_array(col("embedding")).as("srt"),
+          slice(col("embedding"), 3, 4).as("sl"),
+          expr("transform(embedding, x -> round(cast(x as double) * 2, 3))").as("doubled"),
+          size(array_distinct(col("embedding"))).as("nd"))
+        .orderBy(col("vec_id"))),
+
+    "q_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+        .orderBy(col("doc_id"), col("token"))),
+
+    "q_map_funcs" -> ((s, d) =>
+      Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+                map_from_arrays(
+                  array(lit("nk"), lit("rk")),
+                  array(col("n_nationkey"), col("n_regionkey"))).as("m"))
+        .select(
+          col("n_nationkey"),
+          element_at(col("m"), "nk").as("nk_val"),
+          element_at(col("m"), "rk").as("rk_val"),
+          map_keys(col("m")).as("ks"))
+        .orderBy(col("n_nationkey"))),
+
+    "q_json_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_point"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k_full"))
+        .orderBy(col("event_id"))),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+        |  SUBSTR(p_name, 1, 5) AS pre,
+        |  CAST(LENGTH(p_name) AS INTEGER) AS len,
+        |  TRIM(CONCAT('  ', p_brand, ' ')) AS trimmed,
+        |  CONCAT_WS('-', p_brand, p_type) AS cw,
+        |  REPLACE(p_type, ' ', '_') AS rep,
+        |  LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS pad,
+        |  CAST(INSTR(p_name, 'e') AS INTEGER) AS pos_e,
+        |  (p_name LIKE '%e%') AS has_e
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_regex" ->
+      """SELECT s_suppkey,
+        |  CAST(REGEXP_EXTRACT(s_name, '([0-9]+)', 1) AS INTEGER) AS num,
+        |  REGEXP_REPLACE(s_name, '[0-9]+', '#', 'g') AS masked,
+        |  REGEXP_MATCHES(s_name, '0{3,}') AS z3
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_str_split" ->
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(TRIM(text), ' ')) AS INTEGER) AS n_tokens,
+        |  STRING_SPLIT(TRIM(text), ' ')[1] AS first_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(DAY(o_orderdate) AS INTEGER) AS dy,
+        |  DATE_TRUNC('month', o_orderdate) AS mstart,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(o_orderdate AS DATE) + 7 AS d7,
+        |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+        |  LAST_DAY(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        |  ROUND(p_retailprice, 1) AS r1,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS flr,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS cl,
+        |  ABS(p_size - 25) AS ab,
+        |  POW(p_size, 2) AS sq,
+        |  SQRT(CAST(p_size AS DOUBLE)) AS sqr,
+        |  ROUND(LN(p_retailprice), 4) AS ln_p,
+        |  ROUND(LOG10(p_retailprice), 4) AS log10_p,
+        |  (p_size % 7) AS md,
+        |  CAST(SIGN(p_size - 25) AS INTEGER) AS sgn,
+        |  GREATEST(p_size, 10) AS gr,
+        |  LEAST(p_size, 40) AS ls
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(LEN(embedding) AS INTEGER) AS dim,
+        |  embedding[1] AS first,
+        |  CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))), 3) AS l1,
+        |  LIST_SORT(embedding) AS srt,
+        |  embedding[3:6] AS sl,
+        |  LIST_TRANSFORM(embedding, x -> ROUND(CAST(x AS DOUBLE) * 2, 3)) AS doubled,
+        |  CAST(LEN(LIST_DISTINCT(embedding)) AS INTEGER) AS nd
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_explode" ->
+      """SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS token
+        |FROM documents ORDER BY doc_id, token""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT n_nationkey,
+        |  MAP(['nk','rk'], [n_nationkey, n_regionkey])['nk'][1] AS nk_val,
+        |  MAP(['nk','rk'], [n_nationkey, n_regionkey])['rk'][1] AS rk_val,
+        |  MAP_KEYS(MAP(['nk','rk'], [n_nationkey, n_regionkey])) AS ks
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_point,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_full
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -25,6 +25,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].reset_index(drop=True)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                # tz-aware vs naive is a REAL schema divergence the driver may
+                # reject; normalize for value compare but surface it loudly.
+                print(f"  [warn] tz-aware column {c} — Spark side should emit TIMESTAMP_NTZ")
+                df[c] = df[c].dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         # downcast pandas nullable ints from outer-join nulls comparisons
     return df
