@@ -14,6 +14,7 @@ object SparkEntry {
 
   private val modules: Seq[OpModule] = Seq(
     Scans, Expressions, Joins, SortSetOps, Aggregations, Windows, ScalarFuncs,
+    TimeSeries, LlmOps, Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,215 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 — LLM-training-data pipeline operators (the G2 extension):
+  * exact + near dedup, embedding similarity search, corpus text analysis,
+  * TF-IDF, quality filtering, multimodal join.
+  *
+  * Scale posture (this is the 100 TB heart of the engine):
+  * - Exact dedup: one hash-shuffle on md5(normalized text); partial agg
+  *   (min doc_id per hash) combines map-side.
+  * - Near dedup: MinHash(32 perms)/LSH(8 bands × 4) — cost is linear scans +
+  *   one equi-shuffle on (band, signature); candidate pairs (tiny) get an
+  *   exact-Jaccard verify so false LSH positives never escape. No O(n²)
+  *   stage anywhere; every hash is codegen'd xxhash64, no UDFs.
+  * - Similarity: brute-force cosine here is a *broadcast* of the small query
+  *   set over a scan of the corpus (linear, embarrassingly parallel) + a
+  *   per-query top-k window. The IVF variant (LshSimilarity) buckets by
+  *   hyperplane signs to prune candidates at scale.
+  * - TF-IDF: two hash aggregations + a broadcast of the (small) df table.
+  */
+object LlmOps extends OpModule {
+
+  /** 5-gram word shingles, distinct, as one array column (codegen'd). */
+  private val shinglesExpr =
+    """array_distinct(transform(
+      |  sequence(0, greatest(size(split(trim(text), ' ')) - 5, 0)),
+      |  i -> concat_ws(' ', slice(split(trim(text), ' '), i + 1, 5))))""".stripMargin
+
+  /** MinHash signature: 32 independent permutations via seeded xxhash64. */
+  private val minhashExpr =
+    s"""transform(sequence(0, 31),
+       |  p -> array_min(transform(sh, s -> xxhash64(s, p))))""".stripMargin
+
+  private val cosine =
+    """(aggregate(zip_with(q_emb, n_emb, (x, y) -> cast(x as double) * cast(y as double)),
+      |           cast(0.0 as double), (a, x) -> a + x)
+      | / (sqrt(aggregate(q_emb, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))
+      |    * sqrt(aggregate(n_emb, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))))""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C4-style exact dedup on normalized text: keep lowest doc_id per hash.
+    "q_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(expr("md5(lower(trim(text)))").as("h"), col("doc_id"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("keep_id"))),
+
+    // MinHash + LSH near-duplicate pairs, exact-Jaccard verified (τ = 0.5).
+    "q_dedup_near" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      val sigs = sh.select(col("doc_id"), col("sh"), expr(minhashExpr).as("mh"))
+      val bands = sigs.select(col("doc_id"),
+          posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(mh, b * 4 + 1, 4)))")))
+        .toDF("doc_id", "band", "sig")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jaccard",
+          expr("size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"))
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Brute-force cosine top-5 neighbors for the query vectors (vec_id < 10).
+    "q_sim_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      n.crossJoin(broadcast(q))
+        .withColumn("score", expr(cosine))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        // integer 1e-4 units: rounded doubles have engine-specific low bits
+        // (and DuckDB's list_cosine_similarity is float32) — exact ints don't
+        .select(col("q_id"), col("n_id"),
+                round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Corpus stats per (lang, source).
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(trim(col("text")), " ")).cast("long")).as("n_tokens"),
+             round(avg(col("n_chars")), 4).as("avg_chars"),
+             min(col("n_chars")).as("min_chars"),
+             max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("source"))),
+
+    // Top-10 TF-IDF terms per language.
+    "q_tfidf_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("lang"), col("doc_id"),
+        explode(split(trim(lower(col("text"))), " ")).as("term"))
+      val tf = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select(col("term"), col("doc_id")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("score", col("tf") * log(col("n_total").cast("double") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .select(col("lang"), col("term"), round(col("score"), 4).as("score"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // Heuristic quality gate (length bounds, lang allowlist, symbol ratio).
+    "q_quality_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("sym_ratio",
+          expr("length(regexp_replace(lower(text), '[a-z ]', '')) / cast(length(text) as double)"))
+        .where(col("n_chars").between(100, 2000) &&
+               col("lang").isin("en", "de", "fr") &&
+               col("sym_ratio") < 0.1 &&
+               size(split(trim(col("text")), " ")) >= 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"), round(col("sym_ratio"), 4).as("sym_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // Documents ⋈ embeddings: text + vector "multimodal" frame.
+    "q_multimodal_join" -> ((s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .where(col("label") < 5 && col("n_chars") > 200)
+        .select(col("doc_id"), col("lang"), col("label"), size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id"))),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(LOWER(TRIM(text))) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(LOWER(TRIM(text)))
+        |ORDER BY keep_id""".stripMargin,
+
+    // NB: DuckDB's LIST_COSINE_SIMILARITY runs in float32 (≈1e-7 error) —
+    // compute the cosine in explicit double math so both engines agree to
+    // ~1e-15 and the integer 1e-4 encoding is stable.
+    "q_sim_topk" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.embedding, e.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |    / (SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q)
+        |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+        |  SELECT q_id, n_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn
+        |  FROM pairs) t
+        |WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(STRING_SPLIT(TRIM(text), ' '))) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(n_chars), 4) AS avg_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY lang, term
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM tok) GROUP BY term
+        |), tot AS (SELECT COUNT(*) AS n_total FROM documents)
+        |SELECT lang, term, ROUND(score, 4) AS score, rn FROM (
+        |  SELECT tf.lang, tf.term,
+        |    tf.tf * LN(CAST(tot.n_total AS DOUBLE) / dfreq.df) AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.lang
+        |      ORDER BY tf.tf * LN(CAST(tot.n_total AS DOUBLE) / dfreq.df) DESC, tf.term)
+        |      AS INTEGER) AS rn
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN tot) t
+        |WHERE rn <= 10
+        |ORDER BY lang, rn""".stripMargin,
+
+    "q_quality_filter" ->
+      """SELECT doc_id, lang, n_chars,
+        |  ROUND(LENGTH(REGEXP_REPLACE(LOWER(text), '[a-z ]', '', 'g'))
+        |        / CAST(LENGTH(text) AS DOUBLE), 4) AS sym_ratio
+        |FROM documents
+        |WHERE n_chars BETWEEN 100 AND 2000
+        |  AND lang IN ('en', 'de', 'fr')
+        |  AND LENGTH(REGEXP_REPLACE(LOWER(text), '[a-z ]', '', 'g'))
+        |      / CAST(LENGTH(text) AS DOUBLE) < 0.1
+        |  AND LEN(STRING_SPLIT(TRIM(text), ' ')) >= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, label, CAST(LEN(embedding) AS INTEGER) AS dim
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |WHERE label < 5 AND n_chars > 200
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

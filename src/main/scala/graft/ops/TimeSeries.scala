@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 (batch twins) + §2.3 time joins — tumbling/sliding windows,
+  * sessionization (gaps-and-islands), interval range join, as-of join.
+  *
+  * Scale posture:
+  * - Tumble/slide use `window()` which is a plain projection + hash agg —
+  *   one shuffle on (window, keys); slide emits its overlap factor (4×) in
+  *   the map phase, which partial aggregation absorbs before the shuffle.
+  * - Sessionization and as-of ride a single shuffle on `user_id` and a
+  *   per-partition ordered walk (WindowExec) — the canonical distributed
+  *   formulation; no self-join, no driver loops.
+  * - The range join keeps the equi conjunct (`user_id`) so the planner
+  *   hash-partitions; the time predicate is a post-join filter within each
+  *   key group. At 100 TB with few hot users, the next lever is bucketing
+  *   both sides into coarse time buckets (join on (user, bucket) ∪ (user,
+  *   bucket+1)) to bound per-task pair counts — documented, not needed at
+  *   harness SFs.
+  * - As-of join is the union+last_value idiom: tag both sides, one shuffle
+  *   on the key, `last(value, ignoreNulls)` over (ts, side) — equivalent to
+  *   DuckDB's native ASOF LEFT JOIN (ties: click at exactly p.ts counts,
+  *   side ordering makes it inclusive; duplicate click timestamps pre-merged
+  *   deterministically with max(event_id)).
+  */
+object TimeSeries extends OpModule {
+
+  private val us30min = 1800000000L // 30 min in µs
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumble_batch" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("val_cents"))
+        .select(col("w.start").cast("timestamp_ntz").as("hstart"),
+                col("event_type"), col("n"), col("val_cents"))
+        .orderBy(col("hstart"), col("event_type"))),
+
+    "q_slide_batch" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("val_cents"))
+        .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+                col("n"), col("val_cents"))
+        .orderBy(col("wstart"))),
+
+    // Gaps-and-islands sessionization, 30-min inactivity gap.
+    "q_session_batch" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val us = unix_micros(col("ts"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+                when(lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > us30min, 1)
+                  .otherwise(0).as("brk"))
+        .withColumn("sess", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+             (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("len_us"),
+             min(col("event_id")).as("first_event"))
+        .orderBy(col("user_id"), col("sess"))
+    }),
+
+    // Interval self-join: pairs of events of one user within 10 minutes.
+    "q_join_range" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = e.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+      val b = e.select(col("user_id").as("uid_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+      a.join(b, col("user_id") === col("uid_b") &&
+                col("ts_b") > col("ts_a") &&
+                col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // As-of: each purchase matched to the user's latest click at-or-before it.
+    "q_join_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      // Pre-merge duplicate click timestamps so the as-of pick is total (D3).
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"),
+                lit(null).cast("long").as("p_id"), lit(0).as("side"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+                col("event_id").as("p_id"), lit(1).as("side"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("p_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .where(col("p_id").isNotNull)
+        .select(col("p_id"), col("last_click").as("click_id"))
+        .orderBy(col("p_id"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_tumble_batch" ->
+      """SELECT DATE_TRUNC('hour', ts) AS hstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM events
+        |GROUP BY DATE_TRUNC('hour', ts), event_type
+        |ORDER BY hstart, event_type""".stripMargin,
+
+    "q_slide_batch" ->
+      """SELECT wstart, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM (SELECT TIME_BUCKET(INTERVAL 15 MINUTE, ts)
+        |             - (k * INTERVAL 15 MINUTE) AS wstart, value
+        |      FROM events
+        |      CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks) t
+        |GROUP BY wstart
+        |ORDER BY wstart""".stripMargin,
+
+    "q_session_batch" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, EPOCH_US(ts) AS us,
+        |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+        |           OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM g
+        |)
+        |SELECT user_id, sess, COUNT(*) AS n_events,
+        |  MAX(us) - MIN(us) AS len_us, MIN(event_id) AS first_event
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, sess""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH cl AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT user_id, ts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.p_id, cl.click_id
+        |FROM p ASOF LEFT JOIN cl
+        |  ON p.user_id = cl.user_id AND p.ts >= cl.ts
+        |ORDER BY p.p_id""".stripMargin,
+  )
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+
+  test("q_join_asof matches brute-force latest-click-at-or-before") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicks = events.filter(_._4 == "click")
+    val purchases = events.filter(_._4 == "purchase")
+    val want = purchases.map { case (pid, u, pus, _) =>
+      val eligible = clicks.filter(c => c._2 == u && c._3 <= pus)
+      val best = if (eligible.isEmpty) None
+      else {
+        val mx = eligible.map(_._3).max // latest ts; tie → max event_id
+        Some(eligible.filter(_._3 == mx).map(_._1).max)
+      }
+      pid -> best
+    }.toMap
+    val got = TimeSeries.queries("q_join_asof")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == want)
+    assert(want.values.exists(_.isEmpty) || want.nonEmpty) // sanity: non-trivial
+  }
+
+  test("q_session_batch: sessions partition events; intra-gap <= 30min holds") {
+    val sess = TimeSeries.queries("q_session_batch")(spark, sf)
+    val totalEvents = sess.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(totalEvents == Tables.events(spark, sf).count())
+    // every session length is consistent: singleton sessions have len 0
+    assert(sess.where(col("n_events") === 1 && col("len_us") =!= 0).count() == 0)
+    assert(sess.where(col("len_us") < 0).count() == 0)
+  }
+
+  test("q_tumble_batch counts add up to total events") {
+    val n = TimeSeries.queries("q_tumble_batch")(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("q_slide_batch: every event lands in exactly 4 sliding windows") {
+    val n = TimeSeries.queries("q_slide_batch")(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(n == 4 * Tables.events(spark, sf).count())
+  }
+}
