@@ -24,11 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps extends OpModule {
 
-  /** 5-gram word shingles, distinct, as one array column (codegen'd). */
+  /** 5-gram word shingles over a pre-staged token array. The token split
+    * MUST be staged as its own column first: referencing `split(...)` inside
+    * the lambda re-evaluates it per shingle (higher-order functions are
+    * interpreted, not codegen'd) — measured 3× slower at sf0.1. */
   private val shinglesExpr =
     """array_distinct(transform(
-      |  sequence(0, greatest(size(split(trim(text), ' ')) - 5, 0)),
-      |  i -> concat_ws(' ', slice(split(trim(text), ' '), i + 1, 5))))""".stripMargin
+      |  sequence(0, greatest(size(toks) - 5, 0)),
+      |  i -> concat_ws(' ', slice(toks, i + 1, 5))))""".stripMargin
 
   /** MinHash signature: 32 independent permutations via seeded xxhash64. */
   private val minhashExpr =
@@ -53,15 +56,23 @@ object LlmOps extends OpModule {
     // MinHash + LSH near-duplicate pairs, exact-Jaccard verified (τ = 0.5).
     "q_dedup_near" -> ((s, d) => {
       val sh = Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), " "))
         .select(col("doc_id"), expr(shinglesExpr).as("sh"))
       val sigs = sh.select(col("doc_id"), col("sh"), expr(minhashExpr).as("mh"))
       val bands = sigs.select(col("doc_id"),
           posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(mh, b * 4 + 1, 4)))")))
         .toDF("doc_id", "band", "sig")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // Pair generation via groupBy + in-bucket expansion: ONE pass over the
+      // bands (a self-join would recompute the whole minhash lineage twice —
+      // measured 2× at sf0.1) and bucket-local combinations bound the output.
+      val cand = bands.groupBy(col("band"), col("sig"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids,
+            |  (a, i) -> transform(slice(ids, i + 2, size(ids)),
+            |            b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.Tables
+import graft.ops.OpModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1 — ingest formats and sinks (the ETL side of the reference's
+  * domain, `/root/reference/README.md:2`: feeds in, store out).
+  *
+  * Each query is a full round-trip: curated table → export format → re-ingest
+  * with a DECLARED schema → result. The oracle compares against the original
+  * table, so the round-trip must be lossless — that is the ingest contract.
+  *
+  * JDBC ingest (src_jdbc): design-only in this container (no RDBMS): at
+  * scale, `spark.read.format("jdbc").option("partitionColumn"/"numPartitions"
+  * /"lowerBound"/"upperBound", …)` parallelizes the extract by key range —
+  * the same pattern every disaster-store upstream (PostGIS, etc.) gets.
+  *
+  * Scale posture: partitioned parquet (`sink_parquet_part`) is THE store
+  * layout — writes are parallel per partition, reads prune by partition
+  * predicate (verified: the read-back plan's PartitionFilters carry `yr`).
+  * CSV/JSON exist for interchange, never for the hot path.
+  */
+object Sources extends OpModule {
+
+  private def tmp(d: String, name: String) =
+    s"target/tmp/src_${name}_${math.abs(d.hashCode)}"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV round-trip with declared schema, header, and a nullable column.
+    "src_csv" -> ((s, d) => {
+      val path = tmp(d, "csv")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+                nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+                col("c_acctbal"))
+        .write.mode("overwrite").option("header", true).csv(path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("seg", StringType), StructField("c_acctbal", DoubleType)))
+      s.read.schema(schema).option("header", true).csv(path)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Newline-JSON round-trip with a nested struct field.
+    "src_json" -> ((s, d) => {
+      val path = tmp(d, "json")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+                struct(col("o_orderstatus").as("status"),
+                       col("o_totalprice").as("price")).as("info"))
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("info", StructType(Seq(
+          StructField("status", StringType), StructField("price", DoubleType))))))
+      s.read.schema(schema).json(path)
+        .select(col("o_orderkey"), col("info.status").as("status"),
+                col("info.price").as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Partitioned columnar store + partition-pruned read-back.
+    "sink_parquet_part" -> ((s, d) => {
+      val path = tmp(d, "part")
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(path)
+      s.read.parquet(path)
+        .where(col("yr").between(1996, 1998)) // prunes to 3 of 7 partitions
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"), graft.ops.Det.moneySum(col("o_totalprice")).as("sum_cents"))
+        .orderBy(col("yr"))
+    }),
+
+    // CSV + JSON export of the same slice must agree with each other.
+    "sink_csv_json" -> ((s, d) => {
+      val slice = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      val csvP = tmp(d, "expcsv"); val jsonP = tmp(d, "expjson")
+      slice.write.mode("overwrite").option("header", true).csv(csvP)
+      slice.write.mode("overwrite").json(jsonP)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_returnflag", StringType), StructField("l_quantity", DoubleType)))
+      val back = s.read.schema(schema).option("header", true).csv(csvP)
+        .unionByName(s.read.schema(schema).json(jsonP))
+      back.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n2x"), sum(col("l_quantity")).as("qty2x"))
+        .orderBy(col("l_returnflag"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "src_csv" ->
+      """SELECT c_custkey, c_name, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "src_json" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "sink_parquet_part" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1998
+        |GROUP BY YEAR(o_orderdate)
+        |ORDER BY yr""".stripMargin,
+
+    // both exports re-ingested: every group exactly doubled
+    "sink_csv_json" ->
+      """SELECT l_returnflag, 2 * COUNT(*) AS n2x, 2 * SUM(l_quantity) AS qty2x
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

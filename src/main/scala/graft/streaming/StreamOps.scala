@@ -1,0 +1,183 @@
+package graft.streaming
+
+import java.util.UUID
+
+import graft.Tables
+import graft.ops.OpModule
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** SURVEY.md §2.8 — Structured Streaming operators (`s_*`).
+  *
+  * Each query simulates unbounded ingest of the `events` table through a
+  * `MemoryStream` (or the file source for the sink test), runs the streaming
+  * query to completion (`processAllAvailable`), and returns the sink contents
+  * as a batch DataFrame — so the driver's Verify/Bench harness can execute
+  * streaming semantics through its batch contract. Determinism: with the
+  * full dataset in one batch, the watermark advances once (to max(ts) − wm)
+  * and a final empty micro-batch flushes exactly the windows whose end ≤
+  * watermark — a pure function of the data, hence oracle-able in SQL.
+  *
+  * Scale posture: state is keyed by (window[, key]) or user_id — bounded by
+  * key cardinality, evicted by watermark; RocksDB state store is the knob at
+  * production scale (`spark.sql.streaming.stateStore.providerClass`), the
+  * logic is identical. The MemoryStream feed is test scaffolding only; a
+  * production deployment swaps `readStream.format("kafka"|"parquet")` for
+  * the same transform functions.
+  */
+object StreamOps extends OpModule {
+
+  /** events row for the typed MemoryStream feed. */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double, props: String)
+
+  private def loadEvents(s: SparkSession, d: String): Seq[Ev] = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              col("value"), col("props"))
+      .as[Ev].collect().toSeq
+  }
+
+  /** Feed `rows` through `transform` as one micro-batch, run to completion
+    * (plus the watermark-flush batch), return the memory sink as a DataFrame. */
+  private def runStream(s: SparkSession, rows: Seq[Ev], mode: OutputMode)
+                       (transform: Dataset[Ev] => DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows)
+    val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+    val q = transform(mem.toDS())
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", s"target/tmp/chk_$name")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** Streaming tumbling agg with a 10-min watermark (append mode). */
+  def tumbleTransform(ds: Dataset[Ev]): DataFrame =
+    ds.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.ops.Det.moneySum(col("value")).as("val_cents"))
+      .select(col("w.start").cast("timestamp_ntz").as("hstart"),
+              col("event_type"), col("n"), col("val_cents"))
+
+  /** Native streaming session windows (30-min gap) per user. */
+  def sessionTransform(ds: Dataset[Ev]): DataFrame =
+    ds.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").cast("timestamp_ntz").as("sess_start"),
+              col("n_events"))
+
+  /** Streaming dedup by event_id within the watermark. */
+  def dedupTransform(ds: Dataset[Ev]): DataFrame =
+    ds.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** Custom per-user state: monotonically increasing event sequence numbers
+    * maintained in GroupState across micro-batches (mapGroupsWithState
+    * family — the arbitrary-state surface). Rows within a batch are ordered
+    * by (ts, event_id) inside the function so output is deterministic. */
+  def seqTransform(ds: Dataset[Ev]): DataFrame = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[Long]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val start = state.getOption.getOrElse(0L)
+          state.update(start + sorted.size)
+          sorted.iterator.zipWithIndex.map { case (e, i) =>
+            (user, e.event_id, (start + i + 1).toInt)
+          }
+      }
+      .toDF("user_id", "event_id", "seq")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_tumble_wm" -> ((s, d) =>
+      runStream(s, loadEvents(s, d), OutputMode.Append())(tumbleTransform)
+        .orderBy(col("hstart"), col("event_type"))),
+
+    "s_session_win" -> ((s, d) =>
+      runStream(s, loadEvents(s, d), OutputMode.Append())(sessionTransform)
+        .orderBy(col("user_id"), col("sess_start"))),
+
+    // Feed every event twice; the op must emit each exactly once.
+    "s_dedup_wm" -> ((s, d) => {
+      val evs = loadEvents(s, d)
+      runStream(s, evs ++ evs, OutputMode.Append())(dedupTransform)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    "s_stateful" -> ((s, d) =>
+      runStream(s, loadEvents(s, d), OutputMode.Append())(seqTransform)
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // Exactly-once file sink: run the same checkpointed query twice (second
+    // run sees no new data); the sink must contain each row exactly once.
+    "s_sink_idempotent" -> ((s, d) => {
+      val id = math.abs(d.hashCode).toString
+      val base = s"target/tmp/sink_$id"
+      val out = s"$base/out"; val chk = s"$base/chk"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      // file streaming source wants a directory: stream the sf dir filtered
+      // to the events file; raw schema (ts = long nanos under nanosAsLong).
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce(); runOnce() // restart with same checkpoint: no duplicates
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy(col("event_type"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // Append-mode emission = hourly windows whose END has been passed by the
+    // final watermark (max(ts) − 10 min).
+    "s_tumble_wm" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events)
+        |SELECT DATE_TRUNC('hour', ts) AS hstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM events, mx
+        |GROUP BY DATE_TRUNC('hour', ts), event_type, mx.mt
+        |HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx.mt - INTERVAL 10 MINUTE
+        |ORDER BY hstart, event_type""".stripMargin,
+
+    "s_dedup_wm" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s_stateful" ->
+      """SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "s_sink_idempotent" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-posture audit (SURVEY §4): asserts the *physical plans* carry the
+  * properties that matter at 100 TB — pushdown reaching the scan, column
+  * pruning, broadcast dim joins, map-side partial aggregation, top-k without
+  * a global sort. A green suite here means the plan shapes survive, not just
+  * the results. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(n: String): String =
+    SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_scan_pushdown: shipdate range reaches PushedFilters") {
+    val p = plan("q_scan_pushdown")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q_scan_project: ReadSchema pruned to the 4 referenced columns") {
+    val p = plan("q_scan_project")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_orderkey") && rs.contains("l_quantity"))
+    assert(!rs.contains("l_shipdate") && !rs.contains("l_returnflag"),
+      s"scan reads unreferenced columns: $rs")
+  }
+
+  test("q_join_star5: dimension joins broadcast, no nested loop") {
+    val p = plan("q_join_star5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "nation/region must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_agg_q1: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q_agg_q1")
+    // NB: plan toString truncates long function lists, so only assert the
+    // first partial_* entry
+    assert(p.contains("partial_sum"))
+    // codegen spans only appear in the post-execution final adaptive plan
+    val df = SparkEntry.queries("q_agg_q1")(spark, sf)
+    val codegen = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen subtrees"), codegen.take(200))
+  }
+
+  test("q_topk_global: TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_broadcast: forced broadcast respected") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("q_join_broadcast")).size >= 2)
+  }
+
+  test("q_sim_topk: query side broadcast (corpus never shuffled for the join)") {
+    assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_dedup_near: LSH candidate join is an equi join (hash/sort-merge), no cross product") {
+    val p = plan("q_dedup_near")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sink_parquet_part read-back prunes partitions by yr") {
+    val path = s"target/tmp/audit_part"
+    Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(path)
+    val p = spark.read.parquet(path).where(col("yr") === 1996)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("yr"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics under explicit micro-batch control (SURVEY §5.2):
+  * in-order → late-within-watermark → late-beyond-watermark, plus
+  * cross-batch state continuity for the arbitrary-state operator. */
+class StreamOpsSpec extends SparkSpec {
+  import StreamOps.Ev
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click"): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+       user, typ, 10.0, "{}")
+
+  private def startTumble(mem: MemoryStream[Ev], name: String) =
+    StreamOps.tumbleTransform(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"target/tmp/chk_spec_$name")
+      .start()
+
+  test("watermark: late-but-within counts; late-beyond-watermark dropped") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val name = "spec_tumble_" + System.nanoTime
+    val mem = MemoryStream[Ev]
+    val q = startTumble(mem, name)
+    try {
+      // batch 1: events in hour 0 and hour 2 → watermark → 02:30-10min
+      mem.addData(ev(1, 10), ev(2, 20), ev(3, 150))
+      q.processAllAvailable()
+      // batch 2: late event at 00:30 — hour-0 window already finalized
+      // (watermark 02:20 > 01:00) → must be DROPPED
+      mem.addData(ev(4, 30))
+      q.processAllAvailable()
+      // batch 3: advance watermark far so remaining windows flush
+      mem.addData(ev(5, 600))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("hstart").cast("string"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 00:00:00") == 2L, s"late event must not count: $rows")
+      assert(rows("2024-01-01 02:00:00") == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming tumble over fully-delivered stream equals batch twin") {
+    // s_tumble_wm on the real events table vs q_tumble_batch truncated at the
+    // final watermark — equivalence of streaming and batch semantics.
+    val streamed = StreamOps.queries("s_tumble_wm")(spark, sf).collect()
+    val maxTs = graft.Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val cutoff = maxTs - 10L * 60 * 1000000
+    val batch = graft.ops.TimeSeries.queries("q_tumble_batch")(spark, sf)
+      .where(unix_micros(col("hstart").cast("timestamp")) + 3600000000L <= cutoff)
+      .collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sequence numbers continue across micro-batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val name = "spec_seq_" + System.nanoTime
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.seqTransform(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"target/tmp/chk_spec_$name")
+      .start()
+    try {
+      mem.addData(ev(1, 1, user = 7), ev(2, 2, user = 7))
+      q.processAllAvailable()
+      mem.addData(ev(3, 3, user = 7), ev(4, 1, user = 8))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(rows == Map((7L, 1L) -> 1, (7L, 2L) -> 2, (7L, 3L) -> 3, (8L, 4L) -> 1))
+    } finally q.stop()
+  }
+
+  test("s_session_win sessions are consistent with batch gaps-and-islands") {
+    val streamed = StreamOps.queries("s_session_win")(spark, sf)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val batchTotal = graft.Tables.events(spark, sf).count()
+    // streaming emits only watermark-finalized sessions → subset of events
+    assert(streamed > 0 && streamed <= batchTotal)
+  }
+}
