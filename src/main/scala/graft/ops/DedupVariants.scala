@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 / BASELINE.json:6 — the dedup family beyond MinHash:
+  * SimHash (bitwise near-dup), direct n-gram Jaccard, embedding-cosine
+  * near-dup. All three are oracle-able: SimHash uses md5-derived 32-bit
+  * hashes (identical hex → int on both engines) instead of engine-specific
+  * hash functions.
+  *
+  * Scale posture: SimHash is one linear scan (signature per doc) + the same
+  * banded group-join as MinHash LSH — no O(n²). n-gram Jaccard is the
+  * exact (quadratic) verifier, deliberately scoped to one `source` slice —
+  * at 100 TB you run it only inside LSH candidate buckets (q_dedup_near
+  * does exactly that); this query exists to exercise/oracle the exact
+  * metric itself. Embedding-cosine restricts pairs to label-equal (the
+  * blocking key), turning all-pairs into per-class pairs — the standard
+  * blocked-dedup shape; norms are staged per side before the join.
+  */
+object DedupVariants extends OpModule {
+
+  private def withShingles(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("sh", expr(
+        s"""array_distinct(transform(
+           |  sequence(0, greatest(size(toks) - $n, 0)),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $n))))""".stripMargin))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 32-bit SimHash from md5(shingle); banded candidates; hamming <= 3.
+    "q_dedup_simhash" -> ((s, d) => {
+      val sim = withShingles(Tables.documents(s, d), 5)
+        .withColumn("h32", expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+            |  acc + CASE WHEN aggregate(h32, 0, (a, h) ->
+            |                   a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+            |        THEN shiftleft(cast(1 as bigint), 31 - j) ELSE cast(0 as bigint) END)""".stripMargin))
+        .select(col("doc_id"), col("simhash"))
+      val bands = sim.select(col("doc_id"), col("simhash"),
+          posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 8)) & 255)")))
+        .toDF("doc_id", "simhash", "band", "sig")
+      bands.groupBy(col("band"), col("sig"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+        .where(size(col("xs")) > 1)
+        .select(explode(expr(
+          """flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)),
+            |  b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+            |                    'hamming', bit_count(a.simhash ^ b.simhash)))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming").cast("int").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Exact 3-gram Jaccard with single-hash blocking: two docs are candidates
+    // iff they share the minimum md5 shingle (P[same block] ≈ jaccard — the
+    // k=1 MinHash special case), so all-pairs never materializes.
+    "q_dedup_ngram" -> ((s, d) => {
+      val sh = withShingles(Tables.documents(s, d), 3)
+        .select(col("doc_id"), col("sh"))
+        .withColumn("blk", expr("array_min(transform(sh, s -> md5(s)))"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("blk"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("blk").as("blk_b"))
+      a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+        .withColumn("jaccard",
+          expr("size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"))
+        .where(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Embedding-cosine near-dup, blocked by label; double math, e4 ints.
+    "q_dedup_embcos" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("norm", expr(
+          "sqrt(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"))
+      val a = e.select(col("vec_id").as("va"), col("label"),
+                       col("embedding").as("ea"), col("norm").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
+                       col("embedding").as("eb"), col("norm").as("nb"))
+      a.join(b, col("label") === col("lb") && col("va") < col("vb"))
+        .withColumn("score", expr(
+          """aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),
+            |          cast(0.0 as double), (acc, x) -> acc + x) / (na * nb)""".stripMargin))
+        .where(col("score") >= 0.35)
+        .select(col("va"), col("vb"), col("label"),
+                round(col("score") * 10000).cast("int").as("score_e4"))
+        .orderBy(col("va"), col("vb"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_dedup_simhash" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
+        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base),
+        |h AS (SELECT doc_id, LIST_TRANSFORM(sh, s -> CAST(('0x' || SUBSTR(md5(s), 1, 8)) AS BIGINT)) AS h32 FROM sh),
+        |sim AS (SELECT doc_id,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), j ->
+        |    CASE WHEN LIST_SUM(LIST_TRANSFORM(h32, x ->
+        |           CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        |    THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM h),
+        |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS sig
+        |          FROM sim, (SELECT UNNEST(RANGE(0, 4)) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                x.simhash AS sa, y.simhash AS sb
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(BIT_COUNT(XOR(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE BIT_COUNT(XOR(sa, sb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 2, 1)),
+        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 3], ' '))) AS sh FROM base),
+        |blk AS (SELECT doc_id, sh, LIST_MIN(LIST_TRANSFORM(sh, s -> md5(s))) AS blk FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))
+        |        / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+        |FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
+        |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |  SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+        |  CAST(ROUND((LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+        |         s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm)) * 10000) AS INTEGER) AS score_e4
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) >= 0.35
+        |ORDER BY va, vb""".stripMargin,
+  )
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbor over the embedding column — the scale path
+  * beside q_sim_topk's brute force (SURVEY.md §2.9).
+  *
+  * Sign-random-projection LSH: 8 fixed ±1 hyperplanes (seeded, deterministic)
+  * hash every vector into one of 256 buckets; a query probes its own bucket
+  * plus all 8 Hamming-1 neighbors, then ranks the candidate set by exact
+  * double cosine. At 100 TB: the corpus-side bucket id is computed in one
+  * linear scan and can be a partition/bucketing key — a query then touches
+  * 9/256 of the data instead of all of it; recall/probe-count is the tuning
+  * dial (measured ≈0.5+ recall@5 on this corpus in SimilaritySpec).
+  * Non-oracle: ANN output is definitionally approximate; the spec measures
+  * recall against the brute-force oracle query instead.
+  */
+object Similarity extends OpModule {
+
+  /** 8 deterministic ±1 hyperplanes over 64 dims (seed 42). */
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(8)(Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private def dot(emb: Column, w: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, typedLit(w.toSeq), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def bucketOf(emb: Column): Column =
+    planes.zipWithIndex.map { case (w, j) =>
+      when(dot(emb, w) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .withColumn("n_bucket", bucketOf(col("n_emb")))
+      val queriesDf = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("q_bucket", bucketOf(col("q_emb")))
+        // multi-probe: own bucket + all Hamming-1 and Hamming-2 neighbors
+        // (37 of 256 buckets → ~7× candidate pruning, recall ≈ 0.5 measured)
+        .withColumn("probe", explode(expr(
+          """concat(array(q_bucket),
+            |  transform(sequence(0, 7), k -> cast(q_bucket as int) ^ shiftleft(1, k)),
+            |  flatten(transform(sequence(0, 6), k1 ->
+            |    transform(sequence(k1 + 1, 7), k2 ->
+            |      cast(q_bucket as int) ^ shiftleft(1, k1) ^ shiftleft(1, k2)))))""".stripMargin)))
+      val cosine =
+        """(aggregate(zip_with(q_emb, n_emb, (x, y) -> cast(x as double) * cast(y as double)),
+          |           cast(0.0 as double), (a, x) -> a + x)
+          | / (sqrt(aggregate(q_emb, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))
+          |    * sqrt(aggregate(n_emb, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))))""".stripMargin
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      corpus.join(broadcast(queriesDf), col("n_bucket") === col("probe"))
+        .select(col("q_id"), col("n_id"), col("q_emb"), col("n_emb")).distinct()
+        .withColumn("score", expr(cosine))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"),
+                round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map.empty
+}

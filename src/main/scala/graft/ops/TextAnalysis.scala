@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 / BASELINE.json:6 text analysis — language identification
+  * (token-profile heuristic), token counting (whitespace + BPE-ish regex),
+  * document fingerprinting (min-k rolling shingle hashes).
+  *
+  * Scale posture: lang-id is two hash aggregations (profile build) + one
+  * broadcast join (the profile is ~20 rows × langs); at 100 TB the profile
+  * is trained once on a sample and broadcast. Fingerprints are one linear
+  * scan; the min-k signature is 4 hashes per doc regardless of doc size, so
+  * the fingerprint table is tiny relative to the corpus — the point of
+  * winnowing-style sketches.
+  */
+object TextAnalysis extends OpModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Self-trained profile language ID: top-20 tokens per lang → classify
+    // each doc by profile overlap (ties: lexicographic lang — D3).
+    "q_lang_id" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(trim(lower(col("text"))), " ")).as("term"))
+      val wProf = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("term"))
+      val profile = tok.groupBy(col("lang").as("plang"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wProf))
+        .where(col("rn") <= 20)
+        .select(col("plang"), col("term"))
+      val docTerms = tok.select(col("doc_id"), col("term")).distinct()
+      val wPred = Window.partitionBy(col("doc_id")).orderBy(col("ov").desc, col("plang"))
+      docTerms.join(broadcast(profile), "term")
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("rn", row_number().over(wPred))
+        .where(col("rn") === 1)
+        .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+        .select(col("doc_id"), col("plang").as("pred_lang"), col("actual"),
+                (col("plang") === col("actual")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace split vs BPE-ish regex segmentation.
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                size(split(trim(col("text")), " ")).as("ws_tokens"),
+                size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+                  .as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Winnowing-style fingerprint: min-4 of rolling 5-gram shingle hashes.
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), " "))
+        .withColumn("sh", expr(
+          """array_distinct(transform(
+            |  sequence(0, greatest(size(toks) - 5, 0)),
+            |  i -> concat_ws(' ', slice(toks, i + 1, 5))))""".stripMargin))
+        .select(col("doc_id"),
+                expr("slice(sort_array(transform(sh, s -> md5(s))), 1, 4)").as("fp"),
+                expr("sort_array(transform(sh, s -> md5(s)))[0]").as("min_hash"))
+        .orderBy(col("doc_id"))),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS term
+        |  FROM documents
+        |), profile AS (
+        |  SELECT plang, term FROM (
+        |    SELECT lang AS plang, term, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, term) AS rn
+        |    FROM tok GROUP BY lang, term) t
+        |  WHERE rn <= 20
+        |), dt AS (SELECT DISTINCT doc_id, term FROM tok),
+        |ov AS (
+        |  SELECT dt.doc_id, p.plang, COUNT(*) AS ov
+        |  FROM dt JOIN profile p ON dt.term = p.term
+        |  GROUP BY dt.doc_id, p.plang
+        |), pred AS (
+        |  SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |           ORDER BY ov DESC, plang) AS rn
+        |  FROM ov)
+        |SELECT d.doc_id, pred.plang AS pred_lang, d.lang AS actual,
+        |  (pred.plang = d.lang) AS correct
+        |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
+        |WHERE pred.rn = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(TRIM(text), ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
+        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base)
+        |SELECT doc_id,
+        |  LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1:4] AS fp,
+        |  LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1] AS min_hash
+        |FROM sh ORDER BY doc_id""".stripMargin,
+  )
+}

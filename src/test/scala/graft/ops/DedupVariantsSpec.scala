@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupVariantsSpec extends SparkSpec {
+
+  test("simhash pairs and minhash pairs substantially agree on planted dups") {
+    val mh = LlmOps.queries("q_dedup_near")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = DedupVariants.queries("q_dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty && sh.nonEmpty)
+    val overlap = mh.intersect(sh).size.toDouble / mh.size
+    assert(overlap >= 0.8, s"simhash found ${sh.size}, minhash ${mh.size}, overlap $overlap")
+  }
+
+  test("q_dedup_ngram: every emitted pair's jaccard is exact") {
+    val rows = DedupVariants.queries("q_dedup_ngram")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
+  }
+
+  test("q_dedup_embcos symmetric bound: scores within [-1,1] e4") {
+    val rows = DedupVariants.queries("q_dedup_embcos")(spark, sf).collect()
+    assert(rows.forall(r => r.getInt(3) >= 3500 && r.getInt(3) <= 10000))
+  }
+
+  test("q_sim_lsh: recall@5 vs brute force is useful, self-match at rank 1") {
+    val ann = Similarity.queries("q_sim_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val exact = LlmOps.queries("q_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every query finds itself first (same bucket, cosine 1)
+    (0L until 10L).foreach { q =>
+      assert(ann.exists(a => a._1 == q && a._2 == q && a._3 == 1), s"query $q missing self")
+    }
+    val annSet = ann.map(a => (a._1, a._2)).toSet
+    val recall = exact.count(annSet.contains).toDouble / exact.length
+    assert(recall >= 0.3, s"ANN recall@5 = $recall")
+    info(s"ANN recall@5 vs brute force = $recall")
+  }
+
+  test("q_lang_id covers all docs; accuracy is deterministic and sane") {
+    val rows = TextAnalysis.queries("q_lang_id")(spark, sf).collect()
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    val acc = rows.count(_.getBoolean(3)).toDouble / rows.length
+    info(s"lang-id self-trained accuracy = $acc")
+    assert(acc > 0.0)
+  }
+
+  test("q_fingerprint: near-dup docs share min_hash; fingerprints are stable") {
+    val fp = TextAnalysis.queries("q_fingerprint")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = LlmOps.queries("q_dedup_near")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val high = pairs.filter(_._3 >= 0.95)
+    assert(high.nonEmpty)
+    val share = high.count { case (a, b, _) => fp(a) == fp(b) }.toDouble / high.size
+    assert(share >= 0.8, s"only $share of >=0.95-jaccard pairs share min_hash")
+  }
+}
