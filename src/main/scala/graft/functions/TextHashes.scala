@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** JVM-native hash kernels for the dedup family (SURVEY.md §2.10: "scalar
+  * UDF — minhash only").
+  *
+  * Why UDFs here: higher-order array lambdas are interpreted per element in
+  * Spark, so a 32-perm MinHash written as nested `transform`s costs
+  * 32 × |shingles| Catalyst eval-tree walks per row (measured: the dedup
+  * family was 32 s of a 76 s bench). One UDF call per row with tight JVM
+  * loops removes that constant; the signatures are engine-internal (LSH
+  * candidates only), so cross-engine hash equality is not required —
+  * except simhash, which IS oracle-checked and therefore derives its bits
+  * from md5 exactly like the DuckDB SQL twin.
+  */
+object TextHashes {
+
+  /** Distinct n-gram word shingles — JVM kernel for the same reason as the
+    * hashes: the `transform(sequence…, i -> concat_ws(slice…))` formulation
+    * walks an interpreted eval tree per shingle. */
+  def shingles(n: Int): UserDefinedFunction = udf { (toks: Seq[String]) =>
+    if (toks.length <= n) Array(toks.mkString(" "))
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        val sb = new StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out += sb.result()
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** 32-permutation MinHash signature (xxh64-seeded). */
+  val minhash32: UserDefinedFunction = udf { (sh: Seq[String]) =>
+    val mins = Array.fill(32)(Long.MaxValue)
+    sh.foreach { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      var p = 0
+      while (p < 32) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, p.toLong)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+    }
+    mins
+  }
+
+  /** 32-bit SimHash with bits derived from md5(shingle) — bit-identical to
+    * the SQL/DuckDB formulation `CONV(SUBSTR(md5(s),1,8),16,10)` (first four
+    * digest bytes, big-endian), so the query stays oracle-able. */
+  val simhash32md5: UserDefinedFunction = udf { (sh: Seq[String]) =>
+    val counts = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    sh.foreach { s =>
+      val dig = md.digest(s.getBytes("UTF-8"))
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+              ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sim |= (1L << (31 - j))
+      j += 1
+    }
+    sim
+  }
+
+  /** Double-precision cosine over float vectors — sequential sums, matching
+    * the SQL `aggregate(zip_with(...))` fold order (and DuckDB's list_sum),
+    * so oracle comparisons in integer 1e-4 units stay exact. */
+  val cosineF: UserDefinedFunction = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

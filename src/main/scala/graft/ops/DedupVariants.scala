@@ -22,22 +22,16 @@ import org.apache.spark.sql.functions._
 object DedupVariants extends OpModule {
 
   private def withShingles(df: DataFrame, n: Int): DataFrame =
-    df.withColumn("toks", split(trim(col("text")), " "))
-      .withColumn("sh", expr(
-        s"""array_distinct(transform(
-           |  sequence(0, greatest(size(toks) - $n, 0)),
-           |  i -> concat_ws(' ', slice(toks, i + 1, $n))))""".stripMargin))
+    df.withColumn("sh",
+      graft.functions.TextHashes.shingles(n)(split(trim(col("text")), " ")))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 32-bit SimHash from md5(shingle); banded candidates; hamming <= 3.
     "q_dedup_simhash" -> ((s, d) => {
       val sim = withShingles(Tables.documents(s, d), 5)
-        .withColumn("h32", expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
-            |  acc + CASE WHEN aggregate(h32, 0, (a, h) ->
-            |                   a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-            |        THEN shiftleft(cast(1 as bigint), 31 - j) ELSE cast(0 as bigint) END)""".stripMargin))
+        // JVM kernel, bit-identical to the md5-based SQL/DuckDB formulation
+        // (the nested-lambda version was the slowest query in the bench)
+        .withColumn("simhash", graft.functions.TextHashes.simhash32md5(col("sh")))
         .select(col("doc_id"), col("simhash"))
       val bands = sim.select(col("doc_id"), col("simhash"),
           posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 8)) & 255)")))
@@ -75,16 +69,10 @@ object DedupVariants extends OpModule {
     // Embedding-cosine near-dup, blocked by label; double math, e4 ints.
     "q_dedup_embcos" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-        .withColumn("norm", expr(
-          "sqrt(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"))
-      val a = e.select(col("vec_id").as("va"), col("label"),
-                       col("embedding").as("ea"), col("norm").as("na"))
-      val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
-                       col("embedding").as("eb"), col("norm").as("nb"))
+      val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vb"), col("label").as("lb"), col("embedding").as("eb"))
       a.join(b, col("label") === col("lb") && col("va") < col("vb"))
-        .withColumn("score", expr(
-          """aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),
-            |          cast(0.0 as double), (acc, x) -> acc + x) / (na * nb)""".stripMargin))
+        .withColumn("score", graft.functions.TextHashes.cosineF(col("ea"), col("eb")))
         .where(col("score") >= 0.35)
         .select(col("va"), col("vb"), col("label"),
                 round(col("score") * 10000).cast("int").as("score_e4"))

@@ -24,19 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps extends OpModule {
 
-  /** 5-gram word shingles over a pre-staged token array. The token split
-    * MUST be staged as its own column first: referencing `split(...)` inside
-    * the lambda re-evaluates it per shingle (higher-order functions are
-    * interpreted, not codegen'd) — measured 3× slower at sf0.1. */
-  private val shinglesExpr =
-    """array_distinct(transform(
-      |  sequence(0, greatest(size(toks) - 5, 0)),
-      |  i -> concat_ws(' ', slice(toks, i + 1, 5))))""".stripMargin
+  // 5-gram word shingles — JVM kernel (TextHashes.shingles); the SQL
+  // higher-order-lambda formulation is interpreted per element and was a
+  // bench hotspot.
 
-  /** MinHash signature: 32 independent permutations via seeded xxhash64. */
-  private val minhashExpr =
-    s"""transform(sequence(0, 31),
-       |  p -> array_min(transform(sh, s -> xxhash64(s, p))))""".stripMargin
+  // MinHash signature: 32 independent permutations — JVM kernel, one call
+  // per row (the nested-transform SQL formulation is interpreted per element
+  // and was the bench's hottest spot; see TextHashes).
 
   private val cosine =
     """(aggregate(zip_with(q_emb, n_emb, (x, y) -> cast(x as double) * cast(y as double)),
@@ -56,9 +50,10 @@ object LlmOps extends OpModule {
     // MinHash + LSH near-duplicate pairs, exact-Jaccard verified (τ = 0.5).
     "q_dedup_near" -> ((s, d) => {
       val sh = Tables.documents(s, d)
-        .withColumn("toks", split(trim(col("text")), " "))
-        .select(col("doc_id"), expr(shinglesExpr).as("sh"))
-      val sigs = sh.select(col("doc_id"), col("sh"), expr(minhashExpr).as("mh"))
+        .select(col("doc_id"),
+                graft.functions.TextHashes.shingles(5)(split(trim(col("text")), " ")).as("sh"))
+      val sigs = sh.select(col("doc_id"), col("sh"),
+        graft.functions.TextHashes.minhash32(col("sh")).as("mh"))
       val bands = sigs.select(col("doc_id"),
           posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(mh, b * 4 + 1, 4)))")))
         .toDF("doc_id", "band", "sig")

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Subquery and reshaping operators — exercises Catalyst's subquery
+  * decorrelation (`RewriteCorrelatedScalarSubquery`, `RewritePredicateSubquery`
+  * → semi joins) plus pivot/unpivot reshaping.
+  *
+  * Scale posture: the correlated scalar subquery decorrelates into one
+  * aggregate + one join on the correlation key (verified: no per-row
+  * re-execution); IN-subqueries plan as left-semi joins. Pivot with an
+  * explicit value list is a single hash aggregation (no extra pass to
+  * discover pivot values — always pass the list at scale).
+  */
+object Subqueries extends OpModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Correlated scalar subquery: orders above their customer's own average.
+    // (The avg is a filter threshold, not an output — a boundary flip would
+    // need an order within ~1e-9 of its customer's mean; accepted risk D1.)
+    "q_subquery_scalar" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq_v")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+              |FROM orders_sq_v o
+              |WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice)
+              |                            FROM orders_sq_v o2
+              |                            WHERE o2.o_custkey = o.o_custkey)
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    "q_subquery_in" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_sqin_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_sqin_v")
+      s.sql("""SELECT c_custkey, c_name FROM customer_sqin_v
+              |WHERE c_custkey IN (SELECT o_custkey FROM orders_sqin_v
+              |                    WHERE o_totalprice > 250000)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Pivot order counts: status values passed explicitly (single agg pass).
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+                coalesce(col("F"), lit(0L)).as("f_cnt"),
+                coalesce(col("O"), lit(0L)).as("o_cnt"),
+                coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy(col("o_orderpriority"))),
+
+    "q_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+                col("p_size").cast("double").as("size"),
+                col("p_retailprice").as("price"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("price")),
+                 "metric", "val")
+        .orderBy(col("p_partkey"), col("metric"))),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice)
+        |                            FROM orders o2
+        |                            WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'price' AS metric, p_retailprice AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+  )
+}
