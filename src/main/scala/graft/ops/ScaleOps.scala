@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators: the 100 TB mitigation patterns demonstrated as
+  * first-class, oracle-checked queries (`BASELINE.json:6` "every operator for
+  * 100 TB scale").
+  *
+  * - `q_skew_salted`: two-phase salted aggregation. A single hot key at
+  *   100 TB makes one reducer the straggler; salting spreads phase 1 over
+  *   `SALT` subkeys, phase 2 merges the (tiny) partials. Result is provably
+  *   identical to the direct groupBy because the money sum is an integer
+  *   cents sum (associative, order-free) and counts are associative.
+  * - `q_join_bucketed`: co-located join via bucketed tables. Both fact
+  *   tables are written bucketed by the join key; the join then reads
+  *   bucket-aligned splits and (verified in ScaleOpsSpec) needs NO shuffle
+  *   exchange on either side — at 100 TB this converts every repeated
+  *   fact-fact join on the same key from a full shuffle into a local merge.
+  *   AQE-level mitigations (skew-join split, dynamic coalescing) stay on by
+  *   default and are config, not code.
+  */
+object ScaleOps extends OpModule {
+
+  private val SALT = 8
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-phase aggregation with an explicit salt on the (hot) group key.
+    "q_skew_salted" -> ((s, d) => {
+      val phase1 = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(SALT)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(Det.moneySum(col("l_extendedprice")).as("part_cents"),
+             count(lit(1)).as("part_n"))
+      phase1
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("part_cents")).as("sum_cents"), sum(col("part_n")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Shuffle-free fact-fact join over bucketed store tables.
+    "q_join_bucketed" -> ((s, d) => {
+      val suffix = math.abs(d.hashCode).toString
+      val (ordersT, lineitemT) = (s"orders_bkt_$suffix", s"lineitem_bkt_$suffix")
+      // the in-memory catalog forgets tables across JVMs but the warehouse
+      // dir persists — drop both sides before recreating
+      Seq(ordersT, lineitemT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/$t")
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordersT)
+      Tables.lineitem(s, d).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lineitemT)
+      s.table(lineitemT)
+        .join(s.table(ordersT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_cents"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderstatus"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // identical to an unsalted aggregate — that's the point
+    "q_skew_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+  )
+}
