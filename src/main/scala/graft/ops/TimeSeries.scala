@@ -31,6 +31,25 @@ object TimeSeries extends OpModule {
 
   private val us30min = 1800000000L // 30 min in µs
 
+  /** Gaps-and-islands sessionization of any (user_id, event_id, ts) frame:
+    * one shuffle on user_id, per-partition ordered walk. Exposed for
+    * property tests over generated streams (SessionPropertiesSpec). */
+  def sessionize(events: DataFrame, gapUs: Long = us30min): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+              when(lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > gapUs, 1)
+                .otherwise(0).as("brk"))
+      .withColumn("sess", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("len_us"),
+           min(col("event_id")).as("first_event"))
+      .orderBy(col("user_id"), col("sess"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumble_batch" -> ((s, d) =>
       Tables.events(s, d)
@@ -49,21 +68,7 @@ object TimeSeries extends OpModule {
         .orderBy(col("wstart"))),
 
     // Gaps-and-islands sessionization, 30-min inactivity gap.
-    "q_session_batch" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val us = unix_micros(col("ts"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("ts"),
-                when(lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > us30min, 1)
-                  .otherwise(0).as("brk"))
-        .withColumn("sess", sum(col("brk")).over(wRun))
-        .groupBy(col("user_id"), col("sess"))
-        .agg(count(lit(1)).as("n_events"),
-             (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("len_us"),
-             min(col("event_id")).as("first_event"))
-        .orderBy(col("user_id"), col("sess"))
-    }),
+    "q_session_batch" -> ((s, d) => sessionize(Tables.events(s, d))),
 
     // Interval self-join: pairs of events of one user within 10 minutes.
     "q_join_range" -> ((s, d) => {

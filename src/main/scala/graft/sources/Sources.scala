@@ -75,6 +75,30 @@ object Sources extends OpModule {
         .orderBy(col("yr"))
     }),
 
+    // Malformed-feed ingest: PERMISSIVE parse quarantines corrupt records
+    // into a column instead of failing the job — the disaster-feed reality.
+    // Corruption is content-keyed (orderkey % 7) so the result is a pure
+    // function of the table and the oracle can reproduce it.
+    "src_json_corrupt" -> ((s, d) => {
+      val path = tmp(d, "corrupt")
+      Tables.orders(s, d)
+        .select(when(col("o_orderkey") % 7 === 0,
+                     substring(to_json(struct(col("o_orderkey"), col("o_orderstatus"))), 1, 10))
+                  .otherwise(to_json(struct(col("o_orderkey"), col("o_orderstatus"))))
+                  .as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .groupBy(coalesce(col("o_orderstatus"), lit("_corrupt")).as("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
     // CSV + JSON export of the same slice must agree with each other.
     "sink_csv_json" -> ((s, d) => {
       val slice = Tables.lineitem(s, d)
@@ -109,6 +133,11 @@ object Sources extends OpModule {
         |WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1998
         |GROUP BY YEAR(o_orderdate)
         |ORDER BY yr""".stripMargin,
+
+    "src_json_corrupt" ->
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN '_corrupt' ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     // both exports re-ingested: every group exactly doubled
     "sink_csv_json" ->

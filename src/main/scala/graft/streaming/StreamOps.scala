@@ -7,7 +7,8 @@ import graft.ops.OpModule
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 
 /** SURVEY.md §2.8 — Structured Streaming operators (`s_*`).
   *
@@ -104,7 +105,60 @@ object StreamOps extends OpModule {
       .toDF("user_id", "event_id", "seq")
   }
 
+  /** Arbitrary state v2 (`transformWithState`, Spark 4): per-user count of
+    * purchases since the user's last error, kept in a `ValueState[Int]` that
+    * survives micro-batches (RocksDB-backed — the production state store).
+    * In-batch rows are sorted by (ts, event_id) so output is deterministic
+    * and oracle-able as segment-local ROW_NUMBERs in SQL. */
+  class PurchasesSinceErrorProcessor
+      extends StatefulProcessor[Long, Ev, (Long, Long, Int)] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Int]("cnt",
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[(Long, Long, Int)] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var c = if (count.exists()) count.get() else 0
+      val out = Seq.newBuilder[(Long, Long, Int)]
+      sorted.foreach { e =>
+        e.event_type match {
+          case "error"    => c = 0
+          case "purchase" => c += 1; out += ((key, e.event_id, c))
+          case _          => ()
+        }
+      }
+      count.update(c)
+      out.result().iterator
+    }
+  }
+
+  def purchasesSinceErrorTransform(ds: Dataset[Ev]): DataFrame = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new PurchasesSinceErrorProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "n_since_error")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // transformWithState requires the RocksDB state store provider; scope
+    // the conf so sibling streaming queries keep the session default.
+    "s_tws_running" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try
+        runStream(s, loadEvents(s, d), OutputMode.Append())(purchasesSinceErrorTransform)
+          .orderBy(col("user_id"), col("event_id"))
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     "s_tumble_wm" -> ((s, d) =>
       runStream(s, loadEvents(s, d), OutputMode.Append())(tumbleTransform)
         .orderBy(col("hstart"), col("event_type"))),
@@ -155,6 +209,20 @@ object StreamOps extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // state reset on 'error' ≡ segment-local purchase row numbers
+    "s_tws_running" ->
+      """WITH seg AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id, s ORDER BY ts, event_id)
+        |       AS INTEGER) AS n_since_error
+        |FROM seg WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // Append-mode emission = hourly windows whose END has been passed by the
     // final watermark (max(ts) − 10 min).
     "s_tumble_wm" ->

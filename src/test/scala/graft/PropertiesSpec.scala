@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY §5.2) over GENERATED data — invariants the
+  * fixed test tables can't probe. Drives scalacheck Gens directly with fixed
+  * seeds (deterministic; each sample is a Spark job so counts stay small). */
+class PropertiesSpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int = 5): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val eventsGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 120)
+    rows <- Gen.listOfN(n, for {
+      user <- Gen.choose(0L, 3L)
+      us <- Gen.choose(0L, 6L * 3600 * 1000000) // 6h span, µs
+    } yield (user, us))
+  } yield rows.zipWithIndex.map { case ((u, us), i) => (i.toLong, u, us) }
+
+  test("sessionize: sessions partition events; gaps define session breaks") {
+    import spark.implicits._
+    samples(eventsGen).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val gap = 600L * 1000000 // 10 min
+      val sess = graft.ops.TimeSeries.sessionize(df, gap).collect()
+      assert(sess.map(_.getLong(2)).sum == rows.length) // partition of events
+      val expected = rows.groupBy(_._2).map { case (u, es) =>
+        val ts = es.map(_._3).sorted
+        u -> (1 + ts.zip(ts.tail).count { case (a, b) => b - a > gap })
+      }
+      val got = sess.groupBy(_.getLong(0)).map { case (u, ss) => u -> ss.length }
+      assert(got == expected, s"sessions per user mismatch for ${rows.take(5)}…")
+    }
+  }
+
+  test("cents-sum is order-independent: any repartitioning gives the same total") {
+    import spark.implicits._
+    val gen = for {
+      xs <- Gen.listOfN(200, Gen.choose(-1e6, 1e6))
+      parts <- Gen.choose(1, 16)
+    } yield (xs, parts)
+    samples(gen).foreach { case (xs, parts) =>
+      val got = xs.toDF("x").repartition(parts)
+        .agg(graft.ops.Det.moneySum(col("x"))).collect()(0).getLong(0)
+      val want = xs.map(v => math.round(v * 100)).sum
+      assert(got == want)
+    }
+  }
+
+  test("exact dedup keeps exactly one survivor per normalized text, the min id") {
+    import spark.implicits._
+    val corpusGen = for {
+      base <- Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+      dups <- Gen.someOf(base)
+    } yield (base ++ dups ++ dups).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(corpusGen).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = df.select(expr("md5(lower(trim(text)))").as("h"), col("doc_id"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .collect()
+      val byText = docs.groupBy(_._2.trim.toLowerCase)
+      assert(out.length == byText.size)
+      assert(out.map(_.getLong(2)).sum == docs.length)
+      val expectedKeeps = byText.values.map(_.map(_._1).min).toSet
+      assert(out.map(_.getLong(1)).toSet == expectedKeeps)
+    }
+  }
+
+  test("GeoMean is invariant under repartitioning (merge associativity)") {
+    import spark.implicits._
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.choose(0.01, 1e4))
+      parts <- Gen.choose(1, 12)
+    } yield (xs, parts)
+    samples(gen).foreach { case (xs, parts) =>
+      val geo = udaf(graft.functions.GeoMean)
+      val got = xs.toDF("v").repartition(parts)
+        .agg(geo(col("v"))).collect()(0).getDouble(0)
+      val want = math.exp(xs.map(math.log).sum / xs.size)
+      assert(math.abs(got - want) <= 1e-9 * math.max(1.0, want))
+    }
+  }
+}
