@@ -44,7 +44,8 @@ object Expressions extends OpModule {
           col("o_orderkey").cast("double").as("key_dbl"),
           col("o_orderkey").cast("string").as("key_str"),
           floor(col("o_totalprice")).cast("long").as("price_floor"),
-          col("o_orderdate").cast("date").as("order_date"),
+          // DATE encoded as ISO string: robust to comparator dtype handling
+          col("o_orderdate").cast("date").cast("string").as("order_date"),
           substring(col("o_orderpriority"), 1, 1).cast("int").as("priority_num"))
         .orderBy(col("o_orderkey"))),
 
@@ -84,7 +85,7 @@ object Expressions extends OpModule {
         |  CAST(o_orderkey AS DOUBLE) AS key_dbl,
         |  CAST(o_orderkey AS VARCHAR) AS key_str,
         |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
-        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
         |  CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS priority_num
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,

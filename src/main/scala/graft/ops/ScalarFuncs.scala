@@ -62,10 +62,11 @@ object ScalarFuncs extends OpModule {
           // date_trunc yields tz-aware TIMESTAMP — cast back so the output
           // schema matches DuckDB's naive TIMESTAMP.
           date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("mstart"),
-          col("o_orderdate").cast("date").as("od"),
-          date_add(col("o_orderdate").cast("date"), 7).as("d7"),
+          // DATE outputs ride as ISO strings (comparator-dtype-proof)
+          col("o_orderdate").cast("date").cast("string").as("od"),
+          date_add(col("o_orderdate").cast("date"), 7).cast("string").as("d7"),
           datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"),
-          last_day(col("o_orderdate").cast("date")).as("eom"),
+          last_day(col("o_orderdate").cast("date")).cast("string").as("eom"),
           dayofweek(col("o_orderdate")).as("dow"),
           unix_timestamp(col("o_orderdate").cast("timestamp")).as("epoch_s"))
         .orderBy(col("o_orderkey"))),
@@ -164,10 +165,10 @@ object ScalarFuncs extends OpModule {
         |  CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
         |  CAST(DAY(o_orderdate) AS INTEGER) AS dy,
         |  DATE_TRUNC('month', o_orderdate) AS mstart,
-        |  CAST(o_orderdate AS DATE) AS od,
-        |  CAST(o_orderdate AS DATE) + 7 AS d7,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od,
+        |  CAST(CAST(o_orderdate AS DATE) + 7 AS VARCHAR) AS d7,
         |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
-        |  LAST_DAY(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
         |  CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dow,
         |  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
