@@ -68,7 +68,11 @@ object DedupVariants extends OpModule {
 
     // Embedding-cosine near-dup, blocked by label; double math, e4 ints.
     "q_dedup_embcos" -> ((s, d) => {
+      // zero-norm vectors make cosine undefined (NaN) and NaN ordering
+      // DIVERGES between engines (DuckDB sorts NaN high) — exclude them
+      // identically on both sides
       val e = Tables.embeddings(s, d)
+        .where(expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + abs(cast(x as double)))") > 0)
       val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vb"), col("label").as("lb"), col("embedding").as("eb"))
       a.join(b, col("label") === col("lb") && col("va") < col("vb"))
@@ -118,7 +122,8 @@ object DedupVariants extends OpModule {
     "q_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, label, embedding,
         |  SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-        |  FROM embeddings)
+        |  FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0)
         |SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
         |  CAST(ROUND((LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
         |         s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm)) * 10000) AS INTEGER) AS score_e4

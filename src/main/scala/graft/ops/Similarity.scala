@@ -52,15 +52,10 @@ object Similarity extends OpModule {
             |  flatten(transform(sequence(0, 6), k1 ->
             |    transform(sequence(k1 + 1, 7), k2 ->
             |      cast(q_bucket as int) ^ shiftleft(1, k1) ^ shiftleft(1, k2)))))""".stripMargin)))
-      val cosine =
-        """(aggregate(zip_with(q_emb, n_emb, (x, y) -> cast(x as double) * cast(y as double)),
-          |           cast(0.0 as double), (a, x) -> a + x)
-          | / (sqrt(aggregate(q_emb, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))
-          |    * sqrt(aggregate(n_emb, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))))""".stripMargin
       val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
       corpus.join(broadcast(queriesDf), col("n_bucket") === col("probe"))
         .select(col("q_id"), col("n_id"), col("q_emb"), col("n_emb")).distinct()
-        .withColumn("score", expr(cosine))
+        .withColumn("score", expr(LlmOps.cosine))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .select(col("q_id"), col("n_id"),

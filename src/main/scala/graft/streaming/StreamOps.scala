@@ -92,14 +92,16 @@ object StreamOps extends OpModule {
     val s = ds.sparkSession
     import s.implicits._
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, (Long, Long, Int)](
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[Long]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val start = state.getOption.getOrElse(0L)
           state.update(start + sorted.size)
+          // seq stays Long end-to-end: the state legitimately exceeds Int
+          // range for a hot key at production scale
           sorted.iterator.zipWithIndex.map { case (e, i) =>
-            (user, e.event_id, (start + i + 1).toInt)
+            (user, e.event_id, start + i + 1)
           }
       }
       .toDF("user_id", "event_id", "seq")
@@ -241,7 +243,7 @@ object StreamOps extends OpModule {
 
     "s_stateful" ->
       """SELECT user_id, event_id,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "s_sink_idempotent" ->

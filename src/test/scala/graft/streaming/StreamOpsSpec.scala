@@ -79,8 +79,8 @@ class StreamOpsSpec extends SparkSpec {
       mem.addData(ev(3, 3, user = 7), ev(4, 1, user = 8))
       q.processAllAvailable()
       val rows = spark.table(name).collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-      assert(rows == Map((7L, 1L) -> 1, (7L, 2L) -> 2, (7L, 3L) -> 3, (8L, 4L) -> 1))
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(rows == Map((7L, 1L) -> 1L, (7L, 2L) -> 2L, (7L, 3L) -> 3L, (8L, 4L) -> 1L))
     } finally q.stop()
   }
 
