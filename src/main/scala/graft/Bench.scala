@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Headline queries: one representative per operator family (SURVEY §2).
+    * Round 1 benched all 86 registered queries; that made the output JSON
+    * line ~4.6 KB — longer than the stdout tail the driver captures, so the
+    * line was truncated and unparseable (BENCH_r01.json "parsed": null) —
+    * and cost 32 min of driver wall-clock. The headline set keeps the JSON
+    * line well under 1 KB and the signal per second high; Verify still
+    * exercises the full inventory. SPARK_GRAFT_BENCH_ALL=1 restores the full
+    * sweep for local deep-dives (do NOT use for driver rounds).
+    */
+  private val headline = Vector(
+    "q_scan_pushdown", "q_filter_compound",                          // scan/filter
+    "q_join_inner", "q_join_star5", "q_join_broadcast",              // joins
+    "q_join_range", "q_join_asof",
+    "q_agg_q1", "q_agg_distinct", "q_agg_percentile",                // aggregation
+    "q_win_running", "q_topk_group", "q_session_batch",              // windows/sessions
+    "q_union_distinct", "q_date_funcs", "q_json_funcs",              // set ops/scalars
+    "q_dedup_exact", "q_dedup_near", "q_dedup_simhash",              // dedup family
+    "q_dedup_embcos",
+    "q_sim_topk", "q_sim_lsh",                                       // similarity
+    "q_tfidf_terms", "q_lang_id", "q_quality_filter",                // text analysis
+    "q_skew_salted",                                                 // scale posture
+    "s_tumble_wm", "s_stateful",                                     // streaming
+    "src_json")                                                      // ingest
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,32 +37,43 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup: run every query once at the smallest SF first so
+    val benched: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries.toSeq
+      else {
+        val missing = headline.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty, s"headline queries not registered: $missing")
+        headline.map(n => n -> SparkEntry.queries(n))
+      }
+    // JIT/codegen warmup: run every benched query once at the smallest SF so
     // the timed pass measures query execution, not JVM/codegen warmup (the
     // generated whole-stage code is identical across scale factors, so the
     // JIT code cache carries over; measured: 22 queries cold ≈ 120 s,
     // steady-state ≈ 8 s on this container).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benched.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // Best-of-2 per query: this container suffers random multi-second host
     // stalls (measured: identical queries swinging 2s ↔ 38s); the min of two
     // runs reports steady-state execution time instead of host luck.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benched.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A throwing query must surface as an explicit failure, not silently
+    // shrink the total (a -1 summed in would make the bench look FASTER).
+    val (failed, ok) = results.partition(_._2 < 0)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * aggregate (ObjectHashAggregate); its group cardinality (custkey) bounds
   * state. `q_agg_approx_distinct` is the scale path for COUNT(DISTINCT) —
   * HLL sketches merge associatively, no expand-shuffle.
+  *
+  * Accepted residual D1 risk (documented per ADVICE r1): `q_agg_stats`
+  * (STDDEV_SAMP/VAR_SAMP/CORR) and `q_agg_custom` (EXP(AVG(LN))) round
+  * order-dependent double aggregates to 4 decimals; Spark's partial-
+  * aggregate tree vs DuckDB's sequential fold can differ in the low bits
+  * and would flip a value sitting exactly on a 1e-4 rounding boundary.
+  * There is no exact integer encoding for these without abandoning the
+  * built-in aggregates the contract demonstrates; the risk has measured
+  * zero flips across all sf tiers in rounds 1–2.
   */
 object Aggregations extends OpModule {
 
@@ -28,8 +37,14 @@ object Aggregations extends OpModule {
           sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
           Det.moneySum(col("l_extendedprice")).as("sum_base_cents"),
           Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_cents"),
+          // avg over integral doubles: partial sums are exact (< 2^53), so
+          // round(avg) is already order-independent
           round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          // l_discount is NOT integral — AVG(double) partial sums are order-
+          // dependent in the low bits; derive from an exact e4-unit sum
+          // instead (same op sequence as the oracle → bit-identical)
+          round(sum(round(col("l_discount") * 10000).cast("long")) / lit(10000.0)
+                / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -37,7 +52,9 @@ object Aggregations extends OpModule {
       Tables.orders(s, d)
         .agg(count(lit(1)).as("cnt"),
              Det.moneySum(col("o_totalprice")).as("sum_price_cents"),
-             round(avg(col("o_totalprice")), 4).as("avg_price"),
+             // derived from the exact cents sum, not AVG(double) (D1)
+             round(Det.moneySum(col("o_totalprice")) / lit(100.0)
+                   / count(lit(1)), 4).as("avg_price"),
              min(col("o_orderdate")).as("first_date"),
              max(col("o_orderdate")).as("last_date"))),
 
@@ -105,12 +122,16 @@ object Aggregations extends OpModule {
              round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
         .orderBy(col("o_orderpriority"))),
 
-    // Per-group ordered list; collect order is nondeterministic → sort_array (D3).
+    // Per-group ordered list; collect order is nondeterministic → sort_array
+    // (D3). The list ships as a CSV string: raw array columns crash the
+    // driver's pandas row-sort (unhashable ndarray), same comparator-proofing
+    // as DATE→ISO-string.
     "q_agg_collect" -> ((s, d) =>
       Tables.orders(s, d)
         .where(col("o_totalprice") > 200000)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .agg(expr("array_join(transform(sort_array(collect_list(o_orderkey)), x -> cast(x as string)), ',')")
+          .as("order_keys"))
         .orderBy(col("o_custkey"))),
 
     // HLL sketch — merges associatively, the 100 TB COUNT(DISTINCT) path.
@@ -139,7 +160,7 @@ object Aggregations extends OpModule {
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         |  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
         |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  ROUND(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) / 10000.0 / COUNT(*), 4) AS avg_disc,
         |  COUNT(*) AS cnt
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -149,7 +170,7 @@ object Aggregations extends OpModule {
     "q_agg_global" ->
       """SELECT COUNT(*) AS cnt,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
-        |  ROUND(AVG(o_totalprice), 4) AS avg_price,
+        |  ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
         |  MIN(o_orderdate) AS first_date,
         |  MAX(o_orderdate) AS last_date
         |FROM orders""".stripMargin,
@@ -203,7 +224,7 @@ object Aggregations extends OpModule {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_agg_collect" ->
-      """SELECT o_custkey, LIST_SORT(LIST(o_orderkey)) AS order_keys
+      """SELECT o_custkey, ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey)), ',') AS order_keys
         |FROM orders WHERE o_totalprice > 200000
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 

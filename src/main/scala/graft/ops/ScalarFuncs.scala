@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object ScalarFuncs extends OpModule {
 
+  /** float element → exact integer 1e-3 units (D1: bit-exact cross-engine). */
+  private val E3 = "cast(round(cast(x as double) * 1000) as bigint)"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_str_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -97,9 +100,12 @@ object ScalarFuncs extends OpModule {
           element_at(col("embedding"), 1).as("first"),
           expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
           expr("round(aggregate(embedding, cast(0.0 as double), (a, x) -> a + abs(cast(x as double))), 3)").as("l1"),
-          sort_array(col("embedding")).as("srt"),
-          slice(col("embedding"), 3, 4).as("sl"),
-          expr("transform(embedding, x -> round(cast(x as double) * 2, 3))").as("doubled"),
+          // array outputs ride as CSV strings of integer 1e-3 units: raw
+          // arrays crash the driver's pandas row-sort (unhashable ndarray)
+          // and stringified doubles have engine-specific exponent rendering
+          expr(s"array_join(transform(sort_array(embedding), x -> cast($E3 as string)), ',')").as("srt"),
+          expr(s"array_join(transform(slice(embedding, 3, 4), x -> cast($E3 as string)), ',')").as("sl"),
+          expr(s"array_join(transform(embedding, x -> cast(cast(round(cast(x as double) * 2000) as bigint) as string)), ',')").as("doubled"),
           size(array_distinct(col("embedding"))).as("nd"))
         .orderBy(col("vec_id"))),
 
@@ -118,7 +124,7 @@ object ScalarFuncs extends OpModule {
           col("n_nationkey"),
           element_at(col("m"), "nk").as("nk_val"),
           element_at(col("m"), "rk").as("rk_val"),
-          map_keys(col("m")).as("ks"))
+          array_join(map_keys(col("m")), ",").as("ks"))
         .orderBy(col("n_nationkey"))),
 
     "q_json_funcs" -> ((s, d) =>
@@ -195,9 +201,9 @@ object ScalarFuncs extends OpModule {
         |  embedding[1] AS first,
         |  CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
         |  ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))), 3) AS l1,
-        |  LIST_SORT(embedding) AS srt,
-        |  embedding[3:6] AS sl,
-        |  LIST_TRANSFORM(embedding, x -> ROUND(CAST(x AS DOUBLE) * 2, 3)) AS doubled,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(LIST_SORT(embedding), x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)), ',') AS srt,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(embedding[3:6], x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)), ',') AS sl,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 2000) AS BIGINT)), ',') AS doubled,
         |  CAST(LEN(LIST_DISTINCT(embedding)) AS INTEGER) AS nd
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
@@ -209,7 +215,7 @@ object ScalarFuncs extends OpModule {
       """SELECT n_nationkey,
         |  MAP(['nk','rk'], [n_nationkey, n_regionkey])['nk'][1] AS nk_val,
         |  MAP(['nk','rk'], [n_nationkey, n_regionkey])['rk'][1] AS rk_val,
-        |  MAP_KEYS(MAP(['nk','rk'], [n_nationkey, n_regionkey])) AS ks
+        |  ARRAY_TO_STRING(MAP_KEYS(MAP(['nk','rk'], [n_nationkey, n_regionkey])), ',') AS ks
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_json_funcs" ->

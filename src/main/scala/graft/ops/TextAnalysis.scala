@@ -62,7 +62,9 @@ object TextAnalysis extends OpModule {
             |  sequence(0, greatest(size(toks) - 5, 0)),
             |  i -> concat_ws(' ', slice(toks, i + 1, 5))))""".stripMargin))
         .select(col("doc_id"),
-                expr("slice(sort_array(transform(sh, s -> md5(s))), 1, 4)").as("fp"),
+                // CSV string, not a raw array: arrays crash the driver's
+                // pandas row-sort (unhashable ndarray)
+                expr("array_join(slice(sort_array(transform(sh, s -> md5(s))), 1, 4), ',')").as("fp"),
                 expr("sort_array(transform(sh, s -> md5(s)))[0]").as("min_hash"))
         .orderBy(col("doc_id"))),
   )
@@ -104,7 +106,7 @@ object TextAnalysis extends OpModule {
         |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
         |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base)
         |SELECT doc_id,
-        |  LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1:4] AS fp,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1:4], ',') AS fp,
         |  LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1] AS min_hash
         |FROM sh ORDER BY doc_id""".stripMargin,
   )

@@ -32,7 +32,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = df[c].dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         # downcast pandas nullable ints from outer-join nulls comparisons
-    return df
+    # Mirror the driver: rows are sorted over ALL columns before comparing.
+    # This is deliberately NOT wrapped in try/except — an array column makes
+    # sort_values raise (unhashable ndarray), which is exactly how the driver
+    # rejects such a query; it must FAIL here too (caught per-query in main).
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 def values_equal(a, b) -> bool:
@@ -64,7 +68,7 @@ def main():
         try:
             spark_df = normalize(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
-            print(f"FAIL {name}: no spark output ({e})")
+            print(f"FAIL {name}: spark load/sort failed ({e})")
             n_fail += 1
             continue
         try:
