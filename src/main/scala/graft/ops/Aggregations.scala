@@ -135,11 +135,20 @@ object Aggregations extends OpModule {
         .orderBy(col("o_custkey"))),
 
     // HLL sketch — merges associatively, the 100 TB COUNT(DISTINCT) path.
-    // Non-oracle: sketch estimate ≠ DuckDB's; own suite asserts within 5%.
+    // Oracle-promoted in round 2 as a PROPERTY check: Spark's sketch value
+    // itself can't hash-match DuckDB (different HLL), so the output carries
+    // the exact distinct count plus a within-5% flag for the sketch; the
+    // oracle asserts the flag is TRUE per group. The sketch is deterministic
+    // for fixed data, so this is a stable gate that now actually checks the
+    // estimate's accuracy instead of just the row count.
     "q_agg_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+             countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+                (abs(col("approx_users") - col("exact_users"))
+                  <= col("exact_users") * 0.05).as("within_5pct"))
         .orderBy(col("event_type"))),
 
     // Custom typed UDAF (Aggregator) — geometric mean of event values.
@@ -227,6 +236,11 @@ object Aggregations extends OpModule {
       """SELECT o_custkey, ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey)), ',') AS order_keys
         |FROM orders WHERE o_totalprice > 200000
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_custom" ->
       """SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geo_value

@@ -53,19 +53,30 @@ object Multimodal extends OpModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text bytes stand in for media payloads: documents → binary column →
-    // batched featurize → per-doc feature summary. Non-oracle (mapPartitions
-    // is outside SQL); deterministic, so the rows-only check is stable.
+    // batched featurize → per-doc feature summary. Oracle-promoted in round
+    // 2: the output recovers the exact per-bin BYTE COUNTS from the float
+    // features (count = round(feat × n_bytes) is exact while
+    // n_bytes ≤ 2²⁴/ε — float error ≪ 0.5 here), so the comparison is
+    // integer-exact; the DuckDB twin counts the same byte classes with hex
+    // regex ranges (the corpus is pure ASCII at every sf tier, verified, so
+    // chars = bytes). Bin 1 = 0x20–0x3F, bin 3 = 0x60–0x7F.
     "q_multimodal_feat" -> ((s, d) => {
       val media = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
                 col("text").cast("binary").as("payload"))
       featurize(media).toDF()
         .select(col("doc_id"), col("n_bytes"),
-                round(element_at(col("feat"), 2).cast("double"), 4).as("f1"),
-                round(element_at(col("feat"), 4).cast("double"), 4).as("f3"))
+                round(element_at(col("feat"), 2) * col("n_bytes")).cast("int").as("b1_cnt"),
+                round(element_at(col("feat"), 4) * col("n_bytes")).cast("int").as("b3_cnt"))
         .orderBy(col("doc_id"))
     }),
   )
 
-  override def oracles: Map[String, String] = Map.empty
+  override def oracles: Map[String, String] = Map(
+    "q_multimodal_feat" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_bytes,
+        |  CAST(LENGTH(REGEXP_REPLACE(text, '[^\x20-\x3F]', '', 'g')) AS INTEGER) AS b1_cnt,
+        |  CAST(LENGTH(REGEXP_REPLACE(text, '[^\x60-\x7F]', '', 'g')) AS INTEGER) AS b3_cnt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

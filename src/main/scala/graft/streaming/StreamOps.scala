@@ -237,6 +237,32 @@ object StreamOps extends OpModule {
         |HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx.mt - INTERVAL 10 MINUTE
         |ORDER BY hstart, event_type""".stripMargin,
 
+    // Oracle-promoted in round 2 (same shape as s_tumble_wm): append-mode
+    // session windows = gaps-and-islands sessions whose END (last ts + 30 min
+    // gap) has been passed by the final watermark (max ts − 10 min). A new
+    // event at exactly last+gap starts a NEW session in Spark (session
+    // interval is [start, last+gap)), hence the >= break condition. Verified
+    // row-for-row against the actual streaming output at sf0.01 (9540 rows).
+    "s_session_win" ->
+      """WITH e AS (SELECT user_id, DATE_TRUNC('microseconds', ts) AS ts FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+        |           OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g
+        |), mx AS (SELECT MAX(ts) AS mt FROM e)
+        |SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
+        |FROM s, mx
+        |GROUP BY user_id, sess, mx.mt
+        |HAVING EPOCH_US(MAX(ts)) + 1800000000 <= EPOCH_US(mx.mt) - 600000000
+        |ORDER BY user_id, sess_start""".stripMargin,
+
     "s_dedup_wm" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
