@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     Scans, Expressions, Joins, SortSetOps, Aggregations, Windows, ScalarFuncs,
     TimeSeries, LlmOps, Multimodal, DedupVariants, TextAnalysis, Similarity,
-    Subqueries, ScaleOps, graft.streaming.StreamOps, graft.sources.Sources,
+    PipelineOps, Subqueries, ScaleOps, graft.streaming.StreamOps,
+    graft.sources.Sources,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

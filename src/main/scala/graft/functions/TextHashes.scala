@@ -39,6 +39,26 @@ object TextHashes {
     }
   }
 
+  /** Non-distinct n-gram word shingles (frequency-preserving — for
+    * repetition metrics, where duplicate grams are the signal the distinct
+    * variant above would erase). Same windowing as [[shingles]]: width n,
+    * len−n+1 windows, min one (whole-doc) window. */
+  def shinglesAll(n: Int): UserDefinedFunction = udf { (toks: Seq[String]) =>
+    if (toks.length <= n) Array(toks.mkString(" "))
+    else {
+      val out = new Array[String](toks.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out(i) = sb.result()
+        i += 1
+      }
+      out
+    }
+  }
+
   /** 32-permutation MinHash signature (xxh64-seeded). */
   val minhash32: UserDefinedFunction = udf { (sh: Seq[String]) =>
     val mins = Array.fill(32)(Long.MaxValue)

@@ -151,6 +151,30 @@ object Aggregations extends OpModule {
                   <= col("exact_users") * 0.05).as("within_5pct"))
         .orderBy(col("event_type"))),
 
+    // arg-min/arg-max: which order, not how much. Ties on price are broken
+    // by folding the unique orderkey into the ordering key (D3) — cents fit
+    // ~5e7, ×1e7 + orderkey stays far under 2^63.
+    "q_agg_minmax_by" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("max_by(o_orderkey, cast(round(o_totalprice * 100) as bigint) * 10000000 + o_orderkey)").as("max_order"),
+             expr("min_by(o_orderkey, cast(round(o_totalprice * 100) as bigint) * 10000000 + o_orderkey)").as("min_order"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
+    // ANSI FILTER clause on aggregates — per-predicate partial aggregation
+    // in one pass (the alternative, N self-joins, is N scans at 100 TB).
+    "q_agg_filter_clause" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_filter_v")
+      s.sql("""SELECT o_orderstatus,
+              |  COUNT(*) AS n_all,
+              |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+              |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              |    FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_cents,
+              |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+              |FROM orders_filter_v GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // Custom typed UDAF (Aggregator) — geometric mean of event values.
     "q_agg_custom" -> ((s, d) => {
       val geo = udaf(GeoMean)
@@ -236,6 +260,22 @@ object Aggregations extends OpModule {
       """SELECT o_custkey, ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey)), ',') AS order_keys
         |FROM orders WHERE o_totalprice > 200000
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  ARG_MAX(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS max_order,
+        |  ARG_MIN(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS min_order,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_filter_clause" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_cents,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,

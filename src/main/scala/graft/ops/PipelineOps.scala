@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextHashes
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond SURVEY §2.9's original set
+  * (BASELINE.json:6 "LLM-data-pipeline operators" north star): benchmark
+  * decontamination, PII redaction, repetition-based quality filtering,
+  * text normalization, deterministic hash sampling, and IVF-style ANN.
+  *
+  * Scale posture:
+  * - Decontamination is the canonical asymmetric join: the benchmark shingle
+  *   set is tiny (a few thousand grams) and BROADCAST, the corpus side is one
+  *   linear scan + explode — no shuffle of the corpus, which is the only
+  *   shape that works when the corpus is 100 TB and the benchmark is MBs.
+  * - PII masking / normalization / repetition are pure per-row map stages
+  *   (no shuffle at all except repetition's per-doc gram count, which
+  *   partial-aggregates on (doc_id, gram)).
+  * - Hash sampling replaces TABLESAMPLE for distributed determinism: the
+  *   predicate is a pure function of the row key, so the sample is identical
+  *   across engines, retries, and partitionings — and pushes down to the
+  *   scan as a filter (no coordinated RNG state across 1000 executors).
+  * - IVF: centroids are broadcast both for assignment (linear scan) and
+  *   probing; at scale the bucket id becomes the table's partition key so a
+  *   query reads nprobe/k of the corpus instead of all of it. The exact
+  *   re-ranking touches only candidate buckets. Recall/nprobe is the dial.
+  */
+object PipelineOps extends OpModule {
+
+  /** Exact double cosine (DuckDB twin of TextHashes.cosineF; proven
+    * bit-exact in q_dedup_embcos). */
+  private def duckCos(a: String, b: String): String =
+    s"""LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b),
+       |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+       |    / (SQRT(LIST_SUM(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * SQRT(LIST_SUM(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: flag corpus docs sharing any 8-gram with
+    // the "benchmark" slice (doc_id < 20 stands in for an eval set).
+    "q_contamination" -> ((s, d) => {
+      val shingled = Tables.documents(s, d)
+        .withColumn("sh", TextHashes.shingles(8)(split(trim(col("text")), " ")))
+      val bench = shingled.where(col("doc_id") < 20)
+        .select(explode(col("sh")).as("g")).distinct()
+      shingled.where(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: mask email-shaped tokens and digit runs, count both.
+    // (Patterns stay in the RE2 ∩ java.util.regex dialect intersection.)
+    "q_pii_mask" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[a-z0-9._]+@[a-z0-9.]+[.][a-z][a-z]+")).as("n_emails"),
+          regexp_count(col("text"), lit("[0-9]+")).as("n_nums"),
+          md5(regexp_replace(
+            regexp_replace(col("text"), "[a-z0-9._]+@[a-z0-9.]+[.][a-z][a-z]+", "<EMAIL>"),
+            "[0-9]+", "<NUM>")).as("masked_hash"))
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition signal: share of the doc's 2-grams taken by
+    // its single most frequent 2-gram, in exact integer e4 units.
+    "q_repetition_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(TextHashes.shinglesAll(2)(split(trim(col("text")), " "))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_grams"))
+        .select(col("doc_id"), col("n_grams"),
+                round(col("top_cnt") * lit(10000.0) / col("n_grams")).cast("int").as("top_e4"))
+        .withColumn("repetitive", col("top_e4") >= 500)
+        .orderBy(col("doc_id"))),
+
+    // C4-style normalization: lowercase, strip non-alphanumerics, collapse
+    // runs of spaces; emit the canonical hash (the exact-dedup key).
+    "q_doc_norm" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(regexp_replace(regexp_replace(lower(trim(col("text"))),
+            "[^a-z0-9 ]", ""), " +", " ")).as("n_chars_norm"),
+          md5(regexp_replace(regexp_replace(lower(trim(col("text"))),
+            "[^a-z0-9 ]", ""), " +", " ")).as("norm_hash"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic ~10% sample: first md5 byte of the key < 26/256. A pure
+    // function of the row — reproducible across engines/retries/partitions,
+    // unlike TABLESAMPLE whose RNG is engine- and split-dependent.
+    "q_sample_hash" -> ((s, d) =>
+      Tables.orders(s, d)
+        .where(conv(substring(md5(col("o_orderkey").cast("string")), 1, 2), 16, 10)
+          .cast("int") < 26)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // IVF ANN: 16 fixed coarse centroids (vec_id 100–115); every vector is
+    // assigned to its nearest centroid (the "inverted file" bucket), queries
+    // probe their 2 nearest buckets and exact-rank only those candidates.
+    // Zero-norm vectors are excluded on both sides (cosine undefined).
+    "q_sim_ivf" -> ((s, d) => {
+      val nz = Tables.embeddings(s, d)
+        .where(expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + abs(cast(x as double)))") > 0)
+      val cents = nz.where(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy(col("n_id")).orderBy(col("c_score").desc, col("c_id"))
+      val assigned = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .join(broadcast(cents))
+        .withColumn("c_score", TextHashes.cosineF(col("n_emb"), col("c_emb")))
+        .withColumn("arn", row_number().over(wAssign))
+        .where(col("arn") === 1)
+        .select(col("n_id"), col("n_emb"), col("c_id").as("bucket"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
+      val probes = nz.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .join(broadcast(cents))
+        .withColumn("p_score", TextHashes.cosineF(col("q_emb"), col("c_emb")))
+        .withColumn("prn", row_number().over(wProbe))
+        .where(col("prn") <= 2)
+        .select(col("q_id"), col("q_emb"), col("c_id").as("bucket"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      assigned.join(broadcast(probes), "bucket")
+        .withColumn("score", TextHashes.cosineF(col("q_emb"), col("n_emb")))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"),
+                round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_contamination" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 7, 1)),
+        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 8], ' '))) AS sh FROM base),
+        |bg AS (SELECT DISTINCT UNNEST(sh) AS g FROM sh WHERE doc_id < 20),
+        |corp AS (SELECT doc_id, UNNEST(sh) AS g FROM sh WHERE doc_id >= 20)
+        |SELECT corp.doc_id, COUNT(DISTINCT corp.g) AS n_hits
+        |FROM corp JOIN bg ON corp.g = bg.g
+        |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin,
+
+    "q_pii_mask" ->
+      """SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9._]+@[a-z0-9.]+[.][a-z][a-z]+')) AS INTEGER) AS n_emails,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS INTEGER) AS n_nums,
+        |  md5(REGEXP_REPLACE(
+        |    REGEXP_REPLACE(text, '[a-z0-9._]+@[a-z0-9.]+[.][a-z][a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g')) AS masked_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition_filter" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |grams AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 1, 1)),
+        |            i -> ARRAY_TO_STRING(toks[i + 1:i + 2], ' '))) AS g FROM base),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+        |agg AS (SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_grams
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_grams,
+        |  CAST(ROUND(top_cnt * 10000.0 / n_grams) AS INTEGER) AS top_e4,
+        |  (CAST(ROUND(top_cnt * 10000.0 / n_grams) AS INTEGER) >= 500) AS repetitive
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_doc_norm" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(TRIM(text)),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INTEGER) AS n_chars_norm,
+        |  md5(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(TRIM(text)),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE CAST(('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INTEGER) < 26
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sim_ivf" -> {
+      val cosQC = duckCos("q.q_emb", "c.c_emb")
+      val cosEC = duckCos("e.embedding", "c.c_emb")
+      val cosQN = duckCos("pr.q_emb", "asg.n_emb")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id BETWEEN 100 AND 115),
+         |asg AS (SELECT n_id, n_emb, bucket FROM (
+         |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, c.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosEC DESC, c.c_id) AS arn
+         |    FROM e CROSS JOIN c) t WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+         |pr AS (SELECT q_id, q_emb, bucket FROM (
+         |    SELECT q.q_id, q.q_emb, c.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQC DESC, c.c_id) AS prn
+         |    FROM q CROSS JOIN c) t WHERE prn <= 2)
+         |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+         |  SELECT pr.q_id, asg.n_id, $cosQN AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY pr.q_id
+         |      ORDER BY $cosQN DESC, asg.n_id) AS INTEGER) AS rn
+         |  FROM asg JOIN pr ON asg.bucket = pr.bucket) t
+         |WHERE rn <= 5
+         |ORDER BY q_id, rn""".stripMargin
+    },
+  )
+}

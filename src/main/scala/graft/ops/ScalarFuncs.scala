@@ -46,6 +46,17 @@ object ScalarFuncs extends OpModule {
           col("s_name").rlike("0{3,}").as("z3"))
         .orderBy(col("s_suppkey"))),
 
+    // Edit-distance similarity — the fuzzy-matching primitive for entity
+    // resolution at normalize time.
+    "q_str_fuzzy" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev_bt"),
+          levenshtein(col("p_name"), reverse(col("p_name"))).as("lev_pal"),
+          levenshtein(lower(col("p_type")), col("p_type")).as("lev_case"))
+        .orderBy(col("p_partkey"))),
+
     "q_str_split" -> ((s, d) =>
       Tables.documents(s, d)
         .select(
@@ -158,6 +169,13 @@ object ScalarFuncs extends OpModule {
         |  REGEXP_REPLACE(s_name, '[0-9]+', '#', 'g') AS masked,
         |  REGEXP_MATCHES(s_name, '0{3,}') AS z3
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_str_fuzzy" ->
+      """SELECT p_partkey,
+        |  CAST(LEVENSHTEIN(p_brand, p_type) AS INTEGER) AS lev_bt,
+        |  CAST(LEVENSHTEIN(p_name, REVERSE(p_name)) AS INTEGER) AS lev_pal,
+        |  CAST(LEVENSHTEIN(LOWER(p_type), p_type) AS INTEGER) AS lev_case
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_str_split" ->
       """SELECT doc_id,

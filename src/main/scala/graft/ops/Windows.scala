@@ -73,6 +73,20 @@ object Windows extends OpModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // Frame-boundary navigation: first/last/nth over the FULL partition
+    // frame (default frame would make last_value = current row).
+    "q_win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                first(col("o_orderkey")).over(w).as("first_ord"),
+                last(col("o_orderkey")).over(w).as("last_ord"),
+                nth_value(col("o_orderkey"), 2).over(w).as("second_ord"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // THE top-k-per-group idiom: rank inside partition, filter k.
     "q_topk_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -127,6 +141,16 @@ object Windows extends OpModule {
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ord,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_ord,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ord
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -70,6 +70,31 @@ object StreamOps extends OpModule {
       .select(col("w.start").cast("timestamp_ntz").as("hstart"),
               col("event_type"), col("n"), col("val_cents"))
 
+  /** Streaming sliding windows (1 h every 15 min) with a 10-min watermark. */
+  def slideTransform(ds: Dataset[Ev]): DataFrame =
+    ds.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), graft.ops.Det.moneySum(col("value")).as("val_cents"))
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+              col("n"), col("val_cents"))
+
+  /** Stream–stream interval self-join: pairs of one user's events within
+    * 10 min (streaming twin of q_join_range). Both sides carry watermarks +
+    * the time-range condition, which is what lets Spark evict join state —
+    * the unbounded-state trap this op exists to demonstrate avoiding. Inner
+    * joins emit matches as soon as both rows arrived (no watermark wait), so
+    * with the full feed the output equals the batch interval join. */
+  def streamJoinTransform(ds: Dataset[Ev]): DataFrame = {
+    val a = ds.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+      .withWatermark("ts_a", "10 minutes")
+    val b = ds.select(col("user_id").as("uid_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+      .withWatermark("ts_b", "10 minutes")
+    a.join(b, col("user_id") === col("uid_b") &&
+              col("ts_b") > col("ts_a") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Native streaming session windows (30-min gap) per user. */
   def sessionTransform(ds: Dataset[Ev]): DataFrame =
     ds.withWatermark("ts", "10 minutes")
@@ -169,6 +194,14 @@ object StreamOps extends OpModule {
       runStream(s, loadEvents(s, d), OutputMode.Append())(sessionTransform)
         .orderBy(col("user_id"), col("sess_start"))),
 
+    "s_slide_wm" -> ((s, d) =>
+      runStream(s, loadEvents(s, d), OutputMode.Append())(slideTransform)
+        .orderBy(col("wstart"))),
+
+    "s_join_stream" -> ((s, d) =>
+      runStream(s, loadEvents(s, d), OutputMode.Append())(streamJoinTransform)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Feed every event twice; the op must emit each exactly once.
     "s_dedup_wm" -> ((s, d) => {
       val evs = loadEvents(s, d)
@@ -262,6 +295,31 @@ object StreamOps extends OpModule {
         |GROUP BY user_id, sess, mx.mt
         |HAVING EPOCH_US(MAX(ts)) + 1800000000 <= EPOCH_US(mx.mt) - 600000000
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    // Sliding twin of s_tumble_wm: each event lands in 4 overlapping 1-h/15-m
+    // windows (TIME_BUCKET minus k·15 min); append emits windows whose end
+    // has been passed by the final watermark.
+    "s_slide_wm" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events)
+        |SELECT wstart, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM (SELECT TIME_BUCKET(INTERVAL 15 MINUTE, ts)
+        |             - (k * INTERVAL 15 MINUTE) AS wstart, value
+        |      FROM events
+        |      CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks) t, mx
+        |GROUP BY wstart, mx.mt
+        |HAVING wstart + INTERVAL 1 HOUR <= mx.mt - INTERVAL 10 MINUTE
+        |ORDER BY wstart""".stripMargin,
+
+    // Inner stream–stream joins emit on match (no watermark wait), so the
+    // full-feed output is exactly the batch interval join.
+    "s_join_stream" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "s_dedup_wm" ->
       """SELECT event_type, COUNT(*) AS n FROM events

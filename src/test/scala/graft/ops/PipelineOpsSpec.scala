@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+
+  test("q_sample_hash: deterministic, ~10% of rows, pure function of the key") {
+    val a = PipelineOps.queries("q_sample_hash")(spark, sf).collect()
+    val b = PipelineOps.queries("q_sample_hash")(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    val total = graft.Tables.orders(spark, sf).count()
+    val frac = a.length.toDouble / total
+    assert(frac > 0.05 && frac < 0.16, s"sample fraction $frac outside [5%,16%]")
+  }
+
+  test("q_contamination matches a brute-force shingle-overlap recompute") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ").toSeq).toMap
+    def grams(toks: Seq[String]): Set[String] =
+      if (toks.length <= 8) Set(toks.mkString(" "))
+      else (0 to toks.length - 8).map(i => toks.slice(i, i + 8).mkString(" ")).toSet
+    val bench = docs.filter(_._1 < 20).values.flatMap(grams).toSet
+    val expected = docs.filter(_._1 >= 20)
+      .map { case (id, toks) => id -> grams(toks).count(bench.contains) }
+      .filter(_._2 > 0)
+    val got = PipelineOps.queries("q_contamination")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("q_repetition_filter: ratios in (0, 10000]; repeated text scores high") {
+    val rows = PipelineOps.queries("q_repetition_filter")(spark, sf).collect()
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    assert(rows.forall { r =>
+      val e4 = r.getInt(2); e4 > 0 && e4 <= 10000 && r.getLong(1) > 0
+    })
+  }
+
+  test("q_doc_norm is idempotent: normalizing normalized text is identity") {
+    import spark.implicits._
+    val norm = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(regexp_replace(lower(trim(c)), "[^a-z0-9 ]", ""), " +", " ")
+    val once = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), norm(col("text")).as("n1"))
+      .select(col("doc_id"), col("n1"), norm(col("n1")).as("n2"))
+    assert(once.where(col("n1") =!= col("n2")).count() == 0)
+  }
+
+  test("q_sim_ivf: valid top-5 shape and sane recall vs brute force") {
+    val ivf = PipelineOps.queries("q_sim_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = LlmOps.queries("q_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(s"IVF recall@5 vs brute force = $recall (nprobe=2/16)")
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+    // exactly 5 ranked neighbors per query, rn dense 1..5
+    val perQ = PipelineOps.queries("q_sim_ivf")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.map(_.getInt(3)).sorted.sameElements(1 to 5)))
+  }
+
+  test("q_pii_mask masks every digit run (masked text has no digits)") {
+    import spark.implicits._
+    val masked = graft.Tables.documents(spark, sf)
+      .select(regexp_replace(
+        regexp_replace(col("text"), "[a-z0-9._]+@[a-z0-9.]+[.][a-z][a-z]+", "<EMAIL>"),
+        "[0-9]+", "<NUM>").as("m"))
+      .where(col("m").rlike("[0-9]"))
+      // "<NUM>"-free digits only; digits inside the mask token itself can't
+      // exist, so any remaining digit is a masking bug
+      .count()
+    assert(masked == 0)
+  }
+}

@@ -84,6 +84,15 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval self-join equals the batch interval join") {
+    val streamed = StreamOps.queries("s_join_stream")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.TimeSeries.queries("q_join_range")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("s_session_win sessions are consistent with batch gaps-and-islands") {
     val streamed = StreamOps.queries("s_session_win")(spark, sf)
       .agg(sum(col("n_events"))).collect()(0).getLong(0)
