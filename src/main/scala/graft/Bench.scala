@@ -22,6 +22,7 @@ object Bench {
     "q_dedup_embcos",
     "q_sim_topk", "q_sim_lsh",                                       // similarity
     "q_tfidf_terms", "q_lang_id", "q_quality_filter",                // text analysis
+    "q_contamination", "q_doc_norm", "q_sim_ivf",                    // curation (r2)
     "q_skew_salted",                                                 // scale posture
     "s_tumble_wm", "s_stateful",                                     // streaming
     "src_json")                                                      // ingest

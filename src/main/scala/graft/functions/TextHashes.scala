@@ -100,18 +100,9 @@ object TextHashes {
     sim
   }
 
-  /** Double-precision cosine over float vectors — sequential sums, matching
-    * the SQL `aggregate(zip_with(...))` fold order (and DuckDB's list_sum),
-    * so oracle comparisons in integer 1e-4 units stay exact. */
-  val cosineF: UserDefinedFunction = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  // Cosine scoring: see FloatDot — a native codegen Expression (the UDF
+  // variant paid Seq[Float] boxing per pair, which dominated the similarity
+  // bench). Norms are staged per row as sqrt(graft_float_dot(v, v)); the
+  // double arithmetic (ascending sequential fold) is identical to the
+  // SQL/DuckDB twins, so integer 1e-4 score encodings stay exact.
 }

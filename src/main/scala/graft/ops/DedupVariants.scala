@@ -70,13 +70,18 @@ object DedupVariants extends OpModule {
     "q_dedup_embcos" -> ((s, d) => {
       // zero-norm vectors make cosine undefined (NaN) and NaN ordering
       // DIVERGES between engines (DuckDB sorts NaN high) — exclude them
-      // identically on both sides
+      // identically on both sides (norm = 0 ⟺ abs-sum = 0, the oracle's
+      // filter). Norms staged per ROW; the per-pair work is ONE codegen'd
+      // dot product (FloatDot — the UDF's Seq[Float] boxing dominated this
+      // query's bench time).
+      graft.functions.FloatDot.register(s)
       val e = Tables.embeddings(s, d)
-        .where(expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + abs(cast(x as double)))") > 0)
-      val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vb"), col("label").as("lb"), col("embedding").as("eb"))
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+      val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("label").as("lb"), col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("label") === col("lb") && col("va") < col("vb"))
-        .withColumn("score", graft.functions.TextHashes.cosineF(col("ea"), col("eb")))
+        .withColumn("score", expr("graft_float_dot(ea, eb)") / (col("na") * col("nb")))
         .where(col("score") >= 0.35)
         .select(col("va"), col("vb"), col("label"),
                 round(col("score") * 10000).cast("int").as("score_e4"))

@@ -37,13 +37,9 @@ object LlmOps extends OpModule {
   // per row (the nested-transform SQL formulation is interpreted per element
   // and was the bench's hottest spot; see TextHashes).
 
-  /** Exact double cosine over two float-array columns (shared with
-    * Similarity.q_sim_lsh so determinism fixes can't drift apart). */
-  private[ops] val cosine =
-    """(aggregate(zip_with(q_emb, n_emb, (x, y) -> cast(x as double) * cast(y as double)),
-      |           cast(0.0 as double), (a, x) -> a + x)
-      | / (sqrt(aggregate(q_emb, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))
-      |    * sqrt(aggregate(n_emb, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))))""".stripMargin
+  // Cosine scoring rides the codegen FloatDot expression with per-row staged
+  // norms (see FloatDot scaladoc); the old shared HOF-lambda formulation was
+  // interpreted per element AND recomputed norms per pair.
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C4-style exact dedup on normalized text: keep lowest doc_id per hash.
@@ -104,14 +100,18 @@ object LlmOps extends OpModule {
     }),
 
     // Brute-force cosine top-5 neighbors for the query vectors (vec_id < 10).
+    // Norms staged per row; per-pair work is one codegen'd dot (FloatDot).
     "q_sim_topk" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
       val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
       val q = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
       n.crossJoin(broadcast(q))
-        .withColumn("score", expr(cosine))
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         // integer 1e-4 units: rounded doubles have engine-specific low bits

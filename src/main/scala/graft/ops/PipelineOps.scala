@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps extends OpModule {
 
-  /** Exact double cosine (DuckDB twin of TextHashes.cosineF; proven
+  /** Exact double cosine (DuckDB twin of the FloatDot staged form; proven
     * bit-exact in q_dedup_embcos). */
   private def duckCos(a: String, b: String): String =
     s"""LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b),
@@ -106,28 +106,30 @@ object PipelineOps extends OpModule {
     // probe their 2 nearest buckets and exact-rank only those candidates.
     // Zero-norm vectors are excluded on both sides (cosine undefined).
     "q_sim_ivf" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
       val nz = Tables.embeddings(s, d)
-        .where(expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + abs(cast(x as double)))") > 0)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
       val cents = nz.where(col("vec_id").between(100, 115))
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
       val wAssign = Window.partitionBy(col("n_id")).orderBy(col("c_score").desc, col("c_id"))
-      val assigned = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val assigned = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
         .join(broadcast(cents))
-        .withColumn("c_score", TextHashes.cosineF(col("n_emb"), col("c_emb")))
+        .withColumn("c_score", expr("graft_float_dot(n_emb, c_emb)") / (col("n_nrm") * col("c_nrm")))
         .withColumn("arn", row_number().over(wAssign))
         .where(col("arn") === 1)
-        .select(col("n_id"), col("n_emb"), col("c_id").as("bucket"))
+        .select(col("n_id"), col("n_emb"), col("n_nrm"), col("c_id").as("bucket"))
       val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
       val probes = nz.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
         .join(broadcast(cents))
-        .withColumn("p_score", TextHashes.cosineF(col("q_emb"), col("c_emb")))
+        .withColumn("p_score", expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
         .withColumn("prn", row_number().over(wProbe))
         .where(col("prn") <= 2)
-        .select(col("q_id"), col("q_emb"), col("c_id").as("bucket"))
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("bucket"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
       assigned.join(broadcast(probes), "bucket")
-        .withColumn("score", TextHashes.cosineF(col("q_emb"), col("n_emb")))
+        .withColumn("score", expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
         .withColumn("rn", row_number().over(wTop))
         .where(col("rn") <= 5)
         .select(col("q_id"), col("n_id"),

@@ -38,11 +38,15 @@ object Similarity extends OpModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_lsh" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
       val e = Tables.embeddings(s, d)
-      val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+      val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                            col("nrm").as("n_nrm"))
         .withColumn("n_bucket", bucketOf(col("n_emb")))
       val queriesDf = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"))
         .withColumn("q_bucket", bucketOf(col("q_emb")))
         // multi-probe: own bucket + all Hamming-1 and Hamming-2 neighbors
         // (37 of 256 buckets → ~7× candidate pruning, recall ≈ 0.5 measured)
@@ -54,8 +58,11 @@ object Similarity extends OpModule {
             |      cast(q_bucket as int) ^ shiftleft(1, k1) ^ shiftleft(1, k2)))))""".stripMargin)))
       val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
       corpus.join(broadcast(queriesDf), col("n_bucket") === col("probe"))
-        .select(col("q_id"), col("n_id"), col("q_emb"), col("n_emb")).distinct()
-        .withColumn("score", expr(LlmOps.cosine))
+        .select(col("q_id"), col("n_id"), col("q_emb"), col("n_emb"),
+                col("q_nrm"), col("n_nrm")).distinct()
+        // staged norms + codegen dot (FloatDot): per-pair work = one dot
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .select(col("q_id"), col("n_id"),

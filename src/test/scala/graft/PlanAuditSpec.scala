@@ -60,6 +60,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_contamination: benchmark gram set broadcast, corpus side never shuffled for the join") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark grams must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_sim_ivf: centroids broadcast for assignment and probing") {
+    val p = plan("q_sim_ivf")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size +
+           "BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "centroid joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_sample_hash: pure map-stage sample — no hash shuffle (the final D4 sort's range exchange is the only one)") {
+    val p = plan("q_sample_hash")
+    assert(!p.contains("hashpartitioning"), s"hash sample must not shuffle on a key: $p")
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
