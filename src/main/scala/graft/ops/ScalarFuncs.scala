@@ -138,6 +138,17 @@ object ScalarFuncs extends OpModule {
           array_join(map_keys(col("m")), ",").as("ks"))
         .orderBy(col("n_nationkey"))),
 
+    // Spark 4 VariantType: parse the JSON once into a variant, extract
+    // typed fields (the modern replacement for repeated get_json_object —
+    // one parse, typed shredding).
+    "q_json_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+          expr("variant_get(parse_json(props), '$.k', 'double')").as("k_dbl"))
+        .orderBy(col("event_id"))),
+
     "q_json_funcs" -> ((s, d) =>
       Tables.events(s, d)
         .select(
@@ -235,6 +246,12 @@ object ScalarFuncs extends OpModule {
         |  MAP(['nk','rk'], [n_nationkey, n_regionkey])['rk'][1] AS rk_val,
         |  ARRAY_TO_STRING(MAP_KEYS(MAP(['nk','rk'], [n_nationkey, n_regionkey])), ',') AS ks
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_json_variant" ->
+      """SELECT event_id,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS DOUBLE) AS k_dbl
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_json_funcs" ->
       """SELECT event_id,

@@ -70,6 +70,19 @@ object TimeSeries extends OpModule {
     // Gaps-and-islands sessionization, 30-min inactivity gap.
     "q_session_batch" -> ((s, d) => sessionize(Tables.events(s, d))),
 
+    // Native session_window in BATCH mode — same operator the streaming
+    // s_session_win runs, no watermark, so ALL sessions emit. (The
+    // gaps-and-islands twin above is the hand-rolled formulation; this is
+    // the built-in.) Session interval is [start, last+gap): a row at
+    // exactly last+30min starts a new session.
+    "q_session_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").cast("timestamp_ntz").as("sess_start"),
+                col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))),
+
     // Interval self-join: pairs of events of one user within 10 minutes.
     "q_join_range" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -141,6 +154,24 @@ object TimeSeries extends OpModule {
         |  MAX(us) - MIN(us) AS len_us, MIN(event_id) AS first_event
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, sess""".stripMargin,
+
+    "q_session_native" ->
+      """WITH e AS (SELECT user_id, DATE_TRUNC('microseconds', ts) AS ts FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+        |           OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g
+        |)
+        |SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start""".stripMargin,
 
     "q_join_range" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b
