@@ -36,6 +36,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // See Verify.scala: events.ts is parquet TIMESTAMP(NANOS).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val benched: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =

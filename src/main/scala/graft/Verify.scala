@@ -19,6 +19,8 @@ object Verify {
       // Write timestamps as INT64 micros (not INT96) so the driver-side
       // DuckDB/pyarrow compare sees the same type it computes.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // graft-native functions (FloatDot) via the public extension point
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

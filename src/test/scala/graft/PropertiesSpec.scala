@@ -71,6 +71,23 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("FloatDot (codegen) is bit-identical to the sequential double fold") {
+    import spark.implicits._
+    // resolves via spark.sql.extensions=graft.GraftExtensions (SparkSpec)
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      a <- Gen.listOfN(n, Gen.choose(-10f, 10f))
+      b <- Gen.listOfN(n, Gen.choose(-10f, 10f))
+    } yield (a, b)
+    samples(gen).foreach { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(expr("graft_float_dot(a, b)")).collect()(0).getDouble(0)
+      var want = 0.0
+      a.zip(b).foreach { case (x, y) => want += x.toDouble * y.toDouble }
+      assert(got == want, s"codegen dot drifted from reference fold: $got vs $want")
+    }
+  }
+
   test("GeoMean is invariant under repartitioning (merge associativity)") {
     import spark.implicits._
     val gen = for {
