@@ -59,6 +59,15 @@ object Joins extends OpModule {
         .select(col("c_custkey"), col("o_orderkey"))
         .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
 
+    // Right outer — the mirrored null-padding contract.
+    "q_join_right" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+              col("o_custkey") === col("c_custkey") && col("o_totalprice") > 150000,
+              "right")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
+
     "q_join_full" -> ((s, d) => {
       val c = Tables.customer(s, d).where(col("c_acctbal") > 5000)
         .select(col("c_custkey"), col("c_name"))
@@ -133,6 +142,12 @@ object Joins extends OpModule {
       """SELECT c_custkey, o_orderkey
         |FROM customer LEFT JOIN orders
         |  ON c_custkey = o_custkey AND o_totalprice > 150000
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM orders RIGHT JOIN customer
+        |  ON o_custkey = c_custkey AND o_totalprice > 150000
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
 
     "q_join_full" ->
