@@ -21,6 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * sequential fold of double products — so scores stay bit-identical to the
   * DuckDB oracle formulations (integer 1e-4 encodings preserved exactly).
   * Norms reuse it as sqrt(float_dot(v, v)) — the same sum-of-squares fold.
+  *
+  * Null handling: a null ARRAY yields null (BinaryExpression null-safety);
+  * null ELEMENTS read as 0.0 (unsafe array slots are zeroed) and so
+  * contribute nothing to the sum — fine for embeddings, which have no null
+  * elements; callers with nullable elements should coalesce first.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
