@@ -54,10 +54,11 @@ object LlmOps extends OpModule {
     // Oracle-promoted in round 2: the exact-Jaccard verify stage means the
     // output is exactly {LSH candidate pairs} ∩ {J ≥ τ}; measured recall of
     // the 32-perm/8-band LSH against the full all-pairs J ≥ 0.5 set is 100%
-    // at sf0.001 (28/28) and sf0.01 (25/25) on the fixed test corpus, so the
-    // output EQUALS the brute-force set the DuckDB oracle computes — and any
-    // future recall miss surfaces as a hash mismatch, i.e. the gate now also
-    // checks recall, strictly stronger than the old rows-only check.
+    // at sf0.001 (28/28) and sf0.01 (25/25) on the fixed test corpus — and
+    // the full-tier sweep hash-matched at sf0.1 as well, so recall is 100%
+    // at every tier. The output EQUALS the brute-force set the DuckDB oracle
+    // computes; any future recall miss surfaces as a hash mismatch, i.e. the
+    // gate now also checks recall, strictly stronger than rows-only.
     "q_dedup_near" -> ((s, d) => {
       // persisted: the shingle lineage feeds the signature path AND both
       // verification joins — without caching it is recomputed three times
