@@ -41,7 +41,10 @@ object LlmOps extends OpModule {
   // norms (see FloatDot scaladoc); the old shared HOF-lambda formulation was
   // interpreted per element AND recomputed norms per pair.
 
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    dedupQueries ++ moreQueries
+
+  private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C4-style exact dedup on normalized text: keep lowest doc_id per hash.
     "q_dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
@@ -49,6 +52,44 @@ object LlmOps extends OpModule {
         .groupBy(col("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy(col("keep_id"))),
+
+    // Cluster the verified near-dup pairs into connected components and
+    // elect the min doc_id as each cluster's canonical representative — the
+    // step a real dedup pipeline runs after pair generation (keep one doc
+    // per cluster, not per pair). Iterative min-label propagation: each
+    // round every node takes min(own, neighbors' labels); converges in
+    // O(component diameter) rounds (tiny for dedup clusters). Scale notes:
+    // per-round cost is one shuffle join; lineage is cut each round with
+    // localCheckpoint so the plan doesn't grow; at web scale you'd switch
+    // to the large-star/small-star formulation, same skeleton. Oracle:
+    // DuckDB recursive CTE computes min-reachable-id per node.
+    "q_dedup_cluster" -> ((s, d) => {
+      val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val und = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint(true)
+      var labels = und.select(col("doc_a").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 64) { // 64 = 2^64-diameter safety bound
+        val nbrMin = und
+          .join(labels.select(col("id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
+          .groupBy(col("doc_a").as("id")).agg(min(col("nlbl")).as("min_nbr"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+                  least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .where(col("lbl") =!= col("old")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      labels
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("lbl"))).cast("long"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
 
     // MinHash + LSH near-duplicate pairs, exact-Jaccard verified (τ = 0.5).
     // Oracle-promoted in round 2: the exact-Jaccard verify stage means the
@@ -59,7 +100,11 @@ object LlmOps extends OpModule {
     // at every tier. The output EQUALS the brute-force set the DuckDB oracle
     // computes; any future recall miss surfaces as a hash mismatch, i.e. the
     // gate now also checks recall, strictly stronger than rows-only.
-    "q_dedup_near" -> ((s, d) => {
+    "q_dedup_near" -> ((s, d) => nearDupPairs(s, d)),
+  )
+
+  /** Shared pipeline: q_dedup_near's output IS q_dedup_cluster's edge set. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
       // persisted: the shingle lineage feeds the signature path AND both
       // verification joins — without caching it is recomputed three times
       // (cache is keyed by canonicalized plan, so repeated builder calls in
@@ -98,8 +143,9 @@ object LlmOps extends OpModule {
         .where(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
-    }),
+  }
 
+  private val moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for the query vectors (vec_id < 10).
     // Norms staged per row; per-pair work is one codegen'd dot (FloatDot).
     "q_sim_topk" -> ((s, d) => {
@@ -178,6 +224,30 @@ object LlmOps extends OpModule {
       """SELECT md5(LOWER(TRIM(text))) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(LOWER(TRIM(text)))
         |ORDER BY keep_id""".stripMargin,
+
+    // Connected components via recursive CTE over the same exact-Jaccard
+    // edge set: reach(id, r) = "node r reaches id"; UNION dedups, so the
+    // recursion terminates; MIN(r) per id = the component's min node.
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
+        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
+        |        / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (SELECT id, id AS r FROM nodes
+        |          UNION
+        |          SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+        |lbl AS (SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_rep,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+        |FROM lbl ORDER BY doc_id""".stripMargin,
 
     // Brute-force all-pairs twin of the LSH pipeline (see the query comment:
     // LSH recall is 100% on this corpus, so the sets are equal). O(n²) is

@@ -17,6 +17,21 @@ class LlmOpsSpec extends SparkSpec {
         r.getLong(0) -> sh
       }.toMap
 
+  test("q_dedup_cluster: pairs land in one cluster; rep is the cluster min; sizes partition") {
+    val pairs = LlmOps.queries("q_dedup_near")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = LlmOps.queries("q_dedup_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val rep = rows.map { case (id, (r, _)) => id -> r }.toMap
+    // every paired doc is clustered, and both ends share a representative
+    assert(pairs.forall { case (a, b) => rep.contains(a) && rep(a) == rep(b) })
+    // the representative is the minimum member of its cluster
+    val members = rows.groupBy(_._2._1).map { case (r, xs) => r -> xs.map(_._1) }
+    assert(members.forall { case (r, ids) => ids.min == r })
+    // cluster_size is consistent with membership counts
+    assert(rows.forall { case (id, (r, sz)) => members(r).length.toLong == sz })
+  }
+
   test("q_dedup_near: exact recall AND precision vs brute-force jaccard >= 0.5") {
     val got = LlmOps.queries("q_dedup_near")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
