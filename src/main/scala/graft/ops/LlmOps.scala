@@ -63,31 +63,22 @@ object LlmOps extends OpModule {
     // localCheckpoint so the plan doesn't grow; at web scale you'd switch
     // to the large-star/small-star formulation, same skeleton. Oracle:
     // DuckDB recursive CTE computes min-reachable-id per node.
-    "q_dedup_cluster" -> ((s, d) => {
-      val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
-      val und = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint(true)
-      var labels = und.select(col("doc_a").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint(true)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 64) { // 64 = 2^64-diameter safety bound
-        val nbrMin = und
-          .join(labels.select(col("id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
-          .groupBy(col("doc_a").as("id")).agg(min(col("nlbl")).as("min_nbr"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-                  least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
-          .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .where(col("lbl") =!= col("old")).isEmpty
-        labels = next
-        rounds += 1
-      }
-      labels
+    "q_dedup_cluster" -> ((s, d) =>
+      clusterLabels(s, d)
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("lbl"))).cast("long"))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))),
+
+    // The pipeline's terminal decision: keep every doc except non-
+    // representative members of a near-dup cluster (anti-join against the
+    // derived drop set — at 100 TB the drop list is small relative to the
+    // corpus and broadcasts).
+    "q_dedup_keep" -> ((s, d) => {
+      val drop = clusterLabels(s, d)
+        .where(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
     }),
 
@@ -102,6 +93,32 @@ object LlmOps extends OpModule {
     // gate now also checks recall, strictly stronger than rows-only.
     "q_dedup_near" -> ((s, d) => nearDupPairs(s, d)),
   )
+
+  /** Connected-component labels (id, lbl = component min) over the verified
+    * near-dup pairs — see q_dedup_cluster's comment for the algorithm. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val und = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = und.select(col("doc_a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) { // 64 = diameter safety bound
+      val nbrMin = und
+        .join(labels.select(col("id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
+        .groupBy(col("doc_a").as("id")).agg(min(col("nlbl")).as("min_nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
 
   /** Shared pipeline: q_dedup_near's output IS q_dedup_cluster's edge set. */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
@@ -248,6 +265,29 @@ object LlmOps extends OpModule {
         |SELECT id AS doc_id, cluster_rep,
         |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
         |FROM lbl ORDER BY doc_id""".stripMargin,
+
+    // Survivors = all docs minus non-representative cluster members, from
+    // the same recursive-CTE labels.
+    "q_dedup_keep" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
+        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
+        |        / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (SELECT id, id AS r FROM nodes
+        |          UNION
+        |          SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+        |lbl AS (SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> cluster_rep)
+        |ORDER BY doc_id""".stripMargin,
 
     // Brute-force all-pairs twin of the LSH pipeline (see the query comment:
     // LSH recall is 100% on this corpus, so the sets are equal). O(n²) is
