@@ -96,8 +96,13 @@ object LlmOps extends OpModule {
 
   /** Connected-component labels (id, lbl = component min) over the verified
     * near-dup pairs — see q_dedup_cluster's comment for the algorithm. */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    labelPropagation(nearDupPairs(s, d).select(col("doc_a"), col("doc_b")))
+
+  /** Min-label propagation over an undirected edge set (doc_a, doc_b) →
+    * (id, lbl = min node of id's component). private[graft] so the property
+    * suite can drive generated graphs against a union-find reference. */
+  private[graft] def labelPropagation(pairs: DataFrame): DataFrame = {
     val und = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
     var labels = und.select(col("doc_a").as("id")).distinct()

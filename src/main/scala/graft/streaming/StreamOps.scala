@@ -205,6 +205,15 @@ object StreamOps extends OpModule {
       runStream(s, loadEvents(s, d), OutputMode.Append())(slideTransform)
         .orderBy(col("wstart"))),
 
+    // Update mode: every window version is emitted as state changes. With
+    // the full feed in ONE batch each window is updated exactly once, so
+    // the (deterministic) memory-sink contents equal the plain batch agg —
+    // including windows the watermark hasn't finalized (the append/update
+    // contrast with s_tumble_wm is the point of this op).
+    "s_tumble_update" -> ((s, d) =>
+      runStream(s, loadEvents(s, d), OutputMode.Update())(tumbleTransform)
+        .orderBy(col("hstart"), col("event_type"))),
+
     "s_join_stream" -> ((s, d) =>
       runStream(s, loadEvents(s, d), OutputMode.Append())(streamJoinTransform)
         .orderBy(col("id_a"), col("id_b"))),
@@ -302,6 +311,16 @@ object StreamOps extends OpModule {
         |GROUP BY user_id, sess, mx.mt
         |HAVING EPOCH_US(MAX(ts)) + 1800000000 <= EPOCH_US(mx.mt) - 600000000
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    // Update-mode single-batch emission = the full batch aggregation, no
+    // watermark HAVING (contrast with s_tumble_wm's append-mode oracle).
+    "s_tumble_update" ->
+      """SELECT DATE_TRUNC('hour', ts) AS hstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM events
+        |GROUP BY DATE_TRUNC('hour', ts), event_type
+        |ORDER BY hstart, event_type""".stripMargin,
 
     // Sliding twin of s_tumble_wm: each event lands in 4 overlapping 1-h/15-m
     // windows (TIME_BUCKET minus k·15 min); append emits windows whose end

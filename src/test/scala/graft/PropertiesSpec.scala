@@ -71,6 +71,35 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("label propagation equals union-find on random graphs") {
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    samples(graphGen).filter(_.nonEmpty).foreach { edges =>
+      val got = graft.ops.LlmOps.labelPropagation(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      // find() with min-merge makes every root the component minimum
+      assert(got == want, s"labels diverged for edges=${edges.take(8)}…")
+    }
+  }
+
   test("FloatDot (codegen) is bit-identical to the sequential double fold") {
     import spark.implicits._
     // resolves via spark.sql.extensions=graft.GraftExtensions (SparkSpec)
