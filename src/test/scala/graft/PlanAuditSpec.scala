@@ -79,6 +79,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"hash sample must not shuffle on a key: $p")
   }
 
+  test("q_dedup_keep: drop set broadcast into the anti-join (corpus never shuffled)") {
+    val p = plan("q_dedup_keep")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "keep-list must be a broadcast anti-join")
+  }
+
+  test("q_repetition_filter: gram counts partial-aggregate before the shuffle") {
+    assert(plan("q_repetition_filter").contains("partial_count"))
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
