@@ -76,6 +76,7 @@ object Bench {
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    graft.ops.LlmOps.release()
     spark.stop()
   }
 }

@@ -196,6 +196,34 @@ object Aggregations extends OpModule {
         .agg(round(geo(col("value")), 4).as("geo_value"))
         .orderBy(col("event_type"))
     }),
+
+    // Deterministic mode (most frequent order month per priority) plus
+    // listagg (Spark 4) of the distinct statuses. The built-in mode()
+    // returns an ARBITRARY value among ties — a cross-engine nondeterminism
+    // trap under distributed aggregation — so the mode rides the
+    // count-window idiom with an explicit (count DESC, value ASC) tie-break
+    // that both engines honor. listagg needs DISTINCT + WITHIN GROUP
+    // ordering for the same reason (bag order is partition-dependent).
+    "q_agg_mode" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_mode_v")
+      s.sql("""WITH mc AS (
+              |  SELECT o_orderpriority, month(o_orderdate) AS m, COUNT(*) AS c
+              |  FROM orders_mode_v GROUP BY o_orderpriority, month(o_orderdate)),
+              |md AS (
+              |  SELECT o_orderpriority, m AS mode_month, c AS mode_n FROM (
+              |    SELECT o_orderpriority, m, c,
+              |      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              |                         ORDER BY c DESC, m) AS rn
+              |    FROM mc) t WHERE rn = 1),
+              |la AS (
+              |  SELECT o_orderpriority,
+              |    listagg(DISTINCT o_orderstatus, ',')
+              |      WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+              |  FROM orders_mode_v GROUP BY o_orderpriority)
+              |SELECT md.o_orderpriority, md.mode_month, md.mode_n, la.statuses
+              |FROM md JOIN la ON md.o_orderpriority = la.o_orderpriority
+              |ORDER BY md.o_orderpriority""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -310,5 +338,25 @@ object Aggregations extends OpModule {
       """SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geo_value
         |FROM events WHERE value > 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // DuckDB's listagg spelling is string_agg(... ORDER BY ...); month()
+    // returns BIGINT there vs Spark's INT — cast pinned.
+    "q_agg_mode" ->
+      """WITH mc AS (
+        |  SELECT o_orderpriority, CAST(month(o_orderdate) AS INTEGER) AS m, COUNT(*) AS c
+        |  FROM orders GROUP BY o_orderpriority, month(o_orderdate)),
+        |md AS (
+        |  SELECT o_orderpriority, m AS mode_month, c AS mode_n FROM (
+        |    SELECT o_orderpriority, m, c,
+        |      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY c DESC, m) AS rn
+        |    FROM mc) t WHERE rn = 1),
+        |la AS (
+        |  SELECT o_orderpriority,
+        |    string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT md.o_orderpriority, md.mode_month, md.mode_n, la.statuses
+        |FROM md JOIN la ON md.o_orderpriority = la.o_orderpriority
+        |ORDER BY md.o_orderpriority""".stripMargin,
   )
 }

@@ -110,6 +110,23 @@ object Joins extends OpModule {
       Tables.region(s, d).crossJoin(broadcast(Tables.nation(s, d)))
         .select(col("r_name"), col("n_name"))
         .orderBy(col("r_name"), col("n_name"))),
+
+    // LATERAL correlated subquery (Spark 4 SQL): each BUILDING customer's
+    // single largest order. Catalyst decorrelates the per-row subquery into
+    // a window/limit over the orders side + one join on the correlation key
+    // — so at scale this costs one shuffle on o_custkey, never a per-row
+    // re-execution of the inner query.
+    "q_join_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat_v")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+              |FROM customer_lat_v c,
+              |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat_v o
+              |         WHERE o.o_custkey = c.c_custkey
+              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+              |WHERE c.c_mktsegment = 'BUILDING'
+              |ORDER BY c.c_custkey""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -180,5 +197,14 @@ object Joins extends OpModule {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey""".stripMargin,
   )
 }

@@ -29,6 +29,15 @@ object LlmOps extends OpModule {
     * unpersisted) on each rebuild — see the builder comment. */
   private var lastShingleCache: Option[DataFrame] = None
 
+  /** Unpersist the live shingle cache. Verify/Bench call this at shutdown so
+    * the last build's entry doesn't outlive the queries that used it
+    * (the builder itself can only unpersist the *previous* entry — its own
+    * action runs after it returns). */
+  def release(): Unit = {
+    lastShingleCache.foreach(_.unpersist())
+    lastShingleCache = None
+  }
+
   // 5-gram word shingles — JVM kernel (TextHashes.shingles); the SQL
   // higher-order-lambda formulation is interpreted per element and was a
   // bench hotspot.

@@ -158,6 +158,47 @@ object ScalarFuncs extends OpModule {
             org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
             .getField("k").as("k_full"))
         .orderBy(col("event_id"))),
+
+    // Error-safe arithmetic (try_*): NULL where strict ANSI mode would raise
+    // — division by zero, numeric overflow, malformed casts. The ETL-grade
+    // "quarantine, don't crash" contract: at 100 TB one dirty row must not
+    // kill a 1000-executor job. All try_* stay codegen'd expressions.
+    "q_try_arith" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("try_divide(cast(round(o_totalprice * 100) as bigint), day(o_orderdate) - 1)")
+            .as("price_per"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+          expr("try_cast(o_orderstatus AS INT)").as("status_num"),
+          // o_orderkey starts at 0 (MaxValue + 0 is legal) — the +1 makes
+          // every row overflow, so the column is uniformly NULL.
+          expr("try_add(9223372036854775807L, o_orderkey + 1)").as("overflow_add"))
+        .orderBy(col("o_orderkey"))),
+
+    // Bitwise scalar surface. Dialect trap: `^` is XOR in Spark SQL but
+    // EXPONENT in DuckDB — the oracle spells xor() explicitly.
+    "q_bitwise" -> ((s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(col("o_custkey")).as("k_and"),
+          col("o_orderkey").bitwiseOR(lit(255L)).as("k_or"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+          expr("shiftleft(o_orderkey & 15, 3)").as("k_shl"),
+          expr("shiftright(o_orderkey, 4)").as("k_shr"),
+          expr("cast(bit_count(o_orderkey) as int)").as("k_bits"))
+        .orderBy(col("o_orderkey"))),
+
+    // Bitwise aggregates — order-independent by construction, so they're
+    // distribution-safe (partial agg combines map-side like sum).
+    "q_bitwise_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("bit_and(o_custkey)").as("b_and"),
+             expr("bit_or(o_custkey)").as("b_or"),
+             expr("bit_xor(o_custkey)").as("b_xor"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -258,5 +299,38 @@ object ScalarFuncs extends OpModule {
         |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_point,
         |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_full
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // price_per: both engines divide the SAME exact integers (cents BIGINT /
+    // small INT) as IEEE doubles → bit-identical. overflow_add: Spark's
+    // try_add overflows to NULL for every o_orderkey ≥ 1; DuckDB would raise
+    // on BIGINT overflow (no TRY expression in 1.0), so the oracle pins the
+    // constant NULL the Spark semantics guarantee.
+    "q_try_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) / NULLIF(day(o_orderdate) - 1, 0) AS price_per,
+        |  TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+        |  TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+        |  CAST(NULL AS BIGINT) AS overflow_add
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & o_custkey AS k_and,
+        |  o_orderkey | 255 AS k_or,
+        |  xor(o_orderkey, o_custkey) AS k_xor,
+        |  (o_orderkey & 15) << 3 AS k_shl,
+        |  o_orderkey >> 4 AS k_shr,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS k_bits
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bitwise_agg" ->
+      """SELECT o_orderpriority,
+        |  bit_and(o_custkey) AS b_and,
+        |  bit_or(o_custkey) AS b_or,
+        |  bit_xor(o_custkey) AS b_xor,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -67,6 +67,24 @@ object SortSetOps extends OpModule {
         .except(o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
         .orderBy(col("o_custkey"))
     }),
+
+    // Bag-semantics set ops: multiplicities are preserved (min of the two
+    // counts for INTERSECT ALL; count difference for EXCEPT ALL). Spark
+    // rewrites both into a count-aggregate on the full row + generate —
+    // one hash shuffle, same cost shape as the DISTINCT variants.
+    "q_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.where(col("o_totalprice") > 150000).select(col("o_custkey"))
+        .intersectAll(o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.where(col("o_totalprice") > 150000).select(col("o_custkey"))
+        .exceptAll(o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -104,6 +122,18 @@ object SortSetOps extends OpModule {
     "q_except" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
         |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |EXCEPT ALL
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_custkey""".stripMargin,
   )

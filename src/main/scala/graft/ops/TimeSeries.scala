@@ -116,6 +116,29 @@ object TimeSeries extends OpModule {
         .select(col("p_id"), col("last_click").as("click_id"))
         .orderBy(col("p_id"))
     }),
+
+    // Calendar densification via a recursive CTE (Spark 4 WITH RECURSIVE,
+    // UNION ALL — the only recursion shape Spark supports): generate the 12
+    // month indexes of 1995 and left-join monthly order totals so empty
+    // months surface as explicit zero rows (a missing month is otherwise
+    // silently absent from a report). The recursion materializes 12 rows;
+    // the fact side stays one filtered hash aggregation — gap-filling never
+    // rescans the fact table per calendar row.
+    "q_calendar_fill" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_cal_v")
+      s.sql("""WITH RECURSIVE m(k) AS (
+              |  SELECT 1 UNION ALL SELECT k + 1 FROM m WHERE k < 12),
+              |agg AS (
+              |  SELECT month(o_orderdate) AS k, COUNT(*) AS n_orders,
+              |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+              |  FROM orders_cal_v
+              |  WHERE year(o_orderdate) = 1995
+              |  GROUP BY month(o_orderdate))
+              |SELECT m.k AS month, COALESCE(agg.n_orders, 0) AS n_orders,
+              |       COALESCE(agg.rev_cents, 0) AS rev_cents
+              |FROM m LEFT JOIN agg ON m.k = agg.k
+              |ORDER BY month""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -192,5 +215,19 @@ object TimeSeries extends OpModule {
         |FROM p ASOF LEFT JOIN cl
         |  ON p.user_id = cl.user_id AND p.ts >= cl.ts
         |ORDER BY p.p_id""".stripMargin,
+
+    "q_calendar_fill" ->
+      """WITH RECURSIVE m(k) AS (
+        |  SELECT 1 UNION ALL SELECT k + 1 FROM m WHERE k < 12),
+        |agg AS (
+        |  SELECT CAST(month(o_orderdate) AS INTEGER) AS k, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1995
+        |  GROUP BY month(o_orderdate))
+        |SELECT m.k AS month, COALESCE(agg.n_orders, 0) AS n_orders,
+        |       COALESCE(agg.rev_cents, 0) AS rev_cents
+        |FROM m LEFT JOIN agg ON m.k = agg.k
+        |ORDER BY month""".stripMargin,
   )
 }
