@@ -1,0 +1,230 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch construction operators (round 3 of the G2 LLM-pipeline
+  * extension, `BASELINE.json:6`): sequence packing, stratified sampling,
+  * SemDeDup-style embedding dedup, and a k-means Lloyd step — the stages
+  * between "curated corpus" and "training batches".
+  *
+  * Scale posture:
+  * - Packing is a per-stream running sum (one shuffle on the stream key +
+  *   an ordered partition walk). True first-fit bin packing is inherently
+  *   sequential; the fixed-stride variant here keeps the same token-budget
+  *   contract while staying a pure window computation — the only
+  *   formulation that parallelizes over 1000 executors.
+  * - Stratified sampling is a pure per-row predicate (md5 of the key vs a
+  *   per-stratum threshold): no RNG state, no coordination, reproducible
+  *   across engines/retries/partitionings, and it pushes down to the scan.
+  * - SemDeDup: the quadratic cosine check runs only WITHIN a centroid
+  *   bucket (the SemDeDup paper's trick) — centroids broadcast, one
+  *   shuffle on bucket id, per-bucket pair counts bounded by bucket size,
+  *   never an all-pairs join over the corpus.
+  * - K-means: centroids broadcast for assignment (linear scan); the update
+  *   is a (bucket, dim) partial aggregation — the textbook distributed
+  *   Lloyd step. Dimension sums ride exact integer 2^-20 units so the
+  *   updated centroids (and therefore the next assignment) are bit-equal
+  *   on both engines (D1 discipline applied to vector math).
+  */
+object TrainingOps extends OpModule {
+
+  /** Exact double cosine for the DuckDB twins (embcos-proven bit-exact vs
+    * the staged-norm FloatDot form). */
+  private def duckCos(a: String, b: String): String =
+    s"""LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b),
+       |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+       |    / (SQRT(LIST_SUM(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * SQRT(LIST_SUM(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Non-zero-norm embeddings with staged norms (cosine is undefined for
+    * zero vectors; excluded identically on both sides). */
+  private def nzEmbeddings(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FloatDot.register(s)
+    Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+      .where(col("nrm") > 0)
+  }
+
+  /** Nearest-centroid assignment (cosine, ties to the lowest centroid id). */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("n_id")).orderBy(col("c_score").desc, col("c_id"))
+    vecs.join(broadcast(cents))
+      .withColumn("c_score",
+        expr("graft_float_dot(n_emb, c_emb)") / (col("n_nrm") * col("c_nrm")))
+      .withColumn("arn", row_number().over(w))
+      .where(col("arn") === 1)
+      .select(col("n_id"), col("n_emb"), col("n_nrm"), col("c_id").as("bucket"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token-budget sequence packing: per language stream, documents are
+    // walked in doc_id order and chunked into bins of 2048 tokens
+    // (fixed-stride: a bin closes when the running count crosses the
+    // budget, so a bin can exceed it by at most one document — the
+    // deterministic, shuffle-once variant of greedy packing).
+    "q_pack_seq" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 2048"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
+    // Stratified deterministic sampling: per-language rates (en 5%, de 25%,
+    // fr 50%, other 10%) applied via the first md5 byte of the key — the
+    // q_sample_hash predicate generalized to per-stratum thresholds.
+    "q_sample_strat" -> ((s, d) => {
+      val rate = when(col("lang") === "en", 13)
+        .when(col("lang") === "de", 64)
+        .when(col("lang") === "fr", 128)
+        .otherwise(26)
+      Tables.documents(s, d)
+        .where(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup: embeddings are bucketed by nearest coarse centroid and the
+    // exact pairwise cosine check runs only within a bucket; a vector is
+    // dropped when a same-bucket near-duplicate with a smaller id exists.
+    // Output: per-bucket membership and drop counts.
+    "q_semdedup" -> ((s, d) => {
+      val nz = nzEmbeddings(s, d)
+      val cents = nz.where(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      val a = assign(
+        nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm")),
+        cents)
+      val lhs = a.select(col("bucket"), col("n_id").as("va"), col("n_emb").as("ea"), col("n_nrm").as("na"))
+      val rhs = a.select(col("bucket").as("bucket_b"), col("n_id").as("vb"),
+                         col("n_emb").as("eb"), col("n_nrm").as("nb"))
+      val dropped = lhs.join(rhs, col("bucket") === col("bucket_b") && col("va") < col("vb"))
+        .where(expr("graft_float_dot(ea, eb)") / (col("na") * col("nb")) >= 0.35)
+        .select(col("bucket"), col("vb")).distinct()
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_dropped"))
+      a.groupBy(col("bucket")).agg(count(lit(1)).as("n_members"))
+        .join(dropped, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_members"),
+                coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy(col("bucket"))
+    }),
+
+    // One distributed Lloyd iteration: assign to the 16 fixed centroids,
+    // recompute each centroid as the per-dimension mean of its members
+    // (exact 2^-20-unit integer sums → bit-equal centroids cross-engine),
+    // reassign against the updated centroids. Output: per-bucket counts
+    // before and after the update — the observable of the iteration.
+    "q_emb_kmeans" -> ((s, d) => {
+      val nz = nzEmbeddings(s, d)
+      val vecs = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      val cents0 = nz.where(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      val a1 = assign(vecs, cents0)
+      val cents1 = a1
+        .select(col("bucket"), posexplode(col("n_emb")).as(Seq("idx", "v")))
+        .groupBy(col("bucket"), col("idx"))
+        .agg(expr("sum(cast(round(cast(v as double) * 1048576) as bigint))").as("sv"),
+             count(lit(1)).as("n"))
+        .groupBy(col("bucket"))
+        .agg(expr("transform(array_sort(collect_list(struct(idx, (sv / 1048576.0) / n as val))), p -> cast(p.val as float))")
+          .as("c_emb"))
+        .select(col("bucket").as("c_id"), col("c_emb"),
+                sqrt(expr("graft_float_dot(c_emb, c_emb)")).as("c_nrm"))
+      val a2 = assign(vecs, cents1)
+      val n1 = a1.groupBy(col("bucket")).agg(count(lit(1)).as("n_first"))
+      val n2 = a2.groupBy(col("bucket")).agg(count(lit(1)).as("n_second"))
+      n1.join(n2, Seq("bucket"), "full")
+        .select(col("bucket"), coalesce(col("n_first"), lit(0L)).as("n_first"),
+                coalesce(col("n_second"), lit(0L)).as("n_second"))
+        .orderBy(col("bucket"))
+    }),
+  )
+
+  /** Shared oracle CTE: non-zero embeddings + initial centroids + first
+    * nearest-centroid assignment (mirrors q_sim_ivf's proven shape). */
+  private def duckAssignCte: String = {
+    val cosEC = duckCos("e.embedding", "c.c_emb")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id BETWEEN 100 AND 115),
+       |a1 AS (SELECT n_id, n_emb, bucket FROM (
+       |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, c.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cosEC DESC, c.c_id) AS arn
+       |    FROM e CROSS JOIN c) t WHERE arn = 1)""".stripMargin
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "q_pack_seq" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LEN(STRING_SPLIT(TRIM(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM toks)
+        |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY lang, (cum - n_tok) // 2048
+        |ORDER BY lang, bin""".stripMargin,
+
+    "q_sample_strat" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+        |      < CASE lang WHEN 'en' THEN 13 WHEN 'de' THEN 64
+        |                  WHEN 'fr' THEN 128 ELSE 26 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_semdedup" -> {
+      val cosAB = duckCos("a.n_emb", "b.n_emb")
+      s"""WITH $duckAssignCte,
+         |drops AS (
+         |  SELECT DISTINCT a.bucket, b.n_id AS vb
+         |  FROM a1 a JOIN a1 b ON a.bucket = b.bucket AND a.n_id < b.n_id
+         |  WHERE $cosAB >= 0.35),
+         |dc AS (SELECT bucket, COUNT(*) AS n_dropped FROM drops GROUP BY bucket)
+         |SELECT m.bucket, m.n_members, COALESCE(dc.n_dropped, 0) AS n_dropped
+         |FROM (SELECT bucket, COUNT(*) AS n_members FROM a1 GROUP BY bucket) m
+         |LEFT JOIN dc ON m.bucket = dc.bucket
+         |ORDER BY m.bucket""".stripMargin
+    },
+
+    "q_emb_kmeans" -> {
+      val cosEC1 = duckCos("e.embedding", "c1.c_emb")
+      s"""WITH $duckAssignCte,
+         |dims AS (SELECT bucket, generate_subscripts(n_emb, 1) AS idx,
+         |                UNNEST(n_emb) AS v FROM a1),
+         |upd AS (SELECT bucket, idx,
+         |          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sv,
+         |          COUNT(*) AS n
+         |        FROM dims GROUP BY bucket, idx),
+         |c1 AS (SELECT bucket AS c_id,
+         |          LIST(CAST((sv / 1048576.0) / n AS REAL) ORDER BY idx) AS c_emb
+         |       FROM upd GROUP BY bucket),
+         |a2 AS (SELECT n_id, bucket FROM (
+         |    SELECT e.vec_id AS n_id, c1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosEC1 DESC, c1.c_id) AS arn
+         |    FROM e CROSS JOIN c1) t WHERE arn = 1)
+         |SELECT COALESCE(x.bucket, y.bucket) AS bucket,
+         |  COALESCE(x.n_first, 0) AS n_first, COALESCE(y.n_second, 0) AS n_second
+         |FROM (SELECT bucket, COUNT(*) AS n_first FROM a1 GROUP BY bucket) x
+         |FULL JOIN (SELECT bucket, COUNT(*) AS n_second FROM a2 GROUP BY bucket) y
+         |  ON x.bucket = y.bucket
+         |ORDER BY bucket""".stripMargin
+    },
+  )
+}
