@@ -176,7 +176,73 @@ object StreamOps extends OpModule {
       .toDF("user_id", "event_id", "n_since_error")
   }
 
+  /** Stream–static join: each micro-batch of the event stream joins the
+    * (bounded, broadcast) customer dimension — the canonical enrichment
+    * shape at scale: the dim is re-broadcast per batch, the stream side
+    * never shuffles, and the join is stateless (no watermark, no state
+    * store). */
+  def staticJoinTransform(dim: DataFrame)(ds: Dataset[Ev]): DataFrame =
+    ds.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+
+  /** Reduce a (user_id, ts, event_id, value) frame to the latest row per
+    * user — the upsert step of the foreachBatch merge sink. */
+  private def lastPerUser(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
+                  struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+              col("m.event_id").as("event_id"), col("m.value").as("value"))
+
+  /** foreachBatch merge sink: the feed arrives in three micro-batches; each
+    * batch is reduced to its latest row per user and MERGEd into a
+    * batchId-versioned parquet state (read previous version, union, reduce,
+    * write next version). This is the exactly-once upsert escape hatch
+    * Structured Streaming offers when the sink has no transactional MERGE —
+    * in production the body becomes one Delta/Iceberg `MERGE INTO`, with
+    * batchId-versioned writes keeping retries idempotent. Final state must
+    * equal the batch "latest event per user", which is the oracle. */
+  private def foreachBatchMerge(s: SparkSession, d: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = loadEvents(s, d).sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = evs.grouped(math.max(1, (evs.size + 2) / 3)).toSeq
+    val base = s"target/tmp/fb_${math.abs(d.hashCode)}"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    @volatile var stateVersion = -1L
+    def statePath(v: Long) = s"$base/state_$v"
+    val mem = MemoryStream[Ev]
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: Dataset[Ev], batchId: Long) =>
+        val bs = lastPerUser(batch.select(col("user_id"), col("ts"), col("event_id"), col("value")))
+        val merged =
+          if (stateVersion < 0) bs
+          else lastPerUser(s.read.parquet(statePath(stateVersion)).unionByName(bs))
+        merged.write.mode("overwrite").parquet(statePath(batchId))
+        stateVersion = batchId
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .start()
+    try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    s.read.parquet(statePath(stateVersion))
+      .select(col("user_id"), col("event_id").as("last_event"),
+              graft.ops.Det.cents(col("value")).as("val_cents"))
+      .orderBy(col("user_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stateless enrichment: inner join emits per batch, so the full-feed
+    // output equals the batch join — oracle-able directly.
+    "s_static_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      runStream(s, loadEvents(s, d), OutputMode.Append())(staticJoinTransform(dim))
+        .orderBy(col("event_id"))
+    }),
+
+    "s_foreach_batch" -> ((s, d) => foreachBatchMerge(s, d)),
+
     // transformWithState requires the RocksDB state store provider; scope
     // the conf so sibling streaming queries keep the session default.
     "s_tws_running" -> ((s, d) => {
@@ -260,6 +326,21 @@ object StreamOps extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "s_static_join" ->
+      """SELECT e.event_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Final merged state ≡ latest event per user over the whole feed.
+    "s_foreach_batch" ->
+      """SELECT user_id, event_id AS last_event,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS val_cents
+        |FROM (SELECT user_id, event_id, value,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // state reset on 'error' ≡ segment-local purchase row numbers
     "s_tws_running" ->
       """WITH seg AS (
