@@ -89,6 +89,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_repetition_filter").contains("partial_count"))
   }
 
+  test("q_pack_seq: window + aggregation share ONE hash shuffle on the stream key") {
+    // hashpartitioning(lang) from the window already satisfies the
+    // (lang, bin) clustering the aggregate needs — a second hash exchange
+    // would be Spark re-shuffling data that is already co-located.
+    val p = plan("q_pack_seq")
+    assert("hashpartitioning".r.findAllIn(p).size <= 1,
+      s"packing must not re-shuffle between window and aggregate: $p")
+  }
+
+  test("q_sample_strat: pure map-stage predicate — no hash shuffle") {
+    assert(!plan("q_sample_strat").contains("hashpartitioning"))
+  }
+
+  test("q_semdedup / q_emb_kmeans: centroids broadcast; no cartesian product") {
+    for (q <- Seq("q_semdedup", "q_emb_kmeans")) {
+      val p = plan(q)
+      assert("Broadcast".r.findAllIn(p).nonEmpty, s"$q centroid join must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join unbucketed")
+    }
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))

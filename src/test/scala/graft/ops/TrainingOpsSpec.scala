@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingOpsSpec extends SparkSpec {
+
+  test("q_pack_seq matches a sequential per-language packing fold") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim.split(" ").length.toLong))
+    // reference: walk each language stream in doc_id order, fixed 2048 stride
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val bin = cum / 2048; cum += n; (lang, bin, id, n)
+      }
+    }.groupBy(t => (t._1, t._2))
+      .map { case ((lang, bin), g) =>
+        (lang, bin, g.size.toLong, g.map(_._4).sum, g.map(_._3).min, g.map(_._3).max)
+      }.toSet
+    val got = TrainingOps.queries("q_pack_seq")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+  }
+
+  test("q_sample_strat: deterministic and per-stratum rates in ballpark") {
+    val a = TrainingOps.queries("q_sample_strat")(spark, sf).collect()
+    val b = TrainingOps.queries("q_sample_strat")(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    val totals = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    // fr is the 50% stratum — with ≥20 docs it must dominate en's 5% rate
+    for ((lang, n) <- sampled) assert(n <= totals(lang))
+    assert(sampled.getOrElse("fr", 0L).toDouble / totals("fr") >
+           sampled.getOrElse("en", 0L).toDouble / totals("en"))
+  }
+
+  test("q_semdedup: drops bounded by membership; all non-zero vectors bucketed") {
+    val rows = TrainingOps.queries("q_semdedup")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1)))
+    val nz = graft.Tables.embeddings(spark, sf)
+      .where(expr("aggregate(embedding, 0D, (a, x) -> a + abs(cast(x as double)))") > 0)
+      .count()
+    assert(rows.map(_.getLong(1)).sum == nz)
+  }
+
+  test("q_emb_kmeans: both assignment rounds are total over non-zero vectors") {
+    val rows = TrainingOps.queries("q_emb_kmeans")(spark, sf).collect()
+    val nz = graft.Tables.embeddings(spark, sf)
+      .where(expr("aggregate(embedding, 0D, (a, x) -> a + abs(cast(x as double)))") > 0)
+      .count()
+    assert(rows.map(_.getLong(1)).sum == nz)
+    assert(rows.map(_.getLong(2)).sum == nz)
+    assert(rows.map(_.getLong(0)).toSet == (100L to 115L).toSet)
+  }
+}
