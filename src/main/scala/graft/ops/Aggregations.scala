@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.GeoMean
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.4 — aggregation operators.
@@ -197,6 +198,29 @@ object Aggregations extends OpModule {
         .orderBy(col("event_type"))
     }),
 
+    // Approximate quantile with its accuracy contract made checkable (the
+    // q_agg_approx_distinct pattern applied to percentile_approx): the
+    // sketch's median must land within rank ±5% of the true median inside
+    // each group — the flag, not the raw sketch value, rides the hash gate,
+    // so the oracle is engine-independent. At 100 TB the sketch is the only
+    // viable path (exact percentile needs a per-group sort); this pins its
+    // error bound so a silent regression of the sketch fails correctness.
+    "q_agg_approx_quantile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"), Det.cents(col("o_totalprice")).as("c"))
+      val appr = o.groupBy(col("o_orderpriority"))
+        .agg(expr("percentile_approx(c, 0.5D, 100)").as("am"))
+      val pr = o.withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("c"))))
+      val bounds = pr.join(appr, "o_orderpriority").where(col("c") === col("am"))
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("pr")).as("lo"), max(col("pr")).as("hi"))
+      appr.join(bounds, "o_orderpriority")
+        .select(col("o_orderpriority"),
+                (col("lo") <= 0.55 && col("hi") >= 0.45).as("within_rank_5pct"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Deterministic mode (most frequent order month per priority) plus
     // listagg (Spark 4) of the distinct statuses. The built-in mode()
     // returns an ARBITRARY value among ties — a cross-engine nondeterminism
@@ -338,6 +362,11 @@ object Aggregations extends OpModule {
       """SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geo_value
         |FROM events WHERE value > 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The property (rank bound holds) is the oracle, not the sketch value.
+    "q_agg_approx_quantile" ->
+      """SELECT DISTINCT o_orderpriority, TRUE AS within_rank_5pct
+        |FROM orders ORDER BY o_orderpriority""".stripMargin,
 
     // DuckDB's listagg spelling is string_agg(... ORDER BY ...); month()
     // returns BIGINT there vs Spark's INT — cast pinned.

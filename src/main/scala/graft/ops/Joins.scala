@@ -127,6 +127,26 @@ object Joins extends OpModule {
               |WHERE c.c_mktsegment = 'BUILDING'
               |ORDER BY c.c_custkey""".stripMargin)
     }),
+
+    // Null-aware anti join: NOT IN over a subquery is NOT the same operator
+    // as NOT EXISTS once the list can contain NULL — one NULL makes every
+    // comparison UNKNOWN and the result empty. Spark plans the null-aware
+    // variant (a distinct physical join mode); both behaviors are pinned
+    // side by side so a planner regression in either direction is caught.
+    "q_join_null_aware" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_naaj_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_naaj_v")
+      s.sql("""SELECT variant, n FROM (
+              |  SELECT 'no_nulls' AS variant, COUNT(*) AS n FROM customer_naaj_v
+              |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_naaj_v
+              |                          WHERE o_totalprice > 250000)
+              |  UNION ALL
+              |  SELECT 'with_nulls', COUNT(*) FROM customer_naaj_v
+              |  WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 250000
+              |                                      THEN o_custkey END
+              |                          FROM orders_naaj_v)) t
+              |ORDER BY variant""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -206,5 +226,17 @@ object Joins extends OpModule {
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
         |WHERE c.c_mktsegment = 'BUILDING'
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_join_null_aware" ->
+      """SELECT variant, n FROM (
+        |  SELECT 'no_nulls' AS variant, COUNT(*) AS n FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_totalprice > 250000)
+        |  UNION ALL
+        |  SELECT 'with_nulls', COUNT(*) FROM customer
+        |  WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 250000
+        |                                      THEN o_custkey END
+        |                          FROM orders)) t
+        |ORDER BY variant""".stripMargin,
   )
 }

@@ -189,6 +189,33 @@ object ScalarFuncs extends OpModule {
           expr("cast(bit_count(o_orderkey) as int)").as("k_bits"))
         .orderBy(col("o_orderkey"))),
 
+    // regexp_extract_all: every match, not just the first — emitted as a
+    // CSV string (raw array outputs crash the driver's row-sort, SURVEY §9).
+    "q_regex_extract_all" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(expr("regexp_extract_all(text, '[a-z]+ing', 0)"), ",").as("ings"),
+          size(expr("regexp_extract_all(text, '[a-z]+ing', 0)")).as("n_ings"))
+        .orderBy(col("doc_id"))),
+
+    // URL parsing (parse_url): host/path/query extraction plus keyed query
+    // lookup. The URL is derived from existing columns (the corpus has no
+    // URL column); the oracle recovers the same parts with anchored regexes
+    // — parse_url has no DuckDB twin.
+    "q_url_funcs" -> ((s, d) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.org/"),
+        col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+        lit("?ref="), pmod(col("doc_id"), lit(7)).cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'ref')").cast("int").as("ref"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bitwise aggregates — order-independent by construction, so they're
     // distribution-safe (partial agg combines map-side like sum).
     "q_bitwise_agg" -> ((s, d) =>
@@ -332,5 +359,24 @@ object ScalarFuncs extends OpModule {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_regex_extract_all" ->
+      """SELECT doc_id,
+        |  COALESCE(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '[a-z]+ing'), ','), '') AS ings,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+ing')) AS INTEGER) AS n_ings
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_url_funcs" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.org/' || lang || '/doc/'
+        |      || CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  REGEXP_EXTRACT(url, 'https://([^/]+)', 1) AS host,
+        |  REGEXP_EXTRACT(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |  REGEXP_EXTRACT(url, '\?(.*)$', 1) AS query,
+        |  CAST(REGEXP_EXTRACT(url, 'ref=([0-9]+)', 1) AS INTEGER) AS ref
+        |FROM u ORDER BY doc_id""".stripMargin,
   )
 }

@@ -95,6 +95,29 @@ object TimeSeries extends OpModule {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The 100 TB formulation of the same interval join (the §7 "hard part"
+    // q_join_range's comment promises): both sides get a coarse 10-minute
+    // time bucket; the left side probes (bucket, bucket+1), turning the join
+    // into a pure EQUI join on (user_id, bucket) — hash-partitionable, with
+    // per-task pair counts bounded by bucket population instead of a user's
+    // full history. The exact interval predicate filters the candidates.
+    // Output is identical to q_join_range (the oracle pins the equivalence).
+    "q_join_range_bucketed" -> ((s, d) => {
+      val bucketUs = 600000000L // 10 min — equals the join window
+      val e = Tables.events(s, d)
+      val a = e.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+        .withColumn("bkt", explode(array(
+          (unix_micros(col("ts_a")) / bucketUs).cast("long"),
+          (unix_micros(col("ts_a")) / bucketUs).cast("long") + 1)))
+      val b = e.select(col("user_id").as("uid_b"), col("ts").as("ts_b"), col("event_id").as("id_b"))
+        .withColumn("bkt_b", (unix_micros(col("ts_b")) / bucketUs).cast("long"))
+      a.join(b, col("user_id") === col("uid_b") && col("bkt") === col("bkt_b"))
+        .where(col("ts_b") > col("ts_a") &&
+               col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // As-of: each purchase matched to the user's latest click at-or-before it.
     "q_join_asof" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -197,6 +220,15 @@ object TimeSeries extends OpModule {
         |ORDER BY user_id, sess_start""".stripMargin,
 
     "q_join_range" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same oracle as q_join_range: the bucketing is a pure execution-side
+    // rewrite, so any row it adds or drops is a correctness bug.
+    "q_join_range_bucketed" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id

@@ -97,6 +97,22 @@ object Windows extends OpModule {
         .where(col("rn") <= 3)
         .orderBy(col("o_custkey"), col("rn"))
     }),
+
+    // IGNORE NULLS analytics — the forward-fill (last-observation-carried-
+    // forward) idiom over a sparse column: open orders carry a price, other
+    // statuses are gaps that inherit the most recent open value. Same
+    // single-shuffle window walk as every other q_win_*.
+    "q_win_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                when(col("o_orderstatus") === "O", Det.cents(col("o_totalprice"))).as("v"))
+        .select(col("o_custkey"), col("o_orderkey"), col("v"),
+                last(col("v"), ignoreNulls = true).over(wRun).as("fill_v"),
+                lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -160,5 +176,16 @@ object Windows extends OpModule {
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS fill_v,
+        |  LAG(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_v
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        CASE WHEN o_orderstatus = 'O'
+        |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS v
+        |      FROM orders) t
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }
