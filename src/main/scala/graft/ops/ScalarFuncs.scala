@@ -216,6 +216,23 @@ object ScalarFuncs extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Spark 4 collations: UTF8_LCASE makes comparison/grouping
+    // case-insensitive at the TYPE level — no lower() rewrites sprinkled
+    // through the query, and codegen'd comparators (vs a per-row UDF). The
+    // three case variants of each segment must collapse into one group.
+    // Output is re-cast to the default collation (lower()) so the result
+    // schema stays plain UTF8 for the driver/oracle compare.
+    "q_str_collate" -> ((s, d) => {
+      val seg = Tables.customer(s, d).select(col("c_mktsegment").as("seg"))
+      val mixed = seg.select(lower(col("seg")).as("seg"))
+        .unionByName(seg.select(initcap(col("seg")).as("seg")))
+        .unionByName(seg)
+      mixed.groupBy(expr("collate(seg, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("cast(lower(k) as string)").as("seg_ci"), col("n"))
+        .orderBy(col("seg_ci"))
+    }),
+
     // Bitwise aggregates — order-independent by construction, so they're
     // distribution-safe (partial agg combines map-side like sum).
     "q_bitwise_agg" -> ((s, d) =>
@@ -359,6 +376,15 @@ object ScalarFuncs extends OpModule {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_str_collate" ->
+      """SELECT LOWER(seg) AS seg_ci, COUNT(*) AS n FROM (
+        |  SELECT LOWER(c_mktsegment) AS seg FROM customer
+        |  UNION ALL
+        |  SELECT UPPER(SUBSTR(c_mktsegment, 1, 1)) || LOWER(SUBSTR(c_mktsegment, 2)) FROM customer
+        |  UNION ALL
+        |  SELECT c_mktsegment FROM customer) t
+        |GROUP BY LOWER(seg) ORDER BY seg_ci""".stripMargin,
 
     "q_regex_extract_all" ->
       """SELECT doc_id,

@@ -99,6 +99,28 @@ object Sources extends OpModule {
         .orderBy(col("status"))
     }),
 
+    // Schema evolution: batch 1 was written before o_orderpriority existed;
+    // batch 2 carries it. mergeSchema reconciles the file-level schemas into
+    // the union, padding old files with NULL — the append-only table
+    // lifecycle every long-lived store goes through. (At scale prefer a
+    // table format that tracks schema in metadata; the read contract is the
+    // same.) Partition column `batch` keys the two eras.
+    "src_schema_evolve" -> ((s, d) => {
+      val path = tmp(d, "evolve")
+      val base = Tables.orders(s, d).where(col("o_orderkey") < 2000)
+      base.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), graft.ops.Det.cents(col("o_totalprice")).as("cents"))
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      base.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), graft.ops.Det.cents(col("o_totalprice")).as("cents"),
+                col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", true).parquet(path)
+        .select(col("batch").cast("int").as("batch"), col("o_orderkey"),
+                col("cents"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // CSV + JSON export of the same slice must agree with each other.
     "sink_csv_json" -> ((s, d) => {
       val slice = Tables.lineitem(s, d)
@@ -138,6 +160,14 @@ object Sources extends OpModule {
       """SELECT CASE WHEN o_orderkey % 7 = 0 THEN '_corrupt' ELSE o_orderstatus END AS status,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "src_schema_evolve" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch,
+        |  o_orderkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     // both exports re-ingested: every group exactly doubled
     "sink_csv_json" ->
