@@ -1,20 +1,20 @@
 package graft
 
-import graft.functions.FloatDot
+import graft.functions.{FloatDot, TopK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Library registration via the public extension point: build sessions with
   * `spark.sql.extensions=graft.GraftExtensions` and every graft-native
-  * function (currently [[FloatDot]]) resolves in SQL/`expr` with no imperative
+  * function ([[FloatDot]], [[TopK]]) resolves in SQL/`expr` with no imperative
   * setup — the deployment story for a cluster where the session is built by
   * the platform, not the query author. Query builders still call
-  * `FloatDot.register` as an idempotent fallback so they work against plain
-  * sessions too.
+  * `FloatDot.register`/`TopK.register` as an idempotent fallback so they work
+  * against plain sessions too.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_float_dot"),
@@ -22,4 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_float_dot takes exactly 2 arguments")
         FloatDot(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
+      TopK.builder))
+  }
 }

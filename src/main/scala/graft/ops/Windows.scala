@@ -98,6 +98,27 @@ object Windows extends OpModule {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // The same answer as q_topk_group with different physics: a bounded
+    // top-k AGGREGATE (graft.functions.TopK, TypedImperativeAggregate).
+    // The window idiom must shuffle every row and sort whole partitions
+    // before discarding all but k; this plan partial-aggregates map-side
+    // (ObjectHashAggregate), so the shuffle carries ≤ k entries per group —
+    // O(groups×k) rows moved at any scale. Same oracle family as
+    // q_topk_group (row_number ≤ 3), prices as exact cents.
+    "q_topk_agg" -> ((s, d) => {
+      graft.functions.TopK.register(s)
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(call_function("graft_topk",
+          Det.cents(col("o_totalprice")), col("o_orderkey"), lit(3)).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"),
+                (col("pos") + 1).cast("int").as("rn"),
+                col("t").getField("pl").as("o_orderkey"),
+                col("t").getField("sk").as("price_cents"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // IGNORE NULLS analytics — the forward-fill (last-observation-carried-
     // forward) idiom over a sparse column: open orders carry a price, other
     // statuses are gaps that inherit the most recent open value. Same
@@ -173,6 +194,17 @@ object Windows extends OpModule {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_custkey, rn, o_orderkey, price_cents FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |         ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+        |                  o_orderkey) AS INTEGER) AS rn
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,

@@ -110,6 +110,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_topk_agg: bounded aggregate partial-combines map-side; no window sort") {
+    val p = plan("q_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    assert(p.contains("partial_graft_topk"),
+      "map-side partial top-k must run before the shuffle")
+    assert(!p.contains("Window"),
+      "the aggregate formulation must not fall back to the window idiom")
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
