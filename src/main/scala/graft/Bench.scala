@@ -40,12 +40,18 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — local iteration on a subset (never
+    // set by the driver; its run times the headline set).
     val benched: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries.toSeq
-      else {
-        val missing = headline.filterNot(SparkEntry.queries.contains)
-        require(missing.isEmpty, s"headline queries not registered: $missing")
-        headline.map(n => n -> SparkEntry.queries(n))
+      else sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(list) =>
+          list.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(n => n -> SparkEntry.queries(n))
+        case None =>
+          val missing = headline.filterNot(SparkEntry.queries.contains)
+          require(missing.isEmpty, s"headline queries not registered: $missing")
+          headline.map(n => n -> SparkEntry.queries(n))
       }
     // JIT/codegen warmup: run every benched query once at the smallest SF so
     // the timed pass measures query execution, not JVM/codegen warmup (the
@@ -64,11 +70,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-health probe: a fixed CPU+shuffle micro-task (~0.1 s on a quiet
+    // container) timed before and after the sweep. This container suffers
+    // random multi-minute host-contention windows (BASELINE.md); a ballooned
+    // calib value in the output JSON tells the reader the environment — not
+    // the engine — was slow for that run.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, cpus.toInt)
+        .selectExpr("count(distinct id % 1000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibPre = calibrate()
     val results = benched.map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val calibPost = calibrate()
     // A throwing query must surface as an explicit failure, not silently
     // shrink the total (a -1 summed in would make the bench look FASTER).
     val (failed, ok) = results.partition(_._2 < 0)
@@ -76,7 +95,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calib":[$calibPre%.3f,$calibPost%.3f],"sf":"$sfDir"}""")
     graft.ops.LlmOps.release()
     spark.stop()
   }

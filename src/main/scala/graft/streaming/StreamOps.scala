@@ -49,8 +49,41 @@ object StreamOps extends OpModule {
         .as[Ev].collect().toSeq
     })
 
+  /** Stream the events parquet through `transform` via the FILE source —
+    * the production-shaped feed for single-batch ops: executors read the
+    * parquet directly, so there is no driver-side collect and no feed data
+    * embedded in task binaries (the MemoryStream path ships the whole batch
+    * as a ~9 MB task broadcast at sf0.1 — Spark warns on every stage).
+    * All files arrive in the first micro-batch (no maxFilesPerTrigger), so
+    * watermark semantics are identical to the one-batch MemoryStream feed. */
+  private def runStreamFile(s: SparkSession, d: String, mode: OutputMode)
+                           (transform: Dataset[Ev] => DataFrame): DataFrame = {
+    import s.implicits._
+    // Raw file schema under nanosAsLong (ts arrives as long nanos), then the
+    // same ns→µs conversion Tables.events applies for batch reads.
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    val ds = (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+                raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              else raw).as[Ev]
+    val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+    val q = transform(ds)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", s"target/tmp/chk_$name")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   /** Feed `rows` through `transform` as one micro-batch, run to completion
-    * (plus the watermark-flush batch), return the memory sink as a DataFrame. */
+    * (plus the watermark-flush batch), return the memory sink as a DataFrame.
+    * Kept for ops whose feed the file source cannot express (duplicated rows
+    * for s_dedup_wm, chunked multi-batch arrival for s_foreach_batch). */
   private def runStream(s: SparkSession, rows: Seq[Ev], mode: OutputMode)
                        (transform: Dataset[Ev] => DataFrame): DataFrame = {
     import s.implicits._
@@ -237,7 +270,7 @@ object StreamOps extends OpModule {
     // output equals the batch join — oracle-able directly.
     "s_static_join" -> ((s, d) => {
       val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-      runStream(s, loadEvents(s, d), OutputMode.Append())(staticJoinTransform(dim))
+      runStreamFile(s, d, OutputMode.Append())(staticJoinTransform(dim))
         .orderBy(col("event_id"))
     }),
 
@@ -251,7 +284,7 @@ object StreamOps extends OpModule {
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try
-        runStream(s, loadEvents(s, d), OutputMode.Append())(purchasesSinceErrorTransform)
+        runStreamFile(s, d, OutputMode.Append())(purchasesSinceErrorTransform)
           .orderBy(col("user_id"), col("event_id"))
       finally prev match {
         case Some(p) => s.conf.set(key, p)
@@ -260,15 +293,15 @@ object StreamOps extends OpModule {
     }),
 
     "s_tumble_wm" -> ((s, d) =>
-      runStream(s, loadEvents(s, d), OutputMode.Append())(tumbleTransform)
+      runStreamFile(s, d, OutputMode.Append())(tumbleTransform)
         .orderBy(col("hstart"), col("event_type"))),
 
     "s_session_win" -> ((s, d) =>
-      runStream(s, loadEvents(s, d), OutputMode.Append())(sessionTransform)
+      runStreamFile(s, d, OutputMode.Append())(sessionTransform)
         .orderBy(col("user_id"), col("sess_start"))),
 
     "s_slide_wm" -> ((s, d) =>
-      runStream(s, loadEvents(s, d), OutputMode.Append())(slideTransform)
+      runStreamFile(s, d, OutputMode.Append())(slideTransform)
         .orderBy(col("wstart"))),
 
     // Update mode: every window version is emitted as state changes. With
@@ -277,11 +310,11 @@ object StreamOps extends OpModule {
     // including windows the watermark hasn't finalized (the append/update
     // contrast with s_tumble_wm is the point of this op).
     "s_tumble_update" -> ((s, d) =>
-      runStream(s, loadEvents(s, d), OutputMode.Update())(tumbleTransform)
+      runStreamFile(s, d, OutputMode.Update())(tumbleTransform)
         .orderBy(col("hstart"), col("event_type"))),
 
     "s_join_stream" -> ((s, d) =>
-      runStream(s, loadEvents(s, d), OutputMode.Append())(streamJoinTransform)
+      runStreamFile(s, d, OutputMode.Append())(streamJoinTransform)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Feed every event twice; the op must emit each exactly once.
@@ -293,7 +326,7 @@ object StreamOps extends OpModule {
     }),
 
     "s_stateful" -> ((s, d) =>
-      runStream(s, loadEvents(s, d), OutputMode.Append())(seqTransform)
+      runStreamFile(s, d, OutputMode.Append())(seqTransform)
         .orderBy(col("user_id"), col("event_id"))),
 
     // Exactly-once file sink: run the same checkpointed query twice (second
