@@ -49,6 +49,22 @@ object StreamOps extends OpModule {
         .as[Ev].collect().toSeq
     })
 
+  /** Stateful streaming parallelism: the number of state-store instances per
+    * stateful operator is frozen to `spark.sql.shuffle.partitions` at query
+    * START (it is baked into the checkpoint), so it must be sized to the
+    * stream's key cardinality and per-batch volume — NOT inherited from the
+    * session's batch default. These feeds are one ~100k-row micro-batch;
+    * 32 stores would each hold ~3k keys and pay 32× the per-batch
+    * commit/snapshot fixed cost. A production deployment of the same
+    * transforms picks this per-query number the same way (keys × state row
+    * size / target store size), just with a larger answer. */
+  private def withStreamParallelism[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Stream the events parquet through `transform` via the FILE source —
     * the production-shaped feed for single-batch ops: executors read the
     * parquet directly, so there is no driver-side collect and no feed data
@@ -69,14 +85,16 @@ object StreamOps extends OpModule {
                 raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
               else raw).as[Ev]
     val name = "s_" + UUID.randomUUID.toString.replace("-", "")
-    val q = transform(ds)
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", s"target/tmp/chk_$name")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamParallelism(s) {
+      val q = transform(ds)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", s"target/tmp/chk_$name")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
   }
 
@@ -91,14 +109,16 @@ object StreamOps extends OpModule {
     val mem = MemoryStream[Ev]
     mem.addData(rows)
     val name = "s_" + UUID.randomUUID.toString.replace("-", "")
-    val q = transform(mem.toDS())
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", s"target/tmp/chk_$name")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamParallelism(s) {
+      val q = transform(mem.toDS())
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", s"target/tmp/chk_$name")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
   }
 
@@ -246,19 +266,21 @@ object StreamOps extends OpModule {
     @volatile var stateVersion = -1L
     def statePath(v: Long) = s"$base/state_$v"
     val mem = MemoryStream[Ev]
-    val q = mem.toDS().writeStream
-      .foreachBatch { (batch: Dataset[Ev], batchId: Long) =>
-        val bs = lastPerUser(batch.select(col("user_id"), col("ts"), col("event_id"), col("value")))
-        val merged =
-          if (stateVersion < 0) bs
-          else lastPerUser(s.read.parquet(statePath(stateVersion)).unionByName(bs))
-        merged.write.mode("overwrite").parquet(statePath(batchId))
-        stateVersion = batchId
-      }
-      .option("checkpointLocation", s"$base/chk")
-      .start()
-    try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
-    finally q.stop()
+    withStreamParallelism(s) {
+      val q = mem.toDS().writeStream
+        .foreachBatch { (batch: Dataset[Ev], batchId: Long) =>
+          val bs = lastPerUser(batch.select(col("user_id"), col("ts"), col("event_id"), col("value")))
+          val merged =
+            if (stateVersion < 0) bs
+            else lastPerUser(s.read.parquet(statePath(stateVersion)).unionByName(bs))
+          merged.write.mode("overwrite").parquet(statePath(batchId))
+          stateVersion = batchId
+        }
+        .option("checkpointLocation", s"$base/chk")
+        .start()
+      try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
     s.read.parquet(statePath(stateVersion))
       .select(col("user_id"), col("event_id").as("last_event"),
               graft.ops.Det.cents(col("value")).as("val_cents"))
