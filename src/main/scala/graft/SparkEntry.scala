@@ -15,7 +15,7 @@ object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     Scans, Expressions, Joins, SortSetOps, Aggregations, Windows, ScalarFuncs,
     TimeSeries, LlmOps, Multimodal, DedupVariants, TextAnalysis, Similarity,
-    PipelineOps, TrainingOps, Subqueries, ScaleOps, graft.streaming.StreamOps,
+    PipelineOps, TrainingOps, Subqueries, ScaleOps, EtlOps, graft.streaming.StreamOps,
     graft.sources.Sources,
   )
 

@@ -1,0 +1,251 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ETL-lifecycle operators for the reference's domain — an ETL pipeline over
+  * an open disaster data store (`/root/reference/README.md:1-2`): data-quality
+  * profiling, slowly-changing-dimension construction, spatial radius joins,
+  * and outlier winsorization. Everything is declarative DataFrame code; every
+  * numeric output rides integer units (rule D1).
+  *
+  * Scale posture per operator is documented inline; the common thread is ONE
+  * pass / ONE shuffle where the semantics allow it, and integer math end to
+  * end so results are bit-identical across engines and partitionings.
+  */
+object EtlOps extends OpModule {
+
+  /** Deterministic pseudo-coordinate in [0, 10000) centi-units, derived from
+    * an md5 of the salted key — the tables carry no real coordinates, so the
+    * geo operators manufacture reproducible ones the oracle can re-derive
+    * (same idiom as q_sample_hash's md5 sampling). */
+  private def coord(salt: String, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 10000
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q_profile: one-pass column profiling (data-quality audit) --------
+    // n / nulls / distinct / min / max for four differently-typed columns in
+    // a single aggregate over a single scan; the one-row result is unpivoted
+    // with stack(). Scale: multiple COUNT(DISTINCT)s expand the scan 4× —
+    // at 100 TB swap them for approx_count_distinct (one pass, no expand);
+    // the rest is pure partial aggregation. min/max ship as strings so the
+    // four profiles stack into one typed column.
+    "q_profile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("l_quantity")).as("nq"),
+          count(col("l_extendedprice")).as("ne"),
+          count(col("l_returnflag")).as("nr"),
+          count(col("l_shipdate")).as("ns"),
+          countDistinct(col("l_quantity")).as("dq"),
+          countDistinct(col("l_extendedprice")).as("de"),
+          countDistinct(col("l_returnflag")).as("dr"),
+          countDistinct(col("l_shipdate")).as("ds"),
+          Det.cents(min(col("l_quantity"))).cast("string").as("minq"),
+          Det.cents(max(col("l_quantity"))).cast("string").as("maxq"),
+          Det.cents(min(col("l_extendedprice"))).cast("string").as("mine"),
+          Det.cents(max(col("l_extendedprice"))).cast("string").as("maxe"),
+          min(col("l_returnflag")).as("minr"),
+          max(col("l_returnflag")).as("maxr"),
+          date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("mins"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("maxs"))
+        .selectExpr(
+          """stack(4,
+            |  'l_quantity',      n, n - nq, dq, minq, maxq,
+            |  'l_extendedprice', n, n - ne, de, mine, maxe,
+            |  'l_returnflag',    n, n - nr, dr, minr, maxr,
+            |  'l_shipdate',      n, n - ns, ds, mins, maxs
+            |) as (col_name, n_rows, n_null, n_distinct, min_v, max_v)""".stripMargin)
+        .orderBy(col("col_name"))),
+
+    // ---- q_scd2: type-2 slowly-changing dimension from a change log ------
+    // Collapse each user's consecutive same-type events into validity
+    // intervals (valid_from, valid_to, is_current) — the classic SCD2 build.
+    // Plan: ONE shuffle total. The islands window shuffles by user_id; the
+    // subsequent groupBy(user_id, island) and the valid_to lead-window are
+    // both satisfied by HashPartitioning(user_id) (clustering-subsumption,
+    // SURVEY §10.2), so neither re-shuffles — asserted in PlanAuditSpec.
+    "q_scd2" -> ((s, d) => {
+      val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val brk = when(lag(col("event_type"), 1).over(wSeq).isNull ||
+                     lag(col("event_type"), 1).over(wSeq) =!= col("event_type"), 1L)
+        .otherwise(0L)
+      val islands = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("island", sum(brk).over(wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val versions = islands
+        .groupBy(col("user_id"), col("island"), col("event_type"))
+        .agg(min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+      val wVer = Window.partitionBy(col("user_id")).orderBy(col("island"))
+      versions
+        .withColumn("vt", lead(col("vf"), 1).over(wVer))
+        .select(col("user_id"), col("island").as("version"), col("event_type"),
+                col("vf").cast("timestamp_ntz").as("valid_from"),
+                col("vt").cast("timestamp_ntz").as("valid_to"),
+                when(col("vt").isNull, 1).otherwise(0).as("is_current"),
+                col("n_events"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // ---- q_geo_cell: spatial radius self-join via grid-cell bucketing ----
+    // All point pairs within radius 0.5 units (50 centi-units). The naive
+    // formulation is an O(n²) cross join; bucketing points into r-sized grid
+    // cells turns it into an EQUI join — each left point probes its 3×3
+    // neighbor cells (9× row expansion), each right point sits in exactly one
+    // cell, so every pair is produced exactly once. Scale: both sides shuffle
+    // by cell key only; cost is 9n join probes instead of n², and skewed
+    // cells (urban clusters) are orthogonally salt-able. Distance stays in
+    // squared integer centi-units — no floats anywhere.
+    "q_geo_cell" -> ((s, d) => {
+      val cell = 50L // = radius → 3×3 neighborhood suffices
+      val pts = Tables.customer(s, d).select(
+        col("c_custkey").as("key"),
+        coord("x", col("c_custkey")).as("xi"),
+        coord("y", col("c_custkey")).as("yi"))
+        .withColumn("cx", expr("xi div 50"))
+        .withColumn("cy", expr("yi div 50"))
+      val offs = for { dx <- -1 to 1; dy <- -1 to 1 }
+        yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+      val probes = pts
+        .withColumn("off", explode(array(offs: _*)))
+        .select(col("key").as("a_key"), col("xi").as("ax"), col("yi").as("ay"),
+                (col("cx") + col("off.dx")).as("pcx"),
+                (col("cy") + col("off.dy")).as("pcy"))
+      val right = pts.select(col("key").as("b_key"), col("xi").as("bx"),
+                             col("yi").as("by_"), col("cx"), col("cy"))
+      val dsq = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+                (col("ay") - col("by_")) * (col("ay") - col("by_"))
+      probes.join(right,
+          col("pcx") === col("cx") && col("pcy") === col("cy") &&
+          col("a_key") < col("b_key"))
+        .where(dsq < cell * cell)
+        .select(col("a_key"), col("b_key"), dsq.as("dsq"))
+        .orderBy(col("a_key"), col("b_key"))
+    }),
+
+    // ---- q_winsorize: percentile outlier clipping (data cleaning) --------
+    // Clip each group's values to its [p05, p95] and report clip counts and
+    // the clipped sum. Thresholds are VALUE-AT-RANK (row_number against an
+    // integer-arithmetic rank cutoff), not interpolated quantiles — rank
+    // selection is pure integer math, so both engines pick the identical
+    // cents value and the whole query is bit-exact (interpolated QUANTILE_
+    // CONT low-bit drift is the D1 trap this shape avoids). Scale: one sort
+    // shuffle by group for ranking; the 5-row threshold table broadcasts
+    // back onto the scan.
+    "q_winsorize" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("p"), Det.cents(col("o_totalprice")).as("cents"),
+        col("o_orderkey"))
+      val wOrd = Window.partitionBy(col("p")).orderBy(col("cents"), col("o_orderkey"))
+      val wAll = Window.partitionBy(col("p"))
+      val ranked = o.withColumn("r", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val thr = ranked.groupBy(col("p")).agg(
+        max(when(col("r") === greatest(lit(1L), expr("(n*5) div 100")), col("cents"))).as("lo"),
+        max(when(col("r") === expr("(n*95) div 100"), col("cents"))).as("hi"))
+      o.join(broadcast(thr), "p")
+        .groupBy(col("p"))
+        .agg(max(col("lo")).as("lo_cents"), max(col("hi")).as("hi_cents"),
+             sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+             sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+             sum(greatest(col("lo"), least(col("hi"), col("cents")))).as("clip_cents"))
+        .orderBy(col("p"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(l_quantity) AS n_null,
+        |    COUNT(DISTINCT l_quantity) AS n_distinct,
+        |    CAST(CAST(ROUND(MIN(l_quantity)*100) AS BIGINT) AS VARCHAR) AS min_v,
+        |    CAST(CAST(ROUND(MAX(l_quantity)*100) AS BIGINT) AS VARCHAR) AS max_v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+        |    COUNT(DISTINCT l_extendedprice),
+        |    CAST(CAST(ROUND(MIN(l_extendedprice)*100) AS BIGINT) AS VARCHAR),
+        |    CAST(CAST(ROUND(MAX(l_extendedprice)*100) AS BIGINT) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        |    COUNT(DISTINCT l_returnflag), MIN(l_returnflag), MAX(l_returnflag)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+        |    COUNT(DISTINCT l_shipdate),
+        |    STRFTIME(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        |    STRFTIME(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM lineitem
+        |) ORDER BY col_name""".stripMargin,
+
+    "q_scd2" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), i AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM g
+        |), v AS (
+        |  SELECT user_id, island, event_type, MIN(ts) AS valid_from,
+        |    COUNT(*) AS n_events
+        |  FROM i GROUP BY user_id, island, event_type
+        |)
+        |SELECT user_id, island AS version, event_type, valid_from,
+        |  LEAD(valid_from) OVER wv AS valid_to,
+        |  CAST(CASE WHEN LEAD(valid_from) OVER wv IS NULL THEN 1 ELSE 0 END
+        |       AS INTEGER) AS is_current,
+        |  n_events
+        |FROM v
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY island)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // exact quadratic twin of the cell-bucketed join
+    "q_geo_cell" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS key,
+        |    CAST(('0x' || SUBSTR(MD5('x' || CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS xi,
+        |    CAST(('0x' || SUBSTR(MD5('y' || CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS yi
+        |  FROM customer
+        |)
+        |SELECT a.key AS a_key, b.key AS b_key,
+        |  (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) AS dsq
+        |FROM p a JOIN p b ON a.key < b.key
+        |WHERE (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) < 2500
+        |ORDER BY a_key, b_key""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS p,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        |  FROM orders
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p ORDER BY cents, o_orderkey) AS r,
+        |    COUNT(*) OVER (PARTITION BY p) AS n
+        |  FROM o
+        |), t AS (
+        |  SELECT p,
+        |    MAX(CASE WHEN r = GREATEST(1, (n*5)//100) THEN cents END) AS lo,
+        |    MAX(CASE WHEN r = (n*95)//100 THEN cents END) AS hi
+        |  FROM r GROUP BY p
+        |)
+        |SELECT o.p AS p, t.lo AS lo_cents, t.hi AS hi_cents,
+        |  CAST(SUM(CASE WHEN cents < t.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN cents > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(SUM(GREATEST(t.lo, LEAST(t.hi, cents))) AS BIGINT) AS clip_cents
+        |FROM o JOIN t ON o.p = t.p
+        |GROUP BY o.p, t.lo, t.hi
+        |ORDER BY o.p""".stripMargin,
+  )
+}

@@ -121,6 +121,21 @@ object Sources extends OpModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ORC round-trip: the second columnar format Spark ships a vectorized
+    // reader for. Full lineitem out and back (schema travels in the file,
+    // none declared), then an aggregate the oracle reproduces from the
+    // parquet original — losslessness is the contract, same as CSV/JSON.
+    "src_orc" -> ((s, d) => {
+      val path = tmp(d, "orc")
+      Tables.lineitem(s, d).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             graft.ops.Det.moneySum(col("l_extendedprice")).as("price_cents"),
+             max(col("l_shipdate")).as("last_ship"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // CSV + JSON export of the same slice must agree with each other.
     "sink_csv_json" -> ((s, d) => {
       val slice = Tables.lineitem(s, d)
@@ -168,6 +183,13 @@ object Sources extends OpModule {
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "src_orc" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  MAX(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // both exports re-ingested: every group exactly doubled
     "sink_csv_json" ->

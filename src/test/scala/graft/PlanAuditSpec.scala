@@ -98,6 +98,22 @@ class PlanAuditSpec extends SparkSpec {
       s"packing must not re-shuffle between window and aggregate: $p")
   }
 
+  test("q_scd2: islands window, version aggregate and lead window share ONE hash shuffle") {
+    // hashpartitioning(user_id) from the islands window satisfies both the
+    // (user_id, island, event_type) aggregate clustering and the lead
+    // window's user_id partitioning — the whole SCD2 build is one exchange
+    // plus the final presentation sort.
+    val p = plan("q_scd2")
+    assert("hashpartitioning".r.findAllIn(p).size <= 1,
+      s"SCD2 build must not re-shuffle between window/aggregate/window: $p")
+  }
+
+  test("q_geo_cell: radius join is an equi join on cell keys, no cross product") {
+    val p = plan("q_geo_cell")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell bucketing must make the spatial join an equi join: $p")
+  }
+
   test("q_sample_strat: pure map-stage predicate — no hash shuffle") {
     assert(!plan("q_sample_strat").contains("hashpartitioning"))
   }
