@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object EtlOps extends OpModule {
 
+  /** sfDirs whose "yesterday" rollup was already materialized by this JVM —
+    * the rollup is the persistent incremental-view state (written once,
+    * merged every refresh); rebuilding it per builder call would make Bench
+    * time the one-off backfill instead of the incremental merge. */
+  private val rollupReady = scala.collection.mutable.Set[String]()
+
   /** Deterministic pseudo-coordinate in [0, 10000) centi-units, derived from
     * an md5 of the salted key — the tables carry no real coordinates, so the
     * geo operators manufacture reproducible ones the oracle can re-derive
@@ -128,6 +134,64 @@ object EtlOps extends OpModule {
         .orderBy(col("a_key"), col("b_key"))
     }),
 
+    // ---- q_cdc_merge: apply a change log onto a base dimension -----------
+    // Batch MERGE INTO semantics: the latest change per key wins; a final
+    // 'error' event deletes the key, any other type upserts its value, base
+    // keys without changes survive unchanged, and change keys missing from
+    // the base insert. Base = customers with key % 4 != 0 (so ~1/4 of the
+    // log's keys are genuine inserts). Scale: last-change-per-key is one
+    // partial-aggregating shuffle over the log (max_by of the (ts, event_id)
+    // tuple — no full sort); the merge is a key-equi full outer join, and a
+    // change log that is small against the base broadcasts instead.
+    "q_cdc_merge" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .where(col("c_custkey") % 4 =!= 0)
+        .select(col("c_custkey").as("bkey"), Det.cents(col("c_acctbal")).as("base_cents"))
+      val last = Tables.events(s, d)
+        .groupBy(col("user_id").as("lkey"))
+        .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+             max_by(Det.cents(col("value")), struct(col("ts"), col("event_id"))).as("last_cents"))
+      base.join(last, col("bkey") === col("lkey"), "full_outer")
+        .where(!(col("lkey").isNotNull && col("last_type") === "error"))
+        .select(
+          coalesce(col("bkey"), col("lkey")).as("key"),
+          coalesce(col("last_cents"), col("base_cents")).as("val_cents"),
+          when(col("lkey").isNull, "kept")
+            .when(col("bkey").isNull, "inserted")
+            .otherwise("updated").as("src"))
+        .orderBy(col("key"))
+    }),
+
+    // ---- q_incr_agg: incremental view maintenance via partial-state merge -
+    // The standing rollup (orders before 1998, materialized once as the
+    // "yesterday" state) is merged with freshly aggregated delta partials
+    // (orders from 1998 on) by RE-aggregating the partial states: counts and
+    // integer sums are mergeable, so refresh cost is O(delta + groups), not
+    // O(history). The delta scan must carry the date bound in PushedFilters
+    // (plan-audited) — at 100 TB that is the difference between scanning a
+    // day and scanning six years. Result must equal the full aggregate,
+    // which is the oracle.
+    "q_incr_agg" -> ((s, d) => {
+      val split = "1998-01-01"
+      val path = s"target/tmp/rollup_${math.abs(d.hashCode)}"
+      if (!rollupReady.contains(d)) {
+        Tables.orders(s, d)
+          .where(col("o_orderdate") < to_timestamp(lit(split)))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Det.moneySum(col("o_totalprice")).as("cents"))
+          .write.mode("overwrite").parquet(path)
+        rollupReady += d
+      }
+      val delta = Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit(split)))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Det.moneySum(col("o_totalprice")).as("cents"))
+      s.read.parquet(path).unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- q_winsorize: percentile outlier clipping (data cleaning) --------
     // Clip each group's values to its [p05, p95] and report clip counts and
     // the clipped sum. Thresholds are VALUE-AT-RANK (row_number against an
@@ -224,6 +288,35 @@ object EtlOps extends OpModule {
         |FROM p a JOIN p b ON a.key < b.key
         |WHERE (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) < 2500
         |ORDER BY a_key, b_key""".stripMargin,
+
+    "q_cdc_merge" ->
+      """WITH last AS (
+        |  SELECT user_id AS lkey, event_type AS last_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS last_cents
+        |  FROM (
+        |    SELECT user_id, event_type, value, ts, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1
+        |), b AS (
+        |  SELECT c_custkey AS bkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS base_cents
+        |  FROM customer WHERE c_custkey % 4 <> 0
+        |)
+        |SELECT COALESCE(bkey, lkey) AS key,
+        |  COALESCE(last_cents, base_cents) AS val_cents,
+        |  CASE WHEN lkey IS NULL THEN 'kept'
+        |       WHEN bkey IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS src
+        |FROM b FULL OUTER JOIN last ON bkey = lkey
+        |WHERE NOT (lkey IS NOT NULL AND last_type = 'error')
+        |ORDER BY key""".stripMargin,
+
+    // the incremental merge must equal the from-scratch aggregate
+    "q_incr_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_winsorize" ->
       """WITH o AS (

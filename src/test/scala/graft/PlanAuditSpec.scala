@@ -114,6 +114,12 @@ class PlanAuditSpec extends SparkSpec {
       s"cell bucketing must make the spatial join an equi join: $p")
   }
 
+  test("q_incr_agg: delta scan carries the date bound in PushedFilters") {
+    val p = plan("q_incr_agg")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"incremental refresh must push the delta date bound to the scan: $p")
+  }
+
   test("q_sample_strat: pure map-stage predicate — no hash shuffle") {
     assert(!plan("q_sample_strat").contains("hashpartitioning"))
   }

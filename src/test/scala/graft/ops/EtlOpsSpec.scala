@@ -64,6 +64,38 @@ class EtlOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_cdc_merge: delete/upsert/insert/keep semantics against the log") {
+    val merged = SparkEntry.queries("q_cdc_merge")(spark, sf).cache()
+    val events = Tables.events(spark, sf).cache()
+    val baseKeys = Tables.customer(spark, sf)
+      .where(col("c_custkey") % 4 =!= 0).select(col("c_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    // last op per user, recomputed independently
+    val lastOps = events.orderBy(col("ts").desc, col("event_id").desc)
+      .select("user_id", "event_type").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.head.getString(1) }
+    val out = merged.select("key", "src").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((u, op) <- lastOps) {
+      if (op == "error") assert(!out.contains(u), s"user $u deleted by last error op")
+      else if (baseKeys(u)) assert(out(u) == "updated")
+      else assert(out(u) == "inserted")
+    }
+    for (k <- baseKeys -- lastOps.keySet) assert(out(k) == "kept")
+    merged.unpersist(); events.unpersist()
+  }
+
+  test("q_incr_agg: incremental refresh equals the from-scratch aggregate") {
+    val incr = SparkEntry.queries("q_incr_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val full = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("o_totalprice")).as("c"))
+      .orderBy(col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(incr.toSeq == full.toSeq)
+  }
+
   test("q_profile: row count and distinct counts match the table") {
     val prof = SparkEntry.queries("q_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
