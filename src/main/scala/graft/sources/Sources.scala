@@ -136,6 +136,51 @@ object Sources extends OpModule {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Small-file compaction: the events feed lands as many tiny files (the
+    // streaming-ingest reality); compaction rewrites to size-targeted files.
+    // The file count derives from input bytes / target size — at 100 TB the
+    // same arithmetic yields thousands of 128 MB files instead of millions
+    // of KB-scale ones (NameNode/listing pressure, scan task startup).
+    // Content must survive byte-exactly: the oracle aggregates the original
+    // table. SourcesSpec asserts the before/after file counts.
+    "sink_compact" -> ((s, d) => {
+      val small = tmp(d, "small"); val compact = tmp(d, "compact")
+      Tables.orders(s, d).repartition(64)
+        .write.mode("overwrite").parquet(small)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(small)).getLength
+      val target = 8L << 20 // 8 MB test-scale stand-in for the 128 MB default
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+      s.read.parquet(small)
+        .repartitionByRange(nFiles, col("o_orderkey"))
+        .write.mode("overwrite").parquet(compact)
+      s.read.parquet(compact)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), graft.ops.Det.moneySum(col("o_totalprice")).as("sum_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Sorted store layout: range-repartition + sort within partitions by the
+    // dominant filter column before writing. Parquet records per-row-group
+    // min/max stats; with disjoint per-file key ranges a date-bounded read
+    // skips whole files/row groups instead of scanning them — the poor
+    // man's clustering index every big store needs. SourcesSpec asserts the
+    // per-file ranges are actually disjoint; the oracle checks the bounded
+    // read returns exactly the right rows.
+    "sink_sorted" -> ((s, d) => {
+      val path = tmp(d, "sorted")
+      Tables.orders(s, d)
+        .repartitionByRange(4, col("o_orderdate"))
+        .sortWithinPartitions(col("o_orderdate"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .where(col("o_orderdate") >= to_timestamp(lit("1997-06-01")) &&
+               col("o_orderdate") <  to_timestamp(lit("1997-09-01")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), graft.ops.Det.moneySum(col("o_totalprice")).as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // CSV + JSON export of the same slice must agree with each other.
     "sink_csv_json" -> ((s, d) => {
       val slice = Tables.lineitem(s, d)
@@ -190,6 +235,18 @@ object Sources extends OpModule {
         |  MAX(l_shipdate) AS last_ship
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "sink_compact" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "sink_sorted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate < TIMESTAMP '1997-09-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // both exports re-ingested: every group exactly doubled
     "sink_csv_json" ->

@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Layout contracts for the sink operators (file counts, sortedness). */
+class SourcesSpec extends SparkSpec {
+
+  private def files(path: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+  }
+
+  test("sink_compact: 64 small files collapse to the size-targeted count") {
+    SparkEntry.queries("sink_compact")(spark, sf).collect() // runs both writes
+    val suffix = math.abs(sf.hashCode)
+    val nSmall = files(s"target/tmp/src_small_$suffix").size
+    val nCompact = files(s"target/tmp/src_compact_$suffix").size
+    assert(nSmall == 64, s"fixture should write 64 small files, got $nSmall")
+    assert(nCompact < nSmall && nCompact >= 1,
+      s"compaction must reduce the file count: $nSmall -> $nCompact")
+  }
+
+  test("sink_sorted: per-file o_orderdate ranges are disjoint (skippable layout)") {
+    SparkEntry.queries("sink_sorted")(spark, sf).collect() // runs the write
+    val suffix = math.abs(sf.hashCode)
+    val ranges = spark.read.parquet(s"target/tmp/src_sorted_$suffix")
+      .select(input_file_name().as("f"), col("o_orderdate"))
+      .groupBy("f")
+      .agg(min("o_orderdate").cast("string").as("lo"),
+           max("o_orderdate").cast("string").as("hi"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2))) // ISO strings sort correctly
+      .sortBy(_._1)
+    assert(ranges.size >= 2, "range repartition should produce multiple files")
+    for (((_, hiA), (loB, _)) <- ranges.zip(ranges.tail)) {
+      assert(hiA <= loB, s"file key ranges overlap: hi=$hiA > nextLo=$loB")
+    }
+  }
+}
