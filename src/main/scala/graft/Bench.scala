@@ -24,6 +24,7 @@ object Bench {
     "q_tfidf_terms", "q_lang_id", "q_quality_filter",                // text analysis
     "q_contamination", "q_doc_norm", "q_sim_ivf",                    // curation (r2)
     "q_pack_seq", "q_semdedup",                                      // training-batch (r3)
+    "q_scd2", "q_cdc_merge", "q_geo_cell",                           // ETL lifecycle (r3)
     "q_skew_salted",                                                 // scale posture
     "s_tumble_wm", "s_stateful",                                     // streaming
     "src_json")                                                      // ingest
