@@ -192,6 +192,42 @@ object EtlOps extends OpModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- q_dq_rules: declarative data-quality constraint audit -----------
+    // Deequ/dbt-test-shaped validation: each rule yields (rule, n_checked,
+    // n_violations). ALL row-level rules over one table fuse into a single
+    // scan (one agg, conditional sums — never a scan per rule); the
+    // referential-integrity rule is a key-equi left anti join (broadcast or
+    // shuffle by key at scale). Adding a rule adds a column to the agg, not
+    // a pass over 100 TB.
+    "q_dq_rules" -> ((s, d) => {
+      val o = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v_status"),
+        sum(when(col("o_orderdate") < to_timestamp(lit("1992-01-01")) ||
+                 col("o_orderdate") >= to_timestamp(lit("1999-01-01")), 1L)
+          .otherwise(0L)).as("v_date"))
+      val l = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("v_qty"))
+      val orphans = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_orphan"))
+      o.selectExpr(
+          """stack(3,
+            |  'orders.totalprice_positive', n, v_price,
+            |  'orders.status_in_domain',    n, v_status,
+            |  'orders.date_in_bounds',      n, v_date
+            |) as (rule, n_checked, n_violations)""".stripMargin)
+        .unionByName(l.selectExpr(
+          "stack(1, 'lineitem.qty_in_1_50', n, v_qty) as (rule, n_checked, n_violations)"))
+        .unionByName(l.select(col("n")).crossJoin(orphans).select(
+          lit("lineitem.orderkey_in_orders").as("rule"),
+          col("n").as("n_checked"), col("v_orphan").as("n_violations")))
+        .orderBy(col("rule"))
+    }),
+
     // ---- q_winsorize: percentile outlier clipping (data cleaning) --------
     // Clip each group's values to its [p05, p95] and report clip counts and
     // the clipped sum. Thresholds are VALUE-AT-RANK (row_number against an
@@ -317,6 +353,30 @@ object EtlOps extends OpModule {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_dq_rules" ->
+      """WITH o AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |                    OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+        |  FROM orders
+        |), l AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+        |  FROM lineitem
+        |), orph AS (
+        |  SELECT COUNT(*) AS v FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'orders.totalprice_positive' AS rule, o.n AS n_checked, o.v_price AS n_violations FROM o
+        |  UNION ALL SELECT 'orders.status_in_domain', o.n, o.v_status FROM o
+        |  UNION ALL SELECT 'orders.date_in_bounds', o.n, o.v_date FROM o
+        |  UNION ALL SELECT 'lineitem.qty_in_1_50', l.n, l.v_qty FROM l
+        |  UNION ALL SELECT 'lineitem.orderkey_in_orders', l.n, orph.v FROM l, orph
+        |) ORDER BY rule""".stripMargin,
 
     "q_winsorize" ->
       """WITH o AS (

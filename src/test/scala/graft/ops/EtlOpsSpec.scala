@@ -96,6 +96,20 @@ class EtlOpsSpec extends SparkSpec {
     assert(incr.toSeq == full.toSeq)
   }
 
+  test("q_dq_rules: referential rule matches an independent anti-join count") {
+    val rules = SparkEntry.queries("q_dq_rules")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orphans = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .count()
+    val nLi = Tables.lineitem(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf).count()
+    assert(rules("lineitem.orderkey_in_orders") == (nLi, orphans))
+    assert(rules("lineitem.qty_in_1_50")._1 == nLi)
+    assert(rules("orders.totalprice_positive")._1 == nOrd)
+    assert(rules.size == 5)
+  }
+
   test("q_profile: row count and distinct counts match the table") {
     val prof = SparkEntry.queries("q_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
