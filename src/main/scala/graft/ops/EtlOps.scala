@@ -33,13 +33,16 @@ object EtlOps extends OpModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- q_profile: one-pass column profiling (data-quality audit) --------
-    // n / nulls / distinct / min / max for four differently-typed columns in
-    // a single aggregate over a single scan; the one-row result is unpivoted
-    // with stack(). Scale: multiple COUNT(DISTINCT)s expand the scan 4× —
-    // at 100 TB swap them for approx_count_distinct (one pass, no expand);
-    // the rest is pure partial aggregation. min/max ship as strings so the
-    // four profiles stack into one typed column.
+    // ---- q_profile: column profiling (data-quality audit) -----------------
+    // n / nulls / distinct / min / max for four differently-typed columns,
+    // unpivoted with stack(). Two aggregates, not one: fusing the exact
+    // COUNT(DISTINCT)s with the plain aggs makes Catalyst expand every scan
+    // row 5× (one replica per distinct column + one for the rest — measured
+    // 5.8 s vs 2.6 s at sf0.1); kept separate, the plain block is a pure
+    // partial agg and the distinct block expands 4× with nothing else
+    // riding along. The 1-row results cross-join for free. At 100 TB swap
+    // the distinct block for approx_count_distinct in the plain block —
+    // mergeable HLL, ONE scan, no expand.
     "q_profile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(
@@ -48,10 +51,6 @@ object EtlOps extends OpModule {
           count(col("l_extendedprice")).as("ne"),
           count(col("l_returnflag")).as("nr"),
           count(col("l_shipdate")).as("ns"),
-          countDistinct(col("l_quantity")).as("dq"),
-          countDistinct(col("l_extendedprice")).as("de"),
-          countDistinct(col("l_returnflag")).as("dr"),
-          countDistinct(col("l_shipdate")).as("ds"),
           Det.cents(min(col("l_quantity"))).cast("string").as("minq"),
           Det.cents(max(col("l_quantity"))).cast("string").as("maxq"),
           Det.cents(min(col("l_extendedprice"))).cast("string").as("mine"),
@@ -60,6 +59,11 @@ object EtlOps extends OpModule {
           max(col("l_returnflag")).as("maxr"),
           date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("mins"),
           date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("maxs"))
+        .crossJoin(Tables.lineitem(s, d).agg(
+          countDistinct(col("l_quantity")).as("dq"),
+          countDistinct(col("l_extendedprice")).as("de"),
+          countDistinct(col("l_returnflag")).as("dr"),
+          countDistinct(col("l_shipdate")).as("ds")))
         .selectExpr(
           """stack(4,
             |  'l_quantity',      n, n - nq, dq, minq, maxq,
