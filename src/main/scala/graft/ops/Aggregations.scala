@@ -248,6 +248,83 @@ object Aggregations extends OpModule {
               |FROM md JOIN la ON md.o_orderpriority = la.o_orderpriority
               |ORDER BY md.o_orderpriority""".stripMargin)
     }),
+
+    // Mergeable HLL sketches (Apache DataSketches, Spark 4 built-ins) — the
+    // 100 TB incremental-distinct pattern: per-partition sketches persist as
+    // binary state and MERGE associatively (hll_union_agg), so daily distinct
+    // counts roll up into monthly/total ones without re-reading raw data
+    // (contrast q_incr_agg, which can only merge algebraic aggregates).
+    // Determinism: HLL register state for a fixed lgK is a pure function of
+    // the input SET, and a union of sub-sketches maxes registers — identical
+    // to sketching the union directly. We pin that equality per group
+    // (merge_consistent) plus the approx_count_distinct-style error flag;
+    // the flags ride the hash gate, the sketch binary itself never leaves
+    // the engine.
+    "q_agg_hll_sketch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+                date_trunc("day", col("ts")).as("day"))
+      // level 1: one sketch per (event_type, day) — the "partition state"
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      // level 2: merge daily sketches per event_type
+      val merged = daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
+             countDistinct(col("user_id")).as("exact_users"))
+      direct.join(merged, "event_type")
+        .select(col("event_type"), col("exact_users"),
+                (col("est_merged") === col("est_direct")).as("merge_consistent"),
+                (abs(col("est_direct") - col("exact_users"))
+                  <= col("exact_users") * 0.05).as("within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Boolean aggregates + conditional counting — the audit-rule primitives
+    // (bool_and = "all rows satisfy", count_if = "how many violate").
+    "q_agg_bool" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+             expr("bool_or(o_orderstatus = 'F')").as("any_finished"),
+             expr("every(o_custkey >= 0)").as("keys_nonneg"),
+             expr("count_if(o_totalprice > 200000)").as("n_big"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Simple linear regression (price-per-quantity trend per return flag)
+    // from EXACT integer moments: x = quantity (integer-valued), y = price
+    // in cents. n, Σx, Σy, Σxy, Σx² are order-independent long sums, so the
+    // derived slope/intercept/r² are computed from bit-identical inputs on
+    // both engines (the only doubles are final divisions of exact integers).
+    // The built-in regr_slope/regr_intercept (streaming covariance — the
+    // scale path: one pass, no materialized moments) is cross-checked
+    // against the exact formula within 1e-6 and rides as a flag.
+    // Long-overflow note for 100 TB: Σxy here tops out ~3e14 at sf0.1;
+    // beyond ~sf100 the moment sums must ride DECIMAL(38,0) instead of
+    // BIGINT (both engines sum decimals exactly).
+    "q_agg_regr" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+                col("l_quantity").cast("long").as("x"),
+                Det.cents(col("l_extendedprice")).as("y"))
+        .createOrReplaceTempView("li_regr_v")
+      s.sql("""SELECT l_returnflag, n,
+              |  CAST(ROUND(1e6 * slope) AS BIGINT) AS slope_e6,
+              |  CAST(ROUND(1e6 * (syd - slope * sxd) / nd) AS BIGINT) AS icept_e6,
+              |  (abs(rs - slope) <= 1e-7 * abs(slope)) AS builtin_close
+              |FROM (
+              |  SELECT l_returnflag, n, nd, sxd, syd,
+              |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope, rs
+              |  FROM (
+              |    SELECT l_returnflag, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+              |      CAST(SUM(x) AS DOUBLE) AS sxd, CAST(SUM(y) AS DOUBLE) AS syd,
+              |      CAST(SUM(x*y) AS DOUBLE) AS sxyd, CAST(SUM(x*x) AS DOUBLE) AS sxxd,
+              |      regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rs
+              |    FROM li_regr_v GROUP BY l_returnflag) a) b
+              |ORDER BY l_returnflag""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -387,5 +464,46 @@ object Aggregations extends OpModule {
         |SELECT md.o_orderpriority, md.mode_month, md.mode_n, la.statuses
         |FROM md JOIN la ON md.o_orderpriority = la.o_orderpriority
         |ORDER BY md.o_orderpriority""".stripMargin,
+
+    // DuckDB has no DataSketches HLL — the properties (merge-consistency
+    // and the 5% error bound), not the sketch values, ride the hash gate
+    // (same pattern as q_agg_approx_distinct / q_agg_approx_quantile).
+    "q_agg_hll_sketch" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merge_consistent, TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+        |  BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+        |  BOOL_OR(o_orderstatus = 'F') AS any_finished,
+        |  BOOL_AND(o_custkey >= 0) AS keys_nonneg,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Mirrors the Spark formula exactly: all moments are exact integer sums
+    // (DuckDB sums BIGINT into HUGEINT — also exact) cast to double only at
+    // the final divisions, so both engines round identical doubles.
+    "q_agg_regr" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(x) AS DOUBLE) AS sxd, CAST(SUM(y) AS DOUBLE) AS syd,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxyd, CAST(SUM(x*x) AS DOUBLE) AS sxxd,
+        |    REGR_SLOPE(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rs
+        |  FROM src GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT l_returnflag, n, nd, sxd, syd,
+        |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope, rs
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  CAST(ROUND(1e6 * slope) AS BIGINT) AS slope_e6,
+        |  CAST(ROUND(1e6 * (syd - slope * sxd) / nd) AS BIGINT) AS icept_e6,
+        |  (ABS(rs - slope) <= 1e-7 * ABS(slope)) AS builtin_close
+        |FROM b ORDER BY l_returnflag""".stripMargin,
   )
 }

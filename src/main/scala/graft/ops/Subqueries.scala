@@ -59,6 +59,25 @@ object Subqueries extends OpModule {
         .unpivot(Array(col("p_partkey")), Array(col("size"), col("price")),
                  "metric", "val")
         .orderBy(col("p_partkey"), col("metric"))),
+
+    // EXISTS disjoined with a local predicate: the subquery can't be
+    // rewritten to a plain semi join (a non-matching row may still pass via
+    // the OR), so Catalyst plans an ExistenceJoin — a semi-join variant that
+    // ADDS a boolean "matched" column instead of filtering, which the OR
+    // then consumes (asserted in PlanAuditSpec). Same cost profile as a
+    // semi join at 100 TB: one equi-shuffle on the correlation key, the
+    // probe side never duplicates rows.
+    "q_join_existence" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_ex_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_ex_v")
+      s.sql("""SELECT c_custkey, c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+              |FROM customer_ex_v c
+              |WHERE c_acctbal < 0
+              |   OR EXISTS (SELECT 1 FROM orders_ex_v o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_orderpriority = '1-URGENT')
+              |ORDER BY c_custkey""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -88,5 +107,14 @@ object Subqueries extends OpModule {
         |UNION ALL
         |SELECT p_partkey, 'price' AS metric, p_retailprice AS val FROM part
         |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q_join_existence" ->
+      """SELECT c_custkey, c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer c
+        |WHERE c_acctbal < 0
+        |   OR EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -141,6 +141,17 @@ class PlanAuditSpec extends SparkSpec {
       "the aggregate formulation must not fall back to the window idiom")
   }
 
+  test("q_join_existence: EXISTS-OR plans as ExistenceJoin (no row duplication, no filter-join)") {
+    val p = plan("q_join_existence")
+    assert(p.contains("ExistenceJoin"), p.take(400))
+  }
+
+  test("q_agg_hll_sketch: sketches partial-aggregate map-side before the shuffle") {
+    val p = plan("q_agg_hll_sketch")
+    assert(p.contains("partial_hll_sketch_agg"),
+      "HLL sketch state must build map-side (mergeable-aggregate contract)")
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))

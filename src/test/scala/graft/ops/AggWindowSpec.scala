@@ -40,6 +40,47 @@ class AggWindowSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("q_agg_hll_sketch: merge of daily sketches ≡ direct sketch, within 5% of exact") {
+    val rows = Aggregations.queries("q_agg_hll_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: union of sub-sketches diverged from direct sketch")
+      assert(r.getBoolean(3), s"${r.getString(0)}: HLL estimate outside 5% of exact ${r.getLong(1)}")
+    }
+  }
+
+  test("q_agg_regr: integer-moment slope matches brute-force OLS; builtin regr_slope agrees") {
+    val rows = Aggregations.queries("q_agg_regr")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+              round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val pts = li.filter(_._1 == r.getString(0)).map(p => (p._2.toDouble, p._3.toDouble))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getLong(2) - math.round(1e6 * slope)) <= 1,
+        s"${r.getString(0)}: slope_e6 ${r.getLong(2)} vs brute ${math.round(1e6 * slope)}")
+      assert(r.getBoolean(4), s"${r.getString(0)}: builtin regr_slope drifted from exact moments")
+    }
+  }
+
+  test("q_agg_bool agrees with direct predicate counts") {
+    val rows = Aggregations.queries("q_agg_bool")(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    rows.foreach { r =>
+      val grp = orders.filter(_._1 == r.getString(0))
+      assert(r.getBoolean(1) == grp.forall(_._2 > 1000))
+      assert(r.getBoolean(2) == grp.exists(_._3 == "F"))
+      assert(r.getLong(4) == grp.count(_._2 > 200000))
+    }
+  }
+
   test("custom GeoMean Aggregator merges correctly across partitions") {
     import graft.functions.GeoMean
     val geo = udaf(GeoMean)
