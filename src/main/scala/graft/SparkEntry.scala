@@ -14,9 +14,9 @@ object SparkEntry {
 
   private val modules: Seq[OpModule] = Seq(
     Scans, Expressions, Joins, SortSetOps, Aggregations, Windows, ScalarFuncs,
-    TimeSeries, LlmOps, Multimodal, DedupVariants, TextAnalysis, Similarity,
-    PipelineOps, TrainingOps, Subqueries, ScaleOps, EtlOps, graft.streaming.StreamOps,
-    graft.sources.Sources,
+    StructuredFuncs, TimeSeries, LlmOps, Multimodal, DedupVariants, TextAnalysis,
+    Similarity, PipelineOps, TrainingOps, Subqueries, ScaleOps, EtlOps,
+    graft.streaming.StreamOps, graft.sources.Sources,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
