@@ -25,6 +25,23 @@ object Multimodal extends OpModule {
 
   case class MediaFeature(doc_id: Long, n_bytes: Int, feat: Array[Float])
 
+  case class Frame(doc_id: Long, frame_idx: Int, checksum: Long)
+
+  /** STUB frame decode: real implementation = demux(payload) → sample every
+    * SECOND frame of the first 8 (temporal subsampling — the standard
+    * video-pipeline trick to bound per-record work) → per-frame features.
+    * Deterministic fake: 32-byte fixed-stride "frames", byte-sum checksum. */
+  private def sampleFrames(docId: Long, payload: Array[Byte]): Iterator[Frame] = {
+    val nFrames = math.min(payload.length / 32, 8)
+    Iterator.range(0, nFrames, 2).map { fi =>
+      var sum = 0L
+      var j = fi * 32
+      val end = j + 32
+      while (j < end) { sum += (payload(j) & 0xff); j += 1 }
+      Frame(docId, fi, sum)
+    }
+  }
+
   /** STUB decode: real implementation = codec(payload) → pixels/samples →
     * model features. Deterministic fake: 8-bin byte histogram, L1-normalized. */
   private def decode(payload: Array[Byte]): Array[Float] = {
@@ -70,6 +87,25 @@ object Multimodal extends OpModule {
                 round(element_at(col("feat"), 4) * col("n_bytes")).cast("int").as("b3_cnt"))
         .orderBy(col("doc_id"))
     }),
+
+    // Frame sampling over a "video" payload: per-record fan-out (flatMap —
+    // the Dataset UDTF surface) emitting every second 32-byte frame of the
+    // first 8, with a deterministic stub checksum per frame. The plumbing
+    // under a real decoder: binary column in, bounded frames-per-record
+    // out, executor-local imperative kernel, no shuffle before the audit
+    // sort. Oracle: the corpus is pure ASCII (verified r2), so DuckDB
+    // recomputes each frame checksum as a sum of ASCII codes over the same
+    // char windows — a wrong stride/offset/sample-rate breaks the match.
+    "q_multimodal_frames" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, payload) => sampleFrames(id, payload) }
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -78,5 +114,16 @@ object Multimodal extends OpModule {
         |  CAST(LENGTH(REGEXP_REPLACE(text, '[^\x20-\x3F]', '', 'g')) AS INTEGER) AS b1_cnt,
         |  CAST(LENGTH(REGEXP_REPLACE(text, '[^\x60-\x7F]', '', 'g')) AS INTEGER) AS b3_cnt
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    UNNEST(GENERATE_SERIES(0, LEAST(LENGTH(text) // 32, 8) - 1, 2)) AS frame_idx
+        |  FROM documents
+        |  WHERE LENGTH(text) >= 32)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32),
+        |    j -> ASCII(SUBSTR(text, frame_idx * 32 + j, 1)))) AS BIGINT) AS checksum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -67,6 +67,34 @@ object TextAnalysis extends OpModule {
                 expr("array_join(slice(sort_array(transform(sh, s -> md5(s))), 1, 4), ',')").as("fp"),
                 expr("sort_array(transform(sh, s -> md5(s)))[0]").as("min_hash"))
         .orderBy(col("doc_id"))),
+
+    // Model-based quality scoring: a fixed-weight linear model over exact
+    // integer text features (the learned-classifier stage of a C4/Gopher
+    // cleaning pipeline; q_quality_filter is the rule-based gate it
+    // replaces). Weights are integers and every feature is an exact integer
+    // (counts and integer-division ratios), so the score — and therefore
+    // the keep decision — is bit-exact on both engines at any SF. One
+    // linear scan, no shuffle until the final audit ORDER BY; at 100 TB
+    // the keep predicate pushes into the scan of downstream stages.
+    "q_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(trim(lower(col("text"))), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .where(col("n_tok") > 0)
+        .withColumn("stop_hits",
+          expr("cast(size(filter(toks, t -> t in ('the','a','of','and','to','in','is'))) as long)"))
+        .withColumn("punct", length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long"))
+        .withColumn("digits", length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+        .withColumn("alpha_ratio_e4",
+          expr("length(regexp_replace(lower(text), '[^a-z]', '')) * 10000L div length(text)"))
+        .withColumn("stop_ratio_e4", expr("stop_hits * 10000L div n_tok"))
+        .withColumn("score",
+          expr("""2L * least(n_tok, 500) + 3L * stop_ratio_e4 div 10
+                 |  + alpha_ratio_e4 div 5 - 8L * punct - 4L * digits""".stripMargin))
+        .select(col("doc_id"), col("n_tok"), col("stop_ratio_e4"),
+                col("alpha_ratio_e4"), col("score"),
+                (col("score") >= 2500).as("keep"))
+        .orderBy(col("doc_id"))),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -109,5 +137,30 @@ object TextAnalysis extends OpModule {
         |  ARRAY_TO_STRING(LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1:4], ',') AS fp,
         |  LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1] AS min_hash
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS BIGINT) AS n_tok,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(LOWER(text)), ' '),
+        |      t -> LIST_CONTAINS(['the','a','of','and','to','in','is'], t))) AS BIGINT) AS stop_hits,
+        |    CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS punct,
+        |    CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS BIGINT) AS digits,
+        |    CAST(LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]', '', 'g')) AS BIGINT) * 10000
+        |      // CAST(LENGTH(text) AS BIGINT) AS alpha_ratio_e4
+        |  FROM documents
+        |  WHERE LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) > 0),
+        |g AS (
+        |  SELECT doc_id, n_tok, stop_hits * 10000 // n_tok AS stop_ratio_e4,
+        |    alpha_ratio_e4, punct, digits
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, n_tok, stop_ratio_e4, alpha_ratio_e4,
+        |    2 * LEAST(n_tok, 500) + 3 * stop_ratio_e4 // 10
+        |      + alpha_ratio_e4 // 5 - 8 * punct - 4 * digits AS score
+        |  FROM g)
+        |SELECT doc_id, n_tok, stop_ratio_e4, alpha_ratio_e4, score,
+        |  (score >= 2500) AS keep
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

@@ -148,6 +148,45 @@ object TrainingOps extends OpModule {
                 coalesce(col("n_second"), lit(0L)).as("n_second"))
         .orderBy(col("bucket"))
     }),
+
+    // Symmetric int8 quantization of the embedding column — the 4× storage/
+    // bandwidth cut that makes 100 TB ANN shippable (int8 codes + one f32
+    // scale per vector; dot products run in int arithmetic downstream).
+    // Pure map-stage column math, no shuffle, pushdown-safe. Determinism:
+    // round-half-up is spelled FLOOR(x + 0.5) — identical semantics on both
+    // engines — over doubles derived identically from the same floats, and
+    // |v| ≤ amax guarantees codes land in [-127, 127] with no clamp branch.
+    // Zero vectors carry no direction — excluded on both sides (as in
+    // q_semdedup). The max dequantization error rides along in 1e-6 units:
+    // a quantizer regression (wrong scale, truncation instead of rounding)
+    // breaks the hash match.
+    "q_emb_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("amax",
+          expr("aggregate(embedding, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
+        .where(col("amax") > 0)
+        .withColumn("scale", col("amax") / 127)
+        .select(
+          col("vec_id"),
+          expr("cast(round(scale * 1e9) as bigint)").as("scale_e9"),
+          expr("array_join(transform(embedding, x -> cast(cast(floor(cast(x as double) / scale + 0.5d) as int) as string)), ',')").as("q_csv"),
+          expr("cast(round(aggregate(embedding, cast(0.0 as double), (a, x) -> greatest(a, abs(floor(cast(x as double) / scale + 0.5d) * scale - cast(x as double)))) * 1e6) as bigint)").as("max_err_e6"))
+        .orderBy(col("vec_id"))),
+
+    // Deterministic train/val/test split: the first md5 byte of the key
+    // buckets every document into train (<204, ~80%), val (<230, ~10%) or
+    // test (~10%) — reproducible across engines, retries and repartitioning
+    // (the q_sample_hash predicate, generalized to a partition function).
+    // The audit reports per-(split, lang) counts plus id ranges; totals are
+    // disjoint-and-complete by construction of the CASE.
+    "q_dataset_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("b", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+        .withColumn("split",
+          when(col("b") < 204, "train").when(col("b") < 230, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"), col("lang"))),
   )
 
   /** Shared oracle CTE: non-zero embeddings + initial centroids + first
@@ -226,5 +265,29 @@ object TrainingOps extends OpModule {
          |  ON x.bucket = y.bucket
          |ORDER BY bucket""".stripMargin
     },
+
+    "q_emb_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings
+        |  WHERE LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0)
+        |SELECT vec_id,
+        |  CAST(ROUND(scale * 1e9) AS BIGINT) AS scale_e9,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(embedding,
+        |    x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q_csv,
+        |  CAST(ROUND(LIST_MAX(LIST_TRANSFORM(embedding,
+        |    x -> ABS(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) * scale - CAST(x AS DOUBLE)))) * 1e6) AS BIGINT) AS max_err_e6
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_dataset_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 204 THEN 'train'
+        |         WHEN CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin,
   )
 }

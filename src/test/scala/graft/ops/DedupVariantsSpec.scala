@@ -59,4 +59,26 @@ class DedupVariantsSpec extends SparkSpec {
     val share = high.count { case (a, b, _) => fp(a) == fp(b) }.toDouble / high.size
     assert(share >= 0.8, s"only $share of >=0.95-jaccard pairs share min_hash")
   }
+
+  test("q_quality_score: score matches a brute-force reimplementation of the model") {
+    val rows = TextAnalysis.queries("q_quality_score")(spark, sf).collect()
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val texts = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      val toks = t.trim.toLowerCase.split(" ")
+      val nTok = toks.length.toLong
+      val stopR = toks.count(stop) * 10000L / nTok
+      val alphaR = t.toLowerCase.count(c => c >= 'a' && c <= 'z') * 10000L / t.length
+      val punct = t.count(".,!?;:".contains(_)).toLong
+      val digits = t.count(_.isDigit).toLong
+      val score = 2L * math.min(nTok, 500) + 3L * stopR / 10 + alphaR / 5 - 8L * punct - 4L * digits
+      assert(r.getLong(4) == score, s"doc ${r.getLong(0)}: ${r.getLong(4)} vs $score")
+      assert(r.getBoolean(5) == (score >= 2500))
+    }
+  }
 }

@@ -26,4 +26,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == graft.Tables.documents(spark, sf).count())
     assert(out.select(col("doc_id")).distinct().count() == out.count())
   }
+
+  test("q_multimodal_frames: even frame indices, ≤4 frames/doc, checksums match brute force") {
+    val rows = Multimodal.queries("q_multimodal_frames")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 % 2 == 0), "only every second frame is sampled")
+    rows.groupBy(_._1).foreach { case (_, fs) => assert(fs.length <= 4) }
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, fi, sum) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val want = bytes.slice(fi * 32, fi * 32 + 32).map(_ & 0xff).sum.toLong
+      assert(sum == want, s"doc $id frame $fi")
+    }
+    // frame fan-out bounded: docs shorter than one frame emit nothing
+    texts.filter(_._2.length < 32).keys.foreach { id =>
+      assert(!rows.exists(_._1 == id))
+    }
+  }
 }

@@ -48,6 +48,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == nz)
   }
 
+  test("q_emb_quantize: codes bounded, error within half a quantization step") {
+    val rows = TrainingOps.queries("q_emb_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getString(2).split(",").map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec ${r.getLong(0)}: code out of int8 range")
+      assert(codes.exists(c => math.abs(c) == 127), "amax element must hit full scale")
+      // max dequant error ≤ scale/2 (+1 unit slack for the e6/e9 rounding)
+      assert(r.getLong(3) <= r.getLong(1) / 2000 + 1,
+        s"vec ${r.getLong(0)}: err_e6=${r.getLong(3)} vs scale_e9=${r.getLong(1)}")
+    }
+  }
+
+  test("q_dataset_split: partitions are complete and roughly 80/10/10") {
+    val rows = TrainingOps.queries("q_dataset_split")(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    val bySplit = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.values.sum == total, "splits must cover every document exactly once")
+    assert(bySplit("train").toDouble / total > 0.7 && bySplit("train").toDouble / total < 0.9)
+    assert(bySplit.keySet == Set("train", "val", "test"))
+  }
+
   test("q_emb_kmeans: both assignment rounds are total over non-zero vectors") {
     val rows = TrainingOps.queries("q_emb_kmeans")(spark, sf).collect()
     val nz = graft.Tables.embeddings(spark, sf)
