@@ -147,6 +147,34 @@ object Joins extends OpModule {
               |                          FROM orders_naaj_v)) t
               |ORDER BY variant""".stripMargin)
     }),
+
+    // Blocked fuzzy-match join (entity resolution / record linkage): a
+    // "dirty" registry — supplier names with one deterministic character
+    // corruption — is linked back to the clean registry by best edit
+    // distance WITHIN a block (the last two id digits, untouched by the
+    // corruption). The block equi-join confines the quadratic levenshtein
+    // work to ~1% of the cross product — the q_geo_cell/q_semdedup
+    // block-then-verify shape — and the top-1 pick is tie-broken on the
+    // candidate key (D3). `is_correct` pins linkage quality: a blocking or
+    // ranking regression surfaces as a hash mismatch, not a silent recall
+    // drop.
+    "q_er_join" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .select(col("s_suppkey").as("dk"),
+                expr("concat(substr(s_name, 1, 9), 'O', substr(s_name, 11))").as("dn"),
+                expr("substr(s_name, 17, 2)").as("blk"))
+        .createOrReplaceTempView("er_dirty_v")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey").as("ck"), col("s_name").as("cn"),
+                expr("substr(s_name, 17, 2)").as("blk"))
+        .createOrReplaceTempView("er_clean_v")
+      s.sql("""SELECT dk, ck AS matched_key, dist, (dk = ck) AS is_correct FROM (
+              |  SELECT d.dk, c.ck, levenshtein(d.dn, c.cn) AS dist,
+              |    ROW_NUMBER() OVER (PARTITION BY d.dk
+              |                       ORDER BY levenshtein(d.dn, c.cn), c.ck) AS rn
+              |  FROM er_dirty_v d JOIN er_clean_v c ON d.blk = c.blk) t
+              |WHERE rn = 1 ORDER BY dk""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -238,5 +266,22 @@ object Joins extends OpModule {
         |                                      THEN o_custkey END
         |                          FROM orders)) t
         |ORDER BY variant""".stripMargin,
+
+    "q_er_join" ->
+      """WITH dirty AS (
+        |  SELECT s_suppkey AS dk,
+        |    SUBSTR(s_name, 1, 9) || 'O' || SUBSTR(s_name, 11) AS dn,
+        |    SUBSTR(s_name, 17, 2) AS blk
+        |  FROM supplier),
+        |clean AS (
+        |  SELECT s_suppkey AS ck, s_name AS cn, SUBSTR(s_name, 17, 2) AS blk
+        |  FROM supplier)
+        |SELECT dk, ck AS matched_key, CAST(dist AS INTEGER) AS dist,
+        |  (dk = ck) AS is_correct FROM (
+        |  SELECT d.dk, c.ck, LEVENSHTEIN(d.dn, c.cn) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY d.dk
+        |                       ORDER BY LEVENSHTEIN(d.dn, c.cn), c.ck) AS rn
+        |  FROM dirty d JOIN clean c ON d.blk = c.blk) t
+        |WHERE rn = 1 ORDER BY dk""".stripMargin,
   )
 }

@@ -162,6 +162,49 @@ object TimeSeries extends OpModule {
               |FROM m LEFT JOIN agg ON m.k = agg.k
               |ORDER BY month""".stripMargin)
     }),
+
+    // Ordered conversion funnel view → click → purchase per user: each
+    // stage's timestamp is the earliest event STRICTLY AFTER the previous
+    // stage (not merely the earliest of its type — the ordering is the
+    // funnel). All three stage columns ride ONE shuffle on user_id: they
+    // are chained min-over-partition windows on the same key, which reuse
+    // the first window's HashPartitioning (the §10.2 plan-shape finding),
+    // then collapse to one row per user and a single global roll-up.
+    // Stage latency sums ride exact epoch-µs integer arithmetic (D2: both
+    // engines see identical µs timestamps).
+    "q_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val staged = Tables.events(s, d)
+        .withColumn("t0", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t1", min(when(col("event_type") === "click" && col("ts") > col("t0"), col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "purchase" && col("ts") > col("t1"), col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("t0")).as("t0"), max(col("t1")).as("t1"), max(col("t2")).as("t2"))
+      staged.agg(
+        count(col("t0")).as("n_view"),
+        count(col("t1")).as("n_click"),
+        count(col("t2")).as("n_purchase"),
+        sum(unix_micros(col("t1")) - unix_micros(col("t0"))).as("view_click_us"),
+        sum(unix_micros(col("t2")) - unix_micros(col("t1"))).as("click_purchase_us"))
+    }),
+
+    // Weekly cohort retention: cohort = ISO week of a user's first activity;
+    // cell (cohort, k) counts users active again k weeks later. Two hash
+    // aggregations and a join, all clustered on user_id before the final
+    // small (cohort, k) roll-up — the shape that holds when users × weeks
+    // is billions of rows.
+    "q_cohort_retention" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+        .distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cw"), expr("datediff(w, cw) div 7").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cw").cast("string").as("cohort_week"),
+                col("week_offset").cast("int").as("week_offset"), col("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -261,5 +304,44 @@ object TimeSeries extends OpModule {
         |       COALESCE(agg.rev_cents, 0) AS rev_cents
         |FROM m LEFT JOIN agg ON m.k = agg.k
         |ORDER BY month""".stripMargin,
+
+    // Stage-k timestamps chain on the stage-(k-1) result, so the oracle
+    // builds them as successive joined MIN aggregations (strictly-after
+    // filter mirrors the Spark `ts > t_prev` window condition; a NULL
+    // previous stage excludes the user from later stages on both sides).
+    "q_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        |  FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t1
+        |  FROM events e JOIN a ON e.user_id = a.user_id
+        |  WHERE e.event_type = 'click' AND a.t0 IS NOT NULL AND e.ts > a.t0
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN b ON e.user_id = b.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > b.t1
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT COUNT(*) FROM a WHERE t0 IS NOT NULL) AS n_view,
+        |  (SELECT COUNT(*) FROM b) AS n_click,
+        |  (SELECT COUNT(*) FROM c) AS n_purchase,
+        |  (SELECT CAST(SUM(EPOCH_US(b.t1) - EPOCH_US(a.t0)) AS BIGINT)
+        |   FROM b JOIN a ON b.user_id = a.user_id) AS view_click_us,
+        |  (SELECT CAST(SUM(EPOCH_US(c.t2) - EPOCH_US(b.t1)) AS BIGINT)
+        |   FROM c JOIN b ON c.user_id = b.user_id) AS click_purchase_us""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS w
+        |  FROM events),
+        |coh AS (SELECT user_id, MIN(w) AS cw FROM act GROUP BY user_id)
+        |SELECT CAST(cw AS VARCHAR) AS cohort_week,
+        |  CAST(DATEDIFF('day', cw, w) // 7 AS INTEGER) AS week_offset,
+        |  COUNT(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |GROUP BY cw, DATEDIFF('day', cw, w) // 7
+        |ORDER BY cohort_week, week_offset""".stripMargin,
   )
 }

@@ -68,6 +68,15 @@ class RelationalSpec extends SparkSpec {
     assert(inter <= urgentKeys)
   }
 
+  test("q_er_join links every corrupted record back to its own entity") {
+    val rows = Joins.queries("q_er_join")(spark, sf).collect()
+    assert(rows.length == Tables.supplier(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"dirty ${r.getLong(0)} linked to ${r.getLong(1)}")
+      assert(r.getInt(2) == 1, "single-char corruption must link at distance 1")
+    }
+  }
+
   private object SparkEntryRef {
     def apply(name: String) = graft.SparkEntry.queries(name)
   }

@@ -46,4 +46,39 @@ class TimeSeriesSpec extends SparkSpec {
       .agg(sum(col("n"))).collect()(0).getLong(0)
     assert(n == 4 * Tables.events(spark, sf).count())
   }
+
+  test("q_funnel: stage counts are monotone and match a brute-force walk") {
+    val r = TimeSeries.queries("q_funnel")(spark, sf).collect()(0)
+    val (nView, nClick, nPurchase) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nView >= nClick && nClick >= nPurchase && nView > 0)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    def stage(prev: Map[Long, Long], tpe: String): Map[Long, Long] =
+      prev.flatMap { case (u, t) =>
+        byUser(u).filter(e => e._2 == tpe && e._3 > t)
+          .map(_._3).minOption.map(u -> _)
+      }
+    val t0 = byUser.view.mapValues(_.filter(_._2 == "view").map(_._3).minOption)
+      .collect { case (u, Some(t)) => u -> t }.toMap
+    val t1 = stage(t0, "click")
+    val t2 = stage(t1, "purchase")
+    assert(nView == t0.size && nClick == t1.size && nPurchase == t2.size)
+  }
+
+  test("q_cohort_retention: offset-0 cell is the cohort size and bounds later offsets") {
+    val rows = TimeSeries.queries("q_cohort_retention")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val base = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    assert(rows.map(_._3).sum >= Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count())
+    rows.foreach { case (cw, k, n) =>
+      assert(base.contains(cw), s"cohort $cw missing its offset-0 cell")
+      assert(n <= base(cw), s"cohort $cw offset $k: $n > cohort size ${base(cw)}")
+    }
+    assert(base.values.sum == Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count(),
+      "every user belongs to exactly one cohort")
+  }
 }
