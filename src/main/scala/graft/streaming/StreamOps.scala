@@ -155,6 +155,27 @@ object StreamOps extends OpModule {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Stream–stream LEFT OUTER join: each purchase picks up clicks by the
+    * same user in the preceding 10 minutes; purchases with NO such click
+    * must still emit — but only once the watermark proves no matching click
+    * can still arrive (right watermark past the purchase ts). That wait is
+    * the semantic difference from the inner join above: outer rows are a
+    * WATERMARK PRODUCT, not a match product, so the final watermark
+    * (max ts − 10 min) decides which unmatched purchases surface and which
+    * stay in state — pinned exactly by the oracle's wm predicate. */
+  def outerJoinTransform(ds: Dataset[Ev]): DataFrame = {
+    val p = ds.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("ts_p"), col("event_id").as("id_p"))
+      .withWatermark("ts_p", "10 minutes")
+    val c = ds.where(col("event_type") === "click")
+      .select(col("user_id").as("uid_c"), col("ts").as("ts_c"), col("event_id").as("id_c"))
+      .withWatermark("ts_c", "10 minutes")
+    p.join(c, col("user_id") === col("uid_c") &&
+              col("ts_c") >= col("ts_p") - expr("INTERVAL 10 MINUTES") &&
+              col("ts_c") < col("ts_p"), "left_outer")
+      .select(col("id_p"), col("id_c"))
+  }
+
   /** Native streaming session windows (30-min gap) per user. */
   def sessionTransform(ds: Dataset[Ev]): DataFrame =
     ds.withWatermark("ts", "10 minutes")
@@ -339,6 +360,10 @@ object StreamOps extends OpModule {
       runStreamFile(s, d, OutputMode.Append())(streamJoinTransform)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "s_join_outer" -> ((s, d) =>
+      runStreamFile(s, d, OutputMode.Append())(outerJoinTransform)
+        .orderBy(col("id_p"), col("id_c").asc_nulls_first)),
+
     // Feed every event twice; the op must emit each exactly once.
     "s_dedup_wm" -> ((s, d) => {
       val evs = loadEvents(s, d)
@@ -482,6 +507,30 @@ object StreamOps extends OpModule {
         | AND b.ts > a.ts
         | AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Matched pairs ≡ the batch join; null-padded purchases are exactly the
+    // unmatched ones STRICTLY below the final watermark. Empirical finding
+    // (settled like the s_session_win HAVING): each side's watermark tracks
+    // only its OWN filtered feed (the event_type filter runs before
+    // withWatermark), so the global watermark is the MIN of the two sides'
+    // max ts − 10 min — verified row-for-row at sf0.01, where the last
+    // purchase itself stays in state because the purchase-side watermark
+    // ends below it.
+    "s_join_outer" ->
+      """WITH p AS (SELECT user_id, ts AS tp, event_id AS id_p
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS uc, ts AS tc, event_id AS id_c
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.id_p, c.id_c FROM p JOIN c ON p.user_id = c.uc
+        |      AND c.tc >= p.tp - INTERVAL 10 MINUTE AND c.tc < p.tp),
+        |wm AS (SELECT LEAST((SELECT MAX(tp) FROM p), (SELECT MAX(tc) FROM c))
+        |              - INTERVAL 10 MINUTE AS w)
+        |SELECT id_p, id_c FROM m
+        |UNION ALL
+        |SELECT p.id_p, NULL AS id_c FROM p, wm
+        |WHERE p.tp < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.id_p = p.id_p)
+        |ORDER BY id_p, id_c NULLS FIRST""".stripMargin,
 
     "s_dedup_wm" ->
       """SELECT event_type, COUNT(*) AS n FROM events

@@ -100,4 +100,24 @@ class StreamOpsSpec extends SparkSpec {
     // streaming emits only watermark-finalized sessions → subset of events
     assert(streamed > 0 && streamed <= batchTotal)
   }
+
+  test("s_join_outer: matched pairs equal the batch join; null rows only below watermark") {
+    val rows = StreamOps.queries("s_join_outer")(spark, sf).collect()
+    val matched = rows.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).getTime))
+    val purchases = ev.filter(_._3 == "purchase")
+    val clicks = ev.filter(_._3 == "click")
+    val batchPairs = (for {
+      p <- purchases
+      c <- clicks
+      if c._2 == p._2 && c._4 >= p._4 - 600000L && c._4 < p._4
+    } yield (p._1, c._1)).toSet
+    assert(matched == batchPairs, "inner matches must not wait on the watermark")
+    val wm = math.min(purchases.map(_._4).max, clicks.map(_._4).max) - 600000L
+    val nullIds = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    val expectNull = purchases.filter(p => p._4 < wm && !batchPairs.exists(_._1 == p._1)).map(_._1).toSet
+    assert(nullIds == expectNull, "outer rows are exactly the watermark-evicted unmatched purchases")
+  }
 }
