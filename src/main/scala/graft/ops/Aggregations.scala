@@ -281,6 +281,17 @@ object Aggregations extends OpModule {
         .orderBy(col("event_type"))
     }),
 
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 ≡ DuckDB): every non-aggregate
+    // select item becomes a grouping key — the drift-proof spelling for
+    // wide reporting queries (adding a dimension column can't silently
+    // fall out of the GROUP BY).
+    "q_group_by_all" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_gball_v")
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+              |FROM li_gball_v GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
     // Boolean aggregates + conditional counting — the audit-rule primitives
     // (bool_and = "all rows satisfy", count_if = "how many violate").
     "q_agg_bool" -> ((s, d) =>
@@ -472,6 +483,11 @@ object Aggregations extends OpModule {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS merge_consistent, TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
 
     "q_agg_bool" ->
       """SELECT o_orderpriority,

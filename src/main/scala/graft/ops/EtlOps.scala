@@ -260,6 +260,28 @@ object EtlOps extends OpModule {
              sum(greatest(col("lo"), least(col("hi"), col("cents")))).as("clip_cents"))
         .orderBy(col("p"))
     }),
+
+    // Z-order (Morton) clustering key: interleave the low 16 bits of two
+    // dimensions so a range scan on EITHER dimension touches a bounded band
+    // of the sorted layout — the multi-dimensional companion to
+    // sink_sorted's single-key range partitioning. Pure bit arithmetic
+    // (shiftleft/shiftright/&) over a generated bit-index sequence: exact
+    // integers, bit-equal cross-engine, codegen-friendly. The output also
+    // pins the top-level quadrant (first interleaved bit pair) each row
+    // lands in — the coarse cluster a layout writer would range-partition
+    // by at 100 TB.
+    "q_zorder_key" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+                col("p_size").cast("long").as("x"),
+                pmod(col("p_partkey"), lit(65536)).as("y"))
+        .withColumn("zkey", expr(
+          """aggregate(sequence(0, 15), 0L, (a, k) ->
+            |  a + shiftleft(shiftright(x, k) & 1, 2 * k)
+            |    + shiftleft(shiftright(y, k) & 1, 2 * k + 1))""".stripMargin))
+        .select(col("p_partkey"), col("zkey"),
+                expr("shiftright(zkey, 30) & 3").as("quadrant"))
+        .orderBy(col("p_partkey"))),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -404,5 +426,19 @@ object EtlOps extends OpModule {
         |FROM o JOIN t ON o.p = t.p
         |GROUP BY o.p, t.lo, t.hi
         |ORDER BY o.p""".stripMargin,
+
+    "q_zorder_key" ->
+      """WITH b AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS x, p_partkey % 65536 AS y
+        |  FROM part),
+        |z AS (
+        |  SELECT p_partkey,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 15), k ->
+        |      (((x >> k) & 1) << (2 * k)) + (((y >> k) & 1) << (2 * k + 1))))
+        |    AS BIGINT) AS zkey
+        |  FROM b)
+        |SELECT p_partkey, zkey,
+        |  CAST((zkey >> 30) & 3 AS BIGINT) AS quadrant
+        |FROM z ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -71,6 +71,49 @@ object ScaleOps extends OpModule {
              count(lit(1)).as("n_items"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // Count-Min frequency sketch (spark-sketch, built by a distributed
+    // partial-merge aggregation): the fixed-size mergeable answer to "how
+    // often does key k occur" over a stream/100 TB scan — heavy-hitter
+    // detection without a groupBy shuffle. Seeded → deterministic. The CMS
+    // contract rides the gate as flags (no underestimates; overestimate
+    // ≤ εN), the q_agg_approx_distinct pattern.
+    "q_agg_countmin" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"))
+      val cms = li.stat.countMinSketch(col("l_suppkey"), 0.001, 0.99, 42)
+      val bound = math.ceil(0.001 * cms.totalCount()).toLong
+      val probes = (1L to 10L).map(k => (k, cms.estimateCount(Long.box(k))))
+      val est = s.createDataFrame(probes).toDF("k", "est")
+      val exact = li.groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("k"), "left")
+        .select(col("k"), coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+                (col("est") >= coalesce(col("n_exact"), lit(0L))).as("no_underest"),
+                (col("est") <= coalesce(col("n_exact"), lit(0L)) + bound).as("within_bound"))
+        .orderBy(col("k"))
+    }),
+
+    // Bloom-filter runtime pre-filter (spark-sketch): build on the orders
+    // side, broadcast, probe the customer side BEFORE the join — the
+    // semi-join pushdown that at 100 TB skips scanning/shuffling rows whose
+    // key cannot match. Contract flags: zero false negatives (every
+    // customer with orders passes) and a bounded false-positive rate on
+    // known-absent probe keys.
+    "q_filter_bloom" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val bf = orders.stat.bloomFilter(col("o_custkey"), 20000, 0.03)
+      val bfB = s.sparkContext.broadcast(bf)
+      val probe = udf((k: Long) => bfB.value.mightContain(k))
+      val withOrders = Tables.customer(s, d)
+        .join(orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+      val nPresent = withOrders.count()
+      val nMissed = withOrders.where(!probe(col("c_custkey"))).count()
+      val absent = Tables.customer(s, d).select((col("c_custkey") + 10000000L).as("k"))
+      val nAbsent = absent.count()
+      val nFp = absent.where(probe(col("k"))).count()
+      s.createDataFrame(Seq((nPresent, nMissed == 0, nAbsent, nFp <= (0.09 * nAbsent).toLong)))
+        .toDF("n_present", "no_false_negatives", "n_absent_probes", "fp_within_bound")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -89,5 +132,25 @@ object ScaleOps extends OpModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // DuckDB has neither sketch — exact counts + pinned-TRUE contract flags
+    // (the q_agg_approx_distinct pattern).
+    "q_agg_countmin" ->
+      """WITH probes AS (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS k)
+        |SELECT CAST(probes.k AS BIGINT) AS k,
+        |  COALESCE(e.n_exact, 0) AS n_exact,
+        |  TRUE AS no_underest, TRUE AS within_bound
+        |FROM probes LEFT JOIN (
+        |  SELECT l_suppkey AS k, COUNT(*) AS n_exact FROM lineitem GROUP BY l_suppkey) e
+        |  ON probes.k = e.k
+        |ORDER BY k""".stripMargin,
+
+    "q_filter_bloom" ->
+      """SELECT
+        |  (SELECT COUNT(DISTINCT c_custkey) FROM customer
+        |   WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_present,
+        |  TRUE AS no_false_negatives,
+        |  (SELECT COUNT(*) FROM customer) AS n_absent_probes,
+        |  TRUE AS fp_within_bound""".stripMargin,
   )
 }

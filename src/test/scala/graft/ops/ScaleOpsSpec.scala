@@ -31,4 +31,43 @@ class ScaleOpsSpec extends SparkSpec {
         s"bucketed join still shuffles:\n$below")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q_agg_countmin: exact counts correct and CMS contract flags hold") {
+    val rows = ScaleOps.queries("q_agg_countmin")(spark, sf).collect()
+    assert(rows.length == 10)
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("l_suppkey"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact.getOrElse(r.getLong(0), 0L))
+      assert(r.getBoolean(2), s"CMS underestimated key ${r.getLong(0)}")
+      assert(r.getBoolean(3), s"CMS overestimate beyond εN for key ${r.getLong(0)}")
+    }
+  }
+
+  test("q_filter_bloom: no false negatives, bounded false positives") {
+    val r = ScaleOps.queries("q_filter_bloom")(spark, sf).collect()(0)
+    assert(r.getBoolean(1), "bloom filter dropped a customer that has orders")
+    assert(r.getBoolean(3), "false-positive rate above bound")
+    assert(r.getLong(0) > 0 && r.getLong(2) > 0)
+  }
+
+  test("q_zorder_key: the Morton key de-interleaves back to both dimensions") {
+    val rows = EtlOps.queries("q_zorder_key")(spark, sf).collect()
+    val src = graft.Tables.part(spark, sf)
+      .select(org.apache.spark.sql.functions.col("p_partkey"),
+              org.apache.spark.sql.functions.col("p_size"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val z = r.getLong(1)
+      var x = 0L; var y = 0L
+      for (k <- 0 until 16) {
+        x |= ((z >> (2 * k)) & 1) << k
+        y |= ((z >> (2 * k + 1)) & 1) << k
+      }
+      assert(x == src(r.getLong(0)).toLong, s"x lane of ${r.getLong(0)}")
+      assert(y == r.getLong(0) % 65536, s"y lane of ${r.getLong(0)}")
+      assert(r.getLong(2) == ((z >> 30) & 3))
+    }
+  }
 }
