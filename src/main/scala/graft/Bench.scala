@@ -26,7 +26,9 @@ object Bench {
     "q_pack_seq", "q_semdedup",                                      // training-batch (r3)
     "q_scd2", "q_cdc_merge", "q_geo_cell",                           // ETL lifecycle (r3)
     "q_skew_salted",                                                 // scale posture
-    "s_tumble_wm", "s_stateful",                                     // streaming
+    "q_funnel", "q_er_join",                                         // event analytics / linkage (r4)
+    "q_emb_quantize", "q_agg_hll_sketch",                            // vector + sketch (r4)
+    "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 
   def main(args: Array[String]): Unit = {

@@ -254,12 +254,15 @@ object Aggregations extends OpModule {
     // binary state and MERGE associatively (hll_union_agg), so daily distinct
     // counts roll up into monthly/total ones without re-reading raw data
     // (contrast q_incr_agg, which can only merge algebraic aggregates).
-    // Determinism: HLL register state for a fixed lgK is a pure function of
-    // the input SET, and a union of sub-sketches maxes registers — identical
-    // to sketching the union directly. We pin that equality per group
-    // (merge_consistent) plus the approx_count_distinct-style error flag;
-    // the flags ride the hash gate, the sketch binary itself never leaves
-    // the engine.
+    // The contract pinned per group is the approx_count_distinct-style
+    // error bound on BOTH paths: the direct sketch and the two-level
+    // union of daily sketches each land within 5% of exact. NOT pinned:
+    // estimate equality between the two paths — it holds in sparse mode
+    // (small cardinality, where the sketch is exact) but a dense-mode
+    // union goes through HLL_8 internally and can differ from the direct
+    // sketch in the low bits (caught by the sf0.1 full-tier sweep when
+    // this op originally asserted equality). The flags ride the hash
+    // gate; the sketch binary never leaves the engine.
     "q_agg_hll_sketch" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("user_id"),
@@ -275,7 +278,8 @@ object Aggregations extends OpModule {
              countDistinct(col("user_id")).as("exact_users"))
       direct.join(merged, "event_type")
         .select(col("event_type"), col("exact_users"),
-                (col("est_merged") === col("est_direct")).as("merge_consistent"),
+                (abs(col("est_merged") - col("exact_users"))
+                  <= col("exact_users") * 0.05).as("merged_within_5pct"),
                 (abs(col("est_direct") - col("exact_users"))
                   <= col("exact_users") * 0.05).as("within_5pct"))
         .orderBy(col("event_type"))
@@ -476,12 +480,12 @@ object Aggregations extends OpModule {
         |FROM md JOIN la ON md.o_orderpriority = la.o_orderpriority
         |ORDER BY md.o_orderpriority""".stripMargin,
 
-    // DuckDB has no DataSketches HLL — the properties (merge-consistency
-    // and the 5% error bound), not the sketch values, ride the hash gate
-    // (same pattern as q_agg_approx_distinct / q_agg_approx_quantile).
+    // DuckDB has no DataSketches HLL — the properties (error bounds on the
+    // direct AND the two-level-merged estimate), not the sketch values,
+    // ride the hash gate (q_agg_approx_distinct pattern).
     "q_agg_hll_sketch" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
-        |  TRUE AS merge_consistent, TRUE AS within_5pct
+        |  TRUE AS merged_within_5pct, TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_group_by_all" ->

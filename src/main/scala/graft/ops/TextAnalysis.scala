@@ -68,6 +68,32 @@ object TextAnalysis extends OpModule {
                 expr("sort_array(transform(sh, s -> md5(s)))[0]").as("min_hash"))
         .orderBy(col("doc_id"))),
 
+    // Term co-occurrence + PMI over the top-50 vocabulary: the
+    // collocation/topic primitive. The vocabulary cap is the scale control:
+    // the per-doc pair expansion runs only over vocab terms (≤ C(50,2)
+    // pairs per doc instead of C(|doc|,2)), with the vocab broadcast. PMI
+    // rides as ROUND(1e4·ln(x)) of a ratio of exact integers — identical
+    // doubles cross-engine. Top-20 by (count DESC, ta, tb) — D3 tie-break.
+    "q_tok_cooccur" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(array_distinct(split(trim(lower(col("text"))), " "))).as("t"))
+        .where(length(col("t")) >= 4)
+      val voc = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("t")).limit(50)
+      val dt = tok.join(broadcast(voc), "t")
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val a = dt.select(col("doc_id"), col("t").as("ta"), col("df").as("dfa"))
+      val b = dt.select(col("doc_id"), col("t").as("tb"), col("df").as("dfb"))
+      a.join(b, Seq("doc_id")).where(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_co"), max(col("dfa")).as("dfa"), max(col("dfb")).as("dfb"))
+        .crossJoin(broadcast(nd))
+        .select(col("ta"), col("tb"), col("n_co"),
+                expr("cast(round(1e4 * ln(cast(n_co as double) * nd / (dfa * dfb))) as bigint)").as("pmi_e4"))
+        .orderBy(col("n_co").desc, col("ta"), col("tb")).limit(20)
+    }),
+
     // Model-based quality scoring: a fixed-weight linear model over exact
     // integer text features (the learned-classifier stage of a C4/Gopher
     // cleaning pipeline; q_quality_filter is the rule-based gate it
@@ -137,6 +163,23 @@ object TextAnalysis extends OpModule {
         |  ARRAY_TO_STRING(LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1:4], ',') AS fp,
         |  LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1] AS min_hash
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_tok_cooccur" ->
+      """WITH tk AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(TRIM(LOWER(text)), ' '))) AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, t FROM tk WHERE LENGTH(t) >= 4),
+        |voc AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t
+        |        ORDER BY df DESC, t LIMIT 50),
+        |dt AS (SELECT tok.doc_id, tok.t, voc.df FROM tok JOIN voc ON tok.t = voc.t),
+        |n AS (SELECT COUNT(*) AS nd FROM documents),
+        |pr AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_co,
+        |         MAX(a.df) AS dfa, MAX(b.df) AS dfb
+        |       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+        |       GROUP BY a.t, b.t)
+        |SELECT ta, tb, n_co,
+        |  CAST(ROUND(1e4 * LN(CAST(n_co AS DOUBLE) * nd / (dfa * dfb))) AS BIGINT) AS pmi_e4
+        |FROM pr, n ORDER BY n_co DESC, ta, tb LIMIT 20""".stripMargin,
 
     "q_quality_score" ->
       """WITH f AS (

@@ -188,6 +188,81 @@ object TimeSeries extends OpModule {
         sum(unix_micros(col("t2")) - unix_micros(col("t1"))).as("click_purchase_us"))
     }),
 
+    // Nearest-event as-of join (both directions — q_join_asof is backward
+    // only): each purchase links to the temporally closest click by the
+    // same user, ties to the earlier (backward) side. Scalable form: ONE
+    // shuffle on user_id, two directional IGNORE-NULLS window walks over
+    // the tagged union (never the per-pair cross join the oracle uses —
+    // that is O(clicks × purchases) per user). Tie contract (D3): equal
+    // distance → backward; equal ts among backward clicks → highest
+    // event_id (last in walk order), among forward → lowest.
+    "q_asof_nearest" -> ((s, d) => {
+      val tagged = Tables.events(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+                when(col("event_type") === "click", 0).otherwise(1).as("typ"))
+      val ord = Seq(col("ts"), col("typ"), col("event_id"))
+      val wB = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickStruct = when(col("typ") === 0,
+        struct(col("ts").as("t"), col("event_id").as("i")))
+      tagged
+        .withColumn("bwd", last(clickStruct, ignoreNulls = true).over(wB))
+        .withColumn("fwd", first(clickStruct, ignoreNulls = true).over(wF))
+        .where(col("typ") === 1)
+        .withColumn("db", unix_micros(col("ts")) - unix_micros(col("bwd.t")))
+        .withColumn("df", unix_micros(col("fwd.t")) - unix_micros(col("ts")))
+        .withColumn("pick_b",
+          col("bwd").isNotNull && (col("fwd").isNull || col("db") <= col("df")))
+        .select(
+          col("event_id").as("p_id"),
+          when(col("pick_b"), col("bwd.i")).otherwise(col("fwd.i")).as("nearest_click"),
+          when(col("pick_b"), col("db")).otherwise(col("df")).as("dist_us"),
+          when(col("bwd").isNull && col("fwd").isNull, lit(null).cast("string"))
+            .otherwise(when(col("pick_b"), "b").otherwise("f")).as("side"))
+        .orderBy(col("p_id"))
+    }),
+
+    // Time-series densification + linear interpolation: the hourly series
+    // per event_type gets explicit rows for silent hours (generated from
+    // each type's own min/max hour — no calendar table needed) and missing
+    // values linearly interpolated between the neighboring observed hours.
+    // Neighbor discovery is two IGNORE-NULLS window walks over ONE
+    // event_type shuffle; the interpolation itself is ROUND of a double
+    // computed from exact integers (identical on both engines — integer
+    // `div` is unusable here because Spark truncates while DuckDB floors,
+    // which diverges on negative deltas). Edge hours with only one
+    // neighbor clamp to it.
+    "q_win_gapfill" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+        .agg(Det.moneySum(col("value")).as("cents"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val joined = spine.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("pv", last(col("cents"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ph", last(when(col("cents").isNotNull, col("h")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nv", first(col("cents"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("nh", first(when(col("cents").isNotNull, col("h")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      joined.select(
+        col("event_type"), col("h"),
+        coalesce(
+          col("cents"),
+          expr("cast(round(pv + (nv - pv) * cast(h - ph as double) / (nh - ph)) as bigint)"),
+          col("pv"), col("nv")).as("cents_filled"),
+        col("cents").isNull.as("is_interp"))
+        .orderBy(col("event_type"), col("h"))
+    }),
+
     // Weekly cohort retention: cohort = ISO week of a user's first activity;
     // cell (cohort, k) counts users active again k weeks later. Two hash
     // aggregations and a join, all clustered on user_id before the final
@@ -331,6 +406,54 @@ object TimeSeries extends OpModule {
         |   FROM b JOIN a ON b.user_id = a.user_id) AS view_click_us,
         |  (SELECT CAST(SUM(EPOCH_US(c.t2) - EPOCH_US(b.t1)) AS BIGINT)
         |   FROM c JOIN b ON c.user_id = b.user_id) AS click_purchase_us""".stripMargin,
+
+    // Brute-force per-user pair ranking — O(clicks × purchases) per user is
+    // fine as an oracle, never as the engine formulation.
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id, ts AS tp, event_id AS pid
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS uc, ts AS tc, event_id AS cid
+        |      FROM events WHERE event_type = 'click'),
+        |r AS (SELECT p.pid, c.cid,
+        |        CAST(ABS(EPOCH_US(c.tc) - EPOCH_US(p.tp)) AS BIGINT) AS dist_us,
+        |        CASE WHEN c.tc <= p.tp THEN 'b' ELSE 'f' END AS side,
+        |        ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+        |          ABS(EPOCH_US(c.tc) - EPOCH_US(p.tp)),
+        |          CASE WHEN c.tc <= p.tp THEN 0 ELSE 1 END,
+        |          CASE WHEN c.tc <= p.tp THEN -c.cid ELSE c.cid END) AS rn
+        |      FROM p JOIN c ON p.user_id = c.uc)
+        |SELECT p.pid AS p_id, r.cid AS nearest_click, r.dist_us, r.side
+        |FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON p.pid = r.pid
+        |ORDER BY p_id""".stripMargin,
+
+    "q_win_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, EPOCH_US(DATE_TRUNC('hour', ts)) // 3600000000 AS h,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, UNNEST(GENERATE_SERIES(MIN(h), MAX(h))) AS h
+        |  FROM hourly GROUP BY event_type),
+        |j AS (
+        |  SELECT s.event_type, s.h, hourly.cents,
+        |    LAST_VALUE(cents IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.h
+        |      ROWS UNBOUNDED PRECEDING) AS pv,
+        |    LAST_VALUE(CASE WHEN cents IS NOT NULL THEN s.h END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.h
+        |      ROWS UNBOUNDED PRECEDING) AS ph,
+        |    FIRST_VALUE(cents IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN s.h END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM spine s LEFT JOIN hourly
+        |    ON s.event_type = hourly.event_type AND s.h = hourly.h)
+        |SELECT event_type, CAST(h AS BIGINT) AS h,
+        |  COALESCE(cents,
+        |    CAST(ROUND(pv + (nv - pv) * CAST(h - ph AS DOUBLE) / (nh - ph)) AS BIGINT),
+        |    pv, nv) AS cents_filled,
+        |  (cents IS NULL) AS is_interp
+        |FROM j ORDER BY event_type, h""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH act AS (

@@ -152,6 +152,12 @@ class PlanAuditSpec extends SparkSpec {
       "HLL sketch state must build map-side (mergeable-aggregate contract)")
   }
 
+  test("q_dpp: fact scan carries a dynamicpruning partition filter") {
+    val p = plan("q_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected runtime partition pruning in:\n${p.take(600)}")
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))

@@ -40,12 +40,12 @@ class AggWindowSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("q_agg_hll_sketch: merge of daily sketches ≡ direct sketch, within 5% of exact") {
+  test("q_agg_hll_sketch: direct and two-level-merged estimates both within 5% of exact") {
     val rows = Aggregations.queries("q_agg_hll_sketch")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getBoolean(2), s"${r.getString(0)}: union of sub-sketches diverged from direct sketch")
-      assert(r.getBoolean(3), s"${r.getString(0)}: HLL estimate outside 5% of exact ${r.getLong(1)}")
+      assert(r.getBoolean(2), s"${r.getString(0)}: merged estimate outside 5% of exact ${r.getLong(1)}")
+      assert(r.getBoolean(3), s"${r.getString(0)}: direct estimate outside 5% of exact ${r.getLong(1)}")
     }
   }
 

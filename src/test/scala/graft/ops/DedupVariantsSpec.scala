@@ -60,6 +60,23 @@ class DedupVariantsSpec extends SparkSpec {
     assert(share >= 0.8, s"only $share of >=0.95-jaccard pairs share min_hash")
   }
 
+  test("q_tok_cooccur matches a brute-force vocabulary co-occurrence count") {
+    val rows = TextAnalysis.queries("q_tok_cooccur")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 20)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().map(_.getString(0))
+    val docSets = docs.map(_.trim.toLowerCase.split(" ").filter(_.length >= 4).toSet)
+    val df = docSets.flatten.groupBy(identity).view.mapValues(_.length).toMap
+    val vocab = df.toSeq.sortBy { case (t, n) => (-n, t) }.take(50).map(_._1).toSet
+    rows.foreach { case (ta, tb, nCo) =>
+      assert(vocab(ta) && vocab(tb) && ta < tb)
+      assert(nCo == docSets.count(s => s(ta) && s(tb)),
+        s"pair ($ta,$tb): $nCo vs brute ${docSets.count(s => s(ta) && s(tb))}")
+    }
+  }
+
   test("q_quality_score: score matches a brute-force reimplementation of the model") {
     val rows = TextAnalysis.queries("q_quality_score")(spark, sf).collect()
     val stop = Set("the", "a", "of", "and", "to", "in", "is")

@@ -67,6 +67,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nView == t0.size && nClick == t1.size && nPurchase == t2.size)
   }
 
+  test("q_win_gapfill: spine is dense, observed hours untouched, interpolation bounded") {
+    val rows = TimeSeries.queries("q_win_gapfill")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    rows.groupBy(_._1).foreach { case (_, hs) =>
+      val hours = hs.map(_._2).sorted
+      assert(hours.zip(hours.tail).forall(p => p._2 == p._1 + 1), "hour spine must be gapless")
+      assert(!hs.minBy(_._2)._4 && !hs.maxBy(_._2)._4, "series endpoints are observed, not filled")
+    }
+    val observed = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+               expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(expr("sum(cast(round(value * 100) as bigint))").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (t, h, v, interp) =>
+      if (!interp) assert(v == observed((t, h)))
+      else assert(!observed.contains((t, h)))
+    }
+  }
+
+  test("q_asof_nearest matches a brute-force nearest-click scan") {
+    val rows = TimeSeries.queries("q_asof_nearest")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                           r.getTimestamp(3).getTime * 1000 +
+                             r.getTimestamp(3).getNanos / 1000 % 1000))
+    val clicksByUser = ev.filter(_._2 == "click").groupBy(_._1)
+    val purchases = ev.filter(_._2 == "purchase")
+      .map(p => p._3 -> (p._1, p._4)).toMap
+    rows.foreach { r =>
+      val (user, tp) = purchases(r.getLong(0))
+      clicksByUser.get(user) match {
+        case None => assert(r.isNullAt(1) && r.isNullAt(3))
+        case Some(cs) =>
+          val best = cs.minBy { c =>
+            val d = math.abs(c._4 - tp)
+            val back = c._4 <= tp
+            (d, if (back) 0 else 1, if (back) -c._3 else c._3)
+          }
+          assert(r.getLong(1) == best._3,
+            s"purchase ${r.getLong(0)}: got ${r.getLong(1)}, want ${best._3}")
+          assert(r.getLong(2) == math.abs(best._4 - tp))
+      }
+    }
+  }
+
   test("q_cohort_retention: offset-0 cell is the cohort size and bounds later offsets") {
     val rows = TimeSeries.queries("q_cohort_retention")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
