@@ -46,6 +46,22 @@ object SortSetOps extends OpModule {
         .orderBy(col("o_orderkey"), col("src"))
     }),
 
+    // Schema-evolution union: an old record era lacking a column and a new
+    // era with it (and a different column order) combine by NAME with NULL
+    // padding (`allowMissingColumns`) — the in-flight complement to
+    // src_schema_evolve's at-rest mergeSchema. Positional UNION would
+    // silently misalign the reordered columns; by-name is the only safe
+    // spelling once schemas drift.
+    "q_union_evolve" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val era1 = o.where(year(col("o_orderdate")) < 1997)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val era2 = o.where(year(col("o_orderdate")) >= 1997)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_orderstatus"))
+      era1.unionByName(era2, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_union_distinct" -> ((s, d) => {
       val o = Tables.orders(s, d)
       o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
@@ -106,6 +122,14 @@ object SortSetOps extends OpModule {
         |UNION ALL
         |SELECT o_orderkey, 'big' AS src FROM orders WHERE o_totalprice > 200000
         |ORDER BY o_orderkey, src""".stripMargin,
+
+    "q_union_evolve" ->
+      """SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+        |FROM orders WHERE YEAR(o_orderdate) < 1997
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE YEAR(o_orderdate) >= 1997
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -188,6 +188,49 @@ object TimeSeries extends OpModule {
         sum(unix_micros(col("t2")) - unix_micros(col("t1"))).as("click_purchase_us"))
     }),
 
+    // Top user-journey trigrams: consecutive event-type 3-step paths per
+    // user (lead-window n-grams over the per-user ordered walk — ONE
+    // user_id shuffle, same partitioning family as funnel/sessionize),
+    // ranked globally. The "what do users do next" primitive of event
+    // analytics. Ties broken lexicographically (D3).
+    "q_uniq_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
+
+    // RFM segmentation: per-customer recency (days since last order),
+    // frequency (order count), monetary (cents sum) → quartile codes via
+    // ntile over tie-broken total orders (D3: o_custkey folded into every
+    // ordering). The global ntile windows are single-partition sorts of
+    // the (already-aggregated) customer frame — exact quartiles need a
+    // total order. Scale note: at billions of customers the exact ntile
+    // swaps for percentile_approx threshold joins (the q_winsorize
+    // pattern) — same output schema, sketch-bounded quartile edges; the
+    // harness-scale formulation keeps the exact semantics the oracle can
+    // verify.
+    "q_rfm" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+             count(lit(1)).as("freq"),
+             Det.moneySum(col("o_totalprice")).as("cents"))
+        .withColumn("rec_days", datediff(lit("1999-01-01").cast("date"), col("last_d")))
+      val rfm = per
+        .withColumn("r", ntile(4).over(Window.orderBy(col("rec_days"), col("o_custkey"))))
+        .withColumn("f", ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey"))))
+        .withColumn("m", ntile(4).over(Window.orderBy(col("cents").desc, col("o_custkey"))))
+      rfm.groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("seg_cents"))
+        .orderBy(col("r"), col("f"), col("m"))
+    }),
+
     // Nearest-event as-of join (both directions — q_join_asof is backward
     // only): each purchase links to the temporally closest click by the
     // same user, ties to the earlier (backward) side. Scalable form: ONE
@@ -406,6 +449,31 @@ object TimeSeries extends OpModule {
         |   FROM b JOIN a ON b.user_id = a.user_id) AS view_click_us,
         |  (SELECT CAST(SUM(EPOCH_US(c.t2) - EPOCH_US(b.t1)) AS BIGINT)
         |   FROM c JOIN b ON c.user_id = b.user_id) AS click_purchase_us""".stripMargin,
+
+    "q_uniq_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d, COUNT(*) AS freq,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (
+        |  SELECT cents,
+        |    NTILE(4) OVER (ORDER BY DATEDIFF('day', last_d, DATE '1999-01-01'), o_custkey) AS r,
+        |    NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |    NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+        |  FROM per)
+        |SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f, CAST(m AS INTEGER) AS m,
+        |  COUNT(*) AS n_cust, CAST(SUM(cents) AS BIGINT) AS seg_cents
+        |FROM t GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
 
     // Brute-force per-user pair ranking — O(clicks × purchases) per user is
     // fine as an oracle, never as the engine formulation.

@@ -68,6 +68,15 @@ class RelationalSpec extends SparkSpec {
     assert(inter <= urgentKeys)
   }
 
+  test("q_union_evolve: by-name union pads the missing era-1 column with nulls") {
+    val df = SortSetOps.queries("q_union_evolve")(spark, sf)
+    assert(df.count() == Tables.orders(spark, sf).count())
+    val era1Nulls = df.where(col("o_orderpriority").isNull).count()
+    val era1 = Tables.orders(spark, sf)
+      .where(year(col("o_orderdate")) < 1997).count()
+    assert(era1Nulls == era1, "every era-1 row (and only those) lacks the new column")
+  }
+
   test("q_er_join links every corrupted record back to its own entity") {
     val rows = Joins.queries("q_er_join")(spark, sf).collect()
     assert(rows.length == Tables.supplier(spark, sf).count())

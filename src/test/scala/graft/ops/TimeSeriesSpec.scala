@@ -67,6 +67,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nView == t0.size && nClick == t1.size && nPurchase == t2.size)
   }
 
+  test("q_rfm: quartiles balanced and segments cover every customer") {
+    val rows = TimeSeries.queries("q_rfm")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._4).sum == nCust, "segments must partition the customer base")
+    for (dim <- 0 to 2) {
+      val byQ = rows.groupBy(r => dim match {
+        case 0 => r._1; case 1 => r._2; case 2 => r._3
+      }).view.mapValues(_.map(_._4).sum)
+      assert(byQ.keySet == Set(1, 2, 3, 4))
+      assert(byQ.values.max - byQ.values.min <= 1, s"dim $dim quartiles unbalanced: $byQ")
+    }
+  }
+
+  test("q_uniq_paths: trigram counts equal a brute-force per-user walk") {
+    val rows = TimeSeries.queries("q_uniq_paths")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect().map { r =>
+        val us = r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000
+        (r.getLong(0), r.getString(1), us, r.getLong(3))
+      }
+    val brute = ev.groupBy(_._1).values.flatMap { es =>
+      val seq = es.sortBy(e => (e._3, e._4)).map(_._2)
+      seq.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (p, n) => assert(brute(p) == n, s"path $p") }
+    assert(rows.values.min >= brute.values.toSeq.sorted.reverse.take(10).min)
+  }
+
   test("q_win_gapfill: spine is dense, observed hours untouched, interpolation bounded") {
     val rows = TimeSeries.queries("q_win_gapfill")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
