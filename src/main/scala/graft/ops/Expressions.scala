@@ -58,6 +58,43 @@ object Expressions extends OpModule {
           nullif(col("l_returnflag"), lit("N"))
             .eqNullSafe(nullif(col("l_linestatus"), lit("F"))).as("nsafe_eq"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Parameterized SQL (Spark 4 named-parameter binding): the injection-
+    // safe API surface every query service wraps — parameters are bound as
+    // literals by the parser, never string-spliced. The oracle inlines the
+    // same constants.
+    "q_sql_params" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_prm_v")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_prm_v
+          |WHERE o_orderstatus = :st AND o_totalprice > :minp
+          |ORDER BY o_orderkey""".stripMargin,
+        Map("st" -> "P", "minp" -> 150000))
+    }),
+
+    // range() table-valued function: the generator source for synthetic
+    // dims and backfill drivers (distributed: range is split across
+    // executors like any scan).
+    "q_tvf_range" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_tvf_v")
+      s.sql("""SELECT r.id AS bucket, COUNT(*) AS n, MIN(n.n_name) AS first_nation
+              |FROM range(0, 5) r JOIN nation_tvf_v n ON n.n_nationkey % 5 = r.id
+              |GROUP BY r.id ORDER BY bucket""".stripMargin)
+    }),
+
+    // Inline VALUES as a join dim — the literal lookup-table idiom (tier
+    // thresholds, code→name maps) that otherwise gets simulated with
+    // chained CASE WHEN.
+    "q_values_dim" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("region_val_v")
+      s.sql("""SELECT r.r_name, v.hemisphere
+              |FROM region_val_v r
+              |JOIN (VALUES ('AFRICA', 'both'), ('AMERICA', 'both'),
+              |             ('ASIA', 'north'), ('EUROPE', 'north'),
+              |             ('MIDDLE EAST', 'north')) AS v(rn, hemisphere)
+              |  ON r.r_name = v.rn
+              |ORDER BY r.r_name""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -97,5 +134,25 @@ object Expressions extends OpModule {
         |  (NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULLIF(l_linestatus, 'F')) AS nsafe_eq
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_sql_params" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'P' AND o_totalprice > 150000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_tvf_range" ->
+      """SELECT CAST(r.range AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  MIN(n.n_name) AS first_nation
+        |FROM range(0, 5) r JOIN nation n ON n.n_nationkey % 5 = r.range
+        |GROUP BY r.range ORDER BY bucket""".stripMargin,
+
+    "q_values_dim" ->
+      """SELECT r.r_name, v.hemisphere
+        |FROM region r
+        |JOIN (VALUES ('AFRICA', 'both'), ('AMERICA', 'both'),
+        |             ('ASIA', 'north'), ('EUROPE', 'north'),
+        |             ('MIDDLE EAST', 'north')) AS v(rn, hemisphere)
+        |  ON r.r_name = v.rn
+        |ORDER BY r.r_name""".stripMargin,
   )
 }

@@ -68,6 +68,24 @@ object TextAnalysis extends OpModule {
                 expr("sort_array(transform(sh, s -> md5(s)))[0]").as("min_hash"))
         .orderBy(col("doc_id"))),
 
+    // Lexicon-based sentiment scoring (the PAPERS.md Spark-sentiment theme,
+    // AFINN-style): a fixed word→weight lexicon summed over token counts.
+    // Pure integer column math over one scan — the lexicon inlines as CASE
+    // weights, so at 100 TB this is a map-only pass (a larger lexicon
+    // rides a broadcast join against the exploded tokens instead).
+    "q_sentiment" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(trim(lower(col("text"))), " "))
+        .select(col("doc_id"),
+          expr("""2 * size(filter(toks, t -> t = 'fast'))
+                 |- 2 * size(filter(toks, t -> t = 'slow'))
+                 |+ size(filter(toks, t -> t = 'big'))
+                 |- size(filter(toks, t -> t = 'small'))
+                 |- 3 * size(filter(toks, t -> t = 'dup'))""".stripMargin).as("score"))
+        .withColumn("label",
+          when(col("score") > 2, "pos").when(col("score") < -2, "neg").otherwise("neutral"))
+        .orderBy(col("doc_id"))),
+
     // Term co-occurrence + PMI over the top-50 vocabulary: the
     // collocation/topic primitive. The vocabulary cap is the scale control:
     // the per-doc pair expansion runs only over vocab terms (≤ C(50,2)
@@ -163,6 +181,22 @@ object TextAnalysis extends OpModule {
         |  ARRAY_TO_STRING(LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1:4], ',') AS fp,
         |  LIST_SORT(LIST_TRANSFORM(sh, s -> md5(s)))[1] AS min_hash
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_sentiment" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(2 * LEN(LIST_FILTER(toks, t -> t = 'fast'))
+        |       - 2 * LEN(LIST_FILTER(toks, t -> t = 'slow'))
+        |       + LEN(LIST_FILTER(toks, t -> t = 'big'))
+        |       - LEN(LIST_FILTER(toks, t -> t = 'small'))
+        |       - 3 * LEN(LIST_FILTER(toks, t -> t = 'dup')) AS INTEGER) AS score
+        |  FROM t)
+        |SELECT doc_id, score,
+        |  CASE WHEN score > 2 THEN 'pos' WHEN score < -2 THEN 'neg'
+        |       ELSE 'neutral' END AS label
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_tok_cooccur" ->
       """WITH tk AS (

@@ -60,6 +60,20 @@ class DedupVariantsSpec extends SparkSpec {
     assert(share >= 0.8, s"only $share of >=0.95-jaccard pairs share min_hash")
   }
 
+  test("q_sentiment: lexicon score matches a brute-force token count") {
+    val lex = Map("fast" -> 2, "slow" -> -2, "big" -> 1, "small" -> -1, "dup" -> -3)
+    val texts = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    TextAnalysis.queries("q_sentiment")(spark, sf).collect().foreach { r =>
+      val want = texts(r.getLong(0)).trim.toLowerCase.split(" ")
+        .map(t => lex.getOrElse(t, 0)).sum
+      assert(r.getInt(1) == want, s"doc ${r.getLong(0)}")
+      assert(r.getString(2) == (if (want > 2) "pos" else if (want < -2) "neg" else "neutral"))
+    }
+  }
+
   test("q_tok_cooccur matches a brute-force vocabulary co-occurrence count") {
     val rows = TextAnalysis.queries("q_tok_cooccur")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
