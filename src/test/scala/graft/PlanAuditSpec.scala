@@ -152,6 +152,27 @@ class PlanAuditSpec extends SparkSpec {
       "HLL sketch state must build map-side (mergeable-aggregate contract)")
   }
 
+  test("q_funnel: all three stages ride ONE user_id shuffle") {
+    val p = plan("q_funnel")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"funnel should hash-shuffle once (user_id), found $n:\n${p.take(400)}")
+  }
+
+  test("q_emb_quantize: map-only column math — no hash shuffle") {
+    assert(!plan("q_emb_quantize").contains("Exchange hashpartitioning"))
+  }
+
+  test("q_tok_cooccur: vocabulary broadcast; no cartesian pair explosion") {
+    val p = plan("q_tok_cooccur")
+    assert(p.contains("BroadcastHashJoin"), "top-50 vocab must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_er_join: block-key equi join, never a nested-loop cross product") {
+    val p = plan("q_er_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q_dpp: fact scan carries a dynamicpruning partition filter") {
     val p = plan("q_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"),
