@@ -308,6 +308,17 @@ object Aggregations extends OpModule {
              count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))),
 
+    // 2-D histogram (price × quantity heat grid): both bucket ids are exact
+    // width_bucket ints, so the grid is drift-free; one hash aggregation,
+    // the profiling/viz companion to q_agg_histogram.
+    "q_agg_hist2d" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(expr("width_bucket(l_extendedprice, 0, 120000, 10)").as("price_b"),
+                 expr("width_bucket(l_quantity, 0, 50, 5)").as("qty_b"))
+        .agg(count(lit(1)).as("n"),
+             Det.moneySum(col("l_extendedprice")).as("cents"))
+        .orderBy(col("price_b"), col("qty_b"))),
+
     // Simple linear regression (price-per-quantity trend per return flag)
     // from EXACT integer moments: x = quantity (integer-valued), y = price
     // in cents. n, Σx, Σy, Σxy, Σx² are order-independent long sums, so the
@@ -501,6 +512,21 @@ object Aggregations extends OpModule {
         |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // DuckDB lacks WIDTH_BUCKET (q_agg_histogram precedent) — explicit
+    // arithmetic with the same clamp semantics.
+    "q_agg_hist2d" ->
+      """SELECT
+        |  CAST(CASE WHEN l_extendedprice < 0 THEN 0
+        |            WHEN l_extendedprice >= 120000 THEN 11
+        |            ELSE FLOOR(l_extendedprice / 12000) + 1 END AS BIGINT) AS price_b,
+        |  CAST(CASE WHEN l_quantity < 0 THEN 0
+        |            WHEN l_quantity >= 50 THEN 6
+        |            ELSE FLOOR(l_quantity / 10) + 1 END AS BIGINT) AS qty_b,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY price_b, qty_b""".stripMargin,
 
     // Mirrors the Spark formula exactly: all moments are exact integer sums
     // (DuckDB sums BIGINT into HUGEINT — also exact) cast to double only at

@@ -188,6 +188,29 @@ object TimeSeries extends OpModule {
         sum(unix_micros(col("t2")) - unix_micros(col("t1"))).as("click_purchase_us"))
     }),
 
+    // Multi-granularity time rollup in ONE pass: hour/day/week aggregates
+    // via GROUPING SETS over pre-projected bucket columns — one scan and
+    // one (expanded) aggregation instead of three scans at 100 TB. The
+    // grain column disambiguates rows; GROUPING() drives it (never "is the
+    // column null" — a legitimately-null bucket would lie).
+    "q_time_rollup_multi" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"),
+                date_trunc("day", col("ts")).cast("timestamp_ntz").as("dy"),
+                date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk"),
+                col("value"))
+        .createOrReplaceTempView("ev_grain_v")
+      s.sql("""SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+              |            WHEN GROUPING(dy) = 0 THEN 'day'
+              |            ELSE 'week' END AS grain,
+              |  COALESCE(h, dy, wk) AS bucket,
+              |  COUNT(*) AS n,
+              |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS val_cents
+              |FROM ev_grain_v
+              |GROUP BY GROUPING SETS ((h), (dy), (wk))
+              |ORDER BY grain, bucket""".stripMargin)
+    }),
+
     // Top user-journey trigrams: consecutive event-type 3-step paths per
     // user (lead-window n-grams over the per-user ordered walk — ONE
     // user_id shuffle, same partitioning family as funnel/sessionize),
@@ -449,6 +472,23 @@ object TimeSeries extends OpModule {
         |   FROM b JOIN a ON b.user_id = a.user_id) AS view_click_us,
         |  (SELECT CAST(SUM(EPOCH_US(c.t2) - EPOCH_US(b.t1)) AS BIGINT)
         |   FROM c JOIN b ON c.user_id = b.user_id) AS click_purchase_us""".stripMargin,
+
+    // DuckDB GROUPING SETS ≡ Spark's; grain string keys the row. The week
+    // bucket must survive COALESCE ordering (h, dy, wk nulls per set).
+    "q_time_rollup_multi" ->
+      """WITH g AS (
+        |  SELECT DATE_TRUNC('hour', ts) AS h, DATE_TRUNC('day', ts) AS dy,
+        |         DATE_TRUNC('week', ts) AS wk, value
+        |  FROM events)
+        |SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+        |            WHEN GROUPING(dy) = 0 THEN 'day'
+        |            ELSE 'week' END AS grain,
+        |  COALESCE(h, dy, wk) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM g
+        |GROUP BY GROUPING SETS ((h), (dy), (wk))
+        |ORDER BY grain, bucket""".stripMargin,
 
     "q_uniq_paths" ->
       """WITH s AS (

@@ -173,6 +173,36 @@ object TrainingOps extends OpModule {
           expr("cast(round(aggregate(embedding, cast(0.0 as double), (a, x) -> greatest(a, abs(floor(cast(x as double) / scale + 0.5d) * scale - cast(x as double)))) * 1e6) as bigint)").as("max_err_e6"))
         .orderBy(col("vec_id"))),
 
+    // Training-mixture construction: per-source sampling WEIGHTS (not just
+    // rates) — upweight curated sources, downweight noisy ones — applied
+    // through the same deterministic md5-threshold predicate as
+    // q_sample_strat, with repetition for weights > 1 (a doc in a 1.5×
+    // source appears once always plus a second time with p=0.5, via a
+    // thresholded epoch explode). Map-only + one explode, reproducible
+    // across engines/retries; the audit reports per-source input/output
+    // counts. This is the "data mixing" stage that turns curated corpora
+    // into a training distribution.
+    "q_data_mix" -> ((s, d) => {
+      // weight in 1e-2 units per source bucket (string ranges: src0 → 150%,
+      // src1 + src10–19 → 50%, src2–9 → 100%)
+      val w = when(col("source") < "src1", 150)
+        .when(col("source") < "src2", 50).otherwise(100)
+      Tables.documents(s, d)
+        .withColumn("w_e2", w)
+        .withColumn("b", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+        .withColumn("copies",
+          expr("w_e2 div 100") +
+          when(col("b") * 100 < (col("w_e2") % 100) * 256, 1).otherwise(0))
+        // guard: Spark's sequence(1, 0) REVERSES to [1, 0] instead of
+        // returning empty — dropped docs must be filtered out first
+        .where(col("copies") > 0)
+        .withColumn("epoch", explode(expr("sequence(1, copies)")))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_emitted"))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic train/val/test split: the first md5 byte of the key
     // buckets every document into train (<204, ~80%), val (<230, ~10%) or
     // test (~10%) — reproducible across engines, retries and repartitioning
@@ -279,6 +309,22 @@ object TrainingOps extends OpModule {
         |  CAST(ROUND(LIST_MAX(LIST_TRANSFORM(embedding,
         |    x -> ABS(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) * scale - CAST(x AS DOUBLE)))) * 1e6) AS BIGINT) AS max_err_e6
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_data_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source < 'src1' THEN 150 WHEN source < 'src2' THEN 50
+        |         ELSE 100 END AS w_e2,
+        |    CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) AS bb
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    w_e2 // 100 + CASE WHEN bb * 100 < (w_e2 % 100) * 256 THEN 1 ELSE 0 END AS copies
+        |  FROM b),
+        |e AS (SELECT doc_id, source, UNNEST(GENERATE_SERIES(1, copies)) AS epoch
+        |      FROM c WHERE copies > 0)
+        |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_emitted
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dataset_split" ->
       """WITH b AS (

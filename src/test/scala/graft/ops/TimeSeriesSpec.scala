@@ -67,6 +67,15 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nView == t0.size && nClick == t1.size && nPurchase == t2.size)
   }
 
+  test("q_time_rollup_multi: every grain independently totals the event count") {
+    val rows = TimeSeries.queries("q_time_rollup_multi")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val total = Tables.events(spark, sf).count()
+    val byGrain = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byGrain.keySet == Set("hour", "day", "week"))
+    byGrain.foreach { case (g, n) => assert(n == total, s"grain $g: $n != $total") }
+  }
+
   test("q_rfm: quartiles balanced and segments cover every customer") {
     val rows = TimeSeries.queries("q_rfm")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))

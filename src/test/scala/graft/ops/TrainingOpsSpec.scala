@@ -61,6 +61,30 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_data_mix: weighted repetition matches a brute-force md5 walk") {
+    val rows = TrainingOps.queries("q_data_mix")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val brute = docs.map { case (id, src) =>
+      val w = if (src < "src1") 150 else if (src < "src2") 50 else 100
+      val b = md.digest(id.toString.getBytes)(0) & 0xff
+      val copies = w / 100 + (if (b * 100 < (w % 100) * 256) 1 else 0)
+      (src, copies)
+    }.groupBy(_._1).view.mapValues { cs =>
+      (cs.count(_._2 > 0).toLong, cs.map(_._2).sum.toLong)
+    }.toMap
+    brute.filter(_._2._2 > 0).foreach { case (src, want) =>
+      assert(rows(src) == want, s"source $src: ${rows.get(src)} vs $want")
+    }
+    // upweighted source emits MORE than its doc count, downweighted fewer
+    assert(rows("src0")._2 > rows("src0")._1)
+    assert(rows("src1")._2 < docs.count(_._2 == "src1"))
+  }
+
   test("q_dataset_split: partitions are complete and roughly 80/10/10") {
     val rows = TrainingOps.queries("q_dataset_split")(spark, sf).collect()
     val total = graft.Tables.documents(spark, sf).count()
