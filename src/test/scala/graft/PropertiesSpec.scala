@@ -131,4 +131,58 @@ class PropertiesSpec extends SparkSpec {
       assert(math.abs(got - want) <= 1e-9 * math.max(1.0, want))
     }
   }
+
+  test("z-order interleave is a bijection: de-interleaving recovers both dims") {
+    import spark.implicits._
+    val pairGen = Gen.listOfN(50, for {
+      x <- Gen.choose(0L, 65535L)
+      y <- Gen.choose(0L, 65535L)
+    } yield (x, y))
+    samples(pairGen, 3).foreach { pairs =>
+      val got = pairs.toDF("x", "y")
+        .withColumn("zkey", expr(
+          """aggregate(sequence(0, 15), 0L, (a, k) ->
+            |  a + shiftleft(shiftright(x, k) & 1, 2 * k)
+            |    + shiftleft(shiftright(y, k) & 1, 2 * k + 1))""".stripMargin))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.foreach { case (x, y, z) =>
+        var (dx, dy) = (0L, 0L)
+        for (k <- 0 until 16) {
+          dx |= ((z >> (2 * k)) & 1) << k
+          dy |= ((z >> (2 * k + 1)) & 1) << k
+        }
+        assert(dx == x && dy == y, s"($x,$y) -> $z -> ($dx,$dy)")
+      }
+      assert(got.map(_._3).distinct.length == got.map(p => (p._1, p._2)).distinct.length)
+    }
+  }
+
+  test("int8 quantization: codes bounded, dequant error ≤ scale/2 on random vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(20, Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0f)))
+    samples(vecGen, 3).foreach { vecs =>
+      val nz = vecs.filter(_.exists(_ != 0f))
+      if (nz.nonEmpty) {
+        val rows = nz.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding")
+          .withColumn("amax",
+            expr("aggregate(embedding, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
+          .withColumn("scale", col("amax") / 127)
+          .select(col("vec_id"), col("scale"),
+            expr("transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5d) as int))").as("q"),
+            col("embedding"))
+          .collect()
+        rows.foreach { r =>
+          val scale = r.getDouble(1)
+          val q = r.getSeq[Int](2)
+          val v = r.getSeq[Float](3)
+          assert(q.forall(c => c >= -127 && c <= 127))
+          q.zip(v).foreach { case (c, x) =>
+            assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+              s"vec ${r.getLong(0)}: code $c for $x at scale $scale")
+          }
+        }
+      }
+    }
+  }
 }
