@@ -3,7 +3,10 @@
 engine is pure Scala/Spark; this mirrors the driver-side DuckDB compare so
 oracle drift is caught before a round ends).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [-x q_a,q_b] [query ...]
+
+-x excludes queries (e.g. the O(n²)/recursive dedup oracles that dominate
+the sf0.1 full-tier sweep) so they can run separately in the background.
 
 Mimics the driver: for each query in <verifyOutDir>/oracle_sql.json, runs the
 SQL in DuckDB with views over <sfDir>/*.parquet, loads the Spark parquet
@@ -55,7 +58,12 @@ def values_equal(a, b) -> bool:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
+    skip = set()
+    if rest and rest[0] == "-x":
+        skip = set(rest[1].split(","))
+        rest = rest[2:]
+    only = set(rest)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -63,7 +71,7 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         try:
             spark_df = normalize(pd.read_parquet(f"{out_dir}/{name}"))
