@@ -94,6 +94,30 @@ object PipelineOps extends OpModule {
     // Deterministic ~10% sample: first md5 byte of the key < 26/256. A pure
     // function of the row — reproducible across engines/retries/partitions,
     // unlike TABLESAMPLE whose RNG is engine- and split-dependent.
+    // URL canonicalization + dedup (the Common-Crawl-style curation stage):
+    // synthetic fetch URLs (scheme/host case noise, default :443 port,
+    // utm_* tracking params, unsorted query strings) collapse to a
+    // canonical form — lowercase base, default port stripped, tracking
+    // params dropped, remaining params sorted — and duplicates dedup to
+    // the lowest doc_id. Pure per-row string surgery (codegen'd split/
+    // filter/sort_array) + one hash aggregation on the canonical key.
+    "q_dedup_url" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("raw", concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/d/"),
+          (col("doc_id") % 20).cast("string"),
+          lit("?utm_source=feed&ref="), col("lang"),
+          lit("&id="), (col("doc_id") % 10).cast("string")))
+        .withColumn("base", expr("lower(element_at(split(raw, '[?]'), 1))"))
+        .withColumn("base", expr("replace(base, ':443/', '/')"))
+        .withColumn("params", expr(
+          "array_join(sort_array(filter(split(element_at(split(raw, '[?]'), 2), '&'), p -> p not like 'utm_%')), '&')"))
+        .withColumn("canon",
+          expr("concat(base, case when params = '' then '' else concat('?', params) end)"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("canon"))),
+
     "q_sample_hash" -> ((s, d) =>
       Tables.orders(s, d)
         .where(conv(substring(md5(col("o_orderkey").cast("string")), 1, 2), 16, 10)
@@ -183,6 +207,25 @@ object PipelineOps extends OpModule {
         |FROM orders
         |WHERE CAST(('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INTEGER) < 26
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || UPPER(source) || '.Example.COM:443/d/'
+        |      || CAST(doc_id % 20 AS VARCHAR)
+        |      || '?utm_source=feed&ref=' || lang
+        |      || '&id=' || CAST(doc_id % 10 AS VARCHAR) AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    REPLACE(LOWER(STRING_SPLIT(raw, '?')[1]), ':443/', '/') AS base,
+        |    ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+        |      STRING_SPLIT(STRING_SPLIT(raw, '?')[2], '&'),
+        |      p -> p NOT LIKE 'utm_%')), '&') AS params
+        |  FROM u)
+        |SELECT base || CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon,
+        |  COUNT(*) AS n_dupes, MIN(doc_id) AS keep_id
+        |FROM c GROUP BY 1 ORDER BY canon""".stripMargin,
 
     "q_sim_ivf" -> {
       val cosQC = duckCos("q.q_emb", "c.c_emb")

@@ -74,4 +74,18 @@ class PipelineOpsSpec extends SparkSpec {
       .count()
     assert(masked == 0)
   }
+
+  test("q_dedup_url: canonical forms are clean and cover every document") {
+    val rows = PipelineOps.queries("q_dedup_url")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == graft.Tables.documents(spark, sf).count(),
+      "every document lands in exactly one canonical group")
+    rows.foreach { case (canon, n, keepId) =>
+      assert(canon == canon.toLowerCase, s"canonical url not lowercased: $canon")
+      assert(!canon.contains(":443"), s"default port survived: $canon")
+      assert(!canon.contains("utm_"), s"tracking param survived: $canon")
+      assert(n >= 1 && keepId >= 0)
+    }
+    assert(rows.exists(_._2 > 1), "the synthetic URLs must actually collide")
+  }
 }
