@@ -94,6 +94,37 @@ object PipelineOps extends OpModule {
     // Deterministic ~10% sample: first md5 byte of the key < 26/256. A pure
     // function of the row — reproducible across engines/retries/partitions,
     // unlike TABLESAMPLE whose RNG is engine- and split-dependent.
+    // Boilerplate / shared-span detection: 8-grams appearing in ≥ 3
+    // documents are cross-document boilerplate (headers, templates, copied
+    // spans); each doc reports how much of it is shared (exact integer
+    // ratio). Two hash aggregations — per-doc distinct grams, then gram
+    // document-frequency — and a semi-join back; the boiler gram set is
+    // the high-df tail (tiny) and broadcasts. Production tunes the
+    // threshold as a corpus FRACTION (e.g. 0.1%); this corpus's max 8-gram
+    // df is 3 (measured — only the planted near-dup clusters share spans),
+    // so the demo threshold is the absolute ≥ 3 — the plan shape is
+    // identical either way.
+    "q_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = docs
+        .withColumn("toks", split(trim(lower(col("text"))), " "))
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(
+            |  sequence(0, greatest(size(toks) - 8, 0)),
+            |  i -> concat_ws(' ', slice(toks, i + 1, 8))))""".stripMargin)).as("g"))
+      val boiler = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 3)
+        .select(col("g"))
+      grams.join(broadcast(boiler), Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+        .join(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+              Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_grams"),
+                coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+                expr("coalesce(n_boiler, 0L) * 10000 div n_grams").as("boiler_ratio_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization + dedup (the Common-Crawl-style curation stage):
     // synthetic fetch URLs (scheme/host case noise, default :443 port,
     // utm_* tracking params, unsorted query strings) collapse to a
@@ -207,6 +238,24 @@ object PipelineOps extends OpModule {
         |FROM orders
         |WHERE CAST(('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INTEGER) < 26
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(0, GREATEST(LEN(toks) - 7, 1)),
+        |    i -> ARRAY_TO_STRING(toks[i + 1:i + 8], ' ')))) AS g
+        |  FROM base),
+        |boiler AS (
+        |  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 3),
+        |per AS (
+        |  SELECT grams.doc_id, COUNT(*) AS n_grams, COUNT(boiler.g) AS n_boiler
+        |  FROM grams LEFT JOIN boiler ON grams.g = boiler.g
+        |  GROUP BY grams.doc_id)
+        |SELECT doc_id, n_grams, n_boiler,
+        |  n_boiler * 10000 // n_grams AS boiler_ratio_e4
+        |FROM per ORDER BY doc_id""".stripMargin,
 
     "q_dedup_url" ->
       """WITH u AS (

@@ -75,6 +75,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(masked == 0)
   }
 
+  test("q_boilerplate: shared spans detected only in near-dup cluster docs") {
+    val rows = PipelineOps.queries("q_boilerplate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    assert(rows.exists(_._3 > 0), "planted near-dup clusters must surface shared spans")
+    rows.foreach { case (id, nGrams, nBoiler, ratio) =>
+      assert(nBoiler <= nGrams)
+      assert(ratio == nBoiler * 10000 / nGrams, s"doc $id ratio")
+    }
+  }
+
   test("q_dedup_url: canonical forms are clean and cover every document") {
     val rows = PipelineOps.queries("q_dedup_url")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
