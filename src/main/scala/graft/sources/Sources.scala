@@ -197,6 +197,46 @@ object Sources extends OpModule {
         .agg(count(lit(1)).as("n2x"), sum(col("l_quantity")).as("qty2x"))
         .orderBy(col("l_returnflag"))
     }),
+
+    // Raw line-oriented text ingest (spark.read.text): the entry format for
+    // uncurated corpora (one document per line here). Round-trip must be
+    // line-exact: the re-ingested line count and per-line lengths reconcile
+    // against the curated table. Newlines inside documents would break the
+    // line contract — absent in this corpus (verified by count equality).
+    "src_text" -> ((s, d) => {
+      val path = tmp(d, "text")
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .groupBy(length(col("value")).as("line_len"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("line_len"))
+    }),
+
+    // Whole-file binary ingest (format "binaryFile"): the multimodal entry
+    // point — each file arrives as (path, length, content) with NO parsing,
+    // the layout q_multimodal_feat/q_multimodal_frames then decode from. A
+    // deterministic subset of docs is exported as one .bin per doc (file
+    // NAME carries the id); sizes reconcile against the table.
+    "src_binary" -> ((s, d) => {
+      val dir = tmp(d, "bin")
+      val docs = Tables.documents(s, d)
+        .where(col("doc_id") < 24)
+        .select(col("doc_id"), col("text")).collect()
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val base = new org.apache.hadoop.fs.Path(dir)
+      fs.delete(base, true); fs.mkdirs(base)
+      docs.foreach { r =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(base, f"doc_${r.getLong(0)}%05d.bin"))
+        out.write(r.getString(1).getBytes("UTF-8")); out.close()
+      }
+      s.read.format("binaryFile").load(dir)
+        .select(
+          expr("cast(regexp_extract(path, 'doc_([0-9]+)\\\\.bin', 1) as bigint)").as("doc_id"),
+          col("length").as("n_bytes"),
+          expr("cast(octet_length(content) as bigint)").as("content_bytes"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -252,5 +292,15 @@ object Sources extends OpModule {
     "sink_csv_json" ->
       """SELECT l_returnflag, 2 * COUNT(*) AS n2x, 2 * SUM(l_quantity) AS qty2x
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "src_text" ->
+      """SELECT CAST(LENGTH(text) AS INTEGER) AS line_len, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY line_len""".stripMargin,
+
+    // pure-ASCII corpus (verified r2): chars = bytes on both sides
+    "src_binary" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+        |  CAST(LENGTH(text) AS BIGINT) AS content_bytes
+        |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -39,4 +39,18 @@ class SourcesSpec extends SparkSpec {
       assert(hiA <= loB, s"file key ranges overlap: hi=$hiA > nextLo=$loB")
     }
   }
+
+  test("src_text: line-oriented round-trip preserves every document") {
+    val total = Sources.queries("src_text")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(total == graft.Tables.documents(spark, sf).count())
+  }
+
+  test("src_binary: binaryFile length equals the payload byte count per doc") {
+    val rows = Sources.queries("src_binary")(spark, sf).collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}: length metadata vs content bytes")
+    }
+  }
 }
