@@ -173,6 +173,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_time_rollup_multi: one Expand, one aggregation shuffle — never three scans") {
+    val p = plan("q_time_rollup_multi")
+    assert(p.contains("Expand"), "GROUPING SETS must expand in-flight")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(400))
+    assert("FileScan".r.findAllIn(p).size <= 1, "multi-grain rollup must scan once")
+  }
+
+  test("q_data_mix: weighting/repetition are map-side; only the audit aggregation shuffles") {
+    val p = plan("q_data_mix")
+    // exactly the COUNT(DISTINCT)'s two-stage shuffle pair ((source, doc_id)
+    // then (source)) — the weighted-repetition explode itself never shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(400))
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0 && !p.substring(gen).contains("Exchange"),
+      "explode must sit directly on the scan side, below every exchange")
+  }
+
   test("q_dpp: fact scan carries a dynamicpruning partition filter") {
     val p = plan("q_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"),
