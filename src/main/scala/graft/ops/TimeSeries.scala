@@ -188,6 +188,25 @@ object TimeSeries extends OpModule {
         sum(unix_micros(col("t2")) - unix_micros(col("t1"))).as("click_purchase_us"))
     }),
 
+    // Month-over-month growth: the reporting primitive layered on lag().
+    // Growth rides in basis points as ROUND of a double computed from exact
+    // integer cents — the delta can be NEGATIVE, where integer division
+    // diverges (Spark `div` truncates toward zero, DuckDB `//` floors; the
+    // q_win_gapfill dialect rule). First month per group has no baseline →
+    // NULL, preserved explicitly.
+    "q_mom_growth" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("p"),
+                 date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("m"))
+        .agg(Det.moneySum(col("o_totalprice")).as("cents"))
+      val w = Window.partitionBy(col("p")).orderBy(col("m"))
+      monthly
+        .withColumn("prev", lag(col("cents"), 1).over(w))
+        .select(col("p"), col("m"), col("cents"),
+                expr("cast(round((cents - prev) * 10000.0 / prev) as bigint)").as("growth_bp"))
+        .orderBy(col("p"), col("m"))
+    }),
+
     // Multi-granularity time rollup in ONE pass: hour/day/week aggregates
     // via GROUPING SETS over pre-projected bucket columns — one scan and
     // one (expanded) aggregation instead of three scans at 100 TB. The
@@ -472,6 +491,16 @@ object TimeSeries extends OpModule {
         |   FROM b JOIN a ON b.user_id = a.user_id) AS view_click_us,
         |  (SELECT CAST(SUM(EPOCH_US(c.t2) - EPOCH_US(b.t1)) AS BIGINT)
         |   FROM c JOIN b ON c.user_id = b.user_id) AS click_purchase_us""".stripMargin,
+
+    "q_mom_growth" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority AS p, DATE_TRUNC('month', o_orderdate) AS m,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT p, m, cents,
+        |  CAST(ROUND((cents - LAG(cents, 1) OVER (PARTITION BY p ORDER BY m)) * 10000.0
+        |       / LAG(cents, 1) OVER (PARTITION BY p ORDER BY m)) AS BIGINT) AS growth_bp
+        |FROM monthly ORDER BY p, m""".stripMargin,
 
     // DuckDB GROUPING SETS ≡ Spark's; grain string keys the row. The week
     // bucket must survive COALESCE ordering (h, dy, wk nulls per set).
