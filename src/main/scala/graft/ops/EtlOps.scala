@@ -261,6 +261,31 @@ object EtlOps extends OpModule {
         .orderBy(col("p"))
     }),
 
+    // Feed-health anomaly detection: days whose event volume falls outside
+    // Tukey fences (Q1/Q3 ± 1.5·IQR) — the monitoring rule that flags a
+    // broken or flooding upstream feed. Quartiles ride the q_winsorize
+    // value-at-rank idiom (integer rank arithmetic, no interpolated-
+    // quantile drift) and the fences stay in exact integers scaled ×2
+    // (1.5·IQR = 3·IQR/2 would divide — ×2 both sides instead). One small
+    // daily aggregate, one rank window over it, a broadcast fence join.
+    "q_anomaly_iqr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val wOrd = Window.orderBy(col("n"), col("day"))
+      val ranked = daily.withColumn("r", row_number().over(wOrd).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      val fences = ranked.groupBy(lit(1).as("one"))
+        .agg(max(when(col("r") === greatest(lit(1L), expr("cnt div 4")), col("n"))).as("q1"),
+             max(when(col("r") === expr("(cnt * 3) div 4"), col("n"))).as("q3"))
+        .select(col("one"), col("q1"), col("q3"))
+      daily.withColumn("one", lit(1)).join(broadcast(fences), "one")
+        .select(col("day"), col("n"), col("q1"), col("q3"),
+                (col("n") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3 ||
+                 col("n") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3).as("is_anomaly"))
+        .orderBy(col("day"))
+    }),
+
     // Z-order (Morton) clustering key: interleave the low 16 bits of two
     // dimensions so a range scan on EITHER dimension touches a bounded band
     // of the sorted layout — the multi-dimensional companion to
@@ -426,6 +451,23 @@ object EtlOps extends OpModule {
         |FROM o JOIN t ON o.p = t.p
         |GROUP BY o.p, t.lo, t.hi
         |ORDER BY o.p""".stripMargin,
+
+    "q_anomaly_iqr" ->
+      """WITH daily AS (
+        |  SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY n, day) AS r,
+        |         COUNT(*) OVER () AS cnt
+        |  FROM daily),
+        |f AS (
+        |  SELECT MAX(CASE WHEN r = GREATEST(1, cnt // 4) THEN n END) AS q1,
+        |         MAX(CASE WHEN r = (cnt * 3) // 4 THEN n END) AS q3
+        |  FROM r)
+        |SELECT daily.day, daily.n, f.q1, f.q3,
+        |  (daily.n * 2 < f.q1 * 2 - (f.q3 - f.q1) * 3
+        |   OR daily.n * 2 > f.q3 * 2 + (f.q3 - f.q1) * 3) AS is_anomaly
+        |FROM daily, f ORDER BY daily.day""".stripMargin,
 
     "q_zorder_key" ->
       """WITH b AS (
