@@ -125,6 +125,16 @@ object ScalarFuncs extends OpModule {
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
         .orderBy(col("doc_id"), col("token"))),
 
+    // OUTER generator semantics: explode_outer keeps rows whose array is
+    // empty (NULL-padded) — plain explode silently DROPS them, losing
+    // documents from a per-token pipeline. Most docs here have no 'dup'
+    // token, so the inner/outer difference is most of the table.
+    "q_explode_outer" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode_outer(expr("filter(split(trim(text), ' '), t -> t = 'dup')")).as("tok"))
+        .orderBy(col("doc_id"), col("tok"))),
+
     "q_map_funcs" -> ((s, d) =>
       Tables.nation(s, d)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
@@ -324,6 +334,17 @@ object ScalarFuncs extends OpModule {
     "q_explode" ->
       """SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS token
         |FROM documents ORDER BY doc_id, token""".stripMargin,
+
+    // DuckDB has no outer UNNEST — empty lists are padded to [NULL] first,
+    // which is exactly explode_outer's contract.
+    "q_explode_outer" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), t -> t = 'dup') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  UNNEST(CASE WHEN LEN(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+        |FROM l ORDER BY doc_id, tok""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT n_nationkey,
