@@ -308,6 +308,19 @@ object Aggregations extends OpModule {
              count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))),
 
+    // Contingency table via DataFrameStatFunctions.crosstab — the
+    // categorical-profiling verb (one pivot-style aggregation under the
+    // hood). Pivot columns are selected explicitly and re-aliased: crosstab
+    // emits one column per observed value, so a fixed projection keeps the
+    // schema stable for the gate (same rule as q_pivot's explicit list).
+    "q_agg_crosstab" -> ((s, d) =>
+      Tables.orders(s, d).stat.crosstab("o_orderstatus", "o_orderpriority")
+        .select(col("o_orderstatus_o_orderpriority").as("status"),
+                col("1-URGENT").as("p1"), col("2-HIGH").as("p2"),
+                col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"),
+                col("5-LOW").as("p5"))
+        .orderBy(col("status"))),
+
     // 2-D histogram (price × quantity heat grid): both bucket ids are exact
     // width_bucket ints, so the grid is drift-free; one hash aggregation,
     // the profiling/viz companion to q_agg_histogram.
@@ -512,6 +525,15 @@ object Aggregations extends OpModule {
         |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_crosstab" ->
+      """SELECT o_orderstatus AS status,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
     // DuckDB lacks WIDTH_BUCKET (q_agg_histogram precedent) — explicit
     // arithmetic with the same clamp semantics.

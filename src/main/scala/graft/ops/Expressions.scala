@@ -59,6 +59,27 @@ object Expressions extends OpModule {
             .eqNullSafe(nullif(col("l_linestatus"), lit("F"))).as("nsafe_eq"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // DataFrameNaFunctions surface: fill / drop / replace are the
+    // null-repair verbs of every ingest pipeline. Nulls are planted with
+    // nullif, then each verb's effect is pinned as a count (fill/replace
+    // change values, never cardinality; drop removes exactly the planted
+    // rows).
+    "q_na_funcs" -> ((s, d) => {
+      val withNulls = Tables.customer(s, d)
+        .select(col("c_custkey"),
+                nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+                when(col("c_acctbal") < 0, lit(null).cast("double"))
+                  .otherwise(col("c_acctbal")).as("bal"))
+      val filled = withNulls.na.fill(Map("seg" -> "UNKNOWN", "bal" -> 0.0))
+      val replaced = filled.na.replace("seg", Map("MACHINERY" -> "MACH"))
+      val dropped = withNulls.na.drop(Seq("seg", "bal"))
+      replaced
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), Det.moneySum(col("bal")).as("bal_cents"))
+        .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_complete"))))
+        .orderBy(col("seg"))
+    }),
+
     // Parameterized SQL (Spark 4 named-parameter binding): the injection-
     // safe API surface every query service wraps — parameters are bound as
     // literals by the parser, never string-spliced. The oracle inlines the
@@ -134,6 +155,25 @@ object Expressions extends OpModule {
         |  (NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULLIF(l_linestatus, 'F')) AS nsafe_eq
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_na_funcs" ->
+      """WITH w AS (
+        |  SELECT c_custkey,
+        |    NULLIF(c_mktsegment, 'BUILDING') AS seg,
+        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer),
+        |f AS (
+        |  SELECT c_custkey,
+        |    CASE COALESCE(seg, 'UNKNOWN') WHEN 'MACHINERY' THEN 'MACH'
+        |         ELSE COALESCE(seg, 'UNKNOWN') END AS seg,
+        |    COALESCE(bal, 0.0) AS bal
+        |  FROM w),
+        |dc AS (SELECT COUNT(*) AS n_complete FROM w
+        |       WHERE seg IS NOT NULL AND bal IS NOT NULL)
+        |SELECT f.seg, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(f.bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        |  MAX(dc.n_complete) AS n_complete
+        |FROM f, dc GROUP BY f.seg ORDER BY f.seg""".stripMargin,
 
     "q_sql_params" ->
       """SELECT o_orderkey, o_totalprice FROM orders
