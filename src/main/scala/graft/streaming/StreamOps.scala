@@ -77,10 +77,15 @@ object StreamOps extends OpModule {
     import s.implicits._
     // Raw file schema under nanosAsLong (ts arrives as long nanos), then the
     // same ns→µs conversion Tables.events applies for batch reads.
-    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // A path ending in '/' is a prepared feed dir (all parquet files in it);
+    // otherwise d is an sf dir and only its events.parquet streams.
+    val (dir, glob) =
+      if (d.endsWith("/")) (d.dropRight(1), "*.parquet")
+      else (d, "events.parquet")
+    val schema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
     val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
     val ds = (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
                 raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
               else raw).as[Ev]
@@ -364,10 +369,24 @@ object StreamOps extends OpModule {
       runStreamFile(s, d, OutputMode.Append())(outerJoinTransform)
         .orderBy(col("id_p"), col("id_c").asc_nulls_first)),
 
-    // Feed every event twice; the op must emit each exactly once.
+    // Feed every event TWICE — as two binary copies of the events file in a
+    // prepared feed dir (both arrive in the first micro-batch), so the
+    // duplicated feed rides the file source like every other single-batch
+    // op instead of a ~9 MB MemoryStream task broadcast. The op must emit
+    // each event exactly once.
     "s_dedup_wm" -> ((s, d) => {
-      val evs = loadEvents(s, d)
-      runStream(s, evs ++ evs, OutputMode.Append())(dedupTransform)
+      val dir = s"target/tmp/dupfeed_${math.abs(d.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      val base = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(base, "events_b.parquet"))) {
+        fs.mkdirs(base)
+        val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+        for (n <- Seq("events_a.parquet", "events_b.parquet"))
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, src, fs, new org.apache.hadoop.fs.Path(base, n), false, true, conf)
+      }
+      runStreamFile(s, dir + "/", OutputMode.Append())(dedupTransform)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
