@@ -261,6 +261,32 @@ object EtlOps extends OpModule {
         .orderBy(col("p"))
     }),
 
+    // Pipeline observability: Observation metrics ride ON the job that does
+    // the real work — no second scan. A write-shaped pass over lineitem
+    // (filter + project) is observed for row count / exact cents volume /
+    // null violations; the returned frame IS the telemetry record an ETL
+    // run would log beside its output. At 100 TB this is the only
+    // affordable audit: the metrics aggregate map-side inside the pass the
+    // pipeline already pays for (contrast q_profile, a dedicated pass).
+    "q_observe" -> ((s, d) => {
+      val obs = new org.apache.spark.sql.Observation("etl_metrics")
+      val pass = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          Det.moneySum(col("l_extendedprice")).as("cents"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_flags"))
+      pass.write.mode("overwrite")
+        .parquet(s"target/tmp/observe_${math.abs(d.hashCode)}")
+      val m = obs.get
+      s.createDataFrame(Seq((
+        m("n_rows").asInstanceOf[Long],
+        m("cents").asInstanceOf[Long],
+        m("null_flags").asInstanceOf[Long])))
+        .toDF("n_rows", "cents", "null_flags")
+    }),
+
     // Feed-health anomaly detection: days whose event volume falls outside
     // Tukey fences (Q1/Q3 ± 1.5·IQR) — the monitoring rule that flags a
     // broken or flooding upstream feed. Quartiles ride the q_winsorize
@@ -451,6 +477,13 @@ object EtlOps extends OpModule {
         |FROM o JOIN t ON o.p = t.p
         |GROUP BY o.p, t.lo, t.hi
         |ORDER BY o.p""".stripMargin,
+
+    "q_observe" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin,
 
     "q_anomaly_iqr" ->
       """WITH daily AS (
