@@ -422,6 +422,39 @@ object StreamOps extends OpModule {
         .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
         .orderBy(col("event_type"))
     }),
+
+    // Incremental AvailableNow ingest — the production backfill/catch-up
+    // contract: run 1 drains the files present (first half of the feed),
+    // new files LAND, run 2 with the same checkpoint picks up ONLY the new
+    // ones. The sink must hold the union exactly once: the checkpoint's
+    // file log is what makes re-listing the old files safe. (Contrast
+    // s_sink_idempotent, which re-runs with NO new data.)
+    "s_incr_ingest" -> ((s, d) => {
+      val id = math.abs(d.hashCode).toString
+      val base = s"target/tmp/incr_$id"
+      val feed = s"$base/feed"; val out = s"$base/out"; val chk = s"$base/chk"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables.events(s, d)
+      val median = ev.agg(expr("percentile(event_id, 0.5D)")).collect()(0).getDouble(0)
+      def land(cond: org.apache.spark.sql.Column): Unit =
+        ev.where(cond).write.mode("append").parquet(feed)
+      def runOnce(): Unit = {
+        val schema = s.read.parquet(feed).schema
+        val q = s.readStream.schema(schema).parquet(feed)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      land(col("event_id") <= median); runOnce()
+      land(col("event_id") > median); runOnce()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -561,6 +594,11 @@ object StreamOps extends OpModule {
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "s_sink_idempotent" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // union of both incremental runs = the whole feed, exactly once
+    "s_incr_ingest" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
