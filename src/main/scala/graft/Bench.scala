@@ -27,7 +27,7 @@ object Bench {
     "q_scd2", "q_cdc_merge", "q_geo_cell",                           // ETL lifecycle (r3)
     "q_skew_salted",                                                 // scale posture
     "q_funnel", "q_er_join",                                         // event analytics / linkage (r4)
-    "q_emb_quantize", "q_agg_hll_sketch",                            // vector + sketch (r4)
+    "q_emb_quantize", "q_agg_hll_sketch", "q_pipeline_e2e",          // vector + sketch + e2e chain (r4)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

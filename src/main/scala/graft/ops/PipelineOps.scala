@@ -94,6 +94,33 @@ object PipelineOps extends OpModule {
     // Deterministic ~10% sample: first md5 byte of the key < 26/256. A pure
     // function of the row — reproducible across engines/retries/partitions,
     // unlike TABLESAMPLE whose RNG is engine- and split-dependent.
+    // The END-TO-END curation chain in one declarative query — normalize →
+    // quality gate → exact dedup (min-id survivor) → deterministic split →
+    // per-(split, lang) corpus stats. Each stage is a proven primitive
+    // (q_doc_norm / q_quality_filter / q_dedup_exact / q_dataset_split);
+    // the point here is COMPOSITION: Catalyst plans the whole chain as one
+    // pipeline (scan → map stages → one dedup aggregation → one stats
+    // aggregation), so the 100 TB corpus is read ONCE end-to-end — there
+    // is no materialization boundary between stages unless the operator
+    // needs one.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val norm = Tables.documents(s, d)
+        .withColumn("norm", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .withColumn("n_tok", size(split(col("norm"), " ")))
+      val kept = norm.where(col("n_tok").between(30, 2000))
+      val deduped = kept
+        .groupBy(md5(col("norm")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), max(col("n_tok")).as("n_tok"))
+      val tagged = deduped
+        .withColumn("b", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+        .withColumn("split",
+          when(col("b") < 204, "train").when(col("b") < 230, "val").otherwise("test"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      tagged.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_tokens"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // Boilerplate / shared-span detection: 8-grams appearing in ≥ 3
     // documents are cross-document boilerplate (headers, templates, copied
     // spans); each doc reports how much of it is shared (exact integer
@@ -238,6 +265,29 @@ object PipelineOps extends OpModule {
         |FROM orders
         |WHERE CAST(('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INTEGER) < 26
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |    REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, norm,
+        |    CAST(LEN(STRING_SPLIT(norm, ' ')) AS INTEGER) AS n_tok
+        |  FROM norm),
+        |kept AS (SELECT * FROM tok WHERE n_tok BETWEEN 30 AND 2000),
+        |ded AS (
+        |  SELECT MD5(norm) AS h, MIN(doc_id) AS doc_id, MAX(n_tok) AS n_tok
+        |  FROM kept GROUP BY MD5(norm)),
+        |tagged AS (
+        |  SELECT d.doc_id, d.n_tok, k.lang,
+        |    CASE WHEN CAST(('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 204 THEN 'train'
+        |         WHEN CAST(('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM ded d JOIN documents k ON d.doc_id = k.doc_id)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM tagged GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "q_boilerplate" ->
       """WITH base AS (
