@@ -211,16 +211,36 @@ object LlmOps extends OpModule {
         .orderBy(col("lang"), col("source"))),
 
     // Top-10 TF-IDF terms per language.
+    //
+    // 100 TB shape: the document-frequency table has one row per DISTINCT
+    // term in the corpus — a multi-billion-row vocabulary at scale, never a
+    // broadcastable dim. Both tf and df therefore derive from ONE token
+    // stream repartitioned on term: HashPartitioning(term) satisfies every
+    // downstream clustering ((term,lang,doc_id), (lang,term), (term)) and
+    // the tf⋈df equi join, so the pipeline is two shuffles total (term,
+    // then the per-lang top-k window) and the shared token exchange is
+    // planned once per branch but materialized once (exchange/stage reuse —
+    // plan-audited in PlanAuditSpec). Only the 1-row corpus count
+    // broadcasts.
     "q_tfidf_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("lang"), col("doc_id"),
         explode(split(trim(lower(col("text"))), " ")).as("term"))
-      val tf = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = tok.select(col("term"), col("doc_id")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .repartition(col("term"))
+      // one row per (term, doc) with its in-doc count — the shared base both
+      // branches re-aggregate WITHOUT re-shuffling (term ⊆ every key set;
+      // lang is functionally dependent on doc_id, so counting these rows per
+      // term IS the distinct-document frequency)
+      val perDoc = tok.groupBy(col("term"), col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val tf = perDoc.groupBy(col("lang"), col("term")).agg(sum(col("c")).as("tf"))
+      val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val total = docs.agg(count(lit(1)).as("n_total"))
       val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
-      tf.join(broadcast(dfreq), "term")
+      // hint pins the sort-merge shape: at test SF the post-agg stats fall
+      // under autoBroadcastJoinThreshold and Catalyst would flip this back
+      // to a broadcast of the vocabulary — the exact plan that OOMs at scale
+      tf.join(dfreq.hint("merge"), "term")
         .crossJoin(broadcast(total))
         .withColumn("score", col("tf") * log(col("n_total").cast("double") / col("df")))
         .withColumn("rn", row_number().over(w))

@@ -190,6 +190,19 @@ class PlanAuditSpec extends SparkSpec {
       "explode must sit directly on the scan side, below every exchange")
   }
 
+  test("q_tfidf_terms: vocabulary-sized df join shuffles on term — never broadcasts; shared token exchange materializes once") {
+    val df = SparkEntry.queries("q_tfidf_terms")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the df table has one row per distinct corpus term — it must never broadcast:\n${p.take(800)}")
+    assert(p.contains("SortMergeJoin [term"),
+      s"tf⋈df must be a shuffle join on term:\n${p.take(800)}")
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      s"shared token exchange must be reused, not recomputed:\n${fin.take(1200)}")
+  }
+
   test("q_dpp: fact scan carries a dynamicpruning partition filter") {
     val p = plan("q_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"),
