@@ -248,15 +248,16 @@ object TimeSeries extends OpModule {
     }),
 
     // RFM segmentation: per-customer recency (days since last order),
-    // frequency (order count), monetary (cents sum) → quartile codes via
-    // ntile over tie-broken total orders (D3: o_custkey folded into every
-    // ordering). The global ntile windows are single-partition sorts of
-    // the (already-aggregated) customer frame — exact quartiles need a
-    // total order. Scale note: at billions of customers the exact ntile
-    // swaps for percentile_approx threshold joins (the q_winsorize
-    // pattern) — same output schema, sketch-bounded quartile edges; the
-    // harness-scale formulation keeps the exact semantics the oracle can
-    // verify.
+    // frequency (order count), monetary (cents sum) → quartile codes over
+    // tie-broken total orders (D3: o_custkey folded into every ordering).
+    // Exact NTILE(4) needs each customer's position in three total orders;
+    // instead of three global single-partition ntile windows, each
+    // dimension rides DistRank's rank-by-histogram (bucketed shuffle +
+    // tiny broadcast offset table) and the quartile comes from the
+    // integer NTILE formula — the same exact semantics, but every
+    // full-frame window is bucket-partitioned, so the formulation
+    // survives billions of customers. Descending dimensions (freq, cents)
+    // rank on the negated value with the same o_custkey tie-break.
     "q_rfm" -> ((s, d) => {
       val per = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
@@ -264,10 +265,20 @@ object TimeSeries extends OpModule {
              count(lit(1)).as("freq"),
              Det.moneySum(col("o_totalprice")).as("cents"))
         .withColumn("rec_days", datediff(lit("1999-01-01").cast("date"), col("last_d")))
-      val rfm = per
-        .withColumn("r", ntile(4).over(Window.orderBy(col("rec_days"), col("o_custkey"))))
-        .withColumn("f", ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey"))))
-        .withColumn("m", ntile(4).over(Window.orderBy(col("cents").desc, col("o_custkey"))))
+      // Bucket widths are domain-scaled: rec_days spans ~2500 days (÷64),
+      // freq tens of orders (÷1), cents up to ~1e9 per customer (÷1e7).
+      val ranked = Seq[(String, org.apache.spark.sql.Column, Long)](
+        ("r", col("rec_days"), 64L),
+        ("f", -col("freq"), 1L),
+        ("m", -col("cents"), 10000000L))
+        .foldLeft(per) { case (df, (dim, value, width)) =>
+          DistRank.withGlobalRank(df, value, col("o_custkey"), width,
+                                  s"${dim}_rk", s"${dim}_n")
+        }
+      val rfm = ranked
+        .withColumn("r", DistRank.ntileFromRank("r_rk", "r_n", 4))
+        .withColumn("f", DistRank.ntileFromRank("f_rk", "f_n", 4))
+        .withColumn("m", DistRank.ntileFromRank("m_rk", "m_n", 4))
       rfm.groupBy(col("r"), col("f"), col("m"))
         .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("seg_cents"))
         .orderBy(col("r"), col("f"), col("m"))

@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: every window is partitioned by a high-cardinality key
   * (custkey / user_id), so state per partition stays bounded and the single
-  * shuffle is on the partition key. The one global window (`q_win_dist`,
-  * account-balance distribution) is inherently single-partition — at 100 TB
-  * that query would pre-aggregate or sample first; documented here as the
-  * known exception. Running/range frames use the streaming frame evaluator
+  * shuffle is on the partition key. Global-order statistics (`q_win_dist`,
+  * account-balance distribution) run through [[DistRank]]'s two-pass
+  * rank-by-histogram — no full-table single-partition window anywhere
+  * (plan-audited). Running/range frames use the streaming frame evaluator
   * (`WindowExec` keeps only the frame, not the partition, for bounded
   * frames). Determinism: every ORDER BY inside a window carries a unique
   * tie-break key (D3).
@@ -63,13 +63,22 @@ object Windows extends OpModule {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Global distribution stats WITHOUT a global single-partition window:
+    // DistRank's two-pass rank-by-histogram (bucket = acctbal cents div
+    // 10000 → ~110 buckets over TPC-H's [-999.99, 9999.99] domain), then
+    // ntile/percent_rank/cume_dist derived from the tie-free rank by the
+    // exact SQL formulas. The only single-partition exchange left in the
+    // plan carries histogram rows (bounded by bucket granularity), never
+    // customer rows — plan-audited.
     "q_win_dist" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
+      val ranked = DistRank.withGlobalRank(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+        Det.cents(col("c_acctbal")), col("c_custkey"), 10000L, "gr_r", "gr_n")
+      ranked
         .select(col("c_custkey"),
-                ntile(4).over(w).as("quartile"),
-                round(percent_rank().over(w), 4).as("pct_rank"),
-                round(cume_dist().over(w), 4).as("cume"))
+                DistRank.ntileFromRank("gr_r", "gr_n", 4).as("quartile"),
+                round(DistRank.percentRankFromRank(col("gr_r"), col("gr_n")), 4).as("pct_rank"),
+                round(DistRank.cumeDistFromRank(col("gr_r"), col("gr_n")), 4).as("cume"))
         .orderBy(col("c_custkey"))
     }),
 

@@ -13,10 +13,11 @@ import org.apache.spark.sql.types._
   * with a DECLARED schema → result. The oracle compares against the original
   * table, so the round-trip must be lossless — that is the ingest contract.
   *
-  * JDBC ingest (src_jdbc): design-only in this container (no RDBMS): at
-  * scale, `spark.read.format("jdbc").option("partitionColumn"/"numPartitions"
-  * /"lowerBound"/"upperBound", …)` parallelizes the extract by key range —
-  * the same pattern every disaster-store upstream (PostGIS, etc.) gets.
+  * JDBC ingest (src_jdbc): executable against embedded Derby (the one
+  * RDBMS in the image, `/opt/spark/jars/derby-10.16.1.1.jar`). The extract
+  * parallelizes by key range — `partitionColumn`/`lowerBound`/`upperBound`/
+  * `numPartitions` generate one range-predicate query per partition, the
+  * same pattern every disaster-store upstream (PostGIS, etc.) gets.
   *
   * Scale posture: partitioned parquet (`sink_parquet_part`) is THE store
   * layout — writes are parallel per partition, reads prune by partition
@@ -181,6 +182,41 @@ object Sources extends OpModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Executable JDBC round-trip against embedded Derby. Write side: a
+    // slice of orders goes THROUGH Spark's distributed JDBC sink
+    // (executor-side batched inserts, one connection per partition). Read
+    // side: a PARTITIONED extract — partitionColumn/lowerBound/upperBound/
+    // numPartitions generate one range-predicate query per partition, so
+    // the pull from any RDBMS upstream parallelizes instead of serializing
+    // through a single cursor. Oracle recomputes the same aggregate from
+    // the parquet source: the DB round-trip must be lossless.
+    "src_jdbc" -> ((s, d) => {
+      System.setProperty("derby.stream.error.file", "target/tmp/derby.log")
+      val dbDir = new java.io.File(tmp(d, "derby")).getAbsolutePath
+      val url = s"jdbc:derby:$dbDir;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      val props = new java.util.Properties()
+      props.setProperty("driver", driver)
+      Tables.orders(s, d)
+        .where(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                col("o_totalprice"))
+        .repartition(4)
+        .write.mode("overwrite").jdbc(url, "ORDERS_SLICE", props)
+      s.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "ORDERS_SLICE")
+        .option("driver", driver)
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "1").option("upperBound", "6000000")
+        .option("numPartitions", "4")
+        .load()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             graft.ops.Det.moneySum(col("o_totalprice")).as("cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // CSV + JSON export of the same slice must agree with each other.
     "sink_csv_json" -> ((s, d) => {
       val slice = Tables.lineitem(s, d)
@@ -287,6 +323,12 @@ object Sources extends OpModule {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate < TIMESTAMP '1997-09-01'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "src_jdbc" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // both exports re-ingested: every group exactly doubled
     "sink_csv_json" ->

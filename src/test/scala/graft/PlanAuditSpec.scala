@@ -209,6 +209,40 @@ class PlanAuditSpec extends SparkSpec {
       s"expected runtime partition pruning in:\n${p.take(600)}")
   }
 
+  /** Every Exchange SinglePartition in the plan must sit above an
+    * aggregate (i.e. carry histogram/summary rows, bounded by construction),
+    * never directly above a table scan. Tree prints children immediately
+    * below the parent, so "an aggregate appears before the next scan in the
+    * printed subtree" pins the structure.
+    */
+  private def singlePartitionOnlyAboveAggregates(p: String): Unit = {
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val below = lines.drop(i + 1)
+        val agg = below.indexWhere(l => l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+        val scan = below.indexWhere(_.contains("FileScan"))
+        assert(agg >= 0 && (scan < 0 || agg < scan),
+          s"Exchange SinglePartition at plan line $i feeds from a raw scan, not an aggregate:\n${p.take(1200)}")
+    }
+  }
+
+  test("q_win_dist: distribution stats run bucket-partitioned — no full-table single-partition window") {
+    val p = plan("q_win_dist")
+    assert(p.contains("windowspecdefinition(gr_bkt"),
+      s"the full-table row_number window must partition by the histogram bucket:\n${p.take(800)}")
+    assert(!p.contains("ntile("), "ntile must be the integer rank formula, not a global window")
+    singlePartitionOnlyAboveAggregates(p)
+  }
+
+  test("q_rfm: all three quartile rankings run bucket-partitioned") {
+    val p = plan("q_rfm")
+    assert("windowspecdefinition\\(gr_bkt".r.findAllIn(p).size >= 3,
+      s"each RFM dimension must rank inside histogram buckets:\n${p.take(800)}")
+    assert(!p.contains("ntile("), "ntile must be the integer rank formula, not a global window")
+    singlePartitionOnlyAboveAggregates(p)
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
