@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   * linear scan and can be a partition/bucketing key — a query then touches
   * 9/256 of the data instead of all of it; recall/probe-count is the tuning
   * dial (measured ≈0.5+ recall@5 on this corpus in SimilaritySpec).
-  * Non-oracle: ANN output is definitionally approximate; the spec measures
-  * recall against the brute-force oracle query instead.
+  *
+  * Oracle (hash-checked): the probe set (own bucket + Hamming-1 +
+  * Hamming-2) is exactly "bucket XOR distance ≤ 2", and the hyperplane
+  * signs are serialized into the SQL as literals — so DuckDB reproduces
+  * the same buckets, the same candidate pairs, and the same exact-cosine
+  * top-5. That pins the full ANN contract (bucketing + candidate ranking),
+  * not just row counts; recall vs brute force stays property-tested in
+  * SimilaritySpec.
   */
 object Similarity extends OpModule {
 
@@ -71,5 +77,41 @@ object Similarity extends OpModule {
     }),
   )
 
-  override def oracles: Map[String, String] = Map.empty
+  override def oracles: Map[String, String] = {
+    // The ±1 hyperplanes ride into the SQL as literal rows, so the oracle
+    // computes the very same buckets the engine does. "Probe = own ∪
+    // Hamming-1 ∪ Hamming-2 buckets" is equivalently BIT_COUNT(XOR) ≤ 2.
+    val planeRows = planes.zipWithIndex.map { case (w, j) =>
+      s"($j, [${w.map(v => if (v > 0) "1" else "-1").mkString(",")}])"
+    }.mkString(",\n        |    ")
+    Map(
+      "q_sim_lsh" ->
+        s"""WITH planes AS (
+        |  SELECT * FROM (VALUES
+        |    $planeRows) AS t(j, w)),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, w),
+        |        s -> CAST(s[1] AS DOUBLE) * s[2])) > 0 THEN 1 << j ELSE 0 END) AS INTEGER) AS b
+        |  FROM embeddings CROSS JOIN planes GROUP BY vec_id),
+        |cand AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.embedding AS q_emb, n.embedding AS n_emb
+        |  FROM embeddings q
+        |  JOIN bkt qb ON q.vec_id = qb.vec_id
+        |  JOIN bkt nb ON BIT_COUNT(XOR(qb.b, nb.b)) <= 2
+        |  JOIN embeddings n ON n.vec_id = nb.vec_id
+        |  WHERE q.vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |    / (SQRT(LIST_SUM(LIST_TRANSFORM(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * SQRT(LIST_SUM(LIST_TRANSFORM(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+        |  FROM cand)
+        |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+        |  SELECT q_id, n_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    )
+  }
 }
