@@ -134,6 +134,19 @@ object LlmOps extends OpModule {
     labels
   }
 
+  /** Degenerate-bucket cap (docs per band bucket). A boilerplate-heavy
+    * corpus can drive one band bucket to 10⁶ docs → 10¹² in-bucket pairs;
+    * buckets above the cap are SHED from pair expansion, bounding any
+    * bucket's work at cap², while every bucket at or below it expands as
+    * before — so recall on non-degenerate pairs is untouched (property-
+    * tested in DedupVariantsSpec with a planted boilerplate clique). The
+    * cap is far above every real bucket in this corpus at every tier
+    * (verified ≤ ~10), so the oracle-checked output is unchanged; at
+    * 100 TB a shed bucket is exactly the boilerplate cluster that needs
+    * q_boilerplate-style handling, not pairwise dedup.
+    */
+  private[graft] val MaxBucket = 64
+
   /** Shared pipeline: q_dedup_near's output IS q_dedup_cluster's edge set. */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
       // persisted: the shingle lineage feeds the signature path AND both
@@ -149,6 +162,14 @@ object LlmOps extends OpModule {
                 graft.functions.TextHashes.shingles(5)(split(trim(col("text")), " ")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       lastShingleCache = Some(sh)
+      minhashVerifiedPairs(sh, MaxBucket)
+  }
+
+  /** MinHash/LSH candidate generation + exact-Jaccard verify over a
+    * (doc_id, sh: Array[Long] shingle set) frame. private[graft] so the
+    * property suite can drive planted corpora with explicit caps.
+    */
+  private[graft] def minhashVerifiedPairs(sh: DataFrame, maxBucket: Int): DataFrame = {
       val sigs = sh.select(col("doc_id"), col("sh"),
         graft.functions.TextHashes.minhash32(col("sh")).as("mh"))
       val bands = sigs.select(col("doc_id"),
@@ -157,9 +178,10 @@ object LlmOps extends OpModule {
       // Pair generation via groupBy + in-bucket expansion: ONE pass over the
       // bands (a self-join would recompute the whole minhash lineage twice —
       // measured 2× at sf0.1) and bucket-local combinations bound the output.
+      // Buckets above maxBucket are degenerate (boilerplate) and shed.
       val cand = bands.groupBy(col("band"), col("sig"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .where(size(col("ids")) > 1)
+        .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
         .select(explode(expr(
           """flatten(transform(ids,
             |  (a, i) -> transform(slice(ids, i + 2, size(ids)),

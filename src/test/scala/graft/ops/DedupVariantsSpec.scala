@@ -112,4 +112,37 @@ class DedupVariantsSpec extends SparkSpec {
       assert(r.getBoolean(5) == (score >= 2500))
     }
   }
+
+  test("degenerate LSH bucket cap: boilerplate clique shed, non-degenerate recall unaffected") {
+    // Planted corpus: a 40-doc exact-boilerplate clique (every band bucket
+    // holds all 40 → degenerate) plus 10 disjoint-vocabulary near-dup pairs
+    // (J ≈ 0.93, comfortably over the τ=0.5 verify and the 8×4 band curve).
+    val boiler = (0 until 60).map(w => s"boiler_$w").mkString(" ")
+    val boilerDocs = (0L until 40L).map(i => (1000L + i, boiler))
+    val planted = (0 until 10).flatMap { k =>
+      val words = (0 until 30).map(w => s"w${k}_$w")
+      Seq((2000L + 2 * k, words.mkString(" ")),
+          (2000L + 2 * k + 1, (words.dropRight(1) :+ s"z$k").mkString(" ")))
+    }
+    import spark.implicits._
+    val docs = (boilerDocs ++ planted).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextHashes.shingles(5)(split(trim(col("text")), " ")).as("sh"))
+    def pairs(cap: Int): Set[(Long, Long)] =
+      LlmOps.minhashVerifiedPairs(sh, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(32)
+    val uncapped = pairs(Int.MaxValue)
+    val isBoiler = (p: (Long, Long)) => p._1 < 2000L
+    // the cap sheds the 40-doc clique's 780 in-bucket pairs entirely...
+    assert(!capped.exists(isBoiler), s"degenerate pairs leaked: ${capped.filter(isBoiler).take(5)}")
+    assert(uncapped.count(isBoiler) == 40 * 39 / 2,
+      s"uncapped expansion should materialize the full clique, got ${uncapped.count(isBoiler)}")
+    // ...while every non-degenerate planted pair is still found, and the
+    // non-degenerate output is bit-identical with and without the cap.
+    (0 until 10).foreach { k =>
+      assert(capped.contains((2000L + 2 * k, 2000L + 2 * k + 1)), s"planted pair $k lost")
+    }
+    assert(capped == uncapped.filterNot(isBoiler), "cap must only affect degenerate buckets")
+  }
 }
