@@ -57,11 +57,22 @@ object StreamOps extends OpModule {
     * 32 stores would each hold ~3k keys and pay 32× the per-batch
     * commit/snapshot fixed cost. A production deployment of the same
     * transforms picks this per-query number the same way (keys × state row
-    * size / target store size), just with a larger answer. */
+    * size / target store size), just with a larger answer.
+    *
+    * Default is 4 (was 8): a stream-stream join commits 4 state stores per
+    * partition per micro-batch, so the flush-batch fixed cost scales with
+    * partitions — measured on s_join_outer at sf0.1: 8 parts 3.4 s, 4 parts
+    * 2.5 s, 2 parts 2.5 s (s_tumble_wm 1.8 → 1.4 s). RocksDB
+    * (SPARK_GRAFT_STREAM_ROCKSDB=1) was measured SLOWER here (3.6 s): its
+    * native-store fixed cost only pays off when state outgrows the heap —
+    * that is the production knob at real volume, not at harness scale. */
   private def withStreamParallelism[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    if (sys.env.get("SPARK_GRAFT_STREAM_ROCKSDB").contains("1"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try body finally s.conf.set(key, prev)
   }
 

@@ -120,4 +120,32 @@ class StreamOpsSpec extends SparkSpec {
     val expectNull = purchases.filter(p => p._4 < wm && !batchPairs.exists(_._1 == p._1)).map(_._1).toSet
     assert(nullIds == expectNull, "outer rows are exactly the watermark-evicted unmatched purchases")
   }
+
+  // The s_join_outer ORACLE hard-codes Spark's observed watermark
+  // propagation: global watermark = LEAST of the per-side max ts − 10 min
+  // (each side's watermark tracks its OWN event_type-filtered feed). If a
+  // Spark upgrade changes propagation, this must fail HERE with the actual
+  // watermark value — not downstream as an opaque oracle hash mismatch.
+  test("s_join_outer: final query watermark equals LEAST(side maxes) - 10 min") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // purchase side max = 03:00, click side max = 04:00 → watermark must
+    // follow the SLOWER (purchase) side: 03:00 - 10 min = 02:50.
+    mem.addData(ev(1, 60, typ = "purchase"), ev(2, 180, typ = "purchase"),
+                ev(3, 55), ev(4, 240))
+    val name = "spec_wm_probe_" + System.nanoTime
+    val q = StreamOps.outerJoinTransform(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"target/tmp/chk_$name")
+      .start()
+    try {
+      q.processAllAvailable()
+      val wm = java.time.Instant.parse(q.lastProgress.eventTime.get("watermark"))
+      val expected = java.time.Instant.parse("2024-01-01T02:50:00Z")
+      assert(wm == expected,
+        s"watermark propagation drifted: got $wm, oracle assumes $expected")
+    } finally q.stop()
+  }
 }
