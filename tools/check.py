@@ -60,10 +60,23 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     rest = sys.argv[3:]
     skip = set()
-    if rest and rest[0] == "-x":
-        skip = set(rest[1].split(","))
-        rest = rest[2:]
-    only = set(rest)
+    only = set()
+    # flags are recognized anywhere in the tail; unknown flags are an error
+    # (previously "-x" after a query name was silently treated as a query
+    # name and filtered everything to nothing)
+    i = 0
+    while i < len(rest):
+        tok = rest[i]
+        if tok == "-x":
+            if i + 1 >= len(rest):
+                sys.exit("error: -x requires a comma-separated query list")
+            skip.update(rest[i + 1].split(","))
+            i += 2
+        elif tok.startswith("-"):
+            sys.exit(f"error: unknown flag {tok!r}")
+        else:
+            only.add(tok)
+            i += 1
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
