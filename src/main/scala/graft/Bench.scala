@@ -11,7 +11,7 @@ object Bench {
     * exercises the full inventory. SPARK_GRAFT_BENCH_ALL=1 restores the full
     * sweep for local deep-dives (do NOT use for driver rounds).
     */
-  private val headline = Vector(
+  private[graft] val headline = Vector(
     "q_scan_pushdown", "q_filter_compound",                          // scan/filter
     "q_join_inner", "q_join_star5", "q_join_broadcast",              // joins
     "q_join_range", "q_join_asof",

@@ -100,7 +100,14 @@ object ScaleOps extends OpModule {
     // known-absent probe keys.
     "q_filter_bloom" -> ((s, d) => {
       val orders = Tables.orders(s, d)
-      val bf = orders.stat.bloomFilter(col("o_custkey"), 20000, 0.03)
+      // Capacity sized FROM the data (2× distinct keys), never a constant:
+      // a fixed 20k saturates at sf1+ (~100k distinct custkeys) and the
+      // false-positive rate blows past the asserted bound. The distinct
+      // count is one small pre-aggregate — the same pass a production
+      // build would spend to size any sketch.
+      val expected = math.max(1000L,
+        orders.select(col("o_custkey")).distinct().count() * 2)
+      val bf = orders.stat.bloomFilter(col("o_custkey"), expected, 0.03)
       val bfB = s.sparkContext.broadcast(bf)
       val probe = udf((k: Long) => bfB.value.mightContain(k))
       val withOrders = Tables.customer(s, d)

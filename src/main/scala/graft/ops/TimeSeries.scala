@@ -203,7 +203,10 @@ object TimeSeries extends OpModule {
       monthly
         .withColumn("prev", lag(col("cents"), 1).over(w))
         .select(col("p"), col("m"), col("cents"),
-                expr("cast(round((cents - prev) * 10000.0 / prev) as bigint)").as("growth_bp"))
+                // nullif guard: a zero-cents baseline month must yield NULL
+                // like a missing one (Spark would cast the Infinity to
+                // Long.MaxValue where DuckDB errors — latent divergence).
+                expr("cast(round((cents - prev) * 10000.0 / nullif(prev, 0)) as bigint)").as("growth_bp"))
         .orderBy(col("p"), col("m"))
     }),
 
@@ -510,7 +513,7 @@ object TimeSeries extends OpModule {
         |  FROM orders GROUP BY 1, 2)
         |SELECT p, m, cents,
         |  CAST(ROUND((cents - LAG(cents, 1) OVER (PARTITION BY p ORDER BY m)) * 10000.0
-        |       / LAG(cents, 1) OVER (PARTITION BY p ORDER BY m)) AS BIGINT) AS growth_bp
+        |       / NULLIF(LAG(cents, 1) OVER (PARTITION BY p ORDER BY m), 0)) AS BIGINT) AS growth_bp
         |FROM monthly ORDER BY p, m""".stripMargin,
 
     // DuckDB GROUPING SETS ≡ Spark's; grain string keys the row. The week

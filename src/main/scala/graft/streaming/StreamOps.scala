@@ -386,13 +386,19 @@ object StreamOps extends OpModule {
     // op instead of a ~9 MB MemoryStream task broadcast. The op must emit
     // each event exactly once.
     "s_dedup_wm" -> ((s, d) => {
-      val dir = s"target/tmp/dupfeed_${math.abs(d.hashCode)}"
       val conf = s.sparkContext.hadoopConfiguration
       val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      // Memoize keyed on a CONTENT fingerprint (length + mtime), not the
+      // path hash alone: regenerating events.parquet in place must produce
+      // a fresh copy, never silently reuse a stale one. toHexString also
+      // avoids the abs(Int.MinValue)-stays-negative edge.
+      val st = fs.getFileStatus(src)
+      val dir = s"target/tmp/dupfeed_${d.hashCode.toHexString}_" +
+        java.lang.Long.toHexString(st.getLen ^ (st.getModificationTime << 13))
       val base = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(new org.apache.hadoop.fs.Path(base, "events_b.parquet"))) {
         fs.mkdirs(base)
-        val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
         for (n <- Seq("events_a.parquet", "events_b.parquet"))
           org.apache.hadoop.fs.FileUtil.copy(
             fs, src, fs, new org.apache.hadoop.fs.Path(base, n), false, true, conf)
