@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local scale-rehearsal generator (VERDICT r3 #7): builds an sf1-shaped
+  * tier by replicating sf0.1 `mult`× with per-replica key offsets, so the
+  * 43-query headline bench can be measured at 10× and checked for linear
+  * scaling (results recorded in BASELINE.md).
+  *
+  * Replica 0 is the untouched source, so fixture predicates (`vec_id < 10`,
+  * `doc_id < 24`) keep hitting the original rows. Entity keys (custkey,
+  * orderkey, suppkey, partkey, event_id, user_id, doc_id, vec_id) shift by
+  * r×1e8 per replica — foreign keys shift together, so join fan-outs and
+  * per-key densities match the source tier while key cardinality scales
+  * linearly, like a real TPC-H sf bump. region/nation stay fixed (dims
+  * don't scale with sf). Document text is word-shuffled per replica and
+  * embeddings are jittered so the dedup/similarity families see 10× the
+  * corpus, not 10 exact copies of it (exact copies would turn every
+  * near-dup bucket into a degenerate clique and measure the wrong thing).
+  * The jitter uses rand() — this is a perf artifact, regenerated rarely and
+  * never oracle-compared; determinism is not a contract here.
+  *
+  * Not for correctness runs: the driver's tiers stay the only oracle
+  * inputs. Usage: runMain graft.GenScale [srcDir] [dstDir] [mult]
+  */
+object GenScale {
+
+  private val Off = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "target/testdata/sf1"
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+
+    /** Cross with replica ids 0..mult-1 and shift the named long keys. */
+    def replicate(df: DataFrame, keys: Seq[String], extra: DataFrame => DataFrame = identity): DataFrame = {
+      val reps = df.withColumn("r", explode(sequence(lit(0), lit(mult - 1)))).repartition(32)
+      val shifted = keys.foldLeft(reps)((d, k) => d.withColumn(k, col(k) + col("r") * Off))
+      extra(shifted).drop("r")
+    }
+
+    // Single FILE per table (like the driver's tiers): the streaming feed
+    // harness globs for a file literally named events.parquet, so a
+    // directory-shaped write breaks every s_* op at this tier.
+    def write(df: DataFrame, t: String): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dst/_tmp_$t")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val outF = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
+      fs.delete(outF, true)
+      fs.rename(part, outF)
+      fs.delete(tmp, true)
+      println(s"[genscale] $t: ${spark.read.parquet(outF.toString).count()} rows")
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(replicate(read("customer"), Seq("c_custkey")), "customer")
+    write(replicate(read("supplier"), Seq("s_suppkey")), "supplier")
+    write(replicate(read("part"), Seq("p_partkey")), "part")
+    write(replicate(read("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicate(read("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(replicate(read("events"), Seq("event_id", "user_id")), "events")
+    write(replicate(read("documents"), Seq("doc_id"), d =>
+      d.withColumn("text",
+        when(col("r") === 0, col("text"))
+          .otherwise(array_join(shuffle(split(trim(col("text")), " ")), " ")))),
+      "documents")
+    write(replicate(read("embeddings"), Seq("vec_id"), d =>
+      d.withColumn("embedding",
+        when(col("r") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            x => (x + (rand() - 0.5) * 0.1).cast("float"))))),
+      "embeddings")
+    spark.stop()
+  }
+}
