@@ -87,7 +87,45 @@ object DedupVariants extends OpModule {
                 round(col("score") * 10000).cast("int").as("score_e4"))
         .orderBy(col("va"), col("vb"))
     }),
+
+    // The 100 TB lever for q_dedup_embcos, as a hash-checked twin: the
+    // sf0.1→sf1 scale rehearsal (BASELINE.md) showed label-only blocking is
+    // the one family whose block size grows with the corpus (labels are a
+    // FIXED-cardinality key → per-block pairs grow quadratically). This
+    // variant sub-blocks by (label, 4-plane sign-LSH bucket) and probes
+    // Hamming≤1 neighbor buckets, so the equi-join key cardinality scales
+    // WITH the corpus and per-block work stays bounded; the plane count is
+    // the dial (2^planes buckets). Declared-approximate like q_sim_lsh and
+    // oracled the same way: the ±1 planes ride into the SQL as literals, so
+    // DuckDB reproduces buckets, probes, and verified pairs exactly; recall
+    // vs the exact twin is property-tested in DedupVariantsSpec.
+    "q_dedup_embcos_lsh" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+        .withColumn("bkt", Similarity.signBucket(col("embedding"), embPlanes))
+      val a = e.select(col("vec_id").as("va"), col("label"),
+                       col("embedding").as("ea"), col("nrm").as("na"), col("bkt").as("ba"))
+        .withColumn("probe", explode(expr(
+          "concat(array(ba), transform(sequence(0, 3), k -> cast(ba as int) ^ shiftleft(1, k)))")))
+      val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
+                       col("embedding").as("eb"), col("nrm").as("nb"), col("bkt").as("bb"))
+      a.join(b, col("label") === col("lb") && col("probe") === col("bb") &&
+                col("va") < col("vb"))
+        .select(col("va"), col("vb"), col("label"),
+                col("ea"), col("eb"), col("na"), col("nb")).distinct()
+        .withColumn("score", expr("graft_float_dot(ea, eb)") / (col("na") * col("nb")))
+        .where(col("score") >= 0.35)
+        .select(col("va"), col("vb"), col("label"),
+                round(col("score") * 10000).cast("int").as("score_e4"))
+        .orderBy(col("va"), col("vb"))
+    }),
   )
+
+  /** 4 ±1 hyperplanes (16 sub-buckets per label), seed 7 — deliberately a
+    * different seed family from q_sim_lsh's 8-plane set. */
+  private val embPlanes: Array[Array[Double]] = Similarity.mkPlanes(4, 64, 7L)
 
   override def oracles: Map[String, String] = Map(
     "q_dedup_simhash" ->
@@ -123,6 +161,30 @@ object DedupVariants extends OpModule {
         |WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
         |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_embcos_lsh" ->
+      s"""WITH planes AS (
+        |  SELECT * FROM (VALUES
+        |    ${Similarity.planeSqlRows(embPlanes, "        |    ")}) AS t(j, w)),
+        |e AS (SELECT vec_id, label, embedding,
+        |  SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, w),
+        |        s -> CAST(s[1] AS DOUBLE) * s[2])) > 0 THEN 1 << j ELSE 0 END) AS INTEGER) AS b
+        |  FROM e CROSS JOIN planes GROUP BY vec_id)
+        |SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+        |  CAST(ROUND((LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+        |         s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm)) * 10000) AS INTEGER) AS score_e4
+        |FROM e a JOIN bkt ba ON a.vec_id = ba.vec_id
+        |JOIN bkt bb ON BIT_COUNT(XOR(ba.b, bb.b)) <= 1
+        |JOIN e b ON b.vec_id = bb.vec_id
+        |WHERE a.label = b.label AND a.vec_id < b.vec_id
+        |  AND LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) >= 0.35
+        |ORDER BY va, vb""".stripMargin,
 
     "q_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, label, embedding,

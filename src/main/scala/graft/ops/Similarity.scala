@@ -26,21 +26,34 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends OpModule {
 
-  /** 8 deterministic ±1 hyperplanes over 64 dims (seed 42). */
-  private val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(8)(Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  /** Deterministic ±1 hyperplanes (shared with DedupVariants' sub-blocked
+    * embedding dedup — both serialize the signs into their oracle SQL). */
+  private[ops] def mkPlanes(n: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
+
+  /** 8 deterministic ±1 hyperplanes over 64 dims (seed 42). */
+  private val planes: Array[Array[Double]] = mkPlanes(8, 64, 42L)
 
   private def dot(emb: Column, w: Array[Double]): Column =
     aggregate(
       zip_with(emb, typedLit(w.toSeq), (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)
 
-  private def bucketOf(emb: Column): Column =
-    planes.zipWithIndex.map { case (w, j) =>
+  /** Sign-random-projection bucket id for an embedding column. */
+  private[ops] def signBucket(emb: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (w, j) =>
       when(dot(emb, w) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  private def bucketOf(emb: Column): Column = signBucket(emb, planes)
+
+  /** VALUES rows rendering of ±1 planes for a DuckDB oracle CTE. */
+  private[ops] def planeSqlRows(ps: Array[Array[Double]], indent: String): String =
+    ps.zipWithIndex.map { case (w, j) =>
+      s"($j, [${w.map(v => if (v > 0) "1" else "-1").mkString(",")}])"
+    }.mkString(",\n" + indent)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_lsh" -> ((s, d) => {
@@ -81,9 +94,7 @@ object Similarity extends OpModule {
     // The ±1 hyperplanes ride into the SQL as literal rows, so the oracle
     // computes the very same buckets the engine does. "Probe = own ∪
     // Hamming-1 ∪ Hamming-2 buckets" is equivalently BIT_COUNT(XOR) ≤ 2.
-    val planeRows = planes.zipWithIndex.map { case (w, j) =>
-      s"($j, [${w.map(v => if (v > 0) "1" else "-1").mkString(",")}])"
-    }.mkString(",\n        |    ")
+    val planeRows = planeSqlRows(planes, "        |    ")
     Map(
       "q_sim_lsh" ->
         s"""WITH planes AS (

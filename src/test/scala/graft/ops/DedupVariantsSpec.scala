@@ -26,6 +26,21 @@ class DedupVariantsSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(3) >= 3500 && r.getInt(3) <= 10000))
   }
 
+  test("q_dedup_embcos_lsh ⊆ exact twin; sub-blocked recall is useful") {
+    val exact = DedupVariants.queries("q_dedup_embcos")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupVariants.queries("q_dedup_embcos_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "sub-blocking can only drop pairs, never invent them")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    info(s"embcos sub-blocked recall vs exact twin = $recall (${lsh.size}/${exact.size})")
+    // ≥ 0.35-cosine pairs are ≤ ~69° apart; 4 sign planes with Hamming≤1
+    // probing keep about half of them on random vectors (measured exactly
+    // 7/14 at sf0.001 — deterministic, but pin the floor a notch under).
+    assert(recall >= 0.45, s"recall collapsed: $recall")
+  }
+
   test("q_sim_lsh: recall@5 vs brute force is useful, self-match at rank 1") {
     val ann = Similarity.queries("q_sim_lsh")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
