@@ -25,6 +25,44 @@ object ScaleOps extends OpModule {
 
   private val SALT = 8
 
+  /** Runtime-filter confs + the prior values to restore. The 10 GB
+    * application-side threshold exists to keep the bloom build from taxing
+    * small joins; at harness scale it must be lowered or nothing injects. */
+  private val rfConfs = Map(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    // injection only fires for PROBABLE SHUFFLE joins: at 100 TB the
+    // filtered dim is past broadcast size; at harness scale that state is
+    // simulated by disabling size-based broadcast inside this scope
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** With the confs active: lineitem ⋈ (selective orders filter) — Catalyst
+    * injects a bloom might_contain predicate on l_orderkey built from the
+    * filtered orders side, so the FACT side sheds non-matching rows before
+    * the join shuffle (Spark's InjectRuntimeFilter — the built-in form of
+    * q_filter_bloom's hand-rolled semi-join pushdown). private[graft] so
+    * PlanAuditSpec can inspect the optimized plan under the same confs. */
+  private[graft] def runtimeFilterJoin(s: SparkSession, d: String): DataFrame = {
+    val sel = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+             col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+      .select(col("o_orderkey"))
+    Tables.lineitem(s, d)
+      .join(sel.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("l_extendedprice")).as("cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private[graft] def withRuntimeFilterConfs[T](s: SparkSession)(body: => T): T = {
+    val prev = rfConfs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    rfConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** sfDirs whose bucketed store tables were already written by THIS JVM.
     * The bucketed layout is the persistent store (written once, joined
     * many times — that's its 100 TB point); rebuilding it on every builder
@@ -91,6 +129,20 @@ object ScaleOps extends OpModule {
                 (col("est") <= coalesce(col("n_exact"), lit(0L)) + bound).as("within_bound"))
         .orderBy(col("k"))
     }),
+
+    // Catalyst-injected runtime bloom filter (InjectRuntimeFilter): the
+    // optimizer itself builds a bloom filter from the selective orders side
+    // and rewrites the fact scan with might_contain(l_orderkey) — the
+    // automatic form of q_filter_bloom. Materialized UNDER the confs (the
+    // injection happens at optimization time) and returned as a local
+    // frame so the conf scope can't leak into other queries' plans;
+    // PlanAuditSpec asserts the bloom actually lands in the plan.
+    "q_runtime_filter" -> ((s, d) =>
+      withRuntimeFilterConfs(s) {
+        val res = runtimeFilterJoin(s, d)
+        s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+      }),
 
     // Bloom-filter runtime pre-filter (spark-sketch): build on the orders
     // side, broadcast, probe the customer side BEFORE the join — the
@@ -159,5 +211,13 @@ object ScaleOps extends OpModule {
         |  TRUE AS no_false_negatives,
         |  (SELECT COUNT(*) FROM customer) AS n_absent_probes,
         |  TRUE AS fp_within_bound""".stripMargin,
+
+    // the bloom filter is a performance rewrite, never a semantics change
+    "q_runtime_filter" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -243,6 +243,15 @@ class PlanAuditSpec extends SparkSpec {
     singlePartitionOnlyAboveAggregates(p)
   }
 
+  test("q_runtime_filter: Catalyst injects a bloom might_contain on the fact side") {
+    graft.ops.ScaleOps.withRuntimeFilterConfs(spark) {
+      val p = graft.ops.ScaleOps.runtimeFilterJoin(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter in:\n${p.take(1000)}")
+    }
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
