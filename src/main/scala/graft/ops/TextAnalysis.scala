@@ -120,6 +120,26 @@ object TextAnalysis extends OpModule {
     // the keep decision — is bit-exact on both engines at any SF. One
     // linear scan, no shuffle until the final audit ORDER BY; at 100 TB
     // the keep predicate pushes into the scan of downstream stages.
+    // One BPE training round: count adjacent character pairs weighted by
+    // word frequency — the merge-candidate table a tokenizer trainer ranks.
+    // THE scale property: pair expansion runs over the DISTINCT-WORD
+    // vocabulary (Heaps'-law sublinear in corpus size), never the corpus —
+    // the word-frequency aggregate partial-aggregates map-side, so 100 TB
+    // of text becomes one vocab-sized shuffle + a vocab-sized explode.
+    // Top-20 by (count desc, pair) is tie-broken and deterministic; pure
+    // integer counts, no float anywhere.
+    "q_bpe_pairs" -> ((s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      freq
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    }),
+
     "q_quality_score" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", split(trim(lower(col("text"))), " "))
@@ -166,6 +186,18 @@ object TextAnalysis extends OpModule {
         |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
         |WHERE pred.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH freq AS (
+        |  SELECT w, COUNT(*) AS f FROM (
+        |    SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w FROM documents)
+        |  WHERE LEN(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair, f
+        |  FROM freq, UNNEST(RANGE(1, LEN(w))) AS t(i))
+        |SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,
