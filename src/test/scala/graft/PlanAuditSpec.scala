@@ -252,6 +252,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("src_jdbc: extract is range-partitioned, not a single cursor") {
+    val p = plan("src_jdbc")
+    assert(p.contains("numPartitions=4"),
+      s"JDBC read must parallelize by key range:\n${p.take(600)}")
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
