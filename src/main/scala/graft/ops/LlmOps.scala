@@ -91,6 +91,42 @@ object LlmOps extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup: a NEW batch (doc_id % 100 = 7 stands in for the
+    // incoming feed) checked against the EXISTING curated corpus — the
+    // production shape where the corpus side's band signatures are a
+    // PERSISTED index and every arriving batch equi-joins it on
+    // (band, sig), instead of re-running self-dedup over corpus+batch.
+    // Bipartite LSH: no in-bucket self-expansion at all — candidates are
+    // (incoming × curated) within a bucket, exact-Jaccard verified (τ=0.5,
+    // same 8×4 band curve as q_dedup_near, whose measured recall vs brute
+    // force is 100% on this corpus — the oracle IS the brute-force
+    // bipartite join, so a recall miss fails the hash gate). Output: each
+    // contaminated incoming doc with its duplicate count and best match.
+    "q_dedup_incr" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+                graft.functions.TextHashes.shingles(5)(split(trim(col("text")), " ")).as("sh"))
+      val isIncoming = pmod(col("doc_id"), lit(100)) === 7
+      // bands travel WITHOUT the shingle payload (joining arrays through
+      // the 8× band explode would multiply the shuffle); shingles join
+      // back onto the deduped candidate pairs only.
+      val inc = bandsOf(sh.where(isIncoming)).drop("sh")
+        .select(col("doc_id").as("db"), col("band"), col("sig"))
+      val cur = bandsOf(sh.where(!isIncoming)).drop("sh")
+        .select(col("doc_id").as("da"), col("band"), col("sig"))
+      inc.join(cur, Seq("band", "sig"))
+        .select(col("db"), col("da")).distinct()
+        .join(sh.select(col("doc_id").as("da"), col("sh").as("sh_a")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("sh").as("sh_b")), "db")
+        .withColumn("jaccard",
+          expr("size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"))
+        .where(col("jaccard") >= 0.5)
+        .groupBy(col("db").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"),
+             max(round(col("jaccard") * 10000).cast("int")).as("best_j_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash + LSH near-duplicate pairs, exact-Jaccard verified (τ = 0.5).
     // Oracle-promoted in round 2: the exact-Jaccard verify stage means the
     // output is exactly {LSH candidate pairs} ∩ {J ≥ τ}; measured recall of
@@ -169,12 +205,18 @@ object LlmOps extends OpModule {
     * (doc_id, sh: Array[Long] shingle set) frame. private[graft] so the
     * property suite can drive planted corpora with explicit caps.
     */
-  private[graft] def minhashVerifiedPairs(sh: DataFrame, maxBucket: Int): DataFrame = {
-      val sigs = sh.select(col("doc_id"), col("sh"),
+  /** (doc_id, sh, band, sig) — 8 bands of 4 minhash perms each; the
+    * (band, sig) pair is the LSH bucket equi-key. */
+  private def bandsOf(sh: DataFrame): DataFrame = {
+    sh.select(col("doc_id"), col("sh"),
         graft.functions.TextHashes.minhash32(col("sh")).as("mh"))
-      val bands = sigs.select(col("doc_id"),
-          posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(mh, b * 4 + 1, 4)))")))
-        .toDF("doc_id", "band", "sig")
+      .select(col("doc_id"), col("sh"),
+        posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(mh, b * 4 + 1, 4)))")))
+      .toDF("doc_id", "sh", "band", "sig")
+  }
+
+  private[graft] def minhashVerifiedPairs(sh: DataFrame, maxBucket: Int): DataFrame = {
+      val bands = bandsOf(sh).drop("sh")
       // Pair generation via groupBy + in-bucket expansion: ONE pass over the
       // bands (a self-join would recompute the whole minhash lineage twice —
       // measured 2× at sf0.1) and bucket-local combinations bound the output.
@@ -297,6 +339,25 @@ object LlmOps extends OpModule {
       """SELECT md5(LOWER(TRIM(text))) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(LOWER(TRIM(text)))
         |ORDER BY keep_id""".stripMargin,
+
+    // Brute-force bipartite join (incoming × curated). The incoming slice
+    // is 1% of docs, so this oracle stays ~n²/100 — minutes at sf0.1, not
+    // the hours the self-dedup oracles cost.
+    "q_dedup_incr" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
+        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base),
+        |inc AS (SELECT * FROM sh WHERE doc_id % 100 = 7),
+        |cur AS (SELECT * FROM sh WHERE doc_id % 100 <> 7),
+        |m AS (
+        |  SELECT i.doc_id AS db,
+        |    LEN(LIST_INTERSECT(i.sh, c.sh))
+        |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(i.sh, c.sh))) AS DOUBLE) AS j
+        |  FROM inc i CROSS JOIN cur c)
+        |SELECT db AS doc_id, COUNT(*) AS n_dups,
+        |  CAST(MAX(CAST(ROUND(j * 10000) AS INTEGER)) AS INTEGER) AS best_j_e4
+        |FROM m WHERE j >= 0.5
+        |GROUP BY db ORDER BY doc_id""".stripMargin,
 
     // Connected components via recursive CTE over the same exact-Jaccard
     // edge set: reach(id, r) = "node r reaches id"; UNION dedups, so the
