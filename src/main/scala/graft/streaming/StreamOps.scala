@@ -412,6 +412,36 @@ object StreamOps extends OpModule {
       runStreamFile(s, d, OutputMode.Append())(seqTransform)
         .orderBy(col("user_id"), col("event_id"))),
 
+    // Streaming document curation: the ingest-side quality+dedup gate as a
+    // stream. Documents arrive through the file source, pass a pure-column
+    // quality filter, exact-dedup by (lang, content hash) via streaming
+    // dropDuplicates (keep-first, key-only state — the streaming analog of
+    // q_dedup_exact), and the same query maintains per-lang kept counts in
+    // Complete mode. Deduping on (lang, hash) — not hash alone — keeps the
+    // per-lang counts deterministic when identical text exists under two
+    // langs (whichever copy wins would otherwise be arrival-order). At
+    // production volume the dedup state is one row per distinct key:
+    // RocksDB-provider territory, same logic.
+    "s_doc_dedup" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+      withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(d)
+          .where(col("n_chars") >= 100)
+          .withColumn("h", md5(col("text")))
+          .dropDuplicates("lang", "h")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", s"target/tmp/chk_$name")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).orderBy(col("lang"))
+    }),
+
     // Exactly-once file sink: run the same checkpointed query twice (second
     // run sees no new data); the sink must contain each row exactly once.
     "s_sink_idempotent" -> ((s, d) => {
@@ -604,6 +634,12 @@ object StreamOps extends OpModule {
     "s_dedup_wm" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // keep-first dedup by (lang, content hash) ≡ per-lang distinct count
+    "s_doc_dedup" ->
+      """SELECT lang, COUNT(DISTINCT md5(text)) AS n_kept
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "s_stateful" ->
       """SELECT user_id, event_id,
