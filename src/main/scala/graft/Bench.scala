@@ -28,6 +28,7 @@ object Bench {
     "q_skew_salted",                                                 // scale posture
     "q_funnel", "q_er_join",                                         // event analytics / linkage (r4)
     "q_emb_quantize", "q_agg_hll_sketch", "q_pipeline_e2e",          // vector + sketch + e2e chain (r4)
+    "q_dedup_incr", "q_dedup_embcos_lsh", "q_runtime_filter",        // incr dedup + sub-block + bloom inject (r5)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

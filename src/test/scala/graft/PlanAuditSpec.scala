@@ -252,6 +252,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_incr: bipartite LSH join is equi on (band, sig) — no cross product") {
+    val p = plan("q_dedup_incr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incoming×curated must join through LSH buckets:\n${p.take(600)}")
+  }
+
   test("src_jdbc: extract is range-partitioned, not a single cursor") {
     val p = plan("src_jdbc")
     assert(p.contains("numPartitions=4"),
