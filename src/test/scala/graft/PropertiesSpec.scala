@@ -185,4 +185,36 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // DistRank replaced the global single-partition windows (q_win_dist,
+  // q_rfm); this pins its histogram rank + integer ntile/percent_rank/
+  // cume_dist formulas against Spark's OWN window functions on arbitrary
+  // data — n = 1, n < k, heavy value ties (distinct tie keys), negative
+  // values, bucket widths from degenerate (1) to one-bucket-holds-all.
+  test("DistRank ≡ ntile/percent_rank/cume_dist over the global window") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      vals <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      width <- Gen.oneOf(1L, 7L, 100L, 5000L)
+      k <- Gen.oneOf(2, 4, 7)
+    } yield (vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }, width, k)
+    samples(gen, 8).foreach { case (rows, width, k) =>
+      val df = rows.toDF("id", "v")
+      val got = graft.ops.DistRank
+        .withGlobalRank(df, col("v"), col("id"), width, "r", "n")
+        .select(col("id"),
+          graft.ops.DistRank.ntileFromRank("r", "n", k).as("t"),
+          round(graft.ops.DistRank.percentRankFromRank(col("r"), col("n")), 9).as("pr"),
+          round(graft.ops.DistRank.cumeDistFromRank(col("r"), col("n")), 9).as("cd"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+      val w = Window.orderBy(col("v"), col("id"))
+      val want = df.select(col("id"), ntile(k).over(w).as("t"),
+          round(percent_rank().over(w), 9).as("pr"),
+          round(cume_dist().over(w), 9).as("cd"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got == want, s"width=$width k=$k rows=${rows.take(6)}…")
+    }
+  }
 }
