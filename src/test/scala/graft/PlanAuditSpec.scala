@@ -252,6 +252,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces the post-shuffle partitions (runtime re-plan active)") {
+    val df = SparkEntry.queries("q_agg_q1")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"AQE should coalesce the 32 shuffle partitions at this volume:\n${p.take(600)}")
+  }
+
   test("q_dedup_incr: bipartite LSH join is equi on (band, sig) — no cross product") {
     val p = plan("q_dedup_incr")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
