@@ -182,6 +182,32 @@ object Sources extends OpModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Dynamic partition overwrite: re-land ONE partition of the store (the
+    // daily/yearly re-run every ETL eventually needs) without touching its
+    // siblings. Static overwrite mode would wipe the whole root; dynamic
+    // mode replaces exactly the partitions present in the incoming frame.
+    // The oracle proves both halves of the contract: yr=1997 carries the
+    // re-landed (halved) prices, every other year's aggregate is
+    // byte-identical to the original load.
+    "sink_part_overwrite" -> ((s, d) => {
+      val path = tmp(d, "dynpart")
+      val base = Tables.orders(s, d).withColumn("yr", year(col("o_orderdate")))
+      base.write.mode("overwrite").partitionBy("yr").parquet(path)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "dynamic")
+      try
+        base.where(col("yr") === 1997)
+          .withColumn("o_totalprice", col("o_totalprice") / 2)
+          .write.mode("overwrite").partitionBy("yr").parquet(path)
+      finally s.conf.set(key, prev)
+      s.read.parquet(path)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"),
+             graft.ops.Det.moneySum(col("o_totalprice")).as("sum_cents"))
+        .orderBy(col("yr"))
+    }),
+
     // Executable JDBC round-trip against embedded Derby. Write side: a
     // slice of orders goes THROUGH Spark's distributed JDBC sink
     // (executor-side batched inserts, one connection per partition). Read
@@ -323,6 +349,13 @@ object Sources extends OpModule {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate < TIMESTAMP '1997-09-01'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sink_part_overwrite" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1997
+        |    THEN CAST(ROUND(o_totalprice / 2 * 100) AS BIGINT)
+        |    ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "src_jdbc" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
