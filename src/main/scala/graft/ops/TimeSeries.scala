@@ -270,18 +270,22 @@ object TimeSeries extends OpModule {
         .withColumn("rec_days", datediff(lit("1999-01-01").cast("date"), col("last_d")))
       // Bucket widths are domain-scaled: rec_days spans ~2500 days (÷64),
       // freq tens of orders (÷1), cents up to ~1e9 per customer (÷1e7).
+      // Each dimension ranks the SAME flat `per` frame independently (a
+      // nested fold would re-derive every prior level inside each
+      // histogram lineage — measured 11 scans in the plan vs 3 quartile
+      // joins here; the shared `per` exchange is reused across all).
       val ranked = Seq[(String, org.apache.spark.sql.Column, Long)](
         ("r", col("rec_days"), 64L),
         ("f", -col("freq"), 1L),
         ("m", -col("cents"), 10000000L))
-        .foldLeft(per) { case (df, (dim, value, width)) =>
-          DistRank.withGlobalRank(df, value, col("o_custkey"), width,
+        .map { case (dim, value, width) =>
+          DistRank.withGlobalRank(per, value, col("o_custkey"), width,
                                   s"${dim}_rk", s"${dim}_n")
+            .select(col("o_custkey"),
+                    DistRank.ntileFromRank(s"${dim}_rk", s"${dim}_n", 4).as(dim))
         }
-      val rfm = ranked
-        .withColumn("r", DistRank.ntileFromRank("r_rk", "r_n", 4))
-        .withColumn("f", DistRank.ntileFromRank("f_rk", "f_n", 4))
-        .withColumn("m", DistRank.ntileFromRank("m_rk", "m_n", 4))
+      val rfm = ranked.reduce(_.join(_, "o_custkey"))
+        .join(per.select(col("o_custkey"), col("cents")), "o_custkey")
       rfm.groupBy(col("r"), col("f"), col("m"))
         .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("seg_cents"))
         .orderBy(col("r"), col("f"), col("m"))
