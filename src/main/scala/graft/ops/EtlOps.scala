@@ -177,7 +177,7 @@ object EtlOps extends OpModule {
     // which is the oracle.
     "q_incr_agg" -> ((s, d) => {
       val split = "1998-01-01"
-      val path = s"target/tmp/rollup_${math.abs(d.hashCode)}"
+      val path = s"target/tmp/rollup_${java.lang.Integer.toHexString(d.hashCode)}"
       if (!rollupReady.contains(d)) {
         Tables.orders(s, d)
           .where(col("o_orderdate") < to_timestamp(lit(split)))
@@ -278,7 +278,7 @@ object EtlOps extends OpModule {
           Det.moneySum(col("l_extendedprice")).as("cents"),
           sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_flags"))
       pass.write.mode("overwrite")
-        .parquet(s"target/tmp/observe_${math.abs(d.hashCode)}")
+        .parquet(s"target/tmp/observe_${java.lang.Integer.toHexString(d.hashCode)}")
       val m = obs.get
       s.createDataFrame(Seq((
         m("n_rows").asInstanceOf[Long],

@@ -85,7 +85,7 @@ object ScaleOps extends OpModule {
 
     // Shuffle-free fact-fact join over bucketed store tables.
     "q_join_bucketed" -> ((s, d) => {
-      val suffix = math.abs(d.hashCode).toString
+      val suffix = java.lang.Integer.toHexString(d.hashCode)
       val (ordersT, lineitemT) = (s"orders_bkt_$suffix", s"lineitem_bkt_$suffix")
       if (!bucketedReady.contains(suffix)) {
         // the in-memory catalog forgets tables across JVMs but the warehouse

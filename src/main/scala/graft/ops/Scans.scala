@@ -37,7 +37,7 @@ object Scans extends OpModule {
     // partition of the store. Store write is memoized per JVM like
     // q_join_bucketed's — the layout is written once, queried many times.
     "q_dpp" -> ((s, d) => {
-      val path = s"target/tmp/dpp_store_${math.abs(d.hashCode)}"
+      val path = s"target/tmp/dpp_store_${java.lang.Integer.toHexString(d.hashCode)}"
       if (!Scans.dppReady.contains(path)) {
         Tables.orders(s, d)
           .withColumn("yr", year(col("o_orderdate")))

@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
 object Sources extends OpModule {
 
   private def tmp(d: String, name: String) =
-    s"target/tmp/src_${name}_${math.abs(d.hashCode)}"
+    s"target/tmp/src_${name}_${java.lang.Integer.toHexString(d.hashCode)}"
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV round-trip with declared schema, header, and a nullable column.

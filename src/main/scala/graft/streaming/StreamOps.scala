@@ -297,7 +297,7 @@ object StreamOps extends OpModule {
     import s.implicits._
     val evs = loadEvents(s, d).sortBy(e => (e.ts.getTime, e.event_id))
     val chunks = evs.grouped(math.max(1, (evs.size + 2) / 3)).toSeq
-    val base = s"target/tmp/fb_${math.abs(d.hashCode)}"
+    val base = s"target/tmp/fb_${java.lang.Integer.toHexString(d.hashCode)}"
     org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(base), true)
     @volatile var stateVersion = -1L
@@ -445,7 +445,7 @@ object StreamOps extends OpModule {
     // Exactly-once file sink: run the same checkpointed query twice (second
     // run sees no new data); the sink must contain each row exactly once.
     "s_sink_idempotent" -> ((s, d) => {
-      val id = math.abs(d.hashCode).toString
+      val id = java.lang.Integer.toHexString(d.hashCode)
       val base = s"target/tmp/sink_$id"
       val out = s"$base/out"; val chk = s"$base/chk"
       org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -477,7 +477,7 @@ object StreamOps extends OpModule {
     // file log is what makes re-listing the old files safe. (Contrast
     // s_sink_idempotent, which re-runs with NO new data.)
     "s_incr_ingest" -> ((s, d) => {
-      val id = math.abs(d.hashCode).toString
+      val id = java.lang.Integer.toHexString(d.hashCode)
       val base = s"target/tmp/incr_$id"
       val feed = s"$base/feed"; val out = s"$base/out"; val chk = s"$base/chk"
       org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
