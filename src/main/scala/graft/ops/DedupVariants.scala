@@ -111,10 +111,11 @@ object DedupVariants extends OpModule {
           "concat(array(ba), transform(sequence(0, 3), k -> cast(ba as int) ^ shiftleft(1, k)))")))
       val b = e.select(col("vec_id").as("vb"), col("label").as("lb"),
                        col("embedding").as("eb"), col("nrm").as("nb"), col("bkt").as("bb"))
+      // no distinct needed: the 5 probe values are distinct ints, so each
+      // (va, vb) pair matches exactly one probe row — deduping here would
+      // shuffle rows carrying both embedding payloads for nothing
       a.join(b, col("label") === col("lb") && col("probe") === col("bb") &&
                 col("va") < col("vb"))
-        .select(col("va"), col("vb"), col("label"),
-                col("ea"), col("eb"), col("na"), col("nb")).distinct()
         .withColumn("score", expr("graft_float_dot(ea, eb)") / (col("na") * col("nb")))
         .where(col("score") >= 0.35)
         .select(col("va"), col("vb"), col("label"),

@@ -103,9 +103,9 @@ object LlmOps extends OpModule {
     // bipartite join, so a recall miss fails the hash gate). Output: each
     // contaminated incoming doc with its duplicate count and best match.
     "q_dedup_incr" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-                graft.functions.TextHashes.shingles(5)(split(trim(col("text")), " ")).as("sh"))
+      // persisted shingle frame: this builder drives it through FOUR
+      // lineages (two band sides + two verify joins)
+      val sh = shingleFrame(s, d)
       val isIncoming = pmod(col("doc_id"), lit(100)) === 7
       // bands travel WITHOUT the shingle payload (joining arrays through
       // the 8× band explode would multiply the shuffle); shingles join
@@ -183,23 +183,26 @@ object LlmOps extends OpModule {
     */
   private[graft] val MaxBucket = 64
 
-  /** Shared pipeline: q_dedup_near's output IS q_dedup_cluster's edge set. */
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-      // persisted: the shingle lineage feeds the signature path AND both
-      // verification joins — without caching it is recomputed three times
-      // (cache is keyed by canonicalized plan, so repeated builder calls in
-      // Bench reuse one entry). The previous build's entry is unpersisted
-      // here so at most one shingle cache is live across Verify's ~90-query
-      // session / Bench's warmup+2 timed passes (the builder can't unpersist
-      // its own entry — the action runs after it returns).
-      lastShingleCache.foreach(_.unpersist())
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-                graft.functions.TextHashes.shingles(5)(split(trim(col("text")), " ")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lastShingleCache = Some(sh)
-      minhashVerifiedPairs(sh, MaxBucket)
+  /** Persisted (doc_id, sh) shingle frame — the lineage feeds the signature
+    * path AND the verification joins, so uncached it recomputes 3-4× (cache
+    * is keyed by canonicalized plan, so repeated builder calls in Bench
+    * reuse one entry). The previous build's entry is unpersisted here so at
+    * most one shingle cache is live across Verify's full-inventory session /
+    * Bench's warmup+2 timed passes (a builder can't unpersist its own entry
+    * — the action runs after it returns). */
+  private def shingleFrame(s: SparkSession, d: String): DataFrame = {
+    lastShingleCache.foreach(_.unpersist())
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.functions.TextHashes.shingles(5)(split(trim(col("text")), " ")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastShingleCache = Some(sh)
+    sh
   }
+
+  /** Shared pipeline: q_dedup_near's output IS q_dedup_cluster's edge set. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairs(shingleFrame(s, d), MaxBucket)
 
   /** MinHash/LSH candidate generation + exact-Jaccard verify over a
     * (doc_id, sh: Array[Long] shingle set) frame. private[graft] so the

@@ -58,8 +58,13 @@ object Similarity extends OpModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_lsh" -> ((s, d) => {
       graft.functions.FloatDot.register(s)
+      // zero-norm guard (same hazard + same both-sides filter as
+      // q_dedup_embcos): cosine of a zero vector is NaN, and NaN ordering +
+      // int casting DIVERGE between engines — exclude identically here and
+      // in the oracle.
       val e = Tables.embeddings(s, d)
         .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
       val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                             col("nrm").as("n_nrm"))
         .withColumn("n_bucket", bucketOf(col("n_emb")))
@@ -100,17 +105,19 @@ object Similarity extends OpModule {
         s"""WITH planes AS (
         |  SELECT * FROM (VALUES
         |    $planeRows) AS t(j, w)),
+        |emb AS (SELECT vec_id, embedding FROM embeddings
+        |        WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
         |bkt AS (
         |  SELECT vec_id,
         |    CAST(SUM(CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, w),
         |        s -> CAST(s[1] AS DOUBLE) * s[2])) > 0 THEN 1 << j ELSE 0 END) AS INTEGER) AS b
-        |  FROM embeddings CROSS JOIN planes GROUP BY vec_id),
+        |  FROM emb CROSS JOIN planes GROUP BY vec_id),
         |cand AS (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.embedding AS q_emb, n.embedding AS n_emb
-        |  FROM embeddings q
+        |  FROM emb q
         |  JOIN bkt qb ON q.vec_id = qb.vec_id
         |  JOIN bkt nb ON BIT_COUNT(XOR(qb.b, nb.b)) <= 2
-        |  JOIN embeddings n ON n.vec_id = nb.vec_id
+        |  JOIN emb n ON n.vec_id = nb.vec_id
         |  WHERE q.vec_id < 10),
         |scored AS (
         |  SELECT q_id, n_id,

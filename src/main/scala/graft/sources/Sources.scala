@@ -229,12 +229,18 @@ object Sources extends OpModule {
                 col("o_totalprice"))
         .repartition(4)
         .write.mode("overwrite").jdbc(url, "ORDERS_SLICE", props)
+      // Bounds derive FROM the data (one tiny aggregate): hard-coded
+      // bounds mis-sized vs the real key domain collapse the extract into
+      // one stride — a serial read wearing a numPartitions=4 costume.
+      val Array(lo, hi) = Tables.orders(s, d)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
       s.read.format("jdbc")
         .option("url", url)
         .option("dbtable", "ORDERS_SLICE")
         .option("driver", driver)
         .option("partitionColumn", "o_orderkey")
-        .option("lowerBound", "1").option("upperBound", "6000000")
+        .option("lowerBound", lo.toString).option("upperBound", (hi + 1).toString)
         .option("numPartitions", "4")
         .load()
         .groupBy(col("o_orderstatus"))

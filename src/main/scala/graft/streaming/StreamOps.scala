@@ -68,12 +68,21 @@ object StreamOps extends OpModule {
     * that is the production knob at real volume, not at harness scale. */
   private def withStreamParallelism[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get(key)
+    val prevProv = s.conf.getOption(provKey)
     s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
     if (sys.env.get("SPARK_GRAFT_STREAM_ROCKSDB").contains("1"))
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      s.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally s.conf.set(key, prev)
+    try body finally {
+      s.conf.set(key, prev)
+      // restore, don't leak: sibling queries must keep the session default
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
   }
 
   /** Stream the events parquet through `transform` via the FILE source —
