@@ -112,14 +112,6 @@ object TextAnalysis extends OpModule {
         .orderBy(col("n_co").desc, col("ta"), col("tb")).limit(20)
     }),
 
-    // Model-based quality scoring: a fixed-weight linear model over exact
-    // integer text features (the learned-classifier stage of a C4/Gopher
-    // cleaning pipeline; q_quality_filter is the rule-based gate it
-    // replaces). Weights are integers and every feature is an exact integer
-    // (counts and integer-division ratios), so the score — and therefore
-    // the keep decision — is bit-exact on both engines at any SF. One
-    // linear scan, no shuffle until the final audit ORDER BY; at 100 TB
-    // the keep predicate pushes into the scan of downstream stages.
     // One BPE training round: count adjacent character pairs weighted by
     // word frequency — the merge-candidate table a tokenizer trainer ranks.
     // THE scale property: pair expansion runs over the DISTINCT-WORD
@@ -140,6 +132,55 @@ object TextAnalysis extends OpModule {
         .orderBy(col("n").desc, col("pair")).limit(20)
     }),
 
+    // Three ROUNDS of BPE training — the actual merge loop, not just one
+    // pair table: each round counts adjacent symbol pairs over the current
+    // word forms (weighted by word frequency), elects the top pair
+    // (count desc, pair asc — deterministic), and rewrites the vocabulary
+    // with the merge applied. A merged symbol is re-encoded as one marker
+    // char (u0001..u0003 = CHR(round)), so every round's pairs stay
+    // exactly 2 chars and the rewrite is plain REPLACE (left-to-right
+    // non-overlapping — identical semantics in Spark and DuckDB). The
+    // per-round election is a 1-row driver collect (3 scalars total — the
+    // q_filter_bloom contract-query pattern); the pair counting stays
+    // vocab-sized and distributed, and the working vocabulary is persisted
+    // across rounds. Symbols can shrink to length 1 after a merge — the
+    // per-round length guard matters because Spark's sequence(1, 0) is a
+    // DESCENDING sequence, not empty like DuckDB's RANGE(1, 1).
+    "q_bpe_merges" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .persist()
+      try {
+        var vocab = words
+        val merges = (1 to 3).map { round =>
+          val top = vocab
+            .where(length(col("w")) >= 2)
+            .select(col("f"), explode(expr(
+              "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+            .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+            .orderBy(col("n").desc, col("pair")).limit(1)
+            .collect()(0)
+          val (pair, n) = (top.getString(0), top.getLong(1))
+          vocab = vocab.withColumn("w",
+            call_function("replace", col("w"), lit(pair), lit(round.toChar.toString)))
+          (round, pair, n)
+        }
+        val s2 = s
+        import s2.implicits._
+        merges.toDF("round", "pair", "n")
+      } finally words.unpersist()
+    }),
+
+    // Model-based quality scoring: a fixed-weight linear model over exact
+    // integer text features (the learned-classifier stage of a C4/Gopher
+    // cleaning pipeline; q_quality_filter is the rule-based gate it
+    // replaces). Weights are integers and every feature is an exact integer
+    // (counts and integer-division ratios), so the score — and therefore
+    // the keep decision — is bit-exact on both engines at any SF. One
+    // linear scan, no shuffle until the final audit ORDER BY; at 100 TB
+    // the keep predicate pushes into the scan of downstream stages.
     "q_quality_score" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", split(trim(lower(col("text"))), " "))
@@ -186,6 +227,30 @@ object TextAnalysis extends OpModule {
         |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
         |WHERE pred.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the same 3-round merge chain, unrolled: each p_i is the round's
+    // elected pair (scalar CTE), each freq_i the vocabulary after applying
+    // it via REPLACE with the CHR(round) marker
+    "q_bpe_merges" ->
+      """WITH freq0 AS (
+        |  SELECT w, COUNT(*) AS f FROM (
+        |    SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w FROM documents)
+        |  WHERE LEN(w) >= 2 GROUP BY w),
+        |p1 AS (SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair, CAST(SUM(f) AS BIGINT) AS n
+        |       FROM freq0, UNNEST(RANGE(1, LEN(w))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |freq1 AS (SELECT REPLACE(w, (SELECT pair FROM p1), CHR(1)) AS w, f FROM freq0),
+        |p2 AS (SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair, CAST(SUM(f) AS BIGINT) AS n
+        |       FROM freq1, UNNEST(RANGE(1, LEN(w))) AS t(i)
+        |       WHERE LEN(w) >= 2 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |freq2 AS (SELECT REPLACE(w, (SELECT pair FROM p2), CHR(2)) AS w, f FROM freq1),
+        |p3 AS (SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair, CAST(SUM(f) AS BIGINT) AS n
+        |       FROM freq2, UNNEST(RANGE(1, LEN(w))) AS t(i)
+        |       WHERE LEN(w) >= 2 GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS round, pair, n FROM p1
+        |UNION ALL SELECT CAST(2 AS INTEGER), pair, n FROM p2
+        |UNION ALL SELECT CAST(3 AS INTEGER), pair, n FROM p3
+        |ORDER BY round""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH freq AS (
