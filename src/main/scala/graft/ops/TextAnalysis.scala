@@ -142,8 +142,11 @@ object TextAnalysis extends OpModule {
     // non-overlapping — identical semantics in Spark and DuckDB). The
     // per-round election is a 1-row driver collect (3 scalars total — the
     // q_filter_bloom contract-query pattern); the pair counting stays
-    // vocab-sized and distributed, and the working vocabulary is persisted
-    // across rounds. Symbols can shrink to length 1 after a merge — the
+    // vocab-sized and distributed. Only the BASE word-frequency frame is
+    // persisted — each round's election re-applies the (cheap, vocab-sized)
+    // chain of prior REPLACEs on top of it, so N rounds cost O(N²) replace
+    // passes over the vocab; fine at 3, re-persist per round before
+    // scaling N up. Symbols can shrink to length 1 after a merge — the
     // per-round length guard matters because Spark's sequence(1, 0) is a
     // DESCENDING sequence, not empty like DuckDB's RANGE(1, 1).
     "q_bpe_merges" -> ((s, d) => {

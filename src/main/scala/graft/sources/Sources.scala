@@ -197,8 +197,13 @@ object Sources extends OpModule {
       val prev = s.conf.get(key)
       s.conf.set(key, "dynamic")
       try
+        // halve in INTEGER cents (cents div 2, exact), then rebase to the
+        // double column: o_totalprice / 2 directly would land odd cents on
+        // exact .5 boundaries, betting the gate on two engines' double
+        // tie-rounding agreeing (the D1 float rule this repo bans)
         base.where(col("yr") === 1997)
-          .withColumn("o_totalprice", col("o_totalprice") / 2)
+          .withColumn("o_totalprice",
+            expr("cast(round(o_totalprice * 100) as bigint) div 2") / 100.0)
           .write.mode("overwrite").partitionBy("yr").parquet(path)
       finally s.conf.set(key, prev)
       s.read.parquet(path)
@@ -223,18 +228,19 @@ object Sources extends OpModule {
       val driver = "org.apache.derby.jdbc.EmbeddedDriver"
       val props = new java.util.Properties()
       props.setProperty("driver", driver)
-      Tables.orders(s, d)
+      val slice = Tables.orders(s, d)
         .where(pmod(col("o_orderkey"), lit(10)) === 0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
                 col("o_totalprice"))
-        .repartition(4)
+      slice.repartition(4)
         .write.mode("overwrite").jdbc(url, "ORDERS_SLICE", props)
-      // Bounds derive FROM the data (one tiny aggregate): hard-coded
-      // bounds mis-sized vs the real key domain collapse the extract into
-      // one stride — a serial read wearing a numPartitions=4 costume.
-      val Array(lo, hi) = Tables.orders(s, d)
-        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
-        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      // Bounds derive from the SLICE's actual key range (one tiny
+      // aggregate): hard-coded bounds mis-sized vs the real domain collapse
+      // the extract into one stride — a serial read wearing a
+      // numPartitions=4 costume.
+      val b = slice.agg(min(col("o_orderkey")), max(col("o_orderkey"))).collect()(0)
+      require(!b.isNullAt(0), "src_jdbc: empty orders slice — no key bounds")
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
       s.read.format("jdbc")
         .option("url", url)
         .option("dbtable", "ORDERS_SLICE")
@@ -359,7 +365,7 @@ object Sources extends OpModule {
     "sink_part_overwrite" ->
       """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1997
-        |    THEN CAST(ROUND(o_totalprice / 2 * 100) AS BIGINT)
+        |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2
         |    ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
 

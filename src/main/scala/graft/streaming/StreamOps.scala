@@ -69,8 +69,10 @@ object StreamOps extends OpModule {
   private def withStreamParallelism[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    // getOption on a registered SQL conf always yields its default, so a
+    // plain get + set round-trip is the whole restore story
     val prev = s.conf.get(key)
-    val prevProv = s.conf.getOption(provKey)
+    val prevProv = s.conf.get(provKey)
     s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
     if (sys.env.get("SPARK_GRAFT_STREAM_ROCKSDB").contains("1"))
       s.conf.set(provKey,
@@ -78,10 +80,7 @@ object StreamOps extends OpModule {
     try body finally {
       s.conf.set(key, prev)
       // restore, don't leak: sibling queries must keep the session default
-      prevProv match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None => s.conf.unset(provKey)
-      }
+      s.conf.set(provKey, prevProv)
     }
   }
 
@@ -92,6 +91,31 @@ object StreamOps extends OpModule {
     * as a ~9 MB task broadcast at sf0.1 — Spark warns on every stage).
     * All files arrive in the first micro-batch (no maxFilesPerTrigger), so
     * watermark semantics are identical to the one-batch MemoryStream feed. */
+  /** The one copy of the file-source stream-run protocol: schema probe,
+    * glob-filtered streaming read, memory sink under a fresh name,
+    * checkpoint, run-to-completion inside the parallelism scope. Every
+    * file-fed s_* op goes through here so a protocol fix lands once. */
+  private def runStreamRaw(s: SparkSession, dir: String, glob: String,
+                           mode: OutputMode)
+                          (transform: DataFrame => DataFrame): DataFrame = {
+    val schema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+    withStreamParallelism(s) {
+      val q = transform(raw)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", s"target/tmp/chk_$name")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+  }
+
   private def runStreamFile(s: SparkSession, d: String, mode: OutputMode)
                            (transform: Dataset[Ev] => DataFrame): DataFrame = {
     import s.implicits._
@@ -102,25 +126,12 @@ object StreamOps extends OpModule {
     val (dir, glob) =
       if (d.endsWith("/")) (d.dropRight(1), "*.parquet")
       else (d, "events.parquet")
-    val schema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-    val ds = (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-                raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-              else raw).as[Ev]
-    val name = "s_" + UUID.randomUUID.toString.replace("-", "")
-    withStreamParallelism(s) {
-      val q = transform(ds)
-        .writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", s"target/tmp/chk_$name")
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    runStreamRaw(s, dir, glob, mode) { raw =>
+      val ds = (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+                  raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+                else raw).as[Ev]
+      transform(ds)
     }
-    s.table(name)
   }
 
   /** Feed `rows` through `transform` as one micro-batch, run to completion
@@ -431,25 +442,13 @@ object StreamOps extends OpModule {
     // langs (whichever copy wins would otherwise be arrival-order). At
     // production volume the dedup state is one row per distinct key:
     // RocksDB-provider territory, same logic.
-    "s_doc_dedup" -> ((s, d) => {
-      val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val name = "s_" + UUID.randomUUID.toString.replace("-", "")
-      withStreamParallelism(s) {
-        val q = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(d)
-          .where(col("n_chars") >= 100)
+    "s_doc_dedup" -> ((s, d) =>
+      runStreamRaw(s, d, "documents.parquet", OutputMode.Complete()) { raw =>
+        raw.where(col("n_chars") >= 100)
           .withColumn("h", md5(col("text")))
           .dropDuplicates("lang", "h")
           .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode(OutputMode.Complete())
-          .option("checkpointLocation", s"target/tmp/chk_$name")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table(name).orderBy(col("lang"))
-    }),
+      }.orderBy(col("lang"))),
 
     // Exactly-once file sink: run the same checkpointed query twice (second
     // run sees no new data); the sink must contain each row exactly once.

@@ -257,7 +257,7 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
-      s"AQE should coalesce the 32 shuffle partitions at this volume:\n${p.take(600)}")
+      s"AQE should coalesce the session's shuffle partitions at this volume:\n${p.take(600)}")
   }
 
   test("q_dedup_incr: bipartite LSH join is equi on (band, sig) — no cross product") {
