@@ -112,6 +112,30 @@ object TextAnalysis extends OpModule {
         .orderBy(col("n_co").desc, col("ta"), col("tb")).limit(20)
     }),
 
+    // Unigram language-model scoring — the perplexity-filter stage of a
+    // curation pipeline: each document's negative log-likelihood under the
+    // corpus's own unigram distribution (self-trained, like q_lang_id).
+    // Determinism: every PER-TOKEN log-probability rounds to an integer
+    // 1e-4 unit FIRST and the document score sums those integers — a
+    // double Σln would be accumulation-order-sensitive and diverge between
+    // engines, while ln of a ratio of exact ints is bit-stable (the
+    // q_tok_cooccur precedent). Scale: one corpus-sized shuffle to count
+    // the vocab (map-side partial), one shuffle join of tokens→counts on
+    // term, one groupBy doc — no broadcast of the (unbounded) vocabulary.
+    "q_unigram_lm" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      val total = tok.agg(count(lit(1)).as("nt"))
+      tok.join(vocab, "t").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          expr("cast(round(-1e4 * ln(cast(ct as double) / nt)) as bigint)").as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("nll_e4"),
+             expr("cast(round(cast(sum(nll) as double) / count(1)) as bigint)").as("per_tok_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // One BPE training round: count adjacent character pairs weighted by
     // word frequency — the merge-candidate table a tokenizer trainer ranks.
     // THE scale property: pair expansion runs over the DISTINCT-WORD
@@ -230,6 +254,18 @@ object TextAnalysis extends OpModule {
         |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
         |WHERE pred.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+        |vocab AS (SELECT t, COUNT(*) AS ct FROM tok GROUP BY t),
+        |total AS (SELECT COUNT(*) AS nt FROM tok),
+        |lp AS (
+        |  SELECT doc_id, CAST(ROUND(-1e4 * LN(CAST(ct AS DOUBLE) / nt)) AS BIGINT) AS nll
+        |  FROM tok JOIN vocab USING (t), total)
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(nll) AS BIGINT) AS nll_e4,
+        |  CAST(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*)) AS BIGINT) AS per_tok_e4
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the same 3-round merge chain, unrolled: each p_i is the round's
     // elected pair (scalar CTE), each freq_i the vocabulary after applying
