@@ -136,6 +136,32 @@ object TextAnalysis extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Domain-shift diagnostics for training-mixture design: KL(source ‖
+    // corpus) over unigram distributions — which source's token
+    // distribution deviates most from the blend (q_data_mix decides the
+    // weights; this measures why). Every per-term contribution
+    // p_s(t)·ln(p_s(t)/p(t)) is one fixed expression tree over exact
+    // integer counts, rounded to 1e-8 units per TERM before the integer
+    // sum (same accumulation-order discipline as q_unigram_lm). Counts are
+    // three map-side-combined aggregations of one token scan; the global
+    // term table joins by term — never broadcast (vocabulary-sized).
+    "q_domain_kl" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+      val bySrc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("ct"))
+      val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val glob = tok.groupBy(col("t")).agg(count(lit(1)).as("cg"))
+      val tot = tok.agg(count(lit(1)).as("ng"))
+      bySrc.join(glob, "t").join(srcTot, "source").crossJoin(broadcast(tot))
+        .select(col("source"), expr(
+          """cast(round(1e8 * (cast(ct as double) / ns) *
+            |  ln(cast(ct as double) * ng / (cast(ns as double) * cg))) as bigint)""".stripMargin)
+          .as("term_kl"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("term_kl")).as("kl_e8"))
+        .orderBy(col("source"))
+    }),
+
     // One BPE training round: count adjacent character pairs weighted by
     // word frequency — the merge-candidate table a tokenizer trainer ranks.
     // THE scale property: pair expansion runs over the DISTINCT-WORD
@@ -254,6 +280,21 @@ object TextAnalysis extends OpModule {
         |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
         |WHERE pred.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_domain_kl" ->
+      """WITH tok AS (
+        |  SELECT source, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+        |by_src AS (SELECT source, t, COUNT(*) AS ct FROM tok GROUP BY source, t),
+        |src_tot AS (SELECT source, COUNT(*) AS ns FROM tok GROUP BY source),
+        |corpus_t AS (SELECT t, COUNT(*) AS cg FROM tok GROUP BY t),
+        |tot AS (SELECT COUNT(*) AS ng FROM tok),
+        |term_kl AS (
+        |  SELECT b.source,
+        |    CAST(ROUND(1e8 * (CAST(ct AS DOUBLE) / ns) *
+        |      LN(CAST(ct AS DOUBLE) * ng / (CAST(ns AS DOUBLE) * cg))) AS BIGINT) AS kl
+        |  FROM by_src b JOIN corpus_t USING (t) JOIN src_tot USING (source), tot)
+        |SELECT source, COUNT(*) AS n_terms, CAST(SUM(kl) AS BIGINT) AS kl_e8
+        |FROM term_kl GROUP BY source ORDER BY source""".stripMargin,
 
     "q_unigram_lm" ->
       """WITH tok AS (
