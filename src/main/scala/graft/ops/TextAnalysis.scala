@@ -121,7 +121,10 @@ object TextAnalysis extends OpModule {
     // engines, while ln of a ratio of exact ints is bit-stable (the
     // q_tok_cooccur precedent). Scale: one corpus-sized shuffle to count
     // the vocab (map-side partial), one shuffle join of tokens→counts on
-    // term, one groupBy doc — no broadcast of the (unbounded) vocabulary.
+    // term, one groupBy doc. The vocab join carries NO broadcast hint:
+    // the planner broadcasts while the vocabulary fits (it does at
+    // harness scale) and falls back to a shuffle join when it outgrows —
+    // the q_tfidf_terms lesson was a hard-coded hint, not planner choice.
     "q_unigram_lm" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
@@ -144,7 +147,8 @@ object TextAnalysis extends OpModule {
     // integer counts, rounded to 1e-8 units per TERM before the integer
     // sum (same accumulation-order discipline as q_unigram_lm). Counts are
     // three map-side-combined aggregations of one token scan; the global
-    // term table joins by term — never broadcast (vocabulary-sized).
+    // term table joins by term with no broadcast hint (planner-sized,
+    // like q_unigram_lm's vocab join).
     "q_domain_kl" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("source"), explode(split(trim(lower(col("text"))), " ")).as("t"))
