@@ -80,6 +80,49 @@ object PipelineOps extends OpModule {
         .withColumn("repetitive", col("top_e4") >= 500)
         .orderBy(col("doc_id"))),
 
+    // Novelty scoring for curriculum/ingest ordering: the share of a doc's
+    // distinct 8-grams FIRST seen in that doc (by doc_id order). Duplicated
+    // or boilerplate-heavy docs score near 0 — the cheap online signal for
+    // "is this batch adding anything". One gram shuffle (min-owner
+    // aggregation, map-side partial) joined back to the per-doc grams;
+    // ratio ships as exact integer 1e-4 units of exact counts.
+    "q_novelty" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(
+            |  sequence(0, greatest(size(split(trim(text), ' ')) - 8, 0)),
+            |  i -> concat_ws(' ', slice(split(trim(text), ' '), i + 1, 8))))""".stripMargin))
+          .as("g"))
+      val owner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(owner, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"),
+                expr("cast(round(n_novel * 1e4 / n_grams) as bigint)").as("novel_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source exact-duplication matrix: which source feeds copy from
+    // which — the provenance-leakage audit behind mixture weights (a pair
+    // of sources sharing many exact texts double-counts whatever weight
+    // both get). Pairs expand only INSIDE md5 groups with >1 distinct
+    // source (bounded by group size, never corpus²); ordered (sa < sb)
+    // source pairs so the matrix is upper-triangular and deterministic.
+    // The sf0.01 corpus has no cross-source exact dups — an EMPTY matrix
+    // there is the correct answer (verified against the oracle's own 0
+    // rows); sf0.1 exercises the non-empty path (7 source pairs).
+    "q_dup_matrix" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .select(md5(lower(trim(col("text")))).as("h"), col("source"))
+      val a = h.select(col("h"), col("source").as("sa"))
+      val b = h.select(col("h"), col("source").as("sb"))
+      a.join(b, Seq("h")).where(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("h")).as("n_texts"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // C4-style normalization: lowercase, strip non-alphanumerics, collapse
     // runs of spaces; emit the canonical hash (the exact-dedup key).
     "q_doc_norm" -> ((s, d) =>
@@ -221,6 +264,26 @@ object PipelineOps extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q_novelty" ->
+      """WITH grams AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(0, GREATEST(LEN(STRING_SPLIT(TRIM(text), ' ')) - 7, 1)),
+        |    i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(text), ' ')[i + 1:i + 8], ' ')))) AS g
+        |  FROM documents),
+        |owner AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1e4
+        |             / COUNT(*)) AS BIGINT) AS novel_e4
+        |FROM grams JOIN owner USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dup_matrix" ->
+      """WITH h AS (SELECT md5(LOWER(TRIM(text))) AS h, source FROM documents)
+        |SELECT a.source AS sa, b.source AS sb,
+        |  COUNT(*) AS n_pairs, COUNT(DISTINCT a.h) AS n_texts
+        |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        |GROUP BY a.source, b.source ORDER BY sa, sb""".stripMargin,
+
     "q_contamination" ->
       """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 7, 1)),
