@@ -510,6 +510,46 @@ object StreamOps extends OpModule {
         .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
         .orderBy(col("event_type"))
     }),
+
+    // Dedup state survives a RESTART: run 1 drains the first half through
+    // dropDuplicates state; the upstream then re-lands part of that half
+    // alongside the genuinely-new second half (the at-least-once feed
+    // reality); run 2, recovering the SAME checkpoint, must drop exactly
+    // the re-landed ids from its state and pass the new ones. This pins
+    // state-store recovery — s_sink_idempotent pins only the sink's file
+    // log (no new data), s_incr_ingest only the source's file log (no
+    // duplicate data). Unwatermarked state is deliberate here (recovery is
+    // the contract under test); s_dedup_wm owns the eviction contract.
+    "s_incr_dedup" -> ((s, d) => {
+      val id = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"target/tmp/incrdd_$id"
+      val feed = s"$base/feed"; val out = s"$base/out"; val chk = s"$base/chk"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables.events(s, d)
+      val median = ev.agg(expr("percentile(event_id, 0.5D)")).collect()(0).getDouble(0)
+      def land(cond: org.apache.spark.sql.Column): Unit =
+        ev.where(cond).write.mode("append").parquet(feed)
+      def runOnce(): Unit = withStreamParallelism(s) {
+        val schema = s.read.parquet(feed).schema
+        val q = s.readStream.schema(schema).parquet(feed)
+          .dropDuplicates("event_id")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      land(col("event_id") <= median); runOnce()
+      // the duplicates: every fourth first-half id re-lands with run 2
+      land(col("event_id") > median ||
+           (col("event_id") <= median && pmod(col("event_id"), lit(4)) === 0))
+      runOnce()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -655,6 +695,11 @@ object StreamOps extends OpModule {
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "s_sink_idempotent" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // recovered dedup state drops the re-landed ids: whole feed, once each
+    "s_incr_dedup" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
