@@ -85,14 +85,13 @@ object PipelineOps extends OpModule {
     // or boilerplate-heavy docs score near 0 — the cheap online signal for
     // "is this batch adding anything". One gram shuffle (min-owner
     // aggregation, map-side partial) joined back to the per-doc grams;
-    // ratio ships as exact integer 1e-4 units of exact counts.
+    // ratio ships as exact integer 1e-4 units of exact counts. Shingling
+    // rides the JVM kernel (the interpreted HOF formulation is the measured
+    // trap TextHashes exists for — and this frame evaluates twice).
     "q_novelty" -> ((s, d) => {
       val grams = Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(
-            |  sequence(0, greatest(size(split(trim(text), ' ')) - 8, 0)),
-            |  i -> concat_ws(' ', slice(split(trim(text), ' '), i + 1, 8))))""".stripMargin))
-          .as("g"))
+        .select(col("doc_id"),
+          explode(TextHashes.shingles(8)(split(trim(col("text")), " "))).as("g"))
       val owner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
       grams.join(owner, "g")
         .groupBy(col("doc_id"))
@@ -106,9 +105,11 @@ object PipelineOps extends OpModule {
     // Cross-source exact-duplication matrix: which source feeds copy from
     // which — the provenance-leakage audit behind mixture weights (a pair
     // of sources sharing many exact texts double-counts whatever weight
-    // both get). Pairs expand only INSIDE md5 groups with >1 distinct
-    // source (bounded by group size, never corpus²); ordered (sa < sb)
-    // source pairs so the matrix is upper-triangular and deterministic.
+    // both get). Pairs expand only INSIDE md5 groups — bounded by
+    // Σ group², never corpus², but note single-source dup groups DO
+    // enumerate their pairs before the sa < sb predicate rejects them;
+    // ordered source pairs keep the matrix upper-triangular and
+    // deterministic.
     // The sf0.01 corpus has no cross-source exact dups — an EMPTY matrix
     // there is the correct answer (verified against the oracle's own 0
     // rows); sf0.1 exercises the non-empty path (7 source pairs).
@@ -265,11 +266,12 @@ object PipelineOps extends OpModule {
 
   override def oracles: Map[String, String] = Map(
     "q_novelty" ->
-      """WITH grams AS (
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |grams AS (
         |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-        |    RANGE(0, GREATEST(LEN(STRING_SPLIT(TRIM(text), ' ')) - 7, 1)),
-        |    i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(text), ' ')[i + 1:i + 8], ' ')))) AS g
-        |  FROM documents),
+        |    RANGE(0, GREATEST(LEN(toks) - 7, 1)),
+        |    i -> ARRAY_TO_STRING(toks[i + 1:i + 8], ' ')))) AS g
+        |  FROM base),
         |owner AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
         |SELECT doc_id, COUNT(*) AS n_grams,
         |  CAST(ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1e4

@@ -129,7 +129,9 @@ object TextAnalysis extends OpModule {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
       val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("ct"))
-      val total = tok.agg(count(lit(1)).as("nt"))
+      // total re-aggregates the vocab-sized count table — never a second
+      // corpus tokenize/explode pass
+      val total = vocab.agg(sum(col("ct")).as("nt"))
       tok.join(vocab, "t").crossJoin(broadcast(total))
         .select(col("doc_id"),
           expr("cast(round(-1e4 * ln(cast(ct as double) / nt)) as bigint)").as("nll"))
@@ -145,17 +147,21 @@ object TextAnalysis extends OpModule {
     // weights; this measures why). Every per-term contribution
     // p_s(t)·ln(p_s(t)/p(t)) is one fixed expression tree over exact
     // integer counts, rounded to 1e-8 units per TERM before the integer
-    // sum (same accumulation-order discipline as q_unigram_lm). Counts are
-    // three map-side-combined aggregations of one token scan; the global
+    // sum (same accumulation-order discipline as q_unigram_lm). ONE corpus
+    // token scan feeds the (source, term) count table; the coarser
+    // distributions re-aggregate that table (vocab-sized work). The global
     // term table joins by term with no broadcast hint (planner-sized,
     // like q_unigram_lm's vocab join).
     "q_domain_kl" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("source"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+      // ONE corpus tokenize/explode: every other distribution re-aggregates
+      // the (source, term)-sized count table — the TF-IDF exchange-reuse
+      // discipline, not four independent corpus scans
       val bySrc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("ct"))
-      val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-      val glob = tok.groupBy(col("t")).agg(count(lit(1)).as("cg"))
-      val tot = tok.agg(count(lit(1)).as("ng"))
+      val srcTot = bySrc.groupBy(col("source")).agg(sum(col("ct")).as("ns"))
+      val glob = bySrc.groupBy(col("t")).agg(sum(col("ct")).as("cg"))
+      val tot = srcTot.agg(sum(col("ns")).as("ng"))
       bySrc.join(glob, "t").join(srcTot, "source").crossJoin(broadcast(tot))
         .select(col("source"), expr(
           """cast(round(1e8 * (cast(ct as double) / ns) *
