@@ -182,6 +182,26 @@ object Sources extends OpModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // XML round-trip (Spark 4 native "xml" source — the remaining feed
+    // format of the family: CSV/JSON/ORC/text/binary/JDBC/XML). Doubles
+    // survive because the writer emits Java's shortest-round-trip
+    // rendering; schema is DECLARED on re-ingest like every other format.
+    "src_xml" -> ((s, d) => {
+      val path = tmp(d, "xml")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("rowTag", "order").format("xml").save(path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      s.read.schema(schema).option("rowTag", "order").format("xml").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             graft.ops.Det.moneySum(col("o_totalprice")).as("cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Dynamic partition overwrite: re-land ONE partition of the store (the
     // daily/yearly re-run every ETL eventually needs) without touching its
     // siblings. Static overwrite mode would wipe the whole root; dynamic
@@ -361,6 +381,11 @@ object Sources extends OpModule {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate < TIMESTAMP '1997-09-01'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "src_xml" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "sink_part_overwrite" ->
       """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n,
