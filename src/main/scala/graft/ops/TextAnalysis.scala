@@ -141,6 +141,37 @@ object TextAnalysis extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 lexical retrieval — the sparse/term recall path beside the
+    // embedding ANN (a RAG/curation stack runs both). Query = the corpus's
+    // own top-5 terms by document frequency (≥4 chars, df desc / term
+    // tie-break — corpus-derived, no magic constants); k1=1.2, b=0.75.
+    // Every per-(doc, term) BM25 contribution is one fixed expression tree
+    // over exact integers (tf, df, dl, N, total-len), rounded to 1e-4
+    // units BEFORE the per-doc integer sum (the accumulation-order
+    // discipline of q_unigram_lm/q_domain_kl). Plan: one token scan feeds
+    // tf; dl/df/N/total re-aggregate tf (no second corpus pass); the tiny
+    // query-term table broadcasts; top-20 is TakeOrderedAndProject.
+    "q_bm25" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+      val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dlen.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val qterms = dfreq.where(length(col("t")) >= 4)
+        .orderBy(col("df").desc, col("t")).limit(5)
+      tf.join(broadcast(qterms), "t")
+        .join(dlen, "doc_id").crossJoin(broadcast(stats))
+        .select(col("doc_id"), expr(
+          """cast(round(1e4 * ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+            |  * (tf * (1.2 + 1.0))
+            |  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / cast(tl as double))))
+            |as bigint)""".stripMargin).as("sc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("sc")).as("bm25_e4"))
+        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(20)
+    }),
+
     // Domain-shift diagnostics for training-mixture design: KL(source ‖
     // corpus) over unigram distributions — which source's token
     // distribution deviates most from the blend (q_data_mix decides the
@@ -290,6 +321,26 @@ object TextAnalysis extends OpModule {
         |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
         |WHERE pred.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qterms AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+        |           ORDER BY df DESC, t LIMIT 5),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT) AS sc
+        |  FROM tf JOIN qterms USING (t) JOIN dlen USING (doc_id), stats)
+        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sc) AS BIGINT) AS bm25_e4
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25_e4 DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_domain_kl" ->
       """WITH tok AS (
