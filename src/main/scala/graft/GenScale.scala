@@ -59,10 +59,12 @@ object GenScale {
       val tmp = new org.apache.hadoop.fs.Path(s"$dst/_tmp_$t")
       df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
-        .find(_.getName.endsWith(".parquet")).get
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"[genscale] no parquet part written under $tmp for $t"))
       val outF = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
       fs.delete(outF, true)
-      fs.rename(part, outF)
+      if (!fs.rename(part, outF))
+        sys.error(s"[genscale] rename $part -> $outF failed")
       fs.delete(tmp, true)
       println(s"[genscale] $t: ${spark.read.parquet(outF.toString).count()} rows")
     }

@@ -36,6 +36,16 @@ object DistRank {
   def withGlobalRank(df: DataFrame, value: Column, tie: Column, bucketWidth: Long,
                      rankName: String, nName: String): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // Guard the lossless-cast contract at runtime instead of in prose: a
+    // fractional ordering column would silently rank by its truncation.
+    val valueType = df.select(value.as("gr_probe")).schema.head.dataType
+    require(Set("byte", "short", "integer", "long").contains(valueType.typeName),
+      s"withGlobalRank orders by an integral column; got ${valueType.typeName} " +
+        "(pre-scale fractional values to integer units, e.g. cents)")
+    val reserved = Seq("gr_v", "gr_bkt", "gr_off")
+    val clobbered = df.columns.toSet.intersect(reserved.toSet)
+    require(clobbered.isEmpty,
+      s"input frame already has internal column(s) ${clobbered.mkString(", ")}")
     // `div` truncates toward zero (not floor), but bucket ids only need to
     // be monotone non-decreasing in the value, which truncation preserves.
     val b = df.withColumn("gr_v", value.cast("long"))

@@ -112,8 +112,17 @@ object LlmOps extends OpModule {
       // back onto the deduped candidate pairs only.
       val inc = bandsOf(sh.where(isIncoming)).drop("sh")
         .select(col("doc_id").as("db"), col("band"), col("sig"))
+      // Shed degenerate curated-side buckets (> MaxBucket docs sharing a
+      // band signature — boilerplate) BEFORE the bipartite join, mirroring
+      // minhashVerifiedPairs' cap: an uncapped curated bucket multiplies
+      // every incoming hit by its size. The window count shuffles on the
+      // same (band, sig) key the join needs, so the exchange is reused;
+      // at harness scale every bucket is ≤ ~10, so the oracle-checked
+      // output is unchanged (same recall caveat as the self-dedup path).
       val cur = bandsOf(sh.where(!isIncoming)).drop("sh")
         .select(col("doc_id").as("da"), col("band"), col("sig"))
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+        .where(col("bn") <= MaxBucket).drop("bn")
       inc.join(cur, Seq("band", "sig"))
         .select(col("db"), col("da")).distinct()
         .join(sh.select(col("doc_id").as("da"), col("sh").as("sh_a")), "da")

@@ -409,13 +409,22 @@ object StreamOps extends OpModule {
       val conf = s.sparkContext.hadoopConfiguration
       val fs = org.apache.hadoop.fs.FileSystem.get(conf)
       val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-      // Memoize keyed on a CONTENT fingerprint (length + mtime), not the
-      // path hash alone: regenerating events.parquet in place must produce
-      // a fresh copy, never silently reuse a stale one. toHexString also
-      // avoids the abs(Int.MinValue)-stays-negative edge.
+      // Memoize keyed on a CONTENT fingerprint, not the path hash alone:
+      // regenerating events.parquet in place must produce a fresh copy,
+      // never silently reuse a stale one. len ^ mtime was not enough —
+      // second-granularity mtimes can collide on same-length rewrites — so
+      // the key also CRCs the file's last 64 KB (the parquet footer, which
+      // carries row-group stats and changes with any content change).
+      // toHexString also avoids the abs(Int.MinValue)-stays-negative edge.
       val st = fs.getFileStatus(src)
+      val tailLen = math.min(65536L, st.getLen).toInt
+      val tail = new Array[Byte](tailLen)
+      val in = fs.open(src)
+      try in.readFully(st.getLen - tailLen, tail) finally in.close()
+      val crc = new java.util.zip.CRC32
+      crc.update(tail)
       val dir = s"target/tmp/dupfeed_${d.hashCode.toHexString}_" +
-        java.lang.Long.toHexString(st.getLen ^ (st.getModificationTime << 13))
+        java.lang.Long.toHexString(st.getLen ^ (st.getModificationTime << 13) ^ crc.getValue)
       val base = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(new org.apache.hadoop.fs.Path(base, "events_b.parquet"))) {
         fs.mkdirs(base)
