@@ -27,6 +27,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select(col("doc_id")).distinct().count() == out.count())
   }
 
+  test("q_multimodal_png: javax.imageio round-trip recovers every pixel of the closed form") {
+    import spark.implicits._
+    // real PNG bytes, real decode: featurize over rendered images must
+    // reproduce the pixel formula's geometry, sum, and bin counts exactly
+    val ids = Seq(0L, 1L, 7L, 13L, 23L)
+    val df = ids.map(id => (id, Multimodal.renderPng(id))).toDF("doc_id", "payload")
+    val out = Multimodal.featurize(df, batchSize = 2).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == ids.sorted)
+    out.foreach { f =>
+      val (w, h) = ((8 + f.doc_id % 9).toInt, (8 + f.doc_id % 7).toInt)
+      assert((f.width, f.height) == (w, h))
+      val px = for { y <- 0 until h; x <- 0 until w }
+        yield ((f.doc_id * 31 + x * 7 + y * 13) % 256).toInt
+      assert(f.px_sum == px.map(_.toLong).sum)
+      val bins = px.groupBy(_ >> 5).view.mapValues(_.size).toMap
+      (0 until 8).foreach { b =>
+        assert(math.round(f.feat(b) * w * h).toInt == bins.getOrElse(b, 0), s"bin $b doc ${f.doc_id}")
+      }
+      assert(f.n_bytes > 8, "payload is a real encoded PNG, not raw pixels")
+    }
+  }
+
   test("q_multimodal_frames: even frame indices, ≤4 frames/doc, checksums match brute force") {
     val rows = Multimodal.queries("q_multimodal_frames")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
