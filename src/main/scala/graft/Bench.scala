@@ -14,7 +14,7 @@ object Bench {
   private[graft] val headline = Vector(
     "q_scan_pushdown", "q_filter_compound",                          // scan/filter
     "q_join_inner", "q_join_star5", "q_join_broadcast",              // joins
-    "q_join_range", "q_join_asof",
+    "q_join_range", "q_join_range_bucketed", "q_join_asof",
     "q_agg_q1", "q_agg_distinct", "q_agg_percentile",                // aggregation
     "q_win_running", "q_topk_group", "q_session_batch",              // windows/sessions
     "q_union_distinct", "q_date_funcs", "q_json_funcs",              // set ops/scalars
@@ -85,21 +85,47 @@ object Bench {
         .selectExpr("count(distinct id % 1000)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibPre = calibrate()
-    val results = benched.map { case (name, fn) =>
+    // Stall localization + recovery (VERDICT r4 #3): r4's bench spent one
+    // contiguous host-stall window on a 9-query stretch and both best-of-2
+    // samples of those queries landed inside it — back-to-back samples have
+    // no temporal diversity against a multi-second stall. So: interleave a
+    // calib probe every `calibEvery` queries; after the sweep, any query
+    // whose surrounding probes were degraded — > 2.5× the best probe of
+    // the run AND above an absolute 0.7 s floor (quiet probes swing
+    // 0.1-0.4 s; without the floor a 0.12 s best flags normal noise) —
+    // gets ONE more timing pass at the end, far from the stall window,
+    // and reports the min of all samples. If the WHOLE run is degraded,
+    // retries can't help, but the calib floor in the JSON says so.
+    val calibEvery = 8
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val firstPass = benched.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % calibEvery == 0) calibs += calibrate()
       val a = timeOnce(fn)
       val b = timeOnce(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      (name, fn, if (a < 0 || b < 0) -1.0 else math.min(a, b), calibs.size - 1)
     }
-    val calibPost = calibrate()
+    calibs += calibrate()
+    val quietest = calibs.min
+    def windowStalled(ci: Int): Boolean = {
+      val w = math.max(calibs(ci), calibs(ci + 1))
+      w > 2.5 * quietest && w > 0.7
+    }
+    val results = firstPass.map { case (name, fn, t, ci) =>
+      name -> (if (t >= 0 && windowStalled(ci)) {
+        val r = timeOnce(fn)
+        if (r < 0) t else math.min(t, r)
+      } else t)
+    }
+    val nRetry = firstPass.count { case (_, _, t, ci) => t >= 0 && windowStalled(ci) }
     // A throwing query must surface as an explicit failure, not silently
     // shrink the total (a -1 summed in would make the bench look FASTER).
     val (failed, ok) = results.partition(_._2 < 0)
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val calibsJson = calibs.map(c => f"$c%.2f").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calib":[$calibPre%.3f,$calibPost%.3f],"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calib":[${calibs.head}%.3f,${calibs.last}%.3f],"calibs":$calibsJson,"n_retry":$nRetry,"sf":"$sfDir"}""")
     graft.ops.LlmOps.release()
     spark.stop()
   }

@@ -46,6 +46,28 @@ class SourcesSpec extends SparkSpec {
     assert(total == graft.Tables.documents(spark, sf).count())
   }
 
+  test("src_jdbc pushdown: filters reach the Derby-side WHERE clause") {
+    SparkEntry.queries("src_jdbc")(spark, sf).collect() // creates ORDERS_SLICE
+    val dbDir = new java.io.File(Sources.tmp(sf, "derby")).getAbsolutePath
+    // the scan node's metadata (where PushedFilters print) is elided at
+    // 100 chars by default — widen it so the assertion sees the full list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val df = spark.read.format("jdbc")
+      .option("url", s"jdbc:derby:$dbDir")
+      .option("dbtable", "ORDERS_SLICE")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+      .where(col("o_orderstatus") === "O" && col("o_totalprice") > 50000.0)
+      .select(col("o_orderkey"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), s"no PushedFilters in JDBC scan:\n$plan")
+    assert(plan.toLowerCase.contains("equalto(o_orderstatus,o)"),
+      s"status equality not pushed to the DB:\n$plan")
+    assert(plan.toLowerCase.contains("greaterthan(o_totalprice,50000.0)"),
+      s"price range not pushed to the DB:\n$plan")
+    assert(df.count() > 0, "pushed-down extract returned no rows")
+  }
+
   test("src_binary: binaryFile length equals the payload byte count per doc") {
     val rows = Sources.queries("src_binary")(spark, sf).collect()
     assert(rows.length == 24)
