@@ -22,16 +22,32 @@ import org.apache.spark.sql.functions._
   * never oracle-compared; determinism is not a contract here.
   *
   * Not for correctness runs: the driver's tiers stay the only oracle
-  * inputs. Usage: runMain graft.GenScale [srcDir] [dstDir] [mult]
+  * inputs. Usage: runMain graft.GenScale [srcDir] [dstDir] [mult] [skew]
+  *
+  * The optional 4th arg `skew` builds the ZIPFIAN variant of the tier
+  * (VERDICT r4 #4): the uniform replication above preserves per-key
+  * densities, but 100 TB reality concentrates — so under `skew`, one hot
+  * user_id absorbs ~20% of all events and one hot custkey ~20% of all
+  * orders (deterministic pmod selection, no rand). Every key-partitioned
+  * operator family (sessions, windows, per-user range joins, custkey
+  * aggregations) then sees a single partition holding 20% of the table —
+  * the shape AQE skew-split and q_skew_salted exist for. Skew ratios vs
+  * the uniform tier are recorded in BASELINE.md; the AQE skew-split plan
+  * node itself is asserted in PlanAuditSpec.
   */
 object GenScale {
 
   private val Off = 100000000L
 
+  /** Hot entity for the skewed tier: key 777 exists in every tier's
+    * customer/events key range, so FK joins still resolve. */
+  private val Hot = 777L
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "target/testdata/sf1"
     val mult = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -72,11 +88,28 @@ object GenScale {
     write(read("region"), "region")
     write(read("nation"), "nation")
     write(replicate(read("customer"), Seq("c_custkey")), "customer")
-    write(replicate(read("supplier"), Seq("s_suppkey")), "supplier")
+    // s_name digits are regenerated from the shifted key: replicated
+    // suppliers must be DISTINCT entities (10× the registry), not 10 records
+    // sharing one name — duplicate names collapse every name-derived
+    // blocking key (q_er_join) into 10×-sized buckets and measure the wrong
+    // thing, exactly like un-jittered embeddings would for the dedup family.
+    write(replicate(read("supplier"), Seq("s_suppkey"), d =>
+      d.withColumn("s_name",
+        when(col("r") === 0, col("s_name"))
+          .otherwise(concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"), 9, "0"))))),
+      "supplier")
     write(replicate(read("part"), Seq("p_partkey")), "part")
-    write(replicate(read("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicate(read("orders"), Seq("o_orderkey", "o_custkey"), d =>
+      if (!skew) d
+      else d.withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(Hot)).otherwise(col("o_custkey")))),
+      "orders")
     write(replicate(read("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    write(replicate(read("events"), Seq("event_id", "user_id")), "events")
+    write(replicate(read("events"), Seq("event_id", "user_id"), d =>
+      if (!skew) d
+      else d.withColumn("user_id",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(Hot)).otherwise(col("user_id")))),
+      "events")
     write(replicate(read("documents"), Seq("doc_id"), d =>
       d.withColumn("text",
         when(col("r") === 0, col("text"))

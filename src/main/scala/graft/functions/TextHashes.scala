@@ -75,30 +75,79 @@ object TextHashes {
     mins
   }
 
-  /** 32-bit SimHash with bits derived from md5(shingle) — bit-identical to
-    * the SQL/DuckDB formulation `CONV(SUBSTR(md5(s),1,8),16,10)` (first four
-    * digest bytes, big-endian), so the query stays oracle-able. */
-  val simhash32md5: UserDefinedFunction = udf { (sh: Seq[String]) =>
-    val counts = new Array[Int](32)
+  /** 60-bit SimHash with bits derived from md5(shingle) — bit-identical to
+    * the SQL/DuckDB formulation `CAST('0x' || SUBSTR(md5(s),1,15) AS BIGINT)`
+    * (first 15 hex nibbles = first 7 digest bytes + the high nibble of byte
+    * 8, big-endian), so the query stays oracle-able. 60 bits rather than 64
+    * because 16 hex nibbles can overflow a signed BIGINT on the SQL side.
+    *
+    * Why 60 and not the former 32: the band signature space is what the LSH
+    * bucket sizes divide into. 32 bits banded 4×8 gives 256 signatures per
+    * band — a FIXED key space, so bucket occupancy (and in-bucket pair
+    * expansion) grows linearly with the corpus and candidate work grows
+    * quadratically (measured 11.4× at the 10× tier). 60 bits widen each
+    * band (the banding itself lives in DedupVariants.q_dedup_simhash: 5×12
+    * bits); more bits per band is the scale dial. */
+  val simhash60md5: UserDefinedFunction = udf { (sh: Seq[String]) =>
+    val counts = new Array[Int](60)
     val md = MessageDigest.getInstance("MD5")
     sh.foreach { s =>
       val dig = md.digest(s.getBytes("UTF-8"))
-      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
-              ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((dig(7) >> 4) & 0xfL)
       var j = 0
-      while (j < 32) {
+      while (j < 60) {
         if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
         j += 1
       }
     }
     var sim = 0L
     var j = 0
-    while (j < 32) {
-      if (counts(j) > 0) sim |= (1L << (31 - j))
+    while (j < 60) {
+      if (counts(j) > 0) sim |= (1L << (59 - j))
       j += 1
     }
     sim
   }
+
+  /** Modulus for the banded-MinHash permutation family: the Mersenne prime
+    * 2³¹−1, so `(a·x + b) mod P` products stay far under 2⁶³ for 28-bit x
+    * and 31-bit coefficients on BOTH engines (DuckDB BIGINT and JVM Long
+    * overflow identically at 2⁶³, but staying under it makes overflow a
+    * non-question). */
+  val MinHashP = 2147483647L
+
+  /** Banded 2-row MinHash signatures over a cross-engine-deterministic
+    * permutation family: each shingle is md5-hashed ONCE, x = the first 28
+    * bits of the digest (7 hex nibbles — what DuckDB reads back with
+    * `CAST('0x' || SUBSTR(md5(s), 1, 7) AS BIGINT)`), and permutation k is
+    * `(aₖ·x + bₖ) mod (2³¹−1)`. The b-th signature packs that band's two
+    * per-permutation minima into one long (`min₀·2³¹ + min₁`). An earlier
+    * form salted md5 itself (16 digests per shingle) — one digest + 16
+    * integer mixes measured ~2.7× cheaper at the base tier with identical
+    * blocking power. One JVM kernel call per row: the `transform`-lambda
+    * formulation walks an interpreted eval tree per shingle per
+    * permutation. */
+  def bandedMinHash(bands: Int, as: Array[Long], bs: Array[Long]): UserDefinedFunction =
+    udf { (sh: Seq[String]) =>
+      val n = bands * 2
+      val mins = Array.fill[Long](n)(Long.MaxValue)
+      val md = MessageDigest.getInstance("MD5")
+      sh.foreach { s =>
+        val dig = md.digest(s.getBytes("UTF-8"))
+        val x = ((dig(0) & 0xffL) << 20) | ((dig(1) & 0xffL) << 12) |
+                ((dig(2) & 0xffL) << 4) | ((dig(3) >> 4) & 0xfL)
+        var k = 0
+        while (k < n) {
+          val h = (as(k) * x + bs(k)) % MinHashP
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      Array.tabulate(bands)(b => mins(2 * b) * 2147483648L + mins(2 * b + 1))
+    }
 
   // Cosine scoring: see FloatDot — a native codegen Expression (the UDF
   // variant paid Seq[Float] boxing per pair, which dominated the similarity

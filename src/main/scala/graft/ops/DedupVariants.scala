@@ -10,14 +10,26 @@ import org.apache.spark.sql.functions._
   * hashes (identical hex → int on both engines) instead of engine-specific
   * hash functions.
   *
-  * Scale posture: SimHash is one linear scan (signature per doc) + the same
-  * banded group-join as MinHash LSH — no O(n²). n-gram Jaccard is the
-  * exact (quadratic) verifier, deliberately scoped to one `source` slice —
-  * at 100 TB you run it only inside LSH candidate buckets (q_dedup_near
-  * does exactly that); this query exists to exercise/oracle the exact
-  * metric itself. Embedding-cosine restricts pairs to label-equal (the
-  * blocking key), turning all-pairs into per-class pairs — the standard
-  * blocked-dedup shape; norms are staged per side before the join.
+  * Scale posture (every blocking key here must scale its cardinality WITH
+  * the corpus — the 10× rehearsal showed any fixed key space turns linear
+  * bucket growth into quadratic in-bucket pair expansion):
+  * - SimHash: one linear scan (signature per doc) + banded group-join;
+  *   60-bit signatures banded 5×12 (4096 sigs/band; bits are the dial).
+  * - n-gram Jaccard: banded 2-row salted-min-md5 blocking (P[band match]
+  *   = J², so the weak-similarity tail that dominates all-pairs candidate
+  *   volume is suppressed quadratically), then the EXACT Jaccard verify on
+  *   the candidates only. The former single-min-shingle (k=1 MinHash)
+  *   blocking had P[candidate] = J — its candidate count is Σ_pairs J,
+  *   which grows quadratically with the corpus (measured 33.8× at the 10×
+  *   tier with near-constant output).
+  * - Embedding-cosine (`q_dedup_embcos`): label-equal blocking — a DECLARED
+  *   fixed-cardinality exact baseline; `q_dedup_embcos_lsh` is the
+  *   corpus-scaling form. NOTE on the 10× rehearsal numbers: GenScale's
+  *   jittered replicas are genuine near-duplicates (cosine ≈ 1), so the
+  *   ground-truth pair set itself grows ~500× at 10× (213 → 106 341 rows);
+  *   embcos_lsh's 12× runtime there is output-bound and sublinear per
+  *   result row — the right verdict is "the data has quadratically more
+  *   dups", not "the plan is quadratic".
   */
 object DedupVariants extends OpModule {
 
@@ -26,39 +38,74 @@ object DedupVariants extends OpModule {
       graft.functions.TextHashes.shingles(n)(split(trim(col("text")), " ")))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // 32-bit SimHash from md5(shingle); banded candidates; hamming <= 3.
+    // 60-bit SimHash from md5(shingle), banded 5×12 bits, hamming ≤ 6.
+    // The former 32-bit/4×8-band form had a 256-signature band space — a
+    // FIXED key set whose buckets grow linearly with the corpus and whose
+    // in-bucket pair expansion therefore grows quadratically (measured 11.4×
+    // at the 10× tier). 12-bit bands give 4096 signatures per band (bits per
+    // band is the scale dial), the pigeonhole guarantee is exact for
+    // hamming ≤ 4 (5 bands), ≥ ~88% for 5-6 errors (surjection counting;
+    // the oracle mirrors the banding, so any miss is mirrored too, never a
+    // hash diff), and the ≤ 6 threshold preserves the old 3/32 allowed-
+    // disagreement rate at the new width. Degenerate buckets (boilerplate)
+    // are shed at MaxBucket like every other LSH family here.
     "q_dedup_simhash" -> ((s, d) => {
       val sim = withShingles(Tables.documents(s, d), 5)
         // JVM kernel, bit-identical to the md5-based SQL/DuckDB formulation
         // (the nested-lambda version was the slowest query in the bench)
-        .withColumn("simhash", graft.functions.TextHashes.simhash32md5(col("sh")))
+        .withColumn("simhash", graft.functions.TextHashes.simhash60md5(col("sh")))
         .select(col("doc_id"), col("simhash"))
       val bands = sim.select(col("doc_id"), col("simhash"),
-          posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 8)) & 255)")))
+          posexplode(expr("transform(sequence(0, 4), b -> (simhash >> (b * 12)) & 4095)")))
         .toDF("doc_id", "simhash", "band", "sig")
       bands.groupBy(col("band"), col("sig"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
-        .where(size(col("xs")) > 1)
+        .where(size(col("xs")) > 1 && size(col("xs")) <= graft.ops.LlmOps.MaxBucket)
         .select(explode(expr(
           """flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)),
             |  b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
             |                    'hamming', bit_count(a.simhash ^ b.simhash)))))""".stripMargin)).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming").cast("int").as("hamming"))
         .distinct()
-        .where(col("hamming") <= 3)
+        .where(col("hamming") <= 6)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Exact 3-gram Jaccard with single-hash blocking: two docs are candidates
-    // iff they share the minimum md5 shingle (P[same block] ≈ jaccard — the
-    // k=1 MinHash special case), so all-pairs never materializes.
+    // Exact 3-gram Jaccard on banded-MinHash candidates: 8 bands × 2 rows
+    // of (a·md5₂₈(s) + b) mod (2³¹−1) minima (P[band match] = J², detection
+    // = 1-(1-J²)^8 — ≈0.53 at the τ=0.3 threshold, 0.90 at J=0.5, ≈1 at
+    // J≥0.7; the b/r pair is the recall/pruning dial). The 2-row bands are
+    // what make this scale: the candidate volume is ~8·Σ_pairs J², so the
+    // ocean of weak-similarity pairs that a 1-row scheme surfaces (P = J)
+    // never materializes, and the signature space grows with the corpus
+    // shingle space. The former single-min-shingle (k=1 MinHash) blocking
+    // measured 33.8× at the 10× tier with near-constant output — candidate
+    // count Σ_pairs J is quadratic in the corpus. Candidates travel id-only
+    // (shingle arrays join back on verified pairs), buckets above MaxBucket
+    // (boilerplate cliques) are shed, and the emitted jaccard is EXACT. The
+    // md5-seeded permutations are engine-deterministic, with the (aₖ, bₖ)
+    // coefficients riding into the oracle SQL as list literals (the
+    // q_sim_lsh plane technique), so DuckDB reproduces buckets, candidates,
+    // and pairs exactly — the hash gate pins the whole candidate model,
+    // recall curve included.
     "q_dedup_ngram" -> ((s, d) => {
       val sh = withShingles(Tables.documents(s, d), 3)
         .select(col("doc_id"), col("sh"))
-        .withColumn("blk", expr("array_min(transform(sh, s -> md5(s)))"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("blk"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("blk").as("blk_b"))
-      a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+      val bands = sh.select(col("doc_id"),
+          posexplode(graft.functions.TextHashes.bandedMinHash(8, ngramA, ngramB)(col("sh"))))
+        .toDF("doc_id", "band", "sig")
+      val cand = bands.groupBy(col("band"), col("sig"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1 && size(col("ids")) <= graft.ops.LlmOps.MaxBucket)
+        .select(explode(expr(
+          """flatten(transform(ids,
+            |  (a, i) -> transform(slice(ids, i + 2, size(ids)),
+            |            b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .withColumn("jaccard",
           expr("size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"))
         .where(col("jaccard") >= 0.3)
@@ -128,37 +175,63 @@ object DedupVariants extends OpModule {
     * different seed family from q_sim_lsh's 8-plane set. */
   private val embPlanes: Array[Array[Double]] = Similarity.mkPlanes(4, 64, 7L)
 
+  /** 16 (a, b) coefficient pairs for q_dedup_ngram's 8×2 banded MinHash —
+    * seeded, a ∈ [1, P−1] and b ∈ [0, P−1]; shared verbatim with the oracle
+    * SQL as list literals. */
+  private val (ngramA, ngramB): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(11L)
+    (Array.fill(16)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
+     Array.fill(16)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
   override def oracles: Map[String, String] = Map(
     "q_dedup_simhash" ->
-      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+      s"""WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
         |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base),
-        |h AS (SELECT doc_id, LIST_TRANSFORM(sh, s -> CAST(('0x' || SUBSTR(md5(s), 1, 8)) AS BIGINT)) AS h32 FROM sh),
+        |h AS (SELECT doc_id, LIST_TRANSFORM(sh, s -> CAST(('0x' || SUBSTR(md5(s), 1, 15)) AS BIGINT)) AS h60 FROM sh),
         |sim AS (SELECT doc_id,
-        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), j ->
-        |    CASE WHEN LIST_SUM(LIST_TRANSFORM(h32, x ->
+        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 60), j ->
+        |    CASE WHEN LIST_SUM(LIST_TRANSFORM(h60, x ->
         |           CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-        |    THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END)) AS BIGINT) AS simhash
+        |    THEN (CAST(1 AS BIGINT) << (59 - j)) ELSE 0 END)) AS BIGINT) AS simhash
         |  FROM h),
-        |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS sig
-        |          FROM sim, (SELECT UNNEST(RANGE(0, 4)) AS b)),
+        |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 12)) & 4095 AS sig
+        |          FROM sim, (SELECT UNNEST(RANGE(0, 5)) AS b)),
+        |sized AS (SELECT doc_id, simhash, b, sig,
+        |                 COUNT(*) OVER (PARTITION BY b, sig) AS bn FROM bands),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |                x.simhash AS sa, y.simhash AS sb
-        |         FROM bands x JOIN bands y
-        |           ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)
+        |         FROM sized x JOIN sized y
+        |           ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |         WHERE x.bn <= ${graft.ops.LlmOps.MaxBucket})
         |SELECT doc_a, doc_b, CAST(BIT_COUNT(XOR(sa, sb)) AS INTEGER) AS hamming
-        |FROM cand WHERE BIT_COUNT(XOR(sa, sb)) <= 3
+        |FROM cand WHERE BIT_COUNT(XOR(sa, sb)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_ngram" ->
-      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+      s"""WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 2, 1)),
         |         i -> ARRAY_TO_STRING(toks[i + 1:i + 3], ' '))) AS sh FROM base),
-        |blk AS (SELECT doc_id, sh, LIST_MIN(LIST_TRANSFORM(sh, s -> md5(s))) AS blk FROM sh)
+        |xs AS (SELECT doc_id, sh,
+        |    LIST_TRANSFORM(sh, s -> CAST(('0x' || SUBSTR(md5(s), 1, 7)) AS BIGINT)) AS hx
+        |  FROM sh),
+        |consts AS (SELECT [${ngramA.mkString(", ")}] AS av,
+        |                  [${ngramB.mkString(", ")}] AS bv),
+        |bands AS (SELECT doc_id, b,
+        |    LIST_MIN(LIST_TRANSFORM(hx, x -> (av[b * 2 + 1] * x + bv[b * 2 + 1]) % 2147483647))
+        |      * 2147483648 +
+        |    LIST_MIN(LIST_TRANSFORM(hx, x -> (av[b * 2 + 2] * x + bv[b * 2 + 2]) % 2147483647)) AS sig
+        |  FROM xs, (SELECT UNNEST(RANGE(0, 8)) AS b), consts),
+        |sized AS (SELECT doc_id, b, sig, COUNT(*) OVER (PARTITION BY b, sig) AS bn FROM bands),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM sized x JOIN sized y
+        |           ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |         WHERE x.bn <= ${graft.ops.LlmOps.MaxBucket})
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))
         |        / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
-        |FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id
         |WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
         |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,

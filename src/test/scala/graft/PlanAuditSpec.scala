@@ -272,6 +272,40 @@ class PlanAuditSpec extends SparkSpec {
       s"JDBC read must parallelize by key range:\n${p.take(600)}")
   }
 
+  test("AQE skew-join split engages on a hot key (the skewed-tier safety net)") {
+    // One key holding ~60% of the left side — the GenScale `skew` tier's
+    // shape, scaled down to test volume. Thresholds are lowered so the
+    // skew detector fires at this size (the CONDITION scales; production
+    // leaves the defaults); size-based broadcast is disabled so the join
+    // actually shuffles (a broadcast join has no skewed reducer to split).
+    val prior = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      // detection = size > max(threshold, factor × median): the hot partition
+      // also needs to beat factor×median, and at 4 shuffle partitions the
+      // median partition is not tiny — lower the factor with the threshold
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+      val left = spark.range(0, 1000000)
+        .select(when(col("id") < 900000, lit(0L)).otherwise(col("id") % 997).as("k"),
+                col("id").as("v"))
+      val right = spark.range(0, 2000).select((col("id") % 997).as("k"), col("id").as("w"))
+      val joined = left.join(right, "k").agg(count(lit(1)))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must split the hot-key partition (OptimizeSkewedJoin):\n${p.take(800)}")
+    } finally prior.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
