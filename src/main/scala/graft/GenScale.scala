@@ -110,10 +110,20 @@ object GenScale {
       else d.withColumn("user_id",
         when(pmod(col("event_id"), lit(5)) === 0, lit(Hot)).otherwise(col("user_id")))),
       "events")
+    // Replica text = word-shuffled AND ~30% of words remapped to a
+    // replica-unique token (deterministic per (word, replica), so two docs
+    // that were near-dups stay near-dups WITHIN their replica). Shuffling
+    // alone preserves the word multiset, which manufactures a quadratic
+    // mass of J≈0.1 cross-replica pairs that no banded-MinHash S-curve can
+    // fully suppress (measured: q_dedup_ngram candidates 36× at 10× with
+    // constant output); a real 10× corpus grows vocabulary (Heaps' law) and
+    // its weak-similarity mass ~linearly, which the remap restores.
     write(replicate(read("documents"), Seq("doc_id"), d =>
       d.withColumn("text",
         when(col("r") === 0, col("text"))
-          .otherwise(array_join(shuffle(split(trim(col("text")), " ")), " ")))),
+          .otherwise(array_join(transform(shuffle(split(trim(col("text")), " ")),
+            w => when(pmod(xxhash64(w, col("r")), lit(10)) < 3,
+                      concat(w, lit("_"), col("r"))).otherwise(w)), " ")))),
       "documents")
     write(replicate(read("embeddings"), Seq("vec_id"), d =>
       d.withColumn("embedding",
