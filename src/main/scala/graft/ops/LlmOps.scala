@@ -79,6 +79,29 @@ object LlmOps extends OpModule {
         .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"), col("cluster_size"))
         .orderBy(col("doc_id"))),
 
+    // The web-scale formulation of the same contraction (the "switch at
+    // web scale" SCALE.md pointed at, now implemented): alternating
+    // large-star / small-star rounds (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond"). Each round is two
+    // degree-bounded groupBy+join passes and the edge set converges to
+    // per-component stars rooted at the minimum node in O(log n) rounds —
+    // versus O(component diameter) for min-label propagation — and, unlike
+    // label propagation, the per-round state is the (shrinking) edge set,
+    // not a label per node. Identical output contract to q_dedup_cluster
+    // (same oracle SQL verbatim): both must produce the exact connected
+    // components of the verified near-dup pair graph, so the hash gate
+    // proves the two distributed algorithms agree with the recursive-CTE
+    // ground truth.
+    "q_dedup_cluster_star" -> ((s, d) => {
+      val lbls = starContraction(
+        nearDupPairs(s, d).select(col("doc_a"), col("doc_b")))
+      lbls
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("lbl"))).cast("long"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The pipeline's terminal decision: keep every doc except non-
     // representative members of a near-dup cluster (anti-join against the
     // derived drop set — at 100 TB the drop list is small relative to the
@@ -177,6 +200,56 @@ object LlmOps extends OpModule {
       rounds += 1
     }
     labels
+  }
+
+  /** Large-star/small-star contraction over an undirected edge set
+    * (doc_a, doc_b) → (id, lbl = min node of id's component) — the
+    * O(log n)-round alternative to [[labelPropagation]]. Large-star
+    * attaches each node's LARGER neighbors to its minimum neighbor
+    * (min(Γ(u) ∪ u)); small-star then attaches the remaining smaller
+    * neighbors (and u itself) to the minimum. Both phases preserve
+    * connectivity and only ever decrease (neighbor-min) potentials, so the
+    * edge set converges to stars rooted at each component's minimum.
+    * Per-round cost: two groupBy-min + join passes over the current edge
+    * set; lineage cut per round with localCheckpoint. private[graft] so
+    * the property suite can drive generated graphs against a union-find
+    * reference (same harness as labelPropagation). */
+  private[graft] def starContraction(pairs: DataFrame): DataFrame = {
+    // canonical direction: big node -> small node
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+              least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) { // O(log n) expected; 64 = safety bound
+      // large-star: symmetrize, attach neighbors v > u to m = min(Γ(u) ∪ u)
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: edges are big->small; attach u and its small neighbors
+      // to m = min of them (emitted edges stay big->small by construction)
+      val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(sMins, "u")
+        .select(explode(array(struct(col("v").as("a"), col("m").as("b")),
+                              struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      converged = small.except(edges).isEmpty && edges.except(small).isEmpty
+      edges = small
+      rounds += 1
+    }
+    // stars: members point at their root; roots (never a source) label selves
+    val members = edges.select(col("u").as("id"), col("v").as("lbl"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(edges.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    members.union(roots)
   }
 
   /** Degenerate-bucket cap (docs per band bucket). A boilerplate-heavy
@@ -346,6 +419,30 @@ object LlmOps extends OpModule {
         .orderBy(col("doc_id"))),
   )
 
+  /** Exact connected components of the verified near-dup graph — shared by
+    * q_dedup_cluster (label propagation) and q_dedup_cluster_star
+    * (large-star/small-star): one ground truth, two distributed algorithms. */
+  private val clusterOracleSql: String =
+    """WITH RECURSIVE
+      |base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
+      |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
+      |        / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM e),
+      |reach AS (SELECT id, id AS r FROM nodes
+      |          UNION
+      |          SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+      |lbl AS (SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
+      |SELECT id AS doc_id, cluster_rep,
+      |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+      |FROM lbl ORDER BY doc_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(LOWER(TRIM(text))) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
@@ -374,26 +471,10 @@ object LlmOps extends OpModule {
     // Connected components via recursive CTE over the same exact-Jaccard
     // edge set: reach(id, r) = "node r reaches id"; UNION dedups, so the
     // recursion terminates; MIN(r) per id = the component's min node.
-    "q_dedup_cluster" ->
-      """WITH RECURSIVE
-        |base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
-        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
-        |        / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.5),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS id FROM e),
-        |reach AS (SELECT id, id AS r FROM nodes
-        |          UNION
-        |          SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
-        |lbl AS (SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
-        |SELECT id AS doc_id, cluster_rep,
-        |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
-        |FROM lbl ORDER BY doc_id""".stripMargin,
+    // q_dedup_cluster_star shares the SQL verbatim: both distributed
+    // algorithms must reproduce the same exact components.
+    "q_dedup_cluster" -> clusterOracleSql,
+    "q_dedup_cluster_star" -> clusterOracleSql,
 
     // Survivors = all docs minus non-representative cluster members, from
     // the same recursive-CTE labels.

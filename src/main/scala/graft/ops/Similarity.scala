@@ -93,6 +93,74 @@ object Similarity extends OpModule {
                 round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
     }),
+
+    // Product-quantization ANN — the memory-bound scale path that completes
+    // the family (brute force → sign-LSH → IVF → PQ): each vector is
+    // ENCODED as 2 sub-space codebook indices (here 2×3 bits — at 100 TB a
+    // 64-dim float vector becomes 8-16 bytes of codes, the compression that
+    // lets a billion-vector index live in RAM), and query-to-vector
+    // distance is approximated by ADC (asymmetric distance computation):
+    // the query precomputes its L2² to every codeword once (2×8 lookups
+    // per query), so scoring a vector is 2 table lookups + an integer add
+    // — no per-pair float math at all. Top-20 by ADC then exact-cosine
+    // re-rank to top-5 (the standard two-stage PQ serving shape).
+    // Determinism/oracle: codebooks are the sub-vectors of vec_id 100-107
+    // (sampled codebook; production trains them with q_emb_kmeans's Lloyd
+    // step — codebook quality is a training concern, the OPERATOR is
+    // encode+ADC), L2² is the same ascending sequential fold both engines
+    // run, per-side distances round to integer 1e-6 units BEFORE the ADC
+    // sum (2-term double sums are order-sensitive; integer sums are not),
+    // and all ranks tie-break on vec_id — DuckDB reproduces codes, ADC,
+    // candidates, and the final top-5 exactly.
+    "q_sim_pq" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+      // (vec_id, side, sub): the two 32-dim halves of every vector
+      def sides(df: DataFrame): DataFrame = df.select(col("vec_id"), col("nrm"),
+          explode(array(
+            struct(lit(0).as("side"), expr("slice(embedding, 1, 32)").as("sub")),
+            struct(lit(1).as("side"), expr("slice(embedding, 33, 32)").as("sub")))).as("h"))
+        .select(col("vec_id"), col("h.side").as("side"), col("h.sub").as("sub"))
+      val l2sq = "aggregate(zip_with(sub, c_sub, (x, y) -> " +
+        "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
+        "0d, (acc, v) -> acc + v)"
+      val cb = sides(e.where(col("vec_id").between(100, 107)))
+        .select(col("vec_id").as("c_id"), col("side"), col("sub").as("c_sub"))
+      // encode: nearest codeword per (vector, side); ties break on c_id
+      val encW = Window.partitionBy(col("vec_id"), col("side"))
+        .orderBy(col("dist"), col("c_id"))
+      val codes = sides(e).join(broadcast(cb), "side")
+        .withColumn("dist", expr(l2sq))
+        .withColumn("rn", row_number().over(encW)).where(col("rn") === 1)
+        .select(col("vec_id").as("n_id"), col("side"), col("c_id").as("code"))
+      // query ADC tables: L2² to every codeword, integer 1e-6 units
+      val dtab = sides(e.where(col("vec_id") < 10))
+        .select(col("vec_id").as("q_id"), col("side"), col("sub"))
+        .join(broadcast(cb), "side")
+        .select(col("q_id"), col("side"), col("c_id"),
+                expr(s"cast(round($l2sq * 1000000) as bigint)").as("d_e6"))
+      val candW = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+      val cand = codes.join(broadcast(dtab),
+          codes("side") === dtab("side") && codes("code") === dtab("c_id"))
+        .groupBy(col("q_id"), col("n_id")).agg(sum(col("d_e6")).as("adc"))
+        .withColumn("rn", row_number().over(candW)).where(col("rn") <= 20)
+        .select(col("q_id"), col("n_id"))
+      // exact re-rank of the 20 ADC candidates
+      val rerankW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      cand
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                       col("nrm").as("q_nrm")), "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                       col("nrm").as("n_nrm")), "n_id")
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(rerankW)).where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"),
+                round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
   )
 
   override def oracles: Map[String, String] = {
@@ -125,6 +193,49 @@ object Similarity extends OpModule {
         |    / (SQRT(LIST_SUM(LIST_TRANSFORM(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |       * SQRT(LIST_SUM(LIST_TRANSFORM(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
         |  FROM cand)
+        |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+        |  SELECT q_id, n_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+      // Mirrors q_sim_pq stage by stage: same sampled codebooks (vec_id
+      // 100-107 halves), same ascending-fold L2², same integer-1e-6 ADC,
+      // same (value, id) tie-breaks — codes, candidates, and the re-ranked
+      // top-5 reproduce exactly.
+      "q_sim_pq" ->
+        s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+        |        WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |sides AS (SELECT vec_id, s,
+        |    CASE WHEN s = 0 THEN embedding[1:32] ELSE embedding[33:64] END AS sub
+        |  FROM emb, (SELECT UNNEST(RANGE(0, 2)) AS s)),
+        |cb AS (SELECT vec_id AS c_id, s, sub AS c_sub FROM sides
+        |       WHERE vec_id BETWEEN 100 AND 107),
+        |enc AS (SELECT vec_id AS n_id, s, c_id AS code FROM (
+        |  SELECT v.vec_id, v.s, c.c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        |      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.sub, c.c_sub),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.c_id) AS rn
+        |  FROM sides v JOIN cb c ON v.s = c.s) t WHERE rn = 1),
+        |dtab AS (SELECT q.vec_id AS q_id, c.s, c.c_id,
+        |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.sub, c.c_sub),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT) AS d_e6
+        |  FROM sides q JOIN cb c ON q.s = c.s WHERE q.vec_id < 10),
+        |adc AS (SELECT d.q_id, enc.n_id, SUM(d.d_e6) AS adc
+        |        FROM enc JOIN dtab d ON enc.s = d.s AND enc.code = d.c_id
+        |        GROUP BY d.q_id, enc.n_id),
+        |cand AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+        |  FROM adc) t WHERE rn <= 20),
+        |scored AS (SELECT cand.q_id, cand.n_id,
+        |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qe.embedding, ne.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |    / (SQRT(LIST_SUM(LIST_TRANSFORM(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * SQRT(LIST_SUM(LIST_TRANSFORM(ne.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+        |  FROM cand JOIN emb qe ON qe.vec_id = cand.q_id
+        |            JOIN emb ne ON ne.vec_id = cand.n_id)
         |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
         |  SELECT q_id, n_id, score,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn

@@ -71,7 +71,7 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("label propagation equals union-find on random graphs") {
+  test("label propagation AND star contraction equal union-find on random graphs") {
     import spark.implicits._
     val graphGen = for {
       n <- Gen.choose(2, 40)
@@ -83,6 +83,8 @@ class PropertiesSpec extends SparkSpec {
     } yield edges.distinct
     samples(graphGen).filter(_.nonEmpty).foreach { edges =>
       val got = graft.ops.LlmOps.labelPropagation(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotStar = graft.ops.LlmOps.starContraction(edges.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // union-find reference
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -97,6 +99,7 @@ class PropertiesSpec extends SparkSpec {
       val want = parent.keys.map(x => x -> find(x)).toMap
       // find() with min-merge makes every root the component minimum
       assert(got == want, s"labels diverged for edges=${edges.take(8)}…")
+      assert(gotStar == want, s"star labels diverged for edges=${edges.take(8)}…")
     }
   }
 

@@ -56,6 +56,30 @@ class DedupVariantsSpec extends SparkSpec {
     info(s"ANN recall@5 vs brute force = $recall")
   }
 
+  test("q_sim_pq: self-match at rank 1, candidates respect ADC, recall vs brute force useful") {
+    val pq = Similarity.queries("q_sim_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // a query's own vector has ADC distance 0 → always a candidate, and
+    // exact re-rank puts cosine 1 first
+    (0L until 10L).foreach { q =>
+      assert(pq.exists(p => p._1 == q && p._2 == q && p._3 == 1), s"query $q missing self")
+    }
+    val exact = LlmOps.queries("q_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pqSet = pq.map(p => (p._1, p._2)).toSet
+    val recall = exact.count(pqSet.contains).toDouble / exact.length
+    info(s"PQ recall@5 vs brute force = $recall (2×8 sampled codebook, top-20 re-rank)")
+    assert(recall >= 0.3, s"PQ recall collapsed: $recall")
+  }
+
+  test("q_dedup_cluster_star ≡ q_dedup_cluster (two algorithms, one answer)") {
+    val lp = LlmOps.queries("q_dedup_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val star = LlmOps.queries("q_dedup_cluster_star")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lp.nonEmpty && lp == star)
+  }
+
   test("q_lang_id covers all docs; accuracy is deterministic and sane") {
     val rows = TextAnalysis.queries("q_lang_id")(spark, sf).collect()
     assert(rows.length == graft.Tables.documents(spark, sf).count())
