@@ -33,6 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupVariants extends OpModule {
 
+  /** q_dedup_contain's boilerplate shed: shingles appearing in more than
+    * this many docs are too common to be blocking evidence (and their
+    * posting lists would drive quadratic pair expansion). */
+  private val RareDf = 20
+
   private def withShingles(df: DataFrame, n: Int): DataFrame =
     df.withColumn("sh",
       graft.functions.TextHashes.shingles(n)(split(trim(col("text")), " ")))
@@ -110,6 +115,43 @@ object DedupVariants extends OpModule {
           expr("size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"))
         .where(col("jaccard") >= 0.3)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // CONTAINMENT dedup — the asymmetric case symmetric Jaccard misses: a
+    // short doc quoted/embedded inside a long one has C(A,B) = |A∩B|/|A|
+    // ≈ 1 while J(A,B) is small, so no Jaccard-threshold family surfaces
+    // it. Candidates come from RARE-shingle posting lists (prefix-filter /
+    // PPJoin-style blocking): any pair with C ≥ 0.8 shares ≥ 80% of the
+    // smaller doc's shingles, every shared shingle has df ≥ 2 by
+    // definition, and shingles with df > RareDf (boilerplate) are shed —
+    // so candidate volume is Σ_g C(df_g, 2) ≤ C(RareDf, 2) per gram,
+    // LINEAR in distinct grams, and gram cardinality grows with the corpus
+    // (the CLAUDE.md blocking-key rule). The shed is mirrored in the
+    // oracle, so the hash gate pins the candidate model including its
+    // recall caveat. Verify stage is exact set arithmetic in integer e4
+    // units; both containment directions plus Jaccard are emitted so a
+    // consumer separates subset-pairs (high C, low J) from near-dups.
+    "q_dedup_contain" -> ((s, d) => {
+      val sh = withShingles(Tables.documents(s, d), 5).select(col("doc_id"), col("sh"))
+      val post = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val rare = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, RareDf)).select(col("g"))
+      val rp = post.join(rare, "g")
+      val cand = rp.select(col("g"), col("doc_id").as("doc_a"))
+        .join(rp.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("inter", expr("cast(size(array_intersect(sh_a, sh_b)) as long)"))
+        .withColumn("cont_a_e4", expr("inter * 10000L div size(sh_a)"))
+        .withColumn("cont_b_e4", expr("inter * 10000L div size(sh_b)"))
+        .withColumn("j_e4", expr("inter * 10000L div size(array_union(sh_a, sh_b))"))
+        .where(greatest(col("cont_a_e4"), col("cont_b_e4")) >= 8000)
+        .select(col("doc_a"), col("doc_b"),
+                col("cont_a_e4"), col("cont_b_e4"), col("j_e4"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -234,6 +276,31 @@ object DedupVariants extends OpModule {
         |FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id
         |WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
         |      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Mirrors the rare-shingle blocking (2 ≤ df ≤ RareDf) and the integer
+    // e4 containment/Jaccard arithmetic exactly.
+    "q_dedup_contain" ->
+      s"""WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
+        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' '))) AS sh FROM base),
+        |post AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
+        |rare AS (SELECT g FROM post GROUP BY g HAVING COUNT(*) BETWEEN 2 AND $RareDf),
+        |rp AS (SELECT post.g, post.doc_id FROM post JOIN rare ON post.g = rare.g),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |v AS (SELECT doc_a, doc_b,
+        |        CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS BIGINT) AS inter,
+        |        CAST(LEN(a.sh) AS BIGINT) AS na, CAST(LEN(b.sh) AS BIGINT) AS nb,
+        |        CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS BIGINT) AS un
+        |      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+        |                JOIN sh b ON cand.doc_b = b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  inter * 10000 // na AS cont_a_e4,
+        |  inter * 10000 // nb AS cont_b_e4,
+        |  inter * 10000 // un AS j_e4
+        |FROM v
+        |WHERE GREATEST(inter * 10000 // na, inter * 10000 // nb) >= 8000
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_embcos_lsh" ->

@@ -227,6 +227,32 @@ object PipelineOps extends OpModule {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
 
+    // Weighted (probability-proportional-to-size) sampling — priority
+    // sampling (Duffield–Lund–Thorup): each doc gets priority key u/w where
+    // u is a 32-bit md5-derived uniform and w its weight (n_chars — longer
+    // docs are worth more training tokens); the sample is the k smallest
+    // keys. Deterministic: u is the q_sample_hash md5 idiom widened to 8
+    // hex digits, and the key is ONE IEEE-754 double division of two exact
+    // integers — bit-identical in both engines, so even key comparisons at
+    // rounding boundaries agree. The k-smallest runs as
+    // TakeOrderedAndProject (no global sort shuffle); at 100 TB this is a
+    // map-side per-partition top-k + a k-row driver merge — the one-pass
+    // distributed weighted sampler (no per-stratum thresholds needed,
+    // unlike q_sample_strat). The double key is ordering-only and never
+    // emitted (float output hazard).
+    "q_sample_weighted" -> ((s, d) =>
+      Tables.documents(s, d)
+        .where(col("n_chars") > 0)
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+        .withColumn("key", col("u").cast("double") / col("n_chars"))
+        .orderBy(col("key"), col("doc_id")).limit(25)
+        .select(col("doc_id"), col("n_chars"), col("u"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("u").cast("double") / col("n_chars"),
+                                           col("doc_id"))))
+        .orderBy(col("rnk"))),
+
     // IVF ANN: 16 fixed coarse centroids (vec_id 100–115); every vector is
     // assigned to its nearest centroid (the "inverted file" bucket), queries
     // probe their 2 nearest buckets and exact-rank only those candidates.
@@ -330,6 +356,18 @@ object PipelineOps extends OpModule {
         |FROM orders
         |WHERE CAST(('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INTEGER) < 26
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Priority-sampling key = one IEEE double division of two exact ints —
+    // bit-identical cross-engine, so the selected set and its order match.
+    "q_sample_weighted" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, u,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY CAST(u AS DOUBLE) / n_chars, doc_id)
+        |    AS INTEGER) AS rnk
+        |FROM w ORDER BY rnk LIMIT 25""".stripMargin,
 
     "q_pipeline_e2e" ->
       """WITH norm AS (

@@ -36,6 +36,11 @@ object Similarity extends OpModule {
   /** 8 deterministic ±1 hyperplanes over 64 dims (seed 42). */
   private val planes: Array[Array[Double]] = mkPlanes(8, 64, 42L)
 
+  /** 16 deterministic ±1 hyperplanes (seed 7) for q_emb_rp's
+    * Johnson–Lindenstrauss projection — distinct seed from the LSH planes
+    * so the two operators don't share structure. */
+  private[ops] val rpPlanes: Array[Array[Double]] = mkPlanes(16, 64, 7L)
+
   private def dot(emb: Column, w: Array[Double]): Column =
     aggregate(
       zip_with(emb, typedLit(w.toSeq), (x, y) => x.cast("double") * y),
@@ -161,6 +166,46 @@ object Similarity extends OpModule {
                 round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
     }),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: ±1 hyperplanes
+    // (sign-random-projection's planes, but emitting the PROJECTIONS, not
+    // the sign bits) — the cheap dense dimensionality reduction that feeds
+    // clustering/visualization at 100 TB (16 doubles per vector instead of
+    // 64 floats; one linear scan, zero shuffle, trivially codegen'd).
+    // Determinism: each projection is Σ ±x over the 64 float components —
+    // floats are exact in double and the partial sums stay far below 2^53,
+    // so the sum is EXACT (order-independent) and ROUND(·1e4) agrees
+    // bit-for-bit with DuckDB's LIST_SUM over the same plane literals.
+    // Long-form output (vec_id, j, proj_e4) — no array columns.
+    "q_emb_rp" -> ((s, d) => {
+      val projs = rpPlanes.zipWithIndex.map { case (w, j) =>
+        struct(lit(j).as("j"),
+               round(dot(col("embedding"), w) * 10000).cast("bigint").as("proj_e4"))
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), explode(array(projs.toSeq: _*)).as("p"))
+        .select(col("vec_id"), col("p.j").as("j"), col("p.proj_e4").as("proj_e4"))
+        .orderBy(col("vec_id"), col("j"))
+    }),
+
+    // Index-quality evaluation: recall@5 of the LSH ANN against the exact
+    // brute-force top-5, per query — the "measure your index before you
+    // trust it" operator every production ANN deployment runs after a
+    // build. Composes the two declared pipelines (q_sim_lsh, q_sim_topk)
+    // and reduces to one 10-row audit table; at 100 TB the exact side runs
+    // on a sampled query set (queries are few — the corpus side is what
+    // scales) and the semi-join/groupBy is query-sized, not corpus-sized.
+    "q_ann_recall" -> ((s, d) => {
+      val lsh = queries("q_sim_lsh")(s, d).select(col("q_id"), col("n_id"))
+      val exact = LlmOps.queries("q_sim_topk")(s, d).select(col("q_id"), col("n_id"))
+      val hits = exact.join(lsh, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_e4", expr("n_hit * 10000L div 5"))
+        .orderBy(col("q_id"))
+    }),
   )
 
   override def oracles: Map[String, String] = {
@@ -168,9 +213,8 @@ object Similarity extends OpModule {
     // computes the very same buckets the engine does. "Probe = own ∪
     // Hamming-1 ∪ Hamming-2 buckets" is equivalently BIT_COUNT(XOR) ≤ 2.
     val planeRows = planeSqlRows(planes, "        |    ")
-    Map(
-      "q_sim_lsh" ->
-        s"""WITH planes AS (
+    val lshSql =
+      s"""WITH planes AS (
         |  SELECT * FROM (VALUES
         |    $planeRows) AS t(j, w)),
         |emb AS (SELECT vec_id, embedding FROM embeddings
@@ -197,7 +241,36 @@ object Similarity extends OpModule {
         |  SELECT q_id, n_id, score,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn
         |  FROM scored) t
-        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    val rpRows = planeSqlRows(rpPlanes, "        |    ")
+    Map(
+      "q_sim_lsh" -> lshSql,
+
+      // Same ±1-plane-literal technique as q_sim_lsh, emitting the dot
+      // products themselves (exact integer-in-double sums — see the query
+      // comment) instead of sign buckets.
+      "q_emb_rp" ->
+        s"""WITH pl AS (
+        |  SELECT * FROM (VALUES
+        |    $rpRows) AS t(j, w))
+        |SELECT e.vec_id, pl.j,
+        |  CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e.embedding, pl.w),
+        |    s -> CAST(s[1] AS DOUBLE) * s[2])) * 10000) AS BIGINT) AS proj_e4
+        |FROM embeddings e CROSS JOIN pl
+        |ORDER BY e.vec_id, pl.j""".stripMargin,
+
+      // Recall@5 of the approximate index vs the exact ranking: both sides
+      // are the VERBATIM declared oracles (nested as derived tables), so
+      // this oracle is consistent-by-construction with theirs.
+      "q_ann_recall" ->
+        s"""WITH ex AS (SELECT q_id, n_id FROM (${LlmOps.oracles("q_sim_topk")}) t),
+        |ap AS (SELECT q_id, n_id FROM ($lshSql) t),
+        |hit AS (
+        |  SELECT ex.q_id, CAST(COUNT(ap.n_id) AS BIGINT) AS n_hit
+        |  FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+        |  GROUP BY ex.q_id)
+        |SELECT q_id, n_hit, n_hit * 10000 // 5 AS recall_e4
+        |FROM hit ORDER BY q_id""".stripMargin,
 
       // Mirrors q_sim_pq stage by stage: same sampled codebooks (vec_id
       // 100-107 halves), same ascending-fold L2², same integer-1e-6 ADC,

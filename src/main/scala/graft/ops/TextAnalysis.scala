@@ -224,47 +224,82 @@ object TextAnalysis extends OpModule {
     }),
 
     // Three ROUNDS of BPE training — the actual merge loop, not just one
-    // pair table: each round counts adjacent symbol pairs over the current
-    // word forms (weighted by word frequency), elects the top pair
-    // (count desc, pair asc — deterministic), and rewrites the vocabulary
-    // with the merge applied. A merged symbol is re-encoded as one marker
-    // char (u0001..u0003 = CHR(round)), so every round's pairs stay
-    // exactly 2 chars and the rewrite is plain REPLACE (left-to-right
-    // non-overlapping — identical semantics in Spark and DuckDB). The
-    // per-round election is a 1-row driver collect (3 scalars total — the
-    // q_filter_bloom contract-query pattern); the pair counting stays
-    // vocab-sized and distributed. Only the BASE word-frequency frame is
-    // persisted — each round's election re-applies the (cheap, vocab-sized)
-    // chain of prior REPLACEs on top of it, so N rounds cost O(N²) replace
-    // passes over the vocab; fine at 3, re-persist per round before
-    // scaling N up. Symbols can shrink to length 1 after a merge — the
-    // per-round length guard matters because Spark's sequence(1, 0) is a
-    // DESCENDING sequence, not empty like DuckDB's RANGE(1, 1).
+    // pair table (algorithm + determinism notes on [[learnedMerges]]).
     "q_bpe_merges" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
-        .where(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        .persist()
-      try {
-        var vocab = words
-        val merges = (1 to 3).map { round =>
-          val top = vocab
-            .where(length(col("w")) >= 2)
-            .select(col("f"), explode(expr(
-              "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
-            .groupBy(col("pair")).agg(sum(col("f")).as("n"))
-            .orderBy(col("n").desc, col("pair")).limit(1)
-            .collect()(0)
-          val (pair, n) = (top.getString(0), top.getLong(1))
-          vocab = vocab.withColumn("w",
-            call_function("replace", col("w"), lit(pair), lit(round.toChar.toString)))
-          (round, pair, n)
-        }
-        val s2 = s
-        import s2.implicits._
-        merges.toDF("round", "pair", "n")
-      } finally words.unpersist()
+      val s2 = s
+      import s2.implicits._
+      learnedMerges(s, d).toDF("round", "pair", "n")
+    }),
+
+    // BPE APPLICATION — the other half of the tokenizer lifecycle: encode
+    // every document under the 3 merges q_bpe_merges learned (train on the
+    // vocab, apply to the corpus). The learned pairs arrive as 3 driver-side
+    // scalars (same election collect as q_bpe_merges) and the encode is a
+    // pure REPLACE chain per word — one linear scan over the corpus, no
+    // shuffle until the per-doc groupBy. Marker chars keep merged symbols
+    // 1-char, so symbol count = LEN after the chain; compression is an
+    // integer-division e4 ratio (bit-exact). At 100 TB this is the
+    // tokenize-the-corpus pass: merges broadcast as literals into the scan,
+    // encode cost is O(corpus), output is a doc-keyed stat table.
+    "q_bpe_encode" -> ((s, d) => {
+      val merges = learnedMerges(s, d)
+      val enc = merges.foldLeft(col("w")) { case (c, (round, pair, _)) =>
+        call_function("replace", c, lit(pair), lit(round.toChar.toString))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .withColumn("w2", enc)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+             sum(length(col("w")).cast("long")).as("chars_in"),
+             sum(length(col("w2")).cast("long")).as("syms_out"))
+        .where(col("chars_in") > 0)
+        .withColumn("compress_e4", expr("syms_out * 10000L div chars_in"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PageRank over the token co-occurrence graph (TextRank, Mihalcea &
+    // Tarau 2004) — the iterative graph-centrality primitive. The graph is
+    // q_tok_cooccur's: top-50 vocab by df, undirected co-occurrence edges
+    // weighted by shared-doc count. Three damped iterations (d = 0.85) in
+    // PURE INTEGER arithmetic: rank lives in 1e-6 units, each edge
+    // contribution is pr·w div W(u) (integer floor division), the damped
+    // update is 150000 + 85·Σ div 100 — integer sums are
+    // accumulation-order-independent, so both engines converge to the
+    // identical fixed point trajectory (a double PageRank would diverge in
+    // the low bits at iteration 1). Scale: each iteration is one edge⋈rank
+    // equi-join + one groupBy — the textbook distributed PageRank round
+    // (same shape on a billion-node web/domain graph, where this operator
+    // ranks crawl domains for curation weighting); the vocab cap sizes the
+    // HARNESS graph, not the algorithm. Edge building is the corpus-sized
+    // stage and reuses q_tok_cooccur's broadcast-vocab pair expansion.
+    "q_pagerank" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(array_distinct(split(trim(lower(col("text"))), " "))).as("t"))
+        .where(length(col("t")) >= 4)
+      val voc = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("t")).limit(50)
+      val dt = tok.join(broadcast(voc.select(col("t"))), "t")
+      val a = dt.select(col("doc_id"), col("t").as("ta"))
+      val b = dt.select(col("doc_id"), col("t").as("tb"))
+      val co = a.join(b, Seq("doc_id")).where(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("w"))
+      // symmetrize; localCheckpoint cuts the lineage the 3 iterations share
+      val edges = co.select(col("ta").as("u"), col("tb").as("v"), col("w"))
+        .union(co.select(col("tb").as("u"), col("ta").as("v"), col("w")))
+        .localCheckpoint(true)
+      val eW = edges.join(edges.groupBy("u").agg(sum(col("w")).as("wu")), "u")
+      var pr = edges.select(col("u").as("t")).distinct()
+        .withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3) {
+        pr = eW.join(pr.withColumnRenamed("t", "u"), "u")
+          .select(col("v").as("t"), expr("pr * w div wu").as("c"))
+          .groupBy(col("t")).agg(expr("150000L + 85L * sum(c) div 100").as("pr"))
+      }
+      pr.orderBy(col("pr").desc, col("t")).limit(20)
+        .select(col("t"), col("pr").as("pr_e6"),
+                row_number().over(Window.orderBy(col("pr").desc, col("t"))).as("rnk"))
     }),
 
     // Model-based quality scoring: a fixed-weight linear model over exact
@@ -295,6 +330,48 @@ object TextAnalysis extends OpModule {
                 (col("score") >= 2500).as("keep"))
         .orderBy(col("doc_id"))),
   )
+
+  /** Three ROUNDS of BPE training — the actual merge loop (shared by
+    * q_bpe_merges, which reports it, and q_bpe_encode, which applies it):
+    * each round counts adjacent symbol pairs over the current word forms
+    * (weighted by word frequency), elects the top pair (count desc, pair
+    * asc — deterministic), and rewrites the vocabulary with the merge
+    * applied. A merged symbol is re-encoded as one marker char
+    * (u0001..u0003 = CHR(round)), so every round's pairs stay exactly 2
+    * chars and the rewrite is plain REPLACE (left-to-right non-overlapping
+    * — identical semantics in Spark and DuckDB). The per-round election is
+    * a 1-row driver collect (3 scalars total — the q_filter_bloom
+    * contract-query pattern); the pair counting stays vocab-sized and
+    * distributed. Only the BASE word-frequency frame is persisted — each
+    * round's election re-applies the (cheap, vocab-sized) chain of prior
+    * REPLACEs on top of it, so N rounds cost O(N²) replace passes over the
+    * vocab; fine at 3, re-persist per round before scaling N up. Symbols
+    * can shrink to length 1 after a merge — the per-round length guard
+    * matters because Spark's sequence(1, 0) is a DESCENDING sequence, not
+    * empty like DuckDB's RANGE(1, 1). */
+  private def learnedMerges(s: SparkSession, d: String): Seq[(Int, String, Long)] = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .persist()
+    try {
+      var vocab = words
+      (1 to 3).map { round =>
+        val top = vocab
+          .where(length(col("w")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .collect()(0)
+        val (pair, n) = (top.getString(0), top.getLong(1))
+        vocab = vocab.withColumn("w",
+          call_function("replace", col("w"), lit(pair), lit(round.toChar.toString)))
+        (round, pair, n)
+      }
+    } finally words.unpersist()
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_lang_id" ->
@@ -392,6 +469,71 @@ object TextAnalysis extends OpModule {
         |UNION ALL SELECT CAST(2 AS INTEGER), pair, n FROM p2
         |UNION ALL SELECT CAST(3 AS INTEGER), pair, n FROM p3
         |ORDER BY round""".stripMargin,
+
+    // Re-learns the same 3 merges (p1-p3 CTEs identical to q_bpe_merges),
+    // then applies the REPLACE chain to every word of every document.
+    "q_bpe_encode" ->
+      """WITH freq0 AS (
+        |  SELECT w, COUNT(*) AS f FROM (
+        |    SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w FROM documents)
+        |  WHERE LEN(w) >= 2 GROUP BY w),
+        |p1 AS (SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair FROM freq0,
+        |       UNNEST(RANGE(1, LEN(w))) AS t(i)
+        |       GROUP BY 1 ORDER BY SUM(f) DESC, pair LIMIT 1),
+        |freq1 AS (SELECT REPLACE(w, (SELECT pair FROM p1), CHR(1)) AS w, f FROM freq0),
+        |p2 AS (SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair FROM freq1,
+        |       UNNEST(RANGE(1, LEN(w))) AS t(i)
+        |       WHERE LEN(w) >= 2 GROUP BY 1 ORDER BY SUM(f) DESC, pair LIMIT 1),
+        |freq2 AS (SELECT REPLACE(w, (SELECT pair FROM p2), CHR(2)) AS w, f FROM freq1),
+        |p3 AS (SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair FROM freq2,
+        |       UNNEST(RANGE(1, LEN(w))) AS t(i)
+        |       WHERE LEN(w) >= 2 GROUP BY 1 ORDER BY SUM(f) DESC, pair LIMIT 1),
+        |dw AS (
+        |  SELECT doc_id, w,
+        |    REPLACE(REPLACE(REPLACE(w, (SELECT pair FROM p1), CHR(1)),
+        |            (SELECT pair FROM p2), CHR(2)),
+        |            (SELECT pair FROM p3), CHR(3)) AS w2
+        |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+        |        FROM documents))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(LEN(w)) AS BIGINT) AS chars_in,
+        |  CAST(SUM(LEN(w2)) AS BIGINT) AS syms_out,
+        |  CAST(SUM(LEN(w2)) AS BIGINT) * 10000 // CAST(SUM(LEN(w)) AS BIGINT)
+        |    AS compress_e4
+        |FROM dw GROUP BY doc_id HAVING SUM(LEN(w)) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Integer-arithmetic PageRank: contributions pr·w // wu, damped update
+    // 150000 + 85·Σ // 100 — floor division on positive BIGINTs matches
+    // Spark's `div` exactly, so all three iterations are engine-identical.
+    "q_pagerank" ->
+      """WITH tk AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(TRIM(LOWER(text)), ' '))) AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, t FROM tk WHERE LENGTH(t) >= 4),
+        |voc AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t
+        |        ORDER BY df DESC, t LIMIT 50),
+        |dt AS (SELECT tok.doc_id, tok.t FROM tok JOIN voc ON tok.t = voc.t),
+        |co AS (SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS w
+        |       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+        |       GROUP BY a.t, b.t),
+        |e AS (SELECT ta AS u, tb AS v, w FROM co
+        |      UNION ALL SELECT tb, ta, w FROM co),
+        |ew AS (SELECT e.u, e.v, e.w, wo.wu FROM e
+        |       JOIN (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM e GROUP BY u) wo
+        |         ON e.u = wo.u),
+        |p0 AS (SELECT DISTINCT u AS t, CAST(1000000 AS BIGINT) AS pr FROM e),
+        |p1 AS (SELECT ew.v AS t,
+        |         CAST(150000 + 85 * SUM(p0.pr * ew.w // ew.wu) // 100 AS BIGINT) AS pr
+        |       FROM ew JOIN p0 ON ew.u = p0.t GROUP BY ew.v),
+        |p2 AS (SELECT ew.v AS t,
+        |         CAST(150000 + 85 * SUM(p1.pr * ew.w // ew.wu) // 100 AS BIGINT) AS pr
+        |       FROM ew JOIN p1 ON ew.u = p1.t GROUP BY ew.v),
+        |p3 AS (SELECT ew.v AS t,
+        |         CAST(150000 + 85 * SUM(p2.pr * ew.w // ew.wu) // 100 AS BIGINT) AS pr
+        |       FROM ew JOIN p2 ON ew.u = p2.t GROUP BY ew.v)
+        |SELECT t, pr AS pr_e6,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, t) AS INTEGER) AS rnk
+        |FROM p3 ORDER BY pr DESC, t LIMIT 20""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH freq AS (

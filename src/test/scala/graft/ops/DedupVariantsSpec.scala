@@ -184,4 +184,79 @@ class DedupVariantsSpec extends SparkSpec {
     }
     assert(capped == uncapped.filterNot(isBoiler), "cap must only affect degenerate buckets")
   }
+
+  test("q_dedup_contain: containment bounds dominate jaccard; near-dup pairs agree") {
+    val rows = DedupVariants.queries("q_dedup_contain")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, ca, cb, j) =>
+      assert(a < b)
+      assert(math.max(ca, cb) >= 8000, s"pair ($a,$b) below threshold")
+      // containment of either side always dominates Jaccard (|A∩B|/|A| ≥ |A∩B|/|A∪B|)
+      assert(ca >= j && cb >= j, s"containment < jaccard for ($a,$b)")
+    }
+    // symmetric cross-check: containment pairs that are ALSO J ≥ 0.5 must be
+    // exactly the ones the minhash near-dup family finds (recall there is
+    // 100% on this corpus, oracle-pinned)
+    val near = LlmOps.queries("q_dedup_near")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.filter(_._5 >= 5000).foreach { case (a, b, _, _, _) =>
+      assert(near.contains((a, b)), s"high-J containment pair ($a,$b) missing from q_dedup_near")
+    }
+  }
+
+  test("q_pagerank: full rank audit — 20 rows, ordered, above damping floor") {
+    val rows = TextAnalysis.queries("q_pagerank")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 20)
+    assert(rows.map(_._3).toSeq == (1 to 20), "rnk must be 1..20 in order")
+    assert(rows.sliding(2).forall { case Array(x, y) => x._2 >= y._2; case _ => true },
+      "pr_e6 must be non-increasing with rank")
+    // every node's rank = 150000 + damped inbound mass > the base alone
+    assert(rows.forall(_._2 > 150000L), "ranks must exceed the damping floor")
+  }
+
+  test("q_bpe_encode: merges only ever shrink; corpus actually compresses") {
+    val rows = TextAnalysis.queries("q_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    rows.foreach { case (id, _, chars, syms, comp) =>
+      assert(syms <= chars, s"doc $id grew under BPE")
+      assert(comp == syms * 10000 / chars)
+    }
+    assert(rows.exists(_._5 < 10000), "the 3 learned merges should compress some doc")
+  }
+
+  test("q_emb_rp: projections equal a driver-side exact reference") {
+    val rows = Similarity.queries("q_emb_rp")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val emb = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.size == emb.size * 16)
+    // exact integer equality for a sample of vectors x all 16 planes: the
+    // ±float sums are exact in double, so there is exactly one right answer
+    emb.keys.take(20).foreach { vid =>
+      Similarity.rpPlanes.zipWithIndex.foreach { case (w, j) =>
+        val expect = math.round(
+          emb(vid).zip(w).map { case (x, p) => x.toDouble * p }.sum * 10000)
+        assert(rows((vid, j)) == expect, s"proj mismatch vec=$vid plane=$j")
+      }
+    }
+  }
+
+  test("q_ann_recall agrees with a direct join of the two pipelines") {
+    val got = Similarity.queries("q_ann_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lsh = Similarity.queries("q_sim_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = LlmOps.queries("q_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList.groupBy(_._1)
+    assert(got.map(_._1).toSet == exact.keySet)
+    got.foreach { case (q, nHit, recE4) =>
+      val expect = exact(q).count(lsh.contains).toLong
+      assert(nHit == expect, s"q=$q n_hit=$nHit expected $expect")
+      assert(recE4 == nHit * 10000 / 5)
+      assert(nHit >= 1, s"q=$q must at least recall itself")
+    }
+  }
 }

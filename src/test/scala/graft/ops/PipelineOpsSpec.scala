@@ -99,4 +99,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(rows.exists(_._2 > 1), "the synthetic URLs must actually collide")
   }
+
+  test("q_sample_weighted: deterministic PPS sample, biased toward heavy docs") {
+    val rows = PipelineOps.queries("q_sample_weighted")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length == 25)
+    assert(rows.map(_._4).toSeq == (1 to 25), "rnk must be 1..25 in order")
+    assert(rows.map(_._1).distinct.length == 25, "sampling is without replacement")
+    rows.foreach { case (_, w, u, _) =>
+      assert(w > 0 && u >= 0 && u < (1L << 32), "u must be a 32-bit uniform")
+    }
+    // PPS bias: the weighted sample's mean weight should exceed the corpus
+    // mean (weights are n_chars; the corpus is fixed, so this is a
+    // deterministic fact about the seeded sample, not a flaky statistic)
+    val corpusMean = graft.Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val sampleMean = rows.map(_._2).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
 }
