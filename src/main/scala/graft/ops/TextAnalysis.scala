@@ -302,6 +302,71 @@ object TextAnalysis extends OpModule {
                 row_number().over(Window.orderBy(col("pr").desc, col("t"))).as("rnk"))
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    // split the corpus into head/middle/tail terciles of per-token NLL
+    // under the corpus unigram LM (q_unigram_lm's score, composed). The
+    // SCALE trap here is Window.partitionBy(lang): lang has ~5 values, so
+    // each window partition holds corpus/5 rows — one task sorts 20 TB.
+    // Instead the rank runs through DistRank's two-pass histogram over a
+    // COMPOSITE key (langIdx · 2⁴⁰ + per_tok_e4): a single global
+    // rank-by-histogram whose per-bucket sorts stay bounded, from which
+    // each doc's per-lang rank is global rank − lang offset (the lang
+    // count table is ~5 rows, broadcast). NTILE then derives from the
+    // per-lang (rank, count) via DistRank.ntileFromRank — pure integer
+    // arithmetic, bit-equal to the oracle's NTILE(3). Tie-break doc_id
+    // keeps the total order unique (DistRank contract).
+    "q_ccnet_bucket" -> ((s, d) => {
+      val lm = queries("q_unigram_lm")(s, d).select(col("doc_id"), col("per_tok_e4"))
+      val scored = lm.join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      // dense lang index by lexicographic order — the window is over the
+      // DISTINCT langs (≤ tens of rows), the DistRank-histogram exemption
+      val langIdx = scored.select(col("lang")).distinct()
+        .withColumn("li", row_number().over(Window.orderBy(col("lang"))).cast("long"))
+      val withIdx = scored.join(broadcast(langIdx), "lang")
+        .withColumn("ck", expr("li * 1099511627776L + per_tok_e4"))
+      val ranked = DistRank.withGlobalRank(withIdx, col("ck"), col("doc_id"),
+                                           bucketWidth = 1000L, "grk", "gn")
+      val langCnt = withIdx.groupBy(col("li")).agg(count(lit(1)).as("ln"))
+        .withColumn("loff", coalesce(sum(col("ln")).over(
+          Window.orderBy(col("li")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      ranked.join(broadcast(langCnt), "li")
+        .withColumn("lrk", col("grk") - col("loff"))
+        .withColumn("tercile", DistRank.ntileFromRank("lrk", "ln", 3))
+        .withColumn("bucket", expr(
+          "case tercile when 1 then 'head' when 2 then 'middle' else 'tail' end"))
+        .select(col("doc_id"), col("lang"), col("per_tok_e4"), col("tercile"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    // algorithm): positional 5-gram shingles → 28-bit md5 hashes → sliding
+    // window of 4 → per-window minimum → distinct selected hashes = the
+    // doc's fingerprint sketch. The guarantee: any shared run of ≥ w+n−1
+    // = 8 tokens between two docs shares at least one selected
+    // fingerprint, at an expected density of 2/(w+1) — the
+    // robust-to-edit sketch behind plagiarism/contamination indexes (the
+    // fingerprint, not the text, is what a 100 TB contamination join
+    // shuffles; q_fingerprint's min-k sketch lacks the positional
+    // guarantee). All hashing is the md5-28-bit idiom shared with
+    // q_dedup_ngram, so the oracle reproduces every selected hash.
+    "q_winnow" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextHashes.shinglesAll(5)(split(trim(col("text")), " ")).as("gr"))
+        .withColumn("hx", expr(
+          "transform(gr, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))"))
+        .withColumn("mins", expr(
+          """transform(sequence(0, greatest(size(hx) - 4, 0)),
+            |  i -> array_min(slice(hx, i + 1, 4)))""".stripMargin))
+        .withColumn("fp", array_sort(array_distinct(col("mins"))))
+        .select(col("doc_id"),
+          size(col("mins")).cast("long").as("n_windows"),
+          size(col("fp")).cast("long").as("n_fp"),
+          expr("size(fp) * 10000L div size(mins)").as("density_e4"),
+          expr("fp[0]").as("fp_min"),
+          md5(expr("concat_ws(',', transform(fp, x -> cast(x as string)))")).as("fp_hash"))
+        .orderBy(col("doc_id"))),
+
     // Model-based quality scoring: a fixed-weight linear model over exact
     // integer text features (the learned-classifier stage of a C4/Gopher
     // cleaning pipeline; q_quality_filter is the rule-based gate it
@@ -373,6 +438,20 @@ object TextAnalysis extends OpModule {
     } finally words.unpersist()
   }
 
+  /** q_unigram_lm's oracle — shared verbatim as the scoring stage inside
+    * q_ccnet_bucket's oracle, so the two stay consistent by construction. */
+  private val unigramLmSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+      |vocab AS (SELECT t, COUNT(*) AS ct FROM tok GROUP BY t),
+      |total AS (SELECT COUNT(*) AS nt FROM tok),
+      |lp AS (
+      |  SELECT doc_id, CAST(ROUND(-1e4 * LN(CAST(ct AS DOUBLE) / nt)) AS BIGINT) AS nll
+      |  FROM tok JOIN vocab USING (t), total)
+      |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(nll) AS BIGINT) AS nll_e4,
+      |  CAST(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*)) AS BIGINT) AS per_tok_e4
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q_lang_id" ->
       """WITH tok AS (
@@ -434,17 +513,45 @@ object TextAnalysis extends OpModule {
         |SELECT source, COUNT(*) AS n_terms, CAST(SUM(kl) AS BIGINT) AS kl_e8
         |FROM term_kl GROUP BY source ORDER BY source""".stripMargin,
 
-    "q_unigram_lm" ->
-      """WITH tok AS (
-        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
-        |vocab AS (SELECT t, COUNT(*) AS ct FROM tok GROUP BY t),
-        |total AS (SELECT COUNT(*) AS nt FROM tok),
-        |lp AS (
-        |  SELECT doc_id, CAST(ROUND(-1e4 * LN(CAST(ct AS DOUBLE) / nt)) AS BIGINT) AS nll
-        |  FROM tok JOIN vocab USING (t), total)
-        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(nll) AS BIGINT) AS nll_e4,
-        |  CAST(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*)) AS BIGINT) AS per_tok_e4
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_unigram_lm" -> unigramLmSql,
+
+    // Plain per-lang NTILE(3) — the Spark side reproduces it through the
+    // DistRank composite-key two-pass (see the query comment), and
+    // ntileFromRank's integer formula is bit-equal to SQL NTILE.
+    "q_ccnet_bucket" ->
+      s"""WITH lm AS (SELECT doc_id, per_tok_e4 FROM ($unigramLmSql) t),
+        |sc AS (SELECT lm.doc_id, d.lang, lm.per_tok_e4
+        |       FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
+        |b AS (SELECT doc_id, lang, per_tok_e4,
+        |        CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY per_tok_e4, doc_id)
+        |          AS INTEGER) AS tercile
+        |      FROM sc)
+        |SELECT doc_id, lang, per_tok_e4, tercile,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the positional (non-distinct) 5-gram windows, the 28-bit md5
+    // hash idiom, the 4-window minima, and the sorted-distinct fingerprint
+    // CSV exactly. Lists are 1-based here, 0-based in Spark.
+    "q_winnow" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |gr AS (SELECT doc_id, LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 4, 1)),
+        |         i -> ARRAY_TO_STRING(toks[i + 1:i + 5], ' ')) AS gr FROM base),
+        |hx AS (SELECT doc_id,
+        |         LIST_TRANSFORM(gr, s -> CAST(('0x' || SUBSTR(md5(s), 1, 7)) AS BIGINT)) AS hx
+        |       FROM gr),
+        |mn AS (SELECT doc_id,
+        |         LIST_TRANSFORM(RANGE(0, GREATEST(LEN(hx) - 3, 1)),
+        |           i -> LIST_MIN(hx[CAST(i + 1 AS INTEGER):CAST(i + 4 AS INTEGER)])) AS mins
+        |       FROM hx),
+        |fp AS (SELECT doc_id, mins, LIST_SORT(LIST_DISTINCT(mins)) AS fp FROM mn)
+        |SELECT doc_id,
+        |  CAST(LEN(mins) AS BIGINT) AS n_windows,
+        |  CAST(LEN(fp) AS BIGINT) AS n_fp,
+        |  CAST(LEN(fp) AS BIGINT) * 10000 // CAST(LEN(mins) AS BIGINT) AS density_e4,
+        |  fp[1] AS fp_min,
+        |  md5(ARRAY_TO_STRING(fp, ',')) AS fp_hash
+        |FROM fp ORDER BY doc_id""".stripMargin,
 
     // the same 3-round merge chain, unrolled: each p_i is the round's
     // elected pair (scalar CTE), each freq_i the vocabulary after applying

@@ -244,6 +244,53 @@ class DedupVariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_ccnet_bucket: DistRank composite-key path ≡ plain per-lang NTILE window") {
+    val got = TextAnalysis.queries("q_ccnet_bucket")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    assert(got.length == graft.Tables.documents(spark, sf).count())
+    // reference: the formulation the operator deliberately avoids at scale
+    val lm = TextAnalysis.queries("q_unigram_lm")(spark, sf)
+      .select(col("doc_id"), col("per_tok_e4"))
+      .join(graft.Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("per_tok_e4"), col("doc_id"))
+    val want = lm.withColumn("tercile", ntile(3).over(w)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("tercile")).toMap
+    got.foreach { case (id, _, _, terc, bucket) =>
+      assert(terc == want(id), s"doc $id: DistRank tercile $terc != window ${want(id)}")
+      assert(bucket == Seq("head", "middle", "tail")(terc - 1))
+    }
+  }
+
+  test("q_winnow fingerprints equal a driver-side exact MOSS reference") {
+    val got = TextAnalysis.queries("q_winnow")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getString(5))).toList
+    val docs = graft.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got.size == docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h28(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    got.foreach { case (id, nWin, nFp, dens, fpMin, fpHash) =>
+      val toks = docs(id).trim.split(" ").toSeq
+      val grams = if (toks.length <= 5) Seq(toks.mkString(" "))
+                  else toks.sliding(5).map(_.mkString(" ")).toSeq
+      val hx = grams.map(h28)
+      val mins = if (hx.length <= 4) Seq(hx.min)
+                 else hx.sliding(4).map(_.min).toSeq
+      val fp = mins.distinct.sorted
+      assert(nWin == mins.length, s"doc $id window count")
+      assert(nFp == fp.length && fpMin == fp.head, s"doc $id fingerprint set")
+      assert(dens == fp.length.toLong * 10000 / mins.length)
+      val refHash = md.digest(fp.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fpHash == refHash, s"doc $id fp_hash mismatch")
+    }
+  }
+
   test("q_ann_recall agrees with a direct join of the two pipelines") {
     val got = Similarity.queries("q_ann_recall")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
