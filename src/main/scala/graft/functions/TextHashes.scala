@@ -88,6 +88,53 @@ object TextHashes {
     * quadratically (measured 11.4× at the 10× tier). 60 bits widen each
     * band (the banding itself lives in DedupVariants.q_dedup_simhash: 5×12
     * bits); more bits per band is the scale dial. */
+  /** Winnowing selection kernel (q_winnow): positional n-gram shingles →
+    * 28-bit md5 prefix hashes (identical to the SQL idiom
+    * `CAST('0x' || SUBSTR(md5(s), 1, 7) AS BIGINT)` — the first 7 hex
+    * digits are bytes 0–2 plus the high nibble of byte 3) → per-window
+    * minima over `w` consecutive hashes. One JVM loop per document; the
+    * interpreted-HOF formulation (transform+md5 per gram) walks an eval
+    * tree per shingle — the same reason every other hash pipeline here is
+    * a kernel. Window/shingle edge semantics match [[shinglesAll]] and the
+    * oracle: ≤n tokens → one whole-doc gram; ≤w hashes → one whole-list
+    * window. */
+  def winnowMins(n: Int, w: Int): UserDefinedFunction = udf { (toks: Seq[String]) =>
+    val md = MessageDigest.getInstance("MD5")
+    def h28(s: String): Long = {
+      val dig = md.digest(s.getBytes("UTF-8"))
+      ((dig(0) & 0xffL) << 20) | ((dig(1) & 0xffL) << 12) |
+        ((dig(2) & 0xffL) << 4) | ((dig(3) >> 4) & 0xfL)
+    }
+    val grams: Array[String] =
+      if (toks.length <= n) Array(toks.mkString(" "))
+      else {
+        val out = new Array[String](toks.length - n + 1)
+        var i = 0
+        while (i < out.length) {
+          val sb = new StringBuilder(toks(i))
+          var k = 1
+          while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+          out(i) = sb.result()
+          i += 1
+        }
+        out
+      }
+    val hx = grams.map(h28)
+    if (hx.length <= w) Array(hx.min)
+    else {
+      val out = new Array[Long](hx.length - w + 1)
+      var i = 0
+      while (i < out.length) {
+        var m = hx(i)
+        var k = 1
+        while (k < w) { if (hx(i + k) < m) m = hx(i + k); k += 1 }
+        out(i) = m
+        i += 1
+      }
+      out
+    }
+  }
+
   val simhash60md5: UserDefinedFunction = udf { (sh: Seq[String]) =>
     val counts = new Array[Int](60)
     val md = MessageDigest.getInstance("MD5")

@@ -188,6 +188,49 @@ object Similarity extends OpModule {
         .orderBy(col("vec_id"), col("j"))
     }),
 
+    // RP-prefilter ANN: q_emb_rp's 16-dim projection as the CANDIDATE
+    // space — scoring a pair costs 16 multiplies instead of 64 (the
+    // dimensionality-reduction prefilter used when an index is too coarse
+    // but full-dim brute force too wide), top-40 by projected cosine, then
+    // exact-cosine re-rank to top-5. Complements the family's asymptotic
+    // reducers (LSH buckets, IVF probes, PQ codes) with the
+    // constant-factor reducer; at 100 TB the projected table is what the
+    // prefilter scans — 1/4 the bytes, same row count. Determinism: the
+    // projections are exact-in-double ±float sums (q_emb_rp), the 16-term
+    // score fold is the same sequential order both engines run (the
+    // q_sim_pq precedent), zero-norm vectors excluded in BOTH spaces
+    // identically (a vector can project to the zero vector).
+    "q_sim_rp_topk" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+        .withColumn("parr", array(rpPlanes.map(w => dot(col("embedding"), w)).toSeq: _*))
+        .withColumn("pnrm", sqrt(expr(
+          "aggregate(parr, 0d, (acc, x) -> acc + x * x)")))
+        .where(col("pnrm") > 0)
+      val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                            col("nrm").as("n_nrm"), col("parr").as("n_parr"),
+                            col("pnrm").as("n_pnrm"))
+      val qs = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"), col("parr").as("q_parr"),
+                col("pnrm").as("q_pnrm"))
+      val candW = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("n_id"))
+      val rerankW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      corpus.crossJoin(broadcast(qs))
+        .withColumn("p_score", expr(
+          "aggregate(zip_with(q_parr, n_parr, (x, y) -> x * y), 0d, (acc, v) -> acc + v)")
+          / (col("q_pnrm") * col("n_pnrm")))
+        .withColumn("rn", row_number().over(candW)).where(col("rn") <= 40)
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(rerankW)).where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"),
+                round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // Index-quality evaluation: recall@5 of the LSH ANN against the exact
     // brute-force top-5, per query — the "measure your index before you
     // trust it" operator every production ANN deployment runs after a
@@ -258,6 +301,45 @@ object Similarity extends OpModule {
         |    s -> CAST(s[1] AS DOUBLE) * s[2])) * 10000) AS BIGINT) AS proj_e4
         |FROM embeddings e CROSS JOIN pl
         |ORDER BY e.vec_id, pl.j""".stripMargin,
+
+      // Mirrors the RP prefilter stage by stage: same plane literals, same
+      // projected-cosine candidate ranking (top-20), same exact re-rank.
+      "q_sim_rp_topk" ->
+        s"""WITH pl AS (
+        |  SELECT * FROM (VALUES
+        |    $rpRows) AS t(j, w)),
+        |e0 AS (SELECT vec_id, embedding,
+        |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |pj AS (SELECT e0.vec_id, pl.j,
+        |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e0.embedding, pl.w),
+        |      s -> CAST(s[1] AS DOUBLE) * s[2])) AS p
+        |  FROM e0 CROSS JOIN pl),
+        |pv AS (SELECT vec_id, LIST(p ORDER BY j) AS parr FROM pj GROUP BY vec_id),
+        |e AS (SELECT e0.vec_id, e0.embedding, e0.nrm, pv.parr,
+        |        SQRT(LIST_SUM(LIST_TRANSFORM(pv.parr, x -> x * x))) AS pnrm
+        |      FROM e0 JOIN pv ON e0.vec_id = pv.vec_id),
+        |ez AS (SELECT * FROM e WHERE pnrm > 0),
+        |sc AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |         q.embedding AS q_emb, n.embedding AS n_emb,
+        |         q.nrm AS q_nrm, n.nrm AS n_nrm,
+        |         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.parr, n.parr),
+        |           s -> s[1] * s[2])) / (q.pnrm * n.pnrm) AS p_score
+        |       FROM ez q, ez n WHERE q.vec_id < 10),
+        |cand AS (SELECT q_id, n_id, q_emb, n_emb, q_nrm, n_nrm FROM (
+        |  SELECT q_id, n_id, q_emb, n_emb, q_nrm, n_nrm,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY p_score DESC, n_id) AS rn
+        |  FROM sc) t WHERE rn <= 40),
+        |scored AS (SELECT q_id, n_id,
+        |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (q_nrm * n_nrm) AS score
+        |  FROM cand)
+        |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+        |  SELECT q_id, n_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
       // Recall@5 of the approximate index vs the exact ranking: both sides
       // are the VERBATIM declared oracles (nested as derived tables), so

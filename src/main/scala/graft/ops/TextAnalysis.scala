@@ -352,12 +352,7 @@ object TextAnalysis extends OpModule {
     "q_winnow" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          graft.functions.TextHashes.shinglesAll(5)(split(trim(col("text")), " ")).as("gr"))
-        .withColumn("hx", expr(
-          "transform(gr, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))"))
-        .withColumn("mins", expr(
-          """transform(sequence(0, greatest(size(hx) - 4, 0)),
-            |  i -> array_min(slice(hx, i + 1, 4)))""".stripMargin))
+          graft.functions.TextHashes.winnowMins(5, 4)(split(trim(col("text")), " ")).as("mins"))
         .withColumn("fp", array_sort(array_distinct(col("mins"))))
         .select(col("doc_id"),
           size(col("mins")).cast("long").as("n_windows"),

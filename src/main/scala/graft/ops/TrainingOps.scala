@@ -60,6 +60,23 @@ object TrainingOps extends OpModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The hashing trick (Weinberger et al. 2009): fixed-width (64-bucket)
+    // hashed term-frequency features per document — the featurizer behind
+    // fastText-style quality classifiers at corpus scale. The POINT at
+    // 100 TB: no vocabulary table exists, so there is no vocab build, no
+    // vocab broadcast/join, no OOV path — ONE token scan straight into a
+    // (doc, bucket) partial→final count, and the feature width is a
+    // constant the classifier owns. Bucket = md5-28-bit % 64 (the
+    // engine-portable hash idiom); long-form sparse output (doc_id,
+    // bucket, tf), no array columns.
+    "q_feat_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint) % 64"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("doc_id"), col("bucket"))),
+
     // Token-budget sequence packing: per language stream, documents are
     // walked in doc_id order and chunked into bins of 2048 tokens
     // (fixed-stride: a bin closes when the running count crosses the
@@ -234,6 +251,14 @@ object TrainingOps extends OpModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q_feat_hash" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || SUBSTR(md5(t), 1, 7)) AS BIGINT) % 64 AS bucket,
+        |  COUNT(*) AS tf
+        |FROM (SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
     "q_pack_seq" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -306,6 +306,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_contain: posting-list candidate join is equi, no cross product") {
+    val p = plan("q_dedup_contain")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment blocking must stay an equi join:\n${p.take(800)}")
+  }
+
+  test("q_ccnet_bucket: no corpus-wide window — ranks ride the DistRank bucket partition") {
+    val p = plan("q_ccnet_bucket")
+    assert(p.contains("windowspecdefinition(gr_bkt"),
+      s"per-lang ranks must run through the composite-key histogram buckets:\n${p.take(800)}")
+    assert(!p.contains("ntile("), "tercile must be the integer rank formula, not a window ntile")
+    singlePartitionOnlyAboveAggregates(p)
+  }
+
+  test("q_pagerank: iterations are shuffle equi joins over the edge set, no cartesian") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-node contribution sums must partial-aggregate map-side")
+  }
+
+  test("q_sample_weighted: k-smallest via TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_sample_weighted").contains("TakeOrderedAndProject"))
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))

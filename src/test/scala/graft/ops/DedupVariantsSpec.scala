@@ -291,6 +291,34 @@ class DedupVariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_sim_rp_topk: self-match at rank 1, recall vs brute force useful") {
+    val rp = Similarity.queries("q_sim_rp_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    (0L until 10L).foreach { q =>
+      assert(rp.exists(p => p._1 == q && p._2 == q && p._3 == 1), s"query $q missing self")
+    }
+    val exact = LlmOps.queries("q_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rpSet = rp.map(p => (p._1, p._2)).toSet
+    val recall = exact.count(rpSet.contains).toDouble / exact.length
+    info(s"RP-prefilter recall@5 vs brute force = $recall (16-dim, top-40 re-rank)")
+    assert(recall >= 0.5, s"RP recall collapsed: $recall")
+  }
+
+  test("q_feat_hash: hashed tf mass equals token count; 64-bucket width") {
+    val rows = TrainingOps.queries("q_feat_hash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, b, tf) => b >= 0 && b < 64 && tf >= 1 })
+    val perDoc = rows.groupBy(_._1)
+    perDoc.foreach { case (_, rs) => assert(rs.map(_._2).distinct.size == rs.size) }
+    val tokCounts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(trim(lower(col("text"))), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (id, rs) =>
+      assert(rs.map(_._3).sum == tokCounts(id), s"doc $id hashed tf mass != token count")
+    }
+  }
+
   test("q_ann_recall agrees with a direct join of the two pipelines") {
     val got = Similarity.queries("q_ann_recall")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
