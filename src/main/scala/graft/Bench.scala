@@ -31,6 +31,7 @@ object Bench {
     "q_dedup_incr", "q_dedup_embcos_lsh", "q_runtime_filter",        // incr dedup + sub-block + bloom inject (r5)
     "q_pagerank", "q_winnow",                                        // graph iterate + winnow scan (r6)
     "q_dedup_contain", "q_ccnet_bucket",                             // posting-list block + DistRank ntile (r6)
+    "q_triangle", "q_substr_dedup", "q_knn_graph",                   // oriented wedges + span df + knn self-join (r7)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

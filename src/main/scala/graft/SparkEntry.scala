@@ -15,6 +15,7 @@ object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     Scans, Expressions, Joins, SortSetOps, Aggregations, Windows, ScalarFuncs,
     StructuredFuncs, TimeSeries, LlmOps, Multimodal, DedupVariants, TextAnalysis,
+    GraphOps,
     Similarity, PipelineOps, TrainingOps, Subqueries, ScaleOps, EtlOps,
     graft.streaming.StreamOps, graft.sources.Sources,
   )

@@ -211,6 +211,36 @@ object DedupVariants extends OpModule {
                 round(col("score") * 10000).cast("int").as("score_e4"))
         .orderBy(col("va"), col("vb"))
     }),
+
+    // Duplicated-SPAN detection — the exact-substring dedup family (Lee et
+    // al., "Deduplicating Training Data Makes Language Models Better"):
+    // instead of doc-level pairs, find the positions inside each document
+    // whose word-8-gram also occurs in another document, and report the
+    // duplicated fraction (the signal used to cut spans, not drop docs).
+    // The suffix-array formulation is replaced by a hash-groupBy over
+    // POSITIONAL 8-grams: df(gram) = distinct-doc count, a position is
+    // duplicated iff df ≥ 2. Crucially there is NO pair join anywhere —
+    // a boilerplate gram shared by a million docs contributes one (hash,
+    // df) row, never a candidate clique, so the plan is strictly linear
+    // in corpus positions: one kernel scan, two hash aggregations, one
+    // equi-join back on the 32-hex md5 key (grams travel as hashes, not
+    // 8-word strings). Blocking-key rule: positional-gram space grows
+    // with the corpus by construction.
+    "q_substr_dedup" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.TextHashes.shinglesAll(8)(
+          split(trim(col("text")), " "))).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val df = grams.distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      grams.join(df, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+                expr("n_dup * 10000 div n_spans").as("dup_frac_e4"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** 4 ±1 hyperplanes (16 sub-buckets per label), seed 7 — deliberately a
@@ -339,5 +369,22 @@ object DedupVariants extends OpModule {
         |WHERE LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (a.norm * b.norm) >= 0.35
         |ORDER BY va, vb""".stripMargin,
+
+    "q_substr_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, MD5(gram) AS gh FROM (
+        |    SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 7, 1)),
+        |      i -> ARRAY_TO_STRING(toks[i + 1:i + 8], ' '))) AS gram
+        |    FROM tk)),
+        |df AS (SELECT gh, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, gh FROM g)
+        |       GROUP BY gh)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+        |    AS dup_frac_e4
+        |FROM g JOIN df USING (gh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

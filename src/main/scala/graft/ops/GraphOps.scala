@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics operators over the token co-occurrence graph — the
+  * corpus-shaped graph the engine already mines (`q_tok_cooccur` PMI,
+  * `q_pagerank` TextRank, `q_dedup_cluster*` connected components). Two
+  * classic distributed primitives complete the family: triangle counting
+  * (clustering-coefficient / community-density evidence) and k-core
+  * decomposition (the standard "dense-subgraph" peel).
+  *
+  * Graph construction (shared by both queries and both oracles): nodes are
+  * ≥4-char tokens, an undirected edge (u, v), u < v, exists when the tokens
+  * co-occur in ≥ 3 documents. Per-document pair expansion is C(t, 2) with
+  * t ≈ 19 distinct qualifying tokens — a CONSTANT per-doc bound (curation
+  * pipelines cap document length), so edge building is linear in the corpus
+  * and the node space grows with the vocabulary (Heaps' law), not a fixed
+  * key set — the corpus-scaling blocking rule every family here follows.
+  *
+  * Scale posture, triangle counting: the naive wedge join generates
+  * Σ deg(x)² wedges — a hub node makes that quadratic. This implementation
+  * orients every edge from the (degree, name)-smaller endpoint to the larger
+  * (the Suri–Vassilvitskii / node-iterator++ MR formulation): each triangle
+  * is generated exactly once as a wedge at its minimum vertex, and per-node
+  * wedge fan-out is bounded by the node's OUT-degree in the orientation,
+  * which is O(√|E|) for any graph (arboricity bound) — hubs shed their
+  * wedges to their low-degree neighbors. Both stages are plain equi-joins on
+  * the wedge apex / closing edge, hash-partitionable at any scale.
+  *
+  * Scale posture, k-core: real deployments peel to a fixpoint with a
+  * driver-side convergence check on a per-round count; the query form fixes
+  * THREE peel rounds so the oracle stays expressible as unrolled CTEs (the
+  * q_pagerank / q_dedup_cluster technique — fixed iteration count, identical
+  * trajectory on both engines). Each round is one degree aggregation plus
+  * two semi-join filters — the same shuffle key (edge endpoint) every round,
+  * so AQE reuses the partitioning; state never leaves the cluster.
+  */
+object GraphOps extends OpModule {
+
+  /** Minimum co-occurrence support for an edge. */
+  private val MinSupport = 3
+
+  /** Undirected co-occurrence edges (u < v lexicographic, n_co ≥ 3). */
+  private[ops] def edges(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+              explode(array_distinct(split(trim(lower(col("text"))), " "))).as("t"))
+      .where(length(col("t")) >= 4)
+    val a = tok.select(col("doc_id"), col("t").as("u"))
+    val b = tok.select(col("doc_id"), col("t").as("v"))
+    a.join(b, Seq("doc_id")).where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= MinSupport)
+      .select(col("u"), col("v"))
+  }
+
+  /** The same construction as a DuckDB CTE prefix (both oracles embed it). */
+  private val EdgesSql =
+    """tk AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(TRIM(LOWER(text)), ' '))) AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, t FROM tk WHERE LENGTH(t) >= 4),
+      |e AS (SELECT a.t AS u, b.t AS v FROM tok a
+      |      JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+      |      GROUP BY a.t, b.t HAVING COUNT(*) >= 3)""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Degree-ordered triangle counting; output = top-20 nodes by the number
+    // of triangles they participate in (cnt DESC, node — D3 tie-break).
+    "q_triangle" -> ((s, d) => {
+      val e = edges(s, d)
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val ed = e
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+      // Orient from the (degree, name)-smaller endpoint.
+      val o = ed.select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+             struct(col("u").as("src"), col("v").as("dst"), col("dv").as("ddst")))
+          .otherwise(
+             struct(col("v").as("src"), col("u").as("dst"), col("du").as("ddst"))).as("r"))
+        .select(col("r.src"), col("r.dst"), col("r.ddst"))
+      // Wedges at the minimum vertex; the closing edge b→c exists in the
+      // orientation iff (deg, name) orders b before c — the wedge predicate.
+      val wedge = o.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+        .join(o.select(col("src"), col("dst").as("c"), col("ddst").as("dc")), Seq("src"))
+        .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+      val tri = wedge
+        .join(o.select(col("dst").as("c"), col("src").as("b")), Seq("b", "c"))
+        .select(col("src").as("a"), col("b"), col("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("node")).limit(20)
+    }),
+
+    // 3-round k-core peel (k = 3): every round recomputes degrees and drops
+    // nodes below k plus their edges. Output = surviving nodes with their
+    // degree in the round-3 subgraph.
+    "q_kcore" -> ((s, d) => {
+      var e = edges(s, d)
+      for (_ <- 1 to 3) {
+        val keep = e.select(explode(array(col("u"), col("v"))).as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+          .where(col("dg") >= 3)
+          .select(col("x"))
+        e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+             .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+      }
+      e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("node"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_triangle" ->
+      s"""WITH $EdgesSql,
+        |deg AS (
+        |  SELECT x, COUNT(*) AS dg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x),
+        |o AS (
+        |  SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS dst,
+        |         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |              THEN dv.dg ELSE du.dg END AS ddst
+        |  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+        |w AS (
+        |  SELECT x.src, x.dst AS b, y.dst AS c
+        |  FROM o x JOIN o y ON x.src = y.src
+        |  WHERE x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst)),
+        |tri AS (
+        |  SELECT w.src AS a, w.b, w.c
+        |  FROM w JOIN o ON o.src = w.b AND o.dst = w.c)
+        |SELECT node, COUNT(*) AS n_tri FROM (
+        |  SELECT a AS node FROM tri UNION ALL
+        |  SELECT b AS node FROM tri UNION ALL
+        |  SELECT c AS node FROM tri)
+        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+
+    "q_kcore" ->
+      s"""WITH $EdgesSql,
+        |n1 AS (SELECT x FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |       GROUP BY x HAVING COUNT(*) >= 3),
+        |e1 AS (SELECT u, v FROM e WHERE u IN (SELECT x FROM n1) AND v IN (SELECT x FROM n1)),
+        |n2 AS (SELECT x FROM (SELECT u AS x FROM e1 UNION ALL SELECT v AS x FROM e1)
+        |       GROUP BY x HAVING COUNT(*) >= 3),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT x FROM n2) AND v IN (SELECT x FROM n2)),
+        |n3 AS (SELECT x FROM (SELECT u AS x FROM e2 UNION ALL SELECT v AS x FROM e2)
+        |       GROUP BY x HAVING COUNT(*) >= 3),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT x FROM n3) AND v IN (SELECT x FROM n3))
+        |SELECT node, COUNT(*) AS deg FROM (
+        |  SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+        |GROUP BY node ORDER BY node""".stripMargin,
+  )
+}

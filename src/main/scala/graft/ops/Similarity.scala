@@ -41,6 +41,11 @@ object Similarity extends OpModule {
     * so the two operators don't share structure. */
   private[ops] val rpPlanes: Array[Array[Double]] = mkPlanes(16, 64, 7L)
 
+  /** 16 deterministic ±1 hyperplanes (seed 13) for q_knn_graph's bucket
+    * code — a third independent plane family (no shared structure with the
+    * 8-plane LSH or the seed-7 JL set). */
+  private[ops] val knnPlanes: Array[Array[Double]] = mkPlanes(16, 64, 13L)
+
   private def dot(emb: Column, w: Array[Double]): Column =
     aggregate(
       zip_with(emb, typedLit(w.toSeq), (x, y) => x.cast("double") * y),
@@ -249,6 +254,58 @@ object Similarity extends OpModule {
         .withColumn("recall_e4", expr("n_hit * 10000L div 5"))
         .orderBy(col("q_id"))
     }),
+
+    // Mutual k-NN GRAPH build over the whole corpus — the all-vectors
+    // construction that feeds clustering/semdedup/manifold stages (every
+    // ANN above answers per-QUERY; this materializes the graph). Blocking:
+    // a dedicated 16-plane sign-LSH bucket (seed 13 — no structure shared
+    // with q_sim_lsh's 8-plane or q_emb_rp's seed-7 set) probed at
+    // Hamming ≤ 2 by exploding the 137 probe codes, so the corpus
+    // self-join is a pure EQUI join on the bucket code — no broadcast,
+    // no theta join; both sides shuffle-partition on the code. Scale
+    // posture: 16 bits = 65 536 codes here and the plane count is the
+    // dial (planes grow with log₂(corpus) to hold per-bucket occupancy
+    // constant — the simhash band-bits argument); degenerate buckets shed
+    // at MaxBucket like every LSH family. Per-pair work is one codegen'd
+    // graft_float_dot; candidates collapse to top-3 per node, and an edge
+    // survives only if MUTUAL (each endpoint in the other's top-3) — the
+    // symmetric-graph contract downstream clustering expects. The oracle
+    // reproduces buckets (plane literals), the cap, candidates
+    // (BIT_COUNT(XOR) ≤ 2 ≡ the 137 probes), ranks, and mutuality.
+    "q_knn_graph" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+        .withColumn("b", signBucket(col("embedding"), knnPlanes))
+      val kept = e.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= graft.ops.LlmOps.MaxBucket).select(col("b"))
+      val sig = e.join(kept, Seq("b"), "left_semi")
+      val corpus = sig.select(col("b").as("nb"), col("vec_id").as("n_id"),
+                              col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      val probes = sig.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                              col("nrm").as("q_nrm"),
+        explode(expr(
+          """concat(array(b),
+            |  transform(sequence(0, 15), k -> b ^ shiftleft(1, k)),
+            |  flatten(transform(sequence(0, 14), k1 ->
+            |    transform(sequence(k1 + 1, 15), k2 ->
+            |      b ^ shiftleft(1, k1) ^ shiftleft(1, k2)))))""".stripMargin).cast("array<int>"))
+          .as("probe"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      // probe codes are distinct ints per q, so a (q, n) pair matches at
+      // most one probe row — no distinct needed (the embcos_lsh argument)
+      val knn = probes.join(corpus, col("probe") === col("nb") && col("q_id") =!= col("n_id"))
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("q_id").as("u"), col("n_id").as("v"),
+                round(col("score") * 10000).cast("int").as("score_e4"))
+      knn.join(knn.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"), "left_semi")
+        .where(col("u") < col("v"))
+        .orderBy(col("u"), col("v"))
+    }),
   )
 
   override def oracles: Map[String, String] = {
@@ -396,6 +453,42 @@ object Similarity extends OpModule {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn
         |  FROM scored) t
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+      // Plane-literal technique on the seed-13 family; "137 probe codes"
+      // is equivalently BIT_COUNT(XOR) ≤ 2, the MaxBucket shed and the
+      // mutual-top-3 filter are mirrored stage by stage.
+      "q_knn_graph" ->
+        s"""WITH planes AS (
+        |  SELECT * FROM (VALUES
+        |    ${planeSqlRows(knnPlanes, "        |    ")}) AS t(j, w)),
+        |emb AS (SELECT vec_id, embedding FROM embeddings
+        |        WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, w),
+        |        s -> CAST(s[1] AS DOUBLE) * s[2])) > 0 THEN 1 << j ELSE 0 END) AS INTEGER) AS b
+        |  FROM emb CROSS JOIN planes GROUP BY vec_id),
+        |kept AS (SELECT b FROM bkt GROUP BY b HAVING COUNT(*) <= 64),
+        |sig AS (SELECT bkt.vec_id, bkt.b FROM bkt JOIN kept ON bkt.b = kept.b),
+        |scored AS (
+        |  SELECT qb.vec_id AS q_id, nb.vec_id AS n_id,
+        |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.embedding, n.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |    / (SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * SQRT(LIST_SUM(LIST_TRANSFORM(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+        |  FROM sig qb
+        |  JOIN sig nb ON BIT_COUNT(XOR(qb.b, nb.b)) <= 2 AND qb.vec_id <> nb.vec_id
+        |  JOIN emb q ON q.vec_id = qb.vec_id
+        |  JOIN emb n ON n.vec_id = nb.vec_id),
+        |knn AS (
+        |  SELECT q_id AS u, n_id AS v,
+        |    CAST(ROUND(score * 10000) AS INTEGER) AS score_e4,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT k.u, k.v, k.score_e4
+        |FROM knn k JOIN knn r ON k.u = r.v AND k.v = r.u AND r.rn <= 3
+        |WHERE k.rn <= 3 AND k.u < k.v
+        |ORDER BY k.u, k.v""".stripMargin,
     )
   }
 }

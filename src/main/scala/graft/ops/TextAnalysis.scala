@@ -141,6 +141,57 @@ object TextAnalysis extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram language-model scoring — q_unigram_lm at order 2, the next
+    // rung of the perplexity-filter ladder. Self-trained: bigram counts c2
+    // and history counts c1 come from the corpus itself (so every doc
+    // bigram is in-vocabulary; c1 re-aggregates the c2 table — never a
+    // second tokenize pass), and each occurrence scores
+    // round(1e4·ln(c1/c2)) — per-occurrence integer rounding BEFORE the
+    // per-doc sum, the q_unigram_lm accumulation discipline. Plan shape:
+    // the model is CORPUS-SIZED, so occurrences join it on the bigram key
+    // via shuffle hash join (the q_tfidf_terms de-broadcast rule — a
+    // broadcast model would ship the whole vocabulary to every executor).
+    "q_bigram_lm" -> ((s, d) => {
+      val big = Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.TextHashes.shinglesAll(2)(
+          split(trim(lower(col("text"))), " "))).as("bg"))
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.select(expr("split_part(bg, ' ', 1)").as("w1"), col("c2"))
+        .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      big.join(c2, "bg").join(c1, "w1")
+        .select(col("doc_id"),
+          expr("cast(round(1e4 * ln(cast(c1 as double) / c2)) as bigint)").as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_e4"),
+             expr("cast(round(cast(sum(nll) as double) / count(1)) as bigint)").as("per_big_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-entropy quality signal (the Gopher/C4 "gibberish vs natural
+    // text" rule): Shannon entropy of each document's own token
+    // distribution, in 1e-4 nats. Low entropy = repetition/boilerplate,
+    // suspiciously high = random token soup. Each term contributes
+    // round(1e4·(c/L)·ln(L/c)) — a fixed expression tree over the two
+    // exact integers (c, L), rounded per TERM before the integer sum, so
+    // both engines agree bit-for-bit. One token scan → per-(doc, term)
+    // counts → per-doc roll-up: two hash aggregations on the same doc_id
+    // key, map-side-combinable at any corpus size.
+    "q_entropy" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val dl = tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("L"), count(lit(1)).as("n_distinct"))
+      tf.join(dl, "doc_id")
+        .select(col("doc_id"), col("L"), col("n_distinct"),
+          expr("cast(round(1e4 * (cast(c as double) / L) * ln(cast(L as double) / c)) as bigint)").as("h"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("L")).as("n_tok"), max(col("n_distinct")).as("n_distinct"),
+             sum(col("h")).as("ent_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 lexical retrieval — the sparse/term recall path beside the
     // embedding ANN (a RAG/curation stack runs both). Query = the corpus's
     // own top-5 terms by document frequency (≥4 chars, df desc / term
@@ -509,6 +560,39 @@ object TextAnalysis extends OpModule {
         |FROM term_kl GROUP BY source ORDER BY source""".stripMargin,
 
     "q_unigram_lm" -> unigramLmSql,
+
+    "q_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 1, 1)),
+        |    i -> ARRAY_TO_STRING(toks[i + 1:i + 2], ' '))) AS bg
+        |  FROM tk),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+        |c1 AS (SELECT SPLIT_PART(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(1e4 * LN(CAST(c1 AS DOUBLE) / c2)) AS BIGINT) AS nll
+        |  FROM bg JOIN c2 USING (bg) JOIN c1 ON SPLIT_PART(bg.bg, ' ', 1) = c1.w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(nll) AS BIGINT) AS nll_e4,
+        |  CAST(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*)) AS BIGINT) AS per_big_e4
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS c FROM (
+        |    SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |    FROM documents)
+        |  GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS L,
+        |              COUNT(*) AS n_distinct FROM tf GROUP BY doc_id),
+        |h AS (
+        |  SELECT tf.doc_id, dl.L, dl.n_distinct,
+        |    CAST(ROUND(1e4 * (CAST(c AS DOUBLE) / L) * LN(CAST(L AS DOUBLE) / c)) AS BIGINT) AS h
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id)
+        |SELECT doc_id, MAX(L) AS n_tok, MAX(n_distinct) AS n_distinct,
+        |  CAST(SUM(h) AS BIGINT) AS ent_e4
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Plain per-lang NTILE(3) — the Spark side reproduces it through the
     // DistRank composite-key two-pass (see the query comment), and

@@ -383,6 +383,53 @@ object TimeSeries extends OpModule {
                 col("week_offset").cast("int").as("week_offset"), col("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
+
+    // Time-weighted average per user: each reading holds until the next
+    // one, so its weight is the segment duration (sensor/price telemetry
+    // semantics, where plain AVG over-counts bursts). One lead() window on
+    // the user_id shuffle — the sessionize/funnel partitioning family — then
+    // a partial→final integer aggregation. Determinism: value rides as
+    // exact cents, duration as exact epoch-ms (D2), and the average is ONE
+    // integer floor division of two exact sums (both positive — the
+    // Spark-div-vs-DuckDB-// sign divergence can't bite).
+    "q_time_weighted" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+        .where(col("next_us").isNotNull)
+        .withColumn("dur_ms", expr("(next_us - unix_micros(ts)) div 1000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_seg"),
+             sum(Det.cents(col("value")) * col("dur_ms")).as("wsum"),
+             sum(col("dur_ms")).as("dsum"))
+        .where(col("dsum") > 0)
+        .select(col("user_id"), col("n_seg"),
+                expr("wsum div dsum").as("twa_cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Integer EWMA (α = 1/2, truncated at 8 taps) over each user's most
+    // recent events: weight 2^(8-rank) over denominator 255, so the whole
+    // smoother is exact long arithmetic — both engines walk the identical
+    // value, unlike a float pow(0.5, k) recurrence whose accumulation
+    // order differs. Rides the same single user_id window shuffle; the
+    // rank ≤ 8 cap bounds per-user state regardless of history length
+    // (at 100 TB the tail of a user's history is pruned by the rank
+    // filter right after the window, never carried into the aggregate).
+    "q_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 8)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_used"),
+             sum(Det.cents(col("value")) * expr("shiftleft(1L, 8 - rn)")).as("wsum"),
+             sum(expr("shiftleft(1L, 8 - rn)")).as("den"))
+        .select(col("user_id"), col("n_used"),
+                expr("wsum div den").as("ewma_cents"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -621,5 +668,31 @@ object TimeSeries extends OpModule {
         |FROM act JOIN coh ON act.user_id = coh.user_id
         |GROUP BY cw, DATEDIFF('day', cw, w) // 7
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_time_weighted" ->
+      """WITH seg AS (
+        |  SELECT user_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    (LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - EPOCH_US(ts)) // 1000 AS dur_ms
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_seg,
+        |  CAST(SUM(cents * dur_ms) // SUM(dur_ms) AS BIGINT) AS twa_cents
+        |FROM seg WHERE dur_ms IS NOT NULL
+        |GROUP BY user_id HAVING SUM(dur_ms) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_used,
+        |  CAST(SUM(cents * (1::BIGINT << (8 - rn)))
+        |    // SUM(1::BIGINT << (8 - rn)) AS BIGINT) AS ewma_cents
+        |FROM r WHERE rn <= 8
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -331,6 +331,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_sample_weighted").contains("TakeOrderedAndProject"))
   }
 
+  test("q_triangle: wedge and closing joins are equi joins, no cartesian") {
+    val p = plan("q_triangle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"oriented wedge join must stay an equi join:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must not be a global sort")
+  }
+
+  test("q_substr_dedup: NO pair join anywhere — df rides aggregations + one equi join") {
+    val p = plan("q_substr_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "positional-gram df must partial-aggregate map-side")
+    singlePartitionOnlyAboveAggregates(p)
+  }
+
+  test("q_knn_graph: corpus self-join is an equi join on the probe code") {
+    val p = plan("q_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bucket-code probing must never degrade to a nested loop:\n${p.take(800)}")
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))

@@ -334,4 +334,79 @@ class DedupVariantsSpec extends SparkSpec {
       assert(nHit >= 1, s"q=$q must at least recall itself")
     }
   }
+
+  test("q_substr_dedup equals a driver-side positional 8-gram df walk") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ", -1).toSeq)
+    def grams(toks: Seq[String]): Seq[String] =
+      if (toks.length <= 8) Seq(toks.mkString(" "))
+      else toks.sliding(8).map(_.mkString(" ")).toSeq
+    val docGrams = docs.map { case (id, t) => id -> grams(t) }
+    val df = docGrams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val want = docGrams.map { case (id, gs) =>
+      val nDup = gs.count(g => df(g) >= 2).toLong
+      id -> (gs.size.toLong, nDup, nDup * 10000 / gs.size)
+    }.toMap
+    val got = DedupVariants.queries("q_substr_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0), "fixture must contain duplicated spans")
+    assert(want.values.exists(_._2 == 0), "and non-duplicated docs")
+  }
+
+  test("q_bigram_lm: in-vocabulary scores are non-negative; repeated docs score low") {
+    val rows = TextAnalysis.queries("q_bigram_lm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    rows.foreach { case (id, n, tot, per) =>
+      assert(n >= 1)
+      assert(tot >= 0, s"doc $id: self-trained NLL can never be negative")
+      assert(per == math.round(tot.toDouble / n))
+    }
+    // a bigram seen only once scores ln(c1/1) > 0; fully-repetitive docs
+    // (every bigram frequent relative to its history) sit near 0 — the
+    // spread is the signal; assert it exists
+    assert(rows.map(_._4).distinct.length > 10, "per-bigram NLL must discriminate docs")
+  }
+
+  test("q_entropy equals a driver-side exact token-entropy computation") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split(" ", -1).toSeq)
+    val want = docs.map { case (id, toks) =>
+      val tf = toks.groupBy(identity).map { case (_, v) => v.size.toLong }
+      val L = toks.size.toLong
+      val ent = tf.map(c => math.round(1e4 * (c.toDouble / L) * math.log(L.toDouble / c))).sum
+      id -> (L, tf.size.toLong, ent)
+    }.toMap
+    val got = TextAnalysis.queries("q_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    // entropy is maximal when all tokens distinct: bounded by ln(L), plus
+    // per-term rounding slack (≤ 0.5 units per distinct term)
+    got.foreach { case (id, (l, nd, e)) =>
+      assert(e <= math.round(1e4 * math.log(l.toDouble)) + (nd + 1) / 2,
+        s"doc $id entropy above ln(L) bound") }
+  }
+
+  test("q_knn_graph: edges are mutual top-3 and scores match exact cosine") {
+    val rows = Similarity.queries("q_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "knn graph should produce edges at sf0.001")
+    rows.foreach { case (u, v, _) => assert(u < v) }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+    // verify emitted scores against exact cosine from raw embeddings
+    val emb = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.foreach { case (u, v, s) =>
+      assert(math.abs(s - math.round(cos(emb(u), emb(v)) * 10000)) <= 1,
+        s"edge ($u,$v) score drift")
+    }
+  }
 }

@@ -168,4 +168,43 @@ class TimeSeriesSpec extends SparkSpec {
       .select(col("user_id")).distinct().count(),
       "every user belongs to exactly one cohort")
   }
+
+  test("q_time_weighted equals a driver-side exact segment walk") {
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val want = byUser.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).toList
+      val segs = ordered.sliding(2).collect { case List(a, b) =>
+        val durMs = (b._2 - a._2) / 1000
+        (math.round(a._4 * 100), durMs)
+      }.toSeq
+      val dsum = segs.map(_._2).sum
+      if (segs.isEmpty || dsum <= 0) None
+      else Some(u -> (segs.size.toLong, Math.floorDiv(segs.map(s => s._1 * s._2).sum, dsum)))
+    }
+    val got = TimeSeries.queries("q_time_weighted")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_ewma equals a driver-side exact 8-tap integer smoother") {
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val want = byUser.map { case (u, rows) =>
+      val latest = rows.sortBy(r => (-r._2, -r._3)).take(8)
+      val wsum = latest.zipWithIndex.map { case (r, i) =>
+        math.round(r._4 * 100) * (1L << (7 - i)) }.sum
+      val den = latest.indices.map(i => 1L << (7 - i)).sum
+      u -> (latest.size.toLong, Math.floorDiv(wsum, den))
+    }
+    val got = TimeSeries.queries("q_ewma")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }

@@ -15,9 +15,8 @@ class SourcesSpec extends SparkSpec {
 
   test("sink_compact: 64 small files collapse to the size-targeted count") {
     SparkEntry.queries("sink_compact")(spark, sf).collect() // runs both writes
-    val suffix = math.abs(sf.hashCode)
-    val nSmall = files(s"target/tmp/src_small_$suffix").size
-    val nCompact = files(s"target/tmp/src_compact_$suffix").size
+    val nSmall = files(Sources.tmp(sf, "small")).size
+    val nCompact = files(Sources.tmp(sf, "compact")).size
     assert(nSmall == 64, s"fixture should write 64 small files, got $nSmall")
     assert(nCompact < nSmall && nCompact >= 1,
       s"compaction must reduce the file count: $nSmall -> $nCompact")
@@ -25,8 +24,7 @@ class SourcesSpec extends SparkSpec {
 
   test("sink_sorted: per-file o_orderdate ranges are disjoint (skippable layout)") {
     SparkEntry.queries("sink_sorted")(spark, sf).collect() // runs the write
-    val suffix = math.abs(sf.hashCode)
-    val ranges = spark.read.parquet(s"target/tmp/src_sorted_$suffix")
+    val ranges = spark.read.parquet(Sources.tmp(sf, "sorted"))
       .select(input_file_name().as("f"), col("o_orderdate"))
       .groupBy("f")
       .agg(min("o_orderdate").cast("string").as("lo"),
