@@ -89,7 +89,13 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case t: Throwable =>
+          // SPARK_GRAFT_BENCH_DEBUG=1: local diagnosis only — the driver's
+          // stdout tail must stay small, so failures are silent by default.
+          if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")) t.printStackTrace()
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Host-health probe: a fixed CPU+shuffle micro-task (~0.1 s on a quiet

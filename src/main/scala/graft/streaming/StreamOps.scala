@@ -127,9 +127,16 @@ object StreamOps extends OpModule {
       if (d.endsWith("/")) (d.dropRight(1), "*.parquet")
       else (d, "events.parquet")
     runStreamRaw(s, dir, glob, mode) { raw =>
-      val ds = (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-                  raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-                else raw).as[Ev]
+      // Same ts normalization as Tables.events: long nanos (nanosAsLong era)
+      // or TIMESTAMP_NTZ (round-7 µs regen) → TIMESTAMP; sessions run UTC so
+      // the NTZ cast preserves wall-clock values.
+      val ds = (raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }).as[Ev]
       transform(ds)
     }
   }
