@@ -364,6 +364,50 @@ object Aggregations extends OpModule {
               |    FROM li_regr_v GROUP BY l_returnflag) a) b
               |ORDER BY l_returnflag""".stripMargin)
     }),
+
+    // Pairwise Pearson correlation matrix (feature-selection / redundancy
+    // audit) over four lineitem measures, per return flag — the q_agg_regr
+    // technique widened to all C(4,2) pairs: every moment (Σx, Σx², Σxy) is
+    // an exact order-independent long sum in integer units (qty, whole
+    // dollars, discount/tax 1e-4), ONE hash aggregation produces all 14
+    // moments, and the 6 correlations derive from bit-identical doubles on
+    // both engines (ROUND 1e6). NULLIF guards zero variance. Scale: one
+    // partial→final agg over 3 groups, then a 6-way stack of constant
+    // width — the moment matrix approach is O(cols²) state per group and
+    // one pass over the data no matter the corpus size; beyond ~sf100 the
+    // moment sums ride DECIMAL(38,0) (q_agg_regr's overflow note).
+    "q_corr_matrix" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+                col("l_quantity").cast("long").as("x1"),
+                expr("cast(round(l_extendedprice * 100) as bigint) div 100").as("x2"),
+                round(col("l_discount") * 10000).cast("long").as("x3"),
+                round(col("l_tax") * 10000).cast("long").as("x4"))
+        .createOrReplaceTempView("li_corr_v")
+      s.sql("""SELECT l_returnflag, pair, n,
+              |  CAST(ROUND(1e6 * (nd * sxy - sx * sy) /
+              |    NULLIF(SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 0.0))
+              |    AS BIGINT) AS corr_e6
+              |FROM (
+              |  SELECT l_returnflag, n, nd, stack(6,
+              |    'qty_price', s1, q1, s2, q2, c12,
+              |    'qty_disc',  s1, q1, s3, q3, c13,
+              |    'qty_tax',   s1, q1, s4, q4, c14,
+              |    'price_disc', s2, q2, s3, q3, c23,
+              |    'price_tax',  s2, q2, s4, q4, c24,
+              |    'disc_tax',   s3, q3, s4, q4, c34) AS (pair, sx, sxx, sy, syy, sxy)
+              |  FROM (
+              |    SELECT l_returnflag, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+              |      CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x1*x1) AS DOUBLE) AS q1,
+              |      CAST(SUM(x2) AS DOUBLE) AS s2, CAST(SUM(x2*x2) AS DOUBLE) AS q2,
+              |      CAST(SUM(x3) AS DOUBLE) AS s3, CAST(SUM(x3*x3) AS DOUBLE) AS q3,
+              |      CAST(SUM(x4) AS DOUBLE) AS s4, CAST(SUM(x4*x4) AS DOUBLE) AS q4,
+              |      CAST(SUM(x1*x2) AS DOUBLE) AS c12, CAST(SUM(x1*x3) AS DOUBLE) AS c13,
+              |      CAST(SUM(x1*x4) AS DOUBLE) AS c14, CAST(SUM(x2*x3) AS DOUBLE) AS c23,
+              |      CAST(SUM(x2*x4) AS DOUBLE) AS c24, CAST(SUM(x3*x4) AS DOUBLE) AS c34
+              |    FROM li_corr_v GROUP BY l_returnflag) m) p
+              |ORDER BY l_returnflag, pair""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -573,5 +617,35 @@ object Aggregations extends OpModule {
         |  CAST(ROUND(1e6 * (syd - slope * sxd) / nd) AS BIGINT) AS icept_e6,
         |  (ABS(rs - slope) <= 1e-7 * ABS(slope)) AS builtin_close
         |FROM b ORDER BY l_returnflag""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS x2,
+        |    CAST(ROUND(l_discount * 10000) AS BIGINT) AS x3,
+        |    CAST(ROUND(l_tax * 10000) AS BIGINT) AS x4
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x1*x1) AS DOUBLE) AS q1,
+        |    CAST(SUM(x2) AS DOUBLE) AS s2, CAST(SUM(x2*x2) AS DOUBLE) AS q2,
+        |    CAST(SUM(x3) AS DOUBLE) AS s3, CAST(SUM(x3*x3) AS DOUBLE) AS q3,
+        |    CAST(SUM(x4) AS DOUBLE) AS s4, CAST(SUM(x4*x4) AS DOUBLE) AS q4,
+        |    CAST(SUM(x1*x2) AS DOUBLE) AS c12, CAST(SUM(x1*x3) AS DOUBLE) AS c13,
+        |    CAST(SUM(x1*x4) AS DOUBLE) AS c14, CAST(SUM(x2*x3) AS DOUBLE) AS c23,
+        |    CAST(SUM(x2*x4) AS DOUBLE) AS c24, CAST(SUM(x3*x4) AS DOUBLE) AS c34
+        |  FROM src GROUP BY l_returnflag),
+        |p AS (
+        |  SELECT l_returnflag, n, nd, 'qty_price' AS pair, s1 AS sx, q1 AS sxx, s2 AS sy, q2 AS syy, c12 AS sxy FROM m
+        |  UNION ALL SELECT l_returnflag, n, nd, 'qty_disc', s1, q1, s3, q3, c13 FROM m
+        |  UNION ALL SELECT l_returnflag, n, nd, 'qty_tax', s1, q1, s4, q4, c14 FROM m
+        |  UNION ALL SELECT l_returnflag, n, nd, 'price_disc', s2, q2, s3, q3, c23 FROM m
+        |  UNION ALL SELECT l_returnflag, n, nd, 'price_tax', s2, q2, s4, q4, c24 FROM m
+        |  UNION ALL SELECT l_returnflag, n, nd, 'disc_tax', s3, q3, s4, q4, c34 FROM m)
+        |SELECT l_returnflag, pair, n,
+        |  CAST(ROUND(1e6 * (nd * sxy - sx * sy) /
+        |    NULLIF(SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 0.0))
+        |    AS BIGINT) AS corr_e6
+        |FROM p ORDER BY l_returnflag, pair""".stripMargin,
   )
 }

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Graph-analytics operators over the token co-occurrence graph — the
   * corpus-shaped graph the engine already mines (`q_tok_cooccur` PMI,
-  * `q_pagerank` TextRank, `q_dedup_cluster*` connected components). Two
+  * `q_pagerank` TextRank, `q_dedup_cluster*` connected components). Three
   * classic distributed primitives complete the family: triangle counting
-  * (clustering-coefficient / community-density evidence) and k-core
-  * decomposition (the standard "dense-subgraph" peel).
+  * (clustering-coefficient / community-density evidence), k-core
+  * decomposition (the standard "dense-subgraph" peel), and common-neighbor
+  * link prediction (the Jaccard/Adamic-Adar candidate-pair shape).
   *
   * Graph construction (shared by both queries and both oracles): nodes are
   * ≥4-char tokens, an undirected edge (u, v), u < v, exists when the tokens
@@ -97,6 +98,53 @@ object GraphOps extends OpModule {
         .orderBy(col("n_tri").desc, col("node")).limit(20)
     }),
 
+    // Link prediction by common-neighbor count + Jaccard over the STRONG
+    // part co-purchase graph: an edge is a part pair co-ordered in ≥ 2
+    // distinct orders; for non-adjacent pairs, how many shared strong
+    // partners do they have ("frequently bought with the same things, never
+    // together")? The token co-occurrence graph above is useless here — at
+    // every tier it converges to a small complete graph (24-node clique at
+    // sf0.01: zero non-adjacent pairs) — while the co-purchase graph's node
+    // count grows with the part catalog and its degree stays O(1) (orders
+    // per part and items per order are corpus-independent ratios), so both
+    // the pair expansion (C(items/order, 2) per order — constant) and the
+    // wedge expansion (C(deg, 2) per center) stay linear in corpus size.
+    // The degree-≤64 hub guard is a no-op at harness tiers (max strong
+    // degree 13) but bounds the wedge fan-out against a future hot part —
+    // the standard common-neighbor/Adamic-Adar hub filter. Equi-joins and
+    // aggregations only; no all-pairs anywhere.
+    "q_link_pred" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.select(col("o"), col("p").as("u"))
+        .join(li.select(col("o"), col("p").as("v")), Seq("o"))
+        .where(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
+        .where(col("n_co") >= 2)
+        .select(col("u"), col("v"))
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val keep = deg.where(col("dg") <= 64).select(col("x"))
+      val e2 = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+                .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+      val d2 = e2.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val nb = e2.select(col("u").as("c"), col("v").as("n"))
+        .unionAll(e2.select(col("v").as("c"), col("u").as("n")))
+      val cand = nb.select(col("c"), col("n").as("a"))
+        .join(nb.select(col("c"), col("n").as("b")), Seq("c"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      cand
+        .join(e2.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+        .join(d2.select(col("x").as("a"), col("dg").as("da")), "a")
+        .join(d2.select(col("x").as("b"), col("dg").as("db")), "b")
+        .select(col("a"), col("b"), col("cn"),
+                expr("cn * 10000 div (da + db - cn)").as("jac_e4"))
+        .orderBy(col("cn").desc, col("jac_e4").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // 3-round k-core peel (k = 3): every round recomputes degrees and drops
     // nodes below k plus their edges. Output = surviving nodes with their
     // degree in the round-3 subgraph.
@@ -142,6 +190,32 @@ object GraphOps extends OpModule {
         |  SELECT b AS node FROM tri UNION ALL
         |  SELECT c AS node FROM tri)
         |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+
+    "q_link_pred" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT x, COUNT(*) AS dg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x),
+        |keepn AS (SELECT x FROM deg WHERE dg <= 64),
+        |e2 AS (SELECT u, v FROM e
+        |       WHERE u IN (SELECT x FROM keepn) AND v IN (SELECT x FROM keepn)),
+        |d2 AS (
+        |  SELECT x, COUNT(*) AS dg FROM (
+        |    SELECT u AS x FROM e2 UNION ALL SELECT v AS x FROM e2) GROUP BY x),
+        |nb AS (SELECT u AS c, v AS n FROM e2 UNION ALL SELECT v AS c, u AS n FROM e2),
+        |cand AS (
+        |  SELECT x.n AS a, y.n AS b, COUNT(*) AS cn
+        |  FROM nb x JOIN nb y ON x.c = y.c AND x.n < y.n
+        |  GROUP BY x.n, y.n),
+        |nonadj AS (
+        |  SELECT a, b, cn FROM cand
+        |  WHERE NOT EXISTS (SELECT 1 FROM e2 WHERE e2.u = cand.a AND e2.v = cand.b))
+        |SELECT a, b, cn, cn * 10000 // (da.dg + db.dg - cn) AS jac_e4
+        |FROM nonadj JOIN d2 da ON nonadj.a = da.x JOIN d2 db ON nonadj.b = db.x
+        |ORDER BY cn DESC, jac_e4 DESC, a, b LIMIT 20""".stripMargin,
 
     "q_kcore" ->
       s"""WITH $EdgesSql,

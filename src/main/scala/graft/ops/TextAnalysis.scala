@@ -440,6 +440,27 @@ object TextAnalysis extends OpModule {
                 col("alpha_ratio_e4"), col("score"),
                 (col("score") >= 2500).as("keep"))
         .orderBy(col("doc_id"))),
+
+    // Vocabulary truncation + OOV audit (the tokenizer-budget question:
+    // "with a V-token vocabulary, what out-of-vocabulary rate does each
+    // language pay?"): corpus term counts → top-64 vocab by (count DESC,
+    // token — D3 tie-break) → per-language OOV token rate in 1e-4 units.
+    // Scale: the vocab is the OUTPUT of an aggregation (corpus-scaling
+    // input, bounded output), selected by TakeOrdered (no full sort) and
+    // broadcast back — the corpus-side pass stays one scan + one agg
+    // shuffle; at a production vocab size (50k) the broadcast is still KB.
+    "q_vocab_oov" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+        .orderBy(col("ct").desc, col("t")).limit(64)
+      tok.join(broadcast(vocab.select(col("t"), lit(1).as("iv"))), Seq("t"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_e4", expr("n_oov * 10000 div n_tokens"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** Three ROUNDS of BPE training — the actual merge loop (shared by
@@ -805,5 +826,18 @@ object TextAnalysis extends OpModule {
         |SELECT doc_id, n_tok, stop_ratio_e4, alpha_ratio_e4, score,
         |  (score >= 2500) AS keep
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT lang, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t FROM (SELECT t, COUNT(*) AS ct FROM tok GROUP BY t)
+        |  ORDER BY ct DESC, t LIMIT 64)
+        |SELECT lang, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT)
+        |    * 10000 // COUNT(*) AS oov_e4
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

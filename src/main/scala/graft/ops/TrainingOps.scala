@@ -234,6 +234,58 @@ object TrainingOps extends OpModule {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("split"), col("lang"))),
+
+    // Deterministic per-epoch shuffle order (the "reshuffle every epoch"
+    // contract of a training dataloader, as a pure function): each epoch
+    // permutes doc ids by an LCG position key (a_e·doc_id + b_e) mod P,
+    // P = 1 000 003 prime, MINSTD-family multipliers per epoch — no RNG
+    // state, reproducible across engines/retries/partitionings. Output =
+    // the first 10 docs of each epoch's order. Scale posture: the naive
+    // row_number-per-epoch form sorts the corpus once per epoch on ≤
+    // n_epochs partitions; graft_topk pre-reduces every map task to 10
+    // entries, so the shuffle carries O(epochs × 10) rows at any corpus
+    // size (a full-order materialization at 100 TB would instead
+    // range-partition by pos_key — same key, same function).
+    "q_epoch_order" -> ((s, d) => {
+      graft.functions.TopK.register(s)
+      import s.implicits._
+      val eps = Seq((0L, 48271L, 11L), (1L, 69621L, 37L), (2L, 40692L, 73L))
+        .toDF("epoch", "ca", "cb")
+      Tables.documents(s, d).select(col("doc_id"))
+        .crossJoin(broadcast(eps))
+        .withColumn("pos_key", expr("(ca * doc_id + cb) % 1000003"))
+        .groupBy(col("epoch"))
+        .agg(call_function("graft_topk", -col("pos_key"), col("doc_id"), lit(10)).as("top"))
+        .select(col("epoch"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("epoch"), (col("pos") + 1).cast("int").as("rn"),
+                col("t").getField("pl").as("doc_id"),
+                (-col("t").getField("sk")).as("pos_key"))
+        .orderBy(col("epoch"), col("rn"))
+    }),
+
+    // Curriculum staging: rank the corpus by a difficulty proxy (type-token
+    // ratio — lexical diversity in 1e-4 units) and cut it into 4 equal
+    // NTILE stages, easy → hard; the schedule audit reports each stage's
+    // size, score range, and token budget. The global quartile runs on the
+    // DistRank two-pass histogram rank (no single-partition sort — the
+    // q_ccnet_bucket shape), so staging a 100 TB corpus shuffles a bounded
+    // histogram plus one per-bucket local sort.
+    "q_curriculum" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(lower(col("text"))), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+                size(array_distinct(col("tk"))).cast("long").as("n_types"))
+        .withColumn("score_e4", expr("n_types * 10000 div n_tokens"))
+      val ranked = DistRank.withGlobalRank(scored, col("score_e4"), col("doc_id"),
+                                           bucketWidth = 100L, "rk", "n")
+      ranked.withColumn("stage", DistRank.ntileFromRank("rk", "n", 4))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("score_e4")).as("min_score_e4"),
+             max(col("score_e4")).as("max_score_e4"),
+             sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("stage"))
+    }),
   )
 
   /** Shared oracle CTE: non-zero embeddings + initial centroids + first
@@ -360,5 +412,33 @@ object TrainingOps extends OpModule {
         |  FROM documents)
         |SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "q_epoch_order" ->
+      """WITH ep(epoch, ca, cb) AS (
+        |  VALUES (0, 48271, 11), (1, 69621, 37), (2, 40692, 73)),
+        |r AS (
+        |  SELECT CAST(ep.epoch AS BIGINT) AS epoch, d.doc_id,
+        |    (ep.ca * d.doc_id + ep.cb) % 1000003 AS pos_key,
+        |    ROW_NUMBER() OVER (PARTITION BY ep.epoch
+        |      ORDER BY (ep.ca * d.doc_id + ep.cb) % 1000003, d.doc_id) AS rn
+        |  FROM documents d CROSS JOIN ep)
+        |SELECT epoch, CAST(rn AS INT) AS rn, doc_id, pos_key
+        |FROM r WHERE rn <= 10 ORDER BY epoch, rn""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH tok AS (
+        |  SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS tk FROM documents),
+        |sc AS (
+        |  SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS n_tokens,
+        |    CAST(LEN(LIST_DISTINCT(tk)) AS BIGINT) AS n_types,
+        |    CAST(LEN(LIST_DISTINCT(tk)) AS BIGINT) * 10000
+        |      // CAST(LEN(tk) AS BIGINT) AS score_e4
+        |  FROM tok),
+        |st AS (
+        |  SELECT *, CAST(NTILE(4) OVER (ORDER BY score_e4, doc_id) AS INT) AS stage
+        |  FROM sc)
+        |SELECT stage, COUNT(*) AS n_docs, MIN(score_e4) AS min_score_e4,
+        |  MAX(score_e4) AS max_score_e4, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
   )
 }

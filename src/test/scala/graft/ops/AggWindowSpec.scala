@@ -81,6 +81,33 @@ class AggWindowSpec extends SparkSpec {
     }
   }
 
+  test("q_corr_matrix matches brute-force Pearson per (flag, pair); bounds hold") {
+    val rows = Aggregations.queries("q_corr_matrix")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+              expr("cast(round(l_extendedprice * 100) as bigint) div 100"),
+              round(col("l_discount") * 10000).cast("long"),
+              round(col("l_tax") * 10000).cast("long"))
+      .collect().map(r => (r.getString(0), Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val pairIdx = Seq("qty_price" -> (0, 1), "qty_disc" -> (0, 2), "qty_tax" -> (0, 3),
+                      "price_disc" -> (1, 2), "price_tax" -> (1, 3), "disc_tax" -> (2, 3))
+    for (flag <- li.map(_._1).distinct; (pair, (i, j)) <- pairIdx) {
+      val pts = li.filter(_._1 == flag).map(_._2)
+      val n = pts.length.toDouble
+      def s(k: Int) = pts.map(_(k).toDouble).sum
+      def ss(a: Int, b: Int) = pts.map(p => p(a).toDouble * p(b).toDouble).sum
+      val num = n * ss(i, j) - s(i) * s(j)
+      val den = math.sqrt((n * ss(i, i) - s(i) * s(i)) * (n * ss(j, j) - s(j) * s(j)))
+      val want = math.round(1e6 * num / den)
+      val (gotN, gotCorr) = rows((flag, pair))
+      assert(gotN == pts.length)
+      assert(math.abs(gotCorr - want) <= 1, s"$flag/$pair: $gotCorr vs $want")
+      assert(math.abs(gotCorr) <= 1000000L, s"$flag/$pair out of [-1, 1]")
+    }
+    assert(rows.size == li.map(_._1).distinct.size * 6)
+  }
+
   test("custom GeoMean Aggregator merges correctly across partitions") {
     import graft.functions.GeoMean
     val geo = udaf(GeoMean)

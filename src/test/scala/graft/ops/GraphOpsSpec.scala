@@ -49,4 +49,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty, "3-core should be non-empty at sf0.001")
   }
+
+  test("q_link_pred equals brute-force common-neighbor scoring on the strong co-order graph") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val strong = li.groupBy(_._1).values.toSeq
+      .flatMap { items =>
+        val ps = items.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }
+      // NOT .collect { case (p, _) => p }: a tuple-valued function on a Map
+      // rebuilds a Map keyed by p._1 and silently drops pairs sharing a key
+      .groupBy(identity).filter(_._2.size >= 2).keySet
+    val deg = strong.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (k, vs) => k -> vs.size }
+    // hub guard is a no-op at this tier; assert that so a data change that
+    // activates it forces this brute force to model it too
+    assert(deg.values.max <= 64, "fixture assumes the deg<=64 hub guard never fires")
+    val adj = strong.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val cand = adj.toSeq.flatMap { case (_, ns) =>
+      val s = ns.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+    }.groupBy(identity).map { case (p, occ) => (p, occ.size.toLong) }
+      .filterNot { case (p, _) => strong(p) }
+    val want = cand.toSeq.map { case ((a, b), cn) =>
+      val jac = cn * 10000 / (deg(a) + deg(b) - cn)
+      (a, b, cn, jac)
+    }.sortBy { case (a, b, cn, jac) => (-cn, -jac, a, b) }.take(20)
+    val got = GraphOps.queries("q_link_pred")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got.nonEmpty, "strong co-order graph should yield candidates at sf0.001")
+  }
 }

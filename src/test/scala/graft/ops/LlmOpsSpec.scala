@@ -87,4 +87,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.where(col("n_chars") < 100 || col("n_chars") > 2000 ||
       !col("lang").isin("en", "de", "fr") || col("sym_ratio") >= 0.1).count() == 0)
   }
+
+  test("q_vocab_oov matches a brute-force top-64 vocab OOV count") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).trim.toLowerCase.split(" ").toSeq))
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => (t, o.size) }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(64).map(_._1).toSet
+    val want = docs.groupBy(_._1).map { case (lang, ds) =>
+      val toks = ds.flatMap(_._2)
+      val oov = toks.count(!vocab(_)).toLong
+      (lang, (toks.size.toLong, oov, oov * 10000 / toks.size))
+    }
+    val got = graft.ops.TextAnalysis.queries("q_vocab_oov")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
 }

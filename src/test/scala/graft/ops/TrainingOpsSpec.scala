@@ -103,4 +103,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == nz)
     assert(rows.map(_.getLong(0)).toSet == (100L to 115L).toSet)
   }
+
+  test("q_epoch_order matches a driver-side LCG sort; epochs permute differently") {
+    val ids = graft.Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val consts = Seq((0L, 48271L, 11L), (1L, 69621L, 37L), (2L, 40692L, 73L))
+    val want = consts.flatMap { case (e, a, b) =>
+      ids.map(id => (id, (a * id + b) % 1000003L)).sortBy { case (id, k) => (k, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, k), i) => (e, i + 1, id, k) }
+    }
+    val got = TrainingOps.queries("q_epoch_order")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    // different multipliers must yield different leading orders
+    val heads = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).values.toSeq
+    assert(heads.distinct.size == 3, "epoch permutations should differ")
+  }
+
+  test("q_curriculum: stages partition the corpus into balanced, ordered score bands") {
+    val rows = TrainingOps.queries("q_curriculum")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(rows.map(_._2).sum == nDocs, "stages must partition the corpus")
+    // NTILE balance: sizes differ by at most 1
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // easy -> hard: score bands are non-decreasing across stages (equality
+    // allowed when one score value straddles a stage boundary)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3, s"stage bands out of order: $lo vs $hi")
+    }
+  }
 }
