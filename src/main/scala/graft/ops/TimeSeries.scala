@@ -430,6 +430,51 @@ object TimeSeries extends OpModule {
                 expr("wsum div den").as("ewma_cents"))
         .orderBy(col("user_id"))
     }),
+
+    // Two-proportion A/B test (experimentation readout): traffic split into
+    // deterministic arms by user_id parity; the tested proportion is
+    // purchase events over all events per arm (a user-level "≥1 purchase"
+    // conversion saturates to p=1 at these densities — 67 events/user —
+    // and zeroes the pooled variance). The z statistic derives from four
+    // EXACT integer counts through the identical pooled-variance double
+    // formula on both engines (ROUND 1e6 — the q_agg_regr discipline);
+    // NULLIF returns NULL rather than an ANSI divide-by-zero if a future
+    // dataset saturates anyway. One map-side-combinable count aggregation
+    // on a 2-value key, then a 2-row pivot — nothing else shuffles at any
+    // scale.
+    "q_abtest" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr("pmod(user_id, 2)").as("arm"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+        .createOrReplaceTempView("ab_v")
+      s.sql("""SELECT n0, x0, n1, x1,
+              |  CAST(ROUND(1e6 * (CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1) /
+              |    NULLIF(SQRT((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+              |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+              |      * (1.0 / n0 + 1.0 / n1)), 0.0)) AS BIGINT) AS z_e6
+              |FROM (SELECT
+              |  MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+              |  MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+              |  MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+              |  MAX(CASE WHEN arm = 1 THEN x END) AS x1
+              |FROM ab_v) t""".stripMargin)
+    }),
+
+    // Hour-of-day seasonality profile per event type: count per (type,
+    // hour) plus the deviation from the type's uniform rate in 1e-4 units
+    // (dev = n·24/total − 1). Two hash aggregations, the per-type totals
+    // broadcast back — integer-only, scale-free.
+    "q_seasonality" -> ((s, d) => {
+      val cnt = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+      cnt.join(broadcast(tot), "event_type")
+        .withColumn("dev_e4", expr("n * 24 * 10000 div tot - 10000"))
+        .select(col("event_type"), col("hr"), col("n"), col("dev_e4"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -694,5 +739,34 @@ object TimeSeries extends OpModule {
         |FROM r WHERE rn <= 8
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_abtest" ->
+      """WITH a AS (
+        |  SELECT user_id % 2 AS arm, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY user_id % 2),
+        |p AS (SELECT
+        |  MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |  MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+        |  MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |  MAX(CASE WHEN arm = 1 THEN x END) AS x1
+        |FROM a)
+        |SELECT n0, x0, n1, x1,
+        |  CAST(ROUND(1e6 * (CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1) /
+        |    NULLIF(SQRT((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |      * (1.0 / n0 + 1.0 / n1)), 0.0)) AS BIGINT) AS z_e6
+        |FROM p""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH cnt AS (
+        |  SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY event_type, EXTRACT(HOUR FROM ts)),
+        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+        |        FROM cnt GROUP BY event_type)
+        |SELECT cnt.event_type, hr, n, n * 24 * 10000 // tot - 10000 AS dev_e4
+        |FROM cnt JOIN tot ON cnt.event_type = tot.event_type
+        |ORDER BY cnt.event_type, hr""".stripMargin,
   )
 }

@@ -286,6 +286,32 @@ object TrainingOps extends OpModule {
              sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("stage"))
     }),
+
+    // Nucleus (top-p) subset selection per language: keep the smallest
+    // prefix of documents (by weight DESC, doc_id — total order) whose
+    // cumulative weight reaches 80% of the language total; audit reports
+    // per-language doc/weight retention. The "crossing" document is kept
+    // (prefix-before-row < ceil(0.8·total)), matching sampling-nucleus
+    // semantics. One lang-partitioned window walk + one aggregation; at a
+    // 100 TB per-language volume the cumsum rides the DistRank histogram
+    // rank per language (the q_ccnet_bucket composite-key shape) instead
+    // of a 5-partition window — same arithmetic, bounded shuffle.
+    "q_sample_topp" -> ((s, d) => {
+      val wCum = Window.partitionBy(col("lang"))
+        .orderBy(col("wt").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("wt"))
+        .withColumn("cum", sum(col("wt")).over(wCum))
+        .withColumn("tot", sum(col("wt")).over(Window.partitionBy(col("lang"))))
+        .withColumn("kept", col("cum") - col("wt") < expr("(tot * 4 + 4) div 5"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+             sum(col("wt")).as("w_total"),
+             sum(when(col("kept"), col("wt")).otherwise(0L)).as("w_kept"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** Shared oracle CTE: non-zero embeddings + initial centroids + first
@@ -440,5 +466,20 @@ object TrainingOps extends OpModule {
         |SELECT stage, COUNT(*) AS n_docs, MIN(score_e4) AS min_score_e4,
         |  MAX(score_e4) AS max_score_e4, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
         |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q_sample_topp" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars AS wt FROM documents),
+        |c AS (
+        |  SELECT lang, wt,
+        |    SUM(wt) OVER (PARTITION BY lang ORDER BY wt DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(wt) OVER (PARTITION BY lang) AS tot
+        |  FROM b),
+        |k AS (SELECT lang, wt, (cum - wt) < (tot * 4 + 4) // 5 AS kept FROM c)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(wt) AS BIGINT) AS w_total,
+        |  CAST(SUM(CASE WHEN kept THEN wt ELSE 0 END) AS BIGINT) AS w_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -143,6 +143,26 @@ object Windows extends OpModule {
                 lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
+
+    // Rolling EXACT median (robust trailing statistic — the telemetry
+    // smoother that outlier-heavy feeds need where a rolling mean is
+    // poisoned by spikes): per-customer trailing-5-order median of the
+    // order total. Exact `percentile` as a WINDOW aggregate — the frame
+    // holds ≤ 5 rows, so the per-row sort the exact median implies is O(5)
+    // regardless of history length; the only shuffle is the o_custkey
+    // partition every q_win_* shares. Median of an even frame lands on a
+    // .5 cents step — reported ×2 (med2_cents) to stay integer-exact on
+    // both engines (cents ≤ 5e7, doubles exact to 2^53, D1 discipline).
+    "q_win_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                Det.cents(col("o_totalprice")).as("cents"))
+        .withColumn("med2_cents",
+          (expr("percentile(cents, 0.5)").over(w) * 2).cast("long"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -227,6 +247,14 @@ object Windows extends OpModule {
         |        CASE WHEN o_orderstatus = 'O'
         |             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS v
         |      FROM orders) t
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_rolling_median" ->
+      """SELECT o_custkey, o_orderkey, cents,
+        |  CAST(MEDIAN(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 2 AS BIGINT) AS med2_cents
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

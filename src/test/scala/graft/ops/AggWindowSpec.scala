@@ -108,6 +108,25 @@ class AggWindowSpec extends SparkSpec {
     assert(rows.size == li.map(_._1).distinct.size * 6)
   }
 
+  test("q_win_rolling_median equals a brute-force trailing-5 exact median") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = orders.groupBy(_._1).flatMap { case (ck, os) =>
+      val sorted = os.sortBy(_._2)
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 4), i + 1).map(_._3).sorted
+        val med2 = if (frame.length % 2 == 1) frame(frame.length / 2) * 2
+                   else frame(frame.length / 2 - 1) + frame(frame.length / 2)
+        (ck, sorted(i)._2) -> med2
+      }
+    }
+    val got = Windows.queries("q_win_rolling_median")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == want, "rolling median mismatch")
+    assert(got.nonEmpty)
+  }
+
   test("custom GeoMean Aggregator merges correctly across partitions") {
     import graft.functions.GeoMean
     val geo = udaf(GeoMean)

@@ -207,4 +207,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("q_abtest recomputes from raw counts; arms cover all events") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0) % 2, r.getString(1)))
+    def cnt(arm: Long) = ev.count(_._1 == arm).toLong
+    def pur(arm: Long) = ev.count(e => e._1 == arm && e._2 == "purchase").toLong
+    val (n0, x0, n1, x1) = (cnt(0), pur(0), cnt(1), pur(1))
+    val p = (x0 + x1).toDouble / (n0 + n1)
+    val z = (x0.toDouble / n0 - x1.toDouble / n1) /
+      math.sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1))
+    val r = TimeSeries.queries("q_abtest")(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((n0, x0, n1, x1)))
+    assert(n0 + n1 == ev.length)
+    assert(math.abs(r.getLong(4) - math.round(1e6 * z)) <= 1)
+  }
+
+  test("q_seasonality: per-type counts sum to totals; deviation formula exact") {
+    val rows = TimeSeries.queries("q_seasonality")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byType = rows.groupBy(_._1)
+    val evCnt = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (et, hs) =>
+      val tot = hs.map(_._3).sum
+      assert(tot == evCnt(et), s"$et hour counts must sum to the type total")
+      hs.foreach { case (_, _, n, dev) =>
+        assert(dev == n * 24 * 10000 / tot - 10000)
+      }
+      assert(hs.map(_._2).distinct.length == hs.length, "one row per hour")
+    }
+  }
 }

@@ -134,4 +134,27 @@ class TrainingOpsSpec extends SparkSpec {
       assert(lo._4 <= hi._3, s"stage bands out of order: $lo vs $hi")
     }
   }
+
+  test("q_sample_topp equals a sequential nucleus walk per language") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).map { case (lang, ds) =>
+      val ordered = ds.sortBy(d => (-d._3, d._1))
+      val total = ordered.map(_._3).sum
+      val thr = (total * 4 + 4) / 5
+      var cum = 0L
+      val kept = ordered.takeWhile { d => val before = cum; cum += d._3; before < thr }
+      lang -> (ds.length.toLong, kept.length.toLong, total, kept.map(_._3).sum)
+    }
+    val got = TrainingOps.queries("q_sample_topp")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // nucleus property: kept weight reaches 80% but dropping the last kept
+    // doc would fall below it
+    got.foreach { case (lang, (_, nKept, total, wKept)) =>
+      assert(wKept * 5 >= total * 4, s"$lang kept < 80%")
+      assert(nKept >= 1)
+    }
+  }
 }
