@@ -353,6 +353,33 @@ class PlanAuditSpec extends SparkSpec {
       s"bucket-code probing must never degrade to a nested loop:\n${p.take(800)}")
   }
 
+  test("q_link_pred: wedge expansion and candidate filtering stay equi joins") {
+    val p = plan("q_link_pred")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"co-purchase wedge join must never degrade to a nested loop:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+  }
+
+  test("q_epoch_order: first-k per epoch partial-aggregates map-side (no corpus sort)") {
+    val p = plan("q_epoch_order")
+    assert(p.contains("partial_graft_topk"),
+      "per-epoch order must pre-reduce in the map stage")
+    assert(!p.contains("Window"), "must not fall back to row_number over the corpus")
+  }
+
+  test("q_corr_matrix: all 14 moments come from ONE hash aggregation") {
+    val p = plan("q_corr_matrix")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"moment matrix should shuffle once (returnflag), found $n:\n${p.take(400)}")
+    assert(p.contains("partial_sum"), "moments must partial-aggregate map-side")
+  }
+
+  test("q_vocab_oov: vocab selected by TakeOrdered and broadcast back") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), "top-64 vocab must not global-sort")
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast into the corpus pass")
+  }
+
   test("sink_parquet_part read-back prunes partitions by yr") {
     val path = s"target/tmp/audit_part"
     Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
