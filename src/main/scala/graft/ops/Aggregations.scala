@@ -408,6 +408,34 @@ object Aggregations extends OpModule {
               |    FROM li_corr_v GROUP BY l_returnflag) m) p
               |ORDER BY l_returnflag, pair""".stripMargin)
     }),
+
+    // Gini concentration of customer spend per nation (the inequality
+    // audit behind revenue-concentration dashboards): per-customer exact
+    // cents totals, ranked ascending within nation (amount, custkey — D3),
+    // G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n from exact integer sums through one
+    // identical double expression (ROUND 1e6). The rank window partitions
+    // by nation (25 keys here); a 100 TB cardinality on the partition key
+    // would ride the DistRank composite rank instead — the arithmetic is
+    // unchanged. Σi·x bounds: rank ≤ customers/nation, x exact cents —
+    // ~3.6e16 at 100× this tier, inside BIGINT.
+    "q_gini" -> ((s, d) => {
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(Det.moneySum(col("o_totalprice")).as("x"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val base = spend.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey").as("ck"), col("x"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("x"), col("ck"))
+      base.withColumn("i", row_number().over(w))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("i") * col("x")).as("six"))
+        .select(col("n_name"), col("n"),
+          expr("""cast(round(1e6 * ((2.0 * six) / (cast(n as double) * sx)
+                |  - (n + 1.0) / n)) as bigint)""".stripMargin).as("gini_e6"))
+        .orderBy(col("n_name"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -647,5 +675,27 @@ object Aggregations extends OpModule {
         |    NULLIF(SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 0.0))
         |    AS BIGINT) AS corr_e6
         |FROM p ORDER BY l_returnflag, pair""".stripMargin,
+
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |base AS (
+        |  SELECT n.n_name, spend.ck, spend.x
+        |  FROM spend JOIN customer c ON spend.ck = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |r AS (
+        |  SELECT n_name, x,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY x, ck) AS i
+        |  FROM base),
+        |a AS (
+        |  SELECT n_name, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(i * x) AS BIGINT) AS six
+        |  FROM r GROUP BY n_name)
+        |SELECT n_name, n,
+        |  CAST(ROUND(1e6 * ((2.0 * six) / (CAST(n AS DOUBLE) * sx)
+        |    - (n + 1.0) / n)) AS BIGINT) AS gini_e6
+        |FROM a ORDER BY n_name""".stripMargin,
   )
 }

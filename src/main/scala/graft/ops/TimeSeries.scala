@@ -475,6 +475,53 @@ object TimeSeries extends OpModule {
         .select(col("event_type"), col("hr"), col("n"), col("dev_e4"))
         .orderBy(col("event_type"), col("hr"))
     }),
+
+    // Population stability index (the drift monitor between a reference and
+    // a current window — "did the value distribution shift?"): events split
+    // into time halves at the midpoint of the observed span, values binned
+    // into 11 fixed-edge buckets (width 10, overflow ≥100), PSI =
+    // Σ (pᵃ−pᵇ)·ln(pᵃ/pᵇ) with Laplace (+1) smoothing so empty bins
+    // contribute identically on both engines. Each bin's contribution is
+    // one fixed double expression over exact integer counts, rounded to
+    // 1e-8 before the integer sum (the q_domain_kl accumulation
+    // discipline). The bin grid is generated (types × 11), so the window
+    // comparison never depends on which bins happen to be occupied. Two
+    // count aggregations + broadcast joins; bins are fixed-edge, so at
+    // 100 TB this is one pass per window over a map-side-combinable key.
+    "q_psi_drift" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val rng = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      val binned = e.crossJoin(broadcast(rng))
+        .withColumn("half",
+          when(col("us") * 2 < col("mn") + col("mx"), lit("a")).otherwise(lit("b")))
+        .withColumn("bin", least(floor(col("value") / 10).cast("int"), lit(10)) + 1)
+      val cnt = binned.groupBy(col("event_type"), col("half"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val grid = cnt.select(col("event_type")).distinct()
+        .crossJoin(s.range(1, 12).select(col("id").cast("int").as("bin")))
+      val ca = cnt.where(col("half") === "a")
+        .select(col("event_type"), col("bin"), col("c").as("c_a"))
+      val cb = cnt.where(col("half") === "b")
+        .select(col("event_type"), col("bin"), col("c").as("c_b"))
+      val j = grid.join(ca, Seq("event_type", "bin"), "left")
+        .join(cb, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+                coalesce(col("c_a"), lit(0L)).as("c_a"),
+                coalesce(col("c_b"), lit(0L)).as("c_b"))
+      val tots = j.groupBy(col("event_type"))
+        .agg(sum(col("c_a")).as("na"), sum(col("c_b")).as("nb"))
+      j.join(broadcast(tots), "event_type")
+        .withColumn("contrib_e8", expr(
+          """cast(round(1e8 *
+            |  ((cast(c_a + 1 as double) / (na + 11)) - (cast(c_b + 1 as double) / (nb + 11)))
+            |  * ln((cast(c_a + 1 as double) / (na + 11))
+            |       / (cast(c_b + 1 as double) / (nb + 11)))) as bigint)""".stripMargin))
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+             sum(col("contrib_e8")).as("psi_e8"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -768,5 +815,41 @@ object TimeSeries extends OpModule {
         |SELECT cnt.event_type, hr, n, n * 24 * 10000 // tot - 10000 AS dev_e4
         |FROM cnt JOIN tot ON cnt.event_type = tot.event_type
         |ORDER BY cnt.event_type, hr""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, value, EPOCH_US(ts) AS us FROM events),
+        |rng AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+        |binned AS (
+        |  SELECT event_type,
+        |    CASE WHEN us * 2 < mn + mx THEN 'a' ELSE 'b' END AS half,
+        |    LEAST(CAST(FLOOR(value / 10) AS INTEGER), 10) + 1 AS bin
+        |  FROM e, rng),
+        |cnt AS (SELECT event_type, half, bin, COUNT(*) AS c
+        |        FROM binned GROUP BY event_type, half, bin),
+        |grid AS (
+        |  SELECT t.event_type, g.bin FROM (SELECT DISTINCT event_type FROM cnt) t
+        |  CROSS JOIN (SELECT CAST(UNNEST(GENERATE_SERIES(1, 11)) AS INTEGER) AS bin) g),
+        |j AS (
+        |  SELECT grid.event_type, grid.bin,
+        |    COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+        |  FROM grid
+        |  LEFT JOIN (SELECT event_type, bin, c FROM cnt WHERE half = 'a') ca
+        |    ON grid.event_type = ca.event_type AND grid.bin = ca.bin
+        |  LEFT JOIN (SELECT event_type, bin, c FROM cnt WHERE half = 'b') cb
+        |    ON grid.event_type = cb.event_type AND grid.bin = cb.bin),
+        |tots AS (SELECT event_type, CAST(SUM(c_a) AS BIGINT) AS na,
+        |                CAST(SUM(c_b) AS BIGINT) AS nb
+        |         FROM j GROUP BY event_type),
+        |contrib AS (
+        |  SELECT j.event_type, na, nb,
+        |    CAST(ROUND(1e8 *
+        |      ((CAST(c_a + 1 AS DOUBLE) / (na + 11)) - (CAST(c_b + 1 AS DOUBLE) / (nb + 11)))
+        |      * LN((CAST(c_a + 1 AS DOUBLE) / (na + 11))
+        |           / (CAST(c_b + 1 AS DOUBLE) / (nb + 11)))) AS BIGINT) AS ce
+        |  FROM j JOIN tots ON j.event_type = tots.event_type)
+        |SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(SUM(ce) AS BIGINT) AS psi_e8
+        |FROM contrib GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -312,6 +312,34 @@ object TrainingOps extends OpModule {
              sum(when(col("kept"), col("wt")).otherwise(0L)).as("w_kept"))
         .orderBy(col("lang"))
     }),
+
+    // Cluster-quality evaluation: the k-means assignment (round 1, same
+    // centroids as q_emb_kmeans) scored against the ground-truth `label`
+    // column — per-cluster size, majority label (count DESC, label — D3
+    // tie-break) and purity in 1e-4 units. The external-validation step
+    // every embedding-clustering pipeline runs before trusting its
+    // buckets. Centroids broadcast; majority vote is a window over the
+    // (bucket, label) AGGREGATE (≤ |buckets|·|labels| rows, corpus-
+    // independent), so nothing beyond the assignment shuffle scales with
+    // the data.
+    "q_cluster_purity" -> ((s, d) => {
+      val nz = nzEmbeddings(s, d)
+      val vecs = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                           col("nrm").as("n_nrm"))
+      val cents0 = nz.where(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                col("nrm").as("c_nrm"))
+      val lab = Tables.embeddings(s, d).select(col("vec_id").as("n_id"), col("label"))
+      val cl = assign(vecs, cents0).join(lab, "n_id")
+        .groupBy(col("bucket"), col("label")).agg(count(lit(1)).as("c"))
+      val wMaj = Window.partitionBy(col("bucket")).orderBy(col("c").desc, col("label"))
+      cl.withColumn("rn", row_number().over(wMaj))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("bucket"))))
+        .where(col("rn") === 1)
+        .select(col("bucket"), col("n"), col("label").as("maj_label"),
+                col("c").as("maj_n"), expr("c * 10000 div n").as("purity_e4"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   /** Shared oracle CTE: non-zero embeddings + initial centroids + first
@@ -481,5 +509,21 @@ object TrainingOps extends OpModule {
         |  CAST(SUM(wt) AS BIGINT) AS w_total,
         |  CAST(SUM(CASE WHEN kept THEN wt ELSE 0 END) AS BIGINT) AS w_kept
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_cluster_purity" ->
+      s"""WITH $duckAssignCte,
+        |lab AS (SELECT vec_id AS n_id, label FROM embeddings),
+        |cl AS (
+        |  SELECT a1.bucket, lab.label, COUNT(*) AS c
+        |  FROM a1 JOIN lab ON a1.n_id = lab.n_id
+        |  GROUP BY a1.bucket, lab.label),
+        |t AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n FROM cl GROUP BY bucket),
+        |r AS (SELECT bucket, label, c,
+        |        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY c DESC, label) AS rn
+        |      FROM cl)
+        |SELECT r.bucket, t.n, r.label AS maj_label, r.c AS maj_n,
+        |  r.c * 10000 // t.n AS purity_e4
+        |FROM r JOIN t ON r.bucket = t.bucket
+        |WHERE rn = 1 ORDER BY r.bucket""".stripMargin,
   )
 }

@@ -127,6 +127,28 @@ class AggWindowSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_gini equals brute-force Gini per nation; bounds hold") {
+    val spend = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cn = Tables.customer(spark, sf).select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val natName = Tables.nation(spark, sf).select("n_nationkey", "n_name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val want = cn.filter(c => spend.contains(c._1))
+      .groupBy(c => natName(c._2)).map { case (nn, cs) =>
+        val xs = cs.map(c => (spend(c._1), c._1)).sortBy(identity).map(_._1)
+        val n = xs.length
+        val six = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+        val g = 2.0 * six / (n.toDouble * xs.sum) - (n + 1.0) / n
+        nn -> (n.toLong, math.round(1e6 * g))
+      }
+    val got = Aggregations.queries("q_gini")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"got=$got want=$want")
+    got.values.foreach { case (_, g) => assert(g >= 0 && g <= 1000000L) }
+  }
+
   test("custom GeoMean Aggregator merges correctly across partitions") {
     import graft.functions.GeoMean
     val geo = udaf(GeoMean)

@@ -239,4 +239,28 @@ class TimeSeriesSpec extends SparkSpec {
       assert(hs.map(_._2).distinct.length == hs.length, "one row per hour")
     }
   }
+
+  test("q_psi_drift equals a driver-side PSI walk over the same bins") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val (mn, mx) = (ev.map(_._3).min, ev.map(_._3).max)
+    val want = ev.groupBy(_._1).map { case (et, es) =>
+      def bin(v: Double) = math.min(math.floor(v / 10).toInt, 10) + 1
+      val a = es.filter(e => e._3 * 2 < mn + mx)
+      val b = es.filter(e => e._3 * 2 >= mn + mx)
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val psi = (1 to 11).map { k =>
+        val ca = a.count(e => bin(e._2) == k).toLong
+        val cb = b.count(e => bin(e._2) == k).toLong
+        val pa = (ca + 1).toDouble / (na + 11)
+        val pb = (cb + 1).toDouble / (nb + 11)
+        math.round(1e8 * (pa - pb) * math.log(pa / pb))
+      }.sum
+      et -> (na, nb, psi)
+    }
+    val got = TimeSeries.queries("q_psi_drift")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
 }

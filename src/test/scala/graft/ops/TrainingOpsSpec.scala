@@ -157,4 +157,18 @@ class TrainingOpsSpec extends SparkSpec {
       assert(nKept >= 1)
     }
   }
+
+  test("q_cluster_purity: buckets are centroids, sizes total the corpus, purity exact") {
+    val rows = TrainingOps.queries("q_cluster_purity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val nz = graft.Tables.embeddings(spark, sf)
+      .where(expr("aggregate(embedding, 0D, (a, x) -> a + abs(cast(x as double)))") > 0)
+      .count()
+    assert(rows.map(_._2).sum == nz, "cluster sizes must partition the non-zero corpus")
+    rows.foreach { case (b, n, _, majN, purity) =>
+      assert(b >= 100 && b <= 115)
+      assert(majN >= 1 && majN <= n)
+      assert(purity == majN * 10000 / n)
+    }
+  }
 }
