@@ -173,6 +173,12 @@ object ScalarFuncs extends OpModule {
     // — division by zero, numeric overflow, malformed casts. The ETL-grade
     // "quarantine, don't crash" contract: at 100 TB one dirty row must not
     // kill a 1000-executor job. All try_* stay codegen'd expressions.
+    // Overflow fires on 1/1000 rows, NOT every row: Spark's try_add handles
+    // overflow via a caught per-row Java exception, and an every-row
+    // overflow turns a map-only scalar query into an exception benchmark
+    // (measured 42.6 s at the 10× tier, ~28 µs/row — was the single most
+    // expensive query in the full sweep). Rare dirty rows are also what the
+    // quarantine contract actually models.
     "q_try_arith" -> ((s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"),
@@ -180,9 +186,11 @@ object ScalarFuncs extends OpModule {
             .as("price_per"),
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
           expr("try_cast(o_orderstatus AS INT)").as("status_num"),
-          // o_orderkey starts at 0 (MaxValue + 0 is legal) — the +1 makes
-          // every row overflow, so the column is uniformly NULL.
-          expr("try_add(9223372036854775807L, o_orderkey + 1)").as("overflow_add"))
+          // keys ≡ 0 (mod 1000) add o_orderkey+1 ≥ 1 to Long.MaxValue →
+          // overflow → NULL; all other rows add 0 (legal) → MaxValue.
+          expr("""try_add(9223372036854775807L,
+                 |  CASE WHEN o_orderkey % 1000 = 0 THEN o_orderkey + 1 ELSE 0L END)"""
+            .stripMargin).as("overflow_add"))
         .orderBy(col("o_orderkey"))),
 
     // Bitwise scalar surface. Dialect trap: `^` is XOR in Spark SQL but
@@ -367,15 +375,17 @@ object ScalarFuncs extends OpModule {
 
     // price_per: both engines divide the SAME exact integers (cents BIGINT /
     // small INT) as IEEE doubles → bit-identical. overflow_add: Spark's
-    // try_add overflows to NULL for every o_orderkey ≥ 1; DuckDB would raise
-    // on BIGINT overflow (no TRY expression in 1.0), so the oracle pins the
-    // constant NULL the Spark semantics guarantee.
+    // try_add overflows to NULL exactly on keys ≡ 0 (mod 1000) (elsewhere it
+    // adds 0 → MaxValue); DuckDB would raise on BIGINT overflow (no TRY
+    // expression in 1.0), so the oracle pins the CASE the Spark semantics
+    // guarantee.
     "q_try_arith" ->
       """SELECT o_orderkey,
         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) / NULLIF(day(o_orderdate) - 1, 0) AS price_per,
         |  TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
         |  TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
-        |  CAST(NULL AS BIGINT) AS overflow_add
+        |  CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |       ELSE 9223372036854775807 END AS overflow_add
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_bitwise" ->
