@@ -12,6 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the platform, not the query author. Query builders still call
   * `FloatDot.register`/`TopK.register` as an idempotent fallback so they work
   * against plain sessions too.
+  *
+  * Also injects the [[graft.plans.IntervalJoinBucketing]] optimizer rule
+  * (conf-gated, default off — see its scaladoc): the bounded-interval-join
+  * bucketing rewrite as a plan transformation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -26,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
       TopK.builder))
+    e.injectOptimizerRule(graft.plans.IntervalJoinBucketing)
   }
 }

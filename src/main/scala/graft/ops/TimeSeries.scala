@@ -118,6 +118,28 @@ object TimeSeries extends OpModule {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The SAME naive interval-join declaration as q_join_range, executed
+    // under the graft.plans.IntervalJoinBucketing OPTIMIZER RULE (conf-
+    // scoped, q_runtime_filter's materialize-inside-scope pattern): the
+    // engine — not the query author — rewrites the plan into the bucketed
+    // equi join that q_join_range_bucketed hand-writes. The oracle is
+    // q_join_range's SQL verbatim, so any row the rewrite adds or drops is
+    // a correctness bug; PlanAuditSpec asserts the rewrite actually fired
+    // (Generate/explode in the optimized plan, (key, bucket) equi join).
+    "q_join_range_auto" -> ((s, d) => {
+      val flag = "spark.graft.rewrite.intervalJoin"
+      val prev = s.conf.getOption(flag)
+      s.conf.set(flag, "true")
+      try {
+        val res = queries("q_join_range")(s, d)
+        s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+      } finally prev match {
+        case Some(v) => s.conf.set(flag, v)
+        case None => s.conf.unset(flag)
+      }
+    }),
+
     // As-of: each purchase matched to the user's latest click at-or-before it.
     "q_join_asof" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -580,6 +602,15 @@ object TimeSeries extends OpModule {
         |ORDER BY user_id, sess_start""".stripMargin,
 
     "q_join_range" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same oracle as q_join_range: the optimizer rewrite is execution-side
+    // only, so any row it adds or drops is a correctness bug.
+    "q_join_range_auto" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
