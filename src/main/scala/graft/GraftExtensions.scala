@@ -16,6 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Also injects the [[graft.plans.IntervalJoinBucketing]] optimizer rule
   * (conf-gated, default off — see its scaladoc): the bounded-interval-join
   * bucketing rewrite as a plan transformation.
+  *
+  * And the merge as-of join custom operator ([[graft.plans.AsOfJoinPlan]] —
+  * see ops/plans/AsOfJoin.scala): its hint-marker analysis rule at both the
+  * hint-resolution and resolution extension points (DataFrame vs SQL paths)
+  * plus the planner strategy producing [[graft.plans.AsOfJoinExec]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -31,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
       TopK.builder))
     e.injectOptimizerRule(graft.plans.IntervalJoinBucketing)
+    e.injectHintResolutionRule(graft.plans.AsOfJoinHintRule)
+    e.injectResolutionRule(graft.plans.AsOfJoinHintRule)
+    e.injectPlannerStrategy(graft.plans.AsOfJoinStrategy)
   }
 }

@@ -162,6 +162,30 @@ object TimeSeries extends OpModule {
         .orderBy(col("p_id"))
     }),
 
+    // The SAME as-of contract as q_join_asof, executed by the graft-native
+    // MERGE AS-OF physical operator (plans/AsOfJoin.scala — custom logical
+    // node + hint-marker analysis rule + planner strategy + AsOfJoinExec,
+    // all through the public extension point). The oracle is q_join_asof's
+    // DuckDB `ASOF LEFT JOIN` verbatim, so the hash gate pins the custom
+    // operator ≡ the window formulation ≡ DuckDB's native as-of. The plan
+    // replaces the union-both-sides window shuffle with two co-partitioned
+    // sorted sides and an O(1)-state forward merge; AsOfJoinSpec asserts
+    // the AsOfJoinExec node is actually in the executed plan.
+    "q_join_asof_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id").as("uid_r"), col("ts").as("ts_r"), col("click_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("uid_l"), col("ts").as("ts_l"),
+                col("event_id").as("p_id"))
+      graft.plans.AsOf.joinBackward(purchases, clicks,
+          Seq((col("uid_l"), col("uid_r"))), col("ts_l"), col("ts_r"))
+        .select(col("p_id"), col("click_id"))
+        .orderBy(col("p_id"))
+    }),
+
     // Calendar densification via a recursive CTE (Spark 4 WITH RECURSIVE,
     // UNION ALL — the only recursion shape Spark supports): generate the 12
     // month indexes of 1995 and left-join monthly order totals so empty
@@ -627,6 +651,21 @@ object TimeSeries extends OpModule {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_join_asof" ->
+      """WITH cl AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT user_id, ts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.p_id, cl.click_id
+        |FROM p ASOF LEFT JOIN cl
+        |  ON p.user_id = cl.user_id AND p.ts >= cl.ts
+        |ORDER BY p.p_id""".stripMargin,
+
+    // Same oracle as q_join_asof: the native merge operator is an
+    // execution-side replacement, so any divergence is a correctness bug.
+    "q_join_asof_native" ->
       """WITH cl AS (
         |  SELECT user_id, ts, MAX(event_id) AS click_id
         |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
