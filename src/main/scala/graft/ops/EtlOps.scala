@@ -312,6 +312,42 @@ object EtlOps extends OpModule {
         .orderBy(col("day"))
     }),
 
+    // Robust outlier detection via MEDIAN ABSOLUTE DEVIATION per event type
+    // — the Tukey-fence companion (q_anomaly_iqr) for value-level anomalies:
+    // MAD tolerates up to 50% contamination where IQR fences break at 25%.
+    // Medians are VALUE-AT-RANK (row_number against (n+1) div 2 — the lower
+    // median, pure integer arithmetic, the q_winsorize idiom), deviations
+    // are exact cents, and the 3×MAD outlier test compares two integers.
+    // Plan shape: two rank windows on the SAME event_type key (the second
+    // reuses the first's partitioning), two 5-row broadcast joins back onto
+    // the scan. At 100 TB the rank windows become DistRank's two-pass
+    // histogram rank (q_ccnet_bucket form) — per-type populations are
+    // corpus-sized, a single-partition-per-key sort is the thing to avoid.
+    "q_anomaly_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type").as("et"),
+        Det.cents(col("value")).as("cents"), col("event_id"))
+      val wOrd = Window.partitionBy(col("et")).orderBy(col("cents"), col("event_id"))
+      val wAll = Window.partitionBy(col("et"))
+      val med = ev.withColumn("r", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("et"))
+        .agg(max(when(col("r") === expr("(n + 1) div 2"), col("cents"))).as("med"))
+      val dev = ev.join(broadcast(med), "et")
+        .select(col("et"), col("event_id"),
+                abs(col("cents") - col("med")).as("dev"), col("med"))
+      val wOrd2 = Window.partitionBy(col("et")).orderBy(col("dev"), col("event_id"))
+      val mad = dev.withColumn("r", row_number().over(wOrd2).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("et"))
+        .agg(max(when(col("r") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+      dev.join(broadcast(mad), "et")
+        .groupBy(col("et"))
+        .agg(max(col("med")).as("med_cents"), max(col("mad")).as("mad_cents"),
+             count(lit(1)).as("n"),
+             sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("et"))
+    }),
+
     // Z-order (Morton) clustering key: interleave the low 16 bits of two
     // dimensions so a range scan on EITHER dimension touches a bounded band
     // of the sorted layout — the multi-dimensional companion to
@@ -484,6 +520,36 @@ object EtlOps extends OpModule {
         |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |         event_id
+        |  FROM events),
+        |rk AS (
+        |  SELECT et, cents, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY et ORDER BY cents, event_id) AS r,
+        |         COUNT(*) OVER (PARTITION BY et) AS n
+        |  FROM ev),
+        |med AS (
+        |  SELECT et, MAX(CASE WHEN r = (n + 1) // 2 THEN cents END) AS med
+        |  FROM rk GROUP BY et),
+        |dv AS (
+        |  SELECT ev.et, ev.event_id, ABS(ev.cents - med.med) AS dev, med.med
+        |  FROM ev JOIN med ON ev.et = med.et),
+        |rk2 AS (
+        |  SELECT et, dev, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY et ORDER BY dev, event_id) AS r,
+        |         COUNT(*) OVER (PARTITION BY et) AS n
+        |  FROM dv),
+        |mad AS (
+        |  SELECT et, MAX(CASE WHEN r = (n + 1) // 2 THEN dev END) AS mad
+        |  FROM rk2 GROUP BY et)
+        |SELECT dv.et, MAX(dv.med) AS med_cents, MAX(mad.mad) AS mad_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN dv.dev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dv JOIN mad ON dv.et = mad.et
+        |GROUP BY dv.et ORDER BY dv.et""".stripMargin,
 
     "q_anomaly_iqr" ->
       """WITH daily AS (

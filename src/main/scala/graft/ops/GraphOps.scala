@@ -145,6 +145,43 @@ object GraphOps extends OpModule {
         .limit(20)
     }),
 
+    // HITS (Kleinberg hubs & authorities), 2 unrolled iterations over the
+    // BIPARTITE customer→part purchase graph: hub(customer) = Σ auth(parts
+    // they order), auth(part) = Σ hub(customers ordering it), each half-step
+    // normalized to a 1e9 total-mass budget. All arithmetic is exact longs
+    // (init 1000 units, scale-by-1e9 floor division against the 1-row
+    // broadcast total), so both engines walk the identical trajectory — the
+    // q_pagerank discipline on a bipartite graph. Scale posture: the edge
+    // list is one orders⋈lineitem equi join + distinct (linear in lineitem),
+    // every iteration is two aggregations on endpoint keys that grow with
+    // the customer/part catalogs, and the normalization totals are 1-row
+    // broadcasts. Degrees are O(1) per node (items per order, orders per
+    // customer are corpus-independent ratios), so no hub blow-up; output is
+    // TakeOrdered top-20.
+    "q_hits" -> ((s, d) => {
+      val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey").as("c"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+                                           col("l_partkey").as("p")), "o_orderkey")
+        .select(col("c"), col("p")).distinct()
+      val M = 1000000000L
+      def normalized(scores: DataFrame, key: String, v: String): DataFrame = {
+        val tot = scores.agg(sum(col(v)).as("tot"))
+        scores.crossJoin(broadcast(tot))
+          .select(col(key), expr(s"$v * ${M}L div tot").as(v))
+      }
+      // auth0 = 1000 for every part → hub1 = 1000 * deg(c), exact.
+      val hub1 = normalized(
+        e.groupBy(col("c")).agg((count(lit(1)) * 1000L).as("h")), "c", "h")
+      val auth1 = normalized(
+        e.join(hub1, "c").groupBy(col("p")).agg(sum(col("h")).as("a")), "p", "a")
+      val hub2 = normalized(
+        e.join(auth1, "p").groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
+      val auth2 = normalized(
+        e.join(hub2, "c").groupBy(col("p")).agg(sum(col("h")).as("a")), "p", "a")
+      auth2.select(col("p").as("partkey"), col("a").as("auth_e9"))
+        .orderBy(col("auth_e9").desc, col("partkey")).limit(20)
+    }),
+
     // 3-round k-core peel (k = 3): every round recomputes degrees and drops
     // nodes below k plus their edges. Output = surviving nodes with their
     // degree in the round-3 subgraph.
@@ -216,6 +253,24 @@ object GraphOps extends OpModule {
         |SELECT a, b, cn, cn * 10000 // (da.dg + db.dg - cn) AS jac_e4
         |FROM nonadj JOIN d2 da ON nonadj.a = da.x JOIN d2 db ON nonadj.b = db.x
         |ORDER BY cn DESC, jac_e4 DESC, a, b LIMIT 20""".stripMargin,
+
+    // Floor vs truncating integer division agree (all values positive);
+    // every SUM is cast back to BIGINT before reuse (DuckDB SUM(BIGINT) →
+    // HUGEINT, which pandas reads as float64 — the q_seasonality trap).
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h1 AS (SELECT c, COUNT(*) * 1000 AS h FROM e GROUP BY c),
+        |h1n AS (SELECT c, CAST(h * 1000000000 // (SELECT SUM(h) FROM h1) AS BIGINT) AS h FROM h1),
+        |a1 AS (SELECT p, CAST(SUM(h1n.h) AS BIGINT) AS a FROM e JOIN h1n ON e.c = h1n.c GROUP BY p),
+        |a1n AS (SELECT p, CAST(a * 1000000000 // (SELECT SUM(a) FROM a1) AS BIGINT) AS a FROM a1),
+        |h2 AS (SELECT c, CAST(SUM(a1n.a) AS BIGINT) AS h FROM e JOIN a1n ON e.p = a1n.p GROUP BY c),
+        |h2n AS (SELECT c, CAST(h * 1000000000 // (SELECT SUM(h) FROM h2) AS BIGINT) AS h FROM h2),
+        |a2 AS (SELECT p, CAST(SUM(h2n.h) AS BIGINT) AS a FROM e JOIN h2n ON e.c = h2n.c GROUP BY p),
+        |a2n AS (SELECT p, CAST(a * 1000000000 // (SELECT SUM(a) FROM a2) AS BIGINT) AS a FROM a2)
+        |SELECT p AS partkey, a AS auth_e9 FROM a2n
+        |ORDER BY auth_e9 DESC, partkey LIMIT 20""".stripMargin,
 
     "q_kcore" ->
       s"""WITH $EdgesSql,

@@ -177,6 +177,32 @@ object TextAnalysis extends OpModule {
     // both engines agree bit-for-bit. One token scan → per-(doc, term)
     // counts → per-doc roll-up: two hash aggregations on the same doc_id
     // key, map-side-combinable at any corpus size.
+    // Zipf's-law fit over the corpus vocabulary: OLS slope/intercept of
+    // ln(freq) on ln(rank) for the top-100 terms — the standard "is this
+    // corpus natural language or template soup" diagnostic (natural text
+    // slopes ≈ −1). Determinism: rank is row_number on (count DESC, term)
+    // (total order), each ln rounds to an integer 1e-6 unit per ROW, the
+    // four OLS moments are exact long sums of those integers, and the final
+    // slope/intercept are each ONE long→double division ROUND'ed to 1e-6 —
+    // the q_corr_matrix shared-expression discipline. Scale: the corpus
+    // pays one vocabulary count (map-side partial); everything after runs
+    // on 100 rows via TakeOrderedAndProject, no global sort.
+    "q_zipf_fit" -> ((s, d) => {
+      val top = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+        .orderBy(col("ct").desc, col("t")).limit(100)
+      val w = Window.orderBy(col("ct").desc, col("t"))
+      val m = top.withColumn("r", row_number().over(w).cast("long"))
+        .select(expr("cast(round(1e6 * ln(cast(r as double))) as bigint)").as("x"),
+                expr("cast(round(1e6 * ln(cast(ct as double))) as bigint)").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      m.select(col("n"),
+        expr("cast(round(1e6 * (cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double))) as bigint)").as("slope_e6"),
+        expr("cast(round((cast(sy as double) - (cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)) * sx) / cast(n as double)) as bigint)").as("icept_e6"))
+    }),
+
     "q_entropy" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
@@ -599,8 +625,31 @@ object TextAnalysis extends OpModule {
         |  CAST(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*)) AS BIGINT) AS per_big_e4
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+        |vc AS (SELECT t, COUNT(*) AS ct FROM tok GROUP BY t
+        |       ORDER BY ct DESC, t LIMIT 100),
+        |rk AS (SELECT ct, ROW_NUMBER() OVER (ORDER BY ct DESC, t) AS r FROM vc),
+        |xy AS (SELECT CAST(ROUND(1e6 * LN(CAST(r AS DOUBLE))) AS BIGINT) AS x,
+        |              CAST(ROUND(1e6 * LN(CAST(ct AS DOUBLE))) AS BIGINT) AS y
+        |       FROM rk),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |             CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM xy)
+        |SELECT n,
+        |  CAST(ROUND(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+        |                    / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS slope_e6,
+        |  CAST(ROUND((CAST(sy AS DOUBLE)
+        |              - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |                 / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
+        |             / CAST(n AS DOUBLE)) AS BIGINT) AS icept_e6
+        |FROM m""".stripMargin,
+
     "q_entropy" ->
-      """WITH tf AS (
+"""WITH tf AS (
         |  SELECT doc_id, t, COUNT(*) AS c FROM (
         |    SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
         |    FROM documents)

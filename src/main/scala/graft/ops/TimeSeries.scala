@@ -186,6 +186,72 @@ object TimeSeries extends OpModule {
         .orderBy(col("p_id"))
     }),
 
+    // INTERVAL-OVERLAP join — both sides are intervals (vs q_join_range's
+    // point-in-interval): view attention windows [ts, ts+5m] against
+    // purchase consideration windows [ts−10m, ts] per user. Closed-interval
+    // overlap (s_a <= e_b AND s_b <= e_a). Scale form: each side explodes
+    // the W=10min buckets its interval COVERS (sequence over floor-div —
+    // bounded fan-out: ≤2 buckets at these widths), the join is pure equi
+    // on (user, bucket), the exact predicate prunes false candidates, and
+    // DISTINCT collapses pairs that share several buckets. Same family as
+    // the IntervalJoinBucketing rewrite but two-sided — candidate work is
+    // bounded by bucket population, never per-user history².
+    "q_join_interval_overlap" -> ((s, d) => {
+      val W = 600000000L
+      val e = Tables.events(s, d)
+      val v = e.where(col("event_type") === "view")
+        .select(col("event_id").as("id_v"), col("user_id").as("uid_v"),
+                unix_micros(col("ts")).as("s_v"),
+                (unix_micros(col("ts")) + 300000000L).as("e_v"))
+        .withColumn("bkt", explode(expr(s"sequence(s_v div $W, e_v div $W)")))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("id_p"), col("user_id").as("uid_p"),
+                (unix_micros(col("ts")) - 600000000L).as("s_p"),
+                unix_micros(col("ts")).as("e_p"))
+        .withColumn("bkt_p", explode(expr(s"sequence(s_p div $W, e_p div $W)")))
+      v.join(p, col("uid_v") === col("uid_p") && col("bkt") === col("bkt_p") &&
+             col("s_v") <= col("e_p") && col("s_p") <= col("e_v"))
+        .select(col("id_v"), col("id_p")).distinct()
+        .orderBy(col("id_v"), col("id_p"))
+    }),
+
+    // Multi-touch conversion attribution: each purchase's value splits
+    // across the clicks in its 30-minute lookback (linear attribution,
+    // last-touch carries the integer remainder so per-purchase credit sums
+    // EXACTLY to its cents), purchases with no touch credit a "direct"
+    // channel (-1). Channel = props.k mod 5 (the JSON payload as campaign
+    // source). The touch join is the bounded-interval shape the
+    // IntervalJoinBucketing rule rewrites at scale; the credit split rides
+    // one count window + one row_number window on the same purchase key.
+    "q_conv_attr" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("uid"),
+                col("ts").as("p_ts"), Det.cents(col("value")).as("cents"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("cuid"),
+                col("ts").as("c_ts"),
+                pmod(get_json_object(col("props"), "$.k").cast("long"), lit(5L)).as("channel"))
+      val touched = p.join(c, col("uid") === col("cuid") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      val w = Window.partitionBy(col("p_id"))
+      val wOrd = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_ts").desc, col("c_id").desc)
+      val credits = touched
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wOrd))
+        .select(col("channel"), col("p_id"),
+          expr("cents div n + IF(rn = 1, cents % n, 0L)").as("credit"))
+      val direct = p
+        .join(touched.select(col("p_id")), Seq("p_id"), "left_anti")
+        .select(lit(-1L).as("channel"), col("p_id"), col("cents").as("credit"))
+      credits.unionByName(direct)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_cents"))
+        .orderBy(col("channel"))
+    }),
+
     // Calendar densification via a recursive CTE (Spark 4 WITH RECURSIVE,
     // UNION ALL — the only recursion shape Spark supports): generate the 12
     // month indexes of 1995 and left-join monthly order totals so empty
@@ -677,6 +743,49 @@ object TimeSeries extends OpModule {
         |FROM p ASOF LEFT JOIN cl
         |  ON p.user_id = cl.user_id AND p.ts >= cl.ts
         |ORDER BY p.p_id""".stripMargin,
+
+    // Naive overlap join — the bucketed candidates + DISTINCT on the Spark
+    // side must reproduce exactly the closed-interval overlap pairs.
+    "q_join_interval_overlap" ->
+      """WITH v AS (
+        |  SELECT event_id AS id_v, user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS id_p, user_id, ts - INTERVAL 10 MINUTE AS s, ts AS e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.id_v, p.id_p
+        |FROM v JOIN p ON v.user_id = p.user_id AND v.s <= p.e AND p.s <= v.e
+        |ORDER BY id_v, id_p""".stripMargin,
+
+    // `//` and `%` agree with Spark div/% here (credits are non-negative);
+    // last-touch remainder keeps per-purchase credit exactly = cents.
+    "q_conv_attr" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id AS uid, ts AS p_ts,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id AS cuid, ts AS c_ts,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.p_id, p.cents, c.c_id, c.c_ts, c.channel
+        |  FROM p JOIN c ON p.uid = c.cuid AND c.c_ts <= p.p_ts
+        |                AND c.c_ts > p.p_ts - INTERVAL 30 MINUTE),
+        |cr AS (
+        |  SELECT channel, p_id,
+        |         cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END AS credit
+        |  FROM (SELECT *, COUNT(*) OVER (PARTITION BY p_id) AS n,
+        |               ROW_NUMBER() OVER (PARTITION BY p_id
+        |                                  ORDER BY c_ts DESC, c_id DESC) AS rn
+        |        FROM t)),
+        |direct AS (
+        |  SELECT CAST(-1 AS BIGINT) AS channel, p_id, cents AS credit FROM p
+        |  WHERE p_id NOT IN (SELECT p_id FROM t)),
+        |u AS (SELECT * FROM cr UNION ALL SELECT * FROM direct)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |       CAST(SUM(credit) AS BIGINT) AS credit_cents
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
 
     "q_calendar_fill" ->
       """WITH RECURSIVE m(k) AS (

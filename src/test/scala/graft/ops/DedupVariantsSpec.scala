@@ -409,4 +409,24 @@ class DedupVariantsSpec extends SparkSpec {
         s"edge ($u,$v) score drift")
     }
   }
+
+  test("q_zipf_fit: OLS over top-100 rank/freq matches a driver fit; slope is negative") {
+    val counts = graft.Tables.documents(spark, sf)
+      .selectExpr("explode(split(trim(lower(text)), ' ')) as t")
+      .groupBy("t").count().collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = counts.sortBy { case (t, c) => (-c, t) }.take(100)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(1e6 * math.log(i + 1.0)), math.round(1e6 * math.log(c.toDouble)))
+    }
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val wantSlope = math.round(1e6 * slope)
+    val wantIcept = math.round((sy.toDouble - slope * sx) / n.toDouble)
+    val r = graft.SparkEntry.queries("q_zipf_fit")(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((n, wantSlope, wantIcept)),
+      s"got=$r want=($n, $wantSlope, $wantIcept)")
+    assert(wantSlope < 0, "natural-language rank/frequency slope must be negative")
+  }
 }

@@ -118,4 +118,21 @@ class EtlOpsSpec extends SparkSpec {
     assert(prof("l_returnflag").getLong(3) == 3) // A/N/R
     assert(prof.values.forall(_.getLong(2) == 0L), "no nulls in lineitem")
   }
+
+  test("q_anomaly_mad: value-at-rank median/MAD match a driver brute force") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "cast(round(value * 100) as long) as cents", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).map { case (et, rows) =>
+      val sorted = rows.sortBy(x => (x._2, x._3)).map(_._2)
+      val med = sorted(((sorted.length + 1) / 2) - 1)
+      val devs = rows.map(x => ((x._2 - med).abs, x._3))
+      val mad = devs.sortBy(identity).map(_._1).apply(((devs.length + 1) / 2) - 1)
+      et -> (med, mad, rows.length.toLong, devs.count(_._1 > 3 * mad).toLong)
+    }
+    val got = SparkEntry.queries("q_anomaly_mad")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(got.values.exists(_._4 > 0), "expect some 3-MAD outliers at sf0.001")
+  }
 }

@@ -83,4 +83,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
     assert(got.nonEmpty, "strong co-order graph should yield candidates at sf0.001")
   }
+
+  test("q_hits equals a driver-side exact integer HITS walk") {
+    val e = graft.Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.flatMap { case (o, p) => e.get(o).map(c => (c, p)) }.distinct
+    val M = 1000000000L
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val tot = m.values.sum
+      m.map { case (k, v) => k -> v * M / tot }
+    }
+    val h1 = norm(edges.groupBy(_._1).map { case (c, es) => c -> 1000L * es.size })
+    val a1 = norm(edges.groupBy(_._2).map { case (p, es) => p -> es.map(x => h1(x._1)).sum })
+    val h2 = norm(edges.groupBy(_._1).map { case (c, es) => c -> es.map(x => a1(x._2)).sum })
+    val a2 = norm(edges.groupBy(_._2).map { case (p, es) => p -> es.map(x => h2(x._1)).sum })
+    val want = a2.toSeq.sortBy { case (p, a) => (-a, p) }.take(20)
+    val got = GraphOps.queries("q_hits")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got.nonEmpty)
+  }
 }

@@ -263,4 +263,32 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("q_join_interval_overlap: bucketed candidates equal the brute-force overlap join") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val v = ev.filter(_._3 == "view").map(x => (x._1, x._2, x._4, x._4 + 300000000L))
+    val p = ev.filter(_._3 == "purchase").map(x => (x._1, x._2, x._4 - 600000000L, x._4))
+    val want = (for {
+      (iv, uv, sv, evd) <- v
+      (ip, up, sp, ep) <- p
+      if uv == up && sv <= ep && sp <= evd
+    } yield (iv, ip)).sorted.toSeq
+    val got = graft.SparkEntry.queries("q_join_interval_overlap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
+  test("q_conv_attr: credit is conserved exactly and channels are bounded") {
+    val rows = graft.SparkEntry.queries("q_conv_attr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totalCents = Tables.events(spark, sf)
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("sum(cast(round(value * 100) as long))").collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == totalCents,
+      "attribution must conserve total purchase value to the cent")
+    assert(rows.map(_._1).forall(c => c == -1L || (c >= 0 && c < 5)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
 }
