@@ -16,6 +16,7 @@ object Bench {
     "q_join_inner", "q_join_star5", "q_join_broadcast",              // joins
     "q_join_range", "q_join_range_bucketed", "q_join_range_auto", "q_join_asof",
     "q_join_asof_native",                                            // custom merge as-of exec (r8)
+    "q_window_funnel", "q_agg_bitmap",                               // chained interval stages + bitmap distinct (r8)
     "q_agg_q1", "q_agg_distinct", "q_agg_percentile",                // aggregation
     "q_win_running", "q_topk_group", "q_session_batch",              // windows/sessions
     "q_union_distinct", "q_date_funcs", "q_json_funcs",              // set ops/scalars

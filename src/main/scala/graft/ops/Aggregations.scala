@@ -263,6 +263,30 @@ object Aggregations extends OpModule {
     // sketch in the low bits (caught by the sf0.1 full-tier sweep when
     // this op originally asserted equality). The flags ride the hash
     // gate; the sketch binary never leaves the engine.
+    // EXACT distinct counting via 62-bit integer bitmaps (the roaring-
+    // bitmap pattern in pure SQL types): user ids bucket into 62-bit words
+    // (word = id div 62, bit = id mod 62 — 62 keeps the shifted bit
+    // positive in both engines), BIT_OR collapses each word map-side, and
+    // popcounts sum to the exact distinct count. Two hash aggregations,
+    // both partial-aggregable; the word layer carries ≤ |ids|/62 rows per
+    // group — the exact-at-scale alternative when HLL's ±2% (above) is not
+    // acceptable (billing, dedup ledgers). count(DISTINCT) rides beside it
+    // as the audit and the equality flag is pinned by the oracle.
+    "q_agg_bitmap" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type").as("et"), col("user_id"))
+      val words = ev
+        .groupBy(col("et"), expr("user_id div 62").as("wk"))
+        .agg(expr("bit_or(shiftleft(1L, cast(user_id % 62 as int)))").as("w"))
+      val bm = words.groupBy(col("et"))
+        .agg(sum(bit_count(col("w"))).as("n_bitmap"))
+      val exact = ev.groupBy(col("et"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      bm.join(exact, "et")
+        .select(col("et"), col("n_bitmap"), col("n_exact"),
+                (col("n_bitmap") === col("n_exact")).as("agree"))
+        .orderBy(col("et"))
+    }),
+
     "q_agg_hll_sketch" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("user_id"),
@@ -575,6 +599,20 @@ object Aggregations extends OpModule {
         |SELECT md.o_orderpriority, md.mode_month, md.mode_n, la.statuses
         |FROM md JOIN la ON md.o_orderpriority = la.o_orderpriority
         |ORDER BY md.o_orderpriority""".stripMargin,
+
+    "q_agg_bitmap" ->
+      """WITH w AS (
+        |  SELECT event_type AS et, user_id // 62 AS wk,
+        |         BIT_OR(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS w
+        |  FROM events GROUP BY event_type, user_id // 62),
+        |bm AS (
+        |  SELECT et, CAST(SUM(BIT_COUNT(w)) AS BIGINT) AS n_bitmap
+        |  FROM w GROUP BY et),
+        |ex AS (
+        |  SELECT event_type AS et, COUNT(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT bm.et, bm.n_bitmap, ex.n_exact, bm.n_bitmap = ex.n_exact AS agree
+        |FROM bm JOIN ex ON bm.et = ex.et ORDER BY bm.et""".stripMargin,
 
     // DuckDB has no DataSketches HLL — the properties (error bounds on the
     // direct AND the two-level-merged estimate), not the sketch values,

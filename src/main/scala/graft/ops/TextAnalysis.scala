@@ -177,6 +177,63 @@ object TextAnalysis extends OpModule {
     // both engines agree bit-for-bit. One token scan → per-(doc, term)
     // counts → per-doc roll-up: two hash aggregations on the same doc_id
     // key, map-side-combinable at any corpus size.
+    // KMV (k-minimum-values / theta) sketch: per SOURCE, the 128 smallest
+    // 48-bit md5 hashes of its distinct vocabulary; pairwise source overlap
+    // estimated from the sketches alone — count the common hashes inside
+    // the first k of the MERGED sketch (the standard theta-sketch Jaccard
+    // estimator). The sketch is mergeable and deterministic (pure hash
+    // order, no RNG), which is the whole point at 100 TB: per-partition
+    // k-mins merge associatively, and source-pair comparisons touch ONLY
+    // the 128-row sketches, never the corpora. The exact per-pair Jaccard
+    // rides beside it as the error audit (q_ann_recall pattern) — computed
+    // from one vocab-sized membership table, a bounded self-join on token
+    // (≤ |sources| rows per token), no corpus pair scan.
+    "q_kmv_sketch" -> ((s, d) => {
+      val k = 128
+      val vocab = Tables.documents(s, d)
+        .select(col("source"), explode(array_distinct(
+          split(trim(lower(col("text"))), " "))).as("t"))
+        .distinct()
+        .select(col("source"),
+          conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long").as("h"))
+        .distinct()
+      val wS = Window.partitionBy(col("source")).orderBy(col("h"))
+      val sk = vocab.withColumn("rn", row_number().over(wS)).where(col("rn") <= k)
+        .select(col("source"), col("h"))
+      val pairs = sk.select(col("source").as("a")).distinct()
+        .join(sk.select(col("source").as("b")).distinct(), col("a") < col("b"))
+      val merged = pairs.join(sk.withColumnRenamed("source", "a"), Seq("a"))
+        .select(col("a"), col("b"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+        .unionByName(pairs.join(sk.withColumnRenamed("source", "b"), Seq("b"))
+          .select(col("a"), col("b"), col("h"), lit(0).as("ia"), lit(1).as("ib")))
+        .groupBy(col("a"), col("b"), col("h"))
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      val wP = Window.partitionBy(col("a"), col("b")).orderBy(col("h"))
+      // Denominator = |first-k of the merged sketch| — equals k once both
+      // vocabularies exceed k, but small unions (|A∪B| < k) are EXACT and
+      // must divide by their true size, not k.
+      val est = merged.withColumn("rn", row_number().over(wP)).where(col("rn") <= k)
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("ia") * col("ib")).as("n_common"), count(lit(1)).as("kk"))
+        .withColumn("kmv_jac_e4", expr("n_common * 10000 div kk"))
+      // exact audit from the vocab membership table
+      val m = Tables.documents(s, d)
+        .select(col("source"), explode(array_distinct(
+          split(trim(lower(col("text"))), " "))).as("t"))
+        .distinct()
+      val sizes = m.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val inter = m.select(col("source").as("a"), col("t"))
+        .join(m.select(col("source").as("b"), col("t")), Seq("t"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+      est.join(inter, Seq("a", "b"))
+        .join(sizes.select(col("source").as("a"), col("nv").as("na")), Seq("a"))
+        .join(sizes.select(col("source").as("b"), col("nv").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), col("n_common"), col("kmv_jac_e4"),
+          expr("ni * 10000 div (na + nb - ni)").as("exact_jac_e4"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Zipf's-law fit over the corpus vocabulary: OLS slope/intercept of
     // ln(freq) on ln(rank) for the top-100 terms — the standard "is this
     // corpus natural language or template soup" diagnostic (natural text
@@ -624,6 +681,47 @@ object TextAnalysis extends OpModule {
         |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(nll) AS BIGINT) AS nll_e4,
         |  CAST(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*)) AS BIGINT) AS per_big_e4
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_kmv_sketch" ->
+      """WITH mem AS (
+        |  SELECT DISTINCT source, UNNEST(LIST_DISTINCT(
+        |    STRING_SPLIT(TRIM(LOWER(text)), ' '))) AS t
+        |  FROM documents),
+        |vh AS (
+        |  SELECT DISTINCT source,
+        |         CAST(('0x' || SUBSTR(md5(t), 1, 12)) AS BIGINT) AS h
+        |  FROM mem),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM vh) WHERE rn <= 128),
+        |pr AS (
+        |  SELECT a.source AS a, b.source AS b
+        |  FROM (SELECT DISTINCT source FROM sk) a
+        |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+        |mg AS (
+        |  SELECT a, b, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+        |    SELECT pr.a, pr.b, sk.h, 1 AS ia, 0 AS ib FROM pr JOIN sk ON sk.source = pr.a
+        |    UNION ALL
+        |    SELECT pr.a, pr.b, sk.h, 0 AS ia, 1 AS ib FROM pr JOIN sk ON sk.source = pr.b)
+        |  GROUP BY a, b, h),
+        |est AS (
+        |  SELECT a, b, CAST(SUM(ia * ib) AS BIGINT) AS n_common,
+        |         CAST(SUM(ia * ib) * 10000 // COUNT(*) AS BIGINT) AS kmv_jac_e4
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY h) AS rn
+        |        FROM mg) WHERE rn <= 128
+        |  GROUP BY a, b),
+        |sz AS (SELECT source, COUNT(*) AS nv FROM mem GROUP BY source),
+        |intr AS (
+        |  SELECT x.source AS a, y.source AS b, COUNT(*) AS ni
+        |  FROM mem x JOIN mem y ON x.t = y.t AND x.source < y.source
+        |  GROUP BY x.source, y.source)
+        |SELECT est.a, est.b, est.n_common, est.kmv_jac_e4,
+        |       CAST(intr.ni * 10000 // (sa.nv + sb.nv - intr.ni) AS BIGINT) AS exact_jac_e4
+        |FROM est JOIN intr ON est.a = intr.a AND est.b = intr.b
+        |JOIN sz sa ON sa.source = est.a JOIN sz sb ON sb.source = est.b
+        |ORDER BY est.a, est.b""".stripMargin,
 
     "q_zipf_fit" ->
       """WITH tok AS (

@@ -252,6 +252,87 @@ object TimeSeries extends OpModule {
         .orderBy(col("channel"))
     }),
 
+    // FORWARD as-of (next click at-or-after each purchase) through the SAME
+    // custom merge operator as q_join_asof_native: backward-inclusive as-of
+    // on NEGATED epoch-µs keys is exactly forward-inclusive as-of on the
+    // original timeline (max(-c) ≤ -p ⇔ min(c) ≥ p), so one physical
+    // operator serves both directions — the reuse argument for building the
+    // operator once instead of per-direction window plans. Oracle is
+    // DuckDB's native forward ASOF (p.ts <= cl.ts).
+    "q_join_asof_fwd" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id").as("uid_r"),
+                (-unix_micros(col("ts"))).as("nts_r"), col("click_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("uid_l"), (-unix_micros(col("ts"))).as("nts_l"),
+                col("event_id").as("p_id"))
+      graft.plans.AsOf.joinBackward(purchases, clicks,
+          Seq((col("uid_l"), col("uid_r"))), col("nts_l"), col("nts_r"))
+        .select(col("p_id"), col("click_id"))
+        .orderBy(col("p_id"))
+    }),
+
+    // ClickHouse-style windowFunnel: per user, the maximum IN-ORDER funnel
+    // depth view→click→purchase completed within 1 hour of the view, under
+    // GREEDY earliest-next matching (c* = first click after the view, p* =
+    // first purchase after THAT click — not any purchase after any click).
+    // Both stage joins are the bounded-interval equi+range shape (the
+    // IntervalJoinBucketing family), each collapsed by a min-aggregation on
+    // the view key before the next stage, so candidate fan-out never
+    // multiplies across stages. Output: depth histogram over users.
+    "q_window_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id").as("u"), col("event_id").as("vid"), col("ts").as("vts"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val vc = v.join(c, col("u") === col("cu") &&
+            col("cts") > col("vts") &&
+            col("cts") <= col("vts") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("u"), col("vid"), col("vts"))
+        .agg(min(col("cts")).as("c1"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      val depth = vc.join(p, col("u") === col("pu") &&
+            col("pts") > col("c1") &&
+            col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("u"), col("vid"), col("c1"))
+        .agg(max(when(col("pts").isNotNull, 1).otherwise(0)).as("has_p"))
+        .select(col("u"),
+          (lit(1) + when(col("c1").isNotNull, 1).otherwise(0) + col("has_p")).as("dp"))
+      depth.groupBy(col("u")).agg(max(col("dp")).as("depth"))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("depth"))
+    }),
+
+    // M4 downsampling (Jugel et al.) — THE visual-fidelity-preserving
+    // series reduction: per (event_type, time bucket) keep min, max, first,
+    // last. 64 equal-width buckets over the global span (1-row broadcast
+    // bounds); first/last ride two row_number windows over the SAME
+    // (series, bucket) partitioning (one shuffle), values are exact cents.
+    // Embarrassingly parallel — each bucket aggregates independently, which
+    // is why M4 (and not sequential LTTB) is the 100 TB downsampler.
+    "q_m4_downsample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("et"), unix_micros(col("ts")).as("us"),
+                Det.cents(col("value")).as("cents"), col("event_id"))
+      val bounds = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      val bucketed = ev.crossJoin(broadcast(bounds))
+        .withColumn("b", least(lit(63L), expr("(us - t0) * 64 div (t1 - t0 + 1)")))
+      val w = Window.partitionBy(col("et"), col("b"))
+      val ra = row_number().over(w.orderBy(col("us"), col("event_id")))
+      val rd = row_number().over(w.orderBy(col("us").desc, col("event_id").desc))
+      bucketed.withColumn("ra", ra).withColumn("rd", rd)
+        .groupBy(col("et"), col("b"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+             max(when(col("ra") === 1, col("cents"))).as("first_c"),
+             max(when(col("rd") === 1, col("cents"))).as("last_c"))
+        .orderBy(col("et"), col("b"))
+    }),
+
     // Calendar densification via a recursive CTE (Spark 4 WITH RECURSIVE,
     // UNION ALL — the only recursion shape Spark supports): generate the 12
     // month indexes of 1995 and left-join monthly order totals so empty
@@ -786,6 +867,64 @@ object TimeSeries extends OpModule {
         |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
         |       CAST(SUM(credit) AS BIGINT) AS credit_cents
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // DuckDB's forward ASOF (p.ts <= cl.ts picks the smallest cl.ts ≥ p.ts)
+    // pins the negated-key reuse of the custom merge operator.
+    "q_join_asof_fwd" ->
+      """WITH cl AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT user_id, ts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.p_id, cl.click_id
+        |FROM p ASOF LEFT JOIN cl
+        |  ON p.user_id = cl.user_id AND p.ts <= cl.ts
+        |ORDER BY p.p_id""".stripMargin,
+
+    "q_window_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id AS u, event_id AS vid, ts AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |vc AS (
+        |  SELECT v.u, v.vid, v.vts, MIN(c.cts) AS c1
+        |  FROM v LEFT JOIN c ON v.u = c.cu AND c.cts > v.vts
+        |                     AND c.cts <= v.vts + INTERVAL 1 HOUR
+        |  GROUP BY v.u, v.vid, v.vts),
+        |dp AS (
+        |  SELECT vc.u,
+        |         1 + CASE WHEN vc.c1 IS NOT NULL THEN 1 ELSE 0 END
+        |           + MAX(CASE WHEN p.pts IS NOT NULL THEN 1 ELSE 0 END) AS dp
+        |  FROM vc LEFT JOIN p ON vc.u = p.pu AND p.pts > vc.c1
+        |                      AND p.pts <= vc.vts + INTERVAL 1 HOUR
+        |  GROUP BY vc.u, vc.vid, vc.c1),
+        |du AS (SELECT u, MAX(dp) AS depth FROM dp GROUP BY u)
+        |SELECT CAST(depth AS INTEGER) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM du GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "q_m4_downsample" ->
+      """WITH ev AS (
+        |  SELECT event_type AS et, epoch_us(ts) AS us,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |bounds AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM ev),
+        |bk AS (
+        |  SELECT et, us, cents, event_id,
+        |         LEAST(63, (us - t0) * 64 // (t1 - t0 + 1)) AS b
+        |  FROM ev, bounds),
+        |rk AS (
+        |  SELECT et, b, cents,
+        |         ROW_NUMBER() OVER (PARTITION BY et, b ORDER BY us, event_id) AS ra,
+        |         ROW_NUMBER() OVER (PARTITION BY et, b ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM bk)
+        |SELECT et, b, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(cents) AS lo, MAX(cents) AS hi,
+        |       MAX(CASE WHEN ra = 1 THEN cents END) AS first_c,
+        |       MAX(CASE WHEN rd = 1 THEN cents END) AS last_c
+        |FROM rk GROUP BY et, b ORDER BY et, b""".stripMargin,
 
     "q_calendar_fill" ->
       """WITH RECURSIVE m(k) AS (

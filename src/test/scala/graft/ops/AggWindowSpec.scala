@@ -158,4 +158,13 @@ class AggWindowSpec extends SparkSpec {
     val want = math.exp(vals.map(math.log).sum / vals.size) // = 2.828...
     assert(math.abs(got - want) < 1e-12)
   }
+
+  test("q_agg_bitmap: popcount sum is the exact distinct count in every group") {
+    val rows = graft.SparkEntry.queries("q_agg_bitmap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"bitmap=${r.getLong(1)} exact=${r.getLong(2)}")
+      assert(r.getBoolean(3))
+    }
+  }
 }

@@ -429,4 +429,16 @@ class DedupVariantsSpec extends SparkSpec {
       s"got=$r want=($n, $wantSlope, $wantIcept)")
     assert(wantSlope < 0, "natural-language rank/frequency slope must be negative")
   }
+
+  test("q_kmv_sketch: estimator within theta-sketch error of the exact jaccard") {
+    val rows = graft.SparkEntry.queries("q_kmv_sketch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, common, est, exact) =>
+      assert(common <= 128, s"($a,$b) common=$common exceeds k")
+      assert(est >= 0 && est <= 10000 && exact >= 0 && exact <= 10000)
+      // k=128 → stderr ≈ sqrt(j(1-j)/k) ≤ 0.045; allow 4 sigma
+      assert((est - exact).abs <= 1800, s"($a,$b) est=$est exact=$exact off by ${(est - exact).abs}")
+    }
+  }
 }

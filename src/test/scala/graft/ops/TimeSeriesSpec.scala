@@ -291,4 +291,65 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.map(_._1).forall(c => c == -1L || (c >= 0 && c < 5)))
     assert(rows.map(_._1).distinct.length == rows.length)
   }
+
+  test("q_join_asof_fwd: negated-key merge equals brute-force next-click") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // pre-merged clicks: per (user, ts) keep max event_id
+    val cl = ev.filter(_._3 == "click").groupBy(x => (x._2, x._4))
+      .map { case ((u, t), rs) => (u, t, rs.map(_._1).max) }.toSeq
+    val want = ev.filter(_._3 == "purchase").map { case (pid, u, _, pts) =>
+      val nxt = cl.filter(c => c._1 == u && c._2 >= pts)
+      pid -> (if (nxt.isEmpty) null else (nxt.minBy(c => (c._2, -c._3))._3: java.lang.Long))
+    }.sortBy(_._1).toSeq
+    val got = graft.SparkEntry.queries("q_join_asof_fwd")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else (r.getLong(1): java.lang.Long))).toSeq
+    assert(got == want)
+    assert(got.exists(_._2 != null))
+  }
+
+  test("q_window_funnel: greedy in-order depth matches a driver walk") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val H = 3600000000L
+    val byU = ev.groupBy(_._1)
+    val want = byU.map { case (_, rows) =>
+      val vs = rows.filter(_._2 == "view").map(_._3)
+      val cs = rows.filter(_._2 == "click").map(_._3)
+      val ps = rows.filter(_._2 == "purchase").map(_._3)
+      val depths = vs.map { v =>
+        val c1 = cs.filter(c => c > v && c <= v + H)
+        if (c1.isEmpty) 1
+        else {
+          val c = c1.min
+          if (ps.exists(pp => pp > c && pp <= v + H)) 3 else 2
+        }
+      }
+      if (depths.isEmpty) 0 else depths.max
+    }.filter(_ > 0).groupBy(identity).map { case (dp, us) => (dp, us.size.toLong) }
+    val got = graft.SparkEntry.queries("q_window_funnel")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("q_m4_downsample: per-bucket min/max/first/last match a driver pass") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) as us",
+                  "cast(round(value * 100) as long) as cents", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val t0 = ev.map(_._2).min; val t1 = ev.map(_._2).max
+    val want = ev.groupBy(x => (x._1, math.min(63L, (x._2 - t0) * 64 / (t1 - t0 + 1)))).map {
+      case ((et, b), rows) =>
+        val inOrder = rows.sortBy(x => (x._2, x._4))
+        (et, b) -> (rows.size.toLong, rows.map(_._3).min, rows.map(_._3).max,
+                    inOrder.head._3, inOrder.last._3)
+    }
+    val got = graft.SparkEntry.queries("q_m4_downsample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == want)
+    assert(got.keys.map(_._2).max <= 63L)
+  }
 }
