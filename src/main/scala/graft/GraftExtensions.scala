@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDot, TopK}
+import graft.functions.{FloatDot, HilbertKey, TDigest, TopK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
       TopK.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "graft_hilbert"),
+      HilbertKey.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_tdigest"),
+      new ExpressionInfo(classOf[TDigest].getName, "graft_tdigest"),
+      TDigest.builder))
     e.injectOptimizerRule(graft.plans.IntervalJoinBucketing)
     e.injectHintResolutionRule(graft.plans.AsOfJoinHintRule)
     e.injectResolutionRule(graft.plans.AsOfJoinHintRule)

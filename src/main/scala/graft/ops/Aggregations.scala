@@ -460,6 +460,47 @@ object Aggregations extends OpModule {
                 |  - (n + 1.0) / n)) as bigint)""".stripMargin).as("gini_e6"))
         .orderBy(col("n_name"))
     }),
+
+    // t-digest quantile sketch (functions/TDigest.scala — the second custom
+    // TypedImperativeAggregate beside graft_topk): per event type, the
+    // digest estimates [p50, p95] while shuffling O(δ) centroids per group
+    // instead of sorting the rows — the distributed-quantile primitive at
+    // 100 TB. Oracle pattern = q_agg_approx_distinct: centroid boundaries
+    // depend on merge order, so the output pins the EXACT value-at-rank
+    // quantiles plus a flag asserting the digest's rank error ≤ 2.5% of n
+    // (theory at δ=100: ≪1%); DuckDB emits the same exacts + TRUE. The
+    // rank test brackets the estimate between strict/inclusive ranks so a
+    // value atom heavier than the tolerance cannot fail a perfect
+    // estimate. All flag arithmetic is integer (40·rank vs 20n/38n ± n).
+    "q_tdigest" -> ((s, d) => {
+      graft.functions.TDigest.register(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), Det.cents(col("value")).as("c"))
+      val dig = ev.groupBy(col("event_type"))
+        .agg(expr("graft_tdigest(cast(c as double))").as("est"))
+        .select(col("event_type"), col("est").getItem(0).as("e50"),
+                col("est").getItem(1).as("e95"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val exact = ev.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+             max(when(col("r") === expr("(n + 1) div 2"), col("c"))).as("p50_cents"),
+             max(when(col("r") === expr("(19 * n + 19) div 20"), col("c"))).as("p95_cents"))
+      val ranks = ev.join(broadcast(dig), "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("c") < col("e50"), 1L).otherwise(0L)).as("lo50"),
+             sum(when(col("c") <= col("e50"), 1L).otherwise(0L)).as("hi50"),
+             sum(when(col("c") < col("e95"), 1L).otherwise(0L)).as("lo95"),
+             sum(when(col("c") <= col("e95"), 1L).otherwise(0L)).as("hi95"))
+      exact.join(ranks, "event_type")
+        .select(col("event_type"), col("n"), col("p50_cents"), col("p95_cents"),
+          ((col("hi50") * 40 >= col("n") * 19) && (col("lo50") * 40 <= col("n") * 21) &&
+           (col("hi95") * 40 >= col("n") * 37) && (col("lo95") * 40 <= col("n") * 39))
+            .as("td_ok"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -735,5 +776,19 @@ object Aggregations extends OpModule {
         |  CAST(ROUND(1e6 * ((2.0 * six) / (CAST(n AS DOUBLE) * sx)
         |    - (n + 1.0) / n)) AS BIGINT) AS gini_e6
         |FROM a ORDER BY n_name""".stripMargin,
+
+    "q_tdigest" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (
+        |  SELECT event_type, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type, MAX(n) AS n,
+        |  MAX(CASE WHEN r = (n + 1) // 2 THEN c END) AS p50_cents,
+        |  MAX(CASE WHEN r = (19 * n + 19) // 20 THEN c END) AS p95_cents,
+        |  TRUE AS td_ok
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

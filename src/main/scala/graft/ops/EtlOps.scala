@@ -369,6 +369,59 @@ object EtlOps extends OpModule {
         .select(col("p_partkey"), col("zkey"),
                 expr("shiftright(zkey, 30) & 3").as("quadrant"))
         .orderBy(col("p_partkey"))),
+
+    // Hilbert-curve clustering key — q_zorder_key's layout sibling through
+    // the native codegen expression functions/HilbertKey.scala (see its
+    // scaladoc for the Morton-vs-Hilbert locality argument). Same two
+    // dimensions as the z-order query so the two layouts are directly
+    // comparable; the DuckDB oracle unrolls the identical xy2d loop as 8
+    // generated CTEs (HilbertKey.oracleCtes) — the JVM kernel and the SQL
+    // twin are emitted from the same loop structure and cannot drift.
+    // Output also pins the top-level curve quarter (d >> 14): unlike the
+    // Morton quadrant it orders the four quarters along an edge-connected
+    // walk, which is what a range-partitioning layout writer would cut.
+    "q_hilbert_key" -> ((s, d) => {
+      graft.functions.HilbertKey.register(s)
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+                (col("p_size").cast("long") % 256).as("x"),
+                pmod(col("p_partkey"), lit(256)).as("y"))
+        .withColumn("hkey", expr("graft_hilbert(x, y)"))
+        .select(col("p_partkey"), col("hkey"),
+                expr("shiftright(hkey, 14) & 3").as("quarter"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Skyline (Pareto frontier): parts not dominated on (size max, price
+    // min) — the multi-objective "best offers" operator. The textbook
+    // definition is an O(n²) dominance anti-join; in 2-D it collapses to a
+    // staircase sweep: aggregate each size's min price (tiny — |distinct
+    // sizes| rows), take the running strict-min over larger sizes, and a
+    // part is on the skyline iff it hits its size's min price AND that min
+    // beats every larger size's. Plan: one map-side-combinable aggregate +
+    // a window over the SIZE TABLE (corpus-independent) + one broadcast
+    // join back — no self-join of the fact table at any scale. The DuckDB
+    // oracle keeps the declarative NOT EXISTS dominance form (against the
+    // size aggregate — provably equivalent, see spec) so the gate pins
+    // sweep ≡ definition.
+    "q_skyline" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("long").as("size"),
+                Det.cents(col("p_retailprice")).as("price_cents"))
+      val bySize = parts.groupBy(col("size")).agg(min(col("price_cents")).as("minp"))
+      val wDesc = Window.orderBy(col("size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // |distinct sizes| rows: the single-partition window is fine (and the
+      // PlanAuditSpec global-sort rule does not apply — aggregate below it)
+      val sky = bySize
+        .withColumn("runmin", min(col("minp")).over(wDesc))
+        .where(col("runmin").isNull || col("minp") < col("runmin"))
+        .select(col("size").as("sky_size"), col("minp"))
+      parts.join(broadcast(sky), col("size") === col("sky_size") &&
+                 col("price_cents") === col("minp"))
+        .select(col("p_partkey"), col("size").as("p_size"), col("price_cents"))
+        .orderBy(col("p_partkey"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -581,5 +634,29 @@ object EtlOps extends OpModule {
         |SELECT p_partkey, zkey,
         |  CAST((zkey >> 30) & 3 AS BIGINT) AS quadrant
         |FROM z ORDER BY p_partkey""".stripMargin,
+
+    "q_hilbert_key" ->
+      s"""WITH h0 AS (
+         |  SELECT p_partkey, CAST(p_size AS BIGINT) % 256 AS x,
+         |         p_partkey % 256 AS y, CAST(0 AS BIGINT) AS d
+         |  FROM part),
+         |${graft.functions.HilbertKey.oracleCtes("h0", "p_partkey")}
+         |SELECT p_partkey, d AS hkey,
+         |  CAST((d >> 14) & 3 AS BIGINT) AS quarter
+         |FROM h8 ORDER BY p_partkey""".stripMargin,
+
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+        |  FROM part),
+        |s AS (SELECT p_size AS size, MIN(price_cents) AS minp FROM p GROUP BY 1)
+        |SELECT p.p_partkey, p.p_size, p.price_cents
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM s
+        |  WHERE s.size >= p.p_size AND s.minp <= p.price_cents
+        |    AND (s.size > p.p_size OR s.minp < p.price_cents))
+        |ORDER BY p.p_partkey""".stripMargin,
   )
 }

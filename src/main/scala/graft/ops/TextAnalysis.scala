@@ -544,6 +544,34 @@ object TextAnalysis extends OpModule {
         .withColumn("oov_e4", expr("n_oov * 10000 div n_tokens"))
         .orderBy(col("lang"))
     }),
+
+    // Token↔language mutual information — the feature-selection signal for
+    // language ID / domain classifiers: which tokens carry the most
+    // information about the document's language. MI(token) = Σ_lang
+    // p(t,l)·ln(p(t,l)/(p(t)p(l))) — the same pointwise decomposition as
+    // q_domain_kl, summed over the token's row of the contingency table
+    // instead of the source's. Shapes: ONE corpus tokenize feeds the
+    // (lang, token) cell counts; the token/lang marginals and the grand
+    // total all RE-AGGREGATE that cell table (vocab-sized work, the
+    // exchange-reuse discipline). Determinism: each cell contributes
+    // round(1e8·(c_tl/N)·ln(c_tl·N/(c_t·c_l))) as an integer BEFORE the
+    // per-token sum (q_domain_kl's rule); top-20 tie-break on token (D3).
+    "q_mutual_info" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+      val cell = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("ctl"))
+      val byTok = cell.groupBy(col("t")).agg(sum(col("ctl")).as("ct"))
+      val byLang = cell.groupBy(col("lang")).agg(sum(col("ctl")).as("cl"))
+      val tot = byLang.agg(sum(col("cl")).as("n"))
+      cell.join(byTok, "t").join(broadcast(byLang), "lang").crossJoin(broadcast(tot))
+        .select(col("t"), expr(
+          """cast(round(1e8 * (cast(ctl as double) / n) *
+            |  ln(cast(ctl as double) * n / (cast(ct as double) * cl))) as bigint)"""
+            .stripMargin).as("cell_e8"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_langs"), sum(col("cell_e8")).as("mi_e8"))
+        .orderBy(col("mi_e8").desc, col("t")).limit(20)
+    }),
   )
 
   /** Three ROUNDS of BPE training — the actual merge loop (shared by
@@ -986,5 +1014,21 @@ object TextAnalysis extends OpModule {
         |  CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT)
         |    * 10000 // COUNT(*) AS oov_e4
         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH tok AS (
+        |  SELECT lang, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+        |cell AS (SELECT lang, t, COUNT(*) AS ctl FROM tok GROUP BY lang, t),
+        |by_tok AS (SELECT t, CAST(SUM(ctl) AS BIGINT) AS ct FROM cell GROUP BY t),
+        |by_lang AS (SELECT lang, CAST(SUM(ctl) AS BIGINT) AS cl FROM cell GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(cl) AS BIGINT) AS n FROM by_lang),
+        |mi AS (
+        |  SELECT cell.t,
+        |    CAST(ROUND(1e8 * (CAST(ctl AS DOUBLE) / n) *
+        |      LN(CAST(ctl AS DOUBLE) * n / (CAST(ct AS DOUBLE) * cl))) AS BIGINT) AS ce
+        |  FROM cell JOIN by_tok USING (t) JOIN by_lang USING (lang), tot)
+        |SELECT t, COUNT(*) AS n_langs, CAST(SUM(ce) AS BIGINT) AS mi_e8
+        |FROM mi GROUP BY t
+        |ORDER BY mi_e8 DESC, t LIMIT 20""".stripMargin,
   )
 }

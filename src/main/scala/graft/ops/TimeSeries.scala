@@ -715,6 +715,45 @@ object TimeSeries extends OpModule {
              sum(col("contrib_e8")).as("psi_e8"))
         .orderBy(col("event_type"))
     }),
+
+    // Autocorrelation function: Pearson r of each type's daily event-count
+    // series against itself at lags 1–3 — the seasonality detector behind
+    // q_seasonality's fixed hourly profile (a high ACF at lag 7 says
+    // "weekly cycle" without assuming one). Shapes: the corpus collapses
+    // to a (type, day) aggregate FIRST (map-side combinable, the only
+    // corpus-sized pass); the lag windows and the moment aggregation run
+    // over that day-grain table, whose size is bounded by the calendar,
+    // not the corpus. One stack() pairs all three lags from one window
+    // pass. Determinism: counts are exact longs, all five moments sum as
+    // integers, and the final r evaluates ONE shared double expression
+    // (ROUND 1e6, NULLIF zero-variance guard) — the q_corr_matrix recipe
+    // on a self-lagged series.
+    "q_acf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .select(col("event_type"), col("c"),
+                lag(col("c"), 1).over(w).as("l1"),
+                lag(col("c"), 2).over(w).as("l2"),
+                lag(col("c"), 3).over(w).as("l3"))
+        .select(col("event_type"), col("c").as("x"),
+                expr("stack(3, 1, l1, 2, l2, 3, l3) as (lag_k, y)"))
+        .where(col("y").isNotNull)
+        .groupBy(col("event_type"), col("lag_k"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("y")).as("sxy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag_k"), col("n").as("n_pairs"),
+          expr("""cast(round(1e6 * (n * sxy - sx * sy) /
+                |  nullif(sqrt(cast(n * sxx - sx * sx as double))
+                |    * sqrt(cast(n * syy - sy * sy as double)), 0.0)) as bigint)"""
+            .stripMargin).as("acf_e6"))
+        .orderBy(col("event_type"), col("lag_k"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1169,5 +1208,33 @@ object TimeSeries extends OpModule {
         |SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
         |  CAST(SUM(ce) AS BIGINT) AS psi_e8
         |FROM contrib GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+        |         COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, c,
+        |    LAG(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    LAG(c, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+        |    LAG(c, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+        |  FROM daily),
+        |st AS (
+        |  SELECT event_type, 1 AS lag_k, c AS x, l1 AS y FROM l
+        |  UNION ALL SELECT event_type, 2, c, l2 FROM l
+        |  UNION ALL SELECT event_type, 3, c, l3 FROM l),
+        |m AS (
+        |  SELECT event_type, lag_k, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM st WHERE y IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag_k AS INTEGER) AS lag_k, n AS n_pairs,
+        |  CAST(ROUND(1e6 * (n * sxy - sx * sy) /
+        |    NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)) AS BIGINT) AS acf_e6
+        |FROM m ORDER BY event_type, lag_k""".stripMargin,
   )
 }
