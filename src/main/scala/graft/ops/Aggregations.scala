@@ -501,6 +501,45 @@ object Aggregations extends OpModule {
             .as("td_ok"))
         .orderBy(col("event_type"))
     }),
+
+    // Bootstrap confidence interval for the mean, the "online bootstrap"
+    // way a distributed engine actually runs it: instead of materializing B
+    // resamples, every row draws B=32 deterministic Poisson(1) weights from
+    // an md5 of (key, b) — the multinomial-resample approximation (Owen &
+    // Eckles' Poisson bootstrap) — and each resample mean is a weighted
+    // aggregate. ONE pass over a 32× row fan-out, map-side combinable to 32
+    // groups; the CI is value-at-rank 2/31 of the 32 means (~93.75% CI).
+    // Determinism: weights come from integer md5 thresholds at the
+    // Poisson(1) CDF (e⁻¹-spaced, frozen as literals both sides — the
+    // q_sample_hash idiom), means round once at 1e-2 cents from exact
+    // long sums, rank ties break on b.
+    "q_bootstrap_ci" -> ((s, d) => {
+      val x = Tables.orders(s, d)
+        .select(col("o_orderkey"), Det.cents(col("o_totalprice")).as("x"))
+      val rep = x.select(col("o_orderkey"), col("x"),
+          explode(expr("sequence(1, 32)")).as("b"))
+        .withColumn("u", conv(substring(md5(concat(
+          col("o_orderkey").cast("string"), lit(":"), col("b").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+        .withColumn("w",
+          when(col("u") < 1580030169L, 0L).when(col("u") < 3160060338L, 1L)
+            .when(col("u") < 3950075422L, 2L).when(col("u") < 4213413783L, 3L)
+            .otherwise(4L))
+      val means = rep.groupBy(col("b"))
+        .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+        .select(col("b"), expr("cast(round(1e2 * swx / sw) as bigint)").as("mean_e2"))
+      // 32-row aggregate — the single-partition window sits above it
+      val wr = Window.orderBy(col("mean_e2"), col("b"))
+      val ci = means.withColumn("rn", row_number().over(wr))
+        .agg(count(lit(1)).as("n_resamples"),
+             max(when(col("rn") === 2, col("mean_e2"))).as("ci_lo_e2"),
+             max(when(col("rn") === 31, col("mean_e2"))).as("ci_hi_e2"))
+      x.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .select(col("n"), expr("cast(round(1e2 * sx / n) as bigint)").as("mean_e2"))
+        .crossJoin(broadcast(ci))
+        .select(col("n"), col("mean_e2"), col("n_resamples"),
+                col("ci_lo_e2"), col("ci_hi_e2"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -790,5 +829,39 @@ object Aggregations extends OpModule {
         |  MAX(CASE WHEN r = (19 * n + 19) // 20 THEN c END) AS p95_cents,
         |  TRUE AS td_ok
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH x AS (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders),
+        |rep AS (
+        |  SELECT b, x.x,
+        |    CAST(('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |      || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        |  FROM x, (SELECT UNNEST(GENERATE_SERIES(1, 32)) AS b)),
+        |w AS (
+        |  SELECT b, x,
+        |    CASE WHEN u < 1580030169 THEN 0 WHEN u < 3160060338 THEN 1
+        |         WHEN u < 3950075422 THEN 2 WHEN u < 4213413783 THEN 3
+        |         ELSE 4 END AS w
+        |  FROM rep),
+        |means AS (
+        |  SELECT b, CAST(ROUND(1e2 * CAST(SUM(w * x) AS BIGINT)
+        |    / CAST(SUM(w) AS BIGINT)) AS BIGINT) AS mean_e2
+        |  FROM w GROUP BY b),
+        |rk AS (
+        |  SELECT b, mean_e2, ROW_NUMBER() OVER (ORDER BY mean_e2, b) AS rn
+        |  FROM means),
+        |ci AS (
+        |  SELECT COUNT(*) AS n_resamples,
+        |    MAX(CASE WHEN rn = 2 THEN mean_e2 END) AS ci_lo_e2,
+        |    MAX(CASE WHEN rn = 31 THEN mean_e2 END) AS ci_hi_e2
+        |  FROM rk),
+        |o AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(ROUND(1e2 * CAST(SUM(x) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_e2
+        |  FROM x)
+        |SELECT o.n, o.mean_e2, ci.n_resamples, ci.ci_lo_e2, ci.ci_hi_e2
+        |FROM o, ci""".stripMargin,
   )
 }

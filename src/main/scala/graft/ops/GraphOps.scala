@@ -199,6 +199,43 @@ object GraphOps extends OpModule {
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .orderBy(col("node"))
     }),
+
+    // Newman modularity of a node partition — the graph-quality audit for
+    // any community/label assignment: Q = Σ_c [e_c/m − (d_c/2m)²] over the
+    // strong co-purchase part graph (q_link_pred's edge set, no hub cap —
+    // modularity is per-EDGE work, no wedge expansion), partitioned by the
+    // catalog's own p_brand. Shapes: the edge list is the one co-order
+    // self-join (linear in lineitem, bounded per-order fan-out); brands
+    // attach via two broadcast part-dim joins; e_c/d_c/m are three exact
+    // integer aggregates of the edge table. Per-brand Q contribution
+    // rounds at 1e8 from one shared double expression — bit-stable, and
+    // the global Q is the (deducible) integer sum of the column.
+    "q_modularity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.select(col("o"), col("p").as("u"))
+        .join(li.select(col("o"), col("p").as("v")), Seq("o"))
+        .where(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
+        .where(col("n_co") >= 2)
+        .select(col("u"), col("v"))
+      val brand = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      val eb = e.join(broadcast(brand.select(col("p_partkey").as("u"), col("p_brand").as("bu"))), Seq("u"))
+                .join(broadcast(brand.select(col("p_partkey").as("v"), col("p_brand").as("bv"))), Seq("v"))
+      val m = eb.agg(count(lit(1)).as("m"))
+      val dC = eb.select(explode(array(col("bu"), col("bv"))).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("d_c"))
+      val eC = eb.where(col("bu") === col("bv"))
+        .groupBy(col("bu").as("b")).agg(count(lit(1)).as("e_c"))
+      dC.join(eC, Seq("b"), "left")
+        .na.fill(0L, Seq("e_c"))
+        .crossJoin(broadcast(m))
+        .select(col("b").as("brand"), col("e_c"), col("d_c"), col("m"),
+          expr("""cast(round(1e8 * (cast(e_c as double) / m
+                |  - (cast(d_c as double) * d_c) / (4.0 * m * m))) as bigint)"""
+            .stripMargin).as("q_e8"))
+        .orderBy(col("brand"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -286,5 +323,25 @@ object GraphOps extends OpModule {
         |SELECT node, COUNT(*) AS deg FROM (
         |  SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_modularity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |eb AS (
+        |  SELECT e.u, e.v, pu.p_brand AS bu, pv.p_brand AS bv
+        |  FROM e JOIN part pu ON e.u = pu.p_partkey
+        |         JOIN part pv ON e.v = pv.p_partkey),
+        |m AS (SELECT COUNT(*) AS m FROM eb),
+        |d_c AS (
+        |  SELECT b, COUNT(*) AS d_c FROM (
+        |    SELECT bu AS b FROM eb UNION ALL SELECT bv AS b FROM eb) GROUP BY b),
+        |e_c AS (SELECT bu AS b, COUNT(*) AS e_c FROM eb WHERE bu = bv GROUP BY bu)
+        |SELECT d_c.b AS brand, COALESCE(e_c.e_c, 0) AS e_c, d_c.d_c, m.m,
+        |  CAST(ROUND(1e8 * (CAST(COALESCE(e_c.e_c, 0) AS DOUBLE) / m.m
+        |    - (CAST(d_c.d_c AS DOUBLE) * d_c.d_c) / (4.0 * m.m * m.m))) AS BIGINT) AS q_e8
+        |FROM d_c LEFT JOIN e_c ON d_c.b = e_c.b, m
+        |ORDER BY brand""".stripMargin,
   )
 }

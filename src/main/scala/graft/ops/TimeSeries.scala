@@ -754,6 +754,69 @@ object TimeSeries extends OpModule {
             .stripMargin).as("acf_e6"))
         .orderBy(col("event_type"), col("lag_k"))
     }),
+
+    // CUSUM changepoint detection: for each type's daily spend series, the
+    // day t maximizing |Σ_{i≤t}(x_i − x̄)| — the classic single-changepoint
+    // locator. Everything stays integer: n·prefix_t − t·total is the
+    // cumulative deviation scaled by n (same argmax, no division), so both
+    // engines agree bit-for-bit and ties break to the earliest day via the
+    // rank window. Shapes: corpus → (type, day) cents aggregate (the only
+    // data-sized pass), prefix + rank windows over the calendar-bounded
+    // day table, totals via a broadcast per-type aggregate.
+    "q_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(Det.moneySum(col("value")).as("x"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val dev = daily.join(broadcast(tot), "event_type")
+        .withColumn("t", row_number().over(w))
+        .withColumn("pre", sum(col("x")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("s_abs", abs(col("n") * col("pre") - col("t") * col("total")))
+      val wR = Window.partitionBy(col("event_type"))
+        .orderBy(col("s_abs").desc, col("day"))
+      dev.withColumn("rk", row_number().over(wR)).where(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+                // timestamp_ntz, not DATE: raw DATE columns hit the pandas
+                // object-vs-datetime64 comparator drift (check.py warns)
+                col("day").cast("timestamp_ntz").as("cp_day"),
+                col("s_abs").as("s_max"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Theil–Sen robust trend: the median of all pairwise day-to-day slopes
+    // of the daily spend series — 29% breakdown point vs OLS's zero (one
+    // corrupted day can drag q_agg_regr's slope arbitrarily; not this
+    // one's). The pair expansion runs over the (type, day) AGGREGATE —
+    // days² is calendar-bounded, corpus-independent — never the raw
+    // events. Slopes are single divisions of exact longs (epoch-day
+    // denominators handle gaps); the median is value-at-rank ⌈n/2⌉ with a
+    // (slope, i, j) total order, then ONE round at 1e4 — no double
+    // accumulation anywhere.
+    "q_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 datediff(date_trunc("day", col("ts")).cast("date"),
+                          lit("1970-01-01").cast("date")).as("t"))
+        .agg(Det.moneySum(col("value")).as("x"))
+      val a = daily.select(col("event_type"), col("t").as("ti"), col("x").as("xi"))
+      val b = daily.select(col("event_type"), col("t").as("tj"), col("x").as("xj"))
+      val slopes = a.join(b, Seq("event_type")).where(col("ti") < col("tj"))
+        .select(col("event_type"), col("ti"), col("tj"),
+          ((col("xj") - col("xi")).cast("double") / (col("tj") - col("ti"))).as("sl"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("sl"), col("ti"), col("tj"))
+      val wAll = Window.partitionBy(col("event_type"))
+      slopes.withColumn("r", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(wAll))
+        .where(col("r") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+                expr("cast(round(1e4 * sl) as bigint)").as("slope_e4"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1236,5 +1299,49 @@ object TimeSeries extends OpModule {
         |    NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
         |      * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)) AS BIGINT) AS acf_e6
         |FROM m ORDER BY event_type, lag_k""".stripMargin,
+
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT daily.event_type, day, n,
+        |    ABS(n * CAST(SUM(x) OVER (PARTITION BY daily.event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        - ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY day)
+        |          * total) AS s_abs
+        |  FROM daily JOIN tot ON daily.event_type = tot.event_type),
+        |rk AS (
+        |  SELECT event_type, n, day, s_abs,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY s_abs DESC, day) AS rk
+        |  FROM dev)
+        |SELECT event_type, n AS n_days, CAST(day AS TIMESTAMP) AS cp_day,
+        |  s_abs AS s_max
+        |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(DATE_TRUNC('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type, a.t AS ti, b.t AS tj,
+        |    CAST(b.x - a.x AS DOUBLE) / (b.t - a.t) AS sl
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.t < b.t),
+        |r AS (
+        |  SELECT event_type, sl,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sl, ti, tj) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM sl)
+        |SELECT event_type, np AS n_pairs,
+        |  CAST(ROUND(1e4 * sl) AS BIGINT) AS slope_e4
+        |FROM r WHERE r = (np + 1) // 2 ORDER BY event_type""".stripMargin,
   )
 }
