@@ -34,6 +34,7 @@ object Bench {
     "q_pagerank", "q_winnow",                                        // graph iterate + winnow scan (r6)
     "q_dedup_contain", "q_ccnet_bucket",                             // posting-list block + DistRank ntile (r6)
     "q_triangle", "q_substr_dedup", "q_knn_graph",                   // oriented wedges + span df + knn self-join (r7)
+    "q_tdigest", "q_hilbert_key",                                    // t-digest sketch agg + codegen hilbert key (r9)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

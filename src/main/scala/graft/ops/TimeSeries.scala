@@ -817,6 +817,35 @@ object TimeSeries extends OpModule {
                 expr("cast(round(1e4 * sl) as bigint)").as("slope_e4"))
         .orderBy(col("event_type"))
     }),
+
+    // As-of join WITH TOLERANCE: each purchase takes the latest click ≤ 2 h
+    // before it, else null — the form production feature-stores actually
+    // run, because unbounded as-of state ("the last click EVER") never
+    // ages out, while a tolerance bound is exactly what makes streaming
+    // state and interval-bucketed batch plans finite. Formulated as the
+    // bounded interval join (the IntervalJoinBucketing rewrite family —
+    // same shape the optimizer rule auto-buckets) + rank-1 per purchase +
+    // a left join to keep no-click purchases. Duplicate click timestamps
+    // pre-merge per (user, ts) like q_join_asof so the pick is total (D3).
+    "q_join_asof_tol" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("p_id"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("ts").desc, col("click_id").desc)
+      val best = purchases.join(clicks, Seq("user_id"))
+        .where(col("ts") <= col("pts") &&
+               col("ts") > col("pts") - expr("INTERVAL 2 HOURS"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("p_id"), col("click_id"))
+      purchases.join(best, Seq("p_id"), "left")
+        .select(col("p_id"), col("click_id"))
+        .orderBy(col("p_id"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1343,5 +1372,24 @@ object TimeSeries extends OpModule {
         |SELECT event_type, np AS n_pairs,
         |  CAST(ROUND(1e4 * sl) AS BIGINT) AS slope_e4
         |FROM r WHERE r = (np + 1) // 2 ORDER BY event_type""".stripMargin,
+
+    "q_join_asof_tol" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, ts AS pts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.p_id, c.click_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.p_id
+        |                       ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN clicks c
+        |    ON p.user_id = c.user_id
+        |   AND c.ts <= p.pts AND c.ts > p.pts - INTERVAL 2 HOUR),
+        |best AS (SELECT p_id, click_id FROM j WHERE rn = 1)
+        |SELECT p.p_id, best.click_id
+        |FROM p LEFT JOIN best ON p.p_id = best.p_id
+        |ORDER BY p.p_id""".stripMargin,
   )
 }

@@ -566,6 +566,50 @@ object StreamOps extends OpModule {
         .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
         .orderBy(col("event_type"))
     }),
+
+    // The custom TypedImperativeAggregate running as STREAMING state:
+    // graft_tdigest (functions/TDigest.scala) aggregates per event type in
+    // Complete mode, so the state store persists the serialized digest
+    // buffer across micro-batches — per-key state is O(δ) centroids no
+    // matter how much data streams through, which is the entire point of a
+    // mergeable sketch in a stream. The audit is q_tdigest's batch
+    // contract verbatim (exact value-at-rank quantiles + 2.5% rank-bound
+    // flag on the stream's estimates), so the oracle pins the streaming
+    // path to the same error contract as the batch path.
+    "s_tdigest" -> ((s, d) => {
+      graft.functions.TDigest.register(s)
+      val est = runStreamFile(s, d, OutputMode.Complete()) { ds =>
+        ds.toDF().groupBy(col("event_type"))
+          .agg(expr("graft_tdigest(cast(round(value * 100) as double))").as("est"))
+          .select(col("event_type"), col("est").getItem(0).as("e50"),
+                  col("est").getItem(1).as("e95"))
+      }
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+                expr("cast(round(value * 100) as bigint)").as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("c"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val exact = ev.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+             max(when(col("r") === expr("(n + 1) div 2"), col("c"))).as("p50_cents"),
+             max(when(col("r") === expr("(19 * n + 19) div 20"), col("c"))).as("p95_cents"))
+      val ranks = ev.join(broadcast(est), "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("c") < col("e50"), 1L).otherwise(0L)).as("lo50"),
+             sum(when(col("c") <= col("e50"), 1L).otherwise(0L)).as("hi50"),
+             sum(when(col("c") < col("e95"), 1L).otherwise(0L)).as("lo95"),
+             sum(when(col("c") <= col("e95"), 1L).otherwise(0L)).as("hi95"))
+      exact.join(ranks, "event_type")
+        .select(col("event_type"), col("n"), col("p50_cents"), col("p95_cents"),
+          ((col("hi50") * 40 >= col("n") * 19) && (col("lo50") * 40 <= col("n") * 21) &&
+           (col("hi95") * 40 >= col("n") * 37) && (col("lo95") * 40 <= col("n") * 39))
+            .as("td_ok"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -723,5 +767,21 @@ object StreamOps extends OpModule {
     "s_incr_ingest" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q_tdigest's oracle verbatim: exact value-at-rank quantiles + TRUE —
+    // the flag asserts the STREAMING digest's rank error stays in contract
+    "s_tdigest" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (
+        |  SELECT event_type, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type, MAX(n) AS n,
+        |  MAX(CASE WHEN r = (n + 1) // 2 THEN c END) AS p50_cents,
+        |  MAX(CASE WHEN r = (19 * n + 19) // 20 THEN c END) AS p95_cents,
+        |  TRUE AS td_ok
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
