@@ -78,6 +78,22 @@ object Subqueries extends OpModule {
               |                AND o.o_orderpriority = '1-URGENT')
               |ORDER BY c_custkey""".stripMargin)
     }),
+
+    // Spark 4 SQL pipe syntax (|>): the same filter→aggregate→sort chain a
+    // DataFrame expresses, written as the SQL-standard-track pipeline
+    // dialect. Catalyst plans it identically to the nested-SELECT form (one
+    // partial→final hash aggregate over the pushed-down scan) — the point
+    // is SURFACE coverage: a reference user migrating pipeline-style SQL
+    // runs it unchanged. Money sums ride integer cents (D1).
+    "q_sql_pipe" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_pipe_v")
+      s.sql("""FROM li_pipe_v
+              ||> WHERE l_quantity > 10
+              ||> AGGREGATE COUNT(*) AS n,
+              |            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+              |   GROUP BY l_returnflag
+              ||> ORDER BY l_returnflag""".stripMargin)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -116,5 +132,13 @@ object Subqueries extends OpModule {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB has no pipe dialect — the oracle is the equivalent ANSI form
+    // (the comparator sorts columns by name, so projection order is free)
+    "q_sql_pipe" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -572,6 +572,22 @@ object TextAnalysis extends OpModule {
         .agg(count(lit(1)).as("n_langs"), sum(col("cell_e8")).as("mi_e8"))
         .orderBy(col("mi_e8").desc, col("t")).limit(20)
     }),
+
+    // Top trigrams through the NATIVE table-generating function
+    // (functions/NGrams.scala — the §2.10 UDTF extension point, exercised
+    // as `LATERAL VIEW graft_ngrams(t, 3)` in SQL): each n-gram row streams
+    // straight from the generator into the partial aggregate with no
+    // per-document array materialization (see NGrams scaladoc vs the
+    // shinglesAll kernel). Count/tie-break discipline as q_bpe_pairs.
+    "q_udtf_ngrams" -> ((s, d) => {
+      graft.functions.NGrams.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), trim(lower(col("text"))).as("t"))
+        .createOrReplaceTempView("docs_ngram_v")
+      s.sql("""SELECT ngram, COUNT(*) AS n
+              |FROM docs_ngram_v LATERAL VIEW graft_ngrams(t, 3) AS ngram
+              |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin)
+    }),
   )
 
   /** Three ROUNDS of BPE training — the actual merge loop (shared by
@@ -1030,5 +1046,15 @@ object TextAnalysis extends OpModule {
         |SELECT t, COUNT(*) AS n_langs, CAST(SUM(ce) AS BIGINT) AS mi_e8
         |FROM mi GROUP BY t
         |ORDER BY mi_e8 DESC, t LIMIT 20""".stripMargin,
+
+    "q_udtf_ngrams" ->
+      """WITH tk AS (
+        |  SELECT STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks FROM documents),
+        |tg AS (
+        |  SELECT UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 2, 0)),
+        |    i -> ARRAY_TO_STRING(toks[i + 1:i + 3], ' '))) AS ngram
+        |  FROM tk)
+        |SELECT ngram, COUNT(*) AS n FROM tg
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
   )
 }

@@ -342,6 +342,38 @@ object Sources extends OpModule {
           expr("cast(octet_length(content) as bigint)").as("content_bytes"))
         .orderBy(col("doc_id"))
     }),
+
+    // Range-CLUSTERED layout write + zone-map audit — the file-skipping
+    // story sink_sorted only gestures at: buckets come from EXACT NTILE-8
+    // quantiles of the value (DistRank histogram rank — no global sort, no
+    // RangePartitioner SAMPLING, whose boundaries are nondeterministic and
+    // would break the oracle), the layout is written `partitionBy(bucket)`,
+    // and the audit reads the zone map BACK FROM THE WRITTEN LAYOUT: per
+    // bucket (n, min, max) plus the disjointness flag a scan planner needs
+    // for "predicate touches exactly the overlapping zones" skipping. At
+    // 100 TB this is the writer side of q_scan_pushdown: disjoint zones ×
+    // min/max footer stats = bounded files per range predicate.
+    "sink_range_cluster" -> ((s, d) => {
+      val path = tmp(d, "range_cluster")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), graft.ops.Det.cents(col("o_totalprice")).as("c"))
+      val ranked = graft.ops.DistRank.withGlobalRank(
+        o, col("c"), col("o_orderkey"), 10000L, "r", "n")
+      ranked
+        .withColumn("bucket", graft.ops.DistRank.ntileFromRank("r", "n", 8))
+        .select(col("o_orderkey"), col("c"), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      val zones = s.read.parquet(path)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+      // 8-row aggregate — the single-partition window sits above it
+      val wz = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      zones.withColumn("prev_max", lag(col("max_c"), 1).over(wz))
+        .select(col("bucket"), col("n"), col("min_c"), col("max_c"),
+                (col("prev_max").isNull || col("min_c") >= col("prev_max"))
+                  .as("disjoint"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -425,5 +457,23 @@ object Sources extends OpModule {
       """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_bytes,
         |  CAST(LENGTH(text) AS BIGINT) AS content_bytes
         |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin,
+
+    // NTILE(8) with the (c, o_orderkey) total order matches DistRank's
+    // exact ntile arithmetic (first n%k buckets take ceil(n/k) rows)
+    "sink_range_cluster" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey, c,
+        |    CAST(NTILE(8) OVER (ORDER BY c, o_orderkey) AS INT) AS bucket
+        |  FROM o),
+        |z AS (
+        |  SELECT bucket, COUNT(*) AS n, MIN(c) AS min_c, MAX(c) AS max_c
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n, min_c, max_c,
+        |  (LAG(max_c) OVER (ORDER BY bucket) IS NULL
+        |   OR min_c >= LAG(max_c) OVER (ORDER BY bucket)) AS disjoint
+        |FROM z ORDER BY bucket""".stripMargin,
   )
 }
