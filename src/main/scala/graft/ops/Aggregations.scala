@@ -540,6 +540,50 @@ object Aggregations extends OpModule {
         .select(col("n"), col("mean_e2"), col("n_resamples"),
                 col("ci_lo_e2"), col("ci_hi_e2"))
     }),
+
+    // Eager aggregation (aggregate pushdown below joins) — the classic
+    // manual rewrite Catalyst does NOT perform: revenue per nation
+    // computed by pre-aggregating lineitem to per-ORDER totals BEFORE the
+    // orders join, then to per-CUSTOMER totals before the customer join.
+    // Each shuffle carries an already-shrunk key space (orders ≈
+    // lineitem/4, customers ≈ orders/10) instead of dragging every
+    // lineitem row through three joins to a 25-row aggregate — at 100 TB
+    // the difference between shuffling the fact table twice and shuffling
+    // two aggregates. The oracle is the NAIVE join-then-aggregate form,
+    // so the hash gate proves the rewrite is semantics-preserving.
+    "q_agg_pushdown" -> ((s, d) => {
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(Det.moneySum(col("l_extendedprice")).as("ord_cents"))
+      val perCust = perOrder
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("ord_cents")).as("cust_cents"), count(lit(1)).as("n_orders"))
+      perCust
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("cust_cents")).as("rev_cents"), sum(col("n_orders")).as("n_orders"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+              col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("rev_cents"), col("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Several COUNT(DISTINCT ...) over different columns in ONE query —
+    // planned through ExpandExec (each input row fans out once per
+    // distinct-aggregate with a grouping-id, then two aggregation rounds
+    // dedup and count). The one plan shape the aggregation family didn't
+    // exercise; still fully map-side-combinable after the expand.
+    "q_agg_multi_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             countDistinct(col("l_partkey"), col("l_suppkey")).as("n_ps"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -863,5 +907,29 @@ object Aggregations extends OpModule {
         |  FROM x)
         |SELECT o.n, o.mean_e2, ci.n_resamples, ci.ci_lo_e2, ci.ci_hi_e2
         |FROM o, ci""".stripMargin,
+
+    // the NAIVE join-then-aggregate form — pins the eager rewrite exactly
+    "q_agg_pushdown" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_agg_multi_distinct" ->
+      """WITH ps AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_ps FROM (
+        |    SELECT DISTINCT l_returnflag, l_partkey, l_suppkey FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  CAST(MAX(ps.n_ps) AS BIGINT) AS n_ps,
+        |  COUNT(*) AS n
+        |FROM lineitem l JOIN ps ON l.l_returnflag = ps.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
   )
 }

@@ -163,6 +163,28 @@ object Windows extends OpModule {
           (expr("percentile(cents, 0.5)").over(w) * 2).cast("long"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
+
+    // TIME-interval RANGE frame: each event's trailing-1-hour activity per
+    // user (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW` over
+    // the ts ordering) — the sliding-window-per-ROW companion to the
+    // bucketed q_slide_batch. RANGE frames include PEERS (equal ts), so
+    // the result is deterministic even with duplicate timestamps — no
+    // tie-break column needed, unlike every ROWS frame here (D3's range
+    // exception). One user_id shuffle; frame scan is bounded by the hour.
+    "q_win_time_range" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+                Det.cents(col("value")).as("c"))
+        .withColumn("n_1h", expr(
+          """count(1) OVER (PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+            .stripMargin))
+        .withColumn("cents_1h", expr(
+          """sum(c) OVER (PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+            .stripMargin))
+        .select(col("event_id"), col("n_1h"), col("cents_1h"))
+        .orderBy(col("event_id"))),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -256,5 +278,15 @@ object Windows extends OpModule {
         |FROM (SELECT o_custkey, o_orderkey,
         |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders) t
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_time_range" ->
+      """SELECT event_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h,
+        |  CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_1h
+        |FROM (SELECT event_id, user_id, ts,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events) t
+        |ORDER BY event_id""".stripMargin,
   )
 }

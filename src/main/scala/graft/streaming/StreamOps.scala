@@ -610,6 +610,24 @@ object StreamOps extends OpModule {
             .as("td_ok"))
         .orderBy(col("event_type"))
     }),
+
+    // graft_topk as STREAMING state — the bounded top-k aggregate's whole
+    // point, live: per-key state is the k-entry buffer no matter how much
+    // streams through, and unlike s_tdigest the comparator is a TOTAL
+    // order, so the streamed result is bit-deterministic and the oracle is
+    // EXACT (the window row_number twin), no error-contract flag needed.
+    "s_topk" -> ((s, d) => {
+      graft.functions.TopK.register(s)
+      val st = runStreamFile(s, d, OutputMode.Complete()) { ds =>
+        ds.toDF().groupBy(col("event_type"))
+          .agg(expr("graft_topk(cast(round(value * 100) as bigint), event_id, 3)")
+            .as("top"))
+      }
+      st.select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rn"),
+                col("t.sk").as("v_cents"), col("t.pl").as("event_id"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -783,5 +801,18 @@ object StreamOps extends OpModule {
         |  MAX(CASE WHEN r = (19 * n + 19) // 20 THEN c END) AS p95_cents,
         |  TRUE AS td_ok
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // total order (v DESC, event_id ASC) → streamed top-k ≡ batch window
+    "s_topk" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, v, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY v DESC, event_id) AS rn
+        |  FROM v)
+        |SELECT event_type, CAST(rn AS INT) AS rn, v AS v_cents, event_id
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
   )
 }

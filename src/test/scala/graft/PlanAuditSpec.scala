@@ -388,4 +388,26 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("yr"))
   }
+
+  test("q_agg_pushdown: aggregates stay BELOW the joins (eager aggregation)") {
+    val p = plan("q_agg_pushdown")
+    // three aggregation levels (order, customer, nation) → at least three
+    // partial/final HashAggregate pairs, and the lineitem scan feeds an
+    // aggregate before any join does
+    assert("HashAggregate".r.findAllIn(p).size >= 6, "expected 3 agg levels")
+    val firstJoin = p.indexOfSlice("Join")
+    val firstAgg = p.indexOfSlice("HashAggregate")
+    assert(firstAgg >= 0 && firstJoin >= 0)
+    // executedPlan prints top-down: the FINAL nation join sits above the
+    // aggregates; the per-order aggregate must appear below (after) it —
+    // i.e. at least one aggregate deeper in the tree than the deepest join
+    val lastJoin = p.lastIndexOfSlice("Join")
+    val lastAgg = p.lastIndexOfSlice("HashAggregate")
+    assert(lastAgg > lastJoin, "per-order aggregate must sit below the joins")
+  }
+
+  test("q_agg_multi_distinct: planned through Expand") {
+    val p = plan("q_agg_multi_distinct")
+    assert(p.contains("Expand"), "multi-distinct must fan out via ExpandExec")
+  }
 }
