@@ -422,6 +422,24 @@ object EtlOps extends OpModule {
         .select(col("p_partkey"), col("size").as("p_size"), col("price_cents"))
         .orderBy(col("p_partkey"))
     }),
+
+    // k-anonymity audit (k=5) over the quasi-identifier pair
+    // (nation, market segment) — the data-governance gate before a table
+    // leaves the store: any equivalence class smaller than k re-identifies
+    // its members. ONE map-side-combinable aggregate; the at-risk flag and
+    // the risk mass (rows in classes < k) are what a release pipeline
+    // blocks on. Also reports each class's share in 1e-4 units.
+    "q_k_anonymity" -> ((s, d) => {
+      val cls = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cls.agg(sum(col("n")).as("total"))
+      cls.crossJoin(broadcast(tot))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+                (col("n") < 5).as("at_risk"),
+                expr("n * 10000 div total").as("share_e4"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -658,5 +676,15 @@ object EtlOps extends OpModule {
         |  WHERE s.size >= p.p_size AND s.minp <= p.price_cents
         |    AND (s.size > p.p_size OR s.minp < p.price_cents))
         |ORDER BY p.p_partkey""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cls)
+        |SELECT c_nationkey, c_mktsegment, n, n < 5 AS at_risk,
+        |  n * 10000 // total AS share_e4
+        |FROM cls, tot
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
   )
 }

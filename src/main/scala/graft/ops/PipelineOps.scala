@@ -288,6 +288,24 @@ object PipelineOps extends OpModule {
                 round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
     }),
+
+    // RAG-ingestion chunking: fixed 200-char windows at stride 150 (50-char
+    // overlap so no sentence is lost at a boundary) — the retrieval-corpus
+    // preparation step between curation and embedding. One generator
+    // expression (explode of an offset sequence + substring) per document:
+    // no UDF, fully codegen, output size = ceil(len/stride) rows per doc.
+    // Chunk identity is (doc_id, idx) + content md5 — the md5 is what an
+    // embedding cache / incremental re-chunk keys on.
+    "q_chunk_overlap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .select(col("doc_id"), col("text"),
+                explode(expr("sequence(0, cast(len - 1 as int), 150)")).as("off"))
+        .select(col("doc_id"), (col("off") / 150).cast("int").as("chunk_idx"),
+                expr("substring(text, off + 1, 200)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"),
+                length(col("chunk")).cast("long").as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -455,5 +473,16 @@ object PipelineOps extends OpModule {
          |WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin
     },
+
+    "q_chunk_overlap" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    UNNEST(RANGE(0, CAST(LENGTH(text) AS BIGINT), 150)) AS off,
+        |    text
+        |  FROM documents)
+        |SELECT doc_id, CAST(off // 150 AS INT) AS chunk_idx,
+        |  md5(SUBSTR(text, CAST(off + 1 AS INT), 200)) AS chunk_md5,
+        |  CAST(LENGTH(SUBSTR(text, CAST(off + 1 AS INT), 200)) AS BIGINT) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

@@ -340,6 +340,37 @@ object TrainingOps extends OpModule {
                 col("c").as("maj_n"), expr("c * 10000 div n").as("purity_e4"))
         .orderBy(col("bucket"))
     }),
+
+    // Linear-classifier scoring at corpus scale — the fasttext-style
+    // quality-filter deployment shape: hashed token features (q_feat_hash's
+    // 64-bucket space) dotted with a BROADCAST weight vector, one pass, no
+    // model server. Weights are deterministic synthetic (md5 of the bucket
+    // id → integer 1e-4 units in [−1, 1]) so the oracle re-derives the
+    // exact same model; a real deployment swaps the weight table for a
+    // trained one — the plan is identical. Score stays an exact long
+    // (tf × w_e4 summed); the per-token normalization is integer div.
+    "q_linear_clf" -> ((s, d) => {
+      val weights = s.range(64)
+        .select(col("id").as("bucket"), expr(
+          "cast(conv(substring(md5(cast(id as string)), 1, 7), 16, 10) as bigint) % 20001 - 10000")
+          .as("w_e4"))
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint) % 64"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+      feats.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tok"),
+             sum(col("tf") * col("w_e4")).as("score_e4"))
+        .select(col("doc_id"), col("n_tok"), col("score_e4"),
+                // round-of-double, NOT integer div: scores go negative and
+                // Spark `div` truncates while DuckDB `//` floors
+                expr("cast(round(cast(score_e4 as double) / n_tok) as bigint)")
+                  .as("per_tok_e4"),
+                (col("score_e4") >= 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Shared oracle CTE: non-zero embeddings + initial centroids + first
@@ -525,5 +556,28 @@ object TrainingOps extends OpModule {
         |  r.c * 10000 // t.n AS purity_e4
         |FROM r JOIN t ON r.bucket = t.bucket
         |WHERE rn = 1 ORDER BY r.bucket""".stripMargin,
+
+    "q_linear_clf" ->
+      """WITH w AS (
+        |  SELECT b AS bucket,
+        |    CAST(('0x' || SUBSTR(md5(CAST(b AS VARCHAR)), 1, 7)) AS BIGINT)
+        |      % 20001 - 10000 AS w_e4
+        |  FROM (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b)),
+        |tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || SUBSTR(md5(t), 1, 7)) AS BIGINT) % 64 AS bucket,
+        |    COUNT(*) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+        |    CAST(SUM(tf * w_e4) AS BIGINT) AS score_e4
+        |  FROM f JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, n_tok, score_e4,
+        |  CAST(ROUND(CAST(score_e4 AS DOUBLE) / n_tok) AS BIGINT) AS per_tok_e4,
+        |  score_e4 >= 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }
