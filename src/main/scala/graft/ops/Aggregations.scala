@@ -584,6 +584,23 @@ object Aggregations extends OpModule {
              countDistinct(col("l_partkey"), col("l_suppkey")).as("n_ps"),
              count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
+
+    // Equi-HEIGHT histogram (the CBO-statistics companion to
+    // q_agg_histogram's equi-width binning): 10 exact-quantile buckets via
+    // the DistRank histogram rank — no global sort, no sampled boundaries
+    // — with the per-bucket (count, lo, hi, NDV) a cost-based optimizer
+    // stores. Equal heights mean every bucket carries the same selectivity
+    // resolution, which is why real engines collect THIS shape.
+    "q_hist_equiheight" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), Det.cents(col("o_totalprice")).as("c"))
+      DistRank.withGlobalRank(o, col("c"), col("o_orderkey"), 10000L, "r", "n")
+        .withColumn("bucket", DistRank.ntileFromRank("r", "n", 10))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("c")).as("lo_c"),
+             max(col("c")).as("hi_c"), countDistinct(col("c")).as("ndv"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -931,5 +948,17 @@ object Aggregations extends OpModule {
         |  COUNT(*) AS n
         |FROM lineitem l JOIN ps ON l.l_returnflag = ps.l_returnflag
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_hist_equiheight" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |b AS (
+        |  SELECT c,
+        |    CAST(NTILE(10) OVER (ORDER BY c, o_orderkey) AS INT) AS bucket
+        |  FROM o)
+        |SELECT bucket, COUNT(*) AS n, MIN(c) AS lo_c, MAX(c) AS hi_c,
+        |  COUNT(DISTINCT c) AS ndv
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -588,6 +588,23 @@ object TextAnalysis extends OpModule {
               |FROM docs_ngram_v LATERAL VIEW graft_ngrams(t, 3) AS ngram
               |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin)
     }),
+
+    // Classifier-evaluation confusion matrix over q_lang_id's predictions
+    // (the lang_id query COMPOSED, like q_ccnet_bucket composes
+    // q_unigram_lm): per (actual, predicted) cell count + row-share in
+    // 1e-4 units — the per-class recall diagonal a model-quality gate
+    // reads. The matrix is |langs|² rows; everything after the prediction
+    // stage is aggregate-sized.
+    "q_lang_confusion" -> ((s, d) => {
+      val pred = queries("q_lang_id")(s, d).select(col("actual"), col("pred_lang"))
+      val conf = pred.groupBy(col("actual"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = conf.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
+      conf.join(broadcast(tot), "actual")
+        .select(col("actual"), col("pred_lang"), col("n"),
+                expr("n * 10000 div n_actual").as("share_e4"))
+        .orderBy(col("actual"), col("pred_lang"))
+    }),
   )
 
   /** Three ROUNDS of BPE training — the actual merge loop (shared by
@@ -632,6 +649,34 @@ object TextAnalysis extends OpModule {
     } finally words.unpersist()
   }
 
+  /** q_lang_id's oracle — shared verbatim as the prediction stage inside
+    * q_lang_confusion's oracle, so the two stay consistent by construction
+    * (the unigramLmSql pattern). */
+  private val langIdSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS term
+      |  FROM documents
+      |), profile AS (
+      |  SELECT plang, term FROM (
+      |    SELECT lang AS plang, term, COUNT(*) AS cnt,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, term) AS rn
+      |    FROM tok GROUP BY lang, term) t
+      |  WHERE rn <= 20
+      |), dt AS (SELECT DISTINCT doc_id, term FROM tok),
+      |ov AS (
+      |  SELECT dt.doc_id, p.plang, COUNT(*) AS ov
+      |  FROM dt JOIN profile p ON dt.term = p.term
+      |  GROUP BY dt.doc_id, p.plang
+      |), pred AS (
+      |  SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |           ORDER BY ov DESC, plang) AS rn
+      |  FROM ov)
+      |SELECT d.doc_id, pred.plang AS pred_lang, d.lang AS actual,
+      |  (pred.plang = d.lang) AS correct
+      |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
+      |WHERE pred.rn = 1
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q_unigram_lm's oracle — shared verbatim as the scoring stage inside
     * q_ccnet_bucket's oracle, so the two stay consistent by construction. */
   private val unigramLmSql: String =
@@ -647,30 +692,7 @@ object TextAnalysis extends OpModule {
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
-    "q_lang_id" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS term
-        |  FROM documents
-        |), profile AS (
-        |  SELECT plang, term FROM (
-        |    SELECT lang AS plang, term, COUNT(*) AS cnt,
-        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, term) AS rn
-        |    FROM tok GROUP BY lang, term) t
-        |  WHERE rn <= 20
-        |), dt AS (SELECT DISTINCT doc_id, term FROM tok),
-        |ov AS (
-        |  SELECT dt.doc_id, p.plang, COUNT(*) AS ov
-        |  FROM dt JOIN profile p ON dt.term = p.term
-        |  GROUP BY dt.doc_id, p.plang
-        |), pred AS (
-        |  SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id
-        |           ORDER BY ov DESC, plang) AS rn
-        |  FROM ov)
-        |SELECT d.doc_id, pred.plang AS pred_lang, d.lang AS actual,
-        |  (pred.plang = d.lang) AS correct
-        |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
-        |WHERE pred.rn = 1
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_lang_id" -> langIdSql,
 
     "q_bm25" ->
       """WITH tok AS (
@@ -1056,5 +1078,17 @@ object TextAnalysis extends OpModule {
         |  FROM tk)
         |SELECT ngram, COUNT(*) AS n FROM tg
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "q_lang_confusion" ->
+      s"""WITH conf AS (
+         |  SELECT actual, pred_lang, COUNT(*) AS n
+         |  FROM ($langIdSql) p GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual
+         |  FROM conf GROUP BY 1)
+         |SELECT conf.actual, conf.pred_lang, conf.n,
+         |  conf.n * 10000 // tot.n_actual AS share_e4
+         |FROM conf JOIN tot ON conf.actual = tot.actual
+         |ORDER BY conf.actual, conf.pred_lang""".stripMargin,
   )
 }

@@ -371,6 +371,47 @@ object TrainingOps extends OpModule {
                 (col("score_e4") >= 0).as("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    // Split-distribution parity: Kolmogorov–Smirnov distance of the
+    // n_chars distribution between each pair of q_dataset_split's
+    // train/val/test splits — the "is val drawn from the same
+    // distribution as train" audit run before trusting a validation
+    // curve. Everything is exact: per-(bucket, split) counts, cumulative
+    // sums over the ~15-bucket grid, and the max |CDF gap| compared by
+    // integer cross-multiplication (|cum_a·n_b − cum_b·n_a|), with ONE
+    // round at 1e4 per pair. The corpus pass is one aggregate; the KS
+    // machinery runs on the bucket table. (Products stay < 2^63 up to
+    // ~3e9 rows/split — rescale cum to per-mille first beyond that.)
+    "q_split_parity" -> ((s, d) => {
+      val byB = Tables.documents(s, d)
+        .withColumn("b", conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+        .withColumn("split",
+          when(col("b") < 204, "train").when(col("b") < 230, "val").otherwise("test"))
+        .withColumn("bkt", expr("n_chars div 100"))
+        .groupBy(col("bkt"))
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+             sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv"),
+             sum(when(col("split") === "test", 1L).otherwise(0L)).as("cs"))
+      val w = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byB.agg(sum(col("ct")).as("n_t"), sum(col("cv")).as("n_v"),
+                        sum(col("cs")).as("n_s"))
+      byB.select(col("bkt"), sum(col("ct")).over(w).as("cum_t"),
+                 sum(col("cv")).over(w).as("cum_v"), sum(col("cs")).over(w).as("cum_s"))
+        .crossJoin(broadcast(tot))
+        .agg(max(abs(col("cum_t") * col("n_v") - col("cum_v") * col("n_t"))).as("d_tv"),
+             max(abs(col("cum_t") * col("n_s") - col("cum_s") * col("n_t"))).as("d_ts"),
+             max(abs(col("cum_v") * col("n_s") - col("cum_s") * col("n_v"))).as("d_vs"),
+             max(col("n_t")).as("n_t"), max(col("n_v")).as("n_v"), max(col("n_s")).as("n_s"))
+        .select(expr("""stack(3, 'train_val', n_t, n_v, d_tv,
+                       |         'train_test', n_t, n_s, d_ts,
+                       |         'val_test', n_v, n_s, d_vs) as (pair, n_a, n_b, d)"""
+          .stripMargin))
+        .select(col("pair"), col("n_a"), col("n_b"),
+                expr("cast(round(1e4 * cast(d as double) / (n_a * n_b)) as bigint)")
+                  .as("ks_e4"))
+        .orderBy(col("pair"))
+    }),
   )
 
   /** Shared oracle CTE: non-zero embeddings + initial centroids + first
@@ -579,5 +620,42 @@ object TrainingOps extends OpModule {
         |  CAST(ROUND(CAST(score_e4 AS DOUBLE) / n_tok) AS BIGINT) AS per_tok_e4,
         |  score_e4 >= 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_split_parity" ->
+      """WITH s AS (
+        |  SELECT n_chars // 100 AS bkt,
+        |    CASE WHEN CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 204 THEN 'train'
+        |         WHEN CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |byb AS (
+        |  SELECT bkt,
+        |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS cv,
+        |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+        |  FROM s GROUP BY bkt),
+        |cum AS (
+        |  SELECT bkt,
+        |    CAST(SUM(ct) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t,
+        |    CAST(SUM(cv) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_v,
+        |    CAST(SUM(cs) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+        |  FROM byb),
+        |tot AS (
+        |  SELECT CAST(SUM(ct) AS BIGINT) AS n_t, CAST(SUM(cv) AS BIGINT) AS n_v,
+        |         CAST(SUM(cs) AS BIGINT) AS n_s
+        |  FROM byb),
+        |d AS (
+        |  SELECT CAST(MAX(ABS(cum_t * n_v - cum_v * n_t)) AS BIGINT) AS d_tv,
+        |         CAST(MAX(ABS(cum_t * n_s - cum_s * n_t)) AS BIGINT) AS d_ts,
+        |         CAST(MAX(ABS(cum_v * n_s - cum_s * n_v)) AS BIGINT) AS d_vs,
+        |         MAX(n_t) AS n_t, MAX(n_v) AS n_v, MAX(n_s) AS n_s
+        |  FROM cum, tot),
+        |st AS (
+        |  SELECT 'train_val' AS pair, n_t AS n_a, n_v AS n_b, d_tv AS dd FROM d
+        |  UNION ALL SELECT 'train_test', n_t, n_s, d_ts FROM d
+        |  UNION ALL SELECT 'val_test', n_v, n_s, d_vs FROM d)
+        |SELECT pair, n_a, n_b,
+        |  CAST(ROUND(1e4 * CAST(dd AS DOUBLE) / (n_a * n_b)) AS BIGINT) AS ks_e4
+        |FROM st ORDER BY pair""".stripMargin,
   )
 }
