@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
       NGrams.builder))
     e.injectOptimizerRule(graft.plans.IntervalJoinBucketing)
+    e.injectOptimizerRule(graft.plans.DistinctToBitmap)
     e.injectHintResolutionRule(graft.plans.AsOfJoinHintRule)
     e.injectResolutionRule(graft.plans.AsOfJoinHintRule)
     e.injectPlannerStrategy(graft.plans.AsOfJoinStrategy)

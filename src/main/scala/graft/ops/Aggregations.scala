@@ -601,6 +601,33 @@ object Aggregations extends OpModule {
              max(col("c")).as("hi_c"), countDistinct(col("c")).as("ndv"))
         .orderBy(col("bucket"))
     }),
+
+    // The NAIVE countDistinct declaration, executed under the
+    // graft.plans.DistinctToBitmap OPTIMIZER RULE (conf-scoped,
+    // q_join_range_auto's materialize-inside-scope pattern): the engine —
+    // not the query author — rewrites the distinct count into the
+    // q_agg_bitmap word-bitmap aggregation, whose first shuffle carries
+    // one long per 62 adjacent values instead of every distinct
+    // (group, value) pair. The oracle is the plain COUNT(DISTINCT), so any
+    // value the rewrite loses or double-counts is a correctness bug;
+    // DistinctToBitmapSpec asserts the bitmap shape is actually in the
+    // optimized plan and pins default-off / mixed-aggregate no-ops.
+    "q_agg_distinct_auto" -> ((s, d) => {
+      val flag = "spark.graft.rewrite.distinctBitmap"
+      val prev = s.conf.getOption(flag)
+      s.conf.set(flag, "true")
+      try {
+        val res = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+        s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
+      } finally prev match {
+        case Some(v) => s.conf.set(flag, v)
+        case None => s.conf.unset(flag)
+      }
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -960,5 +987,9 @@ object Aggregations extends OpModule {
         |SELECT bucket, COUNT(*) AS n, MIN(c) AS lo_c, MAX(c) AS hi_c,
         |  COUNT(DISTINCT c) AS ndv
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_agg_distinct_auto" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
