@@ -186,6 +186,29 @@ object TimeSeries extends OpModule {
         .orderBy(col("p_id"))
     }),
 
+    // q_join_asof_tol's 2 h staleness contract through the NATIVE merge
+    // exec: the tolerance rides the hint condition (`r.ts > l.ts - I`) into
+    // AsOfJoinExec as an O(1) candidate filter — no interval fan-out, no
+    // rank stage, the exact same two-shuffle merge plan as
+    // q_join_asof_native. The oracle is q_join_asof_tol's SQL verbatim, so
+    // the hash gate pins native-tolerance ≡ bounded-interval-join
+    // formulation ≡ DuckDB.
+    "q_join_asof_tol_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id").as("uid_r"), col("ts").as("ts_r"), col("click_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("uid_l"), col("ts").as("ts_l"),
+                col("event_id").as("p_id"))
+      graft.plans.AsOf.joinBackwardTol(purchases, clicks,
+          Seq((col("uid_l"), col("uid_r"))), col("ts_l"), col("ts_r"),
+          expr("INTERVAL 2 HOURS"))
+        .select(col("p_id"), col("click_id"))
+        .orderBy(col("p_id"))
+    }),
+
     // INTERVAL-OVERLAP join — both sides are intervals (vs q_join_range's
     // point-in-interval): view attention windows [ts, ts+5m] against
     // purchase consideration windows [ts−10m, ts] per user. Closed-interval
@@ -1374,6 +1397,27 @@ object TimeSeries extends OpModule {
         |FROM r WHERE r = (np + 1) // 2 ORDER BY event_type""".stripMargin,
 
     "q_join_asof_tol" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, ts AS pts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.p_id, c.click_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.p_id
+        |                       ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN clicks c
+        |    ON p.user_id = c.user_id
+        |   AND c.ts <= p.pts AND c.ts > p.pts - INTERVAL 2 HOUR),
+        |best AS (SELECT p_id, click_id FROM j WHERE rn = 1)
+        |SELECT p.p_id, best.click_id
+        |FROM p LEFT JOIN best ON p.p_id = best.p_id
+        |ORDER BY p.p_id""".stripMargin,
+
+    // q_join_asof_tol's oracle verbatim — native tolerance exec ≡ the
+    // bounded-interval-join formulation ≡ DuckDB
+    "q_join_asof_tol_native" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, MAX(event_id) AS click_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DayTimeIntervalType, TimestampType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** The full custom-operator stack of the brief's tier (c): a logical node, an
@@ -55,7 +56,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 case class AsOfJoinPlan(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+    left: LogicalPlan, right: LogicalPlan,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -85,37 +87,75 @@ case class AsOfJoinHintRule(session: SparkSession) extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
+  /** A foldable negative DayTimeInterval offset — what `lTs - INTERVAL I`
+    * resolves to at analysis time (TimestampAddInterval with an un-folded
+    * UnaryMinus literal) or after folding (a negative literal). */
+  private def negIntervalUs(e: Expression): Option[Long] = e match {
+    case Literal(us: Long, _: DayTimeIntervalType) if us < 0 => Some(us)
+    case UnaryMinus(Literal(us: Long, _: DayTimeIntervalType), _) if us > 0 => Some(-us)
+    case _ => None
+  }
+
+  /** `l.ts - I` as the analyzer leaves it:
+    * Cast(DatetimeSub[replacement = TimestampAddInterval(lt, -I)]) — the
+    * RuntimeReplaceable sugar node and the no-op timestamp Cast both
+    * unwrap before matching the shifted timestamp. */
+  private object ShiftedBack {
+    def unapply(e: Expression): Option[(AttributeReference, Long)] = e match {
+      case Cast(inner, TimestampType, _, _) => unapply(inner)
+      case rr: RuntimeReplaceable => unapply(rr.replacement)
+      case TimestampAddInterval(lt: AttributeReference, off, _) =>
+        negIntervalUs(off).map(us => (lt, -us))
+      case _ => None
+    }
+  }
+
   private def extract(l: LogicalPlan, r: LogicalPlan,
                       cond: Expression): Option[AsOfJoinPlan] = {
     val lOut = l.outputSet
     val rOut = r.outputSet
     def sideOf(a: Attribute): Int = if (lOut.contains(a)) 0 else if (rOut.contains(a)) 1 else -1
-    val (keys, bounds, bad) = split(cond).foldLeft(
-      (Vector.empty[(Expression, Expression)], Vector.empty[(Expression, Expression)], false)) {
-      case ((ks, bs, o), EqualTo(a: AttributeReference, b: AttributeReference))
-          if sideOf(a) == 0 && sideOf(b) == 1 => (ks :+ (a: Expression, b: Expression), bs, o)
-      case ((ks, bs, o), EqualTo(a: AttributeReference, b: AttributeReference))
-          if sideOf(a) == 1 && sideOf(b) == 0 => (ks :+ (b: Expression, a: Expression), bs, o)
-      case ((ks, bs, o), LessThanOrEqual(rt: AttributeReference, lt: AttributeReference))
-          if sideOf(rt) == 1 && sideOf(lt) == 0 => (ks, bs :+ (lt: Expression, rt: Expression), o)
-      case ((ks, bs, o), GreaterThanOrEqual(lt: AttributeReference, rt: AttributeReference))
-          if sideOf(lt) == 0 && sideOf(rt) == 1 => (ks, bs :+ (lt: Expression, rt: Expression), o)
-      case ((ks, bs, _), _) => (ks, bs, true)
+    // (keys, upper bounds rt<=lt, tolerance lowers rt>lt-I, unrecognized)
+    val init = (Vector.empty[(Expression, Expression)],
+                Vector.empty[(Expression, Expression)],
+                Vector.empty[(Expression, Expression, Long)], false)
+    val (keys, bounds, tols, bad) = split(cond).foldLeft(init) {
+      case ((ks, bs, ts, o), EqualTo(a: AttributeReference, b: AttributeReference))
+          if sideOf(a) == 0 && sideOf(b) == 1 => (ks :+ (a: Expression, b: Expression), bs, ts, o)
+      case ((ks, bs, ts, o), EqualTo(a: AttributeReference, b: AttributeReference))
+          if sideOf(a) == 1 && sideOf(b) == 0 => (ks :+ (b: Expression, a: Expression), bs, ts, o)
+      case ((ks, bs, ts, o), LessThanOrEqual(rt: AttributeReference, lt: AttributeReference))
+          if sideOf(rt) == 1 && sideOf(lt) == 0 => (ks, bs :+ (lt: Expression, rt: Expression), ts, o)
+      case ((ks, bs, ts, o), GreaterThanOrEqual(lt: AttributeReference, rt: AttributeReference))
+          if sideOf(lt) == 0 && sideOf(rt) == 1 => (ks, bs :+ (lt: Expression, rt: Expression), ts, o)
+      // staleness tolerance: r.ts > l.ts - I  (either comparison spelling)
+      case ((ks, bs, ts, o), GreaterThan(rt: AttributeReference, ShiftedBack(lt, us)))
+          if sideOf(rt) == 1 && sideOf(lt) == 0 =>
+        (ks, bs, ts :+ (lt: Expression, rt: Expression, us), o)
+      case ((ks, bs, ts, o), LessThan(ShiftedBack(lt, us), rt: AttributeReference))
+          if sideOf(rt) == 1 && sideOf(lt) == 0 =>
+        (ks, bs, ts :+ (lt: Expression, rt: Expression, us), o)
+      case ((ks, bs, ts, _), _) => (ks, bs, ts, true)
     }
-    if (bad || keys.isEmpty || bounds.size != 1) None
-    else {
-      val (lTs, rTs) = bounds.head
-      if (lTs.dataType != rTs.dataType) None
-      else Some(AsOfJoinPlan(keys.map(_._1), keys.map(_._2), lTs, rTs, l, r))
+    if (bad || keys.isEmpty || bounds.size != 1 || tols.size > 1) return None
+    val (lTs, rTs) = bounds.head
+    if (lTs.dataType != rTs.dataType) return None
+    val tolUs = tols.headOption.map { case (lt, rt, us) =>
+      // the tolerance must bound the SAME ts pair as the as-of bound, and
+      // the µs merge compare requires true timestamps
+      if (!lt.semanticEquals(lTs) || !rt.semanticEquals(rTs) ||
+          lTs.dataType != TimestampType) return None
+      us
     }
+    Some(AsOfJoinPlan(keys.map(_._1), keys.map(_._2), lTs, rTs, l, r, tolUs))
   }
 }
 
 /** Planner strategy: [[AsOfJoinPlan]] → [[AsOfJoinExec]]. */
 case class AsOfJoinStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lts, rts, l, r) =>
-      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lts, rts, l, r, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -128,7 +168,8 @@ case class AsOfJoinStrategy(session: SparkSession) extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    toleranceUs: Option[Long] = None) extends SparkPlan with BinaryExecNode {
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -170,7 +211,11 @@ case class AsOfJoinExec(
       val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // the right side null-pads on a miss, so the projection must treat
+      // even non-nullable right columns as nullable — binding to the raw
+      // rOut would codegen away the null check and read 0 from the pad row
+      val resultProj = UnsafeProjection.create(
+        outAttrs, lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 
@@ -190,6 +235,7 @@ case class AsOfJoinExec(
         // Latest right row consumed for the current key run (the candidate).
         private var matchRow: InternalRow = _
         private var matchKey: UnsafeRow = _
+        private var matchTsUs: Long = Long.MinValue
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -208,13 +254,21 @@ case class AsOfJoinExec(
                 (lValid && tsOrd.compare(rTsRow, lTsRow) <= 0)))) {
               if (kc == 0 && !rKey.anyNull && !rTsRow.isNullAt(0)) {
                 matchRow = rRow; matchKey = rKey
+                matchTsUs = rTsRow.getLong(0)
               }
               advanceRight()
               cont = rRow != null
             } else cont = false
           }
           numOut += 1
-          val hit = lValid && matchRow != null && keyOrd.compare(matchKey, lKey) == 0
+          // Tolerance is a filter on the candidate, not the merge: the
+          // freshest same-key candidate is still the unique possible match —
+          // it's just discarded when staler than the bound (strict <,
+          // mirroring `r.ts > l.ts - I`). Only valid for TimestampType
+          // (µs longs), enforced by the hint rule.
+          val hit = lValid && matchRow != null &&
+            keyOrd.compare(matchKey, lKey) == 0 &&
+            toleranceUs.forall(tol => lTsRow.getLong(0) - matchTsUs < tol)
           if (hit) { numMatched += 1; resultProj(joined(l, matchRow)) }
           else resultProj(joined(l, nullRight))
         }
@@ -233,6 +287,21 @@ object AsOf {
                    leftTsCol: Column, rightTsCol: Column): DataFrame = {
     val cond = keys.map { case (a, b) => a === b }.reduce(_ && _) &&
       rightTsCol <= leftTsCol
+    leftDf.join(rightDf, cond).hint("graft_asof")
+  }
+
+  /** Backward as-of with a staleness TOLERANCE: the candidate must also
+    * satisfy `rightTs > leftTs - tolerance` (strict — a row exactly
+    * `tolerance` old does not match). `tolerance` is an interval Column,
+    * e.g. `expr("INTERVAL 2 HOURS")`; timestamps only. The exec applies the
+    * bound as an O(1) filter on its merge candidate — same plan, finite
+    * staleness, which is what keeps as-of state evictable in production. */
+  def joinBackwardTol(leftDf: DataFrame, rightDf: DataFrame,
+                      keys: Seq[(Column, Column)],
+                      leftTsCol: Column, rightTsCol: Column,
+                      tolerance: Column): DataFrame = {
+    val cond = keys.map { case (a, b) => a === b }.reduce(_ && _) &&
+      rightTsCol <= leftTsCol && rightTsCol > leftTsCol - tolerance
     leftDf.join(rightDf, cond).hint("graft_asof")
   }
 }

@@ -118,4 +118,26 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_asof"), s"wrong failure: ${e.getMessage}")
   }
+
+  test("tolerance: native exec ≡ interval-join formulation on real data") {
+    val native = SparkEntry.queries("q_join_asof_tol_native")(spark, sf)
+    val phys = native.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), "tolerance form must still use the merge exec")
+    assert(!phys.contains("Window"))
+    val interval = SparkEntry.queries("q_join_asof_tol")(spark, sf)
+    assert(native.collect().map(_.toSeq).toSeq == interval.collect().map(_.toSeq).toSeq)
+  }
+
+  test("tolerance boundary is strict: a candidate exactly tol old does not match") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val lf = Seq((1L, ts(120)), (2L, ts(120))).toDF("lk", "lt")
+    // key 1: click exactly 60 min old (excluded); key 2: 59 min old (kept)
+    val rf = Seq((1L, ts(60), 10L), (2L, ts(61), 20L)).toDF("rk", "rt", "rid")
+    val out = AsOf.joinBackwardTol(lf, rf, Seq((col("lk"), col("rk"))),
+        col("lt"), col("rt"), expr("INTERVAL 1 HOUR"))
+      .select(col("lk"), col("rid")).orderBy(col("lk")).collect()
+    assert(out(0).isNullAt(1), "exactly-tolerance-old candidate must be excluded")
+    assert(out(1).getLong(1) == 20L)
+  }
 }
