@@ -236,6 +236,47 @@ object GraphOps extends OpModule {
             .stripMargin).as("q_e8"))
         .orderBy(col("brand"))
     }),
+
+    // BFS levels from a deterministic seed (the graph's min node id) over
+    // the strong co-purchase graph — 3 unrolled rounds of the standard
+    // distributed BFS: frontier ⋈ adjacency → distinct → anti-join
+    // visited. Each round is one equi shuffle bounded by frontier degree;
+    // per-level output is (count, min, max) so the oracle pins the exact
+    // reached SET per depth, not just sizes. Unrolled (not iterate-to-
+    // convergence) like q_hits/q_pagerank: a fixed trajectory both engines
+    // replay exactly; full closure lives in q_dedup_cluster's min-label
+    // iteration.
+    "q_bfs_levels" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.select(col("o"), col("p").as("u"))
+        .join(li.select(col("o"), col("p").as("v")), Seq("o"))
+        .where(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
+        .where(col("n_co") >= 2)
+      val nb = e.select(col("u").as("c"), col("v").as("n"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+      val seed = nb.agg(min(col("c")).as("seed"))
+      val l0 = nb.select(col("c").as("node")).distinct()
+        .crossJoin(broadcast(seed)).where(col("node") === col("seed"))
+        .select(col("node"))
+      def expand(frontier: DataFrame, visited: DataFrame): DataFrame =
+        frontier.join(nb, frontier("node") === nb("c"))
+          .select(col("n").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+      val l1 = expand(l0, l0)
+      val l2 = expand(l1, l0.unionAll(l1))
+      val l3 = expand(l2, l0.unionAll(l1).unionAll(l2))
+      Seq((l0, 0), (l1, 1), (l2, 2), (l3, 3))
+        .map { case (df, lvl) =>
+          df.agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+                 max(col("node")).as("max_node"))
+            .select(lit(lvl).as("level"), col("n_nodes"), col("min_node"),
+                    col("max_node"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy(col("level"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -343,5 +384,29 @@ object GraphOps extends OpModule {
         |    - (CAST(d_c.d_c AS DOUBLE) * d_c.d_c) / (4.0 * m.m * m.m))) AS BIGINT) AS q_e8
         |FROM d_c LEFT JOIN e_c ON d_c.b = e_c.b, m
         |ORDER BY brand""".stripMargin,
+
+    "q_bfs_levels" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |nb AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e),
+        |l0 AS (SELECT MIN(c) AS node FROM nb),
+        |l1 AS (
+        |  SELECT DISTINCT nb.n AS node FROM nb JOIN l0 ON nb.c = l0.node
+        |  WHERE nb.n NOT IN (SELECT node FROM l0)),
+        |l2 AS (
+        |  SELECT DISTINCT nb.n AS node FROM nb JOIN l1 ON nb.c = l1.node
+        |  WHERE nb.n NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1)),
+        |l3 AS (
+        |  SELECT DISTINCT nb.n AS node FROM nb JOIN l2 ON nb.c = l2.node
+        |  WHERE nb.n NOT IN (SELECT node FROM l0 UNION ALL SELECT node FROM l1
+        |                     UNION ALL SELECT node FROM l2))
+        |SELECT 0 AS level, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+        |       MAX(node) AS max_node FROM l0
+        |UNION ALL SELECT 1, COUNT(*), MIN(node), MAX(node) FROM l1
+        |UNION ALL SELECT 2, COUNT(*), MIN(node), MAX(node) FROM l2
+        |UNION ALL SELECT 3, COUNT(*), MIN(node), MAX(node) FROM l3
+        |ORDER BY level""".stripMargin,
   )
 }

@@ -374,6 +374,38 @@ object Sources extends OpModule {
                   .as("disjoint"))
         .orderBy(col("bucket"))
     }),
+
+    // Snapshot-versioned store + time travel: two table versions live as
+    // partitions of one store root (`v=1`, `v=2` — the poor man's Delta/
+    // Iceberg snapshot layout in plain parquet), v2 being v1 with a
+    // deterministic CDC batch applied (status flip on keys % 97, price
+    // correction on keys % 101). The reader time-travels by partition
+    // predicate — `WHERE v = 1` prunes to one snapshot's files
+    // (sink_parquet_part's pruning, audited there) — and THIS query reads
+    // both snapshots in one scan to diff them, which is exactly the
+    // snapshot-compare an auditor runs. At 100 TB each version partition
+    // holds only the rewritten files; unchanged data would be shared via
+    // manifests — the read-side contract (version = partition predicate)
+    // is what this demonstrates.
+    "sink_snapshot" -> ((s, d) => {
+      val base = tmp(d, "snapshot")
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      v1.write.mode("overwrite").parquet(s"$base/v=1")
+      v1.withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(97)) === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(101)) === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .write.mode("overwrite").parquet(s"$base/v=2")
+      s.read.parquet(base)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L)).as("n_flipped"),
+             graft.ops.Det.moneySum(col("o_totalprice")).as("sum_cents"))
+        .orderBy(col("v"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -475,5 +507,23 @@ object Sources extends OpModule {
         |  (LAG(max_c) OVER (ORDER BY bucket) IS NULL
         |   OR min_c >= LAG(max_c) OVER (ORDER BY bucket)) AS disjoint
         |FROM z ORDER BY bucket""".stripMargin,
+
+    "sink_snapshot" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS tp
+        |  FROM orders)
+        |SELECT 1 AS v, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |UNION ALL
+        |SELECT 2, COUNT(*),
+        |  CAST(SUM(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CAST(ROUND(tp * 100) AS BIGINT)) AS BIGINT)
+        |FROM v2
+        |ORDER BY v""".stripMargin,
   )
 }
