@@ -306,6 +306,48 @@ object Similarity extends OpModule {
         .where(col("u") < col("v"))
         .orderBy(col("u"), col("v"))
     }),
+
+    // Matryoshka (MRL) truncation audit: recall@5 of the 16-dim PREFIX
+    // ranking against the full 64-dim ranking — the evaluation a serving
+    // team runs before shipping truncated embeddings (4× memory/compute
+    // cut; is the quality there?). ONE pair scan computes both cosines
+    // (the prefix dot is a slice of the same codegen graft_float_dot),
+    // two rank windows share it, and the overlap join touches only the
+    // two top-5 sets. Query side is the bounded vec_id<10 panel — the
+    // q_sim_topk exact-baseline family; corpus-scale truncation eval
+    // swaps the panel for a hash sample.
+    "q_emb_matryoshka" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val pairs = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .crossJoin(broadcast(q))
+        .withColumn("s_full", expr(
+          """graft_float_dot(q_emb, n_emb) /
+            |  (sqrt(graft_float_dot(q_emb, q_emb)) *
+            |   sqrt(graft_float_dot(n_emb, n_emb)))""".stripMargin))
+        .withColumn("s_16", expr(
+          """graft_float_dot(slice(q_emb, 1, 16), slice(n_emb, 1, 16)) /
+            |  (sqrt(graft_float_dot(slice(q_emb, 1, 16), slice(q_emb, 1, 16))) *
+            |   sqrt(graft_float_dot(slice(n_emb, 1, 16), slice(n_emb, 1, 16))))"""
+            .stripMargin))
+      val wF = Window.partitionBy(col("q_id")).orderBy(col("s_full").desc, col("n_id"))
+      val wT = Window.partitionBy(col("q_id")).orderBy(col("s_16").desc, col("n_id"))
+      val ranked = pairs
+        .withColumn("rf", row_number().over(wF))
+        .withColumn("rt", row_number().over(wT))
+      val fullTop = ranked.where(col("rf") <= 5).select(col("q_id"), col("n_id"))
+      val truncTop = ranked.where(col("rt") <= 5).select(col("q_id"), col("n_id"))
+      q.select(col("q_id"))
+        .join(fullTop.join(truncTop, Seq("q_id", "n_id"))
+                .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap")),
+              Seq("q_id"), "left")
+        .na.fill(0L, Seq("n_overlap"))
+        .select(col("q_id"), col("n_overlap"),
+                (col("n_overlap") * 2000).as("recall_e4"))
+        .orderBy(col("q_id"))
+    }),
   )
 
   override def oracles: Map[String, String] = {
@@ -489,6 +531,36 @@ object Similarity extends OpModule {
         |FROM knn k JOIN knn r ON k.u = r.v AND k.v = r.u AND r.rn <= 3
         |WHERE k.rn <= 3 AND k.u < k.v
         |ORDER BY k.u, k.v""".stripMargin,
+
+      "q_emb_matryoshka" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+          |           FROM embeddings WHERE vec_id < 10),
+          |pairs AS (
+          |  SELECT q.q_id, e.vec_id AS n_id,
+          |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.q_emb, e.embedding),
+          |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+          |    / (SQRT(LIST_SUM(LIST_TRANSFORM(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |       * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s_full,
+          |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.q_emb[1:16], e.embedding[1:16]),
+          |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+          |    / (SQRT(LIST_SUM(LIST_TRANSFORM(q.q_emb[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |       * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s_16
+          |  FROM embeddings e CROSS JOIN q),
+          |ranked AS (
+          |  SELECT q_id, n_id,
+          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s_full DESC, n_id) AS rf,
+          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s_16 DESC, n_id) AS rt
+          |  FROM pairs),
+          |ovl AS (
+          |  SELECT f.q_id, COUNT(*) AS n_overlap
+          |  FROM (SELECT q_id, n_id FROM ranked WHERE rf <= 5) f
+          |  JOIN (SELECT q_id, n_id FROM ranked WHERE rt <= 5) t
+          |    ON f.q_id = t.q_id AND f.n_id = t.n_id
+          |  GROUP BY f.q_id)
+          |SELECT q.q_id, CAST(COALESCE(ovl.n_overlap, 0) AS BIGINT) AS n_overlap,
+          |  CAST(COALESCE(ovl.n_overlap, 0) * 2000 AS BIGINT) AS recall_e4
+          |FROM q LEFT JOIN ovl ON q.q_id = ovl.q_id
+          |ORDER BY q.q_id""".stripMargin,
     )
   }
 }
