@@ -440,6 +440,60 @@ object EtlOps extends OpModule {
                 expr("n * 10000 div total").as("share_e4"))
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
+
+    // l-diversity — k-anonymity's stronger sibling: a class can be large
+    // (k-safe) yet leak if every member shares the SENSITIVE value, so the
+    // release gate also requires ≥ l distinct sensitive values per class.
+    // Same quasi-identifier pair as q_k_anonymity; sensitive attribute =
+    // the account-balance tier. One aggregate (count + distinct-count per
+    // class), the multi-distinct family shape.
+    "q_l_diversity" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("tier",
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid").otherwise("high"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("tier")).as("l"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("l"),
+                (col("l") >= 3).as("diverse_ok"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // Layout-quality comparison: for one 2-D probe rectangle, how many of
+    // 16 range-partitioned files does each clustering key force a scan to
+    // touch? Three layouts over the same (x, y) = (size, key mod 256)
+    // grid: raw key order (no 2-D locality), Morton interleave
+    // (q_zorder_key's bit trick at 8 bits), and the Hilbert curve (the
+    // graft_hilbert codegen expression). File id = exact NTILE-16 of the
+    // layout key via DistRank (no global sort); files touched = distinct
+    // file ids among rows inside the rectangle. This is the measurement
+    // behind the "Hilbert beats Morton beats nothing" layout claim — as an
+    // oracle-checked query, not prose: the DuckDB twin re-derives the
+    // Hilbert key from the generated CTE unroll and must agree file for
+    // file.
+    "q_layout_compare" -> ((s, d) => {
+      graft.functions.HilbertKey.register(s)
+      val base = Tables.part(s, d)
+        .select(col("p_partkey"),
+                (col("p_size").cast("long") % 256).as("px"),
+                pmod(col("p_partkey"), lit(256)).as("py"))
+        .withColumn("hkey", expr("graft_hilbert(px, py)"))
+        .withColumn("mkey", expr(
+          """aggregate(sequence(0, 7), 0L, (a, k) ->
+            |  a + shiftleft(shiftright(px, k) & 1, 2 * k)
+            |    + shiftleft(shiftright(py, k) & 1, 2 * k + 1))""".stripMargin))
+      def files(keyCol: String, name: String): DataFrame =
+        DistRank.withGlobalRank(base, col(keyCol), col("p_partkey"), 4096L,
+            "gr_rk", "gr_nn")
+          .withColumn("f", DistRank.ntileFromRank("gr_rk", "gr_nn", 16))
+          .where(col("px").between(8, 23) && col("py").between(64, 127))
+          .agg(countDistinct(col("f")).as("files_touched"),
+               count(lit(1)).as("n_rows"))
+          .select(lit(name).as("layout"), col("files_touched"), col("n_rows"))
+      files("p_partkey", "key_order")
+        .unionAll(files("mkey", "morton"))
+        .unionAll(files("hkey", "hilbert"))
+        .orderBy(col("layout"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -686,5 +740,45 @@ object EtlOps extends OpModule {
         |  n * 10000 // total AS share_e4
         |FROM cls, tot
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |                      WHEN c_acctbal < 5000 THEN 'mid'
+        |                      ELSE 'high' END) AS l,
+        |  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |                      WHEN c_acctbal < 5000 THEN 'mid'
+        |                      ELSE 'high' END) >= 3 AS diverse_ok
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_layout_compare" ->
+      s"""WITH b0 AS (
+         |  SELECT p_partkey, CAST(p_size AS BIGINT) % 256 AS px,
+         |         p_partkey % 256 AS py
+         |  FROM part),
+         |h0 AS (SELECT p_partkey, px, py, px AS x, py AS y,
+         |       CAST(0 AS BIGINT) AS d FROM b0),
+         |${graft.functions.HilbertKey.oracleCtes("h0", "p_partkey, px, py")},
+         |keys AS (
+         |  SELECT b0.p_partkey, b0.px, b0.py,
+         |    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 7), k ->
+         |      (((b0.px >> k) & 1) << (2 * k))
+         |      + (((b0.py >> k) & 1) << (2 * k + 1)))) AS BIGINT) AS mkey,
+         |    h8.d AS hkey
+         |  FROM b0 JOIN h8 ON b0.p_partkey = h8.p_partkey),
+         |f AS (
+         |  SELECT px, py,
+         |    CAST(NTILE(16) OVER (ORDER BY p_partkey) AS INT) AS f_key,
+         |    CAST(NTILE(16) OVER (ORDER BY mkey, p_partkey) AS INT) AS f_m,
+         |    CAST(NTILE(16) OVER (ORDER BY hkey, p_partkey) AS INT) AS f_h
+         |  FROM keys),
+         |sel AS (SELECT * FROM f WHERE px BETWEEN 8 AND 23
+         |                          AND py BETWEEN 64 AND 127)
+         |SELECT 'hilbert' AS layout, COUNT(DISTINCT f_h) AS files_touched,
+         |       COUNT(*) AS n_rows FROM sel
+         |UNION ALL SELECT 'key_order', COUNT(DISTINCT f_key), COUNT(*) FROM sel
+         |UNION ALL SELECT 'morton', COUNT(DISTINCT f_m), COUNT(*) FROM sel
+         |ORDER BY layout""".stripMargin,
   )
 }
