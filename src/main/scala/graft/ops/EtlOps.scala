@@ -102,6 +102,30 @@ object EtlOps extends OpModule {
         .orderBy(col("user_id"), col("version"))
     }),
 
+    // Point-in-time SCD2 lookup through the NATIVE as-of operator: every
+    // purchase resolves the dimension version valid at its timestamp —
+    // q_scd2's versions table COMPOSED with AsOfJoinExec on
+    // (user_id, valid_from ≤ ts). This is the fact-to-dimension temporal
+    // join every warehouse runs at load time; the merge exec makes it two
+    // co-partitioned sorted shuffles + an O(1)-state pass instead of a
+    // range join or a window over fact ∪ dim. Oracle = DuckDB's native
+    // ASOF LEFT JOIN against the same version CTEs — three engines'
+    // as-of semantics pinned to each other.
+    "q_scd2_lookup" -> ((s, d) => {
+      val versions = queries("q_scd2")(s, d)
+        .select(col("user_id").as("uid_r"), col("valid_from").as("vf"),
+                col("version"), col("event_type").as("state"))
+      val purchases = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("uid_l"),
+                col("ts").cast("timestamp_ntz").as("ts_l"),
+                col("event_id").as("p_id"))
+      graft.plans.AsOf.joinBackward(purchases, versions,
+          Seq((col("uid_l"), col("uid_r"))), col("ts_l"), col("vf"))
+        .select(col("p_id"), col("version"), col("state"))
+        .orderBy(col("p_id"))
+    }),
+
     // ---- q_geo_cell: spatial radius self-join via grid-cell bucketing ----
     // All point pairs within radius 0.5 units (50 centi-units). The naive
     // formulation is an O(n²) cross join; bucketing points into r-sized grid
@@ -548,6 +572,31 @@ object EtlOps extends OpModule {
         |FROM v
         |WINDOW wv AS (PARTITION BY user_id ORDER BY island)
         |ORDER BY user_id, version""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN over the same version CTEs
+    "q_scd2_lookup" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), i AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM g
+        |), v AS (
+        |  SELECT user_id, island AS version, event_type AS state,
+        |    MIN(ts) AS valid_from
+        |  FROM i GROUP BY user_id, island, event_type
+        |), p AS (
+        |  SELECT user_id, ts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.p_id, v.version, v.state
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.valid_from <= p.ts
+        |ORDER BY p.p_id""".stripMargin,
 
     // exact quadratic twin of the cell-bucketed join
     "q_geo_cell" ->
