@@ -128,6 +128,12 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.collect().map(_.toSeq).toSeq == interval.collect().map(_.toSeq).toSeq)
   }
 
+  test("q_scd2_lookup runs through the exec (its oracle can't see which plan ran)") {
+    val phys = SparkEntry.queries("q_scd2_lookup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), "SCD2 lookup must use the merge exec")
+  }
+
   test("tolerance boundary is strict: a candidate exactly tol old does not match") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
