@@ -605,6 +605,24 @@ object TextAnalysis extends OpModule {
                 expr("n * 10000 div n_actual").as("share_e4"))
         .orderBy(col("actual"), col("pred_lang"))
     }),
+
+    // Tokenizer fertility per language: BPE-ish tokens per whitespace word
+    // in 1e-4 units — the tokenizer-efficiency metric a multilingual
+    // training team budgets by (a fertility-2 language pays 2× the
+    // sequence length for the same text; q_vocab_oov's budget audit from
+    // the other side). One scan, q_token_count's two tokenizations
+    // aggregated by lang, exact integer ratio.
+    "q_tokenizer_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+                size(split(trim(col("text")), " ")).cast("long").as("ws"),
+                size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+                  .cast("long").as("bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+             sum(col("bpe")).as("bpe_tokens"))
+        .withColumn("fertility_e4", expr("bpe_tokens * 10000 div ws_tokens"))
+        .orderBy(col("lang"))),
   )
 
   /** Three ROUNDS of BPE training — the actual merge loop (shared by
@@ -1090,5 +1108,16 @@ object TextAnalysis extends OpModule {
          |  conf.n * 10000 // tot.n_actual AS share_e4
          |FROM conf JOIN tot ON conf.actual = tot.actual
          |ORDER BY conf.actual, conf.pred_lang""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(STRING_SPLIT(TRIM(text), ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS BIGINT) * 10000
+        |    // CAST(SUM(LEN(STRING_SPLIT(TRIM(text), ' '))) AS BIGINT)
+        |    AS fertility_e4
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -869,6 +869,35 @@ object TimeSeries extends OpModule {
         .select(col("p_id"), col("click_id"))
         .orderBy(col("p_id"))
     }),
+
+    // Time-to-convert distribution: for every view with a purchase inside
+    // the next hour (q_window_funnel's first stage — bounded interval join
+    // collapsed by min-agg), the exact p50/p90 of the conversion delay in
+    // seconds. The latency-percentile readout beside q_funnel's count
+    // readout. Global value-at-rank rides DistRank (no single-partition
+    // sort of the pair table); delays are exact integer seconds.
+    "q_funnel_ttc" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("event_id").as("v_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      val pairs = views.join(purchases, Seq("user_id"))
+        .where(col("pts") > col("vts") &&
+               col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("v_id"))
+        .agg(min(col("pts")).as("first_p"), max(col("vts")).as("vts"))
+        .select(col("v_id"),
+          expr("(unix_micros(first_p) - unix_micros(vts)) div 1000000").as("delta_s"))
+      val ranked = DistRank.withGlobalRank(pairs, col("delta_s"), col("v_id"),
+        60L, "gr_r2", "gr_n2")
+      ranked
+        .agg(max(col("gr_n2")).as("n_pairs"),
+             max(when(col("gr_r2") === expr("(gr_n2 + 1) div 2"), col("delta_s")))
+               .as("p50_s"),
+             max(when(col("gr_r2") === expr("(9 * gr_n2 + 9) div 10"), col("delta_s")))
+               .as("p90_s"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1414,6 +1443,27 @@ object TimeSeries extends OpModule {
         |SELECT p.p_id, best.click_id
         |FROM p LEFT JOIN best ON p.p_id = best.p_id
         |ORDER BY p.p_id""".stripMargin,
+
+    "q_funnel_ttc" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS vts, event_id AS v_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT v.v_id,
+        |    (EPOCH_US(MIN(p.pts)) - EPOCH_US(MAX(v.vts))) // 1000000 AS delta_s
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |   AND p.pts > v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR
+        |  GROUP BY v.v_id),
+        |r AS (
+        |  SELECT delta_s, v_id,
+        |    ROW_NUMBER() OVER (ORDER BY delta_s, v_id) AS r,
+        |    COUNT(*) OVER () AS n
+        |  FROM pairs)
+        |SELECT MAX(n) AS n_pairs,
+        |  MAX(CASE WHEN r = (n + 1) // 2 THEN delta_s END) AS p50_s,
+        |  MAX(CASE WHEN r = (9 * n + 9) // 10 THEN delta_s END) AS p90_s
+        |FROM r""".stripMargin,
 
     // q_join_asof_tol's oracle verbatim — native tolerance exec ≡ the
     // bounded-interval-join formulation ≡ DuckDB
