@@ -611,6 +611,30 @@ object StreamOps extends OpModule {
         .orderBy(col("event_type"))
     }),
 
+    // Watermarked tumbling windows × the custom top-k aggregate: per
+    // closed hour window, the top-3 event values — three streaming
+    // features composed (event-time windows, watermark append emission,
+    // TypedImperativeAggregate state). State per (window) key is the
+    // 3-entry buffer; the watermark EVICTS it when the window closes —
+    // the live-leaderboard-per-window shape. Emission = windows whose end
+    // ≤ final watermark (s_tumble_wm's contract); the total-order
+    // comparator keeps the result bit-deterministic, so the oracle is the
+    // exact batch twin with the watermark HAVING.
+    "s_window_topk" -> ((s, d) => {
+      graft.functions.TopK.register(s)
+      val st = runStreamFile(s, d, OutputMode.Append()) { ds =>
+        ds.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(expr("graft_topk(cast(round(value * 100) as bigint), event_id, 3)")
+            .as("top"))
+          .select(col("w.start").cast("timestamp_ntz").as("hstart"), col("top"))
+      }
+      st.select(col("hstart"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("hstart"), (col("pos") + 1).cast("int").as("rn"),
+                col("t.sk").as("v_cents"), col("t.pl").as("event_id"))
+        .orderBy(col("hstart"), col("rn"))
+    }),
+
     // graft_topk as STREAMING state — the bounded top-k aggregate's whole
     // point, live: per-key state is the k-entry buffer no matter how much
     // streams through, and unlike s_tdigest the comparator is a TOTAL
@@ -801,6 +825,21 @@ object StreamOps extends OpModule {
         |  MAX(CASE WHEN r = (19 * n + 19) // 20 THEN c END) AS p95_cents,
         |  TRUE AS td_ok
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // closed windows only (s_tumble_wm's HAVING) × the exact top-3 twin
+    "s_window_topk" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+        |v AS (
+        |  SELECT DATE_TRUNC('hour', ts) AS hstart,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v, event_id
+        |  FROM events, mx
+        |  WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mt - INTERVAL 10 MINUTE),
+        |r AS (
+        |  SELECT hstart, v, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY hstart ORDER BY v DESC, event_id) AS rn
+        |  FROM v)
+        |SELECT hstart, CAST(rn AS INT) AS rn, v AS v_cents, event_id
+        |FROM r WHERE rn <= 3 ORDER BY hstart, rn""".stripMargin,
 
     // total order (v DESC, event_id ASC) → streamed top-k ≡ batch window
     "s_topk" ->
