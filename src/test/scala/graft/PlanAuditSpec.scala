@@ -410,4 +410,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_agg_multi_distinct")
     assert(p.contains("Expand"), "multi-distinct must fan out via ExpandExec")
   }
+
+  test("q_skyline: staircase sweep — broadcast join back, no cartesian") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), "skyline must broadcast the staircase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "skyline must not fall back to the O(n^2) dominance join")
+  }
+
+  test("q_tdigest: the sketch aggregates through ObjectHashAggregate partials") {
+    val p = plan("q_tdigest")
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate must plan as ObjectHashAggregate")
+    assert(p.contains("partial_graft_tdigest"),
+      "digest must partial-aggregate map-side (merge centroids, not rows)")
+  }
 }
