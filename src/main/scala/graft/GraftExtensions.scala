@@ -7,15 +7,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Library registration via the public extension point: build sessions with
   * `spark.sql.extensions=graft.GraftExtensions` and every graft-native
-  * function ([[FloatDot]], [[TopK]]) resolves in SQL/`expr` with no imperative
+  * function ([[FloatDot]], [[TopK]], [[HilbertKey]], [[TDigest]], the
+  * [[NGrams]] generator) resolves in SQL/`expr` with no imperative
   * setup — the deployment story for a cluster where the session is built by
-  * the platform, not the query author. Query builders still call
-  * `FloatDot.register`/`TopK.register` as an idempotent fallback so they work
+  * the platform, not the query author. Query builders still call each
+  * function's `register` as an idempotent fallback so they work
   * against plain sessions too.
   *
-  * Also injects the [[graft.plans.IntervalJoinBucketing]] optimizer rule
-  * (conf-gated, default off — see its scaladoc): the bounded-interval-join
-  * bucketing rewrite as a plan transformation.
+  * Also injects the two conf-gated optimizer rules (default off — see
+  * their scaladoc): [[graft.plans.IntervalJoinBucketing]] (bounded-
+  * interval-join bucketing) and [[graft.plans.DistinctToBitmap]]
+  * (COUNT(DISTINCT integral) → word-bitmap aggregation).
   *
   * And the merge as-of join custom operator ([[graft.plans.AsOfJoinPlan]] —
   * see ops/plans/AsOfJoin.scala): its hint-marker analysis rule at both the
