@@ -23,6 +23,18 @@ object EtlOps extends OpModule {
     * time the one-off backfill instead of the incremental merge. */
   private val rollupReady = scala.collection.mutable.Set[String]()
 
+  /** Benford expected first-digit shares, frozen as 1e-8 integer literals
+    * (round(1e8·log10(1+1/d))) so neither engine evaluates log10 at query
+    * time — the q_bootstrap_ci frozen-threshold discipline. */
+  private val benfordP: Seq[(Int, Long)] = Seq(
+    1 -> 30103000L, 2 -> 17609126L, 3 -> 12493874L, 4 -> 9691001L,
+    5 -> 7918125L, 6 -> 6694679L, 7 -> 5799195L, 8 -> 5115252L, 9 -> 4575749L)
+
+  private def benfordExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    benfordP.toDF("digit", "p_e8")
+  }
+
   /** Deterministic pseudo-coordinate in [0, 10000) centi-units, derived from
     * an md5 of the salted key — the tables carry no real coordinates, so the
     * geo operators manufacture reproducible ones the oracle can re-derive
@@ -482,6 +494,55 @@ object EtlOps extends OpModule {
                 (col("l") >= 3).as("diverse_ok"))
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    // Benford first-digit audit — the classic fabricated-data detector for
+    // financial columns: observed leading-digit counts of o_totalprice vs
+    // the log10(1+1/d) expectation, with the per-digit chi-square
+    // contribution. The leading digit is taken from the CENTS INTEGER
+    // (×100 shifts the decimal point, never the leading digit), so the
+    // digit extraction is exact string-of-integer work — no float log10
+    // whose value at a power-of-10 boundary could flip between engines.
+    // Expected shares ride as frozen 1e-8 literals (computed once, same on
+    // both sides); the chi-square contribution is double arithmetic over
+    // exact integers (+,×,/ are IEEE-identical cross-engine; only
+    // transcendentals differ, and there are none here). One aggregate over
+    // the fact table then 9-row math — nothing at 100 TB but the scan.
+    "q_benford" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .select(substring(expr("cast(cast(round(o_totalprice * 100) as bigint) as string)"),
+                          1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .join(broadcast(benfordExpected(s)), Seq("digit"))
+        .select(col("digit"), col("n"),
+                (col("total") * col("p_e8")).as("exp_e8"),
+                expr("""cast(round(1e4 * pow(n - total * p_e8 / 1e8, 2)
+                       |  / (total * p_e8 / 1e8)) as bigint)""".stripMargin)
+                  .as("chi2_e4"))
+        .orderBy(col("digit"))
+    }),
+
+    // Differentially-private release counts (Laplace mechanism, ε = 0.5):
+    // per-nation customer counts plus b·sgn(u)·ln(1−2|u|) noise with
+    // b = 1/ε = 2 and u derived from md5 of the group key — the noise is
+    // DETERMINISTIC given the (public, per-release) seed string, which is
+    // how a reproducible pipeline releases DP aggregates (re-running the
+    // job must not re-randomize the release). ln is the one transcendental:
+    // rounded at 1e-6 before the integer add (accepted-risk D1 — a flip
+    // needs the two engines' ln to differ exactly at a 5e-7 boundary).
+    // Cost = the same single aggregate as the exact count.
+    "q_dp_count" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .withColumn("u", expr(
+          "cast(conv(substring(md5(concat('dp-r10-', cast(c_nationkey as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5"))
+        .withColumn("noise_e6", expr(
+          "cast(round(1e6 * (-2.0) * sign(u) * ln(1.0 - 2.0 * abs(u))) as bigint)"))
+        .select(col("c_nationkey"), col("n"),
+                (col("n") + expr("cast(round(noise_e6 / 1e6) as bigint)")).as("dp_n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Layout-quality comparison: for one 2-D probe rectangle, how many of
     // 16 range-partitioned files does each clustering key force a scan to
     // touch? Three layouts over the same (x, y) = (size, key mod 256)
@@ -800,6 +861,33 @@ object EtlOps extends OpModule {
         |                      ELSE 'high' END) >= 3 AS diverse_ok
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_benford" ->
+      s"""WITH p(digit, p_e8) AS (VALUES ${benfordP.map { case (d, p) => s"($d, $p)" }.mkString(", ")}),
+         |dg AS (
+         |  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |         COUNT(*) AS n
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM dg)
+         |SELECT dg.digit, dg.n, CAST(total * p_e8 AS BIGINT) AS exp_e8,
+         |  CAST(ROUND(1e4 * POW(n - total * p_e8 / 1e8, 2)
+         |    / (total * p_e8 / 1e8)) AS BIGINT) AS chi2_e4
+         |FROM dg JOIN p USING (digit), tot
+         |ORDER BY digit""".stripMargin,
+
+    "q_dp_count" ->
+      """WITH g AS (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1),
+        |u AS (
+        |  SELECT c_nationkey, n,
+        |    CAST(('0x' || SUBSTR(md5('dp-r10-' || CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 - 0.5 AS u
+        |  FROM g),
+        |nz AS (
+        |  SELECT c_nationkey, n,
+        |    CAST(ROUND(1e6 * (-2.0) * SIGN(u) * LN(1.0 - 2.0 * ABS(u))) AS BIGINT) AS noise_e6
+        |  FROM u)
+        |SELECT c_nationkey, n, n + CAST(ROUND(noise_e6 / 1e6) AS BIGINT) AS dp_n
+        |FROM nz ORDER BY c_nationkey""".stripMargin,
 
     "q_layout_compare" ->
       s"""WITH b0 AS (

@@ -79,6 +79,50 @@ object Subqueries extends OpModule {
               |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Spark 4 recursive CTE (UNION ALL form — Spark rejects UNION-distinct
+    // recursion; probed). The recursion is GENUINELY sequential: each step
+    // compounds the running balance by 1% (integer cents, DIV) before adding
+    // the month's receipts — acc(m+1) = acc(m) + acc(m) DIV 100 + tot(m+1)
+    // is not expressible as a window sum, so this exercises the fixpoint
+    // executor, not a rewrite. 12 iterations, each a 1-row ⋈ 12-row join:
+    // driver-side loop cost is O(months), data cost one aggregate — the
+    // shape that scales (the recursion never touches the fact table again).
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rec_v")
+      s.sql("""WITH RECURSIVE bal(m, acc) AS (
+              |  SELECT 1 AS m, mt.tot AS acc
+              |  FROM (SELECT month(o_orderdate) AS mth,
+              |               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS tot
+              |        FROM orders_rec_v GROUP BY 1) mt
+              |  WHERE mt.mth = 1
+              |  UNION ALL
+              |  SELECT b.m + 1, b.acc + b.acc DIV 100 + mt.tot
+              |  FROM bal b
+              |  JOIN (SELECT month(o_orderdate) AS mth,
+              |               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS tot
+              |        FROM orders_rec_v GROUP BY 1) mt ON mt.mth = b.m + 1
+              |  WHERE b.m < 12)
+              |SELECT m, acc FROM bal ORDER BY m""".stripMargin)
+    }),
+
+    // Spark 4 SQL scalar UDFs (CREATE FUNCTION … RETURN expr): the UDF body
+    // INLINES into the Catalyst plan at analysis time — unlike a JVM/Python
+    // UDF it stays inside whole-stage codegen and pushdown-eligible, which
+    // is the only UDF form that costs nothing at 100 TB. DuckDB has no
+    // temporary-function DDL in a single-statement oracle, so the twin
+    // inlines the same expressions (semantically what Spark does anyway).
+    "q_sql_udf" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_udf_v")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+              |RETURNS BIGINT RETURN CAST(ROUND(x * 100) AS BIGINT)""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_band(dsc DOUBLE)
+              |RETURNS STRING RETURN CASE WHEN dsc >= 0.08 THEN 'deep'
+              |  WHEN dsc >= 0.04 THEN 'mid' ELSE 'low' END""".stripMargin)
+      s.sql("""SELECT graft_disc_band(l_discount) AS band, COUNT(*) AS n,
+              |  SUM(graft_cents(l_extendedprice * (1 - l_discount))) AS rev_cents
+              |FROM li_udf_v GROUP BY 1 ORDER BY band""".stripMargin)
+    }),
+
     // Spark 4 SQL pipe syntax (|>): the same filter→aggregate→sort chain a
     // DataFrame expresses, written as the SQL-standard-track pipeline
     // dialect. Catalyst plans it identically to the nested-SELECT form (one
@@ -132,6 +176,28 @@ object Subqueries extends OpModule {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE mt AS (
+        |  SELECT EXTRACT(month FROM o_orderdate) AS mth,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS tot
+        |  FROM orders GROUP BY 1),
+        |bal(m, acc) AS (
+        |  SELECT 1 AS m, mt.tot AS acc FROM mt WHERE mt.mth = 1
+        |  UNION ALL
+        |  SELECT b.m + 1, b.acc + b.acc // 100 + mt.tot
+        |  FROM bal b JOIN mt ON mt.mth = b.m + 1
+        |  WHERE b.m < 12)
+        |SELECT m, acc FROM bal ORDER BY m""".stripMargin,
+
+    // The UDF bodies inlined (see the Spark-side comment): all-positive
+    // operands so DuckDB // and Spark DIV agree; no division here anyway.
+    "q_sql_udf" ->
+      """SELECT CASE WHEN l_discount >= 0.08 THEN 'deep'
+        |  WHEN l_discount >= 0.04 THEN 'mid' ELSE 'low' END AS band,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin,
 
     // DuckDB has no pipe dialect — the oracle is the equivalent ANSI form
     // (the comparator sorts columns by name, so projection order is free)

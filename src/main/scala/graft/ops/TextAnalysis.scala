@@ -234,6 +234,86 @@ object TextAnalysis extends OpModule {
         .orderBy(col("a"), col("b"))
     }),
 
+    // KMV set-operation cardinalities — the sketch-side |A∪B| / |A∩B|
+    // estimates q_kmv_sketch's Jaccard implies, made explicit: the k-th
+    // minimum M_k of a 48-bit-hashed set estimates |S| ≈ (k−1)·2⁴⁸/M_k,
+    // the union estimate reads the MERGED sketch's k-th min (merge = union
+    // + re-truncate, associative — sketches of 100 TB partitions combine
+    // with 128-row shuffles), and |A∩B| ≈ Ĵ·|A∪B|. Sets smaller than k are
+    // stored whole, so their estimates are declared EXACT (the kk < k
+    // branch). Integer-division arithmetic throughout; the exact union /
+    // intersection audit rides beside the estimates (q_ann_recall
+    // pattern).
+    "q_kmv_setops" -> ((s, d) => {
+      val k = 128
+      val mem = Tables.documents(s, d)
+        .select(col("source"), explode(array_distinct(
+          split(trim(lower(col("text"))), " "))).as("t"))
+        .distinct()
+      val vh = mem
+        .select(col("source"),
+          conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long").as("h"))
+        .distinct()
+      val wS = Window.partitionBy(col("source")).orderBy(col("h"))
+      val ranked = vh.withColumn("rn", row_number().over(wS))
+      val sk = ranked.where(col("rn") <= k).select(col("source"), col("h"))
+      val pairs = sk.select(col("source").as("a")).distinct()
+        .join(sk.select(col("source").as("b")).distinct(), col("a") < col("b"))
+      val merged = pairs.join(sk.withColumnRenamed("source", "a"), Seq("a"))
+        .select(col("a"), col("b"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+        .unionByName(pairs.join(sk.withColumnRenamed("source", "b"), Seq("b"))
+          .select(col("a"), col("b"), col("h"), lit(0).as("ia"), lit(1).as("ib")))
+        .groupBy(col("a"), col("b"), col("h"))
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      val wP = Window.partitionBy(col("a"), col("b")).orderBy(col("h"))
+      val est = merged.withColumn("rn", row_number().over(wP)).where(col("rn") <= k)
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("ia") * col("ib")).as("n_common"), count(lit(1)).as("kk"),
+             max(col("h")).as("hk"))
+        .select(col("a"), col("b"), col("n_common"), col("kk"),
+          when(col("kk") < k, col("kk"))
+            .otherwise(expr(s"(${k - 1}) * 281474976710656 div hk"))
+            .as("union_est"))
+        .withColumn("inter_est", expr("n_common * union_est div kk"))
+      val sizes = mem.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val inter = mem.select(col("source").as("a"), col("t"))
+        .join(mem.select(col("source").as("b"), col("t")), Seq("t"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+      est.join(inter, Seq("a", "b"))
+        .join(sizes.select(col("source").as("a"), col("nv").as("na")), Seq("a"))
+        .join(sizes.select(col("source").as("b"), col("nv").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), col("union_est"), col("inter_est"),
+                (col("na") + col("nb") - col("ni")).as("exact_union"),
+                col("ni").as("exact_inter"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Chi-square term–class association (one-vs-rest 2×2 per (token, lang))
+    // — the classic supervised feature-selection score beside
+    // q_mutual_info's unsupervised MI: χ² = N(ad−bc)²/(ct·(N−ct)·cl·(N−cl))
+    // from the same three aggregates (cell, by-token, by-lang). Every count
+    // is an exact long; the statistic is double ×/÷ over those longs
+    // (IEEE-identical cross-engine, no transcendentals), rounded at 1e-4.
+    // Top-20 with the (χ² DESC, token, lang) total-order tie-break.
+    "q_chi2_terms" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+      val cell = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("ctl"))
+      val byTok = cell.groupBy(col("t")).agg(sum(col("ctl")).as("ct"))
+      val byLang = cell.groupBy(col("lang")).agg(sum(col("ctl")).as("cl"))
+      val tot = byLang.agg(sum(col("cl")).as("n"))
+      cell.join(byTok, "t").join(broadcast(byLang), "lang").crossJoin(broadcast(tot))
+        .where(col("ct") < col("n"))
+        .select(col("t"), col("lang"), col("ctl"), expr(
+          """cast(round(1e4 * n *
+            |  pow(cast(ctl as double) * (n - ct - cl + ctl)
+            |      - cast(ct - ctl as double) * (cl - ctl), 2)
+            |  / (cast(ct as double) * (n - ct) * cl * (n - cl))) as bigint)"""
+            .stripMargin).as("chi2_e4"))
+        .orderBy(col("chi2_e4").desc, col("t"), col("lang")).limit(20)
+    }),
+
     // Zipf's-law fit over the corpus vocabulary: OLS slope/intercept of
     // ln(freq) on ln(rank) for the top-100 terms — the standard "is this
     // corpus natural language or template soup" diagnostic (natural text
@@ -806,6 +886,70 @@ object TextAnalysis extends OpModule {
         |FROM est JOIN intr ON est.a = intr.a AND est.b = intr.b
         |JOIN sz sa ON sa.source = est.a JOIN sz sb ON sb.source = est.b
         |ORDER BY est.a, est.b""".stripMargin,
+
+    "q_kmv_setops" ->
+      """WITH mem AS (
+        |  SELECT DISTINCT source, UNNEST(LIST_DISTINCT(
+        |    STRING_SPLIT(TRIM(LOWER(text)), ' '))) AS t
+        |  FROM documents),
+        |vh AS (
+        |  SELECT DISTINCT source,
+        |         CAST(('0x' || SUBSTR(md5(t), 1, 12)) AS BIGINT) AS h
+        |  FROM mem),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM vh) WHERE rn <= 128),
+        |pr AS (
+        |  SELECT a.source AS a, b.source AS b
+        |  FROM (SELECT DISTINCT source FROM sk) a
+        |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+        |mg AS (
+        |  SELECT a, b, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+        |    SELECT pr.a, pr.b, sk.h, 1 AS ia, 0 AS ib FROM pr JOIN sk ON sk.source = pr.a
+        |    UNION ALL
+        |    SELECT pr.a, pr.b, sk.h, 0 AS ia, 1 AS ib FROM pr JOIN sk ON sk.source = pr.b)
+        |  GROUP BY a, b, h),
+        |est AS (
+        |  SELECT a, b, CAST(SUM(ia * ib) AS BIGINT) AS n_common,
+        |         COUNT(*) AS kk, MAX(h) AS hk
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY h) AS rn
+        |        FROM mg) WHERE rn <= 128
+        |  GROUP BY a, b),
+        |ue AS (
+        |  SELECT a, b, n_common, kk,
+        |    CAST(CASE WHEN kk < 128 THEN kk
+        |         ELSE 127 * 281474976710656 // hk END AS BIGINT) AS union_est
+        |  FROM est),
+        |sz AS (SELECT source, COUNT(*) AS nv FROM mem GROUP BY source),
+        |intr AS (
+        |  SELECT x.source AS a, y.source AS b, COUNT(*) AS ni
+        |  FROM mem x JOIN mem y ON x.t = y.t AND x.source < y.source
+        |  GROUP BY x.source, y.source)
+        |SELECT ue.a, ue.b, ue.union_est,
+        |  CAST(ue.n_common * ue.union_est // ue.kk AS BIGINT) AS inter_est,
+        |  CAST(sa.nv + sb.nv - intr.ni AS BIGINT) AS exact_union,
+        |  CAST(intr.ni AS BIGINT) AS exact_inter
+        |FROM ue JOIN intr ON ue.a = intr.a AND ue.b = intr.b
+        |JOIN sz sa ON sa.source = ue.a JOIN sz sb ON sb.source = ue.b
+        |ORDER BY ue.a, ue.b""".stripMargin,
+
+    "q_chi2_terms" ->
+      """WITH tok AS (
+        |  SELECT lang, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+        |cell AS (SELECT lang, t, COUNT(*) AS ctl FROM tok GROUP BY lang, t),
+        |by_tok AS (SELECT t, CAST(SUM(ctl) AS BIGINT) AS ct FROM cell GROUP BY t),
+        |by_lang AS (SELECT lang, CAST(SUM(ctl) AS BIGINT) AS cl FROM cell GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(cl) AS BIGINT) AS n FROM by_lang)
+        |SELECT cell.t, cell.lang, cell.ctl,
+        |  CAST(ROUND(1e4 * n *
+        |    POW(CAST(ctl AS DOUBLE) * (n - ct - cl + ctl)
+        |        - CAST(ct - ctl AS DOUBLE) * (cl - ctl), 2)
+        |    / (CAST(ct AS DOUBLE) * (n - ct) * cl * (n - cl))) AS BIGINT) AS chi2_e4
+        |FROM cell JOIN by_tok USING (t) JOIN by_lang USING (lang), tot
+        |WHERE ct < n
+        |ORDER BY chi2_e4 DESC, t, lang LIMIT 20""".stripMargin,
 
     "q_zipf_fit" ->
       """WITH tok AS (

@@ -83,6 +83,38 @@ object TimeSeries extends OpModule {
                 col("n_events"))
         .orderBy(col("user_id"), col("sess_start"))),
 
+    // Interval-union coverage (merge overlapping intervals): each event
+    // claims [ts, ts+30min); per user, overlapping-or-touching claims merge
+    // into islands and the query reports island count + total covered
+    // seconds — the utilization/SLA-coverage primitive (distinct from
+    // sessionization: islands merge on INTERVAL overlap, not event gaps, so
+    // a long interval bridges events a 30-min gap rule would split). A row
+    // starts a new island iff its start exceeds the running max END of all
+    // PRIOR rows (the unbounded-preceding max frame) — one user_id shuffle,
+    // frame scan O(1) per row, exact epoch-µs integers (D2).
+    "q_interval_merge" -> ((s, d) => {
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("st"),
+                (unix_micros(col("ts")) + us30min).as("en"))
+        .withColumn("prev_en", max(col("en")).over(wPrev))
+        .withColumn("brk",
+          when(col("prev_en").isNull || col("st") > col("prev_en"), 1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("st")).as("s0"), max(col("en")).as("e1"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+             expr("sum(e1 - s0) div 1000000").as("covered_sec"))
+        .orderBy(col("user_id"))
+    }),
+
     // Interval self-join: pairs of events of one user within 10 minutes.
     "q_join_range" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -918,6 +950,30 @@ object TimeSeries extends OpModule {
         |      CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks) t
         |GROUP BY wstart
         |ORDER BY wstart""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, EPOCH_US(ts) AS st,
+        |         EPOCH_US(ts) + 1800000000 AS en
+        |  FROM events),
+        |mk AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CASE WHEN MAX(en) OVER wp IS NULL OR st > MAX(en) OVER wp
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM iv
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY st, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl AS (
+        |  SELECT user_id, st, en,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM mk),
+        |agg AS (
+        |  SELECT user_id, isl, MIN(st) AS s0, MAX(en) AS e1
+        |  FROM isl GROUP BY user_id, isl)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(e1 - s0) // 1000000 AS BIGINT) AS covered_sec
+        |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_session_batch" ->
       """WITH g AS (

@@ -185,6 +185,26 @@ object Windows extends OpModule {
             .stripMargin))
         .select(col("event_id"), col("n_1h"), col("cents_1h"))
         .orderBy(col("event_id"))),
+
+    // DISTINCT count over a moving window — a surface gap in Spark (the
+    // analyzer rejects `COUNT(DISTINCT) OVER`), filled by composing
+    // codegen'd collection primitives: collect_list over the frame →
+    // array_distinct → size. The frame is 8 rows, so the per-row array is
+    // bounded (this composition is O(frame), the right trade only for
+    // bounded ROWS frames — an unbounded frame would want the DistRank
+    // two-pass shape instead). Total (ts, event_id) ordering per D3;
+    // DuckDB's native windowed COUNT(DISTINCT) is the oracle.
+    "q_win_distinct_count" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-7, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("dcnt",
+          size(array_distinct(collect_list(col("event_type")).over(w))))
+        .select(col("event_id"), col("dcnt"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -288,5 +308,12 @@ object Windows extends OpModule {
         |FROM (SELECT event_id, user_id, ts,
         |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events) t
         |ORDER BY event_id""".stripMargin,
+
+    "q_win_distinct_count" ->
+      """SELECT event_id,
+        |  CAST(COUNT(DISTINCT event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS INTEGER) AS dcnt
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }
