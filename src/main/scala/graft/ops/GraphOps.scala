@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph-analytics operators over the token co-occurrence graph — the
@@ -210,6 +211,46 @@ object GraphOps extends OpModule {
     // integer aggregates of the edge table. Per-brand Q contribution
     // rounds at 1e8 from one shared double expression — bit-stable, and
     // the global Q is the (deducible) integer sum of the column.
+    // Synchronous label propagation (2 rounds) — the near-linear community
+    // detector beside q_dedup_cluster's min-label components: each round
+    // every node adopts its neighbors' MAJORITY label (tie → min label —
+    // deterministic, where textbook LPA breaks ties randomly). Runs on the
+    // strong CO-PURCHASE graph (q_modularity's edge set), whose diameter
+    // keeps 2-hop propagation local — the dense token graph collapses to
+    // one community in 2 rounds (measured), which tests nothing. One round
+    // = one join on the neighbor key + one (node, label) aggregate + one
+    // per-node top-1 window — the same shuffle key every round, so the
+    // partitioning reuses; rounds are fixed at 2 so the oracle unrolls
+    // (q_pagerank's fixed-trajectory technique; production iterates to
+    // convergence with a driver-side delta count). Output = per-community
+    // membership summary.
+    "q_label_prop" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.select(col("o"), col("p").as("u"))
+        .join(li.select(col("o"), col("p").as("v")), Seq("o"))
+        .where(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
+        .where(col("n_co") >= 2)
+        .select(col("u"), col("v"))
+      val nb = e.select(col("u").as("c"), col("v").as("n"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+      def round(lbl: DataFrame): DataFrame = {
+        val votes = nb.join(lbl.withColumnRenamed("node", "n"), Seq("n"))
+          .groupBy(col("c"), col("lab")).agg(count(lit(1)).as("nv"))
+        val w = Window.partitionBy(col("c")).orderBy(col("nv").desc, col("lab"))
+        votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("c").as("node"), col("lab"))
+      }
+      val l0 = nb.select(col("c").as("node")).distinct()
+        .withColumn("lab", col("node"))
+      round(round(l0))
+        .groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_members"),
+             min(col("node")).as("min_member"), max(col("node")).as("max_member"))
+        .orderBy(col("lab"))
+    }),
+
     "q_modularity" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -364,6 +405,33 @@ object GraphOps extends OpModule {
         |SELECT node, COUNT(*) AS deg FROM (
         |  SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |nb AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e),
+        |l0 AS (SELECT DISTINCT c AS node, c AS lab FROM nb),
+        |v1 AS (
+        |  SELECT nb.c, l0.lab, COUNT(*) AS nv
+        |  FROM nb JOIN l0 ON nb.n = l0.node GROUP BY nb.c, l0.lab),
+        |l1 AS (
+        |  SELECT c AS node, lab FROM (
+        |    SELECT c, lab,
+        |           ROW_NUMBER() OVER (PARTITION BY c ORDER BY nv DESC, lab) AS rn
+        |    FROM v1) WHERE rn = 1),
+        |v2 AS (
+        |  SELECT nb.c, l1.lab, COUNT(*) AS nv
+        |  FROM nb JOIN l1 ON nb.n = l1.node GROUP BY nb.c, l1.lab),
+        |l2 AS (
+        |  SELECT c AS node, lab FROM (
+        |    SELECT c, lab,
+        |           ROW_NUMBER() OVER (PARTITION BY c ORDER BY nv DESC, lab) AS rn
+        |    FROM v2) WHERE rn = 1)
+        |SELECT lab, COUNT(*) AS n_members, MIN(node) AS min_member,
+        |       MAX(node) AS max_member
+        |FROM l2 GROUP BY lab ORDER BY lab""".stripMargin,
 
     "q_modularity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -32,6 +32,46 @@ object Multimodal extends OpModule {
 
   case class Frame(doc_id: Long, frame_idx: Int, checksum: Long)
 
+  case class PHash(doc_id: Long, hi: Long, lo: Long)
+
+  /** 8×8 average-hash (aHash) over a DECODED raster: block-mean grid via the
+    * floor(x·8/w) mapping, bit = block mean > image mean decided by exact
+    * integer cross-multiplication (blockSum·N > imgSum·blockCnt — no float
+    * division anywhere), packed as two 32-bit halves so the value stays a
+    * positive BIGINT on both engines. */
+  private def aHash(docId: Long, payload: Array[Byte]): PHash = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bs = new Array[Long](64)
+    val bc = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0)
+        val bi = by * 8 + x * 8 / w
+        bs(bi) += v; bc(bi) += 1; total += v
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hi = 0L; var lo = 0L
+    var bi = 0
+    while (bi < 64) {
+      if (bs(bi) * n > total * bc(bi)) {
+        val by = bi / 8; val bx = bi % 8
+        val bit = 1L << ((by % 4) * 8 + bx)
+        if (by < 4) hi |= bit else lo |= bit
+      }
+      bi += 1
+    }
+    PHash(docId, hi, lo)
+  }
+
   /** STUB frame decode: real implementation = demux(payload) → sample every
     * SECOND frame of the first 8 (temporal subsampling — the standard
     * video-pipeline trick to bound per-record work) → per-frame features.
@@ -168,6 +208,53 @@ object Multimodal extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual near-duplicate IMAGE dedup — aHash over real decoded
+    // pixels, then the banded-LSH candidate shape every graft dedup family
+    // uses. The 64-bit hash splits into four 16-bit bands; by pigeonhole a
+    // pair at Hamming ≤ 3 agrees EXACTLY on ≥1 band, so the band equi-join
+    // is a lossless candidate generator at that threshold (recall 1.0 by
+    // construction, not probabilistically) — at 100 TB the hash is one
+    // pass over the images and candidates come from a 4×-fanout shuffle on
+    // corpus-scaling 16-bit×band keys, never an image pair scan. The
+    // DuckDB twin re-derives every hash bit from the closed-form pixel
+    // grid (q_multimodal_png's oracle) and mirrors the banding, so the
+    // hash match pins decode, block mapping, bit rule, packing, and the
+    // candidate model.
+    "q_phash_dedup" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id")).where(col("doc_id") < 24)
+        .as[Long]
+        .mapPartitions(it => it.map(id => aHash(id, renderPng(id))))
+        .toDF()
+      val bands = hashes.select(col("doc_id"), col("hi"), col("lo"),
+          explode(array(
+            struct(lit(0).as("band"), (col("hi") % 65536).as("bv")),
+            struct(lit(1).as("band"), expr("hi div 65536").as("bv")),
+            struct(lit(2).as("band"), (col("lo") % 65536).as("bv")),
+            struct(lit(3).as("band"), expr("lo div 65536").as("bv"))))
+            .as("bk"))
+        .select(col("doc_id"), col("hi"), col("lo"),
+                col("bk.band").as("band"), col("bk.bv").as("bv"))
+      val cand = bands.select(col("band"), col("bv"), col("doc_id").as("a"),
+                              col("hi").as("hi_a"), col("lo").as("lo_a"))
+        .join(bands.select(col("band"), col("bv"), col("doc_id").as("b"),
+                           col("hi").as("hi_b"), col("lo").as("lo_b")),
+              Seq("band", "bv"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("hi_a"), col("lo_a"),
+                col("hi_b"), col("lo_b"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          (bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
+            .cast("int"))
+        .where(col("hamming") <= 3)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Frame sampling over a "video" payload: per-record fan-out (flatMap —
     // the Dataset UDTF surface) emitting every second 32-byte frame of the
     // first 8, with a deterministic stub checksum per frame. The plumbing
@@ -212,6 +299,50 @@ object Multimodal extends OpModule {
         |  CAST(SUM(CASE WHEN p // 32 = 1 THEN 1 ELSE 0 END) AS INTEGER) AS b1_cnt,
         |  CAST(SUM(CASE WHEN p // 32 = 3 THEN 1 ELSE 0 END) AS INTEGER) AS b3_cnt
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // Hash re-derivation from the closed-form pixel grid: blocks by the
+    // same floor(x·8/w) map, bit by the same integer cross-multiply, the
+    // same two-halves packing and 16-bit banding. BIGINT everywhere — the
+    // per-block products stay ≤ 255·224·224 ≪ 2⁶³.
+    "q_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id < 24),
+        |px AS (
+        |  SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+        |    (doc_id * 31 + gx.x * 7 + gy.y * 13) % 256 AS p
+        |  FROM d, GENERATE_SERIES(0, 15) AS gx(x), GENERATE_SERIES(0, 13) AS gy(y)
+        |  WHERE gx.x < w AND gy.y < h),
+        |blk AS (
+        |  SELECT doc_id, y * 8 // h AS by, x * 8 // w AS bx,
+        |         CAST(SUM(p) AS BIGINT) AS bs, COUNT(*) AS bc
+        |  FROM px GROUP BY doc_id, w, h, y * 8 // h, x * 8 // w),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS s, COUNT(*) AS n
+        |  FROM px GROUP BY doc_id),
+        |hs AS (
+        |  SELECT blk.doc_id,
+        |    CAST(SUM(CASE WHEN by < 4 AND bs * n > s * bc
+        |      THEN 1::BIGINT << ((by % 4) * 8 + bx) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN by >= 4 AND bs * n > s * bc
+        |      THEN 1::BIGINT << ((by % 4) * 8 + bx) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+        |  GROUP BY blk.doc_id),
+        |bands AS (
+        |  SELECT doc_id, hi, lo, band,
+        |    CASE band WHEN 0 THEN hi % 65536 WHEN 1 THEN hi // 65536
+        |              WHEN 2 THEN lo % 65536 ELSE lo // 65536 END AS bv
+        |  FROM hs, GENERATE_SERIES(0, 3) AS g(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+        |         a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT a, b,
+        |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+        |ORDER BY a, b""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (

@@ -127,18 +127,73 @@ object StreamOps extends OpModule {
       if (d.endsWith("/")) (d.dropRight(1), "*.parquet")
       else (d, "events.parquet")
     runStreamRaw(s, dir, glob, mode) { raw =>
-      // Same ts normalization as Tables.events: long nanos (nanosAsLong era)
-      // or TIMESTAMP_NTZ (round-7 µs regen) → TIMESTAMP; sessions run UTC so
-      // the NTZ cast preserves wall-clock values.
-      val ds = (raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => raw
-      }).as[Ev]
-      transform(ds)
+      transform(normTs(raw).as[Ev])
     }
+  }
+
+  /** Same ts normalization as Tables.events: long nanos (nanosAsLong era)
+    * or TIMESTAMP_NTZ (round-7 µs regen) → TIMESTAMP; sessions run UTC so
+    * the NTZ cast preserves wall-clock values. */
+  private def normTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+
+  /** Two INDEPENDENT file-source streams over the same events parquet — the
+    * multi-source topology (`readStream ∪ readStream`) that one raw stream
+    * cannot express. Each source gets its own offset log entry in the shared
+    * checkpoint; the union is planned as one streaming query. */
+  private def runStreamFilePair(s: SparkSession, d: String, mode: OutputMode)
+      (transform: (Dataset[Ev], Dataset[Ev]) => DataFrame): DataFrame = {
+    import s.implicits._
+    val (dir, glob) =
+      if (d.endsWith("/")) (d.dropRight(1), "*.parquet")
+      else (d, "events.parquet")
+    val schema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
+    def feed(): Dataset[Ev] =
+      normTs(s.readStream.schema(schema).option("pathGlobFilter", glob)
+        .parquet(dir)).as[Ev]
+    val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+    withStreamParallelism(s) {
+      val q = transform(feed(), feed())
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", s"target/tmp/chk_$name")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+  }
+
+  /** Feed `chunks` as SEPARATE micro-batches (processAllAvailable between
+    * adds — each add is its own batch, so the watermark ADVANCES between
+    * chunks; the single-batch runners can never observe a mid-stream
+    * watermark). The runner for late-arrival semantics. */
+  private def runStreamChunks(s: SparkSession, chunks: Seq[Seq[Ev]],
+                              mode: OutputMode)
+                             (transform: Dataset[Ev] => DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+    withStreamParallelism(s) {
+      val q = transform(mem.toDS())
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", s"target/tmp/chk_$name")
+        .start()
+      try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      finally q.stop()
+    }
+    s.table(name)
   }
 
   /** Feed `rows` through `transform` as one micro-batch, run to completion
@@ -381,6 +436,47 @@ object StreamOps extends OpModule {
     "s_tumble_wm" -> ((s, d) =>
       runStreamFile(s, d, OutputMode.Append())(tumbleTransform)
         .orderBy(col("hstart"), col("event_type"))),
+
+    // Union of two INDEPENDENT streaming sources into one watermarked
+    // windowed aggregate — the fan-in topology (N ingest feeds → one
+    // query) every production deployment has. Each branch filters and
+    // projects before the union; the watermark is declared ON THE UNION,
+    // so the slowest branch gates window flush (min of source watermarks —
+    // here both branches share a feed, making the flush rule identical to
+    // s_tumble_wm's and the oracle exact). State is keyed by (window,
+    // branch): bounded, watermark-evicted.
+    "s_union_streams" -> ((s, d) =>
+      runStreamFilePair(s, d, OutputMode.Append()) { (a, b) =>
+        val clicks = a.where(col("event_type") === "click")
+          .select(col("ts"), lit("click").as("branch"), col("value"))
+        val purchases = b.where(col("event_type") === "purchase")
+          .select(col("ts"), lit("purchase").as("branch"), col("value"))
+        clicks.unionByName(purchases)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("branch"))
+          .agg(count(lit(1)).as("n"),
+               graft.ops.Det.moneySum(col("value")).as("val_cents"))
+          .select(col("w.start").cast("timestamp_ntz").as("hstart"),
+                  col("branch"), col("n"), col("val_cents"))
+      }.orderBy(col("hstart"), col("branch"))),
+
+    // Late-data DROP semantics, observed end to end: batch 1 carries every
+    // on-time row (including the global max ts, so the watermark lands at
+    // max − 10 min), batch 2 replays rows ≥ 2 h stale — each lands in a
+    // window whose end is already ≤ the watermark, so the state was
+    // evicted and Spark MUST drop the row (the numRowsDroppedByWatermark
+    // path). The oracle aggregates ONLY the on-time partition: any dropped
+    // row leaking into a count, or an on-time row mis-dropped, breaks the
+    // hash. Needs the chunked runner — a single-batch feed can never
+    // observe a mid-stream watermark.
+    "s_late_drop" -> ((s, d) => {
+      val evs = loadEvents(s, d)
+      val maxTs = evs.iterator.map(_.ts.getTime).max
+      val (late, onTime) = evs.partition(e =>
+        e.ts.getTime < maxTs - 2 * 3600 * 1000L && e.event_id % 97 == 0)
+      runStreamChunks(s, Seq(onTime, late), OutputMode.Append())(tumbleTransform)
+        .orderBy(col("hstart"), col("event_type"))
+    }),
 
     "s_session_win" -> ((s, d) =>
       runStreamFile(s, d, OutputMode.Append())(sessionTransform)
@@ -692,6 +788,34 @@ object StreamOps extends OpModule {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
         |FROM events, mx
+        |GROUP BY DATE_TRUNC('hour', ts), event_type, mx.mt
+        |HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx.mt - INTERVAL 10 MINUTE
+        |ORDER BY hstart, event_type""".stripMargin,
+
+    // Both branches share the feed, so the union's watermark (min over
+    // sources) equals s_tumble_wm's and the flush predicate is identical.
+    "s_union_streams" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events)
+        |SELECT DATE_TRUNC('hour', ts) AS hstart, event_type AS branch,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM events, mx
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY DATE_TRUNC('hour', ts), event_type, mx.mt
+        |HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx.mt - INTERVAL 10 MINUTE
+        |ORDER BY hstart, branch""".stripMargin,
+
+    // On-time partition only: the late replay set (≥2 h stale, id % 97) is
+    // EXCLUDED — that exclusion IS the watermark-drop assertion.
+    "s_late_drop" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+        |ot AS (
+        |  SELECT e.* FROM events e, mx
+        |  WHERE NOT (e.ts < mx.mt - INTERVAL 2 HOUR AND e.event_id % 97 = 0))
+        |SELECT DATE_TRUNC('hour', ts) AS hstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM ot, mx
         |GROUP BY DATE_TRUNC('hour', ts), event_type, mx.mt
         |HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx.mt - INTERVAL 10 MINUTE
         |ORDER BY hstart, event_type""".stripMargin,
