@@ -84,23 +84,25 @@ object Subqueries extends OpModule {
     // compounds the running balance by 1% (integer cents, DIV) before adding
     // the month's receipts — acc(m+1) = acc(m) + acc(m) DIV 100 + tot(m+1)
     // is not expressible as a window sum, so this exercises the fixpoint
-    // executor, not a rewrite. 12 iterations, each a 1-row ⋈ 12-row join:
-    // driver-side loop cost is O(months), data cost one aggregate — the
-    // shape that scales (the recursion never touches the fact table again).
+    // executor, not a rewrite. The monthly rollup is MATERIALIZED to a
+    // 12-row local relation before the recursion: Spark's UnionLoop
+    // re-evaluates the recursive step's plan each iteration, so an inline
+    // aggregate would rescan the fact table 12× (measured 3.5 s → 0.2 s at
+    // sf0.1). The 12-row collect is the justified bounded-collect pattern;
+    // the fact table is scanned exactly once.
     "q_recursive_cte" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_rec_v")
+      import s.implicits._
+      val monthly = Tables.orders(s, d)
+        .selectExpr("month(o_orderdate) AS mth",
+                    "cast(round(o_totalprice * 100) as bigint) AS c")
+        .groupBy("mth").agg(sum(col("c")).as("tot"))
+        .as[(Int, Long)].collect().toSeq
+      monthly.toDF("mth", "tot").createOrReplaceTempView("months_rec_v")
       s.sql("""WITH RECURSIVE bal(m, acc) AS (
-              |  SELECT 1 AS m, mt.tot AS acc
-              |  FROM (SELECT month(o_orderdate) AS mth,
-              |               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS tot
-              |        FROM orders_rec_v GROUP BY 1) mt
-              |  WHERE mt.mth = 1
+              |  SELECT 1 AS m, mt.tot AS acc FROM months_rec_v mt WHERE mt.mth = 1
               |  UNION ALL
               |  SELECT b.m + 1, b.acc + b.acc DIV 100 + mt.tot
-              |  FROM bal b
-              |  JOIN (SELECT month(o_orderdate) AS mth,
-              |               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS tot
-              |        FROM orders_rec_v GROUP BY 1) mt ON mt.mth = b.m + 1
+              |  FROM bal b JOIN months_rec_v mt ON mt.mth = b.m + 1
               |  WHERE b.m < 12)
               |SELECT m, acc FROM bal ORDER BY m""".stripMargin)
     }),
