@@ -35,6 +35,7 @@ object Bench {
     "q_dedup_contain", "q_ccnet_bucket",                             // posting-list block + DistRank ntile (r6)
     "q_triangle", "q_substr_dedup", "q_knn_graph",                   // oriented wedges + span df + knn self-join (r7)
     "q_tdigest", "q_hilbert_key",                                    // t-digest sketch agg + codegen hilbert key (r9)
+    "q_label_prop", "q_win_distinct_count",                          // majority LPA rounds + windowed distinct (r10)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

@@ -26,6 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends OpModule {
 
+  /** (vec_id, side, sub): the two 32-dim halves of every vector — the PQ
+    * sub-space split shared by q_sim_pq and q_sim_ivfpq. */
+  private def pqSides(df: DataFrame): DataFrame = df.select(col("vec_id"), col("nrm"),
+      explode(array(
+        struct(lit(0).as("side"), expr("slice(embedding, 1, 32)").as("sub")),
+        struct(lit(1).as("side"), expr("slice(embedding, 33, 32)").as("sub")))).as("h"))
+    .select(col("vec_id"), col("h.side").as("side"), col("h.sub").as("sub"))
+
+  /** Ascending sequential L2² fold over a (sub, c_sub) pair — the exact
+    * expression DuckDB's LIST_SUM/LIST_TRANSFORM twin replays. */
+  private val PqL2Sq = "aggregate(zip_with(sub, c_sub, (x, y) -> " +
+    "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
+    "0d, (acc, v) -> acc + v)"
+
   /** Deterministic ±1 hyperplanes (shared with DedupVariants' sub-blocked
     * embedding dedup — both serialize the signs into their oracle SQL). */
   private[ops] def mkPlanes(n: Int, dims: Int, seed: Long): Array[Array[Double]] = {
@@ -127,15 +141,8 @@ object Similarity extends OpModule {
       val e = Tables.embeddings(s, d)
         .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
         .where(col("nrm") > 0)
-      // (vec_id, side, sub): the two 32-dim halves of every vector
-      def sides(df: DataFrame): DataFrame = df.select(col("vec_id"), col("nrm"),
-          explode(array(
-            struct(lit(0).as("side"), expr("slice(embedding, 1, 32)").as("sub")),
-            struct(lit(1).as("side"), expr("slice(embedding, 33, 32)").as("sub")))).as("h"))
-        .select(col("vec_id"), col("h.side").as("side"), col("h.sub").as("sub"))
-      val l2sq = "aggregate(zip_with(sub, c_sub, (x, y) -> " +
-        "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
-        "0d, (acc, v) -> acc + v)"
+      val sides = pqSides _
+      val l2sq = PqL2Sq
       val cb = sides(e.where(col("vec_id").between(100, 107)))
         .select(col("vec_id").as("c_id"), col("side"), col("sub").as("c_sub"))
       // encode: nearest codeword per (vector, side); ties break on c_id
@@ -158,6 +165,80 @@ object Similarity extends OpModule {
         .withColumn("rn", row_number().over(candW)).where(col("rn") <= 20)
         .select(col("q_id"), col("n_id"))
       // exact re-rank of the 20 ADC candidates
+      val rerankW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      cand
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                       col("nrm").as("q_nrm")), "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                       col("nrm").as("n_nrm")), "n_id")
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(rerankW)).where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"),
+                round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // IVF + PQ composed — the PRODUCTION billion-scale ANN shape (FAISS
+    // IVFPQ): the coarse quantizer restricts each query to its 2 probed
+    // cells (q_sim_ivf's partition pruning), and scoring INSIDE a cell is
+    // PQ ADC lookups (q_sim_pq's compression) — so query cost is
+    // nprobe/ncells of the corpus × 2 integer lookups per vector, and the
+    // index is codes + centroids, never raw floats. Exact-cosine re-rank
+    // of the top-20 ADC survivors. Every stage reuses the two parents'
+    // frozen determinism contracts (sampled centroids 100-115, sampled
+    // codebooks 100-107, 1e-6 integer ADC, (value, id) tie-breaks); the
+    // oracle composes both parents' CTE chains and must agree on cells,
+    // codes, candidates, and the final top-5.
+    "q_sim_ivfpq" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+      // coarse quantizer: 16 sampled centroids, top-1 assign / top-2 probe
+      val cents = e.where(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                col("nrm").as("c_nrm"))
+      val wAssign = Window.partitionBy(col("n_id")).orderBy(col("c_score").desc, col("c_id"))
+      val assigned = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                              col("nrm").as("n_nrm"))
+        .join(broadcast(cents))
+        .withColumn("c_score",
+          expr("graft_float_dot(n_emb, c_emb)") / (col("n_nrm") * col("c_nrm")))
+        .withColumn("arn", row_number().over(wAssign)).where(col("arn") === 1)
+        .select(col("n_id"), col("c_id").as("bucket"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"))
+        .join(broadcast(cents))
+        .withColumn("p_score",
+          expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
+        .withColumn("prn", row_number().over(wProbe)).where(col("prn") <= 2)
+        .select(col("q_id"), col("c_id").as("bucket"))
+      // PQ encode + per-query ADC tables (q_sim_pq's construction)
+      val cb = pqSides(e.where(col("vec_id").between(100, 107)))
+        .select(col("vec_id").as("c_id"), col("side"), col("sub").as("c_sub"))
+      val encW = Window.partitionBy(col("vec_id"), col("side"))
+        .orderBy(col("dist"), col("c_id"))
+      val codes = pqSides(e).join(broadcast(cb), "side")
+        .withColumn("dist", expr(PqL2Sq))
+        .withColumn("rn", row_number().over(encW)).where(col("rn") === 1)
+        .select(col("vec_id").as("n_id"), col("side"), col("c_id").as("code"))
+      val dtab = pqSides(e.where(col("vec_id") < 10))
+        .select(col("vec_id").as("q_id"), col("side"), col("sub"))
+        .join(broadcast(cb), "side")
+        .select(col("q_id"), col("side"), col("c_id"),
+                expr(s"cast(round($PqL2Sq * 1000000) as bigint)").as("d_e6"))
+      // ADC only over vectors in the probed cells
+      val candW = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+      val cand = probes.join(assigned, "bucket").select(col("q_id"), col("n_id"))
+        .join(codes, "n_id")
+        .join(broadcast(dtab.withColumnRenamed("c_id", "code")),
+              Seq("q_id", "side", "code"))
+        .groupBy(col("q_id"), col("n_id")).agg(sum(col("d_e6")).as("adc"))
+        .withColumn("rn", row_number().over(candW)).where(col("rn") <= 20)
+        .select(col("q_id"), col("n_id"))
       val rerankW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
       cand
         .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -495,6 +576,68 @@ object Similarity extends OpModule {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn
         |  FROM scored) t
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+      // q_sim_ivf's cell CTEs composed with q_sim_pq's code CTEs; the ADC
+      // aggregate runs only over (query, vector) pairs whose vector sits
+      // in one of the query's 2 probed cells.
+      "q_sim_ivfpq" -> {
+        def cos(a: String, b: String): String =
+          s"""LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b),
+             |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+             |    / (SQRT(LIST_SUM(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * SQRT(LIST_SUM(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+        |        WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM emb
+        |      WHERE vec_id BETWEEN 100 AND 115),
+        |asg AS (SELECT n_id, bucket FROM (
+        |    SELECT e.vec_id AS n_id, c.c_id AS bucket,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.c_id) AS arn
+        |    FROM emb e CROSS JOIN c) t WHERE arn = 1),
+        |pr AS (SELECT q_id, bucket FROM (
+        |    SELECT q.vec_id AS q_id, c.c_id AS bucket,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("q.embedding", "c.c_emb")} DESC, c.c_id) AS prn
+        |    FROM emb q CROSS JOIN c WHERE q.vec_id < 10) t WHERE prn <= 2),
+        |sides AS (SELECT vec_id, s,
+        |    CASE WHEN s = 0 THEN embedding[1:32] ELSE embedding[33:64] END AS sub
+        |  FROM emb, (SELECT UNNEST(RANGE(0, 2)) AS s)),
+        |cb AS (SELECT vec_id AS c_id, s, sub AS c_sub FROM sides
+        |       WHERE vec_id BETWEEN 100 AND 107),
+        |enc AS (SELECT vec_id AS n_id, s, c_id AS code FROM (
+        |  SELECT v.vec_id, v.s, c.c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        |      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.sub, c.c_sub),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.c_id) AS rn
+        |  FROM sides v JOIN cb c ON v.s = c.s) t WHERE rn = 1),
+        |dtab AS (SELECT q.vec_id AS q_id, c.s, c.c_id,
+        |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.sub, c.c_sub),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT) AS d_e6
+        |  FROM sides q JOIN cb c ON q.s = c.s WHERE q.vec_id < 10),
+        |cells AS (SELECT DISTINCT pr.q_id, asg.n_id
+        |          FROM pr JOIN asg ON pr.bucket = asg.bucket),
+        |adc AS (SELECT d.q_id, enc.n_id, SUM(d.d_e6) AS adc
+        |        FROM cells
+        |        JOIN enc ON enc.n_id = cells.n_id
+        |        JOIN dtab d ON enc.s = d.s AND enc.code = d.c_id
+        |                   AND d.q_id = cells.q_id
+        |        GROUP BY d.q_id, enc.n_id),
+        |cand AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+        |  FROM adc) t WHERE rn <= 20),
+        |scored AS (SELECT cand.q_id, cand.n_id,
+        |    ${cos("qe.embedding", "ne.embedding")} AS score
+        |  FROM cand JOIN emb qe ON qe.vec_id = cand.q_id
+        |            JOIN emb ne ON ne.vec_id = cand.n_id)
+        |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+        |  SELECT q_id, n_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+      },
 
       // Plane-literal technique on the seed-13 family; "137 probe codes"
       // is equivalently BIT_COUNT(XOR) ≤ 2, the MaxBucket shed and the

@@ -115,6 +115,37 @@ object TimeSeries extends OpModule {
         .orderBy(col("user_id"))
     }),
 
+    // Sequence-pattern matching over sessions (MATCH_RECOGNIZE-lite): each
+    // 30-min session materializes its event-type path as a bounded string
+    // (one initial per event, (ts, event_id)-ordered) and a regex detects
+    // the view→clicks→purchase streak `vc+p`. Honest semantics: the path
+    // is session-bounded, so the "pattern over a stream" problem reduces
+    // to a per-group string build + one regexp — all inside two
+    // aggregations on the same user_id shuffle sessionization already
+    // pays. The per-session collect is bounded by session length (the same
+    // bound any MATCH_RECOGNIZE engine needs for its NFA state).
+    "q_seq_pattern" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+                substring(col("event_type"), 1, 1).as("ini"),
+                when(lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > us30min, 1)
+                  .otherwise(0).as("brk"))
+        .withColumn("sess", sum(col("brk")).over(wRun))
+        .withColumn("us", us)
+        .groupBy(col("user_id"), col("sess"))
+        .agg(expr("""concat_ws('', transform(
+             |  array_sort(collect_list(struct(us, event_id, ini))),
+             |  x -> x.ini))""".stripMargin).as("path"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(when(col("path").rlike("vc+p"), 1L).otherwise(0L)).as("n_match"))
+        .orderBy(col("user_id"))
+    }),
+
     // Interval self-join: pairs of events of one user within 10 minutes.
     "q_join_range" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -950,6 +981,28 @@ object TimeSeries extends OpModule {
         |      CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks) t
         |GROUP BY wstart
         |ORDER BY wstart""".stripMargin,
+
+    "q_seq_pattern" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, EPOCH_US(ts) AS us,
+        |    SUBSTR(event_type, 1, 1) AS ini,
+        |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+        |           OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id)),
+        |sg AS (
+        |  SELECT user_id, event_id, us, ini,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, sess,
+        |    STRING_AGG(ini, '' ORDER BY us, event_id) AS path
+        |  FROM sg GROUP BY user_id, sess)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN REGEXP_MATCHES(path, 'vc+p') THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_interval_merge" ->
       """WITH iv AS (

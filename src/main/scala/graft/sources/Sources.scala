@@ -406,6 +406,39 @@ object Sources extends OpModule {
              graft.ops.Det.moneySum(col("o_totalprice")).as("sum_cents"))
         .orderBy(col("v"))
     }),
+
+    // Snapshot RETENTION (the GC half of sink_snapshot's time travel):
+    // four versioned snapshots land under one root, the retention policy
+    // (keep newest 2) physically deletes the expired version partitions,
+    // and the audit is one read of what SURVIVED — the vacuum/expire-
+    // snapshots operation every versioned store needs, as an
+    // oracle-checked query (survivors + their exact contents) rather than
+    // prose. Deletion is directory-granular because version IS the
+    // partition key — at 100 TB, retention is O(manifests), never a data
+    // rewrite; that layout choice is what this op pins.
+    "sink_retention" -> ((s, d) => {
+      val base = tmp(d, "retention")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      (1 to 4).foreach { k =>
+        orders.where(pmod(col("o_orderkey"), lit(5)) < k)
+          .write.mode("overwrite").parquet(s"$base/v=$k")
+      }
+      val keep = 2
+      val versions = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toInt).sorted
+      versions.dropRight(keep).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/v=$v"), true)
+      }
+      s.read.parquet(base)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"),
+             graft.ops.Det.moneySum(col("o_totalprice")).as("sum_cents"))
+        .orderBy(col("v"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -524,6 +557,17 @@ object Sources extends OpModule {
         |  CAST(SUM(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(SUM(CAST(ROUND(tp * 100) AS BIGINT)) AS BIGINT)
         |FROM v2
+        |ORDER BY v""".stripMargin,
+
+    // Only the two newest snapshots survive retention.
+    "sink_retention" ->
+      """SELECT 3 AS v, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 5 < 3
+        |UNION ALL
+        |SELECT 4, COUNT(*),
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 5 < 4
         |ORDER BY v""".stripMargin,
   )
 }

@@ -437,6 +437,38 @@ object StreamOps extends OpModule {
       runStreamFile(s, d, OutputMode.Append())(tumbleTransform)
         .orderBy(col("hstart"), col("event_type"))),
 
+    // Trigger.AvailableNow — the batch-over-streaming execution mode
+    // production backfills use (process everything available in bounded
+    // batches, advance the watermark, emit, STOP — no long-running query).
+    // The query self-terminates (awaitTermination, not
+    // processAllAvailable), and the no-data commit after the last batch
+    // flushes windows the final watermark closed — so the output contract
+    // is EXACTLY s_tumble_wm's, which is the oracle: any drift between
+    // continuous and available-now execution of the same transform breaks
+    // the hash.
+    "s_trigger_avail" -> ((s, d) => {
+      import s.implicits._
+      val (dir, glob) =
+        if (d.endsWith("/")) (d.dropRight(1), "*.parquet")
+        else (d, "events.parquet")
+      val schema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
+      val raw = s.readStream.schema(schema).option("pathGlobFilter", glob)
+        .parquet(dir)
+      val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+      withStreamParallelism(s) {
+        val q = tumbleTransform(normTs(raw).as[Ev])
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", s"target/tmp/chk_$name")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      s.table(name).orderBy(col("hstart"), col("event_type"))
+    }),
+
     // Union of two INDEPENDENT streaming sources into one watermarked
     // windowed aggregate — the fan-in topology (N ingest feeds → one
     // query) every production deployment has. Each branch filters and
@@ -783,6 +815,17 @@ object StreamOps extends OpModule {
     // Append-mode emission = hourly windows whose END has been passed by the
     // final watermark (max(ts) − 10 min).
     "s_tumble_wm" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events)
+        |SELECT DATE_TRUNC('hour', ts) AS hstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM events, mx
+        |GROUP BY DATE_TRUNC('hour', ts), event_type, mx.mt
+        |HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx.mt - INTERVAL 10 MINUTE
+        |ORDER BY hstart, event_type""".stripMargin,
+
+    // AvailableNow must reproduce continuous execution bit for bit.
+    "s_trigger_avail" ->
       """WITH mx AS (SELECT MAX(ts) AS mt FROM events)
         |SELECT DATE_TRUNC('hour', ts) AS hstart, event_type,
         |  COUNT(*) AS n,
