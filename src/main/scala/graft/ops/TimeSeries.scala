@@ -115,6 +115,59 @@ object TimeSeries extends OpModule {
         .orderBy(col("user_id"))
     }),
 
+    // Seasonal-naive forecast BACKTEST — the model-selection loop a
+    // forecasting pipeline runs before committing to a model: hold out the
+    // last 7 days, "predict" each held-out (type, day) with the value 7
+    // days earlier (seasonal naive) and 1 day earlier (naive), and score
+    // both by MAE. Forecast lookup is a CALENDAR self-join on (type,
+    // day−k), not a lag-k-rows window — a missing day would silently shift
+    // a row-based lag onto the wrong date. Counts are exact longs; MAE is
+    // an integer-cents-style ×100 division. One aggregate + two
+    // broadcast-sized self-joins on the 150-row daily rollup.
+    "q_backtest_snaive" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val maxDay = daily.agg(max(col("day")).as("mx"))
+      val sn = daily.select(col("event_type").as("et7"), col("day").as("d7"),
+                            col("n").as("f_sn"))
+      val nv = daily.select(col("event_type").as("et1"), col("day").as("d1"),
+                            col("n").as("f_nv"))
+      daily.crossJoin(broadcast(maxDay))
+        .where(datediff(col("mx"), col("day")) < 7)
+        .join(broadcast(sn), col("et7") === col("event_type") &&
+                             col("d7") === date_sub(col("day"), 7))
+        .join(broadcast(nv), col("et1") === col("event_type") &&
+                             col("d1") === date_sub(col("day"), 1))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+             expr("sum(abs(n - f_sn)) * 100 div count(1)").as("mae_snaive_e2"),
+             expr("sum(abs(n - f_nv)) * 100 div count(1)").as("mae_naive_e2"))
+        .withColumn("snaive_wins", col("mae_snaive_e2") < col("mae_naive_e2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // First-order Markov transition matrix of the per-user event sequence
+    // — P(next type | current type) with exact pair counts and 1e-4
+    // probabilities. One lead() on the user_id shuffle, then two
+    // aggregate-sized rollups; the 5×5 matrix is the sequence-model
+    // baseline feeding q_seq_pattern's detections.
+    "q_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("cur"),
+                lead(col("event_type"), 1).over(w).as("nxt"))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("cur")).agg(sum(col("n")).as("total"))
+      pairs.join(broadcast(tot), "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+                expr("n * 10000 div total").as("p_e4"))
+        .orderBy(col("cur"), col("nxt"))
+    }),
+
     // Sequence-pattern matching over sessions (MATCH_RECOGNIZE-lite): each
     // 30-min session materializes its event-type path as a bounded string
     // (one initial per event, (ts, event_id)-ordered) and a regex detects
@@ -981,6 +1034,42 @@ object TimeSeries extends OpModule {
         |      CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) ks) t
         |GROUP BY wstart
         |ORDER BY wstart""".stripMargin,
+
+    "q_backtest_snaive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT MAX(day) AS mx FROM daily),
+        |t AS (
+        |  SELECT d.event_type, d.day, d.n, s.n AS f_sn, v.n AS f_nv
+        |  FROM daily d
+        |  JOIN daily s ON s.event_type = d.event_type
+        |               AND s.day = d.day - INTERVAL 7 DAY
+        |  JOIN daily v ON v.event_type = d.event_type
+        |               AND v.day = d.day - INTERVAL 1 DAY
+        |  WHERE (SELECT mx FROM mx) - d.day < 7)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  CAST(SUM(ABS(n - f_sn)) * 100 // COUNT(*) AS BIGINT) AS mae_snaive_e2,
+        |  CAST(SUM(ABS(n - f_nv)) * 100 // COUNT(*) AS BIGINT) AS mae_naive_e2,
+        |  SUM(ABS(n - f_sn)) * 100 // COUNT(*)
+        |    < SUM(ABS(n - f_nv)) * 100 // COUNT(*) AS snaive_wins
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY EPOCH_US(ts), event_id) AS nxt
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur, nxt, COUNT(*) AS n FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS total FROM pairs GROUP BY cur)
+        |SELECT pairs.cur, pairs.nxt, pairs.n,
+        |  pairs.n * 10000 // tot.total AS p_e4
+        |FROM pairs JOIN tot ON pairs.cur = tot.cur
+        |ORDER BY pairs.cur, pairs.nxt""".stripMargin,
 
     "q_seq_pattern" ->
       """WITH g AS (

@@ -96,6 +96,38 @@ object TrainingOps extends OpModule {
         .orderBy(col("lang"), col("bin"))
     }),
 
+    // T5-style span corruption: length-3 token spans masked on a
+    // deterministic per-doc phase (span starts at positions ≡ doc_id mod 13
+    // — ~23% corruption, the published T5 operating point is 15%/len-3),
+    // span COLLAPSED to one sentinel (the first position keeps '<X>', the
+    // rest drop), and the corrupted sequence fingerprinted by md5 so the
+    // oracle pins the reconstruction byte for byte, not just the mask
+    // counts. One posexplode + one ordered per-doc aggregate — the same
+    // user-key shuffle shape as every per-doc op; span selection is pure
+    // arithmetic on token position (a seeded-hash selector would shuffle
+    // the same bytes through md5 — the phase IS the seed here).
+    "q_span_corrupt" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+                posexplode(split(trim(lower(col("text"))), " ")).as(Seq("pos", "tok")))
+        .withColumn("off", expr("(pos - doc_id % 13 + 13) % 13"))
+      val kept = toks
+        .where(col("off") >= 3 || col("off") === 0)
+        .withColumn("out_tok", when(col("off") === 0, lit("<X>")).otherwise(col("tok")))
+      val agg = kept.groupBy(col("doc_id"))
+        .agg(expr("""md5(concat_ws(' ', transform(
+             |  array_sort(collect_list(struct(pos, out_tok))),
+             |  x -> x.out_tok)))""".stripMargin).as("corrupted_md5"))
+      val stats = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when(col("off") < 3, 1L).otherwise(0L)).as("n_masked"))
+      stats.join(agg, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+                expr("n_masked * 10000 div n_tokens").as("pct_e4"),
+                col("corrupted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratified deterministic sampling: per-language rates (en 5%, de 25%,
     // fr 50%, other 10%) applied via the first md5 byte of the key — the
     // q_sample_hash predicate generalized to per-stratum thresholds.
@@ -452,6 +484,29 @@ object TrainingOps extends OpModule {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY lang, (cum - n_tok) // 2048
         |ORDER BY lang, bin""".stripMargin,
+
+    "q_span_corrupt" ->
+      """WITH tk AS (
+        |  SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks FROM documents),
+        |ps AS (
+        |  SELECT doc_id, UNNEST(RANGE(0, LEN(toks))) AS pos, toks FROM tk),
+        |tok AS (
+        |  SELECT doc_id, pos, LIST_EXTRACT(toks, CAST(pos + 1 AS INT)) AS tok,
+        |         (pos - doc_id % 13 + 13) % 13 AS off
+        |  FROM ps),
+        |kept AS (
+        |  SELECT doc_id, pos, CASE WHEN off = 0 THEN '<X>' ELSE tok END AS out_tok
+        |  FROM tok WHERE off >= 3 OR off = 0),
+        |agg AS (
+        |  SELECT doc_id, md5(STRING_AGG(out_tok, ' ' ORDER BY pos)) AS corrupted_md5
+        |  FROM kept GROUP BY doc_id),
+        |st AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |         CAST(SUM(CASE WHEN off < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |  FROM tok GROUP BY doc_id)
+        |SELECT st.doc_id, st.n_tokens, st.n_masked,
+        |  st.n_masked * 10000 // st.n_tokens AS pct_e4, agg.corrupted_md5
+        |FROM st JOIN agg USING (doc_id) ORDER BY st.doc_id""".stripMargin,
 
     "q_sample_strat" ->
       """SELECT doc_id, lang FROM documents
