@@ -150,19 +150,20 @@ object TimeSeries extends OpModule {
 
     // First-order Markov transition matrix of the per-user event sequence
     // — P(next type | current type) with exact pair counts and 1e-4
-    // probabilities. One lead() on the user_id shuffle, then two
-    // aggregate-sized rollups; the 5×5 matrix is the sequence-model
-    // baseline feeding q_seq_pattern's detections.
+    // probabilities. One lead() on the user_id shuffle feeds one pair
+    // aggregate; the per-row normalizer is a WINDOW over the 25-row matrix
+    // (a groupBy+join would re-plan — and re-shuffle — the whole
+    // lead-window branch a second time; measured 5 exchanges → 3).
     "q_markov_transitions" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(unix_micros(col("ts")), col("event_id"))
-      val pairs = Tables.events(s, d)
+      val wTot = Window.partitionBy(col("cur"))
+      Tables.events(s, d)
         .select(col("user_id"), col("event_type").as("cur"),
                 lead(col("event_type"), 1).over(w).as("nxt"))
         .where(col("nxt").isNotNull)
         .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
-      val tot = pairs.groupBy(col("cur")).agg(sum(col("n")).as("total"))
-      pairs.join(broadcast(tot), "cur")
+        .withColumn("total", sum(col("n")).over(wTot))
         .select(col("cur"), col("nxt"), col("n"),
                 expr("n * 10000 div total").as("p_e4"))
         .orderBy(col("cur"), col("nxt"))

@@ -425,4 +425,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_graft_tdigest"),
       "digest must partial-aggregate map-side (merge centroids, not rows)")
   }
+
+  test("q_phash_dedup: band candidate join is an equi join, no pair scan") {
+    val p = plan("q_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "banded pHash must never fall back to an all-pairs image join")
+  }
+
+  test("q_sim_ivfpq: codebook/ADC tables broadcast, no cartesian") {
+    val p = plan("q_sim_ivfpq")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "centroids, codebooks and ADC tables must all broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "corpus must meet queries only through the probed-cell equi join")
+  }
+
+  test("q_recursive_cte: the fact table is scanned once, outside the loop") {
+    val p = plan("q_recursive_cte")
+    assert(!p.toLowerCase.contains("orders.parquet"),
+      "recursion must run over the materialized 12-row rollup, not rescan the fact table")
+  }
+
+  test("q_markov_transitions: lead() and the pair aggregate share one user shuffle") {
+    val p = plan("q_markov_transitions")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"expected window + aggregate + broadcast-side exchanges only:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
