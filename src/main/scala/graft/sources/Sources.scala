@@ -407,6 +407,23 @@ object Sources extends OpModule {
         .orderBy(col("v"))
     }),
 
+    // Custom DataSourceV2 connector (sources/RangeSource.scala — the
+    // seventh custom-Catalyst kind): a keyed generator table with REAL
+    // filter pushdown (id bounds tighten the planned partition range) and
+    // column pruning. The id predicate here prunes 200k declared rows to
+    // the 100k actually read; the tag inequality is NOT pushable and stays
+    // a post-scan filter — both paths exercised in one query. DuckDB
+    // re-derives every generated row from the closed forms.
+    "src_dsv2" -> ((s, d) => {
+      s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "200000").load()
+        .where(col("id") >= 50000 && col("id") < 150000 && col("tag") =!= "d")
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+             graft.ops.Det.moneySum(col("val")).as("val_cents"))
+        .orderBy(col("tag"))
+    }),
+
     // Snapshot RETENTION (the GC half of sink_snapshot's time travel):
     // four versioned snapshots land under one root, the retention policy
     // (keep newest 2) physically deletes the expired version partitions,
@@ -558,6 +575,17 @@ object Sources extends OpModule {
         |  CAST(SUM(CAST(ROUND(tp * 100) AS BIGINT)) AS BIGINT)
         |FROM v2
         |ORDER BY v""".stripMargin,
+
+    "src_dsv2" ->
+      """WITH g AS (
+        |  SELECT r.range AS id,
+        |    (r.range * 7919 % 100000) / 100.0 AS val,
+        |    SUBSTR('abcd', CAST(r.range % 4 AS INT) + 1, 1) AS tag
+        |  FROM RANGE(50000, 150000) r)
+        |SELECT tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM g WHERE tag <> 'd'
+        |GROUP BY tag ORDER BY tag""".stripMargin,
 
     // Only the two newest snapshots survive retention.
     "sink_retention" ->
