@@ -233,14 +233,20 @@ object GraphOps extends OpModule {
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
         .where(col("n_co") >= 2)
         .select(col("u"), col("v"))
+      // edges materialize ONCE (localCheckpoint, the q_dedup_cluster
+      // idiom) — both vote rounds and the seed read the same edge blocks
+      // instead of re-running the co-purchase build per round
       val nb = e.select(col("u").as("c"), col("v").as("n"))
         .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+        .localCheckpoint(true)
       def round(lbl: DataFrame): DataFrame = {
         val votes = nb.join(lbl.withColumnRenamed("node", "n"), Seq("n"))
           .groupBy(col("c"), col("lab")).agg(count(lit(1)).as("nv"))
-        val w = Window.partitionBy(col("c")).orderBy(col("nv").desc, col("lab"))
-        votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-          .select(col("c").as("node"), col("lab"))
+        // top-1 = max(nv, −lab): majority count, min-label tie-break — a
+        // map-side-combinable AGGREGATE, not a per-node sort window
+        votes.groupBy(col("c"))
+          .agg(max(struct(col("nv"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("c").as("node"), (-col("m.nl")).as("lab"))
       }
       val l0 = nb.select(col("c").as("node")).distinct()
         .withColumn("lab", col("node"))
