@@ -502,6 +502,43 @@ object Aggregations extends OpModule {
         .orderBy(col("event_type"))
     }),
 
+    // t-digest under ROLLUP — sketch MERGEABILITY made visible: the same
+    // graft_tdigest aggregate runs once through Expand and its partial
+    // digests merge into every grouping level (leaf, per-flag, grand
+    // total), which is exactly how a 100 TB percentile dashboard rolls up
+    // (merge O(δ) centroids per level, never re-scan rows). Exact ×2
+    // medians per level ride Spark's interpolating percentile AGGREGATE
+    // (DuckDB quantile_cont twin — same p50 interpolation; no windows, no
+    // single-task sort); the digest estimate carries the 2.5% rank-bracket
+    // flag, audited per level over the manual 3-level expansion of the
+    // row set (a row belongs to 3 rollup groups).
+    "q_tdigest_rollup" -> ((s, d) => {
+      graft.functions.TDigest.register(s)
+      val ev = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+                Det.cents(col("l_extendedprice")).as("c"))
+      val dig = ev.rollup(col("rf"), col("ls"))
+        .agg(count(lit(1)).as("n"),
+             expr("graft_tdigest(cast(c as double))").getItem(0).as("e50"),
+             (expr("percentile(c, 0.5)") * 2).cast("long").as("med2_cents"))
+        .select(coalesce(col("rf"), lit("ALL")).as("rf2"),
+                coalesce(col("ls"), lit("ALL")).as("ls2"),
+                col("n"), col("e50"), col("med2_cents"))
+      val ev3 = ev.select(col("rf").as("rf2"), col("ls").as("ls2"), col("c"))
+        .unionAll(ev.select(col("rf"), lit("ALL"), col("c")))
+        .unionAll(ev.select(lit("ALL"), lit("ALL"), col("c")))
+      val ranks = ev3.join(broadcast(dig.select(col("rf2"), col("ls2"), col("e50"))),
+                           Seq("rf2", "ls2"))
+        .groupBy(col("rf2"), col("ls2"))
+        .agg(sum(when(col("c") < col("e50"), 1L).otherwise(0L)).as("lo50"),
+             sum(when(col("c") <= col("e50"), 1L).otherwise(0L)).as("hi50"))
+      dig.join(ranks, Seq("rf2", "ls2"))
+        .select(col("rf2"), col("ls2"), col("n"), col("med2_cents"),
+          ((col("hi50") * 40 >= col("n") * 19) &&
+           (col("lo50") * 40 <= col("n") * 21)).as("td_ok"))
+        .orderBy(col("rf2"), col("ls2"))
+    }),
+
     // Bootstrap confidence interval for the mean, the "online bootstrap"
     // way a distributed engine actually runs it: instead of materializing B
     // resamples, every row draws B=32 deterministic Poisson(1) weights from
@@ -917,6 +954,23 @@ object Aggregations extends OpModule {
         |  MAX(CASE WHEN r = (19 * n + 19) // 20 THEN c END) AS p95_cents,
         |  TRUE AS td_ok
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // quantile_cont = Spark's interpolating percentile; ×2 keeps the even-
+    // count midpoint integer. td_ok mirrors as TRUE — the flag's failure
+    // mode is Spark-side (a diverging digest), the same q_tdigest pattern.
+    "q_tdigest_rollup" ->
+      """WITH e AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |e3 AS (
+        |  SELECT rf AS rf2, ls AS ls2, c FROM e
+        |  UNION ALL SELECT rf, 'ALL', c FROM e
+        |  UNION ALL SELECT 'ALL', 'ALL', c FROM e)
+        |SELECT rf2, ls2, COUNT(*) AS n,
+        |  CAST(QUANTILE_CONT(c, 0.5) * 2 AS BIGINT) AS med2_cents,
+        |  TRUE AS td_ok
+        |FROM e3 GROUP BY rf2, ls2 ORDER BY rf2, ls2""".stripMargin,
 
     "q_bootstrap_ci" ->
       """WITH x AS (

@@ -96,6 +96,55 @@ object TrainingOps extends OpModule {
         .orderBy(col("lang"), col("bin"))
     }),
 
+    // Exact ROC AUC by rank statistic (Mann–Whitney U) — the classifier
+    // gate a quality-filter model ships through. "Score" = n_chars
+    // predicting lang='en' (a deterministic stand-in with real ties; the
+    // operator is the statistic, not the model). No pair scan and no
+    // global row sort: scores aggregate to (score, pos, neg) cells first,
+    // U accumulates over the cell table with a cumulative window — the
+    // ×2 integer tie convention (ties count ½) keeps every term exact.
+    // The only unpartitioned window runs over the AGGREGATED cell table
+    // (bounded by distinct scores), the DistRank single-partition rule.
+    "q_auc" -> ((s, d) => {
+      val sc = Tables.documents(s, d)
+        .select((col("lang") === "en").cast("long").as("y"), col("n_chars").as("sv"))
+      val byS = sc.groupBy(col("sv"))
+        .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+      val wB = Window.orderBy(col("sv")).rowsBetween(Window.unboundedPreceding, -1)
+      byS.withColumn("neg_below", coalesce(sum(col("neg")).over(wB), lit(0L)))
+        .agg(sum(expr("2 * pos * neg_below + pos * neg")).as("u2"),
+             sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+        .select(col("n_pos"), col("n_neg"),
+                expr("u2 * 10000 div (2 * n_pos * n_neg)").as("auc_e4"))
+    }),
+
+    // Decile lift / cumulative-gains table — AUC's operational sibling:
+    // rank by score descending, cut into 10 equal tiles, report each
+    // tile's positives and the cumulative capture rate. The global rank
+    // rides DistRank's two-pass histogram (no single-task sort of the
+    // corpus); NTILE derives from the tie-free rank by pure integer
+    // arithmetic, so DuckDB's native NTILE over the same total order
+    // agrees bit for bit.
+    "q_lift_curve" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
+                col("n_chars"))
+      val ranked = DistRank.withGlobalRank(scored, -col("n_chars"), col("doc_id"),
+                                           50L, "rnk", "n")
+      val dec = ranked
+        .withColumn("decile", DistRank.ntileFromRank("rnk", "n", 10))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .withColumn("tot_pos", sum(col("n_pos")).over(Window.partitionBy()))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+                expr("cum_pos * 10000 div tot_pos").as("capture_e4"))
+        .orderBy(col("decile"))
+    }),
+
     // T5-style span corruption: length-3 token spans masked on a
     // deterministic per-doc phase (span starts at positions ≡ doc_id mod 13
     // — ~23% corruption, the published T5 operating point is 15%/len-3),
@@ -484,6 +533,39 @@ object TrainingOps extends OpModule {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY lang, (cum - n_tok) // 2048
         |ORDER BY lang, bin""".stripMargin,
+
+    "q_auc" ->
+      """WITH sc AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, n_chars AS sv
+        |  FROM documents),
+        |cell AS (
+        |  SELECT sv, CAST(SUM(y) AS BIGINT) AS pos,
+        |         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        |  FROM sc GROUP BY sv),
+        |cum AS (
+        |  SELECT pos, neg,
+        |    COALESCE(SUM(neg) OVER (ORDER BY sv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM cell)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |  CAST(SUM(2 * pos * neg_below + pos * neg) * 10000
+        |       // (2 * SUM(pos) * SUM(neg)) AS BIGINT) AS auc_e4
+        |FROM cum""".stripMargin,
+
+    "q_lift_curve" ->
+      """WITH r AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+        |  FROM documents),
+        |dec AS (
+        |  SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_docs,
+        |         CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM r GROUP BY decile)
+        |SELECT decile, n_docs, n_pos,
+        |  CAST(SUM(n_pos) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+        |    // SUM(n_pos) OVER () AS BIGINT) AS capture_e4
+        |FROM dec ORDER BY decile""".stripMargin,
 
     "q_span_corrupt" ->
       """WITH tk AS (
