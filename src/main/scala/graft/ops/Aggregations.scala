@@ -511,7 +511,12 @@ object Aggregations extends OpModule {
     // (DuckDB quantile_cont twin — same p50 interpolation; no windows, no
     // single-task sort); the digest estimate carries the 2.5% rank-bracket
     // flag, audited per level over the manual 3-level expansion of the
-    // row set (a row belongs to 3 rollup groups).
+    // row set (a row belongs to 3 rollup groups). COST HONESTY: the exact
+    // med2 column is the ORACLE-VALUE mechanism, and its percentile buffer
+    // is O(group) — at the grand-total level that is the whole table in
+    // one buffer, which is exactly what the digest beside it exists to
+    // avoid at 100 TB; production reads the digest (bracket-audited here)
+    // and drops the exact column.
     "q_tdigest_rollup" -> ((s, d) => {
       graft.functions.TDigest.register(s)
       val ev = Tables.lineitem(s, d)
