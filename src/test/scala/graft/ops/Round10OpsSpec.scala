@@ -152,6 +152,41 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("q_auc equals the O(n^2) pair definition at sf0.001") {
+    val rows = graft.Tables.documents(spark, sf)
+      .selectExpr("case when lang = 'en' then 1 else 0 end as y", "n_chars")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    val expected = u2 * 10000 / (2L * pos.length * neg.length)
+    val r = SparkEntry.queries("q_auc")(spark, sf).collect().head
+    assert(r.getLong(0) == pos.length && r.getLong(1) == neg.length)
+    assert(r.getLong(2) == expected)
+  }
+
+  test("q_lift_curve: capture is monotone and ends at 10000") {
+    val rows = SparkEntry.queries("q_lift_curve")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    assert(rows.last._4 == 10000L)
+    // deciles split the corpus evenly (±1)
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("q_tdigest_rollup: levels are consistent and digests stay in bracket") {
+    val rows = SparkEntry.queries("q_tdigest_rollup")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val leafN = rows.collect { case ((rf, ls), (n, _, _)) if rf != "ALL" && ls != "ALL" => n }.sum
+    assert(rows(("ALL", "ALL"))._1 == leafN, "grand total must equal leaf sum")
+    rows.values.foreach { case (_, _, ok) => assert(ok, "digest left the 2.5% rank bracket") }
+  }
+
   test("s_late_drop drops exactly the late replay set") {
     // sum of window counts = on-time rows (every late row dropped, no
     // on-time row lost to the flush rule beyond the watermark tail)
