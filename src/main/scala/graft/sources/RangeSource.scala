@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -66,12 +67,13 @@ private class RangeTable(start: Long, end: Long) extends Table with SupportsRead
 
 private class RangeScanBuilder(start: Long, end: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = start
   private var hi = end
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.schema
+  private var aggFuncs: Seq[String] = Nil // count | min | max, in push order
 
   // SQL integer literals arrive as Int, long ones as Long — accept both
   private object L {
@@ -101,7 +103,73 @@ private class RangeScanBuilder(start: Long, end: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RangeScan(lo, hi, required)
+  /** Aggregate pushdown (PARTIAL contract — supportCompletePushDown stays
+    * false): COUNT(*)/MIN(id)/MAX(id) with no GROUP BY compute CLOSED-FORM
+    * per partition slice (count = hi−lo, min = lo, max = hi−1), so the
+    * scan returns one row per slice and Spark's final aggregation merges
+    * them — rows never materialize at all. Called after pushFilters, so
+    * the slices are already the residual range. Anything else declines
+    * and falls back to the row scan. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    def idRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e.toString.replace("`", "") == "id"
+    val fs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar           => Some("count")
+      case m: Min if idRef(m.column) => Some("min")
+      case m: Max if idRef(m.column) => Some("max")
+      case _ => None
+    }
+    if (fs.contains(None) || fs.isEmpty) false
+    else { aggFuncs = fs.flatten; true }
+  }
+
+  override def build(): Scan =
+    if (aggFuncs.nonEmpty) new RangeAggScan(lo, hi, aggFuncs)
+    else new RangeScan(lo, hi, required)
+}
+
+/** Pre-aggregated scan: one row per slice carrying the pushed aggregates. */
+private class RangeAggScan(lo: Long, hi: Long, funcs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(funcs.zipWithIndex.map { case (f, i) =>
+      StructField(s"${f}_$i", LongType, nullable = false)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeScan[$lo, $hi) agg=${funcs.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo) return Array.empty
+    val n = ((hi - lo + RangeSource.SliceRows - 1) / RangeSource.SliceRows).toInt
+    (0 until n).map { i =>
+      val s = lo + i * RangeSource.SliceRows
+      RangePartition(s, math.min(s + RangeSource.SliceRows, hi)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RangeAggReaderFactory(funcs)
+}
+
+/** Standalone (serializable) factory — an inner anonymous class would drag
+  * the non-serializable Scan into the task closure. */
+private case class RangeAggReaderFactory(funcs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RangePartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(funcs.map {
+        case "count" => p.hi - p.lo
+        case "min"   => p.lo
+        case "max"   => p.hi - 1
+      })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private class RangeScan(lo: Long, hi: Long, required: StructType)

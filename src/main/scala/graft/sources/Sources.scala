@@ -424,6 +424,20 @@ object Sources extends OpModule {
         .orderBy(col("tag"))
     }),
 
+    // Aggregate pushdown through the same connector
+    // (SupportsPushDownAggregates, partial contract): COUNT(*)/MIN/MAX
+    // over a filtered range compute CLOSED-FORM inside the source — one
+    // pre-aggregated row per partition slice, Spark merges finals, row
+    // data never materializes (RangeSourceSpec pins the plan). The JDBC/
+    // warehouse pushdown shape, demonstrated on a connector we own.
+    "src_dsv2_agg" -> ((s, d) => {
+      s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "200000").load()
+        .where(col("id") >= 50000 && col("id") < 180000)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+             max(col("id")).as("max_id"))
+    }),
+
     // Snapshot RETENTION (the GC half of sink_snapshot's time travel):
     // four versioned snapshots land under one root, the retention policy
     // (keep newest 2) physically deletes the expired version partitions,
@@ -586,6 +600,10 @@ object Sources extends OpModule {
         |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents
         |FROM g WHERE tag <> 'd'
         |GROUP BY tag ORDER BY tag""".stripMargin,
+
+    "src_dsv2_agg" ->
+      """SELECT COUNT(*) AS n, MIN(r.range) AS min_id, MAX(r.range) AS max_id
+        |FROM RANGE(50000, 180000) r""".stripMargin,
 
     // Only the two newest snapshots survive retention.
     "sink_retention" ->

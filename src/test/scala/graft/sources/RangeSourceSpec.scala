@@ -43,6 +43,27 @@ class RangeSourceSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getDouble(1) == RangeSource.valOf(8))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX compute closed-form in the source") {
+    val df = ranged(0, 200000)
+      .where(col("id") >= 50000 && col("id") < 180000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+           max(col("id")).as("max_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("agg=count,min,max"),
+      s"aggregation not pushed into the scan:\n$p")
+    val r = df.collect().head
+    assert(r.getLong(0) == 130000L && r.getLong(1) == 50000L
+           && r.getLong(2) == 179999L)
+  }
+
+  test("group-by aggregates decline pushdown and stay correct") {
+    val df = ranged(0, 1000).groupBy(col("tag")).count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("agg="), "grouped aggregation must fall back to the row scan")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+           == Map("a" -> 250L, "b" -> 250L, "c" -> 250L, "d" -> 250L))
+  }
+
   test("EqualTo prunes to a single-row scan") {
     val df = ranged(0, 200000).where(col("id") === 123456L)
     val p = df.queryExecution.executedPlan.toString
