@@ -494,6 +494,35 @@ object EtlOps extends OpModule {
                 (col("l") >= 3).as("diverse_ok"))
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    // Space-time hotspot detection — the disaster-monitoring query shape
+    // (SaTScan-lite): events land on a 10×10 md5-derived cell grid
+    // (coord()'s reproducible pseudo-coordinates) × day buckets; each
+    // (cell, day)'s observed count scores against the independence
+    // expectation E = cell_total·day_total/N by the Poisson z-score
+    // (obs−E)/√E. Determinism: counts exact longs; ÷ and √ are IEEE
+    // CORRECTLY-ROUNDED operations (unlike ln/exp), so z_e4 is bit-stable
+    // cross-engine. Cost: one (cell, day) aggregate + two broadcast-sized
+    // marginals — the fact table is scanned once.
+    "q_hotspot" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select((coord("hx", col("user_id")) / 1000).cast("int").as("cx"),
+                (coord("hy", col("user_id")) / 1000).cast("int").as("cy"),
+                date_trunc("day", col("ts")).cast("date").as("day"))
+      val obs = cells.groupBy(col("cx"), col("cy"), col("day"))
+        .agg(count(lit(1)).as("obs"))
+      val byCell = obs.groupBy(col("cx"), col("cy")).agg(sum(col("obs")).as("ct"))
+      val byDay = obs.groupBy(col("day")).agg(sum(col("obs")).as("dt"))
+      val tot = byDay.agg(sum(col("dt")).as("n"))
+      obs.join(broadcast(byCell), Seq("cx", "cy"))
+        .join(broadcast(byDay), Seq("day"))
+        .crossJoin(broadcast(tot))
+        .select(col("cx"), col("cy"), col("day"), col("obs"),
+          expr("""cast(round(1e4 * (obs - cast(ct as double) * dt / n)
+                 |  / sqrt(cast(ct as double) * dt / n)) as bigint)"""
+            .stripMargin).as("z_e4"))
+        .orderBy(col("z_e4").desc, col("cx"), col("cy"), col("day")).limit(20)
+    }),
+
     // Benford first-digit audit — the classic fabricated-data detector for
     // financial columns: observed leading-digit counts of o_totalprice vs
     // the log10(1+1/d) expectation, with the per-digit chi-square
@@ -861,6 +890,24 @@ object EtlOps extends OpModule {
         |                      ELSE 'high' END) >= 3 AS diverse_ok
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_hotspot" ->
+      """WITH cells AS (
+        |  SELECT
+        |    CAST(CAST(('0x' || SUBSTR(md5('hx' || CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 // 1000 AS INTEGER) AS cx,
+        |    CAST(CAST(('0x' || SUBSTR(md5('hy' || CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 // 1000 AS INTEGER) AS cy,
+        |    CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+        |  FROM events),
+        |obs AS (SELECT cx, cy, day, COUNT(*) AS obs FROM cells GROUP BY 1, 2, 3),
+        |bc AS (SELECT cx, cy, CAST(SUM(obs) AS BIGINT) AS ct FROM obs GROUP BY 1, 2),
+        |bd AS (SELECT day, CAST(SUM(obs) AS BIGINT) AS dt FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(dt) AS BIGINT) AS n FROM bd)
+        |SELECT obs.cx, obs.cy, obs.day, obs.obs,
+        |  CAST(ROUND(1e4 * (obs - CAST(ct AS DOUBLE) * dt / n)
+        |    / SQRT(CAST(ct AS DOUBLE) * dt / n)) AS BIGINT) AS z_e4
+        |FROM obs JOIN bc ON obs.cx = bc.cx AND obs.cy = bc.cy
+        |JOIN bd ON obs.day = bd.day, tot
+        |ORDER BY z_e4 DESC, obs.cx, obs.cy, obs.day LIMIT 20""".stripMargin,
 
     "q_benford" ->
       s"""WITH p(digit, p_e8) AS (VALUES ${benfordP.map { case (d, p) => s"($d, $p)" }.mkString(", ")}),
