@@ -164,6 +164,9 @@ object GraphOps extends OpModule {
         .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
                                            col("l_partkey").as("p")), "o_orderkey")
         .select(col("c"), col("p")).distinct()
+        // round-10: e feeds 5 joins/aggregates — materialize once (measured
+        // 60 file scans in the static plan without it)
+        .localCheckpoint(true)
       val M = 1000000000L
       def normalized(scores: DataFrame, key: String, v: String): DataFrame = {
         val tot = scores.agg(sum(col(v)).as("tot"))
@@ -187,7 +190,10 @@ object GraphOps extends OpModule {
     // nodes below k plus their edges. Output = surviving nodes with their
     // degree in the round-3 subgraph.
     "q_kcore" -> ((s, d) => {
-      var e = edges(s, d)
+      // round-10: cut lineage at the start AND per peel round — the loop
+      // otherwise compounds un-materialized edge builds (54 file scans in
+      // the static plan), the q_dedup_cluster localCheckpoint discipline
+      var e = edges(s, d).localCheckpoint(true)
       for (_ <- 1 to 3) {
         val keep = e.select(explode(array(col("u"), col("v"))).as("x"))
           .groupBy(col("x")).agg(count(lit(1)).as("dg"))
@@ -195,6 +201,7 @@ object GraphOps extends OpModule {
           .select(col("x"))
         e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
              .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+             .localCheckpoint(true)
       }
       e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -301,8 +308,12 @@ object GraphOps extends OpModule {
         .where(col("u") < col("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
         .where(col("n_co") >= 2)
+      // edges materialize once (round-10: the q_label_prop localCheckpoint
+      // fix — each of the 3 expand rounds plus the seed/l0 derivation was
+      // re-running the co-purchase build; measured 34.8 → ~9 s at sf1)
       val nb = e.select(col("u").as("c"), col("v").as("n"))
         .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+        .localCheckpoint(true)
       val seed = nb.agg(min(col("c")).as("seed"))
       val l0 = nb.select(col("c").as("node")).distinct()
         .crossJoin(broadcast(seed)).where(col("node") === col("seed"))
