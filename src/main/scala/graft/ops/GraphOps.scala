@@ -73,7 +73,11 @@ object GraphOps extends OpModule {
     // Degree-ordered triangle counting; output = top-20 nodes by the number
     // of triangles they participate in (cnt DESC, node — D3 tie-break).
     "q_triangle" -> ((s, d) => {
-      val e = edges(s, d)
+      // round-10: the derived edge list feeds degree + orientation +
+      // wedge + closing joins — materialize once (18 static file scans
+      // without it; edges are an aggregate, NOT the corpus, so the
+      // checkpoint is bounded)
+      val e = edges(s, d).localCheckpoint(true)
       val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("dg"))
       val ed = e
@@ -123,6 +127,9 @@ object GraphOps extends OpModule {
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
         .where(col("n_co") >= 2)
         .select(col("u"), col("v"))
+        // round-10 localCheckpoint: reused by degree/hub-filter/wedge
+        // stages (42 static file scans without it)
+        .localCheckpoint(true)
       val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("dg"))
       val keep = deg.where(col("dg") <= 64).select(col("x"))
@@ -274,8 +281,10 @@ object GraphOps extends OpModule {
         .where(col("n_co") >= 2)
         .select(col("u"), col("v"))
       val brand = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      // round-10 localCheckpoint: eb feeds m/d_c/e_c (12 static scans)
       val eb = e.join(broadcast(brand.select(col("p_partkey").as("u"), col("p_brand").as("bu"))), Seq("u"))
                 .join(broadcast(brand.select(col("p_partkey").as("v"), col("p_brand").as("bv"))), Seq("v"))
+                .localCheckpoint(true)
       val m = eb.agg(count(lit(1)).as("m"))
       val dC = eb.select(explode(array(col("bu"), col("bv"))).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("d_c"))
@@ -310,7 +319,8 @@ object GraphOps extends OpModule {
         .where(col("n_co") >= 2)
       // edges materialize once (round-10: the q_label_prop localCheckpoint
       // fix — each of the 3 expand rounds plus the seed/l0 derivation was
-      // re-running the co-purchase build; measured 34.8 → ~9 s at sf1)
+      // re-running the co-purchase build; 5.57 → 4.41 s at sf0.1, sf1 in
+      // BASELINE round-10)
       val nb = e.select(col("u").as("c"), col("v").as("n"))
         .unionAll(e.select(col("v").as("c"), col("u").as("n")))
         .localCheckpoint(true)
