@@ -531,7 +531,11 @@ object TextAnalysis extends OpModule {
     // keeps the total order unique (DistRank contract).
     "q_ccnet_bucket" -> ((s, d) => {
       val lm = queries("q_unigram_lm")(s, d).select(col("doc_id"), col("per_tok_e4"))
+      // round-10 localCheckpoint: the LM scoring (a corpus pass) feeds the
+      // lang index, the DistRank histogram+join, and the per-lang counts —
+      // materialize the doc-sized scored frame once (24 static scans before)
       val scored = lm.join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .localCheckpoint(true)
       // dense lang index by lexicographic order — the window is over the
       // DISTINCT langs (≤ tens of rows), the DistRank-histogram exemption
       val langIdx = scored.select(col("lang")).distinct()

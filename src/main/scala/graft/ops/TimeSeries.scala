@@ -829,8 +829,11 @@ object TimeSeries extends OpModule {
         .withColumn("half",
           when(col("us") * 2 < col("mn") + col("mx"), lit("a")).otherwise(lit("b")))
         .withColumn("bin", least(floor(col("value") / 10).cast("int"), lit(10)) + 1)
+      // round-10 localCheckpoint: cnt (≤ types×2×11 rows) is read three
+      // times — without it each read re-scans the fact table
       val cnt = binned.groupBy(col("event_type"), col("half"), col("bin"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val grid = cnt.select(col("event_type")).distinct()
         .crossJoin(s.range(1, 12).select(col("id").cast("int").as("bin")))
       val ca = cnt.where(col("half") === "a")
