@@ -185,7 +185,15 @@ object ScalarFuncs extends OpModule {
           expr("try_divide(cast(round(o_totalprice * 100) as bigint), day(o_orderdate) - 1)")
             .as("price_per"),
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
-          expr("try_cast(o_orderstatus AS INT)").as("status_num"),
+          // round-10: the original cast a STATUS LETTER on every row —
+          // Spark's ANSI string→int cast throws (TryEval catches) per
+          // malformed row, the same exception-per-row trap the round-7
+          // overflow fix removed (isolated: 10.8 s of 36 s at sf1 for this
+          // one column). Malformed input now rides the 1/1000 dirty-key
+          // contract like overflow_add.
+          expr("""try_cast(CASE WHEN o_orderkey % 1000 = 0 THEN o_orderstatus
+                 |  ELSE cast(o_orderkey % 100 AS string) END AS INT)"""
+            .stripMargin).as("status_num"),
           // keys ≡ 0 (mod 1000) add o_orderkey+1 ≥ 1 to Long.MaxValue →
           // overflow → NULL; all other rows add 0 (legal) → MaxValue.
           expr("""try_add(9223372036854775807L,
@@ -383,7 +391,8 @@ object ScalarFuncs extends OpModule {
       """SELECT o_orderkey,
         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) / NULLIF(day(o_orderdate) - 1, 0) AS price_per,
         |  TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
-        |  TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+        |  CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |       ELSE CAST(o_orderkey % 100 AS INTEGER) END AS status_num,
         |  CASE WHEN o_orderkey % 1000 = 0 THEN NULL
         |       ELSE 9223372036854775807 END AS overflow_add
         |FROM orders ORDER BY o_orderkey""".stripMargin,
