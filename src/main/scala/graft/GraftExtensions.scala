@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDot, HilbertKey, NGrams, TDigest, TopK}
+import graft.functions.{FloatDot, FreqItems, HilbertKey, NGrams, TDigest, TopK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tdigest"),
       new ExpressionInfo(classOf[TDigest].getName, "graft_tdigest"),
       TDigest.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FreqItems].getName, "graft_freq_items"),
+      FreqItems.builder))
     e.injectFunction((
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),

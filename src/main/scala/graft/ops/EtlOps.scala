@@ -584,6 +584,46 @@ object EtlOps extends OpModule {
     // oracle-checked query, not prose: the DuckDB twin re-derives the
     // Hilbert key from the generated CTE unroll and must agree file for
     // file.
+    // Market-basket association rules (the Apriori rule stage at pair
+    // order): baskets = orders, items = the DISTINCT parts of each order; a
+    // rule ant→cons ships when the pair is co-ordered in ≥ 2 distinct
+    // orders (the q_link_pred strong-edge support). confidence =
+    // supp(pair)/supp(ant), lift = supp(pair)·N / (supp(ant)·supp(cons)) —
+    // exact integer counts through ONE IEEE division each (correctly
+    // rounded → bit-stable cross-engine, the q_hotspot rule). Scale: pair
+    // expansion is C(items/order, 2) per order — a constant bound (items
+    // per order is corpus-independent) — so support counting is linear in
+    // lineitem and every join is an equi join on catalog-scaling keys;
+    // top-20 by (lift DESC, ant, cons) is TakeOrderedAndProject, never a
+    // global sort.
+    "q_assoc_rules" -> ((s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
+      val n = bi.agg(countDistinct(col("o")).as("n_baskets"))
+      val supp = bi.groupBy(col("i")).agg(count(lit(1)).as("s"))
+      val pairs = bi.select(col("o"), col("i").as("ia"))
+        .join(bi.select(col("o"), col("i").as("ib")), Seq("o"))
+        .where(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("sp"))
+        .where(col("sp") >= 2)
+      val rules = pairs.select(col("ia").as("ant"), col("ib").as("cons"), col("sp"))
+        .unionAll(pairs.select(col("ib").as("ant"), col("ia").as("cons"), col("sp")))
+      rules
+        .join(supp.select(col("i").as("ant"), col("s").as("sa")), "ant")
+        .join(supp.select(col("i").as("cons"), col("s").as("sc")), "cons")
+        .crossJoin(broadcast(n))
+        // round-half-up spelled FLOOR(x + 0.5) on both engines — a support
+        // ratio CAN land on an exact .5 (e.g. 2·10000/64), where ROUND's
+        // negative/positive half conventions are the known dialect trap
+        .select(col("ant"), col("cons"), col("sp"), col("sa"),
+          floor((col("sp") * 10000).cast("double") / col("sa").cast("double") + 0.5)
+            .cast("bigint").as("conf_e4"),
+          floor((col("sp") * col("n_baskets") * 10000).cast("double")
+              / (col("sa") * col("sc")).cast("double") + 0.5)
+            .cast("bigint").as("lift_e4"))
+        .orderBy(col("lift_e4").desc, col("ant"), col("cons")).limit(20)
+    }),
+
     "q_layout_compare" -> ((s, d) => {
       graft.functions.HilbertKey.register(s)
       val base = Tables.part(s, d)
@@ -611,6 +651,25 @@ object EtlOps extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // mirrors the support/confidence/lift arithmetic: exact integer counts,
+    // one double division per metric
+    "q_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM bi),
+        |supp AS (SELECT i, COUNT(*) AS s FROM bi GROUP BY i),
+        |pr AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS sp
+        |       FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i
+        |       GROUP BY a.i, b.i HAVING COUNT(*) >= 2),
+        |rules AS (SELECT ia AS ant, ib AS cons, sp FROM pr
+        |          UNION ALL SELECT ib AS ant, ia AS cons, sp FROM pr)
+        |SELECT ant, cons, sp, sa,
+        |  CAST(FLOOR(CAST(sp * 10000 AS DOUBLE) / CAST(sa AS DOUBLE) + 0.5) AS BIGINT) AS conf_e4,
+        |  CAST(FLOOR(CAST(sp * n_baskets * 10000 AS DOUBLE) / CAST(sa * sc AS DOUBLE) + 0.5) AS BIGINT) AS lift_e4
+        |FROM (SELECT r.ant, r.cons, r.sp, x.s AS sa, y.s AS sc, n.n_baskets
+        |      FROM rules r JOIN supp x ON r.ant = x.i
+        |      JOIN supp y ON r.cons = y.i CROSS JOIN n) t
+        |ORDER BY lift_e4 DESC, ant, cons LIMIT 20""".stripMargin,
+
     "q_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,

@@ -130,6 +130,40 @@ object ScaleOps extends OpModule {
         .orderBy(col("k"))
     }),
 
+    // Misra–Gries heavy hitters over the document token stream via the
+    // graft_freq_items TypedImperativeAggregate (functions/FreqItems.scala):
+    // O(k) state per group through partial aggregation — heavy-hitter
+    // detection whose shuffle carries the sketch, never the token stream.
+    // The tracked SET is order-dependent at the margin, so the declared
+    // output derives only from the THEOREMS (no overestimate; underestimate
+    // ≤ N/(k+1); every item with f > N/(k+1) tracked) evaluated against
+    // exact counts — flags the oracle pins TRUE (the q_agg_countmin
+    // pattern). Tokens ride as xxhash64 keys (64-bit collision odds are
+    // negligible at any realistic vocabulary; a collision could only
+    // inflate an estimate, caught by the no_overest flag).
+    "q_freq_items" -> ((s, d) => {
+      graft.functions.FreqItems.register(s)
+      val K = 64
+      val tok = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .where(length(col("t")) >= 1)
+      val mg = tok.agg(expr(s"graft_freq_items(xxhash64(t), $K)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("h"), col("e.est").as("est"))
+      val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+      val totals = tok.agg(count(lit(1)).as("n_total"))
+      exact.crossJoin(broadcast(totals))
+        .where(col("n_exact") * (K + 1) > col("n_total"))
+        .withColumn("h", xxhash64(col("t")))
+        .join(broadcast(mg), Seq("h"), "left")
+        .select(col("t").as("token"), col("n_exact"),
+                col("est").isNotNull.as("tracked"),
+                (col("est").isNotNull && col("est") <= col("n_exact")).as("no_overest"),
+                (coalesce(col("est"), lit(0L)) * (K + 1) >=
+                  col("n_exact") * (K + 1) - col("n_total")).as("within_bound"))
+        .orderBy(col("token"))
+    }),
+
     // Catalyst-injected runtime bloom filter (InjectRuntimeFilter): the
     // optimizer itself builds a bloom filter from the selective orders side
     // and rewrites the fact scan with might_contain(l_orderkey) — the
@@ -191,6 +225,19 @@ object ScaleOps extends OpModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // the Misra–Gries guarantees are theorems — the oracle computes the
+    // exact heavy-hitter set and pins the contract flags TRUE
+    "q_freq_items" ->
+      """WITH tk AS (
+        |  SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+        |tok AS (SELECT t FROM tk WHERE LENGTH(t) >= 1),
+        |ex AS (SELECT t, COUNT(*) AS n_exact FROM tok GROUP BY t),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok)
+        |SELECT t AS token, n_exact, TRUE AS tracked,
+        |  TRUE AS no_overest, TRUE AS within_bound
+        |FROM ex, tot WHERE n_exact * 65 > n_total
+        |ORDER BY token""".stripMargin,
 
     // DuckDB has neither sketch — exact counts + pinned-TRUE contract flags
     // (the q_agg_approx_distinct pattern).

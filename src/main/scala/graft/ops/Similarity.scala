@@ -317,6 +317,49 @@ object Similarity extends OpModule {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // Binary-quantization ANN: each vector compressed to its 64 SIGN BITS
+    // (1 bit per dimension, stored as two 32-bit halves in BIGINTs so both
+    // engines stay in overflow-safe arithmetic — the q_phash_dedup
+    // convention), candidates ranked by Hamming distance (popcount of XOR
+    // — integer-exact, tie-broken by n_id), top-40, exact-cosine re-rank
+    // to top-5. Completes the vector-compression ladder beside int8
+    // (q_emb_quantize) and PQ codes (q_sim_pq): 32× smaller than float32,
+    // and at 100 TB the prefilter scan reads 8 bytes + one SIMD popcount
+    // per vector while the exact rerank touches only 40 vectors per query.
+    // Distinct from q_sim_lsh (sign bits OF THE COMPONENTS rank by
+    // distance; LSH sign-bits of random projections gate by bucket
+    // equality) and from q_sim_rp_topk (float projected-cosine ranking).
+    "q_sim_bq" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      def half(off: Int): String =
+        s"aggregate(transform(sequence(0, 31), j -> IF(element_at(embedding, j + ${off + 1}) > 0, " +
+          "shiftleft(cast(1 as bigint), j), cast(0 as bigint))), cast(0 as bigint), (acc, x) -> acc + x)"
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+        .withColumn("c_lo", expr(half(0)))
+        .withColumn("c_hi", expr(half(32)))
+      val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                            col("nrm").as("n_nrm"), col("c_lo").as("n_lo"),
+                            col("c_hi").as("n_hi"))
+      val qs = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"), col("c_lo").as("q_lo"), col("c_hi").as("q_hi"))
+      val candW = Window.partitionBy(col("q_id")).orderBy(col("hamm"), col("n_id"))
+      val rerankW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      corpus.crossJoin(broadcast(qs))
+        .withColumn("hamm",
+          bit_count(col("q_lo").bitwiseXOR(col("n_lo"))) +
+          bit_count(col("q_hi").bitwiseXOR(col("n_hi"))))
+        .withColumn("rn", row_number().over(candW)).where(col("rn") <= 40)
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(rerankW)).where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"),
+                round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // Index-quality evaluation: recall@5 of the LSH ANN against the exact
     // brute-force top-5, per query — the "measure your index before you
     // trust it" operator every production ANN deployment runs after a
@@ -510,6 +553,38 @@ object Similarity extends OpModule {
         |cand AS (SELECT q_id, n_id, q_emb, n_emb, q_nrm, n_nrm FROM (
         |  SELECT q_id, n_id, q_emb, n_emb, q_nrm, n_nrm,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY p_score DESC, n_id) AS rn
+        |  FROM sc) t WHERE rn <= 40),
+        |scored AS (SELECT q_id, n_id,
+        |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / (q_nrm * n_nrm) AS score
+        |  FROM cand)
+        |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+        |  SELECT q_id, n_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INTEGER) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+      // Mirrors the binary-quantization pipeline stage by stage: the same
+      // sign bits packed into the same two 32-bit halves (BIGINT-safe on
+      // both engines), Hamming ranking by BIT_COUNT(XOR), exact re-rank.
+      "q_sim_bq" ->
+        """WITH e AS (SELECT vec_id, embedding,
+        |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |code AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN embedding[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS c_lo,
+        |    CAST(SUM(CASE WHEN embedding[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS c_hi
+        |  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS j) g
+        |  GROUP BY vec_id),
+        |sc AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    q.embedding AS q_emb, n.embedding AS n_emb, q.nrm AS q_nrm, n.nrm AS n_nrm,
+        |    BIT_COUNT(XOR(qc.c_lo, nc.c_lo)) + BIT_COUNT(XOR(qc.c_hi, nc.c_hi)) AS hamm
+        |  FROM e q, e n, code qc, code nc
+        |  WHERE q.vec_id = qc.vec_id AND n.vec_id = nc.vec_id AND q.vec_id < 10),
+        |cand AS (SELECT q_id, n_id, q_emb, n_emb, q_nrm, n_nrm FROM (
+        |  SELECT q_id, n_id, q_emb, n_emb, q_nrm, n_nrm,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamm, n_id) AS rn
         |  FROM sc) t WHERE rn <= 40),
         |scored AS (SELECT q_id, n_id,
         |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),

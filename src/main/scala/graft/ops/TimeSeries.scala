@@ -671,6 +671,53 @@ object TimeSeries extends OpModule {
     // `div` is unusable here because Spark truncates while DuckDB floors,
     // which diverges on negative deltas). Edge hours with only one
     // neighbor clamp to it.
+    // Classical additive seasonal decomposition (STL-lite) of the daily
+    // event-count series per type: trend = 7-day centered moving average,
+    // seasonal = day-of-week mean of the detrended series, residual =
+    // value − trend − seasonal. Determinism engineering: days ride as
+    // epoch-day INTEGERS (no date dialect), the 7-day trend stays ×7
+    // integer (t7), detrended values stay ×7 integer (7·cnt − t7), and the
+    // two divisions (by 7; by 7·n_dow) are single IEEE ops on exact-integer
+    // operands — half-up spelled FLOOR(x+0.5) because a dow mean CAN land
+    // on an exact .5. resid_e4 = cnt·1e4 − trend_e4 − seas_e4 is then pure
+    // integer arithmetic on already-pinned components. Scale: one day-level
+    // aggregation of the fact table; everything after is calendar-bounded
+    // (types × days), so the decomposition costs one groupBy no matter the
+    // corpus size; the window is O(7) per row. Edge days without a full
+    // 7-day window are excluded (centered MA is undefined there).
+    "q_stl_decomp" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("dd"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = daily.groupBy(col("event_type"))
+        .agg(min(col("dd")).as("d0"), max(col("dd")).as("d1"))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("dd"))
+      val dense = spine.join(daily, Seq("event_type", "dd"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dd"))
+        .rowsBetween(-3, 3)
+      val tr = dense
+        .withColumn("t7", sum(col("cnt")).over(w))
+        .withColumn("n7", count(lit(1)).over(w))
+        .where(col("n7") === 7)
+        .withColumn("detr7", col("cnt") * 7 - col("t7"))
+        .withColumn("dow", col("dd") % 7)
+      val seas = tr.groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("detr7")).as("sdetr"), count(lit(1)).as("ndow"))
+        .select(col("event_type"), col("dow"),
+          floor((col("sdetr") * 10000).cast("double")
+              / (col("ndow") * 7).cast("double") + 0.5)
+            .cast("bigint").as("seas_e4"))
+      tr.join(seas, Seq("event_type", "dow"))
+        .withColumn("trend_e4",
+          floor((col("t7") * 10000).cast("double") / lit(7.0) + 0.5).cast("bigint"))
+        .select(col("event_type"), col("dd").as("d"), col("cnt"),
+                col("trend_e4"), col("seas_e4"),
+                (col("cnt") * 10000 - col("trend_e4") - col("seas_e4")).as("resid_e4"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+
     "q_win_gapfill" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -1422,6 +1469,43 @@ object TimeSeries extends OpModule {
         |SELECT p.pid AS p_id, r.cid AS nearest_click, r.dist_us, r.side
         |FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON p.pid = r.pid
         |ORDER BY p_id""".stripMargin,
+
+    // identical trajectory: epoch-day integers, ×7 integer trend, one
+    // FLOOR(x+0.5) division per component, integer residual
+    "q_stl_decomp" ->
+      """WITH daily AS (
+        |  SELECT event_type, EPOCH_US(DATE_TRUNC('day', ts)) // 86400000000 AS dd,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, UNNEST(GENERATE_SERIES(MIN(dd), MAX(dd))) AS dd
+        |  FROM daily GROUP BY event_type),
+        |dense AS (
+        |  SELECT s.event_type, s.dd, COALESCE(daily.cnt, 0) AS cnt
+        |  FROM spine s LEFT JOIN daily
+        |    ON s.event_type = daily.event_type AND s.dd = daily.dd),
+        |tr AS (
+        |  SELECT event_type, dd, cnt,
+        |    SUM(cnt) OVER w AS t7, COUNT(*) OVER w AS n7
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY dd
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |tf AS (
+        |  SELECT event_type, dd, cnt, CAST(t7 AS BIGINT) AS t7, dd % 7 AS dow
+        |  FROM tr WHERE n7 = 7),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    CAST(FLOOR(CAST(CAST(SUM(cnt * 7 - t7) AS BIGINT) * 10000 AS DOUBLE)
+        |      / CAST(COUNT(*) * 7 AS DOUBLE) + 0.5) AS BIGINT) AS seas_e4
+        |  FROM tf GROUP BY event_type, dow)
+        |SELECT tf.event_type, CAST(tf.dd AS BIGINT) AS d, tf.cnt,
+        |  CAST(FLOOR(CAST(t7 * 10000 AS DOUBLE) / 7.0 + 0.5) AS BIGINT) AS trend_e4,
+        |  seas.seas_e4,
+        |  tf.cnt * 10000
+        |    - CAST(FLOOR(CAST(t7 * 10000 AS DOUBLE) / 7.0 + 0.5) AS BIGINT)
+        |    - seas.seas_e4 AS resid_e4
+        |FROM tf JOIN seas ON tf.event_type = seas.event_type AND tf.dow = seas.dow
+        |ORDER BY tf.event_type, d""".stripMargin,
 
     "q_win_gapfill" ->
       """WITH hourly AS (
