@@ -54,6 +54,11 @@ object RangeSource {
 
   /** Rows per input partition slice. */
   val SliceRows = 25000L
+
+  /** Test observability (single-JVM): the last runtime-filter narrowing as
+    * (slices planned without the filter, slices surviving it). Written by
+    * [[RangeScan.planInputPartitions]] only when a runtime filter arrived. */
+  @volatile private[sources] var lastRuntimePrune: Option[(Int, Int)] = None
 }
 
 private class RangeTable(start: Long, end: Long) extends Table with SupportsRead {
@@ -172,8 +177,36 @@ private case class RangeAggReaderFactory(funcs: Seq[String])
   }
 }
 
+/** Row scan. [[SupportsRuntimeFiltering]] is the third pushdown contract —
+  * dynamic partition pruning INTO the source: when this scan joins a dim
+  * whose selective filter Spark can only evaluate at runtime, the executed
+  * plan carries a `dynamicpruning` In-subquery on `id`, and just before
+  * execution Spark hands the realized key set to [[filter]]; partition
+  * planning then drops every slice containing none of the keys. At 100 TB
+  * this is the difference between scanning the fact table's declared extent
+  * and scanning only the slices the dim actually references — without the
+  * query author writing any bound. */
 private class RangeScan(lo: Long, hi: Long, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  /** Slice indices (relative to lo) referenced by a runtime In-filter;
+    * None until/unless a runtime filter arrives. */
+  @volatile private var keepSlices: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(a, vs) if a == "id" =>
+      val ids = vs.collect {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long    => l.longValue()
+      }.filter(v => v >= lo && v < hi)
+      // O(|keys|): bucket each key to its slice — never a per-slice scan
+      keepSlices = Some(ids.map(v => (v - lo) / RangeSource.SliceRows).toSet)
+    case _ => () // unsupported runtime predicates are simply not narrowed by
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -182,10 +215,19 @@ private class RangeScan(lo: Long, hi: Long, required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     if (hi <= lo) return Array.empty
     val n = ((hi - lo + RangeSource.SliceRows - 1) / RangeSource.SliceRows).toInt
-    (0 until n).map { i =>
+    val all = (0 until n).map { i =>
       val s = lo + i * RangeSource.SliceRows
       RangePartition(s, math.min(s + RangeSource.SliceRows, hi)): InputPartition
-    }.toArray
+    }
+    keepSlices match {
+      case Some(keep) =>
+        val kept = all.zipWithIndex.collect {
+          case (p, i) if keep.contains(i.toLong) => p
+        }
+        RangeSource.lastRuntimePrune = Some((n, kept.length))
+        kept.toArray
+      case None => all.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -438,6 +438,26 @@ object Sources extends OpModule {
              max(col("id")).as("max_id"))
     }),
 
+    // Dynamic partition pruning INTO the custom connector
+    // (SupportsRuntimeFiltering — RangeSource's third pushdown contract):
+    // the dim's selective filter is only evaluable at runtime, so Spark
+    // plans a dynamicpruning In-subquery on the scan and hands the realized
+    // key set to Scan.filter() just before execution; the source then plans
+    // ONLY the slices those keys land in (RangeSourceSpec pins the 8→3
+    // narrowing and the plan node). The oracle re-derives the rows from the
+    // closed forms — DPP is a perf rewrite, never semantics.
+    "src_dsv2_runtime" -> ((s, d) => {
+      val src = s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "200000").load()
+      val dim = s.range(0, 200000, 25000)
+        .select(col("id").as("dim_id"))
+        .where(col("dim_id") % 3 === 0) // selective, runtime-only
+      src.join(broadcast(dim), col("id") === col("dim_id"))
+        .agg(count(lit(1)).as("n"),
+             graft.ops.Det.moneySum(col("val")).as("val_cents"),
+             min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    }),
+
     // Snapshot RETENTION (the GC half of sink_snapshot's time travel):
     // four versioned snapshots land under one root, the retention policy
     // (keep newest 2) physically deletes the expired version partitions,
@@ -447,6 +467,34 @@ object Sources extends OpModule {
     // prose. Deletion is directory-granular because version IS the
     // partition key — at 100 TB, retention is O(manifests), never a data
     // rewrite; that layout choice is what this op pins.
+    // DSv2 WRITE path round-trip (sources/StoreSink.scala — the custom
+    // connector's transactional staging/manifest commit protocol): an
+    // orders slice lands in the graft-store through TWO commits — an
+    // OVERWRITE of even keys (truncate manifest swap), then an APPEND of
+    // odd keys (manifest union) — and is read back through manifest-planned
+    // scans and re-aggregated. The oracle recomputes from the parquet
+    // source, so a lost, duplicated, or partially-visible file breaks the
+    // hash; StoreSinkSpec pins the abort/atomicity/stray-file semantics the
+    // happy path can't show.
+    "sink_dsv2" -> ((s, d) => {
+      val path = tmp(d, "dsv2store")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+        graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      base.where(col("k") % 2 === 0)
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      base.where(col("k") % 2 === 1)
+        .write.format("graft.sources.StoreSink").mode("append")
+        .option("path", path).save()
+      s.read.format("graft.sources.StoreSink").option("path", path).load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        .orderBy(col("grp"))
+    }),
+
     "sink_retention" -> ((s, d) => {
       val base = tmp(d, "retention")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -473,6 +521,22 @@ object Sources extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the store's two commits must reconstruct exactly the source table
+    "sink_dsv2" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // same closed forms as src_dsv2's oracle, restricted to the dim keys
+    "src_dsv2_runtime" ->
+      """WITH dim AS (
+        |  SELECT UNNEST(GENERATE_SERIES(0, 175000, 25000)) AS id),
+        |keys AS (SELECT id FROM dim WHERE id % 3 = 0)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(id * 7919 % 100000) AS BIGINT) AS val_cents,
+        |  MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM keys""".stripMargin,
+
     "src_csv" ->
       """SELECT c_custkey, c_name, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -64,6 +64,22 @@ class RangeSourceSpec extends SparkSpec {
            == Map("a" -> 250L, "b" -> 250L, "c" -> 250L, "d" -> 250L))
   }
 
+  test("runtime filtering: DPP narrows partition planning to the dim's keys") {
+    RangeSource.lastRuntimePrune = None
+    val dim = spark.range(0, 200000, 25000)
+      .select(col("id").as("dim_id")).where(col("dim_id") % 3 === 0)
+    val q = ranged(0, 200000).join(broadcast(dim), col("id") === col("dim_id"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+           max(col("id")).as("max_id"))
+    assert(q.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "no dynamicpruning subquery planned on the v2 scan")
+    val r = q.collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L && r.getLong(2) == 150000L)
+    // 8 slices in the declared extent; only the 3 holding dim keys planned
+    assert(RangeSource.lastRuntimePrune.contains((8, 3)),
+      s"expected 8→3 slice narrowing, got ${RangeSource.lastRuntimePrune}")
+  }
+
   test("EqualTo prunes to a single-row scan") {
     val df = ranged(0, 200000).where(col("id") === 123456L)
     val p = df.queryExecution.executedPlan.toString
