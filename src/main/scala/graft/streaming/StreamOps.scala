@@ -7,8 +7,9 @@ import graft.ops.OpModule
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, Trigger}
 
 /** SURVEY.md §2.8 — Structured Streaming operators (`s_*`).
   *
@@ -348,6 +349,96 @@ object StreamOps extends OpModule {
       .toDF("user_id", "event_id", "n_since_error")
   }
 
+  /** Timer-driven sessionization (`transformWithState` + EVENT-TIME TIMERS —
+    * the timer surface no other s_* op exercises): per user, a running
+    * session (start, end, count) lives in a ValueState; sessions closed by
+    * EVIDENCE (a later event ≥ 30 min after the current end) emit
+    * immediately from handleInputRows, and each batch re-arms one event-time
+    * timer at end+30 min so the user's OPEN tail session emits from
+    * handleExpiredTimer once the watermark proves no event can extend it
+    * (late rows below the watermark never reach the processor, and any
+    * surviving event is past end+30 min by then — the eviction argument).
+    * Timer bookkeeping: the previous timer is deleted before the new one is
+    * registered, so a session extended in batch N can never be closed by
+    * batch N−1's stale timer. */
+  class SessionTimerProcessor
+      extends StatefulProcessor[Long, Ev, (Long, Long, Long, Long, String)] {
+    private val GapUs = 1800000000L // 30 min
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    private def timerMsOf(endUs: Long): Long = endUs / 1000 + 1800000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[(Long, Long, Long, Long, String)] = {
+      val evs = rows.map(e => micros(e.ts)).toArray
+      java.util.Arrays.sort(evs)
+      if (evs.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[(Long, Long, Long, Long, String)]
+      var (st, en, cnt) =
+        if (sess.exists()) { val v = sess.get(); getHandle.deleteTimer(timerMsOf(v._2)); v }
+        else (-1L, -1L, 0L)
+      evs.foreach { m =>
+        if (st < 0) { st = m; en = m; cnt = 1 }
+        else if (m - en >= GapUs) {
+          out += ((key, st, en, cnt, "gap")) // closed by evidence — final now
+          st = m; en = m; cnt = 1
+        } else { en = math.max(en, m); cnt += 1 }
+      }
+      sess.update((st, en, cnt))
+      getHandle.registerTimer(timerMsOf(en))
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, String)] =
+      if (sess.exists()) {
+        val (st, en, cnt) = sess.get()
+        sess.clear()
+        Iterator.single((key, st, en, cnt, "timer"))
+      } else Iterator.empty
+  }
+
+  def sessionTimerTransform(ds: Dataset[Ev]): DataFrame = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "sess_start_us", "sess_end_us", "n_events", "closed_by")
+      .select(col("user_id"),
+        timestamp_micros(col("sess_start_us")).cast("timestamp_ntz").as("sess_start"),
+        timestamp_micros(col("sess_end_us")).cast("timestamp_ntz").as("sess_end"),
+        col("n_events"), col("closed_by"))
+  }
+
+  /** Test/probe access to the chunked runner with the timer transform —
+    * StreamOpsSpec pins the exact timer-vs-watermark boundary semantics the
+    * s_tws_timers oracle encodes. */
+  private[graft] def probeChunks(s: SparkSession, chunks: Seq[Seq[Ev]]): DataFrame = {
+    // transformWithState needs the multi-column-family (RocksDB) provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStreamChunks(s, chunks, OutputMode.Append())(sessionTimerTransform)
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Stream–static join: each micro-batch of the event stream joins the
     * (bounded, broadcast) customer dimension — the canonical enrichment
     * shape at scale: the dim is re-broadcast per batch, the stream side
@@ -428,6 +519,34 @@ object StreamOps extends OpModule {
         runStreamFile(s, d, OutputMode.Append())(purchasesSinceErrorTransform)
           .orderBy(col("user_id"), col("event_id"))
       finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
+    // Event-time TIMERS through transformWithState: three ts-partitioned
+    // micro-batches advance the watermark between chunks, so tail sessions
+    // of early-idle users fire mid-stream from handleExpiredTimer while
+    // gap-closed sessions emit from handleInputRows — both paths land in
+    // one output with their provenance pinned in closed_by. Chunk
+    // boundaries are fixed UTC instants ≥ 10 min past each chunk's max ts,
+    // so no feed row is ever late (the late-DROP path is s_late_drop's).
+    "s_tws_timers" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val evs = loadEvents(s, d)
+        val t1 = java.time.Instant.parse("2024-01-11T00:00:00Z").toEpochMilli
+        val t2 = java.time.Instant.parse("2024-01-21T00:00:00Z").toEpochMilli
+        val chunks = Seq(
+          evs.filter(_.ts.getTime < t1),
+          evs.filter(e => e.ts.getTime >= t1 && e.ts.getTime < t2),
+          evs.filter(_.ts.getTime >= t2))
+        runStreamChunks(s, chunks, OutputMode.Append())(sessionTimerTransform)
+          .orderBy(col("user_id"), col("sess_start"))
+      } finally prev match {
         case Some(p) => s.conf.set(key, p)
         case None    => s.conf.unset(key)
       }
@@ -869,6 +988,55 @@ object StreamOps extends OpModule {
     // event at exactly last+gap starts a NEW session in Spark (session
     // interval is [start, last+gap)), hence the >= break condition. Verified
     // row-for-row against the actual streaming output at sf0.01 (9540 rows).
+    // Replays the three-chunk watermark trajectory: W1/W2/W3 are the
+    // per-chunk watermarks (chunk max ts, ms floor, − 10 min). A session is
+    // closed by 'gap' when its user's next event arrives in the same chunk
+    // as its end, or before its timer met the highest watermark PRECEDING
+    // that chunk (batch-k input runs before any timer fed by batch-k data —
+    // StreamOpsSpec pins this and the <= boundary); by 'timer' otherwise;
+    // the final open session emits only if its timer ≤ W3.
+    "s_tws_timers" ->
+      """WITH e AS (SELECT user_id, DATE_TRUNC('microseconds', ts) AS ts FROM events),
+        |wm AS (SELECT
+        |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN EPOCH_US(ts) END) // 1000 - 600000 AS w1,
+        |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN EPOCH_US(ts) END) // 1000 - 600000 AS w2,
+        |    MAX(EPOCH_US(ts)) // 1000 - 600000 AS w3
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+        |           OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, sess, MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+        |    COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, sess),
+        |nx AS (
+        |  SELECT *, LEAD(sess_start) OVER (PARTITION BY user_id ORDER BY sess) AS next_start
+        |  FROM agg),
+        |cl AS (
+        |  SELECT user_id, sess_start, sess_end, n_events,
+        |    EPOCH_US(sess_end) // 1000 + 1800000 AS timer_ms,
+        |    CASE WHEN sess_end < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+        |         WHEN sess_end < TIMESTAMP '2024-01-21 00:00:00' THEN 2 ELSE 3 END AS c_end,
+        |    CASE WHEN next_start IS NULL THEN NULL
+        |         WHEN next_start < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+        |         WHEN next_start < TIMESTAMP '2024-01-21 00:00:00' THEN 2 ELSE 3 END AS c_next
+        |  FROM nx)
+        |SELECT user_id, sess_start, sess_end, n_events,
+        |  CASE WHEN c_next IS NOT NULL AND (c_next = c_end
+        |            OR NOT (timer_ms <= CASE WHEN c_next - 1 = 1 THEN wm.w1 ELSE wm.w2 END))
+        |       THEN 'gap' ELSE 'timer' END AS closed_by
+        |FROM cl, wm
+        |WHERE c_next IS NOT NULL OR timer_ms <= wm.w3
+        |ORDER BY user_id, sess_start""".stripMargin,
+
     "s_session_win" ->
       """WITH e AS (SELECT user_id, DATE_TRUNC('microseconds', ts) AS ts FROM events),
         |g AS (

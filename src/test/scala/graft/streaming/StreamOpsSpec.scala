@@ -121,6 +121,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(nullIds == expectNull, "outer rows are exactly the watermark-evicted unmatched purchases")
   }
 
+  // The s_tws_timers ORACLE hard-codes two observed timer semantics; both
+  // must fail HERE (with values) if a Spark upgrade changes them.
+  test("s_tws_timers: timer fires when expiry EQUALS the watermark (<=)") {
+    val out = StreamOps.probeChunks(spark, Seq(
+      Seq(ev(1, 0, user = 1L)),          // user 1: timer at 00:30
+      Seq(ev(2, 40, user = 2L))))        // watermark becomes 00:30 exactly
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(4))).toSeq.sorted
+    // user 1's timer (00:30) == watermark (00:30) → fires; user 2's open
+    // session (timer 01:10 > watermark) must stay unemitted
+    assert(rows == Seq((1L, "timer")), s"boundary semantics drifted: $rows")
+  }
+
+  test("s_tws_timers: gap evidence beats a timer that only expires with the same chunk's data") {
+    val out = StreamOps.probeChunks(spark, Seq(
+      // chunk 1 (max 00:20 → W1 = 00:10): no timer can fire
+      Seq(ev(1, 0, user = 1L), ev(2, 5, user = 1L),
+          ev(3, 0, user = 2L), ev(4, 20, user = 9L)),
+      // chunk 2 (max 02:00 → W2 = 01:50): u1's new event gap-closes session
+      // A during INPUT, before u1's old timer (00:35 ≤ W2) could ever fire
+      // — the watermark that would fire it only exists after this batch;
+      // u2 (00:30) and u9 (00:50) fire by timer; u1's session B (timer
+      // 02:30 > W2) stays open
+      Seq(ev(5, 120, user = 1L))))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4))).toSeq.sorted
+    assert(rows == Seq((1L, 2L, "gap"), (2L, 1L, "timer"), (9L, 1L, "timer")),
+      s"gap/timer attribution drifted: $rows")
+  }
+
   // The s_join_outer ORACLE hard-codes Spark's observed watermark
   // propagation: global watermark = LEAST of the per-side max ts − 10 min
   // (each side's watermark tracks its OWN event_type-filtered feed). If a
