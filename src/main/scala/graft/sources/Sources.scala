@@ -29,6 +29,21 @@ object Sources extends OpModule {
   private[graft] def tmp(d: String, name: String) =
     s"target/tmp/src_${name}_${java.lang.Integer.toHexString(d.hashCode)}"
 
+  /** The storage-partitioned join (fact 40k rows ⋈ one-row-per-group dim,
+    * both KeyGroupedPartitioning(grp, 8)); private[graft] so
+    * BucketSourceSpec can audit the plan under the same confs. */
+  private[graft] def spjJoin(s: SparkSession): DataFrame = {
+    val a = s.read.format("graft.sources.BucketSource")
+      .option("rows", "40000").option("groups", "8").load()
+    val b = s.read.format("graft.sources.BucketSource")
+      .option("rows", "8").option("groups", "8").load()
+      .select(col("grp"), col("amt").as("dim_amt"))
+    a.join(b, "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("amt") + col("dim_amt")).as("total"))
+      .orderBy(col("grp"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV round-trip with declared schema, header, and a nullable column.
     "src_csv" -> ((s, d) => {
@@ -458,6 +473,31 @@ object Sources extends OpModule {
              min(col("id")).as("min_id"), max(col("id")).as("max_id"))
     }),
 
+    // STORAGE-PARTITIONED JOIN through the connector's reported layout
+    // (sources/BucketSource.scala — SupportsReportPartitioning +
+    // HasPartitionKey): both sides declare KeyGroupedPartitioning on grp,
+    // so the fact⋈dim join plans with ZERO shuffle exchange on either side
+    // (BucketSourceSpec pins the exchange-free subplan and the default-off
+    // contrast). Conf-scoped (v2 bucketing + no size-based broadcast, the
+    // state where both sides outgrow broadcast) and materialized inside the
+    // scope (the q_runtime_filter rule). The DSv2 analogue of
+    // q_join_bucketed: at 100 TB this deletes both full-table shuffles from
+    // every join that shares the store's partitioning.
+    "q_join_spj" -> ((s, d) => {
+      val confs = Map(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val res = spjJoin(s)
+        s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     // Snapshot RETENTION (the GC half of sink_snapshot's time travel):
     // four versioned snapshots land under one root, the retention policy
     // (keep newest 2) physically deletes the expired version partitions,
@@ -526,6 +566,18 @@ object Sources extends OpModule {
       """SELECT o_orderstatus AS grp, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // the SPJ is a layout-driven plan change, never semantics — closed forms
+    "q_join_spj" ->
+      """WITH a AS (
+        |  SELECT 'g' || CAST(x % 8 AS VARCHAR) AS grp, x * 13 % 1000 AS amt
+        |  FROM (SELECT UNNEST(GENERATE_SERIES(0, 39999)) AS x)),
+        |b AS (
+        |  SELECT 'g' || CAST(x % 8 AS VARCHAR) AS grp, x * 13 % 1000 AS dim_amt
+        |  FROM (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS x))
+        |SELECT a.grp, COUNT(*) AS n, CAST(SUM(a.amt + b.dim_amt) AS BIGINT) AS total
+        |FROM a JOIN b ON a.grp = b.grp
+        |GROUP BY a.grp ORDER BY a.grp""".stripMargin,
 
     // same closed forms as src_dsv2's oracle, restricted to the dim keys
     "src_dsv2_runtime" ->

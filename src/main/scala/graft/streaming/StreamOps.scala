@@ -423,6 +423,20 @@ object StreamOps extends OpModule {
         col("n_events"), col("closed_by"))
   }
 
+  /** The events feed split into three micro-batches at fixed UTC instants
+    * (days 10 and 20 of the 30-day span) — every chunk's rows are ≥ 10 min
+    * past the previous chunk's max ts, so the watermark advances between
+    * batches and no row is ever late. Shared by the ops that need
+    * cross-batch state/watermark motion (s_tws_timers, s_freq_items). */
+  private def chunkEvents(s: SparkSession, d: String): Seq[Seq[Ev]] = {
+    val evs = loadEvents(s, d)
+    val t1 = java.time.Instant.parse("2024-01-11T00:00:00Z").toEpochMilli
+    val t2 = java.time.Instant.parse("2024-01-21T00:00:00Z").toEpochMilli
+    Seq(evs.filter(_.ts.getTime < t1),
+        evs.filter(e => e.ts.getTime >= t1 && e.ts.getTime < t2),
+        evs.filter(_.ts.getTime >= t2))
+  }
+
   /** Test/probe access to the chunked runner with the timer transform —
     * StreamOpsSpec pins the exact timer-vs-watermark boundary semantics the
     * s_tws_timers oracle encodes. */
@@ -537,14 +551,7 @@ object StreamOps extends OpModule {
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val evs = loadEvents(s, d)
-        val t1 = java.time.Instant.parse("2024-01-11T00:00:00Z").toEpochMilli
-        val t2 = java.time.Instant.parse("2024-01-21T00:00:00Z").toEpochMilli
-        val chunks = Seq(
-          evs.filter(_.ts.getTime < t1),
-          evs.filter(e => e.ts.getTime >= t1 && e.ts.getTime < t2),
-          evs.filter(_.ts.getTime >= t2))
-        runStreamChunks(s, chunks, OutputMode.Append())(sessionTimerTransform)
+        runStreamChunks(s, chunkEvents(s, d), OutputMode.Append())(sessionTimerTransform)
           .orderBy(col("user_id"), col("sess_start"))
       } finally prev match {
         case Some(p) => s.conf.set(key, p)
@@ -887,6 +894,41 @@ object StreamOps extends OpModule {
     // streams through, and unlike s_tdigest the comparator is a TOTAL
     // order, so the streamed result is bit-deterministic and the oracle is
     // EXACT (the window row_number twin), no error-contract flag needed.
+    // The Misra–Gries sketch as STREAMING STATE: graft_freq_items runs as a
+    // Complete-mode aggregate over a three-chunk feed, so each micro-batch's
+    // partial sketches MERGE into the state store's serialized summary (the
+    // s_tdigest pattern — mergeability is what makes a sketch streamable).
+    // Like batch q_freq_items, the tracked set is order-dependent at the
+    // margin, so the output derives only from the MG theorems per group:
+    // heavy items (f·5 > N within the day-of-week group, k=4 over 5 event
+    // types → constant churn) with tracked/no-overestimate/bound flags the
+    // oracle pins TRUE against exact per-group counts.
+    "s_freq_items" -> ((s, d) => {
+      graft.functions.FreqItems.register(s)
+      val st = runStreamChunks(s, chunkEvents(s, d), OutputMode.Complete()) { ds =>
+        ds.toDF()
+          .withColumn("dow", expr("(unix_micros(ts) div 86400000000) % 7"))
+          .groupBy(col("dow"))
+          .agg(expr("graft_freq_items(xxhash64(event_type), 4)").as("sk"),
+               count(lit(1)).as("n_total"))
+      }
+      val mg = st.select(col("dow"), explode(col("sk")).as("e"))
+        .select(col("dow"), col("e.item").as("h"), col("e.est").as("est"))
+      Tables.events(s, d)
+        .withColumn("dow", expr("(unix_micros(ts) div 86400000000) % 7"))
+        .groupBy(col("dow"), col("event_type")).agg(count(lit(1)).as("n_exact"))
+        .withColumn("h", xxhash64(col("event_type")))
+        .join(broadcast(st.select(col("dow"), col("n_total"))), "dow")
+        .where(col("n_exact") * 5 > col("n_total"))
+        .join(broadcast(mg), Seq("dow", "h"), "left")
+        .select(col("dow"), col("event_type"), col("n_exact"),
+                col("est").isNotNull.as("tracked"),
+                (col("est").isNotNull && col("est") <= col("n_exact")).as("no_overest"),
+                (coalesce(col("est"), lit(0L)) * 5 >=
+                  col("n_exact") * 5 - col("n_total")).as("within_bound"))
+        .orderBy(col("dow"), col("event_type"))
+    }),
+
     "s_topk" -> ((s, d) => {
       graft.functions.TopK.register(s)
       val st = runStreamFile(s, d, OutputMode.Complete()) { ds =>
@@ -902,6 +944,19 @@ object StreamOps extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // MG guarantees are theorems regardless of batch/merge order — exact
+    // heavy-hitter set per day-of-week group, flags pinned TRUE
+    "s_freq_items" ->
+      """WITH e AS (
+        |  SELECT ((EPOCH_US(ts) // 86400000000) % 7) AS dow, event_type FROM events),
+        |ex AS (SELECT dow, event_type, COUNT(*) AS n_exact FROM e GROUP BY 1, 2),
+        |tot AS (SELECT dow, COUNT(*) AS n_total FROM e GROUP BY dow)
+        |SELECT ex.dow, ex.event_type, ex.n_exact, TRUE AS tracked,
+        |  TRUE AS no_overest, TRUE AS within_bound
+        |FROM ex JOIN tot ON ex.dow = tot.dow
+        |WHERE ex.n_exact * 5 > tot.n_total
+        |ORDER BY ex.dow, ex.event_type""".stripMargin,
+
     "s_static_join" ->
       """SELECT e.event_id, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
