@@ -131,6 +131,35 @@ object Subqueries extends OpModule {
     // partial→final hash aggregate over the pushed-down scan) — the point
     // is SURFACE coverage: a reference user migrating pipeline-style SQL
     // runs it unchanged. Money sums ride integer cents (D1).
+    // Spark 4 LATERAL COLUMN ALIAS: a SELECT-list alias referenced by later
+    // expressions in the SAME select (no subquery/CTE scaffolding) —
+    // resolved at analysis into the plain expression tree, so the plan is
+    // identical to writing the expressions out. DuckDB supports the same
+    // reference style, so the oracle is the query verbatim.
+    "q_lateral_alias" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("ord_lca_v")
+      s.sql("""SELECT o_orderkey,
+              |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+              |  cents - (cents % 1000) AS cents_floor_10,
+              |  CASE WHEN cents_floor_10 >= 20000000 THEN 'big' ELSE 'small' END AS tier
+              |FROM ord_lca_v
+              |WHERE o_orderstatus = 'F'
+              |ORDER BY o_orderkey LIMIT 100""".stripMargin)
+    }),
+
+    // Spark 4 IDENTIFIER() clause: a table name arriving as a BOUND
+    // PARAMETER (the injection-safe dynamic-SQL surface — a query service
+    // routing one template across tables can never be string-spliced).
+    "q_identifier_sql" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("cust_idf_v")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n,
+          |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+          |FROM IDENTIFIER(:tbl)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+        Map("tbl" -> "cust_idf_v"))
+    }),
+
     "q_sql_pipe" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("li_pipe_v")
       s.sql("""FROM li_pipe_v
@@ -143,6 +172,23 @@ object Subqueries extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // same lateral alias references — DuckDB resolves them identically
+    "q_lateral_alias" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |  cents - (cents % 1000) AS cents_floor_10,
+        |  CASE WHEN cents_floor_10 >= 20000000 THEN 'big' ELSE 'small' END AS tier
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    // the IDENTIFIER binding is parse-time only — the oracle inlines
+    "q_identifier_sql" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

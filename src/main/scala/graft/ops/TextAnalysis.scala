@@ -365,6 +365,32 @@ object TextAnalysis extends OpModule {
     // discipline of q_unigram_lm/q_domain_kl). Plan: one token scan feeds
     // tf; dl/df/N/total re-aggregate tf (no second corpus pass); the tiny
     // query-term table broadcasts; top-20 is TakeOrderedAndProject.
+    // Hybrid RAG retrieval: BM25's lexical top-20 (the declared q_bm25
+    // pipeline, reused verbatim) re-ranked by embedding cosine against a
+    // dense query vector (doc 0's embedding; doc_id = vec_id is the
+    // multimodal join contract) — the standard two-stage retrieve→re-rank
+    // stack, composed from two declared operators so the oracle nests both
+    // verbatim (the q_ann_recall pattern). Scale: the re-rank touches only
+    // the 20 lexical candidates; the dense side never scans the corpus.
+    "q_rag_rerank" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val cand = queries("q_bm25")(s, d).select(col("doc_id"), col("bm25_e4"))
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      cand
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding"), col("nrm")),
+              "doc_id")
+        .crossJoin(broadcast(qv))
+        .withColumn("cos_e4",
+          round(expr("graft_float_dot(embedding, q_emb)")
+            / (col("nrm") * col("q_nrm")) * 10000).cast("int"))
+        .select(col("doc_id"), col("bm25_e4"), col("cos_e4"))
+        .orderBy(col("cos_e4").desc, col("doc_id")).limit(5)
+    }),
+
     "q_bm25" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
@@ -751,6 +777,28 @@ object TextAnalysis extends OpModule {
     } finally words.unpersist()
   }
 
+  /** q_bm25's oracle as a shared val so compositions (q_rag_rerank) can
+    * nest it verbatim — the unigramLmSql pattern. */
+  private[ops] val bm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+      |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+      |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      |qterms AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+      |           ORDER BY df DESC, t LIMIT 5),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+      |      * (tf * (1.2 + 1.0))
+      |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+      |    AS BIGINT) AS sc
+      |  FROM tf JOIN qterms USING (t) JOIN dlen USING (doc_id), stats)
+      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sc) AS BIGINT) AS bm25_e4
+      |FROM sc GROUP BY doc_id
+      |ORDER BY bm25_e4 DESC, doc_id LIMIT 20""".stripMargin
+
   /** q_lang_id's oracle — shared verbatim as the prediction stage inside
     * q_lang_confusion's oracle, so the two stay consistent by construction
     * (the unigramLmSql pattern). */
@@ -796,25 +844,22 @@ object TextAnalysis extends OpModule {
   override def oracles: Map[String, String] = Map(
     "q_lang_id" -> langIdSql,
 
-    "q_bm25" ->
-      """WITH tok AS (
-        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
-        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
-        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
-        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
-        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
-        |qterms AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
-        |           ORDER BY df DESC, t LIMIT 5),
-        |sc AS (
-        |  SELECT tf.doc_id,
-        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
-        |      * (tf * (1.2 + 1.0))
-        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
-        |    AS BIGINT) AS sc
-        |  FROM tf JOIN qterms USING (t) JOIN dlen USING (doc_id), stats)
-        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sc) AS BIGINT) AS bm25_e4
-        |FROM sc GROUP BY doc_id
-        |ORDER BY bm25_e4 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25" -> bm25Sql,
+
+    // both stages are the declared oracles, nested verbatim
+    "q_rag_rerank" ->
+      s"""WITH cand AS (SELECT doc_id, bm25_e4 FROM ($bm25Sql) t),
+        |emb AS (SELECT vec_id, embedding,
+        |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM emb WHERE vec_id = 0)
+        |SELECT c.doc_id, c.bm25_e4,
+        |  CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e.embedding, q.q_emb),
+        |    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |    / (e.nrm * q.q_nrm) * 10000) AS INTEGER) AS cos_e4
+        |FROM cand c JOIN emb e ON c.doc_id = e.vec_id, q
+        |ORDER BY cos_e4 DESC, c.doc_id LIMIT 5""".stripMargin,
 
     "q_domain_kl" ->
       """WITH tok AS (
