@@ -36,6 +36,7 @@ object Bench {
     "q_triangle", "q_substr_dedup", "q_knn_graph",                   // oriented wedges + span df + knn self-join (r7)
     "q_tdigest", "q_hilbert_key",                                    // t-digest sketch agg + codegen hilbert key (r9)
     "q_label_prop", "q_win_distinct_count",                          // majority LPA rounds + windowed distinct (r10)
+    "q_assoc_rules", "q_sim_bq", "s_tws_timers",                     // basket pair mining + BQ hamming ANN + timer exec (r11)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 
