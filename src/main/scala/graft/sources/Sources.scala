@@ -473,6 +473,22 @@ object Sources extends OpModule {
              min(col("id")).as("min_id"), max(col("id")).as("max_id"))
     }),
 
+    // Custom TableCatalog (sources/GraftCatalog.scala): the connector
+    // family resolved by NAME through `graft.<table>` in pure SQL — the
+    // query-service deployment surface. The catalog returns the same Table
+    // instances the path-based API builds, so every pushdown contract rides
+    // along: GraftCatalogSpec asserts the filter still narrows the scan
+    // bounds and the storage-partitioned join still plans exchange-free
+    // THROUGH the SQL/catalog path. Oracle re-derives from the closed forms.
+    "src_catalog" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("""SELECT tag, COUNT(*) AS n,
+              |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents
+              |FROM graft.range_200k
+              |WHERE id >= 100000 AND id < 160000
+              |GROUP BY tag ORDER BY tag""".stripMargin)
+    }),
+
     // STORAGE-PARTITIONED JOIN through the connector's reported layout
     // (sources/BucketSource.scala — SupportsReportPartitioning +
     // HasPartitionKey): both sides declare KeyGroupedPartitioning on grp,
@@ -566,6 +582,14 @@ object Sources extends OpModule {
       """SELECT o_orderstatus AS grp, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // same closed forms as the connector oracles, through the catalog name
+    "src_catalog" ->
+      """WITH r AS (SELECT UNNEST(GENERATE_SERIES(100000, 159999)) AS id)
+        |SELECT SUBSTR('abcd', CAST(id % 4 AS INTEGER) + 1, 1) AS tag,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(id * 7919 % 100000) AS BIGINT) AS val_cents
+        |FROM r GROUP BY 1 ORDER BY tag""".stripMargin,
 
     // the SPJ is a layout-driven plan change, never semantics — closed forms
     "q_join_spj" ->

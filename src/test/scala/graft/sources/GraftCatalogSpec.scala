@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.connector.catalog.Identifier
+
+/** The graft TableCatalog: name resolution, read-only DDL refusal, and —
+  * the part that matters — the pushdown/partitioning contracts surviving
+  * the SQL/catalog path unchanged. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private def withCatalog[T](body: => T): T = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    body
+  }
+
+  test("filter pushdown narrows the scan through the catalog path") {
+    withCatalog {
+      val df = spark.sql(
+        "SELECT id, val FROM graft.range_200k WHERE id >= 100000 AND id < 160000")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("GraftRangeScan[100000, 160000)"),
+        s"catalog path lost filter pushdown:\n$p")
+      assert(df.count() == 60000L)
+    }
+  }
+
+  test("storage-partitioned join plans exchange-free through SQL") {
+    withCatalog {
+      val confs = Map(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val df = spark.sql(
+          """SELECT f.grp, f.id, f.amt, d.amt AS dim_amt
+            |FROM graft.bucket_fact f JOIN graft.bucket_dim d ON f.grp = d.grp
+            |""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"catalog path lost KeyGroupedPartitioning:\n$plan")
+        assert(df.count() == 40000L)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("listTables, existence, and read-only DDL refusal") {
+    withCatalog {
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      assert(cat.listTables(Array.empty).map(_.name()).toSeq.sorted
+        == Seq("bucket_dim", "bucket_fact", "range_200k"))
+      assert(cat.tableExists(Identifier.of(Array.empty, "RANGE_200K")))
+      assert(!cat.tableExists(Identifier.of(Array.empty, "nope")))
+      intercept[Exception] {
+        spark.sql("DROP TABLE graft.range_200k")
+      }
+      // still resolvable after the refused DDL
+      assert(spark.sql("SELECT COUNT(*) FROM graft.bucket_dim").collect()
+        .head.getLong(0) == 8L)
+    }
+  }
+}
