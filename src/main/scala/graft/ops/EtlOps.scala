@@ -600,14 +600,23 @@ object EtlOps extends OpModule {
       val bi = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
       val n = bi.agg(countDistinct(col("o")).as("n_baskets"))
+      // supp is a BOUNDED (catalog-sized) aggregate referenced by two rule
+      // joins — materialize once (round-10 shared-subplan rule). The pair
+      // table is NOT materialized: it can be co-purchase-mass large, and an
+      // eager checkpoint was measured SLOWER at sf1 than re-mining; instead
+      // both rule directions EXPLODE from one pairs reference, so the
+      // mining subplan exists once (7 → 4 static lineitem scans).
       val supp = bi.groupBy(col("i")).agg(count(lit(1)).as("s"))
+        .localCheckpoint(true)
       val pairs = bi.select(col("o"), col("i").as("ia"))
         .join(bi.select(col("o"), col("i").as("ib")), Seq("o"))
         .where(col("ia") < col("ib"))
         .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("sp"))
         .where(col("sp") >= 2)
-      val rules = pairs.select(col("ia").as("ant"), col("ib").as("cons"), col("sp"))
-        .unionAll(pairs.select(col("ib").as("ant"), col("ia").as("cons"), col("sp")))
+      val rules = pairs.select(col("sp"), explode(array(
+          struct(col("ia").as("ant"), col("ib").as("cons")),
+          struct(col("ib").as("ant"), col("ia").as("cons")))).as("r"))
+        .select(col("r.ant").as("ant"), col("r.cons").as("cons"), col("sp"))
       rules
         .join(supp.select(col("i").as("ant"), col("s").as("sa")), "ant")
         .join(supp.select(col("i").as("cons"), col("s").as("sc")), "cons")

@@ -151,7 +151,9 @@ object ScaleOps extends OpModule {
         .select(explode(col("sk")).as("e"))
         .select(col("e.item").as("h"), col("e.est").as("est"))
       val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
-      val totals = tok.agg(count(lit(1)).as("n_total"))
+      // N re-aggregates the vocab-sized exact table — the third corpus
+      // tokenize the naive form pays is pure waste
+      val totals = exact.agg(sum(col("n_exact")).as("n_total"))
       exact.crossJoin(broadcast(totals))
         .where(col("n_exact") * (K + 1) > col("n_total"))
         .withColumn("h", xxhash64(col("t")))

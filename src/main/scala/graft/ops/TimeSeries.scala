@@ -686,10 +686,14 @@ object TimeSeries extends OpModule {
     // corpus size; the window is O(7) per row. Edge days without a full
     // 7-day window are excluded (centered MA is undefined there).
     "q_stl_decomp" -> ((s, d) => {
+      // calendar-bounded (types × days) and referenced by spine + dense —
+      // materialize once or the fact scan re-plans per branch (4 static
+      // scans measured; round-10 shared-subplan rule)
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"),
                  expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("dd"))
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val spine = daily.groupBy(col("event_type"))
         .agg(min(col("dd")).as("d0"), max(col("dd")).as("d1"))
         .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("dd"))
