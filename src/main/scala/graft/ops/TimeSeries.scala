@@ -671,6 +671,45 @@ object TimeSeries extends OpModule {
     // `div` is unusable here because Spark truncates while DuckDB floors,
     // which diverges on negative deltas). Edge hours with only one
     // neighbor clamp to it.
+    // Kaplan–Meier survival over user lifetimes — the churn/retention
+    // estimator (survival analysis joins the family beside cohort
+    // retention's raw matrix). Lifetime = days between a user's first and
+    // last event; users last seen within 7 days of the corpus end are
+    // CENSORED (still alive — they leave the risk set without a churn
+    // event, the right-censoring KM exists for). Output = the KM table at
+    // churn days: d_t (churns), n_t (at risk = lifetime ≥ t), and
+    // cumulative LOG-survival ln S(t) = Σ [ln(n−d) − ln(n)] in 1e-8
+    // integer units — per-term rounding before the integer cumulative sum
+    // (the q_domain_kl discipline; emitting log S avoids exp(), whose
+    // libm rounding is not pinned cross-engine). Degenerate full-churn
+    // days (n_t = d_t, ln 0) are excluded identically on both sides.
+    // Scale: one user-level aggregation of the fact table; the KM table
+    // itself is calendar-bounded (≤ observed lifetime days), so the two
+    // global windows run over ~30 aggregate rows (the sanctioned
+    // Exchange-SinglePartition-above-aggregate shape).
+    "q_survival_km" -> ((s, d) => {
+      val life = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts)")).as("f"), max(expr("unix_micros(ts)")).as("l"))
+      val g = life.agg(max(col("l")).as("gmax"))
+      val lc = life.crossJoin(broadcast(g))
+        .select(expr("(l - f) div 86400000000").as("t"),
+                (col("l") < col("gmax") - lit(7L * 86400000000L)).as("churned"))
+      val dd = lc.where(col("churned")).groupBy(col("t")).agg(count(lit(1)).as("d_t"))
+      val hist = lc.groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+      val riskW = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = hist.withColumn("n_t", sum(col("c_t")).over(riskW))
+      val ev = risk.join(dd, "t").where(col("n_t") > col("d_t"))
+        .withColumn("term_e8",
+          round(lit(1e8) * (log(col("n_t") - col("d_t")) - log(col("n_t"))))
+            .cast("bigint"))
+      val cumW = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("log_s_e8", sum(col("term_e8")).over(cumW))
+        .select(col("t"), col("d_t"), col("n_t"), col("log_s_e8"))
+        .orderBy(col("t"))
+    }),
+
     // Classical additive seasonal decomposition (STL-lite) of the daily
     // event-count series per type: trend = 7-day centered moving average,
     // seasonal = day-of-week mean of the detrended series, residual =
@@ -1473,6 +1512,26 @@ object TimeSeries extends OpModule {
         |SELECT p.pid AS p_id, r.cid AS nearest_click, r.dist_us, r.side
         |FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON p.pid = r.pid
         |ORDER BY p_id""".stripMargin,
+
+    // identical lifetimes, censoring cutoff, risk sets, and 1e-8 log terms
+    "q_survival_km" ->
+      """WITH life AS (
+        |  SELECT user_id, MIN(EPOCH_US(ts)) AS f, MAX(EPOCH_US(ts)) AS l
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT MAX(l) AS gmax FROM life),
+        |lc AS (SELECT (l - f) // 86400000000 AS t,
+        |              (l < gmax - 604800000000) AS churned
+        |       FROM life, g),
+        |d AS (SELECT t, COUNT(*) AS d_t FROM lc WHERE churned GROUP BY t),
+        |hist AS (SELECT t, COUNT(*) AS c_t FROM lc GROUP BY t),
+        |risk AS (SELECT t, CAST(SUM(c_t) OVER (ORDER BY t DESC
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_t FROM hist),
+        |ev AS (SELECT risk.t, d.d_t, risk.n_t,
+        |    CAST(ROUND(1e8 * (LN(n_t - d_t) - LN(n_t))) AS BIGINT) AS term_e8
+        |  FROM risk JOIN d ON risk.t = d.t WHERE n_t > d_t)
+        |SELECT t, d_t, n_t,
+        |  CAST(SUM(term_e8) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS log_s_e8
+        |FROM ev ORDER BY t""".stripMargin,
 
     // identical trajectory: epoch-day integers, ×7 integer trend, one
     // FLOOR(x+0.5) division per component, integer residual

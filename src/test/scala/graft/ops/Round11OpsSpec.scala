@@ -77,6 +77,34 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("q_survival_km ≡ brute-force Kaplan–Meier table") {
+    val us = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, xs) =>
+        val ts = xs.map(_._2)
+        (ts.min, ts.max)
+      }.toSeq
+    val gmax = us.map(_._2).max
+    val lc = us.map { case (f, l) =>
+      ((l - f) / 86400000000L, l < gmax - 7L * 86400000000L) }
+    val hist = lc.groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val dT = lc.filter(_._2).groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val expected = dT.keys.toSeq.sorted.flatMap { t =>
+      val n = hist.collect { case (u, c) if u >= t => c }.sum
+      val d = dT(t)
+      if (n > d) Some((t, d, n,
+        math.round(1e8 * (math.log((n - d).toDouble) - math.log(n.toDouble)))))
+      else None
+    }
+    // cumulative log-survival over ascending t
+    val cum = expected.scanLeft(0L)(_ + _._4).tail
+    val withCum = expected.zip(cum).map { case ((t, d, n, _), c) => (t, d, n, c) }
+    val got = SparkEntry.queries("q_survival_km")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == withCum)
+  }
+
   test("q_stl_decomp ≡ brute-force trend/seasonal/residual decomposition") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), expr("unix_micros(date_trunc('day', ts)) div 86400000000"))
