@@ -41,6 +41,17 @@ class BucketSourceSpec extends SparkSpec {
     }
   }
 
+  test("reported partitioning also satisfies aggregation clustering (no exchange)") {
+    withConfs(on = true) {
+      val agg = bucketed(40000, 8).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt")).as("amt_sum"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"groupBy on the reported partition key still shuffles:\n$plan")
+      assert(agg.collect().map(_.getLong(1)).sum == 40000L)
+    }
+  }
+
   test("without v2 bucketing the same join shuffles (the contrast)") {
     withConfs(on = false) {
       val plan = joined.queryExecution.executedPlan.toString
