@@ -130,6 +130,33 @@ object ScaleOps extends OpModule {
         .orderBy(col("k"))
     }),
 
+    // The in-memory columnar cache surface (CACHE TABLE → InMemoryRelation):
+    // a filtered fact slice cached ONCE and served to two independent
+    // aggregations — the interactive/dashboard reuse shape where the same
+    // working set answers many queries (vs localCheckpoint, which is
+    // per-lineage). Eager cache, uncached in finally so no memory leaks
+    // into sibling queries; ScaleOpsSpec asserts the InMemoryRelation serves
+    // both branches. At 100 TB the cached slice is the curated working set
+    // (storage level MEMORY_AND_DISK spills per executor), never the raw
+    // corpus.
+    "q_cache_reuse" -> ((s, d) => {
+      val v = s"li_cache_${java.lang.Integer.toHexString(d.hashCode)}"
+      Tables.lineitem(s, d).where(col("l_quantity") > 25)
+        .createOrReplaceTempView(v)
+      s.sql(s"CACHE TABLE $v")
+      try {
+        val byFlag = s.table(v).groupBy(col("l_returnflag").as("k"))
+          .agg(count(lit(1)).as("n"), Det.moneySum(col("l_extendedprice")).as("cents"))
+          .select(lit("flag").as("dim"), col("k"), col("n"), col("cents"))
+        val byStatus = s.table(v).groupBy(col("l_linestatus").as("k"))
+          .agg(count(lit(1)).as("n"), Det.moneySum(col("l_extendedprice")).as("cents"))
+          .select(lit("status").as("dim"), col("k"), col("n"), col("cents"))
+        val res = byFlag.unionAll(byStatus).orderBy(col("dim"), col("k"))
+        // materialize before UNCACHE: the driver's action runs later
+        s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+      } finally s.sql(s"UNCACHE TABLE IF EXISTS $v")
+    }),
+
     // Misra–Gries heavy hitters over the document token stream via the
     // graft_freq_items TypedImperativeAggregate (functions/FreqItems.scala):
     // O(k) state per group through partial aggregation — heavy-hitter
@@ -227,6 +254,18 @@ object ScaleOps extends OpModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // the cache is a perf surface, never semantics
+    "q_cache_reuse" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_quantity > 25),
+        |f AS (SELECT 'flag' AS dim, l_returnflag AS k, COUNT(*) AS n,
+        |        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM li GROUP BY l_returnflag),
+        |s AS (SELECT 'status' AS dim, l_linestatus AS k, COUNT(*) AS n,
+        |        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM li GROUP BY l_linestatus)
+        |SELECT * FROM f UNION ALL SELECT * FROM s
+        |ORDER BY dim, k""".stripMargin,
 
     // the Misra–Gries guarantees are theorems — the oracle computes the
     // exact heavy-hitter set and pins the contract flags TRUE

@@ -32,6 +32,24 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_cache_reuse: aggregations are served from the in-memory relation") {
+    val v = "li_cache_spec"
+    Tables.lineitem(spark, sf).where(col("l_quantity") > 25)
+      .createOrReplaceTempView(v)
+    spark.sql(s"CACHE TABLE $v")
+    try {
+      val agg = spark.table(v).groupBy(col("l_returnflag")).count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryRelation"),
+        s"cached view not served from the columnar cache:\n$plan")
+      // and the cache is semantics-neutral
+      val direct = Tables.lineitem(spark, sf).where(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet == direct)
+    } finally spark.sql(s"UNCACHE TABLE IF EXISTS $v")
+  }
+
   test("q_agg_countmin: exact counts correct and CMS contract flags hold") {
     val rows = ScaleOps.queries("q_agg_countmin")(spark, sf).collect()
     assert(rows.length == 10)
