@@ -254,6 +254,25 @@ object StreamOps extends OpModule {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Stream–stream LEFT SEMI join: purchases preceded by a same-user click
+    * within 10 minutes — existence, not enrichment: each purchase emits AT
+    * MOST ONCE regardless of how many clicks matched (the dedup the inner
+    * join's match product doesn't give), and the click side's state is
+    * probe-only (no click columns ever ship). State eviction follows the
+    * same per-side watermark rules as the inner join. */
+  def semiJoinTransform(ds: Dataset[Ev]): DataFrame = {
+    val p = ds.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("ts_p"), col("event_id").as("id_p"))
+      .withWatermark("ts_p", "10 minutes")
+    val c = ds.where(col("event_type") === "click")
+      .select(col("user_id").as("uid_c"), col("ts").as("ts_c"))
+      .withWatermark("ts_c", "10 minutes")
+    p.join(c, col("user_id") === col("uid_c") &&
+              col("ts_p") > col("ts_c") &&
+              col("ts_p") <= col("ts_c") + expr("INTERVAL 10 MINUTES"), "left_semi")
+      .select(col("id_p"), col("user_id"))
+  }
+
   /** Stream–stream LEFT OUTER join: each purchase picks up clicks by the
     * same user in the preceding 10 minutes; purchases with NO such click
     * must still emit — but only once the watermark proves no matching click
@@ -572,6 +591,49 @@ object StreamOps extends OpModule {
     // is EXACTLY s_tumble_wm's, which is the oracle: any drift between
     // continuous and available-now execution of the same transform breaks
     // the hash.
+    // Semi-join emission is match-driven (single-batch feed ⇒ output = the
+    // batch EXISTS set), ordered by the purchase id.
+    "s_join_semi" -> ((s, d) =>
+      runStreamFile(s, d, OutputMode.Append())(semiJoinTransform)
+        .orderBy(col("id_p"))),
+
+    // Windowed-AGGREGATION state across a RESTART: run 1 drains the
+    // pre-boundary half of the feed through the checkpoint (watermark holds
+    // the boundary-spanning hour window as PARTIAL state), new files land,
+    // run 2 recovers the same checkpoint and completes it — the final file
+    // sink must equal continuous execution (s_tumble_wm's oracle verbatim).
+    // The boundary is deliberately NOT hour-aligned (00:30), so one
+    // window's count can only be right if run 2 merged into run 1's
+    // recovered partial — the agg-state sibling of s_incr_dedup's
+    // dedup-state recovery and s_incr_ingest's source-log recovery.
+    "s_agg_restart" -> ((s, d) => {
+      import s.implicits._
+      val id = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"target/tmp/aggrst_$id"
+      val feed = s"$base/feed"; val out = s"$base/out"; val chk = s"$base/chk"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables.events(s, d)
+      val mid = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-16T00:30:00Z"))
+      def land(cond: org.apache.spark.sql.Column): Unit =
+        ev.where(cond).write.mode("append").parquet(feed)
+      def runOnce(): Unit = withStreamParallelism(s) {
+        val schema = s.read.parquet(feed).schema
+        val src = s.readStream.schema(schema).parquet(feed)
+        val q = tumbleTransform(normTs(src).as[Ev])
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      land(col("ts") < lit(mid)); runOnce()
+      land(col("ts") >= lit(mid)); runOnce()
+      s.read.parquet(out).orderBy(col("hstart"), col("event_type"))
+    }),
+
     "s_trigger_avail" -> ((s, d) => {
       import s.implicits._
       val (dir, glob) =
@@ -989,6 +1051,28 @@ object StreamOps extends OpModule {
     // Append-mode emission = hourly windows whose END has been passed by the
     // final watermark (max(ts) − 10 min).
     "s_tumble_wm" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events)
+        |SELECT DATE_TRUNC('hour', ts) AS hstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM events, mx
+        |GROUP BY DATE_TRUNC('hour', ts), event_type, mx.mt
+        |HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= mx.mt - INTERVAL 10 MINUTE
+        |ORDER BY hstart, event_type""".stripMargin,
+
+    // match-driven semi emission = the batch EXISTS set
+    "s_join_semi" ->
+      """SELECT e.event_id AS id_p, e.user_id
+        |FROM events e
+        |WHERE e.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |    AND EPOCH_US(e.ts) > EPOCH_US(c.ts)
+        |    AND EPOCH_US(e.ts) <= EPOCH_US(c.ts) + 600000000)
+        |ORDER BY id_p""".stripMargin,
+
+    // restart recovery must reproduce continuous execution bit for bit
+    "s_agg_restart" ->
       """WITH mx AS (SELECT MAX(ts) AS mt FROM events)
         |SELECT DATE_TRUNC('hour', ts) AS hstart, event_type,
         |  COUNT(*) AS n,
