@@ -2,10 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Custom catalog plugin (`TableCatalog`) — the tenth custom-Catalyst kind:
@@ -32,7 +34,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - `bucket_fact` — BucketTable(40000, 8)   (reports grp partitioning)
   *   - `bucket_dim`  — BucketTable(8, 8)       (reports grp partitioning)
   */
-class GraftCatalog extends CatalogPlugin with TableCatalog {
+class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
 
@@ -66,6 +68,29 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
     inDefaultNs(ident) &&
       tables.contains(ident.name().toLowerCase(java.util.Locale.ROOT))
 
+  // ------------------------------------------------- FunctionCatalog (V2)
+  // Catalog FUNCTIONS beside catalog tables: `graft.amt(id)` resolves
+  // through the same namespace, so a SQL author gets the store's canonical
+  // derivations (here the closed-form amount) without any session-level
+  // UDF registration. The ScalarFunction exposes the static MAGIC METHOD
+  // `invoke(long)`, which Spark's V2 function resolution calls through
+  // codegen (no row boxing); `produceResult` is the interpreted fallback
+  // the contract requires.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array.empty, "amt"))
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (inDefaultNs(ident) &&
+        ident.name().toLowerCase(java.util.Locale.ROOT) == "amt") AmtFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    inDefaultNs(ident) &&
+      ident.name().toLowerCase(java.util.Locale.ROOT) == "amt"
+
   // Read-only catalog: DDL is declined loudly, never silently ignored.
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
@@ -79,4 +104,34 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+/** `graft.amt(id BIGINT) → BIGINT` — the store's canonical amount
+  * derivation (BucketSource's closed form), bound as a V2 ScalarFunction. */
+private object AmtFunction extends UnboundFunction {
+  override def name(): String = "amt"
+  override def description(): String =
+    "amt(id): deterministic amount for a key (id * 13 % 1000)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+            inputType.fields(0).dataType == LongType,
+      s"graft.amt takes one BIGINT argument, got ${inputType.simpleString}")
+    AmtBound
+  }
+}
+
+private object AmtBound extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "amt"
+  override def canonicalName(): String = "graft.amt"
+  override def isResultNullable: Boolean = false
+
+  /** Magic method — resolved statically and invoked from generated code. */
+  def invoke(id: Long): Long = BucketSource.amtOf(id)
+
+  /** Interpreted fallback required by the ScalarFunction contract. */
+  override def produceResult(input: InternalRow): java.lang.Long =
+    BucketSource.amtOf(input.getLong(0))
 }

@@ -489,6 +489,21 @@ object Sources extends OpModule {
               |GROUP BY tag ORDER BY tag""".stripMargin)
     }),
 
+    // V2 CATALOG FUNCTION beside the catalog tables (FunctionCatalog):
+    // `graft.amt(id)` resolves through the same namespace as the tables —
+    // the warehouse's canonical derivations shipped WITH the store, no
+    // session UDF registration. The ScalarFunction's static magic method
+    // rides whole-stage codegen (GraftCatalogSpec pins resolution, arity
+    // rejection, and equality with the closed form).
+    "q_catalog_fn" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql("""SELECT tag, COUNT(*) AS n,
+              |  CAST(SUM(graft.amt(id)) AS BIGINT) AS amt_sum
+              |FROM graft.range_200k
+              |WHERE id < 50000
+              |GROUP BY tag ORDER BY tag""".stripMargin)
+    }),
+
     // STORAGE-PARTITIONED JOIN through the connector's reported layout
     // (sources/BucketSource.scala — SupportsReportPartitioning +
     // HasPartitionKey): both sides declare KeyGroupedPartitioning on grp,
@@ -582,6 +597,14 @@ object Sources extends OpModule {
       """SELECT o_orderstatus AS grp, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // the function's closed form inlined
+    "q_catalog_fn" ->
+      """WITH r AS (SELECT UNNEST(GENERATE_SERIES(0, 49999)) AS id)
+        |SELECT SUBSTR('abcd', CAST(id % 4 AS INTEGER) + 1, 1) AS tag,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(id * 13 % 1000) AS BIGINT) AS amt_sum
+        |FROM r GROUP BY 1 ORDER BY tag""".stripMargin,
 
     // same closed forms as the connector oracles, through the catalog name
     "src_catalog" ->

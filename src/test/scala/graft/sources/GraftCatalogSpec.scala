@@ -47,6 +47,22 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("catalog function graft.amt resolves, computes, and rejects bad arity") {
+    withCatalog {
+      val rows = spark.sql(
+        "SELECT id, graft.amt(id) AS a FROM graft.range_200k WHERE id < 100")
+        .collect()
+      assert(rows.length == 100)
+      rows.foreach(r => assert(r.getLong(1) == BucketSource.amtOf(r.getLong(0))))
+      intercept[Exception] {
+        spark.sql("SELECT graft.amt(1L, 2L)").collect()
+      }
+      intercept[Exception] {
+        spark.sql("SELECT graft.nope(1L)").collect()
+      }
+    }
+  }
+
   test("listTables, existence, and read-only DDL refusal") {
     withCatalog {
       val cat = spark.sessionState.catalogManager.catalog("graft")
