@@ -75,6 +75,29 @@ object TimeSeries extends OpModule {
     // gaps-and-islands twin above is the hand-rolled formulation; this is
     // the built-in.) Session interval is [start, last+gap): a row at
     // exactly last+30min starts a new session.
+    // Spark 4 DYNAMIC-GAP session windows: session_window with a PER-EVENT
+    // gap expression (purchases hold a session open 60 min, everything else
+    // 30) — the data-dependent sessionization fixed-gap windows can't
+    // express. Each event claims [ts, ts+gap); claims merge while they
+    // overlap (half-open: an event AT the running max end starts a new
+    // session), so the oracle is the q_interval_merge running-max-end rule
+    // with a variable interval length, and the reported session end is the
+    // merged max(ts+gap) — both pinned in exact epoch-µs.
+    "q_session_dynamic" -> ((s, d) => {
+      // NB string durations, not INTERVAL literals: the dynamic-gap API
+      // requires CalendarIntervalType and ANSI INTERVAL yields DayTime
+      val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+        .otherwise(lit("30 minutes"))
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                col("w.start").cast("timestamp_ntz").as("sess_start"),
+                col("w.end").cast("timestamp_ntz").as("sess_end"),
+                col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
     "q_session_native" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -1512,6 +1535,33 @@ object TimeSeries extends OpModule {
         |SELECT p.pid AS p_id, r.cid AS nearest_click, r.dist_us, r.side
         |FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON p.pid = r.pid
         |ORDER BY p_id""".stripMargin,
+
+    // variable-length interval merge: running max end, half-open break
+    "q_session_dynamic" ->
+      """WITH e AS (
+        |  SELECT user_id, EPOCH_US(ts) AS s,
+        |    EPOCH_US(ts) + CASE WHEN event_type = 'purchase'
+        |                        THEN 3600000000 ELSE 1800000000 END AS en
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, en,
+        |    MAX(en) OVER (PARTITION BY user_id ORDER BY s, en
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, s, en,
+        |    CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |isl AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, en
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g)
+        |SELECT user_id,
+        |  MAKE_TIMESTAMP(MIN(s)) AS sess_start,
+        |  MAKE_TIMESTAMP(MAX(en)) AS sess_end,
+        |  COUNT(*) AS n_events
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, sess_start""".stripMargin,
 
     // identical lifetimes, censoring cutoff, risk sets, and 1e-8 log terms
     "q_survival_km" ->
