@@ -154,7 +154,10 @@ object ScaleOps extends OpModule {
         val res = byFlag.unionAll(byStatus).orderBy(col("dim"), col("k"))
         // materialize before UNCACHE: the driver's action runs later
         s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
-      } finally s.sql(s"UNCACHE TABLE IF EXISTS $v")
+      } finally {
+        s.sql(s"UNCACHE TABLE IF EXISTS $v")
+        s.catalog.dropTempView(v) // don't leak the view into the shared session
+      }
     }),
 
     // Misra–Gries heavy hitters over the document token stream via the

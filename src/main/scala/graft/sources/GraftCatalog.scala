@@ -34,6 +34,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - `bucket_fact` — BucketTable(40000, 8)   (reports grp partitioning)
   *   - `bucket_dim`  — BucketTable(8, 8)       (reports grp partitioning)
   */
+object GraftCatalog {
+  /** Session conf holding the directory `graft.store` resolves to. */
+  val StorePathKey = "spark.sql.graft.store.path"
+}
+
 class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
@@ -46,7 +51,20 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog 
   private def tables: Map[String, () => Table] = Map(
     "range_200k" -> (() => new RangeTable(0L, 200000L)),
     "bucket_fact" -> (() => new BucketTable(40000L, 8)),
-    "bucket_dim" -> (() => new BucketTable(8L, 8)))
+    "bucket_dim" -> (() => new BucketTable(8L, 8)),
+    // The keyed store, addressable for row-level SQL (DELETE FROM
+    // graft.store ...). The path binds at RESOLUTION time from the session
+    // conf — loadTable runs per analysis, so a query sequence can point
+    // `graft.store` at its own store root without re-registering the
+    // catalog (a metastore-backed deployment would resolve the location
+    // from its manifest store the same way).
+    "store" -> (() => {
+      val p = org.apache.spark.sql.SparkSession.active.conf
+        .getOption(GraftCatalog.StorePathKey)
+        .getOrElse(throw new NoSuchTableException(
+          Identifier.of(Array.empty, "store")))
+      new StoreTable(p)
+    }))
 
   private def inDefaultNs(ident: Identifier): Boolean =
     ident.namespace().isEmpty

@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -15,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Custom DataSourceV2 connector — the seventh custom-Catalyst kind: the
   * CONNECTOR API an ETL engine lives on. A deterministic keyed generator
   * (`id` in [start, end); `val`/`tag` closed-form functions of id, so DuckDB
-  * re-derives every row) that implements the two contracts that matter at
+  * re-derives every row) that implements the contracts that matter at
   * 100 TB:
   *
   *  - `SupportsPushDownFilters`: >=/>/<=/<(=) predicates on `id` TIGHTEN THE
@@ -26,6 +27,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `SupportsPushDownRequiredColumns`: the reader materializes only the
   *    pruned schema — a projection that drops `tag` never builds its
   *    UTF8String.
+  *  - `SupportsPushDownLimit` / `SupportsPushDownTopN`: LIMIT (and
+  *    ORDER BY id ... LIMIT) shrink the PLANNED range — rows are generated
+  *    in id order, so the first-n / last-n rows live in a closed-form
+  *    sub-range and the other slices are never planned. TopN is declared
+  *    partially pushed (Spark re-sorts the bounded remainder) — the
+  *    correct conservative contract when partitions are read unordered.
+  *  - `SupportsReportStatistics`: the scan reports POST-PUSHDOWN row count
+  *    and byte size, so CBO/broadcast decisions over this source are
+  *    stats-driven (a filtered slice under the broadcast threshold plans a
+  *    BroadcastHashJoin instead of shuffling both sides — RangeSourceSpec
+  *    pins the flip).
+  *  - `MicroBatchStream` (MICRO_BATCH_READ): the same table as an offset-
+  *    tracked incremental feed — rows "arrive" in chunks revealed by
+  *    `latestOffset`, each micro-batch plans exactly the [start, end)
+  *    offset sub-range, and a restarted query resumes from the committed
+  *    offset in the checkpoint (never re-reads, never skips). The arrival
+  *    state lives OUTSIDE the stream instance (keyed by `feedId`), modeling
+  *    the external log a real connector tails.
   *
   * The scan splits the residual range into fixed-width slices (one input
   * partition each), so parallelism scales with the data actually read, not
@@ -55,30 +74,66 @@ object RangeSource {
   /** Rows per input partition slice. */
   val SliceRows = 25000L
 
+  /** Estimated on-wire row width for [[RangeScan.estimateStatistics]]:
+    * id 8 B + val 8 B + tag (single ASCII char as UTF8String) ~8 B. */
+  val RowBytes = 24L
+
   /** Test observability (single-JVM): the last runtime-filter narrowing as
     * (slices planned without the filter, slices surviving it). Written by
     * [[RangeScan.planInputPartitions]] only when a runtime filter arrived. */
   @volatile private[sources] var lastRuntimePrune: Option[(Int, Int)] = None
+
+  // ------------------------------------------------------ streaming arrival
+  /** External arrival state per feedId: how many rows (as an absolute id
+    * high-water mark) have "arrived" — the stand-in for the upstream log a
+    * real feed connector tails. Persists across stream instances (runs) in
+    * this JVM, so a restarted query observes the same external world. */
+  private val feedArrived = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[sources] def arrivedUpTo(feedId: String, start: Long): Long = {
+    val v = feedArrived.get(feedId)
+    if (v == null) start else math.max(v, start)
+  }
+
+  private[sources] def reveal(feedId: String, start: Long, end: Long,
+                              chunk: Long): Long = {
+    val next = math.min(end, arrivedUpTo(feedId, start) + chunk)
+    feedArrived.put(feedId, next)
+    next
+  }
+
+  /** Reset a feed's arrival state so a fresh query streams the chunked
+    * arrival trajectory deterministically from the beginning. */
+  def resetFeed(feedId: String): Unit = feedArrived.remove(feedId)
+
+  /** Test observability: the start offset of the first batch each stream
+    * RUN plans — pins that a restarted run resumes from the committed
+    * offset, not from initialOffset. */
+  @volatile private[sources] var lastRunFirstPlannedStart: Option[Long] = None
 }
 
 private class RangeTable(start: Long, end: Long) extends Table with SupportsRead {
   override def name(): String = s"graft_range($start,$end)"
   override def schema(): StructType = RangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(start, end)
+    new RangeScanBuilder(start, end, options)
 }
 
-private class RangeScanBuilder(start: Long, end: Long)
+private class RangeScanBuilder(start: Long, end: Long,
+                               options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = start
   private var hi = end
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.schema
   private var aggFuncs: Seq[String] = Nil // count | min | max, in push order
+  private var pushedLimit: Option[Int] = None
+  private var topNDesc = false
 
   // SQL integer literals arrive as Int, long ones as Long — accept both
   private object L {
@@ -108,6 +163,34 @@ private class RangeScanBuilder(start: Long, end: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** LIMIT pushdown: rows generate in id order, so the first n rows of the
+    * residual range are exactly [lo, lo+n) — the scan plans only that
+    * sub-range (Spark only pushes a limit when every intervening filter was
+    * itself pushed, so the cap is sound). isPartiallyPushed stays at its
+    * default (true): Spark keeps its own limit on top, which costs nothing
+    * on an already-bounded scan. */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+
+  /** ORDER BY id [ASC|DESC] LIMIT n: the top-n rows live in a closed-form
+    * prefix/suffix of the residual range — plan only that sub-range and let
+    * Spark re-sort the ≤ n survivors (partial push: input partitions are
+    * read unordered, so claiming a full push would be wrong the moment the
+    * bound spans two slices). Any other sort key declines. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (orders.length != 1) return false
+    val o = orders(0)
+    val onId = o.expression().toString.replace("`", "") == "id"
+    if (!onId) return false
+    pushedLimit = Some(limit)
+    topNDesc = o.direction() == SortDirection.DESCENDING
+    true
+  }
+
+  override def isPartiallyPushed: Boolean = true
+
   /** Aggregate pushdown (PARTIAL contract — supportCompletePushDown stays
     * false): COUNT(*)/MIN(id)/MAX(id) with no GROUP BY compute CLOSED-FORM
     * per partition slice (count = hi−lo, min = lo, max = hi−1), so the
@@ -131,7 +214,15 @@ private class RangeScanBuilder(start: Long, end: Long)
 
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new RangeAggScan(lo, hi, aggFuncs)
-    else new RangeScan(lo, hi, required)
+    else {
+      // apply the pushed limit/top-n bound to the planned range
+      val (blo, bhi) = pushedLimit match {
+        case Some(n) if topNDesc => (math.max(lo, hi - n), hi)
+        case Some(n)             => (lo, math.min(hi, lo + n))
+        case None                => (lo, hi)
+      }
+      new RangeScan(blo, bhi, required, pushedLimit, topNDesc, options)
+    }
 }
 
 /** Pre-aggregated scan: one row per slice carrying the pushed aggregates. */
@@ -186,8 +277,11 @@ private case class RangeAggReaderFactory(funcs: Seq[String])
   * this is the difference between scanning the fact table's declared extent
   * and scanning only the slices the dim actually references — without the
   * query author writing any bound. */
-private class RangeScan(lo: Long, hi: Long, required: StructType)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+private class RangeScan(lo: Long, hi: Long, required: StructType,
+                        limit: Option[Int], topNDesc: Boolean,
+                        options: CaseInsensitiveStringMap)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   /** Slice indices (relative to lo) referenced by a runtime In-filter;
     * None until/unless a runtime filter arrives. */
@@ -209,8 +303,20 @@ private class RangeScan(lo: Long, hi: Long, required: StructType)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"GraftRangeScan[$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+  override def description(): String = {
+    val lim = limit.map(n => s" limit=$n${if (topNDesc) " desc" else ""}").getOrElse("")
+    s"GraftRangeScan[$lo, $hi)$lim cols=${required.fieldNames.mkString(",")}"
+  }
+
+  /** Post-pushdown stats: rows = the residual (and limit-bounded) range, so
+    * the planner's broadcast arithmetic sees what the scan will actually
+    * produce, not the declared extent. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(rows * RangeSource.RowBytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (hi <= lo) return Array.empty
@@ -228,6 +334,75 @@ private class RangeScan(lo: Long, hi: Long, required: StructType)
         kept.toArray
       case None => all.toArray
     }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(required)
+
+  /** DSv2 streaming read (MICRO_BATCH_READ): the pruned schema and pushed
+    * bounds carry into the stream — each micro-batch reads the offset
+    * sub-range through the same reader factory as the batch path. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val feedId = Option(options.get("feedId")).getOrElse(s"range-$lo-$hi")
+    val chunk = Option(options.get("chunkRows")).map(_.toLong)
+      .getOrElse(RangeSource.SliceRows)
+    val reveals = Option(options.get("revealsPerRun")).map(_.toInt)
+      .getOrElse(Int.MaxValue)
+    new RangeMicroBatchStream(lo, hi, required, feedId, chunk, reveals)
+  }
+}
+
+/** Monotone row-count offset (absolute id high-water mark). */
+private case class RangeStreamOffset(pos: Long) extends StreamOffset {
+  override def json(): String = pos.toString
+}
+
+/** Offset-tracked incremental read over the range "log". `latestOffset`
+  * reveals up to `chunk` more rows per call (capped at `revealsPerRun`
+  * calls per stream instance — the external world only produces so much
+  * during one run; the rest arrives "between" runs), so one query executes
+  * as ceil(range/chunk) micro-batches. Restart: Spark restores the last
+  * committed offset from the checkpoint and plans [committed, available) —
+  * [[RangeSource.lastRunFirstPlannedStart]] lets the spec pin that no row
+  * is re-read or skipped across the restart. */
+private class RangeMicroBatchStream(lo: Long, hi: Long, required: StructType,
+                                    feedId: String, chunk: Long, revealsPerRun: Int)
+    extends MicroBatchStream {
+
+  private var reveals = 0
+  private var firstPlanOfRun = true
+
+  override def initialOffset(): StreamOffset = RangeStreamOffset(lo)
+
+  override def latestOffset(): StreamOffset = {
+    val avail =
+      if (reveals < revealsPerRun) {
+        reveals += 1
+        RangeSource.reveal(feedId, lo, hi, chunk)
+      } else RangeSource.arrivedUpTo(feedId, lo)
+    RangeStreamOffset(avail)
+  }
+
+  override def deserializeOffset(json: String): StreamOffset =
+    RangeStreamOffset(json.trim.toLong)
+
+  override def commit(end: StreamOffset): Unit = () // external log retains all
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RangeStreamOffset].pos
+    val e = end.asInstanceOf[RangeStreamOffset].pos
+    if (firstPlanOfRun) {
+      RangeSource.lastRunFirstPlannedStart = Some(s)
+      firstPlanOfRun = false
+    }
+    if (e <= s) return Array.empty
+    val n = ((e - s + RangeSource.SliceRows - 1) / RangeSource.SliceRows).toInt
+    (0 until n).map { i =>
+      val a = s + i * RangeSource.SliceRows
+      RangePartition(a, math.min(a + RangeSource.SliceRows, e)): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -29,6 +29,21 @@ object Sources extends OpModule {
   private[graft] def tmp(d: String, name: String) =
     s"target/tmp/src_${name}_${java.lang.Integer.toHexString(d.hashCode)}"
 
+  /** Register the graft catalog for `body`, restoring the conf after (the
+    * conf-scoped-query rule). Safe to restore eagerly: CatalogManager caches
+    * the plugin instance under its name at first resolution, so the already-
+    * analyzed plan (and any later `graft.*` query) keeps resolving while the
+    * session conf stays clean for sibling queries. */
+  private[graft] def withGraftCatalog[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.catalog.graft"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "graft.sources.GraftCatalog")
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** The storage-partitioned join (fact 40k rows ⋈ one-row-per-group dim,
     * both KeyGroupedPartitioning(grp, 8)); private[graft] so
     * BucketSourceSpec can audit the plan under the same confs. */
@@ -480,8 +495,7 @@ object Sources extends OpModule {
     // along: GraftCatalogSpec asserts the filter still narrows the scan
     // bounds and the storage-partitioned join still plans exchange-free
     // THROUGH the SQL/catalog path. Oracle re-derives from the closed forms.
-    "src_catalog" -> ((s, d) => {
-      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    "src_catalog" -> ((s, d) => withGraftCatalog(s) {
       s.sql("""SELECT tag, COUNT(*) AS n,
               |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents
               |FROM graft.range_200k
@@ -495,8 +509,7 @@ object Sources extends OpModule {
     // session UDF registration. The ScalarFunction's static magic method
     // rides whole-stage codegen (GraftCatalogSpec pins resolution, arity
     // rejection, and equality with the closed form).
-    "q_catalog_fn" -> ((s, d) => {
-      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    "q_catalog_fn" -> ((s, d) => withGraftCatalog(s) {
       s.sql("""SELECT tag, COUNT(*) AS n,
               |  CAST(SUM(graft.amt(id)) AS BIGINT) AS amt_sum
               |FROM graft.range_200k
@@ -566,6 +579,138 @@ object Sources extends OpModule {
         .orderBy(col("grp"))
     }),
 
+    // LIMIT pushdown through the connector (SupportsPushDownLimit): rows
+    // generate in id order, so the first-7 of the filtered range live in
+    // [50000, 50007) and the scan plans ONE slice of 7 rows — the planned
+    // range shrinks from 150k rows to 7 (RangeSourceSpec pins the plan).
+    // At 100 TB this is the `SELECT ... LIMIT n` preview every analyst
+    // runs, costing n rows instead of a full scan.
+    "src_dsv2_limit" -> ((s, d) => {
+      s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "200000").load()
+        .where(col("id") >= 50000)
+        .limit(7)
+        .select(col("id"), col("tag"), graft.ops.Det.cents(col("val")).as("val_cents"))
+        .orderBy(col("id"))
+    }),
+
+    // TopN pushdown (SupportsPushDownTopN, partial contract): ORDER BY id
+    // DESC LIMIT 5 narrows the planned range to the closed-form SUFFIX
+    // [149995, 150000); Spark re-sorts the 5 survivors (partitions read
+    // unordered — claiming a full push would be wrong across slices).
+    "src_dsv2_topn" -> ((s, d) => {
+      s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "200000").load()
+        .where(col("id") < 150000)
+        .orderBy(col("id").desc)
+        .limit(5)
+        .select(col("id"), col("tag"), graft.ops.Det.cents(col("val")).as("val_cents"))
+    }),
+
+    // Stats-driven broadcast over the connector (SupportsReportStatistics):
+    // the scan reports POST-PUSHDOWN rows/bytes (2 000 × 24 B ≈ 48 KB ≪ the
+    // 10 MB threshold), so the planner broadcasts the filtered range side
+    // of this join with NO broadcast() hint — the CBO contract a catalog
+    // table needs. The declared extent is 2M rows (~48 MB): without
+    // pushdown-aware stats the same join would shuffle both sides.
+    // RangeSourceSpec pins the BroadcastHashJoin and its flip at a smaller
+    // threshold.
+    "q_dsv2_stats_join" -> ((s, d) => {
+      val r = s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "2000000").load()
+        .where(col("id") < 2000)
+      Tables.lineitem(s, d)
+        .join(r, col("l_orderkey") === col("id"))
+        .agg(count(lit(1)).as("n"),
+             graft.ops.Det.moneySum(col("l_extendedprice")).as("price_cents"),
+             graft.ops.Det.moneySum(col("val")).as("val_cents"))
+    }),
+
+    // ROW-LEVEL DELETE through the connector (SupportsDelete, resolved by
+    // name through the catalog): the store seeds from orders, `DELETE FROM
+    // graft.store WHERE grp = 'F' OR k < 1000` rewrites only the files
+    // containing matches (copy-on-write at file granularity) and swaps the
+    // manifest; the read-back aggregate must equal the source minus exactly
+    // the deleted predicate — the GDPR/retention delete every keyed store
+    // needs. StoreSinkSpec pins abort-atomicity and the untouched-file
+    // carry-over the happy path can't show.
+    "q_store_delete" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storedel")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      val key = GraftCatalog.StorePathKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, path)
+      try {
+        s.sql("DELETE FROM graft.store WHERE grp = 'F' OR k < 1000")
+        val res = s.read.format("graft.sources.StoreSink").option("path", path).load()
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .orderBy(col("grp"))
+        // materialize inside the conf scope (the conf-scoped-query rule)
+        s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
+    // MERGE through the connector: CDC upsert+delete executed as the
+    // copy-on-write pair every row-level store runs — DELETE the touched
+    // keys (updates ∪ hard deletes, an In-filter the connector evaluates),
+    // then APPEND the new row versions and inserts through the same
+    // staging/manifest commit. The final state must equal the
+    // source-with-CDC-applied, which the oracle recomputes from orders —
+    // q_cdc_merge proves MERGE semantics in DataFrame space; THIS op proves
+    // the connector can execute them. The touched-key list is the CDC
+    // batch (bounded, ~2% of keys) — collecting it is the driver-side
+    // scalar-election pattern, never data-sized.
+    "q_store_merge" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storemerge")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      base.write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      val maxK = base.agg(max(col("k"))).collect()(0).getLong(0)
+      // CDC batch: hard deletes (k%89=0), updates (k%97=0, amt+100),
+      // inserts (new keys maxK+k for k%101=0, grp 'NEW')
+      val dels = base.where(pmod(col("k"), lit(89)) === 0).select(col("k"))
+      val upds = base.where(pmod(col("k"), lit(97)) === 0 &&
+                            pmod(col("k"), lit(89)) =!= 0)
+        .select(col("k"), col("grp"), (col("amt_cents") + 100).as("amt_cents"))
+      val ins = base.where(pmod(col("k"), lit(101)) === 0)
+        .select((col("k") + maxK).as("k"), lit("NEW").as("grp"),
+                (col("k") * 10).as("amt_cents"))
+      val touched = dels.select(col("k"))
+        .unionAll(upds.select(col("k")))
+        .collect().map(_.getLong(0))
+      val key = GraftCatalog.StorePathKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, path)
+      try {
+        s.sql(s"DELETE FROM graft.store WHERE k IN (${touched.mkString(",")})")
+        upds.unionByName(ins)
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save()
+        val res = s.read.format("graft.sources.StoreSink").option("path", path).load()
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .orderBy(col("grp"))
+        s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     "sink_retention" -> ((s, d) => {
       val base = tmp(d, "retention")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -592,6 +737,54 @@ object Sources extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // first 7 rows of the filtered range, closed forms
+    "src_dsv2_limit" ->
+      """SELECT r.range AS id,
+        |  SUBSTR('abcd', CAST(r.range % 4 AS INT) + 1, 1) AS tag,
+        |  CAST(r.range * 7919 % 100000 AS BIGINT) AS val_cents
+        |FROM RANGE(50000, 50007) r ORDER BY id""".stripMargin,
+
+    // top-5 by id desc of the bounded range
+    "src_dsv2_topn" ->
+      """SELECT r.range AS id,
+        |  SUBSTR('abcd', CAST(r.range % 4 AS INT) + 1, 1) AS tag,
+        |  CAST(r.range * 7919 % 100000 AS BIGINT) AS val_cents
+        |FROM RANGE(149995, 150000) r ORDER BY id DESC""".stripMargin,
+
+    // stats change the PLAN, never the result: plain filtered join
+    "q_dsv2_stats_join" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(SUM(l_orderkey * 7919 % 100000) AS BIGINT) AS val_cents
+        |FROM lineitem WHERE l_orderkey < 2000""".stripMargin,
+
+    // the delete predicate, inverted
+    "q_store_delete" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' OR o_orderkey < 1000)
+        |GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // CDC applied relationally: survivors + updated versions + inserts
+    "q_store_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents
+        |  FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |merged AS (
+        |  SELECT k, grp, amt_cents FROM base
+        |  WHERE k % 89 <> 0 AND k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k, grp, amt_cents + 100 FROM base
+        |  WHERE k % 97 = 0 AND k % 89 <> 0
+        |  UNION ALL
+        |  SELECT k + mx.maxk, 'NEW', k * 10 FROM base, mx
+        |  WHERE k % 101 = 0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt_cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY grp ORDER BY grp""".stripMargin,
+
     // the store's two commits must reconstruct exactly the source table
     "sink_dsv2" ->
       """SELECT o_orderstatus AS grp, COUNT(*) AS n,

@@ -3,17 +3,16 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.util
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -35,9 +34,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    driver, and losing attempts' leftovers die with the staging dir.
   *  - the driver's [[BatchWrite]] `commit(messages)` promotes exactly the
   *    acknowledged files out of staging, then atomically swaps the
-  *    `_manifest` (write `_manifest.tmp`, rename over) listing every visible
-  *    data file. `abort()` deletes the staging dir — a failed job leaves the
-  *    previous committed state bit-for-bit intact.
+  *    `_manifest` (write `_manifest.tmp`, FileContext.rename OVERWRITE)
+  *    listing every visible data file. `abort()` deletes the staging dir —
+  *    a failed job leaves the previous committed state bit-for-bit intact.
   *  - READERS PLAN FROM THE MANIFEST, never from a directory listing: a
   *    stray/orphaned/in-flight file is invisible by construction (the
   *    Iceberg/Delta snapshot-isolation principle in miniature; the read side
@@ -49,10 +48,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * AFTER the swap (readers of the old manifest already re-planned; the
   * delete is GC, not correctness — the sink_retention posture).
   *
+  * Round-12 additions, the protocol halves a production store can't live
+  * without:
+  *
+  *  - STREAMING WRITE ([[StreamingWrite]], STREAMING_WRITE capability):
+  *    each micro-batch commits through the same staging/manifest protocol,
+  *    and the manifest additionally records every COMMITTED EPOCH as a
+  *    `#epoch=<id>` marker line. Structured Streaming's recovery contract
+  *    is that a failed run may RE-DELIVER the last epoch (same epochId,
+  *    same data); `commit(epochId, ...)` consults the ledger and SKIPS the
+  *    replayed epoch — deleting its staged files — so the sink is
+  *    exactly-once end to end (s_sink_dsv2 replays an epoch and the oracle
+  *    hash proves no double-count).
+  *  - ROW-LEVEL DELETE ([[SupportsDelete]]): `DELETE FROM graft.store
+  *    WHERE <translatable predicate>` rewrites ONLY the manifest files that
+  *    contain matching rows (copy-on-write at file granularity — untouched
+  *    files are carried over by name), then swaps the manifest; the old
+  *    generation is GC'd after the swap. With delete + append, MERGE
+  *    becomes delete-matched-then-insert THROUGH the connector
+  *    (q_store_merge). A failed rewrite aborts with the previous manifest
+  *    intact (StoreSinkSpec pins it via the fail-injection hook).
+  *
   * At 100 TB: rename-based promotion is atomic on HDFS-like filesystems;
   * an object-store deployment would swap the rename for a multipart-upload
   * completion per file — the manifest protocol above is unchanged, which is
-  * the point of routing ALL visibility through it.
+  * the point of routing ALL visibility through it. Copy-on-write delete
+  * rewrites bytes proportional to the TOUCHED files, not the table.
   */
 class StoreSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -72,6 +93,12 @@ object StoreSink {
   val Manifest = "_manifest"
   val Staging = "_staging"
   private val NullMark = "\\N"
+  private val EpochMark = "#epoch="
+
+  /** Test-only failure injection for the delete path: when set, the
+    * rewrite throws after processing one file — the spec asserts the
+    * previous manifest (and its files) survive the abort. */
+  @volatile private[sources] var failDeleteAfterOneFile = false
 
   private[sources] def fs(p: Path): FileSystem =
     p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
@@ -79,8 +106,9 @@ object StoreSink {
   private[sources] def fs(p: Path, conf: Configuration): FileSystem =
     p.getFileSystem(conf)
 
-  /** Committed file names, in manifest order; empty when uncommitted. */
-  private[sources] def readManifest(root: Path, fsys: FileSystem): Seq[String] = {
+  /** Raw manifest lines (data files + epoch markers); empty when
+    * uncommitted. */
+  private[sources] def readManifestLines(root: Path, fsys: FileSystem): Seq[String] = {
     val mf = new Path(root, Manifest)
     if (!fsys.exists(mf)) return Nil
     val in = fsys.open(mf)
@@ -91,15 +119,33 @@ object StoreSink {
     } finally in.close()
   }
 
+  /** Committed data file names, in manifest order; empty when uncommitted. */
+  private[sources] def readManifest(root: Path, fsys: FileSystem): Seq[String] =
+    readManifestLines(root, fsys).filterNot(_.startsWith("#"))
+
+  /** Epoch ids already committed by the streaming write path. */
+  private[sources] def committedEpochs(lines: Seq[String]): Set[Long] =
+    lines.collect {
+      case l if l.startsWith(EpochMark) => l.stripPrefix(EpochMark).toLong
+    }.toSet
+
+  private[sources] def epochLine(id: Long): String = s"$EpochMark$id"
+
   private[sources] def writeManifestAtomic(
-      root: Path, fsys: FileSystem, files: Seq[String]): Unit = {
+      root: Path, fsys: FileSystem, lines: Seq[String]): Unit = {
     val tmp = new Path(root, Manifest + ".tmp")
     val out = fsys.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val mf = new Path(root, Manifest)
-    if (fsys.exists(mf)) fsys.delete(mf, false)
-    require(fsys.rename(tmp, mf), s"manifest swap failed for $mf")
+    // FileContext.rename(OVERWRITE) replaces the manifest in ONE namespace
+    // op — a delete-then-rename pair would leave a window with no manifest,
+    // where a concurrent reader plans an empty table (ADVICE r6). The
+    // qualified path pins the rename to the root's filesystem.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fsys.makeQualified(root).toUri, fsys.getConf)
+    fc.rename(fsys.makeQualified(tmp), fsys.makeQualified(mf),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[sources] def encode(row: InternalRow): String = {
@@ -118,23 +164,174 @@ object StoreSink {
       else UTF8String.fromString(java.net.URLDecoder.decode(parts(1), "UTF-8")),
       if (parts(2) == NullMark) null else java.lang.Long.valueOf(parts(2).toLong))
   }
+
+  // ------------------------------------------------- delete-filter evaluator
+  /** SQL three-valued predicate over a decoded store row: rows evaluating
+    * TRUE are deleted; FALSE/UNKNOWN survive (the DELETE contract). Only
+    * filters [[canEvaluate]] accepted resolves; anything else must have
+    * been declined in canDeleteWhere. */
+  private[sources] def canEvaluate(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => colIdx(a) >= 0
+    case GreaterThan(a, _) => colIdx(a) >= 0
+    case GreaterThanOrEqual(a, _) => colIdx(a) >= 0
+    case LessThan(a, _) => colIdx(a) >= 0
+    case LessThanOrEqual(a, _) => colIdx(a) >= 0
+    case In(a, _) => colIdx(a) >= 0
+    case IsNull(a) => colIdx(a) >= 0
+    case IsNotNull(a) => colIdx(a) >= 0
+    case And(l, r) => canEvaluate(l) && canEvaluate(r)
+    case Or(l, r) => canEvaluate(l) && canEvaluate(r)
+    case Not(c) => canEvaluate(c)
+    case _: AlwaysTrue | _: AlwaysFalse => true
+    case _ => false
+  }
+
+  private def colIdx(name: String): Int = name match {
+    case "k" => 0
+    case "grp" => 1
+    case "amt_cents" => 2
+    case _ => -1
+  }
+
+  /** Row value as a comparable; None for NULL. */
+  private def valueOf(row: InternalRow, idx: Int): Option[Any] =
+    if (row.isNullAt(idx)) None
+    else Some(idx match {
+      case 1 => row.getString(1)
+      case i => row.getLong(i)
+    })
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case i: java.lang.Integer => Some(i.longValue())
+    case l: java.lang.Long => Some(l.longValue())
+    case _ => None
+  }
+
+  /** Compare a row value with a literal; None when either side is null or
+    * the literal type is foreign (UNKNOWN). */
+  private def cmp(row: InternalRow, col: Int, lit: Any): Option[Int] =
+    valueOf(row, col).flatMap { v =>
+      (v, col) match {
+        case (s: String, 1) => lit match {
+          case ls: String => Some(s.compareTo(ls))
+          case lu: UTF8String => Some(s.compareTo(lu.toString))
+          case _ => None
+        }
+        case (l: Long, _) => asLong(lit).map(ll => java.lang.Long.compare(l, ll))
+        case _ => None
+      }
+    }
+
+  /** Three-valued eval: Some(true/false) or None (UNKNOWN). */
+  private[sources] def eval(f: Filter, row: InternalRow): Option[Boolean] = f match {
+    case EqualTo(a, v) => cmp(row, colIdx(a), v).map(_ == 0)
+    case GreaterThan(a, v) => cmp(row, colIdx(a), v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(row, colIdx(a), v).map(_ >= 0)
+    case LessThan(a, v) => cmp(row, colIdx(a), v).map(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(row, colIdx(a), v).map(_ <= 0)
+    case In(a, vs) =>
+      val i = colIdx(a)
+      if (valueOf(row, i).isEmpty) None
+      else {
+        val hits = vs.map(v => cmp(row, i, v))
+        if (hits.exists(_.contains(0))) Some(true)
+        else if (hits.forall(_.isDefined)) Some(false)
+        else None // null literal in the list: x IN (..., NULL) is UNKNOWN
+      }
+    case IsNull(a) => Some(valueOf(row, colIdx(a)).isEmpty)
+    case IsNotNull(a) => Some(valueOf(row, colIdx(a)).nonEmpty)
+    case And(l, r) => (eval(l, row), eval(r, row)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, row), eval(r, row)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval(c, row).map(!_)
+    case _: AlwaysTrue => Some(true)
+    case _: AlwaysFalse => Some(false)
+    case _ => None
+  }
 }
 
 private class StoreTable(pathStr: String) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
   require(pathStr != null, "graft-store requires a path option")
 
   override def name(): String = s"graft_store($pathStr)"
   override def schema(): StructType = StoreSink.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-                    TableCapability.TRUNCATE)
+                    TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(pathStr)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new StoreWriteBuilder(pathStr, info)
+
+  // ------------------------------------------------------- row-level DELETE
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(StoreSink.canEvaluate)
+
+  /** Copy-on-write delete: scan each manifest file once; files with NO
+    * matching row carry over by NAME (zero bytes rewritten); files with
+    * matches are rewritten to a filtered `-d<n>` sibling. The manifest swap
+    * publishes the new generation atomically; the replaced files are GC'd
+    * after. Any failure before the swap leaves the previous generation
+    * bit-for-bit intact (the rewrite staged nothing into the manifest). */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(filters.forall(StoreSink.canEvaluate),
+      s"untranslatable delete predicate: ${filters.mkString(", ")}")
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    val lines = StoreSink.readManifestLines(root, fsys)
+    val files = lines.filterNot(_.startsWith("#"))
+    val markers = lines.filter(_.startsWith("#"))
+    def deletes(row: InternalRow): Boolean =
+      filters.forall(f => StoreSink.eval(f, row).contains(true))
+    var processed = 0
+    val gen = System.nanoTime().toHexString
+    val rewritten = scala.collection.mutable.ArrayBuffer[(String, String)]() // old -> new
+    val newLines = files.map { f =>
+      val p = new Path(root, f)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
+      val (kept, any) =
+        try {
+          val keep = Seq.newBuilder[String]
+          var anyMatch = false
+          var line = in.readLine()
+          while (line != null) {
+            if (deletes(StoreSink.decode(line))) anyMatch = true
+            else keep += line
+            line = in.readLine()
+          }
+          (keep.result(), anyMatch)
+        } finally in.close()
+      processed += 1
+      if (StoreSink.failDeleteAfterOneFile && processed == 1)
+        throw new RuntimeException("injected delete failure (test hook)")
+      if (!any) f // untouched file carries over by name
+      else {
+        val nf = s"$f-d$gen"
+        val out = fsys.create(new Path(root, nf), true)
+        try out.write((kept.map(_ + "\n")).mkString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        rewritten += ((f, nf))
+        nf
+      }
+    }
+    if (rewritten.nonEmpty) {
+      StoreSink.writeManifestAtomic(root, fsys, newLines ++ markers)
+      rewritten.foreach { case (old, _) => fsys.delete(new Path(root, old), false) }
+    }
+  }
 }
 
 // ---------------------------------------------------------------- write path
@@ -155,6 +352,11 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new StoreBatchWrite(pathStr, info.queryId(), doTruncate)
+    override def toStreaming: StreamingWrite = {
+      require(!doTruncate,
+        "graft-store streaming write is append-only (no Complete-mode truncate)")
+      new StoreStreamingWrite(pathStr, info.queryId())
+    }
   }
 }
 
@@ -177,9 +379,13 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
       require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
         s"failed to promote ${m.file}")
     }
-    val previous = StoreSink.readManifest(root, fsys)
-    val visible = if (truncate) committed.map(_.file)
-                  else previous ++ committed.map(_.file)
+    val prevLines = StoreSink.readManifestLines(root, fsys)
+    val previous = prevLines.filterNot(_.startsWith("#"))
+    // truncate starts a new generation (epoch ledger dies with the old one);
+    // append preserves the markers alongside the union
+    val visible =
+      if (truncate) committed.map(_.file)
+      else prevLines ++ committed.map(_.file)
     StoreSink.writeManifestAtomic(root, fsys, visible)
     if (truncate) // GC the replaced generation only AFTER the swap
       previous.filterNot(visible.contains).foreach { f =>
@@ -195,6 +401,46 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
   }
 }
 
+/** Micro-batch streaming write: same staging/manifest protocol, plus an
+  * EPOCH LEDGER in the manifest. Recovery can re-deliver a committed epoch
+  * (checkpoint wrote the offset but died before the commit log); the ledger
+  * makes the second delivery a no-op — the exactly-once half Structured
+  * Streaming delegates to the sink. */
+private class StoreStreamingWrite(pathStr: String, queryId: String)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    StoreStreamingWriterFactory(pathStr, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    val staging = new Path(root, StoreSink.Staging)
+    val committed = messages.map(_.asInstanceOf[StoreCommitMessage]).toSeq
+    val lines = StoreSink.readManifestLines(root, fsys)
+    if (StoreSink.committedEpochs(lines).contains(epochId)) {
+      // replayed epoch: drop the re-staged files, change nothing visible
+      fsys.delete(staging, true)
+      return
+    }
+    require(committed.map(_.file).distinct.size == committed.size,
+      s"duplicate commit messages: ${committed.map(_.file)}")
+    committed.foreach { m =>
+      require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
+        s"failed to promote ${m.file}")
+    }
+    StoreSink.writeManifestAtomic(root, fsys,
+      lines ++ committed.map(_.file) :+ StoreSink.epochLine(epochId))
+    fsys.delete(staging, true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    fsys.delete(new Path(root, StoreSink.Staging), true)
+  }
+}
+
 private case class StoreCommitMessage(file: String, rows: Long)
     extends WriterCommitMessage
 
@@ -204,14 +450,22 @@ private case class StoreCommitMessage(file: String, rows: Long)
 private case class StoreWriterFactory(pathStr: String, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StoreDataWriter(pathStr, queryId, partitionId, taskId)
+    new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId")
 }
 
-private class StoreDataWriter(pathStr: String, queryId: String,
-                              partitionId: Int, taskId: Long)
+/** Streaming twin: epoch identity joins the task identity in the staged
+  * file name, so two deliveries of one epoch stage DISJOINT files and the
+  * replay-skip path can discard the second cleanly. */
+private case class StoreStreamingWriterFactory(pathStr: String, queryId: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId")
+}
+
+private class StoreDataWriter(pathStr: String, fileName: String)
     extends DataWriter[InternalRow] {
 
-  private val fileName = s"part-$queryId-$partitionId-$taskId"
   private val staged =
     new Path(new Path(pathStr, StoreSink.Staging), fileName)
   // executor side: build the Hadoop conf locally (no SparkSession.active on
@@ -245,7 +499,8 @@ private class StoreScanBuilder(pathStr: String) extends ScanBuilder {
   override def build(): Scan = new StoreScan(pathStr)
 }
 
-private class StoreScan(pathStr: String) extends Scan with Batch {
+private class StoreScan(pathStr: String) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = StoreSink.schema
   override def toBatch: Batch = this
   override def description(): String = s"GraftStoreScan($pathStr)"
@@ -257,6 +512,24 @@ private class StoreScan(pathStr: String) extends Scan with Batch {
     StoreSink.readManifest(root, fsys)
       .map(f => StoreFilePartition(new Path(root, f).toString): InputPartition)
       .toArray
+  }
+
+  /** Manifest-derived size (committed bytes only): one listStatus per
+    * manifest entry at PLAN time, so broadcast decisions over the store are
+    * stats-driven. Row count is unknown (line-oriented files) — absent, per
+    * the Statistics contract. */
+  override def estimateStatistics(): Statistics = {
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    val bytes = StoreSink.readManifest(root, fsys).map { f =>
+      try fsys.getFileStatus(new Path(root, f)).getLen catch {
+        case _: java.io.FileNotFoundException => 0L
+      }
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

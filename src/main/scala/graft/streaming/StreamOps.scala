@@ -442,15 +442,25 @@ object StreamOps extends OpModule {
         col("n_events"), col("closed_by"))
   }
 
-  /** The events feed split into three micro-batches at fixed UTC instants
-    * (days 10 and 20 of the 30-day span) — every chunk's rows are ≥ 10 min
-    * past the previous chunk's max ts, so the watermark advances between
-    * batches and no row is ever late. Shared by the ops that need
-    * cross-batch state/watermark motion (s_tws_timers, s_freq_items). */
+  /** Day-truncated min event time (ms) — the anchor every chunk/restart
+    * boundary derives from, so a driver regen that shifts the corpus's time
+    * span moves the boundaries with it (ADVICE r6: hard-coded 2024-01
+    * instants would degenerate the chunking on a shifted span). Mirrored in
+    * the s_tws_timers oracle as DATE_TRUNC('day', MIN(ts)). */
+  private def minDayMs(evs: Seq[Ev]): Long =
+    evs.iterator.map(_.ts.getTime).min / 86400000L * 86400000L
+
+  /** The events feed split into three micro-batches at derived boundaries
+    * (days 10 and 20 past the day-truncated min ts — the corpus spans ~30
+    * days) — every chunk's rows are ≥ 10 min past the previous chunk's max
+    * ts, so the watermark advances between batches and no row is ever late.
+    * Shared by the ops that need cross-batch state/watermark motion
+    * (s_tws_timers, s_freq_items). */
   private def chunkEvents(s: SparkSession, d: String): Seq[Seq[Ev]] = {
     val evs = loadEvents(s, d)
-    val t1 = java.time.Instant.parse("2024-01-11T00:00:00Z").toEpochMilli
-    val t2 = java.time.Instant.parse("2024-01-21T00:00:00Z").toEpochMilli
+    val day0 = minDayMs(evs)
+    val t1 = day0 + 10L * 86400000L
+    val t2 = day0 + 20L * 86400000L
     Seq(evs.filter(_.ts.getTime < t1),
         evs.filter(e => e.ts.getTime >= t1 && e.ts.getTime < t2),
         evs.filter(_.ts.getTime >= t2))
@@ -562,8 +572,9 @@ object StreamOps extends OpModule {
     // of early-idle users fire mid-stream from handleExpiredTimer while
     // gap-closed sessions emit from handleInputRows — both paths land in
     // one output with their provenance pinned in closed_by. Chunk
-    // boundaries are fixed UTC instants ≥ 10 min past each chunk's max ts,
-    // so no feed row is ever late (the late-DROP path is s_late_drop's).
+    // boundaries derive from the corpus min ts (chunkEvents) and are ≥ 10
+    // min past each chunk's max ts, so no feed row is ever late (the
+    // late-DROP path is s_late_drop's).
     "s_tws_timers" -> ((s, d) => {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
@@ -614,8 +625,10 @@ object StreamOps extends OpModule {
       org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(base), true)
       val ev = Tables.events(s, d)
-      val mid = java.sql.Timestamp.from(
-        java.time.Instant.parse("2024-01-16T00:30:00Z"))
+      // mid-span restart boundary, derived (day 15 + 00:30 past the
+      // day-truncated min ts — off-hour by construction)
+      val mid = new java.sql.Timestamp(
+        minDayMs(loadEvents(s, d)) + 15L * 86400000L + 1800000L)
       def land(cond: org.apache.spark.sql.Column): Unit =
         ev.where(cond).write.mode("append").parquet(feed)
       def runOnce(): Unit = withStreamParallelism(s) {
@@ -991,6 +1004,79 @@ object StreamOps extends OpModule {
         .orderBy(col("dow"), col("event_type"))
     }),
 
+    // DSv2 STREAMING READ (RangeSource's MicroBatchStream half): the same
+    // connector table consumed as an offset-tracked incremental feed —
+    // rows "arrive" 50k per reveal, so the query executes as 4 micro-
+    // batches whose offset ranges tile [0, 200k) exactly once; the
+    // Complete-mode aggregate merges state across them. The oracle is the
+    // BATCH scan's closed forms over the full extent: a skipped or
+    // re-read offset range breaks the hash — the incremental-read
+    // contract, pinned end to end (RangeSourceSpec pins the committed-
+    // offset RESTART resume the single-run path can't show).
+    "s_src_dsv2" -> ((s, d) => {
+      val feedId = s"s_src_dsv2_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.sources.RangeSource.resetFeed(feedId) // deterministic arrival replay
+      val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+      withStreamParallelism(s) {
+        val q = s.readStream.format("graft.sources.RangeSource")
+          .option("start", "0").option("end", "200000")
+          .option("feedId", feedId).option("chunkRows", "50000")
+          .load()
+          .groupBy(col("tag"))
+          .agg(count(lit(1)).as("n"), graft.ops.Det.moneySum(col("val")).as("val_cents"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", s"target/tmp/chk_$name")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).orderBy(col("tag"))
+    }),
+
+    // DSv2 STREAMING WRITE (StoreSink's StreamingWrite half): the events
+    // feed lands in the keyed store through THREE epoch-keyed staging/
+    // manifest commits (maxFilesPerTrigger=1 over a 3-file feed), then the
+    // LAST EPOCH IS RE-DELIVERED — the checkpoint's commit marker for the
+    // final batch is removed, so the restarted run re-executes that epoch
+    // against the sink, which is exactly Structured Streaming's documented
+    // recovery contract ("the same epoch may be committed more than once").
+    // The manifest's epoch ledger must absorb the replay: any double-count
+    // (or lost epoch) breaks the oracle hash. This is the exactly-once
+    // sink protocol end to end, driven through a REAL failure replay.
+    "s_sink_dsv2" -> ((s, d) => {
+      val id = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"target/tmp/dsv2sink_$id"
+      val feed = s"$base/feed"; val store = s"$base/store"; val chk = s"$base/chk"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("grp"),
+                graft.ops.Det.cents(col("value")).as("amt_cents"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(feed)
+      val schema = s.read.parquet(feed).schema
+      def runOnce(): Unit = withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+          .writeStream.format("graft.sources.StoreSink")
+          .option("path", store).option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      // re-deliver the final epoch: drop its commit marker, keep offsets
+      val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$chk/commits"))
+        .map(_.getPath).filter(p => p.getName.forall(_.isDigit))
+      val last = commits.maxBy(_.getName.toLong)
+      fs.delete(last, false)
+      runOnce() // replays the epoch; the manifest ledger must dedupe it
+      s.read.format("graft.sources.StoreSink").option("path", store).load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        .orderBy(col("grp"))
+    }),
+
     "s_topk" -> ((s, d) => {
       graft.functions.TopK.register(s)
       val st = runStreamFile(s, d, OutputMode.Complete()) { ds =>
@@ -1006,6 +1092,24 @@ object StreamOps extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // incremental offset ranges must tile the extent exactly once —
+    // the batch scan's closed forms ARE the streamed total
+    "s_src_dsv2" ->
+      """WITH g AS (
+        |  SELECT r.range AS id,
+        |    (r.range * 7919 % 100000) / 100.0 AS val,
+        |    SUBSTR('abcd', CAST(r.range % 4 AS INT) + 1, 1) AS tag
+        |  FROM RANGE(0, 200000) r)
+        |SELECT tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM g GROUP BY tag ORDER BY tag""".stripMargin,
+
+    // replayed epoch absorbed: the store holds the feed exactly once
+    "s_sink_dsv2" ->
+      """SELECT event_type AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY grp""".stripMargin,
+
     // MG guarantees are theorems regardless of batch/merge order — exact
     // heavy-hitter set per day-of-week group, flags pinned TRUE
     "s_freq_items" ->
@@ -1136,11 +1240,13 @@ object StreamOps extends OpModule {
     // the final open session emits only if its timer ≤ W3.
     "s_tws_timers" ->
       """WITH e AS (SELECT user_id, DATE_TRUNC('microseconds', ts) AS ts FROM events),
+        |bnd AS (SELECT DATE_TRUNC('day', MIN(ts)) + INTERVAL 10 DAY AS t1,
+        |               DATE_TRUNC('day', MIN(ts)) + INTERVAL 20 DAY AS t2 FROM e),
         |wm AS (SELECT
-        |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN EPOCH_US(ts) END) // 1000 - 600000 AS w1,
-        |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN EPOCH_US(ts) END) // 1000 - 600000 AS w2,
+        |    MAX(CASE WHEN ts < bnd.t1 THEN EPOCH_US(ts) END) // 1000 - 600000 AS w1,
+        |    MAX(CASE WHEN ts < bnd.t2 THEN EPOCH_US(ts) END) // 1000 - 600000 AS w2,
         |    MAX(EPOCH_US(ts)) // 1000 - 600000 AS w3
-        |  FROM e),
+        |  FROM e, bnd GROUP BY bnd.t1, bnd.t2),
         |g AS (
         |  SELECT user_id, ts,
         |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
@@ -1162,12 +1268,12 @@ object StreamOps extends OpModule {
         |cl AS (
         |  SELECT user_id, sess_start, sess_end, n_events,
         |    EPOCH_US(sess_end) // 1000 + 1800000 AS timer_ms,
-        |    CASE WHEN sess_end < TIMESTAMP '2024-01-11 00:00:00' THEN 1
-        |         WHEN sess_end < TIMESTAMP '2024-01-21 00:00:00' THEN 2 ELSE 3 END AS c_end,
+        |    CASE WHEN sess_end < bnd.t1 THEN 1
+        |         WHEN sess_end < bnd.t2 THEN 2 ELSE 3 END AS c_end,
         |    CASE WHEN next_start IS NULL THEN NULL
-        |         WHEN next_start < TIMESTAMP '2024-01-11 00:00:00' THEN 1
-        |         WHEN next_start < TIMESTAMP '2024-01-21 00:00:00' THEN 2 ELSE 3 END AS c_next
-        |  FROM nx)
+        |         WHEN next_start < bnd.t1 THEN 1
+        |         WHEN next_start < bnd.t2 THEN 2 ELSE 3 END AS c_next
+        |  FROM nx, bnd)
         |SELECT user_id, sess_start, sess_end, n_events,
         |  CASE WHEN c_next IS NOT NULL AND (c_next = c_end
         |            OR NOT (timer_ms <= CASE WHEN c_next - 1 = 1 THEN wm.w1 ELSE wm.w2 END))

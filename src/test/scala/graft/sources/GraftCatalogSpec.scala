@@ -68,7 +68,11 @@ class GraftCatalogSpec extends SparkSpec {
       val cat = spark.sessionState.catalogManager.catalog("graft")
         .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
       assert(cat.listTables(Array.empty).map(_.name()).toSeq.sorted
-        == Seq("bucket_dim", "bucket_fact", "range_200k"))
+        == Seq("bucket_dim", "bucket_fact", "range_200k", "store"))
+      // store resolves only when the session conf points it at a root
+      intercept[Exception] {
+        cat.loadTable(Identifier.of(Array.empty, "store"))
+      }
       assert(cat.tableExists(Identifier.of(Array.empty, "RANGE_200K")))
       assert(!cat.tableExists(Identifier.of(Array.empty, "nope")))
       intercept[Exception] {

@@ -86,4 +86,94 @@ class RangeSourceSpec extends SparkSpec {
     assert(p.contains("GraftRangeScan[123456, 123457)"), p)
     assert(df.count() == 1)
   }
+
+  test("LIMIT pushdown bounds the planned range to the first n rows") {
+    val df = ranged(0, 200000).where(col("id") >= 50000).limit(7)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftRangeScan[50000, 50007) limit=7"),
+      s"limit not pushed into the scan:\n$p")
+    assert(df.rdd.getNumPartitions == 1,
+      "a pushed limit must not plan slices beyond the bound")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (50000L until 50007L))
+  }
+
+  test("TopN pushdown plans the closed-form suffix for ORDER BY id DESC") {
+    val df = ranged(0, 200000).where(col("id") < 150000)
+      .orderBy(col("id").desc).limit(5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftRangeScan[149995, 150000) limit=5 desc"),
+      s"top-n not pushed into the scan:\n$p")
+    // partial push: Spark's sort stays on top and the result is exact
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(149999L, 149998L, 149997L, 149996L, 149995L))
+  }
+
+  test("TopN on a non-id key declines and stays correct") {
+    val df = ranged(0, 1000).orderBy(col("tag").desc, col("id")).limit(3)
+    val p = df.queryExecution.executedPlan.toString
+    // the SCAN description must not carry a pushed bound (Spark's own
+    // TakeOrderedAndProject prints limit= too — match the scan line only)
+    assert(!p.contains(") limit="), s"top-n on tag must not push:\n$p")
+    assert(df.collect().map(r => (r.getString(2), r.getLong(0))).toSeq ==
+      Seq(("d", 3L), ("d", 7L), ("d", 11L)))
+  }
+
+  test("reported statistics reflect pushdown and drive broadcast planning") {
+    // post-pushdown stats: 2000 rows on a 2M-row declared extent
+    val narrowed = ranged(0, 2000000).where(col("id") < 2000)
+    val stats = narrowed.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes == BigInt(2000L * RangeSource.RowBytes),
+      s"stats must come from the post-pushdown scan, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.contains(BigInt(2000)), s"rowCount: ${stats.rowCount}")
+
+    // under the default 10 MB threshold the 48 KB side broadcasts with no hint
+    val big = spark.range(0, 500000).select(col("id").as("b_id"))
+    val joined = big.join(narrowed, col("b_id") === col("id"))
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "stats-driven broadcast did not happen")
+
+    // flip: a threshold below the reported size must NOT broadcast
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "1024")
+    try {
+      val p2 = big.join(narrowed, col("b_id") === col("id"))
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"48 KB side broadcast under a 1 KB threshold — stats ignored?\n$p2")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("micro-batch read resumes from the committed offset across restarts") {
+    val base = "target/tmp/rangestream_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val feedId = "spec-restart"
+    RangeSource.resetFeed(feedId)
+    def run(reveals: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "200000")
+        .option("feedId", feedId).option("chunkRows", "30000")
+        .option("revealsPerRun", reveals.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/chk")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // run 1: the external log only yields two chunks during this run
+    run(2)
+    assert(spark.read.parquet(s"$base/out").count() == 60000L,
+      "run 1 must drain exactly the two revealed chunks")
+    // run 2: must resume AT the committed offset — not initialOffset
+    RangeSource.lastRunFirstPlannedStart = None
+    run(Int.MaxValue)
+    assert(RangeSource.lastRunFirstPlannedStart.contains(60000L),
+      s"restart planned from ${RangeSource.lastRunFirstPlannedStart}, not the committed offset")
+    val all = spark.read.parquet(s"$base/out")
+    assert(all.count() == 200000L, "restart lost or duplicated an offset range")
+    assert(all.select(col("id")).distinct().count() == 200000L,
+      "restart re-read an offset range")
+  }
 }

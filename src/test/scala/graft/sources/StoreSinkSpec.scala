@@ -70,6 +70,102 @@ class StoreSinkSpec extends SparkSpec {
     assert(readBack(dir) == (1 to 10).map(k => (k.toLong, "a", k * 100L)).toSet)
   }
 
+  test("streaming write: epoch-keyed commits, ledger absorbs a replayed epoch") {
+    import spark.implicits._
+    val base = freshDir("epochs")
+    val feed = s"$base/feed"; val store = s"$base/store"; val chk = s"$base/chk"
+    (1 to 90).map(k => (k.toLong, "g" + (k % 3), k * 10L))
+      .toDF("k", "grp", "amt_cents")
+      .repartition(3).write.mode("overwrite").parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .writeStream.format(fmt)
+        .option("path", store).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val root = new Path(store)
+    val lines = StoreSink.readManifestLines(root, fs)
+    assert(StoreSink.committedEpochs(lines).size >= 3,
+      s"expected one ledger entry per micro-batch, manifest:\n${lines.mkString("\n")}")
+    assert(readBack(store).size == 90)
+
+    // re-deliver the last epoch: drop its commit marker, keep its offsets
+    val commits = fs.listStatus(new Path(s"$chk/commits"))
+      .map(_.getPath).filter(_.getName.forall(_.isDigit))
+    fs.delete(commits.maxBy(_.getName.toLong), false)
+    runOnce()
+    assert(readBack(store) ==
+      (1 to 90).map(k => (k.toLong, "g" + (k % 3), k * 10L)).toSet,
+      "replayed epoch double-counted or dropped rows")
+  }
+
+  test("deleteWhere rewrites only touched files; untouched carry over by name") {
+    val dir = freshDir("delete")
+    df(1 to 50, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
+    df(51 to 80, "b").write.format(fmt).mode("append").option("path", dir).save()
+    val before = StoreSink.readManifest(new Path(dir), fs)
+
+    new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("grp", "b")))
+
+    val after = StoreSink.readManifest(new Path(dir), fs)
+    assert(readBack(dir) == (1 to 50).map(k => (k.toLong, "a", k * 100L)).toSet)
+    // copy-on-write at file granularity: files with no 'b' rows keep their
+    // name (zero bytes rewritten); files that held 'b' rows are replaced
+    val (kept, replaced) = before.partition(after.contains)
+    assert(kept.nonEmpty, "expected at least one untouched file to carry over")
+    assert(replaced.nonEmpty, "expected the matching files to be rewritten")
+    replaced.foreach(f => assert(!fs.exists(new Path(dir, f)),
+      s"replaced file $f not GC'd"))
+  }
+
+  test("delete with a null-valued predicate column: UNKNOWN rows survive") {
+    import spark.implicits._
+    val dir = freshDir("delnull")
+    Seq((Some(1L), Some("x"), Some(5L)), (Some(2L), None, Some(6L)),
+        (Some(3L), Some("y"), Some(7L)))
+      .toDF("k", "grp", "amt_cents")
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("grp", "x")))
+    // grp IS NULL evaluates UNKNOWN — the row must NOT be deleted
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+
+  test("failed delete aborts with the previous generation intact") {
+    val dir = freshDir("delabort")
+    df(1 to 40, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
+    df(41 to 60, "b").write.format(fmt).mode("append").option("path", dir).save()
+    val before = readBack(dir)
+    val manifestBefore = StoreSink.readManifestLines(new Path(dir), fs)
+    StoreSink.failDeleteAfterOneFile = true
+    try intercept[RuntimeException] {
+      new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThan("k", 10L)))
+    } finally StoreSink.failDeleteAfterOneFile = false
+    assert(StoreSink.readManifestLines(new Path(dir), fs) == manifestBefore,
+      "failed delete mutated the manifest")
+    assert(readBack(dir) == before, "failed delete mutated visible rows")
+  }
+
+  test("untranslatable delete predicates are declined, not half-applied") {
+    val dir = freshDir("deldecline")
+    df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
+    val t = new StoreTable(dir)
+    assert(!t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.StringContains("grp", "a"))))
+    assert(t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(1L, 2L)),
+      org.apache.spark.sql.sources.IsNotNull("grp"))))
+  }
+
   test("null columns and URL-unsafe strings round-trip") {
     import spark.implicits._
     val dir = freshDir("nulls")
