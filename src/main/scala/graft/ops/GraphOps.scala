@@ -69,6 +69,57 @@ object GraphOps extends OpModule {
       |      JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
       |      GROUP BY a.t, b.t HAVING COUNT(*) >= 3)""".stripMargin
 
+  /** Shared by q_hits and q_hits_cached — the twins differ only in
+    * materialization strategy, so one oracle pins both. */
+  private val HitsOracle =
+    """WITH e AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |h1 AS (SELECT c, COUNT(*) * 1000 AS h FROM e GROUP BY c),
+      |h1n AS (SELECT c, CAST(h * 1000000000 // (SELECT SUM(h) FROM h1) AS BIGINT) AS h FROM h1),
+      |a1 AS (SELECT p, CAST(SUM(h1n.h) AS BIGINT) AS a FROM e JOIN h1n ON e.c = h1n.c GROUP BY p),
+      |a1n AS (SELECT p, CAST(a * 1000000000 // (SELECT SUM(a) FROM a1) AS BIGINT) AS a FROM a1),
+      |h2 AS (SELECT c, CAST(SUM(a1n.a) AS BIGINT) AS h FROM e JOIN a1n ON e.p = a1n.p GROUP BY c),
+      |h2n AS (SELECT c, CAST(h * 1000000000 // (SELECT SUM(h) FROM h2) AS BIGINT) AS h FROM h2),
+      |a2 AS (SELECT p, CAST(SUM(h2n.h) AS BIGINT) AS a FROM e JOIN h2n ON e.c = h2n.c GROUP BY p),
+      |a2n AS (SELECT p, CAST(a * 1000000000 // (SELECT SUM(a) FROM a2) AS BIGINT) AS a FROM a2)
+      |SELECT p AS partkey, a AS auth_e9 FROM a2n
+      |ORDER BY auth_e9 DESC, partkey LIMIT 20""".stripMargin
+
+  /** HITS (Kleinberg hubs & authorities), 2 unrolled iterations over the
+    * BIPARTITE customer→part purchase graph — shared by q_hits and its
+    * materialization twin q_hits_cached (`cutPerStep`: localCheckpoint each
+    * bounded half-step score frame before it is re-referenced). */
+  private def hits(s: SparkSession, d: String, cutPerStep: Boolean): DataFrame = {
+    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+                                         col("l_partkey").as("p")), "o_orderkey")
+      .select(col("c"), col("p")).distinct()
+      // round-10: e feeds 5 joins/aggregates — materialize once (measured
+      // 60 file scans in the static plan without it)
+      .localCheckpoint(true)
+    val M = 1000000000L
+    def normalized(raw: DataFrame, key: String, v: String): DataFrame = {
+      // the un-normalized aggregate is the frame referenced twice (total +
+      // value join) — cut HERE, not after the crossJoin
+      val scores = if (cutPerStep) raw.localCheckpoint(true) else raw
+      val tot = scores.agg(sum(col(v)).as("tot"))
+      scores.crossJoin(broadcast(tot))
+        .select(col(key), expr(s"$v * ${M}L div tot").as(v))
+    }
+    // auth0 = 1000 for every part → hub1 = 1000 * deg(c), exact.
+    val hub1 = normalized(
+      e.groupBy(col("c")).agg((count(lit(1)) * 1000L).as("h")), "c", "h")
+    val auth1 = normalized(
+      e.join(hub1, "c").groupBy(col("p")).agg(sum(col("h")).as("a")), "p", "a")
+    val hub2 = normalized(
+      e.join(auth1, "p").groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
+    val auth2 = normalized(
+      e.join(hub2, "c").groupBy(col("p")).agg(sum(col("h")).as("a")), "p", "a")
+    auth2.select(col("p").as("partkey"), col("a").as("auth_e9"))
+      .orderBy(col("auth_e9").desc, col("partkey")).limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Degree-ordered triangle counting; output = top-20 nodes by the number
     // of triangles they participate in (cnt DESC, node — D3 tie-break).
@@ -166,32 +217,20 @@ object GraphOps extends OpModule {
     // broadcasts. Degrees are O(1) per node (items per order, orders per
     // customer are corpus-independent ratios), so no hub blow-up; output is
     // TakeOrdered top-20.
-    "q_hits" -> ((s, d) => {
-      val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey").as("c"))
-        .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
-                                           col("l_partkey").as("p")), "o_orderkey")
-        .select(col("c"), col("p")).distinct()
-        // round-10: e feeds 5 joins/aggregates — materialize once (measured
-        // 60 file scans in the static plan without it)
-        .localCheckpoint(true)
-      val M = 1000000000L
-      def normalized(scores: DataFrame, key: String, v: String): DataFrame = {
-        val tot = scores.agg(sum(col(v)).as("tot"))
-        scores.crossJoin(broadcast(tot))
-          .select(col(key), expr(s"$v * ${M}L div tot").as(v))
-      }
-      // auth0 = 1000 for every part → hub1 = 1000 * deg(c), exact.
-      val hub1 = normalized(
-        e.groupBy(col("c")).agg((count(lit(1)) * 1000L).as("h")), "c", "h")
-      val auth1 = normalized(
-        e.join(hub1, "c").groupBy(col("p")).agg(sum(col("h")).as("a")), "p", "a")
-      val hub2 = normalized(
-        e.join(auth1, "p").groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
-      val auth2 = normalized(
-        e.join(hub2, "c").groupBy(col("p")).agg(sum(col("h")).as("a")), "p", "a")
-      auth2.select(col("p").as("partkey"), col("a").as("auth_e9"))
-        .orderBy(col("auth_e9").desc, col("partkey")).limit(20)
-    }),
+    "q_hits" -> ((s, d) => hits(s, d, cutPerStep = false)),
+
+    // Materialization twin of q_hits, hash-pinned to the same oracle: each
+    // HALF-STEP's normalized score frame is localCheckpointed. The score
+    // frames are BOUNDED (one row per customer/part — catalog-sized at any
+    // corpus scale, the localCheckpoint rule), and each is referenced
+    // twice downstream (its own normalization total + the next half-step's
+    // join), with the re-references COMPOUNDING across the four unrolled
+    // half-steps (hub1's chain re-evaluates up to 8× inside auth2's
+    // lineage unless ReuseExchange catches every duplicate). The twin
+    // exists to measure whether cutting the lineage beats exchange reuse
+    // here (the q_assoc_rules caveat: sometimes it does NOT) — BASELINE.md
+    // records both at sf0.1/sf1.
+    "q_hits_cached" -> ((s, d) => hits(s, d, cutPerStep = true)),
 
     // 3-round k-core peel (k = 3): every round recomputes degrees and drops
     // nodes below k plus their edges. Output = surviving nodes with their
@@ -403,20 +442,10 @@ object GraphOps extends OpModule {
     // Floor vs truncating integer division agree (all values positive);
     // every SUM is cast back to BIGINT before reuse (DuckDB SUM(BIGINT) →
     // HUGEINT, which pandas reads as float64 — the q_seasonality trap).
-    "q_hits" ->
-      """WITH e AS (
-        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |h1 AS (SELECT c, COUNT(*) * 1000 AS h FROM e GROUP BY c),
-        |h1n AS (SELECT c, CAST(h * 1000000000 // (SELECT SUM(h) FROM h1) AS BIGINT) AS h FROM h1),
-        |a1 AS (SELECT p, CAST(SUM(h1n.h) AS BIGINT) AS a FROM e JOIN h1n ON e.c = h1n.c GROUP BY p),
-        |a1n AS (SELECT p, CAST(a * 1000000000 // (SELECT SUM(a) FROM a1) AS BIGINT) AS a FROM a1),
-        |h2 AS (SELECT c, CAST(SUM(a1n.a) AS BIGINT) AS h FROM e JOIN a1n ON e.p = a1n.p GROUP BY c),
-        |h2n AS (SELECT c, CAST(h * 1000000000 // (SELECT SUM(h) FROM h2) AS BIGINT) AS h FROM h2),
-        |a2 AS (SELECT p, CAST(SUM(h2n.h) AS BIGINT) AS a FROM e JOIN h2n ON e.c = h2n.c GROUP BY p),
-        |a2n AS (SELECT p, CAST(a * 1000000000 // (SELECT SUM(a) FROM a2) AS BIGINT) AS a FROM a2)
-        |SELECT p AS partkey, a AS auth_e9 FROM a2n
-        |ORDER BY auth_e9 DESC, partkey LIMIT 20""".stripMargin,
+    "q_hits" -> HitsOracle,
+
+    // the twin is a materialization strategy, never semantics
+    "q_hits_cached" -> HitsOracle,
 
     "q_kcore" ->
       s"""WITH $EdgesSql,
