@@ -37,6 +37,7 @@ object Bench {
     "q_tdigest", "q_hilbert_key",                                    // t-digest sketch agg + codegen hilbert key (r9)
     "q_label_prop", "q_win_distinct_count",                          // majority LPA rounds + windowed distinct (r10)
     "q_assoc_rules", "q_sim_bq", "s_tws_timers",                     // basket pair mining + BQ hamming ANN + timer exec (r11)
+    "q_hits_cached", "q_store_merge", "s_src_dsv2",                  // HITS cut-lineage + connector merge + DSv2 stream read (r12)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

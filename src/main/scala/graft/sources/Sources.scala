@@ -44,6 +44,56 @@ object Sources extends OpModule {
     }
   }
 
+  /** Point `graft.store` at `path` for `body`, restoring after. */
+  private[graft] def withStorePath[T](s: SparkSession, path: String)(body: => T): T = {
+    val key = GraftCatalog.StorePathKey
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, path)
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** Seed a fresh graft-store at `path` from orders; returns (base frame,
+    * max key) — shared by the q_store_* row-level family. */
+  private def seedStore(s: SparkSession, d: String,
+                        path: String): (DataFrame, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+              graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+    base.write.format("graft.sources.StoreSink").mode("overwrite")
+      .option("path", path).save()
+    (base, base.agg(max(col("k"))).collect()(0).getLong(0))
+  }
+
+  /** The shared CDC batch (hard deletes k%89, updates k%97 amt+100,
+    * inserts maxK+k for k%101) — q_store_merge and q_store_merge_sql apply
+    * it through different protocol layers, one oracle pins both. */
+  private def storeCdc(base: DataFrame,
+                       maxK: Long): (DataFrame, DataFrame, DataFrame) = {
+    val dels = base.where(pmod(col("k"), lit(89)) === 0).select(col("k"))
+    val upds = base.where(pmod(col("k"), lit(97)) === 0 &&
+                          pmod(col("k"), lit(89)) =!= 0)
+      .select(col("k"), col("grp"), (col("amt_cents") + 100).as("amt_cents"))
+    val ins = base.where(pmod(col("k"), lit(101)) === 0)
+      .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+              (col("k") * 10).as("amt_cents"))
+    (dels, upds, ins)
+  }
+
+  /** Read the store back and aggregate per group, materialized inside the
+    * caller's conf scope (the conf-scoped-query rule). */
+  private def storeSummary(s: SparkSession, path: String): DataFrame = {
+    val res = s.read.format("graft.sources.StoreSink").option("path", path).load()
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+      .orderBy(col("grp"))
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+  }
+
   /** The storage-partitioned join (fact 40k rows ⋈ one-row-per-group dim,
     * both KeyGroupedPartitioning(grp, 8)); private[graft] so
     * BucketSourceSpec can audit the plan under the same confs. */
@@ -636,78 +686,79 @@ object Sources extends OpModule {
     // carry-over the happy path can't show.
     "q_store_delete" -> ((s, d) => withGraftCatalog(s) {
       val path = tmp(d, "storedel")
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      Tables.orders(s, d)
-        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
-                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
-        .write.format("graft.sources.StoreSink").mode("overwrite")
-        .option("path", path).save()
-      val key = GraftCatalog.StorePathKey
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, path)
-      try {
+      seedStore(s, d, path)
+      withStorePath(s, path) {
         s.sql("DELETE FROM graft.store WHERE grp = 'F' OR k < 1000")
-        val res = s.read.format("graft.sources.StoreSink").option("path", path).load()
-          .groupBy(col("grp"))
-          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
-          .orderBy(col("grp"))
-        // materialize inside the conf scope (the conf-scoped-query rule)
-        s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
-      } finally prev match {
-        case Some(p) => s.conf.set(key, p)
-        case None    => s.conf.unset(key)
+        storeSummary(s, path)
       }
     }),
 
-    // MERGE through the connector: CDC upsert+delete executed as the
-    // copy-on-write pair every row-level store runs — DELETE the touched
-    // keys (updates ∪ hard deletes, an In-filter the connector evaluates),
-    // then APPEND the new row versions and inserts through the same
-    // staging/manifest commit. The final state must equal the
+    // MERGE through the connector's DELETE+APPEND primitives: CDC
+    // upsert+delete executed as the copy-on-write pair — DELETE the touched
+    // keys (updates ∪ hard deletes, an In-filter the connector compiles to
+    // a hash set), then APPEND the new row versions and inserts through the
+    // same staging/manifest commit. The final state must equal the
     // source-with-CDC-applied, which the oracle recomputes from orders —
     // q_cdc_merge proves MERGE semantics in DataFrame space; THIS op proves
-    // the connector can execute them. The touched-key list is the CDC
-    // batch (bounded, ~2% of keys) — collecting it is the driver-side
-    // scalar-election pattern, never data-sized.
+    // the connector can execute them from primitives, and
+    // q_store_merge_sql proves the single-statement MERGE INTO. The
+    // touched-key list is the CDC batch (bounded, ~2% of keys) —
+    // collecting it is the driver-side scalar-election pattern, never
+    // data-sized.
     "q_store_merge" -> ((s, d) => withGraftCatalog(s) {
       val path = tmp(d, "storemerge")
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val base = Tables.orders(s, d)
-        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
-                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
-      base.write.format("graft.sources.StoreSink").mode("overwrite")
-        .option("path", path).save()
-      val maxK = base.agg(max(col("k"))).collect()(0).getLong(0)
-      // CDC batch: hard deletes (k%89=0), updates (k%97=0, amt+100),
-      // inserts (new keys maxK+k for k%101=0, grp 'NEW')
-      val dels = base.where(pmod(col("k"), lit(89)) === 0).select(col("k"))
-      val upds = base.where(pmod(col("k"), lit(97)) === 0 &&
-                            pmod(col("k"), lit(89)) =!= 0)
-        .select(col("k"), col("grp"), (col("amt_cents") + 100).as("amt_cents"))
-      val ins = base.where(pmod(col("k"), lit(101)) === 0)
-        .select((col("k") + maxK).as("k"), lit("NEW").as("grp"),
-                (col("k") * 10).as("amt_cents"))
+      val (base, maxK) = seedStore(s, d, path)
+      val (dels, upds, ins) = storeCdc(base, maxK)
       val touched = dels.select(col("k"))
         .unionAll(upds.select(col("k")))
         .collect().map(_.getLong(0))
-      val key = GraftCatalog.StorePathKey
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, path)
-      try {
+      withStorePath(s, path) {
         s.sql(s"DELETE FROM graft.store WHERE k IN (${touched.mkString(",")})")
         upds.unionByName(ins)
           .write.format("graft.sources.StoreSink").mode("append")
           .option("path", path).save()
-        val res = s.read.format("graft.sources.StoreSink").option("path", path).load()
-          .groupBy(col("grp"))
-          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
-          .orderBy(col("grp"))
-        s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
-      } finally prev match {
-        case Some(p) => s.conf.set(key, p)
-        case None    => s.conf.unset(key)
+        storeSummary(s, path)
+      }
+    }),
+
+    // The SAME CDC batch as ONE `MERGE INTO` statement, executed by the
+    // connector's row-level protocol (SupportsRowLevelOperations,
+    // group-based): Spark rewrites the MERGE into a ReplaceData plan —
+    // target read through the operation's scan, per-clause DELETE/UPDATE/
+    // INSERT logic applied relationally, the replacement generation
+    // committed by swapping exactly the scanned group set in the manifest.
+    // Same oracle as q_store_merge: the two execution strategies
+    // (primitive composition vs native MERGE) must agree bit for bit.
+    // NB the ReplaceData write rows carry a leading __row_operation column
+    // the LogicalWriteInfo schema does not mention (StoreSink.encode).
+    "q_store_merge_sql" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storemergesql")
+      val (base, maxK) = seedStore(s, d, path)
+      val (dels, upds, ins) = storeCdc(base, maxK)
+      val v = s"store_cdc_${java.lang.Integer.toHexString(d.hashCode)}"
+      upds.select(lit("U").as("op"), col("k"), col("grp"), col("amt_cents"))
+        .unionByName(dels.select(lit("D").as("op"), col("k"),
+          lit(null).cast("string").as("grp"), lit(0L).as("amt_cents")))
+        .unionByName(ins.select(lit("I").as("op"), col("k"), col("grp"), col("amt_cents")))
+        .createOrReplaceTempView(v)
+      try withStorePath(s, path) {
+        s.sql(s"""MERGE INTO graft.store t USING $v s ON t.k = s.k
+                 |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                 |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET grp = s.grp, amt_cents = s.amt_cents
+                 |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, grp, amt_cents) VALUES (s.k, s.grp, s.amt_cents)""".stripMargin)
+        storeSummary(s, path)
+      } finally s.catalog.dropTempView(v)
+    }),
+
+    // Row-level UPDATE through the same protocol: one SQL statement, the
+    // connector rewrites the affected generation copy-on-write. The oracle
+    // applies the SET arithmetic relationally.
+    "q_store_update" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeupd")
+      seedStore(s, d, path)
+      withStorePath(s, path) {
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 7 WHERE grp = 'P'")
+        storeSummary(s, path)
       }
     }),
 
@@ -766,6 +817,32 @@ object Sources extends OpModule {
         |WHERE NOT (o_orderstatus = 'F' OR o_orderkey < 1000)
         |GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
 
+    // UPDATE's SET arithmetic applied relationally
+    "q_store_update" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |           + CASE WHEN o_orderstatus = 'P' THEN 7 ELSE 0 END) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // native MERGE INTO must agree bit for bit with the primitive form
+    "q_store_merge_sql" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents
+        |  FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |merged AS (
+        |  SELECT k, grp, amt_cents FROM base
+        |  WHERE k % 89 <> 0 AND k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k, grp, amt_cents + 100 FROM base
+        |  WHERE k % 97 = 0 AND k % 89 <> 0
+        |  UNION ALL
+        |  SELECT k + mx.maxk + 1, 'NEW', k * 10 FROM base, mx
+        |  WHERE k % 101 = 0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt_cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY grp ORDER BY grp""".stripMargin,
+
     // CDC applied relationally: survivors + updated versions + inserts
     "q_store_merge" ->
       """WITH base AS (
@@ -780,7 +857,7 @@ object Sources extends OpModule {
         |  SELECT k, grp, amt_cents + 100 FROM base
         |  WHERE k % 97 = 0 AND k % 89 <> 0
         |  UNION ALL
-        |  SELECT k + mx.maxk, 'NEW', k * 10 FROM base, mx
+        |  SELECT k + mx.maxk + 1, 'NEW', k * 10 FROM base, mx
         |  WHERE k % 101 = 0)
         |SELECT grp, COUNT(*) AS n, CAST(SUM(amt_cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY grp ORDER BY grp""".stripMargin,

@@ -166,6 +166,38 @@ class StoreSinkSpec extends SparkSpec {
       org.apache.spark.sql.sources.IsNotNull("grp"))))
   }
 
+  test("row-level UPDATE and MERGE INTO rewrite copy-on-write via the manifest") {
+    import spark.implicits._
+    val dir = freshDir("rowlevel")
+    df(1 to 30, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
+    val genOne = StoreSink.readManifest(new Path(dir), fs)
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      spark.sql("UPDATE graft.store SET amt_cents = amt_cents + 1 WHERE k <= 10")
+      assert(readBack(dir) == (1 to 30).map(k =>
+        (k.toLong, "a", k * 100L + (if (k <= 10) 1 else 0))).toSet,
+        "UPDATE arithmetic wrong")
+      // the scanned generation was replaced and GC'd
+      genOne.foreach(f => assert(!fs.exists(new Path(dir, f)),
+        s"replaced file $f survived the rewrite"))
+
+      Seq((2L, "D"), (31L, "I")).toDF("k", "op").createOrReplaceTempView("spec_cdc")
+      spark.sql("""MERGE INTO graft.store t USING spec_cdc s ON t.k = s.k
+                  |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                  |WHEN NOT MATCHED THEN INSERT (k, grp, amt_cents) VALUES (s.k, 'i', 0)""".stripMargin)
+      val got = readBack(dir)
+      assert(!got.exists(_._1 == 2L), "MERGE delete clause did not apply")
+      assert(got.exists(r => r._1 == 31L && r._2 == "i"), "MERGE insert missing")
+      assert(got.size == 30)
+    } finally {
+      spark.catalog.dropTempView("spec_cdc")
+      spark.conf.unset(ckey)
+      spark.conf.unset(GraftCatalog.StorePathKey)
+    }
+  }
+
   test("null columns and URL-unsafe strings round-trip") {
     import spark.implicits._
     val dir = freshDir("nulls")
