@@ -57,11 +57,22 @@ private class BucketTable(rows: Long, groups: Int) extends Table with SupportsRe
 }
 
 private class BucketScan(rows: Long, groups: Int)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = BucketSource.schema
   override def toBatch: Batch = this
   override def description(): String = s"GraftBucketScan(rows=$rows, groups=$groups)"
+
+  /** Closed-form stats (grp ~8 B + id 8 B + amt 8 B): the dim side of the
+    * SPJ family stays under the broadcast threshold by REPORTED size, so
+    * join planning over `graft.bucket_*` names is stats-driven, never
+    * defaultSizeInBytes-blind (q_join_spj disables the threshold to force
+    * the exchange-free plan; everywhere else the stats decide). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(rows * 24L)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
 
   /** The layout contract: clustered by identity(grp), one key group per
     * bucket. Spark matches this against the join's required distribution. */

@@ -125,7 +125,8 @@ private class RangeScanBuilder(start: Long, end: Long,
                                options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   private var lo = start
   private var hi = end
@@ -133,6 +134,7 @@ private class RangeScanBuilder(start: Long, end: Long,
   private var required: StructType = RangeSource.schema
   private var aggFuncs: Seq[String] = Nil // count | min | max, in push order
   private var pushedLimit: Option[Int] = None
+  private var pushedOffset = 0
   private var topNDesc = false
 
   // SQL integer literals arrive as Int, long ones as Long — accept both
@@ -191,6 +193,14 @@ private class RangeScanBuilder(start: Long, end: Long,
 
   override def isPartiallyPushed: Boolean = true
 
+  /** OFFSET pushdown (the pagination family's third member): skip the
+    * first m rows of the (id-ordered) residual range — the planned range
+    * starts at lo+m. Declined under a DESC top-n (the suffix arithmetic
+    * composes differently; Spark keeps its own offset, still correct). */
+  override def pushOffset(offset: Int): Boolean =
+    if (topNDesc) false
+    else { pushedOffset = offset; true }
+
   /** Aggregate pushdown (PARTIAL contract — supportCompletePushDown stays
     * false): COUNT(*)/MIN(id)/MAX(id) with no GROUP BY compute CLOSED-FORM
     * per partition slice (count = hi−lo, min = lo, max = hi−1), so the
@@ -215,11 +225,14 @@ private class RangeScanBuilder(start: Long, end: Long,
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new RangeAggScan(lo, hi, aggFuncs)
     else {
-      // apply the pushed limit/top-n bound to the planned range
+      // apply the pushed offset + limit/top-n bounds to the planned range:
+      // Spark pushes the limit BEFORE the offset and the pushed limit
+      // covers offset+limit rows, so the planned window is
+      // [lo+offset, lo+limit) — the offset eats into the limit's prefix
       val (blo, bhi) = pushedLimit match {
         case Some(n) if topNDesc => (math.max(lo, hi - n), hi)
-        case Some(n)             => (lo, math.min(hi, lo + n))
-        case None                => (lo, hi)
+        case Some(n) => (math.min(hi, lo + pushedOffset), math.min(hi, lo + n))
+        case None    => (math.min(hi, lo + pushedOffset), hi)
       }
       new RangeScan(blo, bhi, required, pushedLimit, topNDesc, options)
     }

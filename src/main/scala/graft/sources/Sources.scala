@@ -644,6 +644,19 @@ object Sources extends OpModule {
         .orderBy(col("id"))
     }),
 
+    // OFFSET pushdown (SupportsPushDownOffset — the pagination family's
+    // third member beside LIMIT/TopN): page 2 of the filtered range plans
+    // only [50010, 50017) — Spark pushes limit = offset+limit and the
+    // offset separately, so the planned window is the page itself.
+    "src_dsv2_offset" -> ((s, d) => {
+      s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "200000").load()
+        .where(col("id") >= 50000)
+        .offset(10).limit(7)
+        .select(col("id"), col("tag"), graft.ops.Det.cents(col("val")).as("val_cents"))
+        .orderBy(col("id"))
+    }),
+
     // TopN pushdown (SupportsPushDownTopN, partial contract): ORDER BY id
     // DESC LIMIT 5 narrows the planned range to the closed-form SUFFIX
     // [149995, 150000); Spark re-sorts the 5 survivors (partitions read
@@ -794,6 +807,13 @@ object Sources extends OpModule {
         |  SUBSTR('abcd', CAST(r.range % 4 AS INT) + 1, 1) AS tag,
         |  CAST(r.range * 7919 % 100000 AS BIGINT) AS val_cents
         |FROM RANGE(50000, 50007) r ORDER BY id""".stripMargin,
+
+    // page 2: rows 10..16 of the filtered range
+    "src_dsv2_offset" ->
+      """SELECT r.range AS id,
+        |  SUBSTR('abcd', CAST(r.range % 4 AS INT) + 1, 1) AS tag,
+        |  CAST(r.range * 7919 % 100000 AS BIGINT) AS val_cents
+        |FROM RANGE(50010, 50017) r ORDER BY id""".stripMargin,
 
     // top-5 by id desc of the bounded range
     "src_dsv2_topn" ->

@@ -108,6 +108,16 @@ class RangeSourceSpec extends SparkSpec {
       Seq(149999L, 149998L, 149997L, 149996L, 149995L))
   }
 
+  test("OFFSET pushdown plans the page window, not the prefix") {
+    val df = ranged(0, 200000).where(col("id") >= 1000).offset(7).limit(3)
+    val p = df.queryExecution.executedPlan.toString
+    // Spark pushes limit = offset+limit (10) plus the offset (7): the
+    // planned window is exactly the page
+    assert(p.contains("GraftRangeScan[1007, 1010) limit=10"),
+      s"offset not pushed into the scan:\n$p")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1007L, 1008L, 1009L))
+  }
+
   test("TopN on a non-id key declines and stays correct") {
     val df = ranged(0, 1000).orderBy(col("tag").desc, col("id")).limit(3)
     val p = df.queryExecution.executedPlan.toString
