@@ -64,7 +64,10 @@ object Sources extends OpModule {
     val base = Tables.orders(s, d)
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
               graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
-    base.write.format("graft.sources.StoreSink").mode("overwrite")
+    // range-clustered layout: disjoint per-file key zones, so the manifest
+    // zone maps can actually prune (the sink_range_cluster posture)
+    base.repartitionByRange(8, col("k"))
+      .write.format("graft.sources.StoreSink").mode("overwrite")
       .option("path", path).save()
     (base, base.agg(max(col("k"))).collect()(0).getLong(0))
   }

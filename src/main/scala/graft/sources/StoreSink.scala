@@ -96,6 +96,44 @@ object StoreSink {
   private val NullMark = "\\N"
   private val EpochMark = "#epoch="
 
+  /** One committed data file with its ZONE MAP (row count + min/max of the
+    * key column, None when the file holds no non-null keys). The stats ride
+    * the manifest line (`name|rows|minK|maxK`); legacy bare-name lines parse
+    * with no stats and are simply never prunable. */
+  case class StoreFileEntry(name: String, rows: Long,
+                            minK: Option[Long], maxK: Option[Long]) {
+    def line: String =
+      s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}"
+    /** Can this file contain a key in [lo, hi]? Stat-less files always can. */
+    def mayContain(lo: Option[Long], hi: Option[Long]): Boolean = (minK, maxK) match {
+      case (Some(mn), Some(mx)) =>
+        lo.forall(_ <= mx) && hi.forall(_ >= mn)
+      case _ => true
+    }
+    /** Can this file contain ANY of the (sorted) keys? */
+    def mayContainAny(sortedKeys: Array[Long]): Boolean = (minK, maxK) match {
+      case (Some(mn), Some(mx)) =>
+        val i = java.util.Arrays.binarySearch(sortedKeys, mn)
+        val from = if (i >= 0) i else -i - 1
+        from < sortedKeys.length && sortedKeys(from) <= mx
+      case _ => true
+    }
+  }
+
+  private[sources] def parseEntry(l: String): StoreFileEntry =
+    if (l.contains('|')) {
+      val p = l.split('|')
+      def opt(s: String) = if (s == "-") None else Some(s.toLong)
+      StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)))
+    } else StoreFileEntry(l, -1L, None, None)
+
+  /** Committed data file entries (zone maps included), in manifest order. */
+  private[sources] def readEntries(root: Path, fsys: FileSystem): Seq[StoreFileEntry] =
+    readManifestLines(root, fsys).filterNot(_.startsWith("#")).map(parseEntry)
+
+  /** Test observability: last (planned, kept) zone-map narrowing. */
+  @volatile private[sources] var lastZonePrune: Option[(Int, Int)] = None
+
   /** Test-only failure injection for the delete path: when set, the
     * rewrite throws after processing one file — the spec asserts the
     * previous manifest (and its files) survive the abort. */
@@ -123,6 +161,7 @@ object StoreSink {
   /** Committed data file names, in manifest order; empty when uncommitted. */
   private[sources] def readManifest(root: Path, fsys: FileSystem): Seq[String] =
     readManifestLines(root, fsys).filterNot(_.startsWith("#"))
+      .map(l => parseEntry(l).name)
 
   /** Epoch ids already committed by the streaming write path. */
   private[sources] def committedEpochs(lines: Seq[String]): Set[Long] =
@@ -265,6 +304,26 @@ object StoreSink {
     case _ => None
   }
 
+  /** Conjunct key bounds over top-level filters — the zone-map pruning
+    * predicate. OR-rooted filters contribute nothing (no sound bound). */
+  private[sources] def kBounds(filters: Array[Filter]): (Option[Long], Option[Long]) = {
+    var lo: Option[Long] = None; var hi: Option[Long] = None
+    def raise(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def lower(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    filters.foreach {
+      case EqualTo("k", v) => asLong(v).foreach { x => raise(x); lower(x) }
+      case GreaterThan("k", v) => asLong(v).foreach(x => raise(x + 1))
+      case GreaterThanOrEqual("k", v) => asLong(v).foreach(raise)
+      case LessThan("k", v) => asLong(v).foreach(x => lower(x - 1))
+      case LessThanOrEqual("k", v) => asLong(v).foreach(lower)
+      case In("k", vs) =>
+        val ls = vs.flatMap(v => asLong(v))
+        if (ls.nonEmpty && ls.length == vs.length) { raise(ls.min); lower(ls.max) }
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
   /** Compile a filter ONCE per delete into a per-row closure. The payoff is
     * `In`: a CDC key list is thousands of literals, and the naive
     * interpret-per-row walk is O(rows × |list|) (measured 12 s on a 150k-row
@@ -366,41 +425,59 @@ private class StoreTable(pathStr: String) extends Table
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
     val lines = StoreSink.readManifestLines(root, fsys)
-    val files = lines.filterNot(_.startsWith("#"))
     val markers = lines.filter(_.startsWith("#"))
+    val entries = lines.filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
     val preds = filters.map(StoreSink.compile)
     def deletes(row: InternalRow): Boolean =
       preds.forall(_(row).contains(true))
+    // zone-map short circuit: a conjunct k-bound the file's zone misses
+    // means NO row can satisfy the whole predicate — carry over UNREAD
+    val (kLo, kHi) = StoreSink.kBounds(filters)
     var processed = 0
     val gen = System.nanoTime().toHexString
     val rewritten = scala.collection.mutable.ArrayBuffer[(String, String)]() // old -> new
-    val newLines = files.map { f =>
-      val p = new Path(root, f)
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
-      val (kept, any) =
-        try {
-          val keep = Seq.newBuilder[String]
-          var anyMatch = false
-          var line = in.readLine()
-          while (line != null) {
-            if (deletes(StoreSink.decode(line))) anyMatch = true
-            else keep += line
-            line = in.readLine()
-          }
-          (keep.result(), anyMatch)
-        } finally in.close()
-      processed += 1
-      if (StoreSink.failDeleteAfterOneFile && processed == 1)
-        throw new RuntimeException("injected delete failure (test hook)")
-      if (!any) f // untouched file carries over by name
+    val newLines = entries.map { e =>
+      if (!e.mayContain(kLo, kHi)) e.line
       else {
-        val nf = s"$f-d$gen"
-        val out = fsys.create(new Path(root, nf), true)
-        try out.write((kept.map(_ + "\n")).mkString.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        rewritten += ((f, nf))
-        nf
+        val p = new Path(root, e.name)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
+        var nMin = Long.MaxValue; var nMax = Long.MinValue; var nRows = 0L
+        val (kept, any) =
+          try {
+            val keep = Seq.newBuilder[String]
+            var anyMatch = false
+            var line = in.readLine()
+            while (line != null) {
+              val row = StoreSink.decode(line)
+              if (deletes(row)) anyMatch = true
+              else {
+                keep += line
+                nRows += 1
+                if (!row.isNullAt(0)) {
+                  val k = row.getLong(0)
+                  if (k < nMin) nMin = k
+                  if (k > nMax) nMax = k
+                }
+              }
+              line = in.readLine()
+            }
+            (keep.result(), anyMatch)
+          } finally in.close()
+        processed += 1
+        if (StoreSink.failDeleteAfterOneFile && processed == 1)
+          throw new RuntimeException("injected delete failure (test hook)")
+        if (!any) e.line // untouched file carries over by name
+        else {
+          val nf = s"${e.name}-d$gen"
+          val out = fsys.create(new Path(root, nf), true)
+          try out.write((kept.map(_ + "\n")).mkString.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          rewritten += ((e.name, nf))
+          StoreSink.StoreFileEntry(nf, nRows,
+            if (nMin == Long.MaxValue) None else Some(nMin),
+            if (nMax == Long.MinValue) None else Some(nMax)).line
+        }
       }
     }
     if (rewritten.nonEmpty) {
@@ -425,11 +502,17 @@ private class StoreRowLevelOperation(pathStr: String, cmd: Command)
   override def command(): Command = cmd
   override def description(): String = s"graft-store $cmd (copy-on-write)"
 
+  /** The op's scan inherits SupportsRuntimeFiltering, so Spark's runtime
+    * GROUP FILTER (the matched-keys In-subquery the rewrite rule plans)
+    * narrows the planned — and therefore REPLACED — file set through the
+    * zone maps: a CDC batch touching one file's key range rewrites ONE
+    * file, not the table (file-granular copy-on-write; spec-pinned). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new StoreScan(pathStr) {
       override def planInputPartitions(): Array[InputPartition] = {
         val parts = super.planInputPartitions()
-        // idempotent across re-planning: always the files of THIS plan
+        // idempotent across re-planning: always the files of THIS plan —
+        // the execution-time call runs after the runtime filter arrives
         scanned = parts.map(_.asInstanceOf[StoreFilePartition].file)
           .map(f => new Path(f).getName).toSeq
         parts
@@ -469,7 +552,9 @@ private class StoreGroupReplaceWrite(pathStr: String, queryId: String,
     }
     val gone = replaced().toSet
     val lines = StoreSink.readManifestLines(root, fsys)
-    val visible = lines.filterNot(l => gone.contains(l)) ++ committed.map(_.file)
+    val visible = lines.filterNot(l =>
+      !l.startsWith("#") && gone.contains(StoreSink.parseEntry(l).name)) ++
+      committed.map(_.entry.line)
     StoreSink.writeManifestAtomic(root, fsys, visible)
     gone.foreach(f => fsys.delete(new Path(root, f), false))
     fsys.delete(staging, true)
@@ -528,16 +613,19 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
     }
     val prevLines = StoreSink.readManifestLines(root, fsys)
     val previous = prevLines.filterNot(_.startsWith("#"))
+      .map(StoreSink.parseEntry(_).name)
     // truncate starts a new generation (epoch ledger dies with the old one);
     // append preserves the markers alongside the union
     val visible =
-      if (truncate) committed.map(_.file)
-      else prevLines ++ committed.map(_.file)
+      if (truncate) committed.map(_.entry.line)
+      else prevLines ++ committed.map(_.entry.line)
     StoreSink.writeManifestAtomic(root, fsys, visible)
-    if (truncate) // GC the replaced generation only AFTER the swap
-      previous.filterNot(visible.contains).foreach { f =>
+    if (truncate) { // GC the replaced generation only AFTER the swap
+      val kept = committed.map(_.file).toSet
+      previous.filterNot(kept.contains).foreach { f =>
         fsys.delete(new Path(root, f), false)
       }
+    }
     fsys.delete(staging, true) // losing task attempts' leftovers die here
   }
 
@@ -577,7 +665,7 @@ private class StoreStreamingWrite(pathStr: String, queryId: String)
         s"failed to promote ${m.file}")
     }
     StoreSink.writeManifestAtomic(root, fsys,
-      lines ++ committed.map(_.file) :+ StoreSink.epochLine(epochId))
+      lines ++ committed.map(_.entry.line) :+ StoreSink.epochLine(epochId))
     fsys.delete(staging, true)
   }
 
@@ -588,8 +676,12 @@ private class StoreStreamingWrite(pathStr: String, queryId: String)
   }
 }
 
-private case class StoreCommitMessage(file: String, rows: Long)
-    extends WriterCommitMessage
+private case class StoreCommitMessage(file: String, rows: Long,
+                                      minK: Option[Long], maxK: Option[Long])
+    extends WriterCommitMessage {
+  def entry: StoreSink.StoreFileEntry =
+    StoreSink.StoreFileEntry(file, rows, minK, maxK)
+}
 
 /** Standalone (serializable) factory — same rule as RangeSource: an
   * anonymous inner factory would drag the driver-side write object into the
@@ -622,19 +714,29 @@ private class StoreDataWriter(pathStr: String, fileName: String)
   private val out = fsys.create(staged, true)
   private var rows = 0L
 
+  private var minK = Long.MaxValue
+  private var maxK = Long.MinValue
+
   override def write(record: InternalRow): Unit = {
     // 3 fields = plain write; 4 = ReplaceData's (__row_operation, k, grp,
     // amt_cents) — see StoreSink.encode
     val base = record.numFields - StoreSink.schema.length
     require(base == 0 || base == 1,
       s"unexpected write row width ${record.numFields}")
+    if (!record.isNullAt(base)) { // zone map over the key column
+      val k = record.getLong(base)
+      if (k < minK) minK = k
+      if (k > maxK) maxK = k
+    }
     out.write((StoreSink.encode(record, base) + "\n").getBytes(StandardCharsets.UTF_8))
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    StoreCommitMessage(fileName, rows)
+    StoreCommitMessage(fileName, rows,
+      if (minK == Long.MaxValue) None else Some(minK),
+      if (maxK == Long.MinValue) None else Some(maxK))
   }
 
   override def abort(): Unit = {
@@ -647,40 +749,97 @@ private class StoreDataWriter(pathStr: String, fileName: String)
 
 // ----------------------------------------------------------------- read path
 
-private class StoreScanBuilder(pathStr: String) extends ScanBuilder {
-  override def build(): Scan = new StoreScan(pathStr)
+private class StoreScanBuilder(pathStr: String)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var zoneFilters: Array[Filter] = Array.empty
+  private var kLo: Option[Long] = None
+  private var kHi: Option[Long] = None
+
+  /** Zone-map pushdown, parquet-style: key-bound conjuncts narrow FILE
+    * planning via the manifest's per-file min/max, but every filter is
+    * returned as a post-scan residual — zone pruning skips files, never
+    * rows, so Spark must still evaluate the predicate on what's read. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (lo, hi) = StoreSink.kBounds(filters)
+    kLo = lo; kHi = hi
+    zoneFilters = filters.filter {
+      case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
+           | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
+      case _ => false
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = zoneFilters
+
+  override def build(): Scan = new StoreScan(pathStr, kLo, kHi)
 }
 
-private class StoreScan(pathStr: String) extends Scan with Batch
-    with SupportsReportStatistics {
+private class StoreScan(pathStr: String,
+                        kLo: Option[Long] = None, kHi: Option[Long] = None)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Realized runtime join keys (sorted), when DPP handed any. */
+  @volatile private var runtimeKeys: Option[Array[Long]] = None
+
   override def readSchema(): StructType = StoreSink.schema
   override def toBatch: Batch = this
-  override def description(): String = s"GraftStoreScan($pathStr)"
+  override def description(): String = {
+    val z = (kLo, kHi) match {
+      case (None, None) => ""
+      case _ => s" zones=[${kLo.getOrElse("-inf")}, ${kHi.getOrElse("+inf")}]"
+    }
+    s"GraftStoreScan($pathStr)$z"
+  }
+
+  // ---- runtime filtering (DPP into the store via the zone maps)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(a, vs) if a == "k" =>
+      val ks = vs.collect {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long    => l.longValue()
+      }.sorted
+      runtimeKeys = Some(ks)
+    case _ => ()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
-    // manifest-only planning: uncommitted/stray files cannot be scanned
-    StoreSink.readManifest(root, fsys)
-      .map(f => StoreFilePartition(new Path(root, f).toString): InputPartition)
+    // manifest-only planning: uncommitted/stray files cannot be scanned;
+    // zone maps drop files the pushed bounds / runtime keys cannot touch
+    val entries = StoreSink.readEntries(root, fsys)
+    val kept = entries
+      .filter(_.mayContain(kLo, kHi))
+      .filter(e => runtimeKeys.forall(e.mayContainAny))
+    StoreSink.lastZonePrune = Some((entries.size, kept.size))
+    kept.map(e => StoreFilePartition(new Path(root, e.name).toString): InputPartition)
       .toArray
   }
 
-  /** Manifest-derived size (committed bytes only): one listStatus per
-    * manifest entry at PLAN time, so broadcast decisions over the store are
-    * stats-driven. Row count is unknown (line-oriented files) — absent, per
-    * the Statistics contract. */
+  /** Manifest-derived stats: committed bytes (one listStatus per entry at
+    * PLAN time) + exact row counts when every entry carries a zone map, so
+    * broadcast decisions over the store are stats-driven. */
   override def estimateStatistics(): Statistics = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
-    val bytes = StoreSink.readManifest(root, fsys).map { f =>
-      try fsys.getFileStatus(new Path(root, f)).getLen catch {
+    val entries = StoreSink.readEntries(root, fsys)
+      .filter(_.mayContain(kLo, kHi))
+    val bytes = entries.map { e =>
+      try fsys.getFileStatus(new Path(root, e.name)).getLen catch {
         case _: java.io.FileNotFoundException => 0L
       }
     }.sum
+    val rows = if (entries.forall(_.rows >= 0)) Some(entries.map(_.rows).sum) else None
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
-      override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+      override def numRows(): util.OptionalLong =
+        rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
     }
   }
 

@@ -179,9 +179,13 @@ class StoreSinkSpec extends SparkSpec {
       assert(readBack(dir) == (1 to 30).map(k =>
         (k.toLong, "a", k * 100L + (if (k <= 10) 1 else 0))).toSet,
         "UPDATE arithmetic wrong")
-      // the scanned generation was replaced and GC'd
-      genOne.foreach(f => assert(!fs.exists(new Path(dir, f)),
-        s"replaced file $f survived the rewrite"))
+      // the runtime group filter + zone maps make the rewrite
+      // FILE-GRANULAR: files whose zones miss k <= 10 carry over by name
+      val afterUpd = StoreSink.readManifest(new Path(dir), fs)
+      assert(genOne.exists(f => !afterUpd.contains(f)),
+        "no file was replaced by the UPDATE")
+      assert(genOne.exists(afterUpd.contains),
+        s"UPDATE rewrote every file — group filtering inert\nbefore=$genOne\nafter=$afterUpd")
 
       Seq((2L, "D"), (31L, "I")).toDF("k", "op").createOrReplaceTempView("spec_cdc")
       spark.sql("""MERGE INTO graft.store t USING spec_cdc s ON t.k = s.k
@@ -193,6 +197,63 @@ class StoreSinkSpec extends SparkSpec {
       assert(got.size == 30)
     } finally {
       spark.catalog.dropTempView("spec_cdc")
+      spark.conf.unset(ckey)
+      spark.conf.unset(GraftCatalog.StorePathKey)
+    }
+  }
+
+  test("zone maps: pushed key bounds skip whole files; DPP narrows via join keys") {
+    val dir = freshDir("zones")
+    // two appends with disjoint key ranges → disjoint per-file zones
+    df(1 to 40, "a").repartition(2).write.format(fmt).mode("overwrite").option("path", dir).save()
+    df(1000 to 1040, "b").repartition(2).write.format(fmt).mode("append").option("path", dir).save()
+    val all = spark.read.format(fmt).option("path", dir).load()
+
+    StoreSink.lastZonePrune = None
+    val low = all.where(col("k") < 100)
+    assert(low.count() == 40)
+    val (planned, kept) = StoreSink.lastZonePrune.get
+    assert(planned > kept && kept <= 2,
+      s"zone maps did not skip the high-range files: planned=$planned kept=$kept")
+    val p = low.queryExecution.executedPlan.toString
+    assert(p.contains("zones=["), s"pushed bounds not visible in the scan:\n$p")
+
+    // runtime filtering: a selective broadcast dim prunes planning to the
+    // zones its realized keys land in (the dim filter is runtime-only)
+    StoreSink.lastZonePrune = None
+    val dim = spark.range(0, 4).select((col("id") + 1000).as("dk"))
+      .where(col("dk") % 2 === 0)
+    val j = all.join(org.apache.spark.sql.functions.broadcast(dim),
+                     col("k") === col("dk"))
+    assert(j.count() == 2)
+    val (p2, k2) = StoreSink.lastZonePrune.get
+    assert(k2 < p2, s"runtime keys did not narrow planning: $p2 -> $k2")
+  }
+
+  test("row-level MERGE rewrites only the files whose zones hold matched keys") {
+    import spark.implicits._
+    val dir = freshDir("groupfilter")
+    df(1 to 40, "a").repartition(1).write.format(fmt).mode("overwrite").option("path", dir).save()
+    df(1000 to 1040, "b").repartition(1).write.format(fmt).mode("append").option("path", dir).save()
+    val before = StoreSink.readManifest(new Path(dir), fs)
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      // CDC touches only the low-range file's zone
+      Seq((5L, 999L)).toDF("k", "amt").createOrReplaceTempView("spec_zone_cdc")
+      spark.sql("""MERGE INTO graft.store t USING spec_zone_cdc s ON t.k = s.k
+                  |WHEN MATCHED THEN UPDATE SET amt_cents = s.amt""".stripMargin)
+      val after = StoreSink.readManifest(new Path(dir), fs)
+      val carried = before.filter(after.contains)
+      assert(carried.nonEmpty,
+        s"file-granular COW expected: untouched zones must carry over\nbefore=$before\nafter=$after")
+      val got = readBack(dir)
+      assert(got.exists(r => r._1 == 5L && r._3 == 999L), "MERGE update lost")
+      assert(got.size == 81)
+      assert(got.count(_._2 == "b") == 41, "untouched zone mutated")
+    } finally {
+      spark.catalog.dropTempView("spec_zone_cdc")
       spark.conf.unset(ckey)
       spark.conf.unset(GraftCatalog.StorePathKey)
     }
