@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -361,7 +361,8 @@ private class RangeScan(lo: Long, hi: Long, required: StructType,
       .getOrElse(RangeSource.SliceRows)
     val reveals = Option(options.get("revealsPerRun")).map(_.toInt)
       .getOrElse(Int.MaxValue)
-    new RangeMicroBatchStream(lo, hi, required, feedId, chunk, reveals)
+    val maxRows = Option(options.get("maxRowsPerTrigger")).map(_.toLong)
+    new RangeMicroBatchStream(lo, hi, required, feedId, chunk, reveals, maxRows)
   }
 }
 
@@ -377,24 +378,67 @@ private case class RangeStreamOffset(pos: Long) extends StreamOffset {
   * as ceil(range/chunk) micro-batches. Restart: Spark restores the last
   * committed offset from the checkpoint and plans [committed, available) —
   * [[RangeSource.lastRunFirstPlannedStart]] lets the spec pin that no row
-  * is re-read or skipped across the restart. */
+  * is re-read or skipped across the restart.
+  *
+  * ADMISSION CONTROL ([[SupportsAdmissionControl]]): `maxRowsPerTrigger`
+  * caps each micro-batch's admitted offset range below what has arrived —
+  * the backpressure knob every production tail needs (a restart after
+  * downtime must NOT take the whole backlog as one giant batch).
+  * [[SupportsTriggerAvailableNow]]: AvailableNow snapshots the full extent
+  * as the run's END GOAL and drains it in admission-bounded batches, then
+  * stops — the batch-over-streaming backfill contract, through the same
+  * offset arithmetic. */
 private class RangeMicroBatchStream(lo: Long, hi: Long, required: StructType,
-                                    feedId: String, chunk: Long, revealsPerRun: Int)
-    extends MicroBatchStream {
+                                    feedId: String, chunk: Long, revealsPerRun: Int,
+                                    maxRowsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private var reveals = 0
   private var firstPlanOfRun = true
+  private var availableNowGoal: Option[Long] = None
 
   override def initialOffset(): StreamOffset = RangeStreamOffset(lo)
 
-  override def latestOffset(): StreamOffset = {
-    val avail =
+  /** What has arrived, advancing the simulated external log within this
+    * run's reveal budget. */
+  private def arrivedNow(): Long =
+    availableNowGoal.getOrElse {
       if (reveals < revealsPerRun) {
         reveals += 1
         RangeSource.reveal(feedId, lo, hi, chunk)
       } else RangeSource.arrivedUpTo(feedId, lo)
-    RangeStreamOffset(avail)
+    }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** AvailableNow contract: everything in the table is the target of THIS
+    * run (the external log is treated as fully landed), drained in
+    * admission-bounded batches. */
+  override def prepareForTriggerAvailableNow(): Unit = {
+    RangeSource.reveal(feedId, lo, hi, hi - lo)
+    availableNowGoal = Some(hi)
   }
+
+  private def admit(start: Long, arrived: Long, limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows => math.min(arrived, start + r.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.foldLeft(arrived)((acc, l) => math.min(acc, admit(start, arrived, l)))
+    case _: ReadAllAvailable => arrived
+    case _ => arrived
+  }
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val s = start.asInstanceOf[RangeStreamOffset].pos
+    RangeStreamOffset(admit(s, arrivedNow(), limit))
+  }
+
+  override def reportLatestOffset(): StreamOffset =
+    RangeStreamOffset(RangeSource.arrivedUpTo(feedId, lo))
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
 
   override def deserializeOffset(json: String): StreamOffset =
     RangeStreamOffset(json.trim.toLong)

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -134,6 +135,10 @@ object StoreSink {
   /** Test observability: last (planned, kept) zone-map narrowing. */
   @volatile private[sources] var lastZonePrune: Option[(Int, Int)] = None
 
+  /** Test observability: (start, end) of each tail batch planned. */
+  private[sources] val tailPlans =
+    new java.util.concurrent.CopyOnWriteArrayList[(Int, Int)]()
+
   /** Test-only failure injection for the delete path: when set, the
     * rewrite throws after processing one file — the spec asserts the
     * previous manifest (and its files) survive the abort. */
@@ -145,12 +150,25 @@ object StoreSink {
   private[sources] def fs(p: Path, conf: Configuration): FileSystem =
     p.getFileSystem(conf)
 
+  /** Manifest I/O goes through the RAW filesystem on checksum-wrapped
+    * local FS: the `.crc` SIDECAR breaks the atomic-swap contract — a
+    * reader can open the old manifest while the rename replaces the
+    * sidecar, and the mismatched pair throws ChecksumException (observed
+    * from the store-tail stream polling latestOffset during an append).
+    * One file, one rename, no sidecar = genuinely atomic. HDFS/object
+    * stores checksum inline, so this is a local-FS-only unwrap. */
+  private def manifestFs(fsys: FileSystem): FileSystem = fsys match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
   /** Raw manifest lines (data files + epoch markers); empty when
     * uncommitted. */
   private[sources] def readManifestLines(root: Path, fsys: FileSystem): Seq[String] = {
+    val raw = manifestFs(fsys)
     val mf = new Path(root, Manifest)
-    if (!fsys.exists(mf)) return Nil
-    val in = fsys.open(mf)
+    if (!raw.exists(mf)) return Nil
+    val in = raw.open(mf)
     try {
       val txt = new String(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
@@ -173,18 +191,23 @@ object StoreSink {
 
   private[sources] def writeManifestAtomic(
       root: Path, fsys: FileSystem, lines: Seq[String]): Unit = {
+    val raw = manifestFs(fsys)
     val tmp = new Path(root, Manifest + ".tmp")
-    val out = fsys.create(tmp, true)
+    val out = raw.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val mf = new Path(root, Manifest)
+    // drop any sidecar a pre-raw-IO build left behind (stale crc would
+    // mispair with raw-written content for checksum-FS readers)
+    raw.delete(new Path(root, "." + Manifest + ".crc"), false)
+    raw.delete(new Path(root, "." + Manifest + ".tmp.crc"), false)
     // FileContext.rename(OVERWRITE) replaces the manifest in ONE namespace
     // op — a delete-then-rename pair would leave a window with no manifest,
     // where a concurrent reader plans an empty table (ADVICE r6). The
     // qualified path pins the rename to the root's filesystem.
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fsys.makeQualified(root).toUri, fsys.getConf)
-    fc.rename(fsys.makeQualified(tmp), fsys.makeQualified(mf),
+      raw.makeQualified(root).toUri, raw.getConf)
+    fc.rename(raw.makeQualified(tmp), raw.makeQualified(mf),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
@@ -401,7 +424,8 @@ private class StoreTable(pathStr: String) extends Table
   override def schema(): StructType = StoreSink.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-                    TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+                    TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+                    TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(pathStr)
@@ -845,6 +869,62 @@ private class StoreScan(pathStr: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     StoreReaderFactory()
+
+  /** Streaming READ: tail the manifest as an offset log. The manifest is
+    * append-ordered (append/epoch commits extend it; only overwrite and
+    * row-level rewrites rewrite history), so "files consumed so far" is a
+    * valid offset — each micro-batch plans exactly the NEW manifest
+    * entries, restart resumes from the committed file index, and a
+    * history rewrite mid-tail (entry count shrinking below the consumed
+    * prefix) fails loudly instead of silently re-reading. This closes the
+    * store's log-structured loop: the same table is a batch source/sink,
+    * a streaming sink (epoch ledger), and a streaming source (manifest
+    * tail) — the CDC-feed shape every warehouse store grows eventually. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new StoreMicroBatchStream(pathStr)
+}
+
+/** File-count offset over the append-ordered manifest. */
+private case class StoreStreamOffset(files: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = files.toString
+}
+
+private class StoreMicroBatchStream(pathStr: String) extends MicroBatchStream {
+  private def root = new Path(pathStr)
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    StoreStreamOffset(0)
+
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    StoreStreamOffset(StoreSink.readEntries(root, StoreSink.fs(root)).size)
+
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    StoreStreamOffset(json.trim.toInt)
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[StoreStreamOffset].files
+    val b = end.asInstanceOf[StoreStreamOffset].files
+    StoreSink.tailPlans.add((a, b))
+    val entries = StoreSink.readEntries(root, StoreSink.fs(root))
+    // a shrunk manifest shows up either as a backwards window (latest <
+    // committed) or as a window past the current entry list — both mean
+    // an overwrite/row-level rewrite destroyed consumed history
+    require(a <= b && entries.size >= b,
+      s"graft-store history rewritten during tail: manifest has ${entries.size} " +
+        s"entries, batch window is [$a, $b) — streaming reads require an " +
+        "append-only store")
+    entries.slice(a, b)
+      .map(e => StoreFilePartition(new Path(root, e.name).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = StoreReaderFactory()
 }
 
 private case class StoreFilePartition(file: String) extends InputPartition

@@ -1033,6 +1033,38 @@ object StreamOps extends OpModule {
       s.table(name).orderBy(col("tag"))
     }),
 
+    // ADMISSION CONTROL + AvailableNow through the custom connector
+    // (SupportsAdmissionControl / SupportsTriggerAvailableNow on
+    // RangeSource's MicroBatchStream): the whole extent is drained as a
+    // BACKFILL — AvailableNow snapshots the goal, maxRowsPerTrigger caps
+    // every batch at 60k admitted rows (so the 200k backlog can never
+    // arrive as one giant batch — the restart-after-downtime contract),
+    // and the query self-terminates. Output ≡ the batch closed forms:
+    // admission changes batch BOUNDARIES, never totals — that invariance
+    // is what the oracle pins (the s_trigger_avail pattern, on a
+    // connector we own).
+    "s_src_dsv2_avail" -> ((s, d) => {
+      val feedId = s"s_src_dsv2_avail_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.sources.RangeSource.resetFeed(feedId)
+      val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+      withStreamParallelism(s) {
+        val q = s.readStream.format("graft.sources.RangeSource")
+          .option("start", "0").option("end", "200000")
+          .option("feedId", feedId)
+          .option("maxRowsPerTrigger", "60000")
+          .load()
+          .groupBy(col("tag"))
+          .agg(count(lit(1)).as("n"), graft.ops.Det.moneySum(col("val")).as("val_cents"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", s"target/tmp/chk_$name")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      s.table(name).orderBy(col("tag"))
+    }),
+
     // DSv2 STREAMING WRITE (StoreSink's StreamingWrite half): the events
     // feed lands in the keyed store through THREE epoch-keyed staging/
     // manifest commits (maxFilesPerTrigger=1 over a 3-file feed), then the
@@ -1077,6 +1109,45 @@ object StreamOps extends OpModule {
         .orderBy(col("grp"))
     }),
 
+    // STREAMING READ FROM THE STORE (StoreSink's MicroBatchStream half —
+    // tailing the manifest as an offset log): half the orders slice lands
+    // first and is drained as batch 1; the second half APPENDS while the
+    // query is live and arrives as batch 2 (only the NEW manifest entries
+    // are planned — the file-count offset). The Complete-mode aggregate
+    // over both batches must equal the batch read of the final store,
+    // which the oracle recomputes from orders. This closes the store's
+    // log-structured loop: streaming sink (epoch ledger) AND streaming
+    // source (manifest tail) over one commit protocol.
+    "s_store_tail" -> ((s, d) => {
+      val path = graft.sources.Sources.tmp(d, "storetail")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+        graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      def land(cond: org.apache.spark.sql.Column, mode: String): Unit =
+        base.where(cond).write.format("graft.sources.StoreSink")
+          .mode(mode).option("path", path).save()
+      land(col("k") % 2 === 0, "overwrite")
+      val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+      withStreamParallelism(s) {
+        val q = s.readStream.format("graft.sources.StoreSink")
+          .option("path", path).load()
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", s"target/tmp/chk_$name")
+          .start()
+        try {
+          q.processAllAvailable()        // batch 1: the seeded half
+          land(col("k") % 2 === 1, "append") // live append
+          q.processAllAvailable()        // batch 2: only the new entries
+        } finally q.stop()
+      }
+      s.table(name).orderBy(col("grp"))
+    }),
+
     "s_topk" -> ((s, d) => {
       graft.functions.TopK.register(s)
       val st = runStreamFile(s, d, OutputMode.Complete()) { ds =>
@@ -1103,6 +1174,23 @@ object StreamOps extends OpModule {
         |SELECT tag, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents
         |FROM g GROUP BY tag ORDER BY tag""".stripMargin,
+
+    // admission bounds batches, never totals — full-extent closed forms
+    "s_src_dsv2_avail" ->
+      """WITH g AS (
+        |  SELECT r.range AS id,
+        |    (r.range * 7919 % 100000) / 100.0 AS val,
+        |    SUBSTR('abcd', CAST(r.range % 4 AS INT) + 1, 1) AS tag
+        |  FROM RANGE(0, 200000) r)
+        |SELECT tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM g GROUP BY tag ORDER BY tag""".stripMargin,
+
+    // both tailed batches together ≡ the whole slice, exactly once
+    "s_store_tail" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
 
     // replayed epoch absorbed: the store holds the feed exactly once
     "s_sink_dsv2" ->

@@ -154,6 +154,33 @@ class RangeSourceSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("admission control caps each micro-batch; AvailableNow drains and stops") {
+    val base = "target/tmp/rangestream_admission"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val feedId = "spec-admission"
+    RangeSource.resetFeed(feedId)
+    val q = spark.readStream.format("graft.sources.RangeSource")
+      .option("start", "0").option("end", "100000")
+      .option("feedId", feedId)
+      .option("maxRowsPerTrigger", "30000")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // AvailableNow must self-terminate
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.forall(_.numInputRows <= 30000),
+      s"a batch exceeded the admission cap: ${progress.map(_.numInputRows).mkString(",")}")
+    assert(progress.length >= 4, // 100k rows / 30k cap → at least 4 batches
+      s"expected the backlog drained in capped batches, got ${progress.length}")
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 100000L && out.select(col("id")).distinct().count() == 100000L,
+      "AvailableNow drain lost or duplicated rows")
+  }
+
   test("micro-batch read resumes from the committed offset across restarts") {
     val base = "target/tmp/rangestream_spec"
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -259,6 +259,37 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("streaming tail: new entries arrive as new batches, restart resumes, rewrite detected") {
+    val base = freshDir("tail")
+    val store = s"$base/store"; val out = s"$base/out"; val chk = s"$base/chk"
+    def run(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", store).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", store).save()
+    StoreSink.tailPlans.clear()
+    run()
+    assert(spark.read.parquet(out).count() == 20)
+    df(21 to 30, "b").write.format(fmt).mode("append").option("path", store).save()
+    run() // restart from the committed file index: only the NEW entries
+    val got = spark.read.parquet(out)
+    assert(got.count() == 30 && got.select(col("k")).distinct().count() == 30,
+      "tail restart re-read or skipped manifest entries")
+    import scala.jdk.CollectionConverters._
+    val plans = StoreSink.tailPlans.asScala.filter(p => p._2 > p._1)
+    assert(plans.nonEmpty && plans.forall(p => p._1 > 0 || plans.head == p),
+      s"batches must tile the manifest without overlap: $plans")
+
+    // history rewrite mid-tail: the manifest shrinks below the consumed
+    // prefix — the tail must fail loudly, never silently re-read
+    df(1 to 3, "c").write.format(fmt).mode("overwrite").option("path", store).save()
+    intercept[Exception] { run() }
+  }
+
   test("null columns and URL-unsafe strings round-trip") {
     import spark.implicits._
     val dir = freshDir("nulls")
