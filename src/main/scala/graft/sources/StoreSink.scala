@@ -201,14 +201,26 @@ object StoreSink {
     // mispair with raw-written content for checksum-FS readers)
     raw.delete(new Path(root, "." + Manifest + ".crc"), false)
     raw.delete(new Path(root, "." + Manifest + ".tmp.crc"), false)
-    // FileContext.rename(OVERWRITE) replaces the manifest in ONE namespace
-    // op — a delete-then-rename pair would leave a window with no manifest,
-    // where a concurrent reader plans an empty table (ADVICE r6). The
-    // qualified path pins the rename to the root's filesystem.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      raw.makeQualified(root).toUri, raw.getConf)
-    fc.rename(raw.makeQualified(tmp), raw.makeQualified(mf),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // The swap must be ONE namespace op — any delete-then-rename pair
+    // leaves a window with no manifest, where a concurrent reader plans an
+    // empty table (observed: the store-tail stream polling during an
+    // append saw 0 entries — LocalFs's Rename.OVERWRITE is internally
+    // delete+rename). On a local FS use POSIX rename(2) via NIO
+    // ATOMIC_MOVE; elsewhere (HDFS et al.) FileContext's OVERWRITE rename
+    // is the atomic primitive.
+    val qualifiedMf = raw.makeQualified(mf)
+    if (qualifiedMf.toUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(raw.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(qualifiedMf.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        qualifiedMf.toUri, raw.getConf)
+      fc.rename(raw.makeQualified(tmp), qualifiedMf,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** `base` shifts past leading non-table columns: 0 for plain batch /
