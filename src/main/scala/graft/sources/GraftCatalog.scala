@@ -86,6 +86,24 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog 
     inDefaultNs(ident) &&
       tables.contains(ident.name().toLowerCase(java.util.Locale.ROOT))
 
+  /** TIME TRAVEL (`SELECT ... FROM graft.store VERSION AS OF n`): resolve
+    * the store pinned to an archived manifest generation — a read-only
+    * snapshot; writes/row-level ops against it are refused. Only the store
+    * is versioned (the generators are immutable by construction). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (inDefaultNs(ident) &&
+        ident.name().toLowerCase(java.util.Locale.ROOT) == "store") {
+      val p = org.apache.spark.sql.SparkSession.active.conf
+        .getOption(GraftCatalog.StorePathKey)
+        .getOrElse(throw new NoSuchTableException(ident))
+      val v = try version.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft.store versions are integers, got '$version'")
+      }
+      new StoreTable(p, Some(v))
+    } else throw new NoSuchTableException(ident)
+
   // ------------------------------------------------- FunctionCatalog (V2)
   // Catalog FUNCTIONS beside catalog tables: `graft.amt(id)` resolves
   // through the same namespace, so a SQL author gets the store's canonical

@@ -766,6 +766,46 @@ object Sources extends OpModule {
       } finally s.catalog.dropTempView(v)
     }),
 
+    // TIME TRAVEL + RETENTION through the connector: every manifest swap
+    // archives an immutable `_manifest.v<N>`, `VERSION AS OF n` resolves a
+    // read-only snapshot through the catalog, and retention is an explicit
+    // vacuum (expire old versions, then delete files no retained manifest
+    // references) — the Iceberg snapshot/expire lifecycle on a store we
+    // own. The query reads three committed generations (seed → UPDATE →
+    // DELETE), vacuums to the newest two, proves v1 is then LOUDLY expired
+    // (marker row) while the current state is untouched. Writes against a
+    // pinned snapshot are refused (StoreSinkSpec). At 100 TB: a version is
+    // one manifest file, vacuum is O(manifests) + unreferenced deletes —
+    // never a data rewrite (the sink_retention posture, now transactional).
+    "q_store_time_travel" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storett")
+      seedStore(s, d, path) // version 1
+      withStorePath(s, path) {
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 7 WHERE grp = 'P'") // v2
+        s.sql("DELETE FROM graft.store WHERE grp = 'F'") // v3 (current)
+        def aggOf(src: DataFrame, v: String): DataFrame =
+          src.groupBy(col("grp"))
+            .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+            .select(lit(v).as("v"), col("grp"), col("n"), col("sum_cents"))
+        val pre = aggOf(s.sql("SELECT * FROM graft.store VERSION AS OF 1"), "v1")
+          .unionByName(aggOf(s.sql("SELECT * FROM graft.store VERSION AS OF 2"), "v2"))
+          .unionByName(aggOf(s.table("graft.store"), "v3"))
+          .collect()
+        graft.sources.StoreSink.vacuum(path, 2)
+        val v1Expired =
+          try { s.sql("SELECT * FROM graft.store VERSION AS OF 1").collect(); 0L }
+          catch { case _: Exception => 1L }
+        val post = aggOf(s.table("graft.store"), "v4_post_vacuum").collect()
+        val marker = org.apache.spark.sql.Row("v1_expired", "-", v1Expired, 0L)
+        val res = (pre ++ post :+ marker).toSeq
+        val schema = StructType(Seq(
+          StructField("v", StringType), StructField("grp", StringType),
+          StructField("n", LongType), StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(res.asJava, schema).orderBy(col("v"), col("grp"))
+      }
+    }),
+
     // Row-level UPDATE through the same protocol: one SQL statement, the
     // connector rewrites the affected generation copy-on-write. The oracle
     // applies the SET arithmetic relationally.
@@ -839,6 +879,28 @@ object Sources extends OpModule {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' OR o_orderkey < 1000)
         |GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // each snapshot's state applied relationally; v1 expires after vacuum
+    "q_store_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt
+        |  FROM orders),
+        |v1 AS (SELECT 'v1' AS v, grp, COUNT(*) AS n,
+        |         CAST(SUM(amt) AS BIGINT) AS sum_cents FROM base GROUP BY grp),
+        |v2 AS (SELECT 'v2', grp, COUNT(*),
+        |         CAST(SUM(amt + CASE WHEN grp = 'P' THEN 7 ELSE 0 END) AS BIGINT)
+        |       FROM base GROUP BY grp),
+        |v3 AS (SELECT 'v3', grp, COUNT(*),
+        |         CAST(SUM(amt + CASE WHEN grp = 'P' THEN 7 ELSE 0 END) AS BIGINT)
+        |       FROM base WHERE grp <> 'F' GROUP BY grp),
+        |v4 AS (SELECT 'v4_post_vacuum', grp, COUNT(*),
+        |         CAST(SUM(amt + CASE WHEN grp = 'P' THEN 7 ELSE 0 END) AS BIGINT)
+        |       FROM base WHERE grp <> 'F' GROUP BY grp)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4
+        |UNION ALL SELECT 'v1_expired', '-', 1, 0
+        |ORDER BY v, grp""".stripMargin,
 
     // UPDATE's SET arithmetic applied relationally
     "q_store_update" ->

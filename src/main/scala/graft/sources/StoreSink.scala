@@ -189,6 +189,57 @@ object StoreSink {
 
   private[sources] def epochLine(id: Long): String = s"$EpochMark$id"
 
+  /** Version manifests: `_manifest.v<N>` — every committed generation is
+    * archived immutably, so `VERSION AS OF n` reads are one manifest file
+    * away (GraftCatalog.loadTable(ident, version)). Data files are NEVER
+    * deleted by writes — [[vacuum]] is the retention op (expire versions,
+    * then delete files no retained manifest references): time travel stays
+    * honest until an explicit, auditable GC. */
+  private def versionPath(root: Path, n: Int) = new Path(root, s"$Manifest.v$n")
+
+  /** Committed version numbers, ascending; empty when uncommitted. */
+  private[sources] def listVersions(root: Path, fsys: FileSystem): Seq[Int] = {
+    val raw = manifestFs(fsys)
+    if (!raw.exists(root)) return Nil
+    raw.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(Manifest + ".v"))
+      .map(_.stripPrefix(Manifest + ".v").toInt).sorted.toSeq
+  }
+
+  /** Manifest lines of an archived version (loudly absent if expired). */
+  private[sources] def readVersionLines(root: Path, fsys: FileSystem,
+                                        version: Int): Seq[String] = {
+    val raw = manifestFs(fsys)
+    val vp = versionPath(root, version)
+    require(raw.exists(vp),
+      s"graft-store version $version does not exist (expired by vacuum, or " +
+        s"never committed); available: ${listVersions(root, fsys).mkString(",")}")
+    val in = raw.open(vp)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Retention: keep the newest `keepVersions` archived manifests, delete
+    * the rest, then delete every data file NO retained manifest (nor the
+    * current one) references. O(manifests) metadata + unreferenced-file
+    * deletes — never a data rewrite. */
+  def vacuum(pathStr: String, keepVersions: Int): Unit = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    val raw = manifestFs(fsys)
+    val versions = listVersions(root, fsys)
+    val (expired, retained) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced = (retained.flatMap(v => readVersionLines(root, fsys, v)) ++
+        readManifestLines(root, fsys))
+      .filterNot(_.startsWith("#")).map(parseEntry(_).name).toSet
+    expired.foreach(v => raw.delete(versionPath(root, v), false))
+    fsys.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && !referenced.contains(n))
+      .foreach(n => fsys.delete(new Path(root, n), false))
+  }
+
   private[sources] def writeManifestAtomic(
       root: Path, fsys: FileSystem, lines: Seq[String]): Unit = {
     val raw = manifestFs(fsys)
@@ -196,6 +247,12 @@ object StoreSink {
     val out = raw.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // archive this generation (single committing driver per store — the
+    // Spark commit protocol already serializes us)
+    val nextV = listVersions(root, fsys).lastOption.getOrElse(0) + 1
+    val vout = raw.create(versionPath(root, nextV), true)
+    try vout.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally vout.close()
     val mf = new Path(root, Manifest)
     // drop any sidecar a pre-raw-IO build left behind (stale crc would
     // mispair with raw-written content for checksum-FS readers)
@@ -411,10 +468,16 @@ object StoreSink {
   }
 }
 
-private class StoreTable(pathStr: String) extends Table
+private class StoreTable(pathStr: String, version: Option[Int] = None)
+    extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
   require(pathStr != null, "graft-store requires a path option")
+
+  private def requireCurrent(op: String): Unit =
+    require(version.isEmpty,
+      s"graft-store $op is not allowed on a pinned snapshot (VERSION AS OF " +
+        s"${version.get}) — snapshots are read-only")
 
   /** Full row-level SQL (UPDATE / MERGE INTO, and DELETE whose predicate
     * SupportsDelete can't translate) via the GROUP-BASED (copy-on-write)
@@ -429,10 +492,13 @@ private class StoreTable(pathStr: String) extends Table
     * (no runtime group filtering yet), so row-level SQL is a table-granular
     * copy-on-write — correct first, file-granular later. */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireCurrent("row-level operation")
     () => new StoreRowLevelOperation(pathStr, info.command())
+  }
 
-  override def name(): String = s"graft_store($pathStr)"
+  override def name(): String =
+    s"graft_store($pathStr${version.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = StoreSink.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -440,10 +506,12 @@ private class StoreTable(pathStr: String) extends Table
                     TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StoreScanBuilder(pathStr)
+    new StoreScanBuilder(pathStr, version)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireCurrent("write")
     new StoreWriteBuilder(pathStr, info)
+  }
 
   // ------------------------------------------------------- row-level DELETE
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -456,6 +524,7 @@ private class StoreTable(pathStr: String) extends Table
     * after. Any failure before the swap leaves the previous generation
     * bit-for-bit intact (the rewrite staged nothing into the manifest). */
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireCurrent("delete")
     require(filters.forall(StoreSink.canEvaluate),
       s"untranslatable delete predicate: ${filters.mkString(", ")}")
     val root = new Path(pathStr)
@@ -516,10 +585,9 @@ private class StoreTable(pathStr: String) extends Table
         }
       }
     }
-    if (rewritten.nonEmpty) {
+    if (rewritten.nonEmpty)
+      // replaced files stay for archived versions; vacuum is the GC
       StoreSink.writeManifestAtomic(root, fsys, newLines ++ markers)
-      rewritten.foreach { case (old, _) => fsys.delete(new Path(root, old), false) }
-    }
   }
 }
 
@@ -592,7 +660,7 @@ private class StoreGroupReplaceWrite(pathStr: String, queryId: String,
       !l.startsWith("#") && gone.contains(StoreSink.parseEntry(l).name)) ++
       committed.map(_.entry.line)
     StoreSink.writeManifestAtomic(root, fsys, visible)
-    gone.foreach(f => fsys.delete(new Path(root, f), false))
+    // the replaced group set stays on disk for archived versions (vacuum GCs)
     fsys.delete(staging, true)
   }
 
@@ -656,12 +724,9 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
       if (truncate) committed.map(_.entry.line)
       else prevLines ++ committed.map(_.entry.line)
     StoreSink.writeManifestAtomic(root, fsys, visible)
-    if (truncate) { // GC the replaced generation only AFTER the swap
-      val kept = committed.map(_.file).toSet
-      previous.filterNot(kept.contains).foreach { f =>
-        fsys.delete(new Path(root, f), false)
-      }
-    }
+    // replaced generations are NOT deleted here: their files stay
+    // referenced by archived version manifests (time travel) until an
+    // explicit StoreSink.vacuum expires them
     fsys.delete(staging, true) // losing task attempts' leftovers die here
   }
 
@@ -785,7 +850,7 @@ private class StoreDataWriter(pathStr: String, fileName: String)
 
 // ----------------------------------------------------------------- read path
 
-private class StoreScanBuilder(pathStr: String)
+private class StoreScanBuilder(pathStr: String, version: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var zoneFilters: Array[Filter] = Array.empty
@@ -809,13 +874,22 @@ private class StoreScanBuilder(pathStr: String)
 
   override def pushedFilters(): Array[Filter] = zoneFilters
 
-  override def build(): Scan = new StoreScan(pathStr, kLo, kHi)
+  override def build(): Scan = new StoreScan(pathStr, kLo, kHi, version)
 }
 
 private class StoreScan(pathStr: String,
-                        kLo: Option[Long] = None, kHi: Option[Long] = None)
+                        kLo: Option[Long] = None, kHi: Option[Long] = None,
+                        version: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Entries of the pinned snapshot, or the current manifest. */
+  protected def currentEntries(root: Path, fsys: FileSystem): Seq[StoreSink.StoreFileEntry] =
+    version match {
+      case Some(v) => StoreSink.readVersionLines(root, fsys, v)
+        .filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
+      case None => StoreSink.readEntries(root, fsys)
+    }
 
   /** Realized runtime join keys (sorted), when DPP handed any. */
   @volatile private var runtimeKeys: Option[Array[Long]] = None
@@ -849,7 +923,7 @@ private class StoreScan(pathStr: String,
     val fsys = StoreSink.fs(root)
     // manifest-only planning: uncommitted/stray files cannot be scanned;
     // zone maps drop files the pushed bounds / runtime keys cannot touch
-    val entries = StoreSink.readEntries(root, fsys)
+    val entries = currentEntries(root, fsys)
     val kept = entries
       .filter(_.mayContain(kLo, kHi))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
@@ -864,7 +938,7 @@ private class StoreScan(pathStr: String,
   override def estimateStatistics(): Statistics = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
-    val entries = StoreSink.readEntries(root, fsys)
+    val entries = currentEntries(root, fsys)
       .filter(_.mayContain(kLo, kHi))
     val bytes = entries.map { e =>
       try fsys.getFileStatus(new Path(root, e.name)).getLen catch {

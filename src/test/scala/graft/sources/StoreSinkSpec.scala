@@ -32,7 +32,7 @@ class StoreSinkSpec extends SparkSpec {
     dir
   }
 
-  test("overwrite round-trips; append unions; second overwrite replaces + GCs") {
+  test("overwrite round-trips; append unions; overwrite replaces, vacuum GCs") {
     val dir = freshDir("modes")
     df(1 to 50, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
     assert(readBack(dir) == (1 to 50).map(k => (k.toLong, "a", k * 100L)).toSet)
@@ -43,8 +43,13 @@ class StoreSinkSpec extends SparkSpec {
     val genOne = StoreSink.readManifest(new Path(dir), fs)
     df(1 to 5, "c").write.format(fmt).mode("overwrite").option("path", dir).save()
     assert(readBack(dir) == (1 to 5).map(k => (k.toLong, "c", k * 100L)).toSet)
-    // replaced generation physically GC'd after the manifest swap
-    genOne.foreach(f => assert(!fs.exists(new Path(dir, f)), s"stale file $f survived"))
+    // the replaced generation SURVIVES the swap (archived versions still
+    // reference it — time travel); the explicit vacuum is the GC
+    genOne.foreach(f => assert(fs.exists(new Path(dir, f)),
+      s"file $f of an archived version was deleted by a write"))
+    StoreSink.vacuum(dir, 1)
+    genOne.foreach(f => assert(!fs.exists(new Path(dir, f)),
+      s"stale file $f survived the vacuum"))
   }
 
   test("failed job aborts cleanly: previous generation intact, staging gone") {
@@ -120,8 +125,12 @@ class StoreSinkSpec extends SparkSpec {
     val (kept, replaced) = before.partition(after.contains)
     assert(kept.nonEmpty, "expected at least one untouched file to carry over")
     assert(replaced.nonEmpty, "expected the matching files to be rewritten")
+    // replaced files persist for archived versions; vacuum removes them
+    StoreSink.vacuum(dir, 1)
     replaced.foreach(f => assert(!fs.exists(new Path(dir, f)),
-      s"replaced file $f not GC'd"))
+      s"replaced file $f survived the vacuum"))
+    assert(readBack(dir) == (1 to 50).map(k => (k.toLong, "a", k * 100L)).toSet,
+      "vacuum mutated the current state")
   }
 
   test("delete with a null-valued predicate column: UNKNOWN rows survive") {
@@ -288,6 +297,45 @@ class StoreSinkSpec extends SparkSpec {
     // prefix — the tail must fail loudly, never silently re-read
     df(1 to 3, "c").write.format(fmt).mode("overwrite").option("path", store).save()
     intercept[Exception] { run() }
+  }
+
+  test("time travel: snapshots are read-only; vacuum expires versions and GCs files") {
+    val dir = freshDir("timetravel")
+    df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", dir).save()   // v1
+    df(21 to 30, "b").write.format(fmt).mode("append").option("path", dir).save()     // v2
+    df(1 to 5, "c").write.format(fmt).mode("overwrite").option("path", dir).save()    // v3
+    val root = new Path(dir)
+    assert(StoreSink.listVersions(root, fs) == Seq(1, 2, 3))
+
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      assert(spark.sql("SELECT COUNT(*) FROM graft.store VERSION AS OF 1")
+        .collect()(0).getLong(0) == 20)
+      assert(spark.sql("SELECT COUNT(*) FROM graft.store VERSION AS OF 2")
+        .collect()(0).getLong(0) == 30)
+      assert(spark.sql("SELECT COUNT(*) FROM graft.store").collect()(0).getLong(0) == 5)
+      // v2's files survive the v3 overwrite — that is what time travel buys
+      intercept[Exception] {
+        spark.sql("UPDATE graft.store VERSION AS OF 1 SET amt_cents = 0").collect()
+      }
+
+      StoreSink.vacuum(dir, 1)
+      assert(StoreSink.listVersions(root, fs) == Seq(3))
+      intercept[Exception] {
+        spark.sql("SELECT COUNT(*) FROM graft.store VERSION AS OF 1").collect()
+      }
+      // only the current generation's files survive the vacuum
+      val live = StoreSink.readManifest(root, fs).toSet
+      val onDisk = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("part-")).toSet
+      assert(onDisk == live, s"vacuum left unreferenced files: ${onDisk.diff(live)}")
+      assert(spark.sql("SELECT COUNT(*) FROM graft.store").collect()(0).getLong(0) == 5)
+    } finally {
+      spark.conf.unset(ckey)
+      spark.conf.unset(GraftCatalog.StorePathKey)
+    }
   }
 
   test("null columns and URL-unsafe strings round-trip") {
