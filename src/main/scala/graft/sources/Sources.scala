@@ -766,6 +766,22 @@ object Sources extends OpModule {
       } finally s.catalog.dropTempView(v)
     }),
 
+    // ZONE-MAP READ through the connector: the manifest's per-file
+    // (minK, maxK) stats prune FILE planning for a key-bounded read of the
+    // range-clustered store — the parquet row-group-skipping shape on a
+    // metadata layer we own (StoreSinkSpec pins the planned-file narrowing
+    // and the DPP variant; this query pins the semantics at data scale).
+    "q_store_zone_read" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storezone")
+      seedStore(s, d, path)
+      val res = s.read.format("graft.sources.StoreSink").option("path", path).load()
+        .where(col("k").between(100, 999))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        .orderBy(col("grp"))
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    }),
+
     // TIME TRAVEL + RETENTION through the connector: every manifest swap
     // archives an immutable `_manifest.v<N>`, `VERSION AS OF n` resolves a
     // read-only snapshot through the catalog, and retention is an explicit
@@ -878,6 +894,13 @@ object Sources extends OpModule {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' OR o_orderkey < 1000)
+        |GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // zone pruning is a planning rewrite, never semantics
+    "q_store_zone_read" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 999
         |GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
 
     // each snapshot's state applied relationally; v1 expires after vacuum
