@@ -60,6 +60,97 @@ object TrainingOps extends OpModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR-style importance resampling (Xie et al. 2023): rank raw-corpus
+    // documents by how much their hashed-n-gram distribution looks like a
+    // TARGET domain (here lang='en'). Features = md5-28-bit word-BIGRAM
+    // buckets mod 4096 (the engine-portable hash idiom; a FIXED feature width is
+    // the method — no vocabulary, no OOV); per-bucket importance =
+    // ln(p_target(b)) − ln(p_raw(b)) with +1 smoothing, rounded to 1e-6
+    // integer units PER BUCKET (4096 values — order-independent integer
+    // sums from there on; ln-at-fixed-point is the q_survival_km
+    // convention). Per-doc score = Σ over its tokens of the bucket weight;
+    // output = top-20 docs by score. Shapes at 100 TB: ONE token scan into
+    // the (bucket, counts) table (4096 rows — broadcast), one more token
+    // scan joined against it (map-side), partial-agg per doc, TakeOrdered.
+    // No vocabulary join, no pair work — linear in tokens.
+    "q_dsir_sample" -> ((s, d) => {
+      // word-BIGRAM features: this corpus shares one small vocabulary
+      // across languages (31 distinct tokens — languages differ only in
+      // co-occurrence), so unigram ratios carry almost no signal; bigrams
+      // separate the domains completely (spec pins 15+ of the top-20 in
+      // the target domain)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                split(trim(col("text")), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """case when size(toks) < 2 then array()
+            |else transform(sequence(0, size(toks) - 2),
+            |       i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
+            |end""".stripMargin)).as("t"))
+        .withColumn("b",
+          expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint) % 4096"))
+      val grp = tok.groupBy(col("b"))
+        .agg(count(lit(1)).as("n_r"),
+             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+      val totals = grp.agg(sum(col("n_r")), sum(col("n_t"))).collect()(0)
+      val nRd = (totals.getLong(0) + 4096).toDouble
+      val nTd = (totals.getLong(1) + 4096).toDouble
+      val w = grp.select(col("b"),
+        round((log((col("n_t") + 1) / lit(nTd)) -
+               log((col("n_r") + 1) / lit(nRd))) * 1e6).cast("long").as("w"))
+      tok.join(broadcast(w), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_gram"), sum(col("w")).as("dsir_e6"))
+        // rank by PER-TOKEN fit (total weight conflates length with
+        // domain resemblance); the ratio of two exact integers through
+        // IEEE double division is identical on both engines
+        .orderBy((col("dsir_e6").cast("double") / col("n_gram")).desc,
+                 col("doc_id"))
+        .limit(20)
+    }),
+
+    // k-center greedy / farthest-point coreset selection (Sener & Savarese
+    // 2018's diversity-sampling core): 8 rounds, each adding the point
+    // farthest (squared euclid, e6-integer units, vec_id tie-break) from
+    // the selected set. The selected set is DRIVER state (8 rows of 64
+    // floats — the 1-row-election pattern per round, never data-sized);
+    // every round is one scan computing LEAST over ≤8 codegen'd FloatDot
+    // distances (d² = self + c_self − 2·a·b — norms staged once) and a
+    // TakeOrdered(1). At 100 TB: k scans of the embedding corpus, zero
+    // shuffles, zero pair joins — the honest cost of exact greedy; a
+    // production k in the thousands would stage it over an ANN index
+    // (q_sim_ivf's) instead. Rounding to e6 BEFORE LEAST/argmax makes the
+    // trajectory bit-identical to the oracle's unrolled 8-level replay.
+    "q_kcenter" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.FloatDot.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+                expr("graft_float_dot(embedding, embedding)").as("self"))
+      def rowOf(id: Long): (Long, Seq[Float], Double) = {
+        val r = emb.where(col("vec_id") === id).collect()(0)
+        (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))
+      }
+      val firstId = emb.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      var selected = List((1, 0L, rowOf(firstId))) // (round, d_e6, center)
+      for (r <- 2 to 8) {
+        val cents = selected.map { case (_, _, (id, v, sf)) => (id, v, sf) }
+          .toDF("c_id", "c_emb", "c_self")
+        val pick = emb.join(broadcast(cents)) // 8-row nested-loop broadcast
+          .withColumn("de6",
+            round((col("self") + col("c_self") -
+                   lit(2.0) * expr("graft_float_dot(embedding, c_emb)")) * 1e6)
+              .cast("long"))
+          .groupBy(col("vec_id")).agg(min(col("de6")).as("md"))
+          .orderBy(col("md").desc, col("vec_id")).limit(1)
+          .collect()(0)
+        selected = selected :+ ((r, pick.getLong(1), rowOf(pick.getLong(0))))
+      }
+      selected.map { case (r, de6, (id, _, _)) => (r, id, de6) }
+        .toDF("rnd", "vec_id", "d_e6")
+        .orderBy(col("rnd"))
+    }),
+
     // The hashing trick (Weinberger et al. 2009): fixed-width (64-bucket)
     // hashed term-frequency features per document — the featurizer behind
     // fastText-style quality classifiers at corpus scale. The POINT at
@@ -509,7 +600,67 @@ object TrainingOps extends OpModule {
        |    FROM e CROSS JOIN c) t WHERE arn = 1)""".stripMargin
   }
 
+  /** DuckDB double dot (embcos-proven bit-exact vs FloatDot). */
+  private def duckDot(a: String, b: String): String =
+    s"LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+
+  /** q_kcenter's oracle: the greedy trajectory unrolled to 8 levels —
+    * selection at every level happens over e6-INTEGER distances with the
+    * vec_id tie-break, exactly like the Spark side, so the replay is exact. */
+  private val KCenterOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding,
+      |  LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS self
+      |  FROM embeddings),
+      |c1 AS (SELECT * FROM e ORDER BY vec_id LIMIT 1),
+      |d1 AS (SELECT e.vec_id,
+      |  CAST(ROUND((e.self + c1.self - 2 * ${duckDot("e.embedding", "c1.embedding")}) * 1000000) AS BIGINT) AS md
+      |  FROM e, c1)""".stripMargin
+    for (r <- 2 to 8) {
+      sb ++= s""",
+        |p$r AS (SELECT vec_id, md FROM d${r - 1} ORDER BY md DESC, vec_id LIMIT 1),
+        |c$r AS (SELECT e.* FROM e JOIN p$r USING (vec_id))""".stripMargin
+      if (r < 8) sb ++= s""",
+        |d$r AS (SELECT d${r - 1}.vec_id, LEAST(d${r - 1}.md,
+        |  CAST(ROUND((e.self + c$r.self - 2 * ${duckDot("e.embedding", s"c$r.embedding")}) * 1000000) AS BIGINT)) AS md
+        |  FROM d${r - 1} JOIN e USING (vec_id), c$r)""".stripMargin
+    }
+    sb ++= "\nSELECT CAST(1 AS INTEGER) AS rnd, (SELECT vec_id FROM c1) AS vec_id, CAST(0 AS BIGINT) AS d_e6"
+    for (r <- 2 to 8)
+      sb ++= s"\nUNION ALL SELECT $r, (SELECT vec_id FROM p$r), (SELECT md FROM p$r)"
+    sb ++= "\nORDER BY rnd"
+    sb.toString
+  }
+
   override def oracles: Map[String, String] = Map(
+    // bucket weights from exact counts; ln at 1e-6 integer units per
+    // bucket, integer sums per doc — the engines must agree bit for bit
+    "q_dsir_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(toks) - 1, 0)),
+        |      i -> toks[i + 1] || ' ' || toks[i + 2])) AS t
+        |  FROM base),
+        |tk AS (SELECT doc_id, lang,
+        |         CAST(('0x' || SUBSTR(md5(t), 1, 7)) AS BIGINT) % 4096 AS b
+        |       FROM tok),
+        |grp AS (SELECT b, COUNT(*) AS n_r,
+        |          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+        |        FROM tk GROUP BY b),
+        |tot AS (SELECT CAST(SUM(n_r) AS BIGINT) AS nr, CAST(SUM(n_t) AS BIGINT) AS nt FROM grp),
+        |w AS (SELECT grp.b,
+        |        CAST(ROUND((LN((n_t + 1) / (nt + 4096.0))
+        |                    - LN((n_r + 1) / (nr + 4096.0))) * 1000000) AS BIGINT) AS w
+        |      FROM grp, tot)
+        |SELECT tk.doc_id, COUNT(*) AS n_gram, CAST(SUM(w.w) AS BIGINT) AS dsir_e6
+        |FROM tk JOIN w USING (b)
+        |GROUP BY tk.doc_id
+        |ORDER BY CAST(SUM(w.w) AS DOUBLE) / COUNT(*) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_kcenter" -> KCenterOracle,
+
     "q_feat_hash" ->
       """SELECT doc_id,
         |  CAST(('0x' || SUBSTR(md5(t), 1, 7)) AS BIGINT) % 64 AS bucket,
