@@ -7,7 +7,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
@@ -471,7 +471,15 @@ object StoreSink {
 private class StoreTable(pathStr: String, version: Option[Int] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_file` METADATA COLUMN (SupportsMetadataColumns): provenance for
+    * audits/debugging — `SELECT k, _file FROM graft.store` names the
+    * committed data file each row came from, without the column existing
+    * in the table schema (the Iceberg/Delta _file contract). The reader
+    * materializes it only when the pruned schema asks. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(StoreFileColumn)
   require(pathStr != null, "graft-store requires a path option")
 
   private def requireCurrent(op: String): Unit =
@@ -851,11 +859,16 @@ private class StoreDataWriter(pathStr: String, fileName: String)
 // ----------------------------------------------------------------- read path
 
 private class StoreScanBuilder(pathStr: String, version: Option[Int] = None)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
 
   private var zoneFilters: Array[Filter] = Array.empty
   private var kLo: Option[Long] = None
   private var kHi: Option[Long] = None
+  private var required: StructType = StoreSink.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   /** Zone-map pushdown, parquet-style: key-bound conjuncts narrow FILE
     * planning via the manifest's per-file min/max, but every filter is
@@ -874,12 +887,21 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None)
 
   override def pushedFilters(): Array[Filter] = zoneFilters
 
-  override def build(): Scan = new StoreScan(pathStr, kLo, kHi, version)
+  override def build(): Scan = new StoreScan(pathStr, kLo, kHi, version, required)
+}
+
+/** The `_file` metadata column definition. */
+private object StoreFileColumn extends MetadataColumn {
+  override def name(): String = "_file"
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String = "committed data file this row came from"
 }
 
 private class StoreScan(pathStr: String,
                         kLo: Option[Long] = None, kHi: Option[Long] = None,
-                        version: Option[Int] = None)
+                        version: Option[Int] = None,
+                        required: StructType = StoreSink.schema)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -894,7 +916,7 @@ private class StoreScan(pathStr: String,
   /** Realized runtime join keys (sorted), when DPP handed any. */
   @volatile private var runtimeKeys: Option[Array[Long]] = None
 
-  override def readSchema(): StructType = StoreSink.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val z = (kLo, kHi) match {
@@ -954,7 +976,7 @@ private class StoreScan(pathStr: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    StoreReaderFactory()
+    StoreReaderFactory(required)
 
   /** Streaming READ: tail the manifest as an offset log. The manifest is
     * append-ordered (append/epoch commits extend it; only overwrite and
@@ -1015,16 +1037,31 @@ private class StoreMicroBatchStream(pathStr: String) extends MicroBatchStream {
 
 private case class StoreFilePartition(file: String) extends InputPartition
 
-private case class StoreReaderFactory() extends PartitionReaderFactory {
+private case class StoreReaderFactory(required: StructType = StoreSink.schema)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = new Path(partition.asInstanceOf[StoreFilePartition].file)
     val fsys = StoreSink.fs(p, new Configuration())
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
+    val fileName = UTF8String.fromString(p.getName)
+    // resolve the projection ONCE per partition: table columns come from
+    // the decoded row by ordinal; _file is partition-constant metadata
+    val getters: Array[InternalRow => Any] = required.fieldNames.map {
+      case "k"         => (r: InternalRow) => r.get(0, LongType)
+      case "grp"       => (r: InternalRow) => r.get(1, StringType)
+      case "amt_cents" => (r: InternalRow) => r.get(2, LongType)
+      case "_file"     => (_: InternalRow) => fileName
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
     new PartitionReader[InternalRow] {
       private var line: String = _
       override def next(): Boolean = { line = in.readLine(); line != null }
-      override def get(): InternalRow = StoreSink.decode(line)
+      override def get(): InternalRow = {
+        val full = StoreSink.decode(line)
+        if (getters.length == 3 && (required eq StoreSink.schema)) full
+        else InternalRow.fromSeq(getters.toSeq.map(_(full)))
+      }
       override def close(): Unit = in.close()
     }
   }

@@ -338,6 +338,23 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("_file metadata column: provenance on request, absent from SELECT *") {
+    val dir = freshDir("metacol")
+    df(1 to 10, "a").repartition(1).write.format(fmt).mode("overwrite").option("path", dir).save()
+    df(11 to 20, "b").repartition(1).write.format(fmt).mode("append").option("path", dir).save()
+    val t = spark.read.format(fmt).option("path", dir).load()
+    assert(t.columns.toSeq == Seq("k", "grp", "amt_cents"),
+      "metadata column must not appear in the table schema")
+    val withFile = t.select(col("k"), col("grp"), col("_file"))
+    val files = withFile.collect().map(r => (r.getString(1), r.getString(2)))
+    val manifest = StoreSink.readManifest(new Path(dir), fs).toSet
+    assert(files.map(_._2).toSet == manifest,
+      "_file must name exactly the committed manifest entries")
+    // rows of one commit share one file; the two commits differ
+    val byGrp = files.groupBy(_._1).map { case (g, fs) => g -> fs.map(_._2).toSet }
+    assert(byGrp("a").size == 1 && byGrp("b").size == 1 && byGrp("a") != byGrp("b"))
+  }
+
   test("null columns and URL-unsafe strings round-trip") {
     import spark.implicits._
     val dir = freshDir("nulls")
