@@ -890,6 +890,17 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None)
   override def build(): Scan = new StoreScan(pathStr, kLo, kHi, version, required)
 }
 
+/** Driver-side metric definitions for the store scan (sum across the one
+  * driver report; the aggregate is just the latest value rendered). */
+private case class StoreMetric(name: String, description: String)
+    extends org.apache.spark.sql.connector.metric.CustomMetric {
+  override def aggregateTaskMetrics(taskMetrics: Array[Long]): String =
+    taskMetrics.sum.toString
+}
+
+private case class StoreMetricValue(name: String, value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric
+
 /** The `_file` metadata column definition. */
 private object StoreFileColumn extends MetadataColumn {
   override def name(): String = "_file"
@@ -904,6 +915,23 @@ private class StoreScan(pathStr: String,
                         required: StructType = StoreSink.schema)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Last planning's (manifest, kept) file counts — surfaced as DRIVER
+    * metrics so zone-map effectiveness shows in the SQL UI per scan (the
+    * operational half of the zone-map story: "did the layout help THIS
+    * query" without reading logs). */
+  @volatile private var plannedCounts: Option[(Int, Int)] = None
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(StoreMetric("manifestFiles", "store: files in manifest"),
+          StoreMetric("plannedFiles", "store: files planned after zone pruning"))
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    plannedCounts.map { case (m, p) =>
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
+        StoreMetricValue("manifestFiles", m.toLong),
+        StoreMetricValue("plannedFiles", p.toLong))
+    }.getOrElse(Array.empty)
 
   /** Entries of the pinned snapshot, or the current manifest. */
   protected def currentEntries(root: Path, fsys: FileSystem): Seq[StoreSink.StoreFileEntry] =
@@ -950,6 +978,7 @@ private class StoreScan(pathStr: String,
       .filter(_.mayContain(kLo, kHi))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
     StoreSink.lastZonePrune = Some((entries.size, kept.size))
+    plannedCounts = Some((entries.size, kept.size))
     kept.map(e => StoreFilePartition(new Path(root, e.name).toString): InputPartition)
       .toArray
   }

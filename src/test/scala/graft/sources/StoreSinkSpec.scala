@@ -355,6 +355,22 @@ class StoreSinkSpec extends SparkSpec {
     assert(byGrp("a").size == 1 && byGrp("b").size == 1 && byGrp("a") != byGrp("b"))
   }
 
+  test("zone-prune effectiveness is a per-scan SQL metric") {
+    val dir = freshDir("metrics")
+    df(1 to 40, "a").repartition(2).write.format(fmt).mode("overwrite").option("path", dir).save()
+    df(1000 to 1040, "b").repartition(2).write.format(fmt).mode("append").option("path", dir).save()
+    val q = spark.read.format(fmt).option("path", dir).load()
+      .where(col("k") < 100)
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .find(_.getClass.getSimpleName == "BatchScanExec").get
+    val metrics = scan.metrics
+    assert(metrics.contains("manifestFiles") && metrics.contains("plannedFiles"),
+      s"custom metrics missing: ${metrics.keys}")
+    assert(metrics("manifestFiles").value == 4 && metrics("plannedFiles").value == 2,
+      s"expected 4 manifest / 2 planned, got ${metrics("manifestFiles").value}/${metrics("plannedFiles").value}")
+  }
+
   test("null columns and URL-unsafe strings round-trip") {
     import spark.implicits._
     val dir = freshDir("nulls")
