@@ -782,6 +782,152 @@ object Sources extends OpModule {
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     }),
 
+    // OPTIMIZE/compaction as a transactional layout change: a fragmented,
+    // hash-scattered 16-file generation (every file spans the whole key
+    // range — zone maps can prune nothing) is rewritten by
+    // StoreSink.compact into ~8 range-clustered files through the ordinary
+    // overwrite commit — one atomic manifest swap, the fragmented
+    // generation stays time-travelable, and the SAME key-range probe goes
+    // from planning every file to planning the 1–2 files whose zones
+    // overlap. Content is invariant (the post-compact agg and the
+    // VERSION AS OF pre-compact agg share one oracle block); the flags pin
+    // what compaction is FOR: fewer files, disjoint zones, restored
+    // prunability. At 100 TB this is the periodic maintenance job that
+    // keeps zone maps useful after many unclustered CDC appends; it
+    // rewrites live bytes once and never blocks readers.
+    "q_store_compact" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecompact")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      base.repartition(16, col("k")) // hash scatter: overlapping zones
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val bounds = base.agg(min(col("k")), max(col("k"))).collect()(0)
+      val (loK, hiK) = (bounds.getLong(0), bounds.getLong(0) +
+        (bounds.getLong(1) - bounds.getLong(0)) / 8)
+      def plannedFor(probe: => Unit): Int = { probe; graft.sources.StoreSink.lastZonePrune.get._2 }
+      def probeRange(): Unit =
+        s.read.format("graft.sources.StoreSink").option("path", path).load()
+          .where(col("k").between(loK, hiK)).agg(count(lit(1))).collect()
+      val plannedBefore = plannedFor(probeRange())
+      val filesBefore = graft.sources.StoreSink.lastZonePrune.get._1
+      val total = base.count()
+      graft.sources.StoreSink.compact(s, path, (total + 7) / 8)
+      val plannedAfter = plannedFor(probeRange())
+      val filesAfter = graft.sources.StoreSink.lastZonePrune.get._1
+      val zones = graft.sources.StoreSink.readEntries(root, fsys)
+        .flatMap(e => e.minK.zip(e.maxK)).sortBy(_._1)
+      val disjoint = zones.zip(zones.drop(1)).forall { case ((_, a), (b, _)) => a < b }
+      def aggOf(src: DataFrame, v: String) =
+        src.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .select(lit(v).as("v"), col("grp"), col("n"), col("sum_cents"))
+      val rows = withStorePath(s, path) {
+        aggOf(s.table("graft.store"), "post").collect() ++
+          aggOf(s.sql("SELECT * FROM graft.store VERSION AS OF 1"), "v1").collect()
+      } ++ Seq(
+          org.apache.spark.sql.Row("z_disjoint_zones", "-", if (disjoint) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_fewer_files", "-",
+            if (filesAfter < filesBefore) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_prune_gain", "-",
+            if (plannedAfter < plannedBefore && plannedAfter <= 2) 1L else 0L, 0L))
+      val schema = StructType(Seq(
+        StructField("v", StringType), StructField("grp", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, schema).orderBy(col("v"), col("grp"))
+    }),
+
+    // CHANGE DATA FEED reconstructed from version manifests: after an
+    // UPDATE touching one key range (v2) and a metadata-path DELETE (v3),
+    // StoreSink.changes(fromV, toV) diffs the two manifests' FILE sets,
+    // reads only the files that differ, and nets out the rows a
+    // copy-on-write rewrite carried over unchanged (exceptAll both ways) —
+    // an update surfaces as its delete+insert pair, untouched rows never
+    // appear, and the scan is bounded by changed bytes, not table size
+    // (the flag pins that the v1→v2 rewrite replaced a strict subset of
+    // files). Two windows prove version arithmetic: 1..current sees
+    // update + delete, 2..3 sees only the delete. The oracle applies both
+    // statements relationally and diffs the snapshots. */
+    "q_store_cdf" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecdf")
+      seedStore(s, d, path) // v1: 8 range-clustered files
+      withStorePath(s, path) {
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 7 " +
+              "WHERE k BETWEEN 100 AND 999") // v2
+        s.sql("DELETE FROM graft.store WHERE k < 50") // v3 (metadata path)
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        def names(v: Int) = graft.sources.StoreSink
+          .readVersionLines(root, fsys, v).filterNot(_.startsWith("#"))
+          .map(graft.sources.StoreSink.parseEntry(_).name)
+        val replaced = names(1).diff(names(2)).size
+        def aggOf(win: String, df: DataFrame) =
+          df.groupBy(col("op"), col("grp"))
+            .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+            .select(lit(win).as("win"), col("op"), col("grp"), col("n"), col("sum_cents"))
+        val rows =
+          aggOf("1..3", graft.sources.StoreSink.changes(s, path, 1)).collect() ++
+          aggOf("2..3", graft.sources.StoreSink.changes(s, path, 2, Some(3))).collect() :+
+          org.apache.spark.sql.Row("flag", "z_subset_rewrite", "-",
+            if (replaced > 0 && replaced < names(1).size) 1L else 0L, 0L)
+        val schema = StructType(Seq(
+          StructField("win", StringType), StructField("op", StringType),
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, schema)
+          .orderBy(col("win"), col("op"), col("grp"))
+      }
+    }),
+
+    // Per-file GRP BLOOM pruning — the zone maps' sibling for the
+    // unordered dimension column: a (grp, k) range-clustered layout makes
+    // files grp-homogeneous, the manifest's 64-bit per-file bloom records
+    // each file's grp membership, and a `grp = 'P'` point read plans ONLY
+    // the file(s) whose bloom may contain 'P' (the rare 4% status — 1 of 8
+    // files) while `grp = 'NEW'` (absent everywhere) plans ZERO files.
+    // Every filter stays a post-scan residual: blooms skip files, never
+    // rows, and saturation (a file with many grps) only costs pruning.
+    // At 100 TB the 64-bit word becomes a KB-sized bloom sidecar per file;
+    // the planning contract is identical.
+    "q_store_bloom_read" -> ((s, d) => {
+      val path = tmp(d, "storebloom")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+        .repartitionByRange(8, col("grp"), col("k")) // grp-homogeneous files
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      def store = s.read.format("graft.sources.StoreSink").option("path", path).load()
+      val p = store.where(col("grp") === "P")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        .collect()
+      val (totalP, plannedP) = graft.sources.StoreSink.lastZonePrune.get
+      val nAbsent = store.where(col("grp") === "NEW").count()
+      val (_, plannedAbsent) = graft.sources.StoreSink.lastZonePrune.get
+      val root = new org.apache.hadoop.fs.Path(path)
+      val bloomed = graft.sources.StoreSink.readEntries(root, fsys)
+        .forall(_.bloom.isDefined)
+      val rows = p.toSeq ++ Seq(
+        org.apache.spark.sql.Row("z_absent_rows", nAbsent, plannedAbsent.toLong),
+        org.apache.spark.sql.Row("z_bloom_present", if (bloomed) 1L else 0L, 0L),
+        org.apache.spark.sql.Row("z_bloom_pruned",
+          if (plannedP < totalP && plannedP >= 1) 1L else 0L, 0L))
+      val schema = StructType(Seq(
+        StructField("grp", StringType), StructField("n", LongType),
+        StructField("sum_cents", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+    }),
+
     // TIME TRAVEL + RETENTION through the connector: every manifest swap
     // archives an immutable `_manifest.v<N>`, `VERSION AS OF n` resolves a
     // read-only snapshot through the catalog, and retention is an explicit
@@ -902,6 +1048,50 @@ object Sources extends OpModule {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 999
         |GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // compaction is a pure layout change: one content block serves both the
+    // post-compact state and the pre-compact snapshot; flags are contracts
+    "q_store_compact" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |a AS (SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |      FROM base GROUP BY grp)
+        |SELECT 'post' AS v, grp, n, sum_cents FROM a
+        |UNION ALL SELECT 'v1', grp, n, sum_cents FROM a
+        |UNION ALL SELECT 'z_disjoint_zones', '-', 1, 0
+        |UNION ALL SELECT 'z_fewer_files', '-', 1, 0
+        |UNION ALL SELECT 'z_prune_gain', '-', 1, 0
+        |ORDER BY v, grp""".stripMargin,
+
+    // both statements applied relationally, then snapshot-diffed: an update
+    // is its delete+insert pair, untouched rows never enter the feed
+    "q_store_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT '1..3' AS win, 'insert' AS op, grp, COUNT(*) AS n,
+        |  CAST(SUM(amt + 7) AS BIGINT) AS sum_cents
+        |FROM base WHERE k BETWEEN 100 AND 999 GROUP BY grp
+        |UNION ALL
+        |SELECT '1..3', 'delete', grp, COUNT(*), CAST(SUM(amt) AS BIGINT)
+        |FROM base WHERE k < 50 OR k BETWEEN 100 AND 999 GROUP BY grp
+        |UNION ALL
+        |SELECT '2..3', 'delete', grp, COUNT(*), CAST(SUM(amt) AS BIGINT)
+        |FROM base WHERE k < 50 GROUP BY grp
+        |UNION ALL SELECT 'flag', 'z_subset_rewrite', '-', 1, 0
+        |ORDER BY win, op, grp""".stripMargin,
+
+    // bloom pruning is a planning rewrite; the absent value plans 0 files
+    // and reads 0 rows, the rare value's content is exact
+    "q_store_bloom_read" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus = 'P' GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_absent_rows', 0, 0
+        |UNION ALL SELECT 'z_bloom_present', 1, 0
+        |UNION ALL SELECT 'z_bloom_pruned', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // each snapshot's state applied relationally; v1 expires after vacuum
     "q_store_time_travel" ->

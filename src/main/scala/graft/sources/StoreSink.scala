@@ -98,13 +98,30 @@ object StoreSink {
   private val EpochMark = "#epoch="
 
   /** One committed data file with its ZONE MAP (row count + min/max of the
-    * key column, None when the file holds no non-null keys). The stats ride
-    * the manifest line (`name|rows|minK|maxK`); legacy bare-name lines parse
-    * with no stats and are simply never prunable. */
+    * key column, None when the file holds no non-null keys) and its GRP
+    * BLOOM (a 64-bit Bloom filter over the file's non-null `grp` values —
+    * the second pruning structure: zones answer range predicates on the
+    * clustered key, the bloom answers point/IN predicates on the unordered
+    * dimension column, exactly the Delta/Iceberg column-stats + bloom
+    * split). The stats ride the manifest line
+    * (`name|rows|minK|maxK|bloomHex`); legacy 4-field and bare-name lines
+    * parse with no stats and are simply never prunable. At 100 TB the
+    * 64-bit word scales to a KB-sized per-file bloom sidecar; the planning
+    * contract (prune when the membership test says "cannot contain") is
+    * unchanged, and saturation only costs pruning, never correctness. */
   case class StoreFileEntry(name: String, rows: Long,
-                            minK: Option[Long], maxK: Option[Long]) {
+                            minK: Option[Long], maxK: Option[Long],
+                            bloom: Option[Long] = None) {
     def line: String =
-      s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}"
+      s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}|" +
+        bloom.map(java.lang.Long.toHexString).getOrElse("-")
+    /** Can this file contain a row whose grp carries ANY of the signatures?
+      * (One pushed conjunct = an OR-list of signatures.) Bloomless files
+      * always can. */
+    def mayContainGrp(sigs: Array[Long]): Boolean = bloom match {
+      case Some(b) => sigs.exists(s => (b & s) == s)
+      case None    => true
+    }
     /** Can this file contain a key in [lo, hi]? Stat-less files always can. */
     def mayContain(lo: Option[Long], hi: Option[Long]): Boolean = (minK, maxK) match {
       case (Some(mn), Some(mx)) =>
@@ -125,8 +142,23 @@ object StoreSink {
     if (l.contains('|')) {
       val p = l.split('|')
       def opt(s: String) = if (s == "-") None else Some(s.toLong)
-      StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)))
+      val bloom =
+        if (p.length > 4 && p(4) != "-")
+          Some(java.lang.Long.parseUnsignedLong(p(4), 16))
+        else None
+      StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom)
     } else StoreFileEntry(l, -1L, None, None)
+
+  /** Two-probe Bloom signature of a grp value: 2 bits of a 64-bit word from
+    * independent murmur3 seeds. A file's bloom is the OR of its rows'
+    * signatures; `(bloom & sig) == sig` failing proves the value is absent.
+    * Null grps contribute nothing — equality predicates never match null,
+    * so an all-null file (bloom 0) pruning for every literal is correct. */
+  private[sources] def grpSig(grp: String): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(grp, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(grp, 0x5bd1e995)
+    (1L << (h1 & 63)) | (1L << (h2 & 63))
+  }
 
   /** Committed data file entries (zone maps included), in manifest order. */
   private[sources] def readEntries(root: Path, fsys: FileSystem): Seq[StoreFileEntry] =
@@ -238,6 +270,69 @@ object StoreSink {
     fsys.listStatus(root).map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && !referenced.contains(n))
       .foreach(n => fsys.delete(new Path(root, n), false))
+  }
+
+  /** OPTIMIZE: rewrite the current snapshot as ~`targetRows`-sized,
+    * RANGE-CLUSTERED files (repartitionByRange on the key → disjoint
+    * zones), committed through the ordinary overwrite two-phase protocol —
+    * one atomic manifest swap, the previous generation stays archived and
+    * time-travelable until vacuum, and the epoch ledger survives
+    * (`preserveMarkers`) so a streaming writer's exactly-once state is not
+    * reset by maintenance. Returns (files before, files after). A
+    * concurrent reader sees either generation, never a mix: compaction is
+    * a pure layout change under snapshot isolation. At 100 TB this is the
+    * periodic small-file + clustering maintenance job; cost is one
+    * read+shuffle+write of LIVE bytes only (deleted generations are not
+    * touched), and bin sizing is row-count-driven from the manifest, no
+    * file listing. */
+  def compact(spark: SparkSession, pathStr: String, targetRows: Long): (Int, Int) = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    val entries = readEntries(root, fsys)
+    val totalRows = entries.map(e => math.max(e.rows, 0L)).sum
+    val n = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
+    val df = spark.read.format("graft.sources.StoreSink")
+      .option("path", pathStr).load()
+    df.repartitionByRange(n, org.apache.spark.sql.functions.col("k"))
+      .write.format("graft.sources.StoreSink").mode("overwrite")
+      .option("path", pathStr).option("preserveMarkers", "true").save()
+    (entries.size, readEntries(root, fsys).size)
+  }
+
+  /** CHANGE DATA FEED between two committed versions, reconstructed from
+    * the manifests alone: files present only in `toV` are insert
+    * candidates, files present only in `fromV` are delete candidates, and
+    * a row-level multiset difference (`exceptAll`, both ways) cancels the
+    * rows a copy-on-write rewrite carried over unchanged — so the feed is
+    * the NET row changes (an update surfaces as its delete + insert pair,
+    * the CDF-without-change-files contract). Only files that differ
+    * between the versions are ever read: a CDC batch that rewrote one
+    * file produces a two-file scan regardless of table size — the shuffle
+    * the exceptAll pays is bounded by CHANGED bytes, not the table.
+    * Requires both versions (and their files) to still be retained;
+    * vacuumed versions fail loudly via readVersionLines. */
+  def changes(spark: SparkSession, pathStr: String,
+              fromV: Int, toV: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    def names(v: Option[Int]): Seq[String] = (v match {
+      case Some(n) => readVersionLines(root, fsys, n)
+      case None    => readManifestLines(root, fsys)
+    }).filterNot(_.startsWith("#")).map(parseEntry(_).name)
+    val from = names(Some(fromV))
+    val to = names(toV)
+    def readFiles(files: Seq[String]): org.apache.spark.sql.DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else
+        spark.read.format("graft.sources.StoreSink")
+          .option("path", pathStr).option("files", files.mkString(",")).load()
+    val added = readFiles(to.diff(from))
+    val removed = readFiles(from.diff(to))
+    added.exceptAll(removed).withColumn("op", lit("insert"))
+      .union(removed.exceptAll(added).withColumn("op", lit("delete")))
+      .select("op", "k", "grp", "amt_cents")
   }
 
   private[sources] def writeManifestAtomic(
@@ -514,7 +609,8 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
                     TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StoreScanBuilder(pathStr, version)
+    new StoreScanBuilder(pathStr, version,
+      Option(options.get("files")).map(_.split(",").toSeq.filter(_.nonEmpty)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
@@ -556,6 +652,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
         var nMin = Long.MaxValue; var nMax = Long.MinValue; var nRows = 0L
+        var nBloom = 0L
         val (kept, any) =
           try {
             val keep = Seq.newBuilder[String]
@@ -572,6 +669,8 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
                   if (k < nMin) nMin = k
                   if (k > nMax) nMax = k
                 }
+                if (!row.isNullAt(1))
+                  nBloom |= StoreSink.grpSig(row.getUTF8String(1).toString)
               }
               line = in.readLine()
             }
@@ -589,7 +688,8 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
           rewritten += ((e.name, nf))
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
-            if (nMax == Long.MinValue) None else Some(nMax)).line
+            if (nMax == Long.MinValue) None else Some(nMax),
+            Some(nBloom)).line
         }
       }
     }
@@ -695,7 +795,8 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new StoreBatchWrite(pathStr, info.queryId(), doTruncate)
+      new StoreBatchWrite(pathStr, info.queryId(), doTruncate,
+        info.options().getBoolean("preserveMarkers", false))
     override def toStreaming: StreamingWrite = {
       require(!doTruncate,
         "graft-store streaming write is append-only (no Complete-mode truncate)")
@@ -704,7 +805,8 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo)
   }
 }
 
-private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolean)
+private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolean,
+                              preserveMarkers: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -726,10 +828,14 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
     val prevLines = StoreSink.readManifestLines(root, fsys)
     val previous = prevLines.filterNot(_.startsWith("#"))
       .map(StoreSink.parseEntry(_).name)
-    // truncate starts a new generation (epoch ledger dies with the old one);
+    // truncate starts a new generation (epoch ledger dies with the old
+    // one, EXCEPT under preserveMarkers — compaction is a layout change,
+    // not a logical truncate, so the streaming ledger must survive it);
     // append preserves the markers alongside the union
     val visible =
-      if (truncate) committed.map(_.entry.line)
+      if (truncate)
+        (if (preserveMarkers) prevLines.filter(_.startsWith("#")) else Nil) ++
+          committed.map(_.entry.line)
       else prevLines ++ committed.map(_.entry.line)
     StoreSink.writeManifestAtomic(root, fsys, visible)
     // replaced generations are NOT deleted here: their files stay
@@ -786,10 +892,11 @@ private class StoreStreamingWrite(pathStr: String, queryId: String)
 }
 
 private case class StoreCommitMessage(file: String, rows: Long,
-                                      minK: Option[Long], maxK: Option[Long])
+                                      minK: Option[Long], maxK: Option[Long],
+                                      bloom: Long)
     extends WriterCommitMessage {
   def entry: StoreSink.StoreFileEntry =
-    StoreSink.StoreFileEntry(file, rows, minK, maxK)
+    StoreSink.StoreFileEntry(file, rows, minK, maxK, Some(bloom))
 }
 
 /** Standalone (serializable) factory — same rule as RangeSource: an
@@ -825,6 +932,7 @@ private class StoreDataWriter(pathStr: String, fileName: String)
 
   private var minK = Long.MaxValue
   private var maxK = Long.MinValue
+  private var bloom = 0L
 
   override def write(record: InternalRow): Unit = {
     // 3 fields = plain write; 4 = ReplaceData's (__row_operation, k, grp,
@@ -837,6 +945,8 @@ private class StoreDataWriter(pathStr: String, fileName: String)
       if (k < minK) minK = k
       if (k > maxK) maxK = k
     }
+    if (!record.isNullAt(base + 1)) // grp bloom, alongside the zones
+      bloom |= StoreSink.grpSig(record.getUTF8String(base + 1).toString)
     out.write((StoreSink.encode(record, base) + "\n").getBytes(StandardCharsets.UTF_8))
     rows += 1
   }
@@ -845,7 +955,8 @@ private class StoreDataWriter(pathStr: String, fileName: String)
     out.close()
     StoreCommitMessage(fileName, rows,
       if (minK == Long.MaxValue) None else Some(minK),
-      if (maxK == Long.MinValue) None else Some(maxK))
+      if (maxK == Long.MinValue) None else Some(maxK),
+      bloom)
   }
 
   override def abort(): Unit = {
@@ -858,28 +969,38 @@ private class StoreDataWriter(pathStr: String, fileName: String)
 
 // ----------------------------------------------------------------- read path
 
-private class StoreScanBuilder(pathStr: String, version: Option[Int] = None)
+private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
+                               explicitFiles: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
   private var zoneFilters: Array[Filter] = Array.empty
   private var kLo: Option[Long] = None
   private var kHi: Option[Long] = None
+  private var grpConjuncts: Seq[Array[Long]] = Nil
   private var required: StructType = StoreSink.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Zone-map pushdown, parquet-style: key-bound conjuncts narrow FILE
-    * planning via the manifest's per-file min/max, but every filter is
-    * returned as a post-scan residual — zone pruning skips files, never
-    * rows, so Spark must still evaluate the predicate on what's read. */
+  /** Zone-map + bloom pushdown, parquet-style: key-bound conjuncts narrow
+    * FILE planning via the manifest's per-file min/max, grp point/IN
+    * conjuncts narrow it via the per-file bloom, but every filter is
+    * returned as a post-scan residual — file skipping never replaces row
+    * evaluation. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (lo, hi) = StoreSink.kBounds(filters)
     kLo = lo; kHi = hi
+    grpConjuncts = filters.toSeq.collect {
+      case EqualTo("grp", v: String) => Array(StoreSink.grpSig(v))
+      case In("grp", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.collect { case s: String => StoreSink.grpSig(s) }
+    }.filter(_.nonEmpty)
     zoneFilters = filters.filter {
       case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
            | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
+      case EqualTo("grp", _: String) => true
+      case In("grp", vs) => vs.forall(_.isInstanceOf[String])
       case _ => false
     }
     filters
@@ -887,7 +1008,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None)
 
   override def pushedFilters(): Array[Filter] = zoneFilters
 
-  override def build(): Scan = new StoreScan(pathStr, kLo, kHi, version, required)
+  override def build(): Scan =
+    new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts, explicitFiles)
 }
 
 /** Driver-side metric definitions for the store scan (sum across the one
@@ -912,7 +1034,9 @@ private object StoreFileColumn extends MetadataColumn {
 private class StoreScan(pathStr: String,
                         kLo: Option[Long] = None, kHi: Option[Long] = None,
                         version: Option[Int] = None,
-                        required: StructType = StoreSink.schema)
+                        required: StructType = StoreSink.schema,
+                        grpConjuncts: Seq[Array[Long]] = Nil,
+                        explicitFiles: Option[Seq[String]] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -971,11 +1095,24 @@ private class StoreScan(pathStr: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
+    // EXPLICIT FILE PLANNING (the change-data-feed read path): plan exactly
+    // the named files, bypassing the manifest — the caller (changes())
+    // already resolved its file set from version manifests, and the named
+    // generation may no longer be current
+    explicitFiles match {
+      case Some(names) =>
+        return names.filter(_.nonEmpty)
+          .map(n => StoreFilePartition(new Path(root, n).toString): InputPartition)
+          .toArray
+      case None => ()
+    }
     // manifest-only planning: uncommitted/stray files cannot be scanned;
-    // zone maps drop files the pushed bounds / runtime keys cannot touch
+    // zone maps / blooms drop files the pushed bounds / grp literals /
+    // runtime keys cannot touch
     val entries = currentEntries(root, fsys)
     val kept = entries
       .filter(_.mayContain(kLo, kHi))
+      .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
     StoreSink.lastZonePrune = Some((entries.size, kept.size))
     plannedCounts = Some((entries.size, kept.size))
@@ -989,8 +1126,22 @@ private class StoreScan(pathStr: String,
   override def estimateStatistics(): Statistics = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
+    explicitFiles match {
+      case Some(names) =>
+        val bytes = names.filter(_.nonEmpty).map { n =>
+          try fsys.getFileStatus(new Path(root, n)).getLen catch {
+            case _: java.io.FileNotFoundException => 0L
+          }
+        }.sum
+        return new Statistics {
+          override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+          override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+        }
+      case None => ()
+    }
     val entries = currentEntries(root, fsys)
       .filter(_.mayContain(kLo, kHi))
+      .filter(e => grpConjuncts.forall(e.mayContainGrp))
     val bytes = entries.map { e =>
       try fsys.getFileStatus(new Path(root, e.name)).getLen catch {
         case _: java.io.FileNotFoundException => 0L

@@ -384,4 +384,92 @@ class StoreSinkSpec extends SparkSpec {
       .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
     assert(got == rows.map { case (k, g, a) => (k, g, a) }.toSet)
   }
+
+  test("compact: fewer disjoint files, same content, ledger + snapshots survive") {
+    val dir = freshDir("compact")
+    df(1 to 400, "a").repartition(8, col("k")) // hash scatter: overlapping zones
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    val root = new Path(dir)
+    val before = readBack(dir)
+    // pretend a streaming writer committed epoch 5 (the ledger a compaction
+    // must NOT reset — replayed-epoch idempotence outlives maintenance)
+    StoreSink.writeManifestAtomic(root, fs,
+      StoreSink.readManifestLines(root, fs) :+ StoreSink.epochLine(5L))
+    val preVersion = StoreSink.listVersions(root, fs).last
+    val (nBefore, nAfter) = StoreSink.compact(spark, dir, 100)
+    assert(nBefore == 8 && nAfter == 4, s"expected 8 -> 4 files, got $nBefore -> $nAfter")
+    assert(readBack(dir) == before, "compaction changed table content")
+    val entries = StoreSink.readEntries(root, fs)
+    val zones = entries.flatMap(e => e.minK.zip(e.maxK)).sortBy(_._1)
+    assert(zones.size == 4 &&
+      zones.zip(zones.drop(1)).forall { case ((_, a), (b, _)) => a < b },
+      s"compacted zones overlap: $zones")
+    assert(StoreSink.committedEpochs(StoreSink.readManifestLines(root, fs)) == Set(5L),
+      "compaction dropped the streaming epoch ledger")
+    // the fragmented generation is still one VERSION AS OF away
+    val pre = StoreSink.readVersionLines(root, fs, preVersion)
+      .filterNot(_.startsWith("#")).map(StoreSink.parseEntry(_).name)
+    assert(pre.size == 8 && pre.forall(f => fs.exists(new Path(dir, f))),
+      "pre-compact snapshot files were GC'd by the compaction commit")
+  }
+
+  test("grp bloom: point predicates skip files; an absent value plans zero") {
+    val dir = freshDir("bloom")
+    Seq("a" -> (1 to 100), "b" -> (101 to 200), "c" -> (201 to 300)).foreach {
+      case (g, ks) => df(ks, g).repartition(1)
+        .write.format(fmt).mode("append").option("path", dir).save()
+    }
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .where(col("grp") === "b").agg(count(lit(1))).collect()(0).getLong(0)
+    assert(got == 100)
+    assert(StoreSink.lastZonePrune.contains((3, 1)),
+      s"bloom should plan 1 of 3 files for grp='b', got ${StoreSink.lastZonePrune}")
+    val absent = spark.read.format(fmt).option("path", dir).load()
+      .where(col("grp") === "zz").count()
+    assert(absent == 0 && StoreSink.lastZonePrune.contains((3, 0)),
+      s"absent grp literal should plan zero files, got ${StoreSink.lastZonePrune}")
+    // blooms prune files, never rows: an IN over two grps keeps both files
+    val in2 = spark.read.format(fmt).option("path", dir).load()
+      .where(col("grp").isin("a", "c")).count()
+    assert(in2 == 200 && StoreSink.lastZonePrune.contains((3, 2)))
+  }
+
+  test("changes: net row diff between versions, updates as delete+insert pairs") {
+    val dir = freshDir("cdf")
+    df(1 to 100, "a").repartition(1)
+      .write.format(fmt).mode("overwrite").option("path", dir).save() // v1
+    df(101 to 120, "b").repartition(1)
+      .write.format(fmt).mode("append").option("path", dir).save() // v2
+    new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThanOrEqual("k", 10L))) // v3
+    def feed(from: Int, to: Option[Int]): Map[String, Set[Long]] =
+      StoreSink.changes(spark, dir, from, to).collect()
+        .groupBy(_.getString(0)).map { case (op, rs) => op -> rs.map(_.getLong(1)).toSet }
+    val w12 = feed(1, Some(2))
+    assert(w12.getOrElse("insert", Set()) == (101L to 120L).toSet && !w12.contains("delete"))
+    val w23 = feed(2, Some(3))
+    assert(w23.getOrElse("delete", Set()) == (1L to 10L).toSet && !w23.contains("insert"),
+      s"carried-over rows must cancel out of the feed: $w23")
+    val w13 = feed(1, None)
+    assert(w13.getOrElse("insert", Set()) == (101L to 120L).toSet &&
+           w13.getOrElse("delete", Set()) == (1L to 10L).toSet)
+    // file granularity: the delete replaced exactly one of the two files
+    val root = new Path(dir)
+    def names(v: Int) = StoreSink.readVersionLines(root, fs, v)
+      .filterNot(_.startsWith("#")).map(StoreSink.parseEntry(_).name)
+    assert(names(2).diff(names(3)).size == 1 && names(3).diff(names(2)).size == 1,
+      "k<=10 should have rewritten exactly the one file holding those keys")
+  }
+
+  test("manifest lines round-trip the bloom; legacy lines parse bloomless") {
+    val e = StoreSink.StoreFileEntry("f", 10, Some(1L), Some(5L), Some(0x3cL))
+    assert(StoreSink.parseEntry(e.line) == e)
+    assert(StoreSink.parseEntry("f|10|1|5") ==
+      StoreSink.StoreFileEntry("f", 10, Some(1L), Some(5L), None))
+    assert(StoreSink.parseEntry("f") == StoreSink.StoreFileEntry("f", -1L, None, None, None))
+    assert(!StoreSink.StoreFileEntry("f", 1, None, None, Some(0L))
+      .mayContainGrp(Array(StoreSink.grpSig("x"))), "empty bloom must prune")
+    assert(StoreSink.StoreFileEntry("f", 1, None, None, None)
+      .mayContainGrp(Array(StoreSink.grpSig("x"))), "bloomless entry must never prune")
+  }
 }
