@@ -135,6 +135,44 @@ object TextHashes {
     }
   }
 
+  /** Content-defined chunk split (q_chunk_cdc): a cut lands AFTER 1-based
+    * token position i (for i in n..len-1) whenever the 28-bit md5-prefix
+    * hash of the n-gram ENDING at i is ≡ 0 mod `mod` — a STATELESS gear
+    * rule (each position's decision depends only on its own n-token
+    * window, not on previous cut placement), which is what makes the
+    * boundary function shift-robust (an insertion re-synchronizes after n
+    * tokens, unlike fixed-size blocks where every later block changes) AND
+    * embarrassingly parallel / SQL-expressible for the oracle. Expected
+    * chunk length ≈ `mod` tokens. ≤ n tokens → one whole-doc chunk. One
+    * JVM loop per document (the interpreted-HOF rule). */
+  def cdcChunks(n: Int, mod: Int): UserDefinedFunction = udf { (toks: Seq[String]) =>
+    val md = MessageDigest.getInstance("MD5")
+    def h28(s: String): Long = {
+      val dig = md.digest(s.getBytes("UTF-8"))
+      ((dig(0) & 0xffL) << 20) | ((dig(1) & 0xffL) << 12) |
+        ((dig(2) & 0xffL) << 4) | ((dig(3) >> 4) & 0xfL)
+    }
+    val arr = toks.toArray
+    val len = arr.length
+    val bounds = scala.collection.mutable.ArrayBuffer(0)
+    var i = n
+    while (i < len) { // 1-based cut position; a cut after the last token is moot
+      val sb = new StringBuilder(arr(i - n))
+      var k = i - n + 1
+      while (k < i) { sb.append(' ').append(arr(k)); k += 1 }
+      if (h28(sb.result()) % mod == 0) bounds += i
+      i += 1
+    }
+    bounds += len
+    val out = new Array[String](bounds.length - 1)
+    var j = 0
+    while (j < out.length) {
+      out(j) = arr.slice(bounds(j), bounds(j + 1)).mkString(" ")
+      j += 1
+    }
+    out.toSeq
+  }
+
   val simhash60md5: UserDefinedFunction = udf { (sh: Seq[String]) =>
     val counts = new Array[Int](60)
     val md = MessageDigest.getInstance("MD5")

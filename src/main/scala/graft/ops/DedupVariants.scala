@@ -241,6 +241,47 @@ object DedupVariants extends OpModule {
                 expr("n_dup * 10000 div n_spans").as("dup_frac_e4"))
         .orderBy(col("doc_id"))
     }),
+
+    // Content-defined chunking dedup (the rsync/FastCDC idea at token
+    // granularity): a STATELESS gear rule cuts after any token whose
+    // ending 3-gram hashes ≡ 0 mod 8 (expected chunk ≈ 8 tokens), so an
+    // edit re-synchronizes chunk boundaries within 3 tokens — unlike
+    // fixed-size blocks, where one insertion shifts every later block and
+    // kills all downstream matches. Chunks dedup by md5 across the corpus:
+    // the shuffle carries (hash, len), never chunk text, and the output is
+    // the top-duplicated chunks plus a storage-savings total. At 100 TB
+    // this is the chunk-store layer of incremental crawl snapshots: chunk
+    // hashing is one linear kernel scan, the groupBy key space grows with
+    // the corpus by construction (the blocking-key rule), and dedup cost
+    // is one hash shuffle of ~tokens/8 keys. The stateless cut rule (vs
+    // FastCDC's sequential min/max-size gear loop) is what makes the
+    // boundary function SQL-expressible — the oracle reproduces every cut,
+    // chunk, and hash exactly.
+    "q_chunk_cdc" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashes.cdcChunks(3, 8)(
+            split(trim(col("text")), " "))).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"),
+                size(split(col("chunk"), " ", -1)).cast("long").as("tok_len"))
+      val agg = chunks.groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_occ"),
+             countDistinct(col("doc_id")).as("n_docs"),
+             max(col("tok_len")).as("tok_len"))
+      val top = agg
+        .orderBy(col("n_occ").desc, col("chunk_hash")).limit(20)
+        .select(col("chunk_hash"), col("n_occ"), col("n_docs"), col("tok_len"))
+      // total row: chunk count, distinct-chunk count, tokens a chunk store
+      // saves (occurrences beyond the first, weighted by chunk length)
+      val tot = agg.agg(
+          sum(col("n_occ")).as("n_occ"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_occ") > 1, (col("n_occ") - 1) * col("tok_len"))
+            .otherwise(0L)).as("tok_len"))
+        .select(lit("__total").as("chunk_hash"), col("n_occ"),
+                col("n_docs"), col("tok_len"))
+      top.unionByName(tot).orderBy(col("n_occ").desc, col("chunk_hash"))
+    }),
   )
 
   /** 4 ±1 hyperplanes (16 sub-buckets per label), seed 7 — deliberately a
@@ -386,5 +427,35 @@ object DedupVariants extends OpModule {
         |    AS dup_frac_e4
         |FROM g JOIN df USING (gh)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors the stateless gear rule exactly: cut positions are the
+    // 1-based i in [3, len) whose ending 3-gram's 28-bit md5 prefix is
+    // ≡ 0 mod 8; chunks are the token spans between consecutive bounds
+    "q_chunk_cdc" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |cuts AS (SELECT doc_id, toks,
+        |    LIST_FILTER(RANGE(3, LEN(toks)), i ->
+        |      CAST(('0x' || SUBSTR(md5(ARRAY_TO_STRING(
+        |        toks[CAST(i - 2 AS INTEGER):CAST(i AS INTEGER)], ' ')), 1, 7)) AS BIGINT) % 8 = 0) AS cuts
+        |  FROM base),
+        |bs AS (SELECT doc_id, toks,
+        |    LIST_PREPEND(CAST(0 AS BIGINT), LIST_APPEND(cuts, CAST(LEN(toks) AS BIGINT))) AS bs
+        |  FROM cuts),
+        |chunks AS (SELECT doc_id,
+        |    ARRAY_TO_STRING(toks[CAST(bs[CAST(j AS INTEGER)] + 1 AS INTEGER)
+        |                         :CAST(bs[CAST(j AS INTEGER) + 1] AS INTEGER)], ' ') AS chunk
+        |  FROM bs, UNNEST(RANGE(1, LEN(bs))) AS t(j)),
+        |ch AS (SELECT doc_id, md5(chunk) AS chunk_hash,
+        |    CAST(LEN(STRING_SPLIT(chunk, ' ')) AS BIGINT) AS tok_len FROM chunks),
+        |agg AS (SELECT chunk_hash, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+        |    MAX(tok_len) AS tok_len FROM ch GROUP BY 1),
+        |top AS (SELECT chunk_hash, n_occ, n_docs, tok_len FROM agg
+        |        ORDER BY n_occ DESC, chunk_hash LIMIT 20)
+        |SELECT * FROM top
+        |UNION ALL
+        |SELECT '__total', CAST(SUM(n_occ) AS BIGINT), COUNT(*),
+        |  CAST(SUM(CASE WHEN n_occ > 1 THEN (n_occ - 1) * tok_len ELSE 0 END) AS BIGINT)
+        |FROM agg
+        |ORDER BY n_occ DESC, chunk_hash""".stripMargin,
   )
 }
