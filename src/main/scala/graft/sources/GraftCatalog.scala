@@ -127,13 +127,46 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog 
     inDefaultNs(ident) &&
       ident.name().toLowerCase(java.util.Locale.ROOT) == "amt"
 
-  // Read-only catalog: DDL is declined loudly, never silently ignored.
+  // DDL: the only supported statement is SCHEMA EVOLUTION on the store
+  // (`ALTER TABLE graft.store ADD COLUMN name BIGINT|STRING`) — trailing,
+  // nullable, atomic-typed adds recorded in the `_schema` sidecar. Existing
+  // files are NEVER rewritten: a file written before the ALTER decodes
+  // short and reads as NULL in the new columns (the Iceberg/Delta add-only
+  // contract). Everything else is declined loudly, never silently ignored.
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException("graft catalog does not create tables")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    require(inDefaultNs(ident) &&
+      ident.name().toLowerCase(java.util.Locale.ROOT) == "store",
+      s"only graft.store supports ALTER, got $ident")
+    val p = org.apache.spark.sql.SparkSession.active.conf
+      .getOption(GraftCatalog.StorePathKey)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fsys = StoreSink.fs(root)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"graft.store supports top-level column adds only, got ${a.fieldNames().mkString(".")}")
+        require(a.isNullable, "added graft.store columns must be nullable " +
+          "(existing files read them as NULL)")
+        require(a.position() == null,
+          "graft.store columns are add-TRAILING only (ordinal-addressed base prefix)")
+        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(),
+          nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft.store supports ADD COLUMN only, got $other")
+    }
+    val extras = StoreSink.readExtras(root, fsys)
+    val clash = added.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+      .intersect((StoreSink.schema.fields ++ extras)
+        .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet)
+    require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(",")}")
+    StoreSink.writeExtras(root, fsys, extras ++ added)
+    new StoreTable(p)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("graft catalog is read-only")

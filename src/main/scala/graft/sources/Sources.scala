@@ -928,6 +928,39 @@ object Sources extends OpModule {
       s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
     }),
 
+    // SCHEMA EVOLUTION through the catalog: `ALTER TABLE graft.store ADD
+    // COLUMN note STRING` records the new trailing column in the `_schema`
+    // sidecar and NO file is rewritten — the seed generation's files stay
+    // 3-wide on disk and decode as NULL in the new column (the
+    // Iceberg/Delta add-only contract). The append then writes 4-wide
+    // files through the same connector, and the row-level UPDATE keyed on
+    // the NEW column (`WHERE note IS NOT NULL`) rides the runtime group
+    // filter: its matched keys live only in the appended files, so every
+    // pre-evolution file carries over BY NAME, still 3-wide (spec-pinned).
+    // At 100 TB this is why evolution must be metadata-only: an
+    // ALTER that rewrote files would be a full-table write.
+    "q_store_evolve" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeevolve")
+      val (base, maxK) = seedStore(s, d, path) // v1: 3-column generation
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN note STRING")
+        base.where(pmod(col("k"), lit(101)) === 0)
+          .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+                  (col("k") * 10).as("amt_cents"),
+                  concat(lit("n"), col("k").cast("string")).as("note"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save()
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 5 " +
+              "WHERE note IS NOT NULL")
+        val res = s.table("graft.store")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"),
+               count(col("note")).as("n_note"), max(col("note")).as("max_note"))
+          .orderBy(col("grp"))
+        s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+      }
+    }),
+
     // TIME TRAVEL + RETENTION through the connector: every manifest swap
     // archives an immutable `_manifest.v<N>`, `VERSION AS OF n` resolves a
     // read-only snapshot through the catalog, and retention is an explicit
@@ -1081,6 +1114,23 @@ object Sources extends OpModule {
         |FROM base WHERE k < 50 GROUP BY grp
         |UNION ALL SELECT 'flag', 'z_subset_rewrite', '-', 1, 0
         |ORDER BY win, op, grp""".stripMargin,
+
+    // evolution applied relationally: old rows read NULL in the new
+    // column; the UPDATE's +5 reaches exactly the note-carrying rows
+    "q_store_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |ins AS (SELECT k + mx.maxk + 1 AS k, 'NEW' AS grp,
+        |          k * 10 + 5 AS amt, 'n' || CAST(k AS VARCHAR) AS note
+        |        FROM base, mx WHERE k % 101 = 0),
+        |allr AS (
+        |  SELECT k, grp, amt, CAST(NULL AS VARCHAR) AS note FROM base
+        |  UNION ALL SELECT k, grp, amt, note FROM ins)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents,
+        |  COUNT(note) AS n_note, MAX(note) AS max_note
+        |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
 
     // bloom pruning is a planning rewrite; the absent value plans 0 files
     // and reads 0 rows, the rare value's content is exact

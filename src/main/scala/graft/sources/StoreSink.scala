@@ -79,7 +79,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class StoreSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StoreSink.schema
+    Option(options.get("path")).map(StoreSink.tableSchema)
+      .getOrElse(StoreSink.schema)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -94,8 +95,62 @@ object StoreSink {
 
   val Manifest = "_manifest"
   val Staging = "_staging"
+  val SchemaFile = "_schema"
   private val NullMark = "\\N"
   private val EpochMark = "#epoch="
+
+  // ------------------------------------------------- schema evolution
+  /** Extra TRAILING columns appended by `ALTER TABLE ... ADD COLUMN`
+    * (GraftCatalog.alterTable), persisted as a `_schema` sidecar of
+    * `name:bigint|string` lines. The base (k, grp, amt_cents) prefix is
+    * immutable — zones, blooms, and the delete-predicate compiler all
+    * address it by ordinal — and evolution is ADD-trailing-only, the
+    * Iceberg/Delta-style contract that keeps every historical file
+    * readable: a file written before the ALTER simply decodes short and
+    * reads as NULL in the new columns. Binding happens at table
+    * RESOLUTION (loadTable / getTable re-read the sidecar), so an ALTER
+    * is visible to the next statement without any session restart. */
+  private[sources] def readExtras(root: Path, fsys: FileSystem): Seq[StructField] = {
+    val raw = manifestFs(fsys)
+    val sf = new Path(root, SchemaFile)
+    if (!raw.exists(sf)) return Nil
+    val in = raw.open(sf)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+    txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
+      val Array(n, t) = l.split(":", 2)
+      StructField(n, t match {
+        case "bigint" => LongType
+        case "string" => StringType
+        case other => throw new IllegalArgumentException(
+          s"graft-store extra column type $other (bigint|string only)")
+      }, nullable = true)
+    }
+  }
+
+  private[sources] def writeExtras(root: Path, fsys: FileSystem,
+                                   extras: Seq[StructField]): Unit = {
+    val raw = manifestFs(fsys)
+    val lines = extras.map { f =>
+      val t = f.dataType match {
+        case LongType => "bigint"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"graft-store cannot add a $other column (bigint|string only)")
+      }
+      s"${f.name}:$t"
+    }
+    val out = raw.create(new Path(root, SchemaFile), true)
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The CURRENT table schema: immutable base + sidecar extras. */
+  def tableSchema(pathStr: String): StructType = {
+    val root = new Path(pathStr)
+    StructType(schema.fields ++ readExtras(root, fs(root)))
+  }
 
   /** One committed data file with its ZONE MAP (row count + min/max of the
     * key column, None when the file holds no non-null keys) and its GRP
@@ -322,9 +377,10 @@ object StoreSink {
     }).filterNot(_.startsWith("#")).map(parseEntry(_).name)
     val from = names(Some(fromV))
     val to = names(toV)
+    val tbl = tableSchema(pathStr)
     def readFiles(files: Seq[String]): org.apache.spark.sql.DataFrame =
       if (files.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), tbl)
       else
         spark.read.format("graft.sources.StoreSink")
           .option("path", pathStr).option("files", files.mkString(",")).load()
@@ -332,7 +388,7 @@ object StoreSink {
     val removed = readFiles(from.diff(to))
     added.exceptAll(removed).withColumn("op", lit("insert"))
       .union(removed.exceptAll(added).withColumn("op", lit("delete")))
-      .select("op", "k", "grp", "amt_cents")
+      .select(("op" +: tbl.fieldNames.toSeq).map(org.apache.spark.sql.functions.col): _*)
   }
 
   private[sources] def writeManifestAtomic(
@@ -381,22 +437,45 @@ object StoreSink {
     * prepends RowDeltaUtils.OPERATION_COLUMN (observed value 6 =
     * WRITE_WITH_METADATA_OPERATION) and the LogicalWriteInfo schema does
     * NOT include it, so the writer must detect it by field count. */
-  private[sources] def encode(row: InternalRow, base: Int): String = {
-    val k = if (row.isNullAt(base)) NullMark else row.getLong(base).toString
-    val g = if (row.isNullAt(base + 1)) NullMark
-            else java.net.URLEncoder.encode(row.getString(base + 1), "UTF-8")
-    val a = if (row.isNullAt(base + 2)) NullMark else row.getLong(base + 2).toString
-    s"$k,$g,$a"
+  /** Encode the table columns of `row` (skipping `base` leading protocol
+    * columns) under `types` — the WRITE-TIME table schema, so a file's
+    * width records the schema generation it was written under. */
+  private[sources] def encode(row: InternalRow, base: Int,
+                              types: Array[DataType]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append(',')
+      if (row.isNullAt(base + i)) sb.append(NullMark)
+      else types(i) match {
+        case LongType => sb.append(row.getLong(base + i))
+        case StringType =>
+          sb.append(java.net.URLEncoder.encode(row.getString(base + i), "UTF-8"))
+        case other => throw new IllegalArgumentException(s"unsupported type $other")
+      }
+      i += 1
+    }
+    sb.result()
   }
 
-  private[sources] def decode(line: String): InternalRow = {
+  /** Decode a line under the CURRENT table types, padding columns the file
+    * predates with NULL (schema evolution: old files never rewrite). */
+  private[sources] def decode(line: String,
+                              types: Array[DataType] = baseTypes): InternalRow = {
     val parts = line.split(",", -1)
-    InternalRow(
-      if (parts(0) == NullMark) null else java.lang.Long.valueOf(parts(0).toLong),
-      if (parts(1) == NullMark) null
-      else UTF8String.fromString(java.net.URLDecoder.decode(parts(1), "UTF-8")),
-      if (parts(2) == NullMark) null else java.lang.Long.valueOf(parts(2).toLong))
+    InternalRow.fromSeq((0 until types.length).map { i =>
+      if (i >= parts.length || parts(i) == NullMark) null
+      else types(i) match {
+        case LongType => java.lang.Long.valueOf(parts(i).toLong)
+        case StringType =>
+          UTF8String.fromString(java.net.URLDecoder.decode(parts(i), "UTF-8"))
+        case other => throw new IllegalArgumentException(s"unsupported type $other")
+      }
+    })
   }
+
+  private[sources] val baseTypes: Array[DataType] =
+    schema.fields.map(_.dataType)
 
   // ------------------------------------------------- delete-filter evaluator
   /** SQL three-valued predicate over a decoded store row: rows evaluating
@@ -600,9 +679,12 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
     () => new StoreRowLevelOperation(pathStr, info.command())
   }
 
+  // resolution-time schema binding: base + any ALTER-added trailing columns
+  private lazy val tblSchema: StructType = StoreSink.tableSchema(pathStr)
+
   override def name(): String =
     s"graft_store($pathStr${version.map(v => s"@v$v").getOrElse("")})"
-  override def schema(): StructType = StoreSink.schema
+  override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
                     TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -610,7 +692,8 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(pathStr, version,
-      Option(options.get("files")).map(_.split(",").toSeq.filter(_.nonEmpty)))
+      Option(options.get("files")).map(_.split(",").toSeq.filter(_.nonEmpty)),
+      tblSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
@@ -719,8 +802,9 @@ private class StoreRowLevelOperation(pathStr: String, cmd: Command)
     * narrows the planned — and therefore REPLACED — file set through the
     * zone maps: a CDC batch touching one file's key range rewrites ONE
     * file, not the table (file-granular copy-on-write; spec-pinned). */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new StoreScan(pathStr) {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val tbl = StoreSink.tableSchema(pathStr)
+    () => new StoreScan(pathStr, required = tbl, table = tbl) {
       override def planInputPartitions(): Array[InputPartition] = {
         val parts = super.planInputPartitions()
         // idempotent across re-planning: always the files of THIS plan —
@@ -730,12 +814,14 @@ private class StoreRowLevelOperation(pathStr: String, cmd: Command)
         parts
       }
     }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new StoreGroupReplaceWrite(pathStr, info.queryId(), () => scanned)
+          new StoreGroupReplaceWrite(pathStr, info.queryId(), () => scanned,
+            info.schema())
       }
     }
 }
@@ -745,11 +831,12 @@ private class StoreRowLevelOperation(pathStr: String, cmd: Command)
   * replaced generation after. Epoch markers (the streaming ledger) are
   * carried over — row-level rewrites do not re-open epochs. */
 private class StoreGroupReplaceWrite(pathStr: String, queryId: String,
-                                     replaced: () => Seq[String])
+                                     replaced: () => Seq[String],
+                                     dataSchema: StructType = StoreSink.schema)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    StoreWriterFactory(pathStr, queryId)
+    StoreWriterFactory(pathStr, queryId, dataSchema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
@@ -796,21 +883,22 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new StoreBatchWrite(pathStr, info.queryId(), doTruncate,
-        info.options().getBoolean("preserveMarkers", false))
+        info.options().getBoolean("preserveMarkers", false), info.schema())
     override def toStreaming: StreamingWrite = {
       require(!doTruncate,
         "graft-store streaming write is append-only (no Complete-mode truncate)")
-      new StoreStreamingWrite(pathStr, info.queryId())
+      new StoreStreamingWrite(pathStr, info.queryId(), info.schema())
     }
   }
 }
 
 private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolean,
-                              preserveMarkers: Boolean = false)
+                              preserveMarkers: Boolean = false,
+                              dataSchema: StructType = StoreSink.schema)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    StoreWriterFactory(pathStr, queryId) // standalone class: serializable task closure
+    StoreWriterFactory(pathStr, queryId, dataSchema) // standalone class: serializable task closure
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
@@ -856,11 +944,12 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
   * (checkpoint wrote the offset but died before the commit log); the ledger
   * makes the second delivery a no-op — the exactly-once half Structured
   * Streaming delegates to the sink. */
-private class StoreStreamingWrite(pathStr: String, queryId: String)
+private class StoreStreamingWrite(pathStr: String, queryId: String,
+                                  dataSchema: StructType = StoreSink.schema)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    StoreStreamingWriterFactory(pathStr, queryId)
+    StoreStreamingWriterFactory(pathStr, queryId, dataSchema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
@@ -902,24 +991,30 @@ private case class StoreCommitMessage(file: String, rows: Long,
 /** Standalone (serializable) factory — same rule as RangeSource: an
   * anonymous inner factory would drag the driver-side write object into the
   * task closure. */
-private case class StoreWriterFactory(pathStr: String, queryId: String)
+private case class StoreWriterFactory(pathStr: String, queryId: String,
+                                      dataSchema: StructType = StoreSink.schema)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId")
+    new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
   * file name, so two deliveries of one epoch stage DISJOINT files and the
   * replay-skip path can discard the second cleanly. */
-private case class StoreStreamingWriterFactory(pathStr: String, queryId: String)
+private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
+                                               dataSchema: StructType = StoreSink.schema)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId")
+    new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
+      dataSchema)
 }
 
-private class StoreDataWriter(pathStr: String, fileName: String)
+private class StoreDataWriter(pathStr: String, fileName: String,
+                              dataSchema: StructType = StoreSink.schema)
     extends DataWriter[InternalRow] {
+
+  private val types = dataSchema.fields.map(_.dataType)
 
   private val staged =
     new Path(new Path(pathStr, StoreSink.Staging), fileName)
@@ -935,11 +1030,12 @@ private class StoreDataWriter(pathStr: String, fileName: String)
   private var bloom = 0L
 
   override def write(record: InternalRow): Unit = {
-    // 3 fields = plain write; 4 = ReplaceData's (__row_operation, k, grp,
-    // amt_cents) — see StoreSink.encode
-    val base = record.numFields - StoreSink.schema.length
+    // width == schema = plain write; +1 = ReplaceData's leading
+    // __row_operation column (not in LogicalWriteInfo.schema) — see
+    // StoreSink.encode
+    val base = record.numFields - types.length
     require(base == 0 || base == 1,
-      s"unexpected write row width ${record.numFields}")
+      s"unexpected write row width ${record.numFields} for ${types.length} columns")
     if (!record.isNullAt(base)) { // zone map over the key column
       val k = record.getLong(base)
       if (k < minK) minK = k
@@ -947,7 +1043,8 @@ private class StoreDataWriter(pathStr: String, fileName: String)
     }
     if (!record.isNullAt(base + 1)) // grp bloom, alongside the zones
       bloom |= StoreSink.grpSig(record.getUTF8String(base + 1).toString)
-    out.write((StoreSink.encode(record, base) + "\n").getBytes(StandardCharsets.UTF_8))
+    out.write((StoreSink.encode(record, base, types) + "\n")
+      .getBytes(StandardCharsets.UTF_8))
     rows += 1
   }
 
@@ -970,7 +1067,8 @@ private class StoreDataWriter(pathStr: String, fileName: String)
 // ----------------------------------------------------------------- read path
 
 private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
-                               explicitFiles: Option[Seq[String]] = None)
+                               explicitFiles: Option[Seq[String]] = None,
+                               table: StructType = StoreSink.schema)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -978,7 +1076,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   private var kLo: Option[Long] = None
   private var kHi: Option[Long] = None
   private var grpConjuncts: Seq[Array[Long]] = Nil
-  private var required: StructType = StoreSink.schema
+  private var required: StructType = table
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1009,16 +1107,31 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   override def pushedFilters(): Array[Filter] = zoneFilters
 
   override def build(): Scan =
-    new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts, explicitFiles)
+    new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
+      explicitFiles, table)
 }
 
 /** Driver-side metric definitions for the store scan (sum across the one
-  * driver report; the aggregate is just the latest value rendered). */
-private case class StoreMetric(name: String, description: String)
+  * driver report; the aggregate is just the latest value rendered).
+  * Concrete zero-arg classes, NOT a parameterized case class: the SQL
+  * metrics listener re-instantiates CustomMetric implementations
+  * REFLECTIVELY by class name to aggregate values, and a class without a
+  * no-arg constructor makes every query over the store log a
+  * SparkException per metric (observed; the metrics still rendered, but
+  * the log noise buried real failures). */
+private sealed class StoreMetric(mName: String, mDesc: String)
     extends org.apache.spark.sql.connector.metric.CustomMetric {
+  override def name(): String = mName
+  override def description(): String = mDesc
   override def aggregateTaskMetrics(taskMetrics: Array[Long]): String =
     taskMetrics.sum.toString
 }
+
+private class ManifestFilesMetric
+  extends StoreMetric("manifestFiles", "store: files in manifest")
+
+private class PlannedFilesMetric
+  extends StoreMetric("plannedFiles", "store: files planned after zone pruning")
 
 private case class StoreMetricValue(name: String, value: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric
@@ -1036,7 +1149,8 @@ private class StoreScan(pathStr: String,
                         version: Option[Int] = None,
                         required: StructType = StoreSink.schema,
                         grpConjuncts: Seq[Array[Long]] = Nil,
-                        explicitFiles: Option[Seq[String]] = None)
+                        explicitFiles: Option[Seq[String]] = None,
+                        table: StructType = StoreSink.schema)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -1047,8 +1161,7 @@ private class StoreScan(pathStr: String,
   @volatile private var plannedCounts: Option[(Int, Int)] = None
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(StoreMetric("manifestFiles", "store: files in manifest"),
-          StoreMetric("plannedFiles", "store: files planned after zone pruning"))
+    Array(new ManifestFilesMetric, new PlannedFilesMetric)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     plannedCounts.map { case (m, p) =>
@@ -1156,7 +1269,7 @@ private class StoreScan(pathStr: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    StoreReaderFactory(required)
+    StoreReaderFactory(required, table)
 
   /** Streaming READ: tail the manifest as an offset log. The manifest is
     * append-ordered (append/epoch commits extend it; only overwrite and
@@ -1169,7 +1282,7 @@ private class StoreScan(pathStr: String,
     * a streaming sink (epoch ledger), and a streaming source (manifest
     * tail) — the CDC-feed shape every warehouse store grows eventually. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new StoreMicroBatchStream(pathStr)
+    new StoreMicroBatchStream(pathStr, required, table)
 }
 
 /** File-count offset over the append-ordered manifest. */
@@ -1178,7 +1291,10 @@ private case class StoreStreamOffset(files: Int)
   override def json(): String = files.toString
 }
 
-private class StoreMicroBatchStream(pathStr: String) extends MicroBatchStream {
+private class StoreMicroBatchStream(pathStr: String,
+                                    required: StructType = StoreSink.schema,
+                                    table: StructType = StoreSink.schema)
+    extends MicroBatchStream {
   private def root = new Path(pathStr)
 
   override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
@@ -1212,12 +1328,14 @@ private class StoreMicroBatchStream(pathStr: String) extends MicroBatchStream {
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = StoreReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory =
+    StoreReaderFactory(required, table)
 }
 
 private case class StoreFilePartition(file: String) extends InputPartition
 
-private case class StoreReaderFactory(required: StructType = StoreSink.schema)
+private case class StoreReaderFactory(required: StructType = StoreSink.schema,
+                                      table: StructType = StoreSink.schema)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = new Path(partition.asInstanceOf[StoreFilePartition].file)
@@ -1225,21 +1343,24 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema)
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
     val fileName = UTF8String.fromString(p.getName)
+    val types = table.fields.map(_.dataType)
     // resolve the projection ONCE per partition: table columns come from
-    // the decoded row by ordinal; _file is partition-constant metadata
+    // the decoded (null-padded) row by ordinal in the CURRENT schema;
+    // _file is partition-constant metadata
     val getters: Array[InternalRow => Any] = required.fieldNames.map {
-      case "k"         => (r: InternalRow) => r.get(0, LongType)
-      case "grp"       => (r: InternalRow) => r.get(1, StringType)
-      case "amt_cents" => (r: InternalRow) => r.get(2, LongType)
-      case "_file"     => (_: InternalRow) => fileName
-      case other => throw new IllegalArgumentException(s"unknown column $other")
+      case "_file" => (_: InternalRow) => fileName
+      case n =>
+        val idx = table.fieldIndex(n)
+        val dt = types(idx)
+        (r: InternalRow) => r.get(idx, dt)
     }
+    val identity = required == table
     new PartitionReader[InternalRow] {
       private var line: String = _
       override def next(): Boolean = { line = in.readLine(); line != null }
       override def get(): InternalRow = {
-        val full = StoreSink.decode(line)
-        if (getters.length == 3 && (required eq StoreSink.schema)) full
+        val full = StoreSink.decode(line, types)
+        if (identity) full
         else InternalRow.fromSeq(getters.toSeq.map(_(full)))
       }
       override def close(): Unit = in.close()

@@ -461,6 +461,48 @@ class StoreSinkSpec extends SparkSpec {
       "k<=10 should have rewritten exactly the one file holding those keys")
   }
 
+  test("schema evolution: ALTER adds trailing columns; old files read null-padded") {
+    import spark.implicits._
+    val dir = freshDir("evolve")
+    df(1 to 50, "a").repartition(1)
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    val oldFile = StoreSink.readManifest(new Path(dir), fs).head
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      spark.sql("ALTER TABLE graft.store ADD COLUMN note STRING")
+      assert(StoreSink.tableSchema(dir).fieldNames.toSeq ==
+        Seq("k", "grp", "amt_cents", "note"))
+      Seq((51L, "b", 5100L, "x"), (52L, "b", 5200L, null))
+        .toDF("k", "grp", "amt_cents", "note")
+        .write.format(fmt).mode("append").option("path", dir).save()
+      val rows = spark.table("graft.store").collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+      assert(rows.size == 52 && rows(1L).isEmpty && rows(51L).contains("x") &&
+        rows(52L).isEmpty, "old files must read NULL in the evolved column")
+      // a row-level op keyed on the NEW column stays file-granular: the
+      // matched keys live only in the appended file, so the pre-evolution
+      // file carries over BY NAME — still 3-wide on disk
+      spark.sql("UPDATE graft.store SET amt_cents = amt_cents + 1 " +
+                "WHERE note IS NOT NULL")
+      assert(StoreSink.readManifest(new Path(dir), fs).contains(oldFile),
+        "evolved UPDATE rewrote a file its predicate cannot touch")
+      val upd = spark.table("graft.store").where(col("k") >= 51).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(upd == Map(51L -> 5101L, 52L -> 5200L))
+      // the contract is guarded: duplicate and non-trailing adds fail
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.store ADD COLUMN note STRING")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.store ADD COLUMN early STRING FIRST")
+      }
+    } finally {
+      spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
+    }
+  }
+
   test("manifest lines round-trip the bloom; legacy lines parse bloomless") {
     val e = StoreSink.StoreFileEntry("f", 10, Some(1L), Some(5L), Some(0x3cL))
     assert(StoreSink.parseEntry(e.line) == e)
