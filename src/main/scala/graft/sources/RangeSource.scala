@@ -69,6 +69,17 @@ object RangeSource {
 
   /** Closed-form row functions (mirrored by the DuckDB oracle). */
   def valOf(id: Long): Double = (id * 7919 % 100000) / 100.0
+
+  /** The pushed-sample keep rule: a 31-bit LCG of (id, seed) under
+    * M = 2^31−1, kept when the hash falls in [lower·M, upper·M). Pure and
+    * integer-exact, so the oracle reproduces the EXACT sampled row set
+    * from the same literals (products stay < 2^62 — no SQL overflow). */
+  def sampleKeep(id: Long, lower: Double, upper: Double, seed: Long): Boolean = {
+    val M = 2147483647L
+    val s = ((seed % M) + M) % M
+    val u = ((id % M) * 1103515245L + s) % M
+    u >= (lower * M).toLong && u < (upper * M).toLong
+  }
   def tagOf(id: Long): String = "abcd".charAt((id % 4).toInt).toString
 
   /** Rows per input partition slice. */
@@ -126,7 +137,7 @@ private class RangeScanBuilder(start: Long, end: Long,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownOffset {
+    with SupportsPushDownOffset with SupportsPushDownTableSample {
 
   private var lo = start
   private var hi = end
@@ -136,6 +147,21 @@ private class RangeScanBuilder(start: Long, end: Long,
   private var pushedLimit: Option[Int] = None
   private var pushedOffset = 0
   private var topNDesc = false
+  private var sample: Option[(Double, Double, Long)] = None
+
+  /** TABLESAMPLE pushdown: once pushed, Spark REMOVES its Sample operator
+    * and the source owns the randomness — so the sample must be a pure,
+    * reproducible function of (id, seed), which is exactly what makes it
+    * oracle-able: the LCG keep-rule ([[RangeSource.sampleKeep]]) is
+    * serialized into the oracle SQL as literals, the same seed-literal
+    * technique as every LSH family here. Bernoulli only (withReplacement
+    * declines — a with-replacement sample is not a per-row predicate), and
+    * composition guards below keep the closed-form aggregate / pagination
+    * arithmetic from firing on a sampled scan, where it would be wrong. */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+                               withReplacement: Boolean, seed: Long): Boolean =
+    if (withReplacement) false
+    else { sample = Some((lowerBound, upperBound, seed)); true }
 
   // SQL integer literals arrive as Int, long ones as Long — accept both
   private object L {
@@ -172,6 +198,7 @@ private class RangeScanBuilder(start: Long, end: Long,
     * default (true): Spark keeps its own limit on top, which costs nothing
     * on an already-bounded scan. */
   override def pushLimit(limit: Int): Boolean = {
+    if (sample.isDefined) return false // prefix arithmetic invalid post-sample
     pushedLimit = Some(limit)
     true
   }
@@ -182,6 +209,7 @@ private class RangeScanBuilder(start: Long, end: Long,
     * read unordered, so claiming a full push would be wrong the moment the
     * bound spans two slices). Any other sort key declines. */
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (sample.isDefined) return false
     if (orders.length != 1) return false
     val o = orders(0)
     val onId = o.expression().toString.replace("`", "") == "id"
@@ -209,6 +237,7 @@ private class RangeScanBuilder(start: Long, end: Long,
     * the slices are already the residual range. Anything else declines
     * and falls back to the row scan. */
   override def pushAggregation(agg: Aggregation): Boolean = {
+    if (sample.isDefined) return false // count = hi-lo is wrong on a sample
     if (agg.groupByExpressions.nonEmpty) return false
     def idRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e.toString.replace("`", "") == "id"
@@ -234,7 +263,7 @@ private class RangeScanBuilder(start: Long, end: Long,
         case Some(n) => (math.min(hi, lo + pushedOffset), math.min(hi, lo + n))
         case None    => (math.min(hi, lo + pushedOffset), hi)
       }
-      new RangeScan(blo, bhi, required, pushedLimit, topNDesc, options)
+      new RangeScan(blo, bhi, required, pushedLimit, topNDesc, options, sample)
     }
 }
 
@@ -292,7 +321,8 @@ private case class RangeAggReaderFactory(funcs: Seq[String])
   * query author writing any bound. */
 private class RangeScan(lo: Long, hi: Long, required: StructType,
                         limit: Option[Int], topNDesc: Boolean,
-                        options: CaseInsensitiveStringMap)
+                        options: CaseInsensitiveStringMap,
+                        sample: Option[(Double, Double, Long)] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -318,16 +348,19 @@ private class RangeScan(lo: Long, hi: Long, required: StructType,
   override def toBatch: Batch = this
   override def description(): String = {
     val lim = limit.map(n => s" limit=$n${if (topNDesc) " desc" else ""}").getOrElse("")
-    s"GraftRangeScan[$lo, $hi)$lim cols=${required.fieldNames.mkString(",")}"
+    val smp = sample.map { case (l, u, s) => s" sample=[$l,$u)@$s" }.getOrElse("")
+    s"GraftRangeScan[$lo, $hi)$lim$smp cols=${required.fieldNames.mkString(",")}"
   }
 
-  /** Post-pushdown stats: rows = the residual (and limit-bounded) range, so
-    * the planner's broadcast arithmetic sees what the scan will actually
-    * produce, not the declared extent. */
+  /** Post-pushdown stats: rows = the residual (and limit-bounded) range,
+    * scaled by any pushed sample fraction, so the planner's broadcast
+    * arithmetic sees what the scan will actually produce, not the declared
+    * extent. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = math.max(0L, hi - lo)
+    private val frac = sample.map { case (l, u, _) => u - l }.getOrElse(1.0)
+    private val rows = (math.max(0L, hi - lo) * frac).toLong
     override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.of(rows * RangeSource.RowBytes)
+      util.OptionalLong.of(math.max(1L, rows * RangeSource.RowBytes))
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
   }
 
@@ -350,7 +383,7 @@ private class RangeScan(lo: Long, hi: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeReaderFactory(required)
+    new RangeReaderFactory(required, sample)
 
   /** DSv2 streaming read (MICRO_BATCH_READ): the pruned schema and pushed
     * bounds carry into the stream — each micro-batch reads the offset
@@ -468,7 +501,8 @@ private class RangeMicroBatchStream(lo: Long, hi: Long, required: StructType,
 
 private case class RangePartition(lo: Long, hi: Long) extends InputPartition
 
-private class RangeReaderFactory(required: StructType)
+private class RangeReaderFactory(required: StructType,
+                                 sample: Option[(Double, Double, Long)] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RangePartition]
@@ -480,7 +514,15 @@ private class RangeReaderFactory(required: StructType)
     }
     new PartitionReader[InternalRow] {
       private var cur = p.lo - 1
-      override def next(): Boolean = { cur += 1; cur < p.hi }
+      override def next(): Boolean = {
+        cur += 1
+        sample match {
+          case Some((l, u, s)) =>
+            while (cur < p.hi && !RangeSource.sampleKeep(cur, l, u, s)) cur += 1
+          case None => ()
+        }
+        cur < p.hi
+      }
       override def get(): InternalRow = InternalRow.fromSeq(cols.map(_(cur)).toSeq)
       override def close(): Unit = ()
     }

@@ -660,6 +660,32 @@ object Sources extends OpModule {
         .orderBy(col("id"))
     }),
 
+    // TABLESAMPLE pushdown (SupportsPushDownTableSample): once pushed,
+    // Spark REMOVES its Sample operator (RangeSourceSpec pins the plan)
+    // and the SOURCE owns the randomness — a pure 31-bit LCG of (id, seed)
+    // serialized into the oracle as literals, so the oracle reproduces the
+    // EXACT sampled row set, not just its size. The 10% sample of a
+    // 500k-row filtered slice is decided row-by-row inside the reader with
+    // no Spark-side sampling pass; at 100 TB this is how a sampling
+    // EXPLAIN/profiling query avoids materializing the unsampled scan.
+    // Composition guards keep the closed-form aggregate and pagination
+    // pushdowns OFF a sampled scan, where their arithmetic would be wrong.
+    "src_dsv2_sample" -> ((s, d) => {
+      // sample FIRST: Spark pushes a Sample only when it sits directly
+      // above the scan (an intervening Filter blocks the rewrite); the id
+      // bounds then push beneath the sampled scan, which is equivalent for
+      // a per-row deterministic keep-rule
+      s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "2000000").load()
+        .sample(0.1, 42L)
+        .where(col("id") >= 100000 && col("id") < 600000)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+             graft.ops.Det.moneySum(col("val")).as("val_cents"),
+             min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("tag"))
+    }),
+
     // TopN pushdown (SupportsPushDownTopN, partial contract): ORDER BY id
     // DESC LIMIT 5 narrows the planned range to the closed-form SUFFIX
     // [149995, 150000); Spark re-sorts the 5 survivors (partitions read
@@ -1385,6 +1411,21 @@ object Sources extends OpModule {
     "src_dsv2_agg" ->
       """SELECT COUNT(*) AS n, MIN(r.range) AS min_id, MAX(r.range) AS max_id
         |FROM RANGE(50000, 180000) r""".stripMargin,
+
+    // the LCG keep-rule with the query's literals: M = 2^31-1, a =
+    // 1103515245, seed 42, keep when hash < 0.1*M — the exact sampled set
+    "src_dsv2_sample" ->
+      """WITH g AS (
+        |  SELECT r.range AS id,
+        |    (r.range * 7919 % 100000) / 100.0 AS val,
+        |    SUBSTR('abcd', CAST(r.range % 4 AS INT) + 1, 1) AS tag
+        |  FROM RANGE(100000, 600000) r
+        |  WHERE ((r.range % 2147483647) * 1103515245 + 42) % 2147483647
+        |          < 214748364)
+        |SELECT tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents,
+        |  MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM g GROUP BY tag ORDER BY tag""".stripMargin,
 
     // Only the two newest snapshots survive retention.
     "sink_retention" ->

@@ -118,6 +118,28 @@ class RangeSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1007L, 1008L, 1009L))
   }
 
+  test("TABLESAMPLE pushes into the source; Spark's Sample operator is removed") {
+    val df = ranged(0, 200000).sample(0.1, 7L)
+      .where(col("id") >= 50000 && col("id") < 150000)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Sample 0.0"), s"Sample survived the pushdown:\n$p")
+    assert(p.contains("sample=[0.0,0.1)@7"), s"scan does not carry the sample:\n$p")
+    assert(p.contains("GraftRangeScan[50000, 150000)"),
+      s"filters must still push under the sampled scan:\n$p")
+    // the exact LCG row set, not a statistical check
+    val expect = (50000L until 150000L).count(RangeSource.sampleKeep(_, 0.0, 0.1, 7L))
+    assert(df.count() == expect)
+    // with-replacement declines: Spark keeps its own operator
+    val wr = ranged(0, 20000).sample(withReplacement = true, 0.1, 7L)
+    assert(wr.queryExecution.executedPlan.toString.contains("Sample"),
+      "with-replacement sample must NOT push (not a per-row predicate)")
+    // closed-form aggregate pushdown must not fire on a sampled scan
+    val agg = ranged(0, 200000).sample(0.1, 7L).agg(count(lit(1)))
+    assert(agg.collect()(0).getLong(0) ==
+      (0L until 200000L).count(RangeSource.sampleKeep(_, 0.0, 0.1, 7L)),
+      "sampled COUNT must count sampled rows, not the closed form")
+  }
+
   test("TopN on a non-id key declines and stays correct") {
     val df = ranged(0, 1000).orderBy(col("tag").desc, col("id")).limit(3)
     val p = df.queryExecution.executedPlan.toString
