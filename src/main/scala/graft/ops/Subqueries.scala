@@ -169,6 +169,49 @@ object Subqueries extends OpModule {
               |   GROUP BY l_returnflag
               ||> ORDER BY l_returnflag""".stripMargin)
     }),
+
+    // SQL SCRIPTING (the ANSI/PSM compound-statement surface, Spark 4's
+    // procedural SQL): DECLARE session variables, a WHILE loop that walks
+    // a price cutoff upward until at most 200 orders exceed it, an IF
+    // classifying the result — the last statement's frame is the script's
+    // result. The loop is driver-side CONTROL FLOW only; every iteration's
+    // work is still a declarative, pushdown-optimized query (one count
+    // per step), which is the right split at 100 TB: the script never
+    // touches rows, the engine does. DuckDB has no scripting, so the
+    // oracle states the loop's FIXED POINT relationally: the smallest
+    // cutoff in the walked lattice whose exceed-count is ≤ 200. The
+    // scripting conf is scoped and restored (the conf-scoped-query rule).
+    "q_sql_script" -> ((s, d) => {
+      val key = "spark.sql.scripting.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        Tables.orders(s, d).createOrReplaceTempView("ord_script_v")
+        val res = s.sql("""
+          |BEGIN
+          |  DECLARE cutoff BIGINT DEFAULT 1000;
+          |  DECLARE n_above BIGINT DEFAULT 0;
+          |  SET n_above = (SELECT COUNT(*) FROM ord_script_v
+          |                 WHERE o_totalprice > cutoff);
+          |  WHILE n_above > 200 DO
+          |    SET cutoff = cutoff + 500;
+          |    SET n_above = (SELECT COUNT(*) FROM ord_script_v
+          |                   WHERE o_totalprice > cutoff);
+          |  END WHILE;
+          |  IF n_above > 0 THEN
+          |    SELECT cutoff, n_above,
+          |      (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |       FROM ord_script_v WHERE o_totalprice > cutoff) AS sum_cents_above;
+          |  ELSE
+          |    SELECT cutoff, n_above, CAST(0 AS BIGINT) AS sum_cents_above;
+          |  END IF;
+          |END""".stripMargin)
+        s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -254,5 +297,19 @@ object Subqueries extends OpModule {
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM lineitem WHERE l_quantity > 10
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the WHILE loop's fixed point, stated relationally: the smallest
+    // cutoff on the walked 1000+500k lattice whose exceed-count is ≤ 200
+    "q_sql_script" ->
+      """WITH ks AS (SELECT 1000 + 500 * k AS cutoff FROM RANGE(0, 2000) t(k)),
+        |c AS (SELECT cutoff,
+        |        (SELECT COUNT(*) FROM orders WHERE o_totalprice > cutoff) AS n
+        |      FROM ks),
+        |fix AS (SELECT MIN(cutoff) AS cutoff FROM c WHERE n <= 200)
+        |SELECT f.cutoff,
+        |  (SELECT COUNT(*) FROM orders WHERE o_totalprice > f.cutoff) AS n_above,
+        |  COALESCE((SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |            FROM orders WHERE o_totalprice > f.cutoff), 0) AS sum_cents_above
+        |FROM fix f""".stripMargin,
   )
 }
