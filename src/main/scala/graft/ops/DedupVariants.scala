@@ -264,10 +264,16 @@ object DedupVariants extends OpModule {
             split(trim(col("text")), " "))).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"),
                 size(split(col("chunk"), " ", -1)).cast("long").as("tok_len"))
+      // both output branches (top-20, total) read the per-chunk aggregate;
+      // without materialization each re-runs the kernel+shuffle lineage
+      // (executed plan shows NO ReusedExchange — checked, per the
+      // materialize-vs-reuse rule) and the frame is BOUNDED (one row per
+      // distinct chunk ≈ tokens/8), so one eager checkpoint is the fix
       val agg = chunks.groupBy(col("chunk_hash"))
         .agg(count(lit(1)).as("n_occ"),
              countDistinct(col("doc_id")).as("n_docs"),
              max(col("tok_len")).as("tok_len"))
+        .localCheckpoint()
       val top = agg
         .orderBy(col("n_occ").desc, col("chunk_hash")).limit(20)
         .select(col("chunk_hash"), col("n_occ"), col("n_docs"), col("tok_len"))
