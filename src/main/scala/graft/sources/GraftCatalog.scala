@@ -37,9 +37,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftCatalog {
   /** Session conf holding the directory `graft.store` resolves to. */
   val StorePathKey = "spark.sql.graft.store.path"
+
+  /** Session conf holding the directory CTAS-created tables live under
+    * (`CREATE TABLE graft.<name> AS SELECT ...` → `<dir>/<name>`). */
+  val CtasDirKey = "spark.sql.graft.ctas.dir"
 }
 
-class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog {
+class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
 
@@ -74,17 +79,34 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog 
     tables.keys.toArray.sorted.map(Identifier.of(Array.empty, _))
   }
 
+  /** CTAS-created tables: `<ctas.dir>/<name>`, existing exactly when a
+    * committed `_manifest` exists — table VISIBILITY and write atomicity
+    * are the same mechanism (the manifest swap), so a failed CTAS leaves
+    * no table, not a half-registered one. */
+  private def ctasPath(ident: Identifier): Option[String] =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption(GraftCatalog.CtasDirKey)
+      .map(dir => s"$dir/${ident.name().toLowerCase(java.util.Locale.ROOT)}")
+
+  private def ctasExists(ident: Identifier): Boolean =
+    ctasPath(ident).exists { p =>
+      val root = new org.apache.hadoop.fs.Path(p)
+      StoreSink.fs(root).exists(new org.apache.hadoop.fs.Path(root, StoreSink.Manifest))
+    }
+
   override def loadTable(ident: Identifier): Table =
     if (inDefaultNs(ident))
       tables.get(ident.name().toLowerCase(java.util.Locale.ROOT)) match {
         case Some(mk) => mk()
-        case None     => throw new NoSuchTableException(ident)
+        case None if ctasExists(ident) => new StoreTable(ctasPath(ident).get)
+        case None => throw new NoSuchTableException(ident)
       }
     else throw new NoSuchTableException(ident)
 
   override def tableExists(ident: Identifier): Boolean =
     inDefaultNs(ident) &&
-      tables.contains(ident.name().toLowerCase(java.util.Locale.ROOT))
+      (tables.contains(ident.name().toLowerCase(java.util.Locale.ROOT)) ||
+        ctasExists(ident))
 
   /** TIME TRAVEL (`SELECT ... FROM graft.store VERSION AS OF n`): resolve
     * the store pinned to an archived manifest generation — a read-only
@@ -169,10 +191,86 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog 
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    if (inDefaultNs(ident) && ctasExists(ident)) {
+      val root = new org.apache.hadoop.fs.Path(ctasPath(ident).get)
+      StoreSink.fs(root).delete(root, true)
+    } else if (tableExists(ident))
+      throw new UnsupportedOperationException(
+        s"built-in table ${ident.name()} cannot be dropped")
+    else false
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException("graft catalog does not rename tables")
+
+  // -------------------------------------------- StagingTableCatalog (CTAS)
+  /** ATOMIC `CREATE TABLE graft.<name> AS SELECT ...`: the staged table
+    * writes through the ordinary StoreSink two-phase protocol into
+    * `<ctas.dir>/<name>`, and because table VISIBILITY is "a committed
+    * manifest exists", the query's commit IS the registration — nothing to
+    * undo on failure beyond deleting the staged directory
+    * (abortStagedChanges), and no moment where a half-written table is
+    * addressable (the non-staged CTAS path would register first and
+    * best-effort drop on failure — exactly the window staging removes).
+    * The SELECT's schema must be store-shaped: the (k BIGINT, grp STRING,
+    * amt_cents BIGINT) prefix plus optional bigint/string trailing columns,
+    * which are persisted to the `_schema` sidecar before any write. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(inDefaultNs(ident), s"unknown namespace: $ident")
+    require(partitions.isEmpty, "graft CTAS tables are unpartitioned")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(name(), ident.name()))
+    val p = ctasPath(ident).getOrElse(throw new IllegalStateException(
+      s"set ${GraftCatalog.CtasDirKey} to enable CREATE TABLE AS SELECT"))
+    val base = StoreSink.schema.fields
+    require(schema.fields.length >= base.length &&
+      schema.fields.take(base.length).zip(base).forall { case (a, b) =>
+        a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType },
+      s"graft CTAS requires the (k BIGINT, grp STRING, amt_cents BIGINT) " +
+        s"prefix, got ${schema.simpleString}")
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fsys = StoreSink.fs(root)
+    fsys.delete(root, true) // a previous aborted stage's leftovers
+    StoreSink.writeExtras(root, fsys, schema.fields.drop(base.length).toSeq)
+    new StagedStoreTable(p, schema)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "graft CTAS supports CREATE only (drop + create to replace)")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    stageReplace(ident, schema, partitions, properties)
+}
+
+/** The staged half of an atomic CTAS: a store table whose write commit is
+  * its own registration (see [[GraftCatalog.stageCreate]]). */
+private class StagedStoreTable(pathStr: String, ctasSchema: StructType)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = s"graft_store_staged($pathStr)"
+  override def schema(): StructType = ctasSchema
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new StoreWriteBuilder(pathStr, info)
+
+  override def commitStagedChanges(): Unit = ()
+  // CTAS failed after staging: remove the directory — the manifest never
+  // appeared, so the table never existed
+  override def abortStagedChanges(): Unit = {
+    val root = new org.apache.hadoop.fs.Path(pathStr)
+    StoreSink.fs(root).delete(root, true)
+  }
 }
 
 /** `graft.amt(id BIGINT) → BIGINT` — the store's canonical amount

@@ -987,6 +987,66 @@ object Sources extends OpModule {
       }
     }),
 
+    // ATOMIC CTAS through the StagingTableCatalog protocol: CREATE TABLE
+    // graft.<name> AS SELECT writes through the store's two-phase commit
+    // into the session's CTAS directory, and the manifest swap IS the
+    // registration — so the failing CTAS (ANSI division by zero mid-write)
+    // leaves NO table behind (the flag probes it), not the half-registered
+    // husk the non-staged path can. The created table carries a trailing
+    // evolved column (pri STRING) persisted via the _schema sidecar, and
+    // DROP TABLE removes it. Without StagingTableCatalog, Spark's CTAS
+    // registers first and best-effort-drops on failure — the exact window
+    // the staged protocol removes.
+    "q_store_ctas" -> ((s, d) => withGraftCatalog(s) {
+      val dir = tmp(d, "storectas")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val key = GraftCatalog.CtasDirKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, dir)
+      try {
+        Tables.orders(s, d).createOrReplaceTempView("ord_ctas_v")
+        s.sql("""CREATE TABLE graft.big_orders AS
+                |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents,
+                |       CONCAT('p', o_orderpriority) AS pri
+                |FROM ord_ctas_v WHERE o_totalprice > 150000""".stripMargin)
+        val agg = s.table("graft.big_orders")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"),
+               count(col("pri")).as("n_pri"))
+          .collect()
+        // atomicity probe: a CTAS that fails mid-write must leave no table
+        val failed =
+          try {
+            s.sql("""CREATE TABLE graft.boom AS
+                    |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                    |       1L DIV (o_orderkey - o_orderkey) AS amt_cents
+                    |FROM ord_ctas_v""".stripMargin)
+            0L
+          } catch { case _: Exception => 1L }
+        val boomGone =
+          try { s.table("graft.boom").collect(); 0L }
+          catch { case _: Exception => 1L }
+        s.sql("DROP TABLE graft.big_orders")
+        val dropped =
+          try { s.table("graft.big_orders").collect(); 0L }
+          catch { case _: Exception => 1L }
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_ctas_failed_loudly", failed, 0L, 0L),
+          org.apache.spark.sql.Row("z_ctas_atomic", boomGone, 0L, 0L),
+          org.apache.spark.sql.Row("z_dropped", dropped, 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType), StructField("n_pri", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     // TIME TRAVEL + RETENTION through the connector: every manifest swap
     // archives an immutable `_manifest.v<N>`, `VERSION AS OF n` resolves a
     // read-only snapshot through the catalog, and retention is an explicit
@@ -1140,6 +1200,17 @@ object Sources extends OpModule {
         |FROM base WHERE k < 50 GROUP BY grp
         |UNION ALL SELECT 'flag', 'z_subset_rewrite', '-', 1, 0
         |ORDER BY win, op, grp""".stripMargin,
+
+    // the created table's content relationally; flags are contracts
+    "q_store_ctas" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  COUNT(*) AS n_pri
+        |FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_ctas_failed_loudly', 1, 0, 0
+        |UNION ALL SELECT 'z_ctas_atomic', 1, 0, 0
+        |UNION ALL SELECT 'z_dropped', 1, 0, 0
+        |ORDER BY grp""".stripMargin,
 
     // evolution applied relationally: old rows read NULL in the new
     // column; the UPDATE's +5 reaches exactly the note-carrying rows

@@ -83,4 +83,47 @@ class GraftCatalogSpec extends SparkSpec {
         .head.getLong(0) == 8L)
     }
   }
+
+  test("staged CTAS: atomic create, failure leaves no table, drop removes") {
+    withCatalog {
+      val dir = "target/tmp/catalog_spec_ctas"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.conf.set(GraftCatalog.CtasDirKey, dir)
+      try {
+        spark.sql("""CREATE TABLE graft.ctas_t AS
+                    |SELECT id AS k, tag AS grp, id * 2 AS amt_cents, tag AS extra
+                    |FROM graft.range_200k WHERE id < 1000""".stripMargin)
+        assert(spark.table("graft.ctas_t").count() == 1000)
+        // the evolved trailing column rode the _schema sidecar
+        assert(StoreSink.tableSchema(s"$dir/ctas_t").fieldNames.last == "extra")
+        // zone pushdown survives the CTAS path
+        val q = spark.sql("SELECT COUNT(*) FROM graft.ctas_t WHERE k < 10")
+        assert(q.collect().head.getLong(0) == 10)
+        // duplicate create refuses; REPLACE unsupported; bad prefix refuses
+        intercept[Exception] {
+          spark.sql("CREATE TABLE graft.ctas_t AS SELECT 1L AS k, 'x' AS grp, 2L AS amt_cents")
+        }
+        intercept[Exception] {
+          spark.sql("REPLACE TABLE graft.ctas_t AS SELECT 1L AS k, 'x' AS grp, 2L AS amt_cents")
+        }
+        intercept[Exception] {
+          spark.sql("CREATE TABLE graft.badshape AS SELECT 1 AS a, 2 AS b")
+        }
+        // mid-write failure: no manifest, no table — atomic by construction
+        intercept[Exception] {
+          spark.sql("""CREATE TABLE graft.boomspec AS
+                      |SELECT id AS k, tag AS grp, 1L DIV (id - id) AS amt_cents
+                      |FROM graft.range_200k WHERE id < 100""".stripMargin)
+        }
+        val cat = spark.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        assert(!cat.tableExists(Identifier.of(Array.empty, "boomspec")),
+          "failed CTAS left a visible table")
+        spark.sql("DROP TABLE graft.ctas_t")
+        assert(!cat.tableExists(Identifier.of(Array.empty, "ctas_t")))
+      } finally spark.conf.unset(GraftCatalog.CtasDirKey)
+    }
+  }
 }
