@@ -39,6 +39,7 @@ object Bench {
     "q_assoc_rules", "q_sim_bq", "s_tws_timers",                     // basket pair mining + BQ hamming ANN + timer exec (r11)
     "q_hits_cached", "q_store_merge", "s_src_dsv2",                  // HITS cut-lineage + connector merge + DSv2 stream read (r12)
     "q_dsir_sample", "q_kcenter",                                    // DSIR importance weights + k-center coreset (r12)
+    "q_chunk_cdc", "src_dsv2_sample",                                // CDC chunk dedup + pushed-sample scan (r13)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

@@ -171,15 +171,18 @@ object Subqueries extends OpModule {
     }),
 
     // SQL SCRIPTING (the ANSI/PSM compound-statement surface, Spark 4's
-    // procedural SQL): DECLARE session variables, a WHILE loop that walks
-    // a price cutoff upward until at most 200 orders exceed it, an IF
-    // classifying the result — the last statement's frame is the script's
-    // result. The loop is driver-side CONTROL FLOW only; every iteration's
-    // work is still a declarative, pushdown-optimized query (one count
-    // per step), which is the right split at 100 TB: the script never
-    // touches rows, the engine does. DuckDB has no scripting, so the
-    // oracle states the loop's FIXED POINT relationally: the smallest
-    // cutoff in the walked lattice whose exceed-count is ≤ 200. The
+    // procedural SQL): DECLARE session variables, a WHILE loop, IFs — the
+    // last statement's frame is the script's result. The loop BINARY
+    // SEARCHES the smallest cutoff on the 1000+500k lattice with at most
+    // 200 orders above it (~11 iterations, each one declarative
+    // pushdown-optimized count — the right split at 100 TB: the script
+    // never touches rows, the engine does). The first cut of this query
+    // walked the lattice LINEARLY — ~800 driver round-trips at sf0.1, and
+    // the count grows with SF so the fixpoint (and iteration count) climbs
+    // with the corpus: a DRIVER-LOOP WHOSE LENGTH SCALES WITH THE DATA is
+    // the scripting twin of the per-row-predicate scale-bug class. The
+    // monotone predicate makes binary search exact, so the oracle states
+    // the SAME fixed point relationally (DuckDB has no scripting). The
     // scripting conf is scoped and restored (the conf-scoped-query rule).
     "q_sql_script" -> ((s, d) => {
       val key = "spark.sql.scripting.enabled"
@@ -189,15 +192,25 @@ object Subqueries extends OpModule {
         Tables.orders(s, d).createOrReplaceTempView("ord_script_v")
         val res = s.sql("""
           |BEGIN
-          |  DECLARE cutoff BIGINT DEFAULT 1000;
+          |  DECLARE lo BIGINT DEFAULT 0;
+          |  DECLARE hi BIGINT DEFAULT 2000;
+          |  DECLARE mid BIGINT DEFAULT 0;
+          |  DECLARE n BIGINT DEFAULT 0;
+          |  DECLARE cutoff BIGINT DEFAULT 0;
           |  DECLARE n_above BIGINT DEFAULT 0;
+          |  WHILE lo < hi DO
+          |    SET mid = (lo + hi) DIV 2;
+          |    SET n = (SELECT COUNT(*) FROM ord_script_v
+          |             WHERE o_totalprice > 1000 + 500 * mid);
+          |    IF n > 200 THEN
+          |      SET lo = mid + 1;
+          |    ELSE
+          |      SET hi = mid;
+          |    END IF;
+          |  END WHILE;
+          |  SET cutoff = 1000 + 500 * lo;
           |  SET n_above = (SELECT COUNT(*) FROM ord_script_v
           |                 WHERE o_totalprice > cutoff);
-          |  WHILE n_above > 200 DO
-          |    SET cutoff = cutoff + 500;
-          |    SET n_above = (SELECT COUNT(*) FROM ord_script_v
-          |                   WHERE o_totalprice > cutoff);
-          |  END WHILE;
           |  IF n_above > 0 THEN
           |    SELECT cutoff, n_above,
           |      (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
