@@ -44,7 +44,33 @@ object GraftCatalog {
 }
 
 class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  // ------------------------------------------- ProcedureCatalog (CALL ...)
+  /** STORED PROCEDURES: the store's maintenance operations exposed at the
+    * SQL surface — `CALL graft.compact(path, target_rows)` and
+    * `CALL graft.vacuum(path, keep_versions)` — the way a production table
+    * format ships OPTIMIZE/VACUUM (Iceberg's CALL procedures). Each is a
+    * BoundProcedure whose call() runs the maintenance op and returns its
+    * audit row through a LocalScan, so `CALL` results compose like any
+    * query result: the operator gets back (files_before, files_after) or
+    * (versions_kept, live_files), not a silent side effect. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    Array("compact", "vacuum").map(Identifier.of(Array.empty, _))
+  }
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!inDefaultNs(ident))
+      throw new NoSuchTableException(ident) // no namespaced procedures
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "compact" => CompactProcedure
+      case "vacuum"  => VacuumProcedure
+      case _ => throw new UnsupportedOperationException(
+        s"unknown procedure ${ident.name()} (compact | vacuum)")
+    }
+  }
 
   private var catalogName: String = _
 
@@ -247,6 +273,71 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       partitions: Array[Transform],
       properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
     stageReplace(ident, schema, partitions, properties)
+}
+
+/** Shared shape of the two maintenance procedures: fixed parameters, a
+  * one-row audit result via [[org.apache.spark.sql.connector.read.LocalScan]]. */
+private sealed abstract class StoreProcedure(procName: String,
+                                             resultCols: (String, String))
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = procName
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates store state
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in(argName, LongType).build())
+
+  protected def argName: String
+  protected def run(path: String, arg: Long): (Long, Long)
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField(resultCols._1, LongType, nullable = false),
+    org.apache.spark.sql.types.StructField(resultCols._2, LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val path = input.getUTF8String(0).toString
+    val arg = input.getLong(1)
+    val (a, b) = run(path, arg)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(a, b))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+private object CompactProcedure
+    extends StoreProcedure("compact", ("files_before", "files_after")) {
+  override protected def argName = "target_rows"
+  override protected def run(path: String, arg: Long): (Long, Long) = {
+    val (b, a) = StoreSink.compact(
+      org.apache.spark.sql.SparkSession.active, path, arg)
+    (b.toLong, a.toLong)
+  }
+  override def description(): String =
+    "rewrite the current snapshot as range-clustered ~target_rows files"
+}
+
+private object VacuumProcedure
+    extends StoreProcedure("vacuum", ("versions_kept", "live_files")) {
+  override protected def argName = "keep_versions"
+  override protected def run(path: String, arg: Long): (Long, Long) = {
+    StoreSink.vacuum(path, arg.toInt)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fsys = StoreSink.fs(root)
+    val versions = StoreSink.listVersions(root, fsys).size.toLong
+    val live = fsys.listStatus(root).map(_.getPath.getName)
+      .count(_.startsWith("part-")).toLong
+    (versions, live)
+  }
+  override def description(): String =
+    "expire archived manifests beyond keep_versions, then GC unreferenced files"
 }
 
 /** The staged half of an atomic CTAS: a store table whose write commit is

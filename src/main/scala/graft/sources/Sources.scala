@@ -987,6 +987,44 @@ object Sources extends OpModule {
       }
     }),
 
+    // STORED PROCEDURES (ProcedureCatalog): the store's maintenance ops at
+    // the SQL surface — `CALL graft.compact(path, target_rows)` and
+    // `CALL graft.vacuum(path, keep_versions)` — returning their audit
+    // rows as query results (the Iceberg CALL idiom). The query seeds a
+    // 16-file hash-scattered generation, compacts it to the closed-form 4
+    // range-clustered files (target = total/4), vacuums to one archived
+    // version + 4 live files, and pins BOTH audit rows AND the content's
+    // invariance under the whole maintenance cycle in one oracle. At
+    // 100 TB this is the operator interface: maintenance is a scheduled
+    // SQL statement with an auditable result, not a side-effecting script.
+    "q_store_call" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecall")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      base.repartition(16, col("k"))
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      val total = base.count()
+      val compact = s.sql(s"CALL graft.compact('$path', ${(total + 3) / 4})").collect()(0)
+      val vacuum = s.sql(s"CALL graft.vacuum('$path', 1)").collect()(0)
+      val content = s.read.format("graft.sources.StoreSink").option("path", path).load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("a"), sum(col("amt_cents")).as("b"))
+        .select(concat(lit("grp:"), col("grp")).as("step"), col("a"), col("b"))
+        .collect()
+      val rows = content.toSeq ++ Seq(
+        org.apache.spark.sql.Row("compact", compact.getLong(0), compact.getLong(1)),
+        org.apache.spark.sql.Row("vacuum", vacuum.getLong(0), vacuum.getLong(1)))
+      val schema = StructType(Seq(
+        StructField("step", StringType), StructField("a", LongType),
+        StructField("b", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+    }),
+
     // ATOMIC CTAS through the StagingTableCatalog protocol: CREATE TABLE
     // graft.<name> AS SELECT writes through the store's two-phase commit
     // into the session's CTAS directory, and the manifest swap IS the
@@ -1200,6 +1238,17 @@ object Sources extends OpModule {
         |FROM base WHERE k < 50 GROUP BY grp
         |UNION ALL SELECT 'flag', 'z_subset_rewrite', '-', 1, 0
         |ORDER BY win, op, grp""".stripMargin,
+
+    // audit rows are closed forms (16 hash files → ceil(n/(n/4)) = 4
+    // range files; one archived version + 4 live files after vacuum);
+    // content is invariant under the maintenance cycle
+    "q_store_call" ->
+      """SELECT 'grp:' || o_orderstatus AS step, COUNT(*) AS a,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS b
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'compact', 16, 4
+        |UNION ALL SELECT 'vacuum', 1, 4
+        |ORDER BY step""".stripMargin,
 
     // the created table's content relationally; flags are contracts
     "q_store_ctas" ->

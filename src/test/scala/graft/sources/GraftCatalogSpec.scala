@@ -84,6 +84,31 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("stored procedures: listed, audit rows returned, unknown declines") {
+    withCatalog {
+      import spark.implicits._
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
+      assert(cat.listProcedures(Array.empty).map(_.name()).sorted.toSeq ==
+        Seq("compact", "vacuum"))
+      intercept[Exception] { spark.sql("CALL graft.nope(1)") }
+      val dir = "target/tmp/catalog_spec_proc"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      (1 to 200).map(k => (k.toLong, "a", k * 1L)).toDF("k", "grp", "amt_cents")
+        .repartition(5, $"k")
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", dir).save()
+      val audit = spark.sql(s"CALL graft.compact('$dir', 100)").collect()(0)
+      assert((audit.getLong(0), audit.getLong(1)) == (5L, 2L))
+      val vac = spark.sql(s"CALL graft.vacuum('$dir', 1)").collect()(0)
+      assert((vac.getLong(0), vac.getLong(1)) == (1L, 2L))
+      assert(spark.read.format("graft.sources.StoreSink").option("path", dir)
+        .load().count() == 200)
+    }
+  }
+
   test("staged CTAS: atomic create, failure leaves no table, drop removes") {
     withCatalog {
       val dir = "target/tmp/catalog_spec_ctas"
