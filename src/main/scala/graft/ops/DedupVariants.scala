@@ -288,6 +288,38 @@ object DedupVariants extends OpModule {
                 col("n_docs"), col("tok_len"))
       top.unionByName(tot).orderBy(col("n_occ").desc, col("chunk_hash"))
     }),
+
+    // Incremental chunk-store ingest (q_chunk_cdc's production flow, the
+    // chunk-granular twin of q_dedup_incr's signature-index shape): a new
+    // BATCH of documents (doc_id ≡ 0 mod 10) is chunked by the same gear
+    // rule and joined against the CORPUS chunk index (distinct hashes of
+    // everything else) — only chunks absent from the index are new bytes;
+    // per-document novelty is what an ingest pipeline uses to route
+    // near-duplicate crawl revisits away from storage. One distinct per
+    // side + one hash equi-join on the chunk hash; at 100 TB the
+    // persisted index is bucketed on the hash so the per-batch join
+    // co-locates against it without reshuffling the index (the
+    // q_dedup_incr posture), and the shuffle carries hashes, never text.
+    "q_dedup_chunk_incr" -> ((s, d) => {
+      def chunksOf(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashes.cdcChunks(3, 8)(
+            split(trim(col("text")), " "))).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+                size(split(col("chunk"), " ", -1)).cast("long").as("tok_len"))
+      val docs = Tables.documents(s, d)
+      val index = chunksOf(docs.where(pmod(col("doc_id"), lit(10)) =!= 0))
+        .select(col("h")).distinct()
+      chunksOf(docs.where(pmod(col("doc_id"), lit(10)) === 0))
+        .join(index.withColumn("known", lit(1L)), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new"),
+             sum(when(col("known").isNull, col("tok_len")).otherwise(0L)).as("new_toks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_new"), col("new_toks"),
+                expr("n_new * 10000L div n_chunks").as("novelty_e4"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** 4 ±1 hyperplanes (16 sub-buckets per label), seed 7 — deliberately a
@@ -463,5 +495,32 @@ object DedupVariants extends OpModule {
         |  CAST(SUM(CASE WHEN n_occ > 1 THEN (n_occ - 1) * tok_len ELSE 0 END) AS BIGINT)
         |FROM agg
         |ORDER BY n_occ DESC, chunk_hash""".stripMargin,
+
+    // same gear rule, batch (doc_id≡0 mod 10) vs corpus-index split
+    "q_dedup_chunk_incr" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |cuts AS (SELECT doc_id, toks,
+        |    LIST_FILTER(RANGE(3, LEN(toks)), i ->
+        |      CAST(('0x' || SUBSTR(md5(ARRAY_TO_STRING(
+        |        toks[CAST(i - 2 AS INTEGER):CAST(i AS INTEGER)], ' ')), 1, 7)) AS BIGINT) % 8 = 0) AS cuts
+        |  FROM base),
+        |bs AS (SELECT doc_id, toks,
+        |    LIST_PREPEND(CAST(0 AS BIGINT), LIST_APPEND(cuts, CAST(LEN(toks) AS BIGINT))) AS bs
+        |  FROM cuts),
+        |chunks AS (SELECT doc_id,
+        |    ARRAY_TO_STRING(toks[CAST(bs[CAST(j AS INTEGER)] + 1 AS INTEGER)
+        |                         :CAST(bs[CAST(j AS INTEGER) + 1] AS INTEGER)], ' ') AS chunk
+        |  FROM bs, UNNEST(RANGE(1, LEN(bs))) AS t(j)),
+        |ch AS (SELECT doc_id, md5(chunk) AS h,
+        |    CAST(LEN(STRING_SPLIT(chunk, ' ')) AS BIGINT) AS tok_len FROM chunks),
+        |idx AS (SELECT DISTINCT h FROM ch WHERE doc_id % 10 <> 0),
+        |batch AS (SELECT * FROM ch WHERE doc_id % 10 = 0)
+        |SELECT b.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN i.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN i.h IS NULL THEN b.tok_len ELSE 0 END) AS BIGINT) AS new_toks,
+        |  CAST(SUM(CASE WHEN i.h IS NULL THEN 1 ELSE 0 END) * 10000
+        |       // COUNT(*) AS BIGINT) AS novelty_e4
+        |FROM batch b LEFT JOIN idx i ON b.h = i.h
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
   )
 }
