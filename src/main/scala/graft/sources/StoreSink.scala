@@ -316,15 +316,19 @@ object StoreSink {
     val root = new Path(pathStr)
     val fsys = fs(root)
     val raw = manifestFs(fsys)
-    val versions = listVersions(root, fsys)
-    val (expired, retained) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    val referenced = (retained.flatMap(v => readVersionLines(root, fsys, v)) ++
-        readManifestLines(root, fsys))
-      .filterNot(_.startsWith("#")).map(parseEntry(_).name).toSet
-    expired.foreach(v => raw.delete(versionPath(root, v), false))
-    fsys.listStatus(root).map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && !referenced.contains(n))
-      .foreach(n => fsys.delete(new Path(root, n), false))
+    // under the commit lock: a concurrent commit's promoted-but-not-yet-
+    // manifested files would otherwise look unreferenced and be GC'd
+    withCommitLock(root, fsys) {
+      val versions = listVersions(root, fsys)
+      val (expired, retained) = versions.splitAt(math.max(0, versions.size - keepVersions))
+      val referenced = (retained.flatMap(v => readVersionLines(root, fsys, v)) ++
+          readManifestLines(root, fsys))
+        .filterNot(_.startsWith("#")).map(parseEntry(_).name).toSet
+      expired.foreach(v => raw.delete(versionPath(root, v), false))
+      fsys.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && !referenced.contains(n))
+        .foreach(n => fsys.delete(new Path(root, n), false))
+    }
   }
 
   /** OPTIMIZE: rewrite the current snapshot as ~`targetRows`-sized,
@@ -346,11 +350,18 @@ object StoreSink {
     val entries = readEntries(root, fsys)
     val totalRows = entries.map(e => math.max(e.rows, 0L)).sum
     val n = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
+    // plan the read from exactly this snapshot's files and commit with
+    // `replace` = that same set: an append landing DURING the compaction
+    // survives the swap (the commit rebases under the lock), and a
+    // concurrent rewrite of one of our inputs is a loud conflict rather
+    // than silent row resurrection
+    val names = entries.map(_.name)
     val df = spark.read.format("graft.sources.StoreSink")
-      .option("path", pathStr).load()
+      .option("path", pathStr).option("files", names.mkString(",")).load()
     df.repartitionByRange(n, org.apache.spark.sql.functions.col("k"))
-      .write.format("graft.sources.StoreSink").mode("overwrite")
-      .option("path", pathStr).option("preserveMarkers", "true").save()
+      .write.format("graft.sources.StoreSink").mode("append")
+      .option("path", pathStr).option("preserveMarkers", "true")
+      .option("replace", names.mkString(",")).save()
     (entries.size, readEntries(root, fsys).size)
   }
 
@@ -391,6 +402,78 @@ object StoreSink {
       .select(("op" +: tbl.fieldNames.toSeq).map(org.apache.spark.sql.functions.col): _*)
   }
 
+  /** COMMIT LOCK — the concurrency primitive every multi-writer table
+    * format needs: commits from DIFFERENT drivers/queries interleave
+    * (Spark's output commit coordinator only serializes tasks within one
+    * job), and the read-manifest → build → swap sequence is a classic
+    * lost-update window (two appends both read generation N, the second
+    * swap erases the first's files — reproduced in StoreSinkSpec before
+    * this lock existed). `create(lock, overwrite = false)` is atomic on
+    * POSIX (O_EXCL) and HDFS, so it is the mutex; every commit path runs
+    * promote + rebuild-from-FRESH-manifest + swap inside it, making
+    * manifest updates serializable with a metadata-sized critical section
+    * (data rewrites stay outside). A dead committer leaves a stale lock:
+    * acquisition fails loudly after 30 s naming the file to delete —
+    * auditable recovery, never a silent takeover. */
+  /** Stale-lock timeout (test hook: the spec shrinks it to prove loudness). */
+  @volatile private[sources] var lockTimeoutNanos: Long = 30L * 1000 * 1000 * 1000
+
+  private[sources] def withCommitLock[T](root: Path, fsys: FileSystem)(body: => T): T = {
+    val raw = manifestFs(fsys)
+    if (!raw.exists(root)) raw.mkdirs(root)
+    val lock = new Path(root, "_commit.lock")
+    val qualified = raw.makeQualified(lock)
+    // the claim must be ATOMIC create-exclusive. Hadoop's
+    // RawLocalFileSystem.create(path, overwrite = false) is
+    // check-then-create — two local committers both pass the exists()
+    // check and both "hold" the lock (observed: the racing swap moved the
+    // other committer's tmp out from under it). On file:// use NIO
+    // createFile (O_EXCL); on HDFS create-exclusive is atomic at the NN.
+    def tryClaim(): Boolean =
+      try {
+        if (qualified.toUri.getScheme == "file")
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(qualified.toUri.getPath))
+        else raw.create(lock, false).close()
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    val deadline = System.nanoTime + lockTimeoutNanos
+    while (!tryClaim()) {
+      if (System.nanoTime > deadline)
+        throw new IllegalStateException(
+          s"graft-store commit lock held too long ($lock) — a dead " +
+            "committer leaves a stale lock; delete the file to recover")
+      Thread.sleep(10)
+    }
+    try body finally raw.delete(lock, false)
+  }
+
+  /** Remove ONLY this query's staging leftovers (losing task attempts).
+    * The staging dir is shared by concurrent writers — the old
+    * delete-the-whole-dir cleanup would erase a racing commit's staged
+    * files out from under it. */
+  private[sources] def cleanStaging(root: Path, fsys: FileSystem,
+                                    queryId: String): Unit = {
+    val staging = new Path(root, Staging)
+    if (!fsys.exists(staging)) return
+    fsys.listStatus(staging).map(_.getPath)
+      .filter(_.getName.contains(queryId))
+      .foreach(fsys.delete(_, false))
+    if (fsys.listStatus(staging).isEmpty) fsys.delete(staging, true)
+  }
+
+  /** Serializable manifest update: under the commit lock, hand the FRESH
+    * manifest lines to `build` and swap in its result. Every concurrent
+    * committer rebases on the state the previous one published. */
+  private[sources] def commitUpdate(root: Path, fsys: FileSystem)(
+      build: Seq[String] => Seq[String]): Unit =
+    withCommitLock(root, fsys) {
+      writeManifestAtomic(root, fsys, build(readManifestLines(root, fsys)))
+    }
+
   private[sources] def writeManifestAtomic(
       root: Path, fsys: FileSystem, lines: Seq[String]): Unit = {
     val raw = manifestFs(fsys)
@@ -398,8 +481,8 @@ object StoreSink {
     val out = raw.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // archive this generation (single committing driver per store — the
-    // Spark commit protocol already serializes us)
+    // archive this generation (commits are serialized by the commit lock,
+    // so the next version number cannot race)
     val nextV = listVersions(root, fsys).lastOption.getOrElse(0) + 1
     val vout = raw.create(versionPath(root, nextV), true)
     try vout.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -776,9 +859,25 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
         }
       }
     }
+    // map oldName -> its rewritten line so the publish can rebase on the
+    // manifest as it stands at COMMIT time (the data rewrite above ran
+    // outside the lock — appends that landed meanwhile must survive)
+    val replacedLine: Map[String, String] = entries.map(_.name).zip(newLines)
+      .filter { case (n, l) => StoreSink.parseEntry(l).name != n }.toMap
     if (rewritten.nonEmpty)
       // replaced files stay for archived versions; vacuum is the GC
-      StoreSink.writeManifestAtomic(root, fsys, newLines ++ markers)
+      StoreSink.withCommitLock(root, fsys) {
+        val fresh = StoreSink.readManifestLines(root, fsys)
+        val freshNames = fresh.filterNot(_.startsWith("#"))
+          .map(StoreSink.parseEntry(_).name).toSet
+        val missing = replacedLine.keySet.diff(freshNames)
+        if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"delete lost a write-write race on: ${missing.mkString(",")}")
+        StoreSink.writeManifestAtomic(root, fsys, fresh.map { l =>
+          if (l.startsWith("#")) l
+          else replacedLine.getOrElse(StoreSink.parseEntry(l).name, l)
+        })
+      }
   }
 }
 
@@ -845,23 +944,33 @@ private class StoreGroupReplaceWrite(pathStr: String, queryId: String,
     val committed = messages.map(_.asInstanceOf[StoreCommitMessage]).toSeq
     require(committed.map(_.file).distinct.size == committed.size,
       s"duplicate commit messages: ${committed.map(_.file)}")
-    committed.foreach { m =>
-      require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
-        s"failed to promote ${m.file}")
+    StoreSink.withCommitLock(root, fsys) {
+      committed.foreach { m =>
+        require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
+          s"failed to promote ${m.file}")
+      }
+      val gone = replaced().toSet
+      val lines = StoreSink.readManifestLines(root, fsys)
+      // our replacement rows were computed FROM the scanned group set; if a
+      // concurrent commit already replaced one of those files, publishing
+      // ours would resurrect/duplicate rows — loud conflict instead
+      val freshNames = lines.filterNot(_.startsWith("#"))
+        .map(StoreSink.parseEntry(_).name).toSet
+      val missing = gone.diff(freshNames)
+      if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"row-level operation lost a write-write race on: ${missing.mkString(",")}")
+      val visible = lines.filterNot(l =>
+        !l.startsWith("#") && gone.contains(StoreSink.parseEntry(l).name)) ++
+        committed.map(_.entry.line)
+      StoreSink.writeManifestAtomic(root, fsys, visible)
+      // the replaced group set stays on disk for archived versions (vacuum GCs)
+      StoreSink.cleanStaging(root, fsys, queryId)
     }
-    val gone = replaced().toSet
-    val lines = StoreSink.readManifestLines(root, fsys)
-    val visible = lines.filterNot(l =>
-      !l.startsWith("#") && gone.contains(StoreSink.parseEntry(l).name)) ++
-      committed.map(_.entry.line)
-    StoreSink.writeManifestAtomic(root, fsys, visible)
-    // the replaced group set stays on disk for archived versions (vacuum GCs)
-    fsys.delete(staging, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
-    StoreSink.fs(root).delete(new Path(root, StoreSink.Staging), true)
+    StoreSink.cleanStaging(root, StoreSink.fs(root), queryId)
   }
 }
 
@@ -883,7 +992,9 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new StoreBatchWrite(pathStr, info.queryId(), doTruncate,
-        info.options().getBoolean("preserveMarkers", false), info.schema())
+        info.options().getBoolean("preserveMarkers", false), info.schema(),
+        Option(info.options().get("replace"))
+          .map(_.split(",").filter(_.nonEmpty).toSet))
     override def toStreaming: StreamingWrite = {
       require(!doTruncate,
         "graft-store streaming write is append-only (no Complete-mode truncate)")
@@ -894,7 +1005,8 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo)
 
 private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolean,
                               preserveMarkers: Boolean = false,
-                              dataSchema: StructType = StoreSink.schema)
+                              dataSchema: StructType = StoreSink.schema,
+                              replaceFiles: Option[Set[String]] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -903,39 +1015,53 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
-    val staging = new Path(root, StoreSink.Staging)
     val committed = messages.map(_.asInstanceOf[StoreCommitMessage]).toSeq
     // promote exactly the acknowledged files; duplicates would mean the
     // commit coordinator failed us — refuse rather than double-count
     require(committed.map(_.file).distinct.size == committed.size,
       s"duplicate commit messages: ${committed.map(_.file)}")
-    committed.foreach { m =>
-      require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
-        s"failed to promote ${m.file}")
+    StoreSink.withCommitLock(root, fsys) {
+      val staging = new Path(root, StoreSink.Staging)
+      committed.foreach { m =>
+        require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
+          s"failed to promote ${m.file}")
+      }
+      val fresh = StoreSink.readManifestLines(root, fsys)
+      // three commit shapes, each rebased on the manifest AS PUBLISHED by
+      // whatever committed before us (the lock serializes):
+      //  - replaceFiles (compaction): swap exactly the files this job READ
+      //    for the new layout — a concurrent append lands untouched, and a
+      //    concurrent rewrite of one of our inputs is a loud conflict
+      //  - truncate: a new generation (epoch ledger dies, EXCEPT under
+      //    preserveMarkers — maintenance is not a logical truncate)
+      //  - append: union
+      val visible = replaceFiles match {
+        case Some(replace) =>
+          val freshNames = fresh.filterNot(_.startsWith("#"))
+            .map(StoreSink.parseEntry(_).name).toSet
+          val missing = replace.diff(freshNames)
+          if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"files replaced by a concurrent commit: ${missing.mkString(",")} " +
+              "— re-run the compaction against the current snapshot")
+          fresh.filterNot(l => !l.startsWith("#") &&
+            replace.contains(StoreSink.parseEntry(l).name)) ++
+            committed.map(_.entry.line)
+        case None if truncate =>
+          (if (preserveMarkers) fresh.filter(_.startsWith("#")) else Nil) ++
+            committed.map(_.entry.line)
+        case None => fresh ++ committed.map(_.entry.line)
+      }
+      StoreSink.writeManifestAtomic(root, fsys, visible)
+      // replaced generations are NOT deleted here: their files stay
+      // referenced by archived version manifests (time travel) until an
+      // explicit StoreSink.vacuum expires them
+      StoreSink.cleanStaging(root, fsys, queryId)
     }
-    val prevLines = StoreSink.readManifestLines(root, fsys)
-    val previous = prevLines.filterNot(_.startsWith("#"))
-      .map(StoreSink.parseEntry(_).name)
-    // truncate starts a new generation (epoch ledger dies with the old
-    // one, EXCEPT under preserveMarkers — compaction is a layout change,
-    // not a logical truncate, so the streaming ledger must survive it);
-    // append preserves the markers alongside the union
-    val visible =
-      if (truncate)
-        (if (preserveMarkers) prevLines.filter(_.startsWith("#")) else Nil) ++
-          committed.map(_.entry.line)
-      else prevLines ++ committed.map(_.entry.line)
-    StoreSink.writeManifestAtomic(root, fsys, visible)
-    // replaced generations are NOT deleted here: their files stay
-    // referenced by archived version manifests (time travel) until an
-    // explicit StoreSink.vacuum expires them
-    fsys.delete(staging, true) // losing task attempts' leftovers die here
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
-    val fsys = StoreSink.fs(root)
-    fsys.delete(new Path(root, StoreSink.Staging), true)
+    StoreSink.cleanStaging(root, StoreSink.fs(root), queryId)
   }
 }
 
@@ -956,27 +1082,30 @@ private class StoreStreamingWrite(pathStr: String, queryId: String,
     val fsys = StoreSink.fs(root)
     val staging = new Path(root, StoreSink.Staging)
     val committed = messages.map(_.asInstanceOf[StoreCommitMessage]).toSeq
-    val lines = StoreSink.readManifestLines(root, fsys)
-    if (StoreSink.committedEpochs(lines).contains(epochId)) {
-      // replayed epoch: drop the re-staged files, change nothing visible
-      fsys.delete(staging, true)
-      return
-    }
     require(committed.map(_.file).distinct.size == committed.size,
       s"duplicate commit messages: ${committed.map(_.file)}")
-    committed.foreach { m =>
-      require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
-        s"failed to promote ${m.file}")
+    StoreSink.withCommitLock(root, fsys) {
+      // the epoch-ledger check lives INSIDE the lock: a replayed epoch and
+      // its original delivery racing from two runs must serialize
+      val lines = StoreSink.readManifestLines(root, fsys)
+      if (StoreSink.committedEpochs(lines).contains(epochId)) {
+        // replayed epoch: drop the re-staged files, change nothing visible
+        StoreSink.cleanStaging(root, fsys, queryId)
+        return
+      }
+      committed.foreach { m =>
+        require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
+          s"failed to promote ${m.file}")
+      }
+      StoreSink.writeManifestAtomic(root, fsys,
+        lines ++ committed.map(_.entry.line) :+ StoreSink.epochLine(epochId))
+      StoreSink.cleanStaging(root, fsys, queryId)
     }
-    StoreSink.writeManifestAtomic(root, fsys,
-      lines ++ committed.map(_.entry.line) :+ StoreSink.epochLine(epochId))
-    fsys.delete(staging, true)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
-    val fsys = StoreSink.fs(root)
-    fsys.delete(new Path(root, StoreSink.Staging), true)
+    StoreSink.cleanStaging(root, StoreSink.fs(root), queryId)
   }
 }
 

@@ -503,6 +503,49 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("concurrent appends serialize under the commit lock — no lost updates") {
+    val dir = freshDir("concurrent")
+    df(0 to 0, "seed").repartition(1)
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    // 8 appends racing from one driver: before the commit lock, two
+    // committers could both read generation N and the second swap erased
+    // the first's files (classic lost update)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val jobs = (1 to 8).map { i =>
+      Future {
+        df((i * 100) to (i * 100 + 9), s"g$i").repartition(1)
+          .write.format(fmt).mode("append").option("path", dir).save()
+      }
+    }
+    Await.result(Future.sequence(jobs), 120.seconds)
+    val files = StoreSink.readManifest(new Path(dir), fs)
+    assert(files.size == 9, s"lost update: expected 9 manifest files, got ${files.size}")
+    assert(readBack(dir).size == 81, "rows lost under concurrent append")
+    assert(!fs.exists(new Path(dir, "_commit.lock")), "commit lock leaked")
+    // compaction during concurrency-capable commits replaces EXACTLY the
+    // files it read; an append racing it survives (replace-set semantics)
+    val (b, a) = StoreSink.compact(spark, dir, 50)
+    assert(b == 9 && a == 2 && readBack(dir).size == 81)
+    // stale lock: loud, named, and recoverable — never a silent takeover
+    fs.create(new Path(dir, "_commit.lock"), true).close()
+    StoreSink.lockTimeoutNanos = 200L * 1000 * 1000
+    try {
+      val e = intercept[Exception] {
+        df(900 to 905, "x").repartition(1)
+          .write.format(fmt).mode("append").option("path", dir).save()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("stale lock")),
+        s"stale-lock failure not loud: ${msgs(e)}")
+    } finally {
+      StoreSink.lockTimeoutNanos = 30L * 1000 * 1000 * 1000
+      fs.delete(new Path(dir, "_commit.lock"), false)
+    }
+  }
+
   test("manifest lines round-trip the bloom; legacy lines parse bloomless") {
     val e = StoreSink.StoreFileEntry("f", 10, Some(1L), Some(5L), Some(0x3cL))
     assert(StoreSink.parseEntry(e.line) == e)
