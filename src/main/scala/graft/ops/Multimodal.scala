@@ -273,7 +273,73 @@ object Multimodal extends OpModule {
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
+
+    // AUDIO fingerprint matching (the Shazam constellation shape, over the
+    // binary-payload plumbing): "decode" payload bytes as PCM samples (the
+    // deterministic stub — a real build dispatches a codec here, nothing
+    // downstream changes), window them (32 samples/frame), fold each
+    // window into 8 band energies (sum of samples landing in the band —
+    // the stub transform standing where an FFT bin fold would), take the
+    // PEAK band per frame, and hash CONSECUTIVE peak pairs. Matching is
+    // TIME-ANCHORED: the posting-list key is (pair-hash, frame index),
+    // whose cardinality grows with the corpus (the blocking-key rule —
+    // hash alone is a fixed 64-value space and would pair quadratically);
+    // df-capped postings (≤ 20, the RareDf shed) bound Σ C(df,2), and only
+    // pairs sharing ≥ 4 aligned hashes surface. One kernel pass per doc,
+    // shuffles carry (hash, t) keys — never samples. The oracle recomputes
+    // every band energy, peak, pair hash, and match count from the same
+    // ASCII codes.
+    "q_audio_fp" -> ((s, d) => {
+      val peaks = Tables.documents(s, d)
+        .select(col("doc_id"), audioPeaks(col("text")).as("pk"))
+        .select(col("doc_id"), explode(col("pk")).as("p"))
+        .select(col("doc_id"), col("p._1").as("t"), col("p._2").as("b"))
+      val pairs = peaks
+        .withColumn("b2", lead(col("b"), 1)
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("t"))))
+        .where(col("b2").isNotNull)
+        .select(col("doc_id"), col("t"), (col("b") * 8 + col("b2")).as("h"))
+      val rare = pairs.groupBy(col("h"), col("t"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") <= 20)
+        .select(col("h"), col("t"))
+      val anchored = pairs.join(rare, Seq("h", "t"))
+      anchored.as("x").join(anchored.as("y"),
+          col("x.h") === col("y.h") && col("x.t") === col("y.t") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 4)
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
   )
+
+  /** Peak band per 32-sample frame of the fake-PCM decode: band b of frame
+    * t accumulates samples at positions j ≡ b (mod 8) within
+    * [32t, 32t+32); the peak is the max-energy band, lowest band on ties.
+    * Only FULL frames emit (ragged tails carry no stable constellation).
+    * One JVM loop per document (the interpreted-HOF rule). */
+  private val audioPeaks = udf { (text: String) =>
+    val n = text.length / 32
+    val out = new Array[(Int, Int)](n)
+    var t = 0
+    while (t < n) {
+      val en = new Array[Long](8)
+      var j = 0
+      while (j < 32) {
+        en(j % 8) += text.charAt(t * 32 + j).toLong
+        j += 1
+      }
+      var best = 0
+      var bi = 1
+      while (bi < 8) { if (en(bi) > en(best)) best = bi; bi += 1 }
+      out(t) = (t, best)
+      t += 1
+    }
+    out.toSeq
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_multimodal_feat" ->
@@ -354,5 +420,29 @@ object Multimodal extends OpModule {
         |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32),
         |    j -> ASCII(SUBSTR(text, frame_idx * 32 + j, 1)))) AS BIGINT) AS checksum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // every band energy, peak election (max e, lowest band on ties), pair
+    // hash, and time-anchored match recomputed from the same ASCII codes
+    "q_audio_fp" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS j,
+        |    ASCII(SUBSTR(text, CAST(u.i AS INTEGER), 1)) AS code
+        |  FROM documents, UNNEST(RANGE(1, (LEN(text) // 32) * 32 + 1)) AS u(i)),
+        |en AS (SELECT doc_id, j // 32 AS t, j % 8 AS b, SUM(code) AS e
+        |       FROM pos GROUP BY 1, 2, 3),
+        |peak AS (SELECT doc_id, t, b FROM (
+        |    SELECT doc_id, t, b,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, t ORDER BY e DESC, b) AS rn
+        |    FROM en) WHERE rn = 1),
+        |pairs AS (SELECT doc_id, t,
+        |    b * 8 + LEAD(b) OVER (PARTITION BY doc_id ORDER BY t) AS h
+        |  FROM peak QUALIFY h IS NOT NULL),
+        |rare AS (SELECT h, t FROM pairs GROUP BY h, t HAVING COUNT(*) <= 20),
+        |a AS (SELECT p.doc_id, p.t, p.h FROM pairs p JOIN rare r USING (h, t))
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM a x JOIN a y ON x.h = y.h AND x.t = y.t AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 4
+        |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
   )
 }
