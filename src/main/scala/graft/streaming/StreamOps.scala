@@ -795,6 +795,30 @@ object StreamOps extends OpModule {
           .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
       }.orderBy(col("lang"))),
 
+    // Streaming CHUNK-STORE ingest (q_chunk_cdc's gear rule on the stream):
+    // each arriving document fans out to its content-defined chunks inside
+    // the micro-batch (the kernel is stateless, so chunking parallelizes
+    // per-batch with no state), keep-first dedup state on the chunk HASH
+    // spans batches — a chunk first seen three batches ago never re-enters
+    // the store — and the chunk-length histogram of the KEPT set is the
+    // audit. dropDuplicates → aggregation is the chained-stateful shape
+    // s_doc_dedup pins at doc granularity; state here is one hash per
+    // DISTINCT chunk (the chunk store's key set — at 100 TB this state IS
+    // the store index, kept in the state backend or swapped for a
+    // store-side anti-join like q_dedup_chunk_incr). Oracle: distinct
+    // chunks are batch-order-independent, so the batch closed form (the
+    // q_chunk_cdc CTE, distinct on hash) pins the streaming result.
+    "s_chunk_cdc" -> ((s, d) =>
+      runStreamRaw(s, d, "documents.parquet", OutputMode.Complete()) { raw =>
+        raw.select(col("doc_id"),
+            explode(graft.functions.TextHashes.cdcChunks(3, 8)(
+              split(trim(col("text")), " "))).as("chunk"))
+          .select(md5(col("chunk")).as("h"),
+                  size(split(col("chunk"), " ", -1)).cast("long").as("tok_len"))
+          .dropDuplicates("h")
+          .groupBy(col("tok_len")).agg(count(lit(1)).as("n"))
+      }.orderBy(col("tok_len"))),
+
     // Exactly-once file sink: run the same checkpointed query twice (second
     // run sees no new data); the sink must contain each row exactly once.
     "s_sink_idempotent" -> ((s, d) => {
@@ -1458,6 +1482,25 @@ object StreamOps extends OpModule {
       """SELECT lang, COUNT(DISTINCT md5(text)) AS n_kept
         |FROM documents WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // distinct chunks are batch-order-independent: the batch gear-rule CTE
+    // (q_chunk_cdc's), distinct on hash, length histogram
+    "s_chunk_cdc" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |cuts AS (SELECT doc_id, toks,
+        |    LIST_FILTER(RANGE(3, LEN(toks)), i ->
+        |      CAST(('0x' || SUBSTR(md5(ARRAY_TO_STRING(
+        |        toks[CAST(i - 2 AS INTEGER):CAST(i AS INTEGER)], ' ')), 1, 7)) AS BIGINT) % 8 = 0) AS cuts
+        |  FROM base),
+        |bs AS (SELECT doc_id, toks,
+        |    LIST_PREPEND(CAST(0 AS BIGINT), LIST_APPEND(cuts, CAST(LEN(toks) AS BIGINT))) AS bs
+        |  FROM cuts),
+        |chunks AS (SELECT ARRAY_TO_STRING(toks[CAST(bs[CAST(j AS INTEGER)] + 1 AS INTEGER)
+        |                       :CAST(bs[CAST(j AS INTEGER) + 1] AS INTEGER)], ' ') AS chunk
+        |  FROM bs, UNNEST(RANGE(1, LEN(bs))) AS t(j)),
+        |d AS (SELECT DISTINCT md5(chunk) AS h,
+        |    CAST(LEN(STRING_SPLIT(chunk, ' ')) AS BIGINT) AS tok_len FROM chunks)
+        |SELECT tok_len, COUNT(*) AS n FROM d GROUP BY tok_len ORDER BY tok_len""".stripMargin,
 
     "s_stateful" ->
       """SELECT user_id, event_id,
