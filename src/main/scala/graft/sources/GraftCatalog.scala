@@ -58,7 +58,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     * (versions_kept, live_files), not a silent side effect. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "vacuum").map(Identifier.of(Array.empty, _))
+    Array("compact", "tag", "vacuum").map(Identifier.of(Array.empty, _))
   }
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -66,9 +66,10 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       throw new NoSuchTableException(ident) // no namespaced procedures
     ident.name().toLowerCase(java.util.Locale.ROOT) match {
       case "compact" => CompactProcedure
+      case "tag"     => TagProcedure
       case "vacuum"  => VacuumProcedure
       case _ => throw new UnsupportedOperationException(
-        s"unknown procedure ${ident.name()} (compact | vacuum)")
+        s"unknown procedure ${ident.name()} (compact | tag | vacuum)")
     }
   }
 
@@ -144,10 +145,12 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       val p = org.apache.spark.sql.SparkSession.active.conf
         .getOption(GraftCatalog.StorePathKey)
         .getOrElse(throw new NoSuchTableException(ident))
+      // integer = a version number; anything else = a NAMED TAG resolved
+      // through the store's _tags refs (VERSION AS OF 'pre_migration')
       val v = try version.toInt catch {
         case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"graft.store versions are integers, got '$version'")
+          val root = new org.apache.hadoop.fs.Path(p)
+          StoreSink.tagVersion(root, StoreSink.fs(root), version)
       }
       new StoreTable(p, Some(v))
     } else throw new NoSuchTableException(ident)
@@ -322,6 +325,44 @@ private object CompactProcedure
   }
   override def description(): String =
     "rewrite the current snapshot as range-clustered ~target_rows files"
+}
+
+/** `CALL graft.tag(path, name, version)` — pin an archived version under a
+  * human name (`VERSION AS OF 'name'` then resolves it; vacuum refuses to
+  * expire it). Audit row: (tagged_version, n_tags). */
+private object TagProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin an archived store version under a named tag"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("name", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("version", LongType).build())
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val path = input.getUTF8String(0).toString
+    val tagName = input.getUTF8String(1).toString
+    val v = input.getLong(2).toInt
+    StoreSink.tag(path, tagName, v)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val n = StoreSink.readTags(root, StoreSink.fs(root)).size.toLong
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          org.apache.spark.sql.types.StructField("tagged_version", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_tags", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(InternalRow(v.toLong, n))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
 }
 
 private object VacuumProcedure

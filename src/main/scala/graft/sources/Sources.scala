@@ -1025,6 +1025,47 @@ object Sources extends OpModule {
       s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
     }),
 
+    // NAMED REFS (tags): `CALL graft.tag(path, 'baseline', 1)` pins an
+    // archived version under a human name — `VERSION AS OF 'baseline'`
+    // resolves the tag (a non-integer version IS the tag namespace), and
+    // vacuum REFUSES to expire a tagged version while untagged history
+    // ages out: a tag is a retention pin, which is the operational point
+    // of naming a snapshot (the Iceberg refs idea). The query pins the
+    // tag audit row, the baseline read-back after two mutations AND a
+    // vacuum, the untagged v2's loud expiry, and the current state — one
+    // oracle block covers all four.
+    "q_store_tag" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storetag")
+      seedStore(s, d, path) // v1
+      withStorePath(s, path) {
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 7 WHERE grp = 'P'") // v2
+        s.sql("DELETE FROM graft.store WHERE grp = 'F'") // v3 (current)
+        val audit = s.sql(s"CALL graft.tag('$path', 'baseline', 1)").collect()(0)
+        // versions [1,2,3]; keep 1 → v3 by age, v1 by PIN, v2 expires
+        graft.sources.StoreSink.vacuum(path, 1)
+        def aggOf(src: DataFrame, v: String) =
+          src.groupBy(col("grp"))
+            .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+            .select(lit(v).as("v"), col("grp"), col("n"), col("sum_cents"))
+        val rows =
+          aggOf(s.sql("SELECT * FROM graft.store VERSION AS OF 'baseline'"), "baseline").collect() ++
+          aggOf(s.table("graft.store"), "current").collect() ++
+          Seq(
+            org.apache.spark.sql.Row("z_tag_audit", "-", audit.getLong(0), audit.getLong(1)),
+            org.apache.spark.sql.Row("z_v2_expired", "-",
+              (try { s.sql("SELECT * FROM graft.store VERSION AS OF 2").collect(); 0L }
+               catch { case _: Exception => 1L }), 0L),
+            org.apache.spark.sql.Row("z_unknown_tag_loud", "-",
+              (try { s.sql("SELECT * FROM graft.store VERSION AS OF 'nope'").collect(); 0L }
+               catch { case _: Exception => 1L }), 0L))
+        val schema = StructType(Seq(
+          StructField("v", StringType), StructField("grp", StringType),
+          StructField("n", LongType), StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, schema).orderBy(col("v"), col("grp"))
+      }
+    }),
+
     // ATOMIC CTAS through the StagingTableCatalog protocol: CREATE TABLE
     // graft.<name> AS SELECT writes through the store's two-phase commit
     // into the session's CTAS directory, and the manifest swap IS the
@@ -1238,6 +1279,23 @@ object Sources extends OpModule {
         |FROM base WHERE k < 50 GROUP BY grp
         |UNION ALL SELECT 'flag', 'z_subset_rewrite', '-', 1, 0
         |ORDER BY win, op, grp""".stripMargin,
+
+    // tag pins v1 through the vacuum; untagged v2 expires loudly; current
+    // state = both mutations applied; audit = (version 1, 1 tag)
+    "q_store_tag" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT 'baseline' AS v, grp, COUNT(*) AS n,
+        |  CAST(SUM(amt) AS BIGINT) AS sum_cents FROM base GROUP BY grp
+        |UNION ALL
+        |SELECT 'current', grp, COUNT(*),
+        |  CAST(SUM(amt + CASE WHEN grp = 'P' THEN 7 ELSE 0 END) AS BIGINT)
+        |FROM base WHERE grp <> 'F' GROUP BY grp
+        |UNION ALL SELECT 'z_tag_audit', '-', 1, 1
+        |UNION ALL SELECT 'z_unknown_tag_loud', '-', 1, 0
+        |UNION ALL SELECT 'z_v2_expired', '-', 1, 0
+        |ORDER BY v, grp""".stripMargin,
 
     // audit rows are closed forms (16 hash files → ceil(n/(n/4)) = 4
     // range files; one archived version + 4 live files after vacuum);

@@ -308,6 +308,53 @@ object StoreSink {
     finally in.close()
   }
 
+  /** NAMED REFS (tags): `_tags` maps a human name to an archived version
+    * (`name=version` lines) — `VERSION AS OF 'pre_migration'` resolves
+    * through [[tagVersion]] (GraftCatalog.loadTable receives the string
+    * verbatim, so non-integer versions ARE the tag namespace, the
+    * Iceberg refs idea). Tagging is O(1) metadata under the commit lock;
+    * vacuum refuses to expire a tagged version — a tag is a retention
+    * pin, which is the operational point of naming a snapshot. */
+  def tag(pathStr: String, name: String, version: Int): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit) &&
+      !name.contains('=') && !name.contains('\n'),
+      s"tag names must be non-numeric and '='/newline-free, got '$name'")
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    withCommitLock(root, fsys) {
+      require(listVersions(root, fsys).contains(version),
+        s"cannot tag version $version — not an archived version")
+      val tags = readTags(root, fsys) + (name -> version)
+      val raw = manifestFs(fsys)
+      val out = raw.create(new Path(root, Tags), true)
+      try out.write(tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n=$v" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private[sources] def readTags(root: Path, fsys: FileSystem): Map[String, Int] = {
+    val raw = manifestFs(fsys)
+    val tp = new Path(root, Tags)
+    if (!raw.exists(tp)) return Map.empty
+    val in = raw.open(tp)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
+        val Array(n, v) = l.split("=", 2)
+        n -> v.toInt
+      }.toMap
+    finally in.close()
+  }
+
+  private[sources] def tagVersion(root: Path, fsys: FileSystem,
+                                  name: String): Int =
+    readTags(root, fsys).getOrElse(name, throw new IllegalArgumentException(
+      s"unknown graft-store tag '$name'; known: " +
+        readTags(root, fsys).keys.toSeq.sorted.mkString(",")))
+
+  val Tags = "_tags"
+
   /** Retention: keep the newest `keepVersions` archived manifests, delete
     * the rest, then delete every data file NO retained manifest (nor the
     * current one) references. O(manifests) metadata + unreferenced-file
@@ -320,7 +367,11 @@ object StoreSink {
     // manifested files would otherwise look unreferenced and be GC'd
     withCommitLock(root, fsys) {
       val versions = listVersions(root, fsys)
-      val (expired, retained) = versions.splitAt(math.max(0, versions.size - keepVersions))
+      // a TAG is a retention pin: tagged versions survive any keepVersions
+      val pinned = readTags(root, fsys).values.toSet
+      val (byAge, kept) = versions.splitAt(math.max(0, versions.size - keepVersions))
+      val (saved, expired) = byAge.partition(pinned.contains)
+      val retained = saved ++ kept
       val referenced = (retained.flatMap(v => readVersionLines(root, fsys, v)) ++
           readManifestLines(root, fsys))
         .filterNot(_.startsWith("#")).map(parseEntry(_).name).toSet
