@@ -274,6 +274,30 @@ object Multimodal extends OpModule {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // VIDEO scene-change detection over per-frame checksums: every full
+    // 32-byte frame gets a checksum (the stub for a per-frame luminance
+    // histogram), consecutive deltas above a threshold are cuts, and the
+    // per-document audit is (frames, scenes, first cut, max delta) — the
+    // shot-boundary pass a video-curation pipeline runs before sampling
+    // keyframes per SCENE rather than per second (q_multimodal_frames'
+    // fixed-stride sampling misses fast cuts and oversamples static shots).
+    // One kernel pass per record, one window over the bounded per-doc
+    // frame list, no shuffle beyond the doc-key window. The oracle
+    // recomputes every checksum and delta from the same ASCII codes.
+    "q_video_scenes" -> ((s, d) => {
+      val frames = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(frameSums(col("text"))).as(Seq("idx", "cs")))
+      val deltas = frames.withColumn("dlt",
+        col("cs") - lag(col("cs"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("idx"))))
+      deltas.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+             (lit(1L) + sum(when(abs(col("dlt")) > 300, 1L).otherwise(0L))).as("n_scenes"),
+             min(when(abs(col("dlt")) > 300, col("idx"))).cast("long").as("first_cut"),
+             max(abs(col("dlt"))).as("max_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
     // AUDIO fingerprint matching (the Shazam constellation shape, over the
     // binary-payload plumbing): "decode" payload bytes as PCM samples (the
     // deterministic stub — a real build dispatches a codec here, nothing
@@ -315,6 +339,25 @@ object Multimodal extends OpModule {
         .limit(20)
     }),
   )
+
+  /** Per-frame checksums of the fake video decode: one Long per FULL
+    * 32-byte frame (sum of byte values). The scene-cut detector consumes
+    * consecutive deltas; a real decoder would emit per-frame luminance
+    * histograms here — the plumbing (kernel per record, bounded fan-out,
+    * window over frame index) is identical. */
+  private val frameSums = udf { (text: String) =>
+    val n = text.length / 32
+    val out = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      var s = 0L
+      var j = 0
+      while (j < 32) { s += text.charAt(t * 32 + j).toLong; j += 1 }
+      out(t) = s
+      t += 1
+    }
+    out.toSeq
+  }
 
   /** Peak band per 32-sample frame of the fake-PCM decode: band b of frame
     * t accumulates samples at positions j ≡ b (mod 8) within
@@ -420,6 +463,22 @@ object Multimodal extends OpModule {
         |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32),
         |    j -> ASCII(SUBSTR(text, frame_idx * 32 + j, 1)))) AS BIGINT) AS checksum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // every frame checksum and delta recomputed from the same ASCII codes;
+    // docs under one full frame emit nothing on either engine
+    "q_video_scenes" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32),
+        |      j -> ASCII(SUBSTR(text, CAST(u.i * 32 + j AS INTEGER), 1)))) AS BIGINT) AS cs
+        |  FROM documents, UNNEST(RANGE(0, LEN(text) // 32)) AS u(i)),
+        |d AS (SELECT doc_id, idx, cs,
+        |    cs - LAG(cs) OVER (PARTITION BY doc_id ORDER BY idx) AS dlt FROM f)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(1 + SUM(CASE WHEN ABS(dlt) > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes,
+        |  CAST(MIN(CASE WHEN ABS(dlt) > 300 THEN idx END) AS BIGINT) AS first_cut,
+        |  CAST(MAX(ABS(dlt)) AS BIGINT) AS max_delta
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // every band energy, peak election (max e, lowest band on ties), pair
     // hash, and time-anchored match recomputed from the same ASCII codes
