@@ -395,18 +395,32 @@ object StoreSink {
     * read+shuffle+write of LIVE bytes only (deleted generations are not
     * touched), and bin sizing is row-count-driven from the manifest, no
     * file listing. */
-  def compact(spark: SparkSession, pathStr: String, targetRows: Long): (Int, Int) = {
+  /** Full-table form; see the ranged overload. */
+  def compact(spark: SparkSession, pathStr: String, targetRows: Long): (Int, Int) =
+    compact(spark, pathStr, targetRows, None, None)
+
+  /** PARTIAL compaction: only files whose zones overlap [lo, hi] are
+    * rewritten (None = unbounded); everything else carries over by name.
+    * This is the maintenance shape that matters at 100 TB — a CDC-heavy
+    * table fragments in its HOT key range while cold history stays
+    * well-clustered, and "OPTIMIZE WHERE" rewrites the hot tail's bytes
+    * only. The zone maps that prune reads are the same metadata that
+    * scopes the rewrite. */
+  def compact(spark: SparkSession, pathStr: String, targetRows: Long,
+              lo: Option[Long], hi: Option[Long]): (Int, Int) = {
     val root = new Path(pathStr)
     val fsys = fs(root)
     val entries = readEntries(root, fsys)
-    val totalRows = entries.map(e => math.max(e.rows, 0L)).sum
+    val touch = entries.filter(_.mayContain(lo, hi))
+    if (touch.size <= 1) return (entries.size, entries.size) // nothing to merge
+    val totalRows = touch.map(e => math.max(e.rows, 0L)).sum
     val n = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    // plan the read from exactly this snapshot's files and commit with
-    // `replace` = that same set: an append landing DURING the compaction
-    // survives the swap (the commit rebases under the lock), and a
-    // concurrent rewrite of one of our inputs is a loud conflict rather
-    // than silent row resurrection
-    val names = entries.map(_.name)
+    // plan the read from exactly this snapshot's touched files and commit
+    // with `replace` = that same set: an append landing DURING the
+    // compaction survives the swap (the commit rebases under the lock),
+    // and a concurrent rewrite of one of our inputs is a loud conflict
+    // rather than silent row resurrection
+    val names = touch.map(_.name)
     val df = spark.read.format("graft.sources.StoreSink")
       .option("path", pathStr).option("files", names.mkString(",")).load()
     df.repartitionByRange(n, org.apache.spark.sql.functions.col("k"))

@@ -546,6 +546,31 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("partial compaction rewrites only the files overlapping the key range") {
+    val dir = freshDir("partialcompact")
+    // three disjoint generations: cold [1,100], warm [101,200], hot
+    // fragments [201,260] in three small files
+    df(1 to 100, "cold").repartition(1)
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    df(101 to 200, "warm").repartition(1)
+      .write.format(fmt).mode("append").option("path", dir).save()
+    Seq(201 to 220, 221 to 240, 241 to 260).foreach { ks =>
+      df(ks, "hot").repartition(1)
+        .write.format(fmt).mode("append").option("path", dir).save()
+    }
+    val before = StoreSink.readManifest(new Path(dir), fs)
+    assert(before.size == 5)
+    val (b, a) = StoreSink.compact(spark, dir, 100, Some(201L), None)
+    assert(b == 5 && a == 3, s"expected 5 -> 3 files, got $b -> $a")
+    val after = StoreSink.readManifest(new Path(dir), fs)
+    // cold + warm carried over BY NAME; the three hot fragments merged
+    assert(before.take(2).forall(after.contains),
+      "partial compaction touched files outside its key range")
+    assert(readBack(dir).size == 260, "partial compaction changed content")
+    // a range overlapping a single file is a no-op (nothing to merge)
+    assert(StoreSink.compact(spark, dir, 100, Some(1L), Some(50L)) == ((3, 3)))
+  }
+
   test("manifest lines round-trip the bloom; legacy lines parse bloomless") {
     val e = StoreSink.StoreFileEntry("f", 10, Some(1L), Some(5L), Some(0x3cL))
     assert(StoreSink.parseEntry(e.line) == e)
