@@ -371,6 +371,35 @@ object TrainingOps extends OpModule {
     // across engines/retries; the audit reports per-source input/output
     // counts. This is the "data mixing" stage that turns curated corpora
     // into a training distribution.
+    // Annealed mixture SCHEDULE (the multi-epoch data plan q_data_mix's
+    // single-shot weights feed into): epoch 0 samples domains at their
+    // NATURAL corpus proportions, the final epoch at UNIFORM, and the
+    // epochs between interpolate linearly — the standard anneal from
+    // web-scale distribution toward balanced domains late in training.
+    // Everything is exact integer arithmetic in 1e-4 units (start/uniform/
+    // interpolation all integer-division closed forms), so the schedule —
+    // and the per-epoch document budgets it implies — is bit-stable at any
+    // SF. Metadata-sized: one aggregate over the corpus, then a 4×L plan
+    // frame; at 100 TB the schedule is the driver-side input to the
+    // per-epoch weighted samplers (q_sample_weighted), never a data pass.
+    "q_mix_anneal" -> ((s, d) => {
+      val byLang = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = byLang.agg(sum(col("n")).as("total"), count(lit(1)).as("langs"))
+      byLang.crossJoin(tot)
+        .withColumn("start_e4", expr("n * 10000L div total"))
+        .withColumn("uni_e4", expr("10000L div langs"))
+        .withColumn("epoch", explode(expr("sequence(0, 3)")))
+        // convex form keeps every operand NON-NEGATIVE: Spark's `div`
+        // truncates toward zero while DuckDB's `//` floors, so a negative
+        // (uni - start) delta would round differently across engines
+        .withColumn("w_e4",
+          expr("(start_e4 * (3 - epoch) + uni_e4 * epoch) div 3"))
+        .select(col("epoch").cast("long").as("epoch"), col("lang"), col("w_e4"),
+                expr("w_e4 * total div 10000L").as("target_docs"))
+        .orderBy(col("epoch"), col("lang"))
+    }),
+
     "q_data_mix" -> ((s, d) => {
       // weight in 1e-2 units per source bucket (string ranges: src0 → 150%,
       // src1 + src10–19 → 50%, src2–9 → 100%)
@@ -800,6 +829,23 @@ object TrainingOps extends OpModule {
         |  CAST(ROUND(LIST_MAX(LIST_TRANSFORM(embedding,
         |    x -> ABS(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) * scale - CAST(x AS DOUBLE)))) * 1e6) AS BIGINT) AS max_err_e6
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // the same integer interpolation lattice, natural → uniform over 4 epochs
+    "q_mix_anneal" ->
+      """WITH byl AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |        CAST(COUNT(*) AS BIGINT) AS langs FROM byl),
+        |g AS (SELECT lang, n, total, langs,
+        |        n * 10000 // total AS start_e4, 10000 // langs AS uni_e4
+        |      FROM byl, t),
+        |e AS (SELECT g.*, u.epoch FROM g, UNNEST(RANGE(0, 4)) AS u(epoch)),
+        |w AS (SELECT epoch, lang,
+        |        CAST((start_e4 * (3 - epoch) + uni_e4 * epoch) // 3 AS BIGINT) AS w_e4,
+        |        total
+        |      FROM e)
+        |SELECT epoch, lang, w_e4,
+        |  CAST(w_e4 * total // 10000 AS BIGINT) AS target_docs
+        |FROM w ORDER BY epoch, lang""".stripMargin,
 
     "q_data_mix" ->
       """WITH b AS (
