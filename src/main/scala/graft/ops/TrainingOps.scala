@@ -400,6 +400,43 @@ object TrainingOps extends OpModule {
         .orderBy(col("epoch"), col("lang"))
     }),
 
+    // The schedule MATERIALIZED: each epoch's corpus is drawn by the
+    // deterministic hash-threshold sampler at that epoch's annealed
+    // per-domain weight — doc kept in epoch e iff its 16-bit md5 fraction
+    // < w_e4(lang)·65536/10000 (integer cross-multiplication, no floats).
+    // Sampling is per-row independent of epoch count, so the four epochs
+    // are one explode over a broadcast 4×L schedule — no re-scan per
+    // epoch; and because the hash is a pure function of doc_id, epoch
+    // membership is REPRODUCIBLE (the property a resumable training run
+    // needs: re-deriving epoch 2's corpus after a crash yields the same
+    // documents). The audit compares drawn counts to the schedule's
+    // targets per (epoch, lang).
+    "q_mix_anneal_draw" -> ((s, d) => {
+      val byLang = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = byLang.agg(sum(col("n")).as("total"), count(lit(1)).as("langs"))
+      val sched = byLang.crossJoin(tot)
+        .withColumn("start_e4", expr("n * 10000L div total"))
+        .withColumn("uni_e4", expr("10000L div langs"))
+        .withColumn("epoch", explode(expr("sequence(0, 3)")))
+        .withColumn("w_e4",
+          expr("(start_e4 * (3 - epoch) + uni_e4 * epoch) div 3"))
+        .select(col("epoch").cast("long").as("epoch"), col("lang"),
+                col("w_e4"), expr("w_e4 * total div 10000L").as("target_docs"))
+      val drawn = Tables.documents(s, d)
+        .withColumn("b16",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long"))
+        .join(broadcast(sched), Seq("lang"))
+        .where(expr("b16 * 10000L < w_e4 * 65536L"))
+        .groupBy(col("epoch"), col("lang"))
+        .agg(count(lit(1)).as("n_drawn"))
+      sched.join(drawn, Seq("epoch", "lang"), "left")
+        .select(col("epoch"), col("lang"), col("w_e4"), col("target_docs"),
+                coalesce(col("n_drawn"), lit(0L)).as("n_drawn"))
+        .orderBy(col("epoch"), col("lang"))
+    }),
+
     "q_data_mix" -> ((s, d) => {
       // weight in 1e-2 units per source bucket (string ranges: src0 → 150%,
       // src1 + src10–19 → 50%, src2–9 → 100%)
@@ -846,6 +883,31 @@ object TrainingOps extends OpModule {
         |SELECT epoch, lang, w_e4,
         |  CAST(w_e4 * total // 10000 AS BIGINT) AS target_docs
         |FROM w ORDER BY epoch, lang""".stripMargin,
+
+    // same lattice + the 16-bit md5-fraction draw, integer cross-multiplied
+    "q_mix_anneal_draw" ->
+      """WITH byl AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |        CAST(COUNT(*) AS BIGINT) AS langs FROM byl),
+        |g AS (SELECT lang, n, total, langs,
+        |        n * 10000 // total AS start_e4, 10000 // langs AS uni_e4
+        |      FROM byl, t),
+        |sched AS (SELECT u.epoch, lang,
+        |        CAST((start_e4 * (3 - u.epoch) + uni_e4 * u.epoch) // 3 AS BIGINT) AS w_e4,
+        |        total
+        |      FROM g, UNNEST(RANGE(0, 4)) AS u(epoch)),
+        |docs AS (SELECT lang,
+        |        CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS b16
+        |      FROM documents),
+        |drawn AS (SELECT s.epoch, s.lang, COUNT(*) AS n_drawn
+        |      FROM docs d JOIN sched s ON d.lang = s.lang
+        |      WHERE d.b16 * 10000 < s.w_e4 * 65536
+        |      GROUP BY s.epoch, s.lang)
+        |SELECT s.epoch, s.lang, s.w_e4,
+        |  CAST(s.w_e4 * s.total // 10000 AS BIGINT) AS target_docs,
+        |  CAST(COALESCE(dr.n_drawn, 0) AS BIGINT) AS n_drawn
+        |FROM sched s LEFT JOIN drawn dr ON s.epoch = dr.epoch AND s.lang = dr.lang
+        |ORDER BY s.epoch, s.lang""".stripMargin,
 
     "q_data_mix" ->
       """WITH b AS (
