@@ -210,12 +210,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case other => throw new UnsupportedOperationException(
         s"graft.store supports ADD COLUMN only, got $other")
     }
-    val extras = StoreSink.readExtras(root, fsys)
-    val clash = added.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
-      .intersect((StoreSink.schema.fields ++ extras)
-        .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet)
-    require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(",")}")
-    StoreSink.writeExtras(root, fsys, extras ++ added)
+    // the sidecar read-merge-write is a lost-update window: two concurrent
+    // ALTERs (or an ALTER racing a writer) can drop a column — serialize
+    // under the store's commit lock like every other metadata mutation
+    StoreSink.withCommitLock(root, fsys) {
+      val extras = StoreSink.readExtras(root, fsys)
+      val clash = added.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+        .intersect((StoreSink.schema.fields ++ extras)
+          .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet)
+      require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(",")}")
+      StoreSink.writeExtras(root, fsys, extras ++ added)
+    }
     new StoreTable(p)
   }
 

@@ -395,7 +395,11 @@ private class RangeScan(lo: Long, hi: Long, required: StructType,
     val reveals = Option(options.get("revealsPerRun")).map(_.toInt)
       .getOrElse(Int.MaxValue)
     val maxRows = Option(options.get("maxRowsPerTrigger")).map(_.toLong)
-    new RangeMicroBatchStream(lo, hi, required, feedId, chunk, reveals, maxRows)
+    // the pushed TABLESAMPLE must ride into the stream: Spark removed its
+    // Sample operator at pushdown time, so a reader factory built without
+    // the sample predicate would return UNSAMPLED rows from every batch
+    new RangeMicroBatchStream(lo, hi, required, feedId, chunk, reveals, maxRows,
+      sample)
   }
 }
 
@@ -423,7 +427,8 @@ private case class RangeStreamOffset(pos: Long) extends StreamOffset {
   * offset arithmetic. */
 private class RangeMicroBatchStream(lo: Long, hi: Long, required: StructType,
                                     feedId: String, chunk: Long, revealsPerRun: Int,
-                                    maxRowsPerTrigger: Option[Long])
+                                    maxRowsPerTrigger: Option[Long],
+                                    sample: Option[(Double, Double, Long)] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private var reveals = 0
@@ -496,7 +501,7 @@ private class RangeMicroBatchStream(lo: Long, hi: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeReaderFactory(required)
+    new RangeReaderFactory(required, sample)
 }
 
 private case class RangePartition(lo: Long, hi: Long) extends InputPartition

@@ -231,6 +231,12 @@ object StoreSink {
     * previous manifest (and its files) survive the abort. */
   @volatile private[sources] var failDeleteAfterOneFile = false
 
+  /** md5 of a UTF-8 string as lowercase hex (prefix-identity signatures). */
+  private[sources] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
   private[sources] def fs(p: Path): FileSystem =
     p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
 
@@ -519,15 +525,20 @@ object StoreSink {
   /** Remove ONLY this query's staging leftovers (losing task attempts).
     * The staging dir is shared by concurrent writers — the old
     * delete-the-whole-dir cleanup would erase a racing commit's staged
-    * files out from under it. */
+    * files out from under it. The trailing empty-dir removal is
+    * check-then-act, so it runs ONLY when the caller holds the commit lock
+    * (`underLock = true`, the commit paths); abort() runs lockless and must
+    * leave the dir — a concurrent writer may have just staged its first
+    * file into the listing window. */
   private[sources] def cleanStaging(root: Path, fsys: FileSystem,
-                                    queryId: String): Unit = {
+                                    queryId: String,
+                                    underLock: Boolean = false): Unit = {
     val staging = new Path(root, Staging)
     if (!fsys.exists(staging)) return
     fsys.listStatus(staging).map(_.getPath)
       .filter(_.getName.contains(queryId))
       .foreach(fsys.delete(_, false))
-    if (fsys.listStatus(staging).isEmpty) fsys.delete(staging, true)
+    if (underLock && fsys.listStatus(staging).isEmpty) fsys.delete(staging, true)
   }
 
   /** Serializable manifest update: under the commit lock, hand the FRESH
@@ -1029,7 +1040,7 @@ private class StoreGroupReplaceWrite(pathStr: String, queryId: String,
         committed.map(_.entry.line)
       StoreSink.writeManifestAtomic(root, fsys, visible)
       // the replaced group set stays on disk for archived versions (vacuum GCs)
-      StoreSink.cleanStaging(root, fsys, queryId)
+      StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
     }
   }
 
@@ -1120,7 +1131,7 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
       // replaced generations are NOT deleted here: their files stay
       // referenced by archived version manifests (time travel) until an
       // explicit StoreSink.vacuum expires them
-      StoreSink.cleanStaging(root, fsys, queryId)
+      StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
     }
   }
 
@@ -1155,7 +1166,7 @@ private class StoreStreamingWrite(pathStr: String, queryId: String,
       val lines = StoreSink.readManifestLines(root, fsys)
       if (StoreSink.committedEpochs(lines).contains(epochId)) {
         // replayed epoch: drop the re-staged files, change nothing visible
-        StoreSink.cleanStaging(root, fsys, queryId)
+        StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
         return
       }
       committed.foreach { m =>
@@ -1164,7 +1175,7 @@ private class StoreStreamingWrite(pathStr: String, queryId: String,
       }
       StoreSink.writeManifestAtomic(root, fsys,
         lines ++ committed.map(_.entry.line) :+ StoreSink.epochLine(epochId))
-      StoreSink.cleanStaging(root, fsys, queryId)
+      StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
     }
   }
 
@@ -1395,7 +1406,11 @@ private class StoreScan(pathStr: String,
         case i: java.lang.Integer => i.longValue()
         case l: java.lang.Long    => l.longValue()
       }.sorted
-      runtimeKeys = Some(ks)
+      // prune ONLY when every In value converted: a partially-converted key
+      // array would make mayContainAny drop files that hold the unconverted
+      // keys — a silently wrong (possibly empty) scan. Skipping runtime
+      // pruning is always safe; the join itself still filters rows.
+      if (ks.length == vs.length) runtimeKeys = Some(ks)
     case _ => ()
   }
 
@@ -1479,10 +1494,19 @@ private class StoreScan(pathStr: String,
     new StoreMicroBatchStream(pathStr, required, table)
 }
 
-/** File-count offset over the append-ordered manifest. */
-private case class StoreStreamOffset(files: Int)
+/** File-count offset over the append-ordered manifest, plus the IDENTITY of
+  * the consumed prefix (md5 over the first `files` entry names). Count alone
+  * cannot see a history rewrite that preserves entry count: a copy-on-write
+  * DELETE/UPDATE substitutes manifest lines IN PLACE, and an overwrite or
+  * compaction can publish >= count files — either way a count-only guard
+  * would silently hand a tailing reader rewritten or new-generation files
+  * at already-consumed positions. The signature makes any prefix mutation a
+  * loud failure. `sig` is None only for offsets deserialized from a
+  * pre-signature checkpoint (legacy `<int>` JSON), which degrade to the
+  * count-only check. */
+private case class StoreStreamOffset(files: Int, sig: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = files.toString
+  override def json(): String = sig.fold(files.toString)(s => s"$files:$s")
 }
 
 private class StoreMicroBatchStream(pathStr: String,
@@ -1491,14 +1515,22 @@ private class StoreMicroBatchStream(pathStr: String,
     extends MicroBatchStream {
   private def root = new Path(pathStr)
 
-  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
-    StoreStreamOffset(0)
+  private def prefixSig(entries: Seq[StoreSink.StoreFileEntry], n: Int): String =
+    StoreSink.md5Hex(entries.take(n).map(_.name).mkString("\n"))
 
-  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
-    StoreStreamOffset(StoreSink.readEntries(root, StoreSink.fs(root)).size)
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    StoreStreamOffset(0, Some(StoreSink.md5Hex("")))
+
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val entries = StoreSink.readEntries(root, StoreSink.fs(root))
+    StoreStreamOffset(entries.size, Some(prefixSig(entries, entries.size)))
+  }
 
   override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
-    StoreStreamOffset(json.trim.toInt)
+    json.trim.split(":", 2) match {
+      case Array(n, s) => StoreStreamOffset(n.toInt, Some(s))
+      case Array(n)    => StoreStreamOffset(n.toInt)
+    }
 
   override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1506,8 +1538,9 @@ private class StoreMicroBatchStream(pathStr: String,
   override def planInputPartitions(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[StoreStreamOffset].files
-    val b = end.asInstanceOf[StoreStreamOffset].files
+    val so = start.asInstanceOf[StoreStreamOffset]
+    val eo = end.asInstanceOf[StoreStreamOffset]
+    val (a, b) = (so.files, eo.files)
     StoreSink.tailPlans.add((a, b))
     val entries = StoreSink.readEntries(root, StoreSink.fs(root))
     // a shrunk manifest shows up either as a backwards window (latest <
@@ -1517,6 +1550,17 @@ private class StoreMicroBatchStream(pathStr: String,
       s"graft-store history rewritten during tail: manifest has ${entries.size} " +
         s"entries, batch window is [$a, $b) — streaming reads require an " +
         "append-only store")
+    // in-place rewrites keep the count: verify the consumed prefix is the
+    // SAME files the offsets were taken against, at both window ends
+    def check(n: Int, sig: Option[String], which: String): Unit = sig.foreach { s =>
+      require(prefixSig(entries, n) == s,
+        s"graft-store history rewritten during tail: the first $n manifest " +
+          s"entries no longer match the $which offset's recorded prefix — " +
+          "a copy-on-write delete/update/compaction rewrote consumed files; " +
+          "streaming reads require an append-only store")
+    }
+    check(a, so.sig, "start")
+    check(b, eo.sig, "end")
     entries.slice(a, b)
       .map(e => StoreFilePartition(new Path(root, e.name).toString): InputPartition)
       .toArray

@@ -63,7 +63,13 @@ class StoreSinkSpec extends SparkSpec {
       bad.write.format(fmt).mode("overwrite").option("path", dir).save()
     }
     assert(readBack(dir) == before, "aborted write mutated the committed state")
-    assert(!fs.exists(new Path(dir, StoreSink.Staging)), "staging dir leaked")
+    // abort removes its own staged FILES; the empty dir may remain (the
+    // lockless empty-dir delete was a check-then-act race against a
+    // concurrent writer's first staged file — commit paths, which hold the
+    // commit lock, do the dir removal)
+    val staging = new Path(dir, StoreSink.Staging)
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
+      "aborted write leaked staged files")
   }
 
   test("readers plan from the manifest only — stray files are invisible") {
@@ -297,6 +303,39 @@ class StoreSinkSpec extends SparkSpec {
     // prefix — the tail must fail loudly, never silently re-read
     df(1 to 3, "c").write.format(fmt).mode("overwrite").option("path", store).save()
     intercept[Exception] { run() }
+  }
+
+  test("streaming tail: a COUNT-PRESERVING in-place rewrite is detected") {
+    // a copy-on-write DELETE substitutes manifest lines IN PLACE (entry
+    // count unchanged) — the offset's prefix signature, not the count, is
+    // what catches it
+    val base = freshDir("tailsub")
+    val store = s"$base/store"; val out = s"$base/out"; val chk = s"$base/chk"
+    def run(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", store).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", store).save()
+    run()
+    assert(spark.read.parquet(out).count() == 20)
+    // rewrite a consumed file in place: SupportsDelete's COW swaps the
+    // matching file for its filtered sibling — same entry count
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, store)
+    try spark.sql("DELETE FROM graft.store WHERE k = 1")
+    finally { spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey) }
+    // new arrivals give the resumed tail a window to plan — it must refuse
+    df(21 to 25, "b").write.format(fmt).mode("append").option("path", store).save()
+    val ex = intercept[Exception] { run() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("history rewritten")),
+      s"expected the loud prefix-identity failure, got: $ex")
   }
 
   test("time travel: snapshots are read-only; vacuum expires versions and GCs files") {
