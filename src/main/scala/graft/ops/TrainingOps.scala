@@ -89,9 +89,15 @@ object TrainingOps extends OpModule {
             |end""".stripMargin)).as("t"))
         .withColumn("b",
           expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint) % 4096"))
+      // the bucket table is BOUNDED (≤4096 rows) and referenced by two
+      // separate ACTIONS (the totals collect and the weight join) — an
+      // eager localCheckpoint makes the token scan that builds it run ONCE
+      // (ReuseExchange cannot dedupe across actions); without it the tok
+      // lineage ran three times: totals, the w derivation, the join probe
       val grp = tok.groupBy(col("b"))
         .agg(count(lit(1)).as("n_r"),
              sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+        .localCheckpoint()
       val totals = grp.agg(sum(col("n_r")), sum(col("n_t"))).collect()(0)
       val nRd = (totals.getLong(0) + 4096).toDouble
       val nTd = (totals.getLong(1) + 4096).toDouble
@@ -127,12 +133,14 @@ object TrainingOps extends OpModule {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
                 expr("graft_float_dot(embedding, embedding)").as("self"))
-      def rowOf(id: Long): (Long, Seq[Float], Double) = {
-        val r = emb.where(col("vec_id") === id).collect()(0)
+      // each election CARRIES the winning embedding through the argmax
+      // (embedding is functionally dependent on the vec_id group key), so
+      // no round needs a second corpus scan to re-fetch the winner's
+      // vector: k scans total, not 2k+1
+      def center(r: org.apache.spark.sql.Row): (Long, Seq[Float], Double) =
         (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))
-      }
-      val firstId = emb.agg(min(col("vec_id"))).collect()(0).getLong(0)
-      var selected = List((1, 0L, rowOf(firstId))) // (round, d_e6, center)
+      val firstRow = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+      var selected = List((1, 0L, center(firstRow))) // (round, d_e6, center)
       for (r <- 2 to 8) {
         val cents = selected.map { case (_, _, (id, v, sf)) => (id, v, sf) }
           .toDF("c_id", "c_emb", "c_self")
@@ -141,10 +149,14 @@ object TrainingOps extends OpModule {
             round((col("self") + col("c_self") -
                    lit(2.0) * expr("graft_float_dot(embedding, c_emb)")) * 1e6)
               .cast("long"))
-          .groupBy(col("vec_id")).agg(min(col("de6")).as("md"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("de6")).as("md"),
+               first(col("embedding")).as("embedding"),
+               first(col("self")).as("self"))
           .orderBy(col("md").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("embedding"), col("self"), col("md"))
           .collect()(0)
-        selected = selected :+ ((r, pick.getLong(1), rowOf(pick.getLong(0))))
+        selected = selected :+ ((r, pick.getLong(3), center(pick)))
       }
       selected.map { case (r, de6, (id, _, _)) => (r, id, de6) }
         .toDF("rnd", "vec_id", "d_e6")
