@@ -1025,6 +1025,63 @@ object Sources extends OpModule {
       s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
     }),
 
+    // MANIFEST TREE: the store's metadata path at 100 TB scale. The list
+    // file holds POINTERS to immutable content-addressed segment files
+    // (16 entries each), so a 64-file seed commits as 4 sealed segments;
+    // a key-range point read plans by SEGMENT range first and READS 1 of
+    // the 4 segments (driver work O(list + matched segments), not
+    // O(files)); an append carries every sealed segment over BY POINTER
+    // (the commit rewrites the small list + one loose line — never
+    // O(files) metadata bytes). Content is pinned relationally; the flags
+    // pin the tree contracts the content can't show. This is the
+    // manifest-list/checkpoint idea that keeps commits and planning
+    // sublinear in file count — the one driver-side O(files) cost left in
+    // the store before this round.
+    "q_store_meta" -> ((s, d) => {
+      val path = tmp(d, "storemeta")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      base.repartitionByRange(64, col("k"))
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      val root = new org.apache.hadoop.fs.Path(path)
+      def listLines() = graft.sources.StoreSink.readListLines(root, fsys)
+      def segsOf(ls: Seq[String]) = ls.filter(_.startsWith("@seg|"))
+      val segsBefore = segsOf(listLines())
+      def store = s.read.format("graft.sources.StoreSink").option("path", path).load()
+      def aggOf(src: DataFrame, v: String) =
+        src.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .select(lit(v).as("v"), col("grp"), col("n"), col("sum_cents"))
+      val rangeRows = aggOf(store.where(col("k").between(100, 999)), "range").collect()
+      val (segsTotal, segsRead) = graft.sources.StoreSink.lastSegPlan.get
+      val maxK = base.agg(max(col("k"))).collect()(0).getLong(0)
+      s.range(1, 6)
+        .select((col("id") + maxK).as("k"), lit("NEW").as("grp"),
+                (col("id") * 10).as("amt_cents"))
+        .repartition(1).write.format("graft.sources.StoreSink").mode("append")
+        .option("path", path).save()
+      val after = listLines()
+      val loose = after.filterNot(l => l.startsWith("@seg|") || l.startsWith("#"))
+      val rows = rangeRows.toSeq ++ aggOf(store, "all").collect() ++ Seq(
+        org.apache.spark.sql.Row("z_append_reuse", "-",
+          if (segsOf(after) == segsBefore) 1L else 0L, 0L),
+        org.apache.spark.sql.Row("z_loose_tail", "-",
+          if (loose.size == 1) 1L else 0L, 0L),
+        org.apache.spark.sql.Row("z_point_plan", "-",
+          if (segsTotal == 4 && segsRead == 1) 1L else 0L, 0L),
+        org.apache.spark.sql.Row("z_sealed", "-",
+          if (segsBefore.size == 4) 1L else 0L, 0L))
+      val schema = StructType(Seq(
+        StructField("v", StringType), StructField("grp", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("v"), col("grp"))
+    }),
+
     // NAMED REFS (tags): `CALL graft.tag(path, 'baseline', 1)` pins an
     // archived version under a human name — `VERSION AS OF 'baseline'`
     // resolves the tag (a non-integer version IS the tag namespace), and
@@ -1279,6 +1336,26 @@ object Sources extends OpModule {
         |FROM base WHERE k < 50 GROUP BY grp
         |UNION ALL SELECT 'flag', 'z_subset_rewrite', '-', 1, 0
         |ORDER BY win, op, grp""".stripMargin,
+
+    // the tree is a metadata layout change, never semantics: range and
+    // full-table content are relational; flags pin the segment contracts
+    // (appended rows: k in maxK+1..maxK+5, amt 10..50 → n=5, sum=150)
+    "q_store_meta" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT 'range' AS v, grp, COUNT(*) AS n,
+        |  CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM base WHERE k BETWEEN 100 AND 999 GROUP BY grp
+        |UNION ALL
+        |SELECT 'all', grp, COUNT(*), CAST(SUM(amt) AS BIGINT)
+        |FROM base GROUP BY grp
+        |UNION ALL SELECT 'all', 'NEW', 5, 150
+        |UNION ALL SELECT 'z_append_reuse', '-', 1, 0
+        |UNION ALL SELECT 'z_loose_tail', '-', 1, 0
+        |UNION ALL SELECT 'z_point_plan', '-', 1, 0
+        |UNION ALL SELECT 'z_sealed', '-', 1, 0
+        |ORDER BY v, grp""".stripMargin,
 
     // tag pins v1 through the vacuum; untagged v2 expires loudly; current
     // state = both mutations applied; audit = (version 1, 1 tag)

@@ -166,10 +166,12 @@ object StoreSink {
     * unchanged, and saturation only costs pruning, never correctness. */
   case class StoreFileEntry(name: String, rows: Long,
                             minK: Option[Long], maxK: Option[Long],
-                            bloom: Option[Long] = None) {
+                            bloom: Option[Long] = None,
+                            bytes: Option[Long] = None) {
     def line: String =
       s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}|" +
-        bloom.map(java.lang.Long.toHexString).getOrElse("-")
+        bloom.map(java.lang.Long.toHexString).getOrElse("-") + "|" +
+        bytes.getOrElse("-")
     /** Can this file contain a row whose grp carries ANY of the signatures?
       * (One pushed conjunct = an OR-list of signatures.) Bloomless files
       * always can. */
@@ -201,7 +203,8 @@ object StoreSink {
         if (p.length > 4 && p(4) != "-")
           Some(java.lang.Long.parseUnsignedLong(p(4), 16))
         else None
-      StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom)
+      val bytes = if (p.length > 5) opt(p(5)) else None
+      StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes)
     } else StoreFileEntry(l, -1L, None, None)
 
   /** Two-probe Bloom signature of a grp value: 2 bits of a 64-bit word from
@@ -255,9 +258,74 @@ object StoreSink {
     case f => f
   }
 
-  /** Raw manifest lines (data files + epoch markers); empty when
-    * uncommitted. */
-  private[sources] def readManifestLines(root: Path, fsys: FileSystem): Seq[String] = {
+  // ------------------------------------------------- manifest tree
+  /** The manifest is a TREE, not a flat file: the `_manifest` LIST holds
+    * epoch markers, loose entry lines, and `@seg|...` POINTERS to immutable
+    * content-addressed segment files (`_seg-<md5>`), each pointer carrying
+    * the segment's aggregate metadata (line/data counts, key range, row and
+    * byte sums). This is the Iceberg manifest-list / Delta checkpoint idea
+    * in miniature, and it is what keeps store METADATA scalable:
+    *
+    *  - commits rewrite only the (small) list plus segments whose lines
+    *    actually changed — an append to a million-file table rewrites the
+    *    list and at most one sealed segment, never O(files) bytes;
+    *  - planning prunes whole segments by their key range WITHOUT reading
+    *    them, so a point query's driver work is O(list + matched segments),
+    *    not O(files);
+    *  - COUNT/MIN/MAX and size statistics come from pointer aggregates —
+    *    no segment reads, no per-file listStatus at plan time.
+    *
+    * Segment files are immutable and named by content hash, which makes the
+    * driver-side segment cache trivially correct and makes an unchanged
+    * segment's reuse detectable by pointer equality. Logical manifest ORDER
+    * (the streaming tail's offset log) is preserved: expansion splices each
+    * segment's lines in place. */
+  val SegPrefix = "_seg-"
+  private val SegMark = "@seg|"
+  /** Lines per sealed segment. Production would use thousands; 16 keeps the
+    * tree exercised at harness scale (a 64-file table = 4 segments). */
+  private[sources] val SegTarget = 16
+
+  /** Segment pointer in the list: aggregates let planning and commits treat
+    * the segment as a unit without opening it. */
+  case class SegPointer(name: String, nLines: Int, nData: Int,
+                        minK: Option[Long], maxK: Option[Long],
+                        rows: Long, bytes: Long) {
+    def line: String =
+      s"$SegMark$name|$nLines|$nData|${minK.getOrElse("-")}|" +
+        s"${maxK.getOrElse("-")}|$rows|$bytes"
+    /** Can any file in this segment hold a key in [lo, hi]? */
+    def mayContain(lo: Option[Long], hi: Option[Long]): Boolean = (minK, maxK) match {
+      case (Some(mn), Some(mx)) => lo.forall(_ <= mx) && hi.forall(_ >= mn)
+      case _ => true
+    }
+  }
+
+  private[sources] def parseSeg(l: String): SegPointer = {
+    val p = l.stripPrefix(SegMark).split('|')
+    def opt(s: String) = if (s == "-") None else Some(s.toLong)
+    SegPointer(p(0), p(1).toInt, p(2).toInt, opt(p(3)), opt(p(4)),
+      p(5).toLong, p(6).toLong)
+  }
+
+  /** Driver-side segment cache. Content-hash names make entries immutable,
+    * so the cache never invalidates; at true scale it would be bounded. */
+  private val segCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[String]]()
+
+  private[sources] def readSegment(root: Path, fsys: FileSystem,
+                                   name: String): Seq[String] =
+    segCache.getOrElseUpdate(name, {
+      val raw = manifestFs(fsys)
+      val in = raw.open(new Path(root, name))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    })
+
+  /** PHYSICAL list lines of the current manifest (pointers unexpanded). */
+  private[sources] def readListLines(root: Path, fsys: FileSystem): Seq[String] = {
     val raw = manifestFs(fsys)
     val mf = new Path(root, Manifest)
     if (!raw.exists(mf)) return Nil
@@ -267,6 +335,84 @@ object StoreSink {
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     } finally in.close()
+  }
+
+  /** Expand physical list lines to the LOGICAL manifest, order-preserving. */
+  private[sources] def expand(root: Path, fsys: FileSystem,
+                              physical: Seq[String]): Seq[String] =
+    physical.flatMap {
+      case l if l.startsWith(SegMark) => readSegment(root, fsys, parseSeg(l).name)
+      case l => Seq(l)
+    }
+
+  /** LOGICAL manifest lines (data files + epoch markers); empty when
+    * uncommitted. */
+  private[sources] def readManifestLines(root: Path, fsys: FileSystem): Seq[String] =
+    expand(root, fsys, readListLines(root, fsys))
+
+  /** Test observability: last planning's (segments in list, segments read). */
+  @volatile private[sources] var lastSegPlan: Option[(Int, Int)] = None
+
+  /** Seal a segment for `group`, returning its pointer (file written only
+    * if absent — content addressing dedupes). */
+  private def sealSegment(root: Path, fsys: FileSystem,
+                          group: Seq[String]): SegPointer = {
+    val content = group.mkString("\n")
+    val name = SegPrefix + md5Hex(content)
+    val raw = manifestFs(fsys)
+    val sp = new Path(root, name)
+    if (!raw.exists(sp)) {
+      val out = raw.create(sp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    segCache.putIfAbsent(name, group)
+    val data = group.filterNot(_.startsWith("#")).map(parseEntry)
+    val ks = data.flatMap(e => e.minK.toSeq ++ e.maxK.toSeq)
+    SegPointer(name, group.size, data.size,
+      if (ks.isEmpty) None else Some(ks.min),
+      if (ks.isEmpty) None else Some(ks.max),
+      data.map(e => math.max(e.rows, 0L)).sum,
+      data.flatMap(_.bytes).sum)
+  }
+
+  /** Build the physical list for `logical`: reuse every existing segment
+    * whose lines appear unchanged and in order (pointer carried over — zero
+    * metadata bytes rewritten for it), then seal full SegTarget-sized runs
+    * of the remaining loose lines into new segments. A COW substitution
+    * invalidates exactly its containing segment; appends accumulate loose
+    * until a run seals. The in-order indexOfSlice matching is O(list ×
+    * segments) at worst — a production tree would key segments by first
+    * entry; entry lines are unique (file names), so matches are exact. */
+  private def sealLines(root: Path, fsys: FileSystem,
+                        logical: Seq[String]): Seq[String] = {
+    val existing = readListLines(root, fsys)
+      .filter(_.startsWith(SegMark)).map(parseSeg)
+    val out = Seq.newBuilder[String]
+    def flushLoose(run: Seq[String]): Unit = {
+      val full = run.length / SegTarget * SegTarget
+      run.take(full).grouped(SegTarget)
+        .foreach(g => out += sealSegment(root, fsys, g).line)
+      run.drop(full).foreach(out += _)
+    }
+    var i = 0
+    val pendingLoose = Seq.newBuilder[String]
+    existing.foreach { sp =>
+      val content =
+        try readSegment(root, fsys, sp.name) catch { case _: Exception => Nil }
+      if (content.nonEmpty) {
+        val at = logical.indexOfSlice(content, i)
+        if (at >= 0) {
+          (i until at).foreach(j => pendingLoose += logical(j))
+          flushLoose(pendingLoose.result()); pendingLoose.clear()
+          out += sp.line
+          i = at + content.length
+        }
+      }
+    }
+    (i until logical.length).foreach(j => pendingLoose += logical(j))
+    flushLoose(pendingLoose.result())
+    out.result()
   }
 
   /** Committed data file names, in manifest order; empty when uncommitted. */
@@ -299,9 +445,9 @@ object StoreSink {
       .map(_.stripPrefix(Manifest + ".v").toInt).sorted.toSeq
   }
 
-  /** Manifest lines of an archived version (loudly absent if expired). */
-  private[sources] def readVersionLines(root: Path, fsys: FileSystem,
-                                        version: Int): Seq[String] = {
+  /** PHYSICAL list lines of an archived version (loudly absent if expired). */
+  private[sources] def readVersionPhysical(root: Path, fsys: FileSystem,
+                                           version: Int): Seq[String] = {
     val raw = manifestFs(fsys)
     val vp = versionPath(root, version)
     require(raw.exists(vp),
@@ -313,6 +459,11 @@ object StoreSink {
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     finally in.close()
   }
+
+  /** LOGICAL manifest lines of an archived version. */
+  private[sources] def readVersionLines(root: Path, fsys: FileSystem,
+                                        version: Int): Seq[String] =
+    expand(root, fsys, readVersionPhysical(root, fsys, version))
 
   /** NAMED REFS (tags): `_tags` maps a human name to an archived version
     * (`name=version` lines) — `VERSION AS OF 'pre_migration'` resolves
@@ -378,13 +529,21 @@ object StoreSink {
       val (byAge, kept) = versions.splitAt(math.max(0, versions.size - keepVersions))
       val (saved, expired) = byAge.partition(pinned.contains)
       val retained = saved ++ kept
-      val referenced = (retained.flatMap(v => readVersionLines(root, fsys, v)) ++
-          readManifestLines(root, fsys))
+      val physicals = retained.map(v => readVersionPhysical(root, fsys, v)) :+
+        readListLines(root, fsys)
+      val referenced = physicals.flatMap(expand(root, fsys, _))
         .filterNot(_.startsWith("#")).map(parseEntry(_).name).toSet
+      // segment files referenced by any RETAINED list survive; the rest are
+      // metadata of expired generations and GC with them
+      val referencedSegs = physicals.flatten
+        .filter(_.startsWith(SegMark)).map(parseSeg(_).name).toSet
       expired.foreach(v => raw.delete(versionPath(root, v), false))
-      fsys.listStatus(root).map(_.getPath.getName)
-        .filter(n => n.startsWith("part-") && !referenced.contains(n))
-        .foreach(n => fsys.delete(new Path(root, n), false))
+      fsys.listStatus(root).map(_.getPath.getName).foreach { n =>
+        if (n.startsWith("part-") && !referenced.contains(n))
+          fsys.delete(new Path(root, n), false)
+        else if (n.startsWith(SegPrefix) && !referencedSegs.contains(n))
+          raw.delete(new Path(root, n), false)
+      }
     }
   }
 
@@ -553,15 +712,21 @@ object StoreSink {
   private[sources] def writeManifestAtomic(
       root: Path, fsys: FileSystem, lines: Seq[String]): Unit = {
     val raw = manifestFs(fsys)
+    // seal into the manifest TREE: unchanged segments carry over by
+    // pointer, touched/new lines become loose or freshly sealed segments —
+    // the physical rewrite is O(changed metadata), not O(files)
+    val physical = sealLines(root, fsys, lines)
     val tmp = new Path(root, Manifest + ".tmp")
     val out = raw.create(tmp, true)
-    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(physical.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // archive this generation (commits are serialized by the commit lock,
-    // so the next version number cannot race)
+    // so the next version number cannot race); archives are PHYSICAL — a
+    // version shares its segments with every other generation that kept
+    // them, so history is O(deltas), not O(versions × files)
     val nextV = listVersions(root, fsys).lastOption.getOrElse(0) + 1
     val vout = raw.create(versionPath(root, nextV), true)
-    try vout.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try vout.write(physical.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally vout.close()
     val mf = new Path(root, Manifest)
     // drop any sidecar a pre-raw-IO build left behind (stale crc would
@@ -894,7 +1059,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
         var nMin = Long.MaxValue; var nMax = Long.MinValue; var nRows = 0L
-        var nBloom = 0L
+        var nBloom = 0L; var nBytes = 0L
         val (kept, any) =
           try {
             val keep = Seq.newBuilder[String]
@@ -906,6 +1071,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
               else {
                 keep += line
                 nRows += 1
+                nBytes += line.getBytes(StandardCharsets.UTF_8).length + 1L
                 if (!row.isNullAt(0)) {
                   val k = row.getLong(0)
                   if (k < nMin) nMin = k
@@ -931,7 +1097,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
             if (nMax == Long.MinValue) None else Some(nMax),
-            Some(nBloom)).line
+            Some(nBloom), Some(nBytes)).line
         }
       }
     }
@@ -1187,10 +1353,10 @@ private class StoreStreamingWrite(pathStr: String, queryId: String,
 
 private case class StoreCommitMessage(file: String, rows: Long,
                                       minK: Option[Long], maxK: Option[Long],
-                                      bloom: Long)
+                                      bloom: Long, bytes: Long = 0L)
     extends WriterCommitMessage {
   def entry: StoreSink.StoreFileEntry =
-    StoreSink.StoreFileEntry(file, rows, minK, maxK, Some(bloom))
+    StoreSink.StoreFileEntry(file, rows, minK, maxK, Some(bloom), Some(bytes))
 }
 
 /** Standalone (serializable) factory — same rule as RangeSource: an
@@ -1229,6 +1395,7 @@ private class StoreDataWriter(pathStr: String, fileName: String,
   private val fsys = StoreSink.fs(staged, new Configuration())
   private val out = fsys.create(staged, true)
   private var rows = 0L
+  private var bytes = 0L
 
   private var minK = Long.MaxValue
   private var maxK = Long.MinValue
@@ -1248,9 +1415,11 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     }
     if (!record.isNullAt(base + 1)) // grp bloom, alongside the zones
       bloom |= StoreSink.grpSig(record.getUTF8String(base + 1).toString)
-    out.write((StoreSink.encode(record, base, types) + "\n")
-      .getBytes(StandardCharsets.UTF_8))
+    val b = (StoreSink.encode(record, base, types) + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    out.write(b)
     rows += 1
+    bytes += b.length
   }
 
   override def commit(): WriterCommitMessage = {
@@ -1258,7 +1427,7 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     StoreCommitMessage(fileName, rows,
       if (minK == Long.MaxValue) None else Some(minK),
       if (maxK == Long.MinValue) None else Some(maxK),
-      bloom)
+      bloom, bytes)
   }
 
   override def abort(): Unit = {
@@ -1375,6 +1544,41 @@ private class StoreScan(pathStr: String,
         StoreMetricValue("plannedFiles", p.toLong))
     }.getOrElse(Array.empty)
 
+  /** PHYSICAL list of the pinned snapshot, or the current manifest. */
+  private def currentPhysical(root: Path, fsys: FileSystem): Seq[String] =
+    version match {
+      case Some(v) => StoreSink.readVersionPhysical(root, fsys, v)
+      case None => StoreSink.readListLines(root, fsys)
+    }
+
+  /** Plan over the manifest TREE: walk the list, skip whole segments whose
+    * key range misses the pushed bounds (their aggregate counts still feed
+    * the totals — no read), expand only matched segments. Returns
+    * (total data files, candidate entries). Driver cost is O(list +
+    * matched segments), the tree's point. */
+  protected def plannedCandidates(root: Path, fsys: FileSystem): (Int, Seq[StoreSink.StoreFileEntry]) = {
+    val items = currentPhysical(root, fsys).filterNot(_.startsWith("#"))
+    var total = 0
+    var segsTotal = 0; var segsRead = 0
+    val candidates = items.flatMap { l =>
+      if (l.startsWith("@seg|")) {
+        val sp = StoreSink.parseSeg(l)
+        total += sp.nData; segsTotal += 1
+        if (!sp.mayContain(kLo, kHi)) Nil
+        else {
+          segsRead += 1
+          StoreSink.readSegment(root, fsys, sp.name)
+            .filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
+        }
+      } else {
+        total += 1
+        Seq(StoreSink.parseEntry(l))
+      }
+    }
+    StoreSink.lastSegPlan = Some((segsTotal, segsRead))
+    (total, candidates)
+  }
+
   /** Entries of the pinned snapshot, or the current manifest. */
   protected def currentEntries(root: Path, fsys: FileSystem): Seq[StoreSink.StoreFileEntry] =
     version match {
@@ -1429,15 +1633,15 @@ private class StoreScan(pathStr: String,
       case None => ()
     }
     // manifest-only planning: uncommitted/stray files cannot be scanned;
-    // zone maps / blooms drop files the pushed bounds / grp literals /
-    // runtime keys cannot touch
-    val entries = currentEntries(root, fsys)
-    val kept = entries
+    // segment ranges, then zone maps / blooms, drop files the pushed
+    // bounds / grp literals / runtime keys cannot touch
+    val (total, candidates) = plannedCandidates(root, fsys)
+    val kept = candidates
       .filter(_.mayContain(kLo, kHi))
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
-    StoreSink.lastZonePrune = Some((entries.size, kept.size))
-    plannedCounts = Some((entries.size, kept.size))
+    StoreSink.lastZonePrune = Some((total, kept.size))
+    plannedCounts = Some((total, kept.size))
     kept.map(e => StoreFilePartition(new Path(root, e.name).toString): InputPartition)
       .toArray
   }
@@ -1461,13 +1665,17 @@ private class StoreScan(pathStr: String,
         }
       case None => ()
     }
-    val entries = currentEntries(root, fsys)
+    val entries = plannedCandidates(root, fsys)._2
       .filter(_.mayContain(kLo, kHi))
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
+    // manifest-carried byte counts — listStatus per file at plan time was
+    // itself an O(files) driver cost; the RPC fallback only covers legacy
+    // lines written before bytes rode the manifest
     val bytes = entries.map { e =>
-      try fsys.getFileStatus(new Path(root, e.name)).getLen catch {
-        case _: java.io.FileNotFoundException => 0L
-      }
+      e.bytes.getOrElse(
+        try fsys.getFileStatus(new Path(root, e.name)).getLen catch {
+          case _: java.io.FileNotFoundException => 0L
+        })
     }.sum
     val rows = if (entries.forall(_.rows >= 0)) Some(entries.map(_.rows).sum) else None
     new Statistics {

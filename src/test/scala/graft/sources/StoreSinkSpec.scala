@@ -377,6 +377,64 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("manifest tree: segments reuse across commits, prune planning, GC with versions") {
+    val dir = freshDir("manifesttree")
+    val root = new Path(dir)
+    // 64 range-clustered files → the list seals 4 segments of 16, 0 loose
+    import spark.implicits._
+    (1 to 6400).map(k => (k.toLong, s"g${k % 4}", k.toLong))
+      .toDF("k", "grp", "amt_cents")
+      .repartitionByRange(64, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    def listLines() = StoreSink.readListLines(root, fs)
+    def segsOf(lines: Seq[String]) = lines.filter(_.startsWith("@seg|"))
+      .map(StoreSink.parseSeg(_).name)
+    val segs1 = segsOf(listLines())
+    assert(segs1.size == 4 && listLines().size == 4,
+      s"expected 4 sealed segments and nothing loose, got: ${listLines()}")
+
+    // point query: only the one zone-matched segment is READ during planning
+    val n = spark.read.format(fmt).option("path", dir).load()
+      .where(col("k").between(10, 20)).count()
+    assert(n == 11)
+    val (segsTotal, segsRead) = StoreSink.lastSegPlan.get
+    assert(segsTotal == 4 && segsRead == 1,
+      s"point planning must read 1 of 4 segments, read $segsRead")
+
+    // append: every sealed segment carries over BY POINTER — the commit
+    // rewrote only the list (plus nothing: 1 loose line < SegTarget)
+    df(6401 to 6405, "x").repartition(1)
+      .write.format(fmt).mode("append").option("path", dir).save()
+    val after = listLines()
+    assert(segsOf(after) == segs1, "append must not touch sealed segments")
+    assert(after.size == 5, s"append = 4 pointers + 1 loose line: $after")
+
+    // COW delete of one key invalidates exactly its containing segment:
+    // the other 3 original pointers survive verbatim
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try spark.sql("DELETE FROM graft.store WHERE k = 5000")
+    finally { spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey) }
+    val segs3 = segsOf(listLines())
+    assert(segs1.intersect(segs3).size == 3,
+      s"a one-file COW must reseal exactly one segment: before=$segs1 after=$segs3")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 6404)
+
+    // version archives SHARE segments; vacuum GCs segments with the last
+    // list that references them
+    val segsOnDisk = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(StoreSink.SegPrefix)).toSet
+    assert(segsOnDisk == (segs1 ++ segs3).toSet,
+      "history must share unchanged segments, not copy them")
+    StoreSink.vacuum(dir, 1)
+    val segsLive = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(StoreSink.SegPrefix)).toSet
+    assert(segsLive == segs3.toSet,
+      s"vacuum must GC segments only the expired versions referenced: $segsLive")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 6404)
+  }
+
   test("_file metadata column: provenance on request, absent from SELECT *") {
     val dir = freshDir("metacol")
     df(1 to 10, "a").repartition(1).write.format(fmt).mode("overwrite").option("path", dir).save()
