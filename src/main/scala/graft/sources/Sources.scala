@@ -1082,6 +1082,40 @@ object Sources extends OpModule {
       s.createDataFrame(rows.asJava, schema).orderBy(col("v"), col("grp"))
     }),
 
+    // AGGREGATE PUSHDOWN on the store scan: an unfiltered COUNT(*) /
+    // MIN(k) / MAX(k) is already summed in the manifest (per-file live row
+    // counts + key zones), so the scan answers from METADATA — zero data
+    // files planned or opened (StoreSinkSpec pins the plan node). The
+    // filtered twin must DECLINE (the residual filter makes metadata
+    // unsafe) and fall back to the row scan with identical semantics —
+    // both shapes share one oracle block. At 100 TB this is the
+    // difference between a catalog lookup and a full table scan for the
+    // row-count probes every pipeline health check runs.
+    "q_store_agg_push" -> ((s, d) => {
+      val path = tmp(d, "storeaggpush")
+      seedStore(s, d, path)
+      def store = s.read.format("graft.sources.StoreSink").option("path", path).load()
+      graft.sources.StoreSink.lastAggPush = None
+      val all = store.agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+                          max(col("k")).as("max_k")).collect()(0)
+      val pushed = graft.sources.StoreSink.lastAggPush.contains(Seq("count", "min", "max"))
+      graft.sources.StoreSink.lastAggPush = None
+      val filt = store.where(col("grp") === "F")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+             max(col("k")).as("max_k")).collect()(0)
+      val declined = graft.sources.StoreSink.lastAggPush.isEmpty
+      val rows = Seq(
+        org.apache.spark.sql.Row("all", all.getLong(0), all.getLong(1), all.getLong(2)),
+        org.apache.spark.sql.Row("filtered", filt.getLong(0), filt.getLong(1), filt.getLong(2)),
+        org.apache.spark.sql.Row("z_filtered_declined", if (declined) 1L else 0L, 0L, 0L),
+        org.apache.spark.sql.Row("z_pushed", if (pushed) 1L else 0L, 0L, 0L))
+      val schema = StructType(Seq(
+        StructField("v", StringType), StructField("n", LongType),
+        StructField("min_k", LongType), StructField("max_k", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("v"))
+    }),
+
     // NAMED REFS (tags): `CALL graft.tag(path, 'baseline', 1)` pins an
     // archived version under a human name — `VERSION AS OF 'baseline'`
     // resolves the tag (a non-integer version IS the tag namespace), and
@@ -1336,6 +1370,19 @@ object Sources extends OpModule {
         |FROM base WHERE k < 50 GROUP BY grp
         |UNION ALL SELECT 'flag', 'z_subset_rewrite', '-', 1, 0
         |ORDER BY win, op, grp""".stripMargin,
+
+    // metadata-answered and row-scan aggregates must agree exactly; the
+    // flags pin pushed-vs-declined
+    "q_store_agg_push" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp FROM orders)
+        |SELECT 'all' AS v, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM base
+        |UNION ALL
+        |SELECT 'filtered', COUNT(*), MIN(k), MAX(k) FROM base WHERE grp = 'F'
+        |UNION ALL SELECT 'z_filtered_declined', 1, 0, 0
+        |UNION ALL SELECT 'z_pushed', 1, 0, 0
+        |ORDER BY v""".stripMargin,
 
     // the tree is a metadata layout change, never semantics: range and
     // full-table content are relational; flags pin the segment contracts

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write._
@@ -352,6 +353,10 @@ object StoreSink {
 
   /** Test observability: last planning's (segments in list, segments read). */
   @volatile private[sources] var lastSegPlan: Option[(Int, Int)] = None
+
+  /** Test observability: functions of the last metadata-answered aggregate
+    * pushdown (None = last agg query fell back to the row scan). */
+  @volatile private[sources] var lastAggPush: Option[Seq[String]] = None
 
   /** Seal a segment for `group`, returning its pointer (file written only
     * if absent — content addressing dedupes). */
@@ -1444,16 +1449,66 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
                                explicitFiles: Option[Seq[String]] = None,
                                table: StructType = StoreSink.schema)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var zoneFilters: Array[Filter] = Array.empty
   private var kLo: Option[Long] = None
   private var kHi: Option[Long] = None
   private var grpConjuncts: Seq[Array[Long]] = Nil
   private var required: StructType = table
+  private var aggFuncs: Seq[String] = Nil
+  private var aggValues: Seq[Long] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** AGGREGATE PUSHDOWN from manifest metadata: an unfiltered, ungrouped
+    * COUNT(*)/MIN(k)/MAX(k) is already summed in the manifest — per-file
+    * live row counts and key zones — so the scan answers it WITHOUT
+    * planning a single data file (metadata reads only; segment contents
+    * come from the content-hash cache). The partial-aggregation contract
+    * (like RangeSource's): one row of partial values, Spark's final
+    * aggregate merges it. DECLINES, falling back to the row scan, whenever
+    * metadata can't answer exactly: any pushed filter or explicit file
+    * set, a GROUP BY, any entry without an exact row count (legacy bare
+    * lines), or min/max with no zoned entry. Spark itself never asks when
+    * a residual filter remains above the scan — the guards are
+    * belt-and-braces. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (explicitFiles.isDefined) return false
+    if (zoneFilters.nonEmpty || kLo.isDefined || kHi.isDefined ||
+        grpConjuncts.nonEmpty) return false
+    if (agg.groupByExpressions.nonEmpty) return false
+    def kRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e.toString.replace("`", "") == "k"
+    val fs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar              => Some("count")
+      case m: Min if kRef(m.column)  => Some("min")
+      case m: Max if kRef(m.column)  => Some("max")
+      case _ => None
+    }
+    if (fs.contains(None) || fs.isEmpty) return false
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    val entries = (version match {
+      case Some(v) => StoreSink.readVersionLines(root, fsys, v)
+        .filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
+      case None => StoreSink.readEntries(root, fsys)
+    })
+    if (entries.exists(_.rows < 0)) return false // no exact count recorded
+    val zoned = entries.filter(_.minK.isDefined)
+    if (fs.flatten.exists(f => f == "min" || f == "max") && zoned.isEmpty)
+      return false // MIN/MAX of an all-null (or empty) key column: fall back
+    aggValues = fs.flatten.map {
+      case "count" => entries.map(_.rows).sum
+      case "min"   => zoned.flatMap(_.minK).min
+      case "max"   => zoned.flatMap(_.maxK).max
+    }
+    aggFuncs = fs.flatten
+    StoreSink.lastAggPush = Some(aggFuncs)
+    true
+  }
 
   /** Zone-map + bloom pushdown, parquet-style: key-bound conjuncts narrow
     * FILE planning via the manifest's per-file min/max, grp point/IN
@@ -1481,8 +1536,43 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   override def pushedFilters(): Array[Filter] = zoneFilters
 
   override def build(): Scan =
-    new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
+    if (aggFuncs.nonEmpty) new StoreAggScan(pathStr, aggFuncs, aggValues)
+    else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
       explicitFiles, table)
+}
+
+/** Metadata-answered aggregate scan: the values were computed at pushdown
+  * time from the manifest; ONE synthetic partition carries them — zero data
+  * files are ever planned or opened. */
+private class StoreAggScan(pathStr: String, funcs: Seq[String],
+                           values: Seq[Long])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(funcs.zipWithIndex.map { case (f, i) =>
+      StructField(s"${f}_$i", LongType, nullable = false)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftStoreAggScan($pathStr) agg=${funcs.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(StoreAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    StoreAggReaderFactory()
+}
+
+private case class StoreAggPartition(values: Seq[Long]) extends InputPartition
+
+private case class StoreAggReaderFactory()
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val vs = partition.asInstanceOf[StoreAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(vs)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Driver-side metric definitions for the store scan (sum across the one

@@ -435,6 +435,46 @@ class StoreSinkSpec extends SparkSpec {
     assert(spark.read.format(fmt).option("path", dir).load().count() == 6404)
   }
 
+  test("aggregate pushdown answers from the manifest — zero data files planned") {
+    val dir = freshDir("aggpush")
+    df(1 to 40, "a").repartition(4).write.format(fmt).mode("overwrite")
+      .option("path", dir).save()
+    df(41 to 60, "b").repartition(2).write.format(fmt).mode("append")
+      .option("path", dir).save()
+    val t = spark.read.format(fmt).option("path", dir).load()
+
+    StoreSink.lastAggPush = None
+    val q = t.agg(count(lit(1)), min(col("k")), max(col("k")))
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((60L, 1L, 60L)))
+    assert(StoreSink.lastAggPush.contains(Seq("count", "min", "max")),
+      "unfiltered COUNT/MIN/MAX must be metadata-answered")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftStoreAggScan"),
+      "executed plan must carry the metadata agg scan — no file partitions")
+
+    // a pinned snapshot answers from ITS version's metadata
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      StoreSink.lastAggPush = None
+      assert(spark.sql("SELECT COUNT(*) FROM graft.store VERSION AS OF 1")
+        .collect()(0).getLong(0) == 40)
+      assert(StoreSink.lastAggPush.contains(Seq("count")))
+    } finally { spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey) }
+
+    // residual filters make metadata unsafe: decline, fall back, agree
+    StoreSink.lastAggPush = None
+    assert(t.where(col("grp") === "b").agg(count(lit(1)))
+      .collect()(0).getLong(0) == 20)
+    assert(StoreSink.lastAggPush.isEmpty, "filtered aggregate must decline")
+
+    // COUNT(col) (null-sensitive) is not answerable from row counts
+    StoreSink.lastAggPush = None
+    assert(t.agg(count(col("grp"))).collect()(0).getLong(0) == 60)
+    assert(StoreSink.lastAggPush.isEmpty, "COUNT(col) must decline")
+  }
+
   test("_file metadata column: provenance on request, absent from SELECT *") {
     val dir = freshDir("metacol")
     df(1 to 10, "a").repartition(1).write.format(fmt).mode("overwrite").option("path", dir).save()
