@@ -58,7 +58,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     * (versions_kept, live_files), not a silent side effect. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "tag", "vacuum").map(Identifier.of(Array.empty, _))
+    Array("compact", "history", "tag", "vacuum").map(Identifier.of(Array.empty, _))
   }
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -66,10 +66,11 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       throw new NoSuchTableException(ident) // no namespaced procedures
     ident.name().toLowerCase(java.util.Locale.ROOT) match {
       case "compact" => CompactProcedure
+      case "history" => HistoryProcedure
       case "tag"     => TagProcedure
       case "vacuum"  => VacuumProcedure
       case _ => throw new UnsupportedOperationException(
-        s"unknown procedure ${ident.name()} (compact | tag | vacuum)")
+        s"unknown procedure ${ident.name()} (compact | history | tag | vacuum)")
     }
   }
 
@@ -152,6 +153,24 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
           val root = new org.apache.hadoop.fs.Path(p)
           StoreSink.tagVersion(root, StoreSink.fs(root), version)
       }
+      new StoreTable(p, Some(v))
+    } else throw new NoSuchTableException(ident)
+
+  /** `TIMESTAMP AS OF t` — the time-travel form users actually write:
+    * resolve the latest version whose COMMIT-LEDGER instant (the `#ts=`
+    * head line every manifest swap stamps — not file mtime) is ≤ t. Spark
+    * hands epoch MICROseconds. An instant predating the table (or whose
+    * versions were all vacuumed) fails loudly rather than resolving to a
+    * later state. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    if (inDefaultNs(ident) &&
+        ident.name().toLowerCase(java.util.Locale.ROOT) == "store") {
+      val p = org.apache.spark.sql.SparkSession.active.conf
+        .getOption(GraftCatalog.StorePathKey)
+        .getOrElse(throw new NoSuchTableException(ident))
+      val root = new org.apache.hadoop.fs.Path(p)
+      val v = StoreSink.versionAt(root, StoreSink.fs(root),
+        Math.floorDiv(timestampMicros, 1000L))
       new StoreTable(p, Some(v))
     } else throw new NoSuchTableException(ident)
 
@@ -365,6 +384,43 @@ private object TagProcedure
           org.apache.spark.sql.types.StructField("tagged_version", LongType, nullable = false),
           org.apache.spark.sql.types.StructField("n_tags", LongType, nullable = false)))
         override def rows(): Array[InternalRow] = Array(InternalRow(v.toLong, n))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.history(path)` — the table's commit audit: one row per
+  * archived generation with its ledger instant and LIST-metadata file/row
+  * totals (no segment or data reads). This is how an operator answers
+  * "what changed and when" and how a user finds the instant to feed
+  * `TIMESTAMP AS OF`. */
+private object HistoryProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "history"
+  override def description(): String =
+    "commit audit: (version, ts_ms, n_files, n_rows) per archived generation"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false // reads store state
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build())
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val audit = StoreSink.history(input.getUTF8String(0).toString)
+      .map { case (v, ts, nf, nr) => InternalRow(v.toLong, ts, nf, nr) }
+      .toArray
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("ts_ms", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_files", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_rows", LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = audit
       }
     util.Collections.singletonList(scan).iterator()
   }

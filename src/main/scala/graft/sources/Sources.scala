@@ -1257,6 +1257,63 @@ object Sources extends OpModule {
       }
     }),
 
+    // TIMESTAMP AS OF — the time-travel form users actually write. Every
+    // manifest swap stamps a strictly-monotone commit instant as the
+    // physical list's `#ts=` ledger line (NOT file mtime — regenerated
+    // data must not move history); `CALL graft.history(path)` surfaces
+    // (version, ts, files, rows) from list metadata alone, and
+    // `TIMESTAMP AS OF t` resolves the latest version committed ≤ t
+    // through the catalog. The query reads all three generations BY THEIR
+    // LEDGER INSTANTS (values never surface — content is deterministic),
+    // pins that an instant predating the table fails loudly, and that
+    // after a vacuum an expired generation's instant also fails loudly
+    // instead of silently resolving to a later state.
+    "q_store_travel_ts" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storetravelts")
+      seedStore(s, d, path) // v1
+      withStorePath(s, path) {
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 7 WHERE grp = 'P'") // v2
+        s.sql("DELETE FROM graft.store WHERE grp = 'F'") // v3 (current)
+        val hist = s.sql(s"CALL graft.history('$path')").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        val tsOf = hist.map(h => h._1 -> h._2).toMap
+        def tsLit(ms: Long): String =
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+            .withZone(java.time.ZoneOffset.UTC)
+            .format(java.time.Instant.ofEpochMilli(ms))
+        def aggAt(ms: Long, v: String) =
+          s.sql(s"SELECT * FROM graft.store TIMESTAMP AS OF '${tsLit(ms)}'")
+            .groupBy(col("grp"))
+            .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+            .select(lit(v).as("v"), col("grp"), col("n"), col("sum_cents"))
+            .collect()
+        val content = aggAt(tsOf(1), "t1") ++ aggAt(tsOf(2), "t2") ++
+          aggAt(tsOf(3), "t3")
+        val byV = hist.sortBy(_._1).toSeq
+        val monotone = byV.zip(byV.drop(1)).forall { case (a, b) => a._2 < b._2 }
+        val histOk = hist.map(_._1).toSeq.sorted == Seq(1L, 2L, 3L) &&
+          monotone && hist.find(_._1 == 3L).get._3 < hist.find(_._1 == 1L).get._3
+        val preLoud =
+          try { s.sql(s"SELECT * FROM graft.store TIMESTAMP AS OF " +
+                  s"'${tsLit(tsOf(1) - 1)}'").collect(); 0L }
+          catch { case _: Exception => 1L }
+        graft.sources.StoreSink.vacuum(path, 2) // v1 expires (untagged)
+        val expiredLoud =
+          try { s.sql(s"SELECT * FROM graft.store TIMESTAMP AS OF " +
+                  s"'${tsLit(tsOf(1))}'").collect(); 0L }
+          catch { case _: Exception => 1L }
+        val rows = content.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_expired_loud", "-", expiredLoud, 0L),
+          org.apache.spark.sql.Row("z_hist", "-", if (histOk) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_pre_epoch_loud", "-", preLoud, 0L))
+        val schema = StructType(Seq(
+          StructField("v", StringType), StructField("grp", StringType),
+          StructField("n", LongType), StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("v"), col("grp"))
+      }
+    }),
+
     // Row-level UPDATE through the same protocol: one SQL statement, the
     // connector rewrites the affected generation copy-on-write. The oracle
     // applies the SET arithmetic relationally.
@@ -1491,6 +1548,26 @@ object Sources extends OpModule {
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4
         |UNION ALL SELECT 'v1_expired', '-', 1, 0
+        |ORDER BY v, grp""".stripMargin,
+
+    // ledger instants never surface — each generation's content applied
+    // relationally; boundary and post-vacuum probes fail loudly
+    "q_store_travel_ts" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |t1 AS (SELECT 't1' AS v, grp, COUNT(*) AS n,
+        |         CAST(SUM(amt) AS BIGINT) AS sum_cents FROM base GROUP BY grp),
+        |t2 AS (SELECT 't2', grp, COUNT(*),
+        |         CAST(SUM(amt + CASE WHEN grp = 'P' THEN 7 ELSE 0 END) AS BIGINT)
+        |       FROM base GROUP BY grp),
+        |t3 AS (SELECT 't3', grp, COUNT(*),
+        |         CAST(SUM(amt + CASE WHEN grp = 'P' THEN 7 ELSE 0 END) AS BIGINT)
+        |       FROM base WHERE grp <> 'F' GROUP BY grp)
+        |SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+        |UNION ALL SELECT 'z_expired_loud', '-', 1, 0
+        |UNION ALL SELECT 'z_hist', '-', 1, 0
+        |UNION ALL SELECT 'z_pre_epoch_loud', '-', 1, 0
         |ORDER BY v, grp""".stripMargin,
 
     // UPDATE's SET arithmetic applied relationally

@@ -714,13 +714,64 @@ object StoreSink {
       writeManifestAtomic(root, fsys, build(readManifestLines(root, fsys)))
     }
 
+  /** Commit-time ledger line (first line of every physical list): the
+    * timestamp `TIMESTAMP AS OF` resolves against. Deliberately NOT file
+    * mtime — regenerated testdata or a copied table must not move history.
+    * Strictly monotone (commits are serialized by the lock, and a clock
+    * step backwards still bumps by 1 ms), so every version has a unique,
+    * ordered instant. */
+  private val TsMark = "#ts="
+
+  /** Commit timestamp (epoch millis) of an archived version; 0 for
+    * pre-ledger manifests. */
+  private[sources] def versionTs(root: Path, fsys: FileSystem, v: Int): Long =
+    readVersionPhysical(root, fsys, v)
+      .find(_.startsWith(TsMark)).map(_.stripPrefix(TsMark).toLong).getOrElse(0L)
+
+  /** (version, commit ts millis, data files, live rows) per archived
+    * generation — computed from LIST metadata only (pointer aggregates),
+    * no segment or data reads. */
+  def history(pathStr: String): Seq[(Int, Long, Long, Long)] = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    listVersions(root, fsys).map { v =>
+      val phys = readVersionPhysical(root, fsys, v)
+      var files = 0L; var rows = 0L
+      phys.filterNot(_.startsWith("#")).foreach { l =>
+        if (l.startsWith(SegMark)) {
+          val sp = parseSeg(l); files += sp.nData; rows += math.max(sp.rows, 0L)
+        } else { files += 1; rows += math.max(parseEntry(l).rows, 0L) }
+      }
+      (v, versionTs(root, fsys, v), files, rows)
+    }
+  }
+
+  /** Latest version committed at or before `tsMillis`; loud when the
+    * instant predates the table (or every version up to it was vacuumed —
+    * history must never silently resolve to a LATER state). */
+  private[sources] def versionAt(root: Path, fsys: FileSystem,
+                                 tsMillis: Long): Int = {
+    val vs = listVersions(root, fsys)
+      .map(v => (v, versionTs(root, fsys, v))).filter(_._2 <= tsMillis)
+    require(vs.nonEmpty,
+      s"graft-store has no version committed at or before ts=$tsMillis ms " +
+        "(the instant predates the table, or those versions were vacuumed)")
+    vs.maxBy(_._2)._1
+  }
+
   private[sources] def writeManifestAtomic(
       root: Path, fsys: FileSystem, lines: Seq[String]): Unit = {
     val raw = manifestFs(fsys)
     // seal into the manifest TREE: unchanged segments carry over by
     // pointer, touched/new lines become loose or freshly sealed segments —
-    // the physical rewrite is O(changed metadata), not O(files)
-    val physical = sealLines(root, fsys, lines)
+    // the physical rewrite is O(changed metadata), not O(files).
+    // Any #ts line riding in from a rebase is stripped — the commit stamps
+    // its OWN instant as the physical head line.
+    val prevTs = listVersions(root, fsys).lastOption
+      .map(v => versionTs(root, fsys, v)).getOrElse(0L)
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+    val physical = (TsMark + ts) +:
+      sealLines(root, fsys, lines.filterNot(_.startsWith(TsMark)))
     val tmp = new Path(root, Manifest + ".tmp")
     val out = raw.create(tmp, true)
     try out.write(physical.mkString("\n").getBytes(StandardCharsets.UTF_8))

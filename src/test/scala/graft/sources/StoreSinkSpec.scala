@@ -387,6 +387,7 @@ class StoreSinkSpec extends SparkSpec {
       .repartitionByRange(64, col("k"))
       .write.format(fmt).mode("overwrite").option("path", dir).save()
     def listLines() = StoreSink.readListLines(root, fs)
+      .filterNot(_.startsWith("#")) // drop the ts ledger / epoch markers
     def segsOf(lines: Seq[String]) = lines.filter(_.startsWith("@seg|"))
       .map(StoreSink.parseSeg(_).name)
     val segs1 = segsOf(listLines())
