@@ -735,6 +735,54 @@ object Sources extends OpModule {
       }
     }),
 
+    // MERGE-ON-READ delete: a selective delete (~1% of keys, an In-list —
+    // the CDC/GDPR shape) must cost O(matched) metadata, not O(table)
+    // bytes: every data file stays byte-identical on disk and the matched
+    // rows are masked by per-file deletion-vector sidecars; the reader
+    // applies the mask, live row counts track it (COUNT pushdown stays
+    // exact), and a later BULK delete (grp='F', ~49% per file — above the
+    // 20% threshold) rewrites copy-on-write and ABSORBS the vectors. Both
+    // states and both strategy flags share one oracle. At 100 TB this is
+    // Iceberg/Delta's position-delete path: deleting one row of a
+    // petabyte table writes kilobytes.
+    "q_store_delete_mor" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storemor")
+      val (base, _) = seedStore(s, d, path)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      def dataFiles() = fsys.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && !n.contains(".dv-")).toSet
+      val filesBefore = dataFiles()
+      // bounded CDC key list (~1% of keys) — the scalar-election pattern
+      val keys = base.where(pmod(col("k"), lit(101)) === 0)
+        .select(col("k")).collect().map(_.getLong(0))
+      withStorePath(s, path) {
+        def aggOf(v: String) = s.table("graft.store")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .select(lit(v).as("v"), col("grp"), col("n"), col("sum_cents"))
+          .collect()
+        s.sql(s"DELETE FROM graft.store WHERE k IN (${keys.mkString(",")})")
+        val noRewrite = dataFiles() == filesBefore
+        val nDv = graft.sources.StoreSink.readEntries(root, fsys)
+          .count(_.dv.isDefined)
+        val morRows = aggOf("mor")
+        s.sql("DELETE FROM graft.store WHERE grp = 'F'")
+        val absorbed = graft.sources.StoreSink.readEntries(root, fsys)
+          .forall(_.dv.isEmpty)
+        val cowRows = aggOf("cow")
+        val rows = morRows.toSeq ++ cowRows ++ Seq(
+          org.apache.spark.sql.Row("z_absorbed", "-", if (absorbed) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_dv", "-", if (nDv >= 1) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_no_rewrite", "-", if (noRewrite) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("v", StringType), StructField("grp", StringType),
+          StructField("n", LongType), StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("v"), col("grp"))
+      }
+    }),
+
     // MERGE through the connector's DELETE+APPEND primitives: CDC
     // upsert+delete executed as the copy-on-write pair — DELETE the touched
     // keys (updates ∪ hard deletes, an In-filter the connector compiles to
@@ -1387,6 +1435,23 @@ object Sources extends OpModule {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' OR o_orderkey < 1000)
         |GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // vector-masked and rewrite-based deletes must agree with the
+    // relational form exactly; flags pin the strategy choice
+    "q_store_delete_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT 'mor' AS v, grp, COUNT(*) AS n,
+        |  CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM base WHERE k % 101 <> 0 GROUP BY grp
+        |UNION ALL
+        |SELECT 'cow', grp, COUNT(*), CAST(SUM(amt) AS BIGINT)
+        |FROM base WHERE k % 101 <> 0 AND grp <> 'F' GROUP BY grp
+        |UNION ALL SELECT 'z_absorbed', '-', 1, 0
+        |UNION ALL SELECT 'z_dv', '-', 1, 0
+        |UNION ALL SELECT 'z_no_rewrite', '-', 1, 0
+        |ORDER BY v, grp""".stripMargin,
 
     // zone pruning is a planning rewrite, never semantics
     "q_store_zone_read" ->

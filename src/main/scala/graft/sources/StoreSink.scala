@@ -168,11 +168,16 @@ object StoreSink {
   case class StoreFileEntry(name: String, rows: Long,
                             minK: Option[Long], maxK: Option[Long],
                             bloom: Option[Long] = None,
-                            bytes: Option[Long] = None) {
+                            bytes: Option[Long] = None,
+                            dv: Option[String] = None) {
     def line: String =
       s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}|" +
         bloom.map(java.lang.Long.toHexString).getOrElse("-") + "|" +
-        bytes.getOrElse("-")
+        bytes.getOrElse("-") + "|" + dv.getOrElse("-")
+    /** Read token (`name` or `name@dv`): the explicit-files read path and
+      * the tail's prefix identity both need the MASKED file — a deletion
+      * vector is part of the file's logical identity. */
+    def token: String = name + dv.map("@" + _).getOrElse("")
     /** Can this file contain a row whose grp carries ANY of the signatures?
       * (One pushed conjunct = an OR-list of signatures.) Bloomless files
       * always can. */
@@ -205,7 +210,8 @@ object StoreSink {
           Some(java.lang.Long.parseUnsignedLong(p(4), 16))
         else None
       val bytes = if (p.length > 5) opt(p(5)) else None
-      StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes)
+      val dv = if (p.length > 6 && p(6) != "-") Some(p(6)) else None
+      StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes, dv)
     } else StoreFileEntry(l, -1L, None, None)
 
   /** Two-probe Bloom signature of a grp value: 2 bits of a 64-bit word from
@@ -234,6 +240,37 @@ object StoreSink {
     * rewrite throws after processing one file — the spec asserts the
     * previous manifest (and its files) survive the abort. */
   @volatile private[sources] var failDeleteAfterOneFile = false
+
+  // ------------------------------------------------- deletion vectors (MoR)
+  /** MERGE-ON-READ delete policy: when a file's newly-matched fraction of
+    * live rows is at or below this, the delete writes a deletion-vector
+    * SIDECAR (physical line ordinals) instead of rewriting the file —
+    * selective deletes (GDPR single-row, CDC trickle) cost O(matched)
+    * metadata, not O(file) bytes. Bulk deletes above the threshold rewrite
+    * copy-on-write as before, absorbing any existing vector. Readers apply
+    * the mask; compaction absorbs vectors into clean files. */
+  private[sources] val MorMaxFraction = 0.2
+
+  /** Deletion-vector sidecar: ascending physical line ordinals, one per
+    * line. Immutable — a later delete writes a NEW vector absorbing the
+    * old one; vacuum GCs unreferenced vectors. */
+  private[sources] def readDv(root: Path, fsys: FileSystem,
+                              name: String): Array[Int] = {
+    val raw = manifestFs(fsys)
+    val in = raw.open(new Path(root, name))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    finally in.close()
+  }
+
+  private[sources] def writeDv(root: Path, fsys: FileSystem, name: String,
+                               positions: Seq[Int]): Unit = {
+    val raw = manifestFs(fsys)
+    val out = raw.create(new Path(root, name), true)
+    try out.write(positions.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** md5 of a UTF-8 string as lowercase hex (prefix-identity signatures). */
   private[sources] def md5Hex(s: String): String =
@@ -536,8 +573,11 @@ object StoreSink {
       val retained = saved ++ kept
       val physicals = retained.map(v => readVersionPhysical(root, fsys, v)) :+
         readListLines(root, fsys)
+      // data files AND their deletion-vector sidecars (dv names share the
+      // part- prefix, so the sweep below GCs unreferenced vectors too)
       val referenced = physicals.flatMap(expand(root, fsys, _))
-        .filterNot(_.startsWith("#")).map(parseEntry(_).name).toSet
+        .filterNot(_.startsWith("#")).map(parseEntry)
+        .flatMap(e => e.name +: e.dv.toSeq).toSet
       // segment files referenced by any RETAINED list survive; the rest are
       // metadata of expired generations and GC with them
       val referencedSegs = physicals.flatten
@@ -591,8 +631,11 @@ object StoreSink {
     // and a concurrent rewrite of one of our inputs is a loud conflict
     // rather than silent row resurrection
     val names = touch.map(_.name)
+    // read by TOKEN (name@dv): compaction reads the MASKED rows, so the
+    // rewrite absorbs every deletion vector into clean files
     val df = spark.read.format("graft.sources.StoreSink")
-      .option("path", pathStr).option("files", names.mkString(",")).load()
+      .option("path", pathStr).option("files", touch.map(_.token).mkString(","))
+      .load()
     df.repartitionByRange(n, org.apache.spark.sql.functions.col("k"))
       .write.format("graft.sources.StoreSink").mode("append")
       .option("path", pathStr).option("preserveMarkers", "true")
@@ -617,10 +660,12 @@ object StoreSink {
     import org.apache.spark.sql.functions.lit
     val root = new Path(pathStr)
     val fsys = fs(root)
+    // tokens, not names: a merge-on-read delete keeps the file name and
+    // changes its VECTOR — the (name, dv) pair is what the diff must see
     def names(v: Option[Int]): Seq[String] = (v match {
       case Some(n) => readVersionLines(root, fsys, n)
       case None    => readManifestLines(root, fsys)
-    }).filterNot(_.startsWith("#")).map(parseEntry(_).name)
+    }).filterNot(_.startsWith("#")).map(parseEntry(_).token)
     val from = names(Some(fromV))
     val to = names(toV)
     val tbl = tableSchema(pathStr)
@@ -1084,12 +1129,16 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(StoreSink.canEvaluate)
 
-  /** Copy-on-write delete: scan each manifest file once; files with NO
-    * matching row carry over by NAME (zero bytes rewritten); files with
-    * matches are rewritten to a filtered `-d<n>` sibling. The manifest swap
-    * publishes the new generation atomically; the replaced files are GC'd
-    * after. Any failure before the swap leaves the previous generation
-    * bit-for-bit intact (the rewrite staged nothing into the manifest). */
+  /** Row-level DELETE with a per-file strategy choice: files with NO match
+    * carry over by NAME (zero bytes); a file whose matched fraction of
+    * live rows is ≤ [[StoreSink.MorMaxFraction]] takes MERGE-ON-READ — a
+    * deletion-vector sidecar of line ordinals, zero data bytes rewritten
+    * (the GDPR single-row shape); above the threshold the file rewrites
+    * COPY-ON-WRITE to a filtered `-d<n>` sibling, absorbing any existing
+    * vector. Either way ONE manifest swap publishes the new generation;
+    * any failure before it leaves the previous generation bit-for-bit
+    * intact (vectors staged for an aborted delete are unreferenced and
+    * vacuum GCs them). */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireCurrent("delete")
     require(filters.forall(StoreSink.canEvaluate),
@@ -1097,7 +1146,6 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
     val lines = StoreSink.readManifestLines(root, fsys)
-    val markers = lines.filter(_.startsWith("#"))
     val entries = lines.filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
     val preds = filters.map(StoreSink.compile)
     def deletes(row: InternalRow): Boolean =
@@ -1107,49 +1155,67 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
     val (kLo, kHi) = StoreSink.kBounds(filters)
     var processed = 0
     val gen = System.nanoTime().toHexString
-    val rewritten = scala.collection.mutable.ArrayBuffer[(String, String)]() // old -> new
+    var anyChange = false
     val newLines = entries.map { e =>
       if (!e.mayContain(kLo, kHi)) e.line
       else {
+        val existingDv: Set[Int] =
+          e.dv.map(d => StoreSink.readDv(root, fsys, d).toSet).getOrElse(Set.empty)
         val p = new Path(root, e.name)
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
         var nMin = Long.MaxValue; var nMax = Long.MinValue; var nRows = 0L
         var nBloom = 0L; var nBytes = 0L
-        val (kept, any) =
+        val newDel = Seq.newBuilder[Int]; var nDel = 0
+        val kept =
           try {
             val keep = Seq.newBuilder[String]
-            var anyMatch = false
+            var ord = 0
             var line = in.readLine()
             while (line != null) {
-              val row = StoreSink.decode(line)
-              if (deletes(row)) anyMatch = true
-              else {
-                keep += line
-                nRows += 1
-                nBytes += line.getBytes(StandardCharsets.UTF_8).length + 1L
-                if (!row.isNullAt(0)) {
-                  val k = row.getLong(0)
-                  if (k < nMin) nMin = k
-                  if (k > nMax) nMax = k
+              if (!existingDv.contains(ord)) { // already-deleted rows are gone
+                val row = StoreSink.decode(line)
+                if (deletes(row)) { newDel += ord; nDel += 1 }
+                else {
+                  keep += line
+                  nRows += 1
+                  nBytes += line.getBytes(StandardCharsets.UTF_8).length + 1L
+                  if (!row.isNullAt(0)) {
+                    val k = row.getLong(0)
+                    if (k < nMin) nMin = k
+                    if (k > nMax) nMax = k
+                  }
+                  if (!row.isNullAt(1))
+                    nBloom |= StoreSink.grpSig(row.getUTF8String(1).toString)
                 }
-                if (!row.isNullAt(1))
-                  nBloom |= StoreSink.grpSig(row.getUTF8String(1).toString)
               }
+              ord += 1
               line = in.readLine()
             }
-            (keep.result(), anyMatch)
+            keep.result()
           } finally in.close()
         processed += 1
         if (StoreSink.failDeleteAfterOneFile && processed == 1)
           throw new RuntimeException("injected delete failure (test hook)")
-        if (!any) e.line // untouched file carries over by name
-        else {
+        if (nDel == 0) e.line // untouched file carries over by name
+        else if (nDel.toDouble / math.max(1L, nDel.toLong + nRows) <=
+                   StoreSink.MorMaxFraction) {
+          // merge-on-read: one small sidecar, zero data bytes; zones/bloom
+          // stay conservative (pruning-safe, and MIN/MAX agg pushdown
+          // declines on vectored entries)
+          anyChange = true
+          val dvName = s"${e.name}.dv-$gen"
+          StoreSink.writeDv(root, fsys, dvName,
+            existingDv.toSeq ++ newDel.result())
+          e.copy(rows = nRows, dv = Some(dvName)).line
+        } else {
+          // copy-on-write: the rewrite skipped existing-vector ordinals, so
+          // the new file is CLEAN — the vector is absorbed
+          anyChange = true
           val nf = s"${e.name}-d$gen"
           val out = fsys.create(new Path(root, nf), true)
           try out.write((kept.map(_ + "\n")).mkString.getBytes(StandardCharsets.UTF_8))
           finally out.close()
-          rewritten += ((e.name, nf))
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
             if (nMax == Long.MinValue) None else Some(nMax),
@@ -1157,20 +1223,25 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
         }
       }
     }
-    // map oldName -> its rewritten line so the publish can rebase on the
-    // manifest as it stands at COMMIT time (the data rewrite above ran
-    // outside the lock — appends that landed meanwhile must survive)
+    // map oldName -> (line we based on, replacement) so the publish can
+    // rebase on the manifest as it stands at COMMIT time (the data rewrite
+    // above ran outside the lock — appends that landed meanwhile must
+    // survive, and a concurrent rewrite of one of OUR files must conflict
+    // loudly: for merge-on-read the name is unchanged, so the LINE is the
+    // conflict witness, not the name)
+    val origLine: Map[String, String] = entries.map(e => e.name -> e.line).toMap
     val replacedLine: Map[String, String] = entries.map(_.name).zip(newLines)
-      .filter { case (n, l) => StoreSink.parseEntry(l).name != n }.toMap
-    if (rewritten.nonEmpty)
+      .filter { case (n, l) => l != origLine(n) }.toMap
+    if (anyChange)
       // replaced files stay for archived versions; vacuum is the GC
       StoreSink.withCommitLock(root, fsys) {
         val fresh = StoreSink.readManifestLines(root, fsys)
-        val freshNames = fresh.filterNot(_.startsWith("#"))
-          .map(StoreSink.parseEntry(_).name).toSet
-        val missing = replacedLine.keySet.diff(freshNames)
-        if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
-          s"delete lost a write-write race on: ${missing.mkString(",")}")
+        val freshByName = fresh.filterNot(_.startsWith("#"))
+          .map(l => StoreSink.parseEntry(l).name -> l).toMap
+        val conflicted = replacedLine.keys.filter(n =>
+          !freshByName.get(n).contains(origLine(n)))
+        if (conflicted.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"delete lost a write-write race on: ${conflicted.mkString(",")}")
         StoreSink.writeManifestAtomic(root, fsys, fresh.map { l =>
           if (l.startsWith("#")) l
           else replacedLine.getOrElse(StoreSink.parseEntry(l).name, l)
@@ -1549,8 +1620,11 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     })
     if (entries.exists(_.rows < 0)) return false // no exact count recorded
     val zoned = entries.filter(_.minK.isDefined)
-    if (fs.flatten.exists(f => f == "min" || f == "max") && zoned.isEmpty)
+    val minMaxWanted = fs.flatten.exists(f => f == "min" || f == "max")
+    if (minMaxWanted && zoned.isEmpty)
       return false // MIN/MAX of an all-null (or empty) key column: fall back
+    if (minMaxWanted && entries.exists(_.dv.isDefined))
+      return false // vectored entries: zones are conservative, not exact
     aggValues = fs.flatten.map {
       case "count" => entries.map(_.rows).sum
       case "min"   => zoned.flatMap(_.minK).min
@@ -1763,14 +1837,19 @@ private class StoreScan(pathStr: String,
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
     // EXPLICIT FILE PLANNING (the change-data-feed read path): plan exactly
-    // the named files, bypassing the manifest — the caller (changes())
-    // already resolved its file set from version manifests, and the named
-    // generation may no longer be current
+    // the named tokens (`name` or `name@dv` — the vector is part of a
+    // file's logical identity), bypassing the manifest — the caller
+    // (changes()/compact) already resolved its file set from version
+    // manifests, and the named generation may no longer be current
     explicitFiles match {
-      case Some(names) =>
-        return names.filter(_.nonEmpty)
-          .map(n => StoreFilePartition(new Path(root, n).toString): InputPartition)
-          .toArray
+      case Some(tokens) =>
+        return tokens.filter(_.nonEmpty).map { t =>
+          val (n, dv) = t.split("@", 2) match {
+            case Array(a, b) => (a, Some(new Path(root, b).toString))
+            case Array(a)    => (a, None)
+          }
+          StoreFilePartition(new Path(root, n).toString, dv): InputPartition
+        }.toArray
       case None => ()
     }
     // manifest-only planning: uncommitted/stray files cannot be scanned;
@@ -1783,7 +1862,8 @@ private class StoreScan(pathStr: String,
       .filter(e => runtimeKeys.forall(e.mayContainAny))
     StoreSink.lastZonePrune = Some((total, kept.size))
     plannedCounts = Some((total, kept.size))
-    kept.map(e => StoreFilePartition(new Path(root, e.name).toString): InputPartition)
+    kept.map(e => StoreFilePartition(new Path(root, e.name).toString,
+        e.dv.map(d => new Path(root, d).toString)): InputPartition)
       .toArray
   }
 
@@ -1794,8 +1874,8 @@ private class StoreScan(pathStr: String,
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
     explicitFiles match {
-      case Some(names) =>
-        val bytes = names.filter(_.nonEmpty).map { n =>
+      case Some(tokens) =>
+        val bytes = tokens.filter(_.nonEmpty).map(_.split("@", 2)(0)).map { n =>
           try fsys.getFileStatus(new Path(root, n)).getLen catch {
             case _: java.io.FileNotFoundException => 0L
           }
@@ -1865,7 +1945,10 @@ private class StoreMicroBatchStream(pathStr: String,
   private def root = new Path(pathStr)
 
   private def prefixSig(entries: Seq[StoreSink.StoreFileEntry], n: Int): String =
-    StoreSink.md5Hex(entries.take(n).map(_.name).mkString("\n"))
+    // the TOKEN (name@dv), not the name: a merge-on-read delete of consumed
+    // rows keeps the file name but changes its vector — that too is a
+    // history rewrite for a tailing reader and must fail loudly
+    StoreSink.md5Hex(entries.take(n).map(_.token).mkString("\n"))
 
   override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     StoreStreamOffset(0, Some(StoreSink.md5Hex("")))
@@ -1911,7 +1994,8 @@ private class StoreMicroBatchStream(pathStr: String,
     check(a, so.sig, "start")
     check(b, eo.sig, "end")
     entries.slice(a, b)
-      .map(e => StoreFilePartition(new Path(root, e.name).toString): InputPartition)
+      .map(e => StoreFilePartition(new Path(root, e.name).toString,
+        e.dv.map(d => new Path(root, d).toString)): InputPartition)
       .toArray
   }
 
@@ -1919,14 +2003,26 @@ private class StoreMicroBatchStream(pathStr: String,
     StoreReaderFactory(required, table)
 }
 
-private case class StoreFilePartition(file: String) extends InputPartition
+/** One committed data file; `dv` is its deletion-vector sidecar path, when
+  * merge-on-read deletes masked it. */
+private case class StoreFilePartition(file: String, dv: Option[String] = None)
+    extends InputPartition
 
 private case class StoreReaderFactory(required: StructType = StoreSink.schema,
                                       table: StructType = StoreSink.schema)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = new Path(partition.asInstanceOf[StoreFilePartition].file)
+    val part = partition.asInstanceOf[StoreFilePartition]
+    val p = new Path(part.file)
     val fsys = StoreSink.fs(p, new Configuration())
+    // deletion-vector mask: physical line ordinals to skip (merge-on-read)
+    val masked: java.util.BitSet = part.dv match {
+      case Some(d) =>
+        val bs = new java.util.BitSet()
+        StoreSink.readDv(p.getParent, fsys, new Path(d).getName).foreach(bs.set)
+        bs
+      case None => new java.util.BitSet()
+    }
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
     val fileName = UTF8String.fromString(p.getName)
@@ -1944,7 +2040,12 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
     val identity = required == table
     new PartitionReader[InternalRow] {
       private var line: String = _
-      override def next(): Boolean = { line = in.readLine(); line != null }
+      private var ord = -1
+      override def next(): Boolean = {
+        line = in.readLine(); ord += 1
+        while (line != null && masked.get(ord)) { line = in.readLine(); ord += 1 }
+        line != null
+      }
       override def get(): InternalRow = {
         val full = StoreSink.decode(line, types)
         if (identity) full

@@ -591,12 +591,64 @@ class StoreSinkSpec extends SparkSpec {
     val w13 = feed(1, None)
     assert(w13.getOrElse("insert", Set()) == (101L to 120L).toSet &&
            w13.getOrElse("delete", Set()) == (1L to 10L).toSet)
-    // file granularity: the delete replaced exactly one of the two files
+    // file granularity, merge-on-read: the selective (10%) delete must not
+    // rewrite any data file — it vectors exactly the one file holding the
+    // matched keys (same names, one changed token), and the CDF above saw
+    // the deletion through the vector diff
     val root = new Path(dir)
-    def names(v: Int) = StoreSink.readVersionLines(root, fs, v)
-      .filterNot(_.startsWith("#")).map(StoreSink.parseEntry(_).name)
-    assert(names(2).diff(names(3)).size == 1 && names(3).diff(names(2)).size == 1,
-      "k<=10 should have rewritten exactly the one file holding those keys")
+    def entriesOf(v: Int) = StoreSink.readVersionLines(root, fs, v)
+      .filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
+    assert(entriesOf(2).map(_.name) == entriesOf(3).map(_.name),
+      "selective delete must keep every data file (merge-on-read)")
+    val tok2 = entriesOf(2).map(_.token); val tok3 = entriesOf(3).map(_.token)
+    assert(tok2.diff(tok3).size == 1 && tok3.diff(tok2).size == 1,
+      "k<=10 should have vectored exactly the one file holding those keys")
+  }
+
+  test("merge-on-read: a 1-row delete of an N-file table rewrites 0 data files") {
+    val dir = freshDir("mor")
+    val root = new Path(dir)
+    df(1 to 80, "a").repartitionByRange(8, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    val filesBefore = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && !n.contains(".dv-")).toSet
+    def del(k: Long): Unit =
+      new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("k", k)))
+    del(5L)
+    val filesAfter = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && !n.contains(".dv-")).toSet
+    assert(filesAfter == filesBefore,
+      "a single-row delete must not rewrite any data file")
+    val e1 = StoreSink.readEntries(root, fs)
+    assert(e1.count(_.dv.isDefined) == 1, s"expected one vectored entry: $e1")
+    assert(readBack(dir) == (1 to 80).filter(_ != 5)
+      .map(k => (k.toLong, "a", k * 100L)).toSet)
+    // live row counts track the vector (COUNT pushdown stays exact; MIN/MAX
+    // declines on vectored entries)
+    StoreSink.lastAggPush = None
+    val t = spark.read.format(fmt).option("path", dir).load()
+    assert(t.agg(count(lit(1))).collect()(0).getLong(0) == 79)
+    assert(StoreSink.lastAggPush.contains(Seq("count")))
+    StoreSink.lastAggPush = None
+    assert(t.agg(min(col("k"))).collect()(0).getLong(0) == 1)
+    assert(StoreSink.lastAggPush.isEmpty, "MIN must decline on vectored entries")
+    // a second delete in the same file ACCUMULATES into a fresh vector
+    del(7L)
+    val e2 = StoreSink.readEntries(root, fs)
+    assert(e2.count(_.dv.isDefined) == 1 &&
+      e2.flatMap(_.dv) != e1.flatMap(_.dv), "vectors are immutable — new file")
+    assert(readBack(dir).size == 78)
+    // compaction absorbs vectors into clean files
+    StoreSink.compact(spark, dir, 40)
+    val e3 = StoreSink.readEntries(root, fs)
+    assert(e3.forall(_.dv.isEmpty), "compaction must absorb deletion vectors")
+    assert(readBack(dir).size == 78 && !readBack(dir).exists(r => r._1 == 5 || r._1 == 7))
+    // vacuum GCs vectors referenced only by expired generations
+    StoreSink.vacuum(dir, 1)
+    val dvLeft = fs.listStatus(root).map(_.getPath.getName).filter(_.contains(".dv-"))
+    assert(dvLeft.isEmpty, s"vacuum left orphan vectors: ${dvLeft.toSeq}")
+    assert(readBack(dir).size == 78)
   }
 
   test("schema evolution: ALTER adds trailing columns; old files read null-padded") {
