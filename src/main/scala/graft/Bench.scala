@@ -40,6 +40,7 @@ object Bench {
     "q_hits_cached", "q_store_merge", "s_src_dsv2",                  // HITS cut-lineage + connector merge + DSv2 stream read (r12)
     "q_dsir_sample", "q_kcenter",                                    // DSIR importance weights + k-center coreset (r12)
     "q_chunk_cdc", "src_dsv2_sample",                                // CDC chunk dedup + pushed-sample scan (r13)
+    "q_store_part", "s_chunk_cdc_idx",                               // bucketed-store SPJ + stateless chunk ingest (r14)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

@@ -185,17 +185,24 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array(Identifier.of(Array.empty, "amt"))
+    Array("amt", "bucket").map(Identifier.of(Array.empty, _))
   }
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (inDefaultNs(ident) &&
-        ident.name().toLowerCase(java.util.Locale.ROOT) == "amt") AmtFunction
-    else throw new NoSuchFunctionException(ident)
+    if (!inDefaultNs(ident)) throw new NoSuchFunctionException(ident)
+    else ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "amt" => AmtFunction
+      // the store's partition transform function: V2ScanPartitioning
+      // resolves a reported `bucket(n, k)` KeyGroupedPartitioning through
+      // the table's catalog — without this lookup the SPJ report is
+      // silently ignored (the Iceberg pattern)
+      case "bucket" => BucketPartFunction
+      case _ => throw new NoSuchFunctionException(ident)
+    }
 
   override def functionExists(ident: Identifier): Boolean =
     inDefaultNs(ident) &&
-      ident.name().toLowerCase(java.util.Locale.ROOT) == "amt"
+      Set("amt", "bucket")(ident.name().toLowerCase(java.util.Locale.ROOT))
 
   // DDL: the only supported statement is SCHEMA EVOLUTION on the store
   // (`ALTER TABLE graft.store ADD COLUMN name BIGINT|STRING`) — trailing,
@@ -271,7 +278,6 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       partitions: Array[Transform],
       properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
     require(inDefaultNs(ident), s"unknown namespace: $ident")
-    require(partitions.isEmpty, "graft CTAS tables are unpartitioned")
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(name(), ident.name()))
@@ -287,7 +293,10 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     val fsys = StoreSink.fs(root)
     fsys.delete(root, true) // a previous aborted stage's leftovers
     StoreSink.writeExtras(root, fsys, schema.fields.drop(base.length).toSeq)
-    new StagedStoreTable(p, schema)
+    // `PARTITIONED BY (bucket(n, k))` / `(grp)` — persist the spec before
+    // any write so the staged write's builder resolves it
+    StoreSink.specOf(partitions).foreach(StoreSink.writePartSpec(root, fsys, _))
+    new StagedStoreTable(p, schema, partitions)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -434,8 +443,7 @@ private object VacuumProcedure
     val root = new org.apache.hadoop.fs.Path(path)
     val fsys = StoreSink.fs(root)
     val versions = StoreSink.listVersions(root, fsys).size.toLong
-    val live = fsys.listStatus(root).map(_.getPath.getName)
-      .count(_.startsWith("part-")).toLong
+    val live = StoreSink.listDataFiles(root, fsys).size.toLong
     (versions, live)
   }
   override def description(): String =
@@ -444,18 +452,20 @@ private object VacuumProcedure
 
 /** The staged half of an atomic CTAS: a store table whose write commit is
   * its own registration (see [[GraftCatalog.stageCreate]]). */
-private class StagedStoreTable(pathStr: String, ctasSchema: StructType)
+private class StagedStoreTable(pathStr: String, ctasSchema: StructType,
+                               partitions: Array[Transform] = Array.empty)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft_store_staged($pathStr)"
   override def schema(): StructType = ctasSchema
+  override def partitioning(): Array[Transform] = partitions
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
-    new StoreWriteBuilder(pathStr, info)
+    new StoreWriteBuilder(pathStr, info, partitions)
 
   override def commitStagedChanges(): Unit = ()
   // CTAS failed after staging: remove the directory — the manifest never
@@ -479,6 +489,44 @@ private object AmtFunction extends UnboundFunction {
       s"graft.amt takes one BIGINT argument, got ${inputType.simpleString}")
     AmtBound
   }
+}
+
+/** `bucket(n INT, k BIGINT) → INT` — the store's bucket partition transform
+  * as a catalog-resolvable V2 function. Spark's SPJ planner
+  * (V2ScanPartitioning) turns a reported `bucket(n, k)`
+  * KeyGroupedPartitioning into a TransformExpression only if the table's
+  * catalog serves this lookup; compatibility between two scans compares the
+  * bound function's CANONICAL name + bucket count, so two graft stores
+  * bucketed the same way align group-for-group. Mirrors
+  * [[StoreSink.PartSpec.valueOf]]: floorMod(k, n), null → -1. */
+private object BucketPartFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, k): the graft-store partition transform (floorMod(k, n))"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+            inputType.fields(0).dataType == org.apache.spark.sql.types.IntegerType &&
+            inputType.fields(1).dataType == LongType,
+      s"graft.bucket takes (INT n, BIGINT k), got ${inputType.simpleString}")
+    BucketPartBound
+  }
+}
+
+private object BucketPartBound extends ScalarFunction[java.lang.Integer] {
+  override def inputTypes(): Array[DataType] =
+    Array(org.apache.spark.sql.types.IntegerType, LongType)
+  override def resultType(): DataType = org.apache.spark.sql.types.IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+
+  /** Magic method — resolved statically and invoked from generated code. */
+  def invoke(n: Int, k: Long): Int = java.lang.Math.floorMod(k, n.toLong).toInt
+
+  override def produceResult(input: InternalRow): java.lang.Integer =
+    if (input.isNullAt(1)) -1
+    else java.lang.Math.floorMod(input.getLong(1), input.getInt(0).toLong).toInt
 }
 
 private object AmtBound extends ScalarFunction[java.lang.Long] {

@@ -1215,6 +1215,78 @@ object Sources extends OpModule {
     // DROP TABLE removes it. Without StagingTableCatalog, Spark's CTAS
     // registers first and best-effort-drops on failure — the exact window
     // the staged protocol removes.
+    // DECLARED PARTITIONING + STORAGE-PARTITIONED JOIN: two stores created
+    // `PARTITIONED BY (bucket(8, k))` route their files into bucket
+    // directories with the partition value in the manifest; joining them on
+    // k plans ZERO shuffle exchanges (KeyGroupedPartitioning +
+    // HasPartitionKey, the catalog's `bucket` V2 function resolving the
+    // transform), and a bucket-pure IN predicate prunes file planning to
+    // one bucket. At 100 TB this deletes BOTH full-table exchanges from
+    // every co-bucketed fact⋈fact join — the reason bucketed layouts
+    // exist — while partition pruning bounds point lookups by bucket, not
+    // table. Flags pin the plan shape; the data agrees with the relational
+    // oracle exactly.
+    "q_store_part" -> ((s, d) => withGraftCatalog(s) {
+      val dir = tmp(d, "storepart")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val confs = Seq(
+        GraftCatalog.CtasDirKey -> dir,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        Tables.orders(s, d).createOrReplaceTempView("ord_part_v")
+        s.sql("""CREATE TABLE graft.part_fact PARTITIONED BY (bucket(8, k)) AS
+                |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents
+                |FROM ord_part_v""".stripMargin)
+        s.sql("""CREATE TABLE graft.part_dim PARTITIONED BY (bucket(8, k)) AS
+                |SELECT o_orderkey AS k, 'D' AS grp,
+                |       CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2 AS amt_cents
+                |FROM ord_part_v WHERE o_orderkey % 3 = 0""".stripMargin)
+        val j = s.table("graft.part_fact").as("f")
+          .join(s.table("graft.part_dim").as("dm"), "k")
+          .select(col("f.grp").as("grp"), col("f.amt_cents").as("x"),
+                  col("dm.amt_cents").as("y"))
+        val noExchange =
+          if (j.queryExecution.executedPlan.toString.contains("Exchange")) 0L else 1L
+        val agg = j.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("x") + col("y")).as("sum_cents"))
+          .collect()
+        // bucket-pure IN probe: keys ≡ 1 (mod 8) — partition pruning must
+        // plan ONLY bucket 1's files, regardless of zones
+        val probeKeys = (0 until 100).map(i => 8L * i + 1)
+        graft.sources.StoreSink.lastPartPrune = None
+        s.table("graft.part_fact").where(col("k").isin(probeKeys: _*)).count()
+        val root = new org.apache.hadoop.fs.Path(s"$dir/part_fact")
+        val bucket1 = graft.sources.StoreSink.readEntries(root, fsys)
+          .count(_.part.contains("1"))
+        val pruned = graft.sources.StoreSink.lastPartPrune match {
+          case Some((cand, kept)) if kept == bucket1 && kept < cand => 1L
+          case _ => 0L
+        }
+        val dirsOk = if ((0 to 7).forall(b =>
+          fsys.exists(new org.apache.hadoop.fs.Path(root, s"k_bucket=$b")))) 1L else 0L
+        s.sql("DROP TABLE graft.part_fact")
+        s.sql("DROP TABLE graft.part_dim")
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_bucket_dirs", dirsOk, 0L),
+          org.apache.spark.sql.Row("z_no_exchange", noExchange, 0L),
+          org.apache.spark.sql.Row("z_part_prune", pruned, 0L))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      } finally prev.foreach {
+        case (k, Some(p)) => s.conf.set(k, p)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     "q_store_ctas" -> ((s, d) => withGraftCatalog(s) {
       val dir = tmp(d, "storectas")
       val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -1553,6 +1625,22 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'compact', 16, 4
         |UNION ALL SELECT 'vacuum', 1, 4
         |ORDER BY step""".stripMargin,
+
+    // the SPJ layout is a physical plan property; the join's DATA must be
+    // exactly the relational join — flags pin the exchange-free plan,
+    // bucket dirs, and bucket pruning
+    "q_store_part" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT b.grp, COUNT(*) AS n,
+        |  CAST(SUM(b.amt + d.amt * 2) AS BIGINT) AS sum_cents
+        |FROM base b JOIN (SELECT k, amt FROM base WHERE k % 3 = 0) d USING (k)
+        |GROUP BY b.grp
+        |UNION ALL SELECT 'z_bucket_dirs', 1, 0
+        |UNION ALL SELECT 'z_no_exchange', 1, 0
+        |UNION ALL SELECT 'z_part_prune', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // the created table's content relationally; flags are contracts
     "q_store_ctas" ->

@@ -85,7 +85,7 @@ class StoreSink extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new StoreTable(properties.get("path"))
+    new StoreTable(properties.get("path"), requested = partitioning)
 }
 
 object StoreSink {
@@ -169,11 +169,13 @@ object StoreSink {
                             minK: Option[Long], maxK: Option[Long],
                             bloom: Option[Long] = None,
                             bytes: Option[Long] = None,
-                            dv: Option[String] = None) {
+                            dv: Option[String] = None,
+                            part: Option[String] = None) {
     def line: String =
       s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}|" +
         bloom.map(java.lang.Long.toHexString).getOrElse("-") + "|" +
-        bytes.getOrElse("-") + "|" + dv.getOrElse("-")
+        bytes.getOrElse("-") + "|" + dv.getOrElse("-") + "|" +
+        part.getOrElse("-")
     /** Read token (`name` or `name@dv`): the explicit-files read path and
       * the tail's prefix identity both need the MASKED file — a deletion
       * vector is part of the file's logical identity. */
@@ -211,7 +213,9 @@ object StoreSink {
         else None
       val bytes = if (p.length > 5) opt(p(5)) else None
       val dv = if (p.length > 6 && p(6) != "-") Some(p(6)) else None
-      StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes, dv)
+      val part = if (p.length > 7 && p(7) != "-") Some(p(7)) else None
+      StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes, dv,
+        part)
     } else StoreFileEntry(l, -1L, None, None)
 
   /** Two-probe Bloom signature of a grp value: 2 bits of a 64-bit word from
@@ -231,6 +235,17 @@ object StoreSink {
 
   /** Test observability: last (planned, kept) zone-map narrowing. */
   @volatile private[sources] var lastZonePrune: Option[(Int, Int)] = None
+
+  /** Test observability: last (candidates, kept) partition-value pruning
+    * (set only for scans over a partitioned store). */
+  @volatile private[sources] var lastPartPrune: Option[(Int, Int)] = None
+
+  /** A file's partition key as the InternalRow SPJ alignment compares:
+    * bucket ids are ints, identity values are strings (null mark → null). */
+  private[sources] def partKeyRow(value: String, isBucket: Boolean): InternalRow =
+    if (isBucket) InternalRow(value.toInt)
+    else if (value == NullMark) InternalRow(null)
+    else InternalRow(UTF8String.fromString(value))
 
   /** Test observability: (start, end) of each tail batch planned. */
   private[sources] val tailPlans =
@@ -270,6 +285,117 @@ object StoreSink {
     val out = raw.create(new Path(root, name), true)
     try out.write(positions.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  // ------------------------------------------------- partition spec
+  /** Table PARTITIONING, persisted as a one-line `_partition` sidecar and
+    * declared at creation (`CREATE TABLE ... PARTITIONED BY (...)` through
+    * the graft catalog, a `partitionedBy` write option, or the Transform
+    * array Spark hands `getTable`). Two transforms over the immutable base
+    * prefix:
+    *
+    *   - `identity:grp`  — one directory per distinct dimension value
+    *     (`grp=<v>/`), the Hive/Iceberg identity layout: partition pruning
+    *     answers grp point/IN predicates EXACTLY (the bloom is
+    *     probabilistic), and store⋈store joins on grp are
+    *     storage-partitioned (no exchange).
+    *   - `bucket:<n>:k`  — floorMod(k, n) key buckets (`k_bucket=<b>/`),
+    *     the fact-table layout: an equi-join of two stores bucketed the
+    *     same way on k plans ZERO shuffles (KeyGroupedPartitioning +
+    *     HasPartitionKey, resolved through the catalog's `bucket`
+    *     V2 function), which at 100 TB removes both full-table exchanges
+    *     from every fact⋈fact join — the reason bucketing exists.
+    *
+    * Writers route rows to one staged file per partition value they see;
+    * each manifest entry records its value (8th field), so pruning and the
+    * SPJ report are MANIFEST-only — the directories are layout, never the
+    * source of truth. The spec is immutable once set (append with a
+    * different spec fails loudly; a full overwrite may re-partition). */
+  val PartFile = "_partition"
+
+  case class PartSpec(kind: String, col: String, n: Int) {
+    def line: String =
+      if (kind == "bucket") s"bucket:$n:$col" else s"identity:$col"
+    /** Ordinal of the source column in the BASE schema (k=0, grp=1). */
+    private def ordinal: Int = if (col == "k") 0 else 1
+    /** Partition value of a row (manifest-field form). Null keys bucket to
+      * -1; null identity values keep the encode-layer null mark. */
+    def valueOf(row: InternalRow, base: Int): String =
+      if (kind == "bucket") {
+        if (row.isNullAt(base + ordinal)) "-1"
+        else java.lang.Math.floorMod(row.getLong(base + ordinal), n.toLong).toString
+      } else {
+        if (row.isNullAt(base + ordinal)) NullMark
+        else row.getUTF8String(base + ordinal).toString
+      }
+    /** Partition directory for a value (sanitized — the manifest field
+      * carries the exact value; the dir is layout only). */
+    def dirOf(value: String): String =
+      if (kind == "bucket") s"${col}_bucket=$value"
+      else if (value == NullMark) s"$col=__null__"
+      else s"$col=" + value.replaceAll("[^A-Za-z0-9_.-]", "_")
+    def toTransform: Transform =
+      if (kind == "bucket")
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
+      else org.apache.spark.sql.connector.expressions.Expressions.identity(col)
+  }
+
+  private[sources] def parsePartSpec(s: String): PartSpec = s.split(':') match {
+    case Array("identity", c) =>
+      require(c == "grp", s"graft-store identity partitioning supports grp, got $c")
+      PartSpec("identity", c, 0)
+    case Array("bucket", n, c) =>
+      require(c == "k", s"graft-store bucket partitioning supports k, got $c")
+      require(n.toInt > 0, s"bucket count must be positive, got $n")
+      PartSpec("bucket", c, n.toInt)
+    case _ => throw new IllegalArgumentException(
+      s"unparseable partition spec: $s (identity:grp | bucket:<n>:k)")
+  }
+
+  /** The persisted spec, or None for an unpartitioned store. */
+  private[sources] def readPartSpec(root: Path, fsys: FileSystem): Option[PartSpec] = {
+    val raw = manifestFs(fsys)
+    val pf = new Path(root, PartFile)
+    if (!raw.exists(pf)) return None
+    val in = raw.open(pf)
+    val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim
+      finally in.close()
+    if (txt.isEmpty) None else Some(parsePartSpec(txt))
+  }
+
+  private[sources] def writePartSpec(root: Path, fsys: FileSystem,
+                                     spec: PartSpec): Unit = {
+    val raw = manifestFs(fsys)
+    val out = raw.create(new Path(root, PartFile), true)
+    try out.write(spec.line.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Translate Spark's Transform array (CTAS PARTITIONED BY / partitionBy)
+    * into the store's spec; anything but a single identity/bucket transform
+    * over a base column is refused loudly, never silently ignored. */
+  private[sources] def specOf(transforms: Array[Transform]): Option[PartSpec] = {
+    if (transforms.isEmpty) return None
+    require(transforms.length == 1,
+      s"graft-store supports one partition transform, got ${transforms.mkString(", ")}")
+    val t = transforms(0)
+    val refs = t.references()
+    require(refs.length == 1,
+      s"graft-store partition transforms take one column, got ${t.describe()}")
+    val col = refs(0).fieldNames().mkString(".")
+    t.name() match {
+      case "identity" => Some(parsePartSpec(s"identity:$col"))
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a bucket count: ${t.describe()}"))
+        Some(parsePartSpec(s"bucket:$n:$col"))
+      case other => throw new IllegalArgumentException(
+        s"graft-store supports identity/bucket partitioning, got $other")
+    }
   }
 
   /** md5 of a UTF-8 string as lowercase hex (prefix-identity signatures). */
@@ -583,14 +709,32 @@ object StoreSink {
       val referencedSegs = physicals.flatten
         .filter(_.startsWith(SegMark)).map(parseSeg(_).name).toSet
       expired.foreach(v => raw.delete(versionPath(root, v), false))
-      fsys.listStatus(root).map(_.getPath.getName).foreach { n =>
-        if (n.startsWith("part-") && !referenced.contains(n))
-          fsys.delete(new Path(root, n), false)
-        else if (n.startsWith(SegPrefix) && !referencedSegs.contains(n))
-          raw.delete(new Path(root, n), false)
+      listDataFiles(root, fsys).foreach { n =>
+        if (!referenced.contains(n)) fsys.delete(new Path(root, n), false)
+      }
+      fsys.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(SegPrefix) && !referencedSegs.contains(n))
+          raw.delete(st.getPath, false)
+        // a partition dir whose files all expired is pure layout — GC it
+        else if (st.isDirectory && n.contains("=") &&
+                 fsys.listStatus(st.getPath).isEmpty)
+          fsys.delete(st.getPath, false)
       }
     }
   }
+
+  /** Manifest-RELATIVE names of every on-disk data file (and dv sidecar),
+    * including those inside partition directories — the sweep/audit walk. */
+  private[sources] def listDataFiles(root: Path, fsys: FileSystem): Seq[String] =
+    fsys.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.contains("=") && !n.startsWith("_"))
+        fsys.listStatus(st.getPath).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("part-")).map(fn => s"$n/$fn")
+      else if (st.isFile && n.startsWith("part-")) Seq(n)
+      else Nil
+    }
 
   /** OPTIMIZE: rewrite the current snapshot as ~`targetRows`-sized,
     * RANGE-CLUSTERED files (repartitionByRange on the key → disjoint
@@ -636,7 +780,18 @@ object StoreSink {
     val df = spark.read.format("graft.sources.StoreSink")
       .option("path", pathStr).option("files", touch.map(_.token).mkString(","))
       .load()
-    df.repartitionByRange(n, org.apache.spark.sql.functions.col("k"))
+    // cluster WITHIN the table's layout: a partitioned store shuffles on
+    // its partition expression (each task then holds whole partitions and
+    // the writer emits partition-pure files); unpartitioned stores
+    // range-cluster on the key for disjoint zones
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val clustered = readPartSpec(root, fsys) match {
+      case Some(sp) if sp.kind == "bucket" =>
+        df.repartition(n, pmod(col("k"), lit(sp.n)))
+      case Some(sp) => df.repartition(n, col(sp.col))
+      case None => df.repartitionByRange(n, col("k"))
+    }
+    clustered
       .write.format("graft.sources.StoreSink").mode("append")
       .option("path", pathStr).option("preserveMarkers", "true")
       .option("replace", names.mkString(",")).save()
@@ -749,6 +904,18 @@ object StoreSink {
       .foreach(fsys.delete(_, false))
     if (underLock && fsys.listStatus(staging).isEmpty) fsys.delete(staging, true)
   }
+
+  /** Promote acknowledged staged files to their committed locations
+    * (partitioned payloads land in their partition directory). Caller holds
+    * the commit lock. */
+  private[sources] def promote(root: Path, fsys: FileSystem, staging: Path,
+                               committed: Seq[StoreFilePayload]): Unit =
+    committed.foreach { m =>
+      val dst = new Path(root, m.name)
+      if (m.dir.nonEmpty) fsys.mkdirs(dst.getParent)
+      require(fsys.rename(new Path(staging, m.staged), dst),
+        s"failed to promote ${m.staged} -> ${m.name}")
+    }
 
   /** Serializable manifest update: under the commit lock, hand the FRESH
     * manifest lines to `build` and swap in its result. Every concurrent
@@ -1067,10 +1234,21 @@ object StoreSink {
   }
 }
 
-private class StoreTable(pathStr: String, version: Option[Int] = None)
+private class StoreTable(pathStr: String, version: Option[Int] = None,
+                         requested: Array[Transform] = Array.empty)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** The table's declared layout: the persisted spec (or, before the first
+    * commit fixes one, the write's requested transforms). Spark validates
+    * INSERT partitioning against this and DESCRIBE shows it. */
+  override def partitioning(): Array[Transform] = {
+    val root = new Path(pathStr)
+    StoreSink.readPartSpec(root, StoreSink.fs(root))
+      .orElse(StoreSink.specOf(requested))
+      .map(_.toTransform).toArray
+  }
 
   /** `_file` METADATA COLUMN (SupportsMetadataColumns): provenance for
     * audits/debugging — `SELECT k, _file FROM graft.store` names the
@@ -1122,7 +1300,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
-    new StoreWriteBuilder(pathStr, info)
+    new StoreWriteBuilder(pathStr, info, requested)
   }
 
   // ------------------------------------------------------- row-level DELETE
@@ -1219,7 +1397,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None)
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
             if (nMax == Long.MinValue) None else Some(nMax),
-            Some(nBloom), Some(nBytes)).line
+            Some(nBloom), Some(nBytes), None, e.part).line
         }
       }
     }
@@ -1276,9 +1454,10 @@ private class StoreRowLevelOperation(pathStr: String, cmd: Command)
       override def planInputPartitions(): Array[InputPartition] = {
         val parts = super.planInputPartitions()
         // idempotent across re-planning: always the files of THIS plan —
-        // the execution-time call runs after the runtime filter arrives
-        scanned = parts.map(_.asInstanceOf[StoreFilePartition].file)
-          .map(f => new Path(f).getName).toSeq
+        // the execution-time call runs after the runtime filter arrives.
+        // Names are manifest-relative (partition dir INCLUDED — a bare
+        // getName would miss the replaced file under `grp=F/`).
+        scanned = parts.map(_.asInstanceOf[StoreFilePartition].rel).toSeq
         parts
       }
     }
@@ -1303,21 +1482,22 @@ private class StoreGroupReplaceWrite(pathStr: String, queryId: String,
                                      dataSchema: StructType = StoreSink.schema)
     extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    StoreWriterFactory(pathStr, queryId, dataSchema)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val root = new Path(pathStr)
+    StoreWriterFactory(pathStr, queryId, dataSchema,
+      StoreSink.readPartSpec(root, StoreSink.fs(root)))
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
     val staging = new Path(root, StoreSink.Staging)
-    val committed = messages.map(_.asInstanceOf[StoreCommitMessage]).toSeq
-    require(committed.map(_.file).distinct.size == committed.size,
-      s"duplicate commit messages: ${committed.map(_.file)}")
+    val committed = messages.map(_.asInstanceOf[StoreCommitMessage])
+      .flatMap(_.files).toSeq
+    require(committed.map(_.staged).distinct.size == committed.size,
+      s"duplicate commit messages: ${committed.map(_.staged)}")
     StoreSink.withCommitLock(root, fsys) {
-      committed.foreach { m =>
-        require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
-          s"failed to promote ${m.file}")
-      }
+      StoreSink.promote(root, fsys, staging, committed)
       val gone = replaced().toSet
       val lines = StoreSink.readManifestLines(root, fsys)
       // our replacement rows were computed FROM the scanned group set; if a
@@ -1345,7 +1525,8 @@ private class StoreGroupReplaceWrite(pathStr: String, queryId: String,
 
 // ---------------------------------------------------------------- write path
 
-private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo)
+private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
+                                requested: Array[Transform] = Array.empty)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
 
   private var doTruncate = false
@@ -1358,16 +1539,38 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo)
     doTruncate = true; this
   }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new StoreBatchWrite(pathStr, info.queryId(), doTruncate,
-        info.options().getBoolean("preserveMarkers", false), info.schema(),
-        Option(info.options().get("replace"))
-          .map(_.split(",").filter(_.nonEmpty).toSet))
-    override def toStreaming: StreamingWrite = {
-      require(!doTruncate,
-        "graft-store streaming write is append-only (no Complete-mode truncate)")
-      new StoreStreamingWrite(pathStr, info.queryId(), info.schema())
+  /** EFFECTIVE partition spec, resolved once on the driver at build time:
+    * the write's requested transforms (CTAS PARTITIONED BY / partitionBy /
+    * a `partitionedBy` option) if any, else the persisted sidecar. A
+    * request that CONTRADICTS the sidecar is refused unless the write is a
+    * full overwrite — the spec is table metadata, not a per-write choice. */
+  private def resolveSpec(): Option[StoreSink.PartSpec] = {
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    val persisted = StoreSink.readPartSpec(root, fsys)
+    val req = StoreSink.specOf(requested)
+      .orElse(Option(info.options().get("partitionedBy"))
+        .map(StoreSink.parsePartSpec))
+    require(req.isEmpty || persisted.isEmpty || req == persisted || doTruncate,
+      s"graft-store partitioning mismatch: table is " +
+        s"${persisted.map(_.line).getOrElse("unpartitioned")}, write requested " +
+        s"${req.map(_.line).getOrElse("unpartitioned")} (full overwrite may re-partition)")
+    req.orElse(persisted)
+  }
+
+  override def build(): Write = {
+    val spec = resolveSpec()
+    new Write {
+      override def toBatch: BatchWrite =
+        new StoreBatchWrite(pathStr, info.queryId(), doTruncate,
+          info.options().getBoolean("preserveMarkers", false), info.schema(),
+          Option(info.options().get("replace"))
+            .map(_.split(",").filter(_.nonEmpty).toSet), spec)
+      override def toStreaming: StreamingWrite = {
+        require(!doTruncate,
+          "graft-store streaming write is append-only (no Complete-mode truncate)")
+        new StoreStreamingWrite(pathStr, info.queryId(), info.schema(), spec)
+      }
     }
   }
 }
@@ -1375,25 +1578,30 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo)
 private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolean,
                               preserveMarkers: Boolean = false,
                               dataSchema: StructType = StoreSink.schema,
-                              replaceFiles: Option[Set[String]] = None)
+                              replaceFiles: Option[Set[String]] = None,
+                              spec: Option[StoreSink.PartSpec] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    StoreWriterFactory(pathStr, queryId, dataSchema) // standalone class: serializable task closure
+    StoreWriterFactory(pathStr, queryId, dataSchema, spec) // standalone class: serializable task closure
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
-    val committed = messages.map(_.asInstanceOf[StoreCommitMessage]).toSeq
+    val committed = messages.map(_.asInstanceOf[StoreCommitMessage])
+      .flatMap(_.files).toSeq
     // promote exactly the acknowledged files; duplicates would mean the
     // commit coordinator failed us — refuse rather than double-count
-    require(committed.map(_.file).distinct.size == committed.size,
-      s"duplicate commit messages: ${committed.map(_.file)}")
+    require(committed.map(_.staged).distinct.size == committed.size,
+      s"duplicate commit messages: ${committed.map(_.staged)}")
     StoreSink.withCommitLock(root, fsys) {
       val staging = new Path(root, StoreSink.Staging)
-      committed.foreach { m =>
-        require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
-          s"failed to promote ${m.file}")
+      StoreSink.promote(root, fsys, staging, committed)
+      // a first/overwrite commit fixes the table's partition spec; appends
+      // resolved their spec against the sidecar at build time
+      spec.foreach { sp =>
+        if (truncate || StoreSink.readPartSpec(root, fsys).isEmpty)
+          StoreSink.writePartSpec(root, fsys, sp)
       }
       val fresh = StoreSink.readManifestLines(root, fsys)
       // three commit shapes, each rebased on the manifest AS PUBLISHED by
@@ -1440,19 +1648,21 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
   * makes the second delivery a no-op — the exactly-once half Structured
   * Streaming delegates to the sink. */
 private class StoreStreamingWrite(pathStr: String, queryId: String,
-                                  dataSchema: StructType = StoreSink.schema)
+                                  dataSchema: StructType = StoreSink.schema,
+                                  spec: Option[StoreSink.PartSpec] = None)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    StoreStreamingWriterFactory(pathStr, queryId, dataSchema)
+    StoreStreamingWriterFactory(pathStr, queryId, dataSchema, spec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
     val staging = new Path(root, StoreSink.Staging)
-    val committed = messages.map(_.asInstanceOf[StoreCommitMessage]).toSeq
-    require(committed.map(_.file).distinct.size == committed.size,
-      s"duplicate commit messages: ${committed.map(_.file)}")
+    val committed = messages.map(_.asInstanceOf[StoreCommitMessage])
+      .flatMap(_.files).toSeq
+    require(committed.map(_.staged).distinct.size == committed.size,
+      s"duplicate commit messages: ${committed.map(_.staged)}")
     StoreSink.withCommitLock(root, fsys) {
       // the epoch-ledger check lives INSIDE the lock: a replayed epoch and
       // its original delivery racing from two runs must serialize
@@ -1462,10 +1672,7 @@ private class StoreStreamingWrite(pathStr: String, queryId: String,
         StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
         return
       }
-      committed.foreach { m =>
-        require(fsys.rename(new Path(staging, m.file), new Path(root, m.file)),
-          s"failed to promote ${m.file}")
-      }
+      StoreSink.promote(root, fsys, staging, committed)
       StoreSink.writeManifestAtomic(root, fsys,
         lines ++ committed.map(_.entry.line) :+ StoreSink.epochLine(epochId))
       StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
@@ -1478,55 +1685,85 @@ private class StoreStreamingWrite(pathStr: String, queryId: String,
   }
 }
 
-private case class StoreCommitMessage(file: String, rows: Long,
-                                      minK: Option[Long], maxK: Option[Long],
-                                      bloom: Long, bytes: Long = 0L)
-    extends WriterCommitMessage {
+/** One staged file's commit payload. `staged` is its flat name in
+  * `_staging/`; `dir` is the partition directory it promotes into ("" =
+  * table root); `part` is its exact partition value for the manifest. */
+private case class StoreFilePayload(staged: String, rows: Long,
+                                    minK: Option[Long], maxK: Option[Long],
+                                    bloom: Long, bytes: Long,
+                                    part: Option[String] = None,
+                                    dir: String = "") {
+  /** Manifest name (partition-dir-relative). */
+  def name: String = if (dir.isEmpty) staged else s"$dir/$staged"
   def entry: StoreSink.StoreFileEntry =
-    StoreSink.StoreFileEntry(file, rows, minK, maxK, Some(bloom), Some(bytes))
+    StoreSink.StoreFileEntry(name, rows, minK, maxK, Some(bloom), Some(bytes),
+      None, part)
 }
+
+/** A task's commit message: one payload per staged file (a partitioned
+  * writer stages one file per partition value it saw). */
+private case class StoreCommitMessage(files: Seq[StoreFilePayload])
+    extends WriterCommitMessage
 
 /** Standalone (serializable) factory — same rule as RangeSource: an
   * anonymous inner factory would drag the driver-side write object into the
   * task closure. */
 private case class StoreWriterFactory(pathStr: String, queryId: String,
-                                      dataSchema: StructType = StoreSink.schema)
+                                      dataSchema: StructType = StoreSink.schema,
+                                      spec: Option[StoreSink.PartSpec] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema)
+    new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
+      spec)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
   * file name, so two deliveries of one epoch stage DISJOINT files and the
   * replay-skip path can discard the second cleanly. */
 private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
-                                               dataSchema: StructType = StoreSink.schema)
+                                               dataSchema: StructType = StoreSink.schema,
+                                               spec: Option[StoreSink.PartSpec] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
-      dataSchema)
+      dataSchema, spec)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
-                              dataSchema: StructType = StoreSink.schema)
+                              dataSchema: StructType = StoreSink.schema,
+                              spec: Option[StoreSink.PartSpec] = None)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
 
-  private val staged =
-    new Path(new Path(pathStr, StoreSink.Staging), fileName)
   // executor side: build the Hadoop conf locally (no SparkSession.active on
   // a bare task thread is guaranteed; a fresh Configuration resolves the
   // same local/HDFS filesystems)
-  private val fsys = StoreSink.fs(staged, new Configuration())
-  private val out = fsys.create(staged, true)
-  private var rows = 0L
-  private var bytes = 0L
+  private val stagingDir = new Path(pathStr, StoreSink.Staging)
+  private val fsys = StoreSink.fs(stagingDir, new Configuration())
 
-  private var minK = Long.MaxValue
-  private var maxK = Long.MinValue
-  private var bloom = 0L
+  /** One open staged file per partition value this task has seen (a single
+    * "" sink when unpartitioned). Staged names stay FLAT and per-task
+    * unique — the partition value decides the PROMOTION directory at
+    * commit, so staging cleanup never needs to recurse. */
+  private class Sink(val staged: Path, val partValue: Option[String]) {
+    val out: org.apache.hadoop.fs.FSDataOutputStream = fsys.create(staged, true)
+    var rows = 0L; var bytes = 0L
+    var minK: Long = Long.MaxValue; var maxK: Long = Long.MinValue
+    var bloom = 0L
+  }
+  private val sinks = scala.collection.mutable.LinkedHashMap[String, Sink]()
+
+  private def sinkFor(record: InternalRow, base: Int): Sink =
+    spec match {
+      case None => sinks.getOrElseUpdate("", new Sink(
+        new Path(stagingDir, fileName), None))
+      case Some(sp) =>
+        val v = sp.valueOf(record, base)
+        sinks.getOrElseUpdate(v, new Sink(
+          new Path(stagingDir, s"$fileName-p${sinks.size}"), Some(v)))
+    }
 
   override def write(record: InternalRow): Unit = {
     // width == schema = plain write; +1 = ReplaceData's leading
@@ -1535,31 +1772,38 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     val base = record.numFields - types.length
     require(base == 0 || base == 1,
       s"unexpected write row width ${record.numFields} for ${types.length} columns")
+    val s = sinkFor(record, base)
     if (!record.isNullAt(base)) { // zone map over the key column
       val k = record.getLong(base)
-      if (k < minK) minK = k
-      if (k > maxK) maxK = k
+      if (k < s.minK) s.minK = k
+      if (k > s.maxK) s.maxK = k
     }
     if (!record.isNullAt(base + 1)) // grp bloom, alongside the zones
-      bloom |= StoreSink.grpSig(record.getUTF8String(base + 1).toString)
+      s.bloom |= StoreSink.grpSig(record.getUTF8String(base + 1).toString)
     val b = (StoreSink.encode(record, base, types) + "\n")
       .getBytes(StandardCharsets.UTF_8)
-    out.write(b)
-    rows += 1
-    bytes += b.length
+    s.out.write(b)
+    s.rows += 1
+    s.bytes += b.length
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    StoreCommitMessage(fileName, rows,
-      if (minK == Long.MaxValue) None else Some(minK),
-      if (maxK == Long.MinValue) None else Some(maxK),
-      bloom, bytes)
+    val payloads = sinks.values.toSeq.map { s =>
+      s.out.close()
+      StoreFilePayload(s.staged.getName, s.rows,
+        if (s.minK == Long.MaxValue) None else Some(s.minK),
+        if (s.maxK == Long.MinValue) None else Some(s.maxK),
+        s.bloom, s.bytes, s.partValue,
+        s.partValue.map(v => spec.get.dirOf(v)).getOrElse(""))
+    }
+    StoreCommitMessage(payloads)
   }
 
   override def abort(): Unit = {
-    try out.close() catch { case _: Exception => () }
-    fsys.delete(staged, false)
+    sinks.values.foreach { s =>
+      try s.out.close() catch { case _: Exception => () }
+      fsys.delete(s.staged, false)
+    }
   }
 
   override def close(): Unit = ()
@@ -1578,6 +1822,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   private var kLo: Option[Long] = None
   private var kHi: Option[Long] = None
   private var grpConjuncts: Seq[Array[Long]] = Nil
+  private var grpValues: Seq[Array[String]] = Nil
+  private var kValues: Seq[Array[Long]] = Nil
   private var required: StructType = table
   private var aggFuncs: Seq[String] = Nil
   private var aggValues: Seq[Long] = Nil
@@ -1648,6 +1894,21 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
       case In("grp", vs) if vs.forall(_.isInstanceOf[String]) =>
         vs.collect { case s: String => StoreSink.grpSig(s) }
     }.filter(_.nonEmpty)
+    // exact literal sets alongside the lossy bloom signatures: partition
+    // pruning needs the VALUES (identity dirs match exactly; point keys
+    // map to their bucket)
+    grpValues = filters.toSeq.collect {
+      case EqualTo("grp", v: String) => Array(v)
+      case In("grp", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.collect { case s: String => s }
+    }.filter(_.nonEmpty)
+    kValues = filters.toSeq.collect {
+      case EqualTo("k", v: java.lang.Long) => Array(v.longValue)
+      case EqualTo("k", v: java.lang.Integer) => Array(v.longValue)
+      case In("k", vs) if vs.forall(v =>
+          v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer]) =>
+        vs.map(_.asInstanceOf[Number].longValue)
+    }.filter(_.nonEmpty)
     zoneFilters = filters.filter {
       case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
            | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
@@ -1663,7 +1924,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new StoreAggScan(pathStr, aggFuncs, aggValues)
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
-      explicitFiles, table)
+      explicitFiles, table, grpValues, kValues)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -1739,9 +2000,52 @@ private class StoreScan(pathStr: String,
                         required: StructType = StoreSink.schema,
                         grpConjuncts: Seq[Array[Long]] = Nil,
                         explicitFiles: Option[Seq[String]] = None,
-                        table: StructType = StoreSink.schema)
+                        table: StructType = StoreSink.schema,
+                        grpValues: Seq[Array[String]] = Nil,
+                        kValues: Seq[Array[Long]] = Nil)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
+
+  /** Table partition spec, bound once per scan. */
+  private lazy val spec: Option[StoreSink.PartSpec] = {
+    val root = new Path(pathStr)
+    StoreSink.readPartSpec(root, StoreSink.fs(root))
+  }
+
+  /** Partition values the pushed (and runtime) predicates allow, None =
+    * unconstrained. Identity partitions answer grp point/IN predicates
+    * EXACTLY; bucket partitions map point keys (including DPP-realized
+    * join keys) to their bucket. Conjuncts intersect. */
+  private def allowedParts: Option[Set[String]] = spec.flatMap { sp =>
+    val conjuncts: Seq[Set[String]] =
+      if (sp.kind == "identity") grpValues.map(_.toSet)
+      else (kValues ++ runtimeKeys.toSeq).map(
+        _.map(v => java.lang.Math.floorMod(v, sp.n.toLong).toString).toSet)
+    conjuncts.reduceOption(_ intersect _)
+  }
+
+  /** STORAGE-PARTITIONED layout report: when every current entry carries a
+    * partition value, the scan declares KeyGroupedPartitioning over the
+    * spec's transform and each input partition carries its key — two
+    * stores bucketed the same way join on k with ZERO exchanges (the
+    * BucketSource SPJ contract, now on real committed data). Declines
+    * (UnknownPartitioning) for explicit-file reads and mixed/legacy
+    * manifests. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    (spec, explicitFiles) match {
+      case (Some(sp), None) =>
+        val entries = currentEntries(root, fsys)
+        if (entries.nonEmpty && entries.forall(_.part.isDefined))
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(sp.toTransform), entries.flatMap(_.part).distinct.size)
+        else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
 
   /** Last planning's (manifest, kept) file counts — surfaced as DRIVER
     * metrics so zone-map effectiveness shows in the SQL UI per scan (the
@@ -1848,22 +2152,30 @@ private class StoreScan(pathStr: String,
             case Array(a, b) => (a, Some(new Path(root, b).toString))
             case Array(a)    => (a, None)
           }
-          StoreFilePartition(new Path(root, n).toString, dv): InputPartition
+          StoreFilePartition(new Path(root, n).toString, dv, n): InputPartition
         }.toArray
       case None => ()
     }
     // manifest-only planning: uncommitted/stray files cannot be scanned;
-    // segment ranges, then zone maps / blooms, drop files the pushed
-    // bounds / grp literals / runtime keys cannot touch
+    // segment ranges, then zone maps / blooms, then partition values drop
+    // files the pushed bounds / grp literals / runtime keys cannot touch
     val (total, candidates) = plannedCandidates(root, fsys)
     val kept = candidates
       .filter(_.mayContain(kLo, kHi))
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
-    StoreSink.lastZonePrune = Some((total, kept.size))
-    plannedCounts = Some((total, kept.size))
-    kept.map(e => StoreFilePartition(new Path(root, e.name).toString,
-        e.dv.map(d => new Path(root, d).toString)): InputPartition)
+    val keptP = allowedParts match {
+      case Some(ap) => kept.filter(_.part.forall(ap.contains))
+      case None     => kept
+    }
+    if (spec.isDefined)
+      StoreSink.lastPartPrune = Some((kept.size, keptP.size))
+    StoreSink.lastZonePrune = Some((total, keptP.size))
+    plannedCounts = Some((total, keptP.size))
+    val isBucket = spec.exists(_.kind == "bucket")
+    keptP.map(e => StoreFilePartition(new Path(root, e.name).toString,
+        e.dv.map(d => new Path(root, d).toString), e.name,
+        e.part, isBucket): InputPartition)
       .toArray
   }
 
@@ -1889,6 +2201,7 @@ private class StoreScan(pathStr: String,
     val entries = plannedCandidates(root, fsys)._2
       .filter(_.mayContain(kLo, kHi))
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
+      .filter(e => allowedParts.forall(ap => e.part.forall(ap.contains)))
     // manifest-carried byte counts — listStatus per file at plan time was
     // itself an O(files) driver cost; the RPC fallback only covers legacy
     // lines written before bytes rode the manifest
@@ -1995,7 +2308,7 @@ private class StoreMicroBatchStream(pathStr: String,
     check(b, eo.sig, "end")
     entries.slice(a, b)
       .map(e => StoreFilePartition(new Path(root, e.name).toString,
-        e.dv.map(d => new Path(root, d).toString)): InputPartition)
+        e.dv.map(d => new Path(root, d).toString), e.name): InputPartition)
       .toArray
   }
 
@@ -2004,9 +2317,19 @@ private class StoreMicroBatchStream(pathStr: String,
 }
 
 /** One committed data file; `dv` is its deletion-vector sidecar path, when
-  * merge-on-read deletes masked it. */
-private case class StoreFilePartition(file: String, dv: Option[String] = None)
-    extends InputPartition
+  * merge-on-read deletes masked it; `rel` is its manifest-relative name
+  * (partition dir included). `partValue`/`partIsBucket` carry the file's
+  * partition key for storage-partitioned joins — `partitionKey()` is only
+  * consulted when the scan reported KeyGroupedPartitioning, which it does
+  * exactly when every planned entry has a value. */
+private case class StoreFilePartition(file: String, dv: Option[String] = None,
+                                      rel: String = "",
+                                      partValue: Option[String] = None,
+                                      partIsBucket: Boolean = false)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    partValue.map(v => StoreSink.partKeyRow(v, partIsBucket)).orNull
+}
 
 private case class StoreReaderFactory(required: StructType = StoreSink.schema,
                                       table: StructType = StoreSink.schema)

@@ -819,6 +819,79 @@ object StreamOps extends OpModule {
           .groupBy(col("tok_len")).agg(count(lit(1)).as("n"))
       }.orderBy(col("tok_len"))),
 
+    // STREAMING CHUNK INGEST WITHOUT UNBOUNDED STATE — the escape hatch
+    // SCALE.md names for s_chunk_cdc: dropDuplicates keeps one state row
+    // per distinct chunk FOREVER (state grows with the corpus), so at true
+    // scale the dedup moves out of the state backend entirely. Here each
+    // micro-batch (maxFilesPerTrigger=1 over a two-file feed) fans out to
+    // its gear-rule chunks, ANTI-JOINS against the PERSISTED chunk index,
+    // and appends only the novel hashes — foreachBatch, zero streaming
+    // state; the index (bucketed on the hash at 100 TB, the
+    // q_dedup_chunk_incr posture) replaces the state store and survives
+    // restarts for free. The feed split is deterministic (doc_id parity),
+    // so per-batch novelty is exact: batch 2's chunks that batch 1 already
+    // indexed are rejected by the join, not by state. The final index
+    // histogram must equal s_chunk_cdc's state-built result — two
+    // implementations, one logical contract, and the crossover between
+    // them (state size vs join cost) is a measured BASELINE entry.
+    "s_chunk_cdc_idx" -> ((s, d) => {
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val id = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"target/tmp/chunkidx_$id"
+      val feed = s"$base/feed"; val idx = s"$base/idx"; val chk = s"$base/chk"
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // two lands, one file each -> two micro-batches in arrival order
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("append").parquet(feed)
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(feed)
+      def chunksOf(df: DataFrame): DataFrame = df
+        .select(explode(graft.functions.TextHashes.cdcChunks(3, 8)(
+            split(trim(col("text")), " "))).as("chunk"))
+        .select(md5(col("chunk")).as("h"),
+                size(split(col("chunk"), " ", -1)).cast("long").as("tok_len"))
+        .dropDuplicates("h")
+      val novelPerBatch = scala.collection.mutable.ArrayBuffer[Long]()
+      val idxPath = new org.apache.hadoop.fs.Path(idx)
+      val schema = s.read.parquet(feed).schema
+      withStreamParallelism(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val ch = chunksOf(batch)
+            val novel =
+              if (fsys.exists(idxPath))
+                ch.join(s.read.parquet(idx), Seq("h"), "left_anti")
+              else ch
+            val before =
+              if (fsys.exists(idxPath)) s.read.parquet(idx).count() else 0L
+            novel.coalesce(1).write.mode("append").parquet(idx)
+            novelPerBatch += s.read.parquet(idx).count() - before
+            ()
+          }
+          .option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val hist = s.read.parquet(idx)
+        .groupBy(col("tok_len").as("v")).agg(count(lit(1)).as("n"))
+        .select(lit("len").as("kind"), col("v"), col("n")).collect()
+      val rows = novelPerBatch.zipWithIndex.map { case (n, i) =>
+        org.apache.spark.sql.Row("batch", i + 1L, n)
+      } ++ hist
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, outSchema).orderBy(col("kind"), col("v"))
+    }),
+
     // Exactly-once file sink: run the same checkpointed query twice (second
     // run sees no new data); the sink must contain each row exactly once.
     "s_sink_idempotent" -> ((s, d) => {
@@ -1501,6 +1574,35 @@ object StreamOps extends OpModule {
         |d AS (SELECT DISTINCT md5(chunk) AS h,
         |    CAST(LEN(STRING_SPLIT(chunk, ' ')) AS BIGINT) AS tok_len FROM chunks)
         |SELECT tok_len, COUNT(*) AS n FROM d GROUP BY tok_len ORDER BY tok_len""".stripMargin,
+
+    // the index build is batch-order-DEPENDENT only in WHICH batch a chunk
+    // is credited to — and the deterministic split (doc_id parity, batch 1
+    // = even) makes that exact: a chunk's batch is the MIN batch of the
+    // docs containing it; the final index is the distinct-chunk set either
+    // way (same histogram as s_chunk_cdc — state and index agree)
+    "s_chunk_cdc_idx" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |cuts AS (SELECT doc_id, toks,
+        |    LIST_FILTER(RANGE(3, LEN(toks)), i ->
+        |      CAST(('0x' || SUBSTR(md5(ARRAY_TO_STRING(
+        |        toks[CAST(i - 2 AS INTEGER):CAST(i AS INTEGER)], ' ')), 1, 7)) AS BIGINT) % 8 = 0) AS cuts
+        |  FROM base),
+        |bs AS (SELECT doc_id, toks,
+        |    LIST_PREPEND(CAST(0 AS BIGINT), LIST_APPEND(cuts, CAST(LEN(toks) AS BIGINT))) AS bs
+        |  FROM cuts),
+        |chunks AS (SELECT doc_id,
+        |    ARRAY_TO_STRING(toks[CAST(bs[CAST(j AS INTEGER)] + 1 AS INTEGER)
+        |                       :CAST(bs[CAST(j AS INTEGER) + 1] AS INTEGER)], ' ') AS chunk
+        |  FROM bs, UNNEST(RANGE(1, LEN(bs))) AS t(j)),
+        |firstb AS (SELECT md5(chunk) AS h,
+        |    MIN(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END) AS b,
+        |    MIN(CAST(LEN(STRING_SPLIT(chunk, ' ')) AS BIGINT)) AS tok_len
+        |  FROM chunks GROUP BY h)
+        |SELECT 'batch' AS kind, CAST(b AS BIGINT) AS v, COUNT(*) AS n
+        |FROM firstb GROUP BY b
+        |UNION ALL
+        |SELECT 'len', tok_len, COUNT(*) FROM firstb GROUP BY tok_len
+        |ORDER BY kind, v""".stripMargin,
 
     "s_stateful" ->
       """SELECT user_id, event_id,

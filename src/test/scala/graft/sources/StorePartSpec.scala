@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Store PARTITIONING (StoreSink PartSpec): files route into partition
+  * directories, the manifest carries each file's partition value, pruning
+  * answers partition predicates from metadata, the spec is immutable under
+  * append, and — the point — two stores bucketed the same way on k join
+  * with ZERO exchanges (storage-partitioned join through the graft
+  * catalog's `bucket` V2 function). */
+class StorePartSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.StoreSink"
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def df(ks: Range, grpOf: Int => String): DataFrame = {
+    import spark.implicits._
+    ks.map(k => (k.toLong, grpOf(k), k.toLong * 100)).toDF("k", "grp", "amt_cents")
+  }
+
+  private def freshDir(name: String): String = {
+    val dir = s"target/tmp/storepart_spec_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("identity partitioning: dirs, manifest values, exact pruning, sticky spec") {
+    val dir = freshDir("identity")
+    df(1 to 90, k => "g" + (k % 3))
+      .repartition(4)
+      .write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "identity:grp").save()
+    val root = new Path(dir)
+    // layout: every data file lives in its partition directory
+    (0 to 2).foreach(g => assert(fs.exists(new Path(root, s"grp=g$g")),
+      s"missing partition dir grp=g$g"))
+    val entries = StoreSink.readEntries(root, fs)
+    assert(entries.nonEmpty && entries.forall(e =>
+      e.part.isDefined && e.name.startsWith(s"grp=${e.part.get}/")),
+      s"entries must carry their partition value and live in its dir: $entries")
+    // read back through the manifest
+    val t = spark.read.format(fmt).option("path", dir).load()
+    assert(t.count() == 90)
+    // EXACT partition pruning (the bloom is probabilistic; dirs are not)
+    StoreSink.lastPartPrune = None
+    val one = t.where(col("grp") === "g1").agg(sum(col("amt_cents"))).collect()(0).getLong(0)
+    assert(one == (1 to 90).filter(_ % 3 == 1).map(_ * 100L).sum)
+    val (_, kept) = StoreSink.lastPartPrune.get
+    assert(kept == entries.count(_.part.contains("g1")) && kept < entries.size,
+      s"grp=g1 should plan exactly its partition's files, planned kept=$kept " +
+        s"of ${entries.size}")
+    // append WITHOUT restating the spec: partitioning is table metadata
+    df(91 to 96, _ => "g0").write.format(fmt).mode("append").option("path", dir).save()
+    val after = StoreSink.readEntries(root, fs)
+    assert(after.forall(_.part.isDefined), s"append lost partition routing: $after")
+    // append REQUESTING a different spec fails loudly
+    val ex = intercept[Exception] {
+      df(97 to 99, _ => "g0").write.format(fmt).mode("append")
+        .option("path", dir).option("partitionedBy", "bucket:4:k").save()
+    }
+    assert(ex.getMessage.contains("partitioning mismatch"), ex.getMessage)
+  }
+
+  test("bucket partitioning: SPJ joins two stores on k with zero exchanges") {
+    val ctas = freshDir("ctas")
+    withConfs(
+      "spark.sql.catalog.graft" -> classOf[GraftCatalog].getName,
+      GraftCatalog.CtasDirKey -> ctas,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql("DROP TABLE IF EXISTS graft.spj_a")
+      spark.sql("DROP TABLE IF EXISTS graft.spj_b")
+      df(1 to 200, k => "g" + (k % 3)).createOrReplaceTempView("spj_src")
+      spark.sql(
+        """CREATE TABLE graft.spj_a PARTITIONED BY (bucket(4, k))
+          |AS SELECT * FROM spj_src""".stripMargin)
+      spark.sql(
+        """CREATE TABLE graft.spj_b PARTITIONED BY (bucket(4, k))
+          |AS SELECT k, grp, amt_cents * 2 AS amt_cents FROM spj_src WHERE k <= 120""".stripMargin)
+      // layout on disk: bucket dirs, manifest part values = floorMod(k, 4)
+      val rootA = new Path(s"$ctas/spj_a")
+      assert((0 to 3).forall(b => fs.exists(new Path(rootA, s"k_bucket=$b"))))
+      assert(StoreSink.readEntries(rootA, fs).forall(_.part.isDefined))
+      val j = spark.table("graft.spj_a").as("a")
+        .join(spark.table("graft.spj_b").as("b"), "k")
+        .select(col("k"), col("a.amt_cents").as("x"), col("b.amt_cents").as("y"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed store join still shuffles:\n$plan")
+      val rows = j.collect()
+      assert(rows.length == 120 && rows.forall(r => r.getLong(2) == 2 * r.getLong(1)))
+      spark.sql("DROP TABLE graft.spj_a")
+      spark.sql("DROP TABLE graft.spj_b")
+    }
+  }
+
+  test("bucket pruning: a point-key predicate plans one bucket; delete/vacuum respect dirs") {
+    val dir = freshDir("bucket")
+    df(1 to 80, _ => "a")
+      .repartition(2) // 2 tasks x 4 buckets = 8 files, wide zones everywhere
+      .write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "bucket:4:k").save()
+    val root = new Path(dir)
+    val t = spark.read.format(fmt).option("path", dir).load()
+    // an IN list spanning the whole key range but ONE bucket: zones keep
+    // every file (each covers the range), the bucket mapping prunes alone
+    val keys = (2L to 78L by 4L).toSeq
+    StoreSink.lastPartPrune = None
+    assert(t.where(col("k").isin(keys: _*)).count() == keys.size)
+    val (cand, kept) = StoreSink.lastPartPrune.get
+    val inBucket2 = StoreSink.readEntries(root, fs).count(_.part.contains("2"))
+    assert(kept == inBucket2 && kept < cand,
+      s"k IN (bucket-2 keys) should plan only bucket 2's files, planned ($cand, $kept)")
+    // bulk COW delete keeps the rewritten file in its partition dir
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    withConfs("spark.sql.catalog.graft" -> classOf[GraftCatalog].getName) {
+      spark.sql("DELETE FROM graft.store WHERE k <= 40")
+      val after = StoreSink.readEntries(root, fs)
+      assert(after.forall(e => e.part.isDefined &&
+        e.name.startsWith(s"k_bucket=${e.part.get}/")), after.toString)
+      assert(spark.table("graft.store").count() == 40)
+      // vacuum GCs the replaced generation INSIDE partition dirs
+      StoreSink.vacuum(dir, 1)
+      val live = StoreSink.listDataFiles(root, fs).toSet
+      val referenced = StoreSink.readEntries(root, fs)
+        .flatMap(e => e.name +: e.dv.toSeq).toSet
+      assert(live == referenced,
+        s"vacuum missed partition-dir files: live=$live referenced=$referenced")
+      assert(spark.table("graft.store").count() == 40)
+    }
+  }
+}
