@@ -96,7 +96,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
         .getOption(GraftCatalog.StorePathKey)
         .getOrElse(throw new NoSuchTableException(
           Identifier.of(Array.empty, "store")))
-      new StoreTable(p)
+      new StoreTable(p, viaCatalog = true)
     }))
 
   private def inDefaultNs(ident: Identifier): Boolean =
@@ -126,7 +126,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     if (inDefaultNs(ident))
       tables.get(ident.name().toLowerCase(java.util.Locale.ROOT)) match {
         case Some(mk) => mk()
-        case None if ctasExists(ident) => new StoreTable(ctasPath(ident).get)
+        case None if ctasExists(ident) =>
+          new StoreTable(ctasPath(ident).get, viaCatalog = true)
         case None => throw new NoSuchTableException(ident)
       }
     else throw new NoSuchTableException(ident)
@@ -465,7 +466,7 @@ private class StagedStoreTable(pathStr: String, ctasSchema: StructType,
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
-    new StoreWriteBuilder(pathStr, info, partitions)
+    new StoreWriteBuilder(pathStr, info, partitions, viaCatalog = true)
 
   override def commitStagedChanges(): Unit = ()
   // CTAS failed after staging: remove the directory — the manifest never

@@ -1235,7 +1235,8 @@ object StoreSink {
 }
 
 private class StoreTable(pathStr: String, version: Option[Int] = None,
-                         requested: Array[Transform] = Array.empty)
+                         requested: Array[Transform] = Array.empty,
+                         viaCatalog: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
@@ -1300,7 +1301,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
-    new StoreWriteBuilder(pathStr, info, requested)
+    new StoreWriteBuilder(pathStr, info, requested, viaCatalog)
   }
 
   // ------------------------------------------------------- row-level DELETE
@@ -1526,7 +1527,8 @@ private class StoreGroupReplaceWrite(pathStr: String, queryId: String,
 // ---------------------------------------------------------------- write path
 
 private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
-                                requested: Array[Transform] = Array.empty)
+                                requested: Array[Transform] = Array.empty,
+                                viaCatalog: Boolean = false)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
 
   private var doTruncate = false
@@ -1558,9 +1560,46 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
     req.orElse(persisted)
   }
 
+  /** REQUIRED WRITE DISTRIBUTION + ORDERING
+    * ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]):
+    * a partitioned store asks Spark to CLUSTER incoming rows by the
+    * partition transform (and, for buckets, to plan exactly n write
+    * tasks) and to SORT each task by the key. Without this, every task
+    * writes one file per partition value it happens to see — at 1000
+    * executors a bucket(256) table gets 256,000 files per commit; with
+    * it, each bucket lands whole in one task → one file per bucket per
+    * commit, key-sorted so its zone map is tight. This is the connector
+    * telling the PLANNER the layout contract instead of hoping the user
+    * repartitioned (the Iceberg write-distribution-mode story). */
   override def build(): Write = {
     val spec = resolveSpec()
-    new Write {
+    new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      // a bucket transform in a distribution resolves through the table's
+      // FUNCTION CATALOG; a path-based write has none (Spark: "bucket(n, k)
+      // is not currently supported"), so the bucket clustering is requested
+      // only for catalog-resolved writes — the path API keeps working, its
+      // layout guaranteed by the writer's per-value routing instead of the
+      // planner. Identity clustering is a plain column reference and
+      // resolves everywhere.
+      private def distributable: Option[StoreSink.PartSpec] =
+        spec.filter(sp => sp.kind == "identity" || viaCatalog)
+      override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+        distributable match {
+          case Some(sp) =>
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(sp.toTransform))
+          case None =>
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        }
+      // bucket(n): exactly n write tasks = one committed file per bucket
+      override def requiredNumPartitions(): Int =
+        distributable.filter(_.kind == "bucket").map(_.n).getOrElse(0)
+      override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        if (spec.isDefined)
+          Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column("k"),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        else Array.empty
       override def toBatch: BatchWrite =
         new StoreBatchWrite(pathStr, info.queryId(), doTruncate,
           info.options().getBoolean("preserveMarkers", false), info.schema(),

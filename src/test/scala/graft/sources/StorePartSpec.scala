@@ -94,7 +94,12 @@ class StorePartSpec extends SparkSpec {
       // layout on disk: bucket dirs, manifest part values = floorMod(k, 4)
       val rootA = new Path(s"$ctas/spj_a")
       assert((0 to 3).forall(b => fs.exists(new Path(rootA, s"k_bucket=$b"))))
-      assert(StoreSink.readEntries(rootA, fs).forall(_.part.isDefined))
+      val entA = StoreSink.readEntries(rootA, fs)
+      assert(entA.forall(_.part.isDefined))
+      // REQUIRED WRITE DISTRIBUTION: the catalog write clustered rows by
+      // the bucket transform into exactly n tasks — ONE file per bucket,
+      // not files x tasks (the 1000-executor small-files contract)
+      assert(entA.size == 4, s"expected one file per bucket, got $entA")
       val j = spark.table("graft.spj_a").as("a")
         .join(spark.table("graft.spj_b").as("b"), "k")
         .select(col("k"), col("a.amt_cents").as("x"), col("b.amt_cents").as("y"))
