@@ -1287,6 +1287,58 @@ object Sources extends OpModule {
       }
     }),
 
+    // PARTITION DDL (SupportsPartitionManagement): SHOW PARTITIONS lists
+    // the manifest's distinct partition values (no directory listing),
+    // ALTER TABLE DROP PARTITION removes a partition's entries in ONE
+    // manifest swap with zero data bytes touched (archived versions keep
+    // the files until vacuum — the retention story of every date/bucket
+    // layout: dropping 1 TB of expired data costs a list rewrite), and
+    // TRUNCATE PARTITION is the same metadata op because partitions are
+    // value-derived. Flags pin the metadata-only contract; the surviving
+    // data agrees with the relational oracle.
+    "q_store_partmgmt" -> ((s, d) => withGraftCatalog(s) {
+      val dir = tmp(d, "storepm")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val key = GraftCatalog.CtasDirKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, dir)
+      try {
+        Tables.orders(s, d).createOrReplaceTempView("ord_pm_v")
+        s.sql("""CREATE TABLE graft.pmq PARTITIONED BY (grp) AS
+                |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents
+                |FROM ord_pm_v""".stripMargin)
+        val nParts = s.sql("SHOW PARTITIONS graft.pmq").count()
+        val showOne = s.sql("SHOW PARTITIONS graft.pmq PARTITION (grp='F')")
+          .collect().map(_.getString(0)).toSeq == Seq("grp=F")
+        val root = new org.apache.hadoop.fs.Path(s"$dir/pmq")
+        val filesBefore = graft.sources.StoreSink.readEntries(root, fsys).map(_.name)
+        s.sql("ALTER TABLE graft.pmq DROP PARTITION (grp='F')")
+        val filesKept = filesBefore.forall(f =>
+          fsys.exists(new org.apache.hadoop.fs.Path(root, f)))
+        val agg = s.table("graft.pmq").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        s.sql("TRUNCATE TABLE graft.pmq PARTITION (grp='O')")
+        val afterTrunc = s.table("graft.pmq").count()
+        s.sql("DROP TABLE graft.pmq")
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_after_trunc", afterTrunc, 0L),
+          org.apache.spark.sql.Row("z_files_kept", if (filesKept) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_parts", nParts, 0L),
+          org.apache.spark.sql.Row("z_show_one", if (showOne) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     "q_store_ctas" -> ((s, d) => withGraftCatalog(s) {
       val dir = tmp(d, "storectas")
       val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -1640,6 +1692,18 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_bucket_dirs', 1, 0
         |UNION ALL SELECT 'z_no_exchange', 1, 0
         |UNION ALL SELECT 'z_part_prune', 1, 0
+        |ORDER BY grp""".stripMargin,
+
+    // dropping a partition == dropping its rows relationally; flags pin
+    // the metadata-only mechanics (files kept, partition listing)
+    "q_store_partmgmt" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_after_trunc', COUNT(*), 0 FROM orders WHERE o_orderstatus = 'P'
+        |UNION ALL SELECT 'z_files_kept', 1, 0
+        |UNION ALL SELECT 'z_parts', 3, 0
+        |UNION ALL SELECT 'z_show_one', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // the created table's content relationally; flags are contracts

@@ -1239,7 +1239,107 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
                          viaCatalog: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  // ---------------------------------------------- partition management DDL
+  // `SHOW PARTITIONS graft.store`, `ALTER TABLE ... DROP PARTITION (...)`,
+  // `TRUNCATE TABLE ... PARTITION (...)`: the partition inventory IS the
+  // manifest's distinct part values (no directory listing), and dropping a
+  // partition is a METADATA operation — one manifest swap removing its
+  // entries; the data files stay referenced by archived versions until
+  // vacuum. Partitions materialize on write, so ADD PARTITION is refused
+  // loudly. At 100 TB: drop-a-partition costs one list rewrite regardless
+  // of partition bytes — the retention story every date/bucket layout
+  // needs.
+  private lazy val partSpec: Option[StoreSink.PartSpec] = {
+    val root = new Path(pathStr)
+    StoreSink.readPartSpec(root, StoreSink.fs(root))
+  }
+
+  override def partitionSchema(): StructType = partSpec match {
+    case Some(sp) if sp.kind == "bucket" =>
+      StructType(Seq(StructField(s"${sp.col}_bucket", IntegerType, nullable = false)))
+    case Some(sp) => StructType(Seq(StructField(sp.col, StringType, nullable = true)))
+    case None => new StructType()
+  }
+
+  private def identValue(ident: InternalRow): String = partSpec.get.kind match {
+    case "bucket" => ident.getInt(0).toString
+    case _ => if (ident.isNullAt(0)) "\\N" else ident.getString(0)
+  }
+
+  private def partValues(): Seq[String] = {
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    (version match {
+      case Some(v) => StoreSink.readVersionLines(root, fsys, v)
+        .filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
+      case None => StoreSink.readEntries(root, fsys)
+    }).flatMap(_.part).distinct.sorted
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident: InternalRow): Array[InternalRow] =
+    partSpec match {
+      case None => Array.empty
+      case Some(sp) =>
+        val isBucket = sp.kind == "bucket"
+        val vs = partValues()
+        val wanted = if (names.isEmpty) vs else vs.filter(_ == identValue(ident))
+        wanted.map(v => StoreSink.partKeyRow(v, isBucket)).toArray
+    }
+
+  override def partitionExists(ident: InternalRow): Boolean =
+    partSpec.isDefined && partValues().contains(identValue(ident))
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    requireCurrent("drop partition")
+    partSpec match {
+      case None => false
+      case Some(_) =>
+        val v = identValue(ident)
+        val root = new Path(pathStr)
+        val fsys = StoreSink.fs(root)
+        var dropped = false
+        StoreSink.withCommitLock(root, fsys) {
+          val lines = StoreSink.readManifestLines(root, fsys)
+          val keep = lines.filter(l =>
+            l.startsWith("#") || !StoreSink.parseEntry(l).part.contains(v))
+          dropped = keep.size != lines.size
+          if (dropped) StoreSink.writeManifestAtomic(root, fsys, keep)
+        }
+        dropped
+    }
+  }
+
+  /** TRUNCATE ... PARTITION: value-derived partitions make "empty the
+    * partition" and "drop the partition" the same metadata operation. */
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    dropPartition(ident); true
+  }
+
+  override def createPartition(ident: InternalRow,
+                               properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-store partitions materialize on write; ADD PARTITION is not a store operation")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+                                        properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-store partitions carry no mutable metadata")
+
+  /** Per-partition audit from the manifest: file and live-row counts. */
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
+    val v = identValue(ident)
+    val root = new Path(pathStr)
+    val entries = StoreSink.readEntries(root, StoreSink.fs(root))
+      .filter(_.part.contains(v))
+    val m = new util.HashMap[String, String]()
+    m.put("files", entries.size.toString)
+    m.put("rows", entries.map(e => math.max(e.rows, 0L)).sum.toString)
+    m
+  }
 
   /** The table's declared layout: the persisted spec (or, before the first
     * commit fixes one, the write's requested transforms). Spark validates

@@ -113,6 +113,40 @@ class StorePartSpec extends SparkSpec {
     }
   }
 
+  test("partition DDL: SHOW PARTITIONS lists manifest values; DROP/TRUNCATE are metadata ops") {
+    val ctas = freshDir("pmddl")
+    withConfs(
+      "spark.sql.catalog.graft" -> classOf[GraftCatalog].getName,
+      GraftCatalog.CtasDirKey -> ctas) {
+      spark.sql("DROP TABLE IF EXISTS graft.pm")
+      df(1 to 90, k => "g" + (k % 3)).createOrReplaceTempView("pm_src")
+      spark.sql("CREATE TABLE graft.pm PARTITIONED BY (grp) AS SELECT * FROM pm_src")
+      val parts = spark.sql("SHOW PARTITIONS graft.pm").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(parts == Seq("grp=g0", "grp=g1", "grp=g2"), parts.toString)
+      val one = spark.sql("SHOW PARTITIONS graft.pm PARTITION (grp='g1')")
+        .collect().map(_.getString(0)).toSeq
+      assert(one == Seq("grp=g1"))
+      val root = new Path(s"$ctas/pm")
+      val filesBefore = StoreSink.readEntries(root, fs).map(_.name)
+      // DROP PARTITION: one manifest swap, zero data bytes touched — the
+      // dropped partition's files survive for archived versions
+      spark.sql("ALTER TABLE graft.pm DROP PARTITION (grp='g1')")
+      assert(spark.table("graft.pm").count() == 60 &&
+        spark.table("graft.pm").where(col("grp") === "g1").count() == 0)
+      filesBefore.foreach(f => assert(fs.exists(new Path(root, f)),
+        s"DROP PARTITION must not delete data file $f (vacuum is the GC)"))
+      assert(spark.sql("SHOW PARTITIONS graft.pm").collect().length == 2)
+      spark.sql("TRUNCATE TABLE graft.pm PARTITION (grp='g2')")
+      assert(spark.table("graft.pm").collect().forall(_.getString(1) == "g0"))
+      // ADD PARTITION is refused loudly — partitions materialize on write
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.pm ADD PARTITION (grp='gX')")
+      }
+      spark.sql("DROP TABLE graft.pm")
+    }
+  }
+
   test("bucket pruning: a point-key predicate plans one bucket; delete/vacuum respect dirs") {
     val dir = freshDir("bucket")
     df(1 to 80, _ => "a")
