@@ -588,6 +588,13 @@ object StoreSink {
     readManifestLines(root, fsys).filterNot(_.startsWith("#"))
       .map(l => parseEntry(l).name)
 
+  /** Number of epochs the streaming ledger has committed — the public
+    * audit surface for "was this store built incrementally". */
+  def epochCount(pathStr: String): Long = {
+    val root = new Path(pathStr)
+    readManifestLines(root, fs(root)).count(_.startsWith(EpochMark)).toLong
+  }
+
   /** Epoch ids already committed by the streaming write path. */
   private[sources] def committedEpochs(lines: Seq[String]): Set[Long] =
     lines.collect {

@@ -892,6 +892,69 @@ object StreamOps extends OpModule {
       s.createDataFrame(rows.asJava, outSchema).orderBy(col("kind"), col("v"))
     }),
 
+    // STORE→STORE INCREMENTAL PIPELINE — the log-structured loop closed in
+    // ONE streaming query: the graft store is simultaneously the SOURCE
+    // (manifest-tail MicroBatchStream: each drain plans exactly the new
+    // manifest entries) and the SINK (epoch-ledger StreamingWrite: each
+    // micro-batch commits atomically, replays absorbed). Batch appends
+    // land in the upstream store BETWEEN drains; the downstream store ends
+    // bit-for-bit equal to the transform over the whole upstream — but
+    // built incrementally (the epoch ledger must show >1 committed epoch,
+    // pinned by a flag). At 100 TB this is the medallion/CDC relay shape:
+    // bronze→silver costs CHANGED bytes per cycle, never a table rescan,
+    // and both ends keep snapshot isolation + time travel. */
+    "s_store_pipe" -> ((s, d) => {
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val id = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"target/tmp/storepipe_$id"
+      val src = s"$base/src"; val dst = s"$base/dst"; val chk = s"$base/chk"
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      def land(cond: org.apache.spark.sql.Column): Unit =
+        orders.where(cond).repartition(2)
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", src).save()
+      land(pmod(col("k"), lit(2)) === 0)
+      withStreamParallelism(s) {
+        val q = s.readStream.format("graft.sources.StoreSink")
+          .option("path", src).load()
+          // stateless curation: drop one segment, derive a fee column
+          // (integer div — both engines truncate alike on non-negatives)
+          .where(col("grp") =!= lit("F"))
+          .select(col("k"), col("grp"),
+                  expr("amt_cents + amt_cents div 100").as("amt_cents"))
+          .writeStream.format("graft.sources.StoreSink")
+          .option("path", dst)
+          .option("checkpointLocation", chk)
+          .outputMode(OutputMode.Append())
+          .start()
+        try {
+          q.processAllAvailable()
+          land(pmod(col("k"), lit(2)) === 1) // arrives mid-stream
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // the downstream ledger proves incrementality: >= 2 committed epochs
+      val epochs = graft.sources.StoreSink.epochCount(dst)
+      val agg = s.read.format("graft.sources.StoreSink").option("path", dst).load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        .collect()
+      val rows = agg.toSeq :+ org.apache.spark.sql.Row(
+        "z_incremental", if (epochs >= 2) 1L else 0L, 0L)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_cents",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+    }),
+
     // Exactly-once file sink: run the same checkpointed query twice (second
     // run sees no new data); the sink must contain each row exactly once.
     "s_sink_idempotent" -> ((s, d) => {
@@ -1574,6 +1637,19 @@ object StreamOps extends OpModule {
         |d AS (SELECT DISTINCT md5(chunk) AS h,
         |    CAST(LEN(STRING_SPLIT(chunk, ' ')) AS BIGINT) AS tok_len FROM chunks)
         |SELECT tok_len, COUNT(*) AS n FROM d GROUP BY tok_len ORDER BY tok_len""".stripMargin,
+
+    // the relay's end state is the transform over the whole upstream —
+    // arrival order never matters for a stateless append relay; the
+    // z flag pins that it was nonetheless built in >= 2 epochs
+    "s_store_pipe" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT grp, COUNT(*) AS n,
+        |  CAST(SUM(amt + amt // 100) AS BIGINT) AS sum_cents
+        |FROM base WHERE grp <> 'F' GROUP BY grp
+        |UNION ALL SELECT 'z_incremental', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // the index build is batch-order-DEPENDENT only in WHICH batch a chunk
     // is credited to — and the deterministic split (doc_id parity, batch 1
