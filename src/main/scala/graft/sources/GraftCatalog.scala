@@ -81,6 +81,13 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
 
   override def name(): String = catalogName
 
+  /** DEFAULT-value DDL is accepted (`ALTER TABLE graft.store ADD COLUMN x
+    * BIGINT DEFAULT 5`) — without this capability Spark rejects the
+    * syntax before the catalog ever sees it. */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def tables: Map[String, () => Table] = Map(
     "range_200k" -> (() => new RangeTable(0L, 200000L)),
     "bucket_fact" -> (() => new BucketTable(40000L, 8)),
@@ -232,8 +239,29 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
           "(existing files read them as NULL)")
         require(a.position() == null,
           "graft.store columns are add-TRAILING only (ordinal-addressed base prefix)")
-        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(),
-          nullable = true)
+        val f = org.apache.spark.sql.types.StructField(a.fieldNames()(0),
+          a.dataType(), nullable = true)
+        // DEFAULT <literal>: old (short) rows read this value — the
+        // Iceberg initial-default contract; INSERTs that omit the column
+        // get it from the analyzer via CURRENT_DEFAULT metadata
+        Option(a.defaultValue()).fold(f) { dv =>
+          val lit = dv.getValue
+          require(lit != null,
+            "graft.store column defaults must be literal (foldable) values")
+          val rawV = (a.dataType(), lit.value()) match {
+            case (LongType, v: java.lang.Number) => v.toString
+            case (org.apache.spark.sql.types.StringType, v) => v.toString
+            case (t, v) => throw new IllegalArgumentException(
+              s"graft.store default $v does not fit column type $t")
+          }
+          val sqlText = if (a.dataType() == LongType) rawV
+            else "'" + rawV.replace("'", "''") + "'"
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(StoreSink.RawDefaultKey, rawV)
+            .putString("CURRENT_DEFAULT", sqlText)
+            .putString("EXISTS_DEFAULT", sqlText)
+            .build())
+        }
       case other => throw new UnsupportedOperationException(
         s"graft.store supports ADD COLUMN only, got $other")
     }

@@ -1486,6 +1486,44 @@ object Sources extends OpModule {
       }
     }),
 
+    // COLUMN DEFAULTS in schema evolution (the Iceberg initial-default
+    // contract): `ALTER TABLE ... ADD COLUMN x BIGINT DEFAULT 25` makes
+    // every pre-ALTER row READ the default — no rewrite, the reader pads
+    // short rows with the declared value instead of NULL — while an
+    // explicit NULL written after the ALTER stays NULL, and an INSERT
+    // that omits the column gets it filled by the analyzer
+    // (CURRENT_DEFAULT metadata + the catalog's
+    // SUPPORT_COLUMN_DEFAULT_VALUE capability). At 100 TB this is what
+    // makes adding a populated-looking column to a petabyte table a
+    // metadata operation.
+    "q_store_evolve_default" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storedflt")
+      val (_, maxK) = seedStore(s, d, path)
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN fee_cents BIGINT DEFAULT 25")
+        s.sql("ALTER TABLE graft.store ADD COLUMN tier STRING DEFAULT 'std'")
+        // analyzer fills the omitted defaulted columns
+        s.sql(s"INSERT INTO graft.store (k, grp, amt_cents) VALUES (${maxK + 1}, 'NEW', 1000)")
+        // explicit values win; explicit NULL stays NULL (not the default)
+        s.sql(s"INSERT INTO graft.store VALUES (${maxK + 2}, 'NEW', 2000, 99, 'gold')")
+        s.sql(s"INSERT INTO graft.store VALUES (${maxK + 3}, 'NEW', 3000, NULL, NULL)")
+        val res = s.table("graft.store")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("fee_cents")).as("fee_sum"),
+               sum(when(col("tier") === "std", 1L).otherwise(0L)).as("n_std"),
+               sum(when(col("tier").isNull, 1L).otherwise(0L)).as("n_null"))
+          .orderBy(col("grp")).collect()
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("fee_sum", LongType), StructField("n_std", LongType),
+          StructField("n_null", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(java.util.Arrays.asList(res: _*), schema)
+          .orderBy(col("grp"))
+      }
+    }),
+
     // Row-level UPDATE through the same protocol: one SQL statement, the
     // connector rewrites the affected generation copy-on-write. The oracle
     // applies the SET arithmetic relationally.
@@ -1716,6 +1754,20 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_ctas_atomic', 1, 0, 0
         |UNION ALL SELECT 'z_dropped', 1, 0, 0
         |ORDER BY grp""".stripMargin,
+
+    // defaults applied relationally: every seeded row carries the
+    // declared default; the three inserts carry (default, explicit,
+    // explicit-NULL) respectively
+    "q_store_evolve_default" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS grp, 25 AS fee, 'std' AS tier FROM orders
+        |  UNION ALL SELECT 'NEW', 25, 'std'
+        |  UNION ALL SELECT 'NEW', 99, 'gold'
+        |  UNION ALL SELECT 'NEW', NULL, NULL)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(fee) AS BIGINT) AS fee_sum,
+        |  CAST(SUM(CASE WHEN tier = 'std' THEN 1 ELSE 0 END) AS BIGINT) AS n_std,
+        |  CAST(SUM(CASE WHEN tier IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |FROM base GROUP BY grp ORDER BY grp""".stripMargin,
 
     // evolution applied relationally: old rows read NULL in the new
     // column; the UPDATE's +5 reaches exactly the note-carrying rows

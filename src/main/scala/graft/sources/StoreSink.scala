@@ -111,6 +111,11 @@ object StoreSink {
     * reads as NULL in the new columns. Binding happens at table
     * RESOLUTION (loadTable / getTable re-read the sidecar), so an ALTER
     * is visible to the next statement without any session restart. */
+  /** Metadata key carrying an added column's DEFAULT as its raw value
+    * (reader-side form); CURRENT_DEFAULT / EXISTS_DEFAULT carry the SQL
+    * text Spark's analyzer consumes for INSERTs that omit the column. */
+  private[sources] val RawDefaultKey = "graft.default.raw"
+
   private[sources] def readExtras(root: Path, fsys: FileSystem): Seq[StructField] = {
     val raw = manifestFs(fsys)
     val sf = new Path(root, SchemaFile)
@@ -120,13 +125,25 @@ object StoreSink {
       org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       finally in.close()
     txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
-      val Array(n, t) = l.split(":", 2)
-      StructField(n, t match {
+      val p = l.split(":", 3)
+      val dt = p(1) match {
         case "bigint" => LongType
         case "string" => StringType
         case other => throw new IllegalArgumentException(
           s"graft-store extra column type $other (bigint|string only)")
-      }, nullable = true)
+      }
+      val f = StructField(p(0), dt, nullable = true)
+      if (p.length < 3) f
+      else {
+        val rawV = java.net.URLDecoder.decode(p(2), "UTF-8")
+        val sqlText =
+          if (dt == LongType) rawV else "'" + rawV.replace("'", "''") + "'"
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(RawDefaultKey, rawV)
+          .putString("CURRENT_DEFAULT", sqlText)
+          .putString("EXISTS_DEFAULT", sqlText)
+          .build())
+      }
     }
   }
 
@@ -140,12 +157,30 @@ object StoreSink {
         case other => throw new IllegalArgumentException(
           s"graft-store cannot add a $other column (bigint|string only)")
       }
-      s"${f.name}:$t"
+      val d =
+        if (f.metadata.contains(RawDefaultKey))
+          ":" + java.net.URLEncoder.encode(f.metadata.getString(RawDefaultKey), "UTF-8")
+        else ""
+      s"${f.name}:$t$d"
     }
     val out = raw.create(new Path(root, SchemaFile), true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** Per-column reader defaults (null = pad with NULL): applied ONLY to
+    * physically short rows — rows written before the column existed (the
+    * Iceberg initial-default contract); a NULL written after the ALTER
+    * stays NULL. */
+  private[sources] def defaultsOf(st: StructType): Array[Any] =
+    st.fields.map { f =>
+      if (!f.metadata.contains(RawDefaultKey)) null
+      else f.dataType match {
+        case LongType =>
+          java.lang.Long.valueOf(f.metadata.getString(RawDefaultKey).toLong)
+        case _ => UTF8String.fromString(f.metadata.getString(RawDefaultKey))
+      }
+    }
 
   /** The CURRENT table schema: immutable base + sidecar extras. */
   def tableSchema(pathStr: String): StructType = {
@@ -1058,12 +1093,16 @@ object StoreSink {
   }
 
   /** Decode a line under the CURRENT table types, padding columns the file
-    * predates with NULL (schema evolution: old files never rewrite). */
+    * predates with their declared DEFAULT (else NULL — schema evolution:
+    * old files never rewrite). An explicit null mark decodes to NULL
+    * regardless of defaults. */
   private[sources] def decode(line: String,
-                              types: Array[DataType] = baseTypes): InternalRow = {
+                              types: Array[DataType] = baseTypes,
+                              defaults: Array[Any] = null): InternalRow = {
     val parts = line.split(",", -1)
     InternalRow.fromSeq((0 until types.length).map { i =>
-      if (i >= parts.length || parts(i) == NullMark) null
+      if (i >= parts.length) (if (defaults == null) null else defaults(i))
+      else if (parts(i) == NullMark) null
       else types(i) match {
         case LongType => java.lang.Long.valueOf(parts(i).toLong)
         case StringType =>
@@ -2507,6 +2546,8 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
         (r: InternalRow) => r.get(idx, dt)
     }
     val identity = required == table
+    // initial defaults for short (pre-ALTER) rows, resolved once per file
+    val defaults = StoreSink.defaultsOf(table)
     new PartitionReader[InternalRow] {
       private var line: String = _
       private var ord = -1
@@ -2516,7 +2557,7 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
         line != null
       }
       override def get(): InternalRow = {
-        val full = StoreSink.decode(line, types)
+        val full = StoreSink.decode(line, types, defaults)
         if (identity) full
         else InternalRow.fromSeq(getters.toSeq.map(_(full)))
       }
