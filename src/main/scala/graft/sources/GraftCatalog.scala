@@ -81,12 +81,16 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
 
   override def name(): String = catalogName
 
-  /** DEFAULT-value DDL is accepted (`ALTER TABLE graft.store ADD COLUMN x
-    * BIGINT DEFAULT 5`) — without this capability Spark rejects the
-    * syntax before the catalog ever sees it. */
+  /** DEFAULT-value DDL (`ADD COLUMN x BIGINT DEFAULT 5`) and table
+    * constraints (`ADD CONSTRAINT c CHECK (...)`) are accepted — without
+    * these capabilities Spark rejects the syntax before the catalog ever
+    * sees it. */
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCatalogCapability
-      .SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   private def tables: Map[String, () => Table] = Map(
     "range_200k" -> (() => new RangeTable(0L, 200000L)),
@@ -231,7 +235,37 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       .getOrElse(throw new NoSuchTableException(ident))
     val root = new org.apache.hadoop.fs.Path(p)
     val fsys = StoreSink.fs(root)
-    val added = changes.map {
+    // CHECK constraints: Spark has already VALIDATED existing data before
+    // AddConstraint reaches the catalog (AddCheckConstraintExec scans the
+    // table and fails the DDL on any violating row); the catalog's job is
+    // durably recording the predicate, serialized under the commit lock
+    val (constraintChanges, columnChanges) = changes.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    constraintChanges.foreach {
+      case ac: TableChange.AddConstraint =>
+        val c = ac.constraint()
+        require(c.isInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Check],
+          s"graft.store supports CHECK constraints only, got ${c.toDDL}")
+        val chk = c.asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Check]
+        StoreSink.withCommitLock(root, fsys) {
+          val cs = StoreSink.readConstraints(root, fsys)
+          require(!cs.exists(_._1.equalsIgnoreCase(chk.name())),
+            s"constraint ${chk.name()} already exists")
+          StoreSink.writeConstraints(root, fsys, cs :+ (chk.name(), chk.predicateSql()))
+        }
+      case dc: TableChange.DropConstraint =>
+        StoreSink.withCommitLock(root, fsys) {
+          val cs = StoreSink.readConstraints(root, fsys)
+          require(dc.ifExists() || cs.exists(_._1.equalsIgnoreCase(dc.name())),
+            s"no such constraint: ${dc.name()}")
+          StoreSink.writeConstraints(root, fsys,
+            cs.filterNot(_._1.equalsIgnoreCase(dc.name())))
+        }
+      case _ => ()
+    }
+    val added = columnChanges.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"graft.store supports top-level column adds only, got ${a.fieldNames().mkString(".")}")
@@ -268,7 +302,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     // the sidecar read-merge-write is a lost-update window: two concurrent
     // ALTERs (or an ALTER racing a writer) can drop a column — serialize
     // under the store's commit lock like every other metadata mutation
-    StoreSink.withCommitLock(root, fsys) {
+    if (added.nonEmpty) StoreSink.withCommitLock(root, fsys) {
       val extras = StoreSink.readExtras(root, fsys)
       val clash = added.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
         .intersect((StoreSink.schema.fields ++ extras)

@@ -1524,6 +1524,45 @@ object Sources extends OpModule {
       }
     }),
 
+    // CHECK CONSTRAINTS as table metadata (the Delta contract): ALTER
+    // TABLE ADD CONSTRAINT first VALIDATES existing data (a declaration
+    // the table violates is refused — Spark's AddCheckConstraintExec
+    // scans), then every write against the table carries the predicate —
+    // a violating INSERT fails with nothing committed (two-phase commit
+    // means a rejected batch leaves the manifest untouched). DROP
+    // CONSTRAINT lifts the gate. Data quality enforced AT the storage
+    // boundary instead of hoped-for in every producer job — at 100 TB
+    // with dozens of writers, the table is the only choke point they all
+    // share.
+    "q_store_constraint" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecons")
+      val (_, maxK) = seedStore(s, d, path)
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store ADD CONSTRAINT amt_nonneg CHECK (amt_cents >= 0)")
+        val badAddLoud =
+          try { s.sql("ALTER TABLE graft.store ADD CONSTRAINT impossible " +
+                  "CHECK (k > 900000000)"); 0L }
+          catch { case _: Exception => 1L }
+        val badInsLoud =
+          try { s.sql(s"INSERT INTO graft.store VALUES (${maxK + 1}, 'NEW', -5)"); 0L }
+          catch { case _: Exception => 1L }
+        s.sql(s"INSERT INTO graft.store VALUES (${maxK + 2}, 'NEW', 500)")
+        s.sql("ALTER TABLE graft.store DROP CONSTRAINT amt_nonneg")
+        s.sql(s"INSERT INTO graft.store VALUES (${maxK + 3}, 'NEG', -7)")
+        val agg = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_bad_add_loud", badAddLoud, 0L),
+          org.apache.spark.sql.Row("z_bad_insert_loud", badInsLoud, 0L))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
     // Row-level UPDATE through the same protocol: one SQL statement, the
     // connector rewrites the affected generation copy-on-write. The oracle
     // applies the SET arithmetic relationally.
@@ -1753,6 +1792,18 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_ctas_failed_loudly', 1, 0, 0
         |UNION ALL SELECT 'z_ctas_atomic', 1, 0, 0
         |UNION ALL SELECT 'z_dropped', 1, 0, 0
+        |ORDER BY grp""".stripMargin,
+
+    // the gate's effect relationally: the violating insert never lands,
+    // the valid one and the post-drop negative one do
+    "q_store_constraint" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'NEG', 1, -7
+        |UNION ALL SELECT 'NEW', 1, 500
+        |UNION ALL SELECT 'z_bad_add_loud', 1, 0
+        |UNION ALL SELECT 'z_bad_insert_loud', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // defaults applied relationally: every seeded row carries the

@@ -188,6 +188,40 @@ object StoreSink {
     StructType(schema.fields ++ readExtras(root, fs(root)))
   }
 
+  // ------------------------------------------------- CHECK constraints
+  /** Enforced CHECK constraints (`_constraints` sidecar of
+    * `name|<urlencoded predicate sql>` lines). Reported through
+    * Table.constraints(); Spark validates EXISTING data at ADD CONSTRAINT
+    * time (AddCheckConstraintExec scans) and rejects writes whose rows
+    * violate an enforced constraint — data quality as table metadata, the
+    * Delta CHECK-constraint contract. */
+  val ConstraintFile = "_constraints"
+
+  private[sources] def readConstraints(root: Path,
+                                       fsys: FileSystem): Seq[(String, String)] = {
+    val raw = manifestFs(fsys)
+    val cf = new Path(root, ConstraintFile)
+    if (!raw.exists(cf)) return Nil
+    val in = raw.open(cf)
+    val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
+      val Array(n, p) = l.split("\\|", 2)
+      (n, java.net.URLDecoder.decode(p, "UTF-8"))
+    }
+  }
+
+  private[sources] def writeConstraints(root: Path, fsys: FileSystem,
+                                        cs: Seq[(String, String)]): Unit = {
+    val raw = manifestFs(fsys)
+    val out = raw.create(new Path(root, ConstraintFile), true)
+    try out.write(cs.map { case (n, p) =>
+        s"$n|${java.net.URLEncoder.encode(p, "UTF-8")}"
+      }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** One committed data file with its ZONE MAP (row count + min/max of the
     * key column, None when the file holds no non-null keys) and its GRP
     * BLOOM (a 64-bit Bloom filter over the file's non-null `grp` values —
@@ -1431,6 +1465,20 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
 
   // resolution-time schema binding: base + any ALTER-added trailing columns
   private lazy val tblSchema: StructType = StoreSink.tableSchema(pathStr)
+
+  /** Enforced CHECK constraints from the sidecar — Spark injects their
+    * validation into every write plan against this table. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    val root = new Path(pathStr)
+    StoreSink.readConstraints(root, StoreSink.fs(root)).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql).enforced(true)
+        .validationStatus(
+          org.apache.spark.sql.connector.catalog.constraints.Constraint
+            .ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+  }
 
   override def name(): String =
     s"graft_store($pathStr${version.map(v => s"@v$v").getOrElse("")})"
