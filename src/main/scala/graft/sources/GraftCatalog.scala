@@ -133,13 +133,34 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       StoreSink.fs(root).exists(new org.apache.hadoop.fs.Path(root, StoreSink.Manifest))
     }
 
+  /** `<table>$<kind>` resolves the base store's METADATA INSPECTION table
+    * (`SELECT * FROM graft.`store$files``) — the Iceberg `t.files` /
+    * `t.partitions` / `t.history` surface: manifest facts as ordinary
+    * relations that compose with SQL, computed from metadata only. */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    val n = ident.name()
+    val i = n.indexOf('$')
+    if (i <= 0) return None
+    val (base, kind) = (n.substring(0, i).toLowerCase(java.util.Locale.ROOT),
+                        n.substring(i + 1).toLowerCase(java.util.Locale.ROOT))
+    if (!StoreMetaTable.Kinds(kind)) return None
+    val path =
+      if (base == "store")
+        org.apache.spark.sql.SparkSession.active.conf
+          .getOption(GraftCatalog.StorePathKey)
+      else ctasPath(Identifier.of(Array.empty, base))
+        .filter(_ => ctasExists(Identifier.of(Array.empty, base)))
+    path.map(new StoreMetaTable(_, kind))
+  }
+
   override def loadTable(ident: Identifier): Table =
     if (inDefaultNs(ident))
       tables.get(ident.name().toLowerCase(java.util.Locale.ROOT)) match {
         case Some(mk) => mk()
         case None if ctasExists(ident) =>
           new StoreTable(ctasPath(ident).get, viaCatalog = true)
-        case None => throw new NoSuchTableException(ident)
+        case None => metaTable(ident)
+          .getOrElse(throw new NoSuchTableException(ident))
       }
     else throw new NoSuchTableException(ident)
 
@@ -511,6 +532,78 @@ private object VacuumProcedure
   }
   override def description(): String =
     "expire archived manifests beyond keep_versions, then GC unreferenced files"
+}
+
+private object StoreMetaTable {
+  val Kinds: Set[String] = Set("files", "partitions", "history")
+}
+
+/** Metadata INSPECTION table over a store (`graft.`store$files`` etc.):
+  * manifest facts as an ordinary relation. Served as a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] — the rows are
+  * driver-resident metadata (list + matched segments), never data reads;
+  * at 100 TB `files` over a 10⁷-file table would switch to planning the
+  * SEGMENT files as input partitions (metadata-as-data, the Iceberg
+  * metadata-table design), same surface. */
+private class StoreMetaTable(pathStr: String, kind: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+  override def name(): String = s"graft_store_meta($pathStr,$kind)"
+
+  override def schema(): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("min_k", LongType, nullable = true),
+      StructField("max_k", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = true),
+      StructField("part", StringType, nullable = true),
+      StructField("has_dv", IntegerType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("part", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("ts_ms", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
+  }
+
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = StoreMetaTable.this.schema()
+      override def rows(): Array[InternalRow] = {
+        val root = new org.apache.hadoop.fs.Path(pathStr)
+        val fsys = StoreSink.fs(root)
+        def str(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        kind match {
+          case "files" =>
+            StoreSink.readEntries(root, fsys).map { e =>
+              InternalRow(str(e.name), e.rows,
+                e.minK.map(java.lang.Long.valueOf).orNull,
+                e.maxK.map(java.lang.Long.valueOf).orNull,
+                e.bytes.map(java.lang.Long.valueOf).orNull,
+                e.part.map(str).orNull,
+                if (e.dv.isDefined) 1 else 0)
+            }.toArray
+          case "partitions" =>
+            StoreSink.readEntries(root, fsys).filter(_.part.isDefined)
+              .groupBy(_.part.get).toSeq.sortBy(_._1).map { case (p, es) =>
+                InternalRow(str(p), es.size.toLong,
+                  es.map(e => math.max(e.rows, 0L)).sum)
+              }.toArray
+          case "history" =>
+            StoreSink.history(pathStr).map { case (v, ts, nf, nr) =>
+              InternalRow(v.toLong, ts, nf, nr)
+            }.toArray
+        }
+      }
+    }
 }
 
 /** The staged half of an atomic CTAS: a store table whose write commit is

@@ -1524,6 +1524,47 @@ object Sources extends OpModule {
       }
     }),
 
+    // METADATA INSPECTION TABLES (the Iceberg t.files/t.partitions/
+    // t.history surface): manifest facts as ordinary relations —
+    // `SELECT ... FROM graft.`store$partitions`` composes with joins and
+    // aggregates, is served from the manifest tree only (zero data
+    // reads), and is how an operator audits layout (rows per partition,
+    // file counts, version history) without any bespoke tooling. Flags
+    // pin cross-table consistency: files, partitions, and the table
+    // itself must agree on row totals.
+    "q_store_inspect" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeinspect")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).option("partitionedBy", "identity:grp").save()
+      withStorePath(s, path) {
+        val parts = s.sql(
+          "SELECT part, n_rows FROM graft.`store$partitions` ORDER BY part")
+          .collect()
+        val files = s.sql(
+          "SELECT COUNT(*) AS nf, SUM(rows) AS nr FROM graft.`store$files`")
+          .collect()(0)
+        val tableRows = s.table("graft.store").count()
+        val partRows = parts.map(_.getLong(1)).sum
+        val consistent =
+          if (files.getLong(1) == tableRows && partRows == tableRows) 1L else 0L
+        val nVersions = s.sql("SELECT COUNT(*) FROM graft.`store$history`")
+          .collect()(0).getLong(0)
+        val rows = parts.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_consistent", consistent),
+          org.apache.spark.sql.Row("z_files_cover", if (files.getLong(0) >= 3) 1L else 0L),
+          org.apache.spark.sql.Row("z_versions", nVersions))
+        val schema = StructType(Seq(
+          StructField("part", StringType), StructField("n_rows", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("part"))
+      }
+    }),
+
     // CHECK CONSTRAINTS as table metadata (the Delta contract): ALTER
     // TABLE ADD CONSTRAINT first VALIDATES existing data (a declaration
     // the table violates is refused — Spark's AddCheckConstraintExec
@@ -1793,6 +1834,16 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_ctas_atomic', 1, 0, 0
         |UNION ALL SELECT 'z_dropped', 1, 0, 0
         |ORDER BY grp""".stripMargin,
+
+    // partitions-table rows = per-status counts; consistency flags pin
+    // that files/partitions/table agree
+    "q_store_inspect" ->
+      """SELECT o_orderstatus AS part, COUNT(*) AS n_rows
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_consistent', 1
+        |UNION ALL SELECT 'z_files_cover', 1
+        |UNION ALL SELECT 'z_versions', 1
+        |ORDER BY part""".stripMargin,
 
     // the gate's effect relationally: the violating insert never lands,
     // the valid one and the post-drop negative one do
