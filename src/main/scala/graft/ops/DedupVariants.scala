@@ -289,6 +289,35 @@ object DedupVariants extends OpModule {
       top.unionByName(tot).orderBy(col("n_occ").desc, col("chunk_hash"))
     }),
 
+    // SOFT dedup (the SoftDeDup idea: arXiv 2407.06654 — down-WEIGHT
+    // commonly-duplicated content instead of dropping whole documents,
+    // which loses the unique spans inside mostly-duplicate docs): per
+    // document, the fraction of its content-defined chunks whose hash
+    // appears in MORE THAN ONE document, mapped to a sampling weight in
+    // exact integer e4 units (up to 80% downweight — truncating div, both
+    // engines agree). Cost is the same one chunk-hash shuffle q_chunk_cdc
+    // pays — (doc_id, hash) pairs, text never moves — plus a bounded
+    // per-hash doc count; keys scale with the corpus (the blocking-key
+    // rule). Downstream, q_sample_weighted consumes exactly this shape.
+    "q_dedup_soft" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashes.cdcChunks(3, 8)(
+            split(trim(col("text")), " "))).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+        .distinct()
+      val docsPerChunk = pairs.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      pairs.join(docsPerChunk, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"),
+          expr("n_dup * 10000L div n_chunks").as("dup_frac_e4"))
+        .withColumn("weight_e4", expr("10000L - dup_frac_e4 * 8L div 10L"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental chunk-store ingest (q_chunk_cdc's production flow, the
     // chunk-granular twin of q_dedup_incr's signature-index shape): a new
     // BATCH of documents (doc_id ≡ 0 mod 10) is chunked by the same gear
@@ -495,6 +524,32 @@ object DedupVariants extends OpModule {
         |  CAST(SUM(CASE WHEN n_occ > 1 THEN (n_occ - 1) * tok_len ELSE 0 END) AS BIGINT)
         |FROM agg
         |ORDER BY n_occ DESC, chunk_hash""".stripMargin,
+
+    // same gear rule; a doc's weight from its cross-doc duplicated-chunk
+    // fraction, all integer units
+    "q_dedup_soft" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |cuts AS (SELECT doc_id, toks,
+        |    LIST_FILTER(RANGE(3, LEN(toks)), i ->
+        |      CAST(('0x' || SUBSTR(md5(ARRAY_TO_STRING(
+        |        toks[CAST(i - 2 AS INTEGER):CAST(i AS INTEGER)], ' ')), 1, 7)) AS BIGINT) % 8 = 0) AS cuts
+        |  FROM base),
+        |bs AS (SELECT doc_id, toks,
+        |    LIST_PREPEND(CAST(0 AS BIGINT), LIST_APPEND(cuts, CAST(LEN(toks) AS BIGINT))) AS bs
+        |  FROM cuts),
+        |chunks AS (SELECT doc_id,
+        |    ARRAY_TO_STRING(toks[CAST(bs[CAST(j AS INTEGER)] + 1 AS INTEGER)
+        |                         :CAST(bs[CAST(j AS INTEGER) + 1] AS INTEGER)], ' ') AS chunk
+        |  FROM bs, UNNEST(RANGE(1, LEN(bs))) AS t(j)),
+        |pairs AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM chunks),
+        |dpc AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM pairs GROUP BY h),
+        |m AS (SELECT p.doc_id, COUNT(*) AS n_chunks,
+        |    SUM(CASE WHEN dpc.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM pairs p JOIN dpc USING (h) GROUP BY p.doc_id)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_dup * 10000 // n_chunks AS BIGINT) AS dup_frac_e4,
+        |  CAST(10000 - (n_dup * 10000 // n_chunks) * 8 // 10 AS BIGINT) AS weight_e4
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // same gear rule, batch (doc_id≡0 mod 10) vs corpus-index split
     "q_dedup_chunk_incr" ->

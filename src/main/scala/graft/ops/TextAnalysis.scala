@@ -19,6 +19,39 @@ import org.apache.spark.sql.functions._
 object TextAnalysis extends OpModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The GOPHER quality-rule battery (Rae et al. 2021, "Scaling Language
+    // Models" §A1.1.1 — the most-cited heuristic filter set for web-scale
+    // pretraining corpora): word-count bounds, mean-word-length bounds,
+    // stop-word floor, and alphabetic-word fraction, each computed in
+    // EXACT integer units (e2/e4 fixed point, truncating div — both
+    // engines agree on non-negatives) so the pass/fail bit is
+    // reproducible. One linear scan, pure column expressions; the two
+    // token-level counts use SQL lambdas (interpreted per element — fine
+    // off the hot path; a JVM kernel is the TextHashes escape hatch if
+    // this ever joins the bench set). Composes upstream of q_data_mix /
+    // q_dataset_split exactly as the paper's pipeline does.
+    "q_quality_gopher" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), trim(col("text")).as("t"))
+        .withColumn("toks", split(col("t"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          length(regexp_replace(col("t"), " ", "")).cast("long").as("wlen"),
+          expr("cast(size(filter(toks, x -> x IN ('the','be','to','of'," +
+            "'and','that','have','with'))) as bigint)").as("n_stop"),
+          expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as bigint)")
+            .as("n_alpha"))
+        .select(col("doc_id"), col("n_words"),
+          expr("wlen * 100 div n_words").as("mean_wlen_e2"), col("n_stop"),
+          expr("n_alpha * 10000 div n_words").as("alpha_e4"),
+          expr("""cast(case when n_words between 50 and 100000
+                 and wlen * 100 div n_words between 300 and 1000
+                 and n_stop >= 2
+                 and n_alpha * 10000 div n_words >= 7000
+                 then 1 else 0 end as bigint)""").as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Self-trained profile language ID: top-20 tokens per lang → classify
     // each doc by profile overlap (ties: lexicographic lang — D3).
     "q_lang_id" -> ((s, d) => {
@@ -842,6 +875,27 @@ object TextAnalysis extends OpModule {
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // the whole rule battery in exact integer units — the pass bit is the
+    // contract, not just the intermediate stats
+    "q_quality_gopher" ->
+      """WITH base AS (SELECT doc_id, TRIM(text) AS t,
+        |    STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(LEN(toks) AS BIGINT) AS n_words,
+        |    CAST(LEN(REPLACE(t, ' ', '')) AS BIGINT) AS wlen,
+        |    CAST(LEN(LIST_FILTER(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop,
+        |    CAST(LEN(LIST_FILTER(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha
+        |  FROM base)
+        |SELECT doc_id, n_words,
+        |  wlen * 100 // n_words AS mean_wlen_e2, n_stop,
+        |  n_alpha * 10000 // n_words AS alpha_e4,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND wlen * 100 // n_words BETWEEN 300 AND 1000
+        |    AND n_stop >= 2
+        |    AND n_alpha * 10000 // n_words >= 7000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "q_lang_id" -> langIdSql,
 
     "q_bm25" -> bm25Sql,

@@ -865,10 +865,12 @@ object StreamOps extends OpModule {
               if (fsys.exists(idxPath))
                 ch.join(s.read.parquet(idx), Seq("h"), "left_anti")
               else ch
-            val before =
-              if (fsys.exists(idxPath)) s.read.parquet(idx).count() else 0L
-            novel.coalesce(1).write.mode("append").parquet(idx)
-            novelPerBatch += s.read.parquet(idx).count() - before
+            // one anti-join pass total: the novel set is BOUNDED (distinct
+            // new hashes), so an eager localCheckpoint lets the append and
+            // the audit count share it instead of re-running the join
+            val nv = novel.localCheckpoint()
+            nv.coalesce(1).write.mode("append").parquet(idx)
+            novelPerBatch += nv.count()
             ()
           }
           .option("checkpointLocation", chk)
