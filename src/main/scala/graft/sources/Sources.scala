@@ -959,6 +959,52 @@ object Sources extends OpModule {
       }
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE over the change feed — what CDF is
+    // FOR: a downstream aggregate (the materialized view) is advanced
+    // from v1 to the current state by folding in the NET row deltas
+    // (inserts add, deletes subtract; an update's delete+insert pair
+    // nets to its measure change), then checked bit-for-bit against a
+    // direct recompute. Cost of the refresh is changes()'s bounded
+    // CHANGED-files read + a delta-sized aggregate — at 100 TB the MV
+    // refresh never rescans the table, which is the entire economics of
+    // maintaining downstream marts off a CDC-ing store.
+    "q_store_ivm" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeivm")
+      val (_, maxK) = seedStore(s, d, path) // v1
+      withStorePath(s, path) {
+        def aggOf(df: DataFrame) = df.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        // the materialized view at v1 (bounded: one row per grp)
+        val mv0 = aggOf(s.table("graft.store")).localCheckpoint()
+        // CDC against the store: delete, update, insert
+        s.sql("DELETE FROM graft.store WHERE k % 89 = 0")
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 100 WHERE k % 97 = 0")
+        s.sql(s"INSERT INTO graft.store VALUES (${maxK + 1}, 'NEW', 111), " +
+              s"(${maxK + 2}, 'NEW', 222)")
+        // refresh: fold the net deltas since v1 into the view
+        val delta = graft.sources.StoreSink.changes(s, path, 1)
+          .groupBy(col("grp"))
+          .agg(sum(when(col("op") === "insert", 1L).otherwise(-1L)).as("dn"),
+               sum(when(col("op") === "insert", col("amt_cents"))
+                 .otherwise(-col("amt_cents"))).as("dsum"))
+        val ivm = mv0.join(delta, Seq("grp"), "full_outer")
+          .select(col("grp"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("sum_cents"), lit(0L)) +
+              coalesce(col("dsum"), lit(0L))).as("sum_cents"))
+          .where(col("n") > 0)
+        val direct = aggOf(s.table("graft.store"))
+        val matches = ivm.exceptAll(direct).isEmpty && direct.exceptAll(ivm).isEmpty
+        val rows = direct.collect().toSeq :+
+          org.apache.spark.sql.Row("z_ivm_match", if (matches) 1L else 0L, 0L)
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
     // Per-file GRP BLOOM pruning — the zone maps' sibling for the
     // unordered dimension column: a (grp, k) range-clustered layout makes
     // files grp-homogeneous, the manifest's 64-bit per-file bloom records
@@ -1833,6 +1879,21 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_ctas_failed_loudly', 1, 0, 0
         |UNION ALL SELECT 'z_ctas_atomic', 1, 0, 0
         |UNION ALL SELECT 'z_dropped', 1, 0, 0
+        |ORDER BY grp""".stripMargin,
+
+    // the refreshed view must equal the direct recompute of the
+    // post-CDC state — expressed relationally
+    "q_store_ivm" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |kept AS (SELECT grp,
+        |    amt + CASE WHEN k % 97 = 0 THEN 100 ELSE 0 END AS amt
+        |  FROM base WHERE k % 89 <> 0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM kept GROUP BY grp
+        |UNION ALL SELECT 'NEW', 2, 333
+        |UNION ALL SELECT 'z_ivm_match', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // partitions-table rows = per-status counts; consistency flags pin
