@@ -58,19 +58,23 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     * (versions_kept, live_files), not a silent side effect. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("compact", "history", "tag", "vacuum").map(Identifier.of(Array.empty, _))
+    Array("abandon", "compact", "history", "publish", "tag", "vacuum")
+      .map(Identifier.of(Array.empty, _))
   }
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     if (!inDefaultNs(ident))
       throw new NoSuchTableException(ident) // no namespaced procedures
     ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "abandon" => AbandonProcedure
       case "compact" => CompactProcedure
       case "history" => HistoryProcedure
+      case "publish" => PublishProcedure
       case "tag"     => TagProcedure
       case "vacuum"  => VacuumProcedure
       case _ => throw new UnsupportedOperationException(
-        s"unknown procedure ${ident.name()} (compact | history | tag | vacuum)")
+        s"unknown procedure ${ident.name()} " +
+          "(abandon | compact | history | publish | tag | vacuum)")
     }
   }
 
@@ -517,6 +521,58 @@ private object HistoryProcedure
       }
     util.Collections.singletonList(scan).iterator()
   }
+}
+
+/** Shared shape of the two WAP branch procedures: (path, branch name) in,
+  * a one-row audit out. */
+private sealed abstract class BranchProcedure(procName: String,
+                                              resultCols: (String, String))
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = procName
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("branch", org.apache.spark.sql.types.StringType).build())
+
+  protected def run(path: String, branch: String): (Long, Long)
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val (a, b) = run(input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          org.apache.spark.sql.types.StructField(resultCols._1, LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(resultCols._2, LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(InternalRow(a, b))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.publish(path, branch)` — fold an audited WAP branch into
+  * main in one versioned manifest swap. */
+private object PublishProcedure
+    extends BranchProcedure("publish", ("files_published", "rows_published")) {
+  override def description(): String =
+    "fold a write-audit-publish branch's staged files into the main manifest"
+  override protected def run(path: String, branch: String): (Long, Long) =
+    StoreSink.publish(path, branch)
+}
+
+/** `CALL graft.abandon(path, branch)` — discard a WAP branch; vacuum GCs
+  * its never-visible files. */
+private object AbandonProcedure
+    extends BranchProcedure("abandon", ("files_dropped", "rows_dropped")) {
+  override def description(): String =
+    "discard a write-audit-publish branch (staged files GC on next vacuum)"
+  override protected def run(path: String, branch: String): (Long, Long) =
+    (StoreSink.abandon(path, branch), 0L)
 }
 
 private object VacuumProcedure

@@ -959,6 +959,69 @@ object Sources extends OpModule {
       }
     }),
 
+    // WRITE-AUDIT-PUBLISH branches (the Iceberg/Nessie WAP pattern): an
+    // ingest job appends onto a BRANCH — its files commit to a side
+    // manifest and stay INVISIBLE to main readers (visibility is manifest
+    // membership, so isolation is free) — an audit reads the branch view
+    // (main ∪ staged) and validates, then `CALL graft.publish` folds the
+    // entries into main in one versioned metadata swap. A bad batch is
+    // `CALL graft.abandon`-ed WITHOUT ever having been visible, and
+    // vacuum GCs its orphaned files. At 100 TB this is how production
+    // pipelines gate data quality: the audit runs against real committed
+    // bytes, publish costs one manifest write, and rollback is "don't
+    // publish".
+    "q_store_wap" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storewap")
+      val (base, maxK) = seedStore(s, d, path)
+      withStorePath(s, path) {
+        val fmtS = "graft.sources.StoreSink"
+        // a bad batch staged on its own branch, then abandoned: never visible
+        import s.implicits._
+        Seq((maxK * 2 + 100, "BAD", -1L)).toDF("k", "grp", "amt_cents")
+          .coalesce(1).write.format(fmtS).mode("append")
+          .option("path", path).option("branch", "bad").save()
+        val abandoned = s.sql(s"CALL graft.abandon('$path', 'bad')")
+          .collect()(0).getLong(0)
+        // the real ingest batch, staged on branch 'ingest'
+        base.where(pmod(col("k"), lit(101)) === 0)
+          .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+                  (col("k") * 10).as("amt_cents"))
+          .write.format(fmtS).mode("append")
+          .option("path", path).option("branch", "ingest").save()
+        val seedN = base.count()
+        val stagedN = base.where(pmod(col("k"), lit(101)) === 0).count()
+        // WRITE is invisible to main; AUDIT sees main ∪ staged and validates
+        val invisible = s.table("graft.store").count() == seedN
+        val branchView = s.read.format(fmtS).option("path", path)
+          .option("branch", "ingest").load()
+        val auditSees = branchView.count() == seedN + stagedN
+        val auditClean = branchView.where(col("amt_cents") < 0).count() == 0
+        s.sql(s"CALL graft.publish('$path', 'ingest')")
+        // the abandoned batch's files GC with the next vacuum; afterwards
+        // every on-disk data file is manifest-referenced
+        graft.sources.StoreSink.vacuum(path, 999)
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        val gcClean = graft.sources.StoreSink.listDataFiles(root, fsys).toSet ==
+          graft.sources.StoreSink.readEntries(root, fsys)
+            .flatMap(e => e.name +: e.dv.toSeq).toSet
+        val agg = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_abandon_gc",
+            if (abandoned == 1L && gcClean) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_audit",
+            if (auditSees && auditClean) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_invisible", if (invisible) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
     // INCREMENTAL VIEW MAINTENANCE over the change feed — what CDF is
     // FOR: a downstream aggregate (the materialized view) is advanced
     // from v1 to the current state by folding in the NET row deltas
@@ -1879,6 +1942,21 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_ctas_failed_loudly', 1, 0, 0
         |UNION ALL SELECT 'z_ctas_atomic', 1, 0, 0
         |UNION ALL SELECT 'z_dropped', 1, 0, 0
+        |ORDER BY grp""".stripMargin,
+
+    // final state = seed ∪ published batch; the abandoned batch never
+    // surfaces; flags pin isolation, audit, and GC
+    "q_store_wap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |ins AS (SELECT 'NEW' AS grp, k * 10 AS amt FROM base WHERE k % 101 = 0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM (SELECT grp, amt FROM base UNION ALL SELECT grp, amt FROM ins)
+        |GROUP BY grp
+        |UNION ALL SELECT 'z_abandon_gc', 1, 0
+        |UNION ALL SELECT 'z_audit', 1, 0
+        |UNION ALL SELECT 'z_invisible', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // the refreshed view must equal the direct recompute of the

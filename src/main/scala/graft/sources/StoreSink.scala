@@ -776,8 +776,11 @@ object StoreSink {
       val physicals = retained.map(v => readVersionPhysical(root, fsys, v)) :+
         readListLines(root, fsys)
       // data files AND their deletion-vector sidecars (dv names share the
-      // part- prefix, so the sweep below GCs unreferenced vectors too)
-      val referenced = physicals.flatMap(expand(root, fsys, _))
+      // part- prefix, so the sweep below GCs unreferenced vectors too);
+      // LIVE BRANCHES pin their staged files — only abandon() releases them
+      val branchLines = listBranches(root, fsys)
+        .flatMap(b => readBranchLines(root, fsys, b))
+      val referenced = (physicals.flatMap(expand(root, fsys, _)) ++ branchLines)
         .filterNot(_.startsWith("#")).map(parseEntry)
         .flatMap(e => e.name +: e.dv.toSeq).toSet
       // segment files referenced by any RETAINED list survive; the rest are
@@ -992,6 +995,93 @@ object StoreSink {
       require(fsys.rename(new Path(staging, m.staged), dst),
         s"failed to promote ${m.staged} -> ${m.name}")
     }
+
+  // ------------------------------------------------- WAP branches
+  /** WRITE-AUDIT-PUBLISH branches: an append targeted at a branch commits
+    * its entries to a side manifest (`_manifest.b<name>`) instead of the
+    * main list — the data files promote into the table directory as
+    * usual but stay INVISIBLE to main readers (visibility is manifest
+    * membership, the protocol's core invariant doing double duty). An
+    * audit reads `option("branch", name)` — main ∪ staged — and
+    * `CALL graft.publish(path, name)` folds the branch's entries into the
+    * main manifest in one ordinary versioned swap (pure-append branches
+    * cannot conflict); `CALL graft.abandon` deletes the side manifest and
+    * vacuum GCs the orphaned files. This is the Iceberg/Nessie WAP
+    * pattern: bad data is auditable and discardable WITHOUT ever having
+    * been visible, and publish is metadata-only. Branch manifests are
+    * FLAT (publish folds them through the ordinary tree-building swap)
+    * and branch writes are append-only by contract. */
+  private[sources] def branchFile(name: String): String = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid branch name: $name")
+    s"_manifest.b$name"
+  }
+
+  private[sources] def readBranchLines(root: Path, fsys: FileSystem,
+                                       name: String): Seq[String] = {
+    val raw = manifestFs(fsys)
+    val bf = new Path(root, branchFile(name))
+    if (!raw.exists(bf)) return Nil
+    val in = raw.open(bf)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  private[sources] def writeBranchAtomic(root: Path, fsys: FileSystem,
+                                         name: String, lines: Seq[String]): Unit = {
+    val raw = manifestFs(fsys)
+    val tmp = new Path(root, branchFile(name) + ".tmp")
+    val out = raw.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = raw.makeQualified(new Path(root, branchFile(name)))
+    if (dst.toUri.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(raw.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, raw.getConf)
+      fc.rename(raw.makeQualified(tmp), dst,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  private[sources] def listBranches(root: Path, fsys: FileSystem): Seq[String] =
+    manifestFs(fsys).listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("_manifest.b") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("_manifest.b")).toSeq.sorted
+
+  /** Fold a branch into main: one versioned manifest swap; the branch ref
+    * dies with the publish. Returns (files, rows) published. */
+  def publish(pathStr: String, name: String): (Long, Long) = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    var stats = (0L, 0L)
+    withCommitLock(root, fsys) {
+      val entries = readBranchLines(root, fsys, name)
+      require(entries.nonEmpty, s"branch $name does not exist or is empty")
+      writeManifestAtomic(root, fsys, readManifestLines(root, fsys) ++ entries)
+      manifestFs(fsys).delete(new Path(root, branchFile(name)), false)
+      stats = (entries.size.toLong,
+        entries.map(l => math.max(parseEntry(l).rows, 0L)).sum)
+    }
+    stats
+  }
+
+  /** Discard a branch: delete its ref; the staged files become
+    * unreferenced and the next vacuum GCs them. Returns files dropped. */
+  def abandon(pathStr: String, name: String): Long = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    withCommitLock(root, fsys) {
+      val n = readBranchLines(root, fsys, name).size.toLong
+      manifestFs(fsys).delete(new Path(root, branchFile(name)), false)
+      n
+    }
+  }
 
   /** Serializable manifest update: under the commit lock, hand the FRESH
     * manifest lines to `build` and swap in its result. Every concurrent
@@ -1491,7 +1581,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(pathStr, version,
       Option(options.get("files")).map(_.split(",").toSeq.filter(_.nonEmpty)),
-      tblSchema)
+      tblSchema, Option(options.get("branch")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
@@ -1798,10 +1888,13 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
         new StoreBatchWrite(pathStr, info.queryId(), doTruncate,
           info.options().getBoolean("preserveMarkers", false), info.schema(),
           Option(info.options().get("replace"))
-            .map(_.split(",").filter(_.nonEmpty).toSet), spec)
+            .map(_.split(",").filter(_.nonEmpty).toSet), spec,
+          Option(info.options().get("branch")))
       override def toStreaming: StreamingWrite = {
         require(!doTruncate,
           "graft-store streaming write is append-only (no Complete-mode truncate)")
+        require(info.options().get("branch") == null,
+          "graft-store branch writes are batch appends (WAP); streaming targets main")
         new StoreStreamingWrite(pathStr, info.queryId(), info.schema(), spec)
       }
     }
@@ -1812,7 +1905,8 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
                               preserveMarkers: Boolean = false,
                               dataSchema: StructType = StoreSink.schema,
                               replaceFiles: Option[Set[String]] = None,
-                              spec: Option[StoreSink.PartSpec] = None)
+                              spec: Option[StoreSink.PartSpec] = None,
+                              branch: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1827,6 +1921,20 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
     // commit coordinator failed us — refuse rather than double-count
     require(committed.map(_.staged).distinct.size == committed.size,
       s"duplicate commit messages: ${committed.map(_.staged)}")
+    // WAP: a branch-targeted append commits its entries to the branch
+    // manifest — the promoted files stay invisible to main until publish
+    branch.foreach { b =>
+      require(!truncate && replaceFiles.isEmpty,
+        "graft-store branch writes are append-only (write-audit-publish)")
+      StoreSink.withCommitLock(root, fsys) {
+        val staging = new Path(root, StoreSink.Staging)
+        StoreSink.promote(root, fsys, staging, committed)
+        StoreSink.writeBranchAtomic(root, fsys, b,
+          StoreSink.readBranchLines(root, fsys, b) ++ committed.map(_.entry.line))
+        StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
+      }
+      return
+    }
     StoreSink.withCommitLock(root, fsys) {
       val staging = new Path(root, StoreSink.Staging)
       StoreSink.promote(root, fsys, staging, committed)
@@ -2046,7 +2154,8 @@ private class StoreDataWriter(pathStr: String, fileName: String,
 
 private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
                                explicitFiles: Option[Seq[String]] = None,
-                               table: StructType = StoreSink.schema)
+                               table: StructType = StoreSink.schema,
+                               branch: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -2078,6 +2187,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     * belt-and-braces. */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (explicitFiles.isDefined) return false
+    if (branch.isDefined) return false // branch view: manifest totals lie
     if (zoneFilters.nonEmpty || kLo.isDefined || kHi.isDefined ||
         grpConjuncts.nonEmpty) return false
     if (agg.groupByExpressions.nonEmpty) return false
@@ -2157,7 +2267,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new StoreAggScan(pathStr, aggFuncs, aggValues)
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
-      explicitFiles, table, grpValues, kValues)
+      explicitFiles, table, grpValues, kValues, branch)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -2235,10 +2345,18 @@ private class StoreScan(pathStr: String,
                         explicitFiles: Option[Seq[String]] = None,
                         table: StructType = StoreSink.schema,
                         grpValues: Seq[Array[String]] = Nil,
-                        kValues: Seq[Array[Long]] = Nil)
+                        kValues: Seq[Array[Long]] = Nil,
+                        branch: Option[String] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
+
+  /** Branch (WAP audit) view: the staged side manifest's entries, spliced
+    * after main's. Flat lines, full zone/bloom stats — every pruning path
+    * applies to staged files too. */
+  private def branchEntries(root: Path, fsys: FileSystem): Seq[StoreSink.StoreFileEntry] =
+    branch.toSeq.flatMap(b => StoreSink.readBranchLines(root, fsys, b))
+      .filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
 
   /** Table partition spec, bound once per scan. */
   private lazy val spec: Option[StoreSink.PartSpec] = {
@@ -2328,16 +2446,18 @@ private class StoreScan(pathStr: String,
       }
     }
     StoreSink.lastSegPlan = Some((segsTotal, segsRead))
-    (total, candidates)
+    val staged = branchEntries(root, fsys)
+    (total + staged.size, candidates ++ staged)
   }
 
-  /** Entries of the pinned snapshot, or the current manifest. */
+  /** Entries of the pinned snapshot, or the current manifest (plus the
+    * audited branch's staged entries, when reading a branch view). */
   protected def currentEntries(root: Path, fsys: FileSystem): Seq[StoreSink.StoreFileEntry] =
-    version match {
+    (version match {
       case Some(v) => StoreSink.readVersionLines(root, fsys, v)
         .filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
       case None => StoreSink.readEntries(root, fsys)
-    }
+    }) ++ branchEntries(root, fsys)
 
   /** Realized runtime join keys (sorted), when DPP handed any. */
   @volatile private var runtimeKeys: Option[Array[Long]] = None
