@@ -58,8 +58,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     * (versions_kept, live_files), not a silent side effect. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("abandon", "compact", "history", "publish", "tag", "vacuum")
-      .map(Identifier.of(Array.empty, _))
+    Array("abandon", "compact", "history", "publish", "rollback", "tag",
+      "vacuum").map(Identifier.of(Array.empty, _))
   }
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -70,11 +70,12 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "compact" => CompactProcedure
       case "history" => HistoryProcedure
       case "publish" => PublishProcedure
+      case "rollback" => RollbackProcedure
       case "tag"     => TagProcedure
       case "vacuum"  => VacuumProcedure
       case _ => throw new UnsupportedOperationException(
         s"unknown procedure ${ident.name()} " +
-          "(abandon | compact | history | publish | tag | vacuum)")
+          "(abandon | compact | history | publish | rollback | tag | vacuum)")
     }
   }
 
@@ -573,6 +574,19 @@ private object AbandonProcedure
     "discard a write-audit-publish branch (staged files GC on next vacuum)"
   override protected def run(path: String, branch: String): (Long, Long) =
     (StoreSink.abandon(path, branch), 0L)
+}
+
+/** `CALL graft.rollback(path, version)` — publish an archived generation's
+  * content as a NEW version: undo without history rewrite (the bad
+  * generation stays time-travelable; the rollback is itself a
+  * ledger-stamped commit). */
+private object RollbackProcedure
+    extends StoreProcedure("rollback", ("restored_version", "new_version")) {
+  override protected def argName = "version"
+  override protected def run(path: String, arg: Long): (Long, Long) =
+    StoreSink.rollback(path, arg.toInt)
+  override def description(): String =
+    "restore an archived version's content as a new commit (history preserved)"
 }
 
 private object VacuumProcedure

@@ -959,6 +959,39 @@ object Sources extends OpModule {
       }
     }),
 
+    // ROLLBACK as a forward commit (the Iceberg contract): restoring v1
+    // after a bad delete publishes v1's CONTENT as a new version — undo
+    // without history rewrite, so the bad generation stays
+    // time-travelable for the postmortem while every current reader sees
+    // the restored data. Metadata-only (content-addressed segments are
+    // reused byte-for-byte); at 100 TB "undo the bad load" costs one
+    // manifest swap, not a restore job.
+    "q_store_rollback" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storerb")
+      seedStore(s, d, path) // v1
+      withStorePath(s, path) {
+        s.sql("DELETE FROM graft.store WHERE grp = 'F'") // v2: the bad commit
+        val rb = s.sql(s"CALL graft.rollback('$path', 1)").collect()(0)
+        val rolled = rb.getLong(0) == 1L && rb.getLong(1) == 3L
+        // the bad generation is still auditable; current state is v1's
+        val v2F = s.sql("SELECT COUNT(*) AS n FROM graft.store VERSION AS OF 2 " +
+            "WHERE grp = 'F'").collect()(0).getLong(0)
+        val nVersions = graft.sources.StoreSink.history(path).size.toLong
+        val agg = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_bad_gen_kept",
+            if (v2F == 0L && nVersions == 3L) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_rolled", if (rolled) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
     // WRITE-AUDIT-PUBLISH branches (the Iceberg/Nessie WAP pattern): an
     // ingest job appends onto a BRANCH — its files commit to a side
     // manifest and stay INVISIBLE to main readers (visibility is manifest
@@ -1942,6 +1975,16 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_ctas_failed_loudly', 1, 0, 0
         |UNION ALL SELECT 'z_ctas_atomic', 1, 0, 0
         |UNION ALL SELECT 'z_dropped', 1, 0, 0
+        |ORDER BY grp""".stripMargin,
+
+    // rollback restores v1's content exactly; flags pin the preserved
+    // bad generation and the forward-commit version numbers
+    "q_store_rollback" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_bad_gen_kept', 1, 0
+        |UNION ALL SELECT 'z_rolled', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // final state = seed ∪ published batch; the abandoned batch never

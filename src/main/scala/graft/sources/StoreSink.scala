@@ -1071,6 +1071,27 @@ object StoreSink {
     stats
   }
 
+  /** ROLLBACK: restore the table to an archived generation by publishing
+    * that version's PHYSICAL list as a NEW version — history is never
+    * erased (the bad generation stays time-travelable and auditable; the
+    * rollback itself is a ledger-stamped commit), which is the
+    * Iceberg-rollback contract and the difference between "undo" and
+    * "rewrite history". Metadata-only: segment pointers are content-
+    * addressed, so the restored list reuses the old segments byte-for-
+    * byte. Returns (restored version, new version). */
+  def rollback(pathStr: String, toVersion: Int): (Long, Long) = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    withCommitLock(root, fsys) {
+      // readVersionLines fails loudly on a vacuumed/unknown version; the
+      // swap reseals the logical lines — content-addressed segments make
+      // the reseal reuse the old generation's segment files byte-for-byte
+      val target = readVersionLines(root, fsys, toVersion)
+      writeManifestAtomic(root, fsys, target)
+      (toVersion.toLong, listVersions(root, fsys).last.toLong)
+    }
+  }
+
   /** Discard a branch: delete its ref; the staged files become
     * unreferenced and the next vacuum GCs them. Returns files dropped. */
   def abandon(pathStr: String, name: String): Long = {
