@@ -2370,7 +2370,31 @@ private class StoreScan(pathStr: String,
                         branch: Option[String] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
+
+  /** SORT-ORDER report (SupportsReportOrdering): partitioned-store files
+    * are key-sorted by construction (the write's required ordering), so
+    * when every partition VALUE holds exactly one file — the layout the
+    * required write distribution produces and compaction restores — the
+    * scan declares per-partition `k ASC` and a storage-partitioned merge
+    * join drops its Sort nodes too: fully exchange-free AND sort-free.
+    * Multiple files per value would concatenate unordered inside a key
+    * group, so the claim is withdrawn (empty) the moment the layout
+    * fragments — correctness first, the report is pure opportunity. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    val ok = spec.isDefined && explicitFiles.isEmpty && {
+      val entries = currentEntries(root, fsys)
+      entries.nonEmpty && entries.forall(_.part.isDefined) &&
+        entries.groupBy(_.part.get).values.forall(_.size == 1)
+    }
+    if (ok)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column("k"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
+  }
 
   /** Branch (WAP audit) view: the staged side manifest's entries, spliced
     * after main's. Flat lines, full zone/bloom stats — every pruning path

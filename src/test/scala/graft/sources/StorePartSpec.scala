@@ -106,6 +106,11 @@ class StorePartSpec extends SparkSpec {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed store join still shuffles:\n$plan")
+      // one key-sorted file per bucket (required write distribution) +
+      // SupportsReportOrdering: the merge join needs no Sort operator
+      // (match the node, not the "Sort" inside "SortMergeJoin")
+      assert(!plan.contains("- Sort "),
+        s"bucketed store join still sorts (ordering report ignored):\n$plan")
       val rows = j.collect()
       assert(rows.length == 120 && rows.forall(r => r.getLong(2) == 2 * r.getLong(1)))
       spark.sql("DROP TABLE graft.spj_a")
