@@ -152,6 +152,29 @@ class StorePartSpec extends SparkSpec {
     }
   }
 
+  test("streaming writes route into partition dirs with manifest values") {
+    val dir = freshDir("stream")
+    // fix the spec with a batch overwrite, then stream appends into it
+    df(1 to 10, k => "g" + (k % 2))
+      .write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "identity:grp").save()
+    val feed = s"$dir-feed"; val chk = s"$dir-chk"
+    fs.delete(new Path(feed), true); fs.delete(new Path(chk), true)
+    df(11 to 50, k => "g" + (k % 2)).coalesce(1).write.parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+    val q = spark.readStream.schema(schema).parquet(feed)
+      .writeStream.format(fmt)
+      .option("path", dir).option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val entries = StoreSink.readEntries(new Path(dir), fs)
+    assert(entries.forall(e => e.part.isDefined &&
+      e.name.startsWith(s"grp=${e.part.get}/")),
+      s"streaming append lost partition routing: $entries")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 50)
+    assert(StoreSink.epochCount(dir) >= 1)
+  }
+
   test("bucket pruning: a point-key predicate plans one bucket; delete/vacuum respect dirs") {
     val dir = freshDir("bucket")
     df(1 to 80, _ => "a")
