@@ -152,6 +152,28 @@ class StorePartSpec extends SparkSpec {
     }
   }
 
+  test("a full overwrite may re-partition; vacuum GCs the old layout's dirs") {
+    val dir = freshDir("evolve")
+    df(1 to 40, k => "g" + (k % 2))
+      .write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "bucket:4:k").save()
+    val root = new Path(dir)
+    assert(fs.exists(new Path(root, "k_bucket=1")))
+    // overwrite with a DIFFERENT spec: allowed (append is not)
+    df(1 to 40, k => "g" + (k % 2))
+      .write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "identity:grp").save()
+    val entries = StoreSink.readEntries(root, fs)
+    assert(entries.forall(e => e.name.startsWith("grp=")), entries.toString)
+    assert(StoreSink.readPartSpec(root, fs).map(_.line).contains("identity:grp"))
+    // the old generation stays time-travelable until vacuum; then its
+    // bucket dirs empty out and are removed
+    StoreSink.vacuum(dir, 1)
+    assert(!fs.exists(new Path(root, "k_bucket=1")),
+      "vacuum should GC the superseded layout's partition dirs")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 40)
+  }
+
   test("streaming writes route into partition dirs with manifest values") {
     val dir = freshDir("stream")
     // fix the spec with a batch overwrite, then stream appends into it
