@@ -14,7 +14,10 @@ object Bench {
   private[graft] val headline = Vector(
     "q_scan_pushdown", "q_filter_compound",                          // scan/filter
     "q_join_inner", "q_join_star5", "q_join_broadcast",              // joins
-    "q_join_range", "q_join_range_bucketed", "q_join_range_auto", "q_join_asof",
+    // q_join_range_auto rotated out at 74 entries (BenchLineSpec's 2 KB
+    // stdout-tail guard): _bucketed covers the scale path, _auto stays
+    // inventory-verified
+    "q_join_range", "q_join_range_bucketed", "q_join_asof",
     "q_join_asof_native",                                            // custom merge as-of exec (r8)
     "q_window_funnel", "q_agg_bitmap",                               // chained interval stages + bitmap distinct (r8)
     "q_agg_q1", "q_agg_distinct", "q_agg_percentile",                // aggregation
