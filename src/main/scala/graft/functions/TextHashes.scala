@@ -173,6 +173,33 @@ object TextHashes {
     out.toSeq
   }
 
+  /** One-pass Gopher token stats (q_quality_gopher): counts of stop-word
+    * tokens and fully-alphabetic tokens, returned as (n_stop, n_alpha).
+    * The SQL-lambda formulation interprets its predicate per token (the
+    * interpreted-HOF rule); this is one JVM loop per document with a
+    * hash-set membership probe and a charwise alpha check. */
+  private val GopherStops: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "be", "to", "of", "and", "that", "have", "with").foreach(s.add)
+    s
+  }
+
+  val gopherStats: UserDefinedFunction = udf { (toks: Seq[String]) =>
+    var nStop = 0L; var nAlpha = 0L
+    val it = toks.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      if (GopherStops.contains(t)) nStop += 1
+      var alpha = t.nonEmpty
+      var i = 0
+      while (alpha && i < t.length) {
+        val c = t.charAt(i); alpha = c >= 'a' && c <= 'z'; i += 1
+      }
+      if (alpha) nAlpha += 1
+    }
+    (nStop, nAlpha)
+  }
+
   val simhash60md5: UserDefinedFunction = udf { (sh: Seq[String]) =>
     val counts = new Array[Int](60)
     val md = MessageDigest.getInstance("MD5")

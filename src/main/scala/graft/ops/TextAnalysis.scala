@@ -25,22 +25,21 @@ object TextAnalysis extends OpModule {
     // stop-word floor, and alphabetic-word fraction, each computed in
     // EXACT integer units (e2/e4 fixed point, truncating div — both
     // engines agree on non-negatives) so the pass/fail bit is
-    // reproducible. One linear scan, pure column expressions; the two
-    // token-level counts use SQL lambdas (interpreted per element — fine
-    // off the hot path; a JVM kernel is the TextHashes escape hatch if
-    // this ever joins the bench set). Composes upstream of q_data_mix /
-    // q_dataset_split exactly as the paper's pipeline does.
+    // reproducible. One linear scan; the two token-level counts come from
+    // a single JVM kernel pass (TextHashes.gopherStats — SQL lambdas
+    // interpret their predicate per token, the interpreted-HOF rule).
+    // Composes upstream of q_data_mix / q_dataset_split exactly as the
+    // paper's pipeline does.
     "q_quality_gopher" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), trim(col("text")).as("t"))
         .withColumn("toks", split(col("t"), " "))
+        .withColumn("gs", graft.functions.TextHashes.gopherStats(col("toks")))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_words"),
           length(regexp_replace(col("t"), " ", "")).cast("long").as("wlen"),
-          expr("cast(size(filter(toks, x -> x IN ('the','be','to','of'," +
-            "'and','that','have','with'))) as bigint)").as("n_stop"),
-          expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as bigint)")
-            .as("n_alpha"))
+          col("gs._1").as("n_stop"),
+          col("gs._2").as("n_alpha"))
         .select(col("doc_id"), col("n_words"),
           expr("wlen * 100 div n_words").as("mean_wlen_e2"), col("n_stop"),
           expr("n_alpha * 10000 div n_words").as("alpha_e4"),
