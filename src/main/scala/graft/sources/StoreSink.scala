@@ -1950,6 +1950,13 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
       StoreSink.withCommitLock(root, fsys) {
         val staging = new Path(root, StoreSink.Staging)
         StoreSink.promote(root, fsys, staging, committed)
+        // a branch-first partitioned write still fixes the TABLE's spec:
+        // publish must not surface partition-valued entries into a store
+        // whose sidecar says "unpartitioned"
+        spec.foreach { sp =>
+          if (StoreSink.readPartSpec(root, fsys).isEmpty)
+            StoreSink.writePartSpec(root, fsys, sp)
+        }
         StoreSink.writeBranchAtomic(root, fsys, b,
           StoreSink.readBranchLines(root, fsys, b) ++ committed.map(_.entry.line))
         StoreSink.cleanStaging(root, fsys, queryId, underLock = true)

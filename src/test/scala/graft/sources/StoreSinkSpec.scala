@@ -651,6 +651,27 @@ class StoreSinkSpec extends SparkSpec {
     assert(readBack(dir).size == 78)
   }
 
+  test("vacuum never GCs a live WAP branch's staged files") {
+    val dir = freshDir("wapvac")
+    df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
+    df(21 to 30, "b").coalesce(1).write.format(fmt).mode("append")
+      .option("path", dir).option("branch", "staged").save()
+    val root = new Path(dir)
+    val branchFiles = StoreSink.readBranchLines(root, fs, "staged")
+      .map(StoreSink.parseEntry(_).name)
+    assert(branchFiles.nonEmpty)
+    // aggressive vacuum while the branch is LIVE: staged files must survive
+    StoreSink.vacuum(dir, 1)
+    branchFiles.foreach(f => assert(fs.exists(new Path(dir, f)),
+      s"vacuum deleted live branch file $f"))
+    assert(readBack(dir).size == 20, "branch leaked into main")
+    StoreSink.publish(dir, "staged")
+    assert(readBack(dir).size == 30)
+    // once ABANDONED-equivalent state is gone (published), nothing dangles
+    StoreSink.vacuum(dir, 1)
+    assert(readBack(dir).size == 30)
+  }
+
   test("schema evolution: ALTER adds trailing columns; old files read null-padded") {
     import spark.implicits._
     val dir = freshDir("evolve")
