@@ -840,6 +840,34 @@ object Sources extends OpModule {
       } finally s.catalog.dropTempView(v)
     }),
 
+    // MIRROR-SYNC MERGE — the third MERGE clause family, `WHEN NOT
+    // MATCHED BY SOURCE`: reconcile the store against a full desired
+    // state in ONE statement (matched rows update, new rows insert,
+    // target rows the source no longer carries DELETE — here gated so
+    // 'P' rows are retained, the conditional form). This is the
+    // warehouse mirror/backfill shape; group-wise the rewrite must scan
+    // every target group (absence is a whole-table property — no runtime
+    // group filter can narrow it), which is exactly what the oracle's
+    // relational formulation states.
+    "q_store_merge_sync" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storemergesync")
+      val (base, maxK) = seedStore(s, d, path)
+      val v = s"store_sync_${java.lang.Integer.toHexString(d.hashCode)}"
+      // desired state: every k%3=0 row with a bumped amount, plus one new
+      base.where(pmod(col("k"), lit(3)) === 0)
+        .select(col("k"), col("grp"), (col("amt_cents") + 5).as("amt_cents"))
+        .unionByName(s.range(1).select(lit(maxK + 7).as("k"),
+          lit("NEW").as("grp"), lit(424242L).as("amt_cents")))
+        .createOrReplaceTempView(v)
+      try withStorePath(s, path) {
+        s.sql(s"""MERGE INTO graft.store t USING $v s ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET amt_cents = s.amt_cents
+                 |WHEN NOT MATCHED THEN INSERT (k, grp, amt_cents) VALUES (s.k, s.grp, s.amt_cents)
+                 |WHEN NOT MATCHED BY SOURCE AND t.grp <> 'P' THEN DELETE""".stripMargin)
+        storeSummary(s, path)
+      } finally s.catalog.dropTempView(v)
+    }),
+
     // ZONE-MAP READ through the connector: the manifest's per-file
     // (minK, maxK) stats prune FILE planning for a key-bounded read of the
     // range-clustered store — the parquet row-group-skipping shape on a
@@ -1836,6 +1864,21 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_dv', '-', 1, 0
         |UNION ALL SELECT 'z_no_rewrite', '-', 1, 0
         |ORDER BY v, grp""".stripMargin,
+
+    // mirror-sync applied relationally: k%3=0 rows keep their grp with
+    // the bumped amount, the new key inserts, non-P rows absent from the
+    // source are gone, P survivors keep their original amounts
+    "q_store_merge_sync" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |fin AS (
+        |  SELECT grp, amt + 5 AS amt FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT grp, amt FROM base WHERE k % 3 <> 0 AND grp = 'P'
+        |  UNION ALL SELECT 'NEW', 424242)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY grp ORDER BY grp""".stripMargin,
 
     // zone pruning is a planning rewrite, never semantics
     "q_store_zone_read" ->
