@@ -423,6 +423,30 @@ object TextAnalysis extends OpModule {
         .orderBy(col("cos_e4").desc, col("doc_id")).limit(5)
     }),
 
+    // CONTEXT PACKING — the retrieval stack's last stage: the ranked
+    // candidates (q_bm25's top-20, reused verbatim) are packed into a
+    // generation context under a hard TOKEN BUDGET by rank-ordered
+    // prefix (a running token sum over the ranking window; packing must
+    // preserve ranking contiguity, so it is a prefix cut, not best-fit).
+    // Exactly what a RAG serving layer does between retrieval and the
+    // prompt template. The window is 20 rows — bounded by the candidate
+    // set, never the corpus; the oracle nests the declared bm25 SQL and
+    // applies the same running sum.
+    "q_rag_pack" -> ((s, d) => {
+      val cand = queries("q_bm25")(s, d).select(col("doc_id"), col("bm25_e4"))
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25_e4").desc, col("doc_id"))
+      cand.join(toks, "doc_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .where(col("cum_toks") <= 1200L)
+        .select(col("rank"), col("doc_id"), col("n_toks"), col("cum_toks"),
+                col("bm25_e4"))
+        .orderBy(col("rank"))
+    }),
+
     "q_bm25" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
@@ -898,6 +922,20 @@ object TextAnalysis extends OpModule {
     "q_lang_id" -> langIdSql,
 
     "q_bm25" -> bm25Sql,
+
+    // the ranked prefix under the budget, over the nested bm25 stage
+    "q_rag_pack" ->
+      s"""WITH cand AS (SELECT doc_id, bm25_e4 FROM ($bm25Sql) t),
+        |toks AS (SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(TRIM(text), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |ranked AS (SELECT c.doc_id, c.bm25_e4, toks.n_toks,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c.bm25_e4 DESC, c.doc_id) AS BIGINT) AS rank,
+        |    CAST(SUM(toks.n_toks) OVER (ORDER BY c.bm25_e4 DESC, c.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+        |  FROM cand c JOIN toks USING (doc_id))
+        |SELECT rank, doc_id, n_toks, cum_toks, bm25_e4
+        |FROM ranked WHERE cum_toks <= 1200 ORDER BY rank""".stripMargin,
 
     // both stages are the declared oracles, nested verbatim
     "q_rag_rerank" ->
