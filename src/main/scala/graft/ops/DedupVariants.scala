@@ -318,6 +318,30 @@ object DedupVariants extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // The SOFT-DEDUP weights APPLIED: a reproducible Bernoulli draw keeps
+    // each document with probability weight_e4/10⁴ (the 16-bit
+    // md5-fraction rule shared with q_mix_anneal_draw — integer
+    // cross-multiplied, so both engines decide identically), turning
+    // q_dedup_soft's scores into an actual curated subset with per-lang
+    // retention audit. Heavily-duplicated docs survive at ~20% while
+    // unique docs survive at ~100% — the SoftDeDup sampling step itself,
+    // one broadcast-free hash draw per row.
+    "q_sample_soft" -> ((s, d) => {
+      val w = queries("q_dedup_soft")(s, d).select(col("doc_id"), col("weight_e4"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(w, "doc_id")
+        .withColumn("b16",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long"))
+        .withColumn("kept",
+          when(expr("b16 * 10000L < weight_e4 * 65536L"), 1L).otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+             sum(when(col("kept") === 1L, col("weight_e4")).otherwise(0L))
+               .as("kept_w_e4"))
+        .orderBy(col("lang"))
+    }),
+
     // Incremental chunk-store ingest (q_chunk_cdc's production flow, the
     // chunk-granular twin of q_dedup_incr's signature-index shape): a new
     // BATCH of documents (doc_id ≡ 0 mod 10) is chunked by the same gear
@@ -550,6 +574,37 @@ object DedupVariants extends OpModule {
         |  CAST(n_dup * 10000 // n_chunks AS BIGINT) AS dup_frac_e4,
         |  CAST(10000 - (n_dup * 10000 // n_chunks) * 8 // 10 AS BIGINT) AS weight_e4
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the same weights + the same 16-bit draw, decided in DuckDB
+    "q_sample_soft" ->
+      """WITH base AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents),
+        |cuts AS (SELECT doc_id, toks,
+        |    LIST_FILTER(RANGE(3, LEN(toks)), i ->
+        |      CAST(('0x' || SUBSTR(md5(ARRAY_TO_STRING(
+        |        toks[CAST(i - 2 AS INTEGER):CAST(i AS INTEGER)], ' ')), 1, 7)) AS BIGINT) % 8 = 0) AS cuts
+        |  FROM base),
+        |bs AS (SELECT doc_id, toks,
+        |    LIST_PREPEND(CAST(0 AS BIGINT), LIST_APPEND(cuts, CAST(LEN(toks) AS BIGINT))) AS bs
+        |  FROM cuts),
+        |chunks AS (SELECT doc_id,
+        |    ARRAY_TO_STRING(toks[CAST(bs[CAST(j AS INTEGER)] + 1 AS INTEGER)
+        |                         :CAST(bs[CAST(j AS INTEGER) + 1] AS INTEGER)], ' ') AS chunk
+        |  FROM bs, UNNEST(RANGE(1, LEN(bs))) AS t(j)),
+        |pairs AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM chunks),
+        |dpc AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM pairs GROUP BY h),
+        |m AS (SELECT p.doc_id, COUNT(*) AS n_chunks,
+        |    SUM(CASE WHEN dpc.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM pairs p JOIN dpc USING (h) GROUP BY p.doc_id),
+        |w AS (SELECT doc_id,
+        |    10000 - (n_dup * 10000 // n_chunks) * 8 // 10 AS weight_e4 FROM m),
+        |drawn AS (SELECT d.doc_id, d.lang, w.weight_e4,
+        |    CASE WHEN CAST(('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |           * 10000 < w.weight_e4 * 65536 THEN 1 ELSE 0 END AS kept
+        |  FROM documents d JOIN w USING (doc_id))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept = 1 THEN weight_e4 ELSE 0 END) AS BIGINT) AS kept_w_e4
+        |FROM drawn GROUP BY lang ORDER BY lang""".stripMargin,
 
     // same gear rule, batch (doc_id≡0 mod 10) vs corpus-index split
     "q_dedup_chunk_incr" ->
