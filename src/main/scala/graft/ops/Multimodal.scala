@@ -298,6 +298,41 @@ object Multimodal extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // AUDIO activity segmentation (the VAD shape): frame the fake-PCM
+    // decode (32 samples/frame, energy = sample sum — q_video_scenes'
+    // frameSums kernel reused verbatim), gate frames STRICTLY above the
+    // per-recording mean energy (integer cross-multiply e·nf > Σe — no
+    // float threshold anywhere), and merge consecutive active frames into
+    // segments by gaps-and-islands (t − row_number), keeping segments ≥ 2
+    // frames (the min-speech-duration rule). This is the
+    // silence-trim/segment stage an audio curation pipeline runs before
+    // transcription — contrast q_video_scenes, which cuts on consecutive
+    // DELTAS (boundary detection), where this gates on LEVEL vs a
+    // per-doc statistic (activity detection). One kernel pass per doc;
+    // windows partition by doc_id, so state never exceeds one
+    // recording's frames; shuffles carry (doc, frame) pairs, never
+    // samples.
+    "q_audio_vad" -> ((s, d) => {
+      val en = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(frameSums(col("text"))).as(Seq("t", "e")))
+        .select(col("doc_id"), col("t").cast("long").as("t"), col("e"))
+      val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("t"))
+      en
+        .withColumn("tot", sum(col("e")).over(wd))
+        .withColumn("nf", count(lit(1)).over(wd))
+        .where(col("e") * col("nf") > col("tot"))
+        .withColumn("isl", col("t") - row_number().over(wo))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("t")).as("seg_start"), max(col("t")).as("seg_end"),
+             count(lit(1)).as("n_frames"), sum(col("e")).as("energy"))
+        .where(col("n_frames") >= 2)
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+                col("n_frames"), col("energy"))
+        .orderBy(col("doc_id"), col("seg_start"))
+    }),
+
     // AUDIO fingerprint matching (the Shazam constellation shape, over the
     // binary-payload plumbing): "decode" payload bytes as PCM samples (the
     // deterministic stub — a real build dispatches a codec here, nothing
@@ -482,6 +517,28 @@ object Multimodal extends OpModule {
 
     // every band energy, peak election (max e, lowest band on ties), pair
     // hash, and time-anchored match recomputed from the same ASCII codes
+    // the same codes → frame energies → mean gate → islands chain
+    "q_audio_vad" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS j,
+        |    ASCII(SUBSTR(text, CAST(u.i AS INTEGER), 1)) AS code
+        |  FROM documents, UNNEST(RANGE(1, (LEN(text) // 32) * 32 + 1)) AS u(i)),
+        |en AS (SELECT doc_id, j // 32 AS t, CAST(SUM(code) AS BIGINT) AS e
+        |       FROM pos GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS tot,
+        |         CAST(COUNT(*) AS BIGINT) AS nf
+        |       FROM en GROUP BY doc_id),
+        |act AS (SELECT en.doc_id, t, e
+        |        FROM en JOIN st USING (doc_id) WHERE e * nf > tot),
+        |isl AS (SELECT doc_id, t, e,
+        |    t - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t) AS g
+        |  FROM act)
+        |SELECT doc_id, CAST(MIN(t) AS BIGINT) AS seg_start,
+        |  CAST(MAX(t) AS BIGINT) AS seg_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames, CAST(SUM(e) AS BIGINT) AS energy
+        |FROM isl GROUP BY doc_id, g HAVING COUNT(*) >= 2
+        |ORDER BY doc_id, seg_start""".stripMargin,
+
     "q_audio_fp" ->
       """WITH pos AS (
         |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS j,

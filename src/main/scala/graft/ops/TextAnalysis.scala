@@ -447,6 +447,116 @@ object TextAnalysis extends OpModule {
         .orderBy(col("rank"))
     }),
 
+    // RECIPROCAL RANK FUSION — hybrid retrieval's standard score combiner
+    // (Cormack et al. 2009): the lexical top-20 (q_bm25, reused verbatim)
+    // and the dense top-20 (cosine vs the q_rag_rerank query vector) fuse
+    // by rank alone — score = Σ 1/(60+rank) — so the two rankers need no
+    // score calibration, which is exactly why serving stacks prefer RRF
+    // over score interpolation. Each 1/(60+r) term rounds to 1e-6 units
+    // BEFORE the integer sum (the accumulation-order discipline); ranks
+    // are over e4-rounded scores with doc_id tie-break, so both engines
+    // rank identically. Scale: the dense stage is one corpus scan +
+    // TakeOrderedAndProject (the single-query-vector shape — the ANN
+    // ladder replaces it when queries batch); the fusion itself touches
+    // ≤40 rows.
+    "q_rag_fusion" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+      val lex = queries("q_bm25")(s, d)
+        .select(col("doc_id"), col("bm25_e4"))
+        .withColumn("lex_rank", row_number()
+          .over(w.orderBy(col("bm25_e4").desc, col("doc_id"))).cast("long"))
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val dense = emb.crossJoin(broadcast(qv))
+        .withColumn("cos_e4",
+          round(expr("graft_float_dot(embedding, q_emb)")
+            / (col("nrm") * col("q_nrm")) * 10000).cast("int"))
+        .select(col("vec_id").as("doc_id"), col("cos_e4"))
+        .orderBy(col("cos_e4").desc, col("doc_id")).limit(20)
+        .withColumn("dense_rank", row_number()
+          .over(w.orderBy(col("cos_e4").desc, col("doc_id"))).cast("long"))
+      lex.select(col("doc_id"), col("lex_rank"))
+        .join(dense.select(col("doc_id"), col("dense_rank")),
+              Seq("doc_id"), "full_outer")
+        .withColumn("rrf_e6",
+          coalesce(expr("cast(round(1e6 / (60 + lex_rank)) as bigint)"), lit(0L))
+            + coalesce(expr("cast(round(1e6 / (60 + dense_rank)) as bigint)"), lit(0L)))
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+          coalesce(col("dense_rank"), lit(-1L)).as("dense_rank"),
+          col("rrf_e6"))
+        .orderBy(col("rrf_e6").desc, col("doc_id")).limit(10)
+    }),
+
+    // MAXIMAL MARGINAL RELEVANCE — the diversification stage between
+    // retrieval and packing (Carbonell & Goldstein 1998): greedily pick 5
+    // of the lexical top-20, each step maximizing λ·relevance −
+    // (1−λ)·max-similarity-to-selected. λ=0.7 is applied as INTEGER
+    // weights (mmr_e5 = 7·rel_e4 − 3·maxsim_e4 — ×10 the e4 score, zero
+    // float rounding anywhere); relevance is bm25 normalized to e4 by the
+    // candidate max; similarity is pairwise embedding cosine in e4. The
+    // candidate set is BOUNDED (top-20), so the ≤380-pair similarity
+    // matrix computes distributed and the 5-step greedy runs on the
+    // driver over the collected matrix — a serving-layer op, never
+    // corpus-sized (contrast q_kcenter, whose argmax must stay in the
+    // cluster because ITS candidate set is the corpus). Oracle = a
+    // recursive CTE replaying the same greedy chain.
+    "q_rag_mmr" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val cand = queries("q_bm25")(s, d).select(col("doc_id"), col("bm25_e4"))
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+        .select(col("vec_id").as("doc_id"), col("embedding"), col("nrm"))
+      val ce = cand.join(emb, "doc_id")
+      val mx = ce.agg(max(col("bm25_e4")).as("mx"))
+      val rel = ce.crossJoin(broadcast(mx))
+        .select(col("doc_id"),
+          expr("cast(round(1e4 * bm25_e4 / mx) as bigint)").as("rel_e4"),
+          col("embedding"), col("nrm"))
+      val pairs = rel.as("a").join(rel.as("b"),
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("""cast(round(graft_float_dot(a.embedding, b.embedding)
+                 | / (a.nrm * b.nrm) * 10000) as bigint)""".stripMargin)
+            .as("sim_e4"))
+      val relMap = rel.select(col("doc_id"), col("rel_e4")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val simMap = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var step = 1L
+      while (step <= 5L && chosen.size < relMap.size) {
+        val best = relMap.keysIterator.filterNot(chosen.contains).map { id =>
+          val maxSim =
+            if (chosen.isEmpty) 0L
+            else chosen.iterator.map(c => simMap((id, c))).max
+          (id, 7L * relMap(id) - 3L * maxSim)
+        }.minBy { case (id, m) => (-m, id) }
+        picked += ((step, best._1, relMap(best._1), best._2))
+        chosen += best._1
+        step += 1L
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        picked.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3, p._4)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sel_rank",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rel_e4",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("mmr_e5",
+            org.apache.spark.sql.types.LongType))))
+        .orderBy(col("sel_rank"))
+    }),
+
     "q_bm25" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
@@ -951,6 +1061,68 @@ object TextAnalysis extends OpModule {
         |    / (e.nrm * q.q_nrm) * 10000) AS INTEGER) AS cos_e4
         |FROM cand c JOIN emb e ON c.doc_id = e.vec_id, q
         |ORDER BY cos_e4 DESC, c.doc_id LIMIT 5""".stripMargin,
+
+    // both rankers nested verbatim; fusion is rank-only arithmetic
+    "q_rag_fusion" ->
+      s"""WITH cand AS (SELECT doc_id, bm25_e4 FROM ($bm25Sql) t),
+        |lex AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bm25_e4 DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM cand),
+        |emb AS (SELECT vec_id, embedding,
+        |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM emb WHERE vec_id = 0),
+        |cos AS (SELECT e.vec_id AS doc_id,
+        |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e.embedding, q.q_emb),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (e.nrm * q.q_nrm) * 10000) AS INTEGER) AS cos_e4
+        |  FROM emb e, q),
+        |dense AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cos_e4 DESC, doc_id) AS BIGINT) AS dense_rank
+        |  FROM (SELECT * FROM cos ORDER BY cos_e4 DESC, doc_id LIMIT 20) t)
+        |SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+        |  COALESCE(l.lex_rank, CAST(-1 AS BIGINT)) AS lex_rank,
+        |  COALESCE(de.dense_rank, CAST(-1 AS BIGINT)) AS dense_rank,
+        |  COALESCE(CAST(ROUND(1e6 / (60 + l.lex_rank)) AS BIGINT), 0)
+        |    + COALESCE(CAST(ROUND(1e6 / (60 + de.dense_rank)) AS BIGINT), 0) AS rrf_e6
+        |FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
+        |ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the greedy chain replayed as a single-row-per-step recursive CTE
+    "q_rag_mmr" ->
+      s"""WITH RECURSIVE cand AS (SELECT doc_id, bm25_e4 FROM ($bm25Sql) t),
+        |emb AS (SELECT vec_id, embedding,
+        |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |ce AS (SELECT c.doc_id, c.bm25_e4, e.embedding, e.nrm
+        |  FROM cand c JOIN emb e ON c.doc_id = e.vec_id),
+        |mx AS (SELECT MAX(bm25_e4) AS mx FROM ce),
+        |rel AS (SELECT doc_id,
+        |    CAST(ROUND(1e4 * bm25_e4 / mx) AS BIGINT) AS rel_e4, embedding, nrm
+        |  FROM ce, mx),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_e4
+        |  FROM rel a JOIN rel b ON a.doc_id <> b.doc_id),
+        |sel AS (
+        |  SELECT CAST(1 AS BIGINT) AS sel_rank, doc_id, rel_e4,
+        |      7 * rel_e4 AS mmr_e5, [doc_id] AS chosen
+        |    FROM (SELECT doc_id, rel_e4 FROM rel
+        |          ORDER BY rel_e4 DESC, doc_id LIMIT 1) f
+        |  UNION ALL
+        |  SELECT s.sel_rank + 1, p.doc_id, p.rel_e4, p.mmr_e5,
+        |      LIST_APPEND(s.chosen, p.doc_id)
+        |    FROM sel s, LATERAL (
+        |      SELECT r.doc_id, r.rel_e4,
+        |        7 * r.rel_e4 - 3 * (SELECT MAX(p2.sim_e4) FROM pairs p2
+        |          WHERE p2.da = r.doc_id AND LIST_CONTAINS(s.chosen, p2.db)) AS mmr_e5
+        |      FROM rel r WHERE NOT LIST_CONTAINS(s.chosen, r.doc_id)
+        |      ORDER BY mmr_e5 DESC, r.doc_id LIMIT 1) p
+        |    WHERE s.sel_rank < 5)
+        |SELECT sel_rank, doc_id, rel_e4, mmr_e5 FROM sel ORDER BY sel_rank""".stripMargin,
 
     "q_domain_kl" ->
       """WITH tok AS (

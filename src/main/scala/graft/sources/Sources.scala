@@ -840,6 +840,68 @@ object Sources extends OpModule {
       } finally s.catalog.dropTempView(v)
     }),
 
+    // STREAMING CDC APPLY — the lakehouse upsert relay: a keyed change
+    // stream lands in the store through foreachBatch + native MERGE INTO
+    // (the Delta/Iceberg "apply changes" shape). Each micro-batch is one
+    // atomic versioned MERGE commit; last-writer-wins per key falls out
+    // of batch ORDER (wave 2's MERGE sees wave 1's state), which is the
+    // closed form the oracle states. Exactly-once here rests on the
+    // MERGE being IDEMPOTENT (values are functions of the key, so a
+    // replayed batch re-asserts the same rows) — the append path's epoch
+    // ledger does not apply to row-level commits, and a real pipeline
+    // carrying non-idempotent changes would dedup on a change id first.
+    // No streaming state anywhere: the stream side only batches rows;
+    // all heavy lifting is the MERGE's group-filtered file-granular COW,
+    // so zone maps keep each wave's rewrite to the touched files. The
+    // z_incremental row pins ≥ 2 separate MERGE commits (never one
+    // rescan). The batch session is the stream's CLONE: catalog + store
+    // path confs are set before start() so the clone inherits both.
+    "s_store_upsert" -> ((s, d) => withGraftCatalog(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val path = tmp(d, "storeupsert")
+      val chk = tmp(d, "storeupsert_chk")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(chk), true)
+      val (base, maxK) = seedStore(s, d, path)
+      val w1 = base.where(pmod(col("k"), lit(4)) === 0)
+        .select(col("k"), lit("W1").as("grp"),
+                (col("k") * 3 + 1).as("amt_cents"))
+        .unionByName(base.where(pmod(col("k"), lit(101)) === 0)
+          .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+                  (col("k") * 7).as("amt_cents")))
+        .as[(Long, String, Long)].collect().toSeq
+      val w2 = base.where(pmod(col("k"), lit(6)) === 0)
+        .select(col("k"), lit("W2").as("grp"),
+                (col("k") * 5 + 2).as("amt_cents"))
+        .as[(Long, String, Long)].collect().toSeq
+      @volatile var nBatches = 0
+      withStorePath(s, path) {
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+        val q = mem.toDS().toDF("k", "grp", "amt_cents").writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.createOrReplaceTempView("graft_upsert_batch")
+            b.sparkSession.sql(
+              """MERGE INTO graft.store t USING graft_upsert_batch s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET grp = s.grp, amt_cents = s.amt_cents
+                |WHEN NOT MATCHED THEN INSERT (k, grp, amt_cents)
+                |  VALUES (s.k, s.grp, s.amt_cents)""".stripMargin)
+            nBatches += 1
+          }
+          .option("checkpointLocation", chk)
+          .start()
+        try {
+          mem.addData(w1); q.processAllAvailable()
+          mem.addData(w2); q.processAllAvailable() // arrives mid-stream
+        } finally q.stop()
+        val agg = storeSummary(s, path)
+        import scala.jdk.CollectionConverters._
+        val rows = agg.collect().toSeq :+ org.apache.spark.sql.Row(
+          "z_incremental", if (nBatches >= 2) 1L else 0L, 0L)
+        s.createDataFrame(rows.asJava, agg.schema).orderBy(col("grp"))
+      }
+    }),
+
     // MIRROR-SYNC MERGE — the third MERGE clause family, `WHEN NOT
     // MATCHED BY SOURCE`: reconcile the store against a full desired
     // state in ONE statement (matched rows update, new rows insert,
@@ -2210,6 +2272,29 @@ object Sources extends OpModule {
         |  WHERE k % 101 = 0)
         |SELECT grp, COUNT(*) AS n, CAST(SUM(amt_cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // last-writer-wins per key across the two waves, stated relationally
+    "s_store_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents
+        |  FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |fin AS (
+        |  SELECT k,
+        |    CASE WHEN k % 6 = 0 THEN 'W2'
+        |         WHEN k % 4 = 0 THEN 'W1' ELSE grp END AS grp,
+        |    CASE WHEN k % 6 = 0 THEN k * 5 + 2
+        |         WHEN k % 4 = 0 THEN k * 3 + 1 ELSE amt_cents END AS amt_cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k + mx.maxk + 1, 'NEW', k * 7 FROM base, mx
+        |  WHERE k % 101 = 0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt_cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY grp
+        |UNION ALL
+        |SELECT 'z_incremental', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // the store's two commits must reconstruct exactly the source table
     "sink_dsv2" ->
