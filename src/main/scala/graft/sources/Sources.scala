@@ -783,6 +783,64 @@ object Sources extends OpModule {
       }
     }),
 
+    // EQUALITY DELETES — the second merge-on-read shape (Iceberg v2's
+    // equality-delete files beside q_store_delete_mor's position
+    // vectors): a keyed DELETE in `equality` mode attaches zone-matched
+    // KEY sidecars in one manifest swap and never opens a data file —
+    // zero data reads, zero data writes (z_eq_nodata pins all three:
+    // ≥1 eq sidecar, no ordinal vector, data file set unchanged). The
+    // reader masks by key; COUNT/MIN/MAX pushdown declines on
+    // eq-vectored entries (rows is an upper bound), so z_count's
+    // post-delete COUNT(*) is a real masked scan; compaction absorbs the
+    // sidecars into clean files (z_absorbed) after which both agg rows
+    // must agree bit-for-bit. This is the delete shape for writers that
+    // cannot afford the read — streaming retractions, GDPR-by-key
+    // against cold data.
+    "q_store_delete_eq" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeeq")
+      val (base, _) = seedStore(s, d, path)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      def dataFiles() = fsys.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && !n.contains(".dv-") &&
+                     !n.contains(".eq-")).toSet
+      val filesBefore = dataFiles()
+      // bounded keyed-retraction list — the scalar-election pattern
+      val keys = base.where(pmod(col("k"), lit(293)) === 0)
+        .select(col("k")).collect().map(_.getLong(0))
+      withStorePath(s, path) {
+        def aggOf(v: String) = s.table("graft.store")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .select(lit(v).as("v"), col("grp"), col("n"), col("sum_cents"))
+          .collect()
+        val modeKey = "spark.graft.store.delete.mode"
+        s.conf.set(modeKey, "equality")
+        try s.sql(s"DELETE FROM graft.store WHERE k IN (${keys.mkString(",")})")
+        finally s.conf.unset(modeKey)
+        val noDataIo = dataFiles() == filesBefore
+        val entries = graft.sources.StoreSink.readEntries(root, fsys)
+        val nEq = entries.count(_.eq.isDefined)
+        val noDv = entries.forall(_.dv.isEmpty)
+        val eqRows = aggOf("eq")
+        val cntAfter = s.table("graft.store").count()
+        graft.sources.StoreSink.compact(s, path, 10000L)
+        val absorbed = graft.sources.StoreSink.readEntries(root, fsys)
+          .forall(_.eq.isEmpty)
+        val compRows = aggOf("compacted")
+        val rows = eqRows.toSeq ++ compRows ++ Seq(
+          org.apache.spark.sql.Row("z_absorbed", "-", if (absorbed) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_count", "-", cntAfter, 0L),
+          org.apache.spark.sql.Row("z_eq_nodata", "-",
+            if (nEq >= 1 && noDv && noDataIo) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("v", StringType), StructField("grp", StringType),
+          StructField("n", LongType), StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("v"), col("grp"))
+      }
+    }),
+
     // MERGE through the connector's DELETE+APPEND primitives: CDC
     // upsert+delete executed as the copy-on-write pair — DELETE the touched
     // keys (updates ∪ hard deletes, an In-filter the connector compiles to
@@ -1925,6 +1983,21 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_absorbed', '-', 1, 0
         |UNION ALL SELECT 'z_dv', '-', 1, 0
         |UNION ALL SELECT 'z_no_rewrite', '-', 1, 0
+        |ORDER BY v, grp""".stripMargin,
+
+    // the keyed retraction applied relationally; both generations agree
+    "q_store_delete_eq" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |live AS (SELECT * FROM base WHERE k % 293 <> 0),
+        |agg AS (SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |        FROM live GROUP BY grp)
+        |SELECT 'eq' AS v, grp, n, sum_cents FROM agg
+        |UNION ALL SELECT 'compacted', grp, n, sum_cents FROM agg
+        |UNION ALL SELECT 'z_absorbed', '-', 1, 0
+        |UNION ALL SELECT 'z_count', '-', (SELECT COUNT(*) FROM live), 0
+        |UNION ALL SELECT 'z_eq_nodata', '-', 1, 0
         |ORDER BY v, grp""".stripMargin,
 
     // mirror-sync applied relationally: k%3=0 rows keep their grp with

@@ -239,16 +239,24 @@ object StoreSink {
                             bloom: Option[Long] = None,
                             bytes: Option[Long] = None,
                             dv: Option[String] = None,
-                            part: Option[String] = None) {
+                            part: Option[String] = None,
+                            eq: Option[String] = None) {
+    /** 8 fields; a 9th (`eq` — equality-delete sidecar) is emitted only
+      * when present, so unaffected stores keep the round-13 line format
+      * bit-for-bit. `rows` is EXACT live rows except on eq-vectored
+      * entries, where it is an upper bound (the delete never read the
+      * file) — COUNT/MIN/MAX pushdown declines there. */
     def line: String =
       s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}|" +
         bloom.map(java.lang.Long.toHexString).getOrElse("-") + "|" +
         bytes.getOrElse("-") + "|" + dv.getOrElse("-") + "|" +
-        part.getOrElse("-")
-    /** Read token (`name` or `name@dv`): the explicit-files read path and
-      * the tail's prefix identity both need the MASKED file — a deletion
-      * vector is part of the file's logical identity. */
-    def token: String = name + dv.map("@" + _).getOrElse("")
+        part.getOrElse("-") + eq.map("|" + _).getOrElse("")
+    /** Read token (`name[@dv][#eq]`): the explicit-files read path and
+      * the tail's prefix identity both need the MASKED file — deletion
+      * vectors and equality-delete sidecars are part of the file's
+      * logical identity. */
+    def token: String = name + dv.map("@" + _).getOrElse("") +
+      eq.map("#" + _).getOrElse("")
     /** Can this file contain a row whose grp carries ANY of the signatures?
       * (One pushed conjunct = an OR-list of signatures.) Bloomless files
       * always can. */
@@ -283,8 +291,9 @@ object StoreSink {
       val bytes = if (p.length > 5) opt(p(5)) else None
       val dv = if (p.length > 6 && p(6) != "-") Some(p(6)) else None
       val part = if (p.length > 7 && p(7) != "-") Some(p(7)) else None
+      val eq = if (p.length > 8 && p(8) != "-") Some(p(8)) else None
       StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes, dv,
-        part)
+        part, eq)
     } else StoreFileEntry(l, -1L, None, None)
 
   /** Two-probe Bloom signature of a grp value: 2 bits of a 64-bit word from
@@ -354,6 +363,81 @@ object StoreSink {
     val out = raw.create(new Path(root, name), true)
     try out.write(positions.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** EQUALITY-delete sidecar: ascending deleted KEY values, one per line —
+    * the Iceberg-v2 second merge-on-read shape. Attached WITHOUT reading
+    * the data file (zone-matched attach only), which is the whole point:
+    * a keyed delete from a writer that cannot afford the read (streaming
+    * upsert retraction, GDPR-by-key against a cold table) costs O(keys)
+    * metadata and zero data I/O. Readers drop rows whose key is in the
+    * set; `rows` on an eq-vectored entry is an UPPER BOUND (agg pushdown
+    * declines); any COW rewrite (bulk delete, row-level op, compaction)
+    * absorbs the sidecar into a clean file. Immutable — a later equality
+    * delete writes a NEW sidecar absorbing the old; vacuum GCs
+    * unreferenced ones with their generations. */
+  private[sources] def readEq(root: Path, fsys: FileSystem,
+                              name: String): Array[Long] = {
+    val raw = manifestFs(fsys)
+    val in = raw.open(new Path(root, name))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    finally in.close()
+  }
+
+  private[sources] def writeEq(root: Path, fsys: FileSystem, name: String,
+                               keys: Seq[Long]): Unit = {
+    val raw = manifestFs(fsys)
+    val out = raw.create(new Path(root, name), true)
+    try out.write(keys.distinct.sorted.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Metadata-only equality delete: attach zone-matched key sidecars under
+    * the commit lock in ONE manifest swap. No data file is read or
+    * written. Supports a single `k IN (...)`/`k = v` predicate — the
+    * keyed-retraction shape; anything richer needs the row-reading paths
+    * (ordinal vectors / COW), which know actual row contents. */
+  private[sources] def equalityDelete(pathStr: String,
+                                      filters: Array[Filter]): Unit = {
+    val keys: Array[Long] = filters match {
+      case Array(In("k", vs)) => vs.map {
+        case l: java.lang.Long    => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case other => throw new IllegalArgumentException(
+          s"equality delete: non-integral key $other")
+      }
+      case Array(EqualTo("k", v: java.lang.Long))    => Array(v.longValue)
+      case Array(EqualTo("k", v: java.lang.Integer)) => Array(v.longValue)
+      case _ => throw new IllegalArgumentException(
+        "equality delete mode requires a single IN/= predicate on k, got: " +
+          filters.mkString(", "))
+    }
+    val sorted = keys.distinct.sorted
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    val gen = System.nanoTime().toHexString
+    withCommitLock(root, fsys) {
+      val lines = readManifestLines(root, fsys)
+      val newLines = lines.map { l =>
+        if (l.startsWith("#")) l
+        else {
+          val e = parseEntry(l)
+          val mine = sorted.filter(k => e.mayContain(Some(k), Some(k)))
+          if (mine.isEmpty) l // zone-missed file carries over untouched
+          else {
+            val prev = e.eq.map(q => readEq(root, fsys, q).toSeq)
+              .getOrElse(Nil)
+            val eqName = s"${e.name}.eq-$gen"
+            writeEq(root, fsys, eqName, prev ++ mine)
+            e.copy(eq = Some(eqName)).line
+          }
+        }
+      }
+      if (newLines != lines) writeManifestAtomic(root, fsys, newLines)
+    }
   }
 
   // ------------------------------------------------- partition spec
@@ -782,7 +866,7 @@ object StoreSink {
         .flatMap(b => readBranchLines(root, fsys, b))
       val referenced = (physicals.flatMap(expand(root, fsys, _)) ++ branchLines)
         .filterNot(_.startsWith("#")).map(parseEntry)
-        .flatMap(e => e.name +: e.dv.toSeq).toSet
+        .flatMap(e => e.name +: (e.dv.toSeq ++ e.eq.toSeq)).toSet
       // segment files referenced by any RETAINED list survive; the rest are
       // metadata of expired generations and GC with them
       val referencedSegs = physicals.flatten
@@ -1627,6 +1711,15 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     requireCurrent("delete")
     require(filters.forall(StoreSink.canEvaluate),
       s"untranslatable delete predicate: ${filters.mkString(", ")}")
+    // EQUALITY-delete mode (scoped conf): metadata-only keyed delete —
+    // zone-matched files get a key sidecar, zero data files read or
+    // written (the streaming-retraction / cold-table GDPR shape)
+    val mode = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.store.delete.mode", "auto")
+    if (mode == "equality") {
+      StoreSink.equalityDelete(pathStr, filters)
+      return
+    }
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
     val lines = StoreSink.readManifestLines(root, fsys)
@@ -1645,6 +1738,13 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
       else {
         val existingDv: Set[Int] =
           e.dv.map(d => StoreSink.readDv(root, fsys, d).toSet).getOrElse(Set.empty)
+        // rows already equality-deleted are DEAD: excluded from live
+        // counts and from any COW rewrite (which thereby absorbs the eq
+        // sidecar); under a merge-on-read outcome the entry keeps its eq
+        // field, so the reader's key mask still applies
+        val existingEq: Array[Long] =
+          e.eq.map(q => StoreSink.readEq(root, fsys, q).sorted)
+            .getOrElse(Array.emptyLongArray)
         val p = new Path(root, e.name)
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
@@ -1659,7 +1759,10 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
             while (line != null) {
               if (!existingDv.contains(ord)) { // already-deleted rows are gone
                 val row = StoreSink.decode(line)
-                if (deletes(row)) { newDel += ord; nDel += 1 }
+                val eqDead = existingEq.nonEmpty && !row.isNullAt(0) &&
+                  java.util.Arrays.binarySearch(existingEq, row.getLong(0)) >= 0
+                if (eqDead) () // masked by the equality sidecar: not live
+                else if (deletes(row)) { newDel += ord; nDel += 1 }
                 else {
                   keep += line
                   nRows += 1
@@ -2236,6 +2339,9 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
       case None => StoreSink.readEntries(root, fsys)
     })
     if (entries.exists(_.rows < 0)) return false // no exact count recorded
+    if (entries.exists(_.eq.isDefined))
+      return false // equality-deleted entries: rows are an UPPER BOUND and
+                   // zones may bracket dead keys — every aggregate declines
     val zoned = entries.filter(_.minK.isDefined)
     val minMaxWanted = fs.flatten.exists(f => f == "min" || f == "max")
     if (minMaxWanted && zoned.isEmpty)
@@ -2553,11 +2659,16 @@ private class StoreScan(pathStr: String,
     explicitFiles match {
       case Some(tokens) =>
         return tokens.filter(_.nonEmpty).map { t =>
-          val (n, dv) = t.split("@", 2) match {
+          val (pre, eqF) = t.split("#", 2) match {
             case Array(a, b) => (a, Some(new Path(root, b).toString))
             case Array(a)    => (a, None)
           }
-          StoreFilePartition(new Path(root, n).toString, dv, n): InputPartition
+          val (n, dv) = pre.split("@", 2) match {
+            case Array(a, b) => (a, Some(new Path(root, b).toString))
+            case Array(a)    => (a, None)
+          }
+          StoreFilePartition(new Path(root, n).toString, dv, n,
+            eqFile = eqF): InputPartition
         }.toArray
       case None => ()
     }
@@ -2580,7 +2691,8 @@ private class StoreScan(pathStr: String,
     val isBucket = spec.exists(_.kind == "bucket")
     keptP.map(e => StoreFilePartition(new Path(root, e.name).toString,
         e.dv.map(d => new Path(root, d).toString), e.name,
-        e.part, isBucket): InputPartition)
+        e.part, isBucket,
+        e.eq.map(q => new Path(root, q).toString)): InputPartition)
       .toArray
   }
 
@@ -2592,7 +2704,7 @@ private class StoreScan(pathStr: String,
     val fsys = StoreSink.fs(root)
     explicitFiles match {
       case Some(tokens) =>
-        val bytes = tokens.filter(_.nonEmpty).map(_.split("@", 2)(0)).map { n =>
+        val bytes = tokens.filter(_.nonEmpty).map(_.split("[@#]")(0)).map { n =>
           try fsys.getFileStatus(new Path(root, n)).getLen catch {
             case _: java.io.FileNotFoundException => 0L
           }
@@ -2713,7 +2825,8 @@ private class StoreMicroBatchStream(pathStr: String,
     check(b, eo.sig, "end")
     entries.slice(a, b)
       .map(e => StoreFilePartition(new Path(root, e.name).toString,
-        e.dv.map(d => new Path(root, d).toString), e.name): InputPartition)
+        e.dv.map(d => new Path(root, d).toString), e.name,
+        eqFile = e.eq.map(q => new Path(root, q).toString)): InputPartition)
       .toArray
   }
 
@@ -2730,7 +2843,8 @@ private class StoreMicroBatchStream(pathStr: String,
 private case class StoreFilePartition(file: String, dv: Option[String] = None,
                                       rel: String = "",
                                       partValue: Option[String] = None,
-                                      partIsBucket: Boolean = false)
+                                      partIsBucket: Boolean = false,
+                                      eqFile: Option[String] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     partValue.map(v => StoreSink.partKeyRow(v, partIsBucket)).orNull
@@ -2750,6 +2864,13 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
         StoreSink.readDv(p.getParent, fsys, new Path(d).getName).foreach(bs.set)
         bs
       case None => new java.util.BitSet()
+    }
+    // equality-delete mask: rows whose KEY is in the sidecar are dead
+    // (merge-on-read by value — the delete never read this file)
+    val eqKeys: Array[Long] = part.eqFile match {
+      case Some(f) =>
+        StoreSink.readEq(p.getParent, fsys, new Path(f).getName).sorted
+      case None => Array.emptyLongArray
     }
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
@@ -2771,13 +2892,27 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
     new PartitionReader[InternalRow] {
       private var line: String = _
       private var ord = -1
+      private var decoded: InternalRow = _
       override def next(): Boolean = {
-        line = in.readLine(); ord += 1
-        while (line != null && masked.get(ord)) { line = in.readLine(); ord += 1 }
-        line != null
+        while (true) {
+          line = in.readLine(); ord += 1
+          while (line != null && masked.get(ord)) {
+            line = in.readLine(); ord += 1
+          }
+          if (line == null) return false
+          if (eqKeys.isEmpty) { decoded = null; return true }
+          // the key mask needs the decoded row; cache it for get()
+          decoded = StoreSink.decode(line, types, defaults)
+          if (decoded.isNullAt(0) ||
+              java.util.Arrays.binarySearch(eqKeys, decoded.getLong(0)) < 0)
+            return true
+        }
+        false
       }
       override def get(): InternalRow = {
-        val full = StoreSink.decode(line, types, defaults)
+        val full =
+          if (decoded != null) decoded
+          else StoreSink.decode(line, types, defaults)
         if (identity) full
         else InternalRow.fromSeq(getters.toSeq.map(_(full)))
       }

@@ -651,6 +651,89 @@ class StoreSinkSpec extends SparkSpec {
     assert(readBack(dir).size == 78)
   }
 
+  private def eqDel(dir: String, ks: Seq[Long]): Unit = {
+    spark.conf.set("spark.graft.store.delete.mode", "equality")
+    try new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", ks.map(k => k: java.lang.Long).toArray)))
+    finally spark.conf.unset("spark.graft.store.delete.mode")
+  }
+
+  test("equality delete: keyed retraction touches zero data files, reads none") {
+    val dir = freshDir("eqdel")
+    val root = new Path(dir)
+    df(1 to 80, "a").repartitionByRange(8, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    val filesBefore = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && !n.contains(".eq-")).toSet
+    eqDel(dir, Seq(5L, 25L))
+    val filesAfter = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && !n.contains(".eq-")).toSet
+    assert(filesAfter == filesBefore,
+      "an equality delete must not write or rewrite any data file")
+    val e1 = StoreSink.readEntries(root, fs)
+    assert(e1.forall(_.dv.isEmpty), "equality mode must not read files for ordinals")
+    val nEq = e1.count(_.eq.isDefined)
+    assert(nEq >= 1 && nEq < e1.size,
+      s"sidecars attach only to zone-matched files: $e1")
+    assert(readBack(dir) == (1 to 80).filterNot(Set(5, 25))
+      .map(k => (k.toLong, "a", k * 100L)).toSet)
+    // rows is an UPPER BOUND on eq-vectored entries: every agg declines
+    StoreSink.lastAggPush = None
+    val t = spark.read.format(fmt).option("path", dir).load()
+    assert(t.agg(count(lit(1))).collect()(0).getLong(0) == 78)
+    assert(StoreSink.lastAggPush.isEmpty,
+      "COUNT must decline on equality-vectored entries")
+    // a second keyed delete absorbs the previous sidecar into a fresh one
+    eqDel(dir, Seq(7L))
+    assert(readBack(dir).size == 77)
+    // compaction absorbs equality sidecars into clean files
+    StoreSink.compact(spark, dir, 40)
+    assert(StoreSink.readEntries(root, fs).forall(_.eq.isEmpty),
+      "compaction must absorb equality sidecars")
+    assert(readBack(dir).size == 77 &&
+      !readBack(dir).exists(r => Set(5L, 7L, 25L)(r._1)))
+    StoreSink.lastAggPush = None
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .agg(count(lit(1))).collect()(0).getLong(0) == 77)
+    assert(StoreSink.lastAggPush.contains(Seq("count")),
+      "pushdown must resume once sidecars are absorbed")
+    // vacuum GCs sidecars referenced only by expired generations
+    StoreSink.vacuum(dir, 1)
+    val eqLeft = fs.listStatus(root).map(_.getPath.getName).filter(_.contains(".eq-"))
+    assert(eqLeft.isEmpty, s"vacuum left orphan eq sidecars: ${eqLeft.toSeq}")
+  }
+
+  test("equality + ordinal deletes compose; CDF nets the keyed retraction") {
+    val dir = freshDir("eqmix")
+    val root = new Path(dir)
+    df(1 to 30, "a").repartitionByRange(3, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save() // v1
+    eqDel(dir, Seq(3L, 5L, 25L)) // v2
+    assert(readBack(dir).size == 27)
+    // CDF sees the keyed retraction as deletes through the token diff
+    val w12 = StoreSink.changes(spark, dir, 1, Some(2)).collect()
+      .groupBy(_.getString(0)).map { case (op, rs) => op -> rs.map(_.getLong(1)).toSet }
+    assert(w12.getOrElse("delete", Set()) == Set(3L, 5L, 25L) && !w12.contains("insert"),
+      s"CDF must net the equality delete: $w12")
+    // a later ordinal delete coexists with the key mask (both apply)
+    new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 4L))) // v3: MoR — 1 live row of ~8
+    val e3 = StoreSink.readEntries(root, fs)
+    assert(e3.exists(e => e.dv.isDefined && e.eq.isDefined),
+      s"ordinal vector and equality sidecar must coexist on one entry: $e3")
+    assert(readBack(dir).size == 26 && !readBack(dir).exists(_._1 == 4L))
+    // a COW rewrite of that file absorbs BOTH masks
+    new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array[Any](1L, 2L)))) // v4: > 20% of live
+    val e4 = StoreSink.readEntries(root, fs)
+    assert(!e4.exists(e => e.dv.isDefined),
+      s"the bulk delete should have rewritten the masked file clean: $e4")
+    assert(e4.count(_.eq.isDefined) == 1,
+      s"only the untouched file keeps its equality sidecar: $e4")
+    assert(readBack(dir) == (1 to 30).filterNot(Set(1, 2, 3, 4, 5, 25))
+      .map(k => (k.toLong, "a", k * 100L)).toSet)
+  }
+
   test("vacuum never GCs a live WAP branch's staged files") {
     val dir = freshDir("wapvac")
     df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
