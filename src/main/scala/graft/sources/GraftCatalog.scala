@@ -58,7 +58,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     * (versions_kept, live_files), not a silent side effect. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("abandon", "compact", "history", "publish", "rollback", "tag",
+    Array("abandon", "compact", "history", "publish", "rollback", "tag", "zorder",
       "vacuum").map(Identifier.of(Array.empty, _))
   }
 
@@ -73,9 +73,10 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "rollback" => RollbackProcedure
       case "tag"     => TagProcedure
       case "vacuum"  => VacuumProcedure
+      case "zorder"  => ZorderProcedure
       case _ => throw new UnsupportedOperationException(
         s"unknown procedure ${ident.name()} " +
-          "(abandon | compact | history | publish | rollback | tag | vacuum)")
+          "(abandon | compact | history | publish | rollback | tag | vacuum | zorder)")
     }
   }
 
@@ -447,6 +448,20 @@ private object CompactProcedure
   }
   override def description(): String =
     "rewrite the current snapshot as range-clustered ~target_rows files"
+}
+
+/** `CALL graft.zorder(path, target_rows)` — OPTIMIZE with 2-D (Hilbert)
+  * clustering over both zone columns; see StoreSink.compactHilbert. */
+private object ZorderProcedure
+    extends StoreProcedure("zorder", ("files_before", "files_after")) {
+  override protected def argName = "target_rows"
+  override protected def run(path: String, arg: Long): (Long, Long) = {
+    val (b, a) = StoreSink.compactHilbert(
+      org.apache.spark.sql.SparkSession.active, path, arg)
+    (b.toLong, a.toLong)
+  }
+  override def description(): String =
+    "rewrite the current snapshot Hilbert-clustered over (k, amt_cents)"
 }
 
 /** `CALL graft.tag(path, name, version)` — pin an archived version under a

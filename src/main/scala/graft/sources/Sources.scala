@@ -1064,6 +1064,68 @@ object Sources extends OpModule {
       s.createDataFrame(rows.toSeq.asJava, schema).orderBy(col("v"), col("grp"))
     }),
 
+    // OPTIMIZE ZORDER (Hilbert flavor) — 2-D clustering made observable by
+    // the manifest's TWO zone columns: a hash-scattered generation prunes
+    // nothing on either axis; `CALL graft.zorder` rewrites it clustered by
+    // the Hilbert index over (k, amt_cents) scaled onto the order-8 grid
+    // from the manifest's own global bounds, and afterwards a narrow range
+    // probe on EITHER column plans at most half the files (each file covers
+    // a compact 2-D region, so its k-span AND amt-span are fractions of the
+    // domain — the Delta OPTIMIZE ZORDER / Iceberg hilbert sort-order
+    // story, on the repo's own codegen HilbertKey kernel). Contrast
+    // q_store_compact: range clustering makes the k probe plan 1-2 files
+    // but leaves amt probes planning everything. Content is invariant (the
+    // post-compact agg and the VERSION AS OF pre-compact agg share one
+    // oracle block); at 100 TB this is the layout job that serves TWO
+    // dominant predicate dimensions from one table without a second copy.
+    "q_store_zorder" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storezorder")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      base.repartition(16, col("k")) // hash scatter: both axes unprunable
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      val b = base.agg(min(col("k")), max(col("k")),
+        min(col("amt_cents")), max(col("amt_cents")), count(lit(1))).collect()(0)
+      val (loK, hiK) = (b.getLong(0), b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 16)
+      val (loA, hiA) = (b.getLong(2), b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 16)
+      val total = b.getLong(4)
+      def plannedFor(probe: => Unit): Int = { probe; graft.sources.StoreSink.lastZonePrune.get._2 }
+      def probeK(): Unit =
+        s.read.format("graft.sources.StoreSink").option("path", path).load()
+          .where(col("k").between(loK, hiK)).agg(count(lit(1))).collect()
+      def probeA(): Unit =
+        s.read.format("graft.sources.StoreSink").option("path", path).load()
+          .where(col("amt_cents").between(loA, hiA)).agg(count(lit(1))).collect()
+      val plannedABefore = plannedFor(probeA())
+      s.sql(s"CALL graft.zorder('$path', ${(total + 15) / 16})").collect()
+      val plannedKAfter = plannedFor(probeK())
+      val filesAfter = graft.sources.StoreSink.lastZonePrune.get._1
+      val plannedAAfter = plannedFor(probeA())
+      def aggOf(src: DataFrame, v: String) =
+        src.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .select(lit(v).as("v"), col("grp"), col("n"), col("sum_cents"))
+      val rows = withStorePath(s, path) {
+        aggOf(s.table("graft.store"), "post").collect() ++
+          aggOf(s.sql("SELECT * FROM graft.store VERSION AS OF 1"), "v1").collect()
+      } ++ Seq(
+          org.apache.spark.sql.Row("z_amt_prune_2d", "-",
+            if (plannedAAfter * 2 <= filesAfter) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_amt_prune_gain", "-",
+            if (plannedAAfter < plannedABefore) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_k_prune_2d", "-",
+            if (plannedKAfter * 2 <= filesAfter) 1L else 0L, 0L))
+      val schema = StructType(Seq(
+        StructField("v", StringType), StructField("grp", StringType),
+        StructField("n", LongType), StructField("sum_cents", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, schema).orderBy(col("v"), col("grp"))
+    }),
+
     // CHANGE DATA FEED reconstructed from version manifests: after an
     // UPDATE touching one key range (v2) and a metadata-path DELETE (v3),
     // StoreSink.changes(fromV, toV) diffs the two manifests' FILE sets,
@@ -2035,6 +2097,22 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_disjoint_zones', '-', 1, 0
         |UNION ALL SELECT 'z_fewer_files', '-', 1, 0
         |UNION ALL SELECT 'z_prune_gain', '-', 1, 0
+        |ORDER BY v, grp""".stripMargin,
+
+    // content invariant under the 2-D rewrite; the three flags pin what
+    // z-ordering is FOR (both axes prunable, amt strictly better than the
+    // scattered layout)
+    "q_store_zorder" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |a AS (SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |      FROM base GROUP BY grp)
+        |SELECT 'post' AS v, grp, n, sum_cents FROM a
+        |UNION ALL SELECT 'v1', grp, n, sum_cents FROM a
+        |UNION ALL SELECT 'z_amt_prune_2d', '-', 1, 0
+        |UNION ALL SELECT 'z_amt_prune_gain', '-', 1, 0
+        |UNION ALL SELECT 'z_k_prune_2d', '-', 1, 0
         |ORDER BY v, grp""".stripMargin,
 
     // both statements applied relationally, then snapshot-diffed: an update

@@ -240,17 +240,27 @@ object StoreSink {
                             bytes: Option[Long] = None,
                             dv: Option[String] = None,
                             part: Option[String] = None,
-                            eq: Option[String] = None) {
-    /** 8 fields; a 9th (`eq` — equality-delete sidecar) is emitted only
-      * when present, so unaffected stores keep the round-13 line format
-      * bit-for-bit. `rows` is EXACT live rows except on eq-vectored
-      * entries, where it is an upper bound (the delete never read the
-      * file) — COUNT/MIN/MAX pushdown declines there. */
+                            eq: Option[String] = None,
+                            minA: Option[Long] = None,
+                            maxA: Option[Long] = None) {
+    /** 8 fields; a 9th (`eq` — equality-delete sidecar) and a 10th/11th
+      * (`minA`/`maxA` — the SECOND zone column, over `amt_cents`) are
+      * emitted only when present, so unaffected stores keep the round-13
+      * line format bit-for-bit. Two zone columns is what makes
+      * multi-dimensional clustering (the Hilbert compact) observable:
+      * range predicates on EITHER column prune file planning. `rows` is
+      * EXACT live rows except on eq-vectored entries, where it is an upper
+      * bound (the delete never read the file) — COUNT/MIN/MAX pushdown
+      * declines there. */
     def line: String =
       s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}|" +
         bloom.map(java.lang.Long.toHexString).getOrElse("-") + "|" +
         bytes.getOrElse("-") + "|" + dv.getOrElse("-") + "|" +
-        part.getOrElse("-") + eq.map("|" + _).getOrElse("")
+        part.getOrElse("-") +
+        (if (eq.isDefined || minA.isDefined || maxA.isDefined)
+           "|" + eq.getOrElse("-") else "") +
+        (if (minA.isDefined || maxA.isDefined)
+           s"|${minA.getOrElse("-")}|${maxA.getOrElse("-")}" else "")
     /** Read token (`name[@dv][#eq]`): the explicit-files read path and
       * the tail's prefix identity both need the MASKED file — deletion
       * vectors and equality-delete sidecars are part of the file's
@@ -266,6 +276,12 @@ object StoreSink {
     }
     /** Can this file contain a key in [lo, hi]? Stat-less files always can. */
     def mayContain(lo: Option[Long], hi: Option[Long]): Boolean = (minK, maxK) match {
+      case (Some(mn), Some(mx)) =>
+        lo.forall(_ <= mx) && hi.forall(_ >= mn)
+      case _ => true
+    }
+    /** Second-zone-column twin of [[mayContain]], over `amt_cents`. */
+    def mayContainA(lo: Option[Long], hi: Option[Long]): Boolean = (minA, maxA) match {
       case (Some(mn), Some(mx)) =>
         lo.forall(_ <= mx) && hi.forall(_ >= mn)
       case _ => true
@@ -292,8 +308,10 @@ object StoreSink {
       val dv = if (p.length > 6 && p(6) != "-") Some(p(6)) else None
       val part = if (p.length > 7 && p(7) != "-") Some(p(7)) else None
       val eq = if (p.length > 8 && p(8) != "-") Some(p(8)) else None
+      val minA = if (p.length > 9) opt(p(9)) else None
+      val maxA = if (p.length > 10) opt(p(10)) else None
       StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes, dv,
-        part, eq)
+        part, eq, minA, maxA)
     } else StoreFileEntry(l, -1L, None, None)
 
   /** Two-probe Bloom signature of a grp value: 2 bits of a 64-bit word from
@@ -916,6 +934,23 @@ object StoreSink {
   def compact(spark: SparkSession, pathStr: String, targetRows: Long): (Int, Int) =
     compact(spark, pathStr, targetRows, None, None)
 
+  /** OPTIMIZE ... ZORDER BY, Hilbert flavor: rewrite the snapshot clustered
+    * by the HILBERT index over BOTH zone columns — `k` and `amt_cents`
+    * scaled onto the order-8 grid from the manifest's own global zone
+    * bounds — so each output file covers a compact 2-D region and range
+    * predicates on EITHER column prune file planning (each file's k-span
+    * AND amt-span is a fraction of the domain, vs range clustering where
+    * amt zones span everything). Delta/Iceberg ship exactly this as
+    * OPTIMIZE ZORDER / rewrite with a hilbert sort-order; the curve math is
+    * the repo's own codegen [[graft.functions.HilbertKey]], same kernel
+    * q_hilbert_key / q_layout_compare pin against a generated SQL oracle.
+    * Commit protocol identical to [[compact]] (replace-set overwrite, one
+    * atomic swap, epoch ledger preserved). Unpartitioned stores only — a
+    * declared partitioning already owns the layout. */
+  def compactHilbert(spark: SparkSession, pathStr: String,
+                     targetRows: Long): (Int, Int) =
+    compact(spark, pathStr, targetRows, None, None, cluster = "hilbert")
+
   /** PARTIAL compaction: only files whose zones overlap [lo, hi] are
     * rewritten (None = unbounded); everything else carries over by name.
     * This is the maintenance shape that matters at 100 TB — a CDC-heavy
@@ -924,7 +959,8 @@ object StoreSink {
     * only. The zone maps that prune reads are the same metadata that
     * scopes the rewrite. */
   def compact(spark: SparkSession, pathStr: String, targetRows: Long,
-              lo: Option[Long], hi: Option[Long]): (Int, Int) = {
+              lo: Option[Long], hi: Option[Long],
+              cluster: String = "range"): (Int, Int) = {
     val root = new Path(pathStr)
     val fsys = fs(root)
     val entries = readEntries(root, fsys)
@@ -947,11 +983,33 @@ object StoreSink {
     // its partition expression (each task then holds whole partitions and
     // the writer emits partition-pure files); unpartitioned stores
     // range-cluster on the key for disjoint zones
-    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.functions.{col, expr, lit, pmod}
     val clustered = readPartSpec(root, fsys) match {
       case Some(sp) if sp.kind == "bucket" =>
         df.repartition(n, pmod(col("k"), lit(sp.n)))
       case Some(sp) => df.repartition(n, col(sp.col))
+      case None if cluster == "hilbert" =>
+        // 2-D clustering: scale both zone columns onto the 8-bit grid from
+        // the manifest's OWN global bounds (no extra data pass), then
+        // range-cluster by the Hilbert index — contiguous curve ranges =
+        // compact 2-D regions = both columns' zones stay narrow per file
+        graft.functions.HilbertKey.register(spark)
+        def bound(f: StoreFileEntry => Option[Long],
+                  pick: Seq[Long] => Long): Option[Long] = {
+          val vs = touch.flatMap(e => f(e))
+          if (vs.isEmpty) None else Some(pick(vs))
+        }
+        (for {
+          kMin <- bound(_.minK, _.min); kMax <- bound(_.maxK, _.max)
+          aMin <- bound(_.minA, _.min); aMax <- bound(_.maxA, _.max)
+        } yield {
+          val kb = s"(k - ${kMin}L) * 255L div greatest(1L, ${kMax - kMin}L)"
+          val ab = s"(amt_cents - ${aMin}L) * 255L div greatest(1L, ${aMax - aMin}L)"
+          df.repartitionByRange(n, expr(s"graft_hilbert($kb, $ab)"))
+        }).getOrElse(
+          // stat-less inputs (legacy lines / all-null columns): the curve
+          // has no frame to scale into — fall back to key range clustering
+          df.repartitionByRange(n, col("k")))
       case None => df.repartitionByRange(n, col("k"))
     }
     clustered
@@ -1439,17 +1497,23 @@ object StoreSink {
 
   /** Conjunct key bounds over top-level filters — the zone-map pruning
     * predicate. OR-rooted filters contribute nothing (no sound bound). */
-  private[sources] def kBounds(filters: Array[Filter]): (Option[Long], Option[Long]) = {
+  private[sources] def kBounds(filters: Array[Filter]): (Option[Long], Option[Long]) =
+    colBounds(filters, "k")
+
+  /** [[kBounds]] generalized to any long zone column (`k` or the second
+    * zone column `amt_cents`). */
+  private[sources] def colBounds(filters: Array[Filter],
+                                 c: String): (Option[Long], Option[Long]) = {
     var lo: Option[Long] = None; var hi: Option[Long] = None
     def raise(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
     def lower(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
     filters.foreach {
-      case EqualTo("k", v) => asLong(v).foreach { x => raise(x); lower(x) }
-      case GreaterThan("k", v) => asLong(v).foreach(x => raise(x + 1))
-      case GreaterThanOrEqual("k", v) => asLong(v).foreach(raise)
-      case LessThan("k", v) => asLong(v).foreach(x => lower(x - 1))
-      case LessThanOrEqual("k", v) => asLong(v).foreach(lower)
-      case In("k", vs) =>
+      case EqualTo(`c`, v) => asLong(v).foreach { x => raise(x); lower(x) }
+      case GreaterThan(`c`, v) => asLong(v).foreach(x => raise(x + 1))
+      case GreaterThanOrEqual(`c`, v) => asLong(v).foreach(raise)
+      case LessThan(`c`, v) => asLong(v).foreach(x => lower(x - 1))
+      case LessThanOrEqual(`c`, v) => asLong(v).foreach(lower)
+      case In(`c`, vs) =>
         val ls = vs.flatMap(v => asLong(v))
         if (ls.nonEmpty && ls.length == vs.length) { raise(ls.min); lower(ls.max) }
       case _ => ()
@@ -1750,6 +1814,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
           new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
         var nMin = Long.MaxValue; var nMax = Long.MinValue; var nRows = 0L
         var nBloom = 0L; var nBytes = 0L
+        var nMinA = Long.MaxValue; var nMaxA = Long.MinValue
         val newDel = Seq.newBuilder[Int]; var nDel = 0
         val kept =
           try {
@@ -1774,6 +1839,11 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
                   }
                   if (!row.isNullAt(1))
                     nBloom |= StoreSink.grpSig(row.getUTF8String(1).toString)
+                  if (!row.isNullAt(2)) { // second zone column survives COW
+                    val a = row.getLong(2)
+                    if (a < nMinA) nMinA = a
+                    if (a > nMaxA) nMaxA = a
+                  }
                 }
               }
               ord += 1
@@ -1806,7 +1876,9 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
             if (nMax == Long.MinValue) None else Some(nMax),
-            Some(nBloom), Some(nBytes), None, e.part).line
+            Some(nBloom), Some(nBytes), None, e.part, None,
+            if (nMinA == Long.MaxValue) None else Some(nMinA),
+            if (nMaxA == Long.MinValue) None else Some(nMaxA)).line
         }
       }
     }
@@ -2164,12 +2236,14 @@ private case class StoreFilePayload(staged: String, rows: Long,
                                     minK: Option[Long], maxK: Option[Long],
                                     bloom: Long, bytes: Long,
                                     part: Option[String] = None,
-                                    dir: String = "") {
+                                    dir: String = "",
+                                    minA: Option[Long] = None,
+                                    maxA: Option[Long] = None) {
   /** Manifest name (partition-dir-relative). */
   def name: String = if (dir.isEmpty) staged else s"$dir/$staged"
   def entry: StoreSink.StoreFileEntry =
     StoreSink.StoreFileEntry(name, rows, minK, maxK, Some(bloom), Some(bytes),
-      None, part)
+      None, part, None, minA, maxA)
 }
 
 /** A task's commit message: one payload per staged file (a partitioned
@@ -2224,7 +2298,15 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     var rows = 0L; var bytes = 0L
     var minK: Long = Long.MaxValue; var maxK: Long = Long.MinValue
     var bloom = 0L
+    var minA: Long = Long.MaxValue; var maxA: Long = Long.MinValue
   }
+
+  /** The second zone column (`amt_cents`) is tracked only when the write
+    * schema actually carries it at its conventional ordinal with its
+    * conventional type — an evolved/foreign schema just writes stat-less
+    * amt fields (never-pruning, always correct). */
+  private val trackA = types.length > 2 && types(2) == LongType &&
+    dataSchema.fields(2).name == "amt_cents"
   private val sinks = scala.collection.mutable.LinkedHashMap[String, Sink]()
 
   private def sinkFor(record: InternalRow, base: Int): Sink =
@@ -2252,6 +2334,11 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     }
     if (!record.isNullAt(base + 1)) // grp bloom, alongside the zones
       s.bloom |= StoreSink.grpSig(record.getUTF8String(base + 1).toString)
+    if (trackA && !record.isNullAt(base + 2)) { // second zone column
+      val a = record.getLong(base + 2)
+      if (a < s.minA) s.minA = a
+      if (a > s.maxA) s.maxA = a
+    }
     val b = (StoreSink.encode(record, base, types) + "\n")
       .getBytes(StandardCharsets.UTF_8)
     s.out.write(b)
@@ -2266,7 +2353,9 @@ private class StoreDataWriter(pathStr: String, fileName: String,
         if (s.minK == Long.MaxValue) None else Some(s.minK),
         if (s.maxK == Long.MinValue) None else Some(s.maxK),
         s.bloom, s.bytes, s.partValue,
-        s.partValue.map(v => spec.get.dirOf(v)).getOrElse(""))
+        s.partValue.map(v => spec.get.dirOf(v)).getOrElse(""),
+        if (s.minA == Long.MaxValue) None else Some(s.minA),
+        if (s.maxA == Long.MinValue) None else Some(s.maxA))
     }
     StoreCommitMessage(payloads)
   }
@@ -2294,6 +2383,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   private var zoneFilters: Array[Filter] = Array.empty
   private var kLo: Option[Long] = None
   private var kHi: Option[Long] = None
+  private var aLo: Option[Long] = None
+  private var aHi: Option[Long] = None
   private var grpConjuncts: Seq[Array[Long]] = Nil
   private var grpValues: Seq[Array[String]] = Nil
   private var kValues: Seq[Array[Long]] = Nil
@@ -2320,14 +2411,18 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     if (explicitFiles.isDefined) return false
     if (branch.isDefined) return false // branch view: manifest totals lie
     if (zoneFilters.nonEmpty || kLo.isDefined || kHi.isDefined ||
+        aLo.isDefined || aHi.isDefined ||
         grpConjuncts.nonEmpty) return false
     if (agg.groupByExpressions.nonEmpty) return false
-    def kRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-      e.toString.replace("`", "") == "k"
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression,
+            c: String): Boolean =
+      e.toString.replace("`", "") == c
     val fs = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar              => Some("count")
-      case m: Min if kRef(m.column)  => Some("min")
-      case m: Max if kRef(m.column)  => Some("max")
+      case _: CountStar                           => Some("count")
+      case m: Min if ref(m.column, "k")           => Some("min")
+      case m: Max if ref(m.column, "k")           => Some("max")
+      case m: Min if ref(m.column, "amt_cents")   => Some("min_a")
+      case m: Max if ref(m.column, "amt_cents")   => Some("max_a")
       case _ => None
     }
     if (fs.contains(None) || fs.isEmpty) return false
@@ -2343,15 +2438,25 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
       return false // equality-deleted entries: rows are an UPPER BOUND and
                    // zones may bracket dead keys — every aggregate declines
     val zoned = entries.filter(_.minK.isDefined)
-    val minMaxWanted = fs.flatten.exists(f => f == "min" || f == "max")
+    val zonedA = entries.filter(_.minA.isDefined)
+    val minMaxWanted = fs.flatten.exists(f => f != "count")
     if (minMaxWanted && zoned.isEmpty)
       return false // MIN/MAX of an all-null (or empty) key column: fall back
     if (minMaxWanted && entries.exists(_.dv.isDefined))
       return false // vectored entries: zones are conservative, not exact
+    // amt MIN/MAX additionally needs EVERY row-bearing entry to carry amt
+    // zones (a stat-less file could hide the extremum; k tolerates absent
+    // zones only because zone-less entries are also row-count-less legacy
+    // lines, already declined above)
+    if (fs.flatten.exists(f => f == "min_a" || f == "max_a") &&
+        entries.exists(e => e.rows > 0 && e.minA.isEmpty))
+      return false
     aggValues = fs.flatten.map {
       case "count" => entries.map(_.rows).sum
       case "min"   => zoned.flatMap(_.minK).min
       case "max"   => zoned.flatMap(_.maxK).max
+      case "min_a" => zonedA.flatMap(_.minA).min
+      case "max_a" => zonedA.flatMap(_.maxA).max
     }
     aggFuncs = fs.flatten
     StoreSink.lastAggPush = Some(aggFuncs)
@@ -2366,6 +2471,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (lo, hi) = StoreSink.kBounds(filters)
     kLo = lo; kHi = hi
+    val (alo, ahi) = StoreSink.colBounds(filters, "amt_cents")
+    aLo = alo; aHi = ahi
     grpConjuncts = filters.toSeq.collect {
       case EqualTo("grp", v: String) => Array(StoreSink.grpSig(v))
       case In("grp", vs) if vs.forall(_.isInstanceOf[String]) =>
@@ -2389,6 +2496,9 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     zoneFilters = filters.filter {
       case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
            | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
+      case EqualTo("amt_cents", _) | GreaterThan("amt_cents", _)
+           | GreaterThanOrEqual("amt_cents", _) | LessThan("amt_cents", _)
+           | LessThanOrEqual("amt_cents", _) | In("amt_cents", _) => true
       case EqualTo("grp", _: String) => true
       case In("grp", vs) => vs.forall(_.isInstanceOf[String])
       case _ => false
@@ -2401,7 +2511,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new StoreAggScan(pathStr, aggFuncs, aggValues)
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
-      explicitFiles, table, grpValues, kValues, branch)
+      explicitFiles, table, grpValues, kValues, branch, aLo, aHi)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -2480,7 +2590,8 @@ private class StoreScan(pathStr: String,
                         table: StructType = StoreSink.schema,
                         grpValues: Seq[Array[String]] = Nil,
                         kValues: Seq[Array[Long]] = Nil,
-                        branch: Option[String] = None)
+                        branch: Option[String] = None,
+                        aLo: Option[Long] = None, aHi: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -2678,6 +2789,7 @@ private class StoreScan(pathStr: String,
     val (total, candidates) = plannedCandidates(root, fsys)
     val kept = candidates
       .filter(_.mayContain(kLo, kHi))
+      .filter(_.mayContainA(aLo, aHi))
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
     val keptP = allowedParts match {
@@ -2717,6 +2829,7 @@ private class StoreScan(pathStr: String,
     }
     val entries = plannedCandidates(root, fsys)._2
       .filter(_.mayContain(kLo, kHi))
+      .filter(_.mayContainA(aLo, aHi))
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => allowedParts.forall(ap => e.part.forall(ap.contains)))
     // manifest-carried byte counts — listStatus per file at plan time was

@@ -27,22 +27,36 @@ class StoreFormatPropSpec extends AnyFunSuite {
       bytes <- Gen.oneOf(Gen.const(None), Gen.choose(0L, 1L << 40).map(Some(_)))
       dv <- Gen.oneOf(Gen.const(None), Gen.const(Some(s"$dir$base.dv-abc")))
       part <- Gen.oneOf(Gen.const(None), Gen.const(Some("F")), Gen.const(Some("3")))
+      eq <- Gen.oneOf(Gen.const(None), Gen.const(Some(s"$dir$base.eq-abc")))
+      zonedA <- Gen.oneOf(true, false)
+      mnA <- Gen.choose(-100000L, 100000L)
+      spanA <- Gen.choose(0L, 100000L)
     } yield StoreSink.StoreFileEntry(dir + base, rows,
       if (zoned) Some(mn) else None, if (zoned) Some(mn + span) else None,
-      bloom, bytes, dv, part)
+      bloom, bytes, dv, part, eq,
+      if (zonedA) Some(mnA) else None, if (zonedA) Some(mnA + spanA) else None)
     samples(entryGen, 200).foreach { e =>
       val back = StoreSink.parseEntry(e.line)
       assert(back == e, s"line round-trip mismatch: ${e.line} -> $back")
-      // the read token is the (name, vector) pair — identity for pruning,
-      // compaction inputs, CDF diffs, and the streaming tail's prefix sig
-      assert(back.token == e.name + e.dv.map("@" + _).getOrElse(""))
+      // the read token is the (name, vector, eq-mask) triple — identity for
+      // pruning, compaction inputs, CDF diffs, and the tail's prefix sig
+      assert(back.token == e.name + e.dv.map("@" + _).getOrElse("") +
+        e.eq.map("#" + _).getOrElse(""))
     }
-    // legacy widths: 4-field (pre-bloom), 6-field (pre-dv), and bare-name
-    // lines all parse with absent extras
+    // legacy widths: 4-field (pre-bloom), 6-field (pre-dv), 9-field
+    // (pre-amt-zones), and bare-name lines all parse with absent extras
     assert(StoreSink.parseEntry("f|10|1|9") ==
       StoreSink.StoreFileEntry("f", 10, Some(1L), Some(9L)))
     assert(StoreSink.parseEntry("f|10|1|9|ff|5") ==
       StoreSink.StoreFileEntry("f", 10, Some(1L), Some(9L), Some(255L), Some(5L)))
+    assert(StoreSink.parseEntry("f|10|1|9|ff|5|-|-|f.eq-1") ==
+      StoreSink.StoreFileEntry("f", 10, Some(1L), Some(9L), Some(255L), Some(5L),
+        None, None, Some("f.eq-1")))
+    // amt zones without an eq sidecar emit the "-" placeholder at field 9
+    val amtOnly = StoreSink.StoreFileEntry("f", 10, Some(1L), Some(9L),
+      Some(255L), Some(5L), None, None, None, Some(-3L), Some(44L))
+    assert(amtOnly.line == "f|10|1|9|ff|5|-|-|-|-3|44")
+    assert(StoreSink.parseEntry(amtOnly.line) == amtOnly)
     assert(StoreSink.parseEntry("bare-name") ==
       StoreSink.StoreFileEntry("bare-name", -1L, None, None))
   }

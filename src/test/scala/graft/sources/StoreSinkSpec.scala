@@ -876,4 +876,74 @@ class StoreSinkSpec extends SparkSpec {
     assert(StoreSink.StoreFileEntry("f", 1, None, None, None)
       .mayContainGrp(Array(StoreSink.grpSig("x"))), "bloomless entry must never prune")
   }
+
+  test("second zone column: amt stats ride the manifest, prune planning, " +
+       "and answer MIN/MAX(amt_cents) pushdown") {
+    val dir = freshDir("amtzones")
+    import spark.implicits._
+    val data = (1 to 400).map(k =>
+      (k.toLong, if (k % 2 == 0) "e" else "o", (k % 100) * 7L))
+      .toDF("k", "grp", "amt_cents")
+    // cluster on AMT so its zones are disjoint while k scatters
+    data.repartitionByRange(4, col("amt_cents"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    val entries = StoreSink.readEntries(new Path(dir), fs)
+    assert(entries.size == 4 &&
+      entries.forall(e => e.minA.isDefined && e.maxA.isDefined),
+      s"amt zones missing from manifest: ${entries.map(_.line)}")
+    // a narrow amt probe plans a strict subset of files, result exact
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .where(col("amt_cents") <= 70L).collect()
+    val (total, kept) = StoreSink.lastZonePrune.get
+    assert(total == 4 && kept < 4, s"amt zones did not prune: $total/$kept")
+    assert(got.map(_.getLong(0)).sorted.toSeq ==
+      (1 to 400).filter(k => (k % 100) * 7 <= 70).map(_.toLong),
+      "pruned amt read lost or invented rows")
+    // unfiltered MIN/MAX(amt_cents) answers from metadata (zero files)
+    StoreSink.lastAggPush = None
+    val r = spark.read.format(fmt).option("path", dir).load()
+      .agg(min(col("amt_cents")), max(col("amt_cents"))).collect()(0)
+    assert(StoreSink.lastAggPush.contains(Seq("min_a", "max_a")),
+      s"amt MIN/MAX not metadata-answered: ${StoreSink.lastAggPush}")
+    assert(r.getLong(0) == 0L && r.getLong(1) == 99L * 7L)
+    // a deletion vector turns zones conservative: MIN/MAX must decline
+    StoreSink.lastAggPush = None
+    graft.sources.Sources.withGraftCatalog(spark) {
+      graft.sources.Sources.withStorePath(spark, dir) {
+        spark.sql("DELETE FROM graft.store WHERE k = 7")
+        val r2 = spark.table("graft.store")
+          .agg(min(col("amt_cents")), max(col("amt_cents"))).collect()(0)
+        assert(StoreSink.lastAggPush.isEmpty,
+          "MIN/MAX pushdown must decline on a vectored entry")
+        assert(r2.getLong(0) == 0L && r2.getLong(1) == 99L * 7L)
+      }
+    }
+  }
+
+  test("hilbert compact: a 2-D rewrite makes BOTH zone columns prunable") {
+    val dir = freshDir("zorder")
+    import spark.implicits._
+    // amt decorrelated from k (odd multiplier mod) — the 2-D worst case for
+    // 1-D clustering: range-on-k leaves amt unprunable and vice versa
+    val data = (1 to 1600).map(k =>
+      (k.toLong, "g", (k.toLong * 2654435761L) % 100000L))
+      .toDF("k", "grp", "amt_cents")
+    data.repartition(16, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    def planned(c: org.apache.spark.sql.Column): (Int, Int) = {
+      spark.read.format(fmt).option("path", dir).load()
+        .where(c).agg(count(lit(1))).collect()
+      StoreSink.lastZonePrune.get
+    }
+    val kProbe = col("k").between(1L, 100L)
+    val aProbe = col("amt_cents").between(0L, 6250L)
+    assert(planned(aProbe)._2 == 16, "hash scatter should plan every file")
+    val (before, after) = StoreSink.compactHilbert(spark, dir, 100)
+    assert(before == 16 && after >= 8, s"unexpected layout change: $before -> $after")
+    val (totK, keptK) = planned(kProbe)
+    val (totA, keptA) = planned(aProbe)
+    assert(keptK * 2 <= totK, s"k probe unpruned after hilbert: $keptK/$totK")
+    assert(keptA * 2 <= totA, s"amt probe unpruned after hilbert: $keptA/$totA")
+    assert(readBack(dir).size == 1600, "hilbert rewrite changed content")
+  }
 }
