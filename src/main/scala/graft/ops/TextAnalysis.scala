@@ -557,6 +557,46 @@ object TextAnalysis extends OpModule {
         .orderBy(col("sel_rank"))
     }),
 
+    // HARD-NEGATIVE MINING (the DPR/contriever training-set recipe,
+    // Karpukhin et al. 2020 §4.2): for the stack's standard query (vec 0 +
+    // the bm25 terms), the POSITIVE is the dense top-1 (excluding the query
+    // doc itself) and the HARD NEGATIVES are the lexically-retrieved top-5
+    // that the dense top-20 does NOT contain — relevant-looking but
+    // semantically distant, exactly the pairs a bi-encoder needs to learn
+    // from. Composes the two declared retrieval stages verbatim (their
+    // oracles nest), so the mined pairs are hash-pinned end to end.
+    // Scale: one corpus cosine scan (TakeOrderedAndProject) + the bm25
+    // stack; the set difference touches ≤40 candidate rows. Batched
+    // queries swap the scan for the ANN ladder, same as q_rag_fusion.
+    "q_hard_negatives" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val lex = queries("q_bm25")(s, d).select(col("doc_id"), col("bm25_e4"))
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val dense20 = emb.crossJoin(broadcast(qv))
+        .withColumn("cos_e4",
+          round(expr("graft_float_dot(embedding, q_emb)")
+            / (col("nrm") * col("q_nrm")) * 10000).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("cos_e4"))
+        .orderBy(col("cos_e4").desc, col("doc_id")).limit(20)
+      val pos = dense20.where(col("doc_id") =!= 0)
+        .orderBy(col("cos_e4").desc, col("doc_id")).limit(1)
+        .select(lit("pos").as("role"), lit(1L).as("pair_rank"),
+                col("doc_id"), col("cos_e4").as("score_e4"))
+      val negs = lex
+        .join(dense20.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .where(col("doc_id") =!= 0)
+        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(5)
+        .withColumn("pair_rank", row_number().over(
+          Window.orderBy(col("bm25_e4").desc, col("doc_id"))).cast("long"))
+        .select(lit("neg").as("role"), col("pair_rank"),
+                col("doc_id"), col("bm25_e4").as("score_e4"))
+      pos.unionByName(negs).orderBy(col("role"), col("pair_rank"))
+    }),
+
     "q_bm25" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
@@ -566,16 +606,41 @@ object TextAnalysis extends OpModule {
       val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       val qterms = dfreq.where(length(col("t")) >= 4)
         .orderBy(col("df").desc, col("t")).limit(5)
-      tf.join(broadcast(qterms), "t")
-        .join(dlen, "doc_id").crossJoin(broadcast(stats))
-        .select(col("doc_id"), expr(
-          """cast(round(1e4 * ln(1.0 + (nd - df + 0.5) / (df + 0.5))
-            |  * (tf * (1.2 + 1.0))
-            |  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / cast(tl as double))))
-            |as bigint)""".stripMargin).as("sc"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"), sum(col("sc")).as("bm25_e4"))
+      bm25Score(tf, dlen, stats, qterms)
         .orderBy(col("bm25_e4").desc, col("doc_id")).limit(20)
+    }),
+
+    // PSEUDO-RELEVANCE FEEDBACK (Rocchio 1971 / RM-style query expansion —
+    // the classic recall lever between first retrieval and re-ranking):
+    // round 1 scores the seed query (q_bm25's 5 terms, shared helper), its
+    // top-5 docs become the pseudo-relevant set, the 3 heaviest non-query
+    // terms in that set (Σtf, tie = term — integer-exact) expand the
+    // query, and round 2 re-scores the 8-term query for the final top-10.
+    // Scale: the (doc, term) tf table derives from ONE corpus
+    // tokenize/explode and both scoring rounds join it against a
+    // BROADCAST term list (5 then 8 rows); the expansion mines only the
+    // 5 feedback docs' rows. Nothing here re-scans text. Oracle = the same
+    // two rounds as chained CTEs over the shared bm25 blocks.
+    "q_rag_prf" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+      val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dlen.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val qterms = dfreq.where(length(col("t")) >= 4)
+        .orderBy(col("df").desc, col("t")).limit(5)
+      val fb = bm25Score(tf, dlen, stats, qterms)
+        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(5)
+        .select(col("doc_id"))
+      val expand = tf.join(broadcast(fb), "doc_id")
+        .join(qterms.select(col("t")), Seq("t"), "left_anti")
+        .where(length(col("t")) >= 4)
+        .groupBy(col("t")).agg(sum(col("tf")).as("w"))
+        .orderBy(col("w").desc, col("t")).limit(3)
+        .join(dfreq, "t").select(col("t"), col("df"))
+      bm25Score(tf, dlen, stats, qterms.select(col("t"), col("df")).union(expand))
+        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(10)
     }),
 
     // Domain-shift diagnostics for training-mixture design: KL(source ‖
@@ -943,6 +1008,22 @@ object TextAnalysis extends OpModule {
     } finally words.unpersist()
   }
 
+  /** One BM25 scoring round over a (t, df) term list — the shared kernel of
+    * q_bm25 and both q_rag_prf rounds (Okapi k1=1.2, b=0.75; per-term score
+    * rounded to e4 BEFORE the integer sum, the accumulation-order
+    * discipline). The term list is always query-sized, so it broadcasts. */
+  private def bm25Score(tf: DataFrame, dlen: DataFrame, stats: DataFrame,
+                        terms: DataFrame): DataFrame =
+    tf.join(broadcast(terms), "t")
+      .join(dlen, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        """cast(round(1e4 * ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+          |  * (tf * (1.2 + 1.0))
+          |  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / cast(tl as double))))
+          |as bigint)""".stripMargin).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sc")).as("bm25_e4"))
+
   /** q_bm25's oracle as a shared val so compositions (q_rag_rerank) can
     * nest it verbatim — the unigramLmSql pattern. */
   private[ops] val bm25Sql: String =
@@ -1033,6 +1114,45 @@ object TextAnalysis extends OpModule {
 
     "q_bm25" -> bm25Sql,
 
+    // the same two Rocchio rounds as chained CTEs over the shared bm25
+    // blocks: round-1 scores pick the 5 feedback docs, their 3 heaviest
+    // non-query terms join the query, round 2 re-scores
+    "q_rag_prf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qterms AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+        |           ORDER BY df DESC, t LIMIT 5),
+        |sc1 AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT) AS sc
+        |  FROM tf JOIN qterms USING (t) JOIN dlen USING (doc_id), stats),
+        |fb AS (SELECT doc_id FROM (
+        |  SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS s FROM sc1 GROUP BY doc_id
+        |  ORDER BY s DESC, doc_id LIMIT 5)),
+        |exp AS (SELECT t FROM (
+        |  SELECT t, SUM(tf) AS w FROM tf JOIN fb USING (doc_id)
+        |  WHERE LEN(t) >= 4 AND t NOT IN (SELECT t FROM qterms)
+        |  GROUP BY t ORDER BY w DESC, t LIMIT 3)),
+        |allt AS (SELECT t, df FROM qterms
+        |         UNION ALL SELECT t, df FROM dfreq WHERE t IN (SELECT t FROM exp)),
+        |sc2 AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT) AS sc
+        |  FROM tf JOIN allt USING (t) JOIN dlen USING (doc_id), stats)
+        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sc) AS BIGINT) AS bm25_e4
+        |FROM sc2 GROUP BY doc_id
+        |ORDER BY bm25_e4 DESC, doc_id LIMIT 10""".stripMargin,
+
     // the ranked prefix under the budget, over the nested bm25 stage
     "q_rag_pack" ->
       s"""WITH cand AS (SELECT doc_id, bm25_e4 FROM ($bm25Sql) t),
@@ -1088,6 +1208,33 @@ object TextAnalysis extends OpModule {
         |    + COALESCE(CAST(ROUND(1e6 / (60 + de.dense_rank)) AS BIGINT), 0) AS rrf_e6
         |FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
         |ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // positive from the dense stage, negatives from the lexical stage minus
+    // the dense set — both stages nested verbatim
+    "q_hard_negatives" ->
+      s"""WITH cand AS (SELECT doc_id, bm25_e4 FROM ($bm25Sql) t),
+        |emb AS (SELECT vec_id, embedding,
+        |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM emb WHERE vec_id = 0),
+        |cos AS (SELECT e.vec_id AS doc_id,
+        |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e.embedding, q.q_emb),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (e.nrm * q.q_nrm) * 10000) AS BIGINT) AS cos_e4
+        |  FROM emb e, q),
+        |dense AS (SELECT * FROM cos ORDER BY cos_e4 DESC, doc_id LIMIT 20),
+        |pos AS (SELECT 'pos' AS role, CAST(1 AS BIGINT) AS pair_rank, doc_id,
+        |               cos_e4 AS score_e4
+        |        FROM dense WHERE doc_id <> 0 ORDER BY cos_e4 DESC, doc_id LIMIT 1),
+        |negs AS (SELECT 'neg' AS role,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bm25_e4 DESC, doc_id) AS BIGINT) AS pair_rank,
+        |    doc_id, bm25_e4 AS score_e4
+        |  FROM (SELECT * FROM cand
+        |        WHERE doc_id <> 0 AND doc_id NOT IN (SELECT doc_id FROM dense)
+        |        ORDER BY bm25_e4 DESC, doc_id LIMIT 5) t)
+        |SELECT * FROM pos UNION ALL SELECT * FROM negs
+        |ORDER BY role, pair_rank""".stripMargin,
 
     // the greedy chain replayed as a single-row-per-step recursive CTE
     "q_rag_mmr" ->
