@@ -449,6 +449,38 @@ object TrainingOps extends OpModule {
         .orderBy(col("epoch"), col("lang"))
     }),
 
+    // TEMPERATURE-SCALED mixture weights (the mT5/XLM-R multilingual
+    // recipe, Xue et al. 2021 §3.3: q_l ∝ p_l^α with α = 0.7 — flattens
+    // the natural distribution so low-resource languages up-sample
+    // without drowning the head). Exactly ONE double operation per
+    // language (the pow, rounded to e6 — ln-in-bm25 precedent); every
+    // other step is integer div on non-negative operands (Spark `div`
+    // truncates, DuckDB `//` floors — equal on non-negatives, the
+    // q_mix_anneal rule). rate_e4 = q/p is the per-language sampling rate
+    // a loader applies. Scale: one corpus scan for the per-language token
+    // counts; the 5-row language table is eagerly localCheckpointed
+    // (bounded-frame rule) so the totals/normalization stages never
+    // re-derive the scan.
+    "q_mix_temperature" -> ((s, d) => {
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(trim(col("text")), " ")).cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_toks"))
+        .localCheckpoint()
+      val tot = perLang.agg(sum(col("n_toks")).as("nn"))
+      val w = perLang.crossJoin(broadcast(tot))
+        .withColumn("p_e6", expr("n_toks * 1000000 div nn"))
+        .withColumn("pow_e6", expr(
+          "cast(round(1e6 * power(cast(n_toks as double) / nn, 0.7)) as bigint)"))
+      val sp = w.agg(sum(col("pow_e6")).as("sp"))
+      w.crossJoin(broadcast(sp))
+        .withColumn("q_e6", expr("pow_e6 * 1000000 div sp"))
+        .select(col("lang"), col("n_docs"), col("n_toks"), col("p_e6"),
+                col("q_e6"), expr("q_e6 * 10000 div p_e6").as("rate_e4"))
+        .orderBy(col("lang"))
+    }),
+
     "q_data_mix" -> ((s, d) => {
       // weight in 1e-2 units per source bucket (string ranges: src0 → 150%,
       // src1 + src10–19 → 50%, src2–9 → 100%)
@@ -920,6 +952,24 @@ object TrainingOps extends OpModule {
         |  CAST(COALESCE(dr.n_drawn, 0) AS BIGINT) AS n_drawn
         |FROM sched s LEFT JOIN drawn dr ON s.epoch = dr.epoch AND s.lang = dr.lang
         |ORDER BY s.epoch, s.lang""".stripMargin,
+
+    // the one double op (POWER, e6-rounded) then integer arithmetic; `//`
+    // floors = `div` truncates on the non-negative operands
+    "q_mix_temperature" ->
+      """WITH perdoc AS (
+        |  SELECT lang, LEN(STRING_SPLIT(TRIM(text), ' ')) AS nt FROM documents),
+        |l AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_toks
+        |      FROM perdoc GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS nn FROM l),
+        |w AS (SELECT lang, n_docs, n_toks,
+        |        n_toks * 1000000 // nn AS p_e6,
+        |        CAST(ROUND(1e6 * POWER(CAST(n_toks AS DOUBLE) / nn, 0.7)) AS BIGINT) AS pow_e6
+        |      FROM l, t),
+        |s AS (SELECT CAST(SUM(pow_e6) AS BIGINT) AS sp FROM w)
+        |SELECT lang, n_docs, n_toks, p_e6,
+        |  pow_e6 * 1000000 // sp AS q_e6,
+        |  (pow_e6 * 1000000 // sp) * 10000 // p_e6 AS rate_e4
+        |FROM w, s ORDER BY lang""".stripMargin,
 
     "q_data_mix" ->
       """WITH b AS (

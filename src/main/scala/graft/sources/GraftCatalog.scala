@@ -58,7 +58,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     * (versions_kept, live_files), not a silent side effect. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("abandon", "compact", "history", "publish", "rollback", "tag", "zorder",
+    Array("abandon", "cherry_pick", "compact", "history", "publish", "rollback",
+      "tag", "zorder",
       "vacuum").map(Identifier.of(Array.empty, _))
   }
 
@@ -67,6 +68,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       throw new NoSuchTableException(ident) // no namespaced procedures
     ident.name().toLowerCase(java.util.Locale.ROOT) match {
       case "abandon" => AbandonProcedure
+      case "cherry_pick" => CherryPickProcedure
       case "compact" => CompactProcedure
       case "history" => HistoryProcedure
       case "publish" => PublishProcedure
@@ -76,7 +78,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "zorder"  => ZorderProcedure
       case _ => throw new UnsupportedOperationException(
         s"unknown procedure ${ident.name()} " +
-          "(abandon | compact | history | publish | rollback | tag | vacuum | zorder)")
+          "(abandon | cherry_pick | compact | history | publish | rollback | " +
+          "tag | vacuum | zorder)")
     }
   }
 
@@ -448,6 +451,18 @@ private object CompactProcedure
   }
   override def description(): String =
     "rewrite the current snapshot as range-clustered ~target_rows files"
+}
+
+/** `CALL graft.cherry_pick(path, version)` — re-apply an archived
+  * append-only commit's file delta onto head as a new commit; see
+  * StoreSink.cherryPick for the refusal rules. */
+private object CherryPickProcedure
+    extends StoreProcedure("cherry_pick", ("files_applied", "new_version")) {
+  override protected def argName = "version"
+  override protected def run(path: String, arg: Long): (Long, Long) =
+    StoreSink.cherryPick(path, arg.toInt)
+  override def description(): String =
+    "re-apply an archived append-only commit onto the current head"
 }
 
 /** `CALL graft.zorder(path, target_rows)` — OPTIMIZE with 2-D (Hilbert)

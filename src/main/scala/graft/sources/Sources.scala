@@ -1202,6 +1202,51 @@ object Sources extends OpModule {
       }
     }),
 
+    // CHERRY-PICK — rollback's selective-redo companion (the Iceberg
+    // cherrypick_snapshot shape): a good load (v2) and a bad load (v3)
+    // land, the day rolls back to v1, and `CALL graft.cherry_pick(2)`
+    // re-applies JUST the good load's file delta onto head as a new
+    // commit — metadata-only (the promoted files are reused, one list
+    // swap), append-only enforced (a commit that removed lines refuses),
+    // and re-picking the same commit conflicts loudly because its files
+    // already sit at head. The oracle pins the final content = base + the
+    // good load, bit for bit.
+    "q_store_cherry" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecherry")
+      val (_, maxK) = seedStore(s, d, path) // v1
+      withStorePath(s, path) {
+        val fmtS = "graft.sources.StoreSink"
+        s.range(1, 51).select((col("id") + maxK).as("k"), lit("A").as("grp"),
+            (col("id") * 3).as("amt_cents"))
+          .coalesce(1).write.format(fmtS).mode("append")
+          .option("path", path).save() // v2: the good load
+        s.range(1, 21).select((col("id") + maxK + 50).as("k"),
+            lit("BAD").as("grp"), lit(-1L).as("amt_cents"))
+          .coalesce(1).write.format(fmtS).mode("append")
+          .option("path", path).save() // v3: the bad load
+        s.sql(s"CALL graft.rollback('$path', 1)").collect() // v4 = v1
+        val cp = s.sql(s"CALL graft.cherry_pick('$path', 2)").collect()(0)
+        val picked = cp.getLong(0) == 1L && cp.getLong(1) == 5L
+        val refused =
+          try { s.sql(s"CALL graft.cherry_pick('$path', 2)").collect(); false }
+          catch { case e: Throwable =>
+            Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .exists(t => t.getMessage != null &&
+                t.getMessage.contains("cherry-pick conflict")) }
+        val agg = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_picked", if (picked) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_repick_refused", if (refused) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
     // WRITE-AUDIT-PUBLISH branches (the Iceberg/Nessie WAP pattern): an
     // ingest job appends onto a BRANCH — its files commit to a side
     // manifest and stay INVISIBLE to main readers (visibility is manifest
@@ -2241,6 +2286,17 @@ object Sources extends OpModule {
         |FROM orders GROUP BY o_orderstatus
         |UNION ALL SELECT 'z_bad_gen_kept', 1, 0
         |UNION ALL SELECT 'z_rolled', 1, 0
+        |ORDER BY grp""".stripMargin,
+
+    // final content = base ∪ the cherry-picked good load (ids 1..50,
+    // amt = 3·id → Σ = 3825); the bad load never resurfaces
+    "q_store_cherry" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'A', 50, 3825
+        |UNION ALL SELECT 'z_picked', 1, 0
+        |UNION ALL SELECT 'z_repick_refused', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // final state = seed ∪ published batch; the abandoned batch never

@@ -1234,6 +1234,41 @@ object StoreSink {
     }
   }
 
+  /** CHERRY-PICK: re-apply one archived APPEND commit's file delta onto the
+    * current head as a NEW commit — the selective-redo companion to
+    * [[rollback]] (roll the bad load out, cherry-pick the good loads back).
+    * The picked delta is version v's data lines minus v-1's (line identity,
+    * the MoR-aware witness); the pick REFUSES loudly when v was not
+    * append-only (it removed or rewrote lines — replaying those against a
+    * diverged head would resurrect or double-delete rows) and when any
+    * picked file name already sits at head (the commit is already there).
+    * Metadata-only: content-addressed segments and promoted data files are
+    * reused byte-for-byte, so picking a terabyte load costs one list swap.
+    * Returns (files re-applied, new head version). */
+  def cherryPick(pathStr: String, v: Int): (Long, Long) = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    withCommitLock(root, fsys) {
+      val prev = if (v <= 1) Nil else readVersionLines(root, fsys, v - 1)
+      val target = readVersionLines(root, fsys, v)
+      val prevData = prev.filterNot(_.startsWith("#")).toSet
+      val vData = target.filterNot(_.startsWith("#"))
+      val removed = prevData -- vData.toSet
+      require(removed.isEmpty,
+        s"cherry-pick source v$v is not append-only; it removed or rewrote: " +
+          removed.take(3).mkString(","))
+      val added = vData.filterNot(prevData)
+      val head = readManifestLines(root, fsys)
+      val headNames = head.filterNot(_.startsWith("#"))
+        .map(parseEntry(_).name).toSet
+      val dup = added.map(parseEntry(_).name).filter(headNames)
+      require(dup.isEmpty,
+        s"cherry-pick conflict: files already at head: ${dup.take(3).mkString(",")}")
+      writeManifestAtomic(root, fsys, head ++ added)
+      (added.size.toLong, listVersions(root, fsys).last.toLong)
+    }
+  }
+
   /** Discard a branch: delete its ref; the staged files become
     * unreferenced and the next vacuum GCs them. Returns files dropped. */
   def abandon(pathStr: String, name: String): Long = {

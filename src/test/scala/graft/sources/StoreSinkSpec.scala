@@ -920,6 +920,32 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("cherry-pick refuses non-append commits and name conflicts; " +
+       "re-applies a clean append as a new version") {
+    val dir = freshDir("cherry")
+    df(1 to 40, "base").write.format(fmt).mode("overwrite").option("path", dir).save() // v1
+    df(41 to 60, "a").write.format(fmt).mode("append").option("path", dir).save()     // v2
+    graft.sources.Sources.withGraftCatalog(spark) {
+      graft.sources.Sources.withStorePath(spark, dir) {
+        spark.sql("DELETE FROM graft.store WHERE k <= 10") // v3: rewrites lines
+        StoreSink.rollback(dir, 1)                         // v4 = v1
+        // a commit that removed/rewrote lines must refuse (replaying it
+        // against a diverged head would double-delete)
+        val e1 = intercept[Exception] { StoreSink.cherryPick(dir, 3) }
+        assert(e1.getMessage.contains("not append-only"), e1.getMessage)
+        // the clean append re-applies: content = v1 + the 'a' batch
+        val (applied, newV) = StoreSink.cherryPick(dir, 2)
+        assert(applied >= 1L && newV == 5L, s"($applied, $newV)")
+        assert(readBack(dir) ==
+          ((1 to 40).map(k => (k.toLong, "base", k * 100L)) ++
+           (41 to 60).map(k => (k.toLong, "a", k * 100L))).toSet)
+        // picking it again conflicts loudly — its files already sit at head
+        val e2 = intercept[Exception] { StoreSink.cherryPick(dir, 2) }
+        assert(e2.getMessage.contains("cherry-pick conflict"), e2.getMessage)
+      }
+    }
+  }
+
   test("hilbert compact: a 2-D rewrite makes BOTH zone columns prunable") {
     val dir = freshDir("zorder")
     import spark.implicits._
