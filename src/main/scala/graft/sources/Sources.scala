@@ -960,6 +960,43 @@ object Sources extends OpModule {
       }
     }),
 
+    // The SAME CDC batch a THIRD way: native MERGE INTO through the
+    // SupportsDelta protocol (scoped conf `rowlevel.mode=delta`) — Spark
+    // plans a WriteDelta instead of ReplaceData, handing the writer
+    // per-row delete/update/insert verbs keyed by the declared row id
+    // (k). Deleted/updated ids land as EQUALITY-DELETE sidecars on the
+    // zone-matched pre-existing files; updated/inserted rows append as
+    // new files; ZERO data files are read back or rewritten (spec-pinned)
+    // — merge-on-read MERGE, the Iceberg v2 delta-write path. Shares
+    // q_store_merge's oracle: the primitive composition, the group-based
+    // COW MERGE, and the delta MERGE must agree bit for bit. NB the delta
+    // conf also declares k NOT NULL (Spark refuses nullable row ids —
+    // identifier-field semantics).
+    "q_store_merge_delta" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storemergedelta")
+      val (base, maxK) = seedStore(s, d, path)
+      val (dels, upds, ins) = storeCdc(base, maxK)
+      val v = s"store_cdc_delta_${java.lang.Integer.toHexString(d.hashCode)}"
+      upds.select(lit("U").as("op"), col("k"), col("grp"), col("amt_cents"))
+        .unionByName(dels.select(lit("D").as("op"), col("k"),
+          lit(null).cast("string").as("grp"), lit(0L).as("amt_cents")))
+        .unionByName(ins.select(lit("I").as("op"), col("k"), col("grp"), col("amt_cents")))
+        .createOrReplaceTempView(v)
+      val key = "spark.graft.store.rowlevel.mode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "delta")
+      try withStorePath(s, path) {
+        s.sql(s"""MERGE INTO graft.store t USING $v s ON t.k = s.k
+                 |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                 |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET grp = s.grp, amt_cents = s.amt_cents
+                 |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, grp, amt_cents) VALUES (s.k, s.grp, s.amt_cents)""".stripMargin)
+        storeSummary(s, path)
+      } finally {
+        prev match { case Some(p) => s.conf.set(key, p); case None => s.conf.unset(key) }
+        s.catalog.dropTempView(v)
+      }
+    }),
+
     // MIRROR-SYNC MERGE — the third MERGE clause family, `WHEN NOT
     // MATCHED BY SOURCE`: reconcile the store against a full desired
     // state in ONE statement (matched rows update, new rows insert,
@@ -2444,6 +2481,25 @@ object Sources extends OpModule {
 
     // native MERGE INTO must agree bit for bit with the primitive form
     "q_store_merge_sql" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents
+        |  FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |merged AS (
+        |  SELECT k, grp, amt_cents FROM base
+        |  WHERE k % 89 <> 0 AND k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k, grp, amt_cents + 100 FROM base
+        |  WHERE k % 97 = 0 AND k % 89 <> 0
+        |  UNION ALL
+        |  SELECT k + mx.maxk + 1, 'NEW', k * 10 FROM base, mx
+        |  WHERE k % 101 = 0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt_cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // the delta-protocol MERGE must agree bit for bit with both others
+    "q_store_merge_delta" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS grp,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents

@@ -1754,7 +1754,15 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireCurrent("row-level operation")
-    () => new StoreRowLevelOperation(pathStr, info.command())
+    // MERGE-ON-READ twin (scoped conf, mirrors the delete-mode knob): the
+    // SupportsDelta protocol executes the same statements as per-row
+    // deltas — deleted/updated row ids become equality-delete sidecars,
+    // inserts append — so a MERGE rewrites ZERO data files
+    val mode = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.store.rowlevel.mode", "group")
+    () =>
+      if (mode == "delta") new StoreDeltaOperation(pathStr, info.command())
+      else new StoreRowLevelOperation(pathStr, info.command())
   }
 
   // resolution-time schema binding: base + any ALTER-added trailing columns
@@ -1776,7 +1784,19 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
 
   override def name(): String =
     s"graft_store($pathStr${version.map(v => s"@v$v").getOrElse("")})"
-  override def schema(): StructType = tblSchema
+  /** Under the scoped delta-mode conf the row-id column `k` is declared
+    * NOT NULL (Iceberg identifier-field semantics — Spark refuses nullable
+    * row ids, correctly: an equality mask cannot address a null key). The
+    * conf is the opt-in; outside it the store stays fully nullable (the
+    * null-round-trip spec relies on that). */
+  override def schema(): StructType =
+    if (org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.store.rowlevel.mode", "group") == "delta")
+      StructType(tblSchema.fields.zipWithIndex.map {
+        case (f, 0) => f.copy(nullable = false)
+        case (f, _) => f
+      })
+    else tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
                     TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -2029,6 +2049,147 @@ private class StoreGroupReplaceWrite(pathStr: String, queryId: String,
         committed.map(_.entry.line)
       StoreSink.writeManifestAtomic(root, fsys, visible)
       // the replaced group set stays on disk for archived versions (vacuum GCs)
+      StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(pathStr)
+    StoreSink.cleanStaging(root, StoreSink.fs(root), queryId)
+  }
+}
+
+/** MERGE-ON-READ row-level operations via the [[SupportsDelta]] protocol
+  * (the Iceberg v2 delta-write path): instead of rewriting every scanned
+  * group, Spark hands this writer PER-ROW verbs — delete(id), update(id,
+  * row), insert(row) — keyed by the declared row identity (`k`, the
+  * store's MERGE convention). Deleted/updated ids become EQUALITY-DELETE
+  * sidecars on the zone-matched pre-existing entries (zero data bytes,
+  * the .eq- machinery q_store_delete_eq pinned); updated/inserted rows
+  * append as ordinary new files. A CDC MERGE therefore rewrites NOTHING:
+  * cost = changed rows + metadata, vs group COW's changed FILES — the
+  * difference between a 1 GB and a 1 TB commit on a wide-zoned 100 TB
+  * table. COUNT/MIN/MAX pushdown declines on masked entries (rows become
+  * an upper bound) until compaction absorbs the sidecars. */
+private class StoreDeltaOperation(pathStr: String, cmd: Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): Command = cmd
+  override def description(): String = s"graft-store $cmd (merge-on-read delta)"
+
+  /** Row identity = the key column: the house MERGE contract (ON t.k =
+    * s.k), and what the equality-delete sidecar masks by. */
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val tbl = StoreSink.tableSchema(pathStr)
+    () => new StoreScan(pathStr, required = tbl, table = tbl)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new StoreDeltaBatchWrite(pathStr, info.queryId(),
+            StoreSink.tableSchema(pathStr))
+      }
+    }
+}
+
+/** Task payload of a delta write: staged insert files + the row ids this
+  * task deleted or updated. */
+private case class StoreDeltaCommitMessage(files: Seq[StoreFilePayload],
+                                           deletedKeys: Array[Long])
+    extends WriterCommitMessage
+
+private case class StoreDeltaWriterFactory(pathStr: String, queryId: String,
+                                           dataSchema: StructType,
+                                           spec: Option[StoreSink.PartSpec])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new StoreDeltaWriter(pathStr, s"part-$queryId-$partitionId-$taskId",
+      dataSchema, spec)
+}
+
+/** Per-task delta writer: inserts ride the ordinary staged-file writer;
+  * delete/update additionally record the row id for the commit's equality
+  * masks. An update is delete + insert by construction (the old row is
+  * masked, the new row appends) — exactly merge-on-read semantics. */
+private class StoreDeltaWriter(pathStr: String, fileName: String,
+                               dataSchema: StructType,
+                               spec: Option[StoreSink.PartSpec])
+    extends DeltaWriter[InternalRow] {
+
+  private val inserts = new StoreDataWriter(pathStr, fileName, dataSchema, spec)
+  private val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    if (!id.isNullAt(0)) deleted += id.getLong(0)
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val m = inserts.commit().asInstanceOf[StoreCommitMessage]
+    StoreDeltaCommitMessage(m.files, deleted.toArray)
+  }
+
+  override def abort(): Unit = inserts.abort()
+  override def close(): Unit = inserts.close()
+}
+
+/** Commit half of the delta write: ONE locked manifest swap that (a)
+  * attaches the deleted row ids as equality sidecars to the zone-matched
+  * PRE-EXISTING entries only — the same fresh-lines semantics as the
+  * metadata equality delete, so concurrent same-key rows are superseded
+  * under the lock's serialization — and (b) appends the staged insert
+  * files afterwards, so re-inserted (updated) keys in the NEW files are
+  * never masked by their own commit. Zero data files read or written. */
+private class StoreDeltaBatchWrite(pathStr: String, queryId: String,
+                                   dataSchema: StructType)
+    extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val root = new Path(pathStr)
+    StoreDeltaWriterFactory(pathStr, queryId, dataSchema,
+      StoreSink.readPartSpec(root, StoreSink.fs(root)))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    val staging = new Path(root, StoreSink.Staging)
+    val ms = messages.map(_.asInstanceOf[StoreDeltaCommitMessage])
+    val committed = ms.flatMap(_.files).toSeq
+    require(committed.map(_.staged).distinct.size == committed.size,
+      s"duplicate commit messages: ${committed.map(_.staged)}")
+    val keys = ms.flatMap(_.deletedKeys).distinct.sorted
+    val gen = System.nanoTime().toHexString
+    StoreSink.withCommitLock(root, fsys) {
+      StoreSink.promote(root, fsys, staging, committed)
+      val lines = StoreSink.readManifestLines(root, fsys)
+      val masked = lines.map { l =>
+        if (l.startsWith("#")) l
+        else {
+          val e = StoreSink.parseEntry(l)
+          val mine = keys.filter(k => e.mayContain(Some(k), Some(k)))
+          if (mine.isEmpty) l
+          else {
+            val prev = e.eq.map(q => StoreSink.readEq(root, fsys, q).toSeq)
+              .getOrElse(Nil)
+            val eqName = s"${e.name}.eq-$gen"
+            StoreSink.writeEq(root, fsys, eqName, prev ++ mine)
+            e.copy(eq = Some(eqName)).line
+          }
+        }
+      }
+      StoreSink.writeManifestAtomic(root, fsys,
+        masked ++ committed.map(_.entry.line))
       StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
     }
   }

@@ -920,6 +920,44 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("delta MERGE (SupportsDelta): zero data files rewritten — masks + " +
+       "appends only, content identical to group-based COW") {
+    def seed(dir: String): Unit =
+      df(1 to 300, "a").repartitionByRange(4, col("k"))
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+    def merge(dir: String): Unit =
+      graft.sources.Sources.withGraftCatalog(spark) {
+        graft.sources.Sources.withStorePath(spark, dir) {
+          import spark.implicits._
+          Seq(("D", 7L, null.asInstanceOf[String], 0L), ("U", 100L, "u", 42L),
+              ("I", 999L, "i", 11L)).toDF("op", "k", "grp", "amt_cents")
+            .createOrReplaceTempView("delta_spec_cdc")
+          spark.sql("""MERGE INTO graft.store t USING delta_spec_cdc s ON t.k = s.k
+                      |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                      |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET grp = s.grp, amt_cents = s.amt_cents
+                      |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, grp, amt_cents) VALUES (s.k, s.grp, s.amt_cents)""".stripMargin)
+        }
+      }
+    val dirG = freshDir("deltamerge_g")
+    seed(dirG); merge(dirG) // group-based COW (default mode)
+    val dirD = freshDir("deltamerge_d")
+    seed(dirD)
+    val namesBefore = StoreSink.readEntries(new Path(dirD), fs).map(_.name)
+    spark.conf.set("spark.graft.store.rowlevel.mode", "delta")
+    try merge(dirD)
+    finally spark.conf.unset("spark.graft.store.rowlevel.mode")
+    val after = StoreSink.readEntries(new Path(dirD), fs)
+    // every pre-existing file survives BY NAME (no -d rewrites); the
+    // delete and the update each masked their zone-matched file via an
+    // equality sidecar; inserts appended
+    assert(namesBefore.forall(after.map(_.name).contains),
+      s"delta merge rewrote data files: ${after.map(_.name)}")
+    assert(after.exists(_.eq.isDefined), "no equality mask written")
+    assert(after.size > namesBefore.size, "no insert file appended")
+    assert(readBack(dirD) == readBack(dirG),
+      "delta and group MERGE disagree on content")
+  }
+
   test("cherry-pick refuses non-append commits and name conflicts; " +
        "re-applies a clean append as a new version") {
     val dir = freshDir("cherry")
