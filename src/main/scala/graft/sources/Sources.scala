@@ -960,6 +960,72 @@ object Sources extends OpModule {
       }
     }),
 
+    // s_store_upsert's MERGE-ON-READ twin: the same two-wave streaming CDC
+    // apply with the delta protocol scoped on (the conf is set BEFORE
+    // start() so the foreachBatch clone inherits it) — every micro-batch
+    // commit is equality masks + appended files, ZERO data files read back
+    // or rewritten across the whole run (the z_no_rewrite flag pins every
+    // seed file surviving by name with at least one mask attached).
+    // Last-writer-wins still falls out of batch order: wave 2's masks
+    // apply to wave 1's appended file because it is pre-existing by then.
+    // At 100 TB this is the shape that makes streaming CDC into a big
+    // table affordable — per-batch cost is changed ROWS, not changed
+    // files; compaction absorbs the masks on its own schedule.
+    "s_store_upsert_delta" -> ((s, d) => withGraftCatalog(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val path = tmp(d, "storeupsertd")
+      val chk = tmp(d, "storeupsertd_chk")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(chk), true)
+      val (base, maxK) = seedStore(s, d, path)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val seedNames = graft.sources.StoreSink.readEntries(root, fsys).map(_.name)
+      val w1 = base.where(pmod(col("k"), lit(4)) === 0)
+        .select(col("k"), lit("W1").as("grp"),
+                (col("k") * 3 + 1).as("amt_cents"))
+        .unionByName(base.where(pmod(col("k"), lit(101)) === 0)
+          .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+                  (col("k") * 7).as("amt_cents")))
+        .as[(Long, String, Long)].collect().toSeq
+      val w2 = base.where(pmod(col("k"), lit(6)) === 0)
+        .select(col("k"), lit("W2").as("grp"),
+                (col("k") * 5 + 2).as("amt_cents"))
+        .as[(Long, String, Long)].collect().toSeq
+      val key = "spark.graft.store.rowlevel.mode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "delta")
+      try withStorePath(s, path) {
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+        val q = mem.toDS().toDF("k", "grp", "amt_cents").writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.createOrReplaceTempView("graft_upsertd_batch")
+            b.sparkSession.sql(
+              """MERGE INTO graft.store t USING graft_upsertd_batch s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET grp = s.grp, amt_cents = s.amt_cents
+                |WHEN NOT MATCHED THEN INSERT (k, grp, amt_cents)
+                |  VALUES (s.k, s.grp, s.amt_cents)""".stripMargin)
+            ()
+          }
+          .option("checkpointLocation", chk)
+          .start()
+        try {
+          mem.addData(w1); q.processAllAvailable()
+          mem.addData(w2); q.processAllAvailable()
+        } finally q.stop()
+        val entries = graft.sources.StoreSink.readEntries(root, fsys)
+        val noRewrite = seedNames.forall(entries.map(_.name).contains) &&
+          entries.exists(_.eq.isDefined)
+        val agg = storeSummary(s, path)
+        import scala.jdk.CollectionConverters._
+        val rows = agg.collect().toSeq :+ org.apache.spark.sql.Row(
+          "z_no_rewrite", if (noRewrite) 1L else 0L, 0L)
+        s.createDataFrame(rows.asJava, agg.schema).orderBy(col("grp"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p); case None => s.conf.unset(key)
+      }
+    }),
+
     // The SAME CDC batch a THIRD way: native MERGE INTO through the
     // SupportsDelta protocol (scoped conf `rowlevel.mode=delta`) — Spark
     // plans a WriteDelta instead of ReplaceData, handing the writer
@@ -2557,6 +2623,29 @@ object Sources extends OpModule {
         |FROM fin GROUP BY grp
         |UNION ALL
         |SELECT 'z_incremental', 1, 0
+        |ORDER BY grp""".stripMargin,
+
+    // same two-wave closed form; the flag pins the merge-on-read layout
+    "s_store_upsert_delta" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents
+        |  FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |fin AS (
+        |  SELECT k,
+        |    CASE WHEN k % 6 = 0 THEN 'W2'
+        |         WHEN k % 4 = 0 THEN 'W1' ELSE grp END AS grp,
+        |    CASE WHEN k % 6 = 0 THEN k * 5 + 2
+        |         WHEN k % 4 = 0 THEN k * 3 + 1 ELSE amt_cents END AS amt_cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k + mx.maxk + 1, 'NEW', k * 7 FROM base, mx
+        |  WHERE k % 101 = 0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt_cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY grp
+        |UNION ALL
+        |SELECT 'z_no_rewrite', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // the store's two commits must reconstruct exactly the source table
