@@ -1063,6 +1063,38 @@ object Sources extends OpModule {
       }
     }),
 
+    // DELETE through the delta protocol: a predicate SupportsDelete cannot
+    // translate (amt_cents % 2 = 1 — no source Filter exists for modulo)
+    // falls through to the row-level rewrite, and under the scoped delta
+    // conf that plans a WriteDelta whose per-row delete verbs become
+    // equality masks — an arbitrary-predicate DELETE that reads the rows
+    // ONCE and rewrites nothing (the flag pins every seed file surviving
+    // by name). Group COW would rewrite every file holding an odd amount,
+    // i.e. all of them.
+    "q_store_delete_delta" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storedeldelta")
+      seedStore(s, d, path)
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val seedNames = graft.sources.StoreSink.readEntries(root, fsys).map(_.name)
+      val key = "spark.graft.store.rowlevel.mode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "delta")
+      try withStorePath(s, path) {
+        s.sql("DELETE FROM graft.store WHERE amt_cents % 2 = 1")
+        val entries = graft.sources.StoreSink.readEntries(root, fsys)
+        val noRewrite = seedNames.forall(entries.map(_.name).contains) &&
+          entries.exists(_.eq.isDefined)
+        val agg = storeSummary(s, path)
+        import scala.jdk.CollectionConverters._
+        val rows = agg.collect().toSeq :+ org.apache.spark.sql.Row(
+          "z_no_rewrite", if (noRewrite) 1L else 0L, 0L)
+        s.createDataFrame(rows.asJava, agg.schema).orderBy(col("grp"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p); case None => s.conf.unset(key)
+      }
+    }),
+
     // MIRROR-SYNC MERGE — the third MERGE clause family, `WHEN NOT
     // MATCHED BY SOURCE`: reconcile the store against a full desired
     // state in ONE statement (matched rows update, new rows insert,
@@ -2563,6 +2595,15 @@ object Sources extends OpModule {
         |  WHERE k % 101 = 0)
         |SELECT grp, COUNT(*) AS n, CAST(SUM(amt_cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // survivors = even amounts; the flag pins the zero-rewrite layout
+    "q_store_delete_delta" ->
+      """SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM (SELECT o_orderstatus AS grp,
+        |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders) t
+        |WHERE amt % 2 = 0 GROUP BY grp
+        |UNION ALL SELECT 'z_no_rewrite', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // the delta-protocol MERGE must agree bit for bit with both others
     "q_store_merge_delta" ->

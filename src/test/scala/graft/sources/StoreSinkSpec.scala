@@ -958,6 +958,44 @@ class StoreSinkSpec extends SparkSpec {
       "delta and group MERGE disagree on content")
   }
 
+  test("delta MERGE on a partitioned store: masks attach to partitioned " +
+       "entries, inserts route into partition dirs") {
+    val dir = freshDir("deltamerge_part")
+    import spark.implicits._
+    (1 to 200).map(k => (k.toLong, if (k % 2 == 0) "E" else "O", k * 10L))
+      .toDF("k", "grp", "amt_cents")
+      .write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "identity:grp").save()
+    graft.sources.Sources.withGraftCatalog(spark) {
+      graft.sources.Sources.withStorePath(spark, dir) {
+        Seq((4L, "E", 999L), (501L, "N", 1L)).toDF("k", "grp", "amt_cents")
+          .createOrReplaceTempView("delta_part_cdc")
+        spark.conf.set("spark.graft.store.rowlevel.mode", "delta")
+        try spark.sql(
+          """MERGE INTO graft.store t USING delta_part_cdc s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET amt_cents = s.amt_cents
+            |WHEN NOT MATCHED THEN INSERT (k, grp, amt_cents) VALUES (s.k, s.grp, s.amt_cents)""".stripMargin)
+        finally spark.conf.unset("spark.graft.store.rowlevel.mode")
+      }
+    }
+    val after = StoreSink.readEntries(new Path(dir), fs)
+    // every entry still carries its partition value (masked ones included),
+    // and the brand-new partition value materialized as a new dir'd file
+    assert(after.forall(_.part.isDefined), after.map(_.line))
+    assert(after.exists(e => e.part.contains("N") && e.name.startsWith("grp=N/")),
+      s"insert did not route into its partition dir: ${after.map(_.name)}")
+    assert(after.exists(e => e.eq.isDefined && e.part.contains("E")),
+      "update did not mask the partitioned entry")
+    val got = spark.read.format(fmt).option("path", dir).load()
+    assert(got.where(col("k") === 4L).collect()(0).getLong(2) == 999L)
+    assert(got.count() == 201)
+    // partition pruning still exact over the masked layout
+    spark.read.format(fmt).option("path", dir).load()
+      .where(col("grp") === "N").collect()
+    assert(StoreSink.lastPartPrune.exists(_._2 == 1),
+      s"partition pruning degraded: ${StoreSink.lastPartPrune}")
+  }
+
   test("cherry-pick refuses non-append commits and name conflicts; " +
        "re-applies a clean append as a new version") {
     val dir = freshDir("cherry")
