@@ -659,7 +659,10 @@ private class StoreMetaTable(pathStr: String, kind: String)
       StructField("max_k", LongType, nullable = true),
       StructField("bytes", LongType, nullable = true),
       StructField("part", StringType, nullable = true),
-      StructField("has_dv", IntegerType, nullable = false)))
+      StructField("has_dv", IntegerType, nullable = false),
+      StructField("has_eq", IntegerType, nullable = false),
+      StructField("min_a", LongType, nullable = true),
+      StructField("max_a", LongType, nullable = true)))
     case "partitions" => StructType(Seq(
       StructField("part", StringType, nullable = false),
       StructField("n_files", LongType, nullable = false),
@@ -689,7 +692,10 @@ private class StoreMetaTable(pathStr: String, kind: String)
                 e.maxK.map(java.lang.Long.valueOf).orNull,
                 e.bytes.map(java.lang.Long.valueOf).orNull,
                 e.part.map(str).orNull,
-                if (e.dv.isDefined) 1 else 0)
+                if (e.dv.isDefined) 1 else 0,
+                if (e.eq.isDefined) 1 else 0,
+                e.minA.map(java.lang.Long.valueOf).orNull,
+                e.maxA.map(java.lang.Long.valueOf).orNull)
             }.toArray
           case "partitions" =>
             StoreSink.readEntries(root, fsys).filter(_.part.isDefined)
