@@ -137,7 +137,8 @@ private class RangeScanBuilder(start: Long, end: Long,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownOffset with SupportsPushDownTableSample {
+    with SupportsPushDownOffset with SupportsPushDownTableSample
+    with SupportsPushDownJoin {
 
   private var lo = start
   private var hi = end
@@ -148,6 +149,70 @@ private class RangeScanBuilder(start: Long, end: Long,
   private var pushedOffset = 0
   private var topNDesc = false
   private var sample: Option[(Double, Double, Long)] = None
+  /** When set, this builder carries a PUSHED SELF-SOURCE JOIN: the output
+    * columns (possibly de-duplicated by Spark-generated aliases) mapped to
+    * their base generator column. */
+  private var joinedCols: Option[Seq[(String, String)]] = None
+
+  /** JOIN PUSHDOWN ([[SupportsPushDownJoin]], the newest V2 pushdown
+    * surface — `spark.sql.optimizer.datasourceV2JoinPushdown`): an
+    * id-equality INNER join of two range scans collapses into ONE scan of
+    * the residual ranges' INTERSECTION — for a keyed generator, equi-join
+    * IS range intersection, so the join operator, both its exchanges, and
+    * one whole scan vanish from the plan (the JDBC-connector "run the join
+    * in the database" contract, answered closed-form here). Runs AFTER
+    * filter pushdown — each side's bounds are already its residual range —
+    * and BEFORE column pruning; Spark aliases duplicated output names and
+    * hands the join condition over those output names. Declines anything
+    * but a plain (no sample/limit/offset/agg, not already joined) INNER
+    * equi-join on id — a declined pushdown is an ordinary Spark join,
+    * never a wrong result. */
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other.isInstanceOf[RangeScanBuilder]
+
+  private def isPlainForJoin: Boolean =
+    joinedCols.isEmpty && sample.isEmpty && pushedLimit.isEmpty &&
+      pushedOffset == 0 && aggFuncs.isEmpty
+
+  override def pushDownJoin(
+      other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      cond: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN)
+      return false
+    if (!other.isInstanceOf[RangeScanBuilder]) return false
+    val o = other.asInstanceOf[RangeScanBuilder]
+    if (!isPlainForJoin || !o.isPlainForJoin) return false
+    def outName(c: SupportsPushDownJoin.ColumnWithAlias): String =
+      Option(c.alias).getOrElse(c.colName)
+    val lid = leftReq.find(_.colName == "id").map(outName)
+    val rid = rightReq.find(_.colName == "id").map(outName)
+    if (lid.isEmpty || rid.isEmpty) return false
+    // the WHOLE condition must be exactly `left.id = right.id` over the
+    // (aliased) output names — anything else stays a Spark-side join
+    val condRefs: Option[Set[String]] = cond match {
+      case p if p.name() == "=" && p.children().length == 2 =>
+        val ns = p.children().toSeq.collect {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames().length == 1 => r.fieldNames()(0)
+        }
+        if (ns.length == 2) Some(ns.toSet) else None
+      case _ => None
+    }
+    if (!condRefs.contains(Set(lid.get, rid.get))) return false
+    // inner equi-join of two deterministic generators = range intersection
+    lo = math.max(lo, o.lo)
+    hi = math.min(hi, o.hi)
+    val colsOut = (leftReq.toSeq ++ rightReq.toSeq)
+      .map(c => (outName(c), c.colName))
+    joinedCols = Some(colsOut)
+    required = StructType(colsOut.map { case (out, col) =>
+      StructField(out, RangeSource.schema(col).dataType, nullable = false)
+    })
+    true
+  }
 
   /** TABLESAMPLE pushdown: once pushed, Spark REMOVES its Sample operator
     * and the source owns the randomness — so the sample must be a pure,
@@ -263,7 +328,8 @@ private class RangeScanBuilder(start: Long, end: Long,
         case Some(n) => (math.min(hi, lo + pushedOffset), math.min(hi, lo + n))
         case None    => (math.min(hi, lo + pushedOffset), hi)
       }
-      new RangeScan(blo, bhi, required, pushedLimit, topNDesc, options, sample)
+      new RangeScan(blo, bhi, required, pushedLimit, topNDesc, options, sample,
+        joinedCols.map(_.toMap))
     }
 }
 
@@ -322,7 +388,8 @@ private case class RangeAggReaderFactory(funcs: Seq[String])
 private class RangeScan(lo: Long, hi: Long, required: StructType,
                         limit: Option[Int], topNDesc: Boolean,
                         options: CaseInsensitiveStringMap,
-                        sample: Option[(Double, Double, Long)] = None)
+                        sample: Option[(Double, Double, Long)] = None,
+                        joinedColOf: Option[Map[String, String]] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -349,7 +416,8 @@ private class RangeScan(lo: Long, hi: Long, required: StructType,
   override def description(): String = {
     val lim = limit.map(n => s" limit=$n${if (topNDesc) " desc" else ""}").getOrElse("")
     val smp = sample.map { case (l, u, s) => s" sample=[$l,$u)@$s" }.getOrElse("")
-    s"GraftRangeScan[$lo, $hi)$lim$smp cols=${required.fieldNames.mkString(",")}"
+    val jn = if (joinedColOf.isDefined) " pushedJoin=id-intersect" else ""
+    s"GraftRangeScan[$lo, $hi)$lim$smp$jn cols=${required.fieldNames.mkString(",")}"
   }
 
   /** Post-pushdown stats: rows = the residual (and limit-bounded) range,
@@ -383,7 +451,7 @@ private class RangeScan(lo: Long, hi: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeReaderFactory(required, sample)
+    new RangeReaderFactory(required, sample, joinedColOf)
 
   /** DSv2 streaming read (MICRO_BATCH_READ): the pruned schema and pushed
     * bounds carry into the stream — each micro-batch reads the offset
@@ -507,15 +575,20 @@ private class RangeMicroBatchStream(lo: Long, hi: Long, required: StructType,
 private case class RangePartition(lo: Long, hi: Long) extends InputPartition
 
 private class RangeReaderFactory(required: StructType,
-                                 sample: Option[(Double, Double, Long)] = None)
+                                 sample: Option[(Double, Double, Long)] = None,
+                                 joinedColOf: Option[Map[String, String]] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RangePartition]
-    // resolve projection ONCE per partition, not per row
-    val cols: Array[Long => Any] = required.fieldNames.map {
-      case "id"  => (id: Long) => id
-      case "val" => (id: Long) => RangeSource.valOf(id)
-      case "tag" => (id: Long) => UTF8String.fromString(RangeSource.tagOf(id))
+    // resolve projection ONCE per partition, not per row; a pushed join's
+    // aliased output names resolve to their base generator column (both
+    // join sides generate the same functions of id, so side is irrelevant)
+    val cols: Array[Long => Any] = required.fieldNames.map { n =>
+      joinedColOf.flatMap(_.get(n)).getOrElse(n) match {
+        case "id"  => (id: Long) => id
+        case "val" => (id: Long) => RangeSource.valOf(id)
+        case "tag" => (id: Long) => UTF8String.fromString(RangeSource.tagOf(id))
+      }
     }
     new PartitionReader[InternalRow] {
       private var cur = p.lo - 1

@@ -718,6 +718,48 @@ object Sources extends OpModule {
              graft.ops.Det.moneySum(col("val")).as("val_cents"))
     }),
 
+    // JOIN PUSHDOWN INTO THE SOURCE (SupportsPushDownJoin, the newest V2
+    // pushdown surface, conf-gated by
+    // spark.sql.optimizer.datasourceV2JoinPushdown): an id-equality INNER
+    // join of two range scans collapses into ONE scan of the residual
+    // ranges' intersection — the join operator, both exchanges, and a
+    // whole second scan vanish (z_fused pins no Join node + the scan's
+    // pushedJoin marker). This is the JDBC "run the join in the database"
+    // contract answered closed-form; at 100 TB it is the difference
+    // between shipping two tables to a shuffle and shipping the JOINED
+    // result out of the source. Non-inner joins and non-id conditions
+    // decline into ordinary Spark joins (spec-pinned). The conf is scoped
+    // and the result materializes inside it (the conf-scoped-query rule).
+    "q_join_pushdown" -> ((s, d) => {
+      val key = "spark.sql.optimizer.datasourceV2JoinPushdown"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val a = s.read.format("graft.sources.RangeSource")
+          .option("start", "0").option("end", "60000").load()
+        val b = s.read.format("graft.sources.RangeSource")
+          .option("start", "30000").option("end", "90000").load()
+        val j = a.join(b, a("id") === b("id"))
+          .select(a("id").as("jid"), a("val").as("va"), b("tag").as("tb"))
+        val res = j.agg(
+          count(lit(1)).as("n"),
+          min(col("jid")).as("min_id"), max(col("jid")).as("max_id"),
+          sum(expr("cast(round(va * 100) as bigint)")).as("val_cents"),
+          sum(when(col("tb") === "a", 1L).otherwise(0L)).as("n_tag_a"))
+        val plan = res.queryExecution.executedPlan.toString
+        // NB a bare "Join" substring test would match the scan's OWN
+        // pushedJoin marker — test for actual join EXEC node names
+        val joinExec = Seq("SortMergeJoin", "BroadcastHashJoin",
+          "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+        val fused = !joinExec.exists(plan.contains) &&
+          plan.contains("pushedJoin=id-intersect")
+        val out = res.withColumn("z_fused", lit(if (fused) 1L else 0L))
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p); case None => s.conf.unset(key)
+      }
+    }),
+
     // ROW-LEVEL DELETE through the connector (SupportsDelete, resolved by
     // name through the catalog): the store seeds from orders, `DELETE FROM
     // graft.store WHERE grp = 'F' OR k < 1000` rewrites only the files
@@ -2860,6 +2902,20 @@ object Sources extends OpModule {
         |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents
         |FROM g WHERE tag <> 'd'
         |GROUP BY tag ORDER BY tag""".stripMargin,
+
+    // the fused self-join = the range intersection [30000, 60000), every
+    // column a closed form of id; the flag pins the collapsed plan
+    "q_join_pushdown" ->
+      """WITH g AS (
+        |  SELECT r.range AS jid,
+        |    (r.range * 7919 % 100000) / 100.0 AS va,
+        |    SUBSTR('abcd', CAST(r.range % 4 AS INT) + 1, 1) AS tb
+        |  FROM RANGE(30000, 60000) r)
+        |SELECT COUNT(*) AS n, MIN(jid) AS min_id, MAX(jid) AS max_id,
+        |  CAST(SUM(CAST(ROUND(va * 100) AS BIGINT)) AS BIGINT) AS val_cents,
+        |  CAST(SUM(CASE WHEN tb = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_tag_a,
+        |  CAST(1 AS BIGINT) AS z_fused
+        |FROM g""".stripMargin,
 
     "src_dsv2_agg" ->
       """SELECT COUNT(*) AS n, MIN(r.range) AS min_id, MAX(r.range) AS max_id

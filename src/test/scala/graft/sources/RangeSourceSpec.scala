@@ -235,4 +235,46 @@ class RangeSourceSpec extends SparkSpec {
     assert(all.select(col("id")).distinct().count() == 200000L,
       "restart re-read an offset range")
   }
+
+  test("join pushdown: an id-equality inner self-source join collapses " +
+       "into one intersected scan; outer and non-id joins fall back") {
+    def withJoinPushdown[T](body: => T): T = {
+      val key = "spark.sql.optimizer.datasourceV2JoinPushdown"
+      spark.conf.set(key, "true")
+      try body finally spark.conf.unset(key)
+    }
+    val joinExec = Seq("SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+    withJoinPushdown {
+      val a = ranged(0, 60000)
+      val b = ranged(30000, 90000)
+      val j = a.join(b, a("id") === b("id"))
+        .select(a("id").as("jid"), a("val").as("va"), b("tag").as("tb"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("pushedJoin=id-intersect") &&
+        p.contains("GraftRangeScan[30000, 60000)"),
+        s"join not pushed into the source:\n$p")
+      assert(!joinExec.exists(p.contains), s"join exec survived the push:\n$p")
+      assert(j.count() == 30000)
+      val row = j.where(col("jid") === 31007L).collect()(0)
+      assert(row.getDouble(1) == RangeSource.valOf(31007L) &&
+        row.getString(2) == RangeSource.tagOf(31007L),
+        "fused scan produced wrong column values")
+      // filters pushed BEFORE the join narrow the intersection further
+      val jf = a.where(col("id") >= 40000).join(b, a("id") === b("id"))
+      val pf = jf.queryExecution.executedPlan.toString
+      assert(pf.contains("GraftRangeScan[40000, 60000)"),
+        s"side filter did not narrow the fused range:\n$pf")
+      assert(jf.count() == 20000)
+      // non-inner joins decline into an ordinary Spark join
+      val outer = a.join(b, a("id") === b("id"), "left_outer")
+      assert(joinExec.exists(outer.queryExecution.executedPlan.toString.contains),
+        "outer join must not push")
+      assert(outer.count() == 60000)
+      // a non-id condition declines
+      val theta = a.join(b, a("val") === b("val"))
+      assert(joinExec.exists(theta.queryExecution.executedPlan.toString.contains),
+        "non-id condition must not push")
+    }
+  }
 }
