@@ -948,8 +948,14 @@ object StoreSink {
     * atomic swap, epoch ledger preserved). Unpartitioned stores only — a
     * declared partitioning already owns the layout. */
   def compactHilbert(spark: SparkSession, pathStr: String,
-                     targetRows: Long): (Int, Int) =
+                     targetRows: Long): (Int, Int) = {
+    val root = new Path(pathStr)
+    require(readPartSpec(root, fs(root)).isEmpty,
+      "zorder: a partitioned store's layout is owned by its partition " +
+        "spec — compact() clusters within it; hilbert clustering applies " +
+        "to unpartitioned stores only")
     compact(spark, pathStr, targetRows, None, None, cluster = "hilbert")
+  }
 
   /** PARTIAL compaction: only files whose zones overlap [lo, hi] are
     * rewritten (None = unbounded); everything else carries over by name.
@@ -2188,8 +2194,10 @@ private class StoreDeltaBatchWrite(pathStr: String, queryId: String,
           }
         }
       }
-      StoreSink.writeManifestAtomic(root, fsys,
-        masked ++ committed.map(_.entry.line))
+      // a MERGE that matched nothing commits nothing: no empty versions
+      if (masked != lines || committed.nonEmpty)
+        StoreSink.writeManifestAtomic(root, fsys,
+          masked ++ committed.map(_.entry.line))
       StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
     }
   }
