@@ -797,6 +797,50 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("concurrent delta MERGEs serialize under the commit lock — " +
+       "disjoint-key commits all land, no lost updates, no rewrites") {
+    val dir = freshDir("deltarace")
+    df(1 to 80, "s").repartition(1)
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    val seedNames = StoreSink.readEntries(new Path(dir), fs).map(_.name)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    graft.sources.Sources.withGraftCatalog(spark) {
+      graft.sources.Sources.withStorePath(spark, dir) {
+        spark.conf.set("spark.graft.store.rowlevel.mode", "delta")
+        try {
+          val jobs = (1 to 8).map { i =>
+            Future {
+              import spark.implicits._
+              val v = s"delta_race_$i"
+              (((i - 1) * 10 + 1) to (i * 10))
+                .map(k => (k.toLong, s"u$i", i * 1000L))
+                .:+((1000L + i, s"n$i", i * 7L))
+                .toDF("k", "grp", "amt_cents").createOrReplaceTempView(v)
+              spark.sql(
+                s"""MERGE INTO graft.store t USING $v s ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET grp = s.grp, amt_cents = s.amt_cents
+                   |WHEN NOT MATCHED THEN INSERT (k, grp, amt_cents)
+                   |  VALUES (s.k, s.grp, s.amt_cents)""".stripMargin)
+            }
+          }
+          Await.result(Future.sequence(jobs), 180.seconds)
+        } finally spark.conf.unset("spark.graft.store.rowlevel.mode")
+      }
+    }
+    val got = readBack(dir)
+    val want = (1 to 80).map { k =>
+      val i = (k - 1) / 10 + 1
+      (k.toLong, s"u$i", i * 1000L)
+    }.toSet ++ (1 to 8).map(i => (1000L + i, s"n$i", i * 7L)).toSet
+    assert(got == want, "concurrent delta commits lost or clobbered rows")
+    val after = StoreSink.readEntries(new Path(dir), fs)
+    assert(seedNames.forall(after.map(_.name).contains),
+      "a delta commit rewrote a data file under the race")
+    assert(!fs.exists(new Path(dir, "_commit.lock")), "commit lock leaked")
+  }
+
   test("concurrent appends serialize under the commit lock — no lost updates") {
     val dir = freshDir("concurrent")
     df(0 to 0, "seed").repartition(1)
