@@ -232,4 +232,61 @@ class StorePartSpec extends SparkSpec {
       assert(spark.table("graft.store").count() == 40)
     }
   }
+
+  test("delta MERGE on a bucketed store: masks + routed appends keep the " +
+       "storage-partitioned join exchange-free") {
+    val ctas = freshDir("ctasdelta")
+    withConfs(
+      "spark.sql.catalog.graft" -> classOf[GraftCatalog].getName,
+      GraftCatalog.CtasDirKey -> ctas,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql("DROP TABLE IF EXISTS graft.spj_c")
+      spark.sql("DROP TABLE IF EXISTS graft.spj_d")
+      df(1 to 200, k => "g" + (k % 3)).createOrReplaceTempView("spj_delta_src")
+      spark.sql(
+        """CREATE TABLE graft.spj_c PARTITIONED BY (bucket(4, k))
+          |AS SELECT * FROM spj_delta_src""".stripMargin)
+      spark.sql(
+        """CREATE TABLE graft.spj_d PARTITIONED BY (bucket(4, k))
+          |AS SELECT k, grp, amt_cents * 2 AS amt_cents
+          |FROM spj_delta_src WHERE k <= 120""".stripMargin)
+      val rootC = new Path(s"$ctas/spj_c")
+      val seedNames = StoreSink.readEntries(rootC, fs).map(_.name)
+      spark.conf.set("spark.graft.store.rowlevel.mode", "delta")
+      try spark.sql(
+        """MERGE INTO graft.spj_c t USING (
+          |  SELECT CAST(10 AS BIGINT) AS k, 'u' AS grp, CAST(999 AS BIGINT) AS amt_cents
+          |  UNION ALL
+          |  SELECT CAST(500 AS BIGINT), 'n', CAST(7 AS BIGINT)) s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET amt_cents = s.amt_cents
+          |WHEN NOT MATCHED THEN INSERT (k, grp, amt_cents) VALUES (s.k, s.grp, s.amt_cents)""".stripMargin)
+      finally spark.conf.unset("spark.graft.store.rowlevel.mode")
+      val after = StoreSink.readEntries(rootC, fs)
+      // merge-on-read under partitioning: seed files survive by name, the
+      // masked entry keeps its partition value, and the appended files
+      // routed into their bucket dirs with manifest-carried values
+      assert(seedNames.forall(after.map(_.name).contains),
+        s"delta merge rewrote a bucketed file: ${after.map(_.name)}")
+      assert(after.exists(_.eq.isDefined), "no equality mask attached")
+      assert(after.forall(_.part.isDefined),
+        s"an appended file lost its partition value: ${after.map(_.line)}")
+      // the SPJ still plans with zero exchanges over the masked layout
+      // (the bucket now holds >1 file, so only the ordering claim withdraws)
+      val j = spark.table("graft.spj_c").as("a")
+        .join(spark.table("graft.spj_d").as("b"), "k")
+        .select(col("k"), col("a.amt_cents").as("x"), col("b.amt_cents").as("y"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"masked bucketed store join shuffles:\n$plan")
+      val rows = j.collect()
+      assert(rows.length == 120, s"join row count drifted: ${rows.length}")
+      val k10 = rows.find(_.getLong(0) == 10L).get
+      assert(k10.getLong(1) == 999L && k10.getLong(2) == 2000L,
+        "the delta update did not surface through the SPJ")
+      spark.sql("DROP TABLE graft.spj_c")
+      spark.sql("DROP TABLE graft.spj_d")
+    }
+  }
 }
