@@ -1092,4 +1092,31 @@ class StoreSinkSpec extends SparkSpec {
     assert(keptA * 2 <= totA, s"amt probe unpruned after hilbert: $keptA/$totA")
     assert(readBack(dir).size == 1600, "hilbert rewrite changed content")
   }
+
+  test("change data feed across a delta MERGE: masked row nets to its " +
+       "delete+insert pair, inserts surface once") {
+    val dir = freshDir("deltacdf")
+    df(1 to 100, "s").repartitionByRange(2, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save() // v1
+    graft.sources.Sources.withGraftCatalog(spark) {
+      graft.sources.Sources.withStorePath(spark, dir) {
+        import spark.implicits._
+        Seq((7L, "u", 777L), (500L, "n", 5L)).toDF("k", "grp", "amt_cents")
+          .createOrReplaceTempView("delta_cdf_src")
+        spark.conf.set("spark.graft.store.rowlevel.mode", "delta")
+        try spark.sql(
+          """MERGE INTO graft.store t USING delta_cdf_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET grp = s.grp, amt_cents = s.amt_cents
+            |WHEN NOT MATCHED THEN INSERT (k, grp, amt_cents) VALUES (s.k, s.grp, s.amt_cents)""".stripMargin)
+        finally spark.conf.unset("spark.graft.store.rowlevel.mode")
+      }
+    }
+    val feed = StoreSink.changes(spark, dir, 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(feed == Set(
+      ("delete", 7L, "s", 700L),   // the masked original
+      ("insert", 7L, "u", 777L),   // its replacement (the update pair)
+      ("insert", 500L, "n", 5L)),  // the brand-new key
+      s"delta CDF drifted: $feed")
+  }
 }
