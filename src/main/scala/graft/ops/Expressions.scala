@@ -93,6 +93,24 @@ object Expressions extends OpModule {
         Map("st" -> "P", "minp" -> 150000))
     }),
 
+    // EXECUTE IMMEDIATE — dynamic SQL with bound parameters (the Spark 4
+    // SQL-scripting surface q_sql_script's DECLARE/WHILE family builds
+    // on): the statement TEXT is data, the USING clause binds named
+    // parameters, and the whole thing plans exactly like its static twin
+    // (parameter binding happens at analysis, so pushdown/pruning are
+    // unaffected — same plan, spec-free by construction). The oracle is
+    // the inner query with the parameters inlined as literals.
+    "q_sql_exec_immediate" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_ei_v")
+      s.sql(
+        """EXECUTE IMMEDIATE
+          |  'SELECT o_orderstatus AS grp, COUNT(*) AS n,
+          |     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |   FROM orders_ei_v WHERE o_orderkey BETWEEN :lo AND :hi
+          |   GROUP BY o_orderstatus ORDER BY grp'
+          |  USING 1000 AS lo, 30000 AS hi""".stripMargin)
+    }),
+
     // range() table-valued function: the generator source for synthetic
     // dims and backfill drivers (distributed: range is split across
     // executors like any scan).
@@ -179,6 +197,13 @@ object Expressions extends OpModule {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'P' AND o_totalprice > 150000
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the dynamic statement with its parameters inlined as literals
+    "q_sql_exec_immediate" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 30000
+        |GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
 
     "q_tvf_range" ->
       """SELECT CAST(r.range AS BIGINT) AS bucket, COUNT(*) AS n,
