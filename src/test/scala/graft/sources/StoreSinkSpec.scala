@@ -1119,4 +1119,27 @@ class StoreSinkSpec extends SparkSpec {
       ("insert", 500L, "n", 5L)),  // the brand-new key
       s"delta CDF drifted: $feed")
   }
+
+  test("delta UPDATE statement: masks + appends carry old-value arithmetic, " +
+       "no data files rewritten") {
+    val dir = freshDir("deltaupd")
+    df(1 to 100, "s").repartitionByRange(2, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    val seedNames = StoreSink.readEntries(new Path(dir), fs).map(_.name)
+    graft.sources.Sources.withGraftCatalog(spark) {
+      graft.sources.Sources.withStorePath(spark, dir) {
+        spark.conf.set("spark.graft.store.rowlevel.mode", "delta")
+        try spark.sql(
+          "UPDATE graft.store SET amt_cents = amt_cents + 5 WHERE k % 10 = 0")
+        finally spark.conf.unset("spark.graft.store.rowlevel.mode")
+      }
+    }
+    val after = StoreSink.readEntries(new Path(dir), fs)
+    assert(seedNames.forall(after.map(_.name).contains),
+      "delta UPDATE rewrote a data file")
+    assert(after.exists(_.eq.isDefined), "delta UPDATE wrote no mask")
+    assert(readBack(dir) == (1 to 100).map { k =>
+      (k.toLong, "s", k * 100L + (if (k % 10 == 0) 5L else 0L))
+    }.toSet, "delta UPDATE content drifted")
+  }
 }
