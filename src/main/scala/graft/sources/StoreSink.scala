@@ -2084,7 +2084,14 @@ private class StoreDeltaOperation(pathStr: String, cmd: Command)
   override def description(): String = s"graft-store $cmd (merge-on-read delta)"
 
   /** Row identity = the key column: the house MERGE contract (ON t.k =
-    * s.k), and what the equality-delete sidecar masks by. */
+    * s.k), and what the equality-delete sidecar masks by. Declaring it IS
+    * the Iceberg identifier-field assertion that k uniquely identifies a
+    * row: an equality mask kills EVERY row carrying the key, so on a
+    * duplicate-key table a partially-matching row-level op (e.g. MERGE ON
+    * t.k = s.k AND t.grp = 'x') would over-delete the non-matching
+    * duplicates — exactly why the protocol takes a rowId declaration
+    * instead of masking arbitrary predicates. Group mode (the default)
+    * has no such requirement. */
   override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
 
