@@ -41,11 +41,17 @@ object GraftCatalog {
   /** Session conf holding the directory CTAS-created tables live under
     * (`CREATE TABLE graft.<name> AS SELECT ...` → `<dir>/<name>`). */
   val CtasDirKey = "spark.sql.graft.ctas.dir"
+
+  /** Marker file that makes `<ctas.dir>/<ns>` a NAMESPACE (its `k=v` lines
+    * are the namespace properties). A directory without it is a table (a
+    * committed manifest) or garbage — never silently a namespace. */
+  val NsMarker = "_namespace"
 }
 
 class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   // ------------------------------------------- ProcedureCatalog (CALL ...)
   /** STORED PROCEDURES: the store's maintenance operations exposed at the
@@ -122,19 +128,165 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   private def inDefaultNs(ident: Identifier): Boolean =
     ident.namespace().isEmpty
 
+  /** An identifier this catalog can resolve at all: the default namespace,
+    * or a single-level namespace that EXISTS (a `_namespace` marker under
+    * the CTAS dir). Deeper nesting is declined loudly at the namespace
+    * APIs, so it can't reach table resolution. */
+  private def inKnownNs(ident: Identifier): Boolean =
+    inDefaultNs(ident) || namespaceExists(ident.namespace())
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    tables.keys.toArray.sorted.map(Identifier.of(Array.empty, _))
+    if (namespace.isEmpty)
+      tables.keys.toArray.sorted.map(Identifier.of(Array.empty, _))
+    else if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    else {
+      // a namespace's tables = its subdirectories holding a committed
+      // manifest — visibility stays "the manifest exists", same as CTAS
+      val dir = nsDir(namespace(0)).get
+      val fsys = StoreSink.fs(dir)
+      if (!fsys.exists(dir)) Array.empty
+      else fsys.listStatus(dir).filter(_.isDirectory)
+        .filter(st => fsys.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, StoreSink.Manifest)))
+        .map(st => Identifier.of(namespace, st.getPath.getName))
+        .sortBy(_.name())
+    }
   }
 
-  /** CTAS-created tables: `<ctas.dir>/<name>`, existing exactly when a
-    * committed `_manifest` exists — table VISIBILITY and write atomicity
+  // ---------------------------------------------------- SupportsNamespaces
+  /** NAMESPACE DDL (`CREATE/SHOW/DROP NAMESPACE`, `SHOW TABLES IN graft.ns`)
+    * — the missing level between "one flat CTAS dir" and a real warehouse
+    * layout. A namespace is a directory under the CTAS dir carrying a
+    * `_namespace` marker file (its `k=v` lines are the namespace
+    * properties); tables inside are ordinary store directories, so every
+    * write/commit/maintenance contract is unchanged — the namespace is pure
+    * resolution. At 100 TB this is the layer a metastore would own; the
+    * marker-file form keeps the same semantics with O(1) metadata per
+    * namespace and no listing beyond the addressed level. */
+  private def ctasRoot: Option[String] =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption(GraftCatalog.CtasDirKey)
+
+  private def nsDir(ns: String): Option[org.apache.hadoop.fs.Path] =
+    ctasRoot.map(d => new org.apache.hadoop.fs.Path(
+      s"$d/${ns.toLowerCase(java.util.Locale.ROOT)}"))
+
+  private def nsMarkerPath(ns: String): Option[org.apache.hadoop.fs.Path] =
+    nsDir(ns).map(new org.apache.hadoop.fs.Path(_, GraftCatalog.NsMarker))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (namespace.length == 1 &&
+      nsMarkerPath(namespace(0)).exists(p => StoreSink.fs(p).exists(p)))
+
+  override def listNamespaces(): Array[Array[String]] =
+    ctasRoot.toArray.flatMap { d =>
+      val root = new org.apache.hadoop.fs.Path(d)
+      val fsys = StoreSink.fs(root)
+      if (!fsys.exists(root)) Array.empty[Array[String]]
+      else fsys.listStatus(root).filter(_.isDirectory)
+        .filter(st => fsys.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, GraftCatalog.NsMarker)))
+        .map(st => Array(st.getPath.getName))
+        .sortBy(_(0))
+    }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // single-level only
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace) || namespace.isEmpty)
+      throw new NoSuchNamespaceException(namespace)
+    val p = nsMarkerPath(namespace(0)).get
+    val fsys = StoreSink.fs(p)
+    val props = new util.HashMap[String, String]()
+    val in = fsys.open(p)
+    val txt = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    txt.split("\n").filter(_.contains('=')).foreach { line =>
+      val i = line.indexOf('=')
+      props.put(line.substring(0, i), line.substring(i + 1))
+    }
+    props.put("location", nsDir(namespace(0)).get.toString)
+    props
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft namespaces are single-level, got ${namespace.mkString(".")}")
+    val ns = namespace(0).toLowerCase(java.util.Locale.ROOT)
+    require(ns.matches("[a-z_][a-z0-9_]*"),
+      s"invalid namespace name: $ns")
+    val dir = nsDir(ns).getOrElse(throw new IllegalStateException(
+      s"set ${GraftCatalog.CtasDirKey} to enable namespaces"))
+    val fsys = StoreSink.fs(dir)
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+        Array(name(), ns))
+    // a directory already holding a committed manifest is a TABLE — a
+    // namespace may not shadow it
+    require(!fsys.exists(new org.apache.hadoop.fs.Path(dir, StoreSink.Manifest)),
+      s"a table already exists at $dir")
+    fsys.mkdirs(dir)
+    writeNsMarker(ns, {
+      import scala.jdk.CollectionConverters._
+      metadata.asScala.toSeq
+    })
+  }
+
+  private def writeNsMarker(ns: String, props: Seq[(String, String)]): Unit = {
+    val p = nsMarkerPath(ns).get
+    val fsys = StoreSink.fs(p)
+    val out = fsys.create(p, true)
+    try out.write(props.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace) || namespace.isEmpty)
+      throw new NoSuchNamespaceException(namespace)
+    import scala.jdk.CollectionConverters._
+    var props = loadNamespaceMetadata(namespace).asScala.toMap - "location"
+    changes.foreach {
+      case set: org.apache.spark.sql.connector.catalog.NamespaceChange.SetProperty =>
+        props = props + (set.property() -> set.value())
+      case rm: org.apache.spark.sql.connector.catalog.NamespaceChange.RemoveProperty =>
+        props = props - rm.property()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported namespace change: $other")
+    }
+    writeNsMarker(namespace(0).toLowerCase(java.util.Locale.ROOT), props.toSeq)
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else {
+      if (!cascade && listTables(namespace).nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          Array(name()) ++ namespace)
+      val dir = nsDir(namespace(0)).get
+      StoreSink.fs(dir).delete(dir, true)
+    }
+
+  /** CTAS-created tables: `<ctas.dir>[/<ns>]/<name>`, existing exactly when
+    * a committed `_manifest` exists — table VISIBILITY and write atomicity
     * are the same mechanism (the manifest swap), so a failed CTAS leaves
     * no table, not a half-registered one. */
   private def ctasPath(ident: Identifier): Option[String] =
-    org.apache.spark.sql.SparkSession.active.conf
-      .getOption(GraftCatalog.CtasDirKey)
-      .map(dir => s"$dir/${ident.name().toLowerCase(java.util.Locale.ROOT)}")
+    ctasRoot.map { dir =>
+      val segs = (ident.namespace() :+ ident.name())
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      s"$dir/${segs.mkString("/")}"
+    }
 
   private def ctasExists(ident: Identifier): Boolean =
     ctasPath(ident).exists { p =>
@@ -153,12 +305,12 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     val (base, kind) = (n.substring(0, i).toLowerCase(java.util.Locale.ROOT),
                         n.substring(i + 1).toLowerCase(java.util.Locale.ROOT))
     if (!StoreMetaTable.Kinds(kind)) return None
+    val baseIdent = Identifier.of(ident.namespace(), base)
     val path =
-      if (base == "store")
+      if (base == "store" && inDefaultNs(ident))
         org.apache.spark.sql.SparkSession.active.conf
           .getOption(GraftCatalog.StorePathKey)
-      else ctasPath(Identifier.of(Array.empty, base))
-        .filter(_ => ctasExists(Identifier.of(Array.empty, base)))
+      else ctasPath(baseIdent).filter(_ => ctasExists(baseIdent))
     path.map(new StoreMetaTable(_, kind))
   }
 
@@ -171,12 +323,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
         case None => metaTable(ident)
           .getOrElse(throw new NoSuchTableException(ident))
       }
-    else throw new NoSuchTableException(ident)
+    else if (inKnownNs(ident)) {
+      // namespaced tables are all CTAS-created stores (plus their $meta
+      // views); the built-ins live only in the default namespace
+      if (ctasExists(ident)) new StoreTable(ctasPath(ident).get, viaCatalog = true)
+      else metaTable(ident).getOrElse(throw new NoSuchTableException(ident))
+    } else throw new NoSuchTableException(ident)
 
   override def tableExists(ident: Identifier): Boolean =
-    inDefaultNs(ident) &&
-      (tables.contains(ident.name().toLowerCase(java.util.Locale.ROOT)) ||
-        ctasExists(ident))
+    (inDefaultNs(ident) &&
+      tables.contains(ident.name().toLowerCase(java.util.Locale.ROOT))) ||
+      (inKnownNs(ident) && ctasExists(ident))
 
   /** TIME TRAVEL (`SELECT ... FROM graft.store VERSION AS OF n`): resolve
     * the store pinned to an archived manifest generation — a read-only
@@ -227,7 +384,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("amt", "bucket").map(Identifier.of(Array.empty, _))
+    Array("amt", "bucket", "checksum").map(Identifier.of(Array.empty, _))
   }
 
   override def loadFunction(ident: Identifier): UnboundFunction =
@@ -239,12 +396,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       // the table's catalog — without this lookup the SPJ report is
       // silently ignored (the Iceberg pattern)
       case "bucket" => BucketPartFunction
+      // V2 AGGREGATE function — Spark plans it with partial aggregation
+      // (update per row, merge across partitions), so it map-side combines
+      // like any built-in aggregate
+      case "checksum" => ChecksumFunction
       case _ => throw new NoSuchFunctionException(ident)
     }
 
   override def functionExists(ident: Identifier): Boolean =
     inDefaultNs(ident) &&
-      Set("amt", "bucket")(ident.name().toLowerCase(java.util.Locale.ROOT))
+      Set("amt", "bucket", "checksum")(
+        ident.name().toLowerCase(java.util.Locale.ROOT))
 
   // DDL: the only supported statement is SCHEMA EVOLUTION on the store
   // (`ALTER TABLE graft.store ADD COLUMN name BIGINT|STRING`) — trailing,
@@ -265,11 +427,27 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       .getOrElse(throw new NoSuchTableException(ident))
     val root = new org.apache.hadoop.fs.Path(p)
     val fsys = StoreSink.fs(root)
+    // TABLE PROPERTIES (`SET/UNSET TBLPROPERTIES`): a read-merge-write on
+    // the `_props` sidecar, serialized under the commit lock like every
+    // other metadata mutation
+    val (propChanges, nonPropChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty) StoreSink.withCommitLock(root, fsys) {
+      var ps = StoreSink.readProps(root, fsys).toMap
+      propChanges.foreach {
+        case sp: TableChange.SetProperty => ps += (sp.property() -> sp.value())
+        case rp: TableChange.RemoveProperty => ps -= rp.property()
+        case _ => ()
+      }
+      StoreSink.writeProps(root, fsys, ps.toSeq)
+    }
     // CHECK constraints: Spark has already VALIDATED existing data before
     // AddConstraint reaches the catalog (AddCheckConstraintExec scans the
     // table and fails the DDL on any violating row); the catalog's job is
     // durably recording the predicate, serialized under the commit lock
-    val (constraintChanges, columnChanges) = changes.partition {
+    val (constraintChanges, columnChanges) = nonPropChanges.partition {
       case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
       case _ => false
     }
@@ -344,7 +522,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    if (inDefaultNs(ident) && ctasExists(ident)) {
+    if (inKnownNs(ident) && ctasExists(ident)) {
       val root = new org.apache.hadoop.fs.Path(ctasPath(ident).get)
       StoreSink.fs(root).delete(root, true)
     } else if (tableExists(ident))
@@ -370,7 +548,9 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(inDefaultNs(ident), s"unknown namespace: $ident")
+    require(inKnownNs(ident), s"unknown namespace: $ident")
+    require(!ident.name().startsWith("_"),
+      s"invalid table name: ${ident.name()}")
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(name(), ident.name()))
@@ -736,6 +916,55 @@ private class StagedStoreTable(pathStr: String, ctasSchema: StructType,
     val root = new org.apache.hadoop.fs.Path(pathStr)
     StoreSink.fs(root).delete(root, true)
   }
+}
+
+/** `graft.checksum(x BIGINT) → BIGINT` — an order-independent CONTENT
+  * CHECKSUM aggregate (the CHECKSUM_AGG warehouses ship, which Spark
+  * lacks), bound as a V2 [[org.apache.spark.sql.connector.catalog.functions.AggregateFunction]]
+  * through the same FunctionCatalog as the scalar functions. Each value
+  * contributes a Lehmer hash (x·48271 mod 2³¹−1, after mod-reduction into
+  * the field) and the state is their SUM — commutative and associative, so
+  * Spark's partial-aggregate tree (update map-side, merge at exchange)
+  * gives the same answer under any row order or partitioning. NULLs
+  * contribute a fixed token so content with different null counts hashes
+  * apart. The oracle reproduces the exact arithmetic in SQL; the query
+  * pins the operational use: the checksum is INVARIANT under compaction
+  * (content-preserving maintenance verified in one aggregate pass, the way
+  * a production migration validates a rewrite without a row-by-row diff).
+  * Sum wraps mod 2⁶³ on the JVM; the SQL twin is exact while
+  * rows·(2³¹−1) < 2⁶³ (~4.3e9 rows — beyond that, compare wrapped). */
+private object ChecksumFunction extends UnboundFunction {
+  override def name(): String = "checksum"
+  override def description(): String =
+    "checksum(x): order-independent content checksum (sum of Lehmer-hashed values)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+            inputType.fields(0).dataType == LongType,
+      s"graft.checksum takes one BIGINT argument, got ${inputType.simpleString}")
+    ChecksumBound
+  }
+}
+
+private object ChecksumBound
+    extends org.apache.spark.sql.connector.catalog.functions.AggregateFunction[java.lang.Long, java.lang.Long] {
+  private val M = 2147483647L // 2^31 - 1 (Lehmer modulus)
+
+  def hash(x: Long): Long = ((x % M) + M) % M * 48271L % M
+
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "checksum"
+  override def canonicalName(): String = "graft.checksum"
+  override def isResultNullable: Boolean = false
+
+  override def newAggregationState(): java.lang.Long = 0L
+  override def update(state: java.lang.Long, input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) state + 1L // a fixed NULL token
+    else state + hash(input.getLong(0))
+  override def merge(a: java.lang.Long, b: java.lang.Long): java.lang.Long =
+    a + b
+  override def produceResult(state: java.lang.Long): java.lang.Long = state
 }
 
 /** `graft.amt(id BIGINT) → BIGINT` — the store's canonical amount

@@ -570,6 +570,107 @@ object Sources extends OpModule {
               |GROUP BY tag ORDER BY tag""".stripMargin)
     }),
 
+    // V2 AGGREGATE FUNCTION through the catalog (AggregateFunction — the
+    // FOURTEENTH custom-protocol kind, completing the FunctionCatalog
+    // surface beside the scalar graft.amt): `graft.checksum(x)` is an
+    // order-independent content checksum (sum of Lehmer-hashed values)
+    // that Spark plans with PARTIAL aggregation — update map-side, merge
+    // at the exchange — so it combines before the shuffle like any
+    // built-in. The operational use is pinned, not just the arithmetic:
+    // the checksum is INVARIANT under store compaction (a content-
+    // preserving rewrite validated in one aggregate pass — how a
+    // production migration checks a rewrite without a row diff).
+    "q_catalog_agg_fn" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "catagg")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      base.repartition(16, col("k"))
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      withStorePath(s, path) {
+        val q = """SELECT grp, COUNT(*) AS n,
+                  |  graft.checksum(amt_cents) AS cksum
+                  |FROM graft.store GROUP BY grp""".stripMargin
+        val pre = s.sql(q).collect()
+        val total = base.count()
+        s.sql(s"CALL graft.compact('$path', ${(total + 3) / 4})").collect()
+        val post = s.sql(q).collect()
+        def keyed(rs: Array[org.apache.spark.sql.Row]) =
+          rs.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+        val stable = keyed(pre) == keyed(post)
+        val rows = pre.toSeq ++ Seq(org.apache.spark.sql.Row(
+          "z_stable_under_compact", if (stable) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("cksum", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
+    // NAMESPACE DDL through the catalog (SupportsNamespaces — the
+    // THIRTEENTH custom-protocol kind): CREATE NAMESPACE / namespaced CTAS
+    // / SHOW NAMESPACES / SHOW TABLES IN ns / DESC NAMESPACE properties /
+    // DROP NAMESPACE, the warehouse layer between one flat table dir and a
+    // metastore. A namespace is a `_namespace`-marked directory under the
+    // CTAS root; tables inside are ordinary graft stores, so every
+    // write/commit contract is untouched — the namespace is pure
+    // resolution. Flags pin: listing sees exactly the created namespace,
+    // its table listing, property round-trip through ALTER NAMESPACE,
+    // RESTRICT refusing to drop a non-empty namespace, and the final drop.
+    "q_catalog_ns" -> ((s, d) => withGraftCatalog(s) {
+      val dir = tmp(d, "catns")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val key = GraftCatalog.CtasDirKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, dir)
+      try {
+        s.sql("CREATE NAMESPACE graft.raw")
+        s.sql("ALTER NAMESPACE graft.raw SET DBPROPERTIES ('team'='etl')")
+        Tables.orders(s, d).createOrReplaceTempView("ord_ns_v")
+        s.sql("""CREATE TABLE graft.raw.big AS
+                |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents
+                |FROM ord_ns_v WHERE o_totalprice > 100000""".stripMargin)
+        val agg = s.table("graft.raw.big").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val nsListed = s.sql("SHOW NAMESPACES IN graft")
+          .collect().map(_.getString(0)).toSeq == Seq("raw")
+        val tblListed = s.sql("SHOW TABLES IN graft.raw")
+          .collect().map(_.getString(1)).toSeq == Seq("big")
+        val propKept = s.sql("DESC NAMESPACE EXTENDED graft.raw")
+          .collect().exists(r => r.getString(1).contains("team") &&
+            r.getString(1).contains("etl"))
+        val dropNonEmptyLoud =
+          try { s.sql("DROP NAMESPACE graft.raw"); false }
+          catch { case _: Exception => true }
+        s.sql("DROP TABLE graft.raw.big")
+        s.sql("DROP NAMESPACE graft.raw")
+        val gone = s.sql("SHOW NAMESPACES IN graft").count() == 0L
+        def flag(n: String, b: Boolean) =
+          org.apache.spark.sql.Row(n, if (b) 1L else 0L, 0L)
+        val rows = agg.toSeq ++ Seq(
+          flag("z_drop_nonempty_loud", dropNonEmptyLoud),
+          flag("z_dropped", gone),
+          flag("z_ns_listed", nsListed),
+          flag("z_prop_kept", propKept),
+          flag("z_tbl_listed", tblListed))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     // STORAGE-PARTITIONED JOIN through the connector's reported layout
     // (sources/BucketSource.scala — SupportsReportPartitioning +
     // HasPartitionKey): both sides declare KeyGroupedPartitioning on grp,
@@ -1963,6 +2064,56 @@ object Sources extends OpModule {
       }
     }),
 
+    // TABLE PROPERTIES (`ALTER TABLE ... SET/UNSET TBLPROPERTIES`, SHOW
+    // TBLPROPERTIES): free-form metadata in a `_props` sidecar surfaced
+    // through Table.properties() — and OPERATIONAL: `graft.vacuum.keep`
+    // is the retention policy `CALL graft.vacuum(path, 0)` resolves when
+    // no explicit count is passed, so retention travels WITH the table
+    // (the Delta retention-property shape), not with whoever runs the
+    // maintenance job. The query sets keep=1 on a 3-generation store,
+    // vacuums with the policy unresolved at the call site, and pins that
+    // exactly one archived version survived (v1 loudly expired, current
+    // content untouched); UNSET removes only the named key.
+    "q_store_props" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeprops")
+      seedStore(s, d, path) // v1
+      withStorePath(s, path) {
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 5 WHERE grp = 'P'") // v2
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 5 WHERE grp = 'P'") // v3
+        s.sql("""ALTER TABLE graft.store SET TBLPROPERTIES
+                |('graft.vacuum.keep'='1', 'note'='round16')""".stripMargin)
+        val shown = s.sql("SHOW TBLPROPERTIES graft.store").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        val propsShown = shown(("graft.vacuum.keep", "1")) && shown(("note", "round16"))
+        s.sql(s"CALL graft.vacuum('$path', 0)").collect() // resolves keep=1
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fsys = graft.sources.StoreSink.fs(root)
+        val keptOne = graft.sources.StoreSink.listVersions(root, fsys).size == 1
+        val v1Expired =
+          try { s.sql("SELECT * FROM graft.store VERSION AS OF 1").collect(); false }
+          catch { case _: Exception => true }
+        s.sql("ALTER TABLE graft.store UNSET TBLPROPERTIES ('note')")
+        val afterUnset = s.sql("SHOW TBLPROPERTIES graft.store").collect()
+          .map(_.getString(0)).toSet
+        val unsetOk = !afterUnset("note") && afterUnset("graft.vacuum.keep")
+        val agg = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        def flag(n: String, b: Boolean) =
+          org.apache.spark.sql.Row(n, if (b) 1L else 0L, 0L)
+        val rows = agg.toSeq ++ Seq(
+          flag("z_props_shown", propsShown),
+          flag("z_unset_selective", unsetOk),
+          flag("z_v1_expired", v1Expired),
+          flag("z_vacuum_used_prop", keptOne))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
     // TIME TRAVEL + RETENTION through the connector: every manifest swap
     // archives an immutable `_manifest.v<N>`, `VERSION AS OF n` resolves a
     // read-only snapshot through the catalog, and retention is an explicit
@@ -2455,6 +2606,19 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_dropped', 1, 0, 0
         |ORDER BY grp""".stripMargin,
 
+    // current content = base with grp P bumped twice; flags pin the
+    // property round-trip and the property-resolved retention
+    "q_store_props" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderstatus = 'P' THEN 10 ELSE 0 END) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_props_shown', 1, 0
+        |UNION ALL SELECT 'z_unset_selective', 1, 0
+        |UNION ALL SELECT 'z_v1_expired', 1, 0
+        |UNION ALL SELECT 'z_vacuum_used_prop', 1, 0
+        |ORDER BY grp""".stripMargin,
+
     // rollback restores v1's content exactly; flags pin the preserved
     // bad generation and the forward-commit version numbers
     "q_store_rollback" ->
@@ -2744,6 +2908,30 @@ object Sources extends OpModule {
         |  COUNT(*) AS n,
         |  CAST(SUM(id * 13 % 1000) AS BIGINT) AS amt_sum
         |FROM r GROUP BY 1 ORDER BY tag""".stripMargin,
+
+    // the checksum's exact arithmetic in SQL (Lehmer hash summed per
+    // group); the flag pins compaction invariance
+    "q_catalog_agg_fn" ->
+      """WITH base AS (SELECT o_orderstatus AS g,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS a FROM orders)
+        |SELECT g AS grp, COUNT(*) AS n,
+        |  CAST(SUM((a % 2147483647 + 2147483647) % 2147483647
+        |           * 48271 % 2147483647) AS BIGINT) AS cksum
+        |FROM base GROUP BY g
+        |UNION ALL SELECT 'z_stable_under_compact', 1, 0
+        |ORDER BY grp""".stripMargin,
+
+    // the namespaced table's content relationally; flags are DDL contracts
+    "q_catalog_ns" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_drop_nonempty_loud', 1, 0
+        |UNION ALL SELECT 'z_dropped', 1, 0
+        |UNION ALL SELECT 'z_ns_listed', 1, 0
+        |UNION ALL SELECT 'z_prop_kept', 1, 0
+        |UNION ALL SELECT 'z_tbl_listed', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // same closed forms as the connector oracles, through the catalog name
     "src_catalog" ->

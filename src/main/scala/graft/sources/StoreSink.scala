@@ -222,6 +222,40 @@ object StoreSink {
     finally out.close()
   }
 
+  /** TABLE PROPERTIES sidecar (`_props`, `key|url-encoded-value` lines):
+    * `ALTER TABLE graft.store SET/UNSET TBLPROPERTIES` durably records
+    * free-form table metadata, surfaced through Table.properties() (SHOW
+    * TBLPROPERTIES / DESCRIBE EXTENDED) — and OPERATIONAL properties feed
+    * maintenance defaults: `graft.vacuum.keep` is the retention policy
+    * `CALL graft.vacuum(path, 0)` resolves when no explicit count is
+    * passed, so the policy travels WITH the table (the Delta
+    * `delta.deletedFileRetentionDuration` shape), not with the caller. */
+  val PropsFile = "_props"
+
+  private[sources] def readProps(root: Path, fsys: FileSystem): Seq[(String, String)] = {
+    val raw = manifestFs(fsys)
+    val pf = new Path(root, PropsFile)
+    if (!raw.exists(pf)) return Nil
+    val in = raw.open(pf)
+    val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
+      val Array(k, v) = l.split("\\|", 2)
+      (k, java.net.URLDecoder.decode(v, "UTF-8"))
+    }
+  }
+
+  private[sources] def writeProps(root: Path, fsys: FileSystem,
+                                  ps: Seq[(String, String)]): Unit = {
+    val raw = manifestFs(fsys)
+    val out = raw.create(new Path(root, PropsFile), true)
+    try out.write(ps.sortBy(_._1).map { case (k, v) =>
+        s"$k|${java.net.URLEncoder.encode(v, "UTF-8")}"
+      }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** One committed data file with its ZONE MAP (row count + min/max of the
     * key column, None when the file holds no non-null keys) and its GRP
     * BLOOM (a 64-bit Bloom filter over the file's non-null `grp` values —
@@ -861,7 +895,9 @@ object StoreSink {
   /** Retention: keep the newest `keepVersions` archived manifests, delete
     * the rest, then delete every data file NO retained manifest (nor the
     * current one) references. O(manifests) metadata + unreferenced-file
-    * deletes — never a data rewrite. */
+    * deletes — never a data rewrite. `keepVersions <= 0` resolves the
+    * policy from the table's `graft.vacuum.keep` property (default 2) —
+    * retention travels with the table, not the caller. */
   def vacuum(pathStr: String, keepVersions: Int): Unit = {
     val root = new Path(pathStr)
     val fsys = fs(root)
@@ -869,10 +905,14 @@ object StoreSink {
     // under the commit lock: a concurrent commit's promoted-but-not-yet-
     // manifested files would otherwise look unreferenced and be GC'd
     withCommitLock(root, fsys) {
+      val keepEff =
+        if (keepVersions > 0) keepVersions
+        else readProps(root, fsys).toMap.get("graft.vacuum.keep")
+          .map(_.trim.toInt).filter(_ > 0).getOrElse(2)
       val versions = listVersions(root, fsys)
       // a TAG is a retention pin: tagged versions survive any keepVersions
       val pinned = readTags(root, fsys).values.toSet
-      val (byAge, kept) = versions.splitAt(math.max(0, versions.size - keepVersions))
+      val (byAge, kept) = versions.splitAt(math.max(0, versions.size - keepEff))
       val (saved, expired) = byAge.partition(pinned.contains)
       val retained = saved ++ kept
       val physicals = retained.map(v => readVersionPhysical(root, fsys, v)) :+
@@ -1621,6 +1661,18 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  /** TABLE PROPERTIES from the `_props` sidecar — `SHOW TBLPROPERTIES` /
+    * `DESCRIBE EXTENDED` read this map; maintenance reads its operational
+    * keys (see [[StoreSink.PropsFile]]). */
+  override def properties(): java.util.Map[String, String] = {
+    val root = new Path(pathStr)
+    val m = new java.util.HashMap[String, String]()
+    StoreSink.readProps(root, StoreSink.fs(root)).foreach { case (k, v) =>
+      m.put(k, v)
+    }
+    m
+  }
 
   // ---------------------------------------------- partition management DDL
   // `SHOW PARTITIONS graft.store`, `ALTER TABLE ... DROP PARTITION (...)`,
