@@ -353,6 +353,16 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
           StoreSink.tagVersion(root, StoreSink.fs(root), version)
       }
       new StoreTable(p, Some(v))
+    } else if (inKnownNs(ident) && ctasExists(ident)) {
+      // CTAS/RTAS tables are stores too — `VERSION AS OF n` resolves their
+      // archived generations (e.g. the pre-REPLACE snapshot) the same way
+      val p = ctasPath(ident).get
+      val v = try version.toInt catch {
+        case _: NumberFormatException =>
+          val root = new org.apache.hadoop.fs.Path(p)
+          StoreSink.tagVersion(root, StoreSink.fs(root), version)
+      }
+      new StoreTable(p, Some(v))
     } else throw new NoSuchTableException(ident)
 
   /** `TIMESTAMP AS OF t` — the time-travel form users actually write:
@@ -572,16 +582,81 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     new StagedStoreTable(p, schema, partitions)
   }
 
+  /** ATOMIC `REPLACE TABLE graft.<name> AS SELECT ...` (RTAS): the staged
+    * write commits through the store's ordinary TRUNCATE protocol — ONE
+    * manifest swap is both the data replacement and the "publish", so a
+    * reader sees the old generation or the new one, never a mix, and a
+    * FAILED replace leaves the old table untouched (the staged files never
+    * enter the manifest; abort restores the schema/spec sidecars). The
+    * replaced generation stays archived (time travel reaches it until
+    * vacuum). REPLACE resets the trailing schema and the partition spec to
+    * the new SELECT's and CLEARS check constraints (they may reference
+    * dropped columns); table properties survive — they describe the table,
+    * not a generation. Archived generations read a renamed trailing column
+    * as NULL (parquet name-based resolution), the add-only contract's
+    * REPLACE-side analogue. */
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
-    throw new UnsupportedOperationException(
-      "graft CTAS supports CREATE only (drop + create to replace)")
+    stagedReplaceImpl(ident, schema, partitions, properties, orCreate = false)
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
-    stageReplace(ident, schema, partitions, properties)
+    stagedReplaceImpl(ident, schema, partitions, properties, orCreate = true)
+
+  private def stagedReplaceImpl(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(inKnownNs(ident), s"unknown namespace: $ident")
+    require(!(inDefaultNs(ident) &&
+        tables.contains(ident.name().toLowerCase(java.util.Locale.ROOT))),
+      s"built-in table ${ident.name()} cannot be replaced")
+    if (!ctasExists(ident)) {
+      if (!orCreate)
+        throw new org.apache.spark.sql.catalyst.analysis.CannotReplaceMissingTableException(ident)
+      return stageCreate(ident, schema, partitions, properties)
+    }
+    val base = StoreSink.schema.fields
+    require(schema.fields.length >= base.length &&
+      schema.fields.take(base.length).zip(base).forall { case (a, b) =>
+        a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType },
+      s"graft RTAS requires the (k BIGINT, grp STRING, amt_cents BIGINT) " +
+        s"prefix, got ${schema.simpleString}")
+    val p = ctasPath(ident).get
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fsys = StoreSink.fs(root)
+    // snapshot the metadata sidecars, then install the new generation's —
+    // abort restores them (the data swap itself is the write's atomic
+    // truncate commit, nothing to undo there)
+    val saved = (StoreSink.readExtras(root, fsys),
+      StoreSink.readPartSpec(root, fsys),
+      StoreSink.readConstraints(root, fsys))
+    val newExtras = schema.fields.drop(base.length).toSeq
+    var archivedSchemaV: Option[Int] = None
+    StoreSink.withCommitLock(root, fsys) {
+      // a trailing-schema change would misread ARCHIVED generations
+      // (ordinal decode) — archive the outgoing schema against the last
+      // version committed under it, so time travel resolves it
+      // (StoreSink.readExtrasAt)
+      val changed = saved._1.map(f => (f.name, f.dataType)) !=
+        newExtras.map(f => (f.name, f.dataType))
+      if (changed) StoreSink.listVersions(root, fsys).lastOption.foreach { v =>
+        StoreSink.writeExtrasFile(StoreSink.schemaArchivePath(root, v), fsys, saved._1)
+        archivedSchemaV = Some(v)
+      }
+      StoreSink.writeExtras(root, fsys, newExtras)
+      val newSpec = StoreSink.specOf(partitions)
+      newSpec match {
+        case Some(sp) => StoreSink.writePartSpec(root, fsys, sp)
+        case None => StoreSink.manifestFs(fsys)
+          .delete(new org.apache.hadoop.fs.Path(root, StoreSink.PartFile), false)
+      }
+      if (saved._3.nonEmpty) StoreSink.writeConstraints(root, fsys, Nil)
+    }
+    new StagedStoreTable(p, schema, partitions,
+      restoreOnAbort = Some((saved._1, saved._2, saved._3, archivedSchemaV)))
+  }
 }
 
 /** Shared shape of the two maintenance procedures: fixed parameters, a
@@ -892,10 +967,17 @@ private class StoreMetaTable(pathStr: String, kind: String)
     }
 }
 
-/** The staged half of an atomic CTAS: a store table whose write commit is
-  * its own registration (see [[GraftCatalog.stageCreate]]). */
+/** The staged half of an atomic CTAS/RTAS: a store table whose write commit
+  * is its own registration (see [[GraftCatalog.stageCreate]] /
+  * [[GraftCatalog.stageReplace]]). `restoreOnAbort` marks the REPLACE mode:
+  * the write runs as a TRUNCATE (one manifest swap replaces the content);
+  * abort restores the saved (extras, partSpec, constraints) sidecars and
+  * leaves the old table — only a failed CREATE deletes the directory. */
 private class StagedStoreTable(pathStr: String, ctasSchema: StructType,
-                               partitions: Array[Transform] = Array.empty)
+                               partitions: Array[Transform] = Array.empty,
+                               restoreOnAbort: Option[(Seq[org.apache.spark.sql.types.StructField],
+                                 Option[StoreSink.PartSpec], Seq[(String, String)],
+                                 Option[Int])] = None)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -903,18 +985,40 @@ private class StagedStoreTable(pathStr: String, ctasSchema: StructType,
   override def schema(): StructType = ctasSchema
   override def partitioning(): Array[Transform] = partitions
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE)
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE,
+      org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
 
   override def newWriteBuilder(
-      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
-    new StoreWriteBuilder(pathStr, info, partitions, viaCatalog = true)
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
+    val b = new StoreWriteBuilder(pathStr, info, partitions, viaCatalog = true)
+    // REPLACE: the new generation must swap in whole, not union with the
+    // old manifest — force the truncate commit shape
+    if (restoreOnAbort.isDefined) b.truncate().asInstanceOf[StoreWriteBuilder] else b
+  }
 
   override def commitStagedChanges(): Unit = ()
-  // CTAS failed after staging: remove the directory — the manifest never
-  // appeared, so the table never existed
-  override def abortStagedChanges(): Unit = {
-    val root = new org.apache.hadoop.fs.Path(pathStr)
-    StoreSink.fs(root).delete(root, true)
+  override def abortStagedChanges(): Unit = restoreOnAbort match {
+    // CTAS failed after staging: remove the directory — the manifest never
+    // appeared, so the table never existed
+    case None =>
+      val root = new org.apache.hadoop.fs.Path(pathStr)
+      StoreSink.fs(root).delete(root, true)
+    // RTAS failed: the manifest never swapped; put the metadata sidecars
+    // back so the OLD table reads exactly as before the attempt
+    case Some((extras, spec, cons, archivedV)) =>
+      val root = new org.apache.hadoop.fs.Path(pathStr)
+      val fsys = StoreSink.fs(root)
+      StoreSink.withCommitLock(root, fsys) {
+        StoreSink.writeExtras(root, fsys, extras)
+        archivedV.foreach(v => StoreSink.manifestFs(fsys)
+          .delete(StoreSink.schemaArchivePath(root, v), false))
+        spec match {
+          case Some(sp) => StoreSink.writePartSpec(root, fsys, sp)
+          case None => StoreSink.manifestFs(fsys)
+            .delete(new org.apache.hadoop.fs.Path(root, StoreSink.PartFile), false)
+        }
+        if (cons.nonEmpty) StoreSink.writeConstraints(root, fsys, cons)
+      }
   }
 }
 

@@ -2014,6 +2014,62 @@ object Sources extends OpModule {
       }
     }),
 
+    // DYNAMIC PARTITION OVERWRITE (SupportsDynamicOverwrite, under
+    // spark.sql.sources.partitionOverwriteMode=dynamic): the daily-reload
+    // primitive — INSERT OVERWRITE replaces exactly the partitions the
+    // incoming rows land in, and every other partition's files survive BY
+    // NAME (flag-pinned), so re-loading one date of a 5-year table costs
+    // that date's bytes + one manifest swap, never a table rewrite. The
+    // replaced partition's old entries leave the manifest (their files
+    // stay archived for time travel until vacuum).
+    "q_store_dyn_overwrite" -> ((s, d) => withGraftCatalog(s) {
+      val dir = tmp(d, "storedyn")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val ctasKey = GraftCatalog.CtasDirKey
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = Seq(ctasKey, modeKey).map(k => k -> s.conf.getOption(k)).toMap
+      s.conf.set(ctasKey, dir)
+      try {
+        Tables.orders(s, d).createOrReplaceTempView("ord_dyn_v")
+        s.sql("""CREATE TABLE graft.pdyn PARTITIONED BY (grp) AS
+                |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents
+                |FROM ord_dyn_v""".stripMargin)
+        val root = new org.apache.hadoop.fs.Path(s"$dir/pdyn")
+        val before = graft.sources.StoreSink.readEntries(root, fsys)
+        val keepNames = before.filterNot(_.part.contains("F")).map(_.name).toSet
+        val oldF = before.filter(_.part.contains("F")).map(_.name).toSet
+        s.conf.set(modeKey, "dynamic")
+        // the reload: partition F re-derived with a corrected amount
+        s.sql("""INSERT OVERWRITE graft.pdyn
+                |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                |       CAST(ROUND(o_totalprice * 100) AS BIGINT) + 11 AS amt_cents
+                |FROM ord_dyn_v WHERE o_orderstatus = 'F'""".stripMargin)
+        val after = graft.sources.StoreSink.readEntries(root, fsys)
+        val untouched = after.filterNot(_.part.contains("F")).map(_.name).toSet == keepNames
+        val replaced = after.filter(_.part.contains("F")).map(_.name).toSet
+          .intersect(oldF).isEmpty
+        val agg = s.table("graft.pdyn").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        s.sql("DROP TABLE graft.pdyn")
+        def flag(n: String, b: Boolean) =
+          org.apache.spark.sql.Row(n, if (b) 1L else 0L, 0L)
+        val rows = agg.toSeq ++ Seq(
+          flag("z_replaced_fresh", replaced),
+          flag("z_untouched_by_name", untouched))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      } finally prev.foreach {
+        case (k, Some(p)) => s.conf.set(k, p)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     "q_store_ctas" -> ((s, d) => withGraftCatalog(s) {
       val dir = tmp(d, "storectas")
       val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -2056,6 +2112,82 @@ object Sources extends OpModule {
         val schema = StructType(Seq(
           StructField("grp", StringType), StructField("n", LongType),
           StructField("sum_cents", LongType), StructField("n_pri", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
+    // ATOMIC RTAS (`REPLACE TABLE ... AS SELECT`, StagingTableCatalog
+    // stageReplace): the staged write commits through the store's ordinary
+    // TRUNCATE protocol, so ONE manifest swap is both the data replacement
+    // and the publish — a reader sees old or new, never a mix, and a
+    // FAILED replace leaves the old table intact (sidecars restored, the
+    // staged files never entered the manifest). The replaced generation
+    // stays archived: `VERSION AS OF 1` still reads the pre-replace
+    // content. The schema may change shape across the replace (here the
+    // trailing column set changes) — REPLACE resets the trailing schema,
+    // exactly what ADD COLUMN alone cannot express.
+    "q_store_rtas" -> ((s, d) => withGraftCatalog(s) {
+      val dir = tmp(d, "storertas")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val key = GraftCatalog.CtasDirKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, dir)
+      try {
+        Tables.orders(s, d).createOrReplaceTempView("ord_rtas_v")
+        s.sql("""CREATE TABLE graft.rt AS
+                |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents,
+                |       CONCAT('p', o_orderpriority) AS pri
+                |FROM ord_rtas_v""".stripMargin)
+        val v1Sum = s.table("graft.rt").agg(sum(col("amt_cents"))).collect()(0).getLong(0)
+        // the replace: different filter, different trailing column
+        s.sql("""REPLACE TABLE graft.rt AS
+                |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                |       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents,
+                |       CAST(o_orderkey % 7 AS BIGINT) AS bucket7
+                |FROM ord_rtas_v WHERE o_totalprice > 120000""".stripMargin)
+        val agg = s.table("graft.rt").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"),
+               sum(col("bucket7")).as("sum_b7"))
+          .collect()
+        // a failed replace must leave the (replaced) table intact
+        val failedLoud =
+          try {
+            s.sql("""REPLACE TABLE graft.rt AS
+                    |SELECT o_orderkey AS k, o_orderstatus AS grp,
+                    |       1L DIV (o_orderkey - o_orderkey) AS amt_cents
+                    |FROM ord_rtas_v""".stripMargin)
+            false
+          } catch { case _: Exception => true }
+        val intactAfterFail = s.table("graft.rt").count() ==
+          agg.map(_.getLong(1)).sum
+        // the pre-replace generation is still one VERSION AS OF away
+        val v1Readable = s.sql("SELECT SUM(amt_cents) FROM graft.rt VERSION AS OF 1")
+          .collect()(0).getLong(0) == v1Sum
+        // REPLACE of a missing table refuses; CREATE OR REPLACE creates it
+        val missingLoud =
+          try { s.sql("REPLACE TABLE graft.nope AS SELECT 1L AS k, 'x' AS grp, 2L AS amt_cents"); false }
+          catch { case _: Exception => true }
+        s.sql("CREATE OR REPLACE TABLE graft.cor AS SELECT 1L AS k, 'x' AS grp, 2L AS amt_cents")
+        val corCreated = s.table("graft.cor").count() == 1L
+        s.sql("DROP TABLE graft.cor")
+        s.sql("DROP TABLE graft.rt")
+        def flag(n: String, b: Boolean) =
+          org.apache.spark.sql.Row(n, if (b) 1L else 0L, 0L, 0L)
+        val rows = agg.toSeq ++ Seq(
+          flag("z_cor_created", corCreated),
+          flag("z_failed_loud", failedLoud),
+          flag("z_intact_after_fail", intactAfterFail),
+          flag("z_missing_loud", missingLoud),
+          flag("z_v1_readable", v1Readable))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType), StructField("sum_b7", LongType)))
         import scala.jdk.CollectionConverters._
         s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
       } finally prev match {
@@ -2595,6 +2727,17 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_show_one', 1, 0
         |ORDER BY grp""".stripMargin,
 
+    // F reloaded with the corrected amount, O/P original; flags pin the
+    // by-name survival of untouched partitions and the fresh replacement
+    "q_store_dyn_overwrite" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderstatus = 'F' THEN 11 ELSE 0 END) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_replaced_fresh', 1, 0
+        |UNION ALL SELECT 'z_untouched_by_name', 1, 0
+        |ORDER BY grp""".stripMargin,
+
     // the created table's content relationally; flags are contracts
     "q_store_ctas" ->
       """SELECT o_orderstatus AS grp, COUNT(*) AS n,
@@ -2604,6 +2747,21 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_ctas_failed_loudly', 1, 0, 0
         |UNION ALL SELECT 'z_ctas_atomic', 1, 0, 0
         |UNION ALL SELECT 'z_dropped', 1, 0, 0
+        |ORDER BY grp""".stripMargin,
+
+    // the replaced table's content relationally; flags pin atomicity
+    // (failed replace leaves the table), the archived pre-replace
+    // generation, and the missing-table refusal
+    "q_store_rtas" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(o_orderkey % 7) AS BIGINT) AS sum_b7
+        |FROM orders WHERE o_totalprice > 120000 GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_cor_created', 1, 0, 0
+        |UNION ALL SELECT 'z_failed_loud', 1, 0, 0
+        |UNION ALL SELECT 'z_intact_after_fail', 1, 0, 0
+        |UNION ALL SELECT 'z_missing_loud', 1, 0, 0
+        |UNION ALL SELECT 'z_v1_readable', 1, 0, 0
         |ORDER BY grp""".stripMargin,
 
     // current content = base with grp P bumped twice; flags pin the

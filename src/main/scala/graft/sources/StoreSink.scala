@@ -116,9 +116,39 @@ object StoreSink {
     * text Spark's analyzer consumes for INSERTs that omit the column. */
   private[sources] val RawDefaultKey = "graft.default.raw"
 
-  private[sources] def readExtras(root: Path, fsys: FileSystem): Seq[StructField] = {
+  private[sources] def readExtras(root: Path, fsys: FileSystem): Seq[StructField] =
+    readExtrasFile(new Path(root, SchemaFile), fsys)
+
+  /** SNAPSHOT-SCOPED SCHEMA: trailing columns decode by ORDINAL, so a
+    * REPLACE that changes the trailing set would misread ARCHIVED
+    * generations under the new schema. stageReplace therefore archives the
+    * outgoing `_schema` as `_schema.v<V>` (V = the last version committed
+    * under it), and a versioned read resolves the smallest archive whose
+    * V covers the requested version — the Iceberg schema-per-snapshot
+    * contract at one tiny file per schema CHANGE (not per commit). */
+  private[sources] def schemaArchivePath(root: Path, v: Int): Path =
+    new Path(root, s"$SchemaFile.v$v")
+
+  private[sources] def listSchemaArchives(root: Path, fsys: FileSystem): Seq[Int] =
+    if (!fsys.exists(root)) Nil
+    else fsys.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s"$SchemaFile.v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix(s"$SchemaFile.v").toInt).toOption)
+      .sorted
+
+  private[sources] def readExtrasAt(root: Path, fsys: FileSystem,
+                                    version: Option[Int]): Seq[StructField] =
+    version match {
+      case None => readExtras(root, fsys)
+      case Some(v) =>
+        listSchemaArchives(root, fsys).find(_ >= v) match {
+          case Some(w) => readExtrasFile(schemaArchivePath(root, w), fsys)
+          case None => readExtras(root, fsys) // never replaced since v
+        }
+    }
+
+  private def readExtrasFile(sf: Path, fsys: FileSystem): Seq[StructField] = {
     val raw = manifestFs(fsys)
-    val sf = new Path(root, SchemaFile)
     if (!raw.exists(sf)) return Nil
     val in = raw.open(sf)
     val txt = try new String(
@@ -148,7 +178,11 @@ object StoreSink {
   }
 
   private[sources] def writeExtras(root: Path, fsys: FileSystem,
-                                   extras: Seq[StructField]): Unit = {
+                                   extras: Seq[StructField]): Unit =
+    writeExtrasFile(new Path(root, SchemaFile), fsys, extras)
+
+  private[sources] def writeExtrasFile(sf: Path, fsys: FileSystem,
+                                       extras: Seq[StructField]): Unit = {
     val raw = manifestFs(fsys)
     val lines = extras.map { f =>
       val t = f.dataType match {
@@ -163,7 +197,7 @@ object StoreSink {
         else ""
       s"${f.name}:$t$d"
     }
-    val out = raw.create(new Path(root, SchemaFile), true)
+    val out = raw.create(sf, true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -183,9 +217,13 @@ object StoreSink {
     }
 
   /** The CURRENT table schema: immutable base + sidecar extras. */
-  def tableSchema(pathStr: String): StructType = {
+  def tableSchema(pathStr: String): StructType = tableSchema(pathStr, None)
+
+  /** Schema AT a version — resolves the archived `_schema.v<V>` a REPLACE
+    * left behind (see [[schemaArchivePath]]); current schema otherwise. */
+  def tableSchema(pathStr: String, version: Option[Int]): StructType = {
     val root = new Path(pathStr)
-    StructType(schema.fields ++ readExtras(root, fs(root)))
+    StructType(schema.fields ++ readExtrasAt(root, fs(root), version))
   }
 
   // ------------------------------------------------- CHECK constraints
@@ -622,7 +660,7 @@ object StoreSink {
     * from the store-tail stream polling latestOffset during an append).
     * One file, one rename, no sidecar = genuinely atomic. HDFS/object
     * stores checksum inline, so this is a local-FS-only unwrap. */
-  private def manifestFs(fsys: FileSystem): FileSystem = fsys match {
+  private[sources] def manifestFs(fsys: FileSystem): FileSystem = fsys match {
     case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
     case f => f
   }
@@ -937,6 +975,12 @@ object StoreSink {
         val n = st.getPath.getName
         if (n.startsWith(SegPrefix) && !referencedSegs.contains(n))
           raw.delete(st.getPath, false)
+        // an archived pre-REPLACE schema is dead once every version it
+        // covered (v <= W) has expired
+        else if (n.startsWith(s"$SchemaFile.v") &&
+                 scala.util.Try(n.stripPrefix(s"$SchemaFile.v").toInt).toOption
+                   .exists(w => !retained.exists(_ <= w)))
+          raw.delete(st.getPath, false)
         // a partition dir whose files all expired is pure layout — GC it
         else if (st.isDirectory && n.contains("=") &&
                  fsys.listStatus(st.getPath).isEmpty)
@@ -1090,6 +1134,13 @@ object StoreSink {
     }).filterNot(_.startsWith("#")).map(parseEntry(_).token)
     val from = names(Some(fromV))
     val to = names(toV)
+    // a REPLACE between fromV and toV changed the trailing schema — the
+    // two sides would not even union; fail loudly, never decode wrongly
+    val toBound = toV.getOrElse(Int.MaxValue)
+    val crossed = listSchemaArchives(root, fsys).filter(w => w >= fromV && w < toBound)
+    require(crossed.isEmpty,
+      s"change feed crosses a REPLACE TABLE boundary (schema archived at " +
+        s"version ${crossed.mkString(",")}) — read the generations separately")
     val tbl = tableSchema(pathStr)
     def readFiles(files: Seq[String]): org.apache.spark.sql.DataFrame =
       if (files.isEmpty)
@@ -1660,7 +1711,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+    with org.apache.spark.sql.connector.catalog.SupportsAtomicPartitionManagement {
 
   /** TABLE PROPERTIES from the `_props` sidecar — `SHOW TBLPROPERTIES` /
     * `DESCRIBE EXTENDED` read this map; maintenance reads its operational
@@ -1756,6 +1807,42 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     throw new UnsupportedOperationException(
       "graft-store partitions materialize on write; ADD PARTITION is not a store operation")
 
+  // -------------------------- SupportsAtomicPartitionManagement (multi-DDL)
+  /** `ALTER TABLE ... DROP PARTITION (grp='a'), (grp='b')`: ALL named
+    * partitions leave in ONE manifest swap — all-or-nothing (any missing
+    * partition ⇒ nothing dropped, `false` back to Spark's loud
+    * NoSuchPartition path), never a prefix. The multi-partition retention
+    * job this serves (expire 30 dates nightly) must not be observable
+    * half-done: one swap = one version = one atomic visibility change. */
+  override def dropPartitions(idents: Array[InternalRow]): Boolean = {
+    requireCurrent("drop partitions")
+    partSpec match {
+      case None => false
+      case Some(_) =>
+        val vs = idents.map(identValue).toSet
+        val root = new Path(pathStr)
+        val fsys = StoreSink.fs(root)
+        var dropped = false
+        StoreSink.withCommitLock(root, fsys) {
+          val lines = StoreSink.readManifestLines(root, fsys)
+          val present = lines.filterNot(_.startsWith("#"))
+            .flatMap(l => StoreSink.parseEntry(l).part).toSet
+          if (vs.subsetOf(present)) {
+            val keep = lines.filter(l => l.startsWith("#") ||
+              !StoreSink.parseEntry(l).part.exists(vs.contains))
+            StoreSink.writeManifestAtomic(root, fsys, keep)
+            dropped = true
+          }
+        }
+        dropped
+    }
+  }
+
+  override def createPartitions(idents: Array[InternalRow],
+                                properties: Array[util.Map[String, String]]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-store partitions materialize on write; ADD PARTITION is not a store operation")
+
   override def replacePartitionMetadata(ident: InternalRow,
                                         properties: util.Map[String, String]): Unit =
     throw new UnsupportedOperationException(
@@ -1823,8 +1910,10 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
       else new StoreRowLevelOperation(pathStr, info.command())
   }
 
-  // resolution-time schema binding: base + any ALTER-added trailing columns
-  private lazy val tblSchema: StructType = StoreSink.tableSchema(pathStr)
+  // resolution-time schema binding: base + any ALTER-added trailing
+  // columns — AT the pinned version for time travel (a REPLACE may have
+  // changed the trailing set since; see StoreSink.readExtrasAt)
+  private lazy val tblSchema: StructType = StoreSink.tableSchema(pathStr, version)
 
   /** Enforced CHECK constraints from the sidecar — Spark injects their
     * validation into every write plan against this table. */
@@ -1858,7 +1947,8 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
                     TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-                    TableCapability.MICRO_BATCH_READ)
+                    TableCapability.MICRO_BATCH_READ,
+                    TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(pathStr, version,
@@ -2272,9 +2362,11 @@ private class StoreDeltaBatchWrite(pathStr: String, queryId: String,
 private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
                                 requested: Array[Transform] = Array.empty,
                                 viaCatalog: Boolean = false)
-    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var doTruncate = false
+  private var doDynamic = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
@@ -2283,6 +2375,18 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
       s"graft-store supports only full-table overwrite, got ${filters.mkString(",")}")
     doTruncate = true; this
   }
+
+  /** DYNAMIC PARTITION OVERWRITE (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, or
+    * `DataFrameWriterV2.overwritePartitions()`): replace exactly the
+    * partitions the incoming rows land in, keep every other partition's
+    * files UNTOUCHED BY NAME — the daily-reload primitive (re-load two
+    * dates of a 5-year table without rewriting, or even listing, the other
+    * 1823). On an unpartitioned store there is no partition to scope the
+    * replacement, so it degrades to a full overwrite (the Hive/Iceberg
+    * semantic). The commit is the same one-manifest swap as every other
+    * shape; cost is new-partition bytes + metadata, never table size. */
+  override def overwriteDynamicPartitions(): WriteBuilder = { doDynamic = true; this }
 
   /** EFFECTIVE partition spec, resolved once on the driver at build time:
     * the write's requested transforms (CTAS PARTITIONED BY / partitionBy /
@@ -2344,13 +2448,17 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
         else Array.empty
       override def toBatch: BatchWrite =
-        new StoreBatchWrite(pathStr, info.queryId(), doTruncate,
+        new StoreBatchWrite(pathStr, info.queryId(),
+          // dynamic overwrite of an UNPARTITIONED store degrades to a
+          // full overwrite — no partition exists to scope the replacement
+          doTruncate || (doDynamic && spec.isEmpty),
           info.options().getBoolean("preserveMarkers", false), info.schema(),
           Option(info.options().get("replace"))
             .map(_.split(",").filter(_.nonEmpty).toSet), spec,
-          Option(info.options().get("branch")))
+          Option(info.options().get("branch")),
+          dynamic = doDynamic && spec.isDefined)
       override def toStreaming: StreamingWrite = {
-        require(!doTruncate,
+        require(!doTruncate && !doDynamic,
           "graft-store streaming write is append-only (no Complete-mode truncate)")
         require(info.options().get("branch") == null,
           "graft-store branch writes are batch appends (WAP); streaming targets main")
@@ -2365,7 +2473,8 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
                               dataSchema: StructType = StoreSink.schema,
                               replaceFiles: Option[Set[String]] = None,
                               spec: Option[StoreSink.PartSpec] = None,
-                              branch: Option[String] = None)
+                              branch: Option[String] = None,
+                              dynamic: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -2383,7 +2492,7 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
     // WAP: a branch-targeted append commits its entries to the branch
     // manifest — the promoted files stay invisible to main until publish
     branch.foreach { b =>
-      require(!truncate && replaceFiles.isEmpty,
+      require(!truncate && !dynamic && replaceFiles.isEmpty,
         "graft-store branch writes are append-only (write-audit-publish)")
       StoreSink.withCommitLock(root, fsys) {
         val staging = new Path(root, StoreSink.Staging)
@@ -2430,10 +2539,27 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
           fresh.filterNot(l => !l.startsWith("#") &&
             replace.contains(StoreSink.parseEntry(l).name)) ++
             committed.map(_.entry.line)
+        case None if dynamic =>
+          // DYNAMIC PARTITION OVERWRITE: drop the manifest entries of
+          // exactly the partitions the new files land in (their deletion
+          // masks die with them); every other partition — and any
+          // pre-partitioning legacy entry — carries over BY LINE. An
+          // empty input touches no partition and commits nothing (the
+          // no-op guard below).
+          val touched = committed.flatMap(_.entry.part).toSet
+          fresh.filter(l => l.startsWith("#") ||
+            !StoreSink.parseEntry(l).part.exists(touched.contains)) ++
+            committed.map(_.entry.line)
         case None if truncate =>
           (if (preserveMarkers) fresh.filter(_.startsWith("#")) else Nil) ++
             committed.map(_.entry.line)
         case None => fresh ++ committed.map(_.entry.line)
+      }
+      if (dynamic && committed.isEmpty) {
+        // `INSERT OVERWRITE ... WHERE false` replaces nothing — commit no
+        // empty generation (the no-match delta-MERGE precedent)
+        StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
+        return
       }
       StoreSink.writeManifestAtomic(root, fsys, visible)
       // replaced generations are NOT deleted here: their files stay

@@ -130,12 +130,10 @@ class GraftCatalogSpec extends SparkSpec {
         // zone pushdown survives the CTAS path
         val q = spark.sql("SELECT COUNT(*) FROM graft.ctas_t WHERE k < 10")
         assert(q.collect().head.getLong(0) == 10)
-        // duplicate create refuses; REPLACE unsupported; bad prefix refuses
+        // duplicate create refuses (REPLACE is the supported path — see the
+        // RTAS test); bad prefix refuses
         intercept[Exception] {
           spark.sql("CREATE TABLE graft.ctas_t AS SELECT 1L AS k, 'x' AS grp, 2L AS amt_cents")
-        }
-        intercept[Exception] {
-          spark.sql("REPLACE TABLE graft.ctas_t AS SELECT 1L AS k, 'x' AS grp, 2L AS amt_cents")
         }
         intercept[Exception] {
           spark.sql("CREATE TABLE graft.badshape AS SELECT 1 AS a, 2 AS b")
@@ -234,6 +232,58 @@ class GraftCatalogSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
         s"no aggregate exec:\n$plan")
+    }
+  }
+
+  test("RTAS: snapshot-scoped schema, CDF boundary refusal, archive GC, abort restore") {
+    withCatalog {
+      val dir = "target/tmp/catalog_spec_rtas"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.conf.set(GraftCatalog.CtasDirKey, dir)
+      try {
+        // v1: trailing STRING column; the replace swaps it for a BIGINT —
+        // the ordinal-decode trap time travel must survive
+        spark.sql("""CREATE TABLE graft.rt PARTITIONED BY (grp) AS
+                    |SELECT id AS k, tag AS grp, id * 2 AS amt_cents,
+                    |       CONCAT('s', tag) AS label
+                    |FROM graft.range_200k WHERE id < 100""".stripMargin)
+        spark.sql("""REPLACE TABLE graft.rt AS
+                    |SELECT id AS k, tag AS grp, id * 3 AS amt_cents,
+                    |       id % 5 AS b5
+                    |FROM graft.range_200k WHERE id < 50""".stripMargin)
+        val root = new org.apache.hadoop.fs.Path(s"$dir/rt")
+        // current read: new schema, new content, spec dropped by the replace
+        assert(spark.table("graft.rt").count() == 50)
+        assert(spark.table("graft.rt").schema.fieldNames.last == "b5")
+        assert(StoreSink.readPartSpec(root, fs).isEmpty,
+          "REPLACE without PARTITIONED BY must drop the spec")
+        // time travel reads v1 under the ARCHIVED schema (label, not b5)
+        val v1 = spark.sql("SELECT * FROM graft.rt VERSION AS OF 1")
+        assert(v1.schema.fieldNames.last == "label")
+        assert(v1.where("label = 'sa'").count() > 0)
+        // CDF across the replace boundary refuses loudly
+        val ex = intercept[Exception] {
+          StoreSink.changes(spark, s"$dir/rt", 1).collect()
+        }
+        assert(ex.getMessage.contains("REPLACE TABLE boundary"))
+        // vacuum to 1 version: v1 expires, its schema archive dies with it
+        assert(StoreSink.listSchemaArchives(root, fs).nonEmpty)
+        StoreSink.vacuum(s"$dir/rt", 1)
+        assert(StoreSink.listSchemaArchives(root, fs).isEmpty,
+          "expired generation's schema archive must be GC'd")
+        // failed replace: sidecars restored, content intact
+        intercept[Exception] {
+          spark.sql("""REPLACE TABLE graft.rt AS
+                      |SELECT id AS k, tag AS grp, 1L DIV (id - id) AS amt_cents
+                      |FROM graft.range_200k WHERE id < 10""".stripMargin)
+        }
+        assert(spark.table("graft.rt").count() == 50)
+        assert(spark.table("graft.rt").schema.fieldNames.last == "b5",
+          "aborted replace must restore the schema sidecar")
+        spark.sql("DROP TABLE graft.rt")
+      } finally spark.conf.unset(GraftCatalog.CtasDirKey)
     }
   }
 

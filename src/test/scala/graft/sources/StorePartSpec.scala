@@ -233,6 +233,82 @@ class StorePartSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite: touched partitions swap, others survive by name") {
+    val dir = freshDir("dynover")
+    df(1 to 90, k => "g" + (k % 3))
+      .repartition(4)
+      .write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "identity:grp").save()
+    val root = new Path(dir)
+    val before = StoreSink.readEntries(root, fs)
+    val keepNames = before.filterNot(_.part.contains("g1")).map(_.name).toSet
+    withConfs("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      spark.conf.set(GraftCatalog.StorePathKey, dir)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      try {
+        // reload only g1 with doubled amounts
+        df(1 to 90, k => "g" + (k % 3)).where(col("grp") === "g1")
+          .withColumn("amt_cents", col("amt_cents") * 2)
+          .createOrReplaceTempView("dyn_in")
+        spark.sql("INSERT OVERWRITE graft.store SELECT k, grp, amt_cents FROM dyn_in")
+        val after = StoreSink.readEntries(root, fs)
+        assert(after.filterNot(_.part.contains("g1")).map(_.name).toSet == keepNames,
+          "untouched partitions must carry over by name")
+        assert(after.filter(_.part.contains("g1")).map(_.name).toSet
+          .intersect(before.filter(_.part.contains("g1")).map(_.name).toSet).isEmpty,
+          "the reloaded partition must be fresh files")
+        val t = spark.read.format(fmt).option("path", dir).load()
+        assert(t.where(col("grp") === "g1").agg(sum(col("amt_cents")))
+          .collect()(0).getLong(0) ==
+          (1 to 90).filter(_ % 3 == 1).map(_ * 200L).sum)
+        assert(t.count() == 90)
+        // an empty dynamic overwrite commits NO new generation
+        val versionsBefore = StoreSink.listVersions(root, fs).size
+        spark.sql("INSERT OVERWRITE graft.store SELECT k, grp, amt_cents FROM dyn_in WHERE k < 0")
+        assert(StoreSink.listVersions(root, fs).size == versionsBefore,
+          "empty dynamic overwrite must not commit a version")
+        assert(t.count() == 90)
+      } finally {
+        spark.conf.unset(GraftCatalog.StorePathKey)
+        spark.conf.unset("spark.sql.catalog.graft")
+      }
+    }
+    // STATIC contrast: a plain overwrite replaces everything
+    df(1 to 9, _ => "g1").write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "identity:grp").save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 9)
+  }
+
+  test("atomic multi-partition DROP: one swap, all-or-nothing") {
+    val dir = freshDir("atomicdrop")
+    df(1 to 90, k => "g" + (k % 3))
+      .repartition(4)
+      .write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "identity:grp").save()
+    val root = new Path(dir)
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    try {
+      val versionsBefore = StoreSink.listVersions(root, fs).size
+      // a drop list naming a MISSING partition drops nothing
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.store DROP PARTITION (grp='g1'), PARTITION (grp='nope')")
+      }
+      assert(spark.table("graft.store").count() == 90,
+        "failed multi-drop must leave every partition")
+      // two partitions leave in ONE manifest swap
+      spark.sql("ALTER TABLE graft.store DROP PARTITION (grp='g0'), PARTITION (grp='g2')")
+      assert(StoreSink.listVersions(root, fs).size == versionsBefore + 1,
+        "multi-partition drop must be one commit")
+      val left = spark.table("graft.store")
+      assert(left.count() == (1 to 90).count(_ % 3 == 1))
+      assert(left.select("grp").distinct().collect().map(_.getString(0)).toSeq == Seq("g1"))
+    } finally {
+      spark.conf.unset(GraftCatalog.StorePathKey)
+      spark.conf.unset("spark.sql.catalog.graft")
+    }
+  }
+
   test("delta MERGE on a bucketed store: masks + routed appends keep the " +
        "storage-partitioned join exchange-free") {
     val ctas = freshDir("ctasdelta")
