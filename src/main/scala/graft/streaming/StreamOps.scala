@@ -466,6 +466,47 @@ object StreamOps extends OpModule {
         evs.filter(_.ts.getTime >= t2))
   }
 
+  /** Chunked feed for dropDuplicatesWithinWatermark: the s_tws_timers chunk
+    * boundaries, with every (user, event_type, chunk) group collapsed to
+    * ONE row at the group's min ts. Within a batch, "first arrival wins" is
+    * partition-order nondeterministic when duplicate payloads differ; the
+    * normalization makes in-batch duplicates identical, so the oracle's
+    * replay is exact while the CROSS-batch semantics (state liveness,
+    * eviction, re-emission) stay fully exercised. */
+  private def dedupWmChunks(s: SparkSession, d: String): Seq[Seq[Ev]] = {
+    val evs = loadEvents(s, d)
+    val day0 = minDayMs(evs)
+    def c(e: Ev): Int = {
+      val t = e.ts.getTime
+      if (t < day0 + 10L * 86400000L) 0
+      else if (t < day0 + 20L * 86400000L) 1 else 2
+    }
+    val grouped = evs.groupBy(e => (e.user_id, e.event_type, c(e))).toSeq
+      .map { case ((u, t, ck), rs) =>
+        val mn = rs.minBy(_.ts.getTime).ts
+        (ck, Ev(0L, mn, u, t, 0.0, ""))
+      }
+    (0 to 2).map(ck => grouped.filter(_._1 == ck).map(_._2))
+  }
+
+  /** `dropDuplicatesWithinWatermark` — TTL'd streaming dedup: state for a
+    * key lives only `delay` past its FIRST row's event time, so the state
+    * footprint is bounded by keys-per-delay-window (contrast
+    * dropDuplicates' forever-state in s_doc_dedup). EXACT semantics, pinned
+    * by probe and encoded in the oracle's replay:
+    *   - a key is LIVE while first_ts_µs + delay_µs > wm_µs, STRICTLY —
+    *     at equality the state is already evicted for the same batch;
+    *   - wm_µs = (floor(max-prior-event-µs / 1000) − delay_ms) · 1000: the
+    *     watermark is millisecond-floored, the expiry keeps microseconds;
+    *   - a DROPPED duplicate never refreshes the expiry (first-arrival
+    *     semantics); a re-arrival after eviction emits again and opens a
+    *     fresh window at its own event time;
+    *   - a batch's rows only move the watermark used AFTER that batch. */
+  def dedupWithinWmTransform(ds: Dataset[Ev]): DataFrame =
+    ds.withWatermark("ts", "3 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Test/probe access to the chunked runner with the timer transform —
     * StreamOpsSpec pins the exact timer-vs-watermark boundary semantics the
     * s_tws_timers oracle encodes. */
@@ -772,6 +813,18 @@ object StreamOps extends OpModule {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
+
+    // TTL'd streaming dedup (dropDuplicatesWithinWatermark): per-key state
+    // expires `delay` past the first arrival's event time instead of
+    // living forever — the API that makes streaming dedup state BOUNDED
+    // (keys per delay window, not keys ever seen). The three-chunk feed
+    // walks keys through the full lifecycle: emit, drop-while-live,
+    // evict-at-boundary, re-emit after expiry; the oracle replays the
+    // probed exact semantics (see dedupWithinWmTransform).
+    "s_dedup_within_wm" -> ((s, d) =>
+      runStreamChunks(s, dedupWmChunks(s, d), OutputMode.Append())(dedupWithinWmTransform)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
 
     "s_stateful" -> ((s, d) =>
       runStreamFile(s, d, OutputMode.Append())(seqTransform)
@@ -1614,6 +1667,38 @@ object StreamOps extends OpModule {
     "s_dedup_wm" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // three-batch replay of the probed dropDuplicatesWithinWatermark
+    // semantics: per-batch watermark w_i = ms-floored max prior event time
+    // minus the 3-day delay (scaled back to µs); a key is live while its
+    // FIRST emitted row's µs time + delay STRICTLY exceeds w_i; dropped
+    // duplicates never refresh; evicted keys re-emit and re-open at their
+    // own time (see dedupWithinWmTransform's scaladoc for the probes)
+    "s_dedup_within_wm" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t,
+        |  DATE_TRUNC('microseconds', ts) AS ts FROM events),
+        |bnd AS (SELECT DATE_TRUNC('day', MIN(ts)) + INTERVAL 10 DAY AS t1,
+        |               DATE_TRUNC('day', MIN(ts)) + INTERVAL 20 DAY AS t2 FROM e),
+        |g AS (SELECT u, t,
+        |        CASE WHEN ts < bnd.t1 THEN 0 WHEN ts < bnd.t2 THEN 1 ELSE 2 END AS c,
+        |        MIN(EPOCH_US(ts)) AS us
+        |      FROM e, bnd GROUP BY 1, 2, 3),
+        |wm AS (SELECT (MAX(CASE WHEN c = 0 THEN us END) // 1000 - 259200000) * 1000 AS w1,
+        |              (MAX(CASE WHEN c <= 1 THEN us END) // 1000 - 259200000) * 1000 AS w2 FROM g),
+        |e0 AS (SELECT u, t, us FROM g WHERE c = 0),
+        |c1 AS (SELECT u, t, us FROM g WHERE c = 1),
+        |e1 AS (SELECT c1.u, c1.t, c1.us FROM c1, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = c1.u AND e0.t = c1.t
+        |                         AND e0.us + 259200000000 > wm.w1)),
+        |st1 AS (SELECT u, t, us FROM e0
+        |        WHERE NOT EXISTS (SELECT 1 FROM e1 WHERE e1.u = e0.u AND e1.t = e0.t)
+        |        UNION ALL SELECT u, t, us FROM e1),
+        |c2 AS (SELECT u, t FROM g WHERE c = 2),
+        |e2 AS (SELECT c2.u, c2.t FROM c2, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM st1 WHERE st1.u = c2.u AND st1.t = c2.t
+        |                         AND st1.us + 259200000000 > wm.w2)),
+        |em AS (SELECT t FROM e0 UNION ALL SELECT t FROM e1 UNION ALL SELECT t FROM e2)
+        |SELECT t AS event_type, COUNT(*) AS n FROM em GROUP BY t ORDER BY t""".stripMargin,
 
     // keep-first dedup by (lang, content hash) ≡ per-lang distinct count
     "s_doc_dedup" ->
