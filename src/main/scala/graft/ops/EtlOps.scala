@@ -494,6 +494,36 @@ object EtlOps extends OpModule {
                 (col("l") >= 3).as("diverse_ok"))
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    // t-closeness — the third rung of the release-gate ladder (k-anonymity
+    // → l-diversity → t-closeness): a class can be large AND diverse yet
+    // leak by SKEW — if a class's sensitive-value distribution sits far
+    // from the table's, membership itself is informative. For the ORDERED
+    // tier attribute the distance is the Earth Mover's Distance = mean
+    // |cumulative-share gap| over the m−1 interior cuts. Computed EXACTLY
+    // in integers: |a_i·N − g_i·n| / (n·N) per cut, scaled to e6 and
+    // floor-divided — no doubles, so the gate hashes bit-for-bit on both
+    // engines (products stay < 2⁶³ through sf10). Cost: one class
+    // aggregate + one broadcast global row, the q_k_anonymity shape.
+    "q_t_closeness" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("tier",
+          when(col("c_acctbal") < 0, 0)
+            .when(col("c_acctbal") < 5000, 1).otherwise(2))
+      val cls = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("tier") === 0, 1L).otherwise(0L)).as("a1"),
+             sum(when(col("tier") <= 1, 1L).otherwise(0L)).as("a12"))
+      val g = c.agg(count(lit(1)).as("nn"),
+             sum(when(col("tier") === 0, 1L).otherwise(0L)).as("g1"),
+             sum(when(col("tier") <= 1, 1L).otherwise(0L)).as("g12"))
+      cls.crossJoin(broadcast(g))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          expr("(1000000 * (abs(a1 * nn - g1 * n) + abs(a12 * nn - g12 * n)))" +
+            " div (2 * n * nn)").as("emd_e6"))
+        .withColumn("t_ok", col("emd_e6") <= 200000L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
     // Space-time hotspot detection — the disaster-monitoring query shape
     // (SaTScan-lite): events land on a 10×10 md5-derived cell grid
     // (coord()'s reproducible pseudo-coordinates) × day buckets; each
@@ -958,6 +988,28 @@ object EtlOps extends OpModule {
         |                      ELSE 'high' END) >= 3 AS diverse_ok
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // the EMD in the same exact integer arithmetic (non-negative operands:
+    // DuckDB // floors == Spark div truncates)
+    "q_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN c_acctbal < 0 THEN 0
+        |         WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS tier
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN tier <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS a12
+        |  FROM c GROUP BY 1, 2),
+        |g AS (SELECT COUNT(*) AS nn,
+        |    CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+        |    CAST(SUM(CASE WHEN tier <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS g12
+        |  FROM c)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  CAST((1000000 * (ABS(a1 * nn - g1 * n) + ABS(a12 * nn - g12 * n)))
+        |    // (2 * n * nn) AS BIGINT) AS emd_e6,
+        |  CAST((1000000 * (ABS(a1 * nn - g1 * n) + ABS(a12 * nn - g12 * n)))
+        |    // (2 * n * nn) AS BIGINT) <= 200000 AS t_ok
+        |FROM cls, g ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q_hotspot" ->
       """WITH cells AS (
