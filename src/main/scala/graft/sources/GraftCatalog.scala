@@ -64,8 +64,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     * (versions_kept, live_files), not a silent side effect. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("abandon", "cherry_pick", "compact", "history", "publish", "rollback",
-      "tag", "zorder",
+    Array("abandon", "cherry_pick", "compact", "expire", "history", "publish",
+      "rollback", "tag", "zorder",
       "vacuum").map(Identifier.of(Array.empty, _))
   }
 
@@ -76,6 +76,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "abandon" => AbandonProcedure
       case "cherry_pick" => CherryPickProcedure
       case "compact" => CompactProcedure
+      case "expire" => ExpireProcedure
       case "history" => HistoryProcedure
       case "publish" => PublishProcedure
       case "rollback" => RollbackProcedure
@@ -84,7 +85,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "zorder"  => ZorderProcedure
       case _ => throw new UnsupportedOperationException(
         s"unknown procedure ${ident.name()} " +
-          "(abandon | cherry_pick | compact | history | publish | rollback | " +
+          "(abandon | cherry_pick | compact | expire | history | publish | rollback | " +
           "tag | vacuum | zorder)")
     }
   }
@@ -872,6 +873,21 @@ private object RollbackProcedure
     StoreSink.rollback(path, arg.toInt)
   override def description(): String =
     "restore an archived version's content as a new commit (history preserved)"
+}
+
+/** `CALL graft.expire(path, before_ms)` — timestamp-based retention: expire
+  * archived versions committed before the epoch-ms cutoff (the Iceberg
+  * expire_snapshots(older_than) form). The newest version and tags always
+  * survive; see [[StoreSink.expireBefore]]. */
+private object ExpireProcedure
+    extends StoreProcedure("expire", ("versions_expired", "versions_kept")) {
+  override protected def argName = "before_ms"
+  override protected def run(path: String, arg: Long): (Long, Long) = {
+    val (e, k) = StoreSink.expireBefore(path, arg)
+    (e.toLong, k.toLong)
+  }
+  override def description(): String =
+    "expire archived versions whose commit instant predates before_ms, then GC"
 }
 
 private object VacuumProcedure

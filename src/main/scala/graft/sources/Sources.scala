@@ -2120,6 +2120,43 @@ object Sources extends OpModule {
       }
     }),
 
+    // LIMIT pushdown into the store scan (SupportsPushDownLimit, PARTIAL):
+    // `LIMIT n` directly over the store plans only a PREFIX of files whose
+    // exact live-row counts cover n — at a million files, `LIMIT 10` opens
+    // ONE file. Spark keeps its own Limit (partial contract), so results
+    // are exact; the cut falls back to the full plan whenever a candidate
+    // entry's live count is not exact (legacy lines, equality masks) or a
+    // runtime filter narrowed the scan. Flags pin the prefix cut, the
+    // exact counts, and the covers-everything case.
+    "q_store_limit_push" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storelim")
+      seedStore(s, d, path) // 8 range-clustered files
+      withStorePath(s, path) {
+        graft.sources.StoreSink.lastLimitPlan = None
+        val limited = s.sql(
+          "SELECT COUNT(*) AS n FROM (SELECT * FROM graft.store LIMIT 100)")
+          .collect()(0).getLong(0)
+        val cut = graft.sources.StoreSink.lastLimitPlan
+        val prefixCut = cut.exists { case (cand, planned) =>
+          planned < cand && planned >= 1 }
+        graft.sources.StoreSink.lastLimitPlan = None
+        val total = s.sql(
+          "SELECT COUNT(*) AS n FROM (SELECT * FROM graft.store LIMIT 2000000000)")
+          .collect()(0).getLong(0)
+        val fullWhenOver = graft.sources.StoreSink.lastLimitPlan
+          .exists { case (cand, planned) => planned == cand }
+        val rows = Seq(
+          org.apache.spark.sql.Row("n_limited", limited),
+          org.apache.spark.sql.Row("n_total", total),
+          org.apache.spark.sql.Row("z_full_when_over", if (fullWhenOver) 1L else 0L),
+          org.apache.spark.sql.Row("z_prefix_cut", if (prefixCut) 1L else 0L))
+        val schema = StructType(Seq(
+          StructField("item", StringType), StructField("v", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("item"))
+      }
+    }),
+
     // ATOMIC RTAS (`REPLACE TABLE ... AS SELECT`, StagingTableCatalog
     // stageReplace): the staged write commits through the store's ordinary
     // TRUNCATE protocol, so ONE manifest swap is both the data replacement
@@ -2193,6 +2230,48 @@ object Sources extends OpModule {
       } finally prev match {
         case Some(p) => s.conf.set(key, p)
         case None    => s.conf.unset(key)
+      }
+    }),
+
+    // TIMESTAMP-BASED RETENTION (`CALL graft.expire(path, before_ms)` —
+    // the Iceberg expire_snapshots(older_than) form): expire archived
+    // versions whose COMMIT-LEDGER instant predates the cutoff; the
+    // newest version always survives, and a TAG is a retention pin
+    // exactly as under count-based vacuum. This is the retention policy
+    // operators actually write ("drop history older than 7 days"), and it
+    // reads the same monotone `#ts=` ledger TIMESTAMP AS OF resolves —
+    // one metadata sweep, never a data rewrite.
+    "q_store_expire" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeexp")
+      seedStore(s, d, path) // v1
+      withStorePath(s, path) {
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 3 WHERE grp = 'O'") // v2
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 3 WHERE grp = 'O'") // v3
+        s.sql(s"CALL graft.tag('$path', 'keepme', 2)").collect() // pin v2
+        val cutoff = graft.sources.StoreSink.history(path)
+          .find(_._1 == 3).get._2 // v3's commit instant
+        val audit = s.sql(s"CALL graft.expire('$path', $cutoff)").collect()(0)
+        // v1 expired (ts < cutoff, unpinned); v2 pinned by tag; v3 newest
+        val auditOk = audit.getLong(0) == 1L && audit.getLong(1) == 2L
+        val v1Gone =
+          try { s.sql("SELECT * FROM graft.store VERSION AS OF 1").collect(); false }
+          catch { case _: Exception => true }
+        val tagAlive = s.sql("SELECT COUNT(*) FROM graft.store VERSION AS OF 'keepme'")
+          .collect()(0).getLong(0) > 0L
+        val agg = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        def flag(n: String, b: Boolean) =
+          org.apache.spark.sql.Row(n, if (b) 1L else 0L, 0L)
+        val rows = agg.toSeq ++ Seq(
+          flag("z_audit", auditOk),
+          flag("z_tag_pinned", tagAlive),
+          flag("z_v1_expired", v1Gone))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
       }
     }),
 
@@ -2749,6 +2828,15 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_dropped', 1, 0, 0
         |ORDER BY grp""".stripMargin,
 
+    // the limited count is exact (Spark's Limit still runs above the
+    // prefix plan); flags pin the file-prefix planning contract
+    "q_store_limit_push" ->
+      """SELECT 'n_limited' AS item, CAST(LEAST(100, COUNT(*)) AS BIGINT) AS v FROM orders
+        |UNION ALL SELECT 'n_total', COUNT(*) FROM orders
+        |UNION ALL SELECT 'z_full_when_over', 1
+        |UNION ALL SELECT 'z_prefix_cut', 1
+        |ORDER BY item""".stripMargin,
+
     // the replaced table's content relationally; flags pin atomicity
     // (failed replace leaves the table), the archived pre-replace
     // generation, and the missing-table refusal
@@ -2762,6 +2850,18 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_intact_after_fail', 1, 0, 0
         |UNION ALL SELECT 'z_missing_loud', 1, 0, 0
         |UNION ALL SELECT 'z_v1_readable', 1, 0, 0
+        |ORDER BY grp""".stripMargin,
+
+    // current content = base with grp O bumped twice; flags pin the
+    // ledger-cutoff expiry, the tag pin, and the audit counts
+    "q_store_expire" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderstatus = 'O' THEN 6 ELSE 0 END) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_audit', 1, 0
+        |UNION ALL SELECT 'z_tag_pinned', 1, 0
+        |UNION ALL SELECT 'z_v1_expired', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // current content = base with grp P bumped twice; flags pin the

@@ -408,6 +408,10 @@ object StoreSink {
     * (set only for scans over a partitioned store). */
   @volatile private[sources] var lastPartPrune: Option[(Int, Int)] = None
 
+  /** Last limit-pushdown planning observation: (candidate files, files
+    * actually planned after the limit prefix cut). Spec observability. */
+  @volatile private[sources] var lastLimitPlan: Option[(Int, Int)] = None
+
   /** A file's partition key as the InternalRow SPJ alignment compares:
     * bucket ids are ints, identity values are strings (null mark → null). */
   private[sources] def partKeyRow(value: String, isBucket: Boolean): InternalRow =
@@ -950,42 +954,75 @@ object StoreSink {
       val versions = listVersions(root, fsys)
       // a TAG is a retention pin: tagged versions survive any keepVersions
       val pinned = readTags(root, fsys).values.toSet
-      val (byAge, kept) = versions.splitAt(math.max(0, versions.size - keepEff))
-      val (saved, expired) = byAge.partition(pinned.contains)
-      val retained = saved ++ kept
-      val physicals = retained.map(v => readVersionPhysical(root, fsys, v)) :+
-        readListLines(root, fsys)
-      // data files AND their deletion-vector sidecars (dv names share the
-      // part- prefix, so the sweep below GCs unreferenced vectors too);
-      // LIVE BRANCHES pin their staged files — only abandon() releases them
-      val branchLines = listBranches(root, fsys)
-        .flatMap(b => readBranchLines(root, fsys, b))
-      val referenced = (physicals.flatMap(expand(root, fsys, _)) ++ branchLines)
-        .filterNot(_.startsWith("#")).map(parseEntry)
-        .flatMap(e => e.name +: (e.dv.toSeq ++ e.eq.toSeq)).toSet
-      // segment files referenced by any RETAINED list survive; the rest are
-      // metadata of expired generations and GC with them
-      val referencedSegs = physicals.flatten
-        .filter(_.startsWith(SegMark)).map(parseSeg(_).name).toSet
-      expired.foreach(v => raw.delete(versionPath(root, v), false))
-      listDataFiles(root, fsys).foreach { n =>
-        if (!referenced.contains(n)) fsys.delete(new Path(root, n), false)
-      }
-      fsys.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(SegPrefix) && !referencedSegs.contains(n))
-          raw.delete(st.getPath, false)
-        // an archived pre-REPLACE schema is dead once every version it
-        // covered (v <= W) has expired
-        else if (n.startsWith(s"$SchemaFile.v") &&
-                 scala.util.Try(n.stripPrefix(s"$SchemaFile.v").toInt).toOption
-                   .exists(w => !retained.exists(_ <= w)))
-          raw.delete(st.getPath, false)
-        // a partition dir whose files all expired is pure layout — GC it
-        else if (st.isDirectory && n.contains("=") &&
-                 fsys.listStatus(st.getPath).isEmpty)
-          fsys.delete(st.getPath, false)
-      }
+      val (byAge, _) = versions.splitAt(math.max(0, versions.size - keepEff))
+      gcExpired(root, fsys, versions, byAge.filterNot(pinned.contains))
+    }
+  }
+
+  /** TIMESTAMP-based retention (the Iceberg `expire_snapshots(older_than)`
+    * form): expire archived versions whose COMMIT-LEDGER instant (`#ts=`,
+    * never file mtime) is `< cutoffMs`. The newest version and tagged
+    * versions are always retained — a cutoff in the future degrades to
+    * "keep only the current generation", never to an empty table. Returns
+    * (versions expired, versions retained). Same locked sweep as vacuum:
+    * O(manifests) metadata plus unreferenced-file deletes. */
+  def expireBefore(pathStr: String, cutoffMs: Long): (Int, Int) = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    var res = (0, 0)
+    withCommitLock(root, fsys) {
+      val versions = listVersions(root, fsys)
+      val pinned = readTags(root, fsys).values.toSet
+      val tsOf = history(pathStr).map { case (v, ts, _, _) => v -> ts }.toMap
+      val expired = versions.dropRight(1) // the newest always survives
+        .filter(v => tsOf.get(v).exists(_ < cutoffMs))
+        .filterNot(pinned.contains)
+      gcExpired(root, fsys, versions, expired)
+      res = (expired.size, versions.size - expired.size)
+    }
+    res
+  }
+
+  /** The shared GC sweep (CALLER HOLDS the commit lock): delete `expired`
+    * version manifests, then every data file / dv / eq sidecar / segment /
+    * schema archive no retained version (nor the current manifest, nor a
+    * live branch) references. */
+  private def gcExpired(root: Path, fsys: FileSystem,
+                        versions: Seq[Int], expired: Seq[Int]): Unit = {
+    val raw = manifestFs(fsys)
+    val retained = versions.filterNot(expired.contains)
+    val physicals = retained.map(v => readVersionPhysical(root, fsys, v)) :+
+      readListLines(root, fsys)
+    // data files AND their deletion-vector sidecars (dv names share the
+    // part- prefix, so the sweep below GCs unreferenced vectors too);
+    // LIVE BRANCHES pin their staged files — only abandon() releases them
+    val branchLines = listBranches(root, fsys)
+      .flatMap(b => readBranchLines(root, fsys, b))
+    val referenced = (physicals.flatMap(expand(root, fsys, _)) ++ branchLines)
+      .filterNot(_.startsWith("#")).map(parseEntry)
+      .flatMap(e => e.name +: (e.dv.toSeq ++ e.eq.toSeq)).toSet
+    // segment files referenced by any RETAINED list survive; the rest are
+    // metadata of expired generations and GC with them
+    val referencedSegs = physicals.flatten
+      .filter(_.startsWith(SegMark)).map(parseSeg(_).name).toSet
+    expired.foreach(v => raw.delete(versionPath(root, v), false))
+    listDataFiles(root, fsys).foreach { n =>
+      if (!referenced.contains(n)) fsys.delete(new Path(root, n), false)
+    }
+    fsys.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(SegPrefix) && !referencedSegs.contains(n))
+        raw.delete(st.getPath, false)
+      // an archived pre-REPLACE schema is dead once every version it
+      // covered (v <= W) has expired
+      else if (n.startsWith(s"$SchemaFile.v") &&
+               scala.util.Try(n.stripPrefix(s"$SchemaFile.v").toInt).toOption
+                 .exists(w => !retained.exists(_ <= w)))
+        raw.delete(st.getPath, false)
+      // a partition dir whose files all expired is pure layout — GC it
+      else if (st.isDirectory && n.contains("=") &&
+               fsys.listStatus(st.getPath).isEmpty)
+        fsys.delete(st.getPath, false)
     }
   }
 
@@ -2767,7 +2804,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
                                branch: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var zoneFilters: Array[Filter] = Array.empty
   private var kLo: Option[Long] = None
@@ -2783,6 +2821,25 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private var limitN: Option[Int] = None
+
+  /** LIMIT pushdown, PARTIAL (isPartiallyPushed stays true, so Spark keeps
+    * its own Limit): the scan plans only a PREFIX of files whose exact
+    * live-row counts already cover the limit — `LIMIT 10` over a
+    * million-file table opens one file, not a million (planning itself is
+    * already sublinear via the segment tree; this cuts the rows READ).
+    * Applied conservatively at plan time: every candidate entry must carry
+    * an exact live count (legacy stat-less lines and equality-masked
+    * entries — whose counts are upper bounds — fall back to the full
+    * plan), and runtime-filtered scans are left alone. Spark only pushes a
+    * Limit sitting DIRECTLY on the scan, and every filter this source
+    * "pushes" remains a residual Filter node, so a filtered query can
+    * never under-produce through this path. */
+  override def pushLimit(limit: Int): Boolean = {
+    limitN = Some(limit)
+    true
+  }
 
   /** AGGREGATE PUSHDOWN from manifest metadata: an unfiltered, ungrouped
     * COUNT(*)/MIN(k)/MAX(k) is already summed in the manifest — per-file
@@ -2900,7 +2957,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new StoreAggScan(pathStr, aggFuncs, aggValues)
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
-      explicitFiles, table, grpValues, kValues, branch, aLo, aHi)
+      explicitFiles, table, grpValues, kValues, branch, aLo, aHi, limitN)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -2980,7 +3037,8 @@ private class StoreScan(pathStr: String,
                         grpValues: Seq[Array[String]] = Nil,
                         kValues: Seq[Array[Long]] = Nil,
                         branch: Option[String] = None,
-                        aLo: Option[Long] = None, aHi: Option[Long] = None)
+                        aLo: Option[Long] = None, aHi: Option[Long] = None,
+                        limitN: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -3187,10 +3245,25 @@ private class StoreScan(pathStr: String,
     }
     if (spec.isDefined)
       StoreSink.lastPartPrune = Some((kept.size, keptP.size))
-    StoreSink.lastZonePrune = Some((total, keptP.size))
-    plannedCounts = Some((total, keptP.size))
+    // LIMIT prefix cut (partial pushdown — Spark's Limit still runs): only
+    // when every candidate's live count is exact (no legacy stat-less
+    // lines, no equality masks whose counts are upper bounds) and no
+    // runtime filter narrowed the scan after pushdown
+    val keptL = limitN match {
+      case Some(n) if keptP.forall(e => e.rows >= 0 && e.eq.isEmpty) &&
+          runtimeKeys.isEmpty =>
+        var acc = 0L
+        val prefix = keptP.takeWhile { e =>
+          val need = acc < n; acc += e.rows; need
+        }
+        StoreSink.lastLimitPlan = Some((keptP.size, prefix.size))
+        prefix
+      case _ => keptP
+    }
+    StoreSink.lastZonePrune = Some((total, keptL.size))
+    plannedCounts = Some((total, keptL.size))
     val isBucket = spec.exists(_.kind == "bucket")
-    keptP.map(e => StoreFilePartition(new Path(root, e.name).toString,
+    keptL.map(e => StoreFilePartition(new Path(root, e.name).toString,
         e.dv.map(d => new Path(root, d).toString), e.name,
         e.part, isBucket,
         e.eq.map(q => new Path(root, q).toString)): InputPartition)

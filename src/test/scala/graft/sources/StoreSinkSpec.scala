@@ -964,6 +964,38 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("limit pushdown: exact file-prefix planning; equality masks decline") {
+    val dir = freshDir("limitpush")
+    df(1 to 40, "a").repartitionByRange(4, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    graft.sources.Sources.withGraftCatalog(spark) {
+      graft.sources.Sources.withStorePath(spark, dir) {
+        // 4 files x 10 rows; LIMIT 15 needs exactly the first 2 files
+        StoreSink.lastLimitPlan = None
+        val n = spark.sql(
+          "SELECT COUNT(*) FROM (SELECT * FROM graft.store LIMIT 15)")
+          .collect()(0).getLong(0)
+        assert(n == 15)
+        assert(StoreSink.lastLimitPlan.contains((4, 2)),
+          s"expected a 2-file prefix plan, got ${StoreSink.lastLimitPlan}")
+        // an equality-masked store has upper-bound counts only: the cut
+        // must decline (full plan) and the limited count stays exact
+        spark.conf.set("spark.graft.store.rowlevel.mode", "delta")
+        try spark.sql("DELETE FROM graft.store WHERE k % 2 = 1")
+        finally spark.conf.unset("spark.graft.store.rowlevel.mode")
+        assert(StoreSink.readEntries(new Path(dir), fs).exists(_.eq.isDefined),
+          "precondition: the delete should have left equality masks")
+        StoreSink.lastLimitPlan = None
+        val n2 = spark.sql(
+          "SELECT COUNT(*) FROM (SELECT * FROM graft.store LIMIT 15)")
+          .collect()(0).getLong(0)
+        assert(n2 == 15)
+        assert(StoreSink.lastLimitPlan.isEmpty,
+          s"masked entries must decline the prefix cut: ${StoreSink.lastLimitPlan}")
+      }
+    }
+  }
+
   test("delta MERGE (SupportsDelta): zero data files rewritten — masks + " +
        "appends only, content identical to group-based COW") {
     def seed(dir: String): Unit =
