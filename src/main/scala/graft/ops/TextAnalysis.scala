@@ -597,6 +597,49 @@ object TextAnalysis extends OpModule {
       pos.unionByName(negs).orderBy(col("role"), col("pair_rank"))
     }),
 
+    // RETRIEVAL EVALUATION (MRR + nDCG@10 — the IR quality gates a
+    // retrieval stack ships against): the lexical top-10 (q_bm25, query
+    // doc excluded) is judged against the dense exact top-10 as binary
+    // ground truth. The log2 rank discounts are CONSTANT integers
+    // (round(1e6/log2(i+1)), i = 1..10) baked identically into both
+    // engines, so DCG is pure integer arithmetic — no floating log at
+    // query time; MRR = 1e6 div first-relevant-rank (MAX over relevant
+    // ranks of 1e6 div rank — the maximum IS the first); ideal DCG is the
+    // full weight sum (|rel| = 10 by construction). Scale: composes the
+    // two declared retrieval stages (bm25 stack + one cosine corpus scan);
+    // the metric join touches 10 rows.
+    "q_rag_metrics" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.FloatDot.register(s)
+      val lex10 = queries("q_bm25")(s, d).where(col("doc_id") =!= 0)
+        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_e4").desc, col("doc_id"))).cast("long"))
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val rel10 = emb.crossJoin(broadcast(qv))
+        .withColumn("cos_e4",
+          round(expr("graft_float_dot(embedding, q_emb)")
+            / (col("nrm") * col("q_nrm")) * 10000).cast("long"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"), col("cos_e4"))
+        .orderBy(col("cos_e4").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), lit(1L).as("is_rel"))
+      val wDf = TextAnalysis.NdcgW.zipWithIndex
+        .map { case (wt, i) => ((i + 1).toLong, wt) }.toDF("rank", "w")
+      lex10.join(rel10, Seq("doc_id"), "left").na.fill(0L, Seq("is_rel"))
+        .join(broadcast(wDf), "rank")
+        .agg(sum(col("is_rel")).as("hits"),
+             coalesce(max(when(col("is_rel") === 1L, expr("1000000 div rank"))),
+               lit(0L)).as("mrr_e6"),
+             sum(when(col("is_rel") === 1L, col("w")).otherwise(0L)).as("dcg_e6"))
+        .select(col("hits"), col("mrr_e6"), col("dcg_e6"),
+                expr(s"dcg_e6 * 1000000 div ${TextAnalysis.NdcgW.sum}").as("ndcg_e6"))
+    }),
+
     "q_bm25" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
@@ -1026,6 +1069,11 @@ object TextAnalysis extends OpModule {
 
   /** q_bm25's oracle as a shared val so compositions (q_rag_rerank) can
     * nest it verbatim — the unigramLmSql pattern. */
+  /** nDCG@10 rank discounts, round(1e6/log2(i+1)) for i = 1..10 — shared
+    * integer constants between the Spark op and its DuckDB oracle. */
+  private[ops] val NdcgW: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
   private[ops] val bm25Sql: String =
     """WITH tok AS (
       |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM documents),
@@ -1211,6 +1259,34 @@ object TextAnalysis extends OpModule {
 
     // positive from the dense stage, negatives from the lexical stage minus
     // the dense set — both stages nested verbatim
+    // the same two rankings; the discount weights inline as VALUES rows
+    "q_rag_metrics" ->
+      s"""WITH cand AS (SELECT doc_id, bm25_e4 FROM ($bm25Sql) t),
+        |lex AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bm25_e4 DESC, doc_id) AS BIGINT) AS rank
+        |  FROM (SELECT * FROM cand WHERE doc_id <> 0
+        |        ORDER BY bm25_e4 DESC, doc_id LIMIT 10) t),
+        |emb AS (SELECT vec_id, embedding,
+        |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM emb WHERE vec_id = 0),
+        |cos AS (SELECT e.vec_id AS doc_id,
+        |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e.embedding, q.q_emb),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (e.nrm * q.q_nrm) * 10000) AS BIGINT) AS cos_e4
+        |  FROM emb e, q),
+        |rel AS (SELECT doc_id FROM (SELECT * FROM cos WHERE doc_id <> 0
+        |        ORDER BY cos_e4 DESC, doc_id LIMIT 10) t),
+        |w(rank, wt) AS (VALUES ${NdcgW.zipWithIndex.map { case (wt, i) => s"(${i + 1}, $wt)" }.mkString(", ")}),
+        |m AS (SELECT l.rank, CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel, w.wt
+        |  FROM lex l LEFT JOIN rel r USING (doc_id) JOIN w ON w.rank = l.rank)
+        |SELECT CAST(SUM(is_rel) AS BIGINT) AS hits,
+        |  CAST(COALESCE(MAX(CASE WHEN is_rel = 1 THEN 1000000 // rank END), 0) AS BIGINT) AS mrr_e6,
+        |  CAST(SUM(CASE WHEN is_rel = 1 THEN wt ELSE 0 END) AS BIGINT) AS dcg_e6,
+        |  CAST(SUM(CASE WHEN is_rel = 1 THEN wt ELSE 0 END) * 1000000 // ${NdcgW.sum} AS BIGINT) AS ndcg_e6
+        |FROM m""".stripMargin,
+
     "q_hard_negatives" ->
       s"""WITH cand AS (SELECT doc_id, bm25_e4 FROM ($bm25Sql) t),
         |emb AS (SELECT vec_id, embedding,

@@ -258,6 +258,36 @@ object TrainingOps extends OpModule {
     // user-key shuffle shape as every per-doc op; span selection is pure
     // arithmetic on token position (a seeded-hash selector would shuffle
     // the same bytes through md5 — the phase IS the seed here).
+    // FILL-IN-THE-MIDDLE (FIM) transform — the code-model pretraining op
+    // (the OpenAI FIM recipe): a deterministic half of the documents is
+    // re-ordered into PSM form (<PRE> prefix <SUF> suffix <MID> middle) so
+    // the model learns infilling, the rest pass through unchanged
+    // (left-to-right mass preserved). Split points derive from doc_id —
+    // reproducible, no RNG: prefix = 20–60% of tokens, middle = a third
+    // of the remainder. Pure per-row array surgery (split/slice/concat,
+    // all codegen'd); the md5 pins the EXACT transformed sample, not just
+    // its shape. At 100 TB: embarrassingly parallel, zero shuffles.
+    "q_fim" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(lower(col("text"))), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("fim", col("n") >= 8 && col("doc_id") % 2 === 0)
+        .withColumn("p", expr("(n * (doc_id % 5 + 2)) div 10"))
+        .withColumn("m", expr("greatest((n - p) div 3, 1L)"))
+        .withColumn("sample", when(col("fim"),
+            concat_ws(" ",
+              lit("<PRE>"),
+              concat_ws(" ", expr("slice(toks, 1, cast(p as int))")),
+              lit("<SUF>"),
+              concat_ws(" ", expr("slice(toks, cast(p + m + 1 as int), cast(n - p - m as int))")),
+              lit("<MID>"),
+              concat_ws(" ", expr("slice(toks, cast(p + 1 as int), cast(m as int))"))))
+          .otherwise(concat_ws(" ", col("toks"))))
+        .select(col("doc_id"), col("n").as("n_tok"),
+                when(col("fim"), 1L).otherwise(0L).as("is_fim"),
+                col("p"), col("m"), md5(col("sample")).as("sample_md5"))
+        .orderBy(col("doc_id"))),
+
     "q_span_corrupt" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -827,6 +857,27 @@ object TrainingOps extends OpModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
         |    // SUM(n_pos) OVER () AS BIGINT) AS capture_e4
         |FROM dec ORDER BY decile""".stripMargin,
+
+    // same slices in DuckDB list arithmetic (list_slice is END-inclusive
+    // where Spark's slice takes a LENGTH — bounds translated accordingly)
+    "q_fim" ->
+      """WITH tk AS (
+        |  SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n FROM tk),
+        |c AS (SELECT doc_id, toks, n,
+        |        (n >= 8 AND doc_id % 2 = 0) AS fim,
+        |        (n * (doc_id % 5 + 2)) // 10 AS p
+        |      FROM b),
+        |e AS (SELECT *, GREATEST((n - p) // 3, 1) AS m FROM c)
+        |SELECT doc_id, n AS n_tok,
+        |  CAST(CASE WHEN fim THEN 1 ELSE 0 END AS BIGINT) AS is_fim,
+        |  CAST(p AS BIGINT) AS p, CAST(m AS BIGINT) AS m,
+        |  md5(CASE WHEN fim THEN
+        |    '<PRE> ' || ARRAY_TO_STRING(list_slice(toks, 1, CAST(p AS INT)), ' ') ||
+        |    ' <SUF> ' || ARRAY_TO_STRING(list_slice(toks, CAST(p + m + 1 AS INT), CAST(n AS INT)), ' ') ||
+        |    ' <MID> ' || ARRAY_TO_STRING(list_slice(toks, CAST(p + 1 AS INT), CAST(p + m AS INT)), ' ')
+        |    ELSE ARRAY_TO_STRING(toks, ' ') END) AS sample_md5
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q_span_corrupt" ->
       """WITH tk AS (
