@@ -382,6 +382,13 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       val v = StoreSink.versionAt(root, StoreSink.fs(root),
         Math.floorDiv(timestampMicros, 1000L))
       new StoreTable(p, Some(v))
+    } else if (inKnownNs(ident) && ctasExists(ident)) {
+      // CTAS/RTAS tables resolve TIMESTAMP AS OF through the same ledger
+      val p = ctasPath(ident).get
+      val root = new org.apache.hadoop.fs.Path(p)
+      val v = StoreSink.versionAt(root, StoreSink.fs(root),
+        Math.floorDiv(timestampMicros, 1000L))
+      new StoreTable(p, Some(v))
     } else throw new NoSuchTableException(ident)
 
   // ------------------------------------------------- FunctionCatalog (V2)

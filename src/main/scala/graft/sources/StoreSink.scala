@@ -3346,7 +3346,8 @@ private case class StoreStreamOffset(files: Int, sig: Option[String] = None)
 private class StoreMicroBatchStream(pathStr: String,
                                     required: StructType = StoreSink.schema,
                                     table: StructType = StoreSink.schema)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private def root = new Path(pathStr)
 
   private def prefixSig(entries: Seq[StoreSink.StoreFileEntry], n: Int): String =
@@ -3358,10 +3359,37 @@ private class StoreMicroBatchStream(pathStr: String,
   override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     StoreStreamOffset(0, Some(StoreSink.md5Hex("")))
 
-  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+  private def latestOffsetNow(): StoreStreamOffset = {
     val entries = StoreSink.readEntries(root, StoreSink.fs(root))
     StoreStreamOffset(entries.size, Some(prefixSig(entries, entries.size)))
   }
+
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    latestOffsetNow()
+
+  // ---- Trigger.AvailableNow (SupportsTriggerAvailableNow): backfill-drain
+  // the manifest AS OF QUERY START, then terminate — the bounded catch-up
+  // mode a store-to-store relay restarts with. The prepared snapshot is the
+  // drain target; entries appended after prepare wait for the next run
+  // (their prefix signature still validates, append-only). Without the
+  // native hook Spark would wrap the source and re-poll latestOffset —
+  // this pins the target ONCE, so a concurrent writer can't extend the
+  // run indefinitely.
+  @volatile private var availableTarget: Option[StoreStreamOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(latestOffsetNow())
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset =
+    availableTarget.getOrElse(latestOffsetNow())
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    latestOffsetNow()
 
   override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
     json.trim.split(":", 2) match {

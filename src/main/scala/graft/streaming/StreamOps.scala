@@ -1363,6 +1363,70 @@ object StreamOps extends OpModule {
       s.table(name).orderBy(col("grp"))
     }),
 
+    // AVAILABLE-NOW BACKFILL over the store tail (the source's
+    // SupportsTriggerAvailableNow): run 1 drains the seeded half and
+    // TERMINATES (bounded catch-up, no long-running query); the second
+    // half appends while nothing listens; run 2 RESUMES from the committed
+    // offset and drains only the new manifest entries. Exactly-once across
+    // restarts is the flag: run 2's row count equals the appended half —
+    // a wrapper-style re-read of history would double it. Union of both
+    // runs ≡ the whole slice (the s_store_tail truth).
+    "s_store_tail_avail" -> ((s, d) => {
+      val path = graft.sources.Sources.tmp(d, "storetailavail")
+      val relay = graft.sources.Sources.tmp(d, "storetailavail_out")
+      val fsh = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsh.delete(new org.apache.hadoop.fs.Path(path), true)
+      fsh.delete(new org.apache.hadoop.fs.Path(relay), true)
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+        graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      def land(cond: org.apache.spark.sql.Column, mode: String): Unit =
+        base.where(cond).write.format("graft.sources.StoreSink")
+          .mode(mode).option("path", path).save()
+      land(col("k") % 2 === 0, "overwrite")
+      val tag = UUID.randomUUID.toString.replace("-", "")
+      val chk = s"target/tmp/chk_avail_$tag"
+      // store→store relay (the memory sink cannot resume a checkpoint;
+      // the graft sink's epoch ledger can — exactly the production shape)
+      def drain(): Unit = withStreamParallelism(s) {
+        val q = s.readStream.format("graft.sources.StoreSink")
+          .option("path", path).load()
+          .writeStream.format("graft.sources.StoreSink")
+          .option("path", relay)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def relayCount(): Long =
+        s.read.format("graft.sources.StoreSink").option("path", relay)
+          .load().count()
+      drain()
+      val c1 = relayCount()
+      land(col("k") % 2 === 1, "append")
+      drain()
+      val c2 = relayCount()
+      val incremental = c1 == base.where(col("k") % 2 === 0).count() &&
+        c2 - c1 == base.where(col("k") % 2 === 1).count()
+      val agg = s.read.format("graft.sources.StoreSink").option("path", relay)
+        .load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        .collect()
+      val rows = agg.toSeq :+ org.apache.spark.sql.Row(
+        "z_incremental_resume", if (incremental) 1L else 0L, 0L)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_cents",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+    }),
+
     "s_topk" -> ((s, d) => {
       graft.functions.TopK.register(s)
       val st = runStreamFile(s, d, OutputMode.Complete()) { ds =>
@@ -1406,6 +1470,15 @@ object StreamOps extends OpModule {
       """SELECT o_orderstatus AS grp, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // two bounded drains ≡ the whole slice; the flag pins that run 2
+    // resumed from the committed offset instead of re-reading history
+    "s_store_tail_avail" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_incremental_resume', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // replayed epoch absorbed: the store holds the feed exactly once
     "s_sink_dsv2" ->
