@@ -65,7 +65,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "cherry_pick", "compact", "expire", "history", "publish",
-      "rollback", "tag", "zorder",
+      "remove_orphans", "rollback", "tag", "zorder",
       "vacuum").map(Identifier.of(Array.empty, _))
   }
 
@@ -78,6 +78,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "compact" => CompactProcedure
       case "expire" => ExpireProcedure
       case "history" => HistoryProcedure
+      case "remove_orphans" => RemoveOrphansProcedure
       case "publish" => PublishProcedure
       case "rollback" => RollbackProcedure
       case "tag"     => TagProcedure
@@ -85,7 +86,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "zorder"  => ZorderProcedure
       case _ => throw new UnsupportedOperationException(
         s"unknown procedure ${ident.name()} " +
-          "(abandon | cherry_pick | compact | expire | history | publish | rollback | " +
+          "(abandon | cherry_pick | compact | expire | history | publish | " +
+          "remove_orphans | rollback | " +
           "tag | vacuum | zorder)")
     }
   }
@@ -895,6 +897,20 @@ private object ExpireProcedure
   }
   override def description(): String =
     "expire archived versions whose commit instant predates before_ms, then GC"
+}
+
+/** `CALL graft.remove_orphans(path, older_ms)` — delete unreferenced
+  * data-shaped files older than the cutoff (crashed-writer leftovers);
+  * see [[StoreSink.removeOrphans]] for the age-based safety margin. */
+private object RemoveOrphansProcedure
+    extends StoreProcedure("remove_orphans", ("orphans_deleted", "files_examined")) {
+  override protected def argName = "older_ms"
+  override protected def run(path: String, arg: Long): (Long, Long) = {
+    val (del, n) = StoreSink.removeOrphans(path, arg)
+    (del.toLong, n.toLong)
+  }
+  override def description(): String =
+    "delete unreferenced data files older than older_ms (crash leftovers)"
 }
 
 private object VacuumProcedure

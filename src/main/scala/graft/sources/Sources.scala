@@ -2233,6 +2233,56 @@ object Sources extends OpModule {
       }
     }),
 
+    // ORPHAN-FILE CLEANUP (`CALL graft.remove_orphans(path, older_ms)` —
+    // the Iceberg remove_orphan_files procedure): a crashed writer leaves
+    // promoted-but-never-published data files and dead staging files that
+    // no manifest references — invisible to readers, never GC'd by vacuum
+    // (which only sweeps after version expiry), silently accumulating
+    // storage. The sweep deletes unreferenced data-shaped files OLDER than
+    // the cutoff; the age margin is what makes it safe to run while
+    // writers run (a live writer's staged files are always younger).
+    // Flags pin: a conservative cutoff keeps young orphans, the real
+    // sweep removes exactly the planted leftovers, committed data
+    // untouched.
+    "q_store_orphans" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeorph")
+      seedStore(s, d, path)
+      withStorePath(s, path) {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fsys = graft.sources.StoreSink.fs(root)
+        def plant(rel: String): Unit = {
+          val out = fsys.create(new org.apache.hadoop.fs.Path(root, rel), true)
+          try out.write("9|x|1".getBytes("UTF-8")) finally out.close()
+        }
+        plant("part-orphan-dead") // promoted, never published
+        fsys.mkdirs(new org.apache.hadoop.fs.Path(root, "_staging"))
+        plant("_staging/part-dead-stage") // crashed writer's staged file
+        val now = System.currentTimeMillis()
+        val young = s.sql(s"CALL graft.remove_orphans('$path', ${now - 60000})")
+          .collect()(0)
+        val youngKept = young.getLong(0) == 0L &&
+          fsys.exists(new org.apache.hadoop.fs.Path(root, "part-orphan-dead"))
+        val swept = s.sql(s"CALL graft.remove_orphans('$path', ${now + 3600000})")
+          .collect()(0)
+        val orphansGone = swept.getLong(0) == 2L &&
+          !fsys.exists(new org.apache.hadoop.fs.Path(root, "part-orphan-dead")) &&
+          !fsys.exists(new org.apache.hadoop.fs.Path(root, "_staging/part-dead-stage"))
+        val agg = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        def flag(n: String, b: Boolean) =
+          org.apache.spark.sql.Row(n, if (b) 1L else 0L, 0L)
+        val rows = agg.toSeq ++ Seq(
+          flag("z_orphans_gone", orphansGone),
+          flag("z_young_kept", youngKept))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
     // TIMESTAMP-BASED RETENTION (`CALL graft.expire(path, before_ms)` —
     // the Iceberg expire_snapshots(older_than) form): expire archived
     // versions whose COMMIT-LEDGER instant predates the cutoff; the
@@ -2850,6 +2900,16 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_intact_after_fail', 1, 0, 0
         |UNION ALL SELECT 'z_missing_loud', 1, 0, 0
         |UNION ALL SELECT 'z_v1_readable', 1, 0, 0
+        |ORDER BY grp""".stripMargin,
+
+    // committed content untouched by the sweep; flags pin the age margin
+    // and the exact orphan removal
+    "q_store_orphans" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_orphans_gone', 1, 0
+        |UNION ALL SELECT 'z_young_kept', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // current content = base with grp O bumped twice; flags pin the

@@ -1260,6 +1260,51 @@ object StoreSink {
     if (underLock && fsys.listStatus(staging).isEmpty) fsys.delete(staging, true)
   }
 
+  /** ORPHAN-FILE CLEANUP (`CALL graft.remove_orphans(path, older_ms)` —
+    * the Iceberg remove_orphan_files procedure): delete data-shaped files
+    * under the table root that NO retained version, live branch, or
+    * current manifest references AND whose modification time predates the
+    * cutoff — crashed writers' leftovers (a staged file whose JVM died
+    * before abort, a promoted file whose commit never published). The age
+    * cutoff is the safety margin: a LIVE writer's staged/promoted-but-
+    * unpublished files are younger than any sane cutoff (Iceberg defaults
+    * to 3 days), so the sweep can run while writers run. Under the commit
+    * lock — a concurrent commit between "read manifests" and "delete"
+    * could otherwise publish a file this sweep considers orphaned.
+    * Returns (orphans deleted, files examined). */
+  def removeOrphans(pathStr: String, olderThanMs: Long): (Int, Int) = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    var res = (0, 0)
+    withCommitLock(root, fsys) {
+      val versions = listVersions(root, fsys)
+      val physicals = versions.map(v => readVersionPhysical(root, fsys, v)) :+
+        readListLines(root, fsys)
+      val branchLines = listBranches(root, fsys)
+        .flatMap(b => readBranchLines(root, fsys, b))
+      val referenced = (physicals.flatMap(expand(root, fsys, _)) ++ branchLines)
+        .filterNot(_.startsWith("#")).map(parseEntry)
+        .flatMap(e => e.name +: (e.dv.toSeq ++ e.eq.toSeq)).toSet
+      val candidates = listDataFiles(root, fsys) ++ {
+        val staging = new Path(root, Staging)
+        if (!fsys.exists(staging)) Nil
+        else fsys.listStatus(staging).toSeq
+          .map(st => s"$Staging/${st.getPath.getName}")
+      }
+      var deleted = 0
+      candidates.foreach { n =>
+        val p = new Path(root, n)
+        if (!referenced.contains(n) &&
+            fsys.getFileStatus(p).getModificationTime < olderThanMs) {
+          fsys.delete(p, false)
+          deleted += 1
+        }
+      }
+      res = (deleted, candidates.size)
+    }
+    res
+  }
+
   /** Promote acknowledged staged files to their committed locations
     * (partitioned payloads land in their partition directory). Caller holds
     * the commit lock. */
