@@ -597,6 +597,45 @@ object TextAnalysis extends OpModule {
       pos.unionByName(negs).orderBy(col("role"), col("pair_rank"))
     }),
 
+    // ROUGE-1/2 RECALL (the summarization/overlap eval metric, Lin 2004)
+    // over deterministic reference/candidate pairs (ref = doc_id, cand =
+    // doc_id + half-corpus — the metric is the operator, the pairing is a
+    // stand-in for a model's outputs): clipped-count overlap
+    // Σ_g min(cnt_ref, cnt_cand) over the reference mass, exact e4
+    // integers. Scale: grams join on (pair, gram) — a corpus-scaling key
+    // (the recorded blocking rule) — and each side is one tokenize +
+    // count aggregate; no pair explosion, no per-pair rescans.
+    "q_rouge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(lower(col("text"))), " ").as("toks"))
+      val half = Tables.documents(s, d).count() / 2
+      def grams(n: Int) = {
+        val gcol =
+          if (n == 1) col("toks")
+          else expr("""CASE WHEN size(toks) >= 2
+                      |THEN transform(sequence(0, size(toks) - 2),
+                      |               i -> concat(toks[i], ' ', toks[i + 1]))
+                      |ELSE array() END""".stripMargin)
+        docs.select(col("doc_id"), explode(gcol).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      }
+      def rouge(n: Int, name: String) = {
+        val gs = grams(n)
+        val ref = gs.where(col("doc_id") < half)
+        val cand = gs.select((col("doc_id") - half).as("doc_id"),
+                             col("g"), col("c").as("cc"))
+          .where(col("doc_id") >= 0)
+        ref.join(cand, Seq("doc_id", "g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(sum(least(col("c"), coalesce(col("cc"), lit(0L)))).as("ov"),
+               sum(col("c")).as("tot"))
+          .select(col("doc_id"), expr(s"ov * 10000 div tot").as(name))
+      }
+      rouge(1, "rouge1_e4").join(rouge(2, "rouge2_e4"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("rouge2_e4")) // a 1-token ref has no bigrams
+        .orderBy(col("doc_id"))
+    }),
+
     // RETRIEVAL EVALUATION (MRR + nDCG@10 — the IR quality gates a
     // retrieval stack ships against): the lexical top-10 (q_bm25, query
     // doc excluded) is judged against the dense exact top-10 as binary
@@ -1259,6 +1298,37 @@ object TextAnalysis extends OpModule {
 
     // positive from the dense stage, negatives from the lexical stage minus
     // the dense set — both stages nested verbatim
+    // clipped-count overlap in the same integer arithmetic; DuckDB lists
+    // are 1-based (range(1, len) bigrams) where Spark's [] is 0-based
+    "q_rouge" ->
+      """WITH tk AS (
+        |  SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks FROM documents),
+        |h AS (SELECT COUNT(*) // 2 AS half FROM documents),
+        |g1 AS (SELECT doc_id, UNNEST(toks) AS g FROM tk),
+        |g2 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+        |         i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS g FROM tk),
+        |c1 AS (SELECT doc_id, g, COUNT(*) AS c FROM g1 GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT a.doc_id,
+        |    CAST(CAST(SUM(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT) * 10000
+        |      // CAST(SUM(a.c) AS BIGINT) AS BIGINT) AS rouge1_e4
+        |  FROM c1 a CROSS JOIN h
+        |  LEFT JOIN c1 b ON b.doc_id = a.doc_id + h.half AND b.g = a.g
+        |  WHERE a.doc_id < h.half
+        |  GROUP BY a.doc_id),
+        |r2 AS (
+        |  SELECT a.doc_id,
+        |    CAST(CAST(SUM(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT) * 10000
+        |      // CAST(SUM(a.c) AS BIGINT) AS BIGINT) AS rouge2_e4
+        |  FROM c2 a CROSS JOIN h
+        |  LEFT JOIN c2 b ON b.doc_id = a.doc_id + h.half AND b.g = a.g
+        |  WHERE a.doc_id < h.half
+        |  GROUP BY a.doc_id)
+        |SELECT r1.doc_id, r1.rouge1_e4,
+        |  COALESCE(r2.rouge2_e4, 0) AS rouge2_e4
+        |FROM r1 LEFT JOIN r2 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // the same two rankings; the discount weights inline as VALUES rows
     "q_rag_metrics" ->
       s"""WITH cand AS (SELECT doc_id, bm25_e4 FROM ($bm25Sql) t),
