@@ -420,7 +420,7 @@ object StoreSink {
     else InternalRow(UTF8String.fromString(value))
 
   /** Test observability: (start, end) of each tail batch planned. */
-  private[sources] val tailPlans =
+  private[graft] val tailPlans =
     new java.util.concurrent.CopyOnWriteArrayList[(Int, Int)]()
 
   /** Test-only failure injection for the delete path: when set, the
@@ -2035,7 +2035,8 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(pathStr, version,
       Option(options.get("files")).map(_.split(",").toSeq.filter(_.nonEmpty)),
-      tblSchema, Option(options.get("branch")))
+      tblSchema, Option(options.get("branch")),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
@@ -2846,7 +2847,8 @@ private class StoreDataWriter(pathStr: String, fileName: String,
 private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
                                explicitFiles: Option[Seq[String]] = None,
                                table: StructType = StoreSink.schema,
-                               branch: Option[String] = None)
+                               branch: Option[String] = None,
+                               maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -3002,7 +3004,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   override def build(): Scan =
     if (aggFuncs.nonEmpty) new StoreAggScan(pathStr, aggFuncs, aggValues)
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
-      explicitFiles, table, grpValues, kValues, branch, aLo, aHi, limitN)
+      explicitFiles, table, grpValues, kValues, branch, aLo, aHi, limitN,
+      maxFilesPerTrigger)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -3083,7 +3086,8 @@ private class StoreScan(pathStr: String,
                         kValues: Seq[Array[Long]] = Nil,
                         branch: Option[String] = None,
                         aLo: Option[Long] = None, aHi: Option[Long] = None,
-                        limitN: Option[Int] = None)
+                        limitN: Option[Int] = None,
+                        maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -3370,7 +3374,7 @@ private class StoreScan(pathStr: String,
     * a streaming sink (epoch ledger), and a streaming source (manifest
     * tail) — the CDC-feed shape every warehouse store grows eventually. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new StoreMicroBatchStream(pathStr, required, table)
+    new StoreMicroBatchStream(pathStr, required, table, maxFilesPerTrigger)
 }
 
 /** File-count offset over the append-ordered manifest, plus the IDENTITY of
@@ -3390,7 +3394,8 @@ private case class StoreStreamOffset(files: Int, sig: Option[String] = None)
 
 private class StoreMicroBatchStream(pathStr: String,
                                     required: StructType = StoreSink.schema,
-                                    table: StructType = StoreSink.schema)
+                                    table: StructType = StoreSink.schema,
+                                    maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private def root = new Path(pathStr)
@@ -3425,13 +3430,40 @@ private class StoreMicroBatchStream(pathStr: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Some(latestOffsetNow())
 
+  // ADMISSION CONTROL (SupportsAdmissionControl half): the
+  // `maxFilesPerTrigger` read option caps each micro-batch's planned
+  // window — bounded batch cost against an arbitrarily-backlogged
+  // manifest, the file-source pacing knob on the store tail. Composes
+  // with AvailableNow: the backfill drains to the pinned target in
+  // ≤ maxFiles steps, then terminates.
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    maxFilesPerTrigger
+      .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles)
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
 
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset =
-    availableTarget.getOrElse(latestOffsetNow())
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val target = availableTarget.getOrElse(latestOffsetNow())
+    def capTo(maxFiles: Int): StoreStreamOffset = {
+      val s0 = start.asInstanceOf[StoreStreamOffset].files
+      val cap = math.min(target.files, s0 + maxFiles)
+      if (cap >= target.files) target
+      else {
+        val entries = StoreSink.readEntries(root, StoreSink.fs(root))
+        StoreStreamOffset(cap, Some(prefixSig(entries, cap)))
+      }
+    }
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        capTo(mf.maxFiles())
+      case comp: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        comp.getReadLimits.collectFirst {
+          case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles => mf
+        }.map(mf => capTo(mf.maxFiles())).getOrElse(target)
+      case _ => target
+    }
+  }
 
   override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     latestOffsetNow()

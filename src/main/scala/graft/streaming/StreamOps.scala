@@ -1427,6 +1427,62 @@ object StreamOps extends OpModule {
       s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
     }),
 
+    // PACED BACKFILL (admission control on the store tail — the
+    // maxFilesPerTrigger read option, SupportsAdmissionControl): an
+    // arbitrarily-backlogged manifest drains in BOUNDED batches (≤ 3
+    // files each here, 8 seeded), composing with AvailableNow's pinned
+    // target — batch cost is capped no matter how far behind the reader
+    // is. The flag pins the exact window tiling [(0,3),(3,6),(6,8)];
+    // content equals the batch truth.
+    "s_store_tail_paced" -> ((s, d) => {
+      val path = graft.sources.Sources.tmp(d, "storetailpaced")
+      val relay = graft.sources.Sources.tmp(d, "storetailpaced_out")
+      val fsh = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsh.delete(new org.apache.hadoop.fs.Path(path), true)
+      fsh.delete(new org.apache.hadoop.fs.Path(relay), true)
+      Tables.orders(s, d).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+          graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+        .repartitionByRange(8, col("k"))
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      val mark = graft.sources.StoreSink.tailPlans.size()
+      val tag = UUID.randomUUID.toString.replace("-", "")
+      withStreamParallelism(s) {
+        val q = s.readStream.format("graft.sources.StoreSink")
+          .option("path", path).option("maxFilesPerTrigger", "3").load()
+          .writeStream.format("graft.sources.StoreSink")
+          .option("path", relay)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", s"target/tmp/chk_paced_$tag")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      import scala.jdk.CollectionConverters._
+      // Spark re-invokes planInputPartitions several times per batch
+      // (planning, execution, progress) — the WINDOW SEQUENCE is the
+      // contract, so compare distinct windows in order
+      val wins = graft.sources.StoreSink.tailPlans.asScala.toSeq
+        .drop(mark).filter(w => w._1 != w._2).distinct
+      val paced = wins == Seq((0, 3), (3, 6), (6, 8))
+      val agg = s.read.format("graft.sources.StoreSink").option("path", relay)
+        .load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        .collect()
+      val rows = agg.toSeq :+ org.apache.spark.sql.Row(
+        "z_paced_windows", if (paced) 1L else 0L, 0L)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_cents",
+          org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+    }),
+
     "s_topk" -> ((s, d) => {
       graft.functions.TopK.register(s)
       val st = runStreamFile(s, d, OutputMode.Complete()) { ds =>
@@ -1470,6 +1526,15 @@ object StreamOps extends OpModule {
       """SELECT o_orderstatus AS grp, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY grp""".stripMargin,
+
+    // paced drain ≡ the whole slice; the flag pins the ≤3-file window
+    // tiling over the 8-file seed
+    "s_store_tail_paced" ->
+      """SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_paced_windows', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // two bounded drains ≡ the whole slice; the flag pins that run 2
     // resumed from the committed offset instead of re-reading history
