@@ -43,6 +43,10 @@ object BucketSource {
     StructField("amt", LongType, nullable = false)))
 
   def amtOf(id: Long): Long = id * 13 % 1000
+
+  /** Last bucket planning observation: (total buckets, buckets planned
+    * after V2-predicate pruning). Spec observability. */
+  @volatile private[sources] var lastBucketPlan: Option[(Int, Int)] = None
 }
 
 private class BucketTable(rows: Long, groups: Int) extends Table with SupportsRead {
@@ -51,36 +55,109 @@ private class BucketTable(rows: Long, groups: Int) extends Table with SupportsRe
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new BucketScan(rows, groups)
-    }
+    new BucketScanBuilder(rows, groups)
 }
 
-private class BucketScan(rows: Long, groups: Int)
+/** V2-PREDICATE pushdown (SupportsPushDownV2Filters — the successor API to
+  * the V1 Filter pushdown RangeSource demonstrates; JDBC is its only
+  * in-tree user): `grp = 'gN'` / `grp IN (...)` conjuncts prune bucket
+  * PLANNING, and because bucket b holds EXACTLY the rows with grp = 'g'+b,
+  * the pruning fully satisfies the predicate — the conjunct is consumed
+  * (not returned as a residual) and the Filter operator DISAPPEARS from
+  * the plan, not just the I/O. A value outside the bucket domain plans
+  * ZERO partitions. Anything else (id/amt conjuncts, non-equality forms)
+  * comes back as a post-scan residual, planning untouched. */
+private class BucketScanBuilder(rows: Long, groups: Int)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
+
+  import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private var pushed: Array[Predicate] = Array.empty
+  private var kept: Option[Set[Int]] = None
+
+  private def isGrp(e: Expression): Boolean = e match {
+    case n: NamedReference => n.fieldNames().mkString(".").equalsIgnoreCase("grp")
+    case _ => false
+  }
+
+  private def bucketOf(e: Expression): Option[Int] = e match {
+    case l: Literal[_] if l.dataType() == StringType =>
+      val s = String.valueOf(l.value())
+      // a non-bucket value maps to the EMPTY set, expressed as -1
+      if (s.matches("g\\d+") && s.drop(1).toInt < groups) Some(s.drop(1).toInt)
+      else Some(-1)
+    case _ => None
+  }
+
+  /** `grp = lit` / `lit = grp` / `grp IN (lits)` → the matching bucket set. */
+  private def translate(p: Predicate): Option[Set[Int]] = p.name() match {
+    case "=" => p.children() match {
+      case Array(a, b) if isGrp(a) => bucketOf(b).map(x => Set(x).filter(_ >= 0))
+      case Array(a, b) if isGrp(b) => bucketOf(a).map(x => Set(x).filter(_ >= 0))
+      case _ => None
+    }
+    case "IN" => p.children() match {
+      case Array(a, rest @ _*) if isGrp(a) && rest.nonEmpty =>
+        val bs = rest.map(bucketOf)
+        if (bs.exists(_.isEmpty)) None
+        else Some(bs.flatten.filter(_ >= 0).toSet)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val translated = predicates.map(p => p -> translate(p))
+    val handled = translated.collect { case (p, Some(_)) => p }
+    val sets = translated.collect { case (_, Some(s)) => s }
+    if (sets.nonEmpty) kept = Some(sets.reduce(_ intersect _))
+    pushed = handled
+    // bucket membership is EXACT — handled conjuncts need no re-evaluation
+    translated.collect { case (p, None) => p }
+  }
+
+  override def pushedPredicates(): Array[Predicate] = pushed
+
+  override def build(): Scan = new BucketScan(rows, groups, kept)
+}
+
+private class BucketScan(rows: Long, groups: Int,
+                         kept: Option[Set[Int]] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics {
 
+  private def planned: Seq[Int] =
+    (0 until groups).filter(b => kept.forall(_.contains(b)))
+
   override def readSchema(): StructType = BucketSource.schema
   override def toBatch: Batch = this
-  override def description(): String = s"GraftBucketScan(rows=$rows, groups=$groups)"
+  override def description(): String =
+    s"GraftBucketScan(rows=$rows, groups=$groups" +
+      kept.map(k => s", buckets=${k.toSeq.sorted.mkString("{", ",", "}")}").getOrElse("") + ")"
 
   /** Closed-form stats (grp ~8 B + id 8 B + amt 8 B): the dim side of the
     * SPJ family stays under the broadcast threshold by REPORTED size, so
     * join planning over `graft.bucket_*` names is stats-driven, never
     * defaultSizeInBytes-blind (q_join_spj disables the threshold to force
-    * the exchange-free plan; everywhere else the stats decide). */
+    * the exchange-free plan; everywhere else the stats decide). POST-
+    * pruning: rows scale with the planned bucket fraction. */
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(rows * 24L)
-    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    private val r = rows * planned.size / groups
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(r * 24L)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(r)
   }
 
   /** The layout contract: clustered by identity(grp), one key group per
-    * bucket. Spark matches this against the join's required distribution. */
+    * PLANNED bucket (the report must match planInputPartitions exactly). */
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(Array(Expressions.identity("grp")), groups)
+    new KeyGroupedPartitioning(Array(Expressions.identity("grp")), planned.size)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    (0 until groups).map(b => BucketPartition(b, rows, groups): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    BucketSource.lastBucketPlan = Some((groups, planned.size))
+    planned.map(b => BucketPartition(b, rows, groups): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = BucketReaderFactory()
 }

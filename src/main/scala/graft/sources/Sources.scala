@@ -570,6 +570,41 @@ object Sources extends OpModule {
               |GROUP BY tag ORDER BY tag""".stripMargin)
     }),
 
+    // V2 PREDICATE pushdown (SupportsPushDownV2Filters — the successor
+    // predicate API, the FIFTEENTH custom-protocol kind): grp equality/IN
+    // conjuncts prune bucket planning EXACTLY (bucket b holds only
+    // grp='g'+b), so the conjunct is CONSUMED — the Filter operator
+    // disappears from the executed plan, not just the I/O; a value outside
+    // the bucket domain plans ZERO partitions. Flags pin all three; the
+    // partitioning report shrinks with the plan (KeyGroupedPartitioning
+    // must match planned partitions exactly).
+    "src_dsv2_v2filter" -> ((s, d) => withGraftCatalog(s) {
+      graft.sources.BucketSource.lastBucketPlan = None
+      val df = s.sql("""SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS amt_sum
+                       |FROM graft.bucket_fact WHERE grp IN ('g2', 'g5')
+                       |GROUP BY grp""".stripMargin)
+      val content = df.collect()
+      val pruned = graft.sources.BucketSource.lastBucketPlan.contains((8, 2))
+      val filterGone = !df.queryExecution.executedPlan.toString.contains("Filter (")
+      graft.sources.BucketSource.lastBucketPlan = None
+      val emptyCount = s.sql(
+        "SELECT COUNT(*) FROM graft.bucket_fact WHERE grp = 'zzz'")
+        .collect()(0).getLong(0)
+      val emptyDomain = emptyCount == 0L &&
+        graft.sources.BucketSource.lastBucketPlan.contains((8, 0))
+      def flag(n: String, b: Boolean) =
+        org.apache.spark.sql.Row(n, if (b) 1L else 0L, 0L)
+      val rows = content.toSeq ++ Seq(
+        flag("z_empty_domain_zero_parts", emptyDomain),
+        flag("z_filter_gone", filterGone),
+        flag("z_pruned_2_of_8", pruned))
+      val schema = StructType(Seq(
+        StructField("grp", StringType), StructField("n", LongType),
+        StructField("amt_sum", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+    }),
+
     // V2 AGGREGATE FUNCTION through the catalog (AggregateFunction — the
     // FOURTEENTH custom-protocol kind, completing the FunctionCatalog
     // surface beside the scalar graft.amt): `graft.checksum(x)` is an
@@ -3226,6 +3261,18 @@ object Sources extends OpModule {
         |  COUNT(*) AS n,
         |  CAST(SUM(id * 13 % 1000) AS BIGINT) AS amt_sum
         |FROM r GROUP BY 1 ORDER BY tag""".stripMargin,
+
+    // the two planned buckets' closed forms; flags are plan contracts
+    "src_dsv2_v2filter" ->
+      """WITH g AS (SELECT 'g' || CAST(x % 8 AS VARCHAR) AS grp,
+        |    x * 13 % 1000 AS amt
+        |  FROM (SELECT UNNEST(GENERATE_SERIES(0, 39999)) AS x))
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS amt_sum
+        |FROM g WHERE grp IN ('g2', 'g5') GROUP BY grp
+        |UNION ALL SELECT 'z_empty_domain_zero_parts', 1, 0
+        |UNION ALL SELECT 'z_filter_gone', 1, 0
+        |UNION ALL SELECT 'z_pruned_2_of_8', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // the checksum's exact arithmetic in SQL (Lehmer hash summed per
     // group); the flag pins compaction invariance
