@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.9 / BASELINE.json:6 — the dedup family beyond MinHash:
@@ -188,6 +189,72 @@ object DedupVariants extends OpModule {
     // oracled the same way: the ±1 planes ride into the SQL as literals, so
     // DuckDB reproduces buckets, probes, and verified pairs exactly; recall
     // vs the exact twin is property-tested in DedupVariantsSpec.
+    // BITEXT MINING (the LASER/CCMatrix parallel-corpus recipe, Artetxe &
+    // Schwenk 2019): for every non-English document, the English top-1 by
+    // cosine is a translation-pair CANDIDATE, accepted only on a MARGIN —
+    // best / mean(top-4) — because an embedding that is "close to
+    // everything" (a hub) produces false pairs an absolute threshold
+    // can't reject. Candidates come from an IVF coarse quantizer whose
+    // centroid set is STRIDE-SAMPLED from the corpus (vec_id % 199 == 0),
+    // so the bucket-key cardinality GROWS with the corpus (the recorded
+    // blocking rule — a first cut on the 16 fixed hyperplane buckets
+    // measured 22.9× at the 10× tier from in-bucket pair expansion with
+    // near-linear output; centroid buckets measure sublinear). English
+    // docs assign to their top-1 centroid; each query probes its top-2
+    // (the q_sim_ivf nprobe shape). Scoring is per-pair double cosine
+    // rounded to e6 ONCE (the embcos determinism technique — both engines
+    // sum the lists sequentially); ranking, the margin ratio
+    // (best·k·1e4 div Σtop-k over positives), and the accept thresholds
+    // are pure integers after that. At 100 TB the stride becomes a
+    // kmeans-√n codebook, same plan shape.
+    "q_bitext_mine" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val lang = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+        .join(lang, col("vec_id") === col("doc_id"))
+      val cents = e.where(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                col("nrm").as("c_nrm"))
+      def cells(side: DataFrame, n: Int): DataFrame = {
+        val w = Window.partitionBy(col("vid"))
+          .orderBy(col("c_score").desc, col("c_id"))
+        side.join(broadcast(cents))
+          .withColumn("c_score",
+            expr("graft_float_dot(emb, c_emb)") / (col("vnrm") * col("c_nrm")))
+          .withColumn("crn", row_number().over(w)).where(col("crn") <= n)
+          .select(col("vid"), col("emb"), col("vnrm"), col("c_id").as("cell"))
+      }
+      val src = cells(e.where(col("lang") =!= "en")
+        .select(col("vec_id").as("vid"), col("embedding").as("emb"),
+                col("nrm").as("vnrm")), 2) // nprobe = 2
+        .toDF("sid", "es", "ns", "cell")
+      val tgt = cells(e.where(col("lang") === "en")
+        .select(col("vec_id").as("vid"), col("embedding").as("emb"),
+                col("nrm").as("vnrm")), 1)
+        .toDF("tid", "et", "nt", "cell")
+      val cand = src.join(tgt, "cell")
+        .withColumn("cos_e6",
+          round(expr("graft_float_dot(es, et)") / (col("ns") * col("nt"))
+            * 1000000).cast("long"))
+        // (sid, tid) is unique: a target lives in exactly one cell
+        .where(col("cos_e6") > 0) // hubs score on positive mass only
+        .select(col("sid"), col("tid"), col("cos_e6"))
+      val ranked = cand.withColumn("rk", row_number().over(
+          Window.partitionBy(col("sid")).orderBy(col("cos_e6").desc, col("tid"))))
+        .where(col("rk") <= 4)
+      ranked.groupBy(col("sid"))
+        .agg(max(when(col("rk") === 1, col("cos_e6"))).as("best"),
+             max(when(col("rk") === 1, col("tid"))).as("tid"),
+             sum(col("cos_e6")).as("sumk"), count(lit(1)).as("k"))
+        .select(col("sid"), col("tid"),
+                expr("best div 100").as("cos_e4"),
+                expr("best * k * 10000 div sumk").as("margin_e4"))
+        .where(col("cos_e4") >= 3000 && col("margin_e4") >= 10200)
+        .orderBy(col("sid"))
+    }),
+
     "q_dedup_embcos_lsh" -> ((s, d) => {
       graft.functions.FloatDot.register(s)
       val e = Tables.embeddings(s, d)
@@ -464,6 +531,49 @@ object DedupVariants extends OpModule {
         |FROM v
         |WHERE GREATEST(inter * 10000 // na, inter * 10000 // nb) >= 8000
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the same stride-sampled centroids, top-1 assign / top-2 probe, and
+    // margin arithmetic — pure integers after the single per-pair e6
+    // rounding; double cosines are bit-identical (sequential list sums)
+    "q_bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, d.lang, embedding,
+        |  SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings JOIN documents d ON vec_id = d.doc_id
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_nrm
+        |  FROM e WHERE vec_id % 199 = 0),
+        |sc AS (SELECT v.vec_id, v.lang, v.embedding, v.norm, c.c_id,
+        |    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.embedding, c.c_emb),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (v.norm * c.c_nrm) AS c_score
+        |  FROM e v CROSS JOIN cents c),
+        |cr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY c_score DESC, c_id) AS crn FROM sc),
+        |src AS (SELECT vec_id AS sid, embedding AS es, norm AS ns, c_id AS cell
+        |  FROM cr WHERE lang <> 'en' AND crn <= 2),
+        |tgt AS (SELECT vec_id AS tid, embedding AS et, norm AS nt, c_id AS cell
+        |  FROM cr WHERE lang = 'en' AND crn = 1),
+        |cand AS (
+        |  SELECT sid, tid,
+        |    CAST(ROUND((LIST_SUM(LIST_TRANSFORM(LIST_ZIP(es, et),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (ns * nt))
+        |      * 1000000) AS BIGINT) AS cos_e6
+        |  FROM src JOIN tgt USING (cell)),
+        |pos AS (SELECT * FROM cand WHERE cos_e6 > 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY sid
+        |      ORDER BY cos_e6 DESC, tid) AS rk
+        |  FROM pos),
+        |top AS (
+        |  SELECT sid,
+        |    MAX(CASE WHEN rk = 1 THEN cos_e6 END) AS best,
+        |    MAX(CASE WHEN rk = 1 THEN tid END) AS tid,
+        |    CAST(SUM(cos_e6) AS BIGINT) AS sumk, COUNT(*) AS k
+        |  FROM ranked WHERE rk <= 4 GROUP BY sid)
+        |SELECT sid, tid, CAST(best // 100 AS BIGINT) AS cos_e4,
+        |  CAST(best * k * 10000 // sumk AS BIGINT) AS margin_e4
+        |FROM top
+        |WHERE best // 100 >= 3000 AND best * k * 10000 // sumk >= 10200
+        |ORDER BY sid""".stripMargin,
 
     "q_dedup_embcos_lsh" ->
       s"""WITH planes AS (
