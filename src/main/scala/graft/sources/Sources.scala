@@ -2268,6 +2268,50 @@ object Sources extends OpModule {
       }
     }),
 
+    // PREDICATE OVERWRITE (`INSERT INTO ... REPLACE WHERE cond SELECT ...`
+    // — the Delta replaceWhere shape, SupportsOverwrite with a REAL
+    // predicate): delete-matching + append-new lands as ONE manifest swap,
+    // so a reader sees the old state or the fully-replaced one, never the
+    // deleted-but-not-inserted middle. The deletion half reuses the
+    // DELETE WHERE machinery: files whose key zone misses the predicate
+    // carry over UNREAD and BY NAME (flag-pinned — the reload of one key
+    // range costs that range's bytes, not the table); the commit is
+    // version +1 exactly (flag-pinned atomicity).
+    "q_store_replace_where" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storerw")
+      val (_, maxK) = seedStore(s, d, path)
+      val cut = maxK / 2
+      withStorePath(s, path) {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fsys = graft.sources.StoreSink.fs(root)
+        val before = graft.sources.StoreSink.readEntries(root, fsys)
+        val outside = before.filter(_.minK.exists(_ >= cut)).map(_.name).toSet
+        val versionsBefore = graft.sources.StoreSink.listVersions(root, fsys).size
+        Tables.orders(s, d).createOrReplaceTempView("ord_rw_v")
+        s.sql(s"""INSERT INTO graft.store REPLACE WHERE k < $cut
+                 |SELECT o_orderkey, o_orderstatus,
+                 |       CAST(ROUND(o_totalprice * 100) AS BIGINT) + 17
+                 |FROM ord_rw_v WHERE o_orderkey < $cut""".stripMargin)
+        val after = graft.sources.StoreSink.readEntries(root, fsys)
+        val untouched = outside.subsetOf(after.map(_.name).toSet)
+        val oneCommit = graft.sources.StoreSink.listVersions(root, fsys).size ==
+          versionsBefore + 1
+        val agg = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        def flag(n: String, b: Boolean) =
+          org.apache.spark.sql.Row(n, if (b) 1L else 0L, 0L)
+        val rows = agg.toSeq ++ Seq(
+          flag("z_one_commit", oneCommit),
+          flag("z_untouched_by_name", untouched))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
     // ORPHAN-FILE CLEANUP (`CALL graft.remove_orphans(path, older_ms)` —
     // the Iceberg remove_orphan_files procedure): a crashed writer leaves
     // promoted-but-never-published data files and dead staging files that
@@ -2935,6 +2979,18 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_intact_after_fail', 1, 0, 0
         |UNION ALL SELECT 'z_missing_loud', 1, 0, 0
         |UNION ALL SELECT 'z_v1_readable', 1, 0, 0
+        |ORDER BY grp""".stripMargin,
+
+    // the reloaded half carries the corrected amount, the other half is
+    // original; flags pin by-name survival and single-commit atomicity
+    "q_store_replace_where" ->
+      """WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders)
+        |SELECT o_orderstatus AS grp, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey < cut.c THEN 17 ELSE 0 END) AS BIGINT) AS sum_cents
+        |FROM orders, cut GROUP BY o_orderstatus
+        |UNION ALL SELECT 'z_one_commit', 1, 0
+        |UNION ALL SELECT 'z_untouched_by_name', 1, 0
         |ORDER BY grp""".stripMargin,
 
     // committed content untouched by the sweep; flags pin the age margin

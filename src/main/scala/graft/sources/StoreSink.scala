@@ -2030,7 +2030,8 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
                     TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
                     TableCapability.MICRO_BATCH_READ,
-                    TableCapability.OVERWRITE_DYNAMIC)
+                    TableCapability.OVERWRITE_DYNAMIC,
+                    TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(pathStr, version,
@@ -2070,6 +2071,59 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
       StoreSink.equalityDelete(pathStr, filters)
       return
     }
+    val (origLine, replacedLine, anyChange) =
+      StoreTableDeleteBody.deletionRewrite(pathStr, filters)
+    if (anyChange)
+      // replaced files stay for archived versions; vacuum is the GC
+      StoreTableDeleteBody.publishDeletion(pathStr, origLine, replacedLine)
+  }
+}
+
+private object StoreTableDeleteBody {
+  import org.apache.hadoop.fs.Path
+
+  /** Publish a deletion rewrite alone: rebase on the manifest AS PUBLISHED
+    * at commit time (appends that landed meanwhile survive; a concurrent
+    * rewrite of one of OUR files conflicts loudly — the LINE is the
+    * witness, names survive merge-on-read). */
+  def publishDeletion(pathStr: String, origLine: Map[String, String],
+                      replacedLine: Map[String, String]): Unit = {
+    val root = new Path(pathStr)
+    val fsys = StoreSink.fs(root)
+    StoreSink.withCommitLock(root, fsys) {
+      val fresh = StoreSink.readManifestLines(root, fsys)
+      StoreSink.writeManifestAtomic(root, fsys,
+        rebase(fresh, origLine, replacedLine))
+    }
+  }
+
+  /** Rebase `fresh` manifest lines through a deletion rewrite; loud
+    * conflict when a rewritten file's fresh line is not the one the
+    * rewrite was computed against. CALLER HOLDS the commit lock. */
+  def rebase(fresh: Seq[String], origLine: Map[String, String],
+             replacedLine: Map[String, String]): Seq[String] = {
+    val freshByName = fresh.filterNot(_.startsWith("#"))
+      .map(l => StoreSink.parseEntry(l).name -> l).toMap
+    val conflicted = replacedLine.keys.filter(n =>
+      !freshByName.get(n).contains(origLine(n)))
+    if (conflicted.nonEmpty) throw new java.util.ConcurrentModificationException(
+      s"delete lost a write-write race on: ${conflicted.mkString(",")}")
+    fresh.map { l =>
+      if (l.startsWith("#")) l
+      else replacedLine.getOrElse(StoreSink.parseEntry(l).name, l)
+    }
+  }
+
+  /** The per-file delete transformation, shared by DELETE WHERE and the
+    * REPLACE WHERE commit: for every manifest entry, compute its
+    * replacement line under `filters` — carried over UNREAD when the zone
+    * misses, masked merge-on-read when few rows die, rewritten
+    * copy-on-write otherwise. Returns (name → line-we-based-on,
+    * name → replacement, anything changed); PUBLISHING is the caller's
+    * job (deleteWhere swaps alone; REPLACE WHERE swaps together with its
+    * appended files — one atomic commit). */
+  def deletionRewrite(pathStr: String, filters: Array[Filter])
+      : (Map[String, String], Map[String, String], Boolean) = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
     val lines = StoreSink.readManifestLines(root, fsys)
@@ -2177,21 +2231,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     val origLine: Map[String, String] = entries.map(e => e.name -> e.line).toMap
     val replacedLine: Map[String, String] = entries.map(_.name).zip(newLines)
       .filter { case (n, l) => l != origLine(n) }.toMap
-    if (anyChange)
-      // replaced files stay for archived versions; vacuum is the GC
-      StoreSink.withCommitLock(root, fsys) {
-        val fresh = StoreSink.readManifestLines(root, fsys)
-        val freshByName = fresh.filterNot(_.startsWith("#"))
-          .map(l => StoreSink.parseEntry(l).name -> l).toMap
-        val conflicted = replacedLine.keys.filter(n =>
-          !freshByName.get(n).contains(origLine(n)))
-        if (conflicted.nonEmpty) throw new java.util.ConcurrentModificationException(
-          s"delete lost a write-write race on: ${conflicted.mkString(",")}")
-        StoreSink.writeManifestAtomic(root, fsys, fresh.map { l =>
-          if (l.startsWith("#")) l
-          else replacedLine.getOrElse(StoreSink.parseEntry(l).name, l)
-        })
-      }
+    (origLine, replacedLine, anyChange)
   }
 }
 
@@ -2453,10 +2493,20 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  /** Full overwrite (AlwaysTrue → truncate) or PREDICATE overwrite
+    * (`INSERT INTO ... REPLACE WHERE cond SELECT ...` — the Delta
+    * replaceWhere shape): delete-matching + append-new as ONE atomic
+    * commit (see StoreBatchWrite). Only predicates the store can evaluate
+    * row-wise are accepted — Spark falls back loudly otherwise. */
+  private var replaceWhere: Option[Array[Filter]] = None
+
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-      s"graft-store supports only full-table overwrite, got ${filters.mkString(",")}")
-    doTruncate = true; this
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) { doTruncate = true; this }
+    else {
+      require(filters.forall(StoreSink.canEvaluate),
+        s"untranslatable REPLACE WHERE predicate: ${filters.mkString(",")}")
+      replaceWhere = Some(filters); this
+    }
   }
 
   /** DYNAMIC PARTITION OVERWRITE (`INSERT OVERWRITE` under
@@ -2539,9 +2589,10 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
           Option(info.options().get("replace"))
             .map(_.split(",").filter(_.nonEmpty).toSet), spec,
           Option(info.options().get("branch")),
-          dynamic = doDynamic && spec.isDefined)
+          dynamic = doDynamic && spec.isDefined,
+          replaceWhere = replaceWhere)
       override def toStreaming: StreamingWrite = {
-        require(!doTruncate && !doDynamic,
+        require(!doTruncate && !doDynamic && replaceWhere.isEmpty,
           "graft-store streaming write is append-only (no Complete-mode truncate)")
         require(info.options().get("branch") == null,
           "graft-store branch writes are batch appends (WAP); streaming targets main")
@@ -2557,7 +2608,8 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
                               replaceFiles: Option[Set[String]] = None,
                               spec: Option[StoreSink.PartSpec] = None,
                               branch: Option[String] = None,
-                              dynamic: Boolean = false)
+                              dynamic: Boolean = false,
+                              replaceWhere: Option[Array[Filter]] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -2589,6 +2641,27 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
         }
         StoreSink.writeBranchAtomic(root, fsys, b,
           StoreSink.readBranchLines(root, fsys, b) ++ committed.map(_.entry.line))
+        StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
+      }
+      return
+    }
+    // PREDICATE OVERWRITE (REPLACE WHERE): run the shared deletion rewrite
+    // OUTSIDE the lock (it reads/rewrites matching data files — the
+    // deleteWhere cost model), then publish delete + append as ONE swap:
+    // a reader sees the old state or the fully-replaced one, never the
+    // deleted-but-not-yet-inserted middle.
+    replaceWhere.foreach { filters =>
+      require(!truncate && !dynamic && replaceFiles.isEmpty,
+        "REPLACE WHERE does not compose with truncate/dynamic/compaction commits")
+      val (origLine, replacedLine, _) =
+        StoreTableDeleteBody.deletionRewrite(pathStr, filters)
+      StoreSink.withCommitLock(root, fsys) {
+        val staging = new Path(root, StoreSink.Staging)
+        StoreSink.promote(root, fsys, staging, committed)
+        val fresh = StoreSink.readManifestLines(root, fsys)
+        val visible = StoreTableDeleteBody.rebase(fresh, origLine, replacedLine) ++
+          committed.map(_.entry.line)
+        StoreSink.writeManifestAtomic(root, fsys, visible)
         StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
       }
       return
