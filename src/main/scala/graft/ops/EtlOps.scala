@@ -602,6 +602,29 @@ object EtlOps extends OpModule {
         .orderBy(col("c_nationkey"))
     }),
 
+    // DP HISTOGRAM — q_dp_count's release-pipeline sibling: per-bin
+    // Laplace noise (same md5-seeded inverse-CDF mechanism, ε-scale 2) PLUS
+    // the post-processing a real release applies — negative noisy counts
+    // CLAMP to zero (post-processing is free under DP). Bins are fixed
+    // 50k-price buckets, so the bin key is data-independent (adding one
+    // order never creates or removes a bin an attacker could diff). One
+    // aggregate + per-bin scalar math; the single ln per bin is the
+    // ln-in-bm25 precedent (correctly-rounded? no — but e6-rounded ONCE,
+    // identical expression both engines).
+    "q_dp_hist" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bin", expr(
+          "cast(round(o_totalprice * 100) as bigint) div 5000000"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .withColumn("u", expr(
+          "cast(conv(substring(md5(concat('dp-hist-r16-', cast(bin as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5"))
+        .withColumn("noise_e6", expr(
+          "cast(round(1e6 * (-2.0) * sign(u) * ln(1.0 - 2.0 * abs(u))) as bigint)"))
+        .withColumn("dp_n", col("n") + expr("cast(round(noise_e6 / 1e6) as bigint)"))
+        .select(col("bin"), col("n"), col("dp_n"),
+                greatest(col("dp_n"), lit(0L)).as("released"))
+        .orderBy(col("bin"))),
+
     // Layout-quality comparison: for one 2-D probe rectangle, how many of
     // 16 range-partitioned files does each clustering key force a scan to
     // touch? Three layouts over the same (x, y) = (size, key mod 256)
@@ -1055,6 +1078,25 @@ object EtlOps extends OpModule {
         |  FROM u)
         |SELECT c_nationkey, n, n + CAST(ROUND(noise_e6 / 1e6) AS BIGINT) AS dp_n
         |FROM nz ORDER BY c_nationkey""".stripMargin,
+
+    // same mechanism per fixed bin; the clamp is post-processing
+    "q_dp_hist" ->
+      """WITH g AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |u AS (
+        |  SELECT bin, n,
+        |    CAST(('0x' || SUBSTR(md5('dp-hist-r16-' || CAST(bin AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 - 0.5 AS u
+        |  FROM g),
+        |nz AS (
+        |  SELECT bin, n,
+        |    CAST(ROUND(1e6 * (-2.0) * SIGN(u) * LN(1.0 - 2.0 * ABS(u))) AS BIGINT) AS noise_e6
+        |  FROM u),
+        |r AS (SELECT bin, n, n + CAST(ROUND(noise_e6 / 1e6) AS BIGINT) AS dp_n FROM nz)
+        |SELECT bin, n, dp_n, GREATEST(dp_n, 0) AS released
+        |FROM r ORDER BY bin""".stripMargin,
 
     "q_layout_compare" ->
       s"""WITH b0 AS (
