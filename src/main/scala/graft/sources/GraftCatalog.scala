@@ -439,12 +439,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     throw new UnsupportedOperationException("graft catalog does not create tables")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    require(inDefaultNs(ident) &&
-      ident.name().toLowerCase(java.util.Locale.ROOT) == "store",
-      s"only graft.store supports ALTER, got $ident")
-    val p = org.apache.spark.sql.SparkSession.active.conf
-      .getOption(GraftCatalog.StorePathKey)
-      .getOrElse(throw new NoSuchTableException(ident))
+    // the conf-pointed graft.store, or any CTAS/RTAS-created store table —
+    // both are the same on-disk format, so evolution DDL applies uniformly
+    val p =
+      if (inDefaultNs(ident) &&
+          ident.name().toLowerCase(java.util.Locale.ROOT) == "store")
+        org.apache.spark.sql.SparkSession.active.conf
+          .getOption(GraftCatalog.StorePathKey)
+          .getOrElse(throw new NoSuchTableException(ident))
+      else if (ctasExists(ident)) ctasPath(ident).get
+      else throw new UnsupportedOperationException(
+        s"only graft.store and CTAS-created store tables support ALTER, got $ident")
     val root = new org.apache.hadoop.fs.Path(p)
     val fsys = StoreSink.fs(root)
     // TABLE PROPERTIES (`SET/UNSET TBLPROPERTIES`): a read-merge-write on
@@ -493,50 +498,118 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
         }
       case _ => ()
     }
-    val added = columnChanges.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"graft.store supports top-level column adds only, got ${a.fieldNames().mkString(".")}")
-        require(a.isNullable, "added graft.store columns must be nullable " +
-          "(existing files read them as NULL)")
-        require(a.position() == null,
-          "graft.store columns are add-TRAILING only (ordinal-addressed base prefix)")
-        val f = org.apache.spark.sql.types.StructField(a.fieldNames()(0),
-          a.dataType(), nullable = true)
-        // DEFAULT <literal>: old (short) rows read this value — the
-        // Iceberg initial-default contract; INSERTs that omit the column
-        // get it from the analyzer via CURRENT_DEFAULT metadata
-        Option(a.defaultValue()).fold(f) { dv =>
-          val lit = dv.getValue
-          require(lit != null,
-            "graft.store column defaults must be literal (foldable) values")
-          val rawV = (a.dataType(), lit.value()) match {
-            case (LongType, v: java.lang.Number) => v.toString
-            case (org.apache.spark.sql.types.StringType, v) => v.toString
-            case (t, v) => throw new IllegalArgumentException(
-              s"graft.store default $v does not fit column type $t")
-          }
-          val sqlText = if (a.dataType() == LongType) rawV
-            else "'" + rawV.replace("'", "''") + "'"
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .putString(StoreSink.RawDefaultKey, rawV)
-            .putString("CURRENT_DEFAULT", sqlText)
-            .putString("EXISTS_DEFAULT", sqlText)
-            .build())
-        }
-      case other => throw new UnsupportedOperationException(
-        s"graft.store supports ADD COLUMN only, got $other")
+    // COLUMN evolution: ADD (new trailing slot), RENAME (pure metadata —
+    // the stable field id keeps decoding the same physical slot), DROP (a
+    // tombstone on the slot — the column leaves the logical schema, no file
+    // is rewritten, the slot stays reserved so every generation's width
+    // still names its layout). The base (k, grp, amt_cents) prefix is
+    // load-bearing — zone maps, blooms, partition specs, the MERGE row id
+    // and the delete-predicate compiler all address it — so renaming or
+    // dropping it is refused, the same way Iceberg refuses to drop a
+    // partition source column.
+    val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val baseNames = StoreSink.schema.fields.map(f => lower(f.name)).toSet
+    def requireSingle(fn: Array[String], what: String): String = {
+      require(fn.length == 1,
+        s"graft.store supports top-level column ${what}s only, got ${fn.mkString(".")}")
+      fn(0)
     }
-    // the sidecar read-merge-write is a lost-update window: two concurrent
-    // ALTERs (or an ALTER racing a writer) can drop a column — serialize
-    // under the store's commit lock like every other metadata mutation
-    if (added.nonEmpty) StoreSink.withCommitLock(root, fsys) {
-      val extras = StoreSink.readExtras(root, fsys)
-      val clash = added.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
-        .intersect((StoreSink.schema.fields ++ extras)
-          .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet)
-      require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(",")}")
-      StoreSink.writeExtras(root, fsys, extras ++ added)
+    def requireNotBase(n: String, what: String): Unit =
+      require(!baseNames(lower(n)),
+        s"cannot $what base column $n: the (k, grp, amt_cents) prefix is " +
+          "addressed by zone maps, blooms, partition specs and row ids")
+    // a column referenced by an enforced CHECK constraint cannot be
+    // renamed or dropped out from under its predicate SQL
+    def requireUnconstrained(n: String, what: String): Unit = {
+      val hit = StoreSink.readConstraints(root, fsys).find { case (_, sql) =>
+        java.util.regex.Pattern
+          .compile("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
+          .matcher(sql).find()
+      }
+      require(hit.isEmpty,
+        s"cannot $what column $n: referenced by CHECK constraint " +
+          s"${hit.get._1} (${hit.get._2}) — drop the constraint first")
+    }
+    if (columnChanges.nonEmpty) StoreSink.withCommitLock(root, fsys) {
+      // the sidecar read-merge-write is a lost-update window: two
+      // concurrent ALTERs (or an ALTER racing a writer) can drop a column
+      // — serialize under the store's commit lock like every other
+      // metadata mutation
+      var extras = StoreSink.readExtras(root, fsys)
+      val before = extras
+      columnChanges.foreach {
+        case a: TableChange.AddColumn =>
+          val colName = requireSingle(a.fieldNames(), "add")
+          require(a.isNullable, "added graft.store columns must be nullable " +
+            "(existing files read them as NULL)")
+          require(a.position() == null,
+            "graft.store columns are add-TRAILING only (id-addressed slots)")
+          val live = (StoreSink.schema.fields.map(_.name) ++
+            extras.filterNot(_.dropped).map(_.name)).map(lower).toSet
+          require(!live(lower(colName)), s"column already exists: $colName")
+          // DEFAULT <literal>: old (short) rows read this value — the
+          // Iceberg initial-default contract; INSERTs that omit the column
+          // get it from the analyzer via CURRENT_DEFAULT metadata
+          val rawDefault = Option(a.defaultValue()).map { dv =>
+            val lit = dv.getValue
+            require(lit != null,
+              "graft.store column defaults must be literal (foldable) values")
+            (a.dataType(), lit.value()) match {
+              case (LongType, v: java.lang.Number) => v.toString
+              case (org.apache.spark.sql.types.StringType, v) => v.toString
+              case (t, v) => throw new IllegalArgumentException(
+                s"graft.store default $v does not fit column type $t")
+            }
+          }
+          // ids are never reused — tombstoned slots keep theirs
+          val nextId = (3 +: extras.map(_.id)).max + 1
+          extras = extras :+ StoreSink.ExtraField(nextId, colName,
+            a.dataType(), rawDefault)
+        case r: TableChange.RenameColumn =>
+          val colName = requireSingle(r.fieldNames(), "rename")
+          requireNotBase(colName, "rename")
+          requireUnconstrained(colName, "rename")
+          val idx = extras.indexWhere(e =>
+            !e.dropped && e.name.equalsIgnoreCase(colName))
+          require(idx >= 0, s"no such column: $colName")
+          val live = (StoreSink.schema.fields.map(_.name) ++
+            extras.filterNot(_.dropped).map(_.name)).map(lower).toSet
+          require(!live(lower(r.newName())),
+            s"column already exists: ${r.newName()}")
+          extras = extras.updated(idx, extras(idx).copy(name = r.newName()))
+        case d: TableChange.DeleteColumn =>
+          val colName = requireSingle(d.fieldNames(), "drop")
+          requireNotBase(colName, "drop")
+          val idx = extras.indexWhere(e =>
+            !e.dropped && e.name.equalsIgnoreCase(colName))
+          if (idx < 0) {
+            if (!d.ifExists()) throw new IllegalArgumentException(
+              s"no such column: $colName")
+          } else {
+            requireUnconstrained(colName, "drop")
+            extras = extras.updated(idx, extras(idx).copy(dropped = true))
+          }
+        case other => throw new UnsupportedOperationException(
+          s"graft.store supports ADD/RENAME/DROP COLUMN only, got $other")
+      }
+      if (extras != before) {
+        // SNAPSHOT-SCOPED SCHEMA, the ALTER side: a rename/drop changes how
+        // existing versions should READ, so archive the outgoing schema
+        // against the last version committed under it — FIRST-wins, so the
+        // schema time travel resolves for v is the one v was committed
+        // under, not an intermediate ALTER state (add-only ALTERs skip the
+        // archive: old versions reading a new column as NULL is the
+        // initial-default contract, not a misread)
+        val renamedOrDropped = before.map(e => (e.id, e.name, e.dropped)) !=
+          extras.take(before.length).map(e => (e.id, e.name, e.dropped))
+        if (renamedOrDropped)
+          StoreSink.listVersions(root, fsys).lastOption.foreach { v =>
+            val ap = StoreSink.schemaArchivePath(root, v)
+            if (!StoreSink.manifestFs(fsys).exists(ap))
+              StoreSink.writeExtrasFile(ap, fsys, before)
+          }
+        StoreSink.writeExtras(root, fsys, extras)
+      }
     }
     new StoreTable(p)
   }
@@ -585,7 +658,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     val root = new org.apache.hadoop.fs.Path(p)
     val fsys = StoreSink.fs(root)
     fsys.delete(root, true) // a previous aborted stage's leftovers
-    StoreSink.writeExtras(root, fsys, schema.fields.drop(base.length).toSeq)
+    StoreSink.writeExtras(root, fsys,
+      StoreSink.extrasOf(schema.fields.drop(base.length).toSeq))
     // `PARTITIONED BY (bucket(n, k))` / `(grp)` — persist the spec before
     // any write so the staged write's builder resolves it
     StoreSink.specOf(partitions).foreach(StoreSink.writePartSpec(root, fsys, _))
@@ -642,18 +716,25 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     val saved = (StoreSink.readExtras(root, fsys),
       StoreSink.readPartSpec(root, fsys),
       StoreSink.readConstraints(root, fsys))
-    val newExtras = schema.fields.drop(base.length).toSeq
+    val newExtras = StoreSink.extrasOf(schema.fields.drop(base.length).toSeq)
     var archivedSchemaV: Option[Int] = None
     StoreSink.withCommitLock(root, fsys) {
       // a trailing-schema change would misread ARCHIVED generations
-      // (ordinal decode) — archive the outgoing schema against the last
-      // version committed under it, so time travel resolves it
-      // (StoreSink.readExtrasAt)
-      val changed = saved._1.map(f => (f.name, f.dataType)) !=
-        newExtras.map(f => (f.name, f.dataType))
+      // (slot-positional decode) — archive the outgoing schema against the
+      // last version committed under it, so time travel resolves it
+      // (StoreSink.readExtrasAt). FIRST-wins: an archive a prior
+      // rename/drop ALTER already left for this version records the schema
+      // the version was COMMITTED under — never overwrite it with the
+      // intermediate state (and never delete it on abort: archivedSchemaV
+      // stays None for a pre-existing archive).
+      val changed = saved._1.map(f => (f.name, f.dataType, f.dropped)) !=
+        newExtras.map(f => (f.name, f.dataType, f.dropped))
       if (changed) StoreSink.listVersions(root, fsys).lastOption.foreach { v =>
-        StoreSink.writeExtrasFile(StoreSink.schemaArchivePath(root, v), fsys, saved._1)
-        archivedSchemaV = Some(v)
+        val ap = StoreSink.schemaArchivePath(root, v)
+        if (!StoreSink.manifestFs(fsys).exists(ap)) {
+          StoreSink.writeExtrasFile(ap, fsys, saved._1)
+          archivedSchemaV = Some(v)
+        }
       }
       StoreSink.writeExtras(root, fsys, newExtras)
       val newSpec = StoreSink.specOf(partitions)
@@ -1014,7 +1095,7 @@ private class StoreMetaTable(pathStr: String, kind: String)
   * leaves the old table — only a failed CREATE deletes the directory. */
 private class StagedStoreTable(pathStr: String, ctasSchema: StructType,
                                partitions: Array[Transform] = Array.empty,
-                               restoreOnAbort: Option[(Seq[org.apache.spark.sql.types.StructField],
+                               restoreOnAbort: Option[(Seq[StoreSink.ExtraField],
                                  Option[StoreSink.PartSpec], Seq[(String, String)],
                                  Option[Int])] = None)
     extends org.apache.spark.sql.connector.catalog.StagedTable

@@ -1745,6 +1745,122 @@ object Sources extends OpModule {
       }
     }),
 
+    // FIELD-ID RENAME (`ALTER TABLE ... RENAME COLUMN`): the column's
+    // stable field id keeps decoding the same physical slot, so a rename is
+    // pure metadata — files written under the OLD name read under the new
+    // one with zero rewrites, files written AFTER the rename land in the
+    // same slot, and time travel to a pre-rename version resolves the
+    // archived schema and shows the OLD name (the Iceberg
+    // schema-per-snapshot contract). At 100 TB: a rename that rewrote
+    // files — or misread them by current-schema ordinal — would be a
+    // full-table operation; by-id resolution makes it free.
+    "q_store_evolve_rename" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storerename")
+      val (base, maxK) = seedStore(s, d, path) // v1: 3-wide files
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN note STRING")
+        base.where(pmod(col("k"), lit(101)) === 0) // v2: written as "note"
+          .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+                  (col("k") * 10).as("amt_cents"),
+                  concat(lit("n"), col("k").cast("string")).as("note"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save()
+        s.sql("ALTER TABLE graft.store RENAME COLUMN note TO memo")
+        base.where(pmod(col("k"), lit(103)) === 0) // v3: written as "memo"
+          .select((col("k") + 2 * (maxK + 1)).as("k"), lit("NEW2").as("grp"),
+                  (col("k") * 11).as("amt_cents"),
+                  concat(lit("m"), col("k").cast("string")).as("memo"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save()
+        val head = s.table("graft.store")
+        val agg = head.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), count(col("memo")).as("n_memo"),
+               max(col("memo")).as("max_memo"))
+          .select(concat(lit("grp:"), col("grp")).as("step"), col("n"),
+                  col("n_memo"), col("max_memo"))
+          .collect()
+        val headOk = head.schema.fieldNames.toSeq ==
+          Seq("k", "grp", "amt_cents", "memo")
+        // pre-rename snapshot: archived schema, OLD name, same values
+        val v2 = s.sql("SELECT * FROM graft.store VERSION AS OF 2")
+        val travelOk = v2.schema.fieldNames.toSeq ==
+          Seq("k", "grp", "amt_cents", "note")
+        val v2Notes = v2.agg(count(col("note"))).collect()(0).getLong(0)
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_head_renamed",
+            if (headOk) 1L else 0L, 0L, "-"),
+          org.apache.spark.sql.Row("z_travel_old_name",
+            if (travelOk) 1L else 0L, 0L, "-"),
+          org.apache.spark.sql.Row("z_travel_notes", v2Notes, 0L, "-"))
+        val schema = StructType(Seq(
+          StructField("step", StringType), StructField("n", LongType),
+          StructField("n_memo", LongType), StructField("max_memo", StringType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+      }
+    }),
+
+    // FIELD-ID DROP (`ALTER TABLE ... DROP COLUMN`): the dropped column's
+    // slot is TOMBSTONED, never reclaimed — a later column keeps its own
+    // slot, so a file written while both existed still reads every
+    // surviving column correctly by id (current-schema ordinal decode
+    // would read the dead note strings as fee — the exact misread the
+    // round-16 RTAS probe caught). Re-adding the same NAME mints a fresh
+    // id: the old values never resurrect. Time travel to a pre-drop
+    // version resolves the archived schema and shows the column. The
+    // post-drop UPDATE pins the row-level rewrite under a tombstoned
+    // layout. No file is rewritten by the DDL itself.
+    "q_store_evolve_drop" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storedropcol")
+      val (base, maxK) = seedStore(s, d, path) // v1: 3-wide files
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN note STRING")
+        s.sql("ALTER TABLE graft.store ADD COLUMN fee BIGINT")
+        base.where(pmod(col("k"), lit(101)) === 0) // v2: 5-wide, both live
+          .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+                  (col("k") * 10).as("amt_cents"),
+                  concat(lit("n"), col("k").cast("string")).as("note"),
+                  pmod(col("k"), lit(7)).as("fee"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save()
+        s.sql("ALTER TABLE graft.store DROP COLUMN note")
+        base.where(pmod(col("k"), lit(103)) === 0) // v3: dead slot padded
+          .select((col("k") + 2 * (maxK + 1)).as("k"), lit("NEW2").as("grp"),
+                  (col("k") * 11).as("amt_cents"),
+                  pmod(col("k"), lit(5)).as("fee"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save()
+        // re-ADD under the dropped name: a FRESH id/slot
+        s.sql("ALTER TABLE graft.store ADD COLUMN note STRING")
+        // row-level rewrite under the tombstoned layout (v4)
+        s.sql("UPDATE graft.store SET fee = fee + 1 WHERE grp = 'NEW2'")
+        val head = s.table("graft.store")
+        val agg = head.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("fee")).as("fee_sum"),
+               count(col("note")).as("n_note"))
+          .select(concat(lit("grp:"), col("grp")).as("step"), col("n"),
+                  col("fee_sum"), col("n_note"))
+          .collect()
+        val headOk = head.schema.fieldNames.toSeq ==
+          Seq("k", "grp", "amt_cents", "fee", "note")
+        val v2 = s.sql("SELECT * FROM graft.store VERSION AS OF 2")
+        val travelOk = v2.schema.fieldNames.toSeq ==
+          Seq("k", "grp", "amt_cents", "note", "fee")
+        val v2Notes = v2.agg(count(col("note"))).collect()(0).getLong(0)
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_head_schema",
+            if (headOk) 1L else 0L, 0L, 0L),
+          org.apache.spark.sql.Row("z_travel_schema",
+            if (travelOk) 1L else 0L, 0L, 0L),
+          org.apache.spark.sql.Row("z_travel_notes", v2Notes, 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("step", StringType), StructField("n", LongType),
+          StructField("fee_sum", LongType), StructField("n_note", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+      }
+    }),
+
     // STORED PROCEDURES (ProcedureCatalog): the store's maintenance ops at
     // the SQL surface — `CALL graft.compact(path, target_rows)` and
     // `CALL graft.vacuum(path, keep_versions)` — returning their audit
@@ -3131,6 +3247,51 @@ object Sources extends OpModule {
         |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents,
         |  COUNT(note) AS n_note, MAX(note) AS max_note
         |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // rename applied relationally: both generations' values live in ONE
+    // column after the rename; the flags pin head/travel schema names and
+    // that the pre-rename snapshot still sees its note values
+    "q_store_evolve_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp FROM orders),
+        |ins1 AS (SELECT 'NEW' AS grp, 'n' || CAST(k AS VARCHAR) AS memo
+        |         FROM base WHERE k % 101 = 0),
+        |ins2 AS (SELECT 'NEW2' AS grp, 'm' || CAST(k AS VARCHAR) AS memo
+        |         FROM base WHERE k % 103 = 0),
+        |allr AS (
+        |  SELECT grp, CAST(NULL AS VARCHAR) AS memo FROM base
+        |  UNION ALL SELECT grp, memo FROM ins1
+        |  UNION ALL SELECT grp, memo FROM ins2)
+        |SELECT 'grp:' || grp AS step, COUNT(*) AS n,
+        |  COUNT(memo) AS n_memo, MAX(memo) AS max_memo
+        |FROM allr GROUP BY grp
+        |UNION ALL SELECT 'z_head_renamed', 1, 0, '-'
+        |UNION ALL SELECT 'z_travel_old_name', 1, 0, '-'
+        |UNION ALL SELECT 'z_travel_notes',
+        |  (SELECT COUNT(*) FROM base WHERE k % 101 = 0), 0, '-'
+        |ORDER BY step""".stripMargin,
+
+    // drop applied relationally: fee survives the dead neighbor slot in
+    // every generation (+1 on NEW2 from the post-drop UPDATE); the re-added
+    // note reads NULL everywhere (no resurrection); travel still sees the
+    // pre-drop column
+    "q_store_evolve_drop" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp FROM orders),
+        |ins1 AS (SELECT 'NEW' AS grp, k % 7 AS fee FROM base WHERE k % 101 = 0),
+        |ins2 AS (SELECT 'NEW2' AS grp, k % 5 + 1 AS fee FROM base WHERE k % 103 = 0),
+        |allr AS (
+        |  SELECT grp, CAST(NULL AS BIGINT) AS fee FROM base
+        |  UNION ALL SELECT grp, fee FROM ins1
+        |  UNION ALL SELECT grp, fee FROM ins2)
+        |SELECT 'grp:' || grp AS step, COUNT(*) AS n,
+        |  CAST(SUM(fee) AS BIGINT) AS fee_sum, CAST(0 AS BIGINT) AS n_note
+        |FROM allr GROUP BY grp
+        |UNION ALL SELECT 'z_head_schema', 1, 0, 0
+        |UNION ALL SELECT 'z_travel_schema', 1, 0, 0
+        |UNION ALL SELECT 'z_travel_notes',
+        |  (SELECT COUNT(*) FROM base WHERE k % 101 = 0), 0, 0
+        |ORDER BY step""".stripMargin,
 
     // bloom pruning is a planning rewrite; the absent value plans 0 files
     // and reads 0 rows, the rare value's content is exact

@@ -102,21 +102,65 @@ object StoreSink {
 
   // ------------------------------------------------- schema evolution
   /** Extra TRAILING columns appended by `ALTER TABLE ... ADD COLUMN`
-    * (GraftCatalog.alterTable), persisted as a `_schema` sidecar of
-    * `name:bigint|string` lines. The base (k, grp, amt_cents) prefix is
-    * immutable — zones, blooms, and the delete-predicate compiler all
-    * address it by ordinal — and evolution is ADD-trailing-only, the
-    * Iceberg/Delta-style contract that keeps every historical file
-    * readable: a file written before the ALTER simply decodes short and
-    * reads as NULL in the new columns. Binding happens at table
-    * RESOLUTION (loadTable / getTable re-read the sidecar), so an ALTER
-    * is visible to the next statement without any session restart. */
+    * (GraftCatalog.alterTable), persisted as a `_schema` sidecar. The base
+    * (k, grp, amt_cents) prefix is immutable — zones, blooms, partition
+    * specs, and the delete-predicate compiler all address it by ordinal.
+    *
+    * FIELD-ID EVOLUTION (the Iceberg field-id contract in miniature): every
+    * extra column carries a STABLE integer field id, and its id IS its
+    * physical slot — slots are append-only, assigned once, never reused.
+    *  - ADD appends a new slot (id = max seen + 1, base owns 1..3).
+    *  - RENAME is pure metadata: the slot keeps decoding the same physical
+    *    position; old files read under the NEW name with zero rewrites.
+    *  - DROP is a TOMBSTONE on the slot: the column leaves the logical
+    *    schema but the physical slot stays reserved, so a file written
+    *    before the drop still decodes every surviving column correctly by
+    *    position, and a file written after it carries a null placeholder in
+    *    the dead slot (2 bytes/row; compaction rewrites absorb nothing —
+    *    the slot stays reserved so widths remain monotone). At 100 TB the
+    *    same ids would live in parquet field-id metadata and drops would
+    *    cost zero bytes; the PLANNING contract — resolve by id, never by
+    *    current-schema ordinal — is what this pins.
+    * A file's WIDTH therefore still names its write-time schema generation
+    * (slots are append-only), which is what keeps every historical file
+    * readable without per-file schema pointers. Binding happens at table
+    * RESOLUTION (loadTable / getTable re-read the sidecar), so an ALTER is
+    * visible to the next statement without any session restart. */
   /** Metadata key carrying an added column's DEFAULT as its raw value
     * (reader-side form); CURRENT_DEFAULT / EXISTS_DEFAULT carry the SQL
     * text Spark's analyzer consumes for INSERTs that omit the column. */
   private[sources] val RawDefaultKey = "graft.default.raw"
 
-  private[sources] def readExtras(root: Path, fsys: FileSystem): Seq[StructField] =
+  /** One trailing column slot: stable field `id` (= physical slot index −
+    * base width + 1 + 3; ids 1..3 are the base prefix), current `name`,
+    * optional initial DEFAULT, and the drop tombstone. */
+  case class ExtraField(id: Int, name: String, dataType: DataType,
+                        rawDefault: Option[String] = None,
+                        dropped: Boolean = false) {
+    def toStructField: StructField = {
+      val f = StructField(name, dataType, nullable = true)
+      rawDefault.fold(f) { rawV =>
+        val sqlText =
+          if (dataType == LongType) rawV else "'" + rawV.replace("'", "''") + "'"
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(RawDefaultKey, rawV)
+          .putString("CURRENT_DEFAULT", sqlText)
+          .putString("EXISTS_DEFAULT", sqlText)
+          .build())
+      }
+    }
+  }
+
+  /** Lift plain StructFields (CTAS/RTAS schemas, legacy v1 sidecar lines)
+    * into id'd slots: ids 4.. in declared order. */
+  private[sources] def extrasOf(fields: Seq[StructField]): Seq[ExtraField] =
+    fields.zipWithIndex.map { case (f, i) =>
+      ExtraField(4 + i, f.name, f.dataType,
+        if (f.metadata.contains(RawDefaultKey))
+          Some(f.metadata.getString(RawDefaultKey)) else None)
+    }
+
+  private[sources] def readExtras(root: Path, fsys: FileSystem): Seq[ExtraField] =
     readExtrasFile(new Path(root, SchemaFile), fsys)
 
   /** SNAPSHOT-SCOPED SCHEMA: trailing columns decode by ORDINAL, so a
@@ -137,7 +181,7 @@ object StoreSink {
       .sorted
 
   private[sources] def readExtrasAt(root: Path, fsys: FileSystem,
-                                    version: Option[Int]): Seq[StructField] =
+                                    version: Option[Int]): Seq[ExtraField] =
     version match {
       case None => readExtras(root, fsys)
       case Some(v) =>
@@ -147,55 +191,63 @@ object StoreSink {
         }
     }
 
-  private def readExtrasFile(sf: Path, fsys: FileSystem): Seq[StructField] = {
+  /** v2 sidecar header; v1 files (`name:type[:default]` lines, no header)
+    * still parse — their slots get ids 4.. in file order, exactly the ids
+    * the v2 writer would have assigned, so upgrading is a no-op rewrite. */
+  private val SchemaV2Header = "#graft-schema-v2"
+
+  private def typeOf(t: String): DataType = t match {
+    case "bigint" => LongType
+    case "string" => StringType
+    case other => throw new IllegalArgumentException(
+      s"graft-store extra column type $other (bigint|string only)")
+  }
+
+  private def readExtrasFile(sf: Path, fsys: FileSystem): Seq[ExtraField] = {
     val raw = manifestFs(fsys)
     if (!raw.exists(sf)) return Nil
     val in = raw.open(sf)
     val txt = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       finally in.close()
-    txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
-      val p = l.split(":", 3)
-      val dt = p(1) match {
-        case "bigint" => LongType
-        case "string" => StringType
-        case other => throw new IllegalArgumentException(
-          s"graft-store extra column type $other (bigint|string only)")
+    val lines = txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    if (lines.headOption.contains(SchemaV2Header))
+      // v2: `id:name:type[:d<urlenc default>][:x]` — `x` is the tombstone
+      lines.tail.map { l =>
+        val p = l.split(":", -1)
+        val rest = p.drop(3)
+        ExtraField(p(0).toInt, p(1), typeOf(p(2)),
+          rest.find(_.startsWith("d"))
+            .map(d => java.net.URLDecoder.decode(d.drop(1), "UTF-8")),
+          dropped = rest.contains("x"))
       }
-      val f = StructField(p(0), dt, nullable = true)
-      if (p.length < 3) f
-      else {
-        val rawV = java.net.URLDecoder.decode(p(2), "UTF-8")
-        val sqlText =
-          if (dt == LongType) rawV else "'" + rawV.replace("'", "''") + "'"
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .putString(RawDefaultKey, rawV)
-          .putString("CURRENT_DEFAULT", sqlText)
-          .putString("EXISTS_DEFAULT", sqlText)
-          .build())
+    else
+      lines.zipWithIndex.map { case (l, i) =>
+        val p = l.split(":", 3)
+        ExtraField(4 + i, p(0), typeOf(p(1)),
+          if (p.length < 3) None
+          else Some(java.net.URLDecoder.decode(p(2), "UTF-8")))
       }
-    }
   }
 
   private[sources] def writeExtras(root: Path, fsys: FileSystem,
-                                   extras: Seq[StructField]): Unit =
+                                   extras: Seq[ExtraField]): Unit =
     writeExtrasFile(new Path(root, SchemaFile), fsys, extras)
 
   private[sources] def writeExtrasFile(sf: Path, fsys: FileSystem,
-                                       extras: Seq[StructField]): Unit = {
+                                       extras: Seq[ExtraField]): Unit = {
     val raw = manifestFs(fsys)
-    val lines = extras.map { f =>
+    val lines = SchemaV2Header +: extras.map { f =>
       val t = f.dataType match {
         case LongType => "bigint"
         case StringType => "string"
         case other => throw new IllegalArgumentException(
           s"graft-store cannot add a $other column (bigint|string only)")
       }
-      val d =
-        if (f.metadata.contains(RawDefaultKey))
-          ":" + java.net.URLEncoder.encode(f.metadata.getString(RawDefaultKey), "UTF-8")
-        else ""
-      s"${f.name}:$t$d"
+      val d = f.rawDefault
+        .map(v => ":d" + java.net.URLEncoder.encode(v, "UTF-8")).getOrElse("")
+      val x = if (f.dropped) ":x" else ""
+      s"${f.id}:${f.name}:$t$d$x"
     }
     val out = raw.create(sf, true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -216,14 +268,57 @@ object StoreSink {
       }
     }
 
-  /** The CURRENT table schema: immutable base + sidecar extras. */
+  /** The PHYSICAL row layout a schema state implies, driving both halves of
+    * the line codec:
+    *  - `physTypes`/`physDefaults`: one entry per physical slot, tombstoned
+    *    slots included — what [[decode]] walks, so every file (any width ≤
+    *    the layout's) resolves each surviving column by its id'd position;
+    *  - `proj`: logical ordinal → physical slot, the reader's projection;
+    *  - `slots`: physical slot → logical ordinal (−1 on tombstones), the
+    *    writer's emission order (dead slots write a null placeholder).
+    * Resolved ONCE on the driver at plan/write-build time and shipped to
+    * tasks — executors never re-read the sidecar, so a concurrent ALTER
+    * can't skew a running job's layout mid-flight. */
+  private[sources] case class StoreLayout(physTypes: Array[DataType],
+                                          physDefaults: Array[Any],
+                                          proj: Array[Int],
+                                          slots: Array[Int]) {
+    def identity: Boolean = slots.length == proj.length
+  }
+
+  private[sources] def layoutOf(extras: Seq[ExtraField]): StoreLayout = {
+    val live = extras.filterNot(_.dropped)
+    val logical = StructType(schema.fields ++ live.map(_.toStructField))
+    val logicalDefaults = defaultsOf(logical)
+    val physTypes = baseTypes ++ extras.map(_.dataType)
+    val proj = new Array[Int](3 + live.length)
+    val slots = Array.fill(physTypes.length)(-1)
+    var s = 0; var l = 0
+    while (s < 3) { proj(s) = s; slots(s) = s; s += 1 }
+    extras.foreach { e =>
+      if (!e.dropped) { proj(3 + l) = s; slots(s) = 3 + l; l += 1 }
+      s += 1
+    }
+    val physDefaults = new Array[Any](physTypes.length)
+    proj.indices.foreach(i => physDefaults(proj(i)) = logicalDefaults(i))
+    StoreLayout(physTypes, physDefaults, proj, slots)
+  }
+
+  private[sources] def layoutAt(pathStr: String,
+                                version: Option[Int]): StoreLayout = {
+    val root = new Path(pathStr)
+    layoutOf(readExtrasAt(root, fs(root), version))
+  }
+
+  /** The CURRENT table schema: immutable base + live sidecar extras. */
   def tableSchema(pathStr: String): StructType = tableSchema(pathStr, None)
 
   /** Schema AT a version — resolves the archived `_schema.v<V>` a REPLACE
     * left behind (see [[schemaArchivePath]]); current schema otherwise. */
   def tableSchema(pathStr: String, version: Option[Int]): StructType = {
     val root = new Path(pathStr)
-    StructType(schema.fields ++ readExtrasAt(root, fs(root), version))
+    StructType(schema.fields ++ readExtrasAt(root, fs(root), version)
+      .filterNot(_.dropped).map(_.toStructField))
   }
 
   // ------------------------------------------------- CHECK constraints
@@ -1574,21 +1669,28 @@ object StoreSink {
     * NOT include it, so the writer must detect it by field count. */
   /** Encode the table columns of `row` (skipping `base` leading protocol
     * columns) under `types` — the WRITE-TIME table schema, so a file's
-    * width records the schema generation it was written under. */
+    * width records the schema generation it was written under. `slots` is
+    * the physical emission order (physical slot → logical column, −1 for a
+    * tombstoned slot, which writes a null placeholder so slot positions
+    * stay id-stable — see [[StoreLayout]]); null means the layouts
+    * coincide. */
   private[sources] def encode(row: InternalRow, base: Int,
-                              types: Array[DataType]): String = {
+                              types: Array[DataType],
+                              slots: Array[Int] = null): String = {
     val sb = new StringBuilder
-    var i = 0
-    while (i < types.length) {
-      if (i > 0) sb.append(',')
-      if (row.isNullAt(base + i)) sb.append(NullMark)
+    val width = if (slots == null) types.length else slots.length
+    var s = 0
+    while (s < width) {
+      if (s > 0) sb.append(',')
+      val i = if (slots == null) s else slots(s)
+      if (i < 0 || row.isNullAt(base + i)) sb.append(NullMark)
       else types(i) match {
         case LongType => sb.append(row.getLong(base + i))
         case StringType =>
           sb.append(java.net.URLEncoder.encode(row.getString(base + i), "UTF-8"))
         case other => throw new IllegalArgumentException(s"unsupported type $other")
       }
-      i += 1
+      s += 1
     }
     sb.result()
   }
@@ -1615,6 +1717,19 @@ object StoreSink {
 
   private[sources] val baseTypes: Array[DataType] =
     schema.fields.map(_.dataType)
+
+  /** Physical emission order for a write against `pathStr` (see
+    * [[StoreLayout.slots]]): resolved on the DRIVER at write-factory
+    * construction. Falls back to the identity layout when the sidecar's
+    * live width disagrees with the write schema — raw writes to a
+    * sidecar-less directory keep their round-13 behavior. */
+  private[sources] def writeSlots(pathStr: String,
+                                  dataSchema: StructType): Array[Int] = {
+    val layout = layoutAt(pathStr, None)
+    if (layout.proj.length == dataSchema.fields.length && !layout.identity)
+      layout.slots
+    else null
+  }
 
   // ------------------------------------------------- delete-filter evaluator
   /** SQL three-valued predicate over a decoded store row: rows evaluating
@@ -2385,9 +2500,10 @@ private case class StoreDeltaWriterFactory(pathStr: String, queryId: String,
                                            dataSchema: StructType,
                                            spec: Option[StoreSink.PartSpec])
     extends DeltaWriterFactory {
+  private val slots: Array[Int] = StoreSink.writeSlots(pathStr, dataSchema)
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new StoreDeltaWriter(pathStr, s"part-$queryId-$partitionId-$taskId",
-      dataSchema, spec)
+      dataSchema, spec, slots)
 }
 
 /** Per-task delta writer: inserts ride the ordinary staged-file writer;
@@ -2396,10 +2512,12 @@ private case class StoreDeltaWriterFactory(pathStr: String, queryId: String,
   * masked, the new row appends) — exactly merge-on-read semantics. */
 private class StoreDeltaWriter(pathStr: String, fileName: String,
                                dataSchema: StructType,
-                               spec: Option[StoreSink.PartSpec])
+                               spec: Option[StoreSink.PartSpec],
+                               slots: Array[Int] = null)
     extends DeltaWriter[InternalRow] {
 
-  private val inserts = new StoreDataWriter(pathStr, fileName, dataSchema, spec)
+  private val inserts =
+    new StoreDataWriter(pathStr, fileName, dataSchema, spec, slots)
   private val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -2803,9 +2921,12 @@ private case class StoreWriterFactory(pathStr: String, queryId: String,
                                       dataSchema: StructType = StoreSink.schema,
                                       spec: Option[StoreSink.PartSpec] = None)
     extends DataWriterFactory {
+  // driver-side (factory construction): the physical emission layout for
+  // tombstoned slots — serialized into the task closure with the factory
+  private val slots: Array[Int] = StoreSink.writeSlots(pathStr, dataSchema)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
-      spec)
+      spec, slots)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
@@ -2815,15 +2936,17 @@ private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
                                                dataSchema: StructType = StoreSink.schema,
                                                spec: Option[StoreSink.PartSpec] = None)
     extends StreamingDataWriterFactory {
+  private val slots: Array[Int] = StoreSink.writeSlots(pathStr, dataSchema)
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
-      dataSchema, spec)
+      dataSchema, spec, slots)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
                               dataSchema: StructType = StoreSink.schema,
-                              spec: Option[StoreSink.PartSpec] = None)
+                              spec: Option[StoreSink.PartSpec] = None,
+                              slots: Array[Int] = null)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
@@ -2884,7 +3007,7 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       if (a < s.minA) s.minA = a
       if (a > s.maxA) s.maxA = a
     }
-    val b = (StoreSink.encode(record, base, types) + "\n")
+    val b = (StoreSink.encode(record, base, types, slots) + "\n")
       .getBytes(StandardCharsets.UTF_8)
     s.out.write(b)
     s.rows += 1
@@ -3433,8 +3556,13 @@ private class StoreScan(pathStr: String,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    StoreReaderFactory(required, table)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // field-id layout resolution, driver-side at the PINNED version: a
+    // renamed/dropped column reads correctly from every file generation
+    val layout = StoreSink.layoutAt(pathStr, version)
+    StoreReaderFactory(required, table,
+      layout.physTypes, layout.physDefaults, layout.proj)
+  }
 
   /** Streaming READ: tail the manifest as an offset log. The manifest is
     * append-ordered (append/epoch commits extend it; only overwrite and
@@ -3583,8 +3711,11 @@ private class StoreMicroBatchStream(pathStr: String,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    StoreReaderFactory(required, table)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val layout = StoreSink.layoutAt(pathStr, None)
+    StoreReaderFactory(required, table,
+      layout.physTypes, layout.physDefaults, layout.proj)
+  }
 }
 
 /** One committed data file; `dv` is its deletion-vector sidecar path, when
@@ -3604,7 +3735,10 @@ private case class StoreFilePartition(file: String, dv: Option[String] = None,
 }
 
 private case class StoreReaderFactory(required: StructType = StoreSink.schema,
-                                      table: StructType = StoreSink.schema)
+                                      table: StructType = StoreSink.schema,
+                                      physTypes: Array[DataType] = null,
+                                      physDefaults: Array[Any] = null,
+                                      proj: Array[Int] = null)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[StoreFilePartition]
@@ -3628,20 +3762,28 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
     val fileName = UTF8String.fromString(p.getName)
-    val types = table.fields.map(_.dataType)
+    // PHYSICAL layout (tombstoned slots included): decode walks every
+    // physical slot; the projection maps logical ordinals to slots (field-id
+    // resolution — a renamed column keeps its slot, a dropped one keeps its
+    // width). Legacy construction (null) = the layouts coincide.
+    val types = if (physTypes != null) physTypes else table.fields.map(_.dataType)
+    val slotOf: Array[Int] =
+      if (proj != null) proj else Array.tabulate(table.fields.length)(i => i)
     // resolve the projection ONCE per partition: table columns come from
-    // the decoded (null-padded) row by ordinal in the CURRENT schema;
-    // _file is partition-constant metadata
+    // the decoded (null-padded) row by their PHYSICAL slot; _file is
+    // partition-constant metadata
     val getters: Array[InternalRow => Any] = required.fieldNames.map {
       case "_file" => (_: InternalRow) => fileName
       case n =>
-        val idx = table.fieldIndex(n)
+        val idx = slotOf(table.fieldIndex(n))
         val dt = types(idx)
         (r: InternalRow) => r.get(idx, dt)
     }
-    val identity = required == table
-    // initial defaults for short (pre-ALTER) rows, resolved once per file
-    val defaults = StoreSink.defaultsOf(table)
+    val identity = required == table && types.length == table.fields.length
+    // initial defaults for short (pre-ALTER) rows, resolved once per file —
+    // indexed by PHYSICAL slot (dead slots pad NULL, never a default)
+    val defaults =
+      if (physDefaults != null) physDefaults else StoreSink.defaultsOf(table)
     new PartitionReader[InternalRow] {
       private var line: String = _
       private var ord = -1

@@ -287,6 +287,46 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("rename survives a REPLACE: per-version schema resolution reads " +
+       "each generation under the name it was committed with") {
+    withCatalog {
+      val dir = "target/tmp/catalog_spec_rename_rtas"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.conf.set(GraftCatalog.CtasDirKey, dir)
+      try {
+        spark.sql("""CREATE TABLE graft.rn AS
+                    |SELECT id AS k, tag AS grp, id * 2 AS amt_cents,
+                    |       CONCAT('s', tag) AS label
+                    |FROM graft.range_200k WHERE id < 100""".stripMargin) // v1
+        // rename on a CTAS table (field-id metadata move), then commit
+        // under the NEW name
+        spark.sql("ALTER TABLE graft.rn RENAME COLUMN label TO tag2")
+        spark.sql("INSERT INTO graft.rn VALUES (1000, 'z', 1, 'sz')") // v2
+        assert(spark.table("graft.rn").where("tag2 = 'sz'").count() == 1)
+        assert(spark.table("graft.rn").where("tag2 = 'sa'").count() > 0,
+          "pre-rename files must read under the renamed column")
+        // REPLACE swaps the trailing schema entirely
+        spark.sql("""REPLACE TABLE graft.rn AS
+                    |SELECT id AS k, tag AS grp, id * 3 AS amt_cents,
+                    |       id % 5 AS b5
+                    |FROM graft.range_200k WHERE id < 50""".stripMargin) // v3
+        assert(spark.table("graft.rn").schema.fieldNames.last == "b5")
+        // v2 committed under the RENAMED schema; v1 under the ORIGINAL —
+        // each travel read resolves its own archive (first-wins)
+        val v2 = spark.sql("SELECT * FROM graft.rn VERSION AS OF 2")
+        assert(v2.schema.fieldNames.last == "tag2")
+        assert(v2.where("tag2 = 'sz'").count() == 1 &&
+               v2.where("tag2 = 'sa'").count() > 0)
+        val v1 = spark.sql("SELECT * FROM graft.rn VERSION AS OF 1")
+        assert(v1.schema.fieldNames.last == "label")
+        assert(v1.where("label = 'sa'").count() > 0)
+        spark.sql("DROP TABLE graft.rn")
+      } finally spark.conf.unset(GraftCatalog.CtasDirKey)
+    }
+  }
+
   test("table properties: SET/UNSET round-trip and property-resolved vacuum") {
     withCatalog {
       val dir = "target/tmp/catalog_spec_props"

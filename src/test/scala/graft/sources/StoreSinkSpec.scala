@@ -797,6 +797,84 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("field-id evolution: rename is metadata-only, drop tombstones the " +
+       "slot, re-add never resurrects, base prefix is guarded") {
+    import spark.implicits._
+    val dir = freshDir("fieldid")
+    val root = new Path(dir)
+    df(1 to 40, "a").repartition(1)
+      .write.format(fmt).mode("overwrite").option("path", dir).save() // v1
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      spark.sql("ALTER TABLE graft.store ADD COLUMN note STRING")
+      spark.sql("ALTER TABLE graft.store ADD COLUMN fee BIGINT")
+      Seq((41L, "b", 4100L, "x", 7L), (42L, "b", 4200L, "y", 8L))
+        .toDF("k", "grp", "amt_cents", "note", "fee")
+        .write.format(fmt).mode("append").option("path", dir).save() // v2
+      val filesBefore = StoreSink.readManifest(root, fs).toSet
+      // RENAME: zero files touched, values read under the new name
+      spark.sql("ALTER TABLE graft.store RENAME COLUMN note TO memo")
+      assert(StoreSink.readManifest(root, fs).toSet == filesBefore,
+        "rename must not touch data files")
+      assert(StoreSink.tableSchema(dir).fieldNames.toSeq ==
+        Seq("k", "grp", "amt_cents", "memo", "fee"))
+      val renamed = spark.table("graft.store").where(col("k") >= 41)
+        .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+      assert(renamed == Map(41L -> "x", 42L -> "y"),
+        s"old files must read under the renamed column: $renamed")
+      // time travel to v2 resolves the archived schema: the OLD name
+      val v2 = spark.sql("SELECT * FROM graft.store VERSION AS OF 2")
+      assert(v2.schema.fieldNames.toSeq ==
+        Seq("k", "grp", "amt_cents", "note", "fee"))
+      assert(v2.where("note = 'x'").count() == 1)
+      // DROP tombstones the slot: fee keeps decoding from ITS slot (the
+      // ordinal-decode misread would read "x"/"y" strings as fee)
+      spark.sql("ALTER TABLE graft.store DROP COLUMN memo")
+      assert(StoreSink.readManifest(root, fs).toSet == filesBefore,
+        "drop must not touch data files")
+      val fees = spark.table("graft.store").where(col("k") >= 41)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(fees == Map(41L -> 7L, 42L -> 8L),
+        s"fee must survive its dead neighbor slot: $fees")
+      // post-drop append pads the dead slot so widths stay id-stable
+      Seq((43L, "c", 4300L, 9L)).toDF("k", "grp", "amt_cents", "fee")
+        .write.format(fmt).mode("append").option("path", dir).save() // v3
+      // re-ADD under the dropped name: fresh slot, no resurrection
+      spark.sql("ALTER TABLE graft.store ADD COLUMN memo STRING")
+      val memos = spark.table("graft.store").where(col("k") >= 41)
+        .collect().map(r => (r.getLong(0), Option(r.getString(4)))).toMap
+      assert(memos == Map(41L -> None, 42L -> None, 43L -> None),
+        s"re-added column must read NULL everywhere: $memos")
+      assert(spark.table("graft.store").where(col("k") === 43)
+        .collect().head.getLong(3) == 9L)
+      // guards: the base prefix is load-bearing; clashes refuse
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.store RENAME COLUMN k TO key")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.store DROP COLUMN grp")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.store RENAME COLUMN fee TO memo")
+      }
+      // a CHECK-constrained column refuses rename/drop until the
+      // constraint goes
+      spark.sql("ALTER TABLE graft.store ADD CONSTRAINT fee_pos " +
+                "CHECK (fee IS NULL OR fee > 0)")
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.store DROP COLUMN fee")
+      }
+      spark.sql("ALTER TABLE graft.store DROP CONSTRAINT fee_pos")
+      spark.sql("ALTER TABLE graft.store DROP COLUMN fee")
+      assert(StoreSink.tableSchema(dir).fieldNames.toSeq ==
+        Seq("k", "grp", "amt_cents", "memo"))
+    } finally {
+      spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
+    }
+  }
+
   test("concurrent delta MERGEs serialize under the commit lock — " +
        "disjoint-key commits all land, no lost updates, no rewrites") {
     val dir = freshDir("deltarace")
