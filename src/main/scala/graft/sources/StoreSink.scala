@@ -78,6 +78,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * the point of routing ALL visibility through it. Copy-on-write delete
   * rewrites bytes proportional to the TOUCHED files, not the table.
   */
+/** COMMIT ARBITRATION SEAM: how a graft-store committer gets mutual
+  * exclusion for its metadata swap. Every commit path (batch append,
+  * streaming epoch, row-level publish, delete, compaction, vacuum, DDL)
+  * runs promote + rebuild-from-fresh-manifest + swap inside a claim from
+  * the provider selected by `spark.graft.store.lock.provider`:
+  *
+  *  - `fs` (default): create-exclusive `_commit.lock` in the table dir —
+  *    correct on POSIX (O_EXCL) and HDFS (namenode-atomic create).
+  *  - `cas`: an external compare-and-swap coordinator (see
+  *    [[StoreSink.CasLockProvider]]) — the shape S3-class deployments
+  *    need, where the store itself has no atomic create-exclusive.
+  *  - a fully-qualified class name implementing this trait: the
+  *    deployment's own lock-service client (DynamoDB lock table,
+  *    ZooKeeper, a catalog CAS).
+  *
+  * Contract: `tryClaim` must be ATOMIC (at most one concurrent caller may
+  * see true until the matching `release`); non-blocking; idempotence is
+  * NOT assumed. The wait/timeout loop lives in the caller
+  * (StoreSink.withCommitLock), so providers stay two primitive
+  * operations. */
+trait StoreLockProvider {
+  /** Atomically claim the table's commit mutex; false when already held. */
+  def tryClaim(root: org.apache.hadoop.fs.Path, raw: FileSystem): Boolean
+  /** Release a claim this caller holds. */
+  def release(root: org.apache.hadoop.fs.Path, raw: FileSystem): Unit
+  /** Human-readable claim identity for the stale-claim error message. */
+  def describe(root: org.apache.hadoop.fs.Path, raw: FileSystem): String =
+    s"${getClass.getSimpleName} on $root"
+}
+
 class StoreSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Option(options.get("path")).map(StoreSink.tableSchema)
@@ -1303,37 +1333,97 @@ object StoreSink {
   /** Stale-lock timeout (test hook: the spec shrinks it to prove loudness). */
   @volatile private[sources] var lockTimeoutNanos: Long = 30L * 1000 * 1000 * 1000
 
+  /** Conf key selecting the commit-arbitration provider: `fs` (default),
+    * `cas`, or a fully-qualified [[StoreLockProvider]] class name. */
+  val LockProviderKey = "spark.graft.store.lock.provider"
+
+  private val providerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StoreLockProvider]()
+
+  private[sources] def lockProvider(): StoreLockProvider = {
+    val mode =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(LockProviderKey, "fs")
+      catch { case _: Exception => "fs" }
+    mode match {
+      case "fs"  => FsLockProvider
+      case "cas" => CasLockProvider
+      case cls => providerCache.computeIfAbsent(cls, c =>
+        Class.forName(c).getDeclaredConstructor().newInstance()
+          .asInstanceOf[StoreLockProvider])
+    }
+  }
+
   private[sources] def withCommitLock[T](root: Path, fsys: FileSystem)(body: => T): T = {
     val raw = manifestFs(fsys)
     if (!raw.exists(root)) raw.mkdirs(root)
-    val lock = new Path(root, "_commit.lock")
-    val qualified = raw.makeQualified(lock)
-    // the claim must be ATOMIC create-exclusive. Hadoop's
-    // RawLocalFileSystem.create(path, overwrite = false) is
-    // check-then-create — two local committers both pass the exists()
-    // check and both "hold" the lock (observed: the racing swap moved the
-    // other committer's tmp out from under it). On file:// use NIO
-    // createFile (O_EXCL); on HDFS create-exclusive is atomic at the NN.
-    def tryClaim(): Boolean =
+    val provider = lockProvider()
+    val deadline = System.nanoTime + lockTimeoutNanos
+    while (!provider.tryClaim(root, raw)) {
+      if (System.nanoTime > deadline)
+        throw new IllegalStateException(
+          s"graft-store commit lock held too long " +
+            s"(${provider.describe(root, raw)}) — a dead " +
+            "committer leaves a stale lock; delete the claim to recover")
+      Thread.sleep(10)
+    }
+    try body finally provider.release(root, raw)
+  }
+
+  /** Default arbitration: a `_commit.lock` file claimed CREATE-EXCLUSIVE on
+    * the table directory itself. Atomic where the filesystem gives an
+    * atomic exclusive create: O_EXCL on POSIX (via NIO on `file://` —
+    * Hadoop's RawLocalFileSystem.create(overwrite = false) is
+    * check-then-create, the observed round-13 race), namenode-atomic on
+    * HDFS. NOT safe on S3-class object stores without conditional PUT —
+    * that is exactly what [[StoreLockProvider]] exists to swap out. */
+  object FsLockProvider extends StoreLockProvider {
+    private def lockPath(root: Path): Path = new Path(root, "_commit.lock")
+    override def tryClaim(root: Path, raw: FileSystem): Boolean = {
+      val qualified = raw.makeQualified(lockPath(root))
       try {
         if (qualified.toUri.getScheme == "file")
           java.nio.file.Files.createFile(
             java.nio.file.Paths.get(qualified.toUri.getPath))
-        else raw.create(lock, false).close()
+        else raw.create(lockPath(root), false).close()
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.io.IOException => false
       }
-    val deadline = System.nanoTime + lockTimeoutNanos
-    while (!tryClaim()) {
-      if (System.nanoTime > deadline)
-        throw new IllegalStateException(
-          s"graft-store commit lock held too long ($lock) — a dead " +
-            "committer leaves a stale lock; delete the file to recover")
-      Thread.sleep(10)
     }
-    try body finally raw.delete(lock, false)
+    override def release(root: Path, raw: FileSystem): Unit =
+      raw.delete(lockPath(root), false)
+    override def describe(root: Path, raw: FileSystem): String =
+      raw.makeQualified(lockPath(root)).toString
+  }
+
+  /** Conditional-swap arbitration for object stores: the claim is an
+    * atomic compare-and-swap AGAINST A COORDINATOR, never a filesystem
+    * operation — `putIfAbsent(table, owner)` is semantically the
+    * conditional PUT (`If-None-Match: *`) S3 offers, the
+    * `attribute_not_exists` conditional write of a DynamoDB lock table,
+    * and the CAS a catalog service (the Iceberg commit model) performs.
+    * This in-process registry IS that coordinator for a single driver —
+    * the seam a deployment fills with its lock-service client — and it
+    * makes commit safety INDEPENDENT of the store's filesystem semantics:
+    * the fault-injection spec runs the 8-way commit race on a filesystem
+    * whose create-exclusive and rename are deliberately non-atomic, and
+    * every commit still lands. At 100 TB on S3 this is not optional:
+    * object listings are eventually consistent windows and there is no
+    * O_EXCL — arbitration must come from a CAS primitive. */
+  object CasLockProvider extends StoreLockProvider {
+    private val held =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private def key(root: Path, raw: FileSystem): String =
+      raw.makeQualified(root).toUri.toString
+    override def tryClaim(root: Path, raw: FileSystem): Boolean =
+      held.putIfAbsent(key(root, raw),
+        java.lang.Long.valueOf(System.nanoTime())) == null
+    override def release(root: Path, raw: FileSystem): Unit =
+      held.remove(key(root, raw))
+    override def describe(root: Path, raw: FileSystem): String =
+      s"cas-coordinator claim on ${key(root, raw)}"
   }
 
   /** Remove ONLY this query's staging leftovers (losing task attempts).

@@ -962,6 +962,50 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("commit arbitration is pluggable: the cas coordinator keeps the " +
+       "8-way race correct on a filesystem with NO atomic primitives") {
+    // object-store semantics: create-exclusive is check-then-create,
+    // rename is delete-then-rename (FaultyFs) — the environment where the
+    // default fs lock is unsafe by construction and arbitration must come
+    // from an external CAS (conditional PUT / DynamoDB lock / catalog)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.faulty.impl", "graft.sources.FaultyFs")
+    hconf.set("fs.AbstractFileSystem.faulty.impl", "graft.sources.FaultyAbstractFs")
+    val local = new java.io.File("target/tmp/storesink_spec_faulty").getAbsolutePath
+    val dir = s"faulty:$local"
+    val ffs = new Path(dir).getFileSystem(hconf)
+    ffs.delete(new Path(dir), true)
+    spark.conf.set(StoreSink.LockProviderKey, "cas")
+    try {
+      df(0 to 0, "seed").repartition(1)
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val jobs = (1 to 8).map { i =>
+        Future {
+          df((i * 100) to (i * 100 + 9), s"g$i").repartition(1)
+            .write.format(fmt).mode("append").option("path", dir).save()
+        }
+      }
+      Await.result(Future.sequence(jobs), 120.seconds)
+      val files = StoreSink.readManifest(new Path(dir), ffs)
+      assert(files.size == 9,
+        s"lost update under cas arbitration: expected 9 files, got ${files.size}")
+      assert(readBack(dir).size == 81, "rows lost under the faulty-FS race")
+      // a row-level rewrite (delete) also commits correctly here
+      new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("grp", "g3")))
+      assert(readBack(dir).size == 71)
+      // no _commit.lock file was ever used: arbitration never touched the FS
+      assert(!ffs.exists(new Path(dir, "_commit.lock")),
+        "cas provider must not write filesystem lock files")
+    } finally {
+      spark.conf.unset(StoreSink.LockProviderKey)
+      ffs.delete(new Path(dir), true)
+    }
+  }
+
   test("partial compaction rewrites only the files overlapping the key range") {
     val dir = freshDir("partialcompact")
     // three disjoint generations: cold [1,100], warm [101,200], hot
