@@ -65,7 +65,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "cherry_pick", "compact", "expire", "history", "publish",
-      "remove_orphans", "rollback", "tag", "zorder",
+      "remove_orphans", "rollback", "tag", "zorder", "zorder_by",
       "vacuum").map(Identifier.of(Array.empty, _))
   }
 
@@ -84,11 +84,12 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "tag"     => TagProcedure
       case "vacuum"  => VacuumProcedure
       case "zorder"  => ZorderProcedure
+      case "zorder_by" => ZorderByProcedure
       case _ => throw new UnsupportedOperationException(
         s"unknown procedure ${ident.name()} " +
           "(abandon | cherry_pick | compact | expire | history | publish | " +
           "remove_orphans | rollback | " +
-          "tag | vacuum | zorder)")
+          "tag | vacuum | zorder | zorder_by)")
     }
   }
 
@@ -823,6 +824,48 @@ private object ZorderProcedure
   }
   override def description(): String =
     "rewrite the current snapshot Hilbert-clustered over (k, amt_cents)"
+}
+
+/** `CALL graft.zorder_by(path, target_rows, 'c1,c2[,c3[,c4]]')` — the
+  * d-DIMENSIONAL OPTIMIZE: Morton-interleave clustering over any 2–4
+  * bigint columns (see StoreSink.compactZorder); with the columns declared
+  * as stat columns, a narrow predicate on ANY of them prunes planning
+  * after the rewrite. */
+private object ZorderByProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "zorder_by"
+  override def description(): String =
+    "rewrite the current snapshot Morton-clustered over 2-4 bigint columns"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("target_rows", LongType).build(),
+    ProcedureParameter.in("cols", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("files_before", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("files_after", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val path = input.getUTF8String(0).toString
+    val target = input.getLong(1)
+    val cols = input.getUTF8String(2).toString.split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    val (b, a) = StoreSink.compactZorder(
+      org.apache.spark.sql.SparkSession.active, path, target, cols)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(b.toLong, a.toLong))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
 }
 
 /** `CALL graft.tag(path, name, version)` — pin an archived version under a

@@ -1745,6 +1745,59 @@ object Sources extends OpModule {
       }
     }),
 
+    // GENERALIZED PER-COLUMN ZONE STATS (the Iceberg lower/upper-bounds
+    // map in miniature): `graft.stats.cols` declares which trailing bigint
+    // columns get per-file min/max in the manifest's 12th field; a range
+    // predicate on ANY declared column then prunes file planning — not
+    // just the built-in (k, amt_cents) pair — and an unfiltered MIN/MAX on
+    // it answers from metadata with ZERO files planned. The query declares
+    // `fee`, writes a fee-range-clustered generation, and pins (a) the
+    // filtered read planning a strict subset of files, (b) the MIN/MAX
+    // metadata answer, (c) exact content under both. At 100 TB declared
+    // stats are what make a third, fourth, nth predicate column skippable
+    // — without them every query on a non-zone column reads the table.
+    "q_store_zone_multi" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storezonemulti")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN fee BIGINT")
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES " +
+              "('graft.stats.cols' = 'fee')")
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                  graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"),
+                  pmod(col("o_orderkey"), lit(1000)).as("fee"))
+          .repartitionByRange(8, col("fee")) // fee-disjoint files
+          .write.format("graft.sources.StoreSink").mode("overwrite")
+          .option("path", path).save()
+        def store = s.read.format("graft.sources.StoreSink")
+          .option("path", path).load()
+        val filt = store.where(col("fee") < 125)
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("fee")).as("fee_sum"))
+          .select(concat(lit("grp:"), col("grp")).as("step"), col("n"),
+                  col("fee_sum"))
+          .collect()
+        val (total, planned) = graft.sources.StoreSink.lastZonePrune.get
+        graft.sources.StoreSink.lastAggPush = None
+        val mm = store.agg(min(col("fee")).as("a"), max(col("fee")).as("b"))
+          .collect()(0)
+        val pushed = graft.sources.StoreSink.lastAggPush
+          .contains(Seq("min_s:fee", "max_s:fee"))
+        val rows = filt.toSeq ++ Seq(
+          org.apache.spark.sql.Row("minmax", mm.getLong(0), mm.getLong(1)),
+          org.apache.spark.sql.Row("z_agg_pushed", if (pushed) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_stat_pruned",
+            if (planned < total && planned >= 1) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("step", StringType), StructField("n", LongType),
+          StructField("fee_sum", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+      }
+    }),
+
     // FIELD-ID RENAME (`ALTER TABLE ... RENAME COLUMN`): the column's
     // stable field id keeps decoding the same physical slot, so a rename is
     // pure metadata — files written under the OLD name read under the new
@@ -3247,6 +3300,21 @@ object Sources extends OpModule {
         |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents,
         |  COUNT(note) AS n_note, MAX(note) AS max_note
         |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // declared-column stats applied relationally: filtered content is
+    // exact, MIN/MAX come from metadata, flags pin pruning + pushdown
+    "q_store_zone_multi" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    o_orderkey % 1000 AS fee FROM orders)
+        |SELECT 'grp:' || grp AS step, COUNT(*) AS n,
+        |  CAST(SUM(fee) AS BIGINT) AS fee_sum
+        |FROM base WHERE fee < 125 GROUP BY grp
+        |UNION ALL SELECT 'minmax', CAST((SELECT MIN(fee) FROM base) AS BIGINT),
+        |  CAST((SELECT MAX(fee) FROM base) AS BIGINT)
+        |UNION ALL SELECT 'z_agg_pushed', 1, 0
+        |UNION ALL SELECT 'z_stat_pruned', 1, 0
+        |ORDER BY step""".stripMargin,
 
     // rename applied relationally: both generations' values live in ONE
     // column after the rename; the flags pin head/travel schema names and

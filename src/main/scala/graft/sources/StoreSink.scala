@@ -439,25 +439,34 @@ object StoreSink {
                             part: Option[String] = None,
                             eq: Option[String] = None,
                             minA: Option[Long] = None,
-                            maxA: Option[Long] = None) {
-    /** 8 fields; a 9th (`eq` — equality-delete sidecar) and a 10th/11th
-      * (`minA`/`maxA` — the SECOND zone column, over `amt_cents`) are
-      * emitted only when present, so unaffected stores keep the round-13
-      * line format bit-for-bit. Two zone columns is what makes
-      * multi-dimensional clustering (the Hilbert compact) observable:
-      * range predicates on EITHER column prune file planning. `rows` is
-      * EXACT live rows except on eq-vectored entries, where it is an upper
-      * bound (the delete never read the file) — COUNT/MIN/MAX pushdown
-      * declines there. */
-    def line: String =
+                            maxA: Option[Long] = None,
+                            stats: Seq[(String, Long, Long)] = Nil) {
+    /** 8 fields; a 9th (`eq` — equality-delete sidecar), a 10th/11th
+      * (`minA`/`maxA` — the SECOND zone column, over `amt_cents`) and a
+      * 12th (PER-COLUMN stats for DECLARED stat columns:
+      * `col:min:max[;col:min:max...]` — the generalized zone map, the
+      * Iceberg lower/upper-bounds map in miniature) are emitted only when
+      * present, so unaffected stores keep the round-13 line format
+      * bit-for-bit. Earlier fields get `-` placeholders when a later one
+      * needs the width. Range predicates on ANY stat-carrying column prune
+      * file planning; a file without a stat for some column simply never
+      * prunes on it (conservative, always correct). `rows` is EXACT live
+      * rows except on eq-vectored entries, where it is an upper bound (the
+      * delete never read the file) — COUNT/MIN/MAX pushdown declines
+      * there. */
+    def line: String = {
+      val needA = minA.isDefined || maxA.isDefined || stats.nonEmpty
+      val needEq = eq.isDefined || needA
       s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}|" +
         bloom.map(java.lang.Long.toHexString).getOrElse("-") + "|" +
         bytes.getOrElse("-") + "|" + dv.getOrElse("-") + "|" +
         part.getOrElse("-") +
-        (if (eq.isDefined || minA.isDefined || maxA.isDefined)
-           "|" + eq.getOrElse("-") else "") +
-        (if (minA.isDefined || maxA.isDefined)
-           s"|${minA.getOrElse("-")}|${maxA.getOrElse("-")}" else "")
+        (if (needEq) "|" + eq.getOrElse("-") else "") +
+        (if (needA) s"|${minA.getOrElse("-")}|${maxA.getOrElse("-")}" else "") +
+        (if (stats.nonEmpty)
+           "|" + stats.map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";")
+         else "")
+    }
     /** Read token (`name[@dv][#eq]`): the explicit-files read path and
       * the tail's prefix identity both need the MASKED file — deletion
       * vectors and equality-delete sidecars are part of the file's
@@ -491,6 +500,38 @@ object StoreSink {
         from < sortedKeys.length && sortedKeys(from) <= mx
       case _ => true
     }
+    /** Generalized zone check on a DECLARED stat column: a file carrying
+      * no stat for `colName` always may contain (conservative — legacy
+      * files, COW-rewritten files, and never-declared columns just don't
+      * prune). */
+    def mayContainStat(colName: String, lo: Option[Long],
+                       hi: Option[Long]): Boolean =
+      stats.find(_._1 == colName) match {
+        case Some((_, mn, mx)) => lo.forall(_ <= mx) && hi.forall(_ >= mn)
+        case None => true
+      }
+  }
+
+  /** DECLARED STAT COLUMNS (`graft.stats.cols` table property, comma
+    * list): the extra bigint columns whose per-file min/max ride the
+    * manifest's 12th field — the Iceberg "which columns get bounds"
+    * declaration, resolved table-side so the policy travels with the
+    * table. Resolved against the CURRENT schema at write/plan time: a
+    * since-dropped or non-bigint name silently contributes nothing. */
+  val StatColsProp = "graft.stats.cols"
+
+  private[sources] def declaredStatCols(root: Path, fsys: FileSystem,
+                                        dataSchema: StructType): Seq[(String, Int)] = {
+    val declared = readProps(root, fsys).toMap.get(StatColsProp)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    declared.flatMap { c =>
+      val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      // base k/amt_cents already have dedicated zones; only trailing
+      // bigint columns are generalized-stat candidates
+      if (i >= 3 && dataSchema.fields(i).dataType == LongType)
+        Some((dataSchema.fields(i).name, i))
+      else None
+    }
   }
 
   private[sources] def parseEntry(l: String): StoreFileEntry =
@@ -507,8 +548,15 @@ object StoreSink {
       val eq = if (p.length > 8 && p(8) != "-") Some(p(8)) else None
       val minA = if (p.length > 9) opt(p(9)) else None
       val maxA = if (p.length > 10) opt(p(10)) else None
+      val stats =
+        if (p.length > 11 && p(11) != "-")
+          p(11).split(';').toSeq.map { s =>
+            val q = s.split(':')
+            (q(0), q(1).toLong, q(2).toLong)
+          }
+        else Nil
       StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes, dv,
-        part, eq, minA, maxA)
+        part, eq, minA, maxA, stats)
     } else StoreFileEntry(l, -1L, None, None)
 
   /** Two-probe Bloom signature of a grp value: 2 bits of a 64-bit word from
@@ -1203,6 +1251,36 @@ object StoreSink {
     compact(spark, pathStr, targetRows, None, None, cluster = "hilbert")
   }
 
+  /** OPTIMIZE ... ZORDER BY (col1, ..., cold) — the d-DIMENSIONAL form:
+    * Morton (bit-interleave) clustering over 2–4 bigint columns, each
+    * scaled onto an 8-bit grid from the LIVE data's own bounds (one cheap
+    * aggregate pass — unlike the 2-D Hilbert path, arbitrary columns may
+    * have no manifest bounds yet). Contiguous Morton ranges are compact
+    * d-D regions, so with the columns DECLARED as stat columns
+    * ([[StatColsProp]]) a narrow predicate on ANY of them prunes file
+    * planning after the rewrite. Hilbert has strictly better locality in
+    * 2-D, so the canonical (k, amt_cents) pair still routes there; Morton
+    * generalizes to d dims with one codegen'd integer expression — the
+    * Delta ZORDER BY shape. Commit protocol identical to [[compact]]. */
+  def compactZorder(spark: SparkSession, pathStr: String, targetRows: Long,
+                    cols: Seq[String]): (Int, Int) = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorder_by takes 2..4 columns, got ${cols.mkString(",")}")
+    val tbl = tableSchema(pathStr)
+    cols.foreach { c =>
+      require(tbl.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+        f.dataType == LongType),
+        s"zorder_by column $c is not a bigint column of ${tbl.fieldNames.mkString(",")}")
+    }
+    if (cols.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("k", "amt_cents"))
+      return compactHilbert(spark, pathStr, targetRows)
+    val root = new Path(pathStr)
+    require(readPartSpec(root, fs(root)).isEmpty,
+      "zorder_by: a partitioned store's layout is owned by its partition spec")
+    compact(spark, pathStr, targetRows, None, None,
+      cluster = "morton:" + cols.mkString(","))
+  }
+
   /** PARTIAL compaction: only files whose zones overlap [lo, hi] are
     * rewritten (None = unbounded); everything else carries over by name.
     * This is the maintenance shape that matters at 100 TB — a CDC-heavy
@@ -1240,6 +1318,27 @@ object StoreSink {
       case Some(sp) if sp.kind == "bucket" =>
         df.repartition(n, pmod(col("k"), lit(sp.n)))
       case Some(sp) => df.repartition(n, col(sp.col))
+      case None if cluster.startsWith("morton:") =>
+        // d-dim bit interleave: scale each column onto 8 bits from the
+        // live data's bounds (one aggregate), then range-cluster on the
+        // Morton index — one pure-integer codegen'd expression
+        val cs = cluster.stripPrefix("morton:").split(',').toSeq
+        val bounds = df.select(cs.flatMap(c =>
+            Seq(org.apache.spark.sql.functions.min(col(c)),
+                org.apache.spark.sql.functions.max(col(c)))): _*)
+          .collect()(0)
+        val scaled = cs.zipWithIndex.map { case (c, j) =>
+          if (bounds.isNullAt(2 * j)) "0L" // all-null column: no frame
+          else {
+            val mn = bounds.getLong(2 * j); val mx = bounds.getLong(2 * j + 1)
+            s"coalesce(cast((`$c` - ${mn}L) * 255L div " +
+              s"greatest(1L, ${mx - mn}L) as bigint), 0L)"
+          }
+        }
+        val d = cs.size
+        val terms = for { i <- 0 until 8; j <- 0 until d } yield
+          s"shiftleft(shiftright(${scaled(j)}, $i) & 1L, ${i * d + j})"
+        df.repartitionByRange(n, expr(terms.mkString(" + ")))
       case None if cluster == "hilbert" =>
         // 2-D clustering: scale both zone columns onto the 8-bit grid from
         // the manifest's OWN global bounds (no extra data pass), then
@@ -2991,12 +3090,13 @@ private case class StoreFilePayload(staged: String, rows: Long,
                                     part: Option[String] = None,
                                     dir: String = "",
                                     minA: Option[Long] = None,
-                                    maxA: Option[Long] = None) {
+                                    maxA: Option[Long] = None,
+                                    stats: Seq[(String, Long, Long)] = Nil) {
   /** Manifest name (partition-dir-relative). */
   def name: String = if (dir.isEmpty) staged else s"$dir/$staged"
   def entry: StoreSink.StoreFileEntry =
     StoreSink.StoreFileEntry(name, rows, minK, maxK, Some(bloom), Some(bytes),
-      None, part, None, minA, maxA)
+      None, part, None, minA, maxA, stats)
 }
 
 /** A task's commit message: one payload per staged file (a partitioned
@@ -3012,11 +3112,16 @@ private case class StoreWriterFactory(pathStr: String, queryId: String,
                                       spec: Option[StoreSink.PartSpec] = None)
     extends DataWriterFactory {
   // driver-side (factory construction): the physical emission layout for
-  // tombstoned slots — serialized into the task closure with the factory
+  // tombstoned slots, plus the declared stat columns — serialized into the
+  // task closure with the factory
   private val slots: Array[Int] = StoreSink.writeSlots(pathStr, dataSchema)
+  private val statCols: Seq[(String, Int)] = {
+    val root = new Path(pathStr)
+    StoreSink.declaredStatCols(root, StoreSink.fs(root), dataSchema)
+  }
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
-      spec, slots)
+      spec, slots, statCols)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
@@ -3027,16 +3132,21 @@ private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
                                                spec: Option[StoreSink.PartSpec] = None)
     extends StreamingDataWriterFactory {
   private val slots: Array[Int] = StoreSink.writeSlots(pathStr, dataSchema)
+  private val statCols: Seq[(String, Int)] = {
+    val root = new Path(pathStr)
+    StoreSink.declaredStatCols(root, StoreSink.fs(root), dataSchema)
+  }
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
-      dataSchema, spec, slots)
+      dataSchema, spec, slots, statCols)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
                               dataSchema: StructType = StoreSink.schema,
                               spec: Option[StoreSink.PartSpec] = None,
-                              slots: Array[Int] = null)
+                              slots: Array[Int] = null,
+                              statCols: Seq[(String, Int)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
@@ -3057,6 +3167,9 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     var minK: Long = Long.MaxValue; var maxK: Long = Long.MinValue
     var bloom = 0L
     var minA: Long = Long.MaxValue; var maxA: Long = Long.MinValue
+    // declared-stat-column bounds, parallel to statCols
+    val minS: Array[Long] = Array.fill(statCols.size)(Long.MaxValue)
+    val maxS: Array[Long] = Array.fill(statCols.size)(Long.MinValue)
   }
 
   /** The second zone column (`amt_cents`) is tracked only when the write
@@ -3097,6 +3210,16 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       if (a < s.minA) s.minA = a
       if (a > s.maxA) s.maxA = a
     }
+    var si = 0 // declared stat columns: generalized zones
+    while (si < statCols.size) {
+      val ci = statCols(si)._2
+      if (!record.isNullAt(base + ci)) {
+        val v = record.getLong(base + ci)
+        if (v < s.minS(si)) s.minS(si) = v
+        if (v > s.maxS(si)) s.maxS(si) = v
+      }
+      si += 1
+    }
     val b = (StoreSink.encode(record, base, types, slots) + "\n")
       .getBytes(StandardCharsets.UTF_8)
     s.out.write(b)
@@ -3113,7 +3236,11 @@ private class StoreDataWriter(pathStr: String, fileName: String,
         s.bloom, s.bytes, s.partValue,
         s.partValue.map(v => spec.get.dirOf(v)).getOrElse(""),
         if (s.minA == Long.MaxValue) None else Some(s.minA),
-        if (s.maxA == Long.MinValue) None else Some(s.maxA))
+        if (s.maxA == Long.MinValue) None else Some(s.maxA),
+        statCols.indices.flatMap { si =>
+          if (s.minS(si) == Long.MaxValue) None
+          else Some((statCols(si)._1, s.minS(si), s.maxS(si)))
+        })
     }
     StoreCommitMessage(payloads)
   }
@@ -3151,6 +3278,15 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   private var required: StructType = table
   private var aggFuncs: Seq[String] = Nil
   private var aggValues: Seq[Long] = Nil
+  // generalized zone bounds on trailing bigint columns (the 12th manifest
+  // field); populated only for columns the filters actually constrain
+  private var statBounds: Seq[(String, Option[Long], Option[Long])] = Nil
+
+  /** Trailing bigint columns — every one is a POTENTIAL stat column: a
+    * predicate on it prunes exactly the files whose manifest lines carry a
+    * declared stat for it, and never prunes the rest. */
+  private def trailingLongCols: Seq[String] =
+    table.fields.drop(3).filter(_.dataType == LongType).map(_.name).toSeq
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -3190,18 +3326,24 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     if (explicitFiles.isDefined) return false
     if (branch.isDefined) return false // branch view: manifest totals lie
     if (zoneFilters.nonEmpty || kLo.isDefined || kHi.isDefined ||
-        aLo.isDefined || aHi.isDefined ||
+        aLo.isDefined || aHi.isDefined || statBounds.nonEmpty ||
         grpConjuncts.nonEmpty) return false
     if (agg.groupByExpressions.nonEmpty) return false
     def ref(e: org.apache.spark.sql.connector.expressions.Expression,
             c: String): Boolean =
       e.toString.replace("`", "") == c
+    // MIN/MAX on a DECLARED-stat trailing column answers from the 12th
+    // manifest field the same way k/amt answer from their zones
+    def statRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      trailingLongCols.find(c => ref(e, c))
     val fs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar                           => Some("count")
       case m: Min if ref(m.column, "k")           => Some("min")
       case m: Max if ref(m.column, "k")           => Some("max")
       case m: Min if ref(m.column, "amt_cents")   => Some("min_a")
       case m: Max if ref(m.column, "amt_cents")   => Some("max_a")
+      case m: Min if statRef(m.column).isDefined  => Some("min_s:" + statRef(m.column).get)
+      case m: Max if statRef(m.column).isDefined  => Some("max_s:" + statRef(m.column).get)
       case _ => None
     }
     if (fs.contains(None) || fs.isEmpty) return false
@@ -3230,12 +3372,26 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     if (fs.flatten.exists(f => f == "min_a" || f == "max_a") &&
         entries.exists(e => e.rows > 0 && e.minA.isEmpty))
       return false
+    // a declared-stat MIN/MAX likewise needs EVERY row-bearing entry to
+    // carry that column's stat (a stat-less file could hide the extremum)
+    val statWanted = fs.flatten.collect {
+      case f if f.startsWith("min_s:") || f.startsWith("max_s:") => f.substring(6)
+    }.distinct
+    if (statWanted.exists(c => entries.exists(e =>
+        e.rows > 0 && !e.stats.exists(_._1 == c))))
+      return false
+    if (statWanted.exists(c => !entries.exists(_.stats.exists(_._1 == c))))
+      return false // all-null (or never-written) column: fall back
     aggValues = fs.flatten.map {
       case "count" => entries.map(_.rows).sum
       case "min"   => zoned.flatMap(_.minK).min
       case "max"   => zoned.flatMap(_.maxK).max
       case "min_a" => zonedA.flatMap(_.minA).min
       case "max_a" => zonedA.flatMap(_.maxA).max
+      case f if f.startsWith("min_s:") =>
+        entries.flatMap(_.stats.find(_._1 == f.substring(6)).map(_._2)).min
+      case f if f.startsWith("max_s:") =>
+        entries.flatMap(_.stats.find(_._1 == f.substring(6)).map(_._3)).max
     }
     aggFuncs = fs.flatten
     StoreSink.lastAggPush = Some(aggFuncs)
@@ -3272,6 +3428,12 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
           v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer]) =>
         vs.map(_.asInstanceOf[Number].longValue)
     }.filter(_.nonEmpty)
+    // generalized per-column zones: bounds on ANY trailing bigint column
+    statBounds = trailingLongCols.flatMap { c =>
+      val (lo, hi) = StoreSink.colBounds(filters, c)
+      if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
+    }
+    val statNames = statBounds.map(_._1).toSet
     zoneFilters = filters.filter {
       case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
            | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
@@ -3280,6 +3442,12 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
            | LessThanOrEqual("amt_cents", _) | In("amt_cents", _) => true
       case EqualTo("grp", _: String) => true
       case In("grp", vs) => vs.forall(_.isInstanceOf[String])
+      case EqualTo(c, _) if statNames(c) => true
+      case GreaterThan(c, _) if statNames(c) => true
+      case GreaterThanOrEqual(c, _) if statNames(c) => true
+      case LessThan(c, _) if statNames(c) => true
+      case LessThanOrEqual(c, _) if statNames(c) => true
+      case In(c, _) if statNames(c) => true
       case _ => false
     }
     filters
@@ -3291,7 +3459,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     if (aggFuncs.nonEmpty) new StoreAggScan(pathStr, aggFuncs, aggValues)
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
       explicitFiles, table, grpValues, kValues, branch, aLo, aHi, limitN,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, statBounds)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -3373,7 +3541,8 @@ private class StoreScan(pathStr: String,
                         branch: Option[String] = None,
                         aLo: Option[Long] = None, aHi: Option[Long] = None,
                         limitN: Option[Int] = None,
-                        maxFilesPerTrigger: Option[Int] = None)
+                        maxFilesPerTrigger: Option[Int] = None,
+                        statBounds: Seq[(String, Option[Long], Option[Long])] = Nil)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -3572,6 +3741,8 @@ private class StoreScan(pathStr: String,
     val kept = candidates
       .filter(_.mayContain(kLo, kHi))
       .filter(_.mayContainA(aLo, aHi))
+      .filter(e => statBounds.forall { case (c, lo, hi) =>
+        e.mayContainStat(c, lo, hi) })
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
     val keptP = allowedParts match {
@@ -3627,6 +3798,8 @@ private class StoreScan(pathStr: String,
     val entries = plannedCandidates(root, fsys)._2
       .filter(_.mayContain(kLo, kHi))
       .filter(_.mayContainA(aLo, aHi))
+      .filter(e => statBounds.forall { case (c, lo, hi) =>
+        e.mayContainStat(c, lo, hi) })
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => allowedParts.forall(ap => e.part.forall(ap.contains)))
     // manifest-carried byte counts — listStatus per file at plan time was

@@ -797,6 +797,119 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("declared stat columns: manifest carries per-column bounds, a third-" +
+       "column predicate prunes planning, MIN/MAX push down and decline right") {
+    import spark.implicits._
+    val dir = freshDir("zonemulti")
+    val root = new Path(dir)
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      spark.sql("ALTER TABLE graft.store ADD COLUMN fee BIGINT")
+      spark.sql("ALTER TABLE graft.store SET TBLPROPERTIES " +
+                "('graft.stats.cols' = 'fee')")
+      // 8 fee-disjoint files; k deliberately NOT clustered, so only the
+      // fee stats can prune
+      (1L to 400L).map(k => (k, s"g${k % 3}", k * 10, (k * 7) % 400))
+        .toDF("k", "grp", "amt_cents", "fee")
+        .repartitionByRange(8, col("fee"))
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+      val entries = StoreSink.readEntries(root, fs)
+      assert(entries.size == 8 &&
+             entries.forall(_.stats.exists(_._1 == "fee")),
+        s"every entry must carry fee bounds: ${entries.map(_.line)}")
+      // narrow fee range plans a strict file subset (spec-pinned count)
+      val narrow = spark.read.format(fmt).option("path", dir).load()
+        .where(col("fee") >= 0 && col("fee") < 50)
+      assert(narrow.count() == (1L to 400L).count(k => (k * 7) % 400 < 50))
+      val (total, planned) = StoreSink.lastZonePrune.get
+      assert(total == 8 && planned <= 2,
+        s"fee zones must prune planning: planned $planned of $total")
+      // unfiltered MIN/MAX(fee): answered from metadata, zero files
+      StoreSink.lastAggPush = None
+      val mm = spark.read.format(fmt).option("path", dir).load()
+        .agg(min(col("fee")), max(col("fee"))).collect()(0)
+      assert(StoreSink.lastAggPush.contains(Seq("min_s:fee", "max_s:fee")))
+      assert(mm.getLong(0) == (1L to 400L).map(k => (k * 7) % 400).min &&
+             mm.getLong(1) == (1L to 400L).map(k => (k * 7) % 400).max)
+      // compaction rewrites PRESERVE declared stats (factory re-resolves)
+      StoreSink.compact(spark, dir, 200)
+      assert(StoreSink.readEntries(root, fs)
+               .forall(e => e.rows == 0 || e.stats.exists(_._1 == "fee")),
+        "compaction dropped declared stats")
+      // a generation written while the column was UNDECLARED makes MIN/MAX
+      // decline (a stat-less file could hide the extremum) but stays
+      // readable; pruning simply keeps the stat-less file
+      spark.sql("ALTER TABLE graft.store UNSET TBLPROPERTIES " +
+                "('graft.stats.cols')")
+      Seq((1000L, "gx", 1L, 9999L)).toDF("k", "grp", "amt_cents", "fee")
+        .write.format(fmt).mode("append").option("path", dir).save()
+      StoreSink.lastAggPush = None
+      val mm2 = spark.read.format(fmt).option("path", dir).load()
+        .agg(max(col("fee"))).collect()(0)
+      assert(StoreSink.lastAggPush.isEmpty,
+        "MIN/MAX must decline when a row-bearing entry lacks the stat")
+      assert(mm2.getLong(0) == 9999L)
+      val wide = spark.read.format(fmt).option("path", dir).load()
+        .where(col("fee") === 9999L)
+      assert(wide.count() == 1, "stat-less file must stay readable")
+    } finally {
+      spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
+    }
+  }
+
+  test("zorder_by: a 3-D morton rewrite makes narrow predicates on ALL " +
+       "three columns prune planning") {
+    import spark.implicits._
+    val dir = freshDir("zorderby")
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      spark.sql("ALTER TABLE graft.store ADD COLUMN fee BIGINT")
+      spark.sql("ALTER TABLE graft.store SET TBLPROPERTIES " +
+                "('graft.stats.cols' = 'fee')")
+      // k-hash-scattered 8-file layout: before the rewrite NO column's
+      // zones can prune anything
+      (1L to 4096L).map(k => (k, s"g${k % 3}", (k * 37) % 4096, (k * 59) % 4096))
+        .toDF("k", "grp", "amt_cents", "fee")
+        .repartition(8, col("k"))
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+      def planned(p: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        p.count(); StoreSink.lastZonePrune.get
+      }
+      def store = spark.read.format(fmt).option("path", dir).load()
+      val (t0, p0) = planned(store.where(col("fee") < 256))
+      assert(t0 == 8 && p0 == 8, s"scattered layout should not prune: $p0/$t0")
+      val res = spark.sql(
+        s"CALL graft.zorder_by('$dir', 512, 'k,amt_cents,fee')").collect()(0)
+      assert(res.getLong(0) == 8 && res.getLong(1) == 8)
+      // after the 3-D rewrite each file covers a compact cube: a narrow
+      // range on EACH column prunes file planning (exact split points
+      // depend on repartitionByRange's sampling, so the pin is "strictly
+      // fewer than all", ≤ 6 of 8 — the pre-rewrite layout planned 8/8)
+      for (c <- Seq("k", "amt_cents", "fee")) {
+        val (t, p) = planned(store.where(col(c) < 256))
+        assert(t == 8 && p <= 6, s"$c zones must prune after zorder_by: $p/$t")
+      }
+      // content survived the rewrite bit for bit
+      assert(store.agg(sum(col("k")), sum(col("amt_cents")), sum(col("fee")))
+        .collect()(0).toSeq ==
+        Seq((1L to 4096L).sum, (1L to 4096L).map(k => (k * 37) % 4096).sum,
+            (1L to 4096L).map(k => (k * 59) % 4096).sum))
+      // refusals: non-bigint and unknown columns, wrong arity
+      intercept[Exception] {
+        spark.sql(s"CALL graft.zorder_by('$dir', 512, 'k,grp')").collect()
+      }
+      intercept[Exception] {
+        spark.sql(s"CALL graft.zorder_by('$dir', 512, 'k')").collect()
+      }
+    } finally {
+      spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
+    }
+  }
+
   test("field-id evolution: rename is metadata-only, drop tombstones the " +
        "slot, re-add never resurrects, base prefix is guarded") {
     import spark.implicits._
