@@ -1669,6 +1669,70 @@ object Sources extends OpModule {
       }
     }),
 
+    // IVM ACROSS A REPLACE (the schema-change case q_store_ivm can't hit):
+    // the change feed is SCHEMA-AWARE — each side of the diff reads under
+    // the schema its generation was committed with (the snapshot-scoped
+    // `_schema.v<V>` archive) and projects by name onto the destination
+    // schema — so a materialized view rides through an RTAS that reshaped
+    // the trailing columns instead of re-bootstrapping: the replace
+    // surfaces as delete-all-old + insert-all-new in the NEW shape, and
+    // the fold still lands bit-for-bit on the direct recompute. At 100 TB
+    // this is the difference between an MV refresh surviving a quarterly
+    // re-materialization and every downstream mart rebuilding from
+    // scratch.
+    "q_store_ivm_replace" -> ((s, d) => withGraftCatalog(s) {
+      val ctasDir = tmp(d, "storeivmr")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(ctasDir), true)
+      val prev = s.conf.getOption(GraftCatalog.CtasDirKey)
+      s.conf.set(GraftCatalog.CtasDirKey, ctasDir)
+      try {
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                  graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+          .createOrReplaceTempView("ivm_src_orders")
+        s.sql("CREATE TABLE graft.mvsrc AS " +
+              "SELECT k, grp, amt_cents FROM ivm_src_orders") // v1
+        val path = s"$ctasDir/mvsrc"
+        def aggOf(df: DataFrame) = df.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        val mv0 = aggOf(s.table("graft.mvsrc")).localCheckpoint()
+        s.sql("INSERT INTO graft.mvsrc VALUES (9000001, 'ZZ', 111)") // v2
+        // the RTAS reshapes content AND trailing schema in one commit
+        s.sql("REPLACE TABLE graft.mvsrc AS " +
+              "SELECT k, grp, amt_cents * 3 AS amt_cents, k % 5 AS b5 " +
+              "FROM ivm_src_orders WHERE k % 2 = 0") // v3
+        val delta = graft.sources.StoreSink.changes(s, path, 1)
+        val shapeOk = delta.columns.toSeq ==
+          Seq("op", "k", "grp", "amt_cents", "b5")
+        val folded = delta.groupBy(col("grp"))
+          .agg(sum(when(col("op") === "insert", 1L).otherwise(-1L)).as("dn"),
+               sum(when(col("op") === "insert", col("amt_cents"))
+                 .otherwise(-col("amt_cents"))).as("dsum"))
+        val ivm = mv0.join(folded, Seq("grp"), "full_outer")
+          .select(col("grp"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("sum_cents"), lit(0L)) +
+              coalesce(col("dsum"), lit(0L))).as("sum_cents"))
+          .where(col("n") > 0)
+        val direct = aggOf(s.table("graft.mvsrc"))
+        val matches = ivm.exceptAll(direct).isEmpty &&
+          direct.exceptAll(ivm).isEmpty
+        val rows = direct.collect().toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_cdf_shape", if (shapeOk) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_ivm_match", if (matches) 1L else 0L, 0L))
+        s.sql("DROP TABLE graft.mvsrc")
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      } finally prev match {
+        case Some(p) => s.conf.set(GraftCatalog.CtasDirKey, p)
+        case None    => s.conf.unset(GraftCatalog.CtasDirKey)
+      }
+    }),
+
     // Per-file GRP BLOOM pruning — the zone maps' sibling for the
     // unordered dimension column: a (grp, k) range-clustered layout makes
     // files grp-homogeneous, the manifest's 64-bit per-file bloom records
@@ -3300,6 +3364,19 @@ object Sources extends OpModule {
         |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents,
         |  COUNT(note) AS n_note, MAX(note) AS max_note
         |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // the folded view == the replaced content, applied relationally; the
+    // flags pin the schema-aware feed shape and the bit-for-bit fold
+    "q_store_ivm_replace" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |rep AS (SELECT grp, amt * 3 AS amt FROM base WHERE k % 2 = 0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM rep GROUP BY grp
+        |UNION ALL SELECT 'z_cdf_shape', 1, 0
+        |UNION ALL SELECT 'z_ivm_match', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // declared-column stats applied relationally: filtered content is
     // exact, MIN/MAX come from metadata, flags pin pruning + pushdown

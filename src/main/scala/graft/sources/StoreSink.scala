@@ -110,12 +110,19 @@ trait StoreLockProvider {
 
 class StoreSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Option(options.get("path")).map(StoreSink.tableSchema)
+    Option(options.get("path")).map(p => StoreSink.tableSchema(p,
+        Option(options.get("atVersion")).map(_.toInt)))
       .getOrElse(StoreSink.schema)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new StoreTable(properties.get("path"), requested = partitioning)
+    // `atVersion` pins SCHEMA + layout resolution for path-based reads —
+    // the change-feed reads archived generations' files under the schema
+    // they were written with (time travel through the catalog passes the
+    // version directly instead)
+    new StoreTable(properties.get("path"),
+      Option(properties.get("atVersion")).map(_.toInt),
+      requested = partitioning)
 }
 
 object StoreSink {
@@ -1395,25 +1402,43 @@ object StoreSink {
     }).filterNot(_.startsWith("#")).map(parseEntry(_).token)
     val from = names(Some(fromV))
     val to = names(toV)
-    // a REPLACE between fromV and toV changed the trailing schema — the
-    // two sides would not even union; fail loudly, never decode wrongly
-    val toBound = toV.getOrElse(Int.MaxValue)
-    val crossed = listSchemaArchives(root, fsys).filter(w => w >= fromV && w < toBound)
-    require(crossed.isEmpty,
-      s"change feed crosses a REPLACE TABLE boundary (schema archived at " +
-        s"version ${crossed.mkString(",")}) — read the generations separately")
-    val tbl = tableSchema(pathStr)
-    def readFiles(files: Seq[String]): org.apache.spark.sql.DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), tbl)
-      else
-        spark.read.format("graft.sources.StoreSink")
-          .option("path", pathStr).option("files", files.mkString(",")).load()
-    val added = readFiles(to.diff(from))
-    val removed = readFiles(from.diff(to))
+    // SCHEMA-AWARE across REPLACE/rename/drop boundaries: each side's
+    // files are read under the schema THEY were committed with (the
+    // `atVersion` read option resolves the archived `_schema.v<V>` —
+    // decoding an old generation under the new trailing layout is exactly
+    // the ordinal-misread the snapshot-scoped archive exists to prevent),
+    // then both sides PROJECT BY NAME onto the consumer's schema — the one
+    // at `toV` — null-padding columns that didn't exist yet and dropping
+    // ones that no longer do. The feed is therefore always shaped like the
+    // destination view, which is what an IVM consumer folds into; changes
+    // to since-dropped columns are invisible BY CONSTRUCTION (they cannot
+    // affect any aggregate over the surviving schema). A REPLACE surfaces
+    // as delete-all-old + insert-all-new less whatever nets out — cost
+    // O(both generations), inherent: everything changed.
+    val target = tableSchema(pathStr, toV)
+    def readFiles(files: Seq[String],
+                  at: Option[Int]): org.apache.spark.sql.DataFrame = {
+      val projected =
+        if (files.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            tableSchema(pathStr, at))
+        else {
+          val r = spark.read.format("graft.sources.StoreSink")
+            .option("path", pathStr).option("files", files.mkString(","))
+          at.fold(r)(v => r.option("atVersion", v.toString)).load()
+        }
+      projected.select(target.fields.toSeq.map { f =>
+        if (projected.columns.contains(f.name))
+          org.apache.spark.sql.functions.col(f.name)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val added = readFiles(to.diff(from), toV)
+    val removed = readFiles(from.diff(to), Some(fromV))
     added.exceptAll(removed).withColumn("op", lit("insert"))
       .union(removed.exceptAll(added).withColumn("op", lit("delete")))
-      .select(("op" +: tbl.fieldNames.toSeq).map(org.apache.spark.sql.functions.col): _*)
+      .select(("op" +: target.fieldNames.toSeq).map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** COMMIT LOCK — the concurrency primitive every multi-writer table

@@ -235,7 +235,8 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
-  test("RTAS: snapshot-scoped schema, CDF boundary refusal, archive GC, abort restore") {
+  test("RTAS: snapshot-scoped schema, schema-aware CDF across the boundary, " +
+       "archive GC, abort restore") {
     withCatalog {
       val dir = "target/tmp/catalog_spec_rtas"
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -263,11 +264,20 @@ class GraftCatalogSpec extends SparkSpec {
         val v1 = spark.sql("SELECT * FROM graft.rt VERSION AS OF 1")
         assert(v1.schema.fieldNames.last == "label")
         assert(v1.where("label = 'sa'").count() > 0)
-        // CDF across the replace boundary refuses loudly
-        val ex = intercept[Exception] {
-          StoreSink.changes(spark, s"$dir/rt", 1).collect()
-        }
-        assert(ex.getMessage.contains("REPLACE TABLE boundary"))
+        // SCHEMA-AWARE CDF across the replace boundary: each side reads
+        // under ITS schema, both project onto the destination's (b5, not
+        // label) — a replace surfaces as delete-all-old + insert-all-new
+        val cdf = StoreSink.changes(spark, s"$dir/rt", 1, Some(2))
+        assert(cdf.columns.toSeq == Seq("op", "k", "grp", "amt_cents", "b5"))
+        val byOp = cdf.collect().groupBy(_.getString(0))
+        assert(byOp("delete").length == 100 && byOp("insert").length == 50,
+          s"replace CDF must be full delete+insert: ${byOp.view.mapValues(_.length).toMap}")
+        // deleted rows carry the OLD generation's values, null-padded in
+        // the new column; inserted rows carry the new generation's
+        assert(byOp("delete").forall(r => r.isNullAt(4) &&
+          r.getLong(3) == r.getLong(1) * 2))
+        assert(byOp("insert").forall(r => r.getLong(3) == r.getLong(1) * 3 &&
+          r.getLong(4) == r.getLong(1) % 5))
         // vacuum to 1 version: v1 expires, its schema archive dies with it
         assert(StoreSink.listSchemaArchives(root, fs).nonEmpty)
         StoreSink.vacuum(s"$dir/rt", 1)
