@@ -349,25 +349,39 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       val p = org.apache.spark.sql.SparkSession.active.conf
         .getOption(GraftCatalog.StorePathKey)
         .getOrElse(throw new NoSuchTableException(ident))
-      // integer = a version number; anything else = a NAMED TAG resolved
-      // through the store's _tags refs (VERSION AS OF 'pre_migration')
-      val v = try version.toInt catch {
-        case _: NumberFormatException =>
-          val root = new org.apache.hadoop.fs.Path(p)
-          StoreSink.tagVersion(root, StoreSink.fs(root), version)
-      }
-      new StoreTable(p, Some(v))
+      // integer = a version number; anything else = a NAMED REF — a TAG
+      // (pinned archived version) first, else a live WAP BRANCH, resolved
+      // as the AUDIT view (main ∪ staged) — `VERSION AS OF 'audit'` is how
+      // a validation job reads staged-but-unpublished data without the
+      // manual union (the Iceberg branch-read shape in the version-ref
+      // namespace tags already own)
+      resolveRef(p, version)
     } else if (inKnownNs(ident) && ctasExists(ident)) {
       // CTAS/RTAS tables are stores too — `VERSION AS OF n` resolves their
       // archived generations (e.g. the pre-REPLACE snapshot) the same way
-      val p = ctasPath(ident).get
-      val v = try version.toInt catch {
-        case _: NumberFormatException =>
-          val root = new org.apache.hadoop.fs.Path(p)
-          StoreSink.tagVersion(root, StoreSink.fs(root), version)
-      }
-      new StoreTable(p, Some(v))
+      resolveRef(ctasPath(ident).get, version)
     } else throw new NoSuchTableException(ident)
+
+  private def resolveRef(p: String, version: String): Table = {
+    val intV = try Some(version.toInt) catch {
+      case _: NumberFormatException => None
+    }
+    intV match {
+      case Some(v) => new StoreTable(p, Some(v))
+      case None =>
+        val root = new org.apache.hadoop.fs.Path(p)
+        val fsys = StoreSink.fs(root)
+        if (StoreSink.readTags(root, fsys).contains(version))
+          new StoreTable(p, Some(StoreSink.tagVersion(root, fsys, version)))
+        else if (StoreSink.branchExists(root, fsys, version))
+          new StoreTable(p, branchView = Some(version))
+        else // tagVersion's error names the known tags; add the branches
+          throw new IllegalArgumentException(
+            s"no tag or branch named '$version' (tags: " +
+              s"${StoreSink.readTags(root, fsys).keys.toSeq.sorted.mkString(",")}; " +
+              s"branches: ${StoreSink.listBranches(root, fsys).mkString(",")})")
+    }
+  }
 
   /** `TIMESTAMP AS OF t` — the time-travel form users actually write:
     * resolve the latest version whose COMMIT-LEDGER instant (the `#ts=`

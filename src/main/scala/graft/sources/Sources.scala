@@ -1623,6 +1623,54 @@ object Sources extends OpModule {
       }
     }),
 
+    // BRANCH READS BY NAME: `VERSION AS OF '<branch>'` resolves a live WAP
+    // branch as its AUDIT view (main ∪ staged) through the same named-ref
+    // namespace tags use — the validation job reads staged data in plain
+    // SQL, no manual union, no connector options. The flags pin: main
+    // stays untouched, vacuum treats the live branch as a reference root
+    // (staged files survive), and after publish the name no longer
+    // resolves (loud — refs never silently fall through to stale data).
+    "q_store_wap_read" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storewapread")
+      val (base, maxK) = seedStore(s, d, path) // v1
+      withStorePath(s, path) {
+        val fmtS = "graft.sources.StoreSink"
+        base.where(pmod(col("k"), lit(101)) === 0)
+          .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+                  (col("k") * 10).as("amt_cents"))
+          .write.format(fmtS).mode("append")
+          .option("path", path).option("branch", "audit").save()
+        val seedN = base.count()
+        val stagedN = base.where(pmod(col("k"), lit(101)) === 0).count()
+        val agg = s.sql("SELECT * FROM graft.store VERSION AS OF 'audit'")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val mainUntouched = s.table("graft.store").count() == seedN
+        // vacuum with the branch LIVE: staged files are reference roots
+        graft.sources.StoreSink.vacuum(path, 1)
+        val vacuumPins = s.sql(
+          "SELECT COUNT(*) AS c FROM graft.store VERSION AS OF 'audit'")
+          .collect()(0).getLong(0) == seedN + stagedN
+        s.sql(s"CALL graft.publish('$path', 'audit')")
+        val goneLoud =
+          try { s.sql("SELECT * FROM graft.store VERSION AS OF 'audit'")
+                  .collect(); 0L }
+          catch { case _: Exception => 1L }
+        val rows = agg.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_gone_after_publish", goneLoud, 0L),
+          org.apache.spark.sql.Row("z_main_untouched",
+            if (mainUntouched) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_vacuum_pins",
+            if (vacuumPins) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("grp", StringType), StructField("n", LongType),
+          StructField("sum_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+      }
+    }),
+
     // INCREMENTAL VIEW MAINTENANCE over the change feed — what CDF is
     // FOR: a downstream aggregate (the materialized view) is advanced
     // from v1 to the current state by folding in the NET row deltas
@@ -3364,6 +3412,22 @@ object Sources extends OpModule {
         |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents,
         |  COUNT(note) AS n_note, MAX(note) AS max_note
         |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // audit view = seed ∪ staged applied relationally; flags pin main
+    // isolation, vacuum pinning, and loud resolution after publish
+    "q_store_wap_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |ins AS (SELECT 'NEW' AS grp, k * 10 AS amt FROM base WHERE k % 101 = 0),
+        |au AS (SELECT grp, amt FROM base UNION ALL SELECT grp, amt FROM ins)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM au GROUP BY grp
+        |UNION ALL SELECT 'z_gone_after_publish', 1, 0
+        |UNION ALL SELECT 'z_main_untouched', 1, 0
+        |UNION ALL SELECT 'z_vacuum_pins', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // the folded view == the replaced content, applied relationally; the
     // flags pin the schema-aware feed shape and the bit-for-bit fold

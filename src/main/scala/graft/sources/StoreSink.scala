@@ -1679,6 +1679,11 @@ object StoreSink {
     }
   }
 
+  private[sources] def branchExists(root: Path, fsys: FileSystem,
+                                    name: String): Boolean =
+    name.matches("[A-Za-z0-9_-]+") &&
+      manifestFs(fsys).exists(new Path(root, branchFile(name)))
+
   private[sources] def listBranches(root: Path, fsys: FileSystem): Seq[String] =
     manifestFs(fsys).listStatus(root).map(_.getPath.getName)
       .filter(n => n.startsWith("_manifest.b") && !n.endsWith(".tmp"))
@@ -2118,7 +2123,8 @@ object StoreSink {
 
 private class StoreTable(pathStr: String, version: Option[Int] = None,
                          requested: Array[Transform] = Array.empty,
-                         viaCatalog: Boolean = false)
+                         viaCatalog: Boolean = false,
+                         branchView: Option[String] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns
@@ -2290,10 +2296,15 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     Array(StoreFileColumn)
   require(pathStr != null, "graft-store requires a path option")
 
-  private def requireCurrent(op: String): Unit =
+  private def requireCurrent(op: String): Unit = {
     require(version.isEmpty,
       s"graft-store $op is not allowed on a pinned snapshot (VERSION AS OF " +
         s"${version.get}) — snapshots are read-only")
+    require(branchView.isEmpty,
+      s"graft-store $op is not allowed on a branch AUDIT view (VERSION AS " +
+        s"OF '${branchView.get}') — stage more data with " +
+        "option(\"branch\", ...), then publish or abandon")
+  }
 
   /** Full row-level SQL (UPDATE / MERGE INTO, and DELETE whose predicate
     * SupportsDelete can't translate) via the GROUP-BASED (copy-on-write)
@@ -2341,7 +2352,8 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
   }
 
   override def name(): String =
-    s"graft_store($pathStr${version.map(v => s"@v$v").getOrElse("")})"
+    s"graft_store($pathStr${version.map(v => s"@v$v").getOrElse("")}" +
+      s"${branchView.map(b => s"@branch=$b").getOrElse("")})"
   /** Under the scoped delta-mode conf the row-id column `k` is declared
     * NOT NULL (Iceberg identifier-field semantics — Spark refuses nullable
     * row ids, correctly: an equality mask cannot address a null key). The
@@ -2365,7 +2377,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(pathStr, version,
       Option(options.get("files")).map(_.split(",").toSeq.filter(_.nonEmpty)),
-      tblSchema, Option(options.get("branch")),
+      tblSchema, Option(options.get("branch")).orElse(branchView),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

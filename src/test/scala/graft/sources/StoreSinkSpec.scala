@@ -748,6 +748,12 @@ class StoreSinkSpec extends SparkSpec {
     branchFiles.foreach(f => assert(fs.exists(new Path(dir, f)),
       s"vacuum deleted live branch file $f"))
     assert(readBack(dir).size == 20, "branch leaked into main")
+    // a branch AUDIT view resolved by name is read-only: writes refuse
+    val ex = intercept[Exception] {
+      new StoreTable(dir, branchView = Some("staged"))
+        .newWriteBuilder(null)
+    }
+    assert(ex.getMessage.contains("branch AUDIT view"))
     StoreSink.publish(dir, "staged")
     assert(readBack(dir).size == 30)
     // once ABANDONED-equivalent state is gone (published), nothing dangles
