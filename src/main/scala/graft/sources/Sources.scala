@@ -1781,6 +1781,52 @@ object Sources extends OpModule {
       }
     }),
 
+    // RUNTIME BLOOM-FILTER JOIN PRUNING: a selective fact⋈dim equi-join on
+    // `grp` — the UNORDERED dimension column zones can't help with —
+    // realizes the dim side's values at runtime (SupportsRuntimeFiltering)
+    // and skips every file whose per-file bloom says "cannot contain any
+    // of them". The dim side is derived by an AGGREGATE (rare statuses),
+    // so no static `grp = 'P'` constant can be inferred at compile time —
+    // the pruning observed is genuinely runtime. File skipping from a
+    // JOIN on a non-partition, non-zone column is the last pruning
+    // dimension the store lacked; at 100 TB it turns "dim-filtered fact
+    // scan" from a full-table read into a bloom-hit subset.
+    "q_store_bloom_join" -> ((s, d) => {
+      val path = tmp(d, "storebloomjoin")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+        .repartitionByRange(8, col("grp"), col("k")) // grp-homogeneous files
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      val store = s.read.format("graft.sources.StoreSink")
+        .option("path", path).load()
+      // the dim side carries a SELECTIVE but non-foldable predicate (an
+      // md5-threshold on the value — DPP's injection heuristic needs a
+      // filter, and no static `grp = 'P'` constant can be inferred from
+      // it), so the pruning observed can only be the runtime-realized join
+      // values hitting the blooms
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("dgrp")).distinct()
+        .where(conv(substring(md5(col("dgrp")), 1, 2), 16, 10) < 100)
+      graft.sources.StoreSink.lastZonePrune = None
+      val joined = store.join(broadcast(dim), col("grp") === col("dgrp"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+        .collect()
+      val (total, planned) = graft.sources.StoreSink.lastZonePrune.get
+      val rows = joined.toSeq :+
+        org.apache.spark.sql.Row("z_bloom_join_pruned",
+          if (planned < total && planned >= 1) 1L else 0L, 0L)
+      val schema = StructType(Seq(
+        StructField("grp", StringType), StructField("n", LongType),
+        StructField("sum_cents", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
+    }),
+
     // Per-file GRP BLOOM pruning — the zone maps' sibling for the
     // unordered dimension column: a (grp, k) range-clustered layout makes
     // files grp-homogeneous, the manifest's 64-bit per-file bloom records
@@ -3412,6 +3458,19 @@ object Sources extends OpModule {
         |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents,
         |  COUNT(note) AS n_note, MAX(note) AS max_note
         |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // the aggregate-derived dim join applied relationally; the flag pins
+    // that the realized dim value pruned file planning at runtime
+    "q_store_bloom_join" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |dim AS (SELECT DISTINCT grp AS dgrp FROM base
+        |        WHERE CAST(('0x' || SUBSTR(md5(grp), 1, 2)) AS INTEGER) < 100)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM base JOIN dim ON grp = dgrp GROUP BY grp
+        |UNION ALL SELECT 'z_bloom_join_pruned', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     // audit view = seed ∪ staged applied relationally; flags pin main
     // isolation, vacuum pinning, and loud resolution after publish

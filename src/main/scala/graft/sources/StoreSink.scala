@@ -583,6 +583,8 @@ object StoreSink {
 
   /** Test observability: last (planned, kept) zone-map narrowing. */
   @volatile private[sources] var lastZonePrune: Option[(Int, Int)] = None
+  /** Last runtime filter handed to a store scan (spec observability). */
+  @volatile private[graft] var lastRuntimeFilter: Option[String] = None
 
   /** Test observability: last (candidates, kept) partition-value pruning
     * (set only for scans over a partitioned store). */
@@ -3627,7 +3629,8 @@ private class StoreScan(pathStr: String,
     * join keys) to their bucket. Conjuncts intersect. */
   private def allowedParts: Option[Set[String]] = spec.flatMap { sp =>
     val conjuncts: Seq[Set[String]] =
-      if (sp.kind == "identity") grpValues.map(_.toSet)
+      if (sp.kind == "identity")
+        grpValues.map(_.toSet) ++ runtimeGrps.map(_.toSet).toSeq
       else (kValues ++ runtimeKeys.toSeq).map(
         _.map(v => java.lang.Math.floorMod(v, sp.n.toLong).toString).toSet)
     conjuncts.reduceOption(_ intersect _)
@@ -3719,6 +3722,17 @@ private class StoreScan(pathStr: String,
   /** Realized runtime join keys (sorted), when DPP handed any. */
   @volatile private var runtimeKeys: Option[Array[Long]] = None
 
+  private def runtimeGrpSigs: Option[Array[Long]] =
+    runtimeGrps.map(_.map(StoreSink.grpSig))
+
+  /** Realized runtime GRP join values — runtime BLOOM-filter pruning on
+    * the non-zone dimension column: a selective fact⋈dim join on `grp`
+    * realizes the dim side's values, and files whose per-file bloom says
+    * "cannot contain any of them" are skipped — file skipping from a JOIN,
+    * on a column zones can't order. Values kept verbatim too: on an
+    * identity-partitioned store they prune whole partition DIRS. */
+  @volatile private var runtimeGrps: Option[Array[String]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -3729,11 +3743,20 @@ private class StoreScan(pathStr: String,
     s"GraftStoreScan($pathStr)$z"
   }
 
-  // ---- runtime filtering (DPP into the store via the zone maps)
+  // ---- runtime filtering (DPP into the store via zone maps AND blooms)
+  // Only columns the PRUNED read schema still carries: Spark resolves the
+  // declared attributes against readSchema(), so advertising a column the
+  // projection dropped fails analysis ("Unable to resolve k given [...]").
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
+    Seq("k", "grp").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
 
-  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+  override def filter(filters: Array[Filter]): Unit = {
+    StoreSink.lastRuntimeFilter =
+      Some(filters.map(f => f.toString + " [" +
+        f.references.mkString(",") + "]").mkString("; "))
+    filters.foreach {
     case In(a, vs) if a == "k" =>
       val ks = vs.collect {
         case i: java.lang.Integer => i.longValue()
@@ -3744,8 +3767,16 @@ private class StoreScan(pathStr: String,
       // keys — a silently wrong (possibly empty) scan. Skipping runtime
       // pruning is always safe; the join itself still filters rows.
       if (ks.length == vs.length) runtimeKeys = Some(ks)
+    case In(a, vs) if a == "grp" =>
+      val gs = vs.collect {
+        case s: String => s
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      }
+      // same every-value-converted rule; NULL join keys never match an
+      // equi-join, so dropping them from the realized set is safe
+      if (gs.length == vs.count(_ != null)) runtimeGrps = Some(gs)
     case _ => ()
-  }
+  } }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(pathStr)
@@ -3782,6 +3813,7 @@ private class StoreScan(pathStr: String,
         e.mayContainStat(c, lo, hi) })
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
+      .filter(e => runtimeGrpSigs.forall(e.mayContainGrp))
     val keptP = allowedParts match {
       case Some(ap) => kept.filter(_.part.forall(ap.contains))
       case None     => kept
@@ -3794,7 +3826,7 @@ private class StoreScan(pathStr: String,
     // runtime filter narrowed the scan after pushdown
     val keptL = limitN match {
       case Some(n) if keptP.forall(e => e.rows >= 0 && e.eq.isEmpty) &&
-          runtimeKeys.isEmpty =>
+          runtimeKeys.isEmpty && runtimeGrps.isEmpty =>
         var acc = 0L
         val prefix = keptP.takeWhile { e =>
           val need = acc < n; acc += e.rows; need

@@ -245,6 +245,45 @@ class StoreSinkSpec extends SparkSpec {
     assert(k2 < p2, s"runtime keys did not narrow planning: $p2 -> $k2")
   }
 
+  test("runtime bloom pruning: realized grp join values skip files; an " +
+       "absent value plans zero") {
+    import spark.implicits._
+    val dir = freshDir("rtbloom")
+    // grp-homogeneous files: two per grp
+    df(1 to 40, "a").repartition(2).write.format(fmt).mode("overwrite")
+      .option("path", dir).save()
+    df(41 to 80, "b").repartition(2).write.format(fmt).mode("append")
+      .option("path", dir).save()
+    val all = spark.read.format(fmt).option("path", dir).load()
+    // dim realizes exactly "b" at RUNTIME: the selective predicate is on
+    // `id`, so no static grp constant can be inferred — and a Range dim
+    // (not a LocalRelation) is what DPP's injection heuristic accepts
+    StoreSink.lastZonePrune = None
+    StoreSink.lastRuntimeFilter = None
+    val dim = spark.range(0, 2)
+      .select(col("id"), expr("case when id = 0 then 'a' else 'b' end").as("dgrp"))
+      .where(col("id") % 2 === 1)
+    val j = all.join(org.apache.spark.sql.functions.broadcast(dim),
+                     col("grp") === col("dgrp"))
+    assert(j.count() == 40)
+    assert(StoreSink.lastRuntimeFilter.exists(_.contains("grp")),
+      s"no runtime grp filter was injected: ${StoreSink.lastRuntimeFilter}")
+    val (t1, p1) = StoreSink.lastZonePrune.get
+    assert(t1 == 4 && p1 == 2,
+      s"realized grp values must prune via the blooms: $p1/$t1")
+    // an absent realized value prunes EVERY file
+    StoreSink.lastZonePrune = None
+    val dimAbsent = spark.range(0, 2)
+      .select(col("id"), expr("case when id = 0 then 'zz' else 'b' end").as("dgrp"))
+      .where(col("id") % 2 === 0)
+    val j0 = all.join(org.apache.spark.sql.functions.broadcast(dimAbsent),
+                      col("grp") === col("dgrp"))
+    assert(j0.count() == 0)
+    val (t0, p0) = StoreSink.lastZonePrune.get
+    assert(t0 == 4 && p0 == 0,
+      s"absent realized value must plan zero files: $p0/$t0")
+  }
+
   test("row-level MERGE rewrites only the files whose zones hold matched keys") {
     import spark.implicits._
     val dir = freshDir("groupfilter")
