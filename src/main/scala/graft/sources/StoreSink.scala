@@ -2610,6 +2610,14 @@ private class StoreRowLevelOperation(pathStr: String, cmd: Command)
         scanned = parts.map(_.asInstanceOf[StoreFilePartition].rel).toSeq
         parts
       }
+      // TRAP: a row-level op's runtime GROUP FILTER is built over ALL
+      // advertised filter attributes AT ONCE — with (k, grp) advertised,
+      // Spark emits a named_struct(k, grp) IN <subquery> no source filter
+      // can translate, the filter silently drops, and the op rewrites
+      // EVERY file (caught by the file-granular COW specs). The group
+      // filter key here is the zone column alone.
+      override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
     }
   }
 
@@ -2705,7 +2713,12 @@ private class StoreDeltaOperation(pathStr: String, cmd: Command)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val tbl = StoreSink.tableSchema(pathStr)
-    () => new StoreScan(pathStr, required = tbl, table = tbl)
+    () => new StoreScan(pathStr, required = tbl, table = tbl) {
+      // same struct-IN trap as the group-based op: advertise the row-id
+      // zone column alone so the runtime group filter stays translatable
+      override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
