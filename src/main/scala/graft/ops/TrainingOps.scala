@@ -355,6 +355,66 @@ object TrainingOps extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE VOCABULARY INDUCTION (Sennrich et al. 2016) — the tokenizer-
+    // training pipeline stage itself, distributed: words become spaced
+    // symbol sequences ('h i </w>'), and each of 6 merge steps is ONE
+    // corpus-wide aggregate — count adjacent symbol pairs weighted by word
+    // frequency, take the argmax (ties to the lexicographically smallest
+    // pair), then apply the merge as a delimiter-anchored string REPLACE
+    // over the word table. The word-frequency table is the ONLY corpus
+    // scan; every iteration runs over that bounded distinct-word frame
+    // (localCheckpointed once — the bounded-derived-frame rule), so the
+    // whole training costs one corpus pass + 6 vocab-sized aggregates. The
+    // iteration count is FIXED (never data-scaled — the recorded driver-
+    // loop rule). Merge application note: the space-delimited REPLACE
+    // consumes its trailing delimiter, so back-to-back repeats ('l l l')
+    // merge alternately — both engines implement the identical scan, and
+    // the oracle replays all 6 steps, so the learned merges, their counts,
+    // AND the resulting symbol inventory are hash-pinned. At 100 TB: the
+    // word-freq table is the classic first reduce (vocab ≪ corpus); each
+    // merge step is a broadcast-sized argmax + a map-only rewrite of the
+    // vocab — tokenizer training never rescans the corpus.
+    "q_bpe_train" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(concat(
+            concat_ws(" ", expr(
+              "transform(sequence(1, length(w)), i -> substring(w, cast(i as int), 1))")),
+            lit(" </w>")).as("s"), col("freq"))
+        .localCheckpoint() // bounded: one row per distinct word
+      var words = wf
+      val merges = Seq.newBuilder[(Long, String, Long)]
+      for (step <- 1 to 6) { // FIXED iteration count
+        val top = words
+          .select(col("freq"), explode(expr(
+            """transform(sequence(0, size(split(s, ' ')) - 2),
+              |  j -> concat(element_at(split(s, ' '), j + 1), ' ',
+              |              element_at(split(s, ' '), j + 2)))""".stripMargin))
+            .as("pr"))
+          .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pr")).limit(1)
+          .collect()(0)
+        val pr = top.getString(0); val cnt = top.getLong(1)
+        merges += ((step.toLong, pr, cnt))
+        val merged = pr.replace(" ", "")
+        val (prQ, mergedQ) = (pr.replace("'", "''"), merged.replace("'", "''"))
+        words = words.select(
+          expr(s"trim(replace(concat(' ', s, ' '), ' $prQ ', ' $mergedQ '))")
+            .as("s"), col("freq"))
+      }
+      val vocab = words
+        .select(col("freq"), explode(split(col("s"), " ")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym")).limit(10)
+        .select(lit(7L).as("step"), col("sym").as("item"), col("cnt"))
+      import s.implicits._
+      merges.result().toDF("step", "item", "cnt")
+        .unionByName(vocab)
+        .orderBy(col("step"), col("item"))
+    }),
+
     // Stratified deterministic sampling: per-language rates (en 5%, de 25%,
     // fr 50%, other 10%) applied via the first md5 byte of the key — the
     // q_sample_hash predicate generalized to per-stratum thresholds.
@@ -1074,6 +1134,45 @@ object TrainingOps extends OpModule {
     // trained cells -> assignment/probe/rank — centroids are bit-stable, so
     // the hash pins the whole index, recall curve included
     "q_sim_ivf_kmeans" -> simIvfKmeansOracle,
+
+    // all 6 merge steps replayed as chained CTEs — learned merges, counts,
+    // and the final symbol inventory are all hash-pinned
+    "q_bpe_train" -> {
+      def pairsFrom(w: String): String =
+        s"""SELECT UNNEST(LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(s, ' ')) - 1),
+           |      j -> STRING_SPLIT(s, ' ')[CAST(j + 1 AS INT)] || ' ' ||
+           |           STRING_SPLIT(s, ' ')[CAST(j + 2 AS INT)])) AS pr, freq
+           |    FROM $w""".stripMargin
+      val steps = (1 to 6).map { i =>
+        val prev = s"w${i - 1}"
+        s"""p$i AS (SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |${pairsFrom(prev)}) t
+           |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1),
+           |w$i AS (SELECT TRIM(REPLACE(' ' || s || ' ',
+           |          ' ' || (SELECT pr FROM p$i) || ' ',
+           |          ' ' || REPLACE((SELECT pr FROM p$i), ' ', '') || ' ')) AS s,
+           |        freq FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      val mergeRows = (1 to 6).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, pr AS item, cnt FROM p$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+         |    FROM documents) t
+         |  WHERE w <> '' GROUP BY w),
+         |w0 AS (SELECT ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(w) + 1),
+         |          i -> SUBSTR(w, CAST(i AS INT), 1)), ' ') || ' </w>' AS s,
+         |        freq FROM wf),
+         |$steps,
+         |vocab AS (SELECT CAST(7 AS BIGINT) AS step, sym AS item,
+         |            CAST(SUM(freq) AS BIGINT) AS cnt
+         |          FROM (SELECT UNNEST(STRING_SPLIT(s, ' ')) AS sym, freq
+         |                FROM w6) t
+         |          GROUP BY sym ORDER BY cnt DESC, sym LIMIT 10)
+         |$mergeRows
+         |UNION ALL SELECT step, item, cnt FROM vocab
+         |ORDER BY step, item""".stripMargin
+    },
 
     // recall@5 of both quantizers against the exact top-5, all three
     // pipelines replayed relationally

@@ -110,17 +110,25 @@ trait StoreLockProvider {
 
 class StoreSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Option(options.get("path")).map(p => StoreSink.tableSchema(p,
-        Option(options.get("atVersion")).map(_.toInt)))
-      .getOrElse(StoreSink.schema)
+    Option(options.get("path")).map { p =>
+      if ("true".equalsIgnoreCase(options.get("changeFeed")))
+        StoreSink.cdfSchema(p)
+      else StoreSink.tableSchema(p,
+        Option(options.get("atVersion")).map(_.toInt))
+    }.getOrElse(StoreSink.schema)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
+    // `changeFeed=true` resolves the STREAMING CHANGE FEED view of the
+    // table (op/cv-prefixed rows, version-offset micro-batches);
     // `atVersion` pins SCHEMA + layout resolution for path-based reads —
-    // the change-feed reads archived generations' files under the schema
-    // they were written with (time travel through the catalog passes the
-    // version directly instead)
-    new StoreTable(properties.get("path"),
+    // the batch change feed reads archived generations' files under the
+    // schema they were written with (time travel through the catalog
+    // passes the version directly instead)
+    if ("true".equalsIgnoreCase(properties.get("changeFeed")))
+      new StoreCdfTable(properties.get("path"),
+        Option(properties.get("startingVersion")).map(_.toInt))
+    else new StoreTable(properties.get("path"),
       Option(properties.get("atVersion")).map(_.toInt),
       requested = partitioning)
 }
@@ -346,6 +354,14 @@ object StoreSink {
     val root = new Path(pathStr)
     layoutOf(readExtrasAt(root, fs(root), version))
   }
+
+  /** Change-feed row shape: op (insert|delete), cv (commit version), then
+    * the CURRENT table columns — older generations project by name. */
+  def cdfSchema(pathStr: String): StructType =
+    StructType(
+      StructField("op", StringType, nullable = false) +:
+      StructField("cv", LongType, nullable = false) +:
+      tableSchema(pathStr).fields.toSeq)
 
   /** The CURRENT table schema: immutable base + live sidecar extras. */
   def tableSchema(pathStr: String): StructType = tableSchema(pathStr, None)
@@ -4156,6 +4172,236 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
         if (identity) full
         else InternalRow.fromSeq(getters.toSeq.map(_(full)))
       }
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+// ------------------------------------------------------ streaming change feed
+
+/** STREAMING CHANGE DATA FEED over the store (`option("changeFeed",
+  * "true")` + readStream — the Delta CDF streaming read, reconstructed
+  * from version manifests alone): offsets are COMMIT VERSIONS, and each
+  * micro-batch emits the row changes of the versions in its window as
+  * (op, cv, row) — `insert`/`delete`, with an update surfacing as its
+  * delete+insert pair.
+  *
+  * Per version transition the FILE-token diff decides the work, and the
+  * merge-on-read sidecars make most of it METADATA-SIZED:
+  *  - a genuinely new file emits its live rows as inserts;
+  *  - a fully removed file emits its previously-live rows as deletes;
+  *  - a file whose MASKS changed (deletion-vector or equality sidecar —
+  *    the delta-protocol write paths) emits ONLY the newly-dead rows as
+  *    deletes: the feed's cost for a keyed CDC commit is the changed
+  *    rows, never the file.
+  * A copy-on-write rewrite (same rows, new file) emits carried-over rows
+  * as delete+insert pairs — fold-correct (they cancel in any additive
+  * consumer, the IVM contract) though not row-minimal; the batch
+  * [[StoreSink.changes]] nets them when minimality matters.
+  *
+  * Schema changes between versions are handled the schema-aware-CDF way:
+  * each partition decodes under ITS version's archived layout and
+  * projects BY NAME onto the feed's fixed output schema (resolved at
+  * query start). Restart resumes from the committed version offset;
+  * vacuumed versions fail loudly via readVersionLines. At 100 TB this is
+  * the downstream-mart feed: per-commit cost tracks CHANGED rows/files,
+  * and the driver never lists data directories — versions and sidecars
+  * are the whole metadata surface. */
+private class StoreCdfTable(pathStr: String, startV: Option[Int])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_store_cdf($pathStr)"
+  override def schema(): StructType = StoreSink.cdfSchema(pathStr)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val out = schema()
+    () => new Scan {
+      override def readSchema(): StructType = out
+      override def description(): String = s"GraftStoreCdfScan($pathStr)"
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new StoreCdfStream(pathStr, out, startV)
+    }
+  }
+}
+
+private case class StoreCdfOffset(v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** One change-feed partition: one file read under ITS version's physical
+  * layout, mask-filtered, emitted with a constant (op, cv) prefix and a
+  * by-name projection onto the feed schema. Mask arrays are resolved
+  * DRIVER-side from the (small) sidecars. */
+private case class StoreCdfPartition(file: String, op: String, cv: Long,
+                                     skipOrdinals: Array[Int],
+                                     skipKeys: Array[Long],
+                                     onlyOrdinals: Array[Int],
+                                     onlyKeys: Array[Long],
+                                     physTypes: Array[DataType],
+                                     physDefaults: Array[Any],
+                                     colNames: Array[String],
+                                     colSlots: Array[Int])
+    extends InputPartition
+
+private class StoreCdfStream(pathStr: String, output: StructType,
+                             startV: Option[Int])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private def root = new Path(pathStr)
+  private def fsys = StoreSink.fs(root)
+
+  private def headVersion: Int =
+    StoreSink.listVersions(root, fsys).lastOption.getOrElse(0)
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    StoreCdfOffset(startV.getOrElse(headVersion))
+
+  @volatile private var availableTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(headVersion)
+
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    StoreCdfOffset(availableTarget.getOrElse(headVersion))
+
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: the
+  // 2-arg form is what Spark actually calls; version windows are cheap,
+  // so no admission cap — all available versions per batch
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset =
+    StoreCdfOffset(availableTarget.getOrElse(headVersion))
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    StoreCdfOffset(json.toInt)
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def entriesAt(v: Int): Seq[StoreSink.StoreFileEntry] =
+    if (v <= 0) Nil
+    else StoreSink.readVersionLines(root, fsys, v)
+      .filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
+
+  private def layoutFor(v: Int): (StoreSink.StoreLayout, Array[String]) = {
+    val at = Some(math.max(v, 1))
+    val layout = StoreSink.layoutAt(pathStr, at)
+    val names = StoreSink.tableSchema(pathStr, at).fieldNames
+    (layout, names)
+  }
+
+  private def dvOf(e: StoreSink.StoreFileEntry): Set[Int] =
+    e.dv.map(d => StoreSink.readDv(root, fsys, d).toSet).getOrElse(Set.empty)
+  private def eqOf(e: StoreSink.StoreFileEntry): Set[Long] =
+    e.eq.map(q => StoreSink.readEq(root, fsys, q).toSet).getOrElse(Set.empty)
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[StoreCdfOffset].v
+    val b = end.asInstanceOf[StoreCdfOffset].v
+    (a + 1 to b).flatMap { v =>
+      val prev = entriesAt(v - 1)
+      val cur = entriesAt(v)
+      val curByToken = cur.map(e => e.token -> e).toMap
+      val prevByToken = prev.map(e => e.token -> e).toMap
+      val curByName = cur.map(e => e.name -> e).toMap
+      val prevByName = prev.map(e => e.name -> e).toMap
+      val (oldLayout, oldNames) = layoutFor(v - 1)
+      val (newLayout, newNames) = layoutFor(v)
+      def part(e: StoreSink.StoreFileEntry, op: String,
+               layout: StoreSink.StoreLayout, names: Array[String],
+               skipO: Set[Int], skipK: Set[Long],
+               onlyO: Array[Int], onlyK: Array[Long]): InputPartition =
+        StoreCdfPartition(new Path(root, e.name).toString, op, v.toLong,
+          skipO.toArray.sorted, skipK.toArray.sorted, onlyO.sorted,
+          onlyK.sorted, layout.physTypes, layout.physDefaults, names,
+          layout.proj)
+      val deletes = prev.filterNot(e => curByToken.contains(e.token)).flatMap { e =>
+        curByName.get(e.name) match {
+          case Some(ne) =>
+            // same file, masks grew (the merge-on-read delta paths): emit
+            // ONLY the newly-dead rows — cost tracks changed rows
+            val dvDelta = dvOf(ne) -- dvOf(e)
+            val eqDelta = eqOf(ne) -- eqOf(e)
+            val fromDv =
+              if (dvDelta.isEmpty) Nil
+              else Seq(part(e, "delete", oldLayout, oldNames,
+                Set.empty, eqOf(e), dvDelta.toArray, Array.emptyLongArray))
+            val fromEq =
+              if (eqDelta.isEmpty) Nil
+              else Seq(part(e, "delete", oldLayout, oldNames,
+                dvOf(e), Set.empty, Array.emptyIntArray, eqDelta.toArray))
+            fromDv ++ fromEq
+          case None => // file gone: its previously-live rows are deletes
+            Seq(part(e, "delete", oldLayout, oldNames,
+              dvOf(e), eqOf(e), Array.emptyIntArray, Array.emptyLongArray))
+        }
+      }
+      val inserts = cur.filterNot(e => prevByToken.contains(e.token))
+        .filterNot(e => prevByName.contains(e.name)) // mask-only change
+        .map(e => part(e, "insert", newLayout, newNames,
+          dvOf(e), eqOf(e), Array.emptyIntArray, Array.emptyLongArray))
+      deletes ++ inserts
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    StoreCdfReaderFactory(output)
+}
+
+private case class StoreCdfReaderFactory(output: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StoreCdfPartition]
+    val path = new Path(p.file)
+    val fsys = StoreSink.fs(path, new Configuration())
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fsys.open(path), StandardCharsets.UTF_8))
+    val opU = UTF8String.fromString(p.op)
+    // by-name projection onto the feed schema: op/cv constants, then each
+    // output column resolves through THIS partition's version schema
+    // (absent-at-that-version columns read NULL)
+    val getters: Array[InternalRow => Any] = output.fields.drop(2).map { f =>
+      val i = p.colNames.indexWhere(_ == f.name)
+      if (i < 0) (_: InternalRow) => null
+      else {
+        val slot = p.colSlots(i)
+        val dt = p.physTypes(slot)
+        (r: InternalRow) => r.get(slot, dt)
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var line: String = _
+      private var ord = -1
+      private var decoded: InternalRow = _
+      private def keyOf(r: InternalRow): Option[Long] =
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      override def next(): Boolean = {
+        while (true) {
+          line = in.readLine(); ord += 1
+          if (line == null) return false
+          if (java.util.Arrays.binarySearch(p.skipOrdinals, ord) < 0 &&
+              (p.onlyOrdinals.isEmpty ||
+               java.util.Arrays.binarySearch(p.onlyOrdinals, ord) >= 0)) {
+            decoded = StoreSink.decode(line, p.physTypes, p.physDefaults)
+            val k = keyOf(decoded)
+            val skippedByKey = k.exists(x =>
+              java.util.Arrays.binarySearch(p.skipKeys, x) >= 0)
+            val onlyKeyMiss = p.onlyKeys.nonEmpty && !k.exists(x =>
+              java.util.Arrays.binarySearch(p.onlyKeys, x) >= 0)
+            if (!skippedByKey && !onlyKeyMiss) return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(opU +: java.lang.Long.valueOf(p.cv) +:
+          getters.toSeq.map(_(decoded)))
       override def close(): Unit = in.close()
     }
   }

@@ -1363,6 +1363,70 @@ object StreamOps extends OpModule {
       s.table(name).orderBy(col("grp"))
     }),
 
+    // STREAMING CHANGE DATA FEED (`option("changeFeed", "true")`): offsets
+    // are COMMIT VERSIONS and each micro-batch emits (op, cv, row) changes
+    // — the Delta CDF streaming read over the store's version manifests.
+    // The scenario drives all three change shapes through a LIVE query:
+    // v2 = an EQUALITY delete (metadata-only keyed retraction → the feed
+    // emits exactly the newly-masked rows as deletes), v3 = an append
+    // (inserts), v4 = a MERGE-ON-READ ordinal delete (deletion vectors →
+    // again only the newly-dead rows). Zero data files are rewritten by
+    // any of the three commits, and the feed's cost per commit is the
+    // CHANGED rows — the delta protocol and the change feed are two
+    // halves of the same CDC economics. The Complete-mode aggregate over
+    // (op, cv, grp) equals the batch closed form the oracle computes.
+    "s_store_cdf" -> ((s, d) => {
+      val path = graft.sources.Sources.tmp(d, "storecdfstream")
+      val fsh = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsh.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+        graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      base.repartitionByRange(4, col("k"))
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save() // v1
+      val maxK = base.agg(max(col("k"))).collect()(0).getLong(0)
+      val name = "s_" + UUID.randomUUID.toString.replace("-", "")
+      graft.sources.Sources.withGraftCatalog(s) {
+        graft.sources.Sources.withStorePath(s, path) {
+          withStreamParallelism(s) {
+            val q = s.readStream.format("graft.sources.StoreSink")
+              .option("path", path).option("changeFeed", "true")
+              .option("startingVersion", "1").load()
+              .groupBy(col("op"), col("cv"), col("grp"))
+              .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+              .writeStream.format("memory").queryName(name)
+              .outputMode(OutputMode.Complete())
+              .option("checkpointLocation", s"target/tmp/chk_$name")
+              .start()
+            try {
+              q.processAllAvailable() // head = v1: nothing to emit yet
+              // v2: keyed retraction through the DELTA protocol — equality
+              // sidecars on existing entries, zero rewrites
+              base.where(pmod(col("k"), lit(89)) === 0).select(col("k"))
+                .createOrReplaceTempView(s"cdf_dels_$name")
+              s.conf.set("spark.graft.store.rowlevel.mode", "delta")
+              try s.sql(s"MERGE INTO graft.store t USING cdf_dels_$name s " +
+                        "ON t.k = s.k WHEN MATCHED THEN DELETE")
+              finally s.conf.unset("spark.graft.store.rowlevel.mode")
+              q.processAllAvailable() // eq-delta deletes only
+              base.where(pmod(col("k"), lit(101)) === 0)
+                .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+                        (col("k") * 10 + 5000000).as("amt_cents"))
+                .write.format("graft.sources.StoreSink").mode("append")
+                .option("path", path).save() // v3
+              q.processAllAvailable() // inserts
+              // v4: a ~4%-selective TRANSLATABLE range delete → deletion
+              // vectors (merge-on-read), zero rewrites
+              s.sql("DELETE FROM graft.store WHERE amt_cents < 2000000") // v4
+              q.processAllAvailable() // dv-delta deletes only
+            } finally q.stop()
+          }
+        }
+      }
+      s.table(name).orderBy(col("cv"), col("op"), col("grp"))
+    }),
+
     // AVAILABLE-NOW BACKFILL over the store tail (the source's
     // SupportsTriggerAvailableNow): run 1 drains the seeded half and
     // TERMINATES (bounded catch-up, no long-running query); the second
@@ -1520,6 +1584,30 @@ object StreamOps extends OpModule {
         |SELECT tag, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS val_cents
         |FROM g GROUP BY tag ORDER BY tag""".stripMargin,
+
+    // the three commits' change sets in batch closed form: eq-deletes at
+    // v2, appended inserts at v3, MoR deletes at v4 over survivors ∪ adds
+    "s_store_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |ins AS (SELECT k + mx.maxk + 1 AS k, 'NEW' AS grp,
+        |          k * 10 + 5000000 AS amt
+        |        FROM base, mx WHERE k % 101 = 0),
+        |surv1 AS (SELECT k, grp, amt FROM base WHERE k % 89 <> 0),
+        |d2 AS (SELECT 'delete' AS op, CAST(2 AS BIGINT) AS cv, grp,
+        |         COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |       FROM base WHERE k % 89 = 0 GROUP BY grp),
+        |i3 AS (SELECT 'insert', 3, grp, COUNT(*), CAST(SUM(amt) AS BIGINT)
+        |       FROM ins GROUP BY grp),
+        |d4src AS (SELECT grp, amt FROM surv1
+        |          UNION ALL SELECT grp, amt FROM ins),
+        |d4 AS (SELECT 'delete', 4, grp, COUNT(*), CAST(SUM(amt) AS BIGINT)
+        |       FROM d4src WHERE amt < 2000000 GROUP BY grp)
+        |SELECT * FROM d2 UNION ALL SELECT * FROM i3
+        |UNION ALL SELECT * FROM d4
+        |ORDER BY cv, op, grp""".stripMargin,
 
     // both tailed batches together ≡ the whole slice, exactly once
     "s_store_tail" ->

@@ -773,6 +773,38 @@ class StoreSinkSpec extends SparkSpec {
       .map(k => (k.toLong, "a", k * 100L)).toSet)
   }
 
+  test("streaming change feed plans mask DELTAS, not files: an equality " +
+       "retraction or vector delete costs only the newly-dead rows") {
+    val dir = freshDir("cdfplan")
+    df(1 to 40, "a").repartition(1)
+      .write.format(fmt).mode("overwrite").option("path", dir).save() // v1
+    eqDel(dir, Seq(3L, 5L)) // v2: equality sidecar on the existing entry
+    val stream = new StoreCdfStream(dir, StoreSink.cdfSchema(dir), Some(1))
+    val p12 = stream.planInputPartitions(StoreCdfOffset(1), StoreCdfOffset(2))
+      .map(_.asInstanceOf[StoreCdfPartition])
+    assert(p12.length == 1 && p12(0).op == "delete" &&
+           p12(0).onlyKeys.toSeq == Seq(3L, 5L) && p12(0).onlyOrdinals.isEmpty,
+      s"eq retraction must plan ONE key-delta delete partition: ${p12.toSeq}")
+    // merge-on-read ordinal delete → one ordinal-delta delete partition
+    new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 7L))) // v3
+    val p23 = stream.planInputPartitions(StoreCdfOffset(2), StoreCdfOffset(3))
+      .map(_.asInstanceOf[StoreCdfPartition])
+    assert(p23.length == 1 && p23(0).op == "delete" &&
+           p23(0).onlyOrdinals.length == 1 && p23(0).onlyKeys.isEmpty,
+      s"vector delete must plan ONE ordinal-delta delete partition: ${p23.toSeq}")
+    // an append plans ONE insert partition; a multi-version window plans
+    // each transition's work (restart from any committed offset replans
+    // identically — offsets are just versions)
+    df(41 to 50, "b").repartition(1)
+      .write.format(fmt).mode("append").option("path", dir).save() // v4
+    val p34 = stream.planInputPartitions(StoreCdfOffset(3), StoreCdfOffset(4))
+      .map(_.asInstanceOf[StoreCdfPartition])
+    assert(p34.length == 1 && p34(0).op == "insert")
+    val p14 = stream.planInputPartitions(StoreCdfOffset(1), StoreCdfOffset(4))
+    assert(p14.length == 3, s"window must cover every transition: ${p14.length}")
+  }
+
   test("vacuum never GCs a live WAP branch's staged files") {
     val dir = freshDir("wapvac")
     df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
