@@ -93,6 +93,73 @@ object TrainingOps extends OpModule {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  /** The BPE training replay shared by both oracles: word-freq table →
+    * spaced chars (original word carried through) → 6 argmax+merge CTEs. */
+  private def bpeChainSql: String = {
+    def pairsFrom(w: String): String =
+      s"""SELECT UNNEST(LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(s, ' ')) - 1),
+         |      j -> STRING_SPLIT(s, ' ')[CAST(j + 1 AS INT)] || ' ' ||
+         |           STRING_SPLIT(s, ' ')[CAST(j + 2 AS INT)])) AS pr, freq
+         |    FROM $w""".stripMargin
+    val steps = (1 to 6).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |${pairsFrom(prev)}) t
+         |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1),
+         |w$i AS (SELECT w, TRIM(REPLACE(' ' || s || ' ',
+         |          ' ' || (SELECT pr FROM p$i) || ' ',
+         |          ' ' || REPLACE((SELECT pr FROM p$i), ' ', '') || ' ')) AS s,
+         |        freq FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+       |    FROM documents) t
+       |  WHERE w <> '' GROUP BY w),
+       |w0 AS (SELECT w, ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(w) + 1),
+       |          i -> SUBSTR(w, CAST(i AS INT), 1)), ' ') || ' </w>' AS s,
+       |        freq FROM wf),
+       |$steps""".stripMargin
+  }
+
+  /** The distributed BPE training loop shared by q_bpe_train/q_bpe_apply:
+    * ONE corpus scan into the distinct-word frequency table (kept with the
+    * original word `w` so apply can map words to their tokenization), then
+    * 6 fixed merge steps, each one vocab-sized aggregate + a delimiter-
+    * anchored merge rewrite. Returns (words after all merges, the learned
+    * merges as (step, pair, count)). */
+  private def bpeTrain(s: SparkSession,
+                       d: String): (DataFrame, Seq[(Long, String, Long)]) = {
+    var words = Tables.documents(s, d)
+      .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), concat(
+          concat_ws(" ", expr(
+            "transform(sequence(1, length(w)), i -> substring(w, cast(i as int), 1))")),
+          lit(" </w>")).as("s"), col("freq"))
+      .localCheckpoint() // bounded: one row per distinct word
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (step <- 1 to 6) { // FIXED iteration count
+      val top = words
+        .select(col("freq"), explode(expr(
+          """transform(sequence(0, size(split(s, ' ')) - 2),
+            |  j -> concat(element_at(split(s, ' '), j + 1), ' ',
+            |              element_at(split(s, ' '), j + 2)))""".stripMargin))
+          .as("pr"))
+        .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr")).limit(1)
+        .collect()(0)
+      val pr = top.getString(0); val cnt = top.getLong(1)
+      merges += ((step.toLong, pr, cnt))
+      val merged = pr.replace(" ", "")
+      val (prQ, mergedQ) = (pr.replace("'", "''"), merged.replace("'", "''"))
+      words = words.select(col("w"),
+        expr(s"trim(replace(concat(' ', s, ' '), ' $prQ ', ' $mergedQ '))")
+          .as("s"), col("freq"))
+    }
+    (words, merges.result())
+  }
+
   /** Nearest-centroid assignment (cosine, ties to the lowest centroid id). */
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("n_id")).orderBy(col("c_score").desc, col("c_id"))
@@ -375,44 +442,40 @@ object TrainingOps extends OpModule {
     // merge step is a broadcast-sized argmax + a map-only rewrite of the
     // vocab — tokenizer training never rescans the corpus.
     "q_bpe_train" -> ((s, d) => {
-      val wf = Tables.documents(s, d)
-        .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
-        .where(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(concat(
-            concat_ws(" ", expr(
-              "transform(sequence(1, length(w)), i -> substring(w, cast(i as int), 1))")),
-            lit(" </w>")).as("s"), col("freq"))
-        .localCheckpoint() // bounded: one row per distinct word
-      var words = wf
-      val merges = Seq.newBuilder[(Long, String, Long)]
-      for (step <- 1 to 6) { // FIXED iteration count
-        val top = words
-          .select(col("freq"), explode(expr(
-            """transform(sequence(0, size(split(s, ' ')) - 2),
-              |  j -> concat(element_at(split(s, ' '), j + 1), ' ',
-              |              element_at(split(s, ' '), j + 2)))""".stripMargin))
-            .as("pr"))
-          .groupBy(col("pr")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pr")).limit(1)
-          .collect()(0)
-        val pr = top.getString(0); val cnt = top.getLong(1)
-        merges += ((step.toLong, pr, cnt))
-        val merged = pr.replace(" ", "")
-        val (prQ, mergedQ) = (pr.replace("'", "''"), merged.replace("'", "''"))
-        words = words.select(
-          expr(s"trim(replace(concat(' ', s, ' '), ' $prQ ', ' $mergedQ '))")
-            .as("s"), col("freq"))
-      }
+      val (words, merges) = bpeTrain(s, d)
       val vocab = words
         .select(col("freq"), explode(split(col("s"), " ")).as("sym"))
         .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym")).limit(10)
         .select(lit(7L).as("step"), col("sym").as("item"), col("cnt"))
       import s.implicits._
-      merges.result().toDF("step", "item", "cnt")
+      merges.toDF("step", "item", "cnt")
         .unionByName(vocab)
         .orderBy(col("step"), col("item"))
+    }),
+
+    // THE LEARNED TOKENIZER APPLIED (the train→apply pipeline pair): the
+    // corpus is tokenized under q_bpe_train's 6 merges at VOCAB cost, not
+    // corpus cost — merges apply once per DISTINCT word (the bounded word
+    // table), and the corpus pass is a broadcast join of exploded words
+    // against that word→token-count map. Per-doc output: words, BPE
+    // tokens, and tokens-per-word in e4 — the number a data-budget
+    // planner actually consumes. At 100 TB this is how tokenizer-aware
+    // token accounting runs: vocab-sized tokenization + one map-side
+    // corpus join, never per-document merge loops.
+    "q_bpe_apply" -> ((s, d) => {
+      val (words, _) = bpeTrain(s, d)
+      val tokMap = words.select(col("w"),
+        size(split(col("s"), " ")).cast("long").as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .where(col("w") =!= "")
+        .join(broadcast(tokMap), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+        .withColumn("tpw_e4", expr("n_tokens * 10000L div n_words"))
+        .orderBy(col("doc_id"))
     }),
 
     // Stratified deterministic sampling: per-language rates (en 5%, de 25%,
@@ -1138,32 +1201,10 @@ object TrainingOps extends OpModule {
     // all 6 merge steps replayed as chained CTEs — learned merges, counts,
     // and the final symbol inventory are all hash-pinned
     "q_bpe_train" -> {
-      def pairsFrom(w: String): String =
-        s"""SELECT UNNEST(LIST_TRANSFORM(RANGE(0, LEN(STRING_SPLIT(s, ' ')) - 1),
-           |      j -> STRING_SPLIT(s, ' ')[CAST(j + 1 AS INT)] || ' ' ||
-           |           STRING_SPLIT(s, ' ')[CAST(j + 2 AS INT)])) AS pr, freq
-           |    FROM $w""".stripMargin
-      val steps = (1 to 6).map { i =>
-        val prev = s"w${i - 1}"
-        s"""p$i AS (SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |${pairsFrom(prev)}) t
-           |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1),
-           |w$i AS (SELECT TRIM(REPLACE(' ' || s || ' ',
-           |          ' ' || (SELECT pr FROM p$i) || ' ',
-           |          ' ' || REPLACE((SELECT pr FROM p$i), ' ', '') || ' ')) AS s,
-           |        freq FROM $prev)""".stripMargin
-      }.mkString(",\n")
       val mergeRows = (1 to 6).map(i =>
         s"SELECT CAST($i AS BIGINT) AS step, pr AS item, cnt FROM p$i")
         .mkString("\nUNION ALL ")
-      s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-         |    SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
-         |    FROM documents) t
-         |  WHERE w <> '' GROUP BY w),
-         |w0 AS (SELECT ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(w) + 1),
-         |          i -> SUBSTR(w, CAST(i AS INT), 1)), ' ') || ' </w>' AS s,
-         |        freq FROM wf),
-         |$steps,
+      s"""WITH $bpeChainSql,
          |vocab AS (SELECT CAST(7 AS BIGINT) AS step, sym AS item,
          |            CAST(SUM(freq) AS BIGINT) AS cnt
          |          FROM (SELECT UNNEST(STRING_SPLIT(s, ' ')) AS sym, freq
@@ -1173,6 +1214,19 @@ object TrainingOps extends OpModule {
          |UNION ALL SELECT step, item, cnt FROM vocab
          |ORDER BY step, item""".stripMargin
     },
+
+    // the same replayed merges, applied: per-word tokenization joined back
+    // onto the corpus
+    "q_bpe_apply" ->
+      s"""WITH $bpeChainSql,
+         |tok AS (SELECT w, CAST(LEN(STRING_SPLIT(s, ' ')) AS BIGINT) AS n_sym
+         |        FROM w6),
+         |dw AS (SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+         |       FROM documents),
+         |j AS (SELECT doc_id, n_sym FROM dw JOIN tok USING (w) WHERE w <> '')
+         |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_sym) * 10000 // COUNT(*) AS BIGINT) AS tpw_e4
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // recall@5 of both quantizers against the exact top-5, all three
     // pipelines replayed relationally

@@ -602,6 +602,10 @@ object StoreSink {
   /** Last runtime filter handed to a store scan (spec observability). */
   @volatile private[graft] var lastRuntimeFilter: Option[String] = None
 
+  /** Test hook: runs between a DELETE's rewrite computation and its
+    * publish — the conflict window the optimistic retry covers. */
+  @volatile private[sources] var onDeleteComputed: () => Unit = () => ()
+
   /** Test observability: last (candidates, kept) partition-value pruning
     * (set only for scans over a partitioned store). */
   @volatile private[sources] var lastPartPrune: Option[(Int, Int)] = None
@@ -2430,11 +2434,34 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
       StoreSink.equalityDelete(pathStr, filters)
       return
     }
-    val (origLine, replacedLine, anyChange) =
-      StoreTableDeleteBody.deletionRewrite(pathStr, filters)
-    if (anyChange)
-      // replaced files stay for archived versions; vacuum is the GC
-      StoreTableDeleteBody.publishDeletion(pathStr, origLine, replacedLine)
+    // OPTIMISTIC RETRY (the Iceberg commit model): the data rewrite runs
+    // OUTSIDE the lock, so a concurrent rewrite of one of our input files
+    // surfaces at publish as a conflict. Instead of failing the statement,
+    // recompute the rewrite against the FRESH manifest and publish again —
+    // bounded (3 attempts), then loud. Correct because deletionRewrite is
+    // a pure function of (current manifest, predicate): re-running it
+    // against the winner's state applies our delete on top of theirs.
+    // Files staged by a losing attempt are unreferenced; vacuum/
+    // remove_orphans GC them.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val (origLine, replacedLine, anyChange) =
+        StoreTableDeleteBody.deletionRewrite(pathStr, filters)
+      if (!anyChange) done = true
+      else {
+        StoreSink.onDeleteComputed()
+        try {
+          // replaced files stay for archived versions; vacuum is the GC
+          StoreTableDeleteBody.publishDeletion(pathStr, origLine, replacedLine)
+          done = true
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempts += 1
+            if (attempts >= 3) throw e
+        }
+      }
+    }
   }
 }
 

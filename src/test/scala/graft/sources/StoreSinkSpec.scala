@@ -805,6 +805,70 @@ class StoreSinkSpec extends SparkSpec {
     assert(p14.length == 3, s"window must cover every transition: ${p14.length}")
   }
 
+  test("streaming change feed: AvailableNow drains terminate, restarts " +
+       "resume from the committed version — each change exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("cdfresume")
+    val out = freshDir("cdfresume_out")
+    val chk = freshDir("cdfresume_chk")
+    df(1 to 40, "a").repartition(1)
+      .write.format(fmt).mode("overwrite").option("path", dir).save() // v1
+    def drain(): Unit = {
+      val q = spark.readStream.format(fmt)
+        .option("path", dir).option("changeFeed", "true")
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // v1's seed arrives as inserts
+    val got1 = spark.read.parquet(out)
+    assert(got1.count() == 40 &&
+           got1.where(col("op") === "insert" && col("cv") === 1).count() == 40)
+    // more commits while nothing listens: a vector delete + an append
+    new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 7L))) // v2: MoR
+    df(41 to 50, "b").repartition(1)
+      .write.format(fmt).mode("append").option("path", dir).save() // v3
+    drain() // resumes at v1: exactly the v2 delete + v3 inserts
+    val got2 = spark.read.parquet(out)
+    assert(got2.count() == 51, s"resume must not re-emit history: ${got2.count()}")
+    assert(got2.where(col("op") === "delete").collect().toSeq
+             .map(r => (r.getLong(r.fieldIndex("cv")), r.getLong(r.fieldIndex("k")))) ==
+           Seq((2L, 7L)))
+    assert(got2.where(col("op") === "insert" && col("cv") === 3).count() == 10)
+  }
+
+  test("optimistic retry: a DELETE losing the publish race recomputes " +
+       "against the winner's state and lands on top of it") {
+    val dir = freshDir("delretry")
+    df(1 to 40, "a").repartition(1)
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    // in the window between OUR rewrite computation and its publish, a
+    // CONCURRENT delete rewrites the same file and wins the race — once
+    var fired = false
+    StoreSink.onDeleteComputed = () => {
+      if (!fired) {
+        fired = true
+        StoreSink.onDeleteComputed = () => ()
+        new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("k",
+            (1L to 12L).map(_.asInstanceOf[Any]).toArray))) // > 20%: COW
+      }
+    }
+    try {
+      new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("k",
+          (30L to 40L).map(_.asInstanceOf[Any]).toArray)))
+    } finally StoreSink.onDeleteComputed = () => ()
+    assert(fired, "the conflicting delete never ran")
+    // BOTH deletes applied: the retry recomputed on the winner's manifest
+    assert(readBack(dir) == (13 to 29).map(k => (k.toLong, "a", k * 100L)).toSet,
+      s"retry lost a delete: ${readBack(dir).map(_._1).toSeq.sorted}")
+  }
+
   test("vacuum never GCs a live WAP branch's staged files") {
     val dir = freshDir("wapvac")
     df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
