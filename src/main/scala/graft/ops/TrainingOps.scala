@@ -478,6 +478,61 @@ object TrainingOps extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // CURRICULUM CONSTRUCTION: order the corpus into training PHASES by a
+    // lexical-diversity score (type-token ratio in e4 — easy/repetitive
+    // text first, diverse text late, the curriculum-learning recipe) via
+    // NTILE(4) over the deterministic (score, doc_id) order — computed
+    // DISTRIBUTED through DistRank's rank-by-histogram (a bare
+    // Window.orderBy ntile would single-task-sort the corpus, the
+    // recorded anti-pattern). Output is the phase plan — doc/word mass
+    // and score boundaries per phase — the artifact the per-epoch
+    // samplers consume.
+    "q_curriculum" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+                split(trim(lower(col("text"))), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"),
+                size(array_distinct(col("toks"))).cast("long").as("n_types"))
+        .where(col("n_words") > 0)
+        .withColumn("ttr_e4", expr("n_types * 10000L div n_words"))
+      DistRank.withGlobalRank(scored, col("ttr_e4"), col("doc_id"), 256L,
+          "cur_rk", "cur_n")
+        .withColumn("phase", DistRank.ntileFromRank("cur_rk", "cur_n", 4))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"),
+             min(col("ttr_e4")).as("min_ttr_e4"),
+             max(col("ttr_e4")).as("max_ttr_e4"))
+        .orderBy(col("phase"))
+    }),
+
+    // TOKEN-BUDGET APPORTIONMENT (largest-remainder / Hamilton method):
+    // split a 1e6-token training budget across languages proportionally
+    // to their corpus token mass, in EXACT integer arithmetic — floor
+    // shares first, then the leftover seats go to the largest remainders
+    // (ties to the smaller language code). This is the mixture-planning
+    // step between token accounting (q_bpe_apply) and the per-epoch
+    // samplers; the allocation sums to the budget EXACTLY by
+    // construction, which floating-point proportional splits cannot
+    // promise. Metadata-sized: one aggregate + an L-row window.
+    "q_tok_budget" -> ((s, d) => {
+      val byLang = Tables.documents(s, d)
+        .select(col("lang"),
+                size(split(trim(lower(col("text"))), " ")).cast("long").as("n"))
+        .groupBy(col("lang")).agg(sum(col("n")).as("toks"))
+      byLang
+        .crossJoin(byLang.agg(sum(col("toks")).as("total")))
+        .withColumn("floor_share", expr("toks * 1000000L div total"))
+        .withColumn("rem", expr("toks * 1000000L % total"))
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("leftover",
+          expr("1000000L - sum(floor_share) over ()"))
+        .withColumn("budget",
+          expr("floor_share + case when rr <= leftover then 1 else 0 end"))
+        .select(col("lang"), col("toks"), col("budget"))
+        .orderBy(col("lang"))
+    }),
+
     // Stratified deterministic sampling: per-language rates (en 5%, de 25%,
     // fr 50%, other 10%) applied via the first md5 byte of the key — the
     // q_sample_hash predicate generalized to per-stratum thresholds.
@@ -1214,6 +1269,36 @@ object TrainingOps extends OpModule {
          |UNION ALL SELECT step, item, cnt FROM vocab
          |ORDER BY step, item""".stripMargin
     },
+
+    // the phase plan replayed: same score, same NTILE cut
+    "q_curriculum" ->
+      """WITH sc AS (
+        |  SELECT doc_id, LEN(toks) AS n_words, LEN(LIST_DISTINCT(toks)) AS n_types
+        |  FROM (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks
+        |        FROM documents) t
+        |  WHERE LEN(toks) > 0),
+        |p AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |        CAST(n_types * 10000 // n_words AS BIGINT) AS ttr_e4 FROM sc),
+        |q AS (SELECT *, CAST(NTILE(4) OVER (ORDER BY ttr_e4, doc_id) AS BIGINT)
+        |        AS phase FROM p)
+        |SELECT phase, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS sum_words,
+        |  MIN(ttr_e4) AS min_ttr_e4, MAX(ttr_e4) AS max_ttr_e4
+        |FROM q GROUP BY phase ORDER BY phase""".stripMargin,
+
+    // exact integer apportionment: floors + largest remainders sum to the
+    // budget by construction
+    "q_tok_budget" ->
+      """WITH byl AS (SELECT lang,
+        |        CAST(SUM(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' '))) AS BIGINT) AS toks
+        |      FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM byl),
+        |f AS (SELECT lang, toks, toks * 1000000 // total AS floor_share,
+        |        toks * 1000000 % total AS rem FROM byl, t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+        |        1000000 - SUM(floor_share) OVER () AS leftover FROM f)
+        |SELECT lang, toks,
+        |  CAST(floor_share + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS budget
+        |FROM r ORDER BY lang""".stripMargin,
 
     // the same replayed merges, applied: per-word tokenization joined back
     // onto the corpus
