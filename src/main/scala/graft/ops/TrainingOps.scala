@@ -478,33 +478,6 @@ object TrainingOps extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
-    // CURRICULUM CONSTRUCTION: order the corpus into training PHASES by a
-    // lexical-diversity score (type-token ratio in e4 — easy/repetitive
-    // text first, diverse text late, the curriculum-learning recipe) via
-    // NTILE(4) over the deterministic (score, doc_id) order — computed
-    // DISTRIBUTED through DistRank's rank-by-histogram (a bare
-    // Window.orderBy ntile would single-task-sort the corpus, the
-    // recorded anti-pattern). Output is the phase plan — doc/word mass
-    // and score boundaries per phase — the artifact the per-epoch
-    // samplers consume.
-    "q_curriculum" -> ((s, d) => {
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"),
-                split(trim(lower(col("text"))), " ").as("toks"))
-        .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"),
-                size(array_distinct(col("toks"))).cast("long").as("n_types"))
-        .where(col("n_words") > 0)
-        .withColumn("ttr_e4", expr("n_types * 10000L div n_words"))
-      DistRank.withGlobalRank(scored, col("ttr_e4"), col("doc_id"), 256L,
-          "cur_rk", "cur_n")
-        .withColumn("phase", DistRank.ntileFromRank("cur_rk", "cur_n", 4))
-        .groupBy(col("phase"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"),
-             min(col("ttr_e4")).as("min_ttr_e4"),
-             max(col("ttr_e4")).as("max_ttr_e4"))
-        .orderBy(col("phase"))
-    }),
-
     // TOKEN-BUDGET APPORTIONMENT (largest-remainder / Hamilton method):
     // split a 1e6-token training budget across languages proportionally
     // to their corpus token mass, in EXACT integer arithmetic — floor
@@ -1269,21 +1242,6 @@ object TrainingOps extends OpModule {
          |UNION ALL SELECT step, item, cnt FROM vocab
          |ORDER BY step, item""".stripMargin
     },
-
-    // the phase plan replayed: same score, same NTILE cut
-    "q_curriculum" ->
-      """WITH sc AS (
-        |  SELECT doc_id, LEN(toks) AS n_words, LEN(LIST_DISTINCT(toks)) AS n_types
-        |  FROM (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks
-        |        FROM documents) t
-        |  WHERE LEN(toks) > 0),
-        |p AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        |        CAST(n_types * 10000 // n_words AS BIGINT) AS ttr_e4 FROM sc),
-        |q AS (SELECT *, CAST(NTILE(4) OVER (ORDER BY ttr_e4, doc_id) AS BIGINT)
-        |        AS phase FROM p)
-        |SELECT phase, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS sum_words,
-        |  MIN(ttr_e4) AS min_ttr_e4, MAX(ttr_e4) AS max_ttr_e4
-        |FROM q GROUP BY phase ORDER BY phase""".stripMargin,
 
     // exact integer apportionment: floors + largest remainders sum to the
     // budget by construction

@@ -24,4 +24,27 @@ class InventorySpec extends AnyFunSuite {
     val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"headline names not registered: $missing")
   }
+
+  test("no query name is defined twice WITHIN a module's Map literal") {
+    // SparkEntry already refuses cross-module collisions, but a duplicate
+    // key inside ONE Map literal is swallowed by the Map itself — the
+    // round-17 q_curriculum incident: a new op compiled, "verified"
+    // (against the shadowing twin), and never actually ran. Scan the
+    // source: each `"name" ->` may appear at most twice per file (query +
+    // oracle entry).
+    val entry = """"((?:q|s|src|sink)_[a-z0-9_]+)"\s*->""".r
+    val offenders = for {
+      f <- new java.io.File("src/main/scala/graft").listFiles().toSeq
+        .flatMap(d => if (d.isDirectory) d.listFiles().toSeq else Seq(d))
+      if f.getName.endsWith(".scala")
+      text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      names = entry.findAllMatchIn(text).map(_.group(1)).toSeq
+      (n, g) <- names.groupBy(identity)
+      if g.size > 2
+    } yield s"${f.getName}: $n (${g.size} arrow-entries)"
+    assert(offenders.isEmpty,
+      s"shadowed Map keys (definitions beyond query+oracle): " +
+        offenders.sorted.mkString("; "))
+  }
 }
