@@ -1094,7 +1094,9 @@ private class StoreMetaTable(pathStr: String, kind: String)
       StructField("has_dv", IntegerType, nullable = false),
       StructField("has_eq", IntegerType, nullable = false),
       StructField("min_a", LongType, nullable = true),
-      StructField("max_a", LongType, nullable = true)))
+      StructField("max_a", LongType, nullable = true),
+      // declared-column bounds (manifest field 12) as `col:min:max;...`
+      StructField("stats", StringType, nullable = true)))
     case "partitions" => StructType(Seq(
       StructField("part", StringType, nullable = false),
       StructField("n_files", LongType, nullable = false),
@@ -1127,7 +1129,10 @@ private class StoreMetaTable(pathStr: String, kind: String)
                 if (e.dv.isDefined) 1 else 0,
                 if (e.eq.isDefined) 1 else 0,
                 e.minA.map(java.lang.Long.valueOf).orNull,
-                e.maxA.map(java.lang.Long.valueOf).orNull)
+                e.maxA.map(java.lang.Long.valueOf).orNull,
+                if (e.stats.isEmpty) null
+                else str(e.stats.map { case (c, lo, hi) => s"$c:$lo:$hi" }
+                  .mkString(";")))
             }.toArray
           case "partitions" =>
             StoreSink.readEntries(root, fsys).filter(_.part.isDefined)

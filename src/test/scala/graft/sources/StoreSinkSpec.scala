@@ -995,6 +995,12 @@ class StoreSinkSpec extends SparkSpec {
       val wide = spark.read.format(fmt).option("path", dir).load()
         .where(col("fee") === 9999L)
       assert(wide.count() == 1, "stat-less file must stay readable")
+      // the inspection table surfaces the declared bounds
+      val statsCol = spark.sql(
+        "SELECT stats FROM graft.`store$files` WHERE stats IS NOT NULL")
+        .collect().map(_.getString(0))
+      assert(statsCol.nonEmpty && statsCol.forall(_.startsWith("fee:")),
+        s"store\\$$files must surface declared stats: ${statsCol.toSeq}")
     } finally {
       spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
     }
