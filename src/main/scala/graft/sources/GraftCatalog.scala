@@ -64,8 +64,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     * (versions_kept, live_files), not a silent side effect. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("abandon", "cherry_pick", "compact", "expire", "history", "publish",
-      "remove_orphans", "rollback", "tag", "zorder", "zorder_by",
+    Array("abandon", "analyze", "cherry_pick", "compact", "expire", "history",
+      "publish", "remove_orphans", "rollback", "tag", "zorder", "zorder_by",
       "vacuum").map(Identifier.of(Array.empty, _))
   }
 
@@ -74,6 +74,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       throw new NoSuchTableException(ident) // no namespaced procedures
     ident.name().toLowerCase(java.util.Locale.ROOT) match {
       case "abandon" => AbandonProcedure
+      case "analyze" => AnalyzeProcedure
       case "cherry_pick" => CherryPickProcedure
       case "compact" => CompactProcedure
       case "expire" => ExpireProcedure
@@ -87,8 +88,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "zorder_by" => ZorderByProcedure
       case _ => throw new UnsupportedOperationException(
         s"unknown procedure ${ident.name()} " +
-          "(abandon | cherry_pick | compact | expire | history | publish | " +
-          "remove_orphans | rollback | " +
+          "(abandon | analyze | cherry_pick | compact | expire | history | " +
+          "publish | remove_orphans | rollback | " +
           "tag | vacuum | zorder | zorder_by)")
     }
   }
@@ -793,6 +794,40 @@ private sealed abstract class StoreProcedure(procName: String,
     val path = input.getUTF8String(0).toString
     val arg = input.getLong(1)
     val (a, b) = run(path, arg)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(a, b))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.analyze(path)` — backfill declared stat-column bounds
+  * onto stat-less manifest entries (see StoreSink.analyze): one read
+  * pass over those files, a metadata-only commit, pruning enabled
+  * retroactively. Audit row: (files_scanned, entries_updated). */
+private object AnalyzeProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "analyze"
+  override def description(): String =
+    "backfill declared stat-column bounds onto stat-less manifest entries"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("files_scanned", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("entries_updated", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val (a, b) = StoreSink.analyze(input.getUTF8String(0).toString)
     val scan: org.apache.spark.sql.connector.read.Scan =
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = resultSchema

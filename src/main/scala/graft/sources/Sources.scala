@@ -1956,6 +1956,63 @@ object Sources extends OpModule {
       }
     }),
 
+    // ANALYZE — the declared-stats LIFECYCLE closer: data written BEFORE
+    // the stats declaration carries no bounds (q_store_zone_multi's
+    // "stat-less files never prune" conservatism), and `CALL
+    // graft.analyze(path)` backfills them — one read pass over exactly
+    // the stat-less files, then a METADATA-ONLY commit, so pruning and
+    // metadata MIN/MAX switch on retroactively with zero data bytes
+    // written. At 100 TB this is the Iceberg/Delta ANALYZE/compute-stats
+    // job: declaring a new skipping column on a petabyte table must not
+    // mean rewriting it.
+    "q_store_analyze" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeanalyze")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN fee BIGINT")
+        // fee-clustered generation written with NO stats declaration
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                  graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"),
+                  pmod(col("o_orderkey"), lit(1000)).as("fee"))
+          .repartitionByRange(8, col("fee"))
+          .write.format("graft.sources.StoreSink").mode("overwrite")
+          .option("path", path).save()
+        def store = s.read.format("graft.sources.StoreSink")
+          .option("path", path).load()
+        store.where(col("fee") < 125).count()
+        val (t0, p0) = graft.sources.StoreSink.lastZonePrune.get
+        val noPruneBefore = t0 == p0 // stat-less: nothing prunes
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES " +
+              "('graft.stats.cols' = 'fee')")
+        val audit = s.sql(s"CALL graft.analyze('$path')").collect()(0)
+        val filesBefore = graft.sources.StoreSink
+          .readManifest(new org.apache.hadoop.fs.Path(path), fsys)
+        val filt = store.where(col("fee") < 125)
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("fee")).as("fee_sum"))
+          .select(concat(lit("grp:"), col("grp")).as("step"), col("n"),
+                  col("fee_sum"))
+          .collect()
+        val (t1, p1) = graft.sources.StoreSink.lastZonePrune.get
+        val rows = filt.toSeq ++ Seq(
+          org.apache.spark.sql.Row("z_analyze_audit",
+            audit.getLong(0), audit.getLong(1)),
+          org.apache.spark.sql.Row("z_no_rewrite",
+            if (graft.sources.StoreSink.readManifest(
+                  new org.apache.hadoop.fs.Path(path), fsys) == filesBefore) 1L
+            else 0L, 0L),
+          org.apache.spark.sql.Row("z_prunes_after",
+            if (noPruneBefore && p1 < t1 && p1 >= 1) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("step", StringType), StructField("n", LongType),
+          StructField("fee_sum", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+      }
+    }),
+
     // FIELD-ID RENAME (`ALTER TABLE ... RENAME COLUMN`): the column's
     // stable field id keeps decoding the same physical slot, so a rename is
     // pure metadata — files written under the OLD name read under the new
@@ -3500,6 +3557,20 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_cdf_shape', 1, 0
         |UNION ALL SELECT 'z_ivm_match', 1, 0
         |ORDER BY grp""".stripMargin,
+
+    // backfill applied relationally: audit = 8 scanned / 8 updated, zero
+    // rewrites, and pruning switches on only after the analyze
+    "q_store_analyze" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    o_orderkey % 1000 AS fee FROM orders)
+        |SELECT 'grp:' || grp AS step, COUNT(*) AS n,
+        |  CAST(SUM(fee) AS BIGINT) AS fee_sum
+        |FROM base WHERE fee < 125 GROUP BY grp
+        |UNION ALL SELECT 'z_analyze_audit', 8, 8
+        |UNION ALL SELECT 'z_no_rewrite', 1, 0
+        |UNION ALL SELECT 'z_prunes_after', 1, 0
+        |ORDER BY step""".stripMargin,
 
     // declared-column stats applied relationally: filtered content is
     // exact, MIN/MAX come from metadata, flags pin pruning + pushdown

@@ -1399,6 +1399,70 @@ object StoreSink {
     (entries.size, readEntries(root, fsys).size)
   }
 
+  /** ANALYZE: backfill DECLARED stat columns ([[StatColsProp]]) onto
+    * manifest entries that lack them — one read pass over exactly the
+    * stat-less files, then a METADATA-ONLY locked swap (no data bytes
+    * written), so declaring a stat column on an EXISTING table enables
+    * pruning retroactively without a rewrite. Bounds are computed over
+    * all physical rows (mask-blind): masks only remove rows, so the
+    * bounds are conservative — pruning-safe by the zone contract.
+    * Entries whose line changed between compute and publish are skipped
+    * (they'll pick up stats on their next rewrite); returns
+    * (files scanned, entries updated). */
+  def analyze(pathStr: String): (Long, Long) = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    val tbl = tableSchema(pathStr)
+    val statCols = declaredStatCols(root, fsys, tbl)
+    if (statCols.isEmpty) return (0L, 0L)
+    val layout = layoutAt(pathStr, None)
+    val slots = statCols.map { case (n, li) => (n, layout.proj(li)) }
+    val todo = readEntries(root, fsys).filter(e =>
+      statCols.exists { case (n, _) => !e.stats.exists(_._1 == n) })
+    val updates: Map[String, (String, String)] = todo.map { e =>
+      val mins = Array.fill(slots.size)(Long.MaxValue)
+      val maxs = Array.fill(slots.size)(Long.MinValue)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fsys.open(new Path(root, e.name)), StandardCharsets.UTF_8))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          val parts = line.split(",", -1)
+          var i = 0
+          while (i < slots.size) {
+            val s = slots(i)._2
+            if (s < parts.length && parts(s) != NullMark) {
+              val v = parts(s).toLong
+              if (v < mins(i)) mins(i) = v
+              if (v > maxs(i)) maxs(i) = v
+            }
+            i += 1
+          }
+          line = in.readLine()
+        }
+      } finally in.close()
+      val fresh = slots.indices.flatMap { i =>
+        val n = slots(i)._1
+        if (e.stats.exists(_._1 == n) || mins(i) == Long.MaxValue) None
+        else Some((n, mins(i), maxs(i)))
+      }
+      e.name -> (e.line, e.copy(stats = e.stats ++ fresh).line)
+    }.toMap
+    var applied = 0L
+    withCommitLock(root, fsys) {
+      val lines = readManifestLines(root, fsys)
+      val rebased = lines.map { l =>
+        if (l.startsWith("#")) l
+        else updates.get(parseEntry(l).name) match {
+          case Some((orig, neu)) if l == orig => applied += 1; neu
+          case _ => l // changed since compute: skip, stays conservative
+        }
+      }
+      if (applied > 0) writeManifestAtomic(root, fsys, rebased)
+    }
+    (todo.size.toLong, applied)
+  }
+
   /** CHANGE DATA FEED between two committed versions, reconstructed from
     * the manifests alone: files present only in `toV` are insert
     * candidates, files present only in `fromV` are delete candidates, and

@@ -93,9 +93,9 @@ class GraftCatalogSpec extends SparkSpec {
       val cat = spark.sessionState.catalogManager.catalog("graft")
         .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       assert(cat.listProcedures(Array.empty).map(_.name()).sorted.toSeq ==
-        Seq("abandon", "cherry_pick", "compact", "expire", "history",
-          "publish", "remove_orphans", "rollback", "tag", "vacuum", "zorder",
-          "zorder_by"))
+        Seq("abandon", "analyze", "cherry_pick", "compact", "expire",
+          "history", "publish", "remove_orphans", "rollback", "tag", "vacuum",
+          "zorder", "zorder_by"))
       intercept[Exception] { spark.sql("CALL graft.nope(1)") }
       val dir = "target/tmp/catalog_spec_proc"
       val fs = org.apache.hadoop.fs.FileSystem.get(
