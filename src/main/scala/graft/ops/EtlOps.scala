@@ -602,6 +602,38 @@ object EtlOps extends OpModule {
         .orderBy(col("c_nationkey"))
     }),
 
+    // DP MEAN — the release ladder's fourth rung (count → histogram →
+    // mean): per-contribution CLAMP to [0, 5000] dollars bounds the
+    // sensitivity, then noisy-sum / noisy-count with INDEPENDENT
+    // md5-seeded Laplace draws (sum noise scaled by the clamp bound, the
+    // standard bounded-mean mechanism), and release post-processing —
+    // numerator clamps to ≥ 0 BEFORE the division (keeps both engines'
+    // integer division on non-negative operands — the div-vs-floor rule),
+    // denominator floors at 1, and the released mean clamps back into the
+    // contribution range. All integer cents except the two
+    // e6-rounded-once ln draws (the q_dp_count idiom).
+    "q_dp_mean" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("clamped", expr(
+          "greatest(0L, least(cast(round(c_acctbal * 100) as bigint), 500000L))"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("clamped")).as("s"))
+        .withColumn("u1", expr(
+          "cast(conv(substring(md5(concat('dp-mean-s-r17-', cast(c_nationkey as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5"))
+        .withColumn("u2", expr(
+          "cast(conv(substring(md5(concat('dp-mean-n-r17-', cast(c_nationkey as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5"))
+        .withColumn("ns_e6", expr(
+          "cast(round(1e6 * (-1000000.0) * sign(u1) * ln(1.0 - 2.0 * abs(u1))) as bigint)"))
+        .withColumn("nn_e6", expr(
+          "cast(round(1e6 * (-2.0) * sign(u2) * ln(1.0 - 2.0 * abs(u2))) as bigint)"))
+        .withColumn("dp_s", col("s") + expr("cast(round(ns_e6 / 1e6) as bigint)"))
+        .withColumn("dp_n", expr(
+          "greatest(1L, n + cast(round(nn_e6 / 1e6) as bigint))"))
+        .select(col("c_nationkey"), col("n"),
+                expr("greatest(0L, least(greatest(0L, dp_s) div dp_n, 500000L))")
+                  .as("released_mean_c"))
+        .orderBy(col("c_nationkey"))),
+
     // DP HISTOGRAM — q_dp_count's release-pipeline sibling: per-bin
     // Laplace noise (same md5-seeded inverse-CDF mechanism, ε-scale 2) PLUS
     // the post-processing a real release applies — negative noisy counts
@@ -1064,6 +1096,32 @@ object EtlOps extends OpModule {
          |    / (total * p_e8 / 1e8)) AS BIGINT) AS chi2_e4
          |FROM dg JOIN p USING (digit), tot
          |ORDER BY digit""".stripMargin,
+
+    // same two Laplace draws, same clamp-then-divide post-processing
+    "q_dp_mean" ->
+      """WITH b AS (SELECT c_nationkey,
+        |    GREATEST(0, LEAST(CAST(ROUND(c_acctbal * 100) AS BIGINT), 500000)) AS clamped
+        |  FROM customer),
+        |a AS (SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(clamped) AS BIGINT) AS s
+        |      FROM b GROUP BY 1),
+        |u AS (SELECT *,
+        |    CAST(('0x' || SUBSTR(md5('dp-mean-s-r17-' || CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 - 0.5 AS u1,
+        |    CAST(('0x' || SUBSTR(md5('dp-mean-n-r17-' || CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 - 0.5 AS u2
+        |  FROM a),
+        |nz AS (SELECT *,
+        |    CAST(ROUND(1e6 * (-1000000.0) * SIGN(u1) * LN(1.0 - 2.0 * ABS(u1))) AS BIGINT) AS ns_e6,
+        |    CAST(ROUND(1e6 * (-2.0) * SIGN(u2) * LN(1.0 - 2.0 * ABS(u2))) AS BIGINT) AS nn_e6
+        |  FROM u),
+        |r AS (SELECT c_nationkey, n,
+        |    s + CAST(ROUND(ns_e6 / 1e6) AS BIGINT) AS dp_s,
+        |    GREATEST(1, n + CAST(ROUND(nn_e6 / 1e6) AS BIGINT)) AS dp_n
+        |  FROM nz)
+        |SELECT c_nationkey, n,
+        |  CAST(GREATEST(0, LEAST(GREATEST(0, dp_s) // dp_n, 500000)) AS BIGINT)
+        |    AS released_mean_c
+        |FROM r ORDER BY c_nationkey""".stripMargin,
 
     "q_dp_count" ->
       """WITH g AS (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1),
