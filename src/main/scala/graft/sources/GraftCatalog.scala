@@ -625,6 +625,66 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
               StoreSink.writeExtrasFile(ap, fsys, before)
           }
         StoreSink.writeExtras(root, fsys, extras)
+        // PER-FILE DECLARED STATS ARE KEYED BY NAME (manifest field 12), so
+        // column evolution must keep them honest in the CURRENT manifest:
+        //  - DROP strips the dead column's stats — otherwise a later re-ADD
+        //    under the same name (fresh field id, old files read NULL) would
+        //    inherit bounds from the DROPPED column's values and the MIN/MAX
+        //    pushdown would return a wrong extremum;
+        //  - RENAME a→b REKEYS a's stats to b (the slot is unchanged, the
+        //    bounds stay valid) and strips any stale stats already keyed b
+        //    (a name freed by an earlier drop can be renamed onto).
+        // Archived version manifests keep their stats untouched: time travel
+        // reads each generation under its own archived schema, where those
+        // names still mean that generation's column.
+        val afterById = extras.take(before.length).map(e => e.id -> e).toMap
+        val statDrops = before.collect {
+          case e if !e.dropped && afterById(e.id).dropped => e.name
+        }
+        val statRenames = before.collect {
+          case e if !e.dropped && !afterById(e.id).dropped &&
+            e.name != afterById(e.id).name => (e.name, afterById(e.id).name)
+        }
+        if (statDrops.nonEmpty || statRenames.nonEmpty) {
+          val gone = (statDrops ++ statRenames.map(_._2)).map(lower).toSet
+          var changed = false
+          val rebased = StoreSink.readManifestLines(root, fsys).map { l =>
+            if (l.startsWith("#")) l
+            else {
+              val e = StoreSink.parseEntry(l)
+              if (e.stats.isEmpty) l
+              else {
+                val ns = e.stats.flatMap { case st @ (c, loB, hiB) =>
+                  if (gone(lower(c)) &&
+                      !statRenames.exists(r => lower(r._1) == lower(c))) None
+                  else statRenames.find(r => lower(r._1) == lower(c)) match {
+                    case Some((_, nn)) => Some((nn, loB, hiB))
+                    case None          => Some(st)
+                  }
+                }
+                val nl = e.copy(stats = ns).line
+                if (nl != l) changed = true
+                nl
+              }
+            }
+          }
+          if (changed) StoreSink.writeManifestAtomic(root, fsys, rebased)
+          // keep the declared-stat POLICY (`graft.stats.cols`) in step so
+          // analyze doesn't re-backfill a dropped name and renames keep
+          // collecting stats under their new name
+          val ps = StoreSink.readProps(root, fsys).toMap
+          ps.get(StoreSink.StatColsProp).foreach { v =>
+            val nv = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+              .flatMap { c =>
+                if (statDrops.exists(d => lower(d) == lower(c))) None
+                else Some(statRenames.find(r => lower(r._1) == lower(c))
+                  .map(_._2).getOrElse(c))
+              }.distinct
+            if (nv.mkString(",") != v)
+              StoreSink.writeProps(root, fsys,
+                (ps + (StoreSink.StatColsProp -> nv.mkString(","))).toSeq)
+          }
+        }
       }
     }
     new StoreTable(p)

@@ -1550,6 +1550,8 @@ object StoreSink {
   private val providerCache =
     new java.util.concurrent.ConcurrentHashMap[String, StoreLockProvider]()
 
+  private val casWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[sources] def lockProvider(): StoreLockProvider = {
     val mode =
       try org.apache.spark.sql.internal.SQLConf.get
@@ -1557,7 +1559,20 @@ object StoreSink {
       catch { case _: Exception => "fs" }
     mode match {
       case "fs"  => FsLockProvider
-      case "cas" => CasLockProvider
+      case "cas" =>
+        // the built-in cas coordinator is PROCESS-LOCAL: selecting it in a
+        // multi-driver deployment silently provides no mutual exclusion
+        // across JVMs (unlike fs, which is correct on POSIX/HDFS). Warn
+        // loudly once — a real object-store deployment must supply a
+        // lock-service-backed StoreLockProvider class name instead.
+        if (casWarned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger("graft.store").warn(
+            s"$LockProviderKey=cas selects the IN-PROCESS coordinator: " +
+              "commit arbitration holds within this driver JVM only. For " +
+              "multi-driver deployments supply a StoreLockProvider class " +
+              "backed by a real CAS service (S3 conditional PUT, DynamoDB " +
+              "lock table, catalog CAS).")
+        CasLockProvider
       case cls => providerCache.computeIfAbsent(cls, c =>
         Class.forName(c).getDeclaredConstructor().newInstance()
           .asInstanceOf[StoreLockProvider])
@@ -4426,7 +4441,12 @@ private class StoreCdfStream(pathStr: String, output: StructType,
             val fromEq =
               if (eqDelta.isEmpty) Nil
               else Seq(part(e, "delete", oldLayout, oldNames,
-                dvOf(e), Set.empty, Array.emptyIntArray, eqDelta.toArray))
+                // skip the NEW vector (old ∪ delta), not just the old one:
+                // a row newly dead under BOTH masks in this transition
+                // (ordinal in dvDelta AND key in eqDelta) is emitted by the
+                // dv-delta partition above — emitting it here too would
+                // double-count the delete downstream (IVM folds, CDC sinks)
+                dvOf(ne), Set.empty, Array.emptyIntArray, eqDelta.toArray))
             fromDv ++ fromEq
           case None => // file gone: its previously-live rows are deletes
             Seq(part(e, "delete", oldLayout, oldNames,

@@ -803,6 +803,42 @@ class StoreSinkSpec extends SparkSpec {
     assert(p34.length == 1 && p34(0).op == "insert")
     val p14 = stream.planInputPartitions(StoreCdfOffset(1), StoreCdfOffset(4))
     assert(p14.length == 3, s"window must cover every transition: ${p14.length}")
+    // BOTH masks growing on one file in one transition (no commit path does
+    // this today, but nothing forbids a future one): a row dead under both
+    // — ordinal in the dv delta AND key in the eq delta — must be emitted
+    // exactly ONCE. The eq-delta partition skips the NEW vector (old ∪
+    // delta), so the dv-delta partition owns the doubly-dead row.
+    val root = new Path(dir)
+    val seed = StoreSink.readEntries(root, fs).maxBy(_.rows) // the 40-row file
+    val oldDv = seed.dv.map(d => StoreSink.readDv(root, fs, d).toSeq).getOrElse(Nil)
+    val oldEq = seed.eq.map(q => StoreSink.readEq(root, fs, q).toSeq).getOrElse(Nil)
+    val ord9 = { // physical line ordinal of the k=9 row
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(new Path(root, seed.name))))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .indexWhere(_.startsWith("9,"))
+      finally in.close()
+    }
+    assert(ord9 >= 0 && !oldDv.contains(ord9))
+    StoreSink.writeDv(root, fs, ".dv-cdfplan-t5", oldDv :+ ord9)
+    StoreSink.writeEq(root, fs, ".eq-cdfplan-t5", oldEq ++ Seq(9L, 10L))
+    val crafted = StoreSink.readManifestLines(root, fs).map { l =>
+      if (!l.startsWith("#") && StoreSink.parseEntry(l).name == seed.name)
+        seed.copy(dv = Some(".dv-cdfplan-t5"), eq = Some(".eq-cdfplan-t5")).line
+      else l
+    }
+    StoreSink.writeManifestAtomic(root, fs, crafted) // v5: both masks grew
+    val p45 = stream.planInputPartitions(StoreCdfOffset(4), StoreCdfOffset(5))
+      .map(_.asInstanceOf[StoreCdfPartition])
+    assert(p45.length == 2 && p45.forall(_.op == "delete"), s"${p45.toSeq}")
+    val dvp = p45.find(_.onlyOrdinals.nonEmpty).get
+    val eqp = p45.find(_.onlyKeys.nonEmpty).get
+    assert(dvp.onlyOrdinals.toSeq == Seq(ord9) &&
+           dvp.skipKeys.toSeq == oldEq.sorted)
+    assert(eqp.onlyKeys.toSeq == Seq(9L, 10L))
+    assert(eqp.skipOrdinals.toSeq == (oldDv :+ ord9).sorted,
+      "the eq-delta partition must skip the NEW deletion vector — else the " +
+        "doubly-dead row k=9 is emitted as a delete twice")
   }
 
   test("streaming change feed: AvailableNow drains terminate, restarts " +
@@ -1133,6 +1169,64 @@ class StoreSinkSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.store DROP COLUMN fee")
       assert(StoreSink.tableSchema(dir).fieldNames.toSeq ==
         Seq("k", "grp", "amt_cents", "memo"))
+    } finally {
+      spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
+    }
+  }
+
+  test("declared stats follow column evolution: RENAME rekeys them, DROP " +
+       "strips them — a re-ADD never inherits the dropped column's bounds") {
+    import spark.implicits._
+    val dir = freshDir("statsevolve")
+    val root = new Path(dir)
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      spark.sql("ALTER TABLE graft.store ADD COLUMN fee BIGINT")
+      (1L to 400L).map(k => (k, s"g${k % 3}", k * 100, k % 50))
+        .toDF("k", "grp", "amt_cents", "fee")
+        .repartition(4, col("k"))
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+      spark.sql("ALTER TABLE graft.store SET TBLPROPERTIES " +
+                "('graft.stats.cols' = 'fee')")
+      spark.sql(s"CALL graft.analyze('$dir')").collect()
+      assert(StoreSink.readEntries(root, fs)
+        .forall(_.stats.exists(_._1 == "fee")), "analyze must backfill fee")
+      def store = spark.read.format(fmt).option("path", dir).load()
+      // RENAME rekeys: the slot (and its values) are unchanged, so the
+      // bounds stay valid under the NEW name — pushdown keeps answering
+      spark.sql("ALTER TABLE graft.store RENAME COLUMN fee TO fare")
+      val entries1 = StoreSink.readEntries(root, fs)
+      assert(entries1.forall(e => e.stats.exists(_._1 == "fare") &&
+               !e.stats.exists(_._1 == "fee")),
+        s"rename must rekey manifest stats: ${entries1.map(_.stats)}")
+      assert(StoreSink.readProps(root, fs).toMap
+        .get(StoreSink.StatColsProp).contains("fare"),
+        "rename must follow in graft.stats.cols")
+      StoreSink.lastAggPush = None
+      val mm1 = store.agg(min(col("fare")), max(col("fare"))).collect()(0)
+      assert((mm1.getLong(0), mm1.getLong(1)) == (0L, 49L))
+      assert(StoreSink.lastAggPush.contains(Seq("min_s:fare", "max_s:fare")),
+        "renamed stats must keep serving the metadata MIN/MAX")
+      // DROP strips: old entries must NOT satisfy a later same-name re-ADD
+      spark.sql("ALTER TABLE graft.store DROP COLUMN fare")
+      assert(StoreSink.readEntries(root, fs).forall(_.stats.isEmpty),
+        "drop must strip the dead column's manifest stats")
+      assert(StoreSink.readProps(root, fs).toMap
+        .get(StoreSink.StatColsProp).forall(_.isEmpty))
+      spark.sql("ALTER TABLE graft.store ADD COLUMN fare BIGINT")
+      spark.sql("ALTER TABLE graft.store SET TBLPROPERTIES " +
+                "('graft.stats.cols' = 'fare')")
+      // the re-added fare (fresh field id) reads NULL from every old file:
+      // MIN/MAX must decline the metadata path and answer NULL — the
+      // pre-fix behavior returned the DROPPED column's extremum here
+      StoreSink.lastAggPush = None
+      val mm2 = store.agg(min(col("fare")), max(col("fare"))).collect()(0)
+      assert(mm2.isNullAt(0) && mm2.isNullAt(1),
+        s"re-added column is all-NULL, got ${mm2.toSeq}")
+      assert(!StoreSink.lastAggPush.exists(_.exists(_.startsWith("min_s"))),
+        "stat-less entries must decline the metadata MIN/MAX")
     } finally {
       spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
     }
