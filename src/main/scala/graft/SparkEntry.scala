@@ -16,7 +16,7 @@ object SparkEntry {
     Scans, Expressions, Joins, SortSetOps, Aggregations, Windows, ScalarFuncs,
     StructuredFuncs, TimeSeries, LlmOps, Multimodal, DedupVariants, TextAnalysis,
     GraphOps,
-    Similarity, PipelineOps, TrainingOps, Subqueries, ScaleOps, EtlOps,
+    Similarity, PipelineOps, TrainingOps, IndexOps, Subqueries, ScaleOps, EtlOps,
     graft.streaming.StreamOps, graft.sources.Sources,
   )
 

@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.Tables
+import graft.sources.AnnIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PERSISTED ANN INDEX queries (verdict r9 #1) — the IVF index as a store
+  * ARTIFACT instead of a per-query retrain.
+  *
+  * q_sim_ivf_kmeans (ops/TrainingOps.scala) trains its codebook inside every
+  * invocation; these queries build the index ONCE into store tables
+  * (sources/AnnIndex.scala: exact-integer codebook + identity-partitioned
+  * posting lists) and then PROBE it — the probe plans the probed partitions
+  * only and runs zero training stages (AnnIndexSpec pins both plan facts).
+  * Because the persisted state is the exact-integer Lloyd sums, a probe
+  * reproduces the retrain-per-query pipeline bit for bit — so the DuckDB
+  * oracle is the SAME training replay, and the hash gate pins that an index
+  * round-trip through disk loses nothing. */
+object IndexOps extends OpModule {
+
+  private def tmpIdx(d: String, name: String) =
+    s"target/tmp/idx_${name}_${java.lang.Integer.toHexString(d.hashCode)}"
+
+  private def cosQ(a: String, b: String) = TrainingOps.duckCos(a, b)
+
+  /** The shared training-replay CTE prefix: nz corpus → stride seeds → one
+    * exact-integer Lloyd step → trained cells (c1) → full assignment (asg)
+    * → queries (q). Probe/rank clauses differ per query and are appended by
+    * the callers. Mirrors TrainingOps.simIvfKmeansOracle. */
+  private def trainReplayCtes: String = {
+    val cosES = cosQ("e.embedding", "sd.c_emb")
+    val cosEC1 = cosQ("e.embedding", "c1.c_emb")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+       |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id % 199 = 0),
+       |a1 AS (SELECT n_id, n_emb, bucket FROM (
+       |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, sd.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cosES DESC, sd.c_id) AS arn
+       |    FROM e CROSS JOIN sd) t WHERE arn = 1),
+       |dims AS (SELECT bucket, generate_subscripts(n_emb, 1) AS idx,
+       |                UNNEST(n_emb) AS v FROM a1),
+       |upd AS (SELECT bucket, idx,
+       |          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sv,
+       |          COUNT(*) AS n
+       |        FROM dims GROUP BY bucket, idx),
+       |c1 AS (SELECT bucket AS c_id,
+       |          LIST(CAST((sv / 1048576.0) / n AS REAL) ORDER BY idx) AS c_emb
+       |       FROM upd GROUP BY bucket),
+       |asg AS (SELECT n_id, n_emb, bucket FROM (
+       |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, c1.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cosEC1 DESC, c1.c_id) AS arn
+       |    FROM e CROSS JOIN c1) t WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10)""".stripMargin
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // IVF probe against the PERSISTED index: build writes the codebook +
+    // identity-partitioned posting lists as store tables, probe reads them —
+    // no Lloyd step, no corpus assignment at query time (at 100 TB those ran
+    // once, at build). Identical output to q_sim_ivf_kmeans because the
+    // codebook persists the EXACT-INTEGER training state: the disk
+    // round-trip is lossless by construction, and the shared oracle pins it.
+    "q_sim_ivf_indexed" -> ((s, d) => {
+      val idx = tmpIdx(d, "simivf")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx)
+      val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+      AnnIndex.probe(s, queries, idx).orderBy(col("q_id"), col("rn"))
+    }),
+
+    // The probe-width knob on a FROZEN index: recall@5 vs the exact top-5
+    // at nprobe = 1 and nprobe = 2, probing the SAME persisted index twice —
+    // the accuracy/cost dial a 100 TB operator turns per query class without
+    // ever retraining (double the probed lists, higher recall, zero new
+    // index bytes). Both recall curves are hash-pinned: the oracle replays
+    // training, both probe widths, and the brute-force reference.
+    "q_ann_recall_indexed" -> ((s, d) => {
+      val idx = tmpIdx(d, "recall")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx)
+      val nz = TrainingOps.nzEmbeddings(s, d)
+      val queries = nz.where(col("vec_id") < 10)
+      val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                              col("nrm").as("q_nrm"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      val exact = nz
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                col("nrm").as("n_nrm"))
+        .join(broadcast(qv))
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"))
+        .localCheckpoint() // bounded: 5 rows per query
+      def recallOf(ann: DataFrame, variant: String): DataFrame = {
+        val hits = exact.join(ann.select(col("q_id"), col("n_id")),
+            Seq("q_id", "n_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(lit(variant).as("variant"), col("q_id"),
+                  expr("coalesce(n_hit, 0L) * 10000L div 5").as("recall_e4"))
+      }
+      recallOf(AnnIndex.probe(s, queries, idx, nprobe = 1), "p1")
+        .unionByName(recallOf(AnnIndex.probe(s, queries, idx, nprobe = 2), "p2"))
+        .orderBy(col("variant"), col("q_id"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+
+    // probing the persisted index == the retrain-per-query pipeline
+    "q_sim_ivf_indexed" -> TrainingOps.simIvfKmeansOracle,
+
+    "q_ann_recall_indexed" -> {
+      val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
+      val cosQN = cosQ("pr.q_emb", "asg.n_emb")
+      val cosQE = cosQ("q.q_emb", "e2.embedding")
+      def annAt(p: Int): String =
+        s"""(SELECT q_id, n_id FROM (
+           |  SELECT pr.q_id, asg.n_id,
+           |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+           |      ORDER BY $cosQN DESC, asg.n_id) AS rn
+           |  FROM asg JOIN (SELECT q_id, q_emb, bucket FROM prb WHERE prn <= $p) pr
+           |    ON asg.bucket = pr.bucket) t
+           |WHERE rn <= 5)""".stripMargin
+      s"""WITH $trainReplayCtes,
+         |prb AS (
+         |  SELECT q.q_id, q.q_emb, c1.c_id AS bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY $cosQC1 DESC, c1.c_id) AS prn
+         |  FROM q CROSS JOIN c1),
+         |ann1 AS ${annAt(1)},
+         |ann2 AS ${annAt(2)},
+         |exact AS (SELECT q_id, n_id FROM (
+         |  SELECT q.q_id, e2.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY $cosQE DESC, e2.vec_id) AS rn
+         |  FROM q CROSS JOIN e e2) t WHERE rn <= 5),
+         |qs AS (SELECT DISTINCT q_id FROM exact),
+         |r1 AS (SELECT qs.q_id, COUNT(ann1.n_id) AS n_hit FROM qs
+         |  LEFT JOIN (SELECT exact.q_id, exact.n_id FROM exact
+         |             JOIN ann1 ON exact.q_id = ann1.q_id AND exact.n_id = ann1.n_id) ann1
+         |    ON qs.q_id = ann1.q_id GROUP BY qs.q_id),
+         |r2 AS (SELECT qs.q_id, COUNT(ann2.n_id) AS n_hit FROM qs
+         |  LEFT JOIN (SELECT exact.q_id, exact.n_id FROM exact
+         |             JOIN ann2 ON exact.q_id = ann2.q_id AND exact.n_id = ann2.n_id) ann2
+         |    ON qs.q_id = ann2.q_id GROUP BY qs.q_id)
+         |SELECT variant, q_id, recall_e4 FROM (
+         |  SELECT 'p1' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM r1
+         |  UNION ALL
+         |  SELECT 'p2' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM r2) t
+         |ORDER BY variant, q_id""".stripMargin
+    },
+  )
+}

@@ -33,7 +33,7 @@ object TrainingOps extends OpModule {
 
   /** Exact double cosine for the DuckDB twins (embcos-proven bit-exact vs
     * the staged-norm FloatDot form). */
-  private def duckCos(a: String, b: String): String =
+  private[graft] def duckCos(a: String, b: String): String =
     s"""LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b),
        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
        |    / (SQRT(LIST_SUM(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -41,7 +41,7 @@ object TrainingOps extends OpModule {
 
   /** Non-zero-norm embeddings with staged norms (cosine is undefined for
     * zero vectors; excluded identically on both sides). */
-  private def nzEmbeddings(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nzEmbeddings(s: SparkSession, d: String): DataFrame = {
     graft.functions.FloatDot.register(s)
     Tables.embeddings(s, d)
       .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
@@ -51,7 +51,7 @@ object TrainingOps extends OpModule {
   /** The q_sim_ivf_kmeans replay: stride seeds → one exact-integer Lloyd
     * step → trained cells → assign/probe/rank. Shared with the recall
     * oracle so both pin the SAME index. */
-  private def simIvfKmeansOracle: String = {
+  private[graft] def simIvfKmeansOracle: String = {
     val cosES = duckCos("e.embedding", "sd.c_emb")
     val cosEC1 = duckCos("e.embedding", "c1.c_emb")
     val cosQC1 = duckCos("q.q_emb", "c1.c_emb")
@@ -161,7 +161,7 @@ object TrainingOps extends OpModule {
   }
 
   /** Nearest-centroid assignment (cosine, ties to the lowest centroid id). */
-  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("n_id")).orderBy(col("c_score").desc, col("c_id"))
     vecs.join(broadcast(cents))
       .withColumn("c_score",

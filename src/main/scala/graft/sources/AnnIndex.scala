@@ -1,0 +1,257 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField}
+
+/** PERSISTED IVF ANN INDEX — the index as a MAINTAINED TABLE (verdict r9 #1).
+  *
+  * q_sim_ivf_kmeans retrains its codebook inside every query; at 100 TB an
+  * index is an artifact you build once and probe many times, exactly like
+  * FAISS persists a trained quantizer + inverted lists. Here both halves are
+  * ordinary graft-store tables under `<indexPath>/`:
+  *
+  *  - `codebook`  — one row per trained centroid: k = centroid id (the seed
+  *    vector's vec_id), amt_cents = cluster size n, sv_csv = the per-dim
+  *    EXACT-INTEGER Lloyd sums in 2^-20 units. Persisting (sv, n) instead of
+  *    the float centroid makes the reconstruction `cast((sv/1048576.0)/n as
+  *    float)` BIT-IDENTICAL to training-time arithmetic — so a probe of the
+  *    persisted index returns exactly what the retrain-per-query pipeline
+  *    returns, and the DuckDB oracle keeps replaying training.
+  *  - `postings`  — one row per indexed vector: k = vec_id, grp = assigned
+  *    centroid id (as text), emb = the vector itself (comma-joined float
+  *    literals; Spark's float→string→float round-trip is exact by the Java
+  *    Float.toString contract). The store is IDENTITY-PARTITIONED on grp, so
+  *    each centroid's posting list is its own partition — probing c cells
+  *    PLANS c partitions (the store's partition pruning IS the inverted-list
+  *    lookup), never a corpus scan.
+  *
+  * Training matches ops/TrainingOps.scala q_sim_ivf_kmeans line for line:
+  * stride-199 seeds (corpus-scaling key cardinality) + ONE exact-integer
+  * Lloyd step. Maintenance is INCREMENTAL: [[refresh]] folds the corpus
+  * store's change feed (StoreSink.changes) into the postings under the
+  * FROZEN codebook — cost tracks changed rows + touched partitions, the
+  * q_store_ivm fold applied to index upkeep. At 100 TB: codebook is √n rows
+  * (broadcast-sized), postings rewrite is O(touched posting lists), and a
+  * probe reads nprobe lists only. */
+object AnnIndex {
+
+  private val Fmt = "graft.sources.StoreSink"
+  val CorpusProp = "graft.index.corpus"
+  val VersionProp = "graft.index.corpus_version"
+
+  private def cb(indexPath: String) = s"$indexPath/codebook"
+  private def pl(indexPath: String) = s"$indexPath/postings"
+
+  /** Non-zero-norm vectors of a corpus STORE (k = vec_id, trailing `emb` =
+    * comma-joined float literals), shaped like TrainingOps.nzEmbeddings. */
+  private[graft] def nzOfStore(s: SparkSession, corpusPath: String): DataFrame =
+    nzOf(s.read.format(Fmt).option("path", corpusPath).load()
+      .select(col("k").as("vec_id"),
+        expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding")))
+
+  private def nzOf(vecs: DataFrame): DataFrame = {
+    graft.functions.FloatDot.register(vecs.sparkSession)
+    vecs.withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+      .where(col("nrm") > 0)
+  }
+
+  /** Stride-199 seeds + one exact 2^-20-integer Lloyd step over `nz`
+    * (vec_id, embedding, nrm). Returns one row per trained centroid:
+    * (c_id, n, sv_csv) — the EXACT-integer state the codebook persists. */
+  private def train(nz: DataFrame): DataFrame = {
+    val vecs = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                         col("nrm").as("n_nrm"))
+    val seeds = nz.where(pmod(col("vec_id"), lit(199)) === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+              col("nrm").as("c_nrm"))
+    graft.ops.TrainingOps.assign(vecs, seeds)
+      .select(col("bucket"), posexplode(col("n_emb")).as(Seq("idx", "v")))
+      .groupBy(col("bucket"), col("idx"))
+      .agg(expr("sum(cast(round(cast(v as double) * 1048576) as bigint))").as("sv"),
+           count(lit(1)).as("n"))
+      .groupBy(col("bucket"))
+      .agg(max(col("n")).as("n"), // every dim counts the same vectors
+           expr("array_join(transform(array_sort(collect_list(struct(idx, sv))), p -> cast(p.sv as string)), ',')")
+             .as("sv_csv"))
+      .select(col("bucket").as("c_id"), col("n"), col("sv_csv"))
+  }
+
+  /** Reconstruct the float centroids from persisted exact-integer state —
+    * the same `(sv / 1048576.0) / n` expression training evaluated. */
+  private def centroidsOf(raw: DataFrame): DataFrame =
+    raw.select(col("c_id"),
+        expr("transform(split(sv_csv, ','), x -> cast((cast(x as bigint) / 1048576.0) / n as float))")
+          .as("c_emb"))
+      .withColumn("c_nrm", sqrt(expr("graft_float_dot(c_emb, c_emb)")))
+
+  /** The persisted codebook as (c_id, c_emb, c_nrm). */
+  def codebook(s: SparkSession, indexPath: String): DataFrame = {
+    graft.functions.FloatDot.register(s)
+    centroidsOf(s.read.format(Fmt).option("path", cb(indexPath)).load()
+      .select(col("k").as("c_id"), col("amt_cents").as("n"), col("sv_csv")))
+  }
+
+  /** Build the index from `nz` (vec_id, embedding, nrm): train the codebook,
+    * assign every vector, persist both store tables. Returns
+    * (n_centroids, n_postings). `corpusRef` records provenance for refresh
+    * (the corpus store path + the version the postings reflect). */
+  private def buildFrom(s: SparkSession, nz: DataFrame, indexPath: String,
+                        corpusRef: Option[(String, Int)]): (Long, Long) = {
+    val cbRoot = new Path(cb(indexPath))
+    val plRoot = new Path(pl(indexPath))
+    val fsys = StoreSink.fs(cbRoot)
+    fsys.delete(cbRoot, true); fsys.delete(plRoot, true)
+    // trailing schemas persist BEFORE any write (the CTAS-shaped path)
+    StoreSink.writeExtras(cbRoot, fsys,
+      StoreSink.extrasOf(Seq(StructField("sv_csv", StringType))))
+    StoreSink.writeExtras(plRoot, fsys,
+      StoreSink.extrasOf(Seq(StructField("emb", StringType))))
+    val trained = train(nz).localCheckpoint() // codebook-sized (√n rows)
+    trained.select(col("c_id").as("k"), lit("c").as("grp"),
+        col("n").as("amt_cents"), col("sv_csv"))
+      .coalesce(1)
+      .write.format(Fmt).mode("append").option("path", cb(indexPath)).save()
+    val vecs = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                         col("nrm").as("n_nrm"))
+    graft.ops.TrainingOps.assign(vecs, centroidsOf(trained))
+      .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
+        lit(0L).as("amt_cents"),
+        expr("array_join(transform(n_emb, x -> cast(x as string)), ',')").as("emb"))
+      .write.format(Fmt).mode("append").option("path", pl(indexPath))
+      .option("partitionedBy", "identity:grp").save()
+    corpusRef.foreach { case (path, v) =>
+      StoreSink.withCommitLock(cbRoot, fsys) {
+        val ps = StoreSink.readProps(cbRoot, fsys).toMap
+        StoreSink.writeProps(cbRoot, fsys,
+          (ps + (CorpusProp -> path) + (VersionProp -> v.toString)).toSeq)
+      }
+    }
+    val nCb = StoreSink.readEntries(cbRoot, fsys).map(_.rows).sum
+    val nPl = StoreSink.readEntries(plRoot, fsys).map(_.rows).sum
+    (nCb, nPl)
+  }
+
+  /** Build from a raw embeddings table (the sf-dir parquet). */
+  def build(s: SparkSession, embeddings: DataFrame, indexPath: String): (Long, Long) =
+    buildFrom(s, nzOf(embeddings), indexPath, None)
+
+  /** Build from a corpus STORE (k = vec_id, emb = float CSV), recording
+    * (corpus path, corpus version) so [[refresh]] can fold its change feed. */
+  def buildFromStore(s: SparkSession, corpusPath: String,
+                     indexPath: String): (Long, Long) = {
+    val v = StoreSink.listVersions(new Path(corpusPath),
+      StoreSink.fs(new Path(corpusPath))).lastOption.getOrElse(0)
+    buildFrom(s, nzOfStore(s, corpusPath), indexPath, Some((corpusPath, v)))
+  }
+
+  /** Probe the persisted index: queries' nprobe nearest cells, exact cosine
+    * ranking INSIDE probed posting lists only. The probed cell set is
+    * bounded (|queries| × nprobe), so materializing it to drive partition
+    * pruning is a catalog-sized collect, and the postings scan PLANS only
+    * those partitions — at any corpus size the probe reads nprobe lists per
+    * query, never the table. Output shape = q_sim_ivf_kmeans. */
+  def probe(s: SparkSession, queries: DataFrame, indexPath: String,
+            nprobe: Int = 2, topk: Int = 5): DataFrame = {
+    val cents = codebook(s, indexPath)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"))
+      .join(broadcast(cents))
+      .withColumn("p_score",
+        expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("bucket"))
+      .localCheckpoint() // bounded: |queries| × nprobe
+    val buckets = probes.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0).toString).toSeq
+    val cand = s.read.format(Fmt).option("path", pl(indexPath)).load()
+      .where(col("grp").isin(buckets: _*)) // partition pruning = list lookup
+      .select(col("k").as("n_id"), col("grp").cast("long").as("bucket"),
+        expr("transform(split(emb, ','), x -> cast(x as float))").as("n_emb"))
+      .withColumn("n_nrm", sqrt(expr("graft_float_dot(n_emb, n_emb)")))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    cand.join(broadcast(probes), "bucket")
+      .withColumn("score",
+        expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= topk)
+      .select(col("q_id"), col("n_id"),
+              round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
+  }
+
+  /** INCREMENTAL MAINTENANCE: fold the corpus store's change feed since the
+    * indexed version into the postings under the FROZEN codebook — the
+    * q_store_ivm fold applied to the index. Deletes drop their posting row,
+    * inserts assign against the persisted centroids (an update is its CDF
+    * delete+insert pair), and only TOUCHED posting-list partitions are
+    * rewritten (one replace-set commit). The codebook is never retrained —
+    * recall drifts only as far as the data does, the standard IVF contract
+    * (rebuild to re-center). Returns (keys_changed, partitions_rewritten). */
+  def refresh(s: SparkSession, indexPath: String): (Long, Long) = {
+    val cbRoot = new Path(cb(indexPath))
+    val plRoot = new Path(pl(indexPath))
+    val fsys = StoreSink.fs(cbRoot)
+    val props = StoreSink.readProps(cbRoot, fsys).toMap
+    val corpus = props.getOrElse(CorpusProp, throw new IllegalStateException(
+      s"index at $indexPath was not built from a corpus store — nothing to refresh"))
+    val fromV = props(VersionProp).toInt
+    val headV = StoreSink.listVersions(new Path(corpus),
+      StoreSink.fs(new Path(corpus))).lastOption.getOrElse(0)
+    if (headV == fromV) return (0L, 0L)
+    val feed = StoreSink.changes(s, corpus, fromV, Some(headV))
+      .select(col("op"), col("k").as("vec_id"),
+        expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding"))
+      .localCheckpoint() // CDF-sized: changed rows only
+    graft.functions.FloatDot.register(s)
+    // every changed key leaves the postings; non-zero-norm inserts re-enter
+    // under their frozen-codebook cell
+    val changedKeys = feed.select(col("vec_id").as("k")).distinct()
+    val newAsg = graft.ops.TrainingOps.assign(
+      feed.where(col("op") === "insert")
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                col("nrm").as("n_nrm")),
+      codebook(s, indexPath))
+      .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
+        lit(0L).as("amt_cents"),
+        expr("array_join(transform(n_emb, x -> cast(x as string)), ',')").as("emb"))
+      .localCheckpoint()
+    def postings = s.read.format(Fmt).option("path", pl(indexPath)).load()
+    // touched cells: where new assignments land + where changed keys lived
+    // (bounded by the codebook size — a catalog-sized driver list)
+    val touched = (newAsg.select(col("grp")).distinct()
+      .unionByName(postings.join(changedKeys, Seq("k"), "left_semi")
+        .select(col("grp")).distinct())
+      .distinct().collect().map(_.getString(0))).toSeq
+    if (touched.isEmpty) {
+      StoreSink.withCommitLock(cbRoot, fsys) {
+        val ps = StoreSink.readProps(cbRoot, fsys).toMap
+        StoreSink.writeProps(cbRoot, fsys, (ps + (VersionProp -> headV.toString)).toSeq)
+      }
+      return (changedKeys.count(), 0L)
+    }
+    val replaced = StoreSink.readEntries(plRoot, fsys)
+      .filter(_.part.exists(touched.contains)).map(_.name)
+    // partition-grain copy-on-write: surviving rows of touched lists
+    // (anti-join, never a literal IN — the predicate must not scale with
+    // the delete batch) + the fresh assignments, ONE replace-set commit
+    postings.where(col("grp").isin(touched: _*))
+      .join(changedKeys, Seq("k"), "left_anti")
+      .select(col("k"), col("grp"), col("amt_cents"), col("emb"))
+      .unionByName(newAsg)
+      .write.format(Fmt).mode("append").option("path", pl(indexPath))
+      .option("replace", replaced.mkString(","))
+      .option("preserveMarkers", "true").save()
+    StoreSink.withCommitLock(cbRoot, fsys) {
+      val ps = StoreSink.readProps(cbRoot, fsys).toMap
+      StoreSink.writeProps(cbRoot, fsys, (ps + (VersionProp -> headV.toString)).toSeq)
+    }
+    (changedKeys.count(), touched.size.toLong)
+  }
+}

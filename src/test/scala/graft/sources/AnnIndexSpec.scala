@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted-IVF-index contract (verdict r9 #1):
+  *  - a probe is INDEX-ONLY — it plans exactly the probed posting-list
+  *    partitions and runs no training stages (no corpus-wide assignment);
+  *  - refresh folds the corpus CDF under the FROZEN codebook and equals a
+  *    from-scratch reassignment against that codebook, bit for bit;
+  *  - refresh rewrites ONLY the touched posting lists — an untouched cell's
+  *    data files carry over by identity. */
+class AnnIndexSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.StoreSink"
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def freshDir(name: String): String = {
+    val dir = s"target/tmp/annindex_spec_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  /** Two well-separated clusters whose seed ids (vec_id % 199 == 0) are 0
+    * (cluster A, axis e1) and 199 (cluster B, axis e2) — so the trained
+    * cells are knowable and partition-touch assertions are deterministic. */
+  private def clusteredCorpus: DataFrame = {
+    import spark.implicits._
+    val a = (0 to 9).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f, i / 100.0f)))
+    val b = (199 to 208).map(i => (i.toLong, Array(0.0f, 1.0f, 0.0f, (i - 199) / 100.0f)))
+    (a ++ b).toDF("vec_id", "embedding")
+  }
+
+  private def seedCorpusStore(dir: String, vecs: DataFrame): Unit = {
+    val root = new Path(dir)
+    StoreSink.writeExtras(root, fs, StoreSink.extrasOf(Seq(
+      org.apache.spark.sql.types.StructField("emb",
+        org.apache.spark.sql.types.StringType))))
+    vecs.select(col("vec_id").as("k"), lit("e").as("grp"), lit(0L).as("amt_cents"),
+        expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", dir).save()
+  }
+
+  private def postingsSet(idx: String): Set[(Long, String, String)] =
+    spark.read.format(fmt).option("path", s"$idx/postings").load()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+
+  private def postingFiles(idx: String): Map[String, Set[String]] =
+    StoreSink.readEntries(new Path(s"$idx/postings"), fs)
+      .groupBy(_.part.getOrElse("?")).map { case (p, es) => p -> es.map(_.name).toSet }
+
+  test("probe is index-only: plans exactly the probed partitions, zero " +
+       "training or corpus-assignment stages") {
+    val corpus = freshDir("probe_corpus")
+    val idx = freshDir("probe_idx")
+    seedCorpusStore(corpus, clusteredCorpus)
+    val (nCb, nPl) = AnnIndex.buildFromStore(spark, corpus, idx)
+    assert(nCb == 2 && nPl == 20, s"2 cells over 20 vectors: ($nCb, $nPl)")
+    // a query on axis e1 probes cluster A first; nprobe=1 → ONE partition
+    import spark.implicits._
+    val q = Seq((9000L, Array(1.0f, 0.05f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+    StoreSink.lastZonePrune = None
+    val got = AnnIndex.probe(spark, q, idx, nprobe = 1, topk = 3).collect()
+    assert(got.length == 3 && got.forall(_.getLong(1) <= 9),
+      s"nprobe=1 must rank inside cluster A only: ${got.toSeq}")
+    val (cand, kept) = StoreSink.lastZonePrune.get
+    assert(cand == 2 && kept == 1,
+      s"probe must PLAN only the probed posting list: kept $kept of $cand")
+    // plan shape: the candidate side reads the postings store (a store scan
+    // pruned to one partition), never the corpus — and no training
+    // aggregation (the Lloyd-step posexplode) appears anywhere
+    val plan = AnnIndex.probe(spark, q, idx, nprobe = 1, topk = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("posexplode"), "probe must not retrain")
+    assert(!plan.toLowerCase.contains(corpus.toLowerCase),
+      "probe must not rescan the corpus store")
+  }
+
+  test("refresh == reassignment against the frozen codebook, and only " +
+       "touched posting lists rewrite") {
+    val corpus = freshDir("refresh_corpus")
+    val idx = freshDir("refresh_idx")
+    seedCorpusStore(corpus, clusteredCorpus)
+    AnnIndex.buildFromStore(spark, corpus, idx)
+    val cbBefore = spark.read.format(fmt).option("path", s"$idx/codebook")
+      .load().collect().map(_.toSeq).toSet
+    val filesBefore = postingFiles(idx)
+    assert(filesBefore.keySet == Set("0", "199"), s"$filesBefore")
+    // corpus evolves: one insert near cluster B, one delete from cluster B
+    import spark.implicits._
+    Seq((300L, Array(0.0f, 1.0f, 0.02f, 0.0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("k"), lit("e").as("grp"), lit(0L).as("amt_cents"),
+        expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    new StoreTable(corpus).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 200L)))
+    val (changed, parts) = AnnIndex.refresh(spark, idx)
+    assert(changed == 2 && parts == 1,
+      s"2 changed keys, ONE touched cell: ($changed, $parts)")
+    // cluster A's posting list carried over by file identity — zero rewrite
+    val filesAfter = postingFiles(idx)
+    assert(filesAfter("0") == filesBefore("0"),
+      s"untouched cell must keep its files: ${filesBefore("0")} vs ${filesAfter("0")}")
+    assert(filesAfter("199") != filesBefore("199"), "touched cell must rewrite")
+    // codebook FROZEN
+    assert(spark.read.format(fmt).option("path", s"$idx/codebook")
+      .load().collect().map(_.toSeq).toSet == cbBefore)
+    // content == from-scratch reassignment of the final corpus against the
+    // frozen codebook (delete gone, insert present, everything else intact)
+    val expected = graft.ops.TrainingOps.assign(
+        AnnIndex.nzOfStore(spark, corpus)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                  col("nrm").as("n_nrm")),
+        AnnIndex.codebook(spark, idx))
+      .select(col("n_id"), col("bucket").cast("string"),
+        expr("array_join(transform(n_emb, x -> cast(x as string)), ',')"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(postingsSet(idx) == expected,
+      "refresh must equal the frozen-codebook rebuild bit for bit")
+    assert(!postingsSet(idx).exists(_._1 == 200L) &&
+           postingsSet(idx).exists(p => p._1 == 300L && p._2 == "199"))
+    // idempotent: nothing new to fold
+    assert(AnnIndex.refresh(spark, idx) == ((0L, 0L)))
+  }
+
+  test("refresh refuses an index built without corpus provenance") {
+    val idx = freshDir("noprov_idx")
+    import spark.implicits._
+    AnnIndex.build(spark, clusteredCorpus, idx)
+    val e = intercept[IllegalStateException] { AnnIndex.refresh(spark, idx) }
+    assert(e.getMessage.contains("not built from a corpus store"))
+  }
+}
