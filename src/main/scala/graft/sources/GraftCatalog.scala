@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNa
 import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Custom catalog plugin (`TableCatalog`) — the tenth custom-Catalyst kind:
@@ -572,6 +572,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
               "graft.store column defaults must be literal (foldable) values")
             (a.dataType(), lit.value()) match {
               case (LongType, v: java.lang.Number) => v.toString
+              case (IntegerType, v: java.lang.Number) => v.toString
               case (org.apache.spark.sql.types.StringType, v) => v.toString
               case (t, v) => throw new IllegalArgumentException(
                 s"graft.store default $v does not fit column type $t")
@@ -605,8 +606,27 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
             requireUnconstrained(colName, "drop")
             extras = extras.updated(idx, extras(idx).copy(dropped = true))
           }
+        case u: TableChange.UpdateColumnType =>
+          // TYPE WIDENING on a stable field id (verdict r9 #2): the slot is
+          // unchanged and the line encoding is text, so int → bigint is a
+          // pure metadata promotion — old files' digits simply parse wider.
+          // Anything lossy (narrowing, cross-kind) is refused; the outgoing
+          // schema archives below so time travel reads each generation
+          // under the type it was committed with.
+          val colName = requireSingle(u.fieldNames(), "type change")
+          requireNotBase(colName, "change the type of")
+          val idx = extras.indexWhere(e =>
+            !e.dropped && e.name.equalsIgnoreCase(colName))
+          require(idx >= 0, s"no such column: $colName")
+          val from = extras(idx).dataType
+          val to = u.newDataType()
+          require(from == IntegerType && to == LongType,
+            s"graft.store widens int -> bigint only, got $from -> $to " +
+              "(narrowing loses data; other promotions change the encoding)")
+          extras = extras.updated(idx, extras(idx).copy(dataType = to))
         case other => throw new UnsupportedOperationException(
-          s"graft.store supports ADD/RENAME/DROP COLUMN only, got $other")
+          s"graft.store supports ADD/RENAME/DROP COLUMN and int->bigint " +
+            s"ALTER COLUMN TYPE only, got $other")
       }
       if (extras != before) {
         // SNAPSHOT-SCOPED SCHEMA, the ALTER side: a rename/drop changes how
@@ -616,8 +636,11 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
         // under, not an intermediate ALTER state (add-only ALTERs skip the
         // archive: old versions reading a new column as NULL is the
         // initial-default contract, not a misread)
-        val renamedOrDropped = before.map(e => (e.id, e.name, e.dropped)) !=
-          extras.take(before.length).map(e => (e.id, e.name, e.dropped))
+        // A type WIDENING also archives: versions committed under int must
+        // travel-read as int.
+        val renamedOrDropped =
+          before.map(e => (e.id, e.name, e.dropped, e.dataType)) !=
+          extras.take(before.length).map(e => (e.id, e.name, e.dropped, e.dataType))
         if (renamedOrDropped)
           StoreSink.listVersions(root, fsys).lastOption.foreach { v =>
             val ap = StoreSink.schemaArchivePath(root, v)

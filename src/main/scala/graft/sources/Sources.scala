@@ -3089,6 +3089,64 @@ object Sources extends OpModule {
         .orderBy(col("v"))
     }),
 
+    // TYPE WIDENING on a stable field id (verdict r9 #2): `ALTER COLUMN fee
+    // TYPE BIGINT` promotes an int slot in place — same field id, zero file
+    // rewrites (the line encoding is text: old digits parse wider), new
+    // writes land 64-bit values no int could hold, and ONE read resolves
+    // both generations under the widened type. Time travel still reads the
+    // pre-widen generation as int (the ALTER archives the outgoing schema),
+    // and narrowing back is refused — the lossy direction never exists. At
+    // 100 TB this is the second-most-common ALTER in practice: an id column
+    // outgrowing int must not mean rewriting a petabyte.
+    "q_store_evolve_widen" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storewiden")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN fee INT")
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                  graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+        base.where(pmod(col("k"), lit(2)) === 0)
+          .withColumn("fee", pmod(col("k"), lit(1000)).cast("int"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save() // v1: int generation
+        val filesBefore = graft.sources.StoreSink
+          .readManifest(new org.apache.hadoop.fs.Path(path), fsys)
+        s.sql("ALTER TABLE graft.store ALTER COLUMN fee TYPE BIGINT")
+        val noRewrite = graft.sources.StoreSink
+          .readManifest(new org.apache.hadoop.fs.Path(path), fsys) == filesBefore
+        base.where(pmod(col("k"), lit(2)) === 1)
+          .withColumn("fee", col("k") + lit(5000000000L)) // needs 64 bits
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save() // v2: bigint generation
+        val narrowRefused =
+          try { s.sql("ALTER TABLE graft.store ALTER COLUMN fee TYPE INT"); false }
+          catch { case _: Exception => true }
+        val v1 = s.sql("SELECT * FROM graft.store VERSION AS OF 1")
+        val travelInt = v1.schema.fields(3).dataType ==
+          org.apache.spark.sql.types.IntegerType
+        val travelSum = v1.agg(sum(col("fee").cast("long"))).collect()(0).getLong(0)
+        val agg = s.table("graft.store")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("fee")).as("fee_sum"),
+               max(col("fee")).as("fee_max"))
+          .select(concat(lit("grp:"), col("grp")).as("step"), col("n"),
+                  col("fee_sum"), col("fee_max"))
+          .collect().toSeq
+        val rows = agg ++ Seq(
+          org.apache.spark.sql.Row("z_no_rewrite", if (noRewrite) 1L else 0L, 0L, 0L),
+          org.apache.spark.sql.Row("z_narrow_refused", if (narrowRefused) 1L else 0L, 0L, 0L),
+          org.apache.spark.sql.Row("z_travel_int",
+            if (travelInt) 1L else 0L, travelSum, 0L))
+        val schema = StructType(Seq(
+          StructField("step", StringType), StructField("n", LongType),
+          StructField("fee_sum", LongType), StructField("fee_max", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+      }
+    }),
+
     // PERSISTED-INDEX INCREMENTAL MAINTENANCE (verdict r9 #1, the IVM leg):
     // the corpus is a STORE, the IVF index is built FROM it recording
     // (path, version), and after a DELETE + an append the index REFRESHES by
@@ -3150,6 +3208,25 @@ object Sources extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // both generations under the widened type; the flags are structural
+    "q_store_evolve_widen" ->
+      """WITH rows_all AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000
+        |         ELSE o_orderkey + 5000000000 END AS fee,
+        |    o_orderkey % 2 AS gen
+        |  FROM orders),
+        |agg AS (SELECT 'grp:' || grp AS step, CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(fee) AS BIGINT) AS fee_sum,
+        |          CAST(MAX(fee) AS BIGINT) AS fee_max
+        |        FROM rows_all GROUP BY grp),
+        |v1sum AS (SELECT CAST(SUM(fee) AS BIGINT) AS s FROM rows_all WHERE gen = 0)
+        |SELECT step, n, fee_sum, fee_max FROM agg
+        |UNION ALL SELECT 'z_no_rewrite', 1, 0, 0
+        |UNION ALL SELECT 'z_narrow_refused', 1, 0, 0
+        |UNION ALL SELECT 'z_travel_int', 1, (SELECT s FROM v1sum), 0
+        |ORDER BY step""".stripMargin,
+
     // build-then-refresh == train on the INITIAL corpus, assign the FINAL
     // one: the replay pins the frozen-codebook maintenance fold exactly
     "q_store_index_refresh" -> {

@@ -186,7 +186,8 @@ object StoreSink {
       val f = StructField(name, dataType, nullable = true)
       rawDefault.fold(f) { rawV =>
         val sqlText =
-          if (dataType == LongType) rawV else "'" + rawV.replace("'", "''") + "'"
+          if (dataType == LongType || dataType == IntegerType) rawV
+          else "'" + rawV.replace("'", "''") + "'"
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .putString(RawDefaultKey, rawV)
           .putString("CURRENT_DEFAULT", sqlText)
@@ -244,8 +245,9 @@ object StoreSink {
   private def typeOf(t: String): DataType = t match {
     case "bigint" => LongType
     case "string" => StringType
+    case "int"    => IntegerType
     case other => throw new IllegalArgumentException(
-      s"graft-store extra column type $other (bigint|string only)")
+      s"graft-store extra column type $other (int|bigint|string only)")
   }
 
   private def readExtrasFile(sf: Path, fsys: FileSystem): Seq[ExtraField] = {
@@ -286,8 +288,9 @@ object StoreSink {
       val t = f.dataType match {
         case LongType => "bigint"
         case StringType => "string"
+        case IntegerType => "int"
         case other => throw new IllegalArgumentException(
-          s"graft-store cannot add a $other column (bigint|string only)")
+          s"graft-store cannot add a $other column (int|bigint|string only)")
       }
       val d = f.rawDefault
         .map(v => ":d" + java.net.URLEncoder.encode(v, "UTF-8")).getOrElse("")
@@ -309,6 +312,8 @@ object StoreSink {
       else f.dataType match {
         case LongType =>
           java.lang.Long.valueOf(f.metadata.getString(RawDefaultKey).toLong)
+        case IntegerType =>
+          java.lang.Integer.valueOf(f.metadata.getString(RawDefaultKey).toInt)
         case _ => UTF8String.fromString(f.metadata.getString(RawDefaultKey))
       }
     }
@@ -2006,6 +2011,7 @@ object StoreSink {
       if (i < 0 || row.isNullAt(base + i)) sb.append(NullMark)
       else types(i) match {
         case LongType => sb.append(row.getLong(base + i))
+        case IntegerType => sb.append(row.getInt(base + i))
         case StringType =>
           sb.append(java.net.URLEncoder.encode(row.getString(base + i), "UTF-8"))
         case other => throw new IllegalArgumentException(s"unsupported type $other")
@@ -2027,7 +2033,10 @@ object StoreSink {
       if (i >= parts.length) (if (defaults == null) null else defaults(i))
       else if (parts(i) == NullMark) null
       else types(i) match {
+        // an int slot later WIDENED to bigint decodes under LongType: the
+        // text encoding makes physical widening a pure metadata change
         case LongType => java.lang.Long.valueOf(parts(i).toLong)
+        case IntegerType => java.lang.Integer.valueOf(parts(i).toInt)
         case StringType =>
           UTF8String.fromString(java.net.URLDecoder.decode(parts(i), "UTF-8"))
         case other => throw new IllegalArgumentException(s"unsupported type $other")

@@ -1174,6 +1174,60 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("type widening: int -> bigint is metadata-only, travel reads each " +
+       "generation under its own type, lossy directions refuse") {
+    import spark.implicits._
+    val dir = freshDir("widen")
+    val root = new Path(dir)
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      spark.sql("ALTER TABLE graft.store ADD COLUMN fee INT")
+      Seq((1L, "a", 100L, 7), (2L, "a", 200L, 8))
+        .toDF("k", "grp", "amt_cents", "fee").coalesce(1)
+        .write.format(fmt).mode("append").option("path", dir).save() // v1
+      val filesBefore = StoreSink.readManifest(root, fs).toSet
+      spark.sql("ALTER TABLE graft.store ALTER COLUMN fee TYPE BIGINT")
+      assert(StoreSink.readManifest(root, fs).toSet == filesBefore,
+        "widening must not touch data files")
+      assert(spark.table("graft.store").schema.fields(3).dataType ==
+        org.apache.spark.sql.types.LongType)
+      // the old file's digits parse wider; a 64-bit write lands
+      Seq((3L, "b", 300L, 6000000000L)).toDF("k", "grp", "amt_cents", "fee")
+        .coalesce(1)
+        .write.format(fmt).mode("append").option("path", dir).save() // v2
+      val got = spark.table("graft.store").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(got == Map(1L -> 7L, 2L -> 8L, 3L -> 6000000000L), s"$got")
+      // time travel: v1 committed under int reads as int
+      val v1 = spark.sql("SELECT * FROM graft.store VERSION AS OF 1")
+      assert(v1.schema.fields(3).dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(v1.collect().map(r => (r.getLong(0), r.getInt(3))).toMap ==
+        Map(1L -> 7, 2L -> 8))
+      // CDF across the widening boundary: shaped like the destination view
+      val feed = StoreSink.changes(spark, dir, 1, Some(2))
+      assert(feed.schema.fields.map(_.name).toSeq ==
+        Seq("op", "k", "grp", "amt_cents", "fee"))
+      assert(feed.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(4))).toSet ==
+        Set(("insert", 3L, 6000000000L)))
+      // refusals: narrowing, cross-kind, and base columns
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.store ALTER COLUMN fee TYPE INT")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.store ALTER COLUMN fee TYPE STRING")
+      }
+      intercept[Exception] { // base column (and a narrowing to boot)
+        spark.sql("ALTER TABLE graft.store ALTER COLUMN amt_cents TYPE INT")
+      }
+    } finally {
+      spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
+    }
+  }
+
   test("declared stats follow column evolution: RENAME rekeys them, DROP " +
        "strips them — a re-ADD never inherits the dropped column's bounds") {
     import spark.implicits._
