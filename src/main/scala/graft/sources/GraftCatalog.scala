@@ -65,8 +65,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "analyze", "cherry_pick", "compact", "expire", "history",
-      "publish", "remove_orphans", "rollback", "tag", "zorder", "zorder_by",
-      "vacuum").map(Identifier.of(Array.empty, _))
+      "publish", "remove_orphans", "repartition_spec", "rollback", "tag",
+      "zorder", "zorder_by", "vacuum").map(Identifier.of(Array.empty, _))
   }
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -80,6 +80,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "expire" => ExpireProcedure
       case "history" => HistoryProcedure
       case "remove_orphans" => RemoveOrphansProcedure
+      case "repartition_spec" => RepartitionSpecProcedure
       case "publish" => PublishProcedure
       case "rollback" => RollbackProcedure
       case "tag"     => TagProcedure
@@ -915,6 +916,54 @@ private object AnalyzeProcedure
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = resultSchema
         override def rows(): Array[InternalRow] = Array(InternalRow(a, b))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.repartition_spec(path, 'bucket:16:k' | 'identity:grp' |
+  * 'none')` — PARTITION SPEC EVOLUTION (the Iceberg spec-versioning
+  * contract): registers a NEW spec generation; files already committed keep
+  * planning (pruning, SPJ withdrawal, partition DDL refusals) under the
+  * spec they were written with, new writes route under the new one, and a
+  * full rewrite unifies. Metadata-only — zero data bytes move. Audit row:
+  * (old_spec_id, new_spec_id). */
+private object RepartitionSpecProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "repartition_spec"
+  override def description(): String =
+    "register a new partition-spec generation; existing files keep theirs"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("spec", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("old_spec_id", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("new_spec_id", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val path = input.getUTF8String(0).toString
+    val specStr = input.getUTF8String(1).toString
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fsys = StoreSink.fs(root)
+    var res = (0L, 0L)
+    StoreSink.withCommitLock(root, fsys) {
+      val oldId = StoreSink.readPartSpecs(root, fsys)
+        .lastOption.map(_._1).getOrElse(1)
+      val (newId, _) = StoreSink.appendPartSpec(root, fsys, specStr)
+      res = (oldId.toLong, newId.toLong)
+    }
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(res._1, res._2))
       }
     util.Collections.singletonList(scan).iterator()
   }

@@ -767,7 +767,7 @@ object StoreSink {
     * different spec fails loudly; a full overwrite may re-partition). */
   val PartFile = "_partition"
 
-  case class PartSpec(kind: String, col: String, n: Int) {
+  case class PartSpec(kind: String, col: String, n: Int, id: Int = 1) {
     def line: String =
       if (kind == "bucket") s"bucket:$n:$col" else s"identity:$col"
     /** Ordinal of the source column in the BASE schema (k=0, grp=1). */
@@ -782,16 +782,36 @@ object StoreSink {
         if (row.isNullAt(base + ordinal)) NullMark
         else row.getUTF8String(base + ordinal).toString
       }
+    /** SPEC-EVOLUTION manifest tag: files written under a non-initial spec
+      * record `<specId>~<value>` so planning resolves each file under the
+      * spec IT was written with (the Iceberg per-file spec-id field in
+      * miniature); initial-spec files stay bare — the round-14 format is a
+      * bit-for-bit subset. */
+    def tagged(value: String): String = if (id <= 1) value else s"$id~$value"
     /** Partition directory for a value (sanitized — the manifest field
-      * carries the exact value; the dir is layout only). */
-    def dirOf(value: String): String =
-      if (kind == "bucket") s"${col}_bucket=$value"
-      else if (value == NullMark) s"$col=__null__"
-      else s"$col=" + value.replaceAll("[^A-Za-z0-9_.-]", "_")
+      * carries the exact value; the dir is layout only). Later specs get an
+      * `s<id>_` prefix so generations never collide on disk. */
+    def dirOf(value: String): String = {
+      val d =
+        if (kind == "bucket") s"${col}_bucket=$value"
+        else if (value == NullMark) s"$col=__null__"
+        else s"$col=" + value.replaceAll("[^A-Za-z0-9_.-]", "_")
+      if (id <= 1) d else s"s${id}_$d"
+    }
     def toTransform: Transform =
       if (kind == "bucket")
         org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
       else org.apache.spark.sql.connector.expressions.Expressions.identity(col)
+  }
+
+  /** Split a manifest part field into (spec id, raw value): bare values are
+    * initial-spec (id 1). */
+  private[sources] def partTag(p: String): (Int, String) = {
+    val i = p.indexOf('~')
+    if (i <= 0) (1, p)
+    else if (p.substring(0, i).forall(_.isDigit)) (p.substring(0, i).toInt,
+      p.substring(i + 1))
+    else (1, p)
   }
 
   private[sources] def parsePartSpec(s: String): PartSpec = s.split(':') match {
@@ -806,16 +826,59 @@ object StoreSink {
       s"unparseable partition spec: $s (identity:grp | bucket:<n>:k)")
   }
 
-  /** The persisted spec, or None for an unpartitioned store. */
-  private[sources] def readPartSpec(root: Path, fsys: FileSystem): Option[PartSpec] = {
+  /** SPEC EVOLUTION: the `_partition` sidecar is a VERSIONED REGISTRY —
+    * either the legacy single spec line (= spec id 1, immutable meaning) or
+    * `<id>|<spec or '-'>` lines, current spec LAST. `CALL
+    * graft.repartition_spec` appends a new id; ids are never reused or
+    * redefined, so a manifest entry's `<id>~<value>` tag resolves to the
+    * same spec forever — archived generations (time travel, CDF) plan under
+    * the spec they were written with. */
+  private[sources] def readPartSpecs(root: Path,
+                                     fsys: FileSystem): Seq[(Int, Option[PartSpec])] = {
     val raw = manifestFs(fsys)
     val pf = new Path(root, PartFile)
-    if (!raw.exists(pf)) return None
+    if (!raw.exists(pf)) return Nil
     val in = raw.open(pf)
     val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8).trim
       finally in.close()
-    if (txt.isEmpty) None else Some(parsePartSpec(txt))
+    if (txt.isEmpty) return Nil
+    val lines = txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    if (!lines.head.contains("|"))
+      Seq((1, Some(parsePartSpec(lines.head)))) // legacy single-spec file
+    else lines.map { l =>
+      val Array(i, s) = l.split("\\|", 2)
+      val id = i.toInt
+      (id, if (s == "-") None else Some(parsePartSpec(s).copy(id = id)))
+    }
+  }
+
+  /** The CURRENT spec, or None for an unpartitioned store. */
+  private[sources] def readPartSpec(root: Path, fsys: FileSystem): Option[PartSpec] =
+    readPartSpecs(root, fsys).lastOption.flatMap(_._2)
+
+  /** Append a new spec generation (caller holds the commit lock). `specStr`
+    * is `identity:grp` / `bucket:<n>:k` / `none`; the file upgrades to the
+    * registry format, prior ids preserved verbatim. Returns the new spec.
+    * Refuses a no-op (same spec as current). */
+  private[sources] def appendPartSpec(root: Path, fsys: FileSystem,
+                                      specStr: String): (Int, Option[PartSpec]) = {
+    val specs = readPartSpecs(root, fsys)
+    val nextId = (1 +: specs.map(_._1)).max + 1
+    val parsed =
+      if (specStr == "none") None
+      else Some(parsePartSpec(specStr).copy(id = nextId))
+    val cur = specs.lastOption.flatMap(_._2)
+    require(cur.map(_.line) != parsed.map(_.line),
+      s"spec $specStr is already the current partitioning")
+    val lines = (if (specs.isEmpty) Seq((1, None)) else specs)
+      .map { case (i, os) => s"$i|${os.map(_.line).getOrElse("-")}" } :+
+      s"$nextId|${parsed.map(_.line).getOrElse("-")}"
+    val raw = manifestFs(fsys)
+    val out = raw.create(new Path(root, PartFile), true)
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    (nextId, parsed)
   }
 
   private[sources] def writePartSpec(root: Path, fsys: FileSystem,
@@ -824,6 +887,24 @@ object StoreSink {
     val out = raw.create(new Path(root, PartFile), true)
     try out.write(spec.line.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Persist a write-resolved spec: a fresh table gets the legacy one-line
+    * file (id 1); a spec CHANGE on a table with history appends a registry
+    * generation — validating that the id the write tagged its files with is
+    * the id actually registered (a concurrent spec change is a loud race,
+    * never a silent mis-tag). */
+  private[sources] def persistResolvedSpec(root: Path, fsys: FileSystem,
+                                           sp: PartSpec): Unit = {
+    val specs = readPartSpecs(root, fsys)
+    if (specs.isEmpty) writePartSpec(root, fsys, sp)
+    else if (specs.last._2.map(_.line).contains(sp.line)) ()
+    else {
+      val (nid, _) = appendPartSpec(root, fsys, sp.line)
+      if (nid != sp.id) throw new java.util.ConcurrentModificationException(
+        s"partition-spec id raced: write tagged files with spec ${sp.id} " +
+          s"but the registry assigned $nid — re-run the write")
+    }
   }
 
   /** Translate Spark's Transform array (CTAS PARTITIONED BY / partitionBy)
@@ -2279,14 +2360,33 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     case _ => if (ident.isNullAt(0)) "\\N" else ident.getString(0)
   }
 
+  /** Partition values of the CURRENT spec generation (tags stripped).
+    * Partition DDL addresses the current spec; files under earlier specs
+    * belong to retired partition universes (see [[requireUniformSpec]]). */
   private def partValues(): Seq[String] = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
+    val curId = partSpec.map(_.id).getOrElse(1)
     (version match {
       case Some(v) => StoreSink.readVersionLines(root, fsys, v)
         .filterNot(_.startsWith("#")).map(StoreSink.parseEntry)
       case None => StoreSink.readEntries(root, fsys)
-    }).flatMap(_.part).distinct.sorted
+    }).flatMap(_.part).map(StoreSink.partTag)
+      .filter(_._1 == curId).map(_._2).distinct.sorted
+  }
+
+  /** DROP/TRUNCATE PARTITION on a mid-evolution table would leave the same
+    * logical partition's rows alive in old-spec files — refuse loudly until
+    * a compacting rewrite unifies the generations. */
+  private def requireUniformSpec(what: String): Unit = {
+    val root = new Path(pathStr)
+    val curId = partSpec.map(_.id).getOrElse(1)
+    val foreign = StoreSink.readEntries(root, StoreSink.fs(root))
+      .flatMap(_.part).map(StoreSink.partTag(_)._1).filter(_ != curId)
+    require(foreign.isEmpty,
+      s"cannot $what: table holds files under retired partition spec(s) " +
+        s"${foreign.distinct.sorted.mkString(",")} — rewrite (overwrite/" +
+        "replace) under the current spec first")
   }
 
   override def listPartitionIdentifiers(names: Array[String],
@@ -2307,8 +2407,9 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     requireCurrent("drop partition")
     partSpec match {
       case None => false
-      case Some(_) =>
-        val v = identValue(ident)
+      case Some(sp) =>
+        requireUniformSpec("drop partition")
+        val v = sp.tagged(identValue(ident))
         val root = new Path(pathStr)
         val fsys = StoreSink.fs(root)
         var dropped = false
@@ -2345,8 +2446,9 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     requireCurrent("drop partitions")
     partSpec match {
       case None => false
-      case Some(_) =>
-        val vs = idents.map(identValue).toSet
+      case Some(sp) =>
+        requireUniformSpec("drop partitions")
+        val vs = idents.map(i => sp.tagged(identValue(i))).toSet
         val root = new Path(pathStr)
         val fsys = StoreSink.fs(root)
         var dropped = false
@@ -2377,7 +2479,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
 
   /** Per-partition audit from the manifest: file and live-row counts. */
   override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
-    val v = identValue(ident)
+    val v = partSpec.fold(identValue(ident))(_.tagged(identValue(ident)))
     val root = new Path(pathStr)
     val entries = StoreSink.readEntries(root, StoreSink.fs(root))
       .filter(_.part.contains(v))
@@ -3023,11 +3125,22 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
     val req = StoreSink.specOf(requested)
       .orElse(Option(info.options().get("partitionedBy"))
         .map(StoreSink.parsePartSpec))
-    require(req.isEmpty || persisted.isEmpty || req == persisted || doTruncate,
+    require(req.isEmpty || persisted.isEmpty ||
+        req.map(_.line) == persisted.map(_.line) || doTruncate,
       s"graft-store partitioning mismatch: table is " +
         s"${persisted.map(_.line).getOrElse("unpartitioned")}, write requested " +
         s"${req.map(_.line).getOrElse("unpartitioned")} (full overwrite may re-partition)")
-    req.orElse(persisted)
+    req match {
+      case Some(r) if persisted.exists(_.line == r.line) =>
+        persisted // same spec: keep its registered id
+      case Some(r) =>
+        // a NEW spec on a table with registry history gets the next id —
+        // assigned here at build, validated at commit under the lock
+        val specs = StoreSink.readPartSpecs(root, fsys)
+        if (specs.isEmpty) Some(r)
+        else Some(r.copy(id = (1 +: specs.map(_._1)).max + 1))
+      case None => persisted
+    }
   }
 
   /** REQUIRED WRITE DISTRIBUTION + ORDERING
@@ -3127,7 +3240,7 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
         // whose sidecar says "unpartitioned"
         spec.foreach { sp =>
           if (StoreSink.readPartSpec(root, fsys).isEmpty)
-            StoreSink.writePartSpec(root, fsys, sp)
+            StoreSink.persistResolvedSpec(root, fsys, sp)
         }
         StoreSink.writeBranchAtomic(root, fsys, b,
           StoreSink.readBranchLines(root, fsys, b) ++ committed.map(_.entry.line))
@@ -3160,10 +3273,12 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
       val staging = new Path(root, StoreSink.Staging)
       StoreSink.promote(root, fsys, staging, committed)
       // a first/overwrite commit fixes the table's partition spec; appends
-      // resolved their spec against the sidecar at build time
+      // resolved their spec against the sidecar at build time. A truncate
+      // that RE-partitions an evolved table registers a new spec id — ids
+      // are append-only, so archived generations keep resolving theirs.
       spec.foreach { sp =>
         if (truncate || StoreSink.readPartSpec(root, fsys).isEmpty)
-          StoreSink.writePartSpec(root, fsys, sp)
+          StoreSink.persistResolvedSpec(root, fsys, sp)
       }
       val fresh = StoreSink.readManifestLines(root, fsys)
       // three commit shapes, each rebased on the manifest AS PUBLISHED by
@@ -3193,6 +3308,18 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
           // empty input touches no partition and commits nothing (the
           // no-op guard below).
           val touched = committed.flatMap(_.entry.part).toSet
+          // replacing "the partitions the new files land in" is only sound
+          // when every live file speaks the same partition language: a
+          // retired-spec file may HOLD rows of a touched partition without
+          // carrying its tag — refuse until a rewrite unifies generations
+          val curId = spec.map(_.id).getOrElse(1)
+          val foreign = fresh.filterNot(_.startsWith("#"))
+            .flatMap(StoreSink.parseEntry(_).part)
+            .map(StoreSink.partTag(_)._1).filter(_ != curId)
+          if (foreign.nonEmpty) throw new UnsupportedOperationException(
+            "dynamic partition overwrite over mixed partition-spec " +
+              s"generations (retired spec(s) ${foreign.distinct.sorted.mkString(",")}" +
+              ") — rewrite under the current spec first")
           fresh.filter(l => l.startsWith("#") ||
             !StoreSink.parseEntry(l).part.exists(touched.contains)) ++
             committed.map(_.entry.line)
@@ -3416,7 +3543,7 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       StoreFilePayload(s.staged.getName, s.rows,
         if (s.minK == Long.MaxValue) None else Some(s.minK),
         if (s.maxK == Long.MinValue) None else Some(s.maxK),
-        s.bloom, s.bytes, s.partValue,
+        s.bloom, s.bytes, s.partValue.map(v => spec.get.tagged(v)),
         s.partValue.map(v => spec.get.dirOf(v)).getOrElse(""),
         if (s.minA == Long.MaxValue) None else Some(s.minA),
         if (s.maxA == Long.MinValue) None else Some(s.maxA),
@@ -3744,7 +3871,8 @@ private class StoreScan(pathStr: String,
     val fsys = StoreSink.fs(root)
     val ok = spec.isDefined && explicitFiles.isEmpty && {
       val entries = currentEntries(root, fsys)
-      entries.nonEmpty && entries.forall(_.part.isDefined) &&
+      entries.nonEmpty && entries.forall(_.part.exists(p =>
+          StoreSink.partTag(p)._1 == spec.get.id)) && // one spec generation
         entries.groupBy(_.part.get).values.forall(_.size == 1)
     }
     if (ok)
@@ -3767,17 +3895,39 @@ private class StoreScan(pathStr: String,
     StoreSink.readPartSpec(root, StoreSink.fs(root))
   }
 
-  /** Partition values the pushed (and runtime) predicates allow, None =
-    * unconstrained. Identity partitions answer grp point/IN predicates
-    * EXACTLY; bucket partitions map point keys (including DPP-realized
-    * join keys) to their bucket. Conjuncts intersect. */
-  private def allowedParts: Option[Set[String]] = spec.flatMap { sp =>
-    val conjuncts: Seq[Set[String]] =
-      if (sp.kind == "identity")
-        grpValues.map(_.toSet) ++ runtimeGrps.map(_.toSet).toSeq
-      else (kValues ++ runtimeKeys.toSeq).map(
-        _.map(v => java.lang.Math.floorMod(v, sp.n.toLong).toString).toSet)
-    conjuncts.reduceOption(_ intersect _)
+  /** The full spec registry (spec evolution): id → spec, bound once. */
+  private lazy val specRegistry: Map[Int, Option[StoreSink.PartSpec]] = {
+    val root = new Path(pathStr)
+    StoreSink.readPartSpecs(root, StoreSink.fs(root)).toMap
+  }
+
+  /** Partition values the pushed (and runtime) predicates allow UNDER ONE
+    * SPEC, None = unconstrained. Identity partitions answer grp point/IN
+    * predicates EXACTLY; bucket partitions map point keys (including
+    * DPP-realized join keys) to their bucket. Conjuncts intersect.
+    * Memoized per spec id — a mixed-generation table prunes each file
+    * under the spec it was written with. */
+  private val allowedCache =
+    scala.collection.mutable.HashMap.empty[Int, Option[Set[String]]]
+  private def allowedFor(sp: StoreSink.PartSpec): Option[Set[String]] =
+    allowedCache.getOrElseUpdate(sp.id, {
+      val conjuncts: Seq[Set[String]] =
+        if (sp.kind == "identity")
+          grpValues.map(_.toSet) ++ runtimeGrps.map(_.toSet).toSeq
+        else (kValues ++ runtimeKeys.toSeq).map(
+          _.map(v => java.lang.Math.floorMod(v, sp.n.toLong).toString).toSet)
+      conjuncts.reduceOption(_ intersect _)
+    })
+
+  /** May a file whose manifest part field is `p` match the predicates?
+    * Resolves `<id>~<value>` under the file's OWN spec generation; unknown
+    * ids (foreign manifests) never prune — conservative. */
+  private def partMayMatch(p: String): Boolean = {
+    val (pid, v) = StoreSink.partTag(p)
+    specRegistry.get(pid).flatten match {
+      case Some(sp) => allowedFor(sp).forall(_.contains(v))
+      case None => true
+    }
   }
 
   /** STORAGE-PARTITIONED layout report: when every current entry carries a
@@ -3792,8 +3942,12 @@ private class StoreScan(pathStr: String,
     val fsys = StoreSink.fs(root)
     (spec, explicitFiles) match {
       case (Some(sp), None) =>
+        // every live file must belong to the CURRENT spec generation — a
+        // mixed-spec table (mid-evolution) withdraws the report and the
+        // join re-plans with exchanges, graceful never wrong
         val entries = currentEntries(root, fsys)
-        if (entries.nonEmpty && entries.forall(_.part.isDefined))
+        if (entries.nonEmpty && entries.forall(_.part.exists(p =>
+            StoreSink.partTag(p)._1 == sp.id)))
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
             Array(sp.toTransform), entries.flatMap(_.part).distinct.size)
         else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -3958,10 +4112,7 @@ private class StoreScan(pathStr: String,
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
       .filter(e => runtimeGrpSigs.forall(e.mayContainGrp))
-    val keptP = allowedParts match {
-      case Some(ap) => kept.filter(_.part.forall(ap.contains))
-      case None     => kept
-    }
+    val keptP = kept.filter(_.part.forall(partMayMatch))
     if (spec.isDefined)
       StoreSink.lastPartPrune = Some((kept.size, keptP.size))
     // LIMIT prefix cut (partial pushdown — Spark's Limit still runs): only
@@ -3984,7 +4135,8 @@ private class StoreScan(pathStr: String,
     val isBucket = spec.exists(_.kind == "bucket")
     keptL.map(e => StoreFilePartition(new Path(root, e.name).toString,
         e.dv.map(d => new Path(root, d).toString), e.name,
-        e.part, isBucket,
+        // the SPJ partition key is the raw value — tags are planning-only
+        e.part.map(p => StoreSink.partTag(p)._2), isBucket,
         e.eq.map(q => new Path(root, q).toString)): InputPartition)
       .toArray
   }
@@ -4014,7 +4166,7 @@ private class StoreScan(pathStr: String,
       .filter(e => statBounds.forall { case (c, lo, hi) =>
         e.mayContainStat(c, lo, hi) })
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
-      .filter(e => allowedParts.forall(ap => e.part.forall(ap.contains)))
+      .filter(_.part.forall(partMayMatch))
     // manifest-carried byte counts — listStatus per file at plan time was
     // itself an O(files) driver cost; the RPC fallback only covers legacy
     // lines written before bytes rode the manifest

@@ -163,15 +163,92 @@ class StorePartSpec extends SparkSpec {
     df(1 to 40, k => "g" + (k % 2))
       .write.format(fmt).mode("overwrite")
       .option("path", dir).option("partitionedBy", "identity:grp").save()
+    // the re-partition registers a NEW spec generation (id 2): files tag
+    // their spec so archived bucket-tagged entries never mis-prune under
+    // the identity spec during time travel
     val entries = StoreSink.readEntries(root, fs)
-    assert(entries.forall(e => e.name.startsWith("grp=")), entries.toString)
-    assert(StoreSink.readPartSpec(root, fs).map(_.line).contains("identity:grp"))
+    assert(entries.forall(e => e.name.startsWith("s2_grp=")), entries.toString)
+    assert(entries.forall(e => e.part.exists(_.startsWith("2~"))), entries.toString)
+    val cur = StoreSink.readPartSpec(root, fs)
+    assert(cur.map(_.line).contains("identity:grp") && cur.exists(_.id == 2))
+    assert(StoreSink.readPartSpecs(root, fs).map(_._1) == Seq(1, 2))
     // the old generation stays time-travelable until vacuum; then its
     // bucket dirs empty out and are removed
     StoreSink.vacuum(dir, 1)
     assert(!fs.exists(new Path(root, "k_bucket=1")),
       "vacuum should GC the superseded layout's partition dirs")
     assert(spark.read.format(fmt).option("path", dir).load().count() == 40)
+  }
+
+  test("spec evolution: per-generation planning, SPJ withdrawal on mixed " +
+       "manifests, DDL refusals, rewrite unifies") {
+    val dir = freshDir("specevo")
+    val root = new Path(dir)
+    // generation 1: bucket:4:k
+    df(1 to 40, k => "g" + (k % 2)).repartition(1)
+      .write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "bucket:4:k").save()
+    // evolve the spec — metadata-only, old files keep their generation
+    StoreSink.withCommitLock(root, fs) {
+      val (nid, sp) = StoreSink.appendPartSpec(root, fs, "identity:grp")
+      assert(nid == 2 && sp.exists(_.id == 2))
+    }
+    val filesGen1 = StoreSink.readEntries(root, fs).map(_.name).toSet
+    // appends now route under the NEW spec
+    df(41 to 80, k => "g" + (k % 2)).repartition(1)
+      .write.format(fmt).mode("append").option("path", dir).save()
+    val entries = StoreSink.readEntries(root, fs)
+    assert(entries.map(_.name).toSet.intersect(filesGen1) == filesGen1,
+      "evolution must not rewrite old files")
+    val gen2 = entries.filterNot(e => filesGen1(e.name))
+    assert(gen2.nonEmpty && gen2.forall(e =>
+      e.part.exists(_.startsWith("2~")) && e.name.startsWith("s2_grp=")),
+      s"new files must tag the new spec: $gen2")
+    def t = spark.read.format(fmt).option("path", dir).load()
+    assert(t.count() == 80)
+    // MIXED-GENERATION PRUNING: k = 5 prunes gen-1 via its bucket value
+    // (floorMod(5,4)=1) and can only zone-prune gen-2; grp='g1' prunes
+    // gen-2 via its identity value. Both answers stay exact.
+    StoreSink.lastZonePrune = None
+    assert(t.where(col("k") === 5).count() == 1)
+    val (tot1, kept1) = StoreSink.lastZonePrune.get
+    assert(kept1 < tot1, s"k=5 must prune the old bucket generation: $kept1/$tot1")
+    assert(t.where(col("grp") === "g1").count() == 40)
+    // partition DDL refuses while generations are mixed (the same logical
+    // partition's rows live in retired-spec files)
+    val tbl = new StoreTable(dir)
+    val e1 = intercept[IllegalArgumentException] {
+      tbl.dropPartition(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("g1")))
+    }
+    assert(e1.getMessage.contains("retired partition spec"))
+    // SPJ: the mixed table withdraws its partitioning report — a co-
+    // bucketed join re-plans WITH exchanges instead of mis-grouping
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val other = freshDir("specevo_other")
+      df(1 to 40, k => "g" + (k % 2))
+        .write.format(fmt).mode("overwrite")
+        .option("path", other).option("partitionedBy", "identity:grp").save()
+      val j = t.as("a").join(
+        spark.read.format(fmt).option("path", other).load().as("b"), "grp")
+      assert(j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "a mixed-spec table must withdraw its SPJ report")
+      assert(j.count() == 80L * 20)
+    }
+    // a full overwrite under the current spec UNIFIES the generations:
+    // every file re-tags spec 2, DDL works again
+    t.write.format(fmt).mode("overwrite")
+      .option("path", dir).option("partitionedBy", "identity:grp").save()
+    val unified = StoreSink.readEntries(root, fs)
+    assert(unified.forall(_.part.exists(_.startsWith("2~"))), s"$unified")
+    assert(StoreSink.readPartSpec(root, fs).exists(_.id == 2),
+      "overwrite under the current spec must not mint a new id")
+    assert(tbl.dropPartition(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("g1"))))
+    assert(t.count() == 40 && t.where(col("grp") === "g1").count() == 0)
   }
 
   test("streaming writes route into partition dirs with manifest values") {
