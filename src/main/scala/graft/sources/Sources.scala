@@ -1996,9 +1996,25 @@ object Sources extends OpModule {
                   col("fee_sum"))
           .collect()
         val (t1, p1) = graft.sources.StoreSink.lastZonePrune.get
+        // NDV sketches (verdict r9 #4): analyze also persisted per-column
+        // HLL distinct counts — exact at tiny cardinalities (grp has 3
+        // statuses), within HLL++ error at large ones (k is unique per row)
+        val ndv = graft.sources.StoreSink
+          .readProps(new org.apache.hadoop.fs.Path(path),
+            org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration))
+          .find(_._1 == graft.sources.StoreSink.NdvProp).map(_._2).getOrElse("")
+          .split(';').filter(_.nonEmpty).map { kv =>
+            val i = kv.lastIndexOf(':')
+            (kv.substring(0, i), kv.substring(i + 1).toLong)
+          }.toMap
+        val nRows = store.count()
+        // HLL++ at the default 5% rsd: gate at 2 sigma
+        val kClose = math.abs(ndv.getOrElse("k", 0L) - nRows) <= nRows / 10
         val rows = filt.toSeq ++ Seq(
           org.apache.spark.sql.Row("z_analyze_audit",
             audit.getLong(0), audit.getLong(1)),
+          org.apache.spark.sql.Row("z_ndv_grp", ndv.getOrElse("grp", -1L), 0L),
+          org.apache.spark.sql.Row("z_ndv_k_close", if (kClose) 1L else 0L, 0L),
           org.apache.spark.sql.Row("z_no_rewrite",
             if (graft.sources.StoreSink.readManifest(
                   new org.apache.hadoop.fs.Path(path), fsys) == filesBefore) 1L
@@ -3825,6 +3841,8 @@ object Sources extends OpModule {
         |  CAST(SUM(fee) AS BIGINT) AS fee_sum
         |FROM base WHERE fee < 125 GROUP BY grp
         |UNION ALL SELECT 'z_analyze_audit', 8, 8
+        |UNION ALL SELECT 'z_ndv_grp', 3, 0
+        |UNION ALL SELECT 'z_ndv_k_close', 1, 0
         |UNION ALL SELECT 'z_no_rewrite', 1, 0
         |UNION ALL SELECT 'z_prunes_after', 1, 0
         |ORDER BY step""".stripMargin,

@@ -1495,10 +1495,36 @@ object StoreSink {
     * Entries whose line changed between compute and publish are skipped
     * (they'll pick up stats on their next rewrite); returns
     * (files scanned, entries updated). */
+  /** Conf key under `_props` holding analyze's per-column NDV sketches
+    * (`col:estimate;...`) — surfaced through SupportsReportStatistics
+    * column stats so the CBO sees distinct counts for selectivity
+    * (equality-filter estimates, join ordering, hint-free broadcasts).
+    * Advisory by contract: stale after new commits until re-analyzed,
+    * like every engine's table statistics. */
+  val NdvProp = "graft.stats.ndv"
+
   def analyze(pathStr: String): (Long, Long) = {
     val root = new Path(pathStr)
     val fsys = fs(root)
     val tbl = tableSchema(pathStr)
+    // NDV SKETCHES for the optimizer: ONE distributed pass (HLL++ partial
+    // aggregation — no shuffle of data, a sketch per column per partition),
+    // persisted to the props sidecar. Runs for every column: base prefix +
+    // live trailing longs/strings.
+    locally {
+      val s = SparkSession.active
+      import org.apache.spark.sql.functions.expr
+      val cols = tbl.fields.map(_.name).toSeq
+      val aggs = cols.map(c => expr(s"approx_count_distinct(`$c`)").as(c))
+      val row = s.read.format("graft.sources.StoreSink").option("path", pathStr)
+        .load().agg(aggs.head, aggs.tail: _*).collect()(0)
+      val enc = cols.zipWithIndex
+        .map { case (c, i) => s"$c:${row.getLong(i)}" }.mkString(";")
+      withCommitLock(root, fsys) {
+        val ps = readProps(root, fsys).toMap
+        writeProps(root, fsys, (ps + (NdvProp -> enc)).toSeq)
+      }
+    }
     val statCols = declaredStatCols(root, fsys, tbl)
     if (statCols.isEmpty) return (0L, 0L)
     val layout = layoutAt(pathStr, None)
@@ -4177,10 +4203,38 @@ private class StoreScan(pathStr: String,
         })
     }.sum
     val rows = if (entries.forall(_.rows >= 0)) Some(entries.map(_.rows).sum) else None
+    // analyze-persisted NDV sketches → V2 column statistics: with CBO on,
+    // the optimizer turns these into equality-filter selectivities
+    // (rows/ndv) and hint-free broadcast decisions — the role ANALYZE
+    // TABLE column stats play for catalog tables. Advisory: a stale sketch
+    // skews estimates, never results.
+    val ndv: Map[String, Long] = StoreSink.readProps(root, fsys).toMap
+      .get(StoreSink.NdvProp).map(_.split(';').toSeq.flatMap { kv =>
+        val i = kv.lastIndexOf(':')
+        if (i <= 0) None else Some((kv.substring(0, i), kv.substring(i + 1).toLong))
+      }.toMap).getOrElse(Map.empty)
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
       override def numRows(): util.OptionalLong =
         rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+      override def columnStats(): util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        readSchema().fields.foreach { f =>
+          ndv.get(f.name).foreach { n =>
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+                .column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): util.OptionalLong =
+                  util.OptionalLong.of(n)
+              })
+          }
+        }
+        m
+      }
     }
   }
 

@@ -1174,6 +1174,46 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("analyze NDV sketches feed the CBO: the same hint-free join " +
+       "broadcasts with stats and shuffles without") {
+    import spark.implicits._
+    def seed(dir: String): Unit =
+      (1L to 20000L).map(k => (k, "g" + (k % 500), k))
+        .toDF("k", "grp", "amt_cents").repartition(4, col("k"))
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+    val fact = freshDir("ndv_fact"); val bare = freshDir("ndv_bare")
+    val other = freshDir("ndv_other")
+    seed(fact); seed(bare); seed(other)
+    StoreSink.analyze(fact) // persists per-column HLL NDV to _props
+    val ndv = StoreSink.readProps(new Path(fact), fs)
+      .find(_._1 == StoreSink.NdvProp).map(_._2).getOrElse("")
+    assert(ndv.contains("grp:") && ndv.contains("k:"), ndv)
+    def planOf(dir: String): String = {
+      val side = spark.read.format(fmt).option("path", dir).load()
+        .where(col("grp") === "g7")
+      val big = spark.read.format(fmt).option("path", other).load()
+      side.join(big, "k").queryExecution.executedPlan.toString
+    }
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    try {
+      // with NDV: the grp = 'g7' estimate is rows/ndv(grp) ≈ 40 rows — far
+      // under the threshold, so the optimizer broadcasts WITHOUT a hint
+      assert(planOf(fact).contains("BroadcastHashJoin"),
+        s"NDV-informed filter estimate must drive a broadcast:\n${planOf(fact)}")
+      // without stats the filter keeps its child's size → shuffle join
+      assert(!planOf(bare).contains("BroadcastHashJoin"),
+        "the un-analyzed twin must not broadcast (estimate stays table-sized)")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+
   test("type widening: int -> bigint is metadata-only, travel reads each " +
        "generation under its own type, lossy directions refuse") {
     import spark.implicits._
