@@ -468,7 +468,8 @@ object StoreSink {
                             eq: Option[String] = None,
                             minA: Option[Long] = None,
                             maxA: Option[Long] = None,
-                            stats: Seq[(String, Long, Long)] = Nil) {
+                            stats: Seq[(String, Long, Long)] = Nil,
+                            sstats: Seq[(String, String, String)] = Nil) {
     /** 8 fields; a 9th (`eq` — equality-delete sidecar), a 10th/11th
       * (`minA`/`maxA` — the SECOND zone column, over `amt_cents`) and a
       * 12th (PER-COLUMN stats for DECLARED stat columns:
@@ -483,7 +484,8 @@ object StoreSink {
       * delete never read the file) — COUNT/MIN/MAX pushdown declines
       * there. */
     def line: String = {
-      val needA = minA.isDefined || maxA.isDefined || stats.nonEmpty
+      val needS = stats.nonEmpty || sstats.nonEmpty
+      val needA = minA.isDefined || maxA.isDefined || needS
       val needEq = eq.isDefined || needA
       s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}|" +
         bloom.map(java.lang.Long.toHexString).getOrElse("-") + "|" +
@@ -491,8 +493,17 @@ object StoreSink {
         part.getOrElse("-") +
         (if (needEq) "|" + eq.getOrElse("-") else "") +
         (if (needA) s"|${minA.getOrElse("-")}|${maxA.getOrElse("-")}" else "") +
-        (if (stats.nonEmpty)
-           "|" + stats.map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";")
+        (if (needS)
+           "|" + (if (stats.isEmpty) "-"
+                  else stats.map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";"))
+         else "") +
+        // 13th field: STRING column bounds (`col:<urlenc lo>:<urlenc hi>`)
+        // — truncated-prefix min + incremented-prefix max, pruning-only
+        (if (sstats.nonEmpty)
+           "|" + sstats.map { case (c, lo, hi) =>
+             s"$c:${java.net.URLEncoder.encode(lo, "UTF-8")}:" +
+               java.net.URLEncoder.encode(hi, "UTF-8")
+           }.mkString(";")
          else "")
     }
     /** Read token (`name[@dv][#eq]`): the explicit-files read path and
@@ -538,7 +549,37 @@ object StoreSink {
         case Some((_, mn, mx)) => lo.forall(_ <= mx) && hi.forall(_ >= mn)
         case None => true
       }
+    /** String-column twin: `mn` is a TRUNCATED prefix of the true minimum
+      * (≤ it) and `mx` an incremented prefix of the true maximum (≥ it), so
+      * the check stays conservative under truncation. Values are recorded
+      * ASCII-only (writer guard), where Java string order == UTF-8 binary
+      * order — the two engines' comparators agree. */
+    def mayContainStrStat(colName: String, lo: Option[String],
+                          hi: Option[String]): Boolean =
+      sstats.find(_._1 == colName) match {
+        case Some((_, mn, mx)) =>
+          lo.forall(_.compareTo(mx) <= 0) && hi.forall(_.compareTo(mn) >= 0)
+        case None => true
+      }
   }
+
+  /** Iceberg-style string-bound truncation: a 16-char lower prefix is a
+    * valid lower bound as-is; the upper bound increments the prefix's last
+    * incrementable char (None when impossible — that file simply records
+    * no upper and never prunes). Non-ASCII values are not truncatable here
+    * (comparator mismatch risk) — callers skip them. */
+  private[sources] val StrStatPrefixLen = 16
+  private[sources] def truncLower(v: String): String =
+    v.substring(0, math.min(StrStatPrefixLen, v.length))
+  private[sources] def truncUpper(v: String): Option[String] =
+    if (v.length <= StrStatPrefixLen) Some(v)
+    else {
+      val p = v.substring(0, StrStatPrefixLen).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+    }
 
   /** DECLARED STAT COLUMNS (`graft.stats.cols` table property, comma
     * list): the extra bigint columns whose per-file min/max ride the
@@ -557,6 +598,20 @@ object StoreSink {
       // base k/amt_cents already have dedicated zones; only trailing
       // bigint columns are generalized-stat candidates
       if (i >= 3 && dataSchema.fields(i).dataType == LongType)
+        Some((dataSchema.fields(i).name, i))
+      else None
+    }
+  }
+
+  /** STRING twin of [[declaredStatCols]]: declared trailing string columns
+    * get truncated-prefix bounds in the manifest's 13th field. */
+  private[sources] def declaredStrStatCols(root: Path, fsys: FileSystem,
+                                           dataSchema: StructType): Seq[(String, Int)] = {
+    val declared = readProps(root, fsys).toMap.get(StatColsProp)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    declared.flatMap { c =>
+      val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i >= 3 && dataSchema.fields(i).dataType == StringType)
         Some((dataSchema.fields(i).name, i))
       else None
     }
@@ -583,8 +638,16 @@ object StoreSink {
             (q(0), q(1).toLong, q(2).toLong)
           }
         else Nil
+      val sstats =
+        if (p.length > 12 && p(12) != "-")
+          p(12).split(';').toSeq.map { s =>
+            val q = s.split(':')
+            (q(0), java.net.URLDecoder.decode(q(1), "UTF-8"),
+              java.net.URLDecoder.decode(q(2), "UTF-8"))
+          }
+        else Nil
       StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes, dv,
-        part, eq, minA, maxA, stats)
+        part, eq, minA, maxA, stats, sstats)
     } else StoreFileEntry(l, -1L, None, None)
 
   /** Two-probe Bloom signature of a grp value: 2 bits of a 64-bit word from
@@ -1384,8 +1447,9 @@ object StoreSink {
     val tbl = tableSchema(pathStr)
     cols.foreach { c =>
       require(tbl.fields.exists(f => f.name.equalsIgnoreCase(c) &&
-        f.dataType == LongType),
-        s"zorder_by column $c is not a bigint column of ${tbl.fieldNames.mkString(",")}")
+        (f.dataType == LongType || f.dataType == StringType)),
+        s"zorder_by column $c is not a bigint/string column of " +
+          tbl.fieldNames.mkString(","))
     }
     if (cols.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("k", "amt_cents"))
       return compactHilbert(spark, pathStr, targetRows)
@@ -1436,17 +1500,31 @@ object StoreSink {
       case None if cluster.startsWith("morton:") =>
         // d-dim bit interleave: scale each column onto 8 bits from the
         // live data's bounds (one aggregate), then range-cluster on the
-        // Morton index — one pure-integer codegen'd expression
+        // Morton index — one pure-integer codegen'd expression. STRING
+        // columns enter through an order-preserving 8-byte prefix code
+        // (base-256 over ascii codes, Iceberg's truncate-transform idea) —
+        // lossy beyond 7 chars, which only costs clustering sharpness,
+        // never correctness.
         val cs = cluster.stripPrefix("morton:").split(',').toSeq
-        val bounds = df.select(cs.flatMap(c =>
-            Seq(org.apache.spark.sql.functions.min(col(c)),
-                org.apache.spark.sql.functions.max(col(c)))): _*)
+        val isStr = cs.map(c =>
+          df.schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+            f.dataType == org.apache.spark.sql.types.StringType))
+        def valOf(c: String, str: Boolean): String =
+          if (!str) s"`$c`"
+          else (1 to 7).map { i => // 7 bytes: stays overflow-free signed
+            val coef = java.lang.Math.pow(256.0, 7 - i).toLong
+            s"cast(coalesce(ascii(substring(`$c`, $i, 1)), 0) as bigint) * ${coef}L"
+          }.mkString("(", " + ", ")")
+        val bounds = df.select(cs.zip(isStr).flatMap { case (c, str) =>
+            Seq(org.apache.spark.sql.functions.min(expr(valOf(c, str))),
+                org.apache.spark.sql.functions.max(expr(valOf(c, str))))
+          }: _*)
           .collect()(0)
         val scaled = cs.zipWithIndex.map { case (c, j) =>
           if (bounds.isNullAt(2 * j)) "0L" // all-null column: no frame
           else {
             val mn = bounds.getLong(2 * j); val mx = bounds.getLong(2 * j + 1)
-            s"coalesce(cast((`$c` - ${mn}L) * 255L div " +
+            s"coalesce(cast((${valOf(c, isStr(j))} - ${mn}L) * 255L div " +
               s"greatest(1L, ${mx - mn}L) as bigint), 0L)"
           }
         }
@@ -1526,14 +1604,20 @@ object StoreSink {
       }
     }
     val statCols = declaredStatCols(root, fsys, tbl)
-    if (statCols.isEmpty) return (0L, 0L)
+    val strCols = declaredStrStatCols(root, fsys, tbl)
+    if (statCols.isEmpty && strCols.isEmpty) return (0L, 0L)
     val layout = layoutAt(pathStr, None)
     val slots = statCols.map { case (n, li) => (n, layout.proj(li)) }
+    val strSlots = strCols.map { case (n, li) => (n, layout.proj(li)) }
     val todo = readEntries(root, fsys).filter(e =>
-      statCols.exists { case (n, _) => !e.stats.exists(_._1 == n) })
+      statCols.exists { case (n, _) => !e.stats.exists(_._1 == n) } ||
+      strCols.exists { case (n, _) => !e.sstats.exists(_._1 == n) })
     val updates: Map[String, (String, String)] = todo.map { e =>
       val mins = Array.fill(slots.size)(Long.MaxValue)
       val maxs = Array.fill(slots.size)(Long.MinValue)
+      val minT = Array.fill[String](strSlots.size)(null)
+      val maxT = Array.fill[String](strSlots.size)(null)
+      val ascii = Array.fill(strSlots.size)(true)
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
         fsys.open(new Path(root, e.name)), StandardCharsets.UTF_8))
       try {
@@ -1550,6 +1634,19 @@ object StoreSink {
             }
             i += 1
           }
+          var t = 0
+          while (t < strSlots.size) {
+            val s = strSlots(t)._2
+            if (ascii(t) && s < parts.length && parts(s) != NullMark) {
+              val v = java.net.URLDecoder.decode(parts(s), "UTF-8")
+              if (!v.forall(_ < 128)) ascii(t) = false
+              else {
+                if (minT(t) == null || v.compareTo(minT(t)) < 0) minT(t) = v
+                if (maxT(t) == null || v.compareTo(maxT(t)) > 0) maxT(t) = v
+              }
+            }
+            t += 1
+          }
           line = in.readLine()
         }
       } finally in.close()
@@ -1558,7 +1655,13 @@ object StoreSink {
         if (e.stats.exists(_._1 == n) || mins(i) == Long.MaxValue) None
         else Some((n, mins(i), maxs(i)))
       }
-      e.name -> (e.line, e.copy(stats = e.stats ++ fresh).line)
+      val freshS = strSlots.indices.flatMap { t =>
+        val n = strSlots(t)._1
+        if (e.sstats.exists(_._1 == n) || !ascii(t) || minT(t) == null) None
+        else truncUpper(maxT(t)).map(up => (n, truncLower(minT(t)), up))
+      }
+      e.name -> (e.line,
+        e.copy(stats = e.stats ++ fresh, sstats = e.sstats ++ freshS).line)
     }.toMap
     var applied = 0L
     withCommitLock(root, fsys) {
@@ -3427,12 +3530,13 @@ private case class StoreFilePayload(staged: String, rows: Long,
                                     dir: String = "",
                                     minA: Option[Long] = None,
                                     maxA: Option[Long] = None,
-                                    stats: Seq[(String, Long, Long)] = Nil) {
+                                    stats: Seq[(String, Long, Long)] = Nil,
+                                    sstats: Seq[(String, String, String)] = Nil) {
   /** Manifest name (partition-dir-relative). */
   def name: String = if (dir.isEmpty) staged else s"$dir/$staged"
   def entry: StoreSink.StoreFileEntry =
     StoreSink.StoreFileEntry(name, rows, minK, maxK, Some(bloom), Some(bytes),
-      None, part, None, minA, maxA, stats)
+      None, part, None, minA, maxA, stats, sstats)
 }
 
 /** A task's commit message: one payload per staged file (a partitioned
@@ -3455,9 +3559,13 @@ private case class StoreWriterFactory(pathStr: String, queryId: String,
     val root = new Path(pathStr)
     StoreSink.declaredStatCols(root, StoreSink.fs(root), dataSchema)
   }
+  private val strStatCols: Seq[(String, Int)] = {
+    val root = new Path(pathStr)
+    StoreSink.declaredStrStatCols(root, StoreSink.fs(root), dataSchema)
+  }
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
-      spec, slots, statCols)
+      spec, slots, statCols, strStatCols)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
@@ -3472,17 +3580,22 @@ private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
     val root = new Path(pathStr)
     StoreSink.declaredStatCols(root, StoreSink.fs(root), dataSchema)
   }
+  private val strStatCols: Seq[(String, Int)] = {
+    val root = new Path(pathStr)
+    StoreSink.declaredStrStatCols(root, StoreSink.fs(root), dataSchema)
+  }
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
-      dataSchema, spec, slots, statCols)
+      dataSchema, spec, slots, statCols, strStatCols)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
                               dataSchema: StructType = StoreSink.schema,
                               spec: Option[StoreSink.PartSpec] = None,
                               slots: Array[Int] = null,
-                              statCols: Seq[(String, Int)] = Nil)
+                              statCols: Seq[(String, Int)] = Nil,
+                              strStatCols: Seq[(String, Int)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
@@ -3506,6 +3619,11 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     // declared-stat-column bounds, parallel to statCols
     val minS: Array[Long] = Array.fill(statCols.size)(Long.MaxValue)
     val maxS: Array[Long] = Array.fill(statCols.size)(Long.MinValue)
+    // declared STRING stat bounds, parallel to strStatCols; a non-ASCII
+    // value poisons the column for this file (comparator-safety guard)
+    val minT: Array[String] = Array.fill(strStatCols.size)(null)
+    val maxT: Array[String] = Array.fill(strStatCols.size)(null)
+    val asciiOk: Array[Boolean] = Array.fill(strStatCols.size)(true)
   }
 
   /** The second zone column (`amt_cents`) is tracked only when the write
@@ -3556,6 +3674,19 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       }
       si += 1
     }
+    var ti = 0 // declared STRING stat columns
+    while (ti < strStatCols.size) {
+      val ci = strStatCols(ti)._2
+      if (s.asciiOk(ti) && !record.isNullAt(base + ci)) {
+        val v = record.getUTF8String(base + ci).toString
+        if (!v.forall(_ < 128)) s.asciiOk(ti) = false
+        else {
+          if (s.minT(ti) == null || v.compareTo(s.minT(ti)) < 0) s.minT(ti) = v
+          if (s.maxT(ti) == null || v.compareTo(s.maxT(ti)) > 0) s.maxT(ti) = v
+        }
+      }
+      ti += 1
+    }
     val b = (StoreSink.encode(record, base, types, slots) + "\n")
       .getBytes(StandardCharsets.UTF_8)
     s.out.write(b)
@@ -3576,6 +3707,11 @@ private class StoreDataWriter(pathStr: String, fileName: String,
         statCols.indices.flatMap { si =>
           if (s.minS(si) == Long.MaxValue) None
           else Some((statCols(si)._1, s.minS(si), s.maxS(si)))
+        },
+        strStatCols.indices.flatMap { ti =>
+          if (!s.asciiOk(ti) || s.minT(ti) == null) None
+          else StoreSink.truncUpper(s.maxT(ti)).map(up =>
+            (strStatCols(ti)._1, StoreSink.truncLower(s.minT(ti)), up))
         })
     }
     StoreCommitMessage(payloads)
@@ -3617,12 +3753,49 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   // generalized zone bounds on trailing bigint columns (the 12th manifest
   // field); populated only for columns the filters actually constrain
   private var statBounds: Seq[(String, Option[Long], Option[Long])] = Nil
+  // string twin (13th field): equality/range/prefix bounds on trailing
+  // string columns, compared against truncated-prefix file stats
+  private var strBounds: Seq[(String, Option[String], Option[String])] = Nil
 
   /** Trailing bigint columns — every one is a POTENTIAL stat column: a
     * predicate on it prunes exactly the files whose manifest lines carry a
     * declared stat for it, and never prunes the rest. */
   private def trailingLongCols: Seq[String] =
     table.fields.drop(3).filter(_.dataType == LongType).map(_.name).toSeq
+
+  private def trailingStrCols: Seq[String] =
+    table.fields.drop(3).filter(_.dataType == StringType).map(_.name).toSeq
+
+  /** Conjunct string bounds on `c`: equality/range literals plus LIKE
+    * 'p%' (Spark pushes StringStartsWith) as the [p, inc(p)] range. */
+  private def strColBounds(filters: Array[Filter],
+                           c: String): (Option[String], Option[String]) = {
+    var lo: Option[String] = None; var hi: Option[String] = None
+    def raise(v: String): Unit =
+      lo = Some(lo.fold(v)(x => if (v.compareTo(x) > 0) v else x))
+    def lower(v: String): Unit =
+      hi = Some(hi.fold(v)(x => if (v.compareTo(x) < 0) v else x))
+    def incOf(p: String): Option[String] = {
+      val a = p.toCharArray
+      var i = a.length - 1
+      while (i >= 0 && a(i) == Char.MaxValue) i -= 1
+      if (i < 0) None else Some(new String(a, 0, i) + (a(i) + 1).toChar)
+    }
+    filters.foreach {
+      case EqualTo(`c`, v: String) => raise(v); lower(v)
+      case GreaterThan(`c`, v: String) => raise(v)
+      case GreaterThanOrEqual(`c`, v: String) => raise(v)
+      case LessThan(`c`, v: String) => lower(v)
+      case LessThanOrEqual(`c`, v: String) => lower(v)
+      case In(`c`, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val ss = vs.collect { case s: String => s }
+        raise(ss.min); lower(ss.max)
+      case org.apache.spark.sql.sources.StringStartsWith(`c`, p) if p.nonEmpty =>
+        raise(p); incOf(p).foreach(lower)
+      case _ => ()
+    }
+    (lo, hi)
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -3663,7 +3836,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     if (branch.isDefined) return false // branch view: manifest totals lie
     if (zoneFilters.nonEmpty || kLo.isDefined || kHi.isDefined ||
         aLo.isDefined || aHi.isDefined || statBounds.nonEmpty ||
-        grpConjuncts.nonEmpty) return false
+        strBounds.nonEmpty || grpConjuncts.nonEmpty) return false
     if (agg.groupByExpressions.nonEmpty) return false
     def ref(e: org.apache.spark.sql.connector.expressions.Expression,
             c: String): Boolean =
@@ -3769,7 +3942,12 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
       val (lo, hi) = StoreSink.colBounds(filters, c)
       if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
     }
+    strBounds = trailingStrCols.flatMap { c =>
+      val (lo, hi) = strColBounds(filters, c)
+      if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
+    }
     val statNames = statBounds.map(_._1).toSet
+    val strNames = strBounds.map(_._1).toSet
     zoneFilters = filters.filter {
       case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
            | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
@@ -3778,12 +3956,13 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
            | LessThanOrEqual("amt_cents", _) | In("amt_cents", _) => true
       case EqualTo("grp", _: String) => true
       case In("grp", vs) => vs.forall(_.isInstanceOf[String])
-      case EqualTo(c, _) if statNames(c) => true
-      case GreaterThan(c, _) if statNames(c) => true
-      case GreaterThanOrEqual(c, _) if statNames(c) => true
-      case LessThan(c, _) if statNames(c) => true
-      case LessThanOrEqual(c, _) if statNames(c) => true
-      case In(c, _) if statNames(c) => true
+      case EqualTo(c, _) if statNames(c) || strNames(c) => true
+      case GreaterThan(c, _) if statNames(c) || strNames(c) => true
+      case GreaterThanOrEqual(c, _) if statNames(c) || strNames(c) => true
+      case LessThan(c, _) if statNames(c) || strNames(c) => true
+      case LessThanOrEqual(c, _) if statNames(c) || strNames(c) => true
+      case In(c, _) if statNames(c) || strNames(c) => true
+      case org.apache.spark.sql.sources.StringStartsWith(c, _) if strNames(c) => true
       case _ => false
     }
     filters
@@ -3795,7 +3974,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     if (aggFuncs.nonEmpty) new StoreAggScan(pathStr, aggFuncs, aggValues)
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
       explicitFiles, table, grpValues, kValues, branch, aLo, aHi, limitN,
-      maxFilesPerTrigger, statBounds)
+      maxFilesPerTrigger, statBounds, strBounds)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -3878,7 +4057,8 @@ private class StoreScan(pathStr: String,
                         aLo: Option[Long] = None, aHi: Option[Long] = None,
                         limitN: Option[Int] = None,
                         maxFilesPerTrigger: Option[Int] = None,
-                        statBounds: Seq[(String, Option[Long], Option[Long])] = Nil)
+                        statBounds: Seq[(String, Option[Long], Option[Long])] = Nil,
+                        strBounds: Seq[(String, Option[String], Option[String])] = Nil)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -4135,6 +4315,8 @@ private class StoreScan(pathStr: String,
       .filter(_.mayContainA(aLo, aHi))
       .filter(e => statBounds.forall { case (c, lo, hi) =>
         e.mayContainStat(c, lo, hi) })
+      .filter(e => strBounds.forall { case (c, lo, hi) =>
+        e.mayContainStrStat(c, lo, hi) })
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
       .filter(e => runtimeGrpSigs.forall(e.mayContainGrp))
@@ -4191,6 +4373,8 @@ private class StoreScan(pathStr: String,
       .filter(_.mayContainA(aLo, aHi))
       .filter(e => statBounds.forall { case (c, lo, hi) =>
         e.mayContainStat(c, lo, hi) })
+      .filter(e => strBounds.forall { case (c, lo, hi) =>
+        e.mayContainStrStat(c, lo, hi) })
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(_.part.forall(partMayMatch))
     // manifest-carried byte counts — listStatus per file at plan time was

@@ -1084,9 +1084,10 @@ class StoreSinkSpec extends SparkSpec {
         .collect()(0).toSeq ==
         Seq((1L to 4096L).sum, (1L to 4096L).map(k => (k * 37) % 4096).sum,
             (1L to 4096L).map(k => (k * 59) % 4096).sum))
-      // refusals: non-bigint and unknown columns, wrong arity
+      // refusals: unknown columns, wrong arity (strings are accepted since
+      // the prefix-code extension — grp is a legal zorder column now)
       intercept[Exception] {
-        spark.sql(s"CALL graft.zorder_by('$dir', 512, 'k,grp')").collect()
+        spark.sql(s"CALL graft.zorder_by('$dir', 512, 'k,nosuch')").collect()
       }
       intercept[Exception] {
         spark.sql(s"CALL graft.zorder_by('$dir', 512, 'k')").collect()
@@ -1169,6 +1170,66 @@ class StoreSinkSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.store DROP COLUMN fee")
       assert(StoreSink.tableSchema(dir).fieldNames.toSeq ==
         Seq("k", "grp", "amt_cents", "memo"))
+    } finally {
+      spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
+    }
+  }
+
+  test("string zone stats: analyze backfills truncated-prefix bounds, " +
+       "predicates prune, non-ASCII never poisons, zorder_by takes strings") {
+    import spark.implicits._
+    val dir = freshDir("strzone")
+    val root = new Path(dir)
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try {
+      spark.sql("ALTER TABLE graft.store ADD COLUMN tag STRING")
+      // values LONGER than the 16-char prefix share long common prefixes —
+      // the truncation path must stay conservative; one value is non-ASCII
+      def tagOf(k: Long): String = // > 16 chars: truncation is exercised
+        if (k == 321L) "t-00321-aaaaaaaaé" // non-ASCII: poisons its file
+        else f"t-$k%05d-aaaaaaaaaaaaaaaa"
+      (1L to 400L).map(k => (k, s"g${k % 3}", k * 100, tagOf(k)))
+        .toDF("k", "grp", "amt_cents", "tag")
+        .repartitionByRange(8, col("tag"))
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+      // written BEFORE the declaration: stat-less, nothing prunes
+      def store = spark.read.format(fmt).option("path", dir).load()
+      def planned(p: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        StoreSink.lastZonePrune = None
+        p.count(); StoreSink.lastZonePrune.get
+      }
+      val (t0, p0) = planned(store.where(col("tag") === tagOf(7)))
+      assert(t0 == p0, "stat-less files must never prune")
+      spark.sql("ALTER TABLE graft.store SET TBLPROPERTIES " +
+                "('graft.stats.cols' = 'tag')")
+      StoreSink.analyze(dir) // metadata-only string-bound backfill
+      val entries = StoreSink.readEntries(root, fs)
+      // every file EXCEPT the one holding the non-ASCII value has bounds
+      assert(entries.count(_.sstats.exists(_._1 == "tag")) == entries.size - 1,
+        s"${entries.map(_.sstats)}")
+      entries.flatMap(_.sstats).foreach { case (_, lo, hi) =>
+        assert(lo.length <= 16 && hi.length <= 17, s"($lo, $hi)")
+      }
+      // point/range/LIKE predicates prune planning; answers stay exact
+      val (t1, p1) = planned(store.where(col("tag") === tagOf(7)))
+      assert(p1 < t1, s"point predicate must prune: $p1/$t1")
+      assert(store.where(col("tag") === tagOf(7)).collect().map(_.getLong(0)).toSeq
+        == Seq(7L))
+      val (t2, p2) = planned(store.where(col("tag") >= tagOf(390)))
+      assert(p2 < t2 && store.where(col("tag") >= tagOf(390)).count() == 11,
+        s"range: $p2/$t2") // 390..400 (the non-ASCII é sorts above ascii)
+      // the non-ASCII row is still FOUND (its file never prunes)
+      assert(store.where(col("tag") === tagOf(321)).count() == 1)
+      // zorder_by accepts (bigint, string): rewrite, then both columns prune
+      val res = spark.sql(s"CALL graft.zorder_by('$dir', 50, 'k,tag')").collect()(0)
+      assert(res.getLong(1) >= 2)
+      spark.sql(s"CALL graft.analyze('$dir')").collect() // fresh files: re-stat
+      val (t3, p3) = planned(store.where(col("tag").startsWith("t-000")))
+      assert(p3 < t3, s"post-zorder LIKE-prefix must prune: $p3/$t3")
+      assert(store.where(col("tag").startsWith("t-000"))
+        .count() == 99) // 1..99 zero-padded to 5 digits
     } finally {
       spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
     }
