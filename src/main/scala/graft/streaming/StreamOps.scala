@@ -582,6 +582,27 @@ object StreamOps extends OpModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // THE §2.1 `src_stream` CONTRACT ROW, registered literally (verdict r9
+    // #6): unbounded ingest of events-shaped records arriving over MULTIPLE
+    // micro-batches (three event-id thirds — the MemoryStream scaffolding
+    // stands in for Kafka/files, the round-2 posture), schema-normalized on
+    // the way in, appended exactly once. The result audits the ingested
+    // stream per type — counts, distinct ids, exact value cents — equal to
+    // the batch table by the repeated-run/exactly-once contract the other
+    // 38 s_* rows exercise per-operator.
+    "src_stream" -> ((s, d) => {
+      val rows = loadEvents(s, d).sortBy(_.event_id)
+      val chunks = rows.grouped(math.max(1, (rows.size + 2) / 3)).toSeq
+      runStreamChunks(s, chunks, OutputMode.Append())(ev =>
+        ev.toDF().select(col("event_id"), col("user_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("value_cents")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("event_id")).as("n_ids"),
+             sum(col("value_cents")).as("cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Stateless enrichment: inner join emits per batch, so the full-feed
     // output equals the batch join — oracle-able directly.
     "s_static_join" -> ((s, d) => {
@@ -1562,6 +1583,13 @@ object StreamOps extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the drained multi-batch ingest equals the batch table exactly
+    "src_stream" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // incremental offset ranges must tile the extent exactly once —
     // the batch scan's closed forms ARE the streamed total
     "s_src_dsv2" ->
