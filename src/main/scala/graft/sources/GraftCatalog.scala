@@ -65,8 +65,9 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "analyze", "cherry_pick", "compact", "expire", "history",
-      "publish", "remove_orphans", "repartition_spec", "rollback", "tag",
-      "zorder", "zorder_by", "vacuum").map(Identifier.of(Array.empty, _))
+      "publish", "publish_all", "remove_orphans", "repartition_spec",
+      "rollback", "tag", "txn_recover", "zorder", "zorder_by", "vacuum")
+      .map(Identifier.of(Array.empty, _))
   }
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -81,6 +82,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "history" => HistoryProcedure
       case "remove_orphans" => RemoveOrphansProcedure
       case "repartition_spec" => RepartitionSpecProcedure
+      case "publish_all" => PublishAllProcedure
+      case "txn_recover" => TxnRecoverProcedure
       case "publish" => PublishProcedure
       case "rollback" => RollbackProcedure
       case "tag"     => TagProcedure
@@ -916,6 +919,78 @@ private object AnalyzeProcedure
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = resultSchema
         override def rows(): Array[InternalRow] = Array(InternalRow(a, b))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.publish_all('p1,p2,...', 'b1,b2,...')` — MULTI-TABLE ATOMIC
+  * PUBLISH: fold branch bN of table pN into main for every pair,
+  * all-or-nothing (2PC with a coordinator decision marker; see
+  * StoreSink.publishAll). Audit row: (tables, files_published). */
+private object PublishAllProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "publish_all"
+  override def description(): String =
+    "publish WAP branches on N store tables in one atomic transaction"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("paths", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("branches", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("tables", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("files_published", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val paths = input.getUTF8String(0).toString.split(',').map(_.trim).filter(_.nonEmpty)
+    val branches = input.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
+    require(paths.length == branches.length,
+      s"paths (${paths.length}) and branches (${branches.length}) must pair up")
+    val res = StoreSink.publishAll(paths.zip(branches).toSeq)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(res._1, res._2))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.txn_recover(path)` — resolve crashed multi-table
+  * transactions touching this table: roll committed ones forward, abort
+  * undecided ones. Audit row: (rolled_forward, aborted). */
+private object TxnRecoverProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "txn_recover"
+  override def description(): String =
+    "resolve crashed multi-table transactions on this table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("rolled_forward", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("aborted", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val res = StoreSink.recoverTxn(input.getUTF8String(0).toString)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(res._1, res._2))
       }
     util.Collections.singletonList(scan).iterator()
   }

@@ -3105,6 +3105,64 @@ object Sources extends OpModule {
         .orderBy(col("v"))
     }),
 
+    // MULTI-TABLE ATOMIC PUBLISH (verdict r9 #8): two stores stage WAP
+    // branches, `CALL graft.publish_all` folds both in ONE transaction —
+    // 2PC with a coordinator decision marker. The query INJECTS a crash
+    // between the two swaps (the worst window), observes the torn
+    // intermediate, then `CALL graft.txn_recover` rolls the committed
+    // transaction FORWARD: the final state is byte-identical to a clean
+    // publish, which is the whole contract — a multi-table pipeline's
+    // fact+dim go live together or not at all, even across a dead driver.
+    "q_store_txn" -> ((s, d) => withGraftCatalog(s) {
+      val pa = tmp(d, "txn_a"); val pb = tmp(d, "txn_b")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(pa), true)
+      fsys.delete(new org.apache.hadoop.fs.Path(pb), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      def seed(path: String, even: Boolean): Unit = {
+        val side = base.where(pmod(col("k"), lit(2)) === (if (even) 0 else 1))
+        side.where(pmod(col("k"), lit(5)) =!= 0).repartition(2)
+          .write.format("graft.sources.StoreSink").mode("overwrite")
+          .option("path", path).save()
+        side.where(pmod(col("k"), lit(5)) === 0).coalesce(1)
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).option("branch", "staged").save()
+      }
+      seed(pa, even = true); seed(pb, even = false)
+      def liveN(p: String): Long =
+        s.read.format("graft.sources.StoreSink").option("path", p).load().count()
+      val mainOnly = (liveN(pa), liveN(pb))
+      // crash between the swaps: the decision is durable, the outcome fixed
+      graft.sources.StoreSink.onTxnSwapped =
+        _ => throw new RuntimeException("injected crash between swaps")
+      val crashed =
+        try { s.sql(s"CALL graft.publish_all('$pa,$pb', 'staged,staged')"); false }
+        catch { case _: Exception => true }
+        finally graft.sources.StoreSink.onTxnSwapped = _ => ()
+      val first = Seq(pa, pb).min; val second = Seq(pa, pb).max
+      val torn = liveN(first) > mainOnly._1.min(mainOnly._2) &&
+        liveN(second) == (if (second == pa) mainOnly._1 else mainOnly._2)
+      val rec = s.sql(s"CALL graft.txn_recover('$second')").collect()(0)
+      s.sql(s"CALL graft.txn_recover('$first')").collect()
+      val aggA = s.read.format("graft.sources.StoreSink").option("path", pa).load()
+        .agg(count(lit(1)), sum(col("amt_cents"))).collect()(0)
+      val aggB = s.read.format("graft.sources.StoreSink").option("path", pb).load()
+        .agg(count(lit(1)), sum(col("amt_cents"))).collect()(0)
+      val rows = Seq(
+        org.apache.spark.sql.Row("a_rows", aggA.getLong(0), aggA.getLong(1)),
+        org.apache.spark.sql.Row("b_rows", aggB.getLong(0), aggB.getLong(1)),
+        org.apache.spark.sql.Row("z_crash_observed", if (crashed) 1L else 0L, 0L),
+        org.apache.spark.sql.Row("z_torn_window", if (torn) 1L else 0L, 0L),
+        org.apache.spark.sql.Row("z_recover_audit", rec.getLong(0), rec.getLong(1)))
+      val schema = StructType(Seq(
+        StructField("step", StringType), StructField("n", LongType),
+        StructField("amt_sum", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+    }),
+
     // STRING ZONE STATS (verdict r9 #5): declared trailing STRING columns
     // get truncated-prefix min/max bounds in the manifest (16-char lower
     // prefix as-is, upper prefix incremented — the Iceberg truncate
@@ -3333,6 +3391,20 @@ object Sources extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // crash-then-recover == clean publish: full per-store totals
+    "q_store_txn" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT step, n, amt_sum FROM (
+        |  SELECT 'a_rows' AS step, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(amt) AS BIGINT) AS amt_sum FROM o WHERE k % 2 = 0
+        |  UNION ALL SELECT 'b_rows', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(amt) AS BIGINT) FROM o WHERE k % 2 = 1
+        |  UNION ALL SELECT 'z_crash_observed', 1, 0
+        |  UNION ALL SELECT 'z_torn_window', 1, 0
+        |  UNION ALL SELECT 'z_recover_audit', 1, 0) t
+        |ORDER BY step""".stripMargin,
+
     // string predicates answered exactly; prune flags are structural
     "q_store_zone_str" ->
       """WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer)

@@ -905,6 +905,59 @@ class StoreSinkSpec extends SparkSpec {
       s"retry lost a delete: ${readBack(dir).map(_._1).toSeq.sorted}")
   }
 
+  test("multi-table atomic publish: a crash between swaps rolls forward on " +
+       "recovery, a crash before the decision aborts — never a torn outcome") {
+    val a = freshDir("txn_a"); val b = freshDir("txn_b")
+    def seed(dir: String): Unit = {
+      df(1 to 20, "m").coalesce(1)
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+      df(21 to 30, "s").coalesce(1).write.format(fmt).mode("append")
+        .option("path", dir).option("branch", "staged").save()
+    }
+    def liveCount(dir: String): Long =
+      spark.read.format(fmt).option("path", dir).load().count()
+    seed(a); seed(b)
+    val first = Seq(a, b).min; val second = Seq(a, b).max
+    // CRASH AFTER THE FIRST SWAP: the decision is durable, so the outcome
+    // is committed — recovery must roll the second table FORWARD
+    StoreSink.onTxnSwapped = p => throw new RuntimeException(s"crash after $p")
+    try intercept[RuntimeException] {
+      StoreSink.publishAll(Seq((a, "staged"), (b, "staged")))
+    } finally StoreSink.onTxnSwapped = _ => ()
+    assert(liveCount(first) == 30 && liveCount(second) == 20,
+      "the injected crash should leave exactly the coordinator published")
+    val (fwd2, ab2) = StoreSink.recoverTxn(second)
+    assert((fwd2, ab2) == ((1L, 0L)) && liveCount(second) == 30,
+      s"recovery must roll the committed transaction forward: ($fwd2, $ab2)")
+    val (fwd1, _) = StoreSink.recoverTxn(first) // WAL cleanup; already applied
+    assert(fwd1 == 1L && liveCount(first) == 30)
+    def txnFiles(dir: String): Seq[String] =
+      fs.listStatus(new Path(dir)).map(_.getPath.getName)
+        .filter(_.startsWith("_txn.")).toSeq
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty,
+      s"recovery must clean WALs and the marker: ${txnFiles(a) ++ txnFiles(b)}")
+    // CRASH BEFORE THE DECISION: presumed abort — neither publishes, the
+    // branches stay staged and the SAME publish succeeds afterwards
+    df(31 to 35, "t").coalesce(1).write.format(fmt).mode("append")
+      .option("path", a).option("branch", "more").save()
+    df(31 to 35, "t").coalesce(1).write.format(fmt).mode("append")
+      .option("path", b).option("branch", "more").save()
+    StoreSink.onTxnPrepared = () => throw new RuntimeException("crash pre-decide")
+    try intercept[RuntimeException] {
+      StoreSink.publishAll(Seq((a, "more"), (b, "more")))
+    } finally StoreSink.onTxnPrepared = () => ()
+    assert(liveCount(a) == 30 && liveCount(b) == 30, "abort must publish nothing")
+    val (f3, a3) = StoreSink.recoverTxn(a)
+    assert((f3, a3) == ((0L, 1L)), s"undecided txn must abort: ($f3, $a3)")
+    StoreSink.recoverTxn(b)
+    assert(StoreSink.branchExists(new Path(a), fs, "more") &&
+           StoreSink.branchExists(new Path(b), fs, "more"),
+      "aborted branches stay staged (WAP: auditable, re-publishable)")
+    val (nt, nf) = StoreSink.publishAll(Seq((a, "more"), (b, "more")))
+    assert(nt == 2L && nf == 2L && liveCount(a) == 35 && liveCount(b) == 35)
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
+  }
+
   test("vacuum never GCs a live WAP branch's staged files") {
     val dir = freshDir("wapvac")
     df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
