@@ -42,7 +42,11 @@ object Bench {
     "q_pagerank", "q_winnow",                                        // graph iterate + winnow scan (r6)
     "q_dedup_contain", "q_ccnet_bucket",                             // posting-list block + DistRank ntile (r6)
     "q_triangle", "q_substr_dedup", "q_knn_graph",                   // oriented wedges + span df + knn self-join (r7)
-    "q_tdigest", "q_hilbert_key",                                    // t-digest sketch agg + codegen hilbert key (r9)
+    // q_hilbert_key rotated out at round 18 (cheap stable codegen scalar;
+    // q_store_zorder exercises the same kernel) for the persisted-index
+    // probe — the round's flagship op
+    "q_tdigest",                                                     // t-digest sketch agg (r9)
+    "q_sim_ivf_indexed",                                             // persisted-IVF build+probe (r18)
     "q_label_prop", "q_win_distinct_count",                          // majority LPA rounds + windowed distinct (r10)
     "q_assoc_rules", "q_sim_bq", "s_tws_timers",                     // basket pair mining + BQ hamming ANN + timer exec (r11)
     "q_hits_cached", "q_store_merge", "s_src_dsv2",                  // HITS cut-lineage + connector merge + DSv2 stream read (r12)

@@ -94,8 +94,8 @@ class GraftCatalogSpec extends SparkSpec {
         .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       assert(cat.listProcedures(Array.empty).map(_.name()).sorted.toSeq ==
         Seq("abandon", "analyze", "cherry_pick", "compact", "expire",
-          "history", "publish", "remove_orphans", "repartition_spec",
-          "rollback", "tag", "vacuum",
+          "history", "publish", "publish_all", "remove_orphans",
+          "repartition_spec", "rollback", "tag", "txn_recover", "vacuum",
           "zorder", "zorder_by"))
       intercept[Exception] { spark.sql("CALL graft.nope(1)") }
       val dir = "target/tmp/catalog_spec_proc"
