@@ -3105,6 +3105,67 @@ object Sources extends OpModule {
         .orderBy(col("v"))
     }),
 
+    // TOP-N PUSHDOWN + NULL-COUNT STATS: `ORDER BY k LIMIT n` plans only
+    // the files whose zones could hold the top n keys — zone-edge-ordered
+    // EXACT non-null coverage (rows − nullK, the new per-file null counts,
+    // Iceberg's null_value_counts) widened to every overlapping zone; the
+    // sort's null placement is honored (NULLS FIRST covers null-bearing
+    // files first). IS [NOT] NULL on the key prunes from the same counts.
+    // At 100 TB: "latest 100 by key" on a clustered table opens a couple
+    // of files, not a million — and the null arithmetic is what keeps the
+    // prefix SOUND instead of merely usually-right.
+    "q_store_topn" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storetopn")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      withStorePath(s, path) {
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                  graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+          .repartitionByRange(8, col("k"))
+          .write.format("graft.sources.StoreSink").mode("overwrite")
+          .option("path", path).save()
+        s.range(101, 106) // five null-key rows, distinct amts: NULLS FIRST bait
+          .select(lit(null).cast("long").as("k"), lit("z").as("grp"),
+                  col("id").as("amt_cents"))
+          .coalesce(1)
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save()
+        def store = s.table("graft.store")
+        def plannedOf(v: => Unit): (Int, Int) = {
+          graft.sources.StoreSink.lastTopNPlan = None
+          v
+          graft.sources.StoreSink.lastTopNPlan.getOrElse((-1, -1))
+        }
+        var ascRows: Seq[org.apache.spark.sql.Row] = Nil
+        val (ta, pa) = plannedOf {
+          ascRows = store.orderBy(col("k").asc).limit(12)
+            .select(lit("asc").as("tag"), col("k"), col("amt_cents")).collect().toSeq
+        }
+        var descRows: Seq[org.apache.spark.sql.Row] = Nil
+        val (td, pd) = plannedOf {
+          descRows = store.orderBy(col("k").desc).limit(12)
+            .select(lit("desc").as("tag"), col("k"), col("amt_cents")).collect().toSeq
+        }
+        graft.sources.StoreSink.lastZonePrune = None
+        val nNull = store.where(col("k").isNull).count()
+        val (tn, pn) = graft.sources.StoreSink.lastZonePrune.get
+        val rows = ascRows ++ descRows ++ Seq(
+          org.apache.spark.sql.Row("z_asc_pruned",
+            if (pa < ta && pa >= 1) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_desc_pruned",
+            if (pd < td && pd >= 1) 1L else 0L, 0L),
+          org.apache.spark.sql.Row("z_isnull_pruned",
+            if (pn == 1 && tn > 1) 1L else 0L, nNull))
+        val schema = StructType(Seq(
+          StructField("tag", StringType), StructField("k", LongType),
+          StructField("amt_cents", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema)
+          .orderBy(col("tag"), col("k").asc_nulls_first, col("amt_cents"))
+      }
+    }),
+
     // MULTI-TABLE ATOMIC PUBLISH (verdict r9 #8): two stores stage WAP
     // branches, `CALL graft.publish_all` folds both in ONE transaction —
     // 2PC with a coordinator decision marker. The query INJECTS a crash
@@ -3391,6 +3452,24 @@ object Sources extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // top-n sets are exact (keys unique; the 5 nulls all make the asc cut)
+    "q_store_topn" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |nulls AS (SELECT CAST(NULL AS BIGINT) AS k, CAST(v AS BIGINT) AS amt
+        |          FROM (VALUES (101),(102),(103),(104),(105)) t(v)),
+        |ar AS (SELECT * FROM o UNION ALL SELECT * FROM nulls),
+        |a AS (SELECT 'asc' AS tag, k, amt AS amt_cents FROM ar
+        |      ORDER BY k ASC NULLS FIRST LIMIT 12),
+        |d AS (SELECT 'desc' AS tag, k, amt AS amt_cents FROM ar
+        |      ORDER BY k DESC NULLS LAST LIMIT 12)
+        |SELECT tag, k, amt_cents FROM (
+        |  SELECT * FROM a UNION ALL SELECT * FROM d
+        |  UNION ALL SELECT 'z_asc_pruned', 1, 0
+        |  UNION ALL SELECT 'z_desc_pruned', 1, 0
+        |  UNION ALL SELECT 'z_isnull_pruned', 1, 5) u
+        |ORDER BY tag, k NULLS FIRST, amt_cents""".stripMargin,
+
     // crash-then-recover == clean publish: full per-store totals
     "q_store_txn" ->
       """WITH o AS (SELECT o_orderkey AS k,

@@ -469,7 +469,8 @@ object StoreSink {
                             minA: Option[Long] = None,
                             maxA: Option[Long] = None,
                             stats: Seq[(String, Long, Long)] = Nil,
-                            sstats: Seq[(String, String, String)] = Nil) {
+                            sstats: Seq[(String, String, String)] = Nil,
+                            nullK: Option[Long] = None) {
     /** 8 fields; a 9th (`eq` — equality-delete sidecar), a 10th/11th
       * (`minA`/`maxA` — the SECOND zone column, over `amt_cents`) and a
       * 12th (PER-COLUMN stats for DECLARED stat columns:
@@ -484,7 +485,7 @@ object StoreSink {
       * delete never read the file) — COUNT/MIN/MAX pushdown declines
       * there. */
     def line: String = {
-      val needS = stats.nonEmpty || sstats.nonEmpty
+      val needS = stats.nonEmpty || sstats.nonEmpty || nullK.isDefined
       val needA = minA.isDefined || maxA.isDefined || needS
       val needEq = eq.isDefined || needA
       s"$name|$rows|${minK.getOrElse("-")}|${maxK.getOrElse("-")}|" +
@@ -499,12 +500,17 @@ object StoreSink {
          else "") +
         // 13th field: STRING column bounds (`col:<urlenc lo>:<urlenc hi>`)
         // — truncated-prefix min + incremented-prefix max, pruning-only
-        (if (sstats.nonEmpty)
-           "|" + sstats.map { case (c, lo, hi) =>
-             s"$c:${java.net.URLEncoder.encode(lo, "UTF-8")}:" +
-               java.net.URLEncoder.encode(hi, "UTF-8")
-           }.mkString(";")
-         else "")
+        (if (sstats.nonEmpty || nullK.isDefined)
+           "|" + (if (sstats.isEmpty) "-"
+                  else sstats.map { case (c, lo, hi) =>
+                    s"$c:${java.net.URLEncoder.encode(lo, "UTF-8")}:" +
+                      java.net.URLEncoder.encode(hi, "UTF-8")
+                  }.mkString(";"))
+         else "") +
+        // 14th field: NULL-KEY COUNT (Iceberg null_value_counts for the key
+        // column): exact per-file nulls — IS [NOT] NULL file pruning and
+        // the sound non-null coverage arithmetic TopN planning needs
+        nullK.map(v => s"|$v").getOrElse("")
     }
     /** Read token (`name[@dv][#eq]`): the explicit-files read path and
       * the tail's prefix identity both need the MASKED file — deletion
@@ -646,8 +652,9 @@ object StoreSink {
               java.net.URLDecoder.decode(q(2), "UTF-8"))
           }
         else Nil
+      val nullK = if (p.length > 13) opt(p(13)) else None
       StoreFileEntry(p(0), p(1).toLong, opt(p(2)), opt(p(3)), bloom, bytes, dv,
-        part, eq, minA, maxA, stats, sstats)
+        part, eq, minA, maxA, stats, sstats, nullK)
     } else StoreFileEntry(l, -1L, None, None)
 
   /** Two-probe Bloom signature of a grp value: 2 bits of a 64-bit word from
@@ -681,6 +688,9 @@ object StoreSink {
   /** Last limit-pushdown planning observation: (candidate files, files
     * actually planned after the limit prefix cut). Spec observability. */
   @volatile private[sources] var lastLimitPlan: Option[(Int, Int)] = None
+
+  /** Top-n twin: (candidates, planned after zone-ordered coverage). */
+  @volatile private[sources] var lastTopNPlan: Option[(Int, Int)] = None
 
   /** A file's partition key as the InternalRow SPJ alignment compares:
     * bucket ids are ints, identity values are strings (null mark → null). */
@@ -3655,12 +3665,13 @@ private case class StoreFilePayload(staged: String, rows: Long,
                                     minA: Option[Long] = None,
                                     maxA: Option[Long] = None,
                                     stats: Seq[(String, Long, Long)] = Nil,
-                                    sstats: Seq[(String, String, String)] = Nil) {
+                                    sstats: Seq[(String, String, String)] = Nil,
+                                    nullK: Option[Long] = None) {
   /** Manifest name (partition-dir-relative). */
   def name: String = if (dir.isEmpty) staged else s"$dir/$staged"
   def entry: StoreSink.StoreFileEntry =
     StoreSink.StoreFileEntry(name, rows, minK, maxK, Some(bloom), Some(bytes),
-      None, part, None, minA, maxA, stats, sstats)
+      None, part, None, minA, maxA, stats, sstats, nullK)
 }
 
 /** A task's commit message: one payload per staged file (a partitioned
@@ -3748,6 +3759,7 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     val minT: Array[String] = Array.fill(strStatCols.size)(null)
     val maxT: Array[String] = Array.fill(strStatCols.size)(null)
     val asciiOk: Array[Boolean] = Array.fill(strStatCols.size)(true)
+    var nullK = 0L // exact null-key rows (Iceberg null_value_counts)
   }
 
   /** The second zone column (`amt_cents`) is tracked only when the write
@@ -3780,7 +3792,7 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       val k = record.getLong(base)
       if (k < s.minK) s.minK = k
       if (k > s.maxK) s.maxK = k
-    }
+    } else s.nullK += 1
     if (!record.isNullAt(base + 1)) // grp bloom, alongside the zones
       s.bloom |= StoreSink.grpSig(record.getUTF8String(base + 1).toString)
     if (trackA && !record.isNullAt(base + 2)) { // second zone column
@@ -3836,7 +3848,8 @@ private class StoreDataWriter(pathStr: String, fileName: String,
           if (!s.asciiOk(ti) || s.minT(ti) == null) None
           else StoreSink.truncUpper(s.maxT(ti)).map(up =>
             (strStatCols(ti)._1, StoreSink.truncLower(s.minT(ti)), up))
-        })
+        },
+        Some(s.nullK))
     }
     StoreCommitMessage(payloads)
   }
@@ -3861,7 +3874,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var zoneFilters: Array[Filter] = Array.empty
   private var kLo: Option[Long] = None
@@ -3925,6 +3939,12 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     required = requiredSchema
 
   private var limitN: Option[Int] = None
+  // TOP-N pushdown (ORDER BY k [ASC|DESC] LIMIT n): direction + the sort's
+  // null placement — the planner's coverage arithmetic differs per case
+  private var topNDesc: Option[Boolean] = None
+  private var topNNullsFirst: Boolean = false
+  // IS [NOT] NULL on the key column: prunes via the per-file null counts
+  private var kNullPred: Option[Boolean] = None
 
   /** LIMIT pushdown, PARTIAL (isPartiallyPushed stays true, so Spark keeps
     * its own Limit): the scan plans only a PREFIX of files whose exact
@@ -3943,6 +3963,33 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     true
   }
 
+  /** TOP-N pushdown, PARTIAL (Spark keeps its Sort+Limit): `ORDER BY k
+    * LIMIT n` plans only the files whose zones could hold the top n keys —
+    * sort candidates by zone edge, accumulate EXACT NON-NULL coverage
+    * (rows − nullK) to n, then widen to every overlapping zone. Null
+    * placement is honored through the per-file null counts: NULLS FIRST
+    * covers nulls before values, NULLS LAST adds null-bearing files only
+    * when the non-null total falls short. Like pushLimit, Spark only asks
+    * when the sort sits DIRECTLY on the scan (our filters stay residual),
+    * and planning falls back to the full candidate set whenever any entry
+    * lacks exact counts (masks, legacy lines) — partial push means a
+    * superset is always sound. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    if (explicitFiles.isDefined || branch.isDefined) return false
+    if (orders.length != 1) return false
+    val o = orders(0)
+    if (o.expression().toString.replace("`", "") != "k") return false
+    limitN = Some(limit)
+    topNDesc = Some(o.direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+    topNNullsFirst = o.nullOrdering() ==
+      org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
+    true
+  }
+
+  override def isPartiallyPushed: Boolean = true
+
   /** AGGREGATE PUSHDOWN from manifest metadata: an unfiltered, ungrouped
     * COUNT(*)/MIN(k)/MAX(k) is already summed in the manifest — per-file
     * live row counts and key zones — so the scan answers it WITHOUT
@@ -3960,7 +4007,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     if (branch.isDefined) return false // branch view: manifest totals lie
     if (zoneFilters.nonEmpty || kLo.isDefined || kHi.isDefined ||
         aLo.isDefined || aHi.isDefined || statBounds.nonEmpty ||
-        strBounds.nonEmpty || grpConjuncts.nonEmpty) return false
+        strBounds.nonEmpty || grpConjuncts.nonEmpty ||
+        kNullPred.nonEmpty) return false
     if (agg.groupByExpressions.nonEmpty) return false
     def ref(e: org.apache.spark.sql.connector.expressions.Expression,
             c: String): Boolean =
@@ -4070,6 +4118,10 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
       val (lo, hi) = strColBounds(filters, c)
       if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
     }
+    kNullPred = filters.collectFirst {
+      case IsNull("k") => true
+      case IsNotNull("k") => false
+    }
     val statNames = statBounds.map(_._1).toSet
     val strNames = strBounds.map(_._1).toSet
     zoneFilters = filters.filter {
@@ -4087,6 +4139,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
       case LessThanOrEqual(c, _) if statNames(c) || strNames(c) => true
       case In(c, _) if statNames(c) || strNames(c) => true
       case org.apache.spark.sql.sources.StringStartsWith(c, _) if strNames(c) => true
+      case IsNull("k") | IsNotNull("k") => true
       case _ => false
     }
     filters
@@ -4098,7 +4151,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     if (aggFuncs.nonEmpty) new StoreAggScan(pathStr, aggFuncs, aggValues)
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
       explicitFiles, table, grpValues, kValues, branch, aLo, aHi, limitN,
-      maxFilesPerTrigger, statBounds, strBounds)
+      maxFilesPerTrigger, statBounds, strBounds, topNDesc, topNNullsFirst,
+      kNullPred)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -4182,7 +4236,10 @@ private class StoreScan(pathStr: String,
                         limitN: Option[Int] = None,
                         maxFilesPerTrigger: Option[Int] = None,
                         statBounds: Seq[(String, Option[Long], Option[Long])] = Nil,
-                        strBounds: Seq[(String, Option[String], Option[String])] = Nil)
+                        strBounds: Seq[(String, Option[String], Option[String])] = Nil,
+                        topNDesc: Option[Boolean] = None,
+                        topNNullsFirst: Boolean = false,
+                        kNullPred: Option[Boolean] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -4444,6 +4501,16 @@ private class StoreScan(pathStr: String,
       .filter(e => grpConjuncts.forall(e.mayContainGrp))
       .filter(e => runtimeKeys.forall(e.mayContainAny))
       .filter(e => runtimeGrpSigs.forall(e.mayContainGrp))
+      // IS [NOT] NULL on k: exact per-file null counts prune — masks only
+      // REMOVE rows, so nullK == 0 (no nulls, ever) and rows == nullK with
+      // no masks (all null) are both safe witnesses; countless files keep
+      .filter(e => kNullPred match {
+        case Some(true)  => e.nullK.forall(_ > 0)
+        case Some(false) =>
+          !(e.nullK.isDefined && e.rows >= 0 && e.eq.isEmpty &&
+            e.dv.isEmpty && e.nullK.get == e.rows)
+        case None => true
+      })
     val keptP = kept.filter(_.part.forall(partMayMatch))
     if (spec.isDefined)
       StoreSink.lastPartPrune = Some((kept.size, keptP.size))
@@ -4451,8 +4518,54 @@ private class StoreScan(pathStr: String,
     // when every candidate's live count is exact (no legacy stat-less
     // lines, no equality masks whose counts are upper bounds) and no
     // runtime filter narrowed the scan after pushdown
-    val keptL = limitN match {
-      case Some(n) if keptP.forall(e => e.rows >= 0 && e.eq.isEmpty) &&
+    val keptL = (topNDesc, limitN) match {
+      // TOP-N: zone-ordered coverage — sound only over mask-free entries
+      // with exact rows, null counts, and (where non-null rows exist)
+      // zones; anything else plans the full candidate set (partial push)
+      case (Some(desc), Some(n)) if keptP.nonEmpty &&
+          keptP.forall(e => e.rows >= 0 && e.eq.isEmpty && e.dv.isEmpty &&
+            e.nullK.isDefined &&
+            (e.rows - e.nullK.get == 0 || (e.minK.isDefined && e.maxK.isDefined))) &&
+          runtimeKeys.isEmpty && runtimeGrps.isEmpty =>
+        def nonNull(e: StoreSink.StoreFileEntry) = e.rows - e.nullK.get
+        def valueCover(need: Long): Seq[StoreSink.StoreFileEntry] = {
+          val es = keptP.filter(nonNull(_) > 0)
+          val sorted = if (desc) es.sortBy(e => -e.maxK.get)
+                       else es.sortBy(_.minK.get)
+          var acc = 0L
+          val prefix = sorted.takeWhile { e =>
+            val more = acc < need; acc += nonNull(e); more
+          }
+          if (acc < need) sorted // fewer than n non-null keys exist: all
+          else {
+            val thr = if (desc) prefix.map(_.minK.get).min
+                      else prefix.map(_.maxK.get).max
+            sorted.filter(e =>
+              if (desc) e.maxK.get >= thr else e.minK.get <= thr)
+          }
+        }
+        val nullFiles = keptP.filter(_.nullK.get > 0)
+        val totalNulls = keptP.map(_.nullK.get).sum
+        val plan =
+          if (topNNullsFirst) {
+            if (totalNulls >= n) {
+              var acc = 0L
+              nullFiles.takeWhile { e =>
+                val more = acc < n; acc += e.nullK.get; more }
+            } else nullFiles ++ valueCover(n - totalNulls)
+          } else {
+            val nnTotal = keptP.map(nonNull).sum
+            if (nnTotal >= n) valueCover(n)
+            else valueCover(n) ++ nullFiles
+          }
+        val planned = plan.map(_.name).toSet
+        val out = keptP.filter(e => planned(e.name))
+        StoreSink.lastTopNPlan = Some((keptP.size, out.size))
+        out
+      case (Some(_), _) => // guards unmet: the full set stays sound
+        StoreSink.lastTopNPlan = Some((keptP.size, keptP.size))
+        keptP
+      case (None, Some(n)) if keptP.forall(e => e.rows >= 0 && e.eq.isEmpty) &&
           runtimeKeys.isEmpty && runtimeGrps.isEmpty =>
         var acc = 0L
         val prefix = keptP.takeWhile { e =>

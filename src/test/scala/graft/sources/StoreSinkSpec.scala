@@ -1228,6 +1228,56 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("TopN pushdown: zone-ordered coverage honors null placement, " +
+       "IS [NOT] NULL prunes from null counts, masks decline to a full plan") {
+    import spark.implicits._
+    val dir = freshDir("topn")
+    (1L to 400L).map(k => (k, "a", k * 100))
+      .toDF("k", "grp", "amt_cents").repartitionByRange(8, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    spark.range(1, 4) // one file holding ONLY null keys (nullK = 3)
+      .select(lit(null).cast("long").as("k"), lit("z").as("grp"),
+              col("id").as("amt_cents"))
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", dir).save()
+    val entries = StoreSink.readEntries(new Path(dir), fs)
+    assert(entries.size == 9 && entries.forall(_.nullK.isDefined) &&
+           entries.map(_.nullK.get).sum == 3, s"${entries.map(_.nullK)}")
+    def store = spark.read.format(fmt).option("path", dir).load()
+    def topn(df: org.apache.spark.sql.DataFrame): (Seq[Any], (Int, Int)) = {
+      StoreSink.lastTopNPlan = None
+      val rows = df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      (rows, StoreSink.lastTopNPlan.getOrElse((-1, -1)))
+    }
+    // ASC NULLS FIRST (Spark's asc default): 3 nulls + the 2 smallest keys;
+    // planned = the null file + the lowest zone
+    val (r1, (t1, p1)) = topn(store.orderBy(col("k").asc).limit(5).select(col("k")))
+    assert(r1.count(_ == null) == 3 && r1.filter(_ != null).toSet == Set(1L, 2L))
+    assert(t1 == 9 && p1 == 2, s"nulls-first must plan null file + low zone: $p1/$t1")
+    // ASC NULLS LAST: pure value coverage, null file not planned
+    val (r2, (t2, p2)) = topn(
+      store.orderBy(col("k").asc_nulls_last).limit(5).select(col("k")))
+    assert(r2 == Seq(1L, 2L, 3L, 4L, 5L) && t2 == 9 && p2 == 1, s"$p2/$t2")
+    // DESC (nulls last): the top zone only
+    val (r3, (t3, p3)) = topn(store.orderBy(col("k").desc).limit(5).select(col("k")))
+    assert(r3 == Seq(400L, 399L, 398L, 397L, 396L) && p3 == 1, s"$p3/$t3")
+    // IS [NOT] NULL pruning from the exact null counts
+    StoreSink.lastZonePrune = None
+    assert(store.where(col("k").isNull).count() == 3)
+    assert(StoreSink.lastZonePrune.get == ((9, 1)))
+    StoreSink.lastZonePrune = None
+    assert(store.where(col("k").isNotNull).count() == 400)
+    assert(StoreSink.lastZonePrune.get == ((9, 8)),
+      "IS NOT NULL must skip the all-null file")
+    // an equality mask makes counts inexact: TopN falls back to the FULL
+    // candidate plan (sound superset), the answer unchanged
+    eqDel(dir, Seq(1L))
+    val (r4, (t4, p4)) = topn(
+      store.orderBy(col("k").asc_nulls_last).limit(5).select(col("k")))
+    assert(r4 == Seq(2L, 3L, 4L, 5L, 6L))
+    assert(t4 == 9 && p4 == 9, s"masked entries must decline the cut: $p4/$t4")
+  }
+
   test("string zone stats: analyze backfills truncated-prefix bounds, " +
        "predicates prune, non-ASCII never poisons, zorder_by takes strings") {
     import spark.implicits._
