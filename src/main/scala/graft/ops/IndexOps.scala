@@ -72,6 +72,26 @@ object IndexOps extends OpModule {
       AnnIndex.probe(s, queries, idx).orderBy(col("q_id"), col("rn"))
     }),
 
+    // DENSE RAG RETRIEVAL through the persisted index: the retrieve stage
+    // an indexed RAG pipeline actually runs — probe the IVF lists for each
+    // query's top-5 neighbors, then hydrate the hits against the documents
+    // table (doc_id = vec_id, the corpus convention) for downstream
+    // packing/reranking. At 100 TB the retrieval cost is nprobe posting
+    // lists + a broadcast hydrate of ~k·|queries| rows — the corpus is
+    // never scanned at query time.
+    "q_rag_dense_indexed" -> ((s, d) => {
+      val idx = tmpIdx(d, "rag")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx)
+      val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+      val hits = AnnIndex.probe(s, queries, idx) // bounded: 5 per query
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(broadcast(hits.withColumnRenamed("n_id", "doc_id")), "doc_id")
+        .select(col("q_id"), col("rn"), col("doc_id"), col("lang"),
+                col("n_chars"), col("score_e4"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // The probe-width knob on a FROZEN index: recall@5 vs the exact top-5
     // at nprobe = 1 and nprobe = 2, probing the SAME persisted index twice —
     // the accuracy/cost dial a 100 TB operator turns per query class without
@@ -115,6 +135,27 @@ object IndexOps extends OpModule {
 
     // probing the persisted index == the retrain-per-query pipeline
     "q_sim_ivf_indexed" -> TrainingOps.simIvfKmeansOracle,
+
+    // the same probe replay, hydrated against documents (doc_id = vec_id)
+    "q_rag_dense_indexed" -> {
+      val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
+      val cosQN = cosQ("pr.q_emb", "asg.n_emb")
+      s"""WITH $trainReplayCtes,
+         |pr AS (SELECT q_id, q_emb, bucket FROM (
+         |    SELECT q.q_id, q.q_emb, c1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQC1 DESC, c1.c_id) AS prn
+         |    FROM q CROSS JOIN c1) t WHERE prn <= 2),
+         |top AS (SELECT q_id, n_id,
+         |    CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+         |  SELECT pr.q_id, asg.n_id, $cosQN AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY pr.q_id
+         |      ORDER BY $cosQN DESC, asg.n_id) AS INTEGER) AS rn
+         |  FROM asg JOIN pr ON asg.bucket = pr.bucket) t WHERE rn <= 5)
+         |SELECT t.q_id, t.rn, t.n_id AS doc_id, d2.lang, d2.n_chars, t.score_e4
+         |FROM top t JOIN documents d2 ON d2.doc_id = t.n_id
+         |ORDER BY t.q_id, t.rn""".stripMargin
+    },
 
     "q_ann_recall_indexed" -> {
       val cosQC1 = cosQ("q.q_emb", "c1.c_emb")

@@ -1031,6 +1031,82 @@ object StreamOps extends OpModule {
       s.createDataFrame(rows.asJava, schema).orderBy(col("grp"))
     }),
 
+    // STREAMING INDEX MAINTENANCE — the persisted IVF index keeping up with
+    // a LIVE corpus: vectors stream into the corpus store (epoch-ledger
+    // commits), the index builds after the first drain, and after more
+    // vectors arrive a refresh folds the corpus's OWN change feed under the
+    // FROZEN codebook — the s_store_pipe relay shape with the index as the
+    // downstream. At 100 TB this is how search stays minutes behind ingest:
+    // refresh cost tracks the epoch's changed rows + touched posting lists,
+    // never the corpus. The oracle replays train-on-first-epoch /
+    // assign-everything, so the whole maintenance fold is hash-pinned.
+    "s_store_index_refresh" -> ((s, d) => {
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val id = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"target/tmp/sidx_$id"
+      val feed = s"$base/feed"; val src = s"$base/src"
+      val idx = s"$base/idx"; val chk = s"$base/chk"
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.sources.Sources.withGraftCatalog(s) {
+        graft.sources.Sources.withStorePath(s, src) {
+          s.sql("ALTER TABLE graft.store ADD COLUMN emb STRING")
+        }
+      }
+      val vecs = Tables.embeddings(s, d).select(col("vec_id").as("k"),
+          lit("e").as("grp"), lit(0L).as("amt_cents"),
+          expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+      def land(cond: org.apache.spark.sql.Column): Unit =
+        vecs.where(cond).coalesce(1).write.mode("append").parquet(feed)
+      land(pmod(col("k"), lit(3)) =!= 0) // epoch 1: the initial corpus
+      withStreamParallelism(s) {
+        val schema = s.read.parquet(feed).schema
+        val q = s.readStream.schema(schema).parquet(feed)
+          .writeStream.format("graft.sources.StoreSink")
+          .option("path", src)
+          .option("checkpointLocation", chk)
+          .outputMode(OutputMode.Append())
+          .start()
+        try {
+          q.processAllAvailable()
+          graft.sources.AnnIndex.buildFromStore(s, src, idx) // index @ epoch 1
+          land(pmod(col("k"), lit(3)) === 0) // epoch 2 arrives mid-stream
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val cbBefore = s.read.format("graft.sources.StoreSink")
+        .option("path", s"$idx/codebook").load().collect().map(_.toSeq).toSet
+      val (changed, parts) = graft.sources.AnnIndex.refresh(s, idx)
+      val frozen = s.read.format("graft.sources.StoreSink")
+        .option("path", s"$idx/codebook").load()
+        .collect().map(_.toSeq).toSet == cbBefore
+      val epochs = graft.sources.StoreSink.epochCount(src)
+      val queries = graft.ops.TrainingOps.nzEmbeddings(s, d)
+        .where(col("vec_id") < 10)
+      val top = graft.sources.AnnIndex.probe(s, queries, idx)
+        .select(lit("t").as("tag"), col("q_id"), col("n_id"),
+                col("score_e4"), col("rn")).collect().toSeq
+      def flag(tagName: String, v: Boolean) = org.apache.spark.sql.Row(
+        tagName, -1L, -1L, if (v) 1 else 0, 0)
+      val rows = top ++ Seq(
+        flag("z_epochs", epochs >= 2),
+        flag("z_codebook_frozen", frozen),
+        flag("z_refreshed", changed > 0 && parts >= 1))
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("q_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score_e4",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.IntegerType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, outSchema)
+        .orderBy(col("tag"), col("q_id"), col("rn"))
+    }),
+
     // Exactly-once file sink: run the same checkpointed query twice (second
     // run sees no new data); the sink must contain each row exactly once.
     "s_sink_idempotent" -> ((s, d) => {
@@ -1583,6 +1659,56 @@ object StreamOps extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // streamed-in corpus: train on epoch 1, assign EVERYTHING — the frozen-
+    // codebook maintenance fold, replayed
+    "s_store_index_refresh" -> {
+      import graft.ops.TrainingOps.duckCos
+      val cosES = duckCos("e.embedding", "sd.c_emb")
+      val cosFC1 = duckCos("f.embedding", "c1.c_emb")
+      val cosQC1 = duckCos("q.q_emb", "c1.c_emb")
+      val cosQN = duckCos("pr.q_emb", "asg.n_emb")
+      s"""WITH e_all AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |e AS (SELECT vec_id, embedding FROM e_all WHERE vec_id % 3 <> 0),
+         |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id % 199 = 0),
+         |a1 AS (SELECT n_id, n_emb, bucket FROM (
+         |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, sd.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosES DESC, sd.c_id) AS arn
+         |    FROM e CROSS JOIN sd) t WHERE arn = 1),
+         |dims AS (SELECT bucket, generate_subscripts(n_emb, 1) AS idx,
+         |                UNNEST(n_emb) AS v FROM a1),
+         |upd AS (SELECT bucket, idx,
+         |          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sv,
+         |          COUNT(*) AS n
+         |        FROM dims GROUP BY bucket, idx),
+         |c1 AS (SELECT bucket AS c_id,
+         |          LIST(CAST((sv / 1048576.0) / n AS REAL) ORDER BY idx) AS c_emb
+         |       FROM upd GROUP BY bucket),
+         |asg AS (SELECT n_id, n_emb, bucket FROM (
+         |    SELECT f.vec_id AS n_id, f.embedding AS n_emb, c1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |        ORDER BY $cosFC1 DESC, c1.c_id) AS arn
+         |    FROM e_all f CROSS JOIN c1) t WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e_all WHERE vec_id < 10),
+         |pr AS (SELECT q_id, q_emb, bucket FROM (
+         |    SELECT q.q_id, q.q_emb, c1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQC1 DESC, c1.c_id) AS prn
+         |    FROM q CROSS JOIN c1) t WHERE prn <= 2)
+         |SELECT tag, q_id, n_id, score_e4, rn FROM (
+         |  SELECT 't' AS tag, q_id, n_id,
+         |    CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+         |    SELECT pr.q_id, asg.n_id, $cosQN AS score,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY pr.q_id
+         |        ORDER BY $cosQN DESC, asg.n_id) AS INTEGER) AS rn
+         |    FROM asg JOIN pr ON asg.bucket = pr.bucket) t WHERE rn <= 5
+         |  UNION ALL SELECT 'z_epochs', -1, -1, 1, 0
+         |  UNION ALL SELECT 'z_codebook_frozen', -1, -1, 1, 0
+         |  UNION ALL SELECT 'z_refreshed', -1, -1, 1, 0) u
+         |ORDER BY tag, q_id, rn""".stripMargin
+    },
+
     // the drained multi-batch ingest equals the batch table exactly
     "src_stream" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
