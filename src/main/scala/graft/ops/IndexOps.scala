@@ -72,6 +72,22 @@ object IndexOps extends OpModule {
       AnnIndex.probe(s, queries, idx).orderBy(col("q_id"), col("rn"))
     }),
 
+    // PERSISTED IVFPQ — the memory-bound index leg persisted next to the
+    // coarse one: `codes` (2 codeword ids per vector, cell-partitioned like
+    // postings) + `pqcb` (the frozen sampled sub-codebooks). A probe is
+    // index-resident end to end: nprobe cells planned, ADC = two integer
+    // lookups per candidate, exact-cosine re-rank of the top-20 against
+    // the SAME probed postings partitions — the corpus never opens. At
+    // 100 TB the codes table is what fits in memory (2 bytes/vector vs 256)
+    // and this query pins that the persisted artifact serves it losslessly.
+    "q_sim_ivfpq_indexed" -> ((s, d) => {
+      val idx = tmpIdx(d, "ivfpq")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx)
+      AnnIndex.buildPq(s, Tables.embeddings(s, d), idx)
+      val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+      AnnIndex.probePq(s, queries, idx).orderBy(col("q_id"), col("rn"))
+    }),
+
     // DENSE RAG RETRIEVAL through the persisted index: the retrieve stage
     // an indexed RAG pipeline actually runs — probe the IVF lists for each
     // query's top-5 neighbors, then hydrate the hits against the documents
@@ -135,6 +151,57 @@ object IndexOps extends OpModule {
 
     // probing the persisted index == the retrain-per-query pipeline
     "q_sim_ivf_indexed" -> TrainingOps.simIvfKmeansOracle,
+
+    // kmeans-cell replay composed with q_sim_pq's code/ADC chain: cells,
+    // codes, candidates, and the re-ranked top-5 all reproduce
+    "q_sim_ivfpq_indexed" -> {
+      val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
+      val cosRR = cosQ("qe.embedding", "ne.embedding")
+      s"""WITH $trainReplayCtes,
+         |prb AS (SELECT q_id, bucket FROM (
+         |    SELECT q.q_id, c1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQC1 DESC, c1.c_id) AS prn
+         |    FROM q CROSS JOIN c1) t WHERE prn <= 2),
+         |sides AS (SELECT vec_id, s,
+         |    CASE WHEN s = 0 THEN embedding[1:32] ELSE embedding[33:64] END AS sub
+         |  FROM e, (SELECT UNNEST(RANGE(0, 2)) AS s)),
+         |cbq AS (SELECT vec_id AS c_id, s, sub AS c_sub FROM sides
+         |        WHERE vec_id BETWEEN 100 AND 107),
+         |enc AS (SELECT vec_id AS n_id, s, c_id AS code FROM (
+         |  SELECT v.vec_id, v.s, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+         |      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.sub, c.c_sub),
+         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.c_id) AS rn
+         |  FROM sides v JOIN cbq c ON v.s = c.s) t WHERE rn = 1),
+         |dtab AS (SELECT qs.vec_id AS q_id, c.s, c.c_id,
+         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qs.sub, c.c_sub),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT) AS d_e6
+         |  FROM sides qs JOIN cbq c ON qs.s = c.s WHERE qs.vec_id < 10),
+         |cells AS (SELECT DISTINCT prb.q_id, asg.n_id
+         |          FROM prb JOIN asg ON prb.bucket = asg.bucket),
+         |adc AS (SELECT d.q_id, enc.n_id, SUM(d.d_e6) AS adc
+         |        FROM cells
+         |        JOIN enc ON enc.n_id = cells.n_id
+         |        JOIN dtab d ON enc.s = d.s AND enc.code = d.c_id
+         |                   AND d.q_id = cells.q_id
+         |        GROUP BY d.q_id, enc.n_id),
+         |cand AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+         |  FROM adc) t WHERE rn <= 20),
+         |scored AS (SELECT cand.q_id, cand.n_id, $cosRR AS score
+         |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+         |            JOIN e ne ON ne.vec_id = cand.n_id)
+         |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+         |  SELECT q_id, n_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id) AS INTEGER) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
 
     // the same probe replay, hydrated against documents (doc_id = vec_id)
     "q_rag_dense_indexed" -> {

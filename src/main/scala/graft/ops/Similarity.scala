@@ -28,7 +28,7 @@ object Similarity extends OpModule {
 
   /** (vec_id, side, sub): the two 32-dim halves of every vector — the PQ
     * sub-space split shared by q_sim_pq and q_sim_ivfpq. */
-  private def pqSides(df: DataFrame): DataFrame = df.select(col("vec_id"), col("nrm"),
+  private[graft] def pqSides(df: DataFrame): DataFrame = df.select(col("vec_id"), col("nrm"),
       explode(array(
         struct(lit(0).as("side"), expr("slice(embedding, 1, 32)").as("sub")),
         struct(lit(1).as("side"), expr("slice(embedding, 33, 32)").as("sub")))).as("h"))
@@ -36,7 +36,7 @@ object Similarity extends OpModule {
 
   /** Ascending sequential L2² fold over a (sub, c_sub) pair — the exact
     * expression DuckDB's LIST_SUM/LIST_TRANSFORM twin replays. */
-  private val PqL2Sq = "aggregate(zip_with(sub, c_sub, (x, y) -> " +
+  private[graft] val PqL2Sq = "aggregate(zip_with(sub, c_sub, (x, y) -> " +
     "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
     "0d, (acc, v) -> acc + v)"
 

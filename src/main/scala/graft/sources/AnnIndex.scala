@@ -184,6 +184,123 @@ object AnnIndex {
               round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
   }
 
+  // ----------------------------------------------------- PQ side tables
+  /** PRODUCT-QUANTIZATION state persisted NEXT TO the coarse index — the
+    * memory-bound leg of the index family (FAISS IVFPQ): `codes` holds each
+    * vector's 2 sub-space codeword ids as trailing bigints, partitioned by
+    * its coarse cell exactly like `postings` (one probe plans the same
+    * partitions in both), and `pqcb` freezes the sampled sub-codebooks
+    * (vec_id 100-107 halves — q_sim_pq's replayable contract). At 100 TB
+    * the codes table is the one that fits in RAM: 2 small ints per vector
+    * instead of 64 floats; ADC scoring inside probed cells costs two
+    * integer lookups per candidate, floats are touched only for the
+    * top-20 re-rank. Returns (n_codewords, n_codes). */
+  def buildPq(s: SparkSession, embeddings: DataFrame, indexPath: String): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val nz = nzOf(embeddings)
+    val cdRoot = new Path(s"$indexPath/codes")
+    val qbRoot = new Path(s"$indexPath/pqcb")
+    val fsys = StoreSink.fs(cdRoot)
+    fsys.delete(cdRoot, true); fsys.delete(qbRoot, true)
+    StoreSink.writeExtras(qbRoot, fsys,
+      StoreSink.extrasOf(Seq(StructField("sub_csv", StringType))))
+    StoreSink.writeExtras(cdRoot, fsys, StoreSink.extrasOf(Seq(
+      StructField("c0", org.apache.spark.sql.types.LongType),
+      StructField("c1", org.apache.spark.sql.types.LongType))))
+    val cb = graft.ops.Similarity.pqSides(nz.where(col("vec_id").between(100, 107)))
+      .select(col("vec_id").as("c_id"), col("side"), col("sub").as("c_sub"))
+      .localCheckpoint() // 16 rows
+    cb.select((col("side") * 1000 + col("c_id")).as("k"), lit("q").as("grp"),
+        lit(0L).as("amt_cents"),
+        expr("array_join(transform(c_sub, x -> cast(x as string)), ',')").as("sub_csv"))
+      .coalesce(1)
+      .write.format(Fmt).mode("append").option("path", s"$indexPath/pqcb").save()
+    val encW = Window.partitionBy(col("vec_id"), col("side"))
+      .orderBy(col("dist"), col("c_id"))
+    val wide = graft.ops.Similarity.pqSides(nz).join(broadcast(cb), "side")
+      .withColumn("dist", expr(graft.ops.Similarity.PqL2Sq))
+      .withColumn("rn", row_number().over(encW)).where(col("rn") === 1)
+      .groupBy(col("vec_id")).agg(
+        max(when(col("side") === 0, col("c_id"))).as("c0"),
+        max(when(col("side") === 1, col("c_id"))).as("c1"))
+    val assigned = graft.ops.TrainingOps.assign(
+      nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                col("nrm").as("n_nrm")),
+      codebook(s, indexPath))
+    wide.join(assigned.select(col("n_id").as("vec_id"), col("bucket")), "vec_id")
+      .select(col("vec_id").as("k"), col("bucket").cast("string").as("grp"),
+              lit(0L).as("amt_cents"), col("c0"), col("c1"))
+      .write.format(Fmt).mode("append").option("path", s"$indexPath/codes")
+      .option("partitionedBy", "identity:grp").save()
+    (StoreSink.readEntries(qbRoot, fsys).map(_.rows).sum,
+     StoreSink.readEntries(cdRoot, fsys).map(_.rows).sum)
+  }
+
+  /** IVFPQ probe against the PERSISTED tables only: coarse codebook picks
+    * nprobe cells per query, the ADC table (query × 16 codewords, integer
+    * 1e-6 units) scores the probed cells' CODES, and the top-20 ADC
+    * survivors re-rank by exact cosine against the probed `postings`
+    * partitions — index-resident end to end, the corpus never opens. */
+  def probePq(s: SparkSession, queries: DataFrame, indexPath: String,
+              nprobe: Int = 2, topk: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = codebook(s, indexPath)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"))
+      .join(broadcast(cents))
+      .withColumn("p_score",
+        expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("bucket"))
+      .localCheckpoint() // bounded: |queries| × nprobe
+    val buckets = probes.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0).toString).toSeq
+    val cb = s.read.format(Fmt).option("path", s"$indexPath/pqcb").load()
+      .select((col("k") % 1000).as("c_id"), (col("k") / 1000).cast("int").as("side"),
+        expr("transform(split(sub_csv, ','), x -> cast(x as float))").as("c_sub"))
+    val dtab = graft.ops.Similarity.pqSides(queries)
+      .select(col("vec_id").as("q_id"), col("side"), col("sub"))
+      .join(broadcast(cb), "side")
+      .select(col("q_id"), col("side"), col("c_id"),
+        expr(s"cast(round(${graft.ops.Similarity.PqL2Sq} * 1000000) as bigint)").as("d_e6"))
+      .withColumnRenamed("c_id", "code")
+      .localCheckpoint() // |queries| × 16
+    val codes = s.read.format(Fmt).option("path", s"$indexPath/codes").load()
+      .where(col("grp").isin(buckets: _*)) // the probed cells only
+      .select(col("k").as("n_id"), col("grp").cast("long").as("bucket"),
+              col("c0"), col("c1"))
+    val candW = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    val cand = codes
+      .join(broadcast(probes.select(col("q_id"), col("bucket"))), "bucket")
+      .select(col("q_id"), col("n_id"), explode(array(
+        struct(lit(0).as("side"), col("c0").as("code")),
+        struct(lit(1).as("side"), col("c1").as("code")))).as("sc"))
+      .select(col("q_id"), col("n_id"), col("sc.side").as("side"),
+              col("sc.code").as("code"))
+      .join(broadcast(dtab), Seq("q_id", "side", "code"))
+      .groupBy(col("q_id"), col("n_id")).agg(sum(col("d_e6")).as("adc"))
+      .withColumn("rn", row_number().over(candW)).where(col("rn") <= 20)
+      .select(col("q_id"), col("n_id"))
+    val vecsIdx = s.read.format(Fmt).option("path", pl(indexPath)).load()
+      .where(col("grp").isin(buckets: _*))
+      .select(col("k").as("n_id"),
+        expr("transform(split(emb, ','), x -> cast(x as float))").as("n_emb"))
+      .withColumn("n_nrm", sqrt(expr("graft_float_dot(n_emb, n_emb)")))
+    val rerankW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    cand
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))), "q_id")
+      .join(vecsIdx, "n_id")
+      .withColumn("score",
+        expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rn", row_number().over(rerankW)).where(col("rn") <= topk)
+      .select(col("q_id"), col("n_id"),
+              round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
+  }
+
   /** INCREMENTAL MAINTENANCE: fold the corpus store's change feed since the
     * indexed version into the postings under the FROZEN codebook — the
     * q_store_ivm fold applied to the index. Deletes drop their posting row,
