@@ -657,6 +657,43 @@ object EtlOps extends OpModule {
                 greatest(col("dp_n"), lit(0L)).as("released"))
         .orderBy(col("bin"))),
 
+    // DP QUANTILE — the release ladder's fifth rung (count → histogram →
+    // mean → quantile): the EXPONENTIAL MECHANISM selecting a median bin.
+    // Utility of bin b = −|2·rank(b) − N| (doubled to stay integer; rank =
+    // rows at or below the bin), selection via the Gumbel-max trick — each
+    // bin draws g = −ln(−ln(U)) from its md5-seeded uniform and the release
+    // is argmax(utility·ε/2 + g); with ε = 2 the score is the INTEGER
+    // utility·1e6 + 2·g_e6, so the winner (and every per-bin score) is
+    // bit-stable and the DuckDB twin replays the whole mechanism. Bins are
+    // fixed 50k-cent buckets (data-independent keys, the q_dp_hist rule).
+    // One aggregate + a bins-sized window — nothing at 100 TB but the scan.
+    "q_dp_quantile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bins = Tables.orders(s, d)
+        .withColumn("bin", expr(
+          "cast(round(o_totalprice * 100) as bigint) div 5000000"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      val wCum = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      bins // bounded: one row per occupied 50k bucket
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .withColumn("util", -abs(col("cum") * 2 - col("total")))
+        .withColumn("uu", expr(
+          "(cast(conv(substring(md5(concat('dp-q50-r18-', cast(bin as string))), 1, 8), 16, 10) as double) + 0.5) / 4294967296.0"))
+        .withColumn("g_e6", expr(
+          "cast(round(1e6 * (-ln(-ln(uu)))) as bigint)"))
+        .withColumn("score_e6", col("util") * lit(1000000L) + col("g_e6") * 2)
+        .withColumn("is_winner",
+          when(col("score_e6") === max(col("score_e6")).over(wAll), 1L)
+            .otherwise(0L))
+        .select(col("bin"), col("n"), col("util"), col("score_e6"),
+                col("is_winner"))
+        .orderBy(col("bin"))
+    }),
+
     // Layout-quality comparison: for one 2-D probe rectangle, how many of
     // 16 range-partitioned files does each clustering key force a scan to
     // touch? Three layouts over the same (x, y) = (size, key mod 256)
@@ -1136,6 +1173,27 @@ object EtlOps extends OpModule {
         |  FROM u)
         |SELECT c_nationkey, n, n + CAST(ROUND(noise_e6 / 1e6) AS BIGINT) AS dp_n
         |FROM nz ORDER BY c_nationkey""".stripMargin,
+
+    // exponential mechanism replay: same utilities, same Gumbel draws
+    "q_dp_quantile" ->
+      """WITH b AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT bin, n,
+        |    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS total
+        |  FROM b),
+        |u AS (SELECT bin, n, CAST(-ABS(cum * 2 - total) AS BIGINT) AS util,
+        |    (CAST(('0x' || SUBSTR(md5('dp-q50-r18-' || CAST(bin AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0 AS uu
+        |  FROM c),
+        |g AS (SELECT bin, n, util,
+        |    CAST(util * 1000000 + CAST(ROUND(1e6 * (-LN(-LN(uu)))) AS BIGINT) * 2 AS BIGINT) AS score_e6
+        |  FROM u)
+        |SELECT bin, n, util, score_e6,
+        |  CAST(CASE WHEN score_e6 = MAX(score_e6) OVER () THEN 1 ELSE 0 END AS BIGINT) AS is_winner
+        |FROM g ORDER BY bin""".stripMargin,
 
     // same mechanism per fixed bin; the clamp is post-processing
     "q_dp_hist" ->
