@@ -3166,6 +3166,53 @@ object Sources extends OpModule {
       }
     }),
 
+    // OFFSET PUSHDOWN — the pagination triple's third member on the store
+    // (LIMIT prefix cut, TopN zone coverage, now OFFSET): the source drops
+    // whole leading files in manifest order plus a row-skip in the boundary
+    // file, so page N of a million-file table opens the page's files only.
+    // OFFSET without ORDER BY picks an arbitrary row subset by SQL
+    // semantics, so the oracle pins what IS deterministic: exactly m rows
+    // gone, all survivors distinct (COUNT(DISTINCT k) proves no row was
+    // dropped twice or duplicated), and LIMIT composition (Spark pushes
+    // limit = offset + limit, then the offset).
+    "q_store_offset" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeoffset")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      withStorePath(s, path) {
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                  graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+          .repartitionByRange(8, col("k"))
+          .write.format("graft.sources.StoreSink").mode("overwrite")
+          .option("path", path).save()
+        def store = s.table("graft.store")
+        graft.sources.StoreSink.lastOffsetPlan = None
+        val a = store.offset(37)
+          .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("nd"))
+          .collect()(0)
+        val plan37 = graft.sources.StoreSink.lastOffsetPlan
+        graft.sources.StoreSink.lastOffsetPlan = None
+        val b = store.offset(5000)
+          .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("nd"))
+          .collect()(0)
+        val planBig = graft.sources.StoreSink.lastOffsetPlan
+        val c = store.offset(37).limit(100).count()
+        val pushed = plan37.exists { case (t, p) => p <= t && p >= 1 } &&
+          planBig.exists { case (t, p) => p <= t && p >= 1 }
+        val rows = Seq(
+          org.apache.spark.sql.Row("off37", a.getLong(0), a.getLong(1)),
+          org.apache.spark.sql.Row("off5000", b.getLong(0), b.getLong(1)),
+          org.apache.spark.sql.Row("off37_lim100", c, 0L),
+          org.apache.spark.sql.Row("z_off_pushed", if (pushed) 1L else 0L, 0L))
+        val schema = StructType(Seq(
+          StructField("step", StringType), StructField("n", LongType),
+          StructField("n_distinct", LongType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+      }
+    }),
+
     // MULTI-TABLE ATOMIC PUBLISH (verdict r9 #8): two stores stage WAP
     // branches, `CALL graft.publish_all` folds both in ONE transaction —
     // 2PC with a coordinator decision marker. The query INJECTS a crash
@@ -3452,6 +3499,16 @@ object Sources extends OpModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // exactly m rows gone, survivors distinct, limit composes
+    "q_store_offset" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+        |SELECT step, n, n_distinct FROM (
+        |  SELECT 'off37' AS step, n - 37 AS n, n - 37 AS n_distinct FROM t
+        |  UNION ALL SELECT 'off5000', n - 5000, n - 5000 FROM t
+        |  UNION ALL SELECT 'off37_lim100', 100, 0 FROM t
+        |  UNION ALL SELECT 'z_off_pushed', 1, 0 FROM t) u
+        |ORDER BY step""".stripMargin,
+
     // top-n sets are exact (keys unique; the 5 nulls all make the asc cut)
     "q_store_topn" ->
       """WITH o AS (SELECT o_orderkey AS k,

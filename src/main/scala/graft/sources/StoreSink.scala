@@ -692,6 +692,9 @@ object StoreSink {
   /** Top-n twin: (candidates, planned after zone-ordered coverage). */
   @volatile private[sources] var lastTopNPlan: Option[(Int, Int)] = None
 
+  /** Offset twin: (candidates, planned after the leading-file drop). */
+  @volatile private[sources] var lastOffsetPlan: Option[(Int, Int)] = None
+
   /** A file's partition key as the InternalRow SPJ alignment compares:
     * bucket ids are ints, identity values are strings (null mark → null). */
   private[sources] def partKeyRow(value: String, isBucket: Boolean): InternalRow =
@@ -3875,7 +3878,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
 
   private var zoneFilters: Array[Filter] = Array.empty
   private var kLo: Option[Long] = None
@@ -3945,6 +3949,8 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   private var topNNullsFirst: Boolean = false
   // IS [NOT] NULL on the key column: prunes via the per-file null counts
   private var kNullPred: Option[Boolean] = None
+  // OFFSET pushdown (full semantics: the source DROPS exactly m live rows)
+  private var offsetN: Option[Int] = None
 
   /** LIMIT pushdown, PARTIAL (isPartiallyPushed stays true, so Spark keeps
     * its own Limit): the scan plans only a PREFIX of files whose exact
@@ -3989,6 +3995,31 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   }
 
   override def isPartiallyPushed: Boolean = true
+
+  /** OFFSET pushdown — FULL semantics (Spark removes its Offset node), so
+    * the promise is made only when it is provable at pushdown time: an
+    * unfiltered, unmasked, exactly-counted manifest. The drop is whole
+    * leading files in manifest order plus a row-skip in the boundary file
+    * — pagination over a million-file table opens the page's files only.
+    * OFFSET without ORDER BY is nondeterministic by SQL semantics; the
+    * manifest order is this source's deterministic choice. Declined under
+    * a pushed top-n (the planned coverage is re-sorted above — dropping
+    * unordered rows there would be wrong; Spark keeps its own offset). */
+  override def pushOffset(offset: Int): Boolean = {
+    if (explicitFiles.isDefined || branch.isDefined || version.isDefined)
+      return false
+    if (topNDesc.isDefined) return false
+    if (zoneFilters.nonEmpty || kLo.isDefined || kHi.isDefined ||
+        aLo.isDefined || aHi.isDefined || statBounds.nonEmpty ||
+        strBounds.nonEmpty || grpConjuncts.nonEmpty || kNullPred.nonEmpty)
+      return false
+    val root = new Path(pathStr)
+    val entries = StoreSink.readEntries(root, StoreSink.fs(root))
+    if (entries.isEmpty ||
+        entries.exists(e => e.rows < 0 || e.eq.isDefined)) return false
+    offsetN = Some(offset)
+    true
+  }
 
   /** AGGREGATE PUSHDOWN from manifest metadata: an unfiltered, ungrouped
     * COUNT(*)/MIN(k)/MAX(k) is already summed in the manifest — per-file
@@ -4152,7 +4183,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
       explicitFiles, table, grpValues, kValues, branch, aLo, aHi, limitN,
       maxFilesPerTrigger, statBounds, strBounds, topNDesc, topNNullsFirst,
-      kNullPred)
+      kNullPred, offsetN)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -4239,7 +4270,8 @@ private class StoreScan(pathStr: String,
                         strBounds: Seq[(String, Option[String], Option[String])] = Nil,
                         topNDesc: Option[Boolean] = None,
                         topNNullsFirst: Boolean = false,
-                        kNullPred: Option[Boolean] = None)
+                        kNullPred: Option[Boolean] = None,
+                        offsetN: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -4575,14 +4607,29 @@ private class StoreScan(pathStr: String,
         prefix
       case _ => keptP
     }
-    StoreSink.lastZonePrune = Some((total, keptL.size))
-    plannedCounts = Some((total, keptL.size))
+    // OFFSET cut (pushOffset promised full semantics): drop whole leading
+    // files in manifest order, row-skip the boundary file
+    val keptO: Seq[(StoreSink.StoreFileEntry, Long)] = offsetN match {
+      case Some(m) =>
+        var remaining = m.toLong
+        val out = keptL.flatMap { e =>
+          if (remaining <= 0L) Some((e, 0L))
+          else if (e.rows <= remaining) { remaining -= e.rows; None }
+          else { val j = remaining; remaining = 0L; Some((e, j)) }
+        }
+        StoreSink.lastOffsetPlan = Some((keptL.size, out.size))
+        out
+      case None => keptL.map((_, 0L))
+    }
+    StoreSink.lastZonePrune = Some((total, keptO.size))
+    plannedCounts = Some((total, keptO.size))
     val isBucket = spec.exists(_.kind == "bucket")
-    keptL.map(e => StoreFilePartition(new Path(root, e.name).toString,
+    keptO.map { case (e, skip) => StoreFilePartition(
+        new Path(root, e.name).toString,
         e.dv.map(d => new Path(root, d).toString), e.name,
         // the SPJ partition key is the raw value — tags are planning-only
         e.part.map(p => StoreSink.partTag(p)._2), isBucket,
-        e.eq.map(q => new Path(root, q).toString)): InputPartition)
+        e.eq.map(q => new Path(root, q).toString), skip): InputPartition }
       .toArray
   }
 
@@ -4831,7 +4878,8 @@ private case class StoreFilePartition(file: String, dv: Option[String] = None,
                                       rel: String = "",
                                       partValue: Option[String] = None,
                                       partIsBucket: Boolean = false,
-                                      eqFile: Option[String] = None)
+                                      eqFile: Option[String] = None,
+                                      skipRows: Long = 0L)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     partValue.map(v => StoreSink.partKeyRow(v, partIsBucket)).orNull
@@ -4891,6 +4939,8 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
       private var line: String = _
       private var ord = -1
       private var decoded: InternalRow = _
+      // pushed-offset boundary skip: drop this many LIVE rows first
+      private var toSkip = part.skipRows
       override def next(): Boolean = {
         while (true) {
           line = in.readLine(); ord += 1
@@ -4898,12 +4948,17 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
             line = in.readLine(); ord += 1
           }
           if (line == null) return false
-          if (eqKeys.isEmpty) { decoded = null; return true }
-          // the key mask needs the decoded row; cache it for get()
-          decoded = StoreSink.decode(line, types, defaults)
-          if (decoded.isNullAt(0) ||
-              java.util.Arrays.binarySearch(eqKeys, decoded.getLong(0)) < 0)
-            return true
+          if (eqKeys.isEmpty) {
+            decoded = null
+            if (toSkip > 0L) toSkip -= 1 else return true
+          } else {
+            // the key mask needs the decoded row; cache it for get()
+            decoded = StoreSink.decode(line, types, defaults)
+            if (decoded.isNullAt(0) ||
+                java.util.Arrays.binarySearch(eqKeys, decoded.getLong(0)) < 0) {
+              if (toSkip > 0L) toSkip -= 1 else return true
+            }
+          }
         }
         false
       }

@@ -1278,6 +1278,46 @@ class StoreSinkSpec extends SparkSpec {
     assert(t4 == 9 && p4 == 9, s"masked entries must decline the cut: $p4/$t4")
   }
 
+  test("OFFSET pushdown: whole leading files drop, the boundary file " +
+       "row-skips in line order, masks/filters decline the push") {
+    import spark.implicits._
+    val dir = freshDir("offset")
+    (1L to 400L).map(k => (k, "a", k * 100))
+      .toDF("k", "grp", "amt_cents").repartitionByRange(8, col("k"))
+      .write.format(fmt).mode("overwrite").option("path", dir).save()
+    val root = new Path(dir)
+    val entries = StoreSink.readEntries(root, fs)
+    assert(entries.size == 8)
+    def store = spark.read.format(fmt).option("path", dir).load()
+    // offset = first file + 7: drops file 1 whole, skips 7 LINES of file 2
+    val m = entries.head.rows.toInt + 7
+    def linesOf(name: String): Seq[Long] = {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(new Path(root, name))))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(_.split(",")(0).toLong).toList
+      finally in.close()
+    }
+    val expected = (entries.drop(2).flatMap(e => linesOf(e.name)) ++
+      linesOf(entries(1).name).drop(7)).toSet
+    StoreSink.lastOffsetPlan = None
+    val got = store.offset(m).select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"offset must drop exactly the manifest-order prefix: ${got.size} vs ${expected.size}")
+    assert(StoreSink.lastOffsetPlan.contains((8, 7)),
+      s"file 1 should not be planned: ${StoreSink.lastOffsetPlan}")
+    // a filter above the scan declines the push (Spark keeps its Offset
+    // node; the count is still exact)
+    StoreSink.lastOffsetPlan = None
+    assert(store.where(col("grp") === "a").offset(m).count() == 400L - m)
+    assert(StoreSink.lastOffsetPlan.isEmpty, "filtered scans must not push")
+    // an equality mask makes counts inexact: the push is refused up front
+    eqDel(dir, Seq(5L))
+    StoreSink.lastOffsetPlan = None
+    assert(store.offset(10).count() == 389) // 399 live - 10
+    assert(StoreSink.lastOffsetPlan.isEmpty, "masked stores must not push")
+  }
+
   test("string zone stats: analyze backfills truncated-prefix bounds, " +
        "predicates prune, non-ASCII never poisons, zorder_by takes strings") {
     import spark.implicits._
