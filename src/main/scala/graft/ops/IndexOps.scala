@@ -108,6 +108,45 @@ object IndexOps extends OpModule {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // WHAT QUANTIZATION COSTS, measured on ONE persisted index: recall@5 of
+    // the full-vector probe vs the PQ (ADC + re-rank) probe against the
+    // exact brute-force top-5 — the accuracy side of the 32× memory cut,
+    // as an oracled number instead of a slide. Both probes read the same
+    // cells of the same artifact; the delta is purely the code
+    // approximation inside the candidate stage.
+    "q_ann_recall_pq" -> ((s, d) => {
+      val idx = tmpIdx(d, "recallpq")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx)
+      AnnIndex.buildPq(s, Tables.embeddings(s, d), idx)
+      val nz = TrainingOps.nzEmbeddings(s, d)
+      val queries = nz.where(col("vec_id") < 10)
+      val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                              col("nrm").as("q_nrm"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+      val exact = nz
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                col("nrm").as("n_nrm"))
+        .join(broadcast(qv))
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"))
+        .localCheckpoint()
+      def recallOf(ann: DataFrame, variant: String): DataFrame = {
+        val hits = exact.join(ann.select(col("q_id"), col("n_id")),
+            Seq("q_id", "n_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(lit(variant).as("variant"), col("q_id"),
+                  expr("coalesce(n_hit, 0L) * 10000L div 5").as("recall_e4"))
+      }
+      recallOf(AnnIndex.probe(s, queries, idx), "full")
+        .unionByName(recallOf(AnnIndex.probePq(s, queries, idx), "pq"))
+        .orderBy(col("variant"), col("q_id"))
+    }),
+
     // The probe-width knob on a FROZEN index: recall@5 vs the exact top-5
     // at nprobe = 1 and nprobe = 2, probing the SAME persisted index twice —
     // the accuracy/cost dial a 100 TB operator turns per query class without
@@ -222,6 +261,78 @@ object IndexOps extends OpModule {
          |SELECT t.q_id, t.rn, t.n_id AS doc_id, d2.lang, d2.n_chars, t.score_e4
          |FROM top t JOIN documents d2 ON d2.doc_id = t.n_id
          |ORDER BY t.q_id, t.rn""".stripMargin
+    },
+
+    "q_ann_recall_pq" -> {
+      val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
+      val cosQN = cosQ("pr.q_emb", "asg.n_emb")
+      val cosQE = cosQ("q.q_emb", "e2.embedding")
+      val cosRR = cosQ("qe.q_emb", "ne.n_emb")
+      s"""WITH $trainReplayCtes,
+         |prb AS (SELECT q_id, q_emb, bucket FROM (
+         |    SELECT q.q_id, q.q_emb, c1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQC1 DESC, c1.c_id) AS prn
+         |    FROM q CROSS JOIN c1) t WHERE prn <= 2),
+         |ann_full AS (SELECT q_id, n_id FROM (
+         |  SELECT pr.q_id, asg.n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+         |      ORDER BY $cosQN DESC, asg.n_id) AS rn
+         |  FROM asg JOIN prb pr ON asg.bucket = pr.bucket) t WHERE rn <= 5),
+         |sides AS (SELECT vec_id, s,
+         |    CASE WHEN s = 0 THEN embedding[1:32] ELSE embedding[33:64] END AS sub
+         |  FROM e, (SELECT UNNEST(RANGE(0, 2)) AS s)),
+         |cbq AS (SELECT vec_id AS c_id, s, sub AS c_sub FROM sides
+         |        WHERE vec_id BETWEEN 100 AND 107),
+         |enc AS (SELECT vec_id AS n_id, s, c_id AS code FROM (
+         |  SELECT v.vec_id, v.s, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+         |      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.sub, c.c_sub),
+         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.c_id) AS rn
+         |  FROM sides v JOIN cbq c ON v.s = c.s) t WHERE rn = 1),
+         |dtab AS (SELECT qs.vec_id AS q_id, c.s, c.c_id,
+         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qs.sub, c.c_sub),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT) AS d_e6
+         |  FROM sides qs JOIN cbq c ON qs.s = c.s WHERE qs.vec_id < 10),
+         |cells AS (SELECT DISTINCT prb.q_id, asg.n_id
+         |          FROM prb JOIN asg ON prb.bucket = asg.bucket),
+         |adc AS (SELECT d.q_id, enc.n_id, SUM(d.d_e6) AS adc
+         |        FROM cells
+         |        JOIN enc ON enc.n_id = cells.n_id
+         |        JOIN dtab d ON enc.s = d.s AND enc.code = d.c_id
+         |                   AND d.q_id = cells.q_id
+         |        GROUP BY d.q_id, enc.n_id),
+         |cand AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+         |  FROM adc) t WHERE rn <= 20),
+         |ann_pq AS (SELECT q_id, n_id FROM (
+         |  SELECT cand.q_id, cand.n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.q_id
+         |      ORDER BY $cosRR DESC, cand.n_id) AS rn
+         |  FROM cand JOIN q qe ON qe.q_id = cand.q_id
+         |            JOIN asg ne ON ne.n_id = cand.n_id) t WHERE rn <= 5),
+         |exact AS (SELECT q_id, n_id FROM (
+         |  SELECT q.q_id, e2.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY $cosQE DESC, e2.vec_id) AS rn
+         |  FROM q CROSS JOIN e e2) t WHERE rn <= 5),
+         |qs2 AS (SELECT DISTINCT q_id FROM exact),
+         |rf AS (SELECT qs2.q_id, COUNT(af.n_id) AS n_hit FROM qs2
+         |  LEFT JOIN (SELECT exact.q_id, exact.n_id FROM exact
+         |             JOIN ann_full af ON exact.q_id = af.q_id AND exact.n_id = af.n_id) af
+         |    ON qs2.q_id = af.q_id GROUP BY qs2.q_id),
+         |rp AS (SELECT qs2.q_id, COUNT(ap.n_id) AS n_hit FROM qs2
+         |  LEFT JOIN (SELECT exact.q_id, exact.n_id FROM exact
+         |             JOIN ann_pq ap ON exact.q_id = ap.q_id AND exact.n_id = ap.n_id) ap
+         |    ON qs2.q_id = ap.q_id GROUP BY qs2.q_id)
+         |SELECT variant, q_id, recall_e4 FROM (
+         |  SELECT 'full' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM rf
+         |  UNION ALL
+         |  SELECT 'pq' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM rp) t
+         |ORDER BY variant, q_id""".stripMargin
     },
 
     "q_ann_recall_indexed" -> {
