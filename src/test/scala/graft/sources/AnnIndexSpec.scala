@@ -129,6 +129,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.refresh(spark, idx) == ((0L, 0L)))
   }
 
+  test("posting-list compaction after refreshes: files merge per cell, " +
+       "probes stay bit-identical") {
+    val corpus = freshDir("compact_corpus")
+    val idx = freshDir("compact_idx")
+    seedCorpusStore(corpus, clusteredCorpus)
+    AnnIndex.buildFromStore(spark, corpus, idx)
+    // refresh itself CONSOLIDATES (partition-grain COW rewrites the whole
+    // touched cell), so fragmentation comes from elsewhere — a bulk loader
+    // appending into the index directly. Simulate one, then verify the
+    // ordinary store maintenance heals it.
+    import spark.implicits._
+    Seq((300L, Array(0.0f, 1.0f, 0.01f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id").as("k"), lit("e").as("grp"), lit(0L).as("amt_cents"),
+        expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    AnnIndex.refresh(spark, idx) // COW: cell 199 stays ONE file
+    val plRoot = new Path(s"$idx/postings")
+    assert(StoreSink.readEntries(plRoot, fs).count(_.part.exists(_.contains("199"))) == 1,
+      "refresh must consolidate the touched cell, not fragment it")
+    Seq((301L, "199", 0L, "0.0,1.0,0.02,0.0")).toDF("k", "grp", "amt_cents", "emb")
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", s"$idx/postings").save()
+    val before = StoreSink.readEntries(plRoot, fs)
+    assert(before.count(_.part.exists(_.contains("199"))) == 2,
+      s"the bulk append should fragment cell 199: ${before.map(_.part)}")
+    val q = Seq((9000L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+    val preCompact = AnnIndex.probe(spark, q, idx, nprobe = 1, topk = 5)
+      .collect().map(_.toSeq).toSet
+    // ordinary store maintenance applies to the index's own tables: the
+    // partitioned compact merges within each cell, probes are unchanged
+    val (b, a) = StoreSink.compact(spark, s"$idx/postings", 1000L)
+    assert(a < b, s"compaction should merge posting files: $b -> $a")
+    val after = StoreSink.readEntries(plRoot, fs)
+    assert(after.groupBy(_.part).forall(_._2.size == 1), s"${after.map(_.part)}")
+    assert(AnnIndex.probe(spark, q, idx, nprobe = 1, topk = 5)
+      .collect().map(_.toSeq).toSet == preCompact,
+      "compaction must not change probe results")
+  }
+
   test("refresh refuses an index built without corpus provenance") {
     val idx = freshDir("noprov_idx")
     import spark.implicits._
