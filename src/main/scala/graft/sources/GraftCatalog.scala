@@ -651,7 +651,6 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
             if (!StoreSink.manifestFs(fsys).exists(ap))
               StoreSink.writeExtrasFile(ap, fsys, before)
           }
-        StoreSink.writeExtras(root, fsys, extras)
         // PER-FILE DECLARED STATS ARE KEYED BY NAME (manifest field 12), so
         // column evolution must keep them honest in the CURRENT manifest:
         //  - DROP strips the dead column's stats — otherwise a later re-ADD
@@ -712,6 +711,11 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
                 (ps + (StoreSink.StatColsProp -> nv.mkString(","))).toSeq)
           }
         }
+        // the schema write comes LAST: a crash after the stat strip but
+        // before this leaves only missing stats (conservative, analyze
+        // re-backfills) — never a still-live column whose evolution was
+        // recorded while dead bounds survived
+        StoreSink.writeExtras(root, fsys, extras)
       }
     }
     new StoreTable(p)
