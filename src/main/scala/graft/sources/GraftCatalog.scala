@@ -678,17 +678,22 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
             if (l.startsWith("#")) l
             else {
               val e = StoreSink.parseEntry(l)
-              if (e.stats.isEmpty) l
+              if (e.stats.isEmpty && e.sstats.isEmpty) l
               else {
-                val ns = e.stats.flatMap { case st @ (c, loB, hiB) =>
+                def keepAs[T](c: String, st: T, rekey: String => T): Option[T] =
                   if (gone(lower(c)) &&
                       !statRenames.exists(r => lower(r._1) == lower(c))) None
                   else statRenames.find(r => lower(r._1) == lower(c)) match {
-                    case Some((_, nn)) => Some((nn, loB, hiB))
+                    case Some((_, nn)) => Some(rekey(nn))
                     case None          => Some(st)
                   }
-                }
-                val nl = e.copy(stats = ns).line
+                val ns = e.stats.flatMap { case st @ (c, loB, hiB) =>
+                  keepAs(c, st, nn => (nn, loB, hiB)) }
+                // the string bounds (field 13) follow the same hygiene —
+                // a freed name must not leave stale prefix bounds behind
+                val nt = e.sstats.flatMap { case st @ (c, loS, hiS) =>
+                  keepAs(c, st, nn => (nn, loS, hiS)) }
+                val nl = e.copy(stats = ns, sstats = nt).line
                 if (nl != l) changed = true
                 nl
               }

@@ -577,15 +577,18 @@ object StoreSink {
   private[sources] val StrStatPrefixLen = 16
   private[sources] def truncLower(v: String): String =
     v.substring(0, math.min(StrStatPrefixLen, v.length))
+  /** Increment the last incrementable char (None when every char is
+    * Char.MaxValue) — shared by the file-bound and query-bound paths so
+    * the conservative-pruning invariant can't drift between them. */
+  private[sources] def incrementLast(p: String): Option[String] = {
+    val a = p.toCharArray
+    var i = a.length - 1
+    while (i >= 0 && a(i) == Char.MaxValue) i -= 1
+    if (i < 0) None else Some(new String(a, 0, i) + (a(i) + 1).toChar)
+  }
   private[sources] def truncUpper(v: String): Option[String] =
     if (v.length <= StrStatPrefixLen) Some(v)
-    else {
-      val p = v.substring(0, StrStatPrefixLen).toCharArray
-      var i = p.length - 1
-      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
-      if (i < 0) None
-      else Some(new String(p, 0, i) + (p(i) + 1).toChar)
-    }
+    else incrementLast(v.substring(0, StrStatPrefixLen))
 
   /** DECLARED STAT COLUMNS (`graft.stats.cols` table property, comma
     * list): the extra bigint columns whose per-file min/max ride the
@@ -647,7 +650,8 @@ object StoreSink {
       val sstats =
         if (p.length > 12 && p(12) != "-")
           p(12).split(';').toSeq.map { s =>
-            val q = s.split(':')
+            // -1: an empty string is a legal bound (URLEncoder("") == "")
+            val q = s.split(":", -1)
             (q(0), java.net.URLDecoder.decode(q(1), "UTF-8"),
               java.net.URLDecoder.decode(q(2), "UTF-8"))
           }
@@ -1524,9 +1528,11 @@ object StoreSink {
             f.dataType == org.apache.spark.sql.types.StringType))
         def valOf(c: String, str: Boolean): String =
           if (!str) s"`$c`"
-          else (1 to 7).map { i => // 7 bytes: stays overflow-free signed
+          else (1 to 7).map { i => // 7 bytes, codepoints clamped to 255:
+            // stays overflow-free signed; non-ASCII chars degrade layout
+            // sharpness only, never the arithmetic
             val coef = java.lang.Math.pow(256.0, 7 - i).toLong
-            s"cast(coalesce(ascii(substring(`$c`, $i, 1)), 0) as bigint) * ${coef}L"
+            s"least(cast(coalesce(ascii(substring(`$c`, $i, 1)), 0) as bigint), 255L) * ${coef}L"
           }.mkString("(", " + ", ")")
         val bounds = df.select(cs.zip(isStr).flatMap { case (c, str) =>
             Seq(org.apache.spark.sql.functions.min(expr(valOf(c, str))),
@@ -2134,6 +2140,13 @@ object StoreSink {
           finally in.close())
           .split("\n").map(_.split("=", 2)).collect {
             case Array(k, v) => (k, v) }.toMap
+        if (!kv.contains("coord") || !kv.contains("branch")) {
+          // torn WAL (crash mid-write): the decision marker cannot exist —
+          // it is only created after every WAL is durably complete — so
+          // this is a presumed abort, never a recovery wedge
+          raw.delete(new Path(root, w), false)
+          aborted += 1
+        } else {
         val croot = new Path(kv("coord"))
         val marker = new Path(croot, s"_txn.$id.commit")
         if (manifestFs(fs(croot)).exists(marker)) {
@@ -2154,6 +2167,7 @@ object StoreSink {
         } else { // no decision: presumed abort, the branch stays staged
           raw.delete(new Path(root, w), false)
           aborted += 1
+        }
         }
       }
     (forward, aborted)
@@ -3917,12 +3931,6 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
       lo = Some(lo.fold(v)(x => if (v.compareTo(x) > 0) v else x))
     def lower(v: String): Unit =
       hi = Some(hi.fold(v)(x => if (v.compareTo(x) < 0) v else x))
-    def incOf(p: String): Option[String] = {
-      val a = p.toCharArray
-      var i = a.length - 1
-      while (i >= 0 && a(i) == Char.MaxValue) i -= 1
-      if (i < 0) None else Some(new String(a, 0, i) + (a(i) + 1).toChar)
-    }
     filters.foreach {
       case EqualTo(`c`, v: String) => raise(v); lower(v)
       case GreaterThan(`c`, v: String) => raise(v)
@@ -3933,7 +3941,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
         val ss = vs.collect { case s: String => s }
         raise(ss.min); lower(ss.max)
       case org.apache.spark.sql.sources.StringStartsWith(`c`, p) if p.nonEmpty =>
-        raise(p); incOf(p).foreach(lower)
+        raise(p); StoreSink.incrementLast(p).foreach(lower)
       case _ => ()
     }
     (lo, hi)
@@ -4340,13 +4348,20 @@ private class StoreScan(pathStr: String,
 
   /** May a file whose manifest part field is `p` match the predicates?
     * Resolves `<id>~<value>` under the file's OWN spec generation; unknown
-    * ids (foreign manifests) never prune — conservative. */
+    * ids (foreign manifests) never prune — conservative. An UNTAGGED
+    * spec-1 identity value could itself start with `<digits>~` (the tag
+    * separator is not escaped in legacy values), so any tagged-looking
+    * field is ALSO read as a literal spec-1 value and the file prunes only
+    * when BOTH interpretations prune. */
   private def partMayMatch(p: String): Boolean = {
+    def under(pid: Int, v: String): Boolean =
+      specRegistry.get(pid).flatten match {
+        case Some(sp) => allowedFor(sp).forall(_.contains(v))
+        case None => true
+      }
     val (pid, v) = StoreSink.partTag(p)
-    specRegistry.get(pid).flatten match {
-      case Some(sp) => allowedFor(sp).forall(_.contains(v))
-      case None => true
-    }
+    if (pid == 1) under(1, p)
+    else under(pid, v) || under(1, p)
   }
 
   /** STORAGE-PARTITIONED layout report: when every current entry carries a
@@ -4465,7 +4480,11 @@ private class StoreScan(pathStr: String,
   // declared attributes against readSchema(), so advertising a column the
   // projection dropped fails analysis ("Unable to resolve k given [...]").
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Seq("k", "grp").filter(required.fieldNames.contains)
+    // a fully-pushed OFFSET already promised to drop exactly m rows of the
+    // UNfiltered scan — runtime pruning would shift which rows the drop
+    // hits after the promise, so the scan offers no filterable attributes
+    if (offsetN.isDefined) Array.empty
+    else Seq("k", "grp").filter(required.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 

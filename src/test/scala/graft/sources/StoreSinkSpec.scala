@@ -1373,6 +1373,16 @@ class StoreSinkSpec extends SparkSpec {
       assert(p3 < t3, s"post-zorder LIKE-prefix must prune: $p3/$t3")
       assert(store.where(col("tag").startsWith("t-000"))
         .count() == 99) // 1..99 zero-padded to 5 digits
+      // EMPTY STRING is a legal value AND a legal bound: a file whose tag
+      // values are all "" must round-trip its 'col::' stat line (the
+      // split-drops-trailing-empties parse regression) and keep reading
+      Seq((9001L, "z", 1L, "")).toDF("k", "grp", "amt_cents", "tag")
+        .coalesce(1)
+        .write.format(fmt).mode("append").option("path", dir).save()
+      spark.sql(s"CALL graft.analyze('$dir')").collect()
+      assert(StoreSink.readEntries(root, fs).nonEmpty, "manifest must parse")
+      assert(store.where(col("tag") === "").count() == 1)
+      assert(store.count() == 401)
     } finally {
       spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
     }
@@ -1525,6 +1535,27 @@ class StoreSinkSpec extends SparkSpec {
         s"re-added column is all-NULL, got ${mm2.toSeq}")
       assert(!StoreSink.lastAggPush.exists(_.exists(_.startsWith("min_s"))),
         "stat-less entries must decline the metadata MIN/MAX")
+      // STRING stats get the same hygiene: drop a string stat column, then
+      // RENAME another string column onto the freed name — the old prefix
+      // bounds must not survive to prune the renamed column's reads
+      spark.sql("ALTER TABLE graft.store ADD COLUMN tag STRING")
+      spark.sql("ALTER TABLE graft.store ADD COLUMN note STRING")
+      (401L to 500L).map(k => (k, "g0", k * 100, null: java.lang.Long,
+          f"t$k%05d", f"n$k%05d"))
+        .toDF("k", "grp", "amt_cents", "fare", "tag", "note")
+        .coalesce(1)
+        .write.format(fmt).mode("append").option("path", dir).save()
+      spark.sql("ALTER TABLE graft.store SET TBLPROPERTIES " +
+                "('graft.stats.cols' = 'tag')")
+      spark.sql(s"CALL graft.analyze('$dir')").collect()
+      assert(StoreSink.readEntries(root, fs).exists(_.sstats.exists(_._1 == "tag")))
+      spark.sql("ALTER TABLE graft.store DROP COLUMN tag")
+      assert(StoreSink.readEntries(root, fs).forall(_.sstats.isEmpty),
+        "drop must strip the dead column's STRING bounds too")
+      spark.sql("ALTER TABLE graft.store RENAME COLUMN note TO tag")
+      // the renamed column (old 'note' values) reads fully — no stale
+      // prefix bound prunes files that hold matching rows
+      assert(store.where(col("tag") === "n00442").count() == 1)
     } finally {
       spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey)
     }
