@@ -440,6 +440,28 @@ class PlanAuditSpec extends SparkSpec {
       "corpus must meet queries only through the probed-cell equi join")
   }
 
+  test("q_sim_ivf_indexed: the probe plan trains nothing and broadcasts " +
+       "the bounded query side") {
+    val p = plan("q_sim_ivf_indexed")
+    assert(!p.contains("posexplode"), "a probe must not re-run the Lloyd step")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the |queries| x nprobe probe frame must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_rag_dense_indexed: hits broadcast into the documents hydrate") {
+    val p = plan("q_rag_dense_indexed")
+    assert(p.contains("BroadcastHashJoin"), "the bounded hit set must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("posexplode"))
+  }
+
+  test("q_sim_ivfpq_indexed: ADC tables broadcast, candidate joins stay equi") {
+    val p = plan("q_sim_ivfpq_indexed")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "probes and the per-query ADC table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_recursive_cte: the fact table is scanned once, outside the loop") {
     val p = plan("q_recursive_cte")
     assert(!p.toLowerCase.contains("orders.parquet"),
