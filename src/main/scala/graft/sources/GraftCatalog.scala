@@ -65,9 +65,9 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "analyze", "cherry_pick", "compact", "expire", "history",
-      "publish", "publish_all", "remove_orphans", "repartition_spec",
-      "rollback", "tag", "txn_recover", "zorder", "zorder_by", "vacuum")
-      .map(Identifier.of(Array.empty, _))
+      "index_build", "index_refresh", "publish", "publish_all",
+      "remove_orphans", "repartition_spec", "rollback", "tag", "txn_recover",
+      "zorder", "zorder_by", "vacuum").map(Identifier.of(Array.empty, _))
   }
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -84,6 +84,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "repartition_spec" => RepartitionSpecProcedure
       case "publish_all" => PublishAllProcedure
       case "txn_recover" => TxnRecoverProcedure
+      case "index_build" => IndexBuildProcedure
+      case "index_refresh" => IndexRefreshProcedure
       case "publish" => PublishProcedure
       case "rollback" => RollbackProcedure
       case "tag"     => TagProcedure
@@ -928,6 +930,76 @@ private object AnalyzeProcedure
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = resultSchema
         override def rows(): Array[InternalRow] = Array(InternalRow(a, b))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.index_build(corpus_store_path, index_path)` — build the
+  * persisted IVF index from a corpus STORE (k = vec_id, trailing `emb` =
+  * float CSV), recording (corpus, version) for incremental refresh; see
+  * sources/AnnIndex.scala. Audit row: (n_centroids, n_postings). */
+private object IndexBuildProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "index_build"
+  override def description(): String =
+    "build the persisted IVF index from a corpus store"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("corpus", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("index_path", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_centroids", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_postings", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val res = AnnIndex.buildFromStore(org.apache.spark.sql.SparkSession.active,
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(res._1, res._2))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.index_refresh(index_path)` — fold the corpus store's change
+  * feed since the indexed version into the posting lists under the FROZEN
+  * codebook. Audit row: (keys_changed, partitions_rewritten). */
+private object IndexRefreshProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "index_refresh"
+  override def description(): String =
+    "incrementally refresh a persisted IVF index from its corpus change feed"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("index_path", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("keys_changed", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("partitions_rewritten", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val res = AnnIndex.refresh(org.apache.spark.sql.SparkSession.active,
+      input.getUTF8String(0).toString)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(res._1, res._2))
       }
     util.Collections.singletonList(scan).iterator()
   }

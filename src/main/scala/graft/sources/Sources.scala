@@ -3463,7 +3463,7 @@ object Sources extends OpModule {
         all.where(pmod(col("k"), lit(89)) =!= 0)
           .write.format("graft.sources.StoreSink").mode("append")
           .option("path", corpus).save() // v1: the initial corpus
-        graft.sources.AnnIndex.buildFromStore(s, corpus, idx)
+        s.sql(s"CALL graft.index_build('$corpus', '$idx')").collect()
         def cbRows = s.read.format("graft.sources.StoreSink")
           .option("path", s"$idx/codebook").load()
           .collect().map(_.toSeq).toSet
@@ -3472,7 +3472,8 @@ object Sources extends OpModule {
         all.where(pmod(col("k"), lit(89)) === 0)
           .write.format("graft.sources.StoreSink").mode("append")
           .option("path", corpus).save() // v3: corpus grows
-        val (changed, parts) = graft.sources.AnnIndex.refresh(s, idx)
+        val refreshed = s.sql(s"CALL graft.index_refresh('$idx')").collect()(0)
+        val (changed, parts) = (refreshed.getLong(0), refreshed.getLong(1))
         val queries = graft.ops.TrainingOps.nzEmbeddings(s, d)
           .where(col("vec_id") < 10)
         val top = graft.sources.AnnIndex.probe(s, queries, idx)
