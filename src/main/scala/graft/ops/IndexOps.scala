@@ -72,6 +72,70 @@ object IndexOps extends OpModule {
       AnnIndex.probe(s, queries, idx).orderBy(col("q_id"), col("rn"))
     }),
 
+    // EMBEDDING-SPACE HEALTH — the QA pass a corpus runs BEFORE indexing:
+    // norm distribution (zero/degenerate vectors, scale drift) and the
+    // anisotropy proxy ‖mean vector‖ / mean ‖vector‖ — a high ratio means
+    // the space collapsed toward a common direction and cosine retrieval
+    // will rank noise. All exact: per-row norms round to 1e-6 ints before
+    // summing (never SUM(double)), per-dim means ride the 2^-20 integer
+    // trick, and the final ratio is integer division. One scan, one
+    // dim-sized reduce — nothing at 100 TB but the pass itself.
+    "q_emb_norm_stats" -> ((s, d) => {
+      graft.functions.FloatDot.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+      val normAgg = e.agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(round(nrm * 1e6) as bigint)")).as("norm_sum_e6"),
+        min(expr("cast(round(nrm * 1e6) as bigint)")).as("norm_min_e6"),
+        max(expr("cast(round(nrm * 1e6) as bigint)")).as("norm_max_e6"))
+        .collect()(0)
+      // per-dim exact-integer sums; the 64-term squared-sum folds ASCENDING
+      // by dim on the driver (a SUM(double) aggregate would be
+      // order-sensitive — the oracle replays the same ordered fold)
+      val dims = e
+        .select(posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy(col("idx"))
+        .agg(expr("sum(cast(round(cast(v as double) * 1048576) as bigint))").as("sv"),
+             count(lit(1)).as("nd"))
+        .collect().sortBy(_.getInt(0)) // bounded: one row per dimension
+      val meanSq = dims.foldLeft(0.0) { (acc, r) =>
+        val m = r.getLong(1).toDouble / 1048576.0 / r.getLong(2)
+        acc + m * m
+      }
+      val meanVecNormE6 = math.round(math.sqrt(meanSq) * 1e6)
+      val aniE6 = meanVecNormE6 * normAgg.getLong(0) * 1000000L /
+        normAgg.getLong(1)
+      import s.implicits._
+      Seq(
+        ("mean_vec_norm_e6", meanVecNormE6),
+        ("anisotropy_e6", aniE6),
+        ("n", normAgg.getLong(0)),
+        ("norm_max_e6", normAgg.getLong(3)),
+        ("norm_min_e6", normAgg.getLong(2)),
+        ("norm_sum_e6", normAgg.getLong(1))).toDF("stat", "v")
+        .orderBy(col("stat"))
+    }),
+
+    // INDEX OCCUPANCY AUDIT — the operational question every IVF owner
+    // asks: are my posting lists balanced? Per-cell live-row counts come
+    // from the MANIFEST of the persisted postings store (zero data reads —
+    // one line per partition file), plus the skew factor max/mean in 1e4
+    // units. A cell 10× the mean means probe latency is that cell; the
+    // fix is more centroids or a rebuild — this query is how you notice.
+    "q_index_stats" -> ((s, d) => {
+      val idx = tmpIdx(d, "stats")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx)
+      val cells = AnnIndex.cellCounts(idx)
+      val total = cells.map(_._2).sum
+      val maxN = cells.map(_._2).max
+      val skewE4 = maxN * 10000L * cells.size / total
+      import s.implicits._
+      cells.toDF("c_id", "n_vectors")
+        .unionByName(Seq((-1L, skewE4)).toDF("c_id", "n_vectors"))
+        .orderBy(col("c_id"))
+    }),
+
     // PERSISTED IVFPQ — the memory-bound index leg persisted next to the
     // coarse one: `codes` (2 codeword ids per vector, cell-partitioned like
     // postings) + `pqcb` (the frozen sampled sub-codebooks). A probe is
@@ -190,6 +254,51 @@ object IndexOps extends OpModule {
 
     // probing the persisted index == the retrain-per-query pipeline
     "q_sim_ivf_indexed" -> TrainingOps.simIvfKmeansOracle,
+
+    // same ordered fold: per-dim integer sums -> ascending squared-sum
+    "q_emb_norm_stats" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |norms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(nrm * 1e6) AS BIGINT)) AS BIGINT) AS norm_sum_e6,
+        |    CAST(MIN(CAST(ROUND(nrm * 1e6) AS BIGINT)) AS BIGINT) AS norm_min_e6,
+        |    CAST(MAX(CAST(ROUND(nrm * 1e6) AS BIGINT)) AS BIGINT) AS norm_max_e6
+        |  FROM e),
+        |dims AS (SELECT generate_subscripts(embedding, 1) AS idx, UNNEST(embedding) AS v
+        |         FROM e),
+        |sv AS (SELECT idx,
+        |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sv,
+        |    COUNT(*) AS nd
+        |  FROM dims GROUP BY idx),
+        |ms AS (SELECT LIST_SUM(LIST(m * m ORDER BY idx)) AS mean_sq FROM (
+        |  SELECT idx, (sv / 1048576.0) / nd AS m FROM sv) t),
+        |mv AS (SELECT CAST(ROUND(SQRT(mean_sq) * 1e6) AS BIGINT) AS mvn FROM ms)
+        |SELECT stat, v FROM (
+        |  SELECT 'mean_vec_norm_e6' AS stat, (SELECT mvn FROM mv) AS v
+        |  UNION ALL SELECT 'anisotropy_e6',
+        |    (SELECT mvn FROM mv) * (SELECT n FROM norms) * 1000000
+        |      // (SELECT norm_sum_e6 FROM norms)
+        |  UNION ALL SELECT 'n', (SELECT n FROM norms)
+        |  UNION ALL SELECT 'norm_max_e6', (SELECT norm_max_e6 FROM norms)
+        |  UNION ALL SELECT 'norm_min_e6', (SELECT norm_min_e6 FROM norms)
+        |  UNION ALL SELECT 'norm_sum_e6', (SELECT norm_sum_e6 FROM norms)) t
+        |ORDER BY stat""".stripMargin,
+
+    // per-cell counts from the assignment replay; skew in exact 1e4 units
+    "q_index_stats" -> {
+      s"""WITH $trainReplayCtes,
+         |cells AS (SELECT bucket AS c_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |          FROM asg GROUP BY bucket),
+         |agg AS (SELECT CAST(MAX(n_vectors) AS BIGINT) AS mx,
+         |               CAST(SUM(n_vectors) AS BIGINT) AS tot,
+         |               CAST(COUNT(*) AS BIGINT) AS nc FROM cells)
+         |SELECT c_id, n_vectors FROM (
+         |  SELECT c_id, n_vectors FROM cells
+         |  UNION ALL SELECT -1, mx * 10000 * nc // tot FROM agg) t
+         |ORDER BY c_id""".stripMargin
+    },
 
     // kmeans-cell replay composed with q_sim_pq's code/ADC chain: cells,
     // codes, candidates, and the re-ranked top-5 all reproduce

@@ -87,6 +87,17 @@ object AnnIndex {
           .as("c_emb"))
       .withColumn("c_nrm", sqrt(expr("graft_float_dot(c_emb, c_emb)")))
 
+  /** Per-cell live posting counts from the postings MANIFEST alone (zero
+    * data reads — one line per partition file): the occupancy audit an IVF
+    * operator reads before deciding to rebuild. */
+  def cellCounts(indexPath: String): Seq[(Long, Long)] = {
+    val plRoot = new Path(pl(indexPath))
+    StoreSink.readEntries(plRoot, StoreSink.fs(plRoot))
+      .groupBy(e => StoreSink.partTag(e.part.get)._2.toLong)
+      .map { case (c, es) => (c, es.map(e => math.max(e.rows, 0L)).sum) }
+      .toSeq
+  }
+
   /** The persisted codebook as (c_id, c_emb, c_nrm). */
   def codebook(s: SparkSession, indexPath: String): DataFrame = {
     graft.functions.FloatDot.register(s)
