@@ -104,8 +104,12 @@ object IndexOps extends OpModule {
         acc + m * m
       }
       val meanVecNormE6 = math.round(math.sqrt(meanSq) * 1e6)
-      val aniE6 = meanVecNormE6 * normAgg.getLong(0) * 1000000L /
-        normAgg.getLong(1)
+      // BigInt product before the divide: meanVecNormE6 (~1e6 for unit
+      // vectors) * n * 1e6 is ~1e12 * n and would silently wrap a Long
+      // past ~9M vectors while the DuckDB twin errors/promotes — the
+      // quotient itself (a ratio in e6 units) always fits a Long
+      val aniE6 = (BigInt(meanVecNormE6) * normAgg.getLong(0) * 1000000L /
+        normAgg.getLong(1)).toLong
       import s.implicits._
       Seq(
         ("mean_vec_norm_e6", meanVecNormE6),

@@ -2102,7 +2102,17 @@ object StoreSink {
       sorted.foreach { case (p, b) => // APPLY: ordinary versioned swaps
         val root = new Path(p); val fsys = fs(root)
         val entries = readBranchLines(root, fsys, b)
-        writeManifestAtomic(root, fsys, readManifestLines(root, fsys) ++ entries)
+        // the branch file's existence is the roll-forward idempotency KEY,
+        // but the swap and the branch delete are two FS ops — a crash
+        // between them leaves both halves. Skipping branch lines already
+        // present in the head manifest (entries are exact line matches;
+        // staged file names are unique) makes application idempotent:
+        // recovery after that crash deletes the branch without
+        // re-appending, never double-counting the files.
+        val head = readManifestLines(root, fsys)
+        val headSet = head.toSet
+        val fresh = entries.filterNot(headSet.contains)
+        if (fresh.nonEmpty) writeManifestAtomic(root, fsys, head ++ fresh)
         manifestFs(fsys).delete(new Path(root, branchFile(b)), false)
         published += entries.size
         onTxnSwapped(p)
@@ -2153,7 +2163,15 @@ object StoreSink {
           val b = kv("branch")
           if (branchExists(root, fsys, b)) { // not yet applied: roll forward
             val entries = readBranchLines(root, fsys, b)
-            writeManifestAtomic(root, fsys, readManifestLines(root, fsys) ++ entries)
+            // idempotent application (same rule as publishAll's APPLY): a
+            // crash BETWEEN the swap and the branch delete leaves the
+            // branch file behind with its lines already in head — skip
+            // lines the head manifest already carries so recovery never
+            // appends a second copy of the same files
+            val head = readManifestLines(root, fsys)
+            val headSet = head.toSet
+            val fresh = entries.filterNot(headSet.contains)
+            if (fresh.nonEmpty) writeManifestAtomic(root, fsys, head ++ fresh)
             raw.delete(new Path(root, branchFile(b)), false)
           }
           raw.delete(new Path(root, w), false)
@@ -4630,6 +4648,16 @@ private class StoreScan(pathStr: String,
     // files in manifest order, row-skip the boundary file
     val keptO: Seq[(StoreSink.StoreFileEntry, Long)] = offsetN match {
       case Some(m) =>
+        // pushOffset validated exact-counts/mask-free against the manifest
+        // AT PUSHDOWN TIME, but planning re-reads the manifest — a commit
+        // landing in between (e.g. an equality-delete sidecar) turns
+        // entry.rows into an upper bound. Spark's Offset node is already
+        // gone (full-semantics push), so falling back would silently
+        // return wrong rows: re-verify here and fail LOUDLY instead.
+        if (keptL.exists(e => e.rows < 0 || e.eq.isDefined))
+          throw new IllegalStateException(
+            s"store $pathStr changed between OFFSET pushdown and planning " +
+            "(an entry lost its exact live count); re-run the query")
         var remaining = m.toLong
         val out = keptL.flatMap { e =>
           if (remaining <= 0L) Some((e, 0L))

@@ -958,6 +958,55 @@ class StoreSinkSpec extends SparkSpec {
     assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
   }
 
+  test("txn recovery is idempotent across the swap/branch-delete crash " +
+       "window: rolled-forward lines are never appended twice") {
+    // the roll-forward idempotency key is the BRANCH FILE's existence, but
+    // APPLY writes the manifest swap and the branch delete as two FS ops —
+    // construct the exact crash state between them (lines already in head,
+    // branch + WAL + decision marker all still present) and recovery must
+    // NOT double-apply
+    val a = freshDir("txn_idem_a"); val b = freshDir("txn_idem_b")
+    def seed(dir: String): Unit = {
+      df(1 to 20, "m").coalesce(1)
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+      df(21 to 30, "s").coalesce(1).write.format(fmt).mode("append")
+        .option("path", dir).option("branch", "staged").save()
+    }
+    seed(a); seed(b)
+    val sorted = Seq(a, b).sorted
+    val coord = sorted.head
+    val txnId = "deadbeef0123"
+    sorted.foreach { p =>
+      val root = new Path(p); val raw = StoreSink.manifestFs(fs)
+      val out = raw.create(new Path(root, s"_txn.$txnId"), true)
+      out.write((s"coord=$coord\nbranch=staged\npeers=" +
+        sorted.mkString(",")).getBytes("UTF-8"))
+      out.close()
+    }
+    StoreSink.manifestFs(fs)
+      .create(new Path(new Path(coord), s"_txn.$txnId.commit"), false).close()
+    // the torn table: swap applied, branch file NOT yet deleted
+    val root = new Path(sorted.head)
+    val entries = StoreSink.readBranchLines(root, fs, "staged")
+    StoreSink.writeManifestAtomic(root, fs,
+      StoreSink.readManifestLines(root, fs) ++ entries)
+    def liveCount(dir: String): Long =
+      spark.read.format(fmt).option("path", dir).load().count()
+    assert(liveCount(sorted.head) == 30)
+    val (f1, _) = StoreSink.recoverTxn(sorted.head)
+    assert(f1 == 1L, "the committed txn must still count as rolled forward")
+    assert(liveCount(sorted.head) == 30,
+      s"recovery double-applied the branch: ${liveCount(sorted.head)} rows")
+    val lines = StoreSink.readManifestLines(root, fs).filterNot(_.startsWith("#"))
+    assert(lines.distinct.size == lines.size,
+      "recovery appended duplicate manifest lines")
+    assert(!StoreSink.branchExists(root, fs, "staged"),
+      "recovery must still consume the branch file")
+    // the second (untorn) table rolls forward normally
+    val (f2, _) = StoreSink.recoverTxn(sorted(1))
+    assert(f2 == 1L && liveCount(sorted(1)) == 30)
+  }
+
   test("vacuum never GCs a live WAP branch's staged files") {
     val dir = freshDir("wapvac")
     df(1 to 20, "a").write.format(fmt).mode("overwrite").option("path", dir).save()
