@@ -142,7 +142,7 @@ object StoreSink {
   val Manifest = "_manifest"
   val Staging = "_staging"
   val SchemaFile = "_schema"
-  private val NullMark = "\\N"
+  private[sources] val NullMark = "\\N"
   private val EpochMark = "#epoch="
 
   // ------------------------------------------------- schema evolution
@@ -714,6 +714,236 @@ object StoreSink {
     * rewrite throws after processing one file — the spec asserts the
     * previous manifest (and its files) survive the abort. */
   @volatile private[sources] var failDeleteAfterOneFile = false
+
+  // ------------------------------------------------- columnar at-rest encoding
+  /** Table property selecting the AT-REST encoding of NEW data files:
+    * `text` (default — one URL-encoded CSV line per row) or `columnar`.
+    * The encoding is a property of each FILE, not the table: files are
+    * self-identifying (columnar files open with [[ColMagic]]), so flipping
+    * the property mid-table, time-traveling across the flip, CDF-diffing a
+    * mixed generation, and compacting text+columnar inputs into columnar
+    * outputs all read correctly. Everything ABOVE the file — manifest
+    * grammar, zones, blooms, partitions, dv/eq masks, field-id schema —
+    * is encoding-blind and unchanged.
+    *
+    * Columnar grammar (`#GC1` — one row group per file):
+    * {{{
+    *   #GC1 <nrows> <len1> <len2> ... <lenC>\n
+    *   <block1>\n<block2>\n...<blockC>\n
+    * }}}
+    * Block i holds physical slot i's `nrows` values joined by ',' in
+    * EXACTLY the row format's field encoding (digits for int/bigint —
+    * so `ALTER COLUMN TYPE BIGINT` widening stays metadata-only —
+    * URL-encoded UTF-8 for strings, `\N` for null); `lenI` is the block's
+    * UTF-8 byte length. A projected read seeks past unneeded blocks
+    * (offset of block i = header + Σ(lenJ+1, j<i)), so scanning 1 of C
+    * columns reads ~1/C of the file — the within-file cost the row format
+    * could not shed. Files written under an OLDER schema simply carry
+    * fewer blocks; a missing block reads as the column's initial default
+    * (NULL without one), the same short-row contract as text. At 100 TB
+    * a file would hold MULTIPLE such groups (parquet row groups) with the
+    * header list per group; one group per file keeps the planning story
+    * identical while files stay write-task-sized. */
+  val EncodingProp = "graft.store.encoding"
+  private[sources] val ColMagic = "#GC1 "
+  private[sources] val ColMagicBytes =
+    ColMagic.getBytes(StandardCharsets.UTF_8)
+
+  /** Should NEW data files at `pathStr` be columnar? (Writer/COW-side;
+    * resolved on the DRIVER at factory construction.) */
+  private[sources] def columnarAt(pathStr: String): Boolean = {
+    val root = new Path(pathStr)
+    readProps(root, fs(root)).toMap.get(EncodingProp).contains("columnar")
+  }
+
+  /** Set one table property (read-merge-write under the commit lock). */
+  private[graft] def setProp(pathStr: String, key: String, value: String): Unit = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    withCommitLock(root, fsys) {
+      val ps = readProps(root, fsys).toMap
+      writeProps(root, fsys, (ps + (key -> value)).toSeq)
+    }
+  }
+
+  /** Test observability: (blocks read, blocks in file) of the last
+    * columnar projected read — pins that narrow projections skip blocks. */
+  @volatile private[sources] var lastColBlocks: Option[(Int, Int)] = None
+
+  /** One field's text encoding — the SHARED per-value codec both the row
+    * format (fields joined per ROW) and the columnar format (fields joined
+    * per COLUMN) are built from, so a value round-trips identically under
+    * either at-rest layout. */
+  private[sources] def fieldString(row: InternalRow, ord: Int,
+                                   dt: DataType): String =
+    if (row.isNullAt(ord)) NullMark
+    else dt match {
+      case LongType    => java.lang.Long.toString(row.getLong(ord))
+      case IntegerType => java.lang.Integer.toString(row.getInt(ord))
+      case StringType  =>
+        java.net.URLEncoder.encode(row.getString(ord), "UTF-8")
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+
+  /** Field-decode twin of [[fieldString]] (`\N` → null; an int slot later
+    * widened to bigint decodes under LongType — digits parse wider). */
+  private[sources] def parseField(s: String, dt: DataType): Any =
+    if (s == NullMark) null
+    else dt match {
+      case LongType    => java.lang.Long.valueOf(s.toLong)
+      case IntegerType => java.lang.Integer.valueOf(s.toInt)
+      case StringType  =>
+        UTF8String.fromString(java.net.URLDecoder.decode(s, "UTF-8"))
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+
+  /** Parsed columnar header: live row count and per-block byte lengths.
+    * `dataStart` is the byte offset of block 0. */
+  private[sources] case class ColHeader(nrows: Int, lens: Array[Long],
+                                        dataStart: Long)
+
+  /** Sniff + parse a columnar header from an opened stream. Returns None
+    * (stream repositioned to 0) when the file is row-text; the magic is
+    * unambiguous — text rows never start with '#' (strings URL-encode it,
+    * numeric fields open with a digit or '-', nulls with '\'). */
+  private[sources] def readColHeader(
+      in: org.apache.hadoop.fs.FSDataInputStream): Option[ColHeader] = {
+    val magic = new Array[Byte](ColMagicBytes.length)
+    var got = 0
+    while (got < magic.length) {
+      val n = in.read(magic, got, magic.length - got)
+      if (n < 0) { in.seek(0L); return None } // shorter than the magic: text
+      got += n
+    }
+    if (!java.util.Arrays.equals(magic, ColMagicBytes)) {
+      in.seek(0L); return None
+    }
+    val sb = new StringBuilder
+    var b = in.read()
+    while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() } // ASCII
+    val parts = sb.result().trim.split(" ").filter(_.nonEmpty)
+    val nrows = parts(0).toInt
+    val lens = parts.drop(1).map(_.toLong)
+    Some(ColHeader(nrows, lens,
+      ColMagicBytes.length + sb.length + 1L))
+  }
+
+  /** Read SELECTED blocks of a columnar file: seeks past everything else.
+    * `slots` beyond the file's width are absent from the result (the
+    * caller pads the column's default — the short-file contract). Records
+    * [[lastColBlocks]]. */
+  private[sources] def readColBlocks(in: org.apache.hadoop.fs.FSDataInputStream,
+                                     h: ColHeader,
+                                     slots: Array[Int]): Map[Int, Array[String]] = {
+    val want = slots.filter(_ < h.lens.length).distinct.sorted
+    val out = Map.newBuilder[Int, Array[String]]
+    want.foreach { s =>
+      var off = h.dataStart
+      var j = 0
+      while (j < s) { off += h.lens(j) + 1L; j += 1 }
+      in.seek(off)
+      val buf = new Array[Byte](h.lens(s).toInt)
+      in.readFully(buf)
+      val fields = new String(buf, StandardCharsets.UTF_8).split(",", -1)
+      require(fields.length == h.nrows || (h.nrows == 0 && buf.length == 0),
+        s"columnar block $s holds ${fields.length} values for ${h.nrows} rows")
+      out += s -> (if (h.nrows == 0) Array.empty[String] else fields)
+    }
+    lastColBlocks = Some((want.length, h.lens.length))
+    out.result()
+  }
+
+  /** Iterate a data file's rows as full-width TEXT LINES regardless of
+    * at-rest encoding — the shared row view for paths that genuinely need
+    * every column (COW rewrite, CDF, analyze backfill). Text streams
+    * lazily; a columnar file materializes its blocks (file-sized, the row
+    * group contract) and re-joins rows. Returns (iterator, closer). */
+  private[sources] def openDataLines(fsys: FileSystem,
+                                     p: Path): (Iterator[String], () => Unit) = {
+    val in = fsys.open(p)
+    readColHeader(in) match {
+      case Some(h) =>
+        val cols = (0 until h.lens.length).map { s =>
+          val buf = new Array[Byte](h.lens(s).toInt)
+          in.readFully(h.dataStart + (0 until s).map(h.lens(_) + 1L).sum, buf)
+          val f = new String(buf, StandardCharsets.UTF_8).split(",", -1)
+          if (h.nrows == 0) Array.empty[String] else f
+        }.toArray
+        in.close()
+        val it = (0 until h.nrows).iterator.map { r =>
+          val sb = new StringBuilder
+          var c = 0
+          while (c < cols.length) {
+            if (c > 0) sb.append(',')
+            sb.append(cols(c)(r))
+            c += 1
+          }
+          sb.result()
+        }
+        (it, () => ())
+      case None =>
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        val it = new Iterator[String] {
+          private var nextLine = rd.readLine()
+          override def hasNext: Boolean = nextLine != null
+          override def next(): String = {
+            val l = nextLine; nextLine = rd.readLine(); l
+          }
+        }
+        (it, () => rd.close())
+    }
+  }
+
+  /** Serialize uniform-width text rows as one columnar file's bytes. */
+  private[sources] def columnarFileBytes(lines: Seq[String]): Array[Byte] = {
+    val width = if (lines.isEmpty) 0 else lines.head.count(_ == ',') + 1
+    val bufs = Array.fill(width)(new StringBuilder)
+    lines.foreach { l =>
+      val f = l.split(",", -1)
+      require(f.length == width, s"ragged row width ${f.length} != $width")
+      var c = 0
+      while (c < width) {
+        if (bufs(c).nonEmpty) bufs(c).append(',')
+        bufs(c).append(f(c))
+        c += 1
+      }
+    }
+    columnarBytes(lines.size, bufs)
+  }
+
+  /** Assemble header + blocks from per-column builders. */
+  private[sources] def columnarBytes(nrows: Int,
+                                     bufs: Array[StringBuilder]): Array[Byte] = {
+    val blocks = bufs.map(_.result().getBytes(StandardCharsets.UTF_8))
+    val header = (ColMagic + nrows +
+      blocks.map(b => " " + b.length).mkString + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val total = header.length + blocks.map(_.length + 1).sum
+    val out = new Array[Byte](total)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    blocks.foreach { b =>
+      System.arraycopy(b, 0, out, off, b.length)
+      off += b.length
+      out(off) = '\n'; off += 1
+    }
+    out
+  }
+
+  /** Write text rows to `p` under the requested at-rest encoding; returns
+    * bytes written — the COW-rewrite write path (the streaming writer
+    * builds its column buffers directly, never through lines). */
+  private[sources] def writeDataFile(fsys: FileSystem, p: Path,
+                                     lines: Seq[String],
+                                     columnar: Boolean): Long = {
+    val bytes =
+      if (columnar && lines.nonEmpty) columnarFileBytes(lines)
+      else lines.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
+    val out = fsys.create(p, true)
+    try out.write(bytes) finally out.close()
+    bytes.length.toLong
+  }
 
   // ------------------------------------------------- deletion vectors (MoR)
   /** MERGE-ON-READ delete policy: when a file's newly-matched fraction of
@@ -1637,12 +1867,11 @@ object StoreSink {
       val minT = Array.fill[String](strSlots.size)(null)
       val maxT = Array.fill[String](strSlots.size)(null)
       val ascii = Array.fill(strSlots.size)(true)
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        fsys.open(new Path(root, e.name)), StandardCharsets.UTF_8))
+      val (dataLines, closer) =
+        openDataLines(fsys, new Path(root, e.name))
       try {
-        var line = in.readLine()
-        while (line != null) {
-          val parts = line.split(",", -1)
+        while (dataLines.hasNext) {
+          val parts = dataLines.next().split(",", -1)
           var i = 0
           while (i < slots.size) {
             val s = slots(i)._2
@@ -1666,9 +1895,8 @@ object StoreSink {
             }
             t += 1
           }
-          line = in.readLine()
         }
-      } finally in.close()
+      } finally closer()
       val fresh = slots.indices.flatMap { i =>
         val n = slots(i)._1
         if (e.stats.exists(_._1 == n) || mins(i) == Long.MaxValue) None
@@ -3008,6 +3236,8 @@ private object StoreTableDeleteBody {
     // zone-map short circuit: a conjunct k-bound the file's zone misses
     // means NO row can satisfy the whole predicate — carry over UNREAD
     val (kLo, kHi) = StoreSink.kBounds(filters)
+    // COW replacements are written under the table's CURRENT encoding
+    val colEnc = StoreSink.columnarAt(pathStr)
     var processed = 0
     val gen = System.nanoTime().toHexString
     var anyChange = false
@@ -3024,18 +3254,20 @@ private object StoreTableDeleteBody {
           e.eq.map(q => StoreSink.readEq(root, fsys, q).sorted)
             .getOrElse(Array.emptyLongArray)
         val p = new Path(root, e.name)
-        val in = new java.io.BufferedReader(
-          new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
+        // encoding-agnostic row view (the rewrite reads every column);
+        // the replacement file is written under the table's CURRENT
+        // encoding, so a COW pass doubles as format migration
+        val (dataLines, closer) = StoreSink.openDataLines(fsys, p)
         var nMin = Long.MaxValue; var nMax = Long.MinValue; var nRows = 0L
-        var nBloom = 0L; var nBytes = 0L
+        var nBloom = 0L
         var nMinA = Long.MaxValue; var nMaxA = Long.MinValue
         val newDel = Seq.newBuilder[Int]; var nDel = 0
         val kept =
           try {
             val keep = Seq.newBuilder[String]
             var ord = 0
-            var line = in.readLine()
-            while (line != null) {
+            while (dataLines.hasNext) {
+              val line = dataLines.next()
               if (!existingDv.contains(ord)) { // already-deleted rows are gone
                 val row = StoreSink.decode(line)
                 val eqDead = existingEq.nonEmpty && !row.isNullAt(0) &&
@@ -3045,7 +3277,6 @@ private object StoreTableDeleteBody {
                 else {
                   keep += line
                   nRows += 1
-                  nBytes += line.getBytes(StandardCharsets.UTF_8).length + 1L
                   if (!row.isNullAt(0)) {
                     val k = row.getLong(0)
                     if (k < nMin) nMin = k
@@ -3061,10 +3292,9 @@ private object StoreTableDeleteBody {
                 }
               }
               ord += 1
-              line = in.readLine()
             }
             keep.result()
-          } finally in.close()
+          } finally closer()
         processed += 1
         if (StoreSink.failDeleteAfterOneFile && processed == 1)
           throw new RuntimeException("injected delete failure (test hook)")
@@ -3084,9 +3314,8 @@ private object StoreTableDeleteBody {
           // the new file is CLEAN — the vector is absorbed
           anyChange = true
           val nf = s"${e.name}-d$gen"
-          val out = fsys.create(new Path(root, nf), true)
-          try out.write((kept.map(_ + "\n")).mkString.getBytes(StandardCharsets.UTF_8))
-          finally out.close()
+          val nBytes =
+            StoreSink.writeDataFile(fsys, new Path(root, nf), kept, colEnc)
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
             if (nMax == Long.MinValue) None else Some(nMax),
@@ -3273,9 +3502,10 @@ private case class StoreDeltaWriterFactory(pathStr: String, queryId: String,
                                            spec: Option[StoreSink.PartSpec])
     extends DeltaWriterFactory {
   private val slots: Array[Int] = StoreSink.writeSlots(pathStr, dataSchema)
+  private val columnar: Boolean = StoreSink.columnarAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new StoreDeltaWriter(pathStr, s"part-$queryId-$partitionId-$taskId",
-      dataSchema, spec, slots)
+      dataSchema, spec, slots, columnar)
 }
 
 /** Per-task delta writer: inserts ride the ordinary staged-file writer;
@@ -3285,11 +3515,13 @@ private case class StoreDeltaWriterFactory(pathStr: String, queryId: String,
 private class StoreDeltaWriter(pathStr: String, fileName: String,
                                dataSchema: StructType,
                                spec: Option[StoreSink.PartSpec],
-                               slots: Array[Int] = null)
+                               slots: Array[Int] = null,
+                               columnar: Boolean = false)
     extends DeltaWriter[InternalRow] {
 
   private val inserts =
-    new StoreDataWriter(pathStr, fileName, dataSchema, spec, slots)
+    new StoreDataWriter(pathStr, fileName, dataSchema, spec, slots,
+      columnar = columnar)
   private val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -3733,9 +3965,10 @@ private case class StoreWriterFactory(pathStr: String, queryId: String,
     val root = new Path(pathStr)
     StoreSink.declaredStrStatCols(root, StoreSink.fs(root), dataSchema)
   }
+  private val columnar: Boolean = StoreSink.columnarAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
-      spec, slots, statCols, strStatCols)
+      spec, slots, statCols, strStatCols, columnar)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
@@ -3754,10 +3987,11 @@ private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
     val root = new Path(pathStr)
     StoreSink.declaredStrStatCols(root, StoreSink.fs(root), dataSchema)
   }
+  private val columnar: Boolean = StoreSink.columnarAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
-      dataSchema, spec, slots, statCols, strStatCols)
+      dataSchema, spec, slots, statCols, strStatCols, columnar)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
@@ -3765,10 +3999,13 @@ private class StoreDataWriter(pathStr: String, fileName: String,
                               spec: Option[StoreSink.PartSpec] = None,
                               slots: Array[Int] = null,
                               statCols: Seq[(String, Int)] = Nil,
-                              strStatCols: Seq[(String, Int)] = Nil)
+                              strStatCols: Seq[(String, Int)] = Nil,
+                              columnar: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
+  // physical emission width (tombstoned slots included)
+  private val physWidth = if (slots == null) types.length else slots.length
 
   // executor side: build the Hadoop conf locally (no SparkSession.active on
   // a bare task thread is guaranteed; a fresh Configuration resolves the
@@ -3782,6 +4019,11 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     * commit, so staging cleanup never needs to recurse. */
   private class Sink(val staged: Path, val partValue: Option[String]) {
     val out: org.apache.hadoop.fs.FSDataOutputStream = fsys.create(staged, true)
+    // columnar mode buffers one builder per PHYSICAL slot and writes
+    // header+blocks at commit (one row group per file — the buffer is the
+    // row group, exactly what a parquet writer holds before a flush)
+    val colBufs: Array[StringBuilder] =
+      if (columnar) Array.fill(physWidth)(new StringBuilder) else null
     var rows = 0L; var bytes = 0L
     var minK: Long = Long.MaxValue; var maxK: Long = Long.MinValue
     var bloom = 0L
@@ -3858,15 +4100,35 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       }
       ti += 1
     }
-    val b = (StoreSink.encode(record, base, types, slots) + "\n")
-      .getBytes(StandardCharsets.UTF_8)
-    s.out.write(b)
-    s.rows += 1
-    s.bytes += b.length
+    if (columnar) {
+      // transposed emission: same per-field codec, fields land in their
+      // slot's column buffer instead of a row line
+      var si = 0
+      while (si < physWidth) {
+        val i = if (slots == null) si else slots(si)
+        val buf = s.colBufs(si)
+        if (s.rows > 0) buf.append(',')
+        if (i < 0) buf.append("\\N") // tombstoned slot: null placeholder
+        else buf.append(StoreSink.fieldString(record, base + i, types(i)))
+        si += 1
+      }
+      s.rows += 1
+    } else {
+      val b = (StoreSink.encode(record, base, types, slots) + "\n")
+        .getBytes(StandardCharsets.UTF_8)
+      s.out.write(b)
+      s.rows += 1
+      s.bytes += b.length
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     val payloads = sinks.values.toSeq.map { s =>
+      if (columnar) {
+        val bytes = StoreSink.columnarBytes(s.rows.toInt, s.colBufs)
+        s.out.write(bytes)
+        s.bytes = bytes.length.toLong
+      }
       s.out.close()
       StoreFilePayload(s.staged.getName, s.rows,
         if (s.minK == Long.MaxValue) None else Some(s.minK),
@@ -4957,8 +5219,6 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
         StoreSink.readEq(p.getParent, fsys, new Path(f).getName).sorted
       case None => Array.emptyLongArray
     }
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fsys.open(p), StandardCharsets.UTF_8))
     val fileName = UTF8String.fromString(p.getName)
     // PHYSICAL layout (tombstoned slots included): decode walks every
     // physical slot; the projection maps logical ordinals to slots (field-id
@@ -4967,6 +5227,73 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
     val types = if (physTypes != null) physTypes else table.fields.map(_.dataType)
     val slotOf: Array[Int] =
       if (proj != null) proj else Array.tabulate(table.fields.length)(i => i)
+    // initial defaults for short (pre-ALTER) rows, resolved once per file —
+    // indexed by PHYSICAL slot (dead slots pad NULL, never a default)
+    val defaults =
+      if (physDefaults != null) physDefaults else StoreSink.defaultsOf(table)
+    // encoding sniff: files are self-identifying, so one manifest can carry
+    // text and columnar generations side by side (encoding flips, travel,
+    // compaction of mixed inputs)
+    val rawIn = fsys.open(p)
+    StoreSink.readColHeader(rawIn) match {
+      case Some(h) =>
+        // COLUMNAR: read ONLY the projected slots' blocks (plus the key
+        // block when an equality mask must be evaluated) — a narrow
+        // projection's I/O and parse cost scale with the columns it asks
+        // for, not the table's width. COUNT(*)-shaped scans (no required
+        // columns, no eq mask) read the header alone.
+        val needSlots: Array[Int] = required.fieldNames
+          .filter(_ != "_file").map(n => slotOf(table.fieldIndex(n)))
+        val want = if (eqKeys.isEmpty) needSlots else needSlots :+ 0
+        val blocks =
+          try StoreSink.readColBlocks(rawIn, h, want) finally rawIn.close()
+        val keyBlock: Array[String] = blocks.getOrElse(0, null)
+        val colGetters: Array[Int => Any] = required.fieldNames.map {
+          case "_file" => (_: Int) => fileName
+          case n =>
+            val s = slotOf(table.fieldIndex(n))
+            val dt = types(s)
+            blocks.get(s) match {
+              case Some(fields) => (r: Int) => StoreSink.parseField(fields(r), dt)
+              case None => // file predates the column: initial default
+                val d = defaults(s); (_: Int) => d
+            }
+        }
+        new PartitionReader[InternalRow] {
+          private var ord = -1
+          private var toSkip = part.skipRows
+          override def next(): Boolean = {
+            while (true) {
+              ord += 1
+              if (ord >= h.nrows) return false
+              if (!masked.get(ord)) {
+                val eqDead = eqKeys.nonEmpty && keyBlock != null &&
+                  keyBlock(ord) != StoreSink.NullMark &&
+                  java.util.Arrays.binarySearch(eqKeys, keyBlock(ord).toLong) >= 0
+                if (!eqDead) {
+                  if (toSkip > 0L) toSkip -= 1 else return true
+                }
+              }
+            }
+            false
+          }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(colGetters.toSeq.map(_(ord)))
+          override def close(): Unit = ()
+        }
+      case None => textReader(rawIn, part, fileName, types, slotOf, defaults,
+        masked, eqKeys)
+    }
+  }
+
+  /** Row-text read path (the original at-rest encoding). */
+  private def textReader(stream: org.apache.hadoop.fs.FSDataInputStream,
+                         part: StoreFilePartition, fileName: UTF8String,
+                         types: Array[DataType], slotOf: Array[Int],
+                         defaults: Array[Any], masked: java.util.BitSet,
+                         eqKeys: Array[Long]): PartitionReader[InternalRow] = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(stream, StandardCharsets.UTF_8))
     // resolve the projection ONCE per partition: table columns come from
     // the decoded (null-padded) row by their PHYSICAL slot; _file is
     // partition-constant metadata
@@ -4978,10 +5305,6 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
         (r: InternalRow) => r.get(idx, dt)
     }
     val identity = required == table && types.length == table.fields.length
-    // initial defaults for short (pre-ALTER) rows, resolved once per file —
-    // indexed by PHYSICAL slot (dead slots pad NULL, never a default)
-    val defaults =
-      if (physDefaults != null) physDefaults else StoreSink.defaultsOf(table)
     new PartitionReader[InternalRow] {
       private var line: String = _
       private var ord = -1
@@ -5209,8 +5532,9 @@ private case class StoreCdfReaderFactory(output: StructType)
     val p = partition.asInstanceOf[StoreCdfPartition]
     val path = new Path(p.file)
     val fsys = StoreSink.fs(path, new Configuration())
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fsys.open(path), StandardCharsets.UTF_8))
+    // encoding-agnostic row view: the feed projects EVERY output column,
+    // so the full-width line iterator is the right cost model here
+    val (lines, closer) = StoreSink.openDataLines(fsys, path)
     val opU = UTF8String.fromString(p.op)
     // by-name projection onto the feed schema: op/cv constants, then each
     // output column resolves through THIS partition's version schema
@@ -5232,8 +5556,8 @@ private case class StoreCdfReaderFactory(output: StructType)
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       override def next(): Boolean = {
         while (true) {
-          line = in.readLine(); ord += 1
-          if (line == null) return false
+          if (!lines.hasNext) return false
+          line = lines.next(); ord += 1
           if (java.util.Arrays.binarySearch(p.skipOrdinals, ord) < 0 &&
               (p.onlyOrdinals.isEmpty ||
                java.util.Arrays.binarySearch(p.onlyOrdinals, ord) >= 0)) {
@@ -5251,7 +5575,7 @@ private case class StoreCdfReaderFactory(output: StructType)
       override def get(): InternalRow =
         InternalRow.fromSeq(opU +: java.lang.Long.valueOf(p.cv) +:
           getters.toSeq.map(_(decoded)))
-      override def close(): Unit = in.close()
+      override def close(): Unit = closer()
     }
   }
 }

@@ -1,0 +1,188 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** COLUMNAR AT-REST ENCODING (StoreSink.scala `#GC1` grammar): the second
+  * data-file format under the SAME manifest grammar. What these tests pin:
+  *  - files are self-identifying (magic), so one manifest carries text and
+  *    columnar generations side by side — encoding flips are per-file facts,
+  *    never table rewrites;
+  *  - a narrow projection READS ONLY ITS BLOCKS (the lastColBlocks hook) —
+  *    the within-file scan cost the row format could not shed;
+  *  - every mask/maintenance path (dv, eq, COW absorb) is encoding-blind;
+  *  - values round-trip bit-identically under either encoding (shared
+  *    per-field codec).
+  */
+class StoreColumnarSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.StoreSink"
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def df(ks: Range, grp: String): DataFrame = {
+    import spark.implicits._
+    ks.map(k => (k.toLong, grp, k.toLong * 100)).toDF("k", "grp", "amt_cents")
+  }
+
+  private def freshDir(name: String): String = {
+    val dir = s"target/tmp/storecol_spec_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def markColumnar(dir: String): Unit =
+    StoreSink.setProp(dir, StoreSink.EncodingProp, "columnar")
+
+  private def readBack(dir: String): Set[(Long, String, Long)] =
+    spark.read.format(fmt).option("path", dir).load()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  /** Run `body` with graft.store bound to `dir` (catalog + path confs). */
+  private def withStore[T](dir: String)(body: => T): T = {
+    val ckey = "spark.sql.catalog.graft"
+    spark.conf.set(ckey, "graft.sources.GraftCatalog")
+    spark.conf.set(GraftCatalog.StorePathKey, dir)
+    try body
+    finally { spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey) }
+  }
+
+  private def isColumnar(dir: String, name: String): Boolean = {
+    val in = fs.open(new Path(dir, name))
+    val buf = new Array[Byte](5)
+    val n = try in.read(buf) finally in.close()
+    n == 5 && new String(buf, "UTF-8") == "#GC1 "
+  }
+
+  private def dataFiles(dir: String): Seq[String] =
+    StoreSink.readEntries(new Path(dir), fs).map(_.name)
+
+  test("columnar round-trip: same rows as text, files carry the magic") {
+    val tdir = freshDir("rt_text"); val cdir = freshDir("rt_col")
+    // values stress the field codec: url-escaped comma/percent/newline,
+    // unicode, empty string, nulls in every column
+    import org.apache.spark.sql.Row
+    val rows = java.util.Arrays.asList(
+      Row(1L, "plain", 100L), Row(2L, "a,b|c%d", 200L), Row(3L, "nl\nnl", 300L),
+      Row(4L, "日本語", 400L), Row(5L, "", 500L), Row(6L, null, 600L),
+      Row(null, "nullk", null))
+    val base = spark.createDataFrame(rows, StoreSink.schema)
+    base.write.format(fmt).mode("overwrite").option("path", tdir).save()
+    markColumnar(cdir)
+    base.write.format(fmt).mode("append").option("path", cdir).save()
+    assert(dataFiles(cdir).forall(isColumnar(cdir, _)), "expected #GC1 files")
+    assert(dataFiles(tdir).forall(!isColumnar(tdir, _)))
+    val t = spark.read.format(fmt).option("path", tdir).load().collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    val c = spark.read.format(fmt).option("path", cdir).load().collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(t == c, "the two encodings decoded different rows")
+  }
+
+  test("narrow projection reads only its blocks; COUNT(*) reads none") {
+    val dir = freshDir("proj")
+    markColumnar(dir)
+    df(1 to 1000, "g").write.format(fmt).mode("append").option("path", dir).save()
+    StoreSink.lastColBlocks = None
+    val ks = spark.read.format(fmt).option("path", dir).load()
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(ks == (1L to 1000L).toSet)
+    assert(StoreSink.lastColBlocks.contains((1, 3)),
+      s"single-column projection read ${StoreSink.lastColBlocks} blocks")
+    // a zero-column scan (no masks needing keys) reads the header alone —
+    // zero blocks (a plain COUNT(*) never even gets here: metadata agg
+    // pushdown answers it without planning files)
+    StoreSink.lastColBlocks = None
+    val n = spark.read.format(fmt).option("path", dir).load()
+      .select(lit(1).as("one")).collect().length
+    assert(n == 1000)
+    assert(StoreSink.lastColBlocks.contains((0, 3)),
+      s"zero-column scan read ${StoreSink.lastColBlocks} blocks")
+  }
+
+  test("dv + eq masks and COW absorb are encoding-blind") {
+    val dir = freshDir("masks")
+    markColumnar(dir)
+    df(1 to 500, "g").repartitionByRange(2, col("k"))
+      .write.format(fmt).mode("append").option("path", dir).save()
+    withStore(dir) {
+      // few-row delete -> deletion-vector sidecar, data files untouched
+      spark.sql("DELETE FROM graft.store WHERE k in (3, 7)")
+      val entries1 = StoreSink.readEntries(new Path(dir), fs)
+      assert(entries1.exists(_.dv.isDefined), "expected a dv sidecar")
+      assert(readBack(dir).map(_._1) == ((1L to 500L).toSet -- Set(3L, 7L)))
+      // equality delete (metadata-only) masks by key through the key block
+      val modeKey = "spark.graft.store.delete.mode"
+      spark.conf.set(modeKey, "equality")
+      try spark.sql("DELETE FROM graft.store WHERE k in (10, 11)")
+      finally spark.conf.unset(modeKey)
+      assert(StoreSink.readEntries(new Path(dir), fs).exists(_.eq.isDefined))
+      // a projection NOT containing k still applies the key mask (the key
+      // block joins the read set)
+      StoreSink.lastColBlocks = None
+      val grps = spark.read.format(fmt).option("path", dir).load()
+        .select(col("grp")).collect()
+      assert(grps.length == 496)
+      assert(StoreSink.lastColBlocks.exists(_._1 == 2),
+        s"eq-masked grp scan read ${StoreSink.lastColBlocks} — wanted grp+key")
+      // bulk delete -> COW rewrite; replacement files are columnar and clean
+      spark.sql("DELETE FROM graft.store WHERE k > 100")
+      val entries2 = StoreSink.readEntries(new Path(dir), fs)
+      assert(entries2.forall(e => e.dv.isEmpty && e.eq.isEmpty),
+        "COW rewrite should absorb every mask")
+      // (a fully-emptied file rewrites as 0 bytes — a valid 0-row file
+      // under EITHER encoding; only row-bearing replacements carry blocks)
+      assert(entries2.filter(_.rows > 0).map(_.name).forall(isColumnar(dir, _)),
+        "COW replacement files should stay columnar")
+      assert(readBack(dir).map(_._1) ==
+        ((1L to 100L).toSet -- Set(3L, 7L, 10L, 11L)))
+    }
+  }
+
+  test("mixed generations: text files and columnar files under one manifest") {
+    val dir = freshDir("mixed")
+    df(1 to 100, "old").write.format(fmt).mode("overwrite")
+      .option("path", dir).save()
+    markColumnar(dir) // the flip: NEW files columnar, old files untouched
+    df(101 to 200, "new").write.format(fmt).mode("append")
+      .option("path", dir).save()
+    val names = dataFiles(dir)
+    assert(names.exists(!isColumnar(dir, _)) && names.exists(isColumnar(dir, _)),
+      "expected one text and one columnar generation")
+    assert(readBack(dir).size == 200, "mixed-encoding union misread")
+    // time travel to the pre-flip generation still decodes text
+    val v1 = withStore(dir) {
+      spark.sql("SELECT * FROM graft.store VERSION AS OF 1").collect()
+    }
+    assert(v1.length == 100 && v1.forall(_.getString(1) == "old"))
+    // compaction of the MIXED inputs rewrites everything columnar
+    StoreSink.compact(spark, dir, 1000000L)
+    val after = dataFiles(dir)
+    assert(after.forall(isColumnar(dir, _)),
+      "compaction should emit the table's current encoding")
+    assert(readBack(dir).size == 200)
+  }
+
+  test("short columnar files pad defaults; widening stays metadata-only") {
+    val dir = freshDir("evolve")
+    markColumnar(dir)
+    df(1 to 10, "g").write.format(fmt).mode("append").option("path", dir).save()
+    // evolve: one added bigint column with an initial default (sidecar
+    // write mimics ALTER ADD COLUMN — GraftCatalogSpec covers the SQL path)
+    StoreSink.writeExtras(new Path(dir), fs, Seq(
+      StoreSink.ExtraField(4, "score", org.apache.spark.sql.types.LongType,
+        rawDefault = Some("42"))))
+    import spark.implicits._
+    (11 to 15).map(k => (k.toLong, "g", k * 100L, k.toLong)).toDF(
+      "k", "grp", "amt_cents", "score")
+      .write.format(fmt).mode("append").option("path", dir).save()
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .select(col("k"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (1 to 10).map(k => (k.toLong, 42L)).toSet ++
+      (11 to 15).map(k => (k.toLong, k.toLong)).toSet
+    assert(got == want, "short-file initial-default decode drifted")
+  }
+}
