@@ -18,6 +18,7 @@ object SparkEntry {
     GraphOps,
     Similarity, PipelineOps, TrainingOps, IndexOps, Subqueries, ScaleOps, EtlOps,
     graft.streaming.StreamOps, graft.sources.Sources,
+    graft.sources.StoreColumnar,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

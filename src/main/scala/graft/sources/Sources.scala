@@ -57,7 +57,7 @@ object Sources extends OpModule {
 
   /** Seed a fresh graft-store at `path` from orders; returns (base frame,
     * max key) — shared by the q_store_* row-level family. */
-  private def seedStore(s: SparkSession, d: String,
+  private[sources] def seedStore(s: SparkSession, d: String,
                         path: String): (DataFrame, Long) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -75,7 +75,7 @@ object Sources extends OpModule {
   /** The shared CDC batch (hard deletes k%89, updates k%97 amt+100,
     * inserts maxK+k for k%101) — q_store_merge and q_store_merge_sql apply
     * it through different protocol layers, one oracle pins both. */
-  private def storeCdc(base: DataFrame,
+  private[sources] def storeCdc(base: DataFrame,
                        maxK: Long): (DataFrame, DataFrame, DataFrame) = {
     val dels = base.where(pmod(col("k"), lit(89)) === 0).select(col("k"))
     val upds = base.where(pmod(col("k"), lit(97)) === 0 &&
@@ -89,7 +89,7 @@ object Sources extends OpModule {
 
   /** Read the store back and aggregate per group, materialized inside the
     * caller's conf scope (the conf-scoped-query rule). */
-  private def storeSummary(s: SparkSession, path: String): DataFrame = {
+  private[sources] def storeSummary(s: SparkSession, path: String): DataFrame = {
     val res = s.read.format("graft.sources.StoreSink").option("path", path).load()
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
