@@ -42,8 +42,75 @@ object AnnIndex {
   val CorpusProp = "graft.index.corpus"
   val VersionProp = "graft.index.corpus_version"
 
-  private def cb(indexPath: String) = s"$indexPath/codebook"
-  private def pl(indexPath: String) = s"$indexPath/postings"
+  // ---------------------------------------------------- generation pointer
+  /** ATOMIC REBUILD (round-11 verdict #2a): a rebuild must never leave a
+    * probe staring at a missing or half-written index, so index tables
+    * live under GENERATION directories (`gen-<n>/codebook`, …) and a
+    * `_current` pointer file — swapped in ONE atomic namespace op — names
+    * the live one. [[buildFrom]] stages the whole new generation first and
+    * publishes it with the pointer swap; a concurrent probe resolves the
+    * pointer ONCE at operation start and reads a complete generation
+    * either way (the FAISS "build aside, flip the symlink" discipline,
+    * and exactly Iceberg's metadata-pointer contract). Superseded
+    * generations stay on disk for in-flight probes until
+    * [[dropStaleGenerations]]. A pointer-less root reads as its own
+    * generation (legacy layout). */
+  private[sources] val CurrentPtr = "_current"
+
+  /** Test hook: runs after a rebuild's generation is fully written but
+    * BEFORE the pointer swap publishes it — the stage/publish window. */
+  @volatile private[graft] var onBeforeIndexPublish: () => Unit = () => ()
+
+  /** Resolve the LIVE generation root — ONCE per operation, so one probe
+    * never mixes two generations' tables. */
+  private[graft] def genDir(indexPath: String): String = {
+    val root = new Path(indexPath)
+    StoreSink.readSmall(root, StoreSink.fs(root), CurrentPtr) match {
+      case Some(g) if g.nonEmpty => s"$indexPath/$g"
+      case _ => indexPath // legacy: tables at the root
+    }
+  }
+
+  private def nextGen(indexPath: String): String = {
+    val root = new Path(indexPath)
+    val raw = StoreSink.fs(root)
+    val n =
+      if (!raw.exists(root)) 0
+      else raw.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("gen-"))
+        .flatMap(g => scala.util.Try(g.stripPrefix("gen-").toInt).toOption)
+        .foldLeft(0)(math.max)
+    s"gen-${n + 1}"
+  }
+
+  private def publishGen(indexPath: String, gen: String): Unit = {
+    onBeforeIndexPublish()
+    val root = new Path(indexPath)
+    StoreSink.atomicWriteSmall(root, StoreSink.fs(root), CurrentPtr, gen)
+  }
+
+  /** GC superseded generation directories (never the live one). The
+    * operator runs this once in-flight probes of the old generation have
+    * drained — the vacuum step of the rebuild lifecycle. */
+  def dropStaleGenerations(indexPath: String): Int = {
+    val root = new Path(indexPath)
+    val fsys = StoreSink.fs(root)
+    val cur = StoreSink.readSmall(root, fsys, CurrentPtr)
+    if (!fsys.exists(root) || cur.isEmpty) return 0
+    val stale = fsys.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && !cur.contains(n))
+    stale.foreach(n => fsys.delete(new Path(root, n), true))
+    stale.length
+  }
+
+  /** Live-generation table paths (public: specs and the streaming refresh
+    * op address the sub-tables through the pointer, never by layout). */
+  def codebookPath(indexPath: String): String = cb(genDir(indexPath))
+  def postingsPath(indexPath: String): String = pl(genDir(indexPath))
+
+  // `genRoot` below is always a RESOLVED generation directory
+  private def cb(genRoot: String) = s"$genRoot/codebook"
+  private def pl(genRoot: String) = s"$genRoot/postings"
 
   /** Non-zero-norm vectors of a corpus STORE (k = vec_id, trailing `emb` =
     * comma-joined float literals), shaped like TrainingOps.nzEmbeddings. */
@@ -91,7 +158,7 @@ object AnnIndex {
     * data reads — one line per partition file): the occupancy audit an IVF
     * operator reads before deciding to rebuild. */
   def cellCounts(indexPath: String): Seq[(Long, Long)] = {
-    val plRoot = new Path(pl(indexPath))
+    val plRoot = new Path(postingsPath(indexPath))
     StoreSink.readEntries(plRoot, StoreSink.fs(plRoot))
       .groupBy(e => StoreSink.partTag(e.part.get)._2.toLong)
       .map { case (c, es) => (c, es.map(e => math.max(e.rows, 0L)).sum) }
@@ -99,9 +166,12 @@ object AnnIndex {
   }
 
   /** The persisted codebook as (c_id, c_emb, c_nrm). */
-  def codebook(s: SparkSession, indexPath: String): DataFrame = {
+  def codebook(s: SparkSession, indexPath: String): DataFrame =
+    codebookAt(s, genDir(indexPath))
+
+  private def codebookAt(s: SparkSession, genRoot: String): DataFrame = {
     graft.functions.FloatDot.register(s)
-    centroidsOf(s.read.format(Fmt).option("path", cb(indexPath)).load()
+    centroidsOf(s.read.format(Fmt).option("path", cb(genRoot)).load()
       .select(col("k").as("c_id"), col("amt_cents").as("n"), col("sv_csv")))
   }
 
@@ -111,10 +181,14 @@ object AnnIndex {
     * (the corpus store path + the version the postings reflect). */
   private def buildFrom(s: SparkSession, nz: DataFrame, indexPath: String,
                         corpusRef: Option[(String, Int)]): (Long, Long) = {
-    val cbRoot = new Path(cb(indexPath))
-    val plRoot = new Path(pl(indexPath))
+    // STAGE-THEN-SWAP: the whole generation is written aside and published
+    // by one atomic pointer write — a concurrent probe reads the previous
+    // generation until the swap, the new one after, never a torn index
+    val gen = nextGen(indexPath)
+    val genRoot = s"$indexPath/$gen"
+    val cbRoot = new Path(cb(genRoot))
+    val plRoot = new Path(pl(genRoot))
     val fsys = StoreSink.fs(cbRoot)
-    fsys.delete(cbRoot, true); fsys.delete(plRoot, true)
     // trailing schemas persist BEFORE any write (the CTAS-shaped path)
     StoreSink.writeExtras(cbRoot, fsys,
       StoreSink.extrasOf(Seq(StructField("sv_csv", StringType))))
@@ -124,14 +198,14 @@ object AnnIndex {
     trained.select(col("c_id").as("k"), lit("c").as("grp"),
         col("n").as("amt_cents"), col("sv_csv"))
       .coalesce(1)
-      .write.format(Fmt).mode("append").option("path", cb(indexPath)).save()
+      .write.format(Fmt).mode("append").option("path", cb(genRoot)).save()
     val vecs = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                          col("nrm").as("n_nrm"))
     graft.ops.TrainingOps.assign(vecs, centroidsOf(trained))
       .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
         lit(0L).as("amt_cents"),
         expr("array_join(transform(n_emb, x -> cast(x as string)), ',')").as("emb"))
-      .write.format(Fmt).mode("append").option("path", pl(indexPath))
+      .write.format(Fmt).mode("append").option("path", pl(genRoot))
       .option("partitionedBy", "identity:grp").save()
     corpusRef.foreach { case (path, v) =>
       StoreSink.withCommitLock(cbRoot, fsys) {
@@ -142,6 +216,7 @@ object AnnIndex {
     }
     val nCb = StoreSink.readEntries(cbRoot, fsys).map(_.rows).sum
     val nPl = StoreSink.readEntries(plRoot, fsys).map(_.rows).sum
+    publishGen(indexPath, gen) // the ONE visible instant of the rebuild
     (nCb, nPl)
   }
 
@@ -166,7 +241,8 @@ object AnnIndex {
     * query, never the table. Output shape = q_sim_ivf_kmeans. */
   def probe(s: SparkSession, queries: DataFrame, indexPath: String,
             nprobe: Int = 2, topk: Int = 5): DataFrame = {
-    val cents = codebook(s, indexPath)
+    val genRoot = genDir(indexPath) // one generation for the whole probe
+    val cents = codebookAt(s, genRoot)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -180,7 +256,7 @@ object AnnIndex {
       .localCheckpoint() // bounded: |queries| × nprobe
     val buckets = probes.select(col("bucket")).distinct()
       .collect().map(_.getLong(0).toString).toSeq
-    val cand = s.read.format(Fmt).option("path", pl(indexPath)).load()
+    val cand = s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(buckets: _*)) // partition pruning = list lookup
       .select(col("k").as("n_id"), col("grp").cast("long").as("bucket"),
         expr("transform(split(emb, ','), x -> cast(x as float))").as("n_emb"))
@@ -209,8 +285,13 @@ object AnnIndex {
   def buildPq(s: SparkSession, embeddings: DataFrame, indexPath: String): (Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     val nz = nzOf(embeddings)
-    val cdRoot = new Path(s"$indexPath/codes")
-    val qbRoot = new Path(s"$indexPath/pqcb")
+    // PQ state joins the LIVE generation (built right after the coarse
+    // swap, before the generation serves PQ probes); a coarse REBUILD
+    // stages a fresh generation, so this delete only ever clears a
+    // same-generation re-encode, never a table a probe is reading
+    val genRoot = genDir(indexPath)
+    val cdRoot = new Path(s"$genRoot/codes")
+    val qbRoot = new Path(s"$genRoot/pqcb")
     val fsys = StoreSink.fs(cdRoot)
     fsys.delete(cdRoot, true); fsys.delete(qbRoot, true)
     StoreSink.writeExtras(qbRoot, fsys,
@@ -225,7 +306,7 @@ object AnnIndex {
         lit(0L).as("amt_cents"),
         expr("array_join(transform(c_sub, x -> cast(x as string)), ',')").as("sub_csv"))
       .coalesce(1)
-      .write.format(Fmt).mode("append").option("path", s"$indexPath/pqcb").save()
+      .write.format(Fmt).mode("append").option("path", s"$genRoot/pqcb").save()
     val encW = Window.partitionBy(col("vec_id"), col("side"))
       .orderBy(col("dist"), col("c_id"))
     val wide = graft.ops.Similarity.pqSides(nz).join(broadcast(cb), "side")
@@ -237,11 +318,11 @@ object AnnIndex {
     val assigned = graft.ops.TrainingOps.assign(
       nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                 col("nrm").as("n_nrm")),
-      codebook(s, indexPath))
+      codebookAt(s, genRoot))
     wide.join(assigned.select(col("n_id").as("vec_id"), col("bucket")), "vec_id")
       .select(col("vec_id").as("k"), col("bucket").cast("string").as("grp"),
               lit(0L).as("amt_cents"), col("c0"), col("c1"))
-      .write.format(Fmt).mode("append").option("path", s"$indexPath/codes")
+      .write.format(Fmt).mode("append").option("path", s"$genRoot/codes")
       .option("partitionedBy", "identity:grp").save()
     (StoreSink.readEntries(qbRoot, fsys).map(_.rows).sum,
      StoreSink.readEntries(cdRoot, fsys).map(_.rows).sum)
@@ -255,7 +336,8 @@ object AnnIndex {
   def probePq(s: SparkSession, queries: DataFrame, indexPath: String,
               nprobe: Int = 2, topk: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = codebook(s, indexPath)
+    val genRoot = genDir(indexPath) // one generation end to end
+    val cents = codebookAt(s, genRoot)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -269,7 +351,7 @@ object AnnIndex {
       .localCheckpoint() // bounded: |queries| × nprobe
     val buckets = probes.select(col("bucket")).distinct()
       .collect().map(_.getLong(0).toString).toSeq
-    val cb = s.read.format(Fmt).option("path", s"$indexPath/pqcb").load()
+    val cb = s.read.format(Fmt).option("path", s"$genRoot/pqcb").load()
       .select((col("k") % 1000).as("c_id"), (col("k") / 1000).cast("int").as("side"),
         expr("transform(split(sub_csv, ','), x -> cast(x as float))").as("c_sub"))
     val dtab = graft.ops.Similarity.pqSides(queries)
@@ -279,7 +361,7 @@ object AnnIndex {
         expr(s"cast(round(${graft.ops.Similarity.PqL2Sq} * 1000000) as bigint)").as("d_e6"))
       .withColumnRenamed("c_id", "code")
       .localCheckpoint() // |queries| × 16
-    val codes = s.read.format(Fmt).option("path", s"$indexPath/codes").load()
+    val codes = s.read.format(Fmt).option("path", s"$genRoot/codes").load()
       .where(col("grp").isin(buckets: _*)) // the probed cells only
       .select(col("k").as("n_id"), col("grp").cast("long").as("bucket"),
               col("c0"), col("c1"))
@@ -295,7 +377,7 @@ object AnnIndex {
       .groupBy(col("q_id"), col("n_id")).agg(sum(col("d_e6")).as("adc"))
       .withColumn("rn", row_number().over(candW)).where(col("rn") <= 20)
       .select(col("q_id"), col("n_id"))
-    val vecsIdx = s.read.format(Fmt).option("path", pl(indexPath)).load()
+    val vecsIdx = s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(buckets: _*))
       .select(col("k").as("n_id"),
         expr("transform(split(emb, ','), x -> cast(x as float))").as("n_emb"))
@@ -321,8 +403,9 @@ object AnnIndex {
     * recall drifts only as far as the data does, the standard IVF contract
     * (rebuild to re-center). Returns (keys_changed, partitions_rewritten). */
   def refresh(s: SparkSession, indexPath: String): (Long, Long) = {
-    val cbRoot = new Path(cb(indexPath))
-    val plRoot = new Path(pl(indexPath))
+    val genRoot = genDir(indexPath) // refresh maintains the LIVE generation
+    val cbRoot = new Path(cb(genRoot))
+    val plRoot = new Path(pl(genRoot))
     val fsys = StoreSink.fs(cbRoot)
     val props = StoreSink.readProps(cbRoot, fsys).toMap
     val corpus = props.getOrElse(CorpusProp, throw new IllegalStateException(
@@ -345,12 +428,12 @@ object AnnIndex {
         .where(col("nrm") > 0)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                 col("nrm").as("n_nrm")),
-      codebook(s, indexPath))
+      codebookAt(s, genRoot))
       .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
         lit(0L).as("amt_cents"),
         expr("array_join(transform(n_emb, x -> cast(x as string)), ',')").as("emb"))
       .localCheckpoint()
-    def postings = s.read.format(Fmt).option("path", pl(indexPath)).load()
+    def postings = s.read.format(Fmt).option("path", pl(genRoot)).load()
     // touched cells: where new assignments land + where changed keys lived
     // (bounded by the codebook size — a catalog-sized driver list)
     val touched = (newAsg.select(col("grp")).distinct()
@@ -373,7 +456,7 @@ object AnnIndex {
       .join(changedKeys, Seq("k"), "left_anti")
       .select(col("k"), col("grp"), col("amt_cents"), col("emb"))
       .unionByName(newAsg)
-      .write.format(Fmt).mode("append").option("path", pl(indexPath))
+      .write.format(Fmt).mode("append").option("path", pl(genRoot))
       .option("replace", replaced.mkString(","))
       .option("preserveMarkers", "true").save()
     StoreSink.withCommitLock(cbRoot, fsys) {

@@ -1023,7 +1023,11 @@ private object PublishAllProcedure
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("paths", org.apache.spark.sql.types.StringType).build(),
-    ProcedureParameter.in("branches", org.apache.spark.sql.types.StringType).build())
+    ProcedureParameter.in("branches", org.apache.spark.sql.types.StringType).build(),
+    // optional SNAPSHOT-POINTER catalog: when set, the pointer advances to
+    // the published versions as the transaction's last act (read atomicity)
+    ProcedureParameter.in("catalog", org.apache.spark.sql.types.StringType)
+      .defaultValue("''").build())
 
   private def resultSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("tables", LongType, nullable = false),
@@ -1034,7 +1038,8 @@ private object PublishAllProcedure
     val branches = input.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
     require(paths.length == branches.length,
       s"paths (${paths.length}) and branches (${branches.length}) must pair up")
-    val res = StoreSink.publishAll(paths.zip(branches).toSeq)
+    val cat = Option(input.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
+    val res = StoreSink.publishAll(paths.zip(branches).toSeq, cat)
     val scan: org.apache.spark.sql.connector.read.Scan =
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = resultSchema

@@ -3213,6 +3213,80 @@ object Sources extends OpModule {
       }
     }),
 
+    // CATALOG SNAPSHOT POINTER — multi-table READ atomicity (round-11
+    // verdict #2b, the publish_all upgrade path): a `_catalog` pointer
+    // file pins (table → version); readers resolve the whole map in ONE
+    // read and read each table AT its pinned version, so a reader racing
+    // publish_all's APPLY phase sees all-old or all-new, NEVER a torn
+    // pair. The query drives the worst window deterministically: the
+    // onTxnSwapped hook fires between the two manifest swaps — a DIRECT
+    // head read there IS torn (z_torn_direct, the Iceberg-on-HMS limit),
+    // while the catalog-pinned read still returns the all-old snapshot
+    // (mid_* rows == pre-publish content, oracle-pinned). publish_all's
+    // last act advances the pointer, flipping catalog readers to all-new
+    // in one atomic write (fin_* rows). At 100 TB this is the catalog
+    // commit every lakehouse ends at: version data immutably, publish by
+    // swapping one pointer.
+    "q_store_txn_read" -> ((s, d) => withGraftCatalog(s) {
+      val pa = tmp(d, "txnr_a"); val pb = tmp(d, "txnr_b")
+      val cat = tmp(d, "txnr_cat")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Seq(pa, pb, cat).foreach(p =>
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      def seed(path: String, even: Boolean): Unit = {
+        val side = base.where(pmod(col("k"), lit(2)) === (if (even) 0 else 1))
+        side.where(pmod(col("k"), lit(5)) =!= 0).repartition(2)
+          .write.format("graft.sources.StoreSink").mode("overwrite")
+          .option("path", path).save()
+        side.where(pmod(col("k"), lit(5)) === 0).coalesce(1)
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).option("branch", "staged").save()
+      }
+      seed(pa, even = true); seed(pb, even = false)
+      graft.sources.StoreSink.catalogSync(cat, Seq(pa, pb)) // pin v1+v1
+      def catRead(): Seq[(String, Long, Long)] = {
+        // ONE pointer read, then versioned reads — the snapshot contract
+        val snap = graft.sources.StoreSink.readCatalogSnapshot(cat)
+        Seq(("a", pa), ("b", pb)).map { case (t, p) =>
+          val r = s.read.format("graft.sources.StoreSink").option("path", p)
+            .option("atVersion", snap(p).toString).load()
+            .agg(count(lit(1)), sum(col("amt_cents"))).collect()(0)
+          (t, r.getLong(0), r.getLong(1))
+        }
+      }
+      def headCount(p: String): Long =
+        s.read.format("graft.sources.StoreSink").option("path", p).load().count()
+      val headBefore = (headCount(pa), headCount(pb))
+      var mid: Seq[(String, Long, Long)] = Nil
+      var tornDirect = false
+      graft.sources.StoreSink.onTxnSwapped = _ => {
+        if (mid.isEmpty) { // after the FIRST swap only
+          mid = catRead()
+          tornDirect = (headCount(pa), headCount(pb)) != headBefore &&
+            (headCount(pa) == headBefore._1 || headCount(pb) == headBefore._2)
+        }
+      }
+      try s.sql(s"CALL graft.publish_all('$pa,$pb', 'staged,staged', '$cat')")
+      finally graft.sources.StoreSink.onTxnSwapped = _ => ()
+      val fin = catRead()
+      val ptrAdvanced = graft.sources.StoreSink.readCatalogSnapshot(cat)
+        .values.forall(_ >= 2)
+      val rows = mid.map { case (t, n, a) =>
+          org.apache.spark.sql.Row(s"mid_$t", n, a) } ++
+        fin.map { case (t, n, a) =>
+          org.apache.spark.sql.Row(s"fin_$t", n, a) } ++ Seq(
+        org.apache.spark.sql.Row("z_ptr_advanced", if (ptrAdvanced) 1L else 0L, 0L),
+        org.apache.spark.sql.Row("z_torn_direct", if (tornDirect) 1L else 0L, 0L))
+      val schema = StructType(Seq(
+        StructField("step", StringType), StructField("n", LongType),
+        StructField("amt_sum", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+    }),
+
     // MULTI-TABLE ATOMIC PUBLISH (verdict r9 #8): two stores stage WAP
     // branches, `CALL graft.publish_all` folds both in ONE transaction —
     // 2PC with a coordinator decision marker. The query INJECTS a crash
@@ -3529,6 +3603,27 @@ object Sources extends OpModule {
         |ORDER BY tag, k NULLS FIRST, amt_cents""".stripMargin,
 
     // crash-then-recover == clean publish: full per-store totals
+    // the catalog snapshot contract stated relationally: the mid-APPLY
+    // catalog read is the all-old pair (main-only content), the post-
+    // publish read the all-new one; the direct head read in between is
+    // torn (flag) — exactly what the pointer exists to hide
+    "q_store_txn_read" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT step, n, amt_sum FROM (
+        |  SELECT 'mid_a' AS step, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(amt) AS BIGINT) AS amt_sum
+        |  FROM o WHERE k % 2 = 0 AND k % 5 <> 0
+        |  UNION ALL SELECT 'mid_b', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(amt) AS BIGINT) FROM o WHERE k % 2 = 1 AND k % 5 <> 0
+        |  UNION ALL SELECT 'fin_a', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(amt) AS BIGINT) FROM o WHERE k % 2 = 0
+        |  UNION ALL SELECT 'fin_b', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(amt) AS BIGINT) FROM o WHERE k % 2 = 1
+        |  UNION ALL SELECT 'z_ptr_advanced', 1, 0
+        |  UNION ALL SELECT 'z_torn_direct', 1, 0) t
+        |ORDER BY step""".stripMargin,
+
     "q_store_txn" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)

@@ -2294,7 +2294,60 @@ object StoreSink {
     * ABORTS otherwise (branches stay staged, WAP semantics). This is the
     * Iceberg/Nessie catalog-transaction shape with the decision record
     * living next to the data. Returns (tables, files published). */
-  def publishAll(tables: Seq[(String, String)]): (Long, Long) = {
+  // ------------------------------------------- catalog snapshot pointer
+  /** MULTI-TABLE READ ATOMICITY (round-11 verdict #2b — the upgrade path
+    * SCALE.md named): publish_all's 2PC makes the OUTCOME atomic, but a
+    * reader racing the APPLY phase can still see table A's new version next
+    * to table B's old one — the Iceberg-on-HMS limit. The fix is the same
+    * one Iceberg's catalogs use: a SNAPSHOT POINTER — one `_catalog` file
+    * mapping table path → pinned version, swapped in ONE atomic write.
+    * Readers resolve the whole map in ONE read ([[readCatalogSnapshot]])
+    * and read every table AT its pinned version (`atVersion` /
+    * VERSION AS OF — versions are immutable), so any snapshot they obtain
+    * is all-old or all-new by construction, regardless of where a
+    * concurrent publish is in its APPLY. publishAll advances the pointer
+    * only AFTER every swap landed; a crash before that leaves the catalog
+    * consistently old (tables roll forward on recovery, and the pointer
+    * catches up on the next publish or [[catalogSync]]). */
+  val CatalogFile = "_catalog"
+
+  /** The pinned (table path → version) map — ONE control-file read. */
+  def readCatalogSnapshot(catalogPath: String): Map[String, Int] = {
+    val root = new Path(catalogPath)
+    readSmall(root, fs(root), CatalogFile) match {
+      case None => Map.empty
+      case Some(txt) => txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val Array(p, v) = l.split("\\|", 2)
+          (java.net.URLDecoder.decode(p, "UTF-8"), v.toInt)
+        }.toMap
+    }
+  }
+
+  /** Merge `updates` into the catalog pointer under its own commit lock
+    * (concurrent publishes of DISJOINT table sets serialize here). */
+  private def advanceCatalog(catalogPath: String,
+                             updates: Map[String, Int]): Unit = {
+    val root = new Path(catalogPath)
+    val fsys = fs(root)
+    withCommitLock(root, fsys) {
+      val merged = readCatalogSnapshot(catalogPath) ++ updates
+      atomicWriteSmall(root, fsys, CatalogFile,
+        merged.toSeq.sortBy(_._1).map { case (p, v) =>
+          s"${java.net.URLEncoder.encode(p, "UTF-8")}|$v"
+        }.mkString("\n"))
+    }
+  }
+
+  /** Pin each table's CURRENT head version into the catalog — the initial
+    * registration (and the catch-up after a crash-recovered publish). */
+  def catalogSync(catalogPath: String, tables: Seq[String]): Unit =
+    advanceCatalog(catalogPath, tables.map { p =>
+      p -> listVersions(new Path(p), fs(new Path(p))).lastOption.getOrElse(0)
+    }.toMap)
+
+  def publishAll(tables: Seq[(String, String)],
+                 catalog: Option[String] = None): (Long, Long) = {
     require(tables.size >= 2,
       "publish_all is the multi-table form; CALL graft.publish for one table")
     require(tables.map(_._1).distinct.size == tables.size,
@@ -2349,6 +2402,10 @@ object StoreSink {
         manifestFs(fs(new Path(p))).delete(new Path(new Path(p), s"_txn.$txnId"), false)
       }
       manifestFs(fs(croot)).delete(new Path(croot, s"_txn.$txnId.commit"), false)
+      // advance the snapshot pointer LAST: catalog readers flip from the
+      // all-old snapshot to the all-new one in this single write — the only
+      // instant the publish becomes visible to them
+      catalog.foreach(c => catalogSync(c, sorted.map(_._1)))
     }
     (sorted.size.toLong, published)
   }
@@ -2539,6 +2596,48 @@ object StoreSink {
       s"graft-store has no version committed at or before ts=$tsMillis ms " +
         "(the instant predates the table, or those versions were vacuumed)")
     vs.maxBy(_._2)._1
+  }
+
+  /** Atomically publish a SMALL control file (pointer/catalog): write a
+    * sidecar-free tmp, then ONE namespace op into place — the same swap
+    * discipline as the manifest (readers see the old content or the new,
+    * never a missing or torn file). */
+  private[sources] def atomicWriteSmall(root: Path, fsys: FileSystem,
+                                        name: String, content: String): Unit = {
+    val raw = manifestFs(fsys)
+    val tmp = new Path(root, s"$name.tmp")
+    val out = raw.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = raw.makeQualified(new Path(root, name))
+    raw.delete(new Path(root, s".$name.crc"), false)
+    raw.delete(new Path(root, s".$name.tmp.crc"), false)
+    if (dst.toUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(raw.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, raw.getConf)
+      fc.rename(raw.makeQualified(tmp), dst,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Read a small control file as trimmed text; None when absent. */
+  private[sources] def readSmall(root: Path, fsys: FileSystem,
+                                 name: String): Option[String] = {
+    val raw = manifestFs(fsys)
+    val p = new Path(root, name)
+    if (!raw.exists(p)) None
+    else {
+      val in = raw.open(p)
+      Some(try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).trim
+        finally in.close())
+    }
   }
 
   private[sources] def writeManifestAtomic(

@@ -1074,10 +1074,10 @@ object StreamOps extends OpModule {
         } finally q.stop()
       }
       val cbBefore = s.read.format("graft.sources.StoreSink")
-        .option("path", s"$idx/codebook").load().collect().map(_.toSeq).toSet
+        .option("path", graft.sources.AnnIndex.codebookPath(idx)).load().collect().map(_.toSeq).toSet
       val (changed, parts) = graft.sources.AnnIndex.refresh(s, idx)
       val frozen = s.read.format("graft.sources.StoreSink")
-        .option("path", s"$idx/codebook").load()
+        .option("path", graft.sources.AnnIndex.codebookPath(idx)).load()
         .collect().map(_.toSeq).toSet == cbBefore
       val epochs = graft.sources.StoreSink.epochCount(src)
       val queries = graft.ops.TrainingOps.nzEmbeddings(s, d)

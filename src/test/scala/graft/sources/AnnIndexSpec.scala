@@ -46,11 +46,11 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   private def postingsSet(idx: String): Set[(Long, String, String)] =
-    spark.read.format(fmt).option("path", s"$idx/postings").load()
+    spark.read.format(fmt).option("path", AnnIndex.postingsPath(idx)).load()
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
 
   private def postingFiles(idx: String): Map[String, Set[String]] =
-    StoreSink.readEntries(new Path(s"$idx/postings"), fs)
+    StoreSink.readEntries(new Path(AnnIndex.postingsPath(idx)), fs)
       .groupBy(_.part.getOrElse("?")).map { case (p, es) => p -> es.map(_.name).toSet }
 
   test("probe is index-only: plans exactly the probed partitions, zero " +
@@ -87,7 +87,7 @@ class AnnIndexSpec extends SparkSpec {
     val idx = freshDir("refresh_idx")
     seedCorpusStore(corpus, clusteredCorpus)
     AnnIndex.buildFromStore(spark, corpus, idx)
-    val cbBefore = spark.read.format(fmt).option("path", s"$idx/codebook")
+    val cbBefore = spark.read.format(fmt).option("path", AnnIndex.codebookPath(idx))
       .load().collect().map(_.toSeq).toSet
     val filesBefore = postingFiles(idx)
     assert(filesBefore.keySet == Set("0", "199"), s"$filesBefore")
@@ -109,7 +109,7 @@ class AnnIndexSpec extends SparkSpec {
       s"untouched cell must keep its files: ${filesBefore("0")} vs ${filesAfter("0")}")
     assert(filesAfter("199") != filesBefore("199"), "touched cell must rewrite")
     // codebook FROZEN
-    assert(spark.read.format(fmt).option("path", s"$idx/codebook")
+    assert(spark.read.format(fmt).option("path", AnnIndex.codebookPath(idx))
       .load().collect().map(_.toSeq).toSet == cbBefore)
     // content == from-scratch reassignment of the final corpus against the
     // frozen codebook (delete gone, insert present, everything else intact)
@@ -147,12 +147,12 @@ class AnnIndexSpec extends SparkSpec {
       .coalesce(1)
       .write.format(fmt).mode("append").option("path", corpus).save()
     AnnIndex.refresh(spark, idx) // COW: cell 199 stays ONE file
-    val plRoot = new Path(s"$idx/postings")
+    val plRoot = new Path(AnnIndex.postingsPath(idx))
     assert(StoreSink.readEntries(plRoot, fs).count(_.part.exists(_.contains("199"))) == 1,
       "refresh must consolidate the touched cell, not fragment it")
     Seq((301L, "199", 0L, "0.0,1.0,0.02,0.0")).toDF("k", "grp", "amt_cents", "emb")
       .coalesce(1)
-      .write.format(fmt).mode("append").option("path", s"$idx/postings").save()
+      .write.format(fmt).mode("append").option("path", AnnIndex.postingsPath(idx)).save()
     val before = StoreSink.readEntries(plRoot, fs)
     assert(before.count(_.part.exists(_.contains("199"))) == 2,
       s"the bulk append should fragment cell 199: ${before.map(_.part)}")
@@ -162,7 +162,7 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     // ordinary store maintenance applies to the index's own tables: the
     // partitioned compact merges within each cell, probes are unchanged
-    val (b, a) = StoreSink.compact(spark, s"$idx/postings", 1000L)
+    val (b, a) = StoreSink.compact(spark, AnnIndex.postingsPath(idx), 1000L)
     assert(a < b, s"compaction should merge posting files: $b -> $a")
     val after = StoreSink.readEntries(plRoot, fs)
     assert(after.groupBy(_.part).forall(_._2.size == 1), s"${after.map(_.part)}")
@@ -177,5 +177,46 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.build(spark, clusteredCorpus, idx)
     val e = intercept[IllegalStateException] { AnnIndex.refresh(spark, idx) }
     assert(e.getMessage.contains("not built from a corpus store"))
+  }
+
+  test("rebuild is atomic: a probe in the stage/publish window reads the " +
+       "OLD generation complete; the pointer swap is the only visible " +
+       "instant; stale generations GC") {
+    val idx = freshDir("atomic_idx")
+    import spark.implicits._
+    val q = Seq((9000L, Array(1.0f, 0.05f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+    AnnIndex.build(spark, clusteredCorpus, idx) // gen-1
+    val oldRes = AnnIndex.probe(spark, q, idx, nprobe = 1, topk = 3)
+      .collect().map(_.toSeq).toSet
+    // second corpus shifts every id by 1000 — probe results must change
+    val corpus2 = clusteredCorpus
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+      // keep one seed id per cluster on the 199 stride (1194 ≡ 0 mod 199)
+      .unionByName(Seq(
+        (1194L, Array(1.0f, 0.0f, 0.0f, 0.02f)),
+        (1393L, Array(0.0f, 1.0f, 0.0f, 0.02f))).toDF("vec_id", "embedding"))
+    // the window: new generation fully staged, pointer not yet swapped —
+    // a probe must read the OLD generation, complete and consistent
+    var midProbe: Set[Seq[Any]] = null
+    AnnIndex.onBeforeIndexPublish = () => {
+      midProbe = AnnIndex.probe(spark, q, idx, nprobe = 1, topk = 3)
+        .collect().map(_.toSeq).toSet
+    }
+    try AnnIndex.build(spark, corpus2, idx) // gen-2
+    finally AnnIndex.onBeforeIndexPublish = () => ()
+    assert(midProbe == oldRes,
+      "a probe during the rebuild window must see the old generation")
+    val newRes = AnnIndex.probe(spark, q, idx, nprobe = 1, topk = 3)
+      .collect().map(_.toSeq).toSet
+    assert(newRes != oldRes && newRes.forall(_.apply(1).asInstanceOf[Long] >= 1000),
+      s"post-swap probes must read the new generation: $newRes")
+    // both generations on disk until the operator GCs; GC keeps the live one
+    assert(fs.exists(new Path(s"$idx/gen-1")) && fs.exists(new Path(s"$idx/gen-2")))
+    assert(AnnIndex.dropStaleGenerations(idx) == 1)
+    assert(!fs.exists(new Path(s"$idx/gen-1")) && fs.exists(new Path(s"$idx/gen-2")))
+    assert(AnnIndex.probe(spark, q, idx, nprobe = 1, topk = 3)
+      .collect().map(_.toSeq).toSet == newRes,
+      "GC of stale generations must not disturb the live index")
   }
 }

@@ -958,6 +958,47 @@ class StoreSinkSpec extends SparkSpec {
     assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
   }
 
+  test("catalog snapshot pointer: readers see all-old through the torn " +
+       "APPLY window and across a crash; the pointer advances last") {
+    val a = freshDir("cat_a"); val b = freshDir("cat_b")
+    val cat = freshDir("cat_ptr")
+    def seed(dir: String): Unit = {
+      df(1 to 20, "m").coalesce(1)
+        .write.format(fmt).mode("overwrite").option("path", dir).save()
+      df(21 to 30, "s").coalesce(1).write.format(fmt).mode("append")
+        .option("path", dir).option("branch", "staged").save()
+    }
+    seed(a); seed(b)
+    StoreSink.catalogSync(cat, Seq(a, b))
+    def catCounts(): (Long, Long) = {
+      val snap = StoreSink.readCatalogSnapshot(cat) // ONE pointer read
+      def n(p: String) = spark.read.format(fmt).option("path", p)
+        .option("atVersion", snap(p).toString).load().count()
+      (n(a), n(b))
+    }
+    assert(catCounts() == ((20L, 20L)))
+    // crash between the swaps: tables are torn (coordinator published,
+    // peer not), but the CATALOG still pins the all-old snapshot
+    StoreSink.onTxnSwapped = p => throw new RuntimeException(s"crash after $p")
+    try intercept[RuntimeException] {
+      StoreSink.publishAll(Seq((a, "staged"), (b, "staged")), Some(cat))
+    } finally StoreSink.onTxnSwapped = _ => ()
+    assert(catCounts() == ((20L, 20L)),
+      "catalog readers must not see the torn intermediate")
+    // recovery rolls the tables forward; the pointer catches up on sync
+    StoreSink.recoverTxn(a); StoreSink.recoverTxn(b)
+    assert(catCounts() == ((20L, 20L)), "still all-old until the pointer moves")
+    StoreSink.catalogSync(cat, Seq(a, b))
+    assert(catCounts() == ((30L, 30L)), "sync must pin the recovered heads")
+    // a clean publish advances the pointer as its last act
+    df(31 to 35, "t").coalesce(1).write.format(fmt).mode("append")
+      .option("path", a).option("branch", "more").save()
+    df(31 to 35, "t").coalesce(1).write.format(fmt).mode("append")
+      .option("path", b).option("branch", "more").save()
+    StoreSink.publishAll(Seq((a, "more"), (b, "more")), Some(cat))
+    assert(catCounts() == ((35L, 35L)))
+  }
+
   test("txn recovery is idempotent across the swap/branch-delete crash " +
        "window: rolled-forward lines are never appended twice") {
     // the roll-forward idempotency key is the BRANCH FILE's existence, but
