@@ -252,12 +252,157 @@ object IndexOps extends OpModule {
         .unionByName(recallOf(AnnIndex.probe(s, queries, idx, nprobe = 2), "p2"))
         .orderBy(col("variant"), col("q_id"))
     }),
+
+    // PERSISTED BM25 INDEX (round-11 verdict #4 — the sparse twin of
+    // q_sim_ivf_indexed): q_bm25 rebuilds tf/df/dlen per query; here the
+    // inverted index is a store ARTIFACT (sources/TextIndex.scala:
+    // shard-partitioned postings with denormalized norms, a dictionary
+    // table, exact-integer corpus stats in _props) and the query is a
+    // PROBE — the planned partitions are the query terms' shards, the
+    // corpus never re-tokenizes. Bit-identical to the recompute pipeline
+    // (same tokenizer, same per-term e4-rounded Okapi kernel, stats as
+    // exact-integer literals), so it SHARES q_bm25's oracle verbatim.
+    "q_bm25_indexed" -> ((s, d) => {
+      val idx = tmpIdx(d, "bm25")
+      graft.sources.TextIndex.build(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")), idx)
+      graft.sources.TextIndex.probeTop(s, idx, topk = 20)
+    }),
+
+    // SPARSE RAG RETRIEVAL through the persisted index: Rocchio PRF
+    // (q_rag_prf's two-round flow) executed index-resident — round 1
+    // scores the dictionary's seed terms over their posting shards, the
+    // top-5 docs' TEXT is fetched (5 rows — a RAG system hydrates docs
+    // anyway) and re-tokenized for the expansion terms, whose df comes
+    // from the dictionary, and round 2 re-scores the 8-term query through
+    // the same index. Shares q_rag_prf's oracle: the whole PRF stack
+    // transfers onto the artifact with zero drift.
+    "q_rag_sparse_indexed" -> ((s, d) => {
+      val idx = tmpIdx(d, "ragsparse")
+      val ti = graft.sources.TextIndex
+      ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")), idx)
+      val dict = ti.terms(s, idx)
+      val qterms = dict.where(length(col("t")) >= 4)
+        .orderBy(col("df").desc, col("t")).limit(5)
+        .localCheckpoint() // 5 rows
+      val fb = ti.score(s, idx, qterms)
+        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(5)
+        .select(col("doc_id"))
+      // pseudo-relevant doc-term vectors: hydrate 5 docs, re-tokenize —
+      // bounded by the feedback set, never corpus-sized
+      val fbTf = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(broadcast(fb), "doc_id")
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val expand = fbTf
+        .join(qterms.select(col("t")), Seq("t"), "left_anti")
+        .where(length(col("t")) >= 4)
+        .groupBy(col("t")).agg(sum(col("tf")).as("w"))
+        .orderBy(col("w").desc, col("t")).limit(3)
+        .join(dict, "t").select(col("t"), col("df"))
+      ti.score(s, idx, qterms.select(col("t"), col("df")).union(expand))
+        .orderBy(col("bm25_e4").desc, col("doc_id")).limit(10)
+    }),
+
+    // INCREMENTAL MAINTENANCE of the sparse index: the corpus store takes
+    // a CDC batch (a doc-id range retires, fresh docs append), refresh
+    // folds the CHANGE FEED — deletes re-tokenize from the feed's own
+    // rows, df/nd/tl adjust by exact integer deltas, only touched shards
+    // rewrite — and the post-refresh probe must equal a full recompute
+    // over the head corpus, which is exactly what the oracle states. At
+    // 100 TB this is how search keeps up with ingest: changed-docs cost,
+    // never a re-index.
+    "q_text_index_refresh" -> ((s, d) => {
+      val ti = graft.sources.TextIndex
+      val corpus = tmpIdx(d, "txtcorpus")
+      val idx = tmpIdx(d, "txtidx")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(corpus), true)
+      fsys.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val (nDocs, nShards) = graft.sources.Sources.withGraftCatalog(s) {
+        graft.sources.Sources.withStorePath(s, corpus) {
+          s.sql("ALTER TABLE graft.store ADD COLUMN text STRING")
+          docs.select(col("doc_id").as("k"), lit("d").as("grp"),
+              lit(0L).as("amt_cents"), col("text"))
+            .repartitionByRange(4, col("k"))
+            .write.format("graft.sources.StoreSink").mode("append")
+            .option("path", corpus).save()
+          s.sql(s"CALL graft.text_index_build('$corpus', '$idx')").collect()
+          // CDC: a doc-id range retires; fresh docs (known text) append
+          s.sql("DELETE FROM graft.store WHERE k BETWEEN 10 AND 99")
+          docs.where(col("doc_id").between(1, 50))
+            .select((col("doc_id") + maxId).as("k"), lit("d").as("grp"),
+              lit(0L).as("amt_cents"), col("text"))
+            .write.format("graft.sources.StoreSink").mode("append")
+            .option("path", corpus).save()
+          val r = s.sql(s"CALL graft.text_index_refresh('$idx')").collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+      }
+      val top = ti.probeTop(s, idx, topk = 10)
+        .select(col("doc_id"), col("n_terms"), col("bm25_e4"))
+        .collect()
+      val rows = top.toSeq :+ org.apache.spark.sql.Row(-1L,
+        if (nDocs > 0 && nShards >= 1) 1L else 0L, 0L) // z_incremental
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_terms",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bm25_e4",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+        .orderBy(col("bm25_e4").desc, col("doc_id"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
 
     // probing the persisted index == the retrain-per-query pipeline
     "q_sim_ivf_indexed" -> TrainingOps.simIvfKmeansOracle,
+
+    // the persisted sparse index == the per-query tf/df recompute —
+    // q_bm25's oracle SHARED verbatim (the dense family's contract)
+    "q_bm25_indexed" -> TextAnalysis.oracles("q_bm25"),
+
+    // the whole PRF stack on the artifact — q_rag_prf's oracle verbatim
+    "q_rag_sparse_indexed" -> TextAnalysis.oracles("q_rag_prf"),
+
+    // post-refresh probe == full recompute over the HEAD corpus state
+    // (retired range gone, shifted copies present) — what "incremental
+    // equals rebuild" means relationally; the -1 row is the audit flag
+    "q_text_index_refresh" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT BETWEEN 10 AND 99
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT MAX(doc_id) FROM documents), text
+        |  FROM documents WHERE doc_id BETWEEN 1 AND 50),
+        |tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM docs),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qterms AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+        |           ORDER BY df DESC, t LIMIT 5),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT) AS sc
+        |  FROM tf JOIN qterms USING (t) JOIN dlen USING (doc_id), stats),
+        |top AS (SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sc) AS BIGINT) AS bm25_e4
+        |        FROM sc GROUP BY doc_id
+        |        ORDER BY bm25_e4 DESC, doc_id LIMIT 10)
+        |SELECT doc_id, n_terms, bm25_e4 FROM top
+        |UNION ALL SELECT -1, 1, 0
+        |ORDER BY bm25_e4 DESC, doc_id""".stripMargin,
 
     // same ordered fold: per-dim integer sums -> ascending squared-sum
     "q_emb_norm_stats" ->

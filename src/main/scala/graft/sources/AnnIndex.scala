@@ -36,6 +36,53 @@ import org.apache.spark.sql.types.{StringType, StructField}
   * q_store_ivm fold applied to index upkeep. At 100 TB: codebook is √n rows
   * (broadcast-sized), postings rewrite is O(touched posting lists), and a
   * probe reads nprobe lists only. */
+/** Shared GENERATION-POINTER mechanics for persisted index artifacts
+  * (AnnIndex's dense family and TextIndex's sparse one): tables live under
+  * `gen-<n>/` directories; a `_current` pointer file — swapped in ONE
+  * atomic namespace op — names the live generation. Rebuilds stage a whole
+  * new generation and publish it with the pointer swap; readers resolve
+  * the pointer ONCE per operation and see a complete generation either
+  * way. A pointer-less root reads as its own generation (legacy). */
+private[sources] object IndexGen {
+  val CurrentPtr = "_current"
+
+  def dir(indexPath: String): String = {
+    val root = new Path(indexPath)
+    StoreSink.readSmall(root, StoreSink.fs(root), CurrentPtr) match {
+      case Some(g) if g.nonEmpty => s"$indexPath/$g"
+      case _ => indexPath
+    }
+  }
+
+  def next(indexPath: String): String = {
+    val root = new Path(indexPath)
+    val raw = StoreSink.fs(root)
+    val n =
+      if (!raw.exists(root)) 0
+      else raw.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("gen-"))
+        .flatMap(g => scala.util.Try(g.stripPrefix("gen-").toInt).toOption)
+        .foldLeft(0)(math.max)
+    s"gen-${n + 1}"
+  }
+
+  def publish(indexPath: String, gen: String): Unit = {
+    val root = new Path(indexPath)
+    StoreSink.atomicWriteSmall(root, StoreSink.fs(root), CurrentPtr, gen)
+  }
+
+  def dropStale(indexPath: String): Int = {
+    val root = new Path(indexPath)
+    val fsys = StoreSink.fs(root)
+    val cur = StoreSink.readSmall(root, fsys, CurrentPtr)
+    if (!fsys.exists(root) || cur.isEmpty) return 0
+    val stale = fsys.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && !cur.contains(n))
+    stale.foreach(n => fsys.delete(new Path(root, n), true))
+    stale.length
+  }
+}
+
 object AnnIndex {
 
   private val Fmt = "graft.sources.StoreSink"
@@ -55,53 +102,22 @@ object AnnIndex {
     * generations stay on disk for in-flight probes until
     * [[dropStaleGenerations]]. A pointer-less root reads as its own
     * generation (legacy layout). */
-  private[sources] val CurrentPtr = "_current"
+  private def nextGen(indexPath: String): String = IndexGen.next(indexPath)
+  private def publishGen(indexPath: String, gen: String): Unit = {
+    onBeforeIndexPublish()
+    IndexGen.publish(indexPath, gen)
+  }
+  private[graft] def genDir(indexPath: String): String = IndexGen.dir(indexPath)
 
   /** Test hook: runs after a rebuild's generation is fully written but
     * BEFORE the pointer swap publishes it — the stage/publish window. */
   @volatile private[graft] var onBeforeIndexPublish: () => Unit = () => ()
 
-  /** Resolve the LIVE generation root — ONCE per operation, so one probe
-    * never mixes two generations' tables. */
-  private[graft] def genDir(indexPath: String): String = {
-    val root = new Path(indexPath)
-    StoreSink.readSmall(root, StoreSink.fs(root), CurrentPtr) match {
-      case Some(g) if g.nonEmpty => s"$indexPath/$g"
-      case _ => indexPath // legacy: tables at the root
-    }
-  }
-
-  private def nextGen(indexPath: String): String = {
-    val root = new Path(indexPath)
-    val raw = StoreSink.fs(root)
-    val n =
-      if (!raw.exists(root)) 0
-      else raw.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("gen-"))
-        .flatMap(g => scala.util.Try(g.stripPrefix("gen-").toInt).toOption)
-        .foldLeft(0)(math.max)
-    s"gen-${n + 1}"
-  }
-
-  private def publishGen(indexPath: String, gen: String): Unit = {
-    onBeforeIndexPublish()
-    val root = new Path(indexPath)
-    StoreSink.atomicWriteSmall(root, StoreSink.fs(root), CurrentPtr, gen)
-  }
-
   /** GC superseded generation directories (never the live one). The
     * operator runs this once in-flight probes of the old generation have
     * drained — the vacuum step of the rebuild lifecycle. */
-  def dropStaleGenerations(indexPath: String): Int = {
-    val root = new Path(indexPath)
-    val fsys = StoreSink.fs(root)
-    val cur = StoreSink.readSmall(root, fsys, CurrentPtr)
-    if (!fsys.exists(root) || cur.isEmpty) return 0
-    val stale = fsys.listStatus(root).map(_.getPath.getName)
-      .filter(n => n.startsWith("gen-") && !cur.contains(n))
-    stale.foreach(n => fsys.delete(new Path(root, n), true))
-    stale.length
-  }
+  def dropStaleGenerations(indexPath: String): Int =
+    IndexGen.dropStale(indexPath)
 
   /** Live-generation table paths (public: specs and the streaming refresh
     * op address the sub-tables through the pointer, never by layout). */

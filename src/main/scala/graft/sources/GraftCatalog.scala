@@ -66,7 +66,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "analyze", "cherry_pick", "compact", "expire", "history",
       "index_build", "index_refresh", "publish", "publish_all",
-      "remove_orphans", "repartition_spec", "rollback", "tag", "txn_recover",
+      "remove_orphans", "repartition_spec", "rollback", "tag",
+      "text_index_build", "text_index_refresh", "txn_recover",
       "zorder", "zorder_by", "vacuum").map(Identifier.of(Array.empty, _))
   }
 
@@ -86,6 +87,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "txn_recover" => TxnRecoverProcedure
       case "index_build" => IndexBuildProcedure
       case "index_refresh" => IndexRefreshProcedure
+      case "text_index_build" => TextIndexBuildProcedure
+      case "text_index_refresh" => TextIndexRefreshProcedure
       case "publish" => PublishProcedure
       case "rollback" => RollbackProcedure
       case "tag"     => TagProcedure
@@ -995,6 +998,75 @@ private object IndexRefreshProcedure
 
   override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
     val res = AnnIndex.refresh(org.apache.spark.sql.SparkSession.active,
+      input.getUTF8String(0).toString)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(res._1, res._2))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.text_index_build(corpus_store_path, index_path)` — build the
+  * persisted BM25 inverted index from a corpus STORE (k = doc_id, trailing
+  * `text`); see sources/TextIndex.scala. Audit: (n_terms, n_postings). */
+private object TextIndexBuildProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "text_index_build"
+  override def description(): String =
+    "build the persisted BM25 inverted index from a corpus store"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("corpus", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("index_path", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_terms", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_postings", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val res = TextIndex.buildFromStore(org.apache.spark.sql.SparkSession.active,
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(res._1, res._2))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.text_index_refresh(index_path)` — fold the corpus store's
+  * change feed into the inverted index by exact integer deltas. Audit:
+  * (docs_changed, shards_touched). */
+private object TextIndexRefreshProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "text_index_refresh"
+  override def description(): String =
+    "incrementally refresh a persisted BM25 index from its corpus change feed"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("index_path", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("docs_changed", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("shards_touched", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val res = TextIndex.refresh(org.apache.spark.sql.SparkSession.active,
       input.getUTF8String(0).toString)
     val scan: org.apache.spark.sql.connector.read.Scan =
       new org.apache.spark.sql.connector.read.LocalScan {

@@ -3539,7 +3539,7 @@ object Sources extends OpModule {
           .option("path", corpus).save() // v1: the initial corpus
         s.sql(s"CALL graft.index_build('$corpus', '$idx')").collect()
         def cbRows = s.read.format("graft.sources.StoreSink")
-          .option("path", s"$idx/codebook").load()
+          .option("path", graft.sources.AnnIndex.codebookPath(idx)).load()
           .collect().map(_.toSeq).toSet
         val cbBefore = cbRows
         s.sql("DELETE FROM graft.store WHERE k < 25") // v2: corpus shrinks
@@ -3554,7 +3554,7 @@ object Sources extends OpModule {
           .select(lit("t").as("tag"), col("q_id"), col("n_id"),
                   col("score_e4"), col("rn")).collect().toSeq
         val deadLeft = s.read.format("graft.sources.StoreSink")
-          .option("path", s"$idx/postings").load()
+          .option("path", graft.sources.AnnIndex.postingsPath(idx)).load()
           .where(col("k") < 25 && col("k") =!= 0).count() // 0 re-enters via %89
         def flag(tagName: String, v: Boolean) = org.apache.spark.sql.Row(
           tagName, -1L, -1L, if (v) 1 else 0, 0)

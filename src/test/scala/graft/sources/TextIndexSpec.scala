@@ -1,0 +1,147 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted-BM25-index contract (round-11 verdict #4 — the sparse twin
+  * of AnnIndexSpec):
+  *  - a probe plans ONLY the query terms' posting shards (partition pruning
+  *    is the inverted-list lookup);
+  *  - refresh folds the corpus CDF by exact integer deltas and equals a
+  *    from-scratch rebuild of the head corpus, bit for bit;
+  *  - an untouched shard's data files carry over by IDENTITY;
+  *  - rebuilds publish through the shared generation pointer (old results
+  *    until the swap). */
+class TextIndexSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.StoreSink"
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def freshDir(name: String): String = {
+    val dir = s"target/tmp/textindex_spec_$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  /** A corpus whose term sets are knowable: doc 1..4 share "alpha", half
+    * carry "bravo", one carries "zulu". */
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha bravo common words here"),
+      (2L, "alpha common words again here"),
+      (3L, "alpha bravo more common words"),
+      (4L, "alpha zulu rare words here")).toDF("doc_id", "text")
+  }
+
+  private def seedCorpusStore(dir: String, d: DataFrame): Unit = {
+    val root = new Path(dir)
+    StoreSink.writeExtras(root, fs, StoreSink.extrasOf(Seq(
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType))))
+    d.select(col("doc_id").as("k"), lit("d").as("grp"), lit(0L).as("amt_cents"),
+        col("text"))
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", dir).save()
+  }
+
+  private def indexContent(idx: String): (Set[Seq[Any]], Set[Seq[Any]], (Long, Long)) = {
+    val po = spark.read.format(fmt).option("path", TextIndex.postingsPath(idx))
+      .load().collect().map(_.toSeq).toSet
+    val tm = spark.read.format(fmt).option("path", TextIndex.termsPath(idx))
+      .load().collect().map(_.toSeq).toSet
+    (po, tm, TextIndex.stats(idx))
+  }
+
+  test("probe plans only the query terms' shards; scoring matches the " +
+       "recompute kernel") {
+    import spark.implicits._
+    val idx = freshDir("probe_idx")
+    val (nTm, nPl) = TextIndex.build(spark, docs, idx)
+    assert(nTm > 0 && nPl > 0)
+    // single-term query: the planned postings files must be exactly the
+    // term's shard's files (zone hook counts planned files post-pruning)
+    StoreSink.lastZonePrune = None
+    val one = Seq(("zulu", 1L)).toDF("t", "df")
+    val scored = TextIndex.score(spark, idx, one).collect()
+    assert(scored.length == 1 && scored(0).getLong(0) == 4L,
+      s"zulu lives in doc 4 only: ${scored.toSeq}")
+    val entries = StoreSink.readEntries(
+      new Path(TextIndex.postingsPath(idx)), fs)
+    val total = entries.size
+    val planned = StoreSink.lastZonePrune
+    assert(planned.exists { case (t, p) => p < t },
+      s"single-term probe should plan a shard subset of $total files: $planned")
+  }
+
+  test("refresh == full rebuild of the head corpus, bit for bit; " +
+       "untouched shards carry files by identity") {
+    import spark.implicits._
+    val corpus = freshDir("ref_corpus")
+    val idx = freshDir("ref_idx")
+    val twin = freshDir("ref_twin")
+    seedCorpusStore(corpus, docs)
+    TextIndex.buildFromStore(spark, corpus, idx)
+    val filesBefore = StoreSink.readEntries(
+      new Path(TextIndex.postingsPath(idx)), fs)
+      .map(e => (e.part.getOrElse("?"), e.name)).toSet
+    // CDC: doc 2 retires, doc 5 (fresh vocabulary) arrives
+    new StoreTable(corpus).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 2L)))
+    Seq((5L, "d", 0L, "yankee words appear here now"))
+      .toDF("k", "grp", "amt_cents", "text")
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    val (nDocs, nShards) = TextIndex.refresh(spark, idx)
+    assert(nDocs == 2L && nShards >= 1,
+      s"one delete + one insert changed 2 docs: ($nDocs, $nShards)")
+    // twin: a from-scratch build over the HEAD corpus
+    TextIndex.buildFromStore(spark, corpus, twin)
+    val (po1, tm1, st1) = indexContent(idx)
+    val (po2, tm2, st2) = indexContent(twin)
+    assert(st1 == st2, s"stats drifted: $st1 vs $st2")
+    assert(tm1 == tm2, "dictionary drifted from the rebuild")
+    assert(po1 == po2, "postings drifted from the rebuild")
+    // shards untouched by the delta keep their FILES (identity, not just
+    // content) — maintenance cost is the touched shards only
+    val filesAfter = StoreSink.readEntries(
+      new Path(TextIndex.postingsPath(idx)), fs)
+      .map(e => (e.part.getOrElse("?"), e.name)).toSet
+    val changedTerms = Seq("alpha", "common", "words", "again", "here",
+      "yankee", "appear", "now") // doc 2's + doc 5's vocab
+    val touchedShards = changedTerms.toDF("t")
+      .select(concat(lit("b"), pmod(hash(col("t")), lit(16)).cast("string")))
+      .distinct().collect().map(_.getString(0)).toSet
+    val untouchedBefore = filesBefore.filterNot { case (p, _) =>
+      touchedShards.exists(p.endsWith) }
+    assert(untouchedBefore.nonEmpty, "fixture: need at least one untouched shard")
+    assert(untouchedBefore.subsetOf(filesAfter),
+      "untouched shards must carry their files by identity across refresh")
+  }
+
+  test("rebuild publishes through the generation pointer: old probe " +
+       "results until the swap") {
+    val idx = freshDir("gen_idx")
+    TextIndex.build(spark, docs, idx)
+    val before = TextIndex.probeTop(spark, idx, topk = 5)
+      .collect().map(_.toSeq).toSet
+    import spark.implicits._
+    val docs2 = docs.select(col("doc_id") + 100 as "doc_id", col("text"))
+    var mid: Set[Seq[Any]] = null
+    AnnIndex.onBeforeIndexPublish = () => {
+      mid = TextIndex.probeTop(spark, idx, topk = 5)
+        .collect().map(_.toSeq).toSet
+    }
+    try TextIndex.build(spark, docs2, idx)
+    finally AnnIndex.onBeforeIndexPublish = () => ()
+    assert(mid == before, "probe in the stage window must see the old gen")
+    val after = TextIndex.probeTop(spark, idx, topk = 5)
+      .collect().map(_.toSeq).toSet
+    assert(after != before && after.forall(_.head.asInstanceOf[Long] > 100),
+      s"post-swap probes read the new generation: $after")
+    assert(AnnIndex.dropStaleGenerations(idx) == 1)
+  }
+}
