@@ -358,9 +358,131 @@ object IndexOps extends OpModule {
       s.createDataFrame(rows.asJava, schema)
         .orderBy(col("bm25_e4").desc, col("doc_id"))
     }),
+
+    // REBUILD POLICY driven to an automatic decision (round-11 verdict #7):
+    // the corpus store takes SKEWED growth — every new vector is a copy of
+    // vector 0, so the whole batch lands in ONE frozen cell — and `CALL
+    // graft.index_rebuild_if` folds the feed, reads the occupancy audit
+    // (decision skew ≈ 2-6× mean, exact integers the oracle replays from
+    // the frozen assignment), trips the 1.5× threshold, and RETRAINS —
+    // atomically, via the generation pointer. Output pins the decision
+    // INPUT (skew under the frozen codebook), the ACTION, and the
+    // post-decision occupancy (retrained cells + their skew, back near
+    // uniform) — all from one DuckDB replay of both assignment passes.
+    "q_index_policy" -> ((s, d) => graft.sources.Sources.withGraftCatalog(s) {
+      val corpus = tmpIdx(d, "polcorpus")
+      val idx = tmpIdx(d, "polidx")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(corpus), true)
+      fsys.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.sources.Sources.withStorePath(s, corpus) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN emb STRING")
+        val all = Tables.embeddings(s, d).select(col("vec_id").as("k"),
+          lit("e").as("grp"), lit(0L).as("amt_cents"),
+          expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+        all.write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save() // v1
+        s.sql(s"CALL graft.index_build('$corpus', '$idx')").collect()
+        // SKEWED GROWTH: one copy of vector 0 per existing id — the whole
+        // batch assigns to vec 0's frozen cell
+        val mx = Tables.embeddings(s, d).agg(max(col("vec_id")))
+          .collect()(0).getLong(0)
+        val v0 = Tables.embeddings(s, d).where(col("vec_id") === 0)
+          .select(expr("array_join(transform(embedding, x -> cast(x as string)), ',')"))
+          .collect()(0).getString(0)
+        all.select((col("k") + mx + 1).as("k"), col("grp"),
+            col("amt_cents"), lit(v0).as("emb"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save() // v2
+        val r = s.sql(s"CALL graft.index_rebuild_if('$idx', 15000)")
+          .collect()(0)
+        val rebuilt = r.getString(0) == "rebuild"
+        val decisionSkew = r.getLong(1)
+        val cells = AnnIndex.cellCounts(idx) // post-decision generation
+        val total = cells.map(_._2).sum
+        val skew2 = cells.map(_._2).max * 10000L * cells.size / total
+        import s.implicits._
+        (cells ++ Seq((-1L, skew2), (-2L, if (rebuilt) 1L else 0L),
+          (-3L, decisionSkew)))
+          .toDF("c_id", "n_vectors").orderBy(col("c_id"))
+      }
+    }),
   )
 
+  /** The training-replay chain over an arbitrary corpus CTE `src`
+    * (vec_id, embedding), CTE names prefixed with `p` — q_index_policy
+    * replays training TWICE (the frozen generation on the base corpus,
+    * the retrain on the grown one). Ends with `<p>asg (n_id, bucket)`. */
+  private def replayOn(src: String, p: String): String = {
+    val cosES = cosQ(s"${p}e.embedding", s"${p}sd.c_emb")
+    val cosEC1 = cosQ(s"${p}e.embedding", s"${p}c1.c_emb")
+    s"""${p}e AS (SELECT vec_id, embedding FROM $src
+       |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+       |${p}sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM ${p}e
+       |           WHERE vec_id % 199 = 0),
+       |${p}a1 AS (SELECT n_id, n_emb, bucket FROM (
+       |    SELECT ${p}e.vec_id AS n_id, ${p}e.embedding AS n_emb,
+       |      ${p}sd.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY ${p}e.vec_id
+       |        ORDER BY $cosES DESC, ${p}sd.c_id) AS arn
+       |    FROM ${p}e CROSS JOIN ${p}sd) t WHERE arn = 1),
+       |${p}dims AS (SELECT bucket, generate_subscripts(n_emb, 1) AS idx,
+       |                UNNEST(n_emb) AS v FROM ${p}a1),
+       |${p}upd AS (SELECT bucket, idx,
+       |          CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sv,
+       |          COUNT(*) AS n FROM ${p}dims GROUP BY bucket, idx),
+       |${p}c1 AS (SELECT bucket AS c_id,
+       |          LIST(CAST((sv / 1048576.0) / n AS REAL) ORDER BY idx) AS c_emb
+       |       FROM ${p}upd GROUP BY bucket),
+       |${p}asg AS (SELECT n_id, bucket FROM (
+       |    SELECT ${p}e.vec_id AS n_id, ${p}c1.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY ${p}e.vec_id
+       |        ORDER BY $cosEC1 DESC, ${p}c1.c_id) AS arn
+       |    FROM ${p}e CROSS JOIN ${p}c1) t WHERE arn = 1)""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+
+    // both assignment passes replayed: the frozen generation's occupancy
+    // under the skewed growth yields the DECISION skew; the retrain's
+    // occupancy is the post-decision state; the threshold is the literal
+    "q_index_policy" -> {
+      val cosHF = cosQ("he.embedding", "fc1.c_emb")
+      s"""WITH ${replayOn("embeddings", "f")},
+         |mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+         |copies AS (SELECT e2.vec_id + mx.m + 1 AS vec_id, e0.embedding
+         |  FROM embeddings e2, mx,
+         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) e0),
+         |head AS (SELECT vec_id, embedding FROM embeddings
+         |         UNION ALL SELECT vec_id, embedding FROM copies),
+         |fasg2 AS (SELECT n_id, bucket FROM (
+         |    SELECT he.vec_id AS n_id, fc1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY he.vec_id
+         |        ORDER BY $cosHF DESC, fc1.c_id) AS arn
+         |    FROM (SELECT vec_id, embedding FROM head
+         |          WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |            x -> ABS(CAST(x AS DOUBLE)))) > 0) he
+         |    CROSS JOIN fc1) t WHERE arn = 1),
+         |fcells AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+         |           FROM fasg2 GROUP BY bucket),
+         |fskew AS (SELECT CAST(MAX(n) AS BIGINT) * 10000
+         |            * CAST(COUNT(*) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS s
+         |          FROM fcells),
+         |${replayOn("head", "r")},
+         |rcells AS (SELECT bucket AS c_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |           FROM rasg GROUP BY bucket),
+         |rskew AS (SELECT CAST(MAX(n_vectors) AS BIGINT) * 10000
+         |            * CAST(COUNT(*) AS BIGINT) // CAST(SUM(n_vectors) AS BIGINT) AS s
+         |          FROM rcells)
+         |SELECT c_id, n_vectors FROM (
+         |  SELECT c_id, n_vectors FROM rcells
+         |  UNION ALL SELECT -1, (SELECT s FROM rskew)
+         |  UNION ALL SELECT -2, CASE WHEN (SELECT s FROM fskew) > 15000
+         |                            THEN 1 ELSE 0 END
+         |  UNION ALL SELECT -3, (SELECT s FROM fskew)) t
+         |ORDER BY c_id""".stripMargin
+    },
 
     // probing the persisted index == the retrain-per-query pipeline
     "q_sim_ivf_indexed" -> TrainingOps.simIvfKmeansOracle,

@@ -410,6 +410,61 @@ object AnnIndex {
               round(col("score") * 10000).cast("int").as("score_e4"), col("rn"))
   }
 
+  /** REBUILD POLICY (round-11 verdict #7 — "rebuild cadence is the
+    * operator's knob", as a procedure instead of a slide): fold any
+    * pending corpus changes, then decide REFRESH-WAS-ENOUGH vs FULL
+    * RETRAIN from two measurable signals —
+    *  - occupancy skew (max cell / mean cell, e4 units, from the postings
+    *    MANIFEST alone — the q_index_stats audit): skewed growth means new
+    *    data piled into few cells and probe cost degenerates toward a scan;
+    *  - recall drift: stride-sampled queries probed against the index vs
+    *    their EXACT top-k over the corpus store (a bounded maintenance-time
+    *    ground truth, the ANALYZE-shaped cost): a frozen codebook that no
+    *    longer centers the data loses recall even when occupancy looks flat.
+    * Either trigger fires → [[buildFromStore]] retrains — atomic via the
+    * generation pointer, so probes never notice the decision being acted
+    * on. Returns (action, skew_e4, recall_e4). */
+  def rebuildIf(s: SparkSession, indexPath: String, maxSkewE4: Long,
+                minRecallE4: Long = 0L, topk: Int = 5): (String, Long, Long) = {
+    refresh(s, indexPath) // maintenance ordering: fold the feed first
+    val genRoot = genDir(indexPath)
+    val corpus = StoreSink.readProps(new Path(cb(genRoot)),
+        StoreSink.fs(new Path(cb(genRoot)))).toMap
+      .getOrElse(CorpusProp, throw new IllegalStateException(
+        s"index at $indexPath has no corpus provenance — policy needs one"))
+    val cells = cellCounts(indexPath)
+    val total = cells.map(_._2).sum
+    val skewE4 =
+      if (total == 0L || cells.isEmpty) 0L
+      else cells.map(_._2).max * 10000L * cells.size / total
+    // recall probe: stride-sampled queries, exact top-k over the corpus
+    // as ground truth (bounded: |queries| ≈ corpus/251, a maintenance scan)
+    val nz = nzOfStore(s, corpus)
+    val queries = nz.where(pmod(col("vec_id"), lit(251)) === 0)
+    val qv = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    val exact = nz
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+              col("nrm").as("n_nrm"))
+      .join(broadcast(qv))
+      .withColumn("score",
+        expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= topk)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint() // topk rows per sampled query
+    val got = probe(s, queries, indexPath, nprobe = 2, topk = topk)
+      .select(col("q_id"), col("n_id"))
+    val denom = exact.count()
+    val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi").count()
+    val recallE4 = if (denom == 0L) 10000L else hits * 10000L / denom
+    if (skewE4 > maxSkewE4 || recallE4 < minRecallE4) {
+      buildFromStore(s, corpus, indexPath) // atomic: stage + pointer swap
+      ("rebuild", skewE4, recallE4)
+    } else ("keep", skewE4, recallE4)
+  }
+
   /** INCREMENTAL MAINTENANCE: fold the corpus store's change feed since the
     * indexed version into the postings under the FROZEN codebook — the
     * q_store_ivm fold applied to the index. Deletes drop their posting row,

@@ -65,7 +65,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "analyze", "cherry_pick", "compact", "expire", "history",
-      "index_build", "index_refresh", "publish", "publish_all",
+      "index_build", "index_rebuild_if", "index_refresh", "publish",
+      "publish_all",
       "remove_orphans", "repartition_spec", "rollback", "tag",
       "text_index_build", "text_index_refresh", "txn_recover",
       "zorder", "zorder_by", "vacuum").map(Identifier.of(Array.empty, _))
@@ -87,6 +88,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "txn_recover" => TxnRecoverProcedure
       case "index_build" => IndexBuildProcedure
       case "index_refresh" => IndexRefreshProcedure
+      case "index_rebuild_if" => IndexRebuildIfProcedure
       case "text_index_build" => TextIndexBuildProcedure
       case "text_index_refresh" => TextIndexRefreshProcedure
       case "publish" => PublishProcedure
@@ -1003,6 +1005,48 @@ private object IndexRefreshProcedure
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = resultSchema
         override def rows(): Array[InternalRow] = Array(InternalRow(res._1, res._2))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.index_rebuild_if(index_path, max_skew_e4[, min_recall_e4])`
+  * — the rebuild-cadence policy: fold pending corpus changes, then retrain
+  * if occupancy skew exceeds the threshold or the sampled recall probe
+  * drops below the floor (AnnIndex.rebuildIf). Audit:
+  * (action, skew_e4, recall_e4). */
+private object IndexRebuildIfProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "index_rebuild_if"
+  override def description(): String =
+    "refresh the IVF index, then retrain it if skew or recall drift demand it"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("index_path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("max_skew_e4", LongType).build(),
+    ProcedureParameter.in("min_recall_e4", LongType).defaultValue("0").build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("action",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("skew_e4", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("recall_e4", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val res = AnnIndex.rebuildIf(org.apache.spark.sql.SparkSession.active,
+      input.getUTF8String(0).toString, input.getLong(1), input.getLong(2))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(res._1),
+          res._2, res._3))
       }
     util.Collections.singletonList(scan).iterator()
   }

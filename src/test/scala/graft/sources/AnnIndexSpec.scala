@@ -179,6 +179,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("not built from a corpus store"))
   }
 
+  test("rebuild policy: recall drift below the floor triggers a retrain " +
+       "even when occupancy looks flat; the retrained index recovers") {
+    import spark.implicits._
+    val corpus = freshDir("policy_corpus")
+    val idx = freshDir("policy_idx")
+    // three clusters on axes e1/e2/e3, seeds 0/199/398 (the 199 stride)
+    val a = (0 to 9).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f, i / 100.0f)))
+    val b = (199 to 208).map(i => (i.toLong, Array(0.0f, 1.0f, 0.0f, (i - 199) / 100.0f)))
+    val c = (398 to 407).map(i => (i.toLong, Array(0.0f, 0.0f, 1.0f, (i - 398) / 100.0f)))
+    seedCorpusStore(corpus, (a ++ b ++ c).toDF("vec_id", "embedding"))
+    AnnIndex.buildFromStore(spark, corpus, idx)
+    // drift: cluster A's satellites retire; e1/e3 BLENDS arrive — under the
+    // FROZEN codebook they assign to the e3 cell (0.8 > 0.6), so the only
+    // sampled query (vec 0, the one id ≡ 0 mod 251) loses its true
+    // neighbors to an unprobed cell: recall@5 collapses while occupancy
+    // stays near-uniform
+    new StoreTable(corpus).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k", 1L),
+        org.apache.spark.sql.sources.LessThanOrEqual("k", 9L))))
+    (500 to 509).map(i => (i.toLong, Array(0.6f, 0.0f, 0.8f, (i - 500) / 100.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id").as("k"), lit("e").as("grp"), lit(0L).as("amt_cents"),
+        expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    // skew threshold effectively off (huge), recall floor 90%
+    val (action, skew, recall) =
+      AnnIndex.rebuildIf(spark, idx, maxSkewE4 = 1000000L, minRecallE4 = 9000L)
+    assert(action == "rebuild" && recall < 9000L,
+      s"drifted recall must trip the floor: ($action, $skew, $recall)")
+    // the retrained generation re-centers: the SAME policy call now keeps
+    val (action2, _, recall2) =
+      AnnIndex.rebuildIf(spark, idx, maxSkewE4 = 1000000L, minRecallE4 = 9000L)
+    assert(action2 == "keep" && recall2 > recall,
+      s"retrain must recover recall: ($action2, $recall2 vs $recall)")
+  }
+
   test("rebuild is atomic: a probe in the stage/publish window reads the " +
        "OLD generation complete; the pointer swap is the only visible " +
        "instant; stale generations GC") {
