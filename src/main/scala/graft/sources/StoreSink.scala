@@ -1830,26 +1830,122 @@ object StoreSink {
     * like every engine's table statistics. */
   val NdvProp = "graft.stats.ndv"
 
+  /** INCREMENTAL NDV (round-11 verdict #6): the serialized per-column HLL
+    * sketches behind [[NdvProp]]'s estimates (`col:base64;...`). Sketches
+    * MERGE, so every append commit unions its writer-task sketches into the
+    * stored ones — O(1)/row at write time, one tiny prop rewrite at commit
+    * — and the CBO's row estimates track the table BETWEEN analyzes instead
+    * of decaying. Deletes never subtract (HLL can't): estimates are an
+    * upper bound until the next ANALYZE re-baselines, the standard stats
+    * staleness contract. A logical truncate RESETS the sketches to the new
+    * generation's. Tracking switches on once ANALYZE has established the
+    * sketches (the factory gate), so untouched tables pay nothing. */
+  val NdvHllProp = "graft.stats.ndv.hll"
+
+  /** The ONE sketch kernel both ANALYZE and the write path use — update
+    * hashing must match exactly or a merge double-counts every value. */
+  private[sources] object Ndv extends Serializable {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    private val LgK = 12 // ~1.6% rse, 16 KB max — the Spark default shape
+
+    def empty(): HllSketch = new HllSketch(LgK)
+
+    def update(sk: HllSketch, row: InternalRow, ord: Int, dt: DataType): Unit =
+      if (!row.isNullAt(ord)) dt match {
+        case LongType    => sk.update(row.getLong(ord))
+        case IntegerType => sk.update(row.getInt(ord).toLong)
+        case StringType  => sk.update(row.getUTF8String(ord).getBytes)
+        case _           => () // non-sketchable types contribute nothing
+      }
+
+    def unionAll(parts: Seq[Array[Byte]]): Array[Byte] = {
+      val u = new Union(LgK)
+      parts.foreach(b => u.update(HllSketch.heapify(b)))
+      u.getResult.toCompactByteArray
+    }
+
+    def estimate(b: Array[Byte]): Long =
+      math.round(HllSketch.heapify(b).getEstimate)
+
+    def enc(m: Seq[(String, Array[Byte])]): String =
+      m.sortBy(_._1).map { case (c, b) =>
+        s"$c:${java.util.Base64.getEncoder.encodeToString(b)}"
+      }.mkString(";")
+
+    def dec(s: String): Seq[(String, Array[Byte])] =
+      s.split(';').toSeq.filter(_.nonEmpty).map { kv =>
+        val Array(c, b) = kv.split(":", 2)
+        (c, java.util.Base64.getDecoder.decode(b))
+      }
+  }
+
+  /** Writer-side gate: track per-column sketches only once ANALYZE has
+    * established them (resolved on the DRIVER at factory construction). */
+  private[sources] def ndvTracking(pathStr: String): Boolean = {
+    val root = new Path(pathStr)
+    readProps(root, fs(root)).toMap.contains(NdvHllProp)
+  }
+
+  /** Fold commit-message sketches into the stored ones (its own lock
+    * window — NDV staleness is advisory, manifest atomicity is not
+    * involved). `reset` on a logical truncate starts from this commit. */
+  private[sources] def mergeNdv(root: Path, fsys: FileSystem,
+                                incoming: Seq[(String, Array[Byte])],
+                                reset: Boolean): Unit = {
+    if (incoming.isEmpty) return
+    withCommitLock(root, fsys) {
+      val ps = readProps(root, fsys).toMap
+      val stored: Map[String, Array[Byte]] =
+        if (reset) Map.empty
+        else ps.get(NdvHllProp).map(Ndv.dec(_).toMap).getOrElse(Map.empty)
+      val byCol = incoming.groupBy(_._1)
+      val cols = stored.keySet ++ byCol.keySet
+      val merged = cols.toSeq.sorted.map { c =>
+        c -> Ndv.unionAll(stored.get(c).toSeq ++ byCol.getOrElse(c, Nil).map(_._2))
+      }
+      val estimates = merged.map { case (c, b) => s"$c:${Ndv.estimate(b)}" }
+        .mkString(";")
+      writeProps(root, fsys, (ps +
+        (NdvHllProp -> Ndv.enc(merged)) + (NdvProp -> estimates)).toSeq)
+    }
+  }
+
   def analyze(pathStr: String): (Long, Long) = {
     val root = new Path(pathStr)
     val fsys = fs(root)
     val tbl = tableSchema(pathStr)
-    // NDV SKETCHES for the optimizer: ONE distributed pass (HLL++ partial
-    // aggregation — no shuffle of data, a sketch per column per partition),
-    // persisted to the props sidecar. Runs for every column: base prefix +
-    // live trailing longs/strings.
+    // NDV SKETCHES for the optimizer: ONE distributed pass (a sketch per
+    // column per partition, unioned on the driver — no data shuffle),
+    // persisted to the props sidecar as BOTH estimates (what the CBO
+    // reads) and the serialized sketches (what later commits MERGE into —
+    // incremental NDV). The pass runs the SAME [[Ndv]] kernel the write
+    // path runs, so analyze-time and commit-time sketches hash values
+    // identically and unions never double-count. Runs for every column:
+    // base prefix + live trailing longs/strings.
     locally {
       val s = SparkSession.active
-      import org.apache.spark.sql.functions.expr
-      val cols = tbl.fields.map(_.name).toSeq
-      val aggs = cols.map(c => expr(s"approx_count_distinct(`$c`)").as(c))
-      val row = s.read.format("graft.sources.StoreSink").option("path", pathStr)
-        .load().agg(aggs.head, aggs.tail: _*).collect()(0)
-      val enc = cols.zipWithIndex
-        .map { case (c, i) => s"$c:${row.getLong(i)}" }.mkString(";")
+      val names = tbl.fields.map(_.name)
+      val dts = tbl.fields.map(_.dataType)
+      val n = dts.length
+      val partSketches = s.read.format("graft.sources.StoreSink")
+        .option("path", pathStr).load()
+        .queryExecution.toRdd.mapPartitions { it =>
+          val sks = Array.fill(n)(Ndv.empty())
+          it.foreach { row =>
+            var i = 0
+            while (i < n) { Ndv.update(sks(i), row, i, dts(i)); i += 1 }
+          }
+          Iterator.single(sks.map(_.toCompactByteArray))
+        }.collect()
+      val merged = names.indices.map { i =>
+        names(i) -> Ndv.unionAll(partSketches.map(_(i)).toSeq)
+      }
+      val enc = merged.map { case (c, b) => s"$c:${Ndv.estimate(b)}" }
+        .mkString(";")
       withCommitLock(root, fsys) {
         val ps = readProps(root, fsys).toMap
-        writeProps(root, fsys, (ps + (NdvProp -> enc)).toSeq)
+        writeProps(root, fsys, (ps + (NdvProp -> enc) +
+          (NdvHllProp -> Ndv.enc(merged))).toSeq)
       }
     }
     val statCols = declaredStatCols(root, fsys, tbl)
@@ -3896,6 +3992,10 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
         StoreSink.writeManifestAtomic(root, fsys, visible)
         StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
       }
+      // appended rows still feed NDV (deletes never subtract — upper bound)
+      StoreSink.mergeNdv(root, fsys,
+        messages.map(_.asInstanceOf[StoreCommitMessage]).flatMap(_.ndv).toSeq,
+        reset = false)
       return
     }
     StoreSink.withCommitLock(root, fsys) {
@@ -3969,6 +4069,12 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
       // explicit StoreSink.vacuum expires them
       StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
     }
+    // incremental NDV: union this commit's writer sketches into the
+    // stored ones (no-op until ANALYZE establishes tracking); a logical
+    // truncate re-baselines from this commit alone
+    StoreSink.mergeNdv(root, fsys,
+      messages.map(_.asInstanceOf[StoreCommitMessage]).flatMap(_.ndv).toSeq,
+      reset = truncate && !preserveMarkers)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -4012,6 +4118,11 @@ private class StoreStreamingWrite(pathStr: String, queryId: String,
         lines ++ committed.map(_.entry.line) :+ StoreSink.epochLine(epochId))
       StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
     }
+    // incremental NDV per epoch (a replayed epoch returned above; even a
+    // racing replay is harmless — HLL union is idempotent per value)
+    StoreSink.mergeNdv(root, fsys,
+      messages.map(_.asInstanceOf[StoreCommitMessage]).flatMap(_.ndv).toSeq,
+      reset = false)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -4042,7 +4153,8 @@ private case class StoreFilePayload(staged: String, rows: Long,
 
 /** A task's commit message: one payload per staged file (a partitioned
   * writer stages one file per partition value it saw). */
-private case class StoreCommitMessage(files: Seq[StoreFilePayload])
+private case class StoreCommitMessage(files: Seq[StoreFilePayload],
+                                      ndv: Seq[(String, Array[Byte])] = Nil)
     extends WriterCommitMessage
 
 /** Standalone (serializable) factory — same rule as RangeSource: an
@@ -4065,9 +4177,10 @@ private case class StoreWriterFactory(pathStr: String, queryId: String,
     StoreSink.declaredStrStatCols(root, StoreSink.fs(root), dataSchema)
   }
   private val columnar: Boolean = StoreSink.columnarAt(pathStr)
+  private val ndvTrack: Boolean = StoreSink.ndvTracking(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
-      spec, slots, statCols, strStatCols, columnar)
+      spec, slots, statCols, strStatCols, columnar, ndvTrack)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
@@ -4087,10 +4200,11 @@ private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
     StoreSink.declaredStrStatCols(root, StoreSink.fs(root), dataSchema)
   }
   private val columnar: Boolean = StoreSink.columnarAt(pathStr)
+  private val ndvTrack: Boolean = StoreSink.ndvTracking(pathStr)
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
-      dataSchema, spec, slots, statCols, strStatCols, columnar)
+      dataSchema, spec, slots, statCols, strStatCols, columnar, ndvTrack)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
@@ -4099,12 +4213,17 @@ private class StoreDataWriter(pathStr: String, fileName: String,
                               slots: Array[Int] = null,
                               statCols: Seq[(String, Int)] = Nil,
                               strStatCols: Seq[(String, Int)] = Nil,
-                              columnar: Boolean = false)
+                              columnar: Boolean = false,
+                              ndvTrack: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
   // physical emission width (tombstoned slots included)
   private val physWidth = if (slots == null) types.length else slots.length
+  // incremental NDV: one sketch per LOGICAL column, fed per row (O(1)),
+  // shipped in the commit message and unioned into the stored sketches
+  private val ndvSks =
+    if (ndvTrack) Array.fill(types.length)(StoreSink.Ndv.empty()) else null
 
   // executor side: build the Hadoop conf locally (no SparkSession.active on
   // a bare task thread is guaranteed; a fresh Configuration resolves the
@@ -4199,6 +4318,13 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       }
       ti += 1
     }
+    if (ndvSks != null) {
+      var ni = 0
+      while (ni < types.length) {
+        StoreSink.Ndv.update(ndvSks(ni), record, base + ni, types(ni))
+        ni += 1
+      }
+    }
     if (columnar) {
       // transposed emission: same per-field codec, fields land in their
       // slot's column buffer instead of a row line
@@ -4247,7 +4373,9 @@ private class StoreDataWriter(pathStr: String, fileName: String,
         },
         Some(s.nullK))
     }
-    StoreCommitMessage(payloads)
+    StoreCommitMessage(payloads,
+      if (ndvSks == null) Nil
+      else dataSchema.fieldNames.toSeq.zip(ndvSks.map(_.toCompactByteArray).toSeq))
   }
 
   override def abort(): Unit = {

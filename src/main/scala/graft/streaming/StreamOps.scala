@@ -1107,6 +1107,88 @@ object StreamOps extends OpModule {
         .orderBy(col("tag"), col("q_id"), col("rn"))
     }),
 
+    // STREAMING INDEX PROBE (round-11 verdict #8 — the serving side of the
+    // index lifecycle; s_store_index_refresh is the maintenance side): a
+    // QUERY STREAM probes the persisted IVF index through foreachBatch —
+    // each micro-batch runs the bounded index probe (nprobe partitions per
+    // query, zero training stages) and appends its hits; NO streaming
+    // state anywhere (z_stateless pins it — the s_chunk_cdc_idx
+    // bounded-state escape hatch, applied to serving). Because a probe is
+    // per-query independent, the union of per-batch probes equals the
+    // one-shot batch probe — the closed form the oracle states (the
+    // training replay, shared with q_sim_ivf_indexed). At 100 TB this is
+    // the online-serving shape: queries arrive continuously, each batch
+    // costs its own nprobe posting lists, and index refresh/rebuild swaps
+    // generations under the pointer without the serving query noticing.
+    "s_ann_probe" -> ((s, d) => {
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val id = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"target/tmp/sannp_$id"
+      val feed = s"$base/feed"; val idx = s"$base/idx"
+      val out = s"$base/out"; val chk = s"$base/chk"
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.sources.AnnIndex.build(s, Tables.embeddings(s, d), idx)
+      val queries = graft.ops.TrainingOps.nzEmbeddings(s, d)
+        .where(col("vec_id") < 10)
+        .select(col("vec_id"),
+          expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+      def land(m: Int): Unit =
+        queries.where(pmod(col("vec_id"), lit(3)) === m)
+          .coalesce(1).write.mode("append").parquet(feed)
+      land(0)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var stateless = false
+      withStreamParallelism(s) {
+        val schema = s.read.parquet(feed).schema
+        val q = s.readStream.schema(schema).parquet(feed)
+          .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+            val bs = batch.sparkSession
+            graft.functions.FloatDot.register(bs)
+            val bq = batch.select(col("vec_id"),
+                expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding"))
+              .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+              .localCheckpoint() // batch-sized
+            if (bq.count() > 0) {
+              nBatches.incrementAndGet()
+              graft.sources.AnnIndex.probe(bs, bq, idx)
+                .write.mode("append").parquet(out)
+            }
+            ()
+          }
+          .option("checkpointLocation", chk)
+          .start()
+        try {
+          q.processAllAvailable()
+          land(1); q.processAllAvailable()
+          land(2); q.processAllAvailable()
+          stateless = q.lastProgress == null ||
+            q.lastProgress.stateOperators.isEmpty
+        } finally q.stop()
+      }
+      val res = s.read.parquet(out)
+        .select(lit("t").as("tag"), col("q_id"), col("n_id"),
+                col("score_e4"), col("rn")).collect().toSeq
+      def flag(tagName: String, v: Boolean) = org.apache.spark.sql.Row(
+        tagName, -1L, -1L, if (v) 1 else 0, 0)
+      val rows = res ++ Seq(
+        flag("z_batches", nBatches.get() >= 2),
+        flag("z_stateless", stateless))
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("q_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score_e4",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.IntegerType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, outSchema)
+        .orderBy(col("tag"), col("q_id"), col("rn"))
+    }),
+
     // Exactly-once file sink: run the same checkpointed query twice (second
     // run sees no new data); the sink must contain each row exactly once.
     "s_sink_idempotent" -> ((s, d) => {
@@ -1661,6 +1743,16 @@ object StreamOps extends OpModule {
   override def oracles: Map[String, String] = Map(
     // streamed-in corpus: train on epoch 1, assign EVERYTHING — the frozen-
     // codebook maintenance fold, replayed
+    // per-batch probes union to the ONE-SHOT batch probe (probes are
+    // per-query independent) — the q_sim_ivf training replay, plus flags
+    "s_ann_probe" -> {
+      s"""WITH base AS (SELECT * FROM (${graft.ops.TrainingOps.simIvfKmeansOracle}) t)
+         |SELECT 't' AS tag, q_id, n_id, score_e4, rn FROM base
+         |UNION ALL SELECT 'z_batches', -1, -1, 1, 0
+         |UNION ALL SELECT 'z_stateless', -1, -1, 1, 0
+         |ORDER BY tag, q_id, rn""".stripMargin
+    },
+
     "s_store_index_refresh" -> {
       import graft.ops.TrainingOps.duckCos
       val cosES = duckCos("e.embedding", "sd.c_emb")

@@ -1518,6 +1518,41 @@ class StoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("incremental NDV: appends keep the estimates fresh between " +
+       "analyzes; truncate re-baselines; untracked tables pay nothing") {
+    val dir = freshDir("ndv_incr")
+    def ndvOf(): Map[String, Long] = StoreSink.readProps(new Path(dir), fs)
+      .find(_._1 == StoreSink.NdvProp).map(_._2).getOrElse("")
+      .split(';').filter(_.nonEmpty)
+      .map { kv => val Array(c, v) = kv.split(":", 2); (c, v.toLong) }.toMap
+    // before ANALYZE no sketches exist — appends must not invent stats
+    df(1 to 100, "a").write.format(fmt).mode("overwrite")
+      .option("path", dir).save()
+    assert(ndvOf().isEmpty, "untracked table must carry no NDV")
+    StoreSink.analyze(dir)
+    val base = ndvOf()
+    assert(base("grp") == 1L && base("k") == 100L, s"$base") // HLL exact small
+    // an append with NEW values updates the estimates WITHOUT a re-analyze
+    df(101 to 150, "b").write.format(fmt).mode("append")
+      .option("path", dir).save()
+    val after = ndvOf()
+    assert(after("grp") == 2L && after("k") == 150L,
+      s"appends must keep NDV fresh: $after")
+    // re-appending the SAME values changes nothing (HLL is value-idempotent)
+    df(101 to 150, "b").write.format(fmt).mode("append")
+      .option("path", dir).save()
+    assert(ndvOf() == after, "duplicate values must not inflate NDV")
+    // a logical truncate re-baselines from the new generation alone
+    df(1 to 7, "c").write.format(fmt).mode("overwrite")
+      .option("path", dir).save()
+    val reset = ndvOf()
+    assert(reset("k") == 7L && reset("grp") == 1L,
+      s"truncate must re-baseline the sketches: $reset")
+    // and ANALYZE still re-baselines exactly (q_store_analyze's contract)
+    StoreSink.analyze(dir)
+    assert(ndvOf()("k") == 7L)
+  }
+
   test("type widening: int -> bigint is metadata-only, travel reads each " +
        "generation under its own type, lossy directions refuse") {
     import spark.implicits._
