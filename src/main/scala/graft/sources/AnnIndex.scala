@@ -208,8 +208,8 @@ object AnnIndex {
     // trailing schemas persist BEFORE any write (the CTAS-shaped path)
     StoreSink.writeExtras(cbRoot, fsys,
       StoreSink.extrasOf(Seq(StructField("sv_csv", StringType))))
-    StoreSink.writeExtras(plRoot, fsys,
-      StoreSink.extrasOf(Seq(StructField("emb", StringType))))
+    StoreSink.writeExtras(plRoot, fsys, StoreSink.extrasOf(Seq(
+      StructField("emb", StoreSink.FloatArrayType))))
     val trained = train(nz).localCheckpoint() // codebook-sized (√n rows)
     trained.select(col("c_id").as("k"), lit("c").as("grp"),
         col("n").as("amt_cents"), col("sv_csv"))
@@ -219,8 +219,7 @@ object AnnIndex {
                          col("nrm").as("n_nrm"))
     graft.ops.TrainingOps.assign(vecs, centroidsOf(trained))
       .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
-        lit(0L).as("amt_cents"),
-        expr("array_join(transform(n_emb, x -> cast(x as string)), ',')").as("emb"))
+        lit(0L).as("amt_cents"), col("n_emb").as("emb")) // farr: native array
       .write.format(Fmt).mode("append").option("path", pl(genRoot))
       .option("partitionedBy", "identity:grp").save()
     corpusRef.foreach { case (path, v) =>
@@ -275,7 +274,7 @@ object AnnIndex {
     val cand = s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(buckets: _*)) // partition pruning = list lookup
       .select(col("k").as("n_id"), col("grp").cast("long").as("bucket"),
-        expr("transform(split(emb, ','), x -> cast(x as float))").as("n_emb"))
+        col("emb").as("n_emb")) // farr decodes once in the reader
       .withColumn("n_nrm", sqrt(expr("graft_float_dot(n_emb, n_emb)")))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     cand.join(broadcast(probes), "bucket")
@@ -310,8 +309,8 @@ object AnnIndex {
     val qbRoot = new Path(s"$genRoot/pqcb")
     val fsys = StoreSink.fs(cdRoot)
     fsys.delete(cdRoot, true); fsys.delete(qbRoot, true)
-    StoreSink.writeExtras(qbRoot, fsys,
-      StoreSink.extrasOf(Seq(StructField("sub_csv", StringType))))
+    StoreSink.writeExtras(qbRoot, fsys, StoreSink.extrasOf(Seq(
+      StructField("sub", StoreSink.FloatArrayType))))
     StoreSink.writeExtras(cdRoot, fsys, StoreSink.extrasOf(Seq(
       StructField("c0", org.apache.spark.sql.types.LongType),
       StructField("c1", org.apache.spark.sql.types.LongType))))
@@ -319,8 +318,7 @@ object AnnIndex {
       .select(col("vec_id").as("c_id"), col("side"), col("sub").as("c_sub"))
       .localCheckpoint() // 16 rows
     cb.select((col("side") * 1000 + col("c_id")).as("k"), lit("q").as("grp"),
-        lit(0L).as("amt_cents"),
-        expr("array_join(transform(c_sub, x -> cast(x as string)), ',')").as("sub_csv"))
+        lit(0L).as("amt_cents"), col("c_sub").as("sub"))
       .coalesce(1)
       .write.format(Fmt).mode("append").option("path", s"$genRoot/pqcb").save()
     val encW = Window.partitionBy(col("vec_id"), col("side"))
@@ -369,7 +367,7 @@ object AnnIndex {
       .collect().map(_.getLong(0).toString).toSeq
     val cb = s.read.format(Fmt).option("path", s"$genRoot/pqcb").load()
       .select((col("k") % 1000).as("c_id"), (col("k") / 1000).cast("int").as("side"),
-        expr("transform(split(sub_csv, ','), x -> cast(x as float))").as("c_sub"))
+        col("sub").as("c_sub"))
     val dtab = graft.ops.Similarity.pqSides(queries)
       .select(col("vec_id").as("q_id"), col("side"), col("sub"))
       .join(broadcast(cb), "side")
@@ -395,8 +393,7 @@ object AnnIndex {
       .select(col("q_id"), col("n_id"))
     val vecsIdx = s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(buckets: _*))
-      .select(col("k").as("n_id"),
-        expr("transform(split(emb, ','), x -> cast(x as float))").as("n_emb"))
+      .select(col("k").as("n_id"), col("emb").as("n_emb"))
       .withColumn("n_nrm", sqrt(expr("graft_float_dot(n_emb, n_emb)")))
     val rerankW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     cand
@@ -501,8 +498,7 @@ object AnnIndex {
                 col("nrm").as("n_nrm")),
       codebookAt(s, genRoot))
       .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
-        lit(0L).as("amt_cents"),
-        expr("array_join(transform(n_emb, x -> cast(x as string)), ',')").as("emb"))
+        lit(0L).as("amt_cents"), col("n_emb").as("emb"))
       .localCheckpoint()
     def postings = s.read.format(Fmt).option("path", pl(genRoot)).load()
     // touched cells: where new assignments land + where changed keys lived

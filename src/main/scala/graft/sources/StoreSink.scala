@@ -242,12 +242,33 @@ object StoreSink {
     * the v2 writer would have assigned, so upgrading is a no-op rewrite. */
   private val SchemaV2Header = "#graft-schema-v2"
 
+  /** FLOAT-ARRAY trailing columns (`farr`, round-11 verdict #5): vectors
+    * persist as CONCATENATED 8-hex-digit IEEE-754 bit patterns (fixed
+    * width — self-delimiting, no separators to escape) and decode straight
+    * to ArrayType(FloatType). Exact by construction (bits round-trip,
+    * unlike decimal text) and CHEAP to parse: 8 hex chars per float, no
+    * decimal conversion — this is what removes the per-row
+    * `transform(split(emb,','), cast)` from every ANN probe's hot path.
+    * Never a stat/zone candidate; defaults unsupported. */
+  private[sources] val FloatArrayType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = true)
+
+  /** containsNull-agnostic farr test (frames arriving at the writer often
+    * carry nullable elements for the same physical values). */
+  private[sources] def isFarr(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
   private def typeOf(t: String): DataType = t match {
     case "bigint" => LongType
     case "string" => StringType
     case "int"    => IntegerType
+    case "farr"   => FloatArrayType
     case other => throw new IllegalArgumentException(
-      s"graft-store extra column type $other (int|bigint|string only)")
+      s"graft-store extra column type $other (int|bigint|string|farr only)")
   }
 
   private def readExtrasFile(sf: Path, fsys: FileSystem): Seq[ExtraField] = {
@@ -289,8 +310,9 @@ object StoreSink {
         case LongType => "bigint"
         case StringType => "string"
         case IntegerType => "int"
+        case dt if isFarr(dt) => "farr"
         case other => throw new IllegalArgumentException(
-          s"graft-store cannot add a $other column (int|bigint|string only)")
+          s"graft-store cannot add a $other column (int|bigint|string|farr only)")
       }
       val d = f.rawDefault
         .map(v => ":d" + java.net.URLEncoder.encode(v, "UTF-8")).getOrElse("")
@@ -782,8 +804,44 @@ object StoreSink {
       case IntegerType => java.lang.Integer.toString(row.getInt(ord))
       case StringType  =>
         java.net.URLEncoder.encode(row.getString(ord), "UTF-8")
+      case dt if isFarr(dt) => floatsToHex(row.getArray(ord))
       case other => throw new IllegalArgumentException(s"unsupported type $other")
     }
+
+  /** farr at-rest form: concatenated 8-hex-digit IEEE-754 bit patterns —
+    * exact, separator-free, parsed without decimal conversion. */
+  private[sources] def floatsToHex(
+      a: org.apache.spark.sql.catalyst.util.ArrayData): String = {
+    val sb = new StringBuilder(a.numElements() * 8)
+    var i = 0
+    while (i < a.numElements()) {
+      val bits = java.lang.Float.floatToIntBits(a.getFloat(i))
+      var sh = 28
+      while (sh >= 0) {
+        sb.append(java.lang.Character.forDigit((bits >>> sh) & 0xf, 16))
+        sh -= 4
+      }
+      i += 1
+    }
+    sb.result()
+  }
+
+  private[sources] def hexToFloats(s: String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    require(s.length % 8 == 0, s"torn farr value of ${s.length} hex digits")
+    val out = new Array[Float](s.length / 8)
+    var i = 0
+    while (i < out.length) {
+      var bits = 0
+      var j = 0
+      while (j < 8) {
+        bits = (bits << 4) | java.lang.Character.digit(s.charAt(i * 8 + j), 16)
+        j += 1
+      }
+      out(i) = java.lang.Float.intBitsToFloat(bits)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Field-decode twin of [[fieldString]] (`\N` → null; an int slot later
     * widened to bigint decodes under LongType — digits parse wider). */
@@ -794,6 +852,7 @@ object StoreSink {
       case IntegerType => java.lang.Integer.valueOf(s.toInt)
       case StringType  =>
         UTF8String.fromString(java.net.URLDecoder.decode(s, "UTF-8"))
+      case dt if isFarr(dt) => hexToFloats(s)
       case other => throw new IllegalArgumentException(s"unsupported type $other")
     }
 
@@ -2816,6 +2875,8 @@ object StoreSink {
         case IntegerType => sb.append(row.getInt(base + i))
         case StringType =>
           sb.append(java.net.URLEncoder.encode(row.getString(base + i), "UTF-8"))
+        case dt if isFarr(dt) =>
+          sb.append(floatsToHex(row.getArray(base + i)))
         case other => throw new IllegalArgumentException(s"unsupported type $other")
       }
       s += 1
@@ -2841,6 +2902,7 @@ object StoreSink {
         case IntegerType => java.lang.Integer.valueOf(parts(i).toInt)
         case StringType =>
           UTF8String.fromString(java.net.URLDecoder.decode(parts(i), "UTF-8"))
+        case dt if StoreSink.isFarr(dt) => StoreSink.hexToFloats(parts(i))
         case other => throw new IllegalArgumentException(s"unsupported type $other")
       }
     })

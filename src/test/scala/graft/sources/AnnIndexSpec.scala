@@ -47,7 +47,9 @@ class AnnIndexSpec extends SparkSpec {
 
   private def postingsSet(idx: String): Set[(Long, String, String)] =
     spark.read.format(fmt).option("path", AnnIndex.postingsPath(idx)).load()
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+      .select(col("k"), col("grp"), // farr column compared via its CSV form
+        expr("array_join(transform(emb, x -> cast(x as string)), ',')").as("e"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
 
   private def postingFiles(idx: String): Map[String, Set[String]] =
     StoreSink.readEntries(new Path(AnnIndex.postingsPath(idx)), fs)
@@ -150,7 +152,8 @@ class AnnIndexSpec extends SparkSpec {
     val plRoot = new Path(AnnIndex.postingsPath(idx))
     assert(StoreSink.readEntries(plRoot, fs).count(_.part.exists(_.contains("199"))) == 1,
       "refresh must consolidate the touched cell, not fragment it")
-    Seq((301L, "199", 0L, "0.0,1.0,0.02,0.0")).toDF("k", "grp", "amt_cents", "emb")
+    Seq((301L, "199", 0L, Array(0.0f, 1.0f, 0.02f, 0.0f)))
+      .toDF("k", "grp", "amt_cents", "emb")
       .coalesce(1)
       .write.format(fmt).mode("append").option("path", AnnIndex.postingsPath(idx)).save()
     val before = StoreSink.readEntries(plRoot, fs)

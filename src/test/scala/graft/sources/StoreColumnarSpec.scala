@@ -165,6 +165,30 @@ class StoreColumnarSpec extends SparkSpec {
     assert(readBack(dir).size == 200)
   }
 
+  test("farr round-trips bit patterns exactly under BOTH encodings " +
+       "(NaN, infinities, signed zero, subnormals)") {
+    import spark.implicits._
+    val edge = Array(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+      -0.0f, 0.0f, Float.MinPositiveValue, -1.17549435e-38f, 3.4028235e38f)
+    val rows = Seq((1L, "g", 0L, edge), (2L, "g", 0L, Array(1.5f, -2.25f)))
+    for (colEnc <- Seq(false, true)) {
+      val dir = freshDir(s"farr_$colEnc")
+      StoreSink.writeExtras(new Path(dir), fs, StoreSink.extrasOf(Seq(
+        org.apache.spark.sql.types.StructField("emb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      if (colEnc) markColumnar(dir)
+      rows.toDF("k", "grp", "amt_cents", "emb")
+        .write.format(fmt).mode("append").option("path", dir).save()
+      val got = spark.read.format(fmt).option("path", dir).load()
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](3).map(java.lang.Float.floatToIntBits).toSeq)).toMap
+      val want = rows.map(r => (r._1,
+        r._4.toSeq.map(java.lang.Float.floatToIntBits))).toMap
+      assert(got == want, s"farr bit drift under columnar=$colEnc")
+    }
+  }
+
   test("short columnar files pad defaults; widening stays metadata-only") {
     val dir = freshDir("evolve")
     markColumnar(dir)
