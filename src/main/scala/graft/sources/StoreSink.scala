@@ -887,15 +887,41 @@ object StoreSink {
       ColMagicBytes.length + sb.length + 1L))
   }
 
+  /** One loaded column block: the raw text plus per-value OFFSETS —
+    * values parse straight out of the block (no per-value String
+    * materialization; a 20-column file would otherwise hold millions of
+    * short-lived strings live at once). Value r spans
+    * [offs(r), offs(r+1) - 1) (the -1 drops the comma; the last value
+    * runs to the end). */
+  private[sources] final class ColBlock(val text: String,
+                                        private val offs: Array[Int]) {
+    @inline private def start(r: Int): Int = offs(r)
+    @inline private def end(r: Int): Int =
+      if (r + 1 < offs.length) offs(r + 1) - 1 else text.length
+    def isNull(r: Int): Boolean = {
+      val a = start(r)
+      end(r) - a == 2 && text.charAt(a) == '\\' && text.charAt(a + 1) == 'N'
+    }
+    def long(r: Int): Long = {
+      var i = start(r); val e = end(r)
+      var neg = false
+      if (text.charAt(i) == '-') { neg = true; i += 1 }
+      var v = 0L
+      while (i < e) { v = v * 10 + (text.charAt(i) - '0'); i += 1 }
+      if (neg) -v else v
+    }
+    def raw(r: Int): String = text.substring(start(r), end(r))
+  }
+
   /** Read SELECTED blocks of a columnar file: seeks past everything else.
     * `slots` beyond the file's width are absent from the result (the
     * caller pads the column's default — the short-file contract). Records
     * [[lastColBlocks]]. */
   private[sources] def readColBlocks(in: org.apache.hadoop.fs.FSDataInputStream,
                                      h: ColHeader,
-                                     slots: Array[Int]): Map[Int, Array[String]] = {
+                                     slots: Array[Int]): Map[Int, ColBlock] = {
     val want = slots.filter(_ < h.lens.length).distinct.sorted
-    val out = Map.newBuilder[Int, Array[String]]
+    val out = Map.newBuilder[Int, ColBlock]
     want.foreach { s =>
       var off = h.dataStart
       var j = 0
@@ -903,10 +929,23 @@ object StoreSink {
       in.seek(off)
       val buf = new Array[Byte](h.lens(s).toInt)
       in.readFully(buf)
-      val fields = new String(buf, StandardCharsets.UTF_8).split(",", -1)
-      require(fields.length == h.nrows || (h.nrows == 0 && buf.length == 0),
-        s"columnar block $s holds ${fields.length} values for ${h.nrows} rows")
-      out += s -> (if (h.nrows == 0) Array.empty[String] else fields)
+      val text = new String(buf, StandardCharsets.UTF_8)
+      val offs = new Array[Int](math.max(h.nrows, 0))
+      if (h.nrows > 0) {
+        offs(0) = 0
+        var r = 1
+        var i = 0
+        while (r < h.nrows) {
+          i = text.indexOf(',', i)
+          require(i >= 0, s"columnar block $s holds too few values for ${h.nrows} rows")
+          i += 1
+          offs(r) = i
+          r += 1
+        }
+        require(text.indexOf(',', i) < 0,
+          s"columnar block $s holds too many values for ${h.nrows} rows")
+      }
+      out += s -> new ColBlock(text, offs)
     }
     lastColBlocks = Some((want.length, h.lens.length))
     out.result()
@@ -5536,14 +5575,29 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
         val want = if (eqKeys.isEmpty) needSlots else needSlots :+ 0
         val blocks =
           try StoreSink.readColBlocks(rawIn, h, want) finally rawIn.close()
-        val keyBlock: Array[String] = blocks.getOrElse(0, null)
+        val keyBlock: StoreSink.ColBlock = blocks.getOrElse(0, null)
+        // per-column typed getters parse straight from the block text by
+        // offset — no per-value String materialization on the hot path
         val colGetters: Array[Int => Any] = required.fieldNames.map {
           case "_file" => (_: Int) => fileName
           case n =>
             val s = slotOf(table.fieldIndex(n))
-            val dt = types(s)
             blocks.get(s) match {
-              case Some(fields) => (r: Int) => StoreSink.parseField(fields(r), dt)
+              case Some(b) => types(s) match {
+                case LongType => (r: Int) =>
+                  if (b.isNull(r)) null else java.lang.Long.valueOf(b.long(r))
+                case IntegerType => (r: Int) =>
+                  if (b.isNull(r)) null
+                  else java.lang.Integer.valueOf(b.long(r).toInt)
+                case StringType => (r: Int) =>
+                  if (b.isNull(r)) null
+                  else UTF8String.fromString(
+                    java.net.URLDecoder.decode(b.raw(r), "UTF-8"))
+                case dt if StoreSink.isFarr(dt) => (r: Int) =>
+                  if (b.isNull(r)) null else StoreSink.hexToFloats(b.raw(r))
+                case other =>
+                  throw new IllegalArgumentException(s"unsupported type $other")
+              }
               case None => // file predates the column: initial default
                 val d = defaults(s); (_: Int) => d
             }
@@ -5557,8 +5611,8 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
               if (ord >= h.nrows) return false
               if (!masked.get(ord)) {
                 val eqDead = eqKeys.nonEmpty && keyBlock != null &&
-                  keyBlock(ord) != StoreSink.NullMark &&
-                  java.util.Arrays.binarySearch(eqKeys, keyBlock(ord).toLong) >= 0
+                  !keyBlock.isNull(ord) &&
+                  java.util.Arrays.binarySearch(eqKeys, keyBlock.long(ord)) >= 0
                 if (!eqDead) {
                   if (toSkip > 0L) toSkip -= 1 else return true
                 }
@@ -5566,8 +5620,13 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
             }
             false
           }
-          override def get(): InternalRow =
-            InternalRow.fromSeq(colGetters.toSeq.map(_(ord)))
+          override def get(): InternalRow = {
+            // direct fill: one row allocation, no per-row Seq
+            val vals = new Array[Any](colGetters.length)
+            var i = 0
+            while (i < colGetters.length) { vals(i) = colGetters(i)(ord); i += 1 }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          }
           override def close(): Unit = ()
         }
       case None => textReader(rawIn, part, fileName, types, slotOf, defaults,
@@ -5626,7 +5685,12 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
           if (decoded != null) decoded
           else StoreSink.decode(line, types, defaults)
         if (identity) full
-        else InternalRow.fromSeq(getters.toSeq.map(_(full)))
+        else {
+          val vals = new Array[Any](getters.length)
+          var i = 0
+          while (i < getters.length) { vals(i) = getters(i)(full); i += 1 }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        }
       }
       override def close(): Unit = in.close()
     }
