@@ -33,7 +33,10 @@ object Bench {
     "q_sim_topk", "q_sim_lsh",                                       // similarity
     "q_tfidf_terms", "q_lang_id", "q_quality_filter",                // text analysis
     "q_contamination", "q_sim_ivf",                                  // curation (r2)
-    "q_pack_seq", "q_semdedup",                                      // training-batch (r3)
+    // q_pack_seq rotated out at round 19 (cheap stable training-batch op;
+    // q_rag_pack exercises the same packing math) for the columnar-store
+    // flagship; src_dsv2_sample likewise (protocol stays spec-verified)
+    "q_semdedup",                                                    // training-batch (r3)
     "q_scd2", "q_cdc_merge",                                         // ETL lifecycle (r3)
     "q_skew_salted",                                                 // scale posture
     "q_funnel", "q_er_join",                                         // event analytics / linkage (r4)
@@ -51,11 +54,12 @@ object Bench {
     "q_assoc_rules", "q_sim_bq", "s_tws_timers",                     // basket pair mining + BQ hamming ANN + timer exec (r11)
     "q_hits_cached", "q_store_merge", "s_src_dsv2",                  // HITS cut-lineage + connector merge + DSv2 stream read (r12)
     "q_dsir_sample", "q_kcenter",                                    // DSIR importance weights + k-center coreset (r12)
-    "q_chunk_cdc", "src_dsv2_sample",                                // CDC chunk dedup + pushed-sample scan (r13)
+    "q_chunk_cdc",                                                   // CDC chunk dedup (r13)
     "q_store_part", "s_chunk_cdc_idx",                               // bucketed-store SPJ + stateless chunk ingest (r14)
     "q_store_merge_delta", "q_store_delete_mor",                     // delta MERGE (masks+appends) + MoR vector delete (r17)
     "q_store_zorder", "q_store_cdf",                                 // hilbert 2-D compact + change data feed (r17)
     "s_store_upsert_delta",                                          // streaming delta upsert sink (r17)
+    "q_store_col_proj", "q_bm25_indexed",                            // columnar narrow scan + persisted BM25 (r19)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 
