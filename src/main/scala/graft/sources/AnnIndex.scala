@@ -54,16 +54,26 @@ private[sources] object IndexGen {
     }
   }
 
+  /** Allocate the next generation UNDER THE INDEX ROOT'S COMMIT LOCK and
+    * materialize its directory inside the critical section — two racing
+    * rebuilds get DISTINCT generations (they'd otherwise both stage into
+    * gen-(max+1) and the published index would interleave two builds).
+    * The lock covers only the claim; builds run unlocked and the last
+    * pointer swap wins, which is the documented rebuild semantics. */
   def next(indexPath: String): String = {
     val root = new Path(indexPath)
     val raw = StoreSink.fs(root)
-    val n =
-      if (!raw.exists(root)) 0
-      else raw.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("gen-"))
-        .flatMap(g => scala.util.Try(g.stripPrefix("gen-").toInt).toOption)
-        .foldLeft(0)(math.max)
-    s"gen-${n + 1}"
+    StoreSink.withCommitLock(root, raw) {
+      val n =
+        if (!raw.exists(root)) 0
+        else raw.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("gen-"))
+          .flatMap(g => scala.util.Try(g.stripPrefix("gen-").toInt).toOption)
+          .foldLeft(0)(math.max)
+      val gen = s"gen-${n + 1}"
+      raw.mkdirs(new Path(root, gen)) // visible to the next claimant
+      gen
+    }
   }
 
   def publish(indexPath: String, gen: String): Unit = {
@@ -434,28 +444,34 @@ object AnnIndex {
     val skewE4 =
       if (total == 0L || cells.isEmpty) 0L
       else cells.map(_._2).max * 10000L * cells.size / total
-    // recall probe: stride-sampled queries, exact top-k over the corpus
-    // as ground truth (bounded: |queries| ≈ corpus/251, a maintenance scan)
-    val nz = nzOfStore(s, corpus)
-    val queries = nz.where(pmod(col("vec_id"), lit(251)) === 0)
-    val qv = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-    val exact = nz
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-              col("nrm").as("n_nrm"))
-      .join(broadcast(qv))
-      .withColumn("score",
-        expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rn", row_number().over(wTop))
-      .where(col("rn") <= topk)
-      .select(col("q_id"), col("n_id"))
-      .localCheckpoint() // topk rows per sampled query
-    val got = probe(s, queries, indexPath, nprobe = 2, topk = topk)
-      .select(col("q_id"), col("n_id"))
-    val denom = exact.count()
-    val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi").count()
-    val recallE4 = if (denom == 0L) 10000L else hits * 10000L / denom
+    // recall probe ONLY when the floor is armed: the exact ground truth
+    // costs a corpus × sample pass (the ANALYZE-shaped maintenance scan)
+    // — a skew-only policy run must not pay it (recall_e4 = -1 then)
+    val recallE4 =
+      if (minRecallE4 <= 0L) -1L
+      else {
+        val nz = nzOfStore(s, corpus)
+        val queries = nz.where(pmod(col("vec_id"), lit(251)) === 0)
+        val qv = queries.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        val exact = nz
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                  col("nrm").as("n_nrm"))
+          .join(broadcast(qv))
+          .withColumn("score",
+            expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+          .withColumn("rn", row_number().over(wTop))
+          .where(col("rn") <= topk)
+          .select(col("q_id"), col("n_id"))
+          .localCheckpoint() // topk rows per sampled query
+        val got = probe(s, queries, indexPath, nprobe = 2, topk = topk)
+          .select(col("q_id"), col("n_id"))
+        val denom = exact.count()
+        val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi").count()
+        if (denom == 0L) 10000L else hits * 10000L / denom
+      }
     if (skewE4 > maxSkewE4 || recallE4 < minRecallE4) {
       buildFromStore(s, corpus, indexPath) // atomic: stage + pointer swap
       ("rebuild", skewE4, recallE4)

@@ -997,15 +997,19 @@ object StoreSink {
   private[sources] def columnarFileBytes(lines: Seq[String]): Array[Byte] = {
     val width = if (lines.isEmpty) 0 else lines.head.count(_ == ',') + 1
     val bufs = Array.fill(width)(new StringBuilder)
+    var r = 0
     lines.foreach { l =>
       val f = l.split(",", -1)
       require(f.length == width, s"ragged row width ${f.length} != $width")
       var c = 0
       while (c < width) {
-        if (bufs(c).nonEmpty) bufs(c).append(',')
+        // separator by ROW INDEX — a buffer-emptiness test would drop the
+        // comma after a leading EMPTY-STRING value and tear the block
+        if (r > 0) bufs(c).append(',')
         bufs(c).append(f(c))
         c += 1
       }
+      r += 1
     }
     columnarBytes(lines.size, bufs)
   }
@@ -2468,6 +2472,13 @@ object StoreSink {
   @volatile private[sources] var onTxnSwapped: String => Unit = _ => ()
   @volatile private[sources] var onTxnPrepared: () => Unit = () => ()
 
+  /** Applied-transaction manifest marker (`#txn=<id>`): written IN the
+    * APPLY swap itself, so "did this table already apply txn X" is one
+    * atomic fact — the roll-forward idempotency key that survives later
+    * commits mutating or replacing the applied entries. One short line
+    * per multi-table txn, the `#epoch=` ledger precedent. */
+  private def txnMarker(id: String): String = s"#txn=$id"
+
   /** MULTI-TABLE ATOMIC PUBLISH (verdict r9 #8): fold a WAP branch into
     * main on N stores ALL-OR-NOTHING — the cross-table transaction a
     * multi-table pipeline needs at publish time (facts + their dimension
@@ -2579,15 +2590,17 @@ object StoreSink {
         val entries = readBranchLines(root, fsys, b)
         // the branch file's existence is the roll-forward idempotency KEY,
         // but the swap and the branch delete are two FS ops — a crash
-        // between them leaves both halves. Skipping branch lines already
-        // present in the head manifest (entries are exact line matches;
-        // staged file names are unique) makes application idempotent:
-        // recovery after that crash deletes the branch without
-        // re-appending, never double-counting the files.
+        // between them leaves both halves. The swap therefore records the
+        // txn id as a MANIFEST MARKER (`#txn=<id>`, the epoch-ledger
+        // precedent): recovery skips re-appending when the marker is
+        // already in head. Exact-line matching is NOT enough — a commit
+        // between the crash and the recovery can mutate an applied entry's
+        // line (dv/eq attach) or replace its file outright (COW,
+        // compaction), and the resurrected original would double-count.
         val head = readManifestLines(root, fsys)
-        val headSet = head.toSet
-        val fresh = entries.filterNot(headSet.contains)
-        if (fresh.nonEmpty) writeManifestAtomic(root, fsys, head ++ fresh)
+        if (!head.contains(txnMarker(txnId)))
+          writeManifestAtomic(root, fsys,
+            head ++ entries :+ txnMarker(txnId))
         manifestFs(fsys).delete(new Path(root, branchFile(b)), false)
         published += entries.size
         onTxnSwapped(p)
@@ -2642,15 +2655,14 @@ object StoreSink {
           val b = kv("branch")
           if (branchExists(root, fsys, b)) { // not yet applied: roll forward
             val entries = readBranchLines(root, fsys, b)
-            // idempotent application (same rule as publishAll's APPLY): a
-            // crash BETWEEN the swap and the branch delete leaves the
-            // branch file behind with its lines already in head — skip
-            // lines the head manifest already carries so recovery never
-            // appends a second copy of the same files
+            // idempotent application (same rule as publishAll's APPLY):
+            // the `#txn=` marker in head — not line equality, which a
+            // mask-attach or COW rename between crash and recovery
+            // defeats — decides whether the swap already landed
             val head = readManifestLines(root, fsys)
-            val headSet = head.toSet
-            val fresh = entries.filterNot(headSet.contains)
-            if (fresh.nonEmpty) writeManifestAtomic(root, fsys, head ++ fresh)
+            if (!head.contains(txnMarker(id)))
+              writeManifestAtomic(root, fsys,
+                head ++ entries :+ txnMarker(id))
             raw.delete(new Path(root, branchFile(b)), false)
           }
           raw.delete(new Path(root, w), false)

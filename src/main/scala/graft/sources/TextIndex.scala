@@ -95,7 +95,8 @@ object TextIndex {
         col("df").as("amt_cents"), col("t").as("term"))
       .write.format(Fmt).mode("append").option("path", tm(genRoot))
       .option("partitionedBy", "identity:grp").save()
-    val st = dlen.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val st = dlen.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .collect()(0)
     StoreSink.withCommitLock(tmRoot, fsys) {
       val ps = StoreSink.readProps(tmRoot, fsys).toMap ++
         Map(NdProp -> st.getLong(0).toString, TlProp -> st.getLong(1).toString) ++
@@ -184,9 +185,14 @@ object TextIndex {
     * the indexed version. CDF delete rows carry the dead doc's TEXT, so
     * both sides re-tokenize from the feed alone — the index is never
     * consulted to find what a delete removes. Exact integer deltas:
-    * df ±= docs containing t per side, nd ±= docs, tl ±= tokens; postings
-    * of changed docs leave/enter their term shards; only TOUCHED shards
-    * rewrite (replace-set commits). Returns (docs_changed, shards_touched). */
+    * nd ±= docs, tl ±= tokens; postings of changed docs leave/enter their
+    * term shards; touched shards' DICTIONARY rows re-derive from the
+    * rewritten postings (df = rows per term). Every step is
+    * CRASH-IDEMPOTENT: the postings fold anti-joins the same changed-doc
+    * set, the dict recompute is derived state, and (nd, tl, version)
+    * land in ONE atomic props write LAST — a crash anywhere replays
+    * cleanly from the old version. Returns (docs_changed,
+    * shards_touched). */
   def refresh(s: SparkSession, indexPath: String): (Long, Long) = {
     val genRoot = IndexGen.dir(indexPath)
     val plRoot = new Path(pl(genRoot))
@@ -234,22 +240,18 @@ object TextIndex {
         .write.format(Fmt).mode("append").option("path", pl(genRoot))
         .option("replace", replaceSet(plRoot))
         .option("preserveMarkers", "true").save()
-      // dictionary: df' = df − del + ins per touched term; 0 rows drop,
-      // NEW terms enter with their insert-side df
-      val dict = s.read.format(Fmt).option("path", tm(genRoot)).load()
+      // dictionary rows for the touched shards DERIVED from the
+      // just-rewritten postings (df = posting rows per term — (doc, term)
+      // rows are unique by construction): a REPLAYED refresh recomputes
+      // the identical rows, which delta arithmetic applied to an
+      // already-adjusted dictionary would not — this is what makes a
+      // crash between the dict commit and the version bump recoverable
+      // by simply running refresh again
+      s.read.format(Fmt).option("path", pl(genRoot)).load()
         .where(col("grp").isin(touched: _*))
-        .select(col("k"), col("grp"), col("amt_cents"), col("term"))
-      dict.join(dfDelta.withColumnRenamed("t", "term"), Seq("term"), "left")
-        .na.fill(0L, Seq("ddel", "dins"))
-        .select(col("k"), col("grp"),
-          (col("amt_cents") - col("ddel") + col("dins")).as("amt_cents"),
-          col("term"))
-        .where(col("amt_cents") > 0)
-        .unionByName(dfDelta
-          .join(dict.select(col("term").as("t")), Seq("t"), "left_anti")
-          .where(col("dins") > 0)
-          .select(xxhash64(col("t")).as("k"), shardCol(col("t")).as("grp"),
-            col("dins").as("amt_cents"), col("t").as("term")))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .select(xxhash64(col("term")).as("k"), shardCol(col("term")).as("grp"),
+          col("df").as("amt_cents"), col("term"))
         .write.format(Fmt).mode("append").option("path", tm(genRoot))
         .option("replace", replaceSet(tmRoot))
         .option("preserveMarkers", "true").save()

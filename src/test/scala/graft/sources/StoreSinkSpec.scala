@@ -1026,17 +1026,25 @@ class StoreSinkSpec extends SparkSpec {
     }
     StoreSink.manifestFs(fs)
       .create(new Path(new Path(coord), s"_txn.$txnId.commit"), false).close()
-    // the torn table: swap applied, branch file NOT yet deleted
+    // the torn table: swap applied (marker included — what APPLY writes),
+    // branch file NOT yet deleted
     val root = new Path(sorted.head)
     val entries = StoreSink.readBranchLines(root, fs, "staged")
     StoreSink.writeManifestAtomic(root, fs,
-      StoreSink.readManifestLines(root, fs) ++ entries)
+      StoreSink.readManifestLines(root, fs) ++ entries :+ s"#txn=$txnId")
     def liveCount(dir: String): Long =
       spark.read.format(fmt).option("path", dir).load().count()
     assert(liveCount(sorted.head) == 30)
+    // the hard case: a commit between the crash and the recovery MUTATES
+    // an applied entry's line (dv attach) — exact-line matching would no
+    // longer recognize it and recovery would resurrect the unmasked
+    // original; the #txn marker must still say "applied"
+    new StoreTable(sorted.head).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 25L)))
+    assert(liveCount(sorted.head) == 29)
     val (f1, _) = StoreSink.recoverTxn(sorted.head)
     assert(f1 == 1L, "the committed txn must still count as rolled forward")
-    assert(liveCount(sorted.head) == 30,
+    assert(liveCount(sorted.head) == 29,
       s"recovery double-applied the branch: ${liveCount(sorted.head)} rows")
     val lines = StoreSink.readManifestLines(root, fs).filterNot(_.startsWith("#"))
     assert(lines.distinct.size == lines.size,
