@@ -165,6 +165,32 @@ class StoreColumnarSpec extends SparkSpec {
     assert(readBack(dir).size == 200)
   }
 
+  test("LIMIT/TopN/OFFSET pushdown compose with columnar files (planning " +
+       "is manifest-level; the row reads decode blocks)") {
+    val dir = freshDir("push")
+    markColumnar(dir)
+    df(1 to 1000, "g").repartitionByRange(4, col("k"))
+      .write.format(fmt).mode("append").option("path", dir).save()
+    def store = spark.read.format(fmt).option("path", dir).load()
+    // LIMIT: a live-row-count file prefix
+    StoreSink.lastLimitPlan = None
+    assert(store.limit(10).collect().length == 10)
+    assert(StoreSink.lastLimitPlan.exists { case (t, p) => p < t && p >= 1 },
+      s"limit should plan a file prefix: ${StoreSink.lastLimitPlan}")
+    // TopN: zone-ordered coverage; values must be the true top
+    StoreSink.lastTopNPlan = None
+    val top = store.orderBy(col("k").desc).limit(5).collect().map(_.getLong(0))
+    assert(top.toSeq == (996 to 1000).reverse.map(_.toLong),
+      s"topn over columnar misread: ${top.toSeq}")
+    assert(StoreSink.lastTopNPlan.exists { case (t, p) => p < t && p >= 1 },
+      s"topn should plan zone coverage: ${StoreSink.lastTopNPlan}")
+    // OFFSET: whole-file drop + boundary row-skip into a columnar file
+    StoreSink.lastOffsetPlan = None
+    val off = store.orderBy(col("k")).offset(300).limit(3)
+      .collect().map(_.getLong(0))
+    assert(off.toSeq == Seq(301L, 302L, 303L), s"offset misread: ${off.toSeq}")
+  }
+
   test("farr round-trips bit patterns exactly under BOTH encodings " +
        "(NaN, infinities, signed zero, subnormals)") {
     import spark.implicits._
