@@ -363,6 +363,51 @@ object StoreColumnar extends OpModule {
       }
     }),
 
+    // BLOCK COMPRESSION (`graft.store.compress = deflate`, the #GC2
+    // grammar): blocks are column-homogeneous so a cheap deflate pass
+    // compresses them well, the header carries raw:comp length pairs, and
+    // the reader INFLATES ONLY PROJECTED BLOCKS — compression composes
+    // with block skipping (the parquet page-compression shape) instead of
+    // fighting it. Content must be bit-identical to the uncompressed twin
+    // (one oracle); z flags pin that every file carries the GC2 magic and
+    // that the table's at-rest bytes genuinely shrank.
+    "q_store_col_zip" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecolzip")
+      val twin = tmp(d, "storecolziptwin")
+      val fsys = fsOf(s)
+      def seedZip(p: String, zip: Boolean): Unit = {
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true)
+        StoreSink.setProp(p, StoreSink.EncodingProp, "columnar")
+        if (zip) StoreSink.setProp(p, StoreSink.CompressProp, "deflate")
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                  graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+          .repartitionByRange(8, col("k"))
+          .write.format(fmt).mode("append").option("path", p).save()
+      }
+      seedZip(path, zip = true); seedZip(twin, zip = false)
+      def bytesOf(p: String): Long = StoreSink.readEntries(
+        new org.apache.hadoop.fs.Path(p), fsys).flatMap(_.bytes).sum
+      val smaller = bytesOf(path) < bytesOf(twin)
+      val gc2 = StoreSink.readEntries(new org.apache.hadoop.fs.Path(path), fsys)
+        .filter(_.rows > 0).forall { e =>
+          val in = fsys.open(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(path), e.name))
+          val buf = new Array[Byte](5)
+          val n = try in.read(buf) finally in.close()
+          n == 5 && new String(buf, "UTF-8") == "#GC2 "
+        }
+      withStorePath(s, path) {
+        val agg = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val rows = agg.toSeq ++ flagRows(
+          "z_gc2" -> gc2, "z_smaller" -> smaller)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, summarySchema).orderBy(col("grp"))
+      }
+    }),
+
     // Identity-partitioned columnar store: the partitioned writer holds
     // one column-buffer set per partition value it sees, partition
     // pruning still precedes zone pruning, and every partition-pure file
@@ -523,6 +568,16 @@ object StoreColumnar extends OpModule {
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 999
         |GROUP BY o_orderstatus
         |UNION ALL SELECT 'z_zone_pruned', 1, 0
+        |ORDER BY grp""".stripMargin,
+
+    "q_store_col_zip" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM base GROUP BY grp
+        |UNION ALL SELECT 'z_gc2', 1, 0
+        |UNION ALL SELECT 'z_smaller', 1, 0
         |ORDER BY grp""".stripMargin,
 
     "q_store_col_part" ->

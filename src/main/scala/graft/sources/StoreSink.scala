@@ -767,15 +767,56 @@ object StoreSink {
     * header list per group; one group per file keeps the planning story
     * identical while files stay write-task-sized. */
   val EncodingProp = "graft.store.encoding"
+  /** Optional per-block compression for COLUMNAR data files
+    * (`graft.store.compress = deflate`): blocks are column-homogeneous, so
+    * a cheap JDK deflate pass compresses them well; the `#GC2` header
+    * carries `raw:comp` length pairs, planning is untouched, and the
+    * reader inflates ONLY the blocks the projection names — compression
+    * composes with block skipping instead of fighting it (the parquet
+    * page-compression shape). Per-FILE like the encoding itself: flipping
+    * the property affects new files only. */
+  val CompressProp = "graft.store.compress"
   private[sources] val ColMagic = "#GC1 "
   private[sources] val ColMagicBytes =
     ColMagic.getBytes(StandardCharsets.UTF_8)
+  private[sources] val ColMagic2 = "#GC2 "
+  private[sources] val ColMagic2Bytes =
+    ColMagic2.getBytes(StandardCharsets.UTF_8)
+
+  private[sources] def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length / 3))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private[sources] def inflateBytes(b: Array[Byte], rawLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(b)
+    val out = new Array[Byte](rawLen)
+    var got = 0
+    while (got < rawLen && !inf.finished())
+      got += inf.inflate(out, got, rawLen - got)
+    inf.end()
+    require(got == rawLen, s"torn compressed block: $got of $rawLen bytes")
+    out
+  }
 
   /** Should NEW data files at `pathStr` be columnar? (Writer/COW-side;
     * resolved on the DRIVER at factory construction.) */
   private[sources] def columnarAt(pathStr: String): Boolean = {
     val root = new Path(pathStr)
     readProps(root, fs(root)).toMap.get(EncodingProp).contains("columnar")
+  }
+
+  /** Should NEW columnar files deflate their blocks? (No effect on the
+    * text encoding — compression is a block-level property.) */
+  private[sources] def compressAt(pathStr: String): Boolean = {
+    val root = new Path(pathStr)
+    readProps(root, fs(root)).toMap.get(CompressProp).contains("deflate")
   }
 
   /** Set one table property (read-merge-write under the commit lock). */
@@ -856,9 +897,13 @@ object StoreSink {
       case other => throw new IllegalArgumentException(s"unsupported type $other")
     }
 
-  /** Parsed columnar header: live row count and per-block byte lengths.
-    * `dataStart` is the byte offset of block 0. */
+  /** Parsed columnar header: row count, per-block ON-DISK byte lengths
+    * (compressed size under `#GC2`), per-block RAW lengths (== lens under
+    * `#GC1`), and whether blocks are deflated. `dataStart` is the byte
+    * offset of block 0. */
   private[sources] case class ColHeader(nrows: Int, lens: Array[Long],
+                                        rawLens: Array[Long],
+                                        compressed: Boolean,
                                         dataStart: Long)
 
   /** Sniff + parse a columnar header from an opened stream. Returns None
@@ -874,7 +919,8 @@ object StoreSink {
       if (n < 0) { in.seek(0L); return None } // shorter than the magic: text
       got += n
     }
-    if (!java.util.Arrays.equals(magic, ColMagicBytes)) {
+    val compressed = java.util.Arrays.equals(magic, ColMagic2Bytes)
+    if (!compressed && !java.util.Arrays.equals(magic, ColMagicBytes)) {
       in.seek(0L); return None
     }
     val sb = new StringBuilder
@@ -882,9 +928,25 @@ object StoreSink {
     while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() } // ASCII
     val parts = sb.result().trim.split(" ").filter(_.nonEmpty)
     val nrows = parts(0).toInt
-    val lens = parts.drop(1).map(_.toLong)
-    Some(ColHeader(nrows, lens,
+    val entries = parts.drop(1)
+    val lens = entries.map(e => e.split(':')(0).toLong)
+    val rawLens =
+      if (compressed) entries.map(e => e.split(':')(1).toLong) else lens
+    Some(ColHeader(nrows, lens, rawLens, compressed,
       ColMagicBytes.length + sb.length + 1L))
+  }
+
+  /** Load one block's TEXT (seek + readFully + inflate-if-compressed). */
+  private def loadBlockText(in: org.apache.hadoop.fs.FSDataInputStream,
+                            h: ColHeader, s: Int): String = {
+    var off = h.dataStart
+    var j = 0
+    while (j < s) { off += h.lens(j) + 1L; j += 1 }
+    in.seek(off)
+    val buf = new Array[Byte](h.lens(s).toInt)
+    in.readFully(buf)
+    val raw = if (h.compressed) inflateBytes(buf, h.rawLens(s).toInt) else buf
+    new String(raw, StandardCharsets.UTF_8)
   }
 
   /** One loaded column block: the raw text plus per-value OFFSETS —
@@ -923,13 +985,7 @@ object StoreSink {
     val want = slots.filter(_ < h.lens.length).distinct.sorted
     val out = Map.newBuilder[Int, ColBlock]
     want.foreach { s =>
-      var off = h.dataStart
-      var j = 0
-      while (j < s) { off += h.lens(j) + 1L; j += 1 }
-      in.seek(off)
-      val buf = new Array[Byte](h.lens(s).toInt)
-      in.readFully(buf)
-      val text = new String(buf, StandardCharsets.UTF_8)
+      val text = loadBlockText(in, h, s)
       val offs = new Array[Int](math.max(h.nrows, 0))
       if (h.nrows > 0) {
         offs(0) = 0
@@ -962,9 +1018,7 @@ object StoreSink {
     readColHeader(in) match {
       case Some(h) =>
         val cols = (0 until h.lens.length).map { s =>
-          val buf = new Array[Byte](h.lens(s).toInt)
-          in.readFully(h.dataStart + (0 until s).map(h.lens(_) + 1L).sum, buf)
-          val f = new String(buf, StandardCharsets.UTF_8).split(",", -1)
+          val f = loadBlockText(in, h, s).split(",", -1)
           if (h.nrows == 0) Array.empty[String] else f
         }.toArray
         in.close()
@@ -994,7 +1048,8 @@ object StoreSink {
   }
 
   /** Serialize uniform-width text rows as one columnar file's bytes. */
-  private[sources] def columnarFileBytes(lines: Seq[String]): Array[Byte] = {
+  private[sources] def columnarFileBytes(lines: Seq[String],
+                                         compress: Boolean = false): Array[Byte] = {
     val width = if (lines.isEmpty) 0 else lines.head.count(_ == ',') + 1
     val bufs = Array.fill(width)(new StringBuilder)
     var r = 0
@@ -1011,15 +1066,20 @@ object StoreSink {
       }
       r += 1
     }
-    columnarBytes(lines.size, bufs)
+    columnarBytes(lines.size, bufs, compress)
   }
 
-  /** Assemble header + blocks from per-column builders. */
+  /** Assemble header + blocks from per-column builders (deflating each
+    * block under `compress` — the `#GC2` grammar). */
   private[sources] def columnarBytes(nrows: Int,
-                                     bufs: Array[StringBuilder]): Array[Byte] = {
-    val blocks = bufs.map(_.result().getBytes(StandardCharsets.UTF_8))
-    val header = (ColMagic + nrows +
-      blocks.map(b => " " + b.length).mkString + "\n")
+                                     bufs: Array[StringBuilder],
+                                     compress: Boolean = false): Array[Byte] = {
+    val rawBlocks = bufs.map(_.result().getBytes(StandardCharsets.UTF_8))
+    val blocks = if (compress) rawBlocks.map(deflateBytes) else rawBlocks
+    val header = (if (compress)
+        ColMagic2 + nrows + blocks.indices.map(i =>
+          s" ${blocks(i).length}:${rawBlocks(i).length}").mkString + "\n"
+      else ColMagic + nrows + blocks.map(b => " " + b.length).mkString + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val total = header.length + blocks.map(_.length + 1).sum
     val out = new Array[Byte](total)
@@ -1038,9 +1098,10 @@ object StoreSink {
     * builds its column buffers directly, never through lines). */
   private[sources] def writeDataFile(fsys: FileSystem, p: Path,
                                      lines: Seq[String],
-                                     columnar: Boolean): Long = {
+                                     columnar: Boolean,
+                                     compress: Boolean = false): Long = {
     val bytes =
-      if (columnar && lines.nonEmpty) columnarFileBytes(lines)
+      if (columnar && lines.nonEmpty) columnarFileBytes(lines, compress)
       else lines.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
     val out = fsys.create(p, true)
     try out.write(bytes) finally out.close()
@@ -3546,6 +3607,7 @@ private object StoreTableDeleteBody {
     val (kLo, kHi) = StoreSink.kBounds(filters)
     // COW replacements are written under the table's CURRENT encoding
     val colEnc = StoreSink.columnarAt(pathStr)
+    val zipEnc = StoreSink.compressAt(pathStr)
     var processed = 0
     val gen = System.nanoTime().toHexString
     var anyChange = false
@@ -3623,7 +3685,8 @@ private object StoreTableDeleteBody {
           anyChange = true
           val nf = s"${e.name}-d$gen"
           val nBytes =
-            StoreSink.writeDataFile(fsys, new Path(root, nf), kept, colEnc)
+            StoreSink.writeDataFile(fsys, new Path(root, nf), kept, colEnc,
+              zipEnc)
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
             if (nMax == Long.MinValue) None else Some(nMax),
@@ -4291,9 +4354,10 @@ private case class StoreWriterFactory(pathStr: String, queryId: String,
   }
   private val columnar: Boolean = StoreSink.columnarAt(pathStr)
   private val ndvTrack: Boolean = StoreSink.ndvTracking(pathStr)
+  private val compress: Boolean = StoreSink.compressAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
-      spec, slots, statCols, strStatCols, columnar, ndvTrack)
+      spec, slots, statCols, strStatCols, columnar, ndvTrack, compress)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
@@ -4314,10 +4378,11 @@ private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
   }
   private val columnar: Boolean = StoreSink.columnarAt(pathStr)
   private val ndvTrack: Boolean = StoreSink.ndvTracking(pathStr)
+  private val compress: Boolean = StoreSink.compressAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
-      dataSchema, spec, slots, statCols, strStatCols, columnar, ndvTrack)
+      dataSchema, spec, slots, statCols, strStatCols, columnar, ndvTrack, compress)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
@@ -4327,7 +4392,8 @@ private class StoreDataWriter(pathStr: String, fileName: String,
                               statCols: Seq[(String, Int)] = Nil,
                               strStatCols: Seq[(String, Int)] = Nil,
                               columnar: Boolean = false,
-                              ndvTrack: Boolean = false)
+                              ndvTrack: Boolean = false,
+                              compress: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
@@ -4463,7 +4529,7 @@ private class StoreDataWriter(pathStr: String, fileName: String,
   override def commit(): WriterCommitMessage = {
     val payloads = sinks.values.toSeq.map { s =>
       if (columnar) {
-        val bytes = StoreSink.columnarBytes(s.rows.toInt, s.colBufs)
+        val bytes = StoreSink.columnarBytes(s.rows.toInt, s.colBufs, compress)
         s.out.write(bytes)
         s.bytes = bytes.length.toLong
       }

@@ -94,9 +94,10 @@ class GraftCatalogSpec extends SparkSpec {
         .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       assert(cat.listProcedures(Array.empty).map(_.name()).sorted.toSeq ==
         Seq("abandon", "analyze", "cherry_pick", "compact", "expire",
-          "history", "index_build", "index_refresh", "publish",
-          "publish_all", "remove_orphans", "repartition_spec", "rollback",
-          "tag", "txn_recover", "vacuum", "zorder", "zorder_by"))
+          "history", "index_build", "index_rebuild_if", "index_refresh",
+          "publish", "publish_all", "remove_orphans", "repartition_spec",
+          "rollback", "tag", "text_index_build", "text_index_refresh",
+          "txn_recover", "vacuum", "zorder", "zorder_by"))
       intercept[Exception] { spark.sql("CALL graft.nope(1)") }
       val dir = "target/tmp/catalog_spec_proc"
       val fs = org.apache.hadoop.fs.FileSystem.get(

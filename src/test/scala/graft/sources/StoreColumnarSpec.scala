@@ -165,6 +165,45 @@ class StoreColumnarSpec extends SparkSpec {
     assert(readBack(dir).size == 200)
   }
 
+  test("deflated blocks (#GC2): round-trip, masks, narrow skip, COW keeps " +
+       "compression, files shrink") {
+    val plain = freshDir("zip_plain"); val dir = freshDir("zip")
+    markColumnar(plain)
+    markColumnar(dir)
+    StoreSink.setProp(dir, StoreSink.CompressProp, "deflate")
+    val rows = df(1 to 2000, "grpvalue-repetitive-text")
+    rows.coalesce(1).write.format(fmt).mode("append").option("path", plain).save()
+    rows.coalesce(1).write.format(fmt).mode("append").option("path", dir).save()
+    def bytesOf(d: String): Long =
+      StoreSink.readEntries(new Path(d), fs).flatMap(_.bytes).sum
+    assert(bytesOf(dir) < bytesOf(plain) / 2,
+      s"deflate should shrink repetitive blocks: ${bytesOf(dir)} vs ${bytesOf(plain)}")
+    assert(spark.read.format(fmt).option("path", dir).load().collect().toSet ==
+      spark.read.format(fmt).option("path", plain).load().collect().toSet)
+    // narrow projection still skips blocks (inflate only what's projected)
+    StoreSink.lastColBlocks = None
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .select(col("k")).collect().length == 2000)
+    assert(StoreSink.lastColBlocks.contains((1, 3)))
+    // dv mask + COW rewrite: the replacement stays compressed (#GC2)
+    withStore(dir) {
+      spark.sql("DELETE FROM graft.store WHERE k in (5, 6)") // dv
+      assert(spark.read.format(fmt).option("path", dir).load().count() == 1998)
+      spark.sql("DELETE FROM graft.store WHERE k > 500") // COW
+    }
+    val entries = StoreSink.readEntries(new Path(dir), fs).filter(_.rows > 0)
+    entries.foreach { e =>
+      val in = fs.open(new Path(new Path(dir), e.name))
+      val buf = new Array[Byte](5)
+      val n = try in.read(buf) finally in.close()
+      assert(n == 5 && new String(buf, "UTF-8") == "#GC2 ",
+        s"COW replacement ${e.name} lost compression")
+    }
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .agg(org.apache.spark.sql.functions.sum(col("k"))).collect()(0).getLong(0) ==
+      (1L to 500L).sum - 11L)
+  }
+
   test("LIMIT/TopN/OFFSET pushdown compose with columnar files (planning " +
        "is manifest-level; the row reads decode blocks)") {
     val dir = freshDir("push")
