@@ -819,6 +819,17 @@ object StoreSink {
     readProps(root, fs(root)).toMap.get(CompressProp).contains("deflate")
   }
 
+  /** Rows per columnar GROUP (`graft.store.group.rows`): a writer flushes
+    * a complete header+blocks section every N rows, so reader memory is
+    * bounded by the group, not the file — the parquet row-group knob. The
+    * default keeps typical write-task files single-group. */
+  val GroupRowsProp = "graft.store.group.rows"
+  private[sources] def groupRowsAt(pathStr: String): Int = {
+    val root = new Path(pathStr)
+    readProps(root, fs(root)).toMap.get(GroupRowsProp)
+      .map(_.toInt).getOrElse(1 << 20)
+  }
+
   /** Set one table property (read-merge-write under the commit lock). */
   private[graft] def setProp(pathStr: String, key: String, value: String): Unit = {
     val root = new Path(pathStr)
@@ -906,12 +917,14 @@ object StoreSink {
                                         compressed: Boolean,
                                         dataStart: Long)
 
-  /** Sniff + parse a columnar header from an opened stream. Returns None
-    * (stream repositioned to 0) when the file is row-text; the magic is
-    * unambiguous — text rows never start with '#' (strings URL-encode it,
-    * numeric fields open with a digit or '-', nulls with '\'). */
+  /** Sniff + parse the columnar GROUP header at `base`. Returns None
+    * (stream repositioned to 0) when the byte run is row-text; the magic
+    * is unambiguous — text rows never start with '#' (strings URL-encode
+    * it, numeric fields open with a digit or '-', nulls with '\'). */
   private[sources] def readColHeader(
-      in: org.apache.hadoop.fs.FSDataInputStream): Option[ColHeader] = {
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      base: Long = 0L): Option[ColHeader] = {
+    in.seek(base)
     val magic = new Array[Byte](ColMagicBytes.length)
     var got = 0
     while (got < magic.length) {
@@ -933,7 +946,31 @@ object StoreSink {
     val rawLens =
       if (compressed) entries.map(e => e.split(':')(1).toLong) else lens
     Some(ColHeader(nrows, lens, rawLens, compressed,
-      ColMagicBytes.length + sb.length + 1L))
+      base + ColMagicBytes.length + sb.length + 1L))
+  }
+
+  /** Walk a columnar file's GROUP chain (one header + blocks per group —
+    * the parquet row-group shape: a reader holds ONE group's blocks at a
+    * time, so memory is bounded by the group-size knob, not the file).
+    * None when the file is row-text. */
+  private[sources] def readColGroups(
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long): Option[Seq[ColHeader]] = {
+    readColHeader(in, 0L) match {
+      case None => None
+      case Some(first) =>
+        val groups = Seq.newBuilder[ColHeader]
+        var h = first
+        groups += h
+        var pos = h.dataStart + h.lens.map(_ + 1L).sum
+        while (pos < fileLen) {
+          h = readColHeader(in, pos).getOrElse(throw new IllegalStateException(
+            s"torn columnar group chain at byte $pos of $fileLen"))
+          groups += h
+          pos = h.dataStart + h.lens.map(_ + 1L).sum
+        }
+        Some(groups.result())
+    }
   }
 
   /** Load one block's TEXT (seek + readFully + inflate-if-compressed). */
@@ -1015,24 +1052,27 @@ object StoreSink {
   private[sources] def openDataLines(fsys: FileSystem,
                                      p: Path): (Iterator[String], () => Unit) = {
     val in = fsys.open(p)
-    readColHeader(in) match {
-      case Some(h) =>
-        val cols = (0 until h.lens.length).map { s =>
-          val f = loadBlockText(in, h, s).split(",", -1)
-          if (h.nrows == 0) Array.empty[String] else f
-        }.toArray
-        in.close()
-        val it = (0 until h.nrows).iterator.map { r =>
-          val sb = new StringBuilder
-          var c = 0
-          while (c < cols.length) {
-            if (c > 0) sb.append(',')
-            sb.append(cols(c)(r))
-            c += 1
+    val fileLen = fsys.getFileStatus(p).getLen
+    readColGroups(in, fileLen) match {
+      case Some(groups) =>
+        // lazy per-group materialization: one group's blocks live at a time
+        val it = groups.iterator.flatMap { h =>
+          val cols = (0 until h.lens.length).map { s =>
+            val f = loadBlockText(in, h, s).split(",", -1)
+            if (h.nrows == 0) Array.empty[String] else f
+          }.toArray
+          (0 until h.nrows).iterator.map { r =>
+            val sb = new StringBuilder
+            var c = 0
+            while (c < cols.length) {
+              if (c > 0) sb.append(',')
+              sb.append(cols(c)(r))
+              c += 1
+            }
+            sb.result()
           }
-          sb.result()
         }
-        (it, () => ())
+        (it, () => in.close())
       case None =>
         val rd = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
@@ -1047,26 +1087,33 @@ object StoreSink {
     }
   }
 
-  /** Serialize uniform-width text rows as one columnar file's bytes. */
+  /** Serialize uniform-width text rows as a columnar file's bytes —
+    * chunked into GROUPS of `groupRows` (ordinals run across groups, so
+    * dv masks are untouched by the grouping). */
   private[sources] def columnarFileBytes(lines: Seq[String],
-                                         compress: Boolean = false): Array[Byte] = {
+                                         compress: Boolean = false,
+                                         groupRows: Int = 1 << 20): Array[Byte] = {
     val width = if (lines.isEmpty) 0 else lines.head.count(_ == ',') + 1
-    val bufs = Array.fill(width)(new StringBuilder)
-    var r = 0
-    lines.foreach { l =>
-      val f = l.split(",", -1)
-      require(f.length == width, s"ragged row width ${f.length} != $width")
-      var c = 0
-      while (c < width) {
-        // separator by ROW INDEX — a buffer-emptiness test would drop the
-        // comma after a leading EMPTY-STRING value and tear the block
-        if (r > 0) bufs(c).append(',')
-        bufs(c).append(f(c))
-        c += 1
+    val out = new java.io.ByteArrayOutputStream()
+    lines.grouped(math.max(1, groupRows)).foreach { group =>
+      val bufs = Array.fill(width)(new StringBuilder)
+      var r = 0
+      group.foreach { l =>
+        val f = l.split(",", -1)
+        require(f.length == width, s"ragged row width ${f.length} != $width")
+        var c = 0
+        while (c < width) {
+          // separator by ROW INDEX — a buffer-emptiness test would drop
+          // the comma after a leading EMPTY-STRING value, tearing the block
+          if (r > 0) bufs(c).append(',')
+          bufs(c).append(f(c))
+          c += 1
+        }
+        r += 1
       }
-      r += 1
+      out.write(columnarBytes(group.size, bufs, compress))
     }
-    columnarBytes(lines.size, bufs, compress)
+    out.toByteArray
   }
 
   /** Assemble header + blocks from per-column builders (deflating each
@@ -1099,9 +1146,11 @@ object StoreSink {
   private[sources] def writeDataFile(fsys: FileSystem, p: Path,
                                      lines: Seq[String],
                                      columnar: Boolean,
-                                     compress: Boolean = false): Long = {
+                                     compress: Boolean = false,
+                                     groupRows: Int = 1 << 20): Long = {
     val bytes =
-      if (columnar && lines.nonEmpty) columnarFileBytes(lines, compress)
+      if (columnar && lines.nonEmpty)
+        columnarFileBytes(lines, compress, groupRows)
       else lines.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
     val out = fsys.create(p, true)
     try out.write(bytes) finally out.close()
@@ -3608,6 +3657,7 @@ private object StoreTableDeleteBody {
     // COW replacements are written under the table's CURRENT encoding
     val colEnc = StoreSink.columnarAt(pathStr)
     val zipEnc = StoreSink.compressAt(pathStr)
+    val grpRows = StoreSink.groupRowsAt(pathStr)
     var processed = 0
     val gen = System.nanoTime().toHexString
     var anyChange = false
@@ -3686,7 +3736,7 @@ private object StoreTableDeleteBody {
           val nf = s"${e.name}-d$gen"
           val nBytes =
             StoreSink.writeDataFile(fsys, new Path(root, nf), kept, colEnc,
-              zipEnc)
+              zipEnc, grpRows)
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
             if (nMax == Long.MinValue) None else Some(nMax),
@@ -4355,9 +4405,11 @@ private case class StoreWriterFactory(pathStr: String, queryId: String,
   private val columnar: Boolean = StoreSink.columnarAt(pathStr)
   private val ndvTrack: Boolean = StoreSink.ndvTracking(pathStr)
   private val compress: Boolean = StoreSink.compressAt(pathStr)
+  private val groupRows: Int = StoreSink.groupRowsAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
-      spec, slots, statCols, strStatCols, columnar, ndvTrack, compress)
+      spec, slots, statCols, strStatCols, columnar, ndvTrack, compress,
+      groupRows)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
@@ -4379,10 +4431,12 @@ private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
   private val columnar: Boolean = StoreSink.columnarAt(pathStr)
   private val ndvTrack: Boolean = StoreSink.ndvTracking(pathStr)
   private val compress: Boolean = StoreSink.compressAt(pathStr)
+  private val groupRows: Int = StoreSink.groupRowsAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
-      dataSchema, spec, slots, statCols, strStatCols, columnar, ndvTrack, compress)
+      dataSchema, spec, slots, statCols, strStatCols, columnar, ndvTrack,
+      compress, groupRows)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
@@ -4393,7 +4447,8 @@ private class StoreDataWriter(pathStr: String, fileName: String,
                               strStatCols: Seq[(String, Int)] = Nil,
                               columnar: Boolean = false,
                               ndvTrack: Boolean = false,
-                              compress: Boolean = false)
+                              compress: Boolean = false,
+                              groupRows: Int = 1 << 20)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
@@ -4421,7 +4476,17 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     // row group, exactly what a parquet writer holds before a flush)
     val colBufs: Array[StringBuilder] =
       if (columnar) Array.fill(physWidth)(new StringBuilder) else null
+    var grows = 0 // rows in the CURRENT group (the flush counter)
     var rows = 0L; var bytes = 0L
+    /** Flush the buffered group as one header+blocks section (ordinals
+      * run across groups, so file-wide dv masks are untouched). */
+    def flushGroup(compress: Boolean): Unit = if (grows > 0) {
+      val b = StoreSink.columnarBytes(grows, colBufs, compress)
+      out.write(b)
+      bytes += b.length
+      colBufs.foreach(_.setLength(0))
+      grows = 0
+    }
     var minK: Long = Long.MaxValue; var maxK: Long = Long.MinValue
     var bloom = 0L
     var minA: Long = Long.MaxValue; var maxA: Long = Long.MinValue
@@ -4511,12 +4576,14 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       while (si < physWidth) {
         val i = if (slots == null) si else slots(si)
         val buf = s.colBufs(si)
-        if (s.rows > 0) buf.append(',')
+        if (s.grows > 0) buf.append(',')
         if (i < 0) buf.append("\\N") // tombstoned slot: null placeholder
         else buf.append(StoreSink.fieldString(record, base + i, types(i)))
         si += 1
       }
       s.rows += 1
+      s.grows += 1
+      if (s.grows >= groupRows) s.flushGroup(compress)
     } else {
       val b = (StoreSink.encode(record, base, types, slots) + "\n")
         .getBytes(StandardCharsets.UTF_8)
@@ -4528,11 +4595,7 @@ private class StoreDataWriter(pathStr: String, fileName: String,
 
   override def commit(): WriterCommitMessage = {
     val payloads = sinks.values.toSeq.map { s =>
-      if (columnar) {
-        val bytes = StoreSink.columnarBytes(s.rows.toInt, s.colBufs, compress)
-        s.out.write(bytes)
-        s.bytes = bytes.length.toLong
-      }
+      if (columnar) s.flushGroup(compress) // the tail group
       s.out.close()
       StoreFilePayload(s.staged.getName, s.rows,
         if (s.minK == Long.MaxValue) None else Some(s.minK),
@@ -5641,58 +5704,79 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
     // text and columnar generations side by side (encoding flips, travel,
     // compaction of mixed inputs)
     val rawIn = fsys.open(p)
-    StoreSink.readColHeader(rawIn) match {
-      case Some(h) =>
+    val fileLen = fsys.getFileStatus(p).getLen
+    StoreSink.readColGroups(rawIn, fileLen) match {
+      case Some(groups) =>
         // COLUMNAR: read ONLY the projected slots' blocks (plus the key
         // block when an equality mask must be evaluated) — a narrow
         // projection's I/O and parse cost scale with the columns it asks
         // for, not the table's width. COUNT(*)-shaped scans (no required
-        // columns, no eq mask) read the header alone.
+        // columns, no eq mask) read the headers alone. Groups load
+        // LAZILY, one at a time — reader memory is bounded by the
+        // group-size knob, never the file. Row ordinals run ACROSS
+        // groups (dv masks are file-wide).
         val needSlots: Array[Int] = required.fieldNames
           .filter(_ != "_file").map(n => slotOf(table.fieldIndex(n)))
         val want = if (eqKeys.isEmpty) needSlots else needSlots :+ 0
-        val blocks =
-          try StoreSink.readColBlocks(rawIn, h, want) finally rawIn.close()
-        val keyBlock: StoreSink.ColBlock = blocks.getOrElse(0, null)
-        // per-column typed getters parse straight from the block text by
-        // offset — no per-value String materialization on the hot path
-        val colGetters: Array[Int => Any] = required.fieldNames.map {
-          case "_file" => (_: Int) => fileName
-          case n =>
-            val s = slotOf(table.fieldIndex(n))
-            blocks.get(s) match {
-              case Some(b) => types(s) match {
-                case LongType => (r: Int) =>
-                  if (b.isNull(r)) null else java.lang.Long.valueOf(b.long(r))
-                case IntegerType => (r: Int) =>
-                  if (b.isNull(r)) null
-                  else java.lang.Integer.valueOf(b.long(r).toInt)
-                case StringType => (r: Int) =>
-                  if (b.isNull(r)) null
-                  else UTF8String.fromString(
-                    java.net.URLDecoder.decode(b.raw(r), "UTF-8"))
-                case dt if StoreSink.isFarr(dt) => (r: Int) =>
-                  if (b.isNull(r)) null else StoreSink.hexToFloats(b.raw(r))
-                case other =>
-                  throw new IllegalArgumentException(s"unsupported type $other")
-              }
-              case None => // file predates the column: initial default
-                val d = defaults(s); (_: Int) => d
-            }
-        }
         new PartitionReader[InternalRow] {
+          private var gi = -1
+          private var gRows = 0
+          private var rowInG = 0 // next unread row within the group
+          private var cur = -1   // the row get() reads
+          private var keyBlock: StoreSink.ColBlock = _
+          private var colGetters: Array[Int => Any] = _
           private var ord = -1
           private var toSkip = part.skipRows
+          private def loadGroup(): Boolean = {
+            gi += 1
+            if (gi >= groups.length) return false
+            val blocks = StoreSink.readColBlocks(rawIn, groups(gi), want)
+            keyBlock = blocks.getOrElse(0, null)
+            // per-column typed getters parse straight from the block text
+            // by offset — no per-value String materialization
+            colGetters = required.fieldNames.map {
+              case "_file" => (_: Int) => fileName
+              case n =>
+                val s = slotOf(table.fieldIndex(n))
+                blocks.get(s) match {
+                  case Some(b) => types(s) match {
+                    case LongType => (r: Int) =>
+                      if (b.isNull(r)) null else java.lang.Long.valueOf(b.long(r))
+                    case IntegerType => (r: Int) =>
+                      if (b.isNull(r)) null
+                      else java.lang.Integer.valueOf(b.long(r).toInt)
+                    case StringType => (r: Int) =>
+                      if (b.isNull(r)) null
+                      else UTF8String.fromString(
+                        java.net.URLDecoder.decode(b.raw(r), "UTF-8"))
+                    case dt if StoreSink.isFarr(dt) => (r: Int) =>
+                      if (b.isNull(r)) null else StoreSink.hexToFloats(b.raw(r))
+                    case other =>
+                      throw new IllegalArgumentException(s"unsupported type $other")
+                  }
+                  case None => // file predates the column: initial default
+                    val d = defaults(s); (_: Int) => d
+                }
+            }
+            gRows = groups(gi).nrows
+            rowInG = 0
+            true
+          }
           override def next(): Boolean = {
             while (true) {
-              ord += 1
-              if (ord >= h.nrows) return false
-              if (!masked.get(ord)) {
-                val eqDead = eqKeys.nonEmpty && keyBlock != null &&
-                  !keyBlock.isNull(ord) &&
-                  java.util.Arrays.binarySearch(eqKeys, keyBlock.long(ord)) >= 0
-                if (!eqDead) {
-                  if (toSkip > 0L) toSkip -= 1 else return true
+              if (gi < 0 || rowInG >= gRows) {
+                if (!loadGroup()) return false
+              } else {
+                val r = rowInG
+                rowInG += 1
+                ord += 1
+                if (!masked.get(ord)) {
+                  val eqDead = eqKeys.nonEmpty && keyBlock != null &&
+                    !keyBlock.isNull(r) &&
+                    java.util.Arrays.binarySearch(eqKeys, keyBlock.long(r)) >= 0
+                  if (!eqDead) {
+                    if (toSkip > 0L) toSkip -= 1 else { cur = r; return true }
+                  }
                 }
               }
             }
@@ -5702,10 +5786,10 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
             // direct fill: one row allocation, no per-row Seq
             val vals = new Array[Any](colGetters.length)
             var i = 0
-            while (i < colGetters.length) { vals(i) = colGetters(i)(ord); i += 1 }
+            while (i < colGetters.length) { vals(i) = colGetters(i)(cur); i += 1 }
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
           }
-          override def close(): Unit = ()
+          override def close(): Unit = rawIn.close()
         }
       case None => textReader(rawIn, part, fileName, types, slotOf, defaults,
         masked, eqKeys)

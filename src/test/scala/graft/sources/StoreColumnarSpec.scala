@@ -165,6 +165,40 @@ class StoreColumnarSpec extends SparkSpec {
     assert(readBack(dir).size == 200)
   }
 
+  test("multi-group files (graft.store.group.rows): ordinals and masks run " +
+       "across groups, memory-bounded reads stay correct") {
+    val dir = freshDir("groups")
+    markColumnar(dir)
+    StoreSink.setProp(dir, StoreSink.GroupRowsProp, "100")
+    StoreSink.setProp(dir, StoreSink.CompressProp, "deflate") // compose both
+    df(1 to 950, "g").coalesce(1)
+      .write.format(fmt).mode("append").option("path", dir).save()
+    val name = StoreSink.readEntries(new Path(dir), fs).head.name
+    // 10 groups of ≤100 rows in ONE file: count the magic headers
+    val in = fs.open(new Path(dir, name))
+    val all = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val magics = new String(all, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .sliding(5).count(_ == "#GC2 ")
+    assert(magics == 10, s"expected 10 groups, saw $magics")
+    assert(readBack(dir).map(_._1) == (1L to 950L).toSet)
+    // dv mask ordinals are FILE-wide: delete rows living in different
+    // groups and in the group-boundary row
+    withStore(dir) {
+      spark.sql("DELETE FROM graft.store WHERE k in (1, 100, 101, 555, 950)")
+    }
+    assert(readBack(dir).map(_._1) ==
+      ((1L to 950L).toSet -- Set(1L, 100L, 101L, 555L, 950L)))
+    // narrow projection still reads one block per group
+    StoreSink.lastColBlocks = None
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .select(col("amt_cents")).collect().length == 945)
+    assert(StoreSink.lastColBlocks.exists(_._2 == 3))
+    // offset pushdown's boundary row-skip crosses group boundaries
+    val off = spark.read.format(fmt).option("path", dir).load()
+      .orderBy(col("k")).offset(300).limit(2).collect().map(_.getLong(0))
+    assert(off.toSeq == Seq(304L, 305L), s"offset across groups: ${off.toSeq}")
+  }
+
   test("deflated blocks (#GC2): round-trip, masks, narrow skip, COW keeps " +
        "compression, files shrink") {
     val plain = freshDir("zip_plain"); val dir = freshDir("zip")
