@@ -165,6 +165,82 @@ class StoreColumnarSpec extends SparkSpec {
     assert(readBack(dir).size == 200)
   }
 
+  test("streaming epoch writes produce columnar files under the same " +
+       "ledger (encoding is write-path-blind)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir("stream")
+    val chk = freshDir("stream_chk")
+    markColumnar(dir)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("k", "grp", "amt_cents")
+      .writeStream.format(fmt)
+      .option("path", dir).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    try {
+      mem.addData((1 to 40).map(k => (k.toLong, "s1", k * 10L)): _*)
+      q.processAllAvailable()
+      mem.addData((41 to 60).map(k => (k.toLong, "s2", k * 10L)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val entries = StoreSink.readEntries(new Path(dir), fs).filter(_.rows > 0)
+    assert(entries.nonEmpty && entries.map(_.name).forall(isColumnar(dir, _)),
+      "streaming epochs must write the table's declared encoding")
+    assert(readBack(dir).size == 60)
+    assert(StoreSink.readManifestLines(new Path(dir), fs)
+      .count(_.startsWith("#epoch=")) >= 2, "epoch ledger must still ride")
+  }
+
+  test("storage-partitioned join stays exchange-free over a bucketed " +
+       "store with MIXED text+columnar bucket files") {
+    val ctas = s"target/tmp/storecol_spec_spj"
+    fs.delete(new Path(ctas), true)
+    val confs = Seq(
+      "spark.sql.catalog.graft" -> "graft.sources.GraftCatalog",
+      GraftCatalog.CtasDirKey -> ctas,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft.colspj_a")
+      spark.sql("DROP TABLE IF EXISTS graft.colspj_b")
+      import spark.implicits._
+      (1 to 200).map(k => (k.toLong, "g" + (k % 3), k * 100L))
+        .toDF("k", "grp", "amt_cents").createOrReplaceTempView("colspj_src")
+      spark.sql("""CREATE TABLE graft.colspj_a PARTITIONED BY (bucket(4, k))
+        |AS SELECT * FROM colspj_src""".stripMargin)
+      spark.sql("""CREATE TABLE graft.colspj_b PARTITIONED BY (bucket(4, k))
+        |AS SELECT k, grp, amt_cents * 2 AS amt_cents FROM colspj_src""".stripMargin)
+      // the encoding flip lands mid-table: later bucket files are columnar
+      spark.sql("ALTER TABLE graft.colspj_a SET TBLPROPERTIES" +
+        "('graft.store.encoding'='columnar')")
+      spark.sql("INSERT INTO graft.colspj_a SELECT k + 200, grp, amt_cents " +
+        "FROM colspj_src WHERE k <= 40")
+      val rootA = new Path(s"$ctas/colspj_a")
+      val names = StoreSink.readEntries(rootA, fs).map(_.name)
+      assert(names.exists(n => isColumnar(s"$ctas/colspj_a", n)) &&
+        names.exists(n => !isColumnar(s"$ctas/colspj_a", n)),
+        "fixture: want mixed bucket files")
+      // the JOIN subplan must be exchange-free (a global aggregate on top
+      // would legitimately add its own SinglePartition exchange)
+      val j = spark.table("graft.colspj_a").as("a")
+        .join(spark.table("graft.colspj_b").as("b"), "k")
+        .select(col("k"), col("a.amt_cents").as("x"), col("b.amt_cents").as("y"))
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "SPJ must stay exchange-free over mixed-encoding bucket files")
+      val rows = j.collect()
+      assert(rows.length == 200, s"join cardinality: ${rows.length}")
+      assert(rows.map(r => r.getLong(1) * 2 == r.getLong(2)).forall(identity))
+      spark.sql("DROP TABLE graft.colspj_a")
+      spark.sql("DROP TABLE graft.colspj_b")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("multi-group files (graft.store.group.rows): ordinals and masks run " +
        "across groups, memory-bounded reads stay correct") {
     val dir = freshDir("groups")
