@@ -359,6 +359,59 @@ object IndexOps extends OpModule {
         .orderBy(col("bm25_e4").desc, col("doc_id"))
     }),
 
+    // PQ MAINTENANCE (round-12 verdict #2): the compressed leg follows the
+    // corpus. Build coarse + PQ from a corpus STORE, apply a CDC batch
+    // (an id range retires, shifted copies append), refresh — which now
+    // folds the change feed into BOTH postings and codes under the FROZEN
+    // codebooks — and the post-refresh PQ probe must equal a frozen-
+    // codebook rebuild over the head corpus, which is exactly what the
+    // oracle replays (train on base, assign/encode head). Without the
+    // fold this probe would silently ADC-rank dead vectors; with a
+    // version mismatch probePq now refuses instead (spec-pinned).
+    "q_sim_ivfpq_refresh" -> ((s, d) => graft.sources.Sources.withGraftCatalog(s) {
+      val corpus = tmpIdx(d, "pqrefcorpus")
+      val idx = tmpIdx(d, "pqrefidx")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(corpus), true)
+      fsys.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.sources.Sources.withStorePath(s, corpus) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN emb STRING")
+        val all = Tables.embeddings(s, d).select(col("vec_id").as("k"),
+          lit("e").as("grp"), lit(0L).as("amt_cents"),
+          expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+        all.write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save() // v1: the indexed generation
+        AnnIndex.buildFromStore(s, corpus, idx)
+        AnnIndex.buildPqFromStore(s, idx)
+        val mx = Tables.embeddings(s, d).agg(max(col("vec_id")))
+          .collect()(0).getLong(0)
+        s.sql("DELETE FROM graft.store WHERE k BETWEEN 10 AND 99")
+        all.where(col("k").between(1, 50))
+          .select((col("k") + mx + 1).as("k"), col("grp"),
+                  col("amt_cents"), col("emb"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save()
+        val (nKeys, nCells) = AnnIndex.refresh(s, idx)
+        val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+        val top = AnnIndex.probePq(s, queries, idx).collect()
+        val rows = top.toSeq :+ org.apache.spark.sql.Row(-1L, -1L,
+          if (nKeys > 0 && nCells >= 1) 1 else 0, 0) // z_incremental
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score_e4",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("rn",
+            org.apache.spark.sql.types.IntegerType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema)
+          .orderBy(col("q_id"), col("rn"), col("n_id"))
+      }
+    }),
+
     // REBUILD POLICY driven to an automatic decision (round-11 verdict #7):
     // the corpus store takes SKEWED growth — every new vector is a copy of
     // vector 0, so the whole batch lands in ONE frozen cell — and `CALL
@@ -569,6 +622,80 @@ object IndexOps extends OpModule {
          |  SELECT c_id, n_vectors FROM cells
          |  UNION ALL SELECT -1, mx * 10000 * nc // tot FROM agg) t
          |ORDER BY c_id""".stripMargin
+    },
+
+    // refresh == frozen rebuild, PQ edition: codebook + sub-codebooks
+    // train on the BASE corpus (the indexed generation), assignment +
+    // codes re-derive over the HEAD corpus (retired range gone, shifted
+    // copies in) — the closed form of "fold the feed under frozen
+    // quantizers", which is what AnnIndex.refresh now maintains
+    "q_sim_ivfpq_refresh" -> {
+      val cosHF = cosQ("he.embedding", "fc1.c_emb")
+      val cosQF = cosQ("q.q_emb", "fc1.c_emb")
+      val cosRR = cosQ("qe.q_emb", "ne.n_emb")
+      s"""WITH ${replayOn("embeddings", "f")},
+         |mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+         |head AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id NOT BETWEEN 10 AND 99
+         |  UNION ALL
+         |  SELECT e2.vec_id + mx.m + 1, e2.embedding FROM embeddings e2, mx
+         |  WHERE e2.vec_id BETWEEN 1 AND 50),
+         |he AS (SELECT vec_id, embedding FROM head
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |hasg AS (SELECT n_id, n_emb, bucket FROM (
+         |    SELECT he.vec_id AS n_id, he.embedding AS n_emb, fc1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY he.vec_id
+         |        ORDER BY $cosHF DESC, fc1.c_id) AS arn
+         |    FROM he CROSS JOIN fc1) t WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM fe WHERE vec_id < 10),
+         |prb AS (SELECT q_id, bucket FROM (
+         |    SELECT q.q_id, fc1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQF DESC, fc1.c_id) AS prn
+         |    FROM q CROSS JOIN fc1) t WHERE prn <= 2),
+         |bsides AS (SELECT vec_id, s,
+         |    CASE WHEN s = 0 THEN embedding[1:32] ELSE embedding[33:64] END AS sub
+         |  FROM fe, (SELECT UNNEST(RANGE(0, 2)) AS s)),
+         |cbq AS (SELECT vec_id AS c_id, s, sub AS c_sub FROM bsides
+         |        WHERE vec_id BETWEEN 100 AND 107),
+         |hsides AS (SELECT vec_id, s,
+         |    CASE WHEN s = 0 THEN embedding[1:32] ELSE embedding[33:64] END AS sub
+         |  FROM he, (SELECT UNNEST(RANGE(0, 2)) AS s)),
+         |enc AS (SELECT vec_id AS n_id, s, c_id AS code FROM (
+         |  SELECT v.vec_id, v.s, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+         |      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.sub, c.c_sub),
+         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.c_id) AS rn
+         |  FROM hsides v JOIN cbq c ON v.s = c.s) t WHERE rn = 1),
+         |dtab AS (SELECT qs.vec_id AS q_id, c.s, c.c_id,
+         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qs.sub, c.c_sub),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT) AS d_e6
+         |  FROM bsides qs JOIN cbq c ON qs.s = c.s WHERE qs.vec_id < 10),
+         |cells AS (SELECT DISTINCT prb.q_id, hasg.n_id
+         |          FROM prb JOIN hasg ON prb.bucket = hasg.bucket),
+         |adc AS (SELECT d.q_id, enc.n_id, SUM(d.d_e6) AS adc
+         |        FROM cells
+         |        JOIN enc ON enc.n_id = cells.n_id
+         |        JOIN dtab d ON enc.s = d.s AND enc.code = d.c_id
+         |                   AND d.q_id = cells.q_id
+         |        GROUP BY d.q_id, enc.n_id),
+         |cand AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+         |  FROM adc) t WHERE rn <= 20),
+         |scored AS (SELECT cand.q_id, cand.n_id, $cosRR AS score
+         |  FROM cand JOIN q qe ON qe.q_id = cand.q_id
+         |            JOIN hasg ne ON ne.n_id = cand.n_id)
+         |SELECT q_id, n_id, score_e4, rn FROM (
+         |  SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id) AS INTEGER) AS rn
+         |  FROM scored) t WHERE rn <= 5
+         |UNION ALL SELECT -1, -1, 1, 0
+         |ORDER BY q_id, rn, n_id""".stripMargin
     },
 
     // kmeans-cell replay composed with q_sim_pq's code/ADC chain: cells,

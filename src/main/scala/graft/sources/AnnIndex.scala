@@ -98,6 +98,10 @@ object AnnIndex {
   private val Fmt = "graft.sources.StoreSink"
   val CorpusProp = "graft.index.corpus"
   val VersionProp = "graft.index.corpus_version"
+  /** Corpus version the PQ `codes` table reflects — advanced by the
+    * refresh fold; [[probePq]] refuses when it trails [[VersionProp]]
+    * (stale ADC results would otherwise serve silently). */
+  val PqVersionProp = "graft.index.pq_version"
 
   // ---------------------------------------------------- generation pointer
   /** ATOMIC REBUILD (round-11 verdict #2a): a rebuild must never leave a
@@ -239,6 +243,15 @@ object AnnIndex {
           (ps + (CorpusProp -> path) + (VersionProp -> v.toString)).toSeq)
       }
     }
+    // PQ CARRY-FORWARD: if the generation being superseded held the
+    // compressed leg (codes + pqcb), re-encode it into the NEW generation
+    // BEFORE the pointer swap — a policy-triggered retrain must not
+    // strand the only PQ state where dropStaleGenerations will delete it
+    // (probePq would then fail on missing paths; advice catch)
+    val prevGen = genDir(indexPath)
+    val prevPq = new Path(s"$prevGen/pqcb")
+    if (prevGen != genRoot && StoreSink.fs(prevPq).exists(prevPq))
+      buildPqAt(s, nz, genRoot)
     val nCb = StoreSink.readEntries(cbRoot, fsys).map(_.rows).sum
     val nPl = StoreSink.readEntries(plRoot, fsys).map(_.rows).sum
     publishGen(indexPath, gen) // the ONE visible instant of the rebuild
@@ -307,14 +320,27 @@ object AnnIndex {
     * instead of 64 floats; ADC scoring inside probed cells costs two
     * integer lookups per candidate, floats are touched only for the
     * top-20 re-rank. Returns (n_codewords, n_codes). */
-  def buildPq(s: SparkSession, embeddings: DataFrame, indexPath: String): (Long, Long) = {
-    import org.apache.spark.sql.expressions.Window
-    val nz = nzOf(embeddings)
+  def buildPq(s: SparkSession, embeddings: DataFrame, indexPath: String): (Long, Long) =
     // PQ state joins the LIVE generation (built right after the coarse
     // swap, before the generation serves PQ probes); a coarse REBUILD
-    // stages a fresh generation, so this delete only ever clears a
-    // same-generation re-encode, never a table a probe is reading
+    // stages a fresh generation and re-encodes into IT (buildFrom's
+    // carry-forward), so this delete only ever clears a same-generation
+    // re-encode, never a table a probe is reading
+    buildPqAt(s, nzOf(embeddings), genDir(indexPath))
+
+  /** Build the PQ leg from the index's own corpus store provenance. */
+  def buildPqFromStore(s: SparkSession, indexPath: String): (Long, Long) = {
     val genRoot = genDir(indexPath)
+    val corpus = StoreSink.readProps(new Path(cb(genRoot)),
+        StoreSink.fs(new Path(cb(genRoot)))).toMap
+      .getOrElse(CorpusProp, throw new IllegalStateException(
+        s"index at $indexPath has no corpus provenance — build PQ from a DataFrame"))
+    buildPqAt(s, nzOfStore(s, corpus), genRoot)
+  }
+
+  private def buildPqAt(s: SparkSession, nz: DataFrame,
+                        genRoot: String): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
     val cdRoot = new Path(s"$genRoot/codes")
     val qbRoot = new Path(s"$genRoot/pqcb")
     val fsys = StoreSink.fs(cdRoot)
@@ -348,6 +374,15 @@ object AnnIndex {
               lit(0L).as("amt_cents"), col("c0"), col("c1"))
       .write.format(Fmt).mode("append").option("path", s"$genRoot/codes")
       .option("partitionedBy", "identity:grp").save()
+    // record the corpus version these codes reflect (probePq's staleness
+    // witness) — only meaningful for provenance-built indexes
+    val cbRoot = new Path(s"$genRoot/codebook")
+    StoreSink.readProps(cbRoot, fsys).toMap.get(VersionProp).foreach { v =>
+      StoreSink.withCommitLock(cbRoot, fsys) {
+        val ps = StoreSink.readProps(cbRoot, fsys).toMap
+        StoreSink.writeProps(cbRoot, fsys, (ps + (PqVersionProp -> v)).toSeq)
+      }
+    }
     (StoreSink.readEntries(qbRoot, fsys).map(_.rows).sum,
      StoreSink.readEntries(cdRoot, fsys).map(_.rows).sum)
   }
@@ -361,6 +396,16 @@ object AnnIndex {
               nprobe: Int = 2, topk: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val genRoot = genDir(indexPath) // one generation end to end
+    // STALENESS GUARD: the refresh fold advances PqVersionProp with the
+    // corpus version — if codes trail the postings' version, ADC results
+    // would silently rank against dead/missing vectors; refuse loudly
+    locally {
+      val cbR = new Path(s"$genRoot/codebook")
+      val ps = StoreSink.readProps(cbR, StoreSink.fs(cbR)).toMap
+      for (v <- ps.get(VersionProp); pv <- ps.get(PqVersionProp))
+        require(pv == v, s"stale PQ codes at $indexPath: corpus is at " +
+          s"version $v but codes were encoded at $pv — run refresh")
+    }
     val cents = codebookAt(s, genRoot)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
     val probes = queries
@@ -472,7 +517,12 @@ object AnnIndex {
         val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi").count()
         if (denom == 0L) 10000L else hits * 10000L / denom
       }
-    if (skewE4 > maxSkewE4 || recallE4 < minRecallE4) {
+    // the recall trigger only fires when its floor is ARMED — with the
+    // 2-arg form recallE4 is the -1 sentinel and must not read as "below
+    // the floor" (it did: -1 < 0 made every skew-only call retrain and
+    // the keep branch unreachable — advice catch, spec-pinned)
+    val recallTrips = minRecallE4 > 0L && recallE4 < minRecallE4
+    if (skewE4 > maxSkewE4 || recallTrips) {
       buildFromStore(s, corpus, indexPath) // atomic: stage + pointer swap
       ("rebuild", skewE4, recallE4)
     } else ("keep", skewE4, recallE4)
@@ -502,6 +552,8 @@ object AnnIndex {
       .select(col("op"), col("k").as("vec_id"),
         expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding"))
       .localCheckpoint() // CDF-sized: changed rows only
+    val cdRoot = new Path(s"$genRoot/codes")
+    val hasPq = fsys.exists(cdRoot) // the compressed leg folds too
     graft.functions.FloatDot.register(s)
     // every changed key leaves the postings; non-zero-norm inserts re-enter
     // under their frozen-codebook cell
@@ -523,11 +575,17 @@ object AnnIndex {
       .unionByName(postings.join(changedKeys, Seq("k"), "left_semi")
         .select(col("grp")).distinct())
       .distinct().collect().map(_.getString(0))).toSeq
+    def bumpVersion(): Unit = StoreSink.withCommitLock(cbRoot, fsys) {
+      val ps = StoreSink.readProps(cbRoot, fsys).toMap
+      val pq = if (hasPq) Map(PqVersionProp -> headV.toString)
+               else Map.empty[String, String]
+      StoreSink.writeProps(cbRoot, fsys,
+        (ps + (VersionProp -> headV.toString) ++ pq).toSeq)
+    }
     if (touched.isEmpty) {
-      StoreSink.withCommitLock(cbRoot, fsys) {
-        val ps = StoreSink.readProps(cbRoot, fsys).toMap
-        StoreSink.writeProps(cbRoot, fsys, (ps + (VersionProp -> headV.toString)).toSeq)
-      }
+      // keys absent from the postings never entered codes either —
+      // version (and PQ version) advance, nothing rewrites
+      bumpVersion()
       return (changedKeys.count(), 0L)
     }
     val replaced = StoreSink.readEntries(plRoot, fsys)
@@ -542,10 +600,48 @@ object AnnIndex {
       .write.format(Fmt).mode("append").option("path", pl(genRoot))
       .option("replace", replaced.mkString(","))
       .option("preserveMarkers", "true").save()
-    StoreSink.withCommitLock(cbRoot, fsys) {
-      val ps = StoreSink.readProps(cbRoot, fsys).toMap
-      StoreSink.writeProps(cbRoot, fsys, (ps + (VersionProp -> headV.toString)).toSeq)
+    if (hasPq) {
+      // PQ CODES FOLD (round-12 verdict #2): the compressed leg follows
+      // the same CDF discipline under the FROZEN sub-codebooks — changed
+      // keys leave, inserts re-encode against pqcb (exactly buildPq's
+      // argmin, applied to the feed only), and the SAME touched cells
+      // rewrite in one replace-set commit (codes partition identically
+      // to postings by construction). Cost tracks changed rows; the
+      // sub-codebooks are never retrained — the standard PQ contract
+      // (rebuild to re-center, exactly like the coarse codebook).
+      import org.apache.spark.sql.expressions.Window
+      val cbq = s.read.format(Fmt).option("path", s"$genRoot/pqcb").load()
+        .select((col("k") % 1000).as("c_id"),
+          (col("k") / 1000).cast("int").as("side"), col("sub").as("c_sub"))
+        .localCheckpoint() // 16 rows
+      val ins = feed.where(col("op") === "insert")
+        .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+        .where(col("nrm") > 0)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val encW = Window.partitionBy(col("vec_id"), col("side"))
+        .orderBy(col("dist"), col("c_id"))
+      val wide = graft.ops.Similarity.pqSides(ins).join(broadcast(cbq), "side")
+        .withColumn("dist", expr(graft.ops.Similarity.PqL2Sq))
+        .withColumn("rn", row_number().over(encW)).where(col("rn") === 1)
+        .groupBy(col("vec_id")).agg(
+          max(when(col("side") === 0, col("c_id"))).as("c0"),
+          max(when(col("side") === 1, col("c_id"))).as("c1"))
+      val newCodes = wide
+        .join(newAsg.select(col("k").as("vec_id"), col("grp")), "vec_id")
+        .select(col("vec_id").as("k"), col("grp"), lit(0L).as("amt_cents"),
+                col("c0"), col("c1"))
+      val replacedCd = StoreSink.readEntries(cdRoot, fsys)
+        .filter(_.part.exists(touched.contains)).map(_.name)
+      s.read.format(Fmt).option("path", s"$genRoot/codes").load()
+        .where(col("grp").isin(touched: _*))
+        .join(changedKeys, Seq("k"), "left_anti")
+        .select(col("k"), col("grp"), col("amt_cents"), col("c0"), col("c1"))
+        .unionByName(newCodes)
+        .write.format(Fmt).mode("append").option("path", s"$genRoot/codes")
+        .option("replace", replacedCd.mkString(","))
+        .option("preserveMarkers", "true").save()
     }
+    bumpVersion()
     (changedKeys.count(), touched.size.toLong)
   }
 }

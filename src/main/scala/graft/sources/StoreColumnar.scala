@@ -408,6 +408,50 @@ object StoreColumnar extends OpModule {
       }
     }),
 
+    // PER-GROUP ZONE STATS (round-12 verdict #1 — the parquet row-group
+    // stats shape): multi-group columnar files carry `@slot:min:max`
+    // tokens in each group header; a statically-pushed k-range the
+    // group's zone excludes skips the WHOLE group — file pruning
+    // (manifest zones) composes with group pruning (header stats). The
+    // scenario is adversarial on purpose: the probed range sits MID-FILE
+    // so leading groups are skipped, and a deletion-vector mask attached
+    // beforehand pins that ordinals stay file-wide across skipped groups
+    // (a reader that forgot to advance `ord` past a skipped group would
+    // mask the wrong rows and fail the oracle).
+    "q_store_col_group_zone" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecolgz")
+      fsOf(s).delete(new org.apache.hadoop.fs.Path(path), true)
+      StoreSink.setProp(path, StoreSink.EncodingProp, "columnar")
+      StoreSink.setProp(path, StoreSink.GroupRowsProp, "2000")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      base.repartition(1).sortWithinPartitions(col("k"))
+        .write.format(fmt).mode("append").option("path", path).save()
+      val dvKeys = base.where(pmod(col("k"), lit(101)) === 0)
+        .select(col("k")).collect().map(_.getLong(0))
+      // a MID-FILE key range (45%..70% of the keyspace): leading groups
+      // skip; exact integer arithmetic so the oracle reproduces it
+      val maxK = base.agg(max(col("k"))).collect()(0).getLong(0)
+      val (lo, hi) = (maxK * 45 / 100, maxK * 70 / 100)
+      withStorePath(s, path) {
+        s.sql(s"DELETE FROM graft.store WHERE k IN (${dvKeys.mkString(",")})")
+        StoreSink.lastColGroups = None
+        val agg = s.table("graft.store").where(col("k").between(lo, hi))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val skipped = StoreSink.lastColGroups.exists { case (r, t) =>
+          r >= 1 && r < t }
+        val hasDv = StoreSink.readEntries(
+          new org.apache.hadoop.fs.Path(path), fsOf(s)).exists(_.dv.isDefined)
+        val rows = agg.toSeq ++ flagRows(
+          "z_group_skip" -> skipped, "z_dv_masked" -> hasDv)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, summarySchema).orderBy(col("grp"))
+      }
+    }),
+
     // Identity-partitioned columnar store: the partitioned writer holds
     // one column-buffer set per partition value it sees, partition
     // pruning still precedes zone pruning, and every partition-pure file
@@ -560,6 +604,20 @@ object StoreColumnar extends OpModule {
         |UNION ALL SELECT 'z', 'all_columnar', 1, 0
         |UNION ALL SELECT 'z', 'content_invariant', 1, 0
         |ORDER BY v, grp""".stripMargin,
+
+    "q_store_col_group_zone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |live AS (SELECT * FROM base WHERE k % 101 <> 0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM live, mx
+        |WHERE k BETWEEN maxk * 45 // 100 AND maxk * 70 // 100
+        |GROUP BY grp
+        |UNION ALL SELECT 'z_dv_masked', 1, 0
+        |UNION ALL SELECT 'z_group_skip', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     "q_store_col_zone" ->
       """SELECT o_orderstatus AS grp, COUNT(*) AS n,

@@ -844,6 +844,17 @@ object StoreSink {
     * columnar projected read — pins that narrow projections skip blocks. */
   @volatile private[sources] var lastColBlocks: Option[(Int, Int)] = None
 
+  /** Test observability: (groups decoded, groups in file) ACCUMULATED
+    * across the partitions of columnar reads since the last reset — pins
+    * that per-group zone stats skip groups a pushed predicate excludes. */
+  @volatile private[sources] var lastColGroups: Option[(Int, Int)] = None
+  private[sources] def addColGroups(read: Int, total: Int): Unit =
+    synchronized {
+      lastColGroups = Some(lastColGroups.fold((read, total)) {
+        case (r, t) => (r + read, t + total)
+      })
+    }
+
   /** One field's text encoding — the SHARED per-value codec both the row
     * format (fields joined per ROW) and the columnar format (fields joined
     * per COLUMN) are built from, so a value round-trips identically under
@@ -911,11 +922,17 @@ object StoreSink {
   /** Parsed columnar header: row count, per-block ON-DISK byte lengths
     * (compressed size under `#GC2`), per-block RAW lengths (== lens under
     * `#GC1`), and whether blocks are deflated. `dataStart` is the byte
-    * offset of block 0. */
+    * offset of block 0. `gstats` are the GROUP'S zone stats — physical
+    * slot → (min, max) over the group's NON-NULL values (the parquet
+    * row-group-stats shape): a predicate the group's range excludes skips
+    * the whole group without touching a block. Absent for slots the
+    * writer didn't track (legacy files, non-stat columns) — absence
+    * never prunes. */
   private[sources] case class ColHeader(nrows: Int, lens: Array[Long],
                                         rawLens: Array[Long],
                                         compressed: Boolean,
-                                        dataStart: Long)
+                                        dataStart: Long,
+                                        gstats: Map[Int, (Long, Long)] = Map.empty)
 
   /** Sniff + parse the columnar GROUP header at `base`. Returns None
     * (stream repositioned to 0) when the byte run is row-text; the magic
@@ -941,12 +958,18 @@ object StoreSink {
     while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() } // ASCII
     val parts = sb.result().trim.split(" ").filter(_.nonEmpty)
     val nrows = parts(0).toInt
-    val entries = parts.drop(1)
+    // group-stat tokens (`@<slot>:<min>:<max>`) ride after the lens —
+    // unambiguous: length tokens always open with a digit
+    val (statToks, entries) = parts.drop(1).partition(_.startsWith("@"))
     val lens = entries.map(e => e.split(':')(0).toLong)
     val rawLens =
       if (compressed) entries.map(e => e.split(':')(1).toLong) else lens
+    val gstats = statToks.map { t =>
+      val a = t.substring(1).split(':')
+      a(0).toInt -> (a(1).toLong, a(2).toLong)
+    }.toMap
     Some(ColHeader(nrows, lens, rawLens, compressed,
-      base + ColMagicBytes.length + sb.length + 1L))
+      base + ColMagicBytes.length + sb.length + 1L, gstats))
   }
 
   /** Walk a columnar file's GROUP chain (one header + blocks per group —
@@ -1097,10 +1120,18 @@ object StoreSink {
     val out = new java.io.ByteArrayOutputStream()
     lines.grouped(math.max(1, groupRows)).foreach { group =>
       val bufs = Array.fill(width)(new StringBuilder)
+      // per-group KEY zone (physical slot 0 is always `k` — the base
+      // prefix is ordinal-stable): COW replacements keep group skipping
+      var gMin = Long.MaxValue; var gMax = Long.MinValue
       var r = 0
       group.foreach { l =>
         val f = l.split(",", -1)
         require(f.length == width, s"ragged row width ${f.length} != $width")
+        if (width > 0 && f(0) != NullMark) {
+          val k = f(0).toLong
+          if (k < gMin) gMin = k
+          if (k > gMax) gMax = k
+        }
         var c = 0
         while (c < width) {
           // separator by ROW INDEX — a buffer-emptiness test would drop
@@ -1111,7 +1142,8 @@ object StoreSink {
         }
         r += 1
       }
-      out.write(columnarBytes(group.size, bufs, compress))
+      val gs = if (gMin == Long.MaxValue) Nil else Seq((0, gMin, gMax))
+      out.write(columnarBytes(group.size, bufs, compress, gs))
     }
     out.toByteArray
   }
@@ -1120,13 +1152,17 @@ object StoreSink {
     * block under `compress` — the `#GC2` grammar). */
   private[sources] def columnarBytes(nrows: Int,
                                      bufs: Array[StringBuilder],
-                                     compress: Boolean = false): Array[Byte] = {
+                                     compress: Boolean = false,
+                                     gstats: Seq[(Int, Long, Long)] = Nil): Array[Byte] = {
     val rawBlocks = bufs.map(_.result().getBytes(StandardCharsets.UTF_8))
     val blocks = if (compress) rawBlocks.map(deflateBytes) else rawBlocks
+    // per-group zone stats ride the header as `@<slot>:<min>:<max>` tokens
+    val statPart = gstats.map { case (s, mn, mx) => s" @$s:$mn:$mx" }.mkString
     val header = (if (compress)
         ColMagic2 + nrows + blocks.indices.map(i =>
-          s" ${blocks(i).length}:${rawBlocks(i).length}").mkString + "\n"
-      else ColMagic + nrows + blocks.map(b => " " + b.length).mkString + "\n")
+          s" ${blocks(i).length}:${rawBlocks(i).length}").mkString + statPart + "\n"
+      else ColMagic + nrows + blocks.map(b => " " + b.length).mkString +
+        statPart + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val total = header.length + blocks.map(_.length + 1).sum
     val out = new Array[Byte](total)
@@ -4478,13 +4514,23 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       if (columnar) Array.fill(physWidth)(new StringBuilder) else null
     var grows = 0 // rows in the CURRENT group (the flush counter)
     var rows = 0L; var bytes = 0L
+    // per-GROUP zone stats for the tracked stat columns (k, amt, declared)
+    // — the parquet row-group-stats shape; reset at each flush
+    val gMinS: Array[Long] = Array.fill(gStatCols.size)(Long.MaxValue)
+    val gMaxS: Array[Long] = Array.fill(gStatCols.size)(Long.MinValue)
     /** Flush the buffered group as one header+blocks section (ordinals
       * run across groups, so file-wide dv masks are untouched). */
     def flushGroup(compress: Boolean): Unit = if (grows > 0) {
-      val b = StoreSink.columnarBytes(grows, colBufs, compress)
+      val gs = gStatCols.indices.flatMap { gi =>
+        if (gMinS(gi) == Long.MaxValue) None
+        else Some((gStatCols(gi)._2, gMinS(gi), gMaxS(gi)))
+      }
+      val b = StoreSink.columnarBytes(grows, colBufs, compress, gs)
       out.write(b)
       bytes += b.length
       colBufs.foreach(_.setLength(0))
+      java.util.Arrays.fill(gMinS, Long.MaxValue)
+      java.util.Arrays.fill(gMaxS, Long.MinValue)
       grows = 0
     }
     var minK: Long = Long.MaxValue; var maxK: Long = Long.MinValue
@@ -4507,6 +4553,14 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     * amt fields (never-pruning, always correct). */
   private val trackA = types.length > 2 && types(2) == LongType &&
     dataSchema.fields(2).name == "amt_cents"
+  /** Columns that get PER-GROUP zone stats in columnar files — the same
+    * set the per-file manifest stats track (k, amt when conventional,
+    * declared stat columns) — as (logical ordinal, physical slot). */
+  private val gStatCols: Seq[(Int, Int)] =
+    if (!columnar) Nil
+    else (Seq(0) ++ (if (trackA) Seq(2) else Nil) ++ statCols.map(_._2)).distinct
+      .map(ci => (ci, if (slots == null) ci else slots.indexOf(ci)))
+      .filter(_._2 >= 0)
   private val sinks = scala.collection.mutable.LinkedHashMap[String, Sink]()
 
   private def sinkFor(record: InternalRow, base: Int): Sink =
@@ -4570,6 +4624,16 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       }
     }
     if (columnar) {
+      var gi = 0 // per-group zone stats over the tracked columns
+      while (gi < gStatCols.size) {
+        val ci = gStatCols(gi)._1
+        if (!record.isNullAt(base + ci)) {
+          val v = record.getLong(base + ci)
+          if (v < s.gMinS(gi)) s.gMinS(gi) = v
+          if (v > s.gMaxS(gi)) s.gMaxS(gi) = v
+        }
+        gi += 1
+      }
       // transposed emission: same per-field codec, fields land in their
       // slot's column buffer instead of a row line
       var si = 0
@@ -5488,8 +5552,15 @@ private class StoreScan(pathStr: String,
     // field-id layout resolution, driver-side at the PINNED version: a
     // renamed/dropped column reads correctly from every file generation
     val layout = StoreSink.layoutAt(pathStr, version)
+    // statically-pushed bounds ride to the reader for WITHIN-FILE group
+    // skipping (columnar files' per-group zone stats — the row-group
+    // layer below manifest file pruning)
+    val gBounds =
+      (if (kLo.isDefined || kHi.isDefined) Seq(("k", kLo, kHi)) else Nil) ++
+      (if (aLo.isDefined || aHi.isDefined) Seq(("amt_cents", aLo, aHi)) else Nil) ++
+      statBounds
     StoreReaderFactory(required, table,
-      layout.physTypes, layout.physDefaults, layout.proj)
+      layout.physTypes, layout.physDefaults, layout.proj, gBounds)
   }
 
   /** Streaming READ: tail the manifest as an offset log. The manifest is
@@ -5667,7 +5738,8 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
                                       table: StructType = StoreSink.schema,
                                       physTypes: Array[DataType] = null,
                                       physDefaults: Array[Any] = null,
-                                      proj: Array[Int] = null)
+                                      proj: Array[Int] = null,
+                                      gBounds: Seq[(String, Option[Long], Option[Long])] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[StoreFilePartition]
@@ -5718,6 +5790,22 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
         val needSlots: Array[Int] = required.fieldNames
           .filter(_ != "_file").map(n => slotOf(table.fieldIndex(n)))
         val want = if (eqKeys.isEmpty) needSlots else needSlots :+ 0
+        // GROUP SKIPPING from per-group zone stats: bounds come ONLY from
+        // statically-pushed scan filters (which stay residual — Spark
+        // re-evaluates them post-scan, so dropping a group every row of
+        // which fails them is sound). Row-level op scans never receive
+        // static pushdown (their ScanBuilder is a bare lambda), so a COW
+        // rewrite always reads whole files. Resolved to PHYSICAL slots
+        // here; legacy headers without stats never skip.
+        val skipBounds: Array[(Int, Long, Long)] = gBounds.flatMap {
+          case (n, lo, hi) if table.fieldNames.contains(n) =>
+            val s = slotOf(table.fieldIndex(n))
+            if (s >= 0 && s < types.length &&
+                (types(s) == LongType || types(s) == IntegerType))
+              Some((s, lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))
+            else None
+          case _ => None
+        }.toArray
         new PartitionReader[InternalRow] {
           private var gi = -1
           private var gRows = 0
@@ -5727,9 +5815,23 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
           private var colGetters: Array[Int => Any] = _
           private var ord = -1
           private var toSkip = part.skipRows
+          private var gRead = 0 // groups actually decoded (observability)
+          private def groupExcluded(h: StoreSink.ColHeader): Boolean =
+            skipBounds.exists { case (s, lo, hi) =>
+              h.gstats.get(s).exists { case (mn, mx) => mx < lo || mn > hi }
+            }
           private def loadGroup(): Boolean = {
             gi += 1
+            while (gi < groups.length && skipBounds.nonEmpty &&
+                   part.skipRows == 0L && groupExcluded(groups(gi))) {
+              // every row of this group fails a pushed predicate: skip its
+              // blocks entirely, but ordinals are FILE-wide — advance past
+              // the group's rows so dv masks keep lining up
+              ord += groups(gi).nrows
+              gi += 1
+            }
             if (gi >= groups.length) return false
+            gRead += 1
             val blocks = StoreSink.readColBlocks(rawIn, groups(gi), want)
             keyBlock = blocks.getOrElse(0, null)
             // per-column typed getters parse straight from the block text
@@ -5789,7 +5891,10 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
             while (i < colGetters.length) { vals(i) = colGetters(i)(cur); i += 1 }
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
           }
-          override def close(): Unit = rawIn.close()
+          override def close(): Unit = {
+            StoreSink.addColGroups(gRead, groups.length)
+            rawIn.close()
+          }
         }
       case None => textReader(rawIn, part, fileName, types, slotOf, defaults,
         masked, eqKeys)
