@@ -37,6 +37,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftCatalog {
   /** Session conf holding the directory `graft.store` resolves to. */
   val StorePathKey = "spark.sql.graft.store.path"
+  /** Session conf naming a `_catalog` snapshot root: when set, SQL reads
+    * of store-backed tables pin to the snapshot's versions (multi-table
+    * read atomicity from plain SQL). */
+  val CatalogPinKey = "spark.sql.graft.store.catalog"
 
   /** Session conf holding the directory CTAS-created tables live under
     * (`CREATE TABLE graft.<name> AS SELECT ...` → `<dir>/<name>`). */
@@ -138,8 +142,26 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
         .getOption(GraftCatalog.StorePathKey)
         .getOrElse(throw new NoSuchTableException(
           Identifier.of(Array.empty, "store")))
-      new StoreTable(p, viaCatalog = true)
+      pinnedStoreTable(p)
     }))
+
+  /** CATALOG-PINNED SQL READS (round-12 verdict #3): with
+    * `spark.sql.graft.store.catalog = <catalogPath>` set on the session,
+    * every store-backed table this catalog resolves loads AT the version
+    * the `_catalog` snapshot pointer pins for its path — so a plain SQL
+    * join of `graft.a` with `graft.b` sees the all-old or all-new state
+    * of a racing `publish_all`, never a torn mix (the API-side
+    * readCatalogSnapshot + atVersion contract, now reachable from SQL).
+    * Tables the snapshot doesn't name read their head as before. Pinned
+    * resolutions are read-only snapshots — a pinned session is a reader
+    * by construction (the version-AS-OF write refusal applies). */
+  private def pinnedStoreTable(path: String): StoreTable =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption(GraftCatalog.CatalogPinKey)
+      .flatMap(c => StoreSink.readCatalogSnapshot(c).get(path)) match {
+      case Some(v) => new StoreTable(path, Some(v), viaCatalog = true)
+      case None => new StoreTable(path, viaCatalog = true)
+    }
 
   private def inDefaultNs(ident: Identifier): Boolean =
     ident.namespace().isEmpty
@@ -335,14 +357,14 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       tables.get(ident.name().toLowerCase(java.util.Locale.ROOT)) match {
         case Some(mk) => mk()
         case None if ctasExists(ident) =>
-          new StoreTable(ctasPath(ident).get, viaCatalog = true)
+          pinnedStoreTable(ctasPath(ident).get)
         case None => metaTable(ident)
           .getOrElse(throw new NoSuchTableException(ident))
       }
     else if (inKnownNs(ident)) {
       // namespaced tables are all CTAS-created stores (plus their $meta
       // views); the built-ins live only in the default namespace
-      if (ctasExists(ident)) new StoreTable(ctasPath(ident).get, viaCatalog = true)
+      if (ctasExists(ident)) pinnedStoreTable(ctasPath(ident).get)
       else metaTable(ident).getOrElse(throw new NoSuchTableException(ident))
     } else throw new NoSuchTableException(ident)
 

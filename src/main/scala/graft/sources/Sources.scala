@@ -3287,6 +3287,73 @@ object Sources extends OpModule {
       s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
     }),
 
+    // CATALOG-PINNED READS FROM PLAIN SQL (round-12 verdict #3): the same
+    // torn-window scenario as q_store_txn_read, but the reader is an
+    // ordinary SQL session — with `spark.sql.graft.store.catalog` set,
+    // `graft.store` loads resolve AT the `_catalog`-pinned version, so
+    // the mid-publish reads see the all-old snapshot; the UNPINNED SQL
+    // read in the same window observes the tear (z_torn_sql) — exactly
+    // the gap the conf closes. At 100 TB this is snapshot isolation for
+    // every BI tool that only speaks SQL.
+    "q_store_txn_read_sql" -> ((s, d) => withGraftCatalog(s) {
+      val pa = tmp(d, "txnrsql_a"); val pb = tmp(d, "txnrsql_b")
+      val cat = tmp(d, "txnrsql_cat")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Seq(pa, pb, cat).foreach(p =>
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      def seed(path: String, even: Boolean): Unit = {
+        val side = base.where(pmod(col("k"), lit(2)) === (if (even) 0 else 1))
+        side.where(pmod(col("k"), lit(5)) =!= 0).repartition(2)
+          .write.format("graft.sources.StoreSink").mode("overwrite")
+          .option("path", path).save()
+        side.where(pmod(col("k"), lit(5)) === 0).coalesce(1)
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).option("branch", "staged").save()
+      }
+      seed(pa, even = true); seed(pb, even = false)
+      graft.sources.StoreSink.catalogSync(cat, Seq(pa, pb)) // pin v1+v1
+      // SQL reads through graft.store; `pin` scopes the catalog conf —
+      // materialized inside the scope, restored in finally (the
+      // conf-scoped-query discipline)
+      def sqlRead(pin: Boolean): Seq[(String, Long, Long)] = {
+        if (pin) s.conf.set(GraftCatalog.CatalogPinKey, cat)
+        try Seq(("a", pa), ("b", pb)).map { case (t, p) =>
+          withStorePath(s, p) {
+            val r = s.table("graft.store")
+              .agg(count(lit(1)), sum(col("amt_cents"))).collect()(0)
+            (t, r.getLong(0), r.getLong(1))
+          }
+        } finally if (pin) s.conf.unset(GraftCatalog.CatalogPinKey)
+      }
+      val headBefore = sqlRead(pin = false)
+      var mid: Seq[(String, Long, Long)] = Nil
+      var tornSql = false
+      graft.sources.StoreSink.onTxnSwapped = _ => {
+        if (mid.isEmpty) { // after the FIRST swap only
+          mid = sqlRead(pin = true) // pinned: still the all-old snapshot
+          val un = sqlRead(pin = false) // unpinned SQL: the tear
+          tornSql = un != headBefore &&
+            (un(0) == headBefore(0) || un(1) == headBefore(1))
+        }
+      }
+      try s.sql(s"CALL graft.publish_all('$pa,$pb', 'staged,staged', '$cat')")
+      finally graft.sources.StoreSink.onTxnSwapped = _ => ()
+      val fin = sqlRead(pin = true) // pointer advanced: the all-new snapshot
+      val rows = mid.map { case (t, n, a) =>
+          org.apache.spark.sql.Row(s"mid_$t", n, a) } ++
+        fin.map { case (t, n, a) =>
+          org.apache.spark.sql.Row(s"fin_$t", n, a) } ++ Seq(
+        org.apache.spark.sql.Row("z_torn_sql", if (tornSql) 1L else 0L, 0L))
+      val schema = StructType(Seq(
+        StructField("step", StringType), StructField("n", LongType),
+        StructField("amt_sum", LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy(col("step"))
+    }),
+
     // MULTI-TABLE ATOMIC PUBLISH (verdict r9 #8): two stores stage WAP
     // branches, `CALL graft.publish_all` folds both in ONE transaction —
     // 2PC with a coordinator decision marker. The query INJECTS a crash
@@ -3622,6 +3689,24 @@ object Sources extends OpModule {
         |    CAST(SUM(amt) AS BIGINT) FROM o WHERE k % 2 = 1
         |  UNION ALL SELECT 'z_ptr_advanced', 1, 0
         |  UNION ALL SELECT 'z_torn_direct', 1, 0) t
+        |ORDER BY step""".stripMargin,
+
+    // pinned mid-reads see v1 (the 5-divisible staged rows absent), the
+    // post-publish pinned reads see v2; the torn unpinned read is the flag
+    "q_store_txn_read_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT step, n, amt_sum FROM (
+        |  SELECT 'mid_a' AS step, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(amt) AS BIGINT) AS amt_sum
+        |  FROM o WHERE k % 2 = 0 AND k % 5 <> 0
+        |  UNION ALL SELECT 'mid_b', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(amt) AS BIGINT) FROM o WHERE k % 2 = 1 AND k % 5 <> 0
+        |  UNION ALL SELECT 'fin_a', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(amt) AS BIGINT) FROM o WHERE k % 2 = 0
+        |  UNION ALL SELECT 'fin_b', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(amt) AS BIGINT) FROM o WHERE k % 2 = 1
+        |  UNION ALL SELECT 'z_torn_sql', 1, 0) t
         |ORDER BY step""".stripMargin,
 
     "q_store_txn" ->

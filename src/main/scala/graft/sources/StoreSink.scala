@@ -2142,20 +2142,64 @@ object StoreSink {
                                 reset: Boolean): Unit = {
     if (incoming.isEmpty) return
     withCommitLock(root, fsys) {
-      val ps = readProps(root, fsys).toMap
-      val stored: Map[String, Array[Byte]] =
-        if (reset) Map.empty
-        else ps.get(NdvHllProp).map(Ndv.dec(_).toMap).getOrElse(Map.empty)
-      val byCol = incoming.groupBy(_._1)
-      val cols = stored.keySet ++ byCol.keySet
-      val merged = cols.toSeq.sorted.map { c =>
-        c -> Ndv.unionAll(stored.get(c).toSeq ++ byCol.getOrElse(c, Nil).map(_._2))
-      }
-      val estimates = merged.map { case (c, b) => s"$c:${Ndv.estimate(b)}" }
-        .mkString(";")
-      writeProps(root, fsys, (ps +
-        (NdvHllProp -> Ndv.enc(merged)) + (NdvProp -> estimates)).toSeq)
+      mergeNdvUnlocked(root, fsys, incoming, reset)
     }
+  }
+
+  /** The merge body for callers ALREADY inside the commit lock (branch
+    * publish folds sketches in the same critical section as its manifest
+    * swap — the lock is not re-entrant). */
+  private def mergeNdvUnlocked(root: Path, fsys: FileSystem,
+                               incoming: Seq[(String, Array[Byte])],
+                               reset: Boolean): Unit = {
+    if (incoming.isEmpty) return
+    val ps = readProps(root, fsys).toMap
+    val stored: Map[String, Array[Byte]] =
+      if (reset) Map.empty
+      else ps.get(NdvHllProp).map(Ndv.dec(_).toMap).getOrElse(Map.empty)
+    val byCol = incoming.groupBy(_._1)
+    val cols = stored.keySet ++ byCol.keySet
+    val merged = cols.toSeq.sorted.map { c =>
+      c -> Ndv.unionAll(stored.get(c).toSeq ++ byCol.getOrElse(c, Nil).map(_._2))
+    }
+    val estimates = merged.map { case (c, b) => s"$c:${Ndv.estimate(b)}" }
+      .mkString(";")
+    writeProps(root, fsys, (ps +
+      (NdvHllProp -> Ndv.enc(merged)) + (NdvProp -> estimates)).toSeq)
+  }
+
+  /** BRANCH NDV SIDECAR (`_branchndv.<name>`): a WAP append's writer
+    * sketches ride next to the branch manifest instead of folding into
+    * the table's NDV early — the branch may be abandoned, and published
+    * rows must still be counted (they previously never were: a sustained
+    * WAP pipeline drifted the estimates LOW, breaking the upper-bound-
+    * only staleness contract — advice catch). Publish folds the sidecar
+    * in the SAME critical section as its manifest swap; abandon deletes
+    * it with the branch. */
+  private[sources] def branchNdvFile(name: String) = s"_branchndv.$name"
+
+  private[sources] def stashBranchNdv(root: Path, fsys: FileSystem,
+                                      name: String,
+                                      incoming: Seq[(String, Array[Byte])]): Unit = {
+    if (incoming.isEmpty) return
+    val stored = readSmall(root, fsys, branchNdvFile(name))
+      .map(Ndv.dec(_).toMap).getOrElse(Map.empty[String, Array[Byte]])
+    val byCol = incoming.groupBy(_._1)
+    val cols = stored.keySet ++ byCol.keySet
+    val merged = cols.toSeq.sorted.map { c =>
+      c -> Ndv.unionAll(stored.get(c).toSeq ++ byCol.getOrElse(c, Nil).map(_._2))
+    }
+    atomicWriteSmall(root, fsys, branchNdvFile(name), Ndv.enc(merged))
+  }
+
+  /** Fold a branch's stashed sketches into the table NDV (caller holds
+    * the lock) and drop the sidecar. */
+  private[sources] def foldBranchNdv(root: Path, fsys: FileSystem,
+                                     name: String): Unit = {
+    readSmall(root, fsys, branchNdvFile(name)).foreach { payload =>
+      mergeNdvUnlocked(root, fsys, Ndv.dec(payload), reset = false)
+    }
+    manifestFs(fsys).delete(new Path(root, branchNdvFile(name)), false)
   }
 
   def analyze(pathStr: String): (Long, Long) = {
@@ -2607,6 +2651,7 @@ object StoreSink {
       require(entries.nonEmpty, s"branch $name does not exist or is empty")
       writeManifestAtomic(root, fsys, readManifestLines(root, fsys) ++ entries)
       manifestFs(fsys).delete(new Path(root, branchFile(name)), false)
+      foldBranchNdv(root, fsys, name) // published rows enter the NDV now
       stats = (entries.size.toLong,
         entries.map(l => math.max(parseEntry(l).rows, 0L)).sum)
     }
@@ -2748,6 +2793,7 @@ object StoreSink {
           writeManifestAtomic(root, fsys,
             head ++ entries :+ txnMarker(txnId))
         manifestFs(fsys).delete(new Path(root, branchFile(b)), false)
+        foldBranchNdv(root, fsys, b) // idempotent: sidecar dies with the fold
         published += entries.size
         onTxnSwapped(p)
       }
@@ -2810,6 +2856,7 @@ object StoreSink {
               writeManifestAtomic(root, fsys,
                 head ++ entries :+ txnMarker(id))
             raw.delete(new Path(root, branchFile(b)), false)
+            foldBranchNdv(root, fsys, b)
           }
           raw.delete(new Path(root, w), false)
           // the marker dies when the LAST peer's WAL is gone
@@ -2892,6 +2939,8 @@ object StoreSink {
     withCommitLock(root, fsys) {
       val n = readBranchLines(root, fsys, name).size.toLong
       manifestFs(fsys).delete(new Path(root, branchFile(name)), false)
+      // abandoned rows never existed: their stashed sketches die too
+      manifestFs(fsys).delete(new Path(root, branchNdvFile(name)), false)
       n
     }
   }
@@ -3960,9 +4009,14 @@ private case class StoreDeltaWriterFactory(pathStr: String, queryId: String,
     extends DeltaWriterFactory {
   private val slots: Array[Int] = StoreSink.writeSlots(pathStr, dataSchema)
   private val columnar: Boolean = StoreSink.columnarAt(pathStr)
+  // the table's compression/grouping properties apply to delta-mode
+  // inserts too (they were silently dropped here — files stayed correct,
+  // self-identifying, but uncompressed single-group; advice catch)
+  private val compress: Boolean = StoreSink.compressAt(pathStr)
+  private val groupRows: Int = StoreSink.groupRowsAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new StoreDeltaWriter(pathStr, s"part-$queryId-$partitionId-$taskId",
-      dataSchema, spec, slots, columnar)
+      dataSchema, spec, slots, columnar, compress, groupRows)
 }
 
 /** Per-task delta writer: inserts ride the ordinary staged-file writer;
@@ -3973,12 +4027,14 @@ private class StoreDeltaWriter(pathStr: String, fileName: String,
                                dataSchema: StructType,
                                spec: Option[StoreSink.PartSpec],
                                slots: Array[Int] = null,
-                               columnar: Boolean = false)
+                               columnar: Boolean = false,
+                               compress: Boolean = false,
+                               groupRows: Int = 1 << 20)
     extends DeltaWriter[InternalRow] {
 
   private val inserts =
     new StoreDataWriter(pathStr, fileName, dataSchema, spec, slots,
-      columnar = columnar)
+      columnar = columnar, compress = compress, groupRows = groupRows)
   private val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -4231,6 +4287,10 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
         }
         StoreSink.writeBranchAtomic(root, fsys, b,
           StoreSink.readBranchLines(root, fsys, b) ++ committed.map(_.entry.line))
+        // writer sketches stash beside the branch (folded at publish,
+        // dropped at abandon) — never into the table NDV early
+        StoreSink.stashBranchNdv(root, fsys, b,
+          messages.map(_.asInstanceOf[StoreCommitMessage]).flatMap(_.ndv).toSeq)
         StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
       }
       return
