@@ -269,6 +269,33 @@ object IndexOps extends OpModule {
       graft.sources.TextIndex.probeTop(s, idx, topk = 20)
     }),
 
+    // BM25 TOP-K WITH EARLY TERMINATION (round-12 verdict #4): the
+    // persisted postings are impact-ordered (range-clustered on the
+    // quantized tf/dl score part) and each file's manifest imp zone
+    // bounds what any posting in it can score — the probe scores the top
+    // impact band first, then never opens a file whose bound cannot
+    // reach the running k-th score (z_pruned pins planned < candidates).
+    // Rank-safe by construction, so the oracle is the plain single-term
+    // BM25 top-k closed form over the whole corpus.
+    "q_bm25_topn" -> ((s, d) => {
+      val idx = tmpIdx(d, "bm25topn")
+      val ti = graft.sources.TextIndex
+      ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")), idx)
+      ti.lastTopNFiles = None
+      val top = ti.probeTopN(s, idx, topk = 10).collect()
+      val pruned = ti.lastTopNFiles.exists { case (p, t) => p >= 1 && p < t }
+      val rows = top.toSeq :+ org.apache.spark.sql.Row(-1L,
+        if (pruned) 1L else 0L) // z_pruned
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bm25_e4",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+        .orderBy(col("bm25_e4").desc, col("doc_id"))
+    }),
+
     // SPARSE RAG RETRIEVAL through the persisted index: Rocchio PRF
     // (q_rag_prf's two-round flow) executed index-resident — round 1
     // scores the dictionary's seed terms over their posting shards, the
@@ -357,6 +384,44 @@ object IndexOps extends OpModule {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.asJava, schema)
         .orderBy(col("bm25_e4").desc, col("doc_id"))
+    }),
+
+    // HYBRID RETRIEVAL, INDEX-RESIDENT (round-12 verdict #9): dense (IVF
+    // probe per query vector) and sparse (BM25 over the inverted index's
+    // seed terms) fused by RECIPROCAL RANK — 1e6/(60+rank) integer
+    // contributions, the standard RRF kernel in exact units. Both legs
+    // read persisted artifacts only; the fusion itself is a join of two
+    // bounded rankings (≤ 5/query + 20 global rows). The oracle composes
+    // the two existing replay closed forms and the fusion arithmetic.
+    "q_rag_hybrid_indexed" -> ((s, d) => {
+      val aidx = tmpIdx(d, "hybdense")
+      val tidx = tmpIdx(d, "hybsparse")
+      AnnIndex.build(s, Tables.embeddings(s, d), aidx)
+      graft.sources.TextIndex.build(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")), tidx)
+      val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+      val dense = AnnIndex.probe(s, queries, aidx)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rn"))
+        .localCheckpoint() // ≤ 5 per query
+      val wS = Window.orderBy(col("bm25_e4").desc, col("doc_id"))
+      val sparse = graft.sources.TextIndex.probeTop(s, tidx, topk = 20)
+        .withColumn("rs", row_number().over(wS))
+        .select(col("doc_id"), col("rs"))
+        .localCheckpoint() // 20 rows
+      val qs = dense.select(col("q_id")).distinct()
+      val cand = dense.select(col("q_id"), col("doc_id"))
+        .union(qs.crossJoin(sparse.select(col("doc_id")))).distinct()
+      val wF = Window.partitionBy(col("q_id"))
+        .orderBy(col("fused_e6").desc, col("doc_id"))
+      cand.join(dense, Seq("q_id", "doc_id"), "left")
+        .join(sparse, Seq("doc_id"), "left")
+        .withColumn("fused_e6",
+          coalesce(expr("1000000L div (60 + rn)"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + rs)"), lit(0L)))
+        .withColumn("frn", row_number().over(wF)).where(col("frn") <= 5)
+        .select(col("q_id"), col("doc_id"), col("fused_e6"),
+                col("frn").as("rn"))
+        .orderBy(col("q_id"), col("rn"))
     }),
 
     // PQ MAINTENANCE (round-12 verdict #2): the compressed leg follows the
@@ -547,6 +612,31 @@ object IndexOps extends OpModule {
     // the whole PRF stack on the artifact — q_rag_prf's oracle verbatim
     "q_rag_sparse_indexed" -> TextAnalysis.oracles("q_rag_prf"),
 
+    // rank-safe early termination == the full single-term top-k: one
+    // closed form, the pruning is purely an I/O fact (the z row)
+    "q_bm25_topn" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qt AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+        |       ORDER BY df DESC, t LIMIT 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT) AS bm25_e4
+        |  FROM tf JOIN qt USING (t) JOIN dlen USING (doc_id), stats)
+        |SELECT doc_id, bm25_e4 FROM (
+        |  SELECT doc_id, bm25_e4 FROM sc
+        |  ORDER BY bm25_e4 DESC, doc_id LIMIT 10) t
+        |UNION ALL SELECT -1, 1
+        |ORDER BY bm25_e4 DESC, doc_id""".stripMargin,
+
     // post-refresh probe == full recompute over the HEAD corpus state
     // (retired range gone, shifted copies present) — what "incremental
     // equals rebuild" means relationally; the -1 row is the audit flag
@@ -622,6 +712,60 @@ object IndexOps extends OpModule {
          |  SELECT c_id, n_vectors FROM cells
          |  UNION ALL SELECT -1, mx * 10000 * nc // tot FROM agg) t
          |ORDER BY c_id""".stripMargin
+    },
+
+    // both replay closed forms + the integer RRF kernel: dense = the
+    // kmeans probe chain, sparse = q_bm25's top-20, fused per query
+    "q_rag_hybrid_indexed" -> {
+      val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
+      val cosQN = cosQ("pr.q_emb", "asg.n_emb")
+      s"""WITH $trainReplayCtes,
+         |pr AS (SELECT q_id, q_emb, bucket FROM (
+         |    SELECT q.q_id, q.q_emb, c1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQC1 DESC, c1.c_id) AS prn
+         |    FROM q CROSS JOIN c1) t WHERE prn <= 2),
+         |dense AS (SELECT q_id, n_id AS doc_id, rn FROM (
+         |  SELECT pr.q_id, asg.n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+         |      ORDER BY $cosQN DESC, asg.n_id) AS rn
+         |  FROM asg JOIN pr ON asg.bucket = pr.bucket) t WHERE rn <= 5),
+         |tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+         |        FROM documents),
+         |tfq AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+         |dlq AS (SELECT doc_id, SUM(tf) AS dl FROM tfq GROUP BY doc_id),
+         |stq AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlq),
+         |dfq AS (SELECT t, COUNT(*) AS df FROM tfq GROUP BY t),
+         |qtq AS (SELECT t, df FROM dfq WHERE LEN(t) >= 4
+         |        ORDER BY df DESC, t LIMIT 5),
+         |scq AS (
+         |  SELECT tfq.doc_id,
+         |    CAST(SUM(CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+         |    AS BIGINT)) AS BIGINT) AS bm25_e4
+         |  FROM tfq JOIN qtq USING (t) JOIN dlq USING (doc_id), stq
+         |  GROUP BY tfq.doc_id),
+         |top20 AS (SELECT doc_id, bm25_e4 FROM scq
+         |          ORDER BY bm25_e4 DESC, doc_id LIMIT 20),
+         |sparse AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY bm25_e4 DESC, doc_id) AS rs
+         |  FROM top20),
+         |qs AS (SELECT DISTINCT q_id FROM dense),
+         |cand AS (SELECT q_id, doc_id FROM dense
+         |         UNION SELECT qs.q_id, sparse.doc_id FROM qs CROSS JOIN sparse),
+         |fused AS (SELECT c.q_id, c.doc_id,
+         |    COALESCE(1000000 // (60 + d.rn), 0)
+         |      + COALESCE(1000000 // (60 + sp.rs), 0) AS fused_e6
+         |  FROM cand c
+         |  LEFT JOIN dense d ON c.q_id = d.q_id AND c.doc_id = d.doc_id
+         |  LEFT JOIN sparse sp ON c.doc_id = sp.doc_id)
+         |SELECT q_id, doc_id, fused_e6, rn FROM (
+         |  SELECT q_id, doc_id, CAST(fused_e6 AS BIGINT) AS fused_e6,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY fused_e6 DESC, doc_id) AS INTEGER) AS rn
+         |  FROM fused) t WHERE rn <= 5
+         |ORDER BY q_id, rn""".stripMargin
     },
 
     // refresh == frozen rebuild, PQ edition: codebook + sub-codebooks

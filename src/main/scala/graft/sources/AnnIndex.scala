@@ -76,9 +76,22 @@ private[sources] object IndexGen {
     }
   }
 
+  /** Supersession stamp written INTO a generation dir the moment the
+    * pointer moves off it — the age-margined GC's clock starts at
+    * supersession, not at build (a generation built hours ago but
+    * superseded a second ago still deserves its drain margin). */
+  val StaleAt = "_stale_at"
+
   def publish(indexPath: String, gen: String): Unit = {
     val root = new Path(indexPath)
-    StoreSink.atomicWriteSmall(root, StoreSink.fs(root), CurrentPtr, gen)
+    val fsys = StoreSink.fs(root)
+    val prev = StoreSink.readSmall(root, fsys, CurrentPtr)
+    StoreSink.atomicWriteSmall(root, fsys, CurrentPtr, gen)
+    prev.filter(p => p.nonEmpty && p != gen).foreach { p =>
+      if (fsys.exists(new Path(root, p)))
+        StoreSink.atomicWriteSmall(root, fsys, s"$p/$StaleAt",
+          System.currentTimeMillis.toString)
+    }
   }
 
   def dropStale(indexPath: String): Int = {
@@ -90,6 +103,35 @@ private[sources] object IndexGen {
       .filter(n => n.startsWith("gen-") && !cur.contains(n))
     stale.foreach(n => fsys.delete(new Path(root, n), true))
     stale.length
+  }
+
+  /** AGE-MARGINED generation GC (round-12 verdict #6 — the
+    * remove_orphans retention pattern applied to index artifacts): a
+    * superseded generation is collected only once it has been stale for
+    * ≥ `olderMs`, so in-flight probes that resolved the old pointer get
+    * their drain window. Legacy stale generations without a stamp begin
+    * aging NOW (stamped, skipped this round) — never deleted under the
+    * feet of a probe that just resolved them. */
+  def dropStaleOlder(indexPath: String, olderMs: Long): Int = {
+    val root = new Path(indexPath)
+    val fsys = StoreSink.fs(root)
+    val cur = StoreSink.readSmall(root, fsys, CurrentPtr)
+    if (!fsys.exists(root) || cur.isEmpty) return 0
+    val now = System.currentTimeMillis
+    var dropped = 0
+    fsys.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && !cur.contains(n))
+      .foreach { n =>
+        StoreSink.readSmall(root, fsys, s"$n/$StaleAt") match {
+          case Some(ts) if ts.nonEmpty && now - ts.toLong >= olderMs =>
+            fsys.delete(new Path(root, n), true)
+            dropped += 1
+          case Some(_) => () // inside its margin: survives this sweep
+          case None =>
+            StoreSink.atomicWriteSmall(root, fsys, s"$n/$StaleAt", now.toString)
+        }
+      }
+    dropped
   }
 }
 

@@ -69,7 +69,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "analyze", "cherry_pick", "compact", "expire", "history",
-      "index_build", "index_rebuild_if", "index_refresh", "publish",
+      "index_build", "index_expire", "index_rebuild_if", "index_refresh",
+      "publish",
       "publish_all",
       "remove_orphans", "repartition_spec", "rollback", "tag",
       "text_index_build", "text_index_refresh", "txn_recover",
@@ -91,6 +92,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "publish_all" => PublishAllProcedure
       case "txn_recover" => TxnRecoverProcedure
       case "index_build" => IndexBuildProcedure
+      case "index_expire" => IndexExpireProcedure
       case "index_refresh" => IndexRefreshProcedure
       case "index_rebuild_if" => IndexRebuildIfProcedure
       case "text_index_build" => TextIndexBuildProcedure
@@ -1069,6 +1071,42 @@ private object IndexRebuildIfProcedure
         override def rows(): Array[InternalRow] = Array(InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(res._1),
           res._2, res._3))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.index_expire(index_path, older_ms)` — age-margined GC of
+  * superseded index generations (IndexGen.dropStaleOlder): a stale
+  * generation is collected only once its supersession stamp is at least
+  * `older_ms` old, so in-flight probes drain first — the remove_orphans
+  * retention pattern applied to the index lifecycle. Audit: (dropped). */
+private object IndexExpireProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "index_expire"
+  override def description(): String =
+    "drop superseded index generations older than the given margin"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("index_path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("older_ms", LongType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("dropped", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val n = IndexGen.dropStaleOlder(input.getUTF8String(0).toString,
+      input.getLong(1)).toLong
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(n))
       }
     util.Collections.singletonList(scan).iterator()
   }

@@ -4209,23 +4209,46 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
       // resolves everywhere.
       private def distributable: Option[StoreSink.PartSpec] =
         spec.filter(sp => sp.kind == "identity" || viaCatalog)
+      // ORDERED (range) write distribution (`option("orderedBy", col)`):
+      // an identity-partitioned write that wants its files to hold
+      // CONTIGUOUS BANDS of a second column — e.g. impact-ordered posting
+      // lists — asks for a GLOBAL sort on (partition value, col) instead
+      // of value clustering: Spark range-partitions the input, each task
+      // holds one (value, band) slice, and the per-file zone stats of
+      // `col` become tight disjoint ranges a top-k probe can prune on.
+      // File count = write tasks (`option("writeTasks", n)`), not values
+      // × tasks.
+      private def orderedBy: Option[String] =
+        Option(info.options().get("orderedBy")).filter(_ => spec.isDefined)
+      private def sortAsc(c: String) =
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
       override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-        distributable match {
-          case Some(sp) =>
+        (orderedBy, distributable) match {
+          case (Some(oc), _) =>
+            org.apache.spark.sql.connector.distributions.Distributions.ordered(
+              Array(sortAsc(spec.get.col), sortAsc(oc)))
+          case (None, Some(sp)) =>
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
               Array(sp.toTransform))
-          case None =>
+          case _ =>
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         }
       // bucket(n): exactly n write tasks = one committed file per bucket
       override def requiredNumPartitions(): Int =
-        distributable.filter(_.kind == "bucket").map(_.n).getOrElse(0)
+        orderedBy.flatMap(_ =>
+            Option(info.options().get("writeTasks")).map(_.toInt))
+          .getOrElse(distributable.filter(_.kind == "bucket").map(_.n).getOrElse(0))
       override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        if (spec.isDefined)
-          Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-            org.apache.spark.sql.connector.expressions.Expressions.column("k"),
-            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-        else Array.empty
+        orderedBy match {
+          case Some(oc) => Array(sortAsc(spec.get.col), sortAsc(oc))
+          case None if spec.isDefined =>
+            Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column("k"),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          case None => Array.empty
+        }
       override def toBatch: BatchWrite =
         new StoreBatchWrite(pathStr, info.queryId(),
           // dynamic overwrite of an UNPARTITIONED store degrades to a
@@ -4320,6 +4343,7 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
         reset = false)
       return
     }
+    var fullRewrite = false // set under the lock, read by the NDV fold
     StoreSink.withCommitLock(root, fsys) {
       val staging = new Path(root, StoreSink.Staging)
       StoreSink.promote(root, fsys, staging, committed)
@@ -4348,6 +4372,16 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
           if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
             s"files replaced by a concurrent commit: ${missing.mkString(",")} " +
               "— re-run the compaction against the current snapshot")
+          // FULL rewrite (whole-table compaction / absorb): the commit's
+          // writer sketches describe EVERY live row — re-baseline the NDV
+          // from them instead of unioning (round-12 verdict #8: deletes
+          // stop being a permanent upper bound the first time maintenance
+          // rewrites the table, no manual ANALYZE needed). Marker (`#`)
+          // lines are not entries and must carry over regardless.
+          fullRewrite = fresh
+            .filter(l => !l.startsWith("#") &&
+              !replace.contains(StoreSink.parseEntry(l).name))
+            .forall(l => StoreSink.parseEntry(l).rows == 0)
           fresh.filterNot(l => !l.startsWith("#") &&
             replace.contains(StoreSink.parseEntry(l).name)) ++
             committed.map(_.entry.line)
@@ -4393,10 +4427,11 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
     }
     // incremental NDV: union this commit's writer sketches into the
     // stored ones (no-op until ANALYZE establishes tracking); a logical
-    // truncate re-baselines from this commit alone
+    // truncate — or a FULL replace-set rewrite, whose written rows ARE
+    // the live rows — re-baselines from this commit alone
     StoreSink.mergeNdv(root, fsys,
       messages.map(_.asInstanceOf[StoreCommitMessage]).flatMap(_.ndv).toSeq,
-      reset = truncate && !preserveMarkers)
+      reset = (truncate && !preserveMarkers) || fullRewrite)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

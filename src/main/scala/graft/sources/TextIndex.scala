@@ -46,7 +46,16 @@ object TextIndex {
   val VersionProp = "graft.index.corpus_version"
   val NdProp = "graft.text.nd"
   val TlProp = "graft.text.tl"
+  /** "1" while the postings' per-posting `imp` column (quantized tf/dl
+    * impact, build-time nd/tl) is a VALID scoring bound — impact depends
+    * on the global corpus stats, so ANY refresh invalidates it everywhere
+    * and [[probeTopN]] falls back to the full probe until a rebuild. */
+  val ImpProp = "graft.text.imp"
   private val Shards = 16
+
+  /** Test observability: (files planned, candidate files) of the last
+    * [[probeTopN]] — pins that impact bounds actually skip files. */
+  @volatile private[graft] var lastTopNFiles: Option[(Int, Int)] = None
 
   private def pl(genRoot: String) = s"$genRoot/postings"
   private def tm(genRoot: String) = s"$genRoot/terms"
@@ -81,25 +90,47 @@ object TextIndex {
     val tmRoot = new Path(tm(genRoot))
     val fsys = StoreSink.fs(plRoot)
     StoreSink.writeExtras(plRoot, fsys, StoreSink.extrasOf(Seq(
-      StructField("term", StringType), StructField("dl", LongType))))
+      StructField("term", StringType), StructField("dl", LongType),
+      StructField("imp", LongType))))
     StoreSink.writeExtras(tmRoot, fsys, StoreSink.extrasOf(Seq(
       StructField("term", StringType))))
+    // the manifest records per-file imp min/max (generalized zone stats):
+    // that IS the per-file max-impact the top-k probe prunes on
+    StoreSink.setProp(pl(genRoot), StoreSink.StatColsProp, "imp")
     val (tf, dlen) = tfOf(docs)
     val tfd = tf.join(dlen, "doc_id").localCheckpoint() // one tokenize pass
+    // corpus stats resolve BEFORE the postings write: the quantized
+    // impact bakes build-time nd/tl in (the WAND-style static score bound)
+    val st = dlen.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .collect()(0)
+    val (nd, tl) = (st.getLong(0), math.max(st.getLong(1), 1L))
+    // IMPACT-ORDERED postings (round-12 verdict #4): `imp` = the e4-
+    // quantized tf/dl part of the Okapi kernel (idf excluded — term-
+    // independent), and the write RANGE-CLUSTERS on (shard, imp) so each
+    // shard's files hold contiguous impact bands — per-file imp zones
+    // then bound what any posting in the file can score, and probeTopN
+    // stops opening files that cannot reach the running k-th score.
     tfd.select(col("doc_id").as("k"), shardCol(col("t")).as("grp"),
-        col("tf").as("amt_cents"), col("t").as("term"), col("dl"))
+        col("tf").as("amt_cents"), col("t").as("term"), col("dl"),
+        expr(s"""cast(round(1e4 * (tf * (1.2 + 1.0))
+                |  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * $nd / cast(${tl}L as double))))
+                |as bigint)""".stripMargin).as("imp"))
       .write.format(Fmt).mode("append").option("path", pl(genRoot))
-      .option("partitionedBy", "identity:grp").save()
+      .option("partitionedBy", "identity:grp")
+      // ordered distribution: the planner range-partitions on (shard,
+      // imp) so each shard's files are contiguous impact bands — a
+      // repartition here would be overridden by the write's required
+      // clustering (observed: everything re-collapsed to 1 file/shard)
+      .option("orderedBy", "imp").option("writeTasks", "64").save()
     tfd.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .select(xxhash64(col("t")).as("k"), shardCol(col("t")).as("grp"),
         col("df").as("amt_cents"), col("t").as("term"))
       .write.format(Fmt).mode("append").option("path", tm(genRoot))
       .option("partitionedBy", "identity:grp").save()
-    val st = dlen.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
-      .collect()(0)
     StoreSink.withCommitLock(tmRoot, fsys) {
       val ps = StoreSink.readProps(tmRoot, fsys).toMap ++
-        Map(NdProp -> st.getLong(0).toString, TlProp -> st.getLong(1).toString) ++
+        Map(NdProp -> st.getLong(0).toString, TlProp -> st.getLong(1).toString,
+            ImpProp -> "1") ++
         corpusRef.map(r => CorpusProp -> r._1) ++
         corpusRef.map(r => VersionProp -> r._2.toString)
       StoreSink.writeProps(tmRoot, fsys, ps.toSeq)
@@ -230,13 +261,23 @@ object TextIndex {
     if (touched.nonEmpty) {
       // postings: surviving rows of touched shards (anti-join on changed
       // docs — never a literal IN over data-sized keys) + fresh rows
-      s.read.format(Fmt).option("path", pl(genRoot)).load()
+      // fresh rows carry NULL imp (their impact would need the NEW nd/tl
+      // anyway); legacy indexes without the imp slot project it as null
+      val plDf = s.read.format(Fmt).option("path", pl(genRoot)).load()
+      val surviving0 = plDf
         .where(col("grp").isin(touched: _*))
         .join(changedDocs.withColumnRenamed("doc_id", "k"), Seq("k"), "left_anti")
-        .select(col("k"), col("grp"), col("amt_cents"), col("term"), col("dl"))
+      val surviving =
+        if (plDf.columns.contains("imp"))
+          surviving0.select(col("k"), col("grp"), col("amt_cents"),
+            col("term"), col("dl"), col("imp"))
+        else surviving0.select(col("k"), col("grp"), col("amt_cents"),
+          col("term"), col("dl"), lit(null).cast("long").as("imp"))
+      surviving
         .unionByName(insRows.select(col("doc_id").as("k"),
           shardCol(col("t")).as("grp"), col("tf").as("amt_cents"),
-          col("t").as("term"), col("dl")))
+          col("t").as("term"), col("dl"),
+          lit(null).cast("long").as("imp")))
         .write.format(Fmt).mode("append").option("path", pl(genRoot))
         .option("replace", replaceSet(plRoot))
         .option("preserveMarkers", "true").save()
@@ -260,10 +301,85 @@ object TextIndex {
       val ps = StoreSink.readProps(tmRoot, fsys).toMap
       val nd = ps(NdProp).toLong - d.getLong(0) + i.getLong(0)
       val tl = ps(TlProp).toLong - d.getLong(1) + i.getLong(1)
-      StoreSink.writeProps(tmRoot, fsys, (ps ++ Map(
+      // impact is a function of GLOBAL (nd, tl): any refresh stales every
+      // file's stored imp, so the top-k pruning bound disarms until a
+      // rebuild re-quantizes — probeTopN falls back to the full probe
+      StoreSink.writeProps(tmRoot, fsys, ((ps - ImpProp) ++ Map(
         NdProp -> nd.toString, TlProp -> tl.toString,
         VersionProp -> headV.toString)).toSeq)
     }
     (changedDocs.count(), touched.size.toLong)
+  }
+
+  /** SINGLE-TERM TOP-K with impact-bound EARLY TERMINATION (round-12
+    * verdict #4 — the WAND/MaxScore shape on the persisted artifact): the
+    * probed term is the dictionary's highest-df scorable term; phase 1
+    * scores only the shard's TOP impact-band file to establish the
+    * running k-th score θ, then every candidate file whose manifest imp
+    * zone cannot produce a score ≥ θ is never opened — rank-safe because
+    * a skipped file's postings all score strictly below θ (quantization
+    * slack is added to the bound, and UB == θ files stay planned so ties
+    * still break by doc_id). At 100 TB interactive top-k over a high-df
+    * term reads the top impact bands, not the term's full posting list.
+    * Falls back to the full probe when impact is disarmed (post-refresh)
+    * or phase 1 cannot establish θ. */
+  def probeTopN(s: SparkSession, indexPath: String, topk: Int = 10): DataFrame = {
+    val genRoot = IndexGen.dir(indexPath)
+    val (nd, tl) = statsAt(genRoot)
+    val tmRoot = new Path(tm(genRoot))
+    val fsys = StoreSink.fs(tmRoot)
+    val impValid = StoreSink.readProps(tmRoot, fsys).toMap
+      .get(ImpProp).contains("1")
+    val qt = termsAt(s, genRoot).where(length(col("t")) >= 4)
+      .orderBy(col("df").desc, col("t")).limit(1)
+      .select(col("t"), col("df"), shardCol(col("t")).as("b")).collect()(0)
+    val (term, df, shard) = (qt.getString(0), qt.getLong(1), qt.getString(2))
+    val idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+    val plRoot = new Path(pl(genRoot))
+    val entries = StoreSink.readEntries(plRoot, fsys)
+      .filter(e => e.rows != 0 && e.part.exists(_.endsWith(shard)))
+    // per-file score bound from the manifest's imp zone: stored imp
+    // carries ±0.5 quantization slack, idf scaling another rounding —
+    // both absorbed into the ceiling so the bound only ever over-admits
+    def ub(e: StoreSink.StoreFileEntry): Long =
+      if (!impValid) Long.MaxValue
+      else e.stats.find(_._1 == "imp").map { case (_, _, mx) =>
+        math.ceil(idf * (mx + 0.5)).toLong + 1L
+      }.getOrElse(Long.MaxValue)
+    def scoreFiles(fs: Seq[StoreSink.StoreFileEntry]): DataFrame =
+      s.read.format(Fmt).option("path", pl(genRoot))
+        .option("files", fs.map(_.token).mkString(","))
+        .load()
+        .where(col("term") === term)
+        .select(col("k").as("doc_id"), expr(
+          s"""cast(round(1e4 * ln(1.0 + ($nd - $df + 0.5) / ($df + 0.5))
+             |  * (amt_cents * (1.2 + 1.0))
+             |  / (amt_cents + 1.2 * (1.0 - 0.75 + 0.75 * dl * $nd / cast(${tl}L as double))))
+             |as bigint)""".stripMargin).as("bm25_e4"))
+    val ordered = entries.sortBy(e => (-ub(e), e.name))
+    // phase 1 opens the top impact bands until they plausibly hold k
+    // postings OF THE PROBED TERM (files mix the shard's whole
+    // vocabulary, so cover ~50× topk rows) — a thin top band alone
+    // rarely establishes θ
+    val phase1 = {
+      var acc = 0L
+      val b = Seq.newBuilder[StoreSink.StoreFileEntry]
+      ordered.iterator.takeWhile { e =>
+        val go = acc < 50L * topk
+        if (go) { b += e; acc += math.max(e.rows, 0L) }
+        go
+      }.foreach(_ => ())
+      b.result()
+    }
+    val theta: Option[Long] =
+      if (!impValid || phase1.isEmpty) None
+      else {
+        val top = scoreFiles(phase1)
+          .orderBy(col("bm25_e4").desc, col("doc_id")).limit(topk).collect()
+        if (top.length >= topk) Some(top.last.getLong(1)) else None
+      }
+    val kept = theta.fold(ordered)(t => ordered.filter(e => ub(e) >= t))
+    lastTopNFiles = Some((kept.size, entries.size))
+    scoreFiles(kept).orderBy(col("bm25_e4").desc, col("doc_id")).limit(topk)
   }
 }

@@ -220,6 +220,121 @@ class AnnIndexSpec extends SparkSpec {
       s"retrain must recover recall: ($action2, $recall2 vs $recall)")
   }
 
+  test("skew-only policy with the recall floor DISARMED keeps a healthy " +
+       "index (the -1 sentinel must not read as below-floor)") {
+    val corpus = freshDir("keep_corpus")
+    val idx = freshDir("keep_idx")
+    seedCorpusStore(corpus, clusteredCorpus)
+    AnnIndex.buildFromStore(spark, corpus, idx)
+    // 2 balanced cells of 10: skew_e4 = 10 * 1e4 * 2 / 20 = 10000; a
+    // threshold above that must KEEP — before the advice fix, the
+    // disarmed floor's recall sentinel (-1 < 0) retrained unconditionally
+    val (action, skew, recall) =
+      AnnIndex.rebuildIf(spark, idx, maxSkewE4 = 15000L)
+    assert(action == "keep" && recall == -1L,
+      s"below-threshold skew with a disarmed floor must keep: " +
+        s"($action, $skew, $recall)")
+  }
+
+  test("PQ lifecycle: refresh folds the codes table under the frozen " +
+       "sub-codebooks (untouched cells keep code files by identity), " +
+       "probePq refuses stale codes, and a retrain carries PQ forward") {
+    import spark.implicits._
+    val corpus = freshDir("pq_corpus")
+    val idx = freshDir("pq_idx")
+    // clusteredCorpus dims are 4-wide; pqSides slices 1..32/33..64 — pad
+    // to 64 dims (zeros beyond the informative prefix) and add the PQ
+    // sample ids 100..107 so the sub-codebooks exist
+    def pad(v: Array[Float]): Array[Float] = v ++ Array.fill(60)(0.0f)
+    val a = (0 to 9).map(i => (i.toLong, pad(Array(1.0f, 0.0f, 0.0f, i / 100.0f))))
+    val b = (199 to 208).map(i => (i.toLong, pad(Array(0.0f, 1.0f, 0.0f, (i - 199) / 100.0f))))
+    val cb = (100 to 107).map(i => (i.toLong, pad(Array(i / 200.0f, 1.0f - i / 200.0f, 0.0f, 0.0f))))
+    seedCorpusStore(corpus, (a ++ b ++ cb).toDF("vec_id", "embedding"))
+    AnnIndex.buildFromStore(spark, corpus, idx)
+    AnnIndex.buildPqFromStore(spark, idx)
+    val gen1 = AnnIndex.genDir(idx)
+    def codeFiles(gen: String): Map[String, Set[String]] =
+      StoreSink.readEntries(new Path(s"$gen/codes"), fs)
+        .groupBy(_.part.getOrElse("?"))
+        .map { case (p, es) => p -> es.map(_.name).toSet }
+    val q = Seq((9000L, pad(Array(0.0f, 1.0f, 0.02f, 0.0f))))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+    val pre = AnnIndex.probePq(spark, q, idx, nprobe = 1, topk = 3)
+      .collect().map(_.toSeq).toSet
+    assert(pre.nonEmpty)
+    val filesBefore = codeFiles(gen1)
+    // CDC touching cluster B only: insert near B, delete a B member
+    Seq((300L, pad(Array(0.0f, 1.0f, 0.05f, 0.0f)))).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("k"), lit("e").as("grp"), lit(0L).as("amt_cents"),
+        expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    new StoreTable(corpus).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 200L)))
+    AnnIndex.refresh(spark, idx)
+    val filesAfter = codeFiles(gen1)
+    assert(filesAfter("0") == filesBefore("0"),
+      "untouched cell must keep its CODE files by identity")
+    assert(filesAfter("199") != filesBefore("199"),
+      "touched cell's codes must rewrite")
+    // folded codes: the deleted key left, the insert entered cell 199
+    val codes = spark.read.format(fmt).option("path", s"$gen1/codes").load()
+      .select(col("k"), col("grp")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!codes.exists(_._1 == 200L) && codes.contains((300L, "199")),
+      s"codes must follow the CDF: $codes")
+    // post-refresh probe serves (version guard satisfied by the fold)
+    assert(AnnIndex.probePq(spark, q, idx, nprobe = 1, topk = 3)
+      .collect().nonEmpty)
+    // staleness refusal: simulate codes trailing the corpus version
+    // (props tampering stands in for a legacy non-folding refresh)
+    val cbRoot = new Path(s"$gen1/codebook")
+    val ps = StoreSink.readProps(cbRoot, fs).toMap
+    val v = ps(AnnIndex.VersionProp).toInt
+    StoreSink.writeProps(cbRoot, fs,
+      (ps + (AnnIndex.VersionProp -> (v + 1).toString)).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.probePq(spark, q, idx, nprobe = 1, topk = 3).collect()
+    }
+    assert(e.getMessage.contains("stale PQ codes"))
+    StoreSink.writeProps(cbRoot, fs, ps.toSeq) // restore
+    // a policy-triggered RETRAIN must re-encode PQ into the new
+    // generation before the swap (the superseded one is GC fodder)
+    AnnIndex.rebuildIf(spark, idx, maxSkewE4 = 1L) // skew 1 always trips
+    val gen2 = AnnIndex.genDir(idx)
+    assert(gen2 != gen1, "retrain must publish a new generation")
+    assert(fs.exists(new Path(s"$gen2/pqcb")) && fs.exists(new Path(s"$gen2/codes")),
+      "retrain must carry the PQ leg into the new generation")
+    AnnIndex.dropStaleGenerations(idx)
+    assert(AnnIndex.probePq(spark, q, idx, nprobe = 1, topk = 3)
+      .collect().nonEmpty,
+      "probePq must survive GC of the superseded generation")
+  }
+
+  test("index_expire: a superseded generation survives inside its age " +
+       "margin and collects beyond it") {
+    val idx = freshDir("expire_idx")
+    import spark.implicits._
+    AnnIndex.build(spark, clusteredCorpus, idx) // gen-1
+    AnnIndex.build(spark, clusteredCorpus, idx) // gen-2 (gen-1 stamped stale)
+    assert(fs.exists(new Path(s"$idx/gen-1/${IndexGen.StaleAt}")),
+      "publish must stamp the superseded generation")
+    // inside the margin: survives
+    assert(IndexGen.dropStaleOlder(idx, 3600_000L) == 0)
+    assert(fs.exists(new Path(s"$idx/gen-1")))
+    // age the stamp artificially past the margin: collects
+    StoreSink.atomicWriteSmall(new Path(idx), fs, s"gen-1/${IndexGen.StaleAt}",
+      (System.currentTimeMillis - 7200_000L).toString)
+    assert(IndexGen.dropStaleOlder(idx, 3600_000L) == 1)
+    assert(!fs.exists(new Path(s"$idx/gen-1")) && fs.exists(new Path(s"$idx/gen-2")))
+    // a legacy stale generation (no stamp) begins aging instead of dying
+    fs.mkdirs(new Path(s"$idx/gen-0"))
+    assert(IndexGen.dropStaleOlder(idx, 3600_000L) == 0)
+    assert(fs.exists(new Path(s"$idx/gen-0/${IndexGen.StaleAt}")),
+      "an unstamped stale generation must begin aging, not die")
+  }
+
   test("rebuild is atomic: a probe in the stage/publish window reads the " +
        "OLD generation complete; the pointer swap is the only visible " +
        "instant; stale generations GC") {

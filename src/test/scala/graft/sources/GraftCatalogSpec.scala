@@ -94,7 +94,8 @@ class GraftCatalogSpec extends SparkSpec {
         .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       assert(cat.listProcedures(Array.empty).map(_.name()).sorted.toSeq ==
         Seq("abandon", "analyze", "cherry_pick", "compact", "expire",
-          "history", "index_build", "index_rebuild_if", "index_refresh",
+          "history", "index_build", "index_expire", "index_rebuild_if",
+          "index_refresh",
           "publish", "publish_all", "remove_orphans", "repartition_spec",
           "rollback", "tag", "text_index_build", "text_index_refresh",
           "txn_recover", "vacuum", "zorder", "zorder_by"))

@@ -275,6 +275,50 @@ class StoreColumnarSpec extends SparkSpec {
     assert(off.toSeq == Seq(304L, 305L), s"offset across groups: ${off.toSeq}")
   }
 
+  test("per-group zone stats: a pushed k-range skips whole groups, dv " +
+       "ordinals stay aligned across skips, COW replacements keep the " +
+       "key stats, and row-level rewrites never group-skip") {
+    val dir = freshDir("gzone")
+    markColumnar(dir)
+    StoreSink.setProp(dir, StoreSink.GroupRowsProp, "100")
+    // one file, 5 groups of 100, k sorted → disjoint per-group k zones
+    df(0 until 500, "a").repartition(1).sortWithinPartitions("k")
+      .write.format(fmt).mode("append").option("path", dir).save()
+    withStore(dir) {
+      // dv mask spread across the file (multiples of 97)
+      spark.sql("DELETE FROM graft.store WHERE k IN (0, 97, 194, 291, 388, 485)")
+      assert(StoreSink.readEntries(new Path(dir), fs).exists(_.dv.isDefined),
+        "fixture: the selective delete must attach a dv")
+      // mid-file range: groups 0-1 and 4 skip, 2-3 load; the dv'd keys
+      // 194/291 fall INSIDE the read range — a reader that forgot to
+      // advance ordinals past skipped groups would mask the wrong rows
+      StoreSink.lastColGroups = None
+      val got = spark.table("graft.store").where(col("k").between(200, 399))
+        .select(col("k")).collect().map(_.getLong(0)).toSet
+      assert(got == (200 to 399).toSet - 291L - 388L, s"${got.size} rows")
+      val (read, total) = StoreSink.lastColGroups.get
+      assert(total == 5 && read == 2,
+        s"a mid-file range must decode only its groups: $read of $total")
+      // a COW rewrite (bulk delete) keeps slot-0 group stats in the
+      // replacement file: the next ranged read still skips
+      spark.sql("DELETE FROM graft.store WHERE k >= 400")
+      StoreSink.lastColGroups = None
+      val n = spark.table("graft.store").where(col("k") < 100).count()
+      assert(n == 98, s"$n") // 0 and 97 deleted
+      val (r2, t2) = StoreSink.lastColGroups.get
+      assert(r2 < t2, s"COW replacement must keep group stats: $r2 of $t2")
+      // row-level COW (UPDATE) must read whole files — no static pushdown
+      // reaches its scan, so nothing can be skipped out of the rewrite
+      spark.sql("UPDATE graft.store SET amt_cents = amt_cents + 1 " +
+        "WHERE k BETWEEN 100 AND 109")
+      val live = spark.table("graft.store").count()
+      assert(live == 395, s"rows must survive a row-level rewrite intact: $live")
+      val updSum = spark.table("graft.store").where(col("k").between(100, 109))
+        .agg(sum(col("amt_cents"))).collect()(0).getLong(0)
+      assert(updSum == (100 to 109).map(_ * 100L + 1).sum, s"$updSum")
+    }
+  }
+
   test("deflated blocks (#GC2): round-trip, masks, narrow skip, COW keeps " +
        "compression, files shrink") {
     val plain = freshDir("zip_plain"); val dir = freshDir("zip")

@@ -1561,6 +1561,41 @@ class StoreSinkSpec extends SparkSpec {
     assert(ndvOf()("k") == 7L)
   }
 
+  test("NDV re-baselines on a full replace-set rewrite: a whole-table " +
+       "compaction after deletes tracks reality without a manual ANALYZE") {
+    val dir = freshDir("ndv_compact")
+    def ndvOf(): Map[String, Long] = StoreSink.readProps(new Path(dir), fs)
+      .find(_._1 == StoreSink.NdvProp).map(_._2).getOrElse("")
+      .split(';').filter(_.nonEmpty)
+      .map { kv => val Array(c, v) = kv.split(":", 2); (c, v.toLong) }.toMap
+    df(1 to 100, "a").repartition(4).write.format(fmt).mode("overwrite")
+      .option("path", dir).save()
+    StoreSink.analyze(dir)
+    assert(ndvOf()("k") == 100L)
+    // deletes only UPPER-BOUND the estimate (HLL cannot subtract) ...
+    new StoreTable(dir).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThan("k", 10L)))
+    assert(ndvOf()("k") == 100L, "deletes leave an upper bound")
+    // ... until maintenance rewrites the WHOLE table: the compaction's
+    // writer sketches describe every live row, so the commit re-baselines
+    StoreSink.compact(spark, dir, 1000000L)
+    val reset = ndvOf()
+    assert(reset("k") == 10L,
+      s"a full rewrite must re-baseline NDV from its own rows: $reset")
+    // a PARTIAL replace keeps unioning (surviving files may hold values
+    // the commit never saw): append a second range as two files, compact
+    // only that range
+    df(200 to 210, "b").coalesce(1).write.format(fmt).mode("append")
+      .option("path", dir).save()
+    df(211 to 220, "b").coalesce(1).write.format(fmt).mode("append")
+      .option("path", dir).save()
+    assert(ndvOf()("k") == 31L, s"appends fold in: ${ndvOf()}")
+    val (pb, pa) = StoreSink.compact(spark, dir, 1000000L, Some(200L), None)
+    assert(pa < pb, "fixture: the ranged compact must actually merge")
+    assert(ndvOf()("k") == 31L,
+      s"a partial rewrite must not drop surviving files' values: ${ndvOf()}")
+  }
+
   test("type widening: int -> bigint is metadata-only, travel reads each " +
        "generation under its own type, lossy directions refuse") {
     import spark.implicits._

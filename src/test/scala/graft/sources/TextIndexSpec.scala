@@ -49,8 +49,14 @@ class TextIndexSpec extends SparkSpec {
   }
 
   private def indexContent(idx: String): (Set[Seq[Any]], Set[Seq[Any]], (Long, Long)) = {
+    // SCORING content only: `imp` is the top-k pruning accessory — its
+    // quantization bakes build-time (nd, tl), so refresh deliberately
+    // leaves it stale/null and disarms the bound (ImpProp) instead of
+    // recomputing every shard; equality claims exclude it
     val po = spark.read.format(fmt).option("path", TextIndex.postingsPath(idx))
-      .load().collect().map(_.toSeq).toSet
+      .load()
+      .select(col("k"), col("grp"), col("amt_cents"), col("term"), col("dl"))
+      .collect().map(_.toSeq).toSet
     val tm = spark.read.format(fmt).option("path", TextIndex.termsPath(idx))
       .load().collect().map(_.toSeq).toSet
     (po, tm, TextIndex.stats(idx))
@@ -120,6 +126,46 @@ class TextIndexSpec extends SparkSpec {
     assert(untouchedBefore.nonEmpty, "fixture: need at least one untouched shard")
     assert(untouchedBefore.subsetOf(filesAfter),
       "untouched shards must carry their files by identity across refresh")
+  }
+
+  test("impact-ordered top-k: skips files the bound excludes, equals the " +
+       "full scoring; refresh disarms the bound until rebuild") {
+    import spark.implicits._
+    val idx = freshDir("topn_idx")
+    val corpus = freshDir("topn_corpus")
+    // 300 docs, tf of the probe term varies 1..5 and lengths vary — the
+    // impact-banded files get discriminating zones
+    val big = (1 to 300).map { i =>
+      val tf = 1 + i % 5
+      val filler = (1 to (3 + i % 7)).map(j => s"w${(i + j) % 40}").mkString(" ")
+      (i.toLong, (Seq.fill(tf)("alphaword") :+ filler).mkString(" "))
+    }.toDF("doc_id", "text")
+    seedCorpusStore(corpus, big)
+    TextIndex.buildFromStore(spark, corpus, idx)
+    TextIndex.lastTopNFiles = None
+    val et = TextIndex.probeTopN(spark, idx, topk = 10).collect()
+    val pruned = TextIndex.lastTopNFiles.get
+    assert(pruned._1 >= 1 && pruned._1 < pruned._2,
+      s"impact bound must skip files: planned ${pruned._1} of ${pruned._2}")
+    // rank-safe: equals the full single-term scoring
+    val dict = TextIndex.terms(spark, idx)
+    val qt = dict.where(length(col("t")) >= 4)
+      .orderBy(col("df").desc, col("t")).limit(1)
+    val full = TextIndex.score(spark, idx, qt)
+      .select(col("doc_id"), col("bm25_e4"))
+      .orderBy(col("bm25_e4").desc, col("doc_id")).limit(10).collect()
+    assert(et.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+      "early-terminated top-k must equal the full scoring")
+    // refresh (one doc changes) disarms the bound: stale impact must not
+    // prune — the probe falls back to every candidate file
+    new StoreTable(corpus).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 7L)))
+    TextIndex.refresh(spark, idx)
+    TextIndex.lastTopNFiles = None
+    TextIndex.probeTopN(spark, idx, topk = 10).collect()
+    val post = TextIndex.lastTopNFiles.get
+    assert(post._1 == post._2,
+      s"post-refresh probe must scan all candidates (bound disarmed): $post")
   }
 
   test("rebuild publishes through the generation pointer: old probe " +
