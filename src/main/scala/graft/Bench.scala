@@ -30,7 +30,9 @@ object Bench {
     "q_json_funcs",                                                  // set ops/scalars
     "q_dedup_near", "q_dedup_simhash",                               // dedup family
     "q_dedup_embcos",
-    "q_sim_topk", "q_sim_lsh",                                       // similarity
+    // q_sim_topk rotated out at round 20 (cheap stable; the similarity
+    // family keeps q_sim_lsh/q_sim_ivf/q_sim_bq + the indexed probes)
+    "q_sim_lsh",                                                     // similarity
     "q_tfidf_terms", "q_lang_id", "q_quality_filter",                // text analysis
     "q_contamination", "q_sim_ivf",                                  // curation (r2)
     // q_pack_seq rotated out at round 19 (cheap stable training-batch op;
@@ -39,7 +41,8 @@ object Bench {
     "q_semdedup",                                                    // training-batch (r3)
     "q_scd2", "q_cdc_merge",                                         // ETL lifecycle (r3)
     "q_skew_salted",                                                 // scale posture
-    "q_funnel", "q_er_join",                                         // event analytics / linkage (r4)
+    // q_funnel rotated out at round 20 (q_window_funnel covers the family)
+    "q_er_join",                                                     // event analytics / linkage (r4)
     "q_emb_quantize", "q_agg_hll_sketch", "q_pipeline_e2e",          // vector + sketch + e2e chain (r4)
     "q_dedup_incr", "q_dedup_embcos_lsh", "q_runtime_filter",        // incr dedup + sub-block + bloom inject (r5)
     "q_pagerank", "q_winnow",                                        // graph iterate + winnow scan (r6)
@@ -60,6 +63,7 @@ object Bench {
     "q_store_zorder", "q_store_cdf",                                 // hilbert 2-D compact + change data feed (r17)
     "s_store_upsert_delta",                                          // streaming delta upsert sink (r17)
     "q_store_col_proj", "q_bm25_indexed",                            // columnar narrow scan + persisted BM25 (r19)
+    "q_bm25_topn", "q_store_col_dict",                               // impact-bound top-k + dict blocks (r20)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

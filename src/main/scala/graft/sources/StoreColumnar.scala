@@ -408,6 +408,70 @@ object StoreColumnar extends OpModule {
       }
     }),
 
+    // DICTIONARY-ENCODED STRING BLOCKS (round-12 verdict #5): under
+    // `graft.store.dict = on`, low-cardinality string blocks store their
+    // distinct values once plus one ordinal per row (`d`-tagged length
+    // token — per-block, self-identifying), shrinking at-rest bytes
+    // (z_smaller) AND acting as a block-local predicate index: a pushed
+    // grp equality whose value is absent from a group's dictionary skips
+    // the whole group after reading ONE block (z_dict_skip — the parquet
+    // dictionary-page filter shape). Content is bit-identical to the
+    // plain columnar twin: one oracle.
+    "q_store_col_dict" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecoldict")
+      val twin = tmp(d, "storecoldicttwin")
+      val fsys = fsOf(s)
+      def seed(p: String, dict: Boolean): Unit = {
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true)
+        StoreSink.setProp(p, StoreSink.EncodingProp, "columnar")
+        StoreSink.setProp(p, StoreSink.GroupRowsProp, "2000")
+        if (dict) StoreSink.setProp(p, StoreSink.DictProp, "on")
+        // longer low-cardinality values: a dictionary must beat the
+        // plain layout (1-char statuses cost as much as their ordinals
+        // and correctly stay plain — the encoder's size guard)
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"),
+                  concat(lit("status-"), col("o_orderstatus")).as("grp"),
+                  graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+          .repartition(1).sortWithinPartitions(col("grp"), col("k"))
+          .write.format(fmt).mode("append").option("path", p).save()
+      }
+      seed(path, dict = true); seed(twin, dict = false)
+      def bytesOf(p: String): Long = StoreSink.readEntries(
+        new org.apache.hadoop.fs.Path(p), fsys).flatMap(_.bytes).sum
+      val smaller = bytesOf(path) < bytesOf(twin)
+      // at least one committed file carries a d-tagged block
+      val root = new org.apache.hadoop.fs.Path(path)
+      val tagged = StoreSink.readEntries(root, fsys).filter(_.rows > 0)
+        .exists { e =>
+          val p = new org.apache.hadoop.fs.Path(root, e.name)
+          val in = fsys.open(p)
+          try StoreSink.readColGroups(in, fsys.getFileStatus(p).getLen)
+            .exists(_.exists(_.dictFlags.exists(identity)))
+          finally in.close()
+        }
+      withStorePath(s, path) {
+        // the rare status: most grp-sorted groups lack it → dict skip
+        val rare = s.table("graft.store").groupBy(col("grp")).count()
+          .orderBy(col("count"), col("grp")).collect()(0).getString(0)
+        StoreSink.lastColGroups = None
+        val rareAgg = s.table("graft.store").where(col("grp") === rare)
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()(0)
+        val skipped = StoreSink.lastColGroups.exists { case (r, t) =>
+          r >= 1 && r < t }
+        val full = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val rows = full.toSeq ++
+          Seq(Row("rare", rareAgg.getLong(0), rareAgg.getLong(1))) ++
+          flagRows("z_dict" -> tagged, "z_dict_skip" -> skipped,
+                   "z_smaller" -> smaller)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, summarySchema).orderBy(col("grp"))
+      }
+    }),
+
     // PER-GROUP ZONE STATS (round-12 verdict #1 — the parquet row-group
     // stats shape): multi-group columnar files carry `@slot:min:max`
     // tokens in each group header; a statically-pushed k-range the
@@ -604,6 +668,20 @@ object StoreColumnar extends OpModule {
         |UNION ALL SELECT 'z', 'all_columnar', 1, 0
         |UNION ALL SELECT 'z', 'content_invariant', 1, 0
         |ORDER BY v, grp""".stripMargin,
+
+    "q_store_col_dict" ->
+      """WITH base AS (
+        |  SELECT 'status-' || o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |byg AS (SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS s
+        |        FROM base GROUP BY grp),
+        |rare AS (SELECT grp FROM byg ORDER BY n, grp LIMIT 1)
+        |SELECT grp, n, s AS sum_cents FROM byg
+        |UNION ALL SELECT 'rare', n, s FROM byg WHERE grp = (SELECT grp FROM rare)
+        |UNION ALL SELECT 'z_dict', 1, 0
+        |UNION ALL SELECT 'z_dict_skip', 1, 0
+        |UNION ALL SELECT 'z_smaller', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     "q_store_col_group_zone" ->
       """WITH base AS (

@@ -776,6 +776,18 @@ object StoreSink {
     * page-compression shape). Per-FILE like the encoding itself: flipping
     * the property affects new files only. */
   val CompressProp = "graft.store.compress"
+  /** Optional DICTIONARY ENCODING for low-cardinality STRING blocks
+    * (`graft.store.dict = on`): a qualifying block stores
+    * `n|v0,v1,…|i0,i1,…` — the distinct values once plus one small
+    * ordinal per row — and its header length token carries a `d` prefix.
+    * Per-BLOCK and self-identifying like everything else in the file
+    * grammar: text, plain-columnar, deflated, and dictionary blocks mix
+    * freely in one table. Beyond the byte shrink, the dictionary is a
+    * block-local predicate index: a pushed string EQUALITY whose value
+    * is absent from the dictionary skips the whole group after reading
+    * ONE block (the indices — and every other column's blocks — are
+    * never parsed), which is the parquet dictionary-page filter shape. */
+  val DictProp = "graft.store.dict"
   private[sources] val ColMagic = "#GC1 "
   private[sources] val ColMagicBytes =
     ColMagic.getBytes(StandardCharsets.UTF_8)
@@ -828,6 +840,13 @@ object StoreSink {
     val root = new Path(pathStr)
     readProps(root, fs(root)).toMap.get(GroupRowsProp)
       .map(_.toInt).getOrElse(1 << 20)
+  }
+
+  /** Should NEW columnar files dictionary-encode qualifying string
+    * blocks? (Writer-side, resolved on the driver like the others.) */
+  private[sources] def dictAt(pathStr: String): Boolean = {
+    val root = new Path(pathStr)
+    readProps(root, fs(root)).toMap.get(DictProp).contains("on")
   }
 
   /** Set one table property (read-merge-write under the commit lock). */
@@ -932,7 +951,11 @@ object StoreSink {
                                         rawLens: Array[Long],
                                         compressed: Boolean,
                                         dataStart: Long,
-                                        gstats: Map[Int, (Long, Long)] = Map.empty)
+                                        gstats: Map[Int, (Long, Long)] = Map.empty,
+                                        dictFlags: Array[Boolean] = Array.empty) {
+    def isDict(slot: Int): Boolean =
+      slot < dictFlags.length && dictFlags(slot)
+  }
 
   /** Sniff + parse the columnar GROUP header at `base`. Returns None
     * (stream repositioned to 0) when the byte run is row-text; the magic
@@ -960,7 +983,10 @@ object StoreSink {
     val nrows = parts(0).toInt
     // group-stat tokens (`@<slot>:<min>:<max>`) ride after the lens —
     // unambiguous: length tokens always open with a digit
-    val (statToks, entries) = parts.drop(1).partition(_.startsWith("@"))
+    val (statToks, entries0) = parts.drop(1).partition(_.startsWith("@"))
+    // a `d` prefix on a length token marks a DICTIONARY-encoded block
+    val dictFlags = entries0.map(_.startsWith("d"))
+    val entries = entries0.map(e => if (e.startsWith("d")) e.substring(1) else e)
     val lens = entries.map(e => e.split(':')(0).toLong)
     val rawLens =
       if (compressed) entries.map(e => e.split(':')(1).toLong) else lens
@@ -969,7 +995,7 @@ object StoreSink {
       a(0).toInt -> (a(1).toLong, a(2).toLong)
     }.toMap
     Some(ColHeader(nrows, lens, rawLens, compressed,
-      base + ColMagicBytes.length + sb.length + 1L, gstats))
+      base + ColMagicBytes.length + sb.length + 1L, gstats, dictFlags))
   }
 
   /** Walk a columnar file's GROUP chain (one header + blocks per group —
@@ -1009,6 +1035,83 @@ object StoreSink {
     new String(raw, StandardCharsets.UTF_8)
   }
 
+  /** A loaded column block's value accessor — plain text-with-offsets
+    * ([[ColBlock]]) or dictionary-decoded ([[DictBlock]]). */
+  private[sources] sealed trait ColValues {
+    def isNull(r: Int): Boolean
+    def long(r: Int): Long
+    def raw(r: Int): String
+    /** The block-local dictionary (URL-encoded values), when present. */
+    def dictValues: Option[Array[String]] = None
+  }
+
+  /** Dictionary block: `n|v0,v1,…|i0,i1,…` decoded once into the value
+    * table + per-row ordinals — same memory shape as offsets (one int
+    * per row), repeated strings stored once. */
+  private[sources] final class DictBlock(values: Array[String],
+                                         idx: Array[Int]) extends ColValues {
+    override def isNull(r: Int): Boolean = values(idx(r)) == NullMark
+    override def long(r: Int): Long = raw(r).toLong
+    override def raw(r: Int): String = values(idx(r))
+    override def dictValues: Option[Array[String]] = Some(values)
+  }
+
+  private[sources] def parseDictBlock(text: String, nrows: Int): DictBlock = {
+    val p1 = text.indexOf('|')
+    val p2 = text.indexOf('|', p1 + 1)
+    val n = text.substring(0, p1).toInt
+    val values =
+      if (n == 0) Array.empty[String]
+      else text.substring(p1 + 1, p2).split(",", -1)
+    require(values.length == n, s"torn dictionary block: ${values.length} != $n")
+    val idx = new Array[Int](nrows)
+    var i = p2 + 1
+    var r = 0
+    while (r < nrows) {
+      var v = 0
+      while (i < text.length && text.charAt(i) != ',') {
+        v = v * 10 + (text.charAt(i) - '0'); i += 1
+      }
+      i += 1
+      idx(r) = v
+      r += 1
+    }
+    new DictBlock(values, idx)
+  }
+
+  /** Encode a string block's values as a dictionary block when it
+    * qualifies (≥ 16 rows, ≤ 64 distinct covering at most half the
+    * rows); None = plain text is the better layout. Values are the
+    * at-rest (URL-encoded) forms, so ',' and '|' never appear inside. */
+  private[sources] def dictBlockText(values: Array[String]): Option[String] = {
+    if (values.length < 16) return None
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var ok = true
+    values.foreach { v =>
+      if (ok && !seen.contains(v)) {
+        if (seen.size >= 64) ok = false else seen(v) = seen.size
+      }
+    }
+    if (!ok || seen.size * 2 > values.length) return None
+    val plainLen = values.map(_.length + 1).sum - 1
+    val sb = new StringBuilder
+    sb.append(seen.size).append('|')
+    var first = true
+    seen.keysIterator.foreach { v =>
+      if (!first) sb.append(','); sb.append(v); first = false
+    }
+    sb.append('|')
+    var r = 0
+    while (r < values.length) {
+      if (r > 0) sb.append(',')
+      sb.append(seen(values(r)))
+      r += 1
+    }
+    // the dictionary must EARN its keep: short values (1-char statuses)
+    // cost as much as their ordinals — keep plain text then
+    if (sb.length >= plainLen) None else Some(sb.result())
+  }
+
   /** One loaded column block: the raw text plus per-value OFFSETS —
     * values parse straight out of the block (no per-value String
     * materialization; a 20-column file would otherwise hold millions of
@@ -1016,7 +1119,7 @@ object StoreSink {
     * [offs(r), offs(r+1) - 1) (the -1 drops the comma; the last value
     * runs to the end). */
   private[sources] final class ColBlock(val text: String,
-                                        private val offs: Array[Int]) {
+                                        private val offs: Array[Int]) extends ColValues {
     @inline private def start(r: Int): Int = offs(r)
     @inline private def end(r: Int): Int =
       if (r + 1 < offs.length) offs(r + 1) - 1 else text.length
@@ -1041,11 +1144,19 @@ object StoreSink {
     * [[lastColBlocks]]. */
   private[sources] def readColBlocks(in: org.apache.hadoop.fs.FSDataInputStream,
                                      h: ColHeader,
-                                     slots: Array[Int]): Map[Int, ColBlock] = {
+                                     slots: Array[Int]): Map[Int, ColValues] = {
     val want = slots.filter(_ < h.lens.length).distinct.sorted
-    val out = Map.newBuilder[Int, ColBlock]
-    want.foreach { s =>
-      val text = loadBlockText(in, h, s)
+    val out = Map.newBuilder[Int, ColValues]
+    want.foreach { s => out += s -> readOneBlock(in, h, s) }
+    lastColBlocks = Some((want.length, h.lens.length))
+    out.result()
+  }
+
+  private[sources] def readOneBlock(in: org.apache.hadoop.fs.FSDataInputStream,
+                                    h: ColHeader, s: Int): ColValues = {
+    val text = loadBlockText(in, h, s)
+    if (h.isDict(s)) parseDictBlock(text, h.nrows)
+    else {
       val offs = new Array[Int](math.max(h.nrows, 0))
       if (h.nrows > 0) {
         offs(0) = 0
@@ -1061,10 +1172,8 @@ object StoreSink {
         require(text.indexOf(',', i) < 0,
           s"columnar block $s holds too many values for ${h.nrows} rows")
       }
-      out += s -> new ColBlock(text, offs)
+      new ColBlock(text, offs)
     }
-    lastColBlocks = Some((want.length, h.lens.length))
-    out.result()
   }
 
   /** Iterate a data file's rows as full-width TEXT LINES regardless of
@@ -1081,8 +1190,11 @@ object StoreSink {
         // lazy per-group materialization: one group's blocks live at a time
         val it = groups.iterator.flatMap { h =>
           val cols = (0 until h.lens.length).map { s =>
-            val f = loadBlockText(in, h, s).split(",", -1)
-            if (h.nrows == 0) Array.empty[String] else f
+            if (h.nrows == 0) Array.empty[String]
+            else if (h.isDict(s)) {
+              val db = parseDictBlock(loadBlockText(in, h, s), h.nrows)
+              Array.tabulate(h.nrows)(db.raw)
+            } else loadBlockText(in, h, s).split(",", -1)
           }.toArray
           (0 until h.nrows).iterator.map { r =>
             val sb = new StringBuilder
@@ -1153,15 +1265,29 @@ object StoreSink {
   private[sources] def columnarBytes(nrows: Int,
                                      bufs: Array[StringBuilder],
                                      compress: Boolean = false,
-                                     gstats: Seq[(Int, Long, Long)] = Nil): Array[Byte] = {
-    val rawBlocks = bufs.map(_.result().getBytes(StandardCharsets.UTF_8))
+                                     gstats: Seq[(Int, Long, Long)] = Nil,
+                                     dictSlots: Set[Int] = Set.empty): Array[Byte] = {
+    // dictionary-qualify the declared string slots block by block; a `d`
+    // length-token prefix marks the encoded ones (self-identifying)
+    val encoded: Array[(Array[Byte], Boolean)] = bufs.indices.map { s =>
+      val plain = bufs(s).result()
+      val enc =
+        if (nrows > 0 && dictSlots.contains(s))
+          dictBlockText(plain.split(",", -1))
+        else None
+      (enc.getOrElse(plain).getBytes(StandardCharsets.UTF_8), enc.isDefined)
+    }.toArray
+    val rawBlocks = encoded.map(_._1)
+    def dPfx(i: Int): String = if (encoded(i)._2) "d" else ""
     val blocks = if (compress) rawBlocks.map(deflateBytes) else rawBlocks
     // per-group zone stats ride the header as `@<slot>:<min>:<max>` tokens
     val statPart = gstats.map { case (s, mn, mx) => s" @$s:$mn:$mx" }.mkString
     val header = (if (compress)
         ColMagic2 + nrows + blocks.indices.map(i =>
-          s" ${blocks(i).length}:${rawBlocks(i).length}").mkString + statPart + "\n"
-      else ColMagic + nrows + blocks.map(b => " " + b.length).mkString +
+          s" ${dPfx(i)}${blocks(i).length}:${rawBlocks(i).length}").mkString +
+          statPart + "\n"
+      else ColMagic + nrows + blocks.indices.map(i =>
+          s" ${dPfx(i)}${blocks(i).length}").mkString +
         statPart + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val total = header.length + blocks.map(_.length + 1).sum
@@ -4014,9 +4140,10 @@ private case class StoreDeltaWriterFactory(pathStr: String, queryId: String,
   // self-identifying, but uncompressed single-group; advice catch)
   private val compress: Boolean = StoreSink.compressAt(pathStr)
   private val groupRows: Int = StoreSink.groupRowsAt(pathStr)
+  private val dictEnc: Boolean = StoreSink.dictAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new StoreDeltaWriter(pathStr, s"part-$queryId-$partitionId-$taskId",
-      dataSchema, spec, slots, columnar, compress, groupRows)
+      dataSchema, spec, slots, columnar, compress, groupRows, dictEnc)
 }
 
 /** Per-task delta writer: inserts ride the ordinary staged-file writer;
@@ -4029,12 +4156,14 @@ private class StoreDeltaWriter(pathStr: String, fileName: String,
                                slots: Array[Int] = null,
                                columnar: Boolean = false,
                                compress: Boolean = false,
-                               groupRows: Int = 1 << 20)
+                               groupRows: Int = 1 << 20,
+                               dictEnc: Boolean = false)
     extends DeltaWriter[InternalRow] {
 
   private val inserts =
     new StoreDataWriter(pathStr, fileName, dataSchema, spec, slots,
-      columnar = columnar, compress = compress, groupRows = groupRows)
+      columnar = columnar, compress = compress, groupRows = groupRows,
+      dictEnc = dictEnc)
   private val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -4537,10 +4666,11 @@ private case class StoreWriterFactory(pathStr: String, queryId: String,
   private val ndvTrack: Boolean = StoreSink.ndvTracking(pathStr)
   private val compress: Boolean = StoreSink.compressAt(pathStr)
   private val groupRows: Int = StoreSink.groupRowsAt(pathStr)
+  private val dictEnc: Boolean = StoreSink.dictAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
       spec, slots, statCols, strStatCols, columnar, ndvTrack, compress,
-      groupRows)
+      groupRows, dictEnc)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
@@ -4563,11 +4693,12 @@ private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
   private val ndvTrack: Boolean = StoreSink.ndvTracking(pathStr)
   private val compress: Boolean = StoreSink.compressAt(pathStr)
   private val groupRows: Int = StoreSink.groupRowsAt(pathStr)
+  private val dictEnc: Boolean = StoreSink.dictAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
       dataSchema, spec, slots, statCols, strStatCols, columnar, ndvTrack,
-      compress, groupRows)
+      compress, groupRows, dictEnc)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
@@ -4579,7 +4710,8 @@ private class StoreDataWriter(pathStr: String, fileName: String,
                               columnar: Boolean = false,
                               ndvTrack: Boolean = false,
                               compress: Boolean = false,
-                              groupRows: Int = 1 << 20)
+                              groupRows: Int = 1 << 20,
+                              dictEnc: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
@@ -4620,7 +4752,7 @@ private class StoreDataWriter(pathStr: String, fileName: String,
         if (gMinS(gi) == Long.MaxValue) None
         else Some((gStatCols(gi)._2, gMinS(gi), gMaxS(gi)))
       }
-      val b = StoreSink.columnarBytes(grows, colBufs, compress, gs)
+      val b = StoreSink.columnarBytes(grows, colBufs, compress, gs, dictSlots)
       out.write(b)
       bytes += b.length
       colBufs.foreach(_.setLength(0))
@@ -4656,6 +4788,14 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     else (Seq(0) ++ (if (trackA) Seq(2) else Nil) ++ statCols.map(_._2)).distinct
       .map(ci => (ci, if (slots == null) ci else slots.indexOf(ci)))
       .filter(_._2 >= 0)
+  /** Physical slots eligible for per-block dictionary encoding: the
+    * string-typed live slots, when the table opted in. */
+  private val dictSlots: Set[Int] =
+    if (!columnar || !dictEnc) Set.empty
+    else (0 until physWidth).filter { si =>
+      val i = if (slots == null) si else slots(si)
+      i >= 0 && i < types.length && types(i) == StringType
+    }.toSet
   private val sinks = scala.collection.mutable.LinkedHashMap[String, Sink]()
 
   private def sinkFor(record: InternalRow, base: Int): Sink =
@@ -5654,8 +5794,14 @@ private class StoreScan(pathStr: String,
       (if (kLo.isDefined || kHi.isDefined) Seq(("k", kLo, kHi)) else Nil) ++
       (if (aLo.isDefined || aHi.isDefined) Seq(("amt_cents", aLo, aHi)) else Nil) ++
       statBounds
+    // string equality/IN value sets for the dictionary pre-check: grp
+    // conjuncts (exact literal sets) + trailing-string equalities
+    val gStrSets =
+      grpValues.map(vs => ("grp", vs.toSeq)) ++
+      strBounds.collect { case (c, Some(lo), Some(hi)) if lo == hi =>
+        (c, Seq(lo)) }
     StoreReaderFactory(required, table,
-      layout.physTypes, layout.physDefaults, layout.proj, gBounds)
+      layout.physTypes, layout.physDefaults, layout.proj, gBounds, gStrSets)
   }
 
   /** Streaming READ: tail the manifest as an offset log. The manifest is
@@ -5834,7 +5980,8 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
                                       physTypes: Array[DataType] = null,
                                       physDefaults: Array[Any] = null,
                                       proj: Array[Int] = null,
-                                      gBounds: Seq[(String, Option[Long], Option[Long])] = Nil)
+                                      gBounds: Seq[(String, Option[Long], Option[Long])] = Nil,
+                                      gStrSets: Seq[(String, Seq[String])] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[StoreFilePartition]
@@ -5901,12 +6048,27 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
             else None
           case _ => None
         }.toArray
+        // DICTIONARY pre-checks: a pushed string equality/IN whose values
+        // are ALL absent from a dict-encoded block's dictionary skips the
+        // group after reading that one block (the parquet dictionary-page
+        // filter shape). Values compare in their AT-REST (URL-encoded)
+        // form. Sound for the same residual-filter reason as the zone
+        // skip above.
+        val dictChecks: Array[(Int, Array[String])] = gStrSets.flatMap {
+          case (n, vs) if vs.nonEmpty && table.fieldNames.contains(n) =>
+            val s = slotOf(table.fieldIndex(n))
+            if (s >= 0 && s < types.length && types(s) == StringType)
+              Some((s, vs.map(v =>
+                java.net.URLEncoder.encode(v, "UTF-8")).toArray))
+            else None
+          case _ => None
+        }.toArray
         new PartitionReader[InternalRow] {
           private var gi = -1
           private var gRows = 0
           private var rowInG = 0 // next unread row within the group
           private var cur = -1   // the row get() reads
-          private var keyBlock: StoreSink.ColBlock = _
+          private var keyBlock: StoreSink.ColValues = _
           private var colGetters: Array[Int => Any] = _
           private var ord = -1
           private var toSkip = part.skipRows
@@ -5914,10 +6076,14 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
           private def groupExcluded(h: StoreSink.ColHeader): Boolean =
             skipBounds.exists { case (s, lo, hi) =>
               h.gstats.get(s).exists { case (mn, mx) => mx < lo || mn > hi }
-            }
+            } || (dictChecks.nonEmpty && dictChecks.exists { case (s, vs) =>
+              h.isDict(s) && StoreSink.readOneBlock(rawIn, h, s)
+                .dictValues.exists(d => !vs.exists(d.contains))
+            })
           private def loadGroup(): Boolean = {
             gi += 1
-            while (gi < groups.length && skipBounds.nonEmpty &&
+            while (gi < groups.length &&
+                   (skipBounds.nonEmpty || dictChecks.nonEmpty) &&
                    part.skipRows == 0L && groupExcluded(groups(gi))) {
               // every row of this group fails a pushed predicate: skip its
               // blocks entirely, but ordinals are FILE-wide — advance past

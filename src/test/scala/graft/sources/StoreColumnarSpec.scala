@@ -275,6 +275,54 @@ class StoreColumnarSpec extends SparkSpec {
     assert(off.toSeq == Seq(304L, 305L), s"offset across groups: ${off.toSeq}")
   }
 
+  test("dictionary blocks: d-tag self-identification, round-trip, masks, " +
+       "equality dict-skip, and the size guard keeps short values plain") {
+    import spark.implicits._
+    val dir = freshDir("dict")
+    markColumnar(dir)
+    StoreSink.setProp(dir, StoreSink.GroupRowsProp, "100")
+    StoreSink.setProp(dir, StoreSink.DictProp, "on")
+    val rows = (0 until 300).map(i => (i.toLong, s"region-${i / 100}", i * 10L))
+    rows.toDF("k", "grp", "amt_cents").repartition(1)
+      .sortWithinPartitions("k")
+      .write.format(fmt).mode("append").option("path", dir).save()
+    def dictFlagsOf(d: String): Seq[Array[Boolean]] = {
+      val e = StoreSink.readEntries(new Path(d), fs).filter(_.rows > 0).head
+      val p = new Path(d, e.name)
+      val in = fs.open(p)
+      try StoreSink.readColGroups(in, fs.getFileStatus(p).getLen)
+        .get.map(_.dictFlags)
+      finally in.close()
+    }
+    // the grp block (slot 1) dict-encodes in every group; k/amt stay plain
+    assert(dictFlagsOf(dir).forall(f => f(1) && !f(0) && !f(2)))
+    assert(readBack(dir) == rows.toSet, "dict blocks must round-trip")
+    // block-local predicate index: 'region-2' lives only in group 2 (k
+    // sorted, 100 rows per group) — the other groups' dictionaries lack
+    // it and skip after ONE block read
+    StoreSink.lastColGroups = None
+    val n2 = spark.read.format(fmt).option("path", dir).load()
+      .where(col("grp") === "region-2").count()
+    assert(n2 == 100, s"$n2")
+    val (r, t) = StoreSink.lastColGroups.get
+    assert(t == 3 && r == 1, s"dictionary pre-check must skip groups: $r of $t")
+    // masks stay ordinal-correct over dict blocks
+    withStore(dir) {
+      spark.sql("DELETE FROM graft.store WHERE k IN (5, 150, 250)")
+    }
+    assert(readBack(dir) == rows.filterNot(r0 =>
+      Set(5L, 150L, 250L)(r0._1)).toSet)
+    // 1-char values: ordinals cost as much as the values — stays plain
+    val plain = freshDir("dict_plain")
+    markColumnar(plain)
+    StoreSink.setProp(plain, StoreSink.DictProp, "on")
+    (0 until 100).map(i => (i.toLong, "x", 0L)).toDF("k", "grp", "amt_cents")
+      .repartition(1)
+      .write.format(fmt).mode("append").option("path", plain).save()
+    assert(dictFlagsOf(plain).forall(_.forall(!_)),
+      "the size guard must keep short-value blocks plain")
+  }
+
   test("per-group zone stats: a pushed k-range skips whole groups, dv " +
        "ordinals stay aligned across skips, COW replacements keep the " +
        "key stats, and row-level rewrites never group-skip") {
