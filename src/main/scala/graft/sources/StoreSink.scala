@@ -1148,7 +1148,15 @@ object StoreSink {
     val want = slots.filter(_ < h.lens.length).distinct.sorted
     val out = Map.newBuilder[Int, ColValues]
     want.foreach { s => out += s -> readOneBlock(in, h, s) }
-    lastColBlocks = Some((want.length, h.lens.length))
+    // keep the WIDEST read since the last reset: partition readers race
+    // and only some files carry masks (their readers add the key block) —
+    // last-writer-wins made the eq-mask pin order-dependent (observed
+    // 1-in-6 flake)
+    synchronized {
+      lastColBlocks = Some(lastColBlocks.fold((want.length, h.lens.length)) {
+        case (w, t) => (math.max(w, want.length), math.max(t, h.lens.length))
+      })
+    }
     out.result()
   }
 

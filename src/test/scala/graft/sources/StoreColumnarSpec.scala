@@ -323,6 +323,61 @@ class StoreColumnarSpec extends SparkSpec {
       "the size guard must keep short-value blocks plain")
   }
 
+  test("dictionary composes with deflate (#GC2) and the streaming write " +
+       "path: dict-then-compress blocks round-trip and still dict-skip") {
+    import spark.implicits._
+    val dir = freshDir("dictzip")
+    markColumnar(dir)
+    StoreSink.setProp(dir, StoreSink.GroupRowsProp, "100")
+    StoreSink.setProp(dir, StoreSink.DictProp, "on")
+    StoreSink.setProp(dir, StoreSink.CompressProp, "deflate")
+    val rows = (0 until 300).map(i => (i.toLong, s"region-${i / 100}", i * 10L))
+    rows.toDF("k", "grp", "amt_cents").repartition(1)
+      .sortWithinPartitions("k")
+      .write.format(fmt).mode("append").option("path", dir).save()
+    // GC2 magic + d-tagged grp block in one header
+    val e = StoreSink.readEntries(new Path(dir), fs).filter(_.rows > 0).head
+    val p = new Path(dir, e.name)
+    val in = fs.open(p)
+    val groups = try StoreSink.readColGroups(in, fs.getFileStatus(p).getLen).get
+      finally in.close()
+    assert(groups.forall(h => h.compressed && h.dictFlags(1)),
+      "dict + deflate must coexist per block")
+    assert(readBack(dir) == rows.toSet)
+    StoreSink.lastColGroups = None
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .where(col("grp") === "region-0").count() == 100)
+    assert(StoreSink.lastColGroups.contains((1, 3)),
+      s"dict-skip must work through inflation: ${StoreSink.lastColGroups}")
+    // streaming epoch write inherits all three properties
+    val sdir = freshDir("dictzip_stream")
+    markColumnar(sdir)
+    StoreSink.setProp(sdir, StoreSink.GroupRowsProp, "100")
+    StoreSink.setProp(sdir, StoreSink.DictProp, "on")
+    StoreSink.setProp(sdir, StoreSink.CompressProp, "deflate")
+    val chk = freshDir("dictzip_chk")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](1)
+    mem.addData(0L until 300L: _*)
+    val q = mem.toDF().select(col("value").as("k"),
+        concat(lit("region-"), (col("value") / 100).cast("long")).as("grp"),
+        (col("value") * 10).as("amt_cents"))
+      .writeStream.format(fmt).option("path", sdir)
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val se = StoreSink.readEntries(new Path(sdir), fs).filter(_.rows > 0)
+    assert(se.nonEmpty)
+    val sp0 = new Path(sdir, se.head.name)
+    val sin = fs.open(sp0)
+    val sg = try StoreSink.readColGroups(sin, fs.getFileStatus(sp0).getLen).get
+      finally sin.close()
+    assert(sg.forall(_.compressed) && sg.exists(_.dictFlags(1)),
+      "streaming epoch files must honor dict + deflate")
+    assert(readBack(sdir) == rows.toSet)
+  }
+
   test("per-group zone stats: a pushed k-range skips whole groups, dv " +
        "ordinals stay aligned across skips, COW replacements keep the " +
        "key stats, and row-level rewrites never group-skip") {
