@@ -788,6 +788,13 @@ object StoreSink {
     * ONE block (the indices — and every other column's blocks — are
     * never parsed), which is the parquet dictionary-page filter shape. */
   val DictProp = "graft.store.dict"
+  /** Set (once, at commit) when an `orderedBy` write lands: such files
+    * are sorted by (partition value, orderedBy col), NOT by k — the
+    * SupportsReportOrdering per-partition `k ASC` claim must be
+    * withdrawn for the table from then on (correctness first; a claim
+    * over imp-sorted postings would let a merge join drop Sorts over
+    * unsorted keys — review catch). */
+  val OrderedByProp = "graft.store.ordered.by"
   private[sources] val ColMagic = "#GC1 "
   private[sources] val ColMagicBytes =
     ColMagic.getBytes(StandardCharsets.UTF_8)
@@ -1144,10 +1151,13 @@ object StoreSink {
     * [[lastColBlocks]]. */
   private[sources] def readColBlocks(in: org.apache.hadoop.fs.FSDataInputStream,
                                      h: ColHeader,
-                                     slots: Array[Int]): Map[Int, ColValues] = {
+                                     slots: Array[Int],
+                                     preloaded: Map[Int, ColValues] = Map.empty): Map[Int, ColValues] = {
     val want = slots.filter(_ < h.lens.length).distinct.sorted
     val out = Map.newBuilder[Int, ColValues]
-    want.foreach { s => out += s -> readOneBlock(in, h, s) }
+    // blocks a pre-check already decoded (the dict group filter) are
+    // reused, never re-read
+    want.foreach { s => out += s -> preloaded.getOrElse(s, readOneBlock(in, h, s)) }
     // keep the WIDEST read since the last reset: partition readers race
     // and only some files carry masks (their readers add the key block) —
     // last-writer-wins made the eq-mask pin order-dependent (observed
@@ -1235,22 +1245,32 @@ object StoreSink {
     * dv masks are untouched by the grouping). */
   private[sources] def columnarFileBytes(lines: Seq[String],
                                          compress: Boolean = false,
-                                         groupRows: Int = 1 << 20): Array[Byte] = {
+                                         groupRows: Int = 1 << 20,
+                                         dictSlots: Set[Int] = Set.empty,
+                                         statSlots: Seq[Int] = Seq(0)): Array[Byte] = {
     val width = if (lines.isEmpty) 0 else lines.head.count(_ == ',') + 1
+    val slots = statSlots.filter(s => s >= 0 && s < width)
     val out = new java.io.ByteArrayOutputStream()
     lines.grouped(math.max(1, groupRows)).foreach { group =>
       val bufs = Array.fill(width)(new StringBuilder)
-      // per-group KEY zone (physical slot 0 is always `k` — the base
-      // prefix is ordinal-stable): COW replacements keep group skipping
-      var gMin = Long.MaxValue; var gMax = Long.MinValue
+      // per-group zone stats for the caller's long-typed slots (slot 0 —
+      // `k` — always; COW callers add amt + declared stat slots so group
+      // skipping survives maintenance rewrites)
+      val sMin = Array.fill(slots.size)(Long.MaxValue)
+      val sMax = Array.fill(slots.size)(Long.MinValue)
       var r = 0
       group.foreach { l =>
         val f = l.split(",", -1)
         require(f.length == width, s"ragged row width ${f.length} != $width")
-        if (width > 0 && f(0) != NullMark) {
-          val k = f(0).toLong
-          if (k < gMin) gMin = k
-          if (k > gMax) gMax = k
+        var si = 0
+        while (si < slots.size) {
+          val c = slots(si)
+          if (f(c) != NullMark && f(c).nonEmpty) {
+            val v = f(c).toLong
+            if (v < sMin(si)) sMin(si) = v
+            if (v > sMax(si)) sMax(si) = v
+          }
+          si += 1
         }
         var c = 0
         while (c < width) {
@@ -1262,8 +1282,11 @@ object StoreSink {
         }
         r += 1
       }
-      val gs = if (gMin == Long.MaxValue) Nil else Seq((0, gMin, gMax))
-      out.write(columnarBytes(group.size, bufs, compress, gs))
+      val gs = slots.indices.flatMap { si =>
+        if (sMin(si) == Long.MaxValue) None
+        else Some((slots(si), sMin(si), sMax(si)))
+      }
+      out.write(columnarBytes(group.size, bufs, compress, gs, dictSlots))
     }
     out.toByteArray
   }
@@ -1317,10 +1340,12 @@ object StoreSink {
                                      lines: Seq[String],
                                      columnar: Boolean,
                                      compress: Boolean = false,
-                                     groupRows: Int = 1 << 20): Long = {
+                                     groupRows: Int = 1 << 20,
+                                     dictSlots: Set[Int] = Set.empty,
+                                     statSlots: Seq[Int] = Seq(0)): Long = {
     val bytes =
       if (columnar && lines.nonEmpty)
-        columnarFileBytes(lines, compress, groupRows)
+        columnarFileBytes(lines, compress, groupRows, dictSlots, statSlots)
       else lines.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
     val out = fsys.create(p, true)
     try out.write(bytes) finally out.close()
@@ -2283,6 +2308,17 @@ object StoreSink {
   /** The merge body for callers ALREADY inside the commit lock (branch
     * publish folds sketches in the same critical section as its manifest
     * swap — the lock is not re-entrant). */
+  /** Union per-column incoming sketches into the stored map — the ONE
+    * merge kernel both the table NDV and the branch sidecar fold with
+    * (a semantics fix must land in exactly one place). */
+  private def unionSketches(stored: Map[String, Array[Byte]],
+                            incoming: Seq[(String, Array[Byte])]): Seq[(String, Array[Byte])] = {
+    val byCol = incoming.groupBy(_._1)
+    (stored.keySet ++ byCol.keySet).toSeq.sorted.map { c =>
+      c -> Ndv.unionAll(stored.get(c).toSeq ++ byCol.getOrElse(c, Nil).map(_._2))
+    }
+  }
+
   private def mergeNdvUnlocked(root: Path, fsys: FileSystem,
                                incoming: Seq[(String, Array[Byte])],
                                reset: Boolean): Unit = {
@@ -2291,11 +2327,7 @@ object StoreSink {
     val stored: Map[String, Array[Byte]] =
       if (reset) Map.empty
       else ps.get(NdvHllProp).map(Ndv.dec(_).toMap).getOrElse(Map.empty)
-    val byCol = incoming.groupBy(_._1)
-    val cols = stored.keySet ++ byCol.keySet
-    val merged = cols.toSeq.sorted.map { c =>
-      c -> Ndv.unionAll(stored.get(c).toSeq ++ byCol.getOrElse(c, Nil).map(_._2))
-    }
+    val merged = unionSketches(stored, incoming)
     val estimates = merged.map { case (c, b) => s"$c:${Ndv.estimate(b)}" }
       .mkString(";")
     writeProps(root, fsys, (ps +
@@ -2318,12 +2350,8 @@ object StoreSink {
     if (incoming.isEmpty) return
     val stored = readSmall(root, fsys, branchNdvFile(name))
       .map(Ndv.dec(_).toMap).getOrElse(Map.empty[String, Array[Byte]])
-    val byCol = incoming.groupBy(_._1)
-    val cols = stored.keySet ++ byCol.keySet
-    val merged = cols.toSeq.sorted.map { c =>
-      c -> Ndv.unionAll(stored.get(c).toSeq ++ byCol.getOrElse(c, Nil).map(_._2))
-    }
-    atomicWriteSmall(root, fsys, branchNdvFile(name), Ndv.enc(merged))
+    atomicWriteSmall(root, fsys, branchNdvFile(name),
+      Ndv.enc(unionSketches(stored, incoming)))
   }
 
   /** Fold a branch's stashed sketches into the table NDV (caller holds
@@ -2784,8 +2812,11 @@ object StoreSink {
       val entries = readBranchLines(root, fsys, name)
       require(entries.nonEmpty, s"branch $name does not exist or is empty")
       writeManifestAtomic(root, fsys, readManifestLines(root, fsys) ++ entries)
-      manifestFs(fsys).delete(new Path(root, branchFile(name)), false)
+      // fold sketches BEFORE the branch delete: a crash in between then
+      // replays the (idempotent) fold instead of stranding the sidecar
+      // with no surviving reference to it (review catch)
       foldBranchNdv(root, fsys, name) // published rows enter the NDV now
+      manifestFs(fsys).delete(new Path(root, branchFile(name)), false)
       stats = (entries.size.toLong,
         entries.map(l => math.max(parseEntry(l).rows, 0L)).sum)
     }
@@ -2926,8 +2957,8 @@ object StoreSink {
         if (!head.contains(txnMarker(txnId)))
           writeManifestAtomic(root, fsys,
             head ++ entries :+ txnMarker(txnId))
+        foldBranchNdv(root, fsys, b) // idempotent: fold precedes the delete
         manifestFs(fsys).delete(new Path(root, branchFile(b)), false)
-        foldBranchNdv(root, fsys, b) // idempotent: sidecar dies with the fold
         published += entries.size
         onTxnSwapped(p)
       }
@@ -2989,8 +3020,8 @@ object StoreSink {
             if (!head.contains(txnMarker(id)))
               writeManifestAtomic(root, fsys,
                 head ++ entries :+ txnMarker(id))
-            raw.delete(new Path(root, branchFile(b)), false)
             foldBranchNdv(root, fsys, b)
+            raw.delete(new Path(root, branchFile(b)), false)
           }
           raw.delete(new Path(root, w), false)
           // the marker dies when the LAST peer's WAL is gone
@@ -3873,10 +3904,29 @@ private object StoreTableDeleteBody {
     // zone-map short circuit: a conjunct k-bound the file's zone misses
     // means NO row can satisfy the whole predicate — carry over UNREAD
     val (kLo, kHi) = StoreSink.kBounds(filters)
-    // COW replacements are written under the table's CURRENT encoding
+    // COW replacements are written under the table's CURRENT encoding,
+    // INCLUDING dictionary blocks and the full group-stat slot set —
+    // maintenance must not silently degrade the layout (review catch)
     val colEnc = StoreSink.columnarAt(pathStr)
     val zipEnc = StoreSink.compressAt(pathStr)
     val grpRows = StoreSink.groupRowsAt(pathStr)
+    val (cowDictSlots, cowStatSlots): (Set[Int], Seq[Int]) =
+      if (!colEnc) (Set.empty, Seq(0))
+      else {
+        val layout = StoreSink.layoutAt(pathStr, None)
+        val dicts =
+          if (!StoreSink.dictAt(pathStr)) Set.empty[Int]
+          else layout.physTypes.indices
+            .filter(i => layout.physTypes(i) == StringType).toSet
+        val declared = StoreSink.declaredStatCols(root, fsys,
+            StoreSink.tableSchema(pathStr))
+          .map { case (_, li) => layout.proj(li) }.filter(_ >= 0)
+        val amt =
+          if (layout.physTypes.length > 2 && layout.physTypes(2) == LongType)
+            Seq(2)
+          else Nil
+        (dicts, (Seq(0) ++ amt ++ declared).distinct)
+      }
     var processed = 0
     val gen = System.nanoTime().toHexString
     var anyChange = false
@@ -3955,7 +4005,7 @@ private object StoreTableDeleteBody {
           val nf = s"${e.name}-d$gen"
           val nBytes =
             StoreSink.writeDataFile(fsys, new Path(root, nf), kept, colEnc,
-              zipEnc, grpRows)
+              zipEnc, grpRows, cowDictSlots, cowStatSlots)
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
             if (nMax == Long.MinValue) None else Some(nMax),
@@ -4396,7 +4446,8 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
             .map(_.split(",").filter(_.nonEmpty).toSet), spec,
           Option(info.options().get("branch")),
           dynamic = doDynamic && spec.isDefined,
-          replaceWhere = replaceWhere)
+          replaceWhere = replaceWhere,
+          orderedByCol = orderedBy)
       override def toStreaming: StreamingWrite = {
         require(!doTruncate && !doDynamic && replaceWhere.isEmpty,
           "graft-store streaming write is append-only (no Complete-mode truncate)")
@@ -4415,7 +4466,8 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
                               spec: Option[StoreSink.PartSpec] = None,
                               branch: Option[String] = None,
                               dynamic: Boolean = false,
-                              replaceWhere: Option[Array[Filter]] = None)
+                              replaceWhere: Option[Array[Filter]] = None,
+                              orderedByCol: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -4491,6 +4543,14 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
       spec.foreach { sp =>
         if (truncate || StoreSink.readPartSpec(root, fsys).isEmpty)
           StoreSink.persistResolvedSpec(root, fsys, sp)
+      }
+      // an orderedBy write permanently withdraws the k-sorted-file claim
+      // (SupportsReportOrdering) — recorded once, under this lock
+      orderedByCol.foreach { oc =>
+        val ps = StoreSink.readProps(root, fsys).toMap
+        if (!ps.contains(StoreSink.OrderedByProp))
+          StoreSink.writeProps(root, fsys,
+            (ps + (StoreSink.OrderedByProp -> oc)).toSeq)
       }
       val fresh = StoreSink.readManifestLines(root, fsys)
       // three commit shapes, each rebased on the manifest AS PUBLISHED by
@@ -5352,7 +5412,10 @@ private class StoreScan(pathStr: String,
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
-    val ok = spec.isDefined && explicitFiles.isEmpty && {
+    // an orderedBy write ever landing means files may be sorted by a
+    // DIFFERENT column than k — the claim withdraws permanently
+    val ok = spec.isDefined && explicitFiles.isEmpty &&
+      !StoreSink.readProps(root, fsys).toMap.contains(StoreSink.OrderedByProp) && {
       val entries = currentEntries(root, fsys)
       entries.nonEmpty && entries.forall(_.part.exists(p =>
           StoreSink.partTag(p)._1 == spec.get.id)) && // one spec generation
@@ -6081,15 +6144,24 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
           private var ord = -1
           private var toSkip = part.skipRows
           private var gRead = 0 // groups actually decoded (observability)
+          // blocks decoded by the CURRENT group's dict pre-check — reused
+          // by readColBlocks when the group survives (read-once)
+          private var preRead: Map[Int, StoreSink.ColValues] = Map.empty
           private def groupExcluded(h: StoreSink.ColHeader): Boolean =
             skipBounds.exists { case (s, lo, hi) =>
               h.gstats.get(s).exists { case (mn, mx) => mx < lo || mn > hi }
             } || (dictChecks.nonEmpty && dictChecks.exists { case (s, vs) =>
-              h.isDict(s) && StoreSink.readOneBlock(rawIn, h, s)
-                .dictValues.exists(d => !vs.exists(d.contains))
+              h.isDict(s) && {
+                val b = preRead.getOrElse(s, {
+                  val x = StoreSink.readOneBlock(rawIn, h, s)
+                  preRead += s -> x; x
+                })
+                b.dictValues.exists(d => !vs.exists(d.contains))
+              }
             })
           private def loadGroup(): Boolean = {
             gi += 1
+            preRead = Map.empty
             while (gi < groups.length &&
                    (skipBounds.nonEmpty || dictChecks.nonEmpty) &&
                    part.skipRows == 0L && groupExcluded(groups(gi))) {
@@ -6098,10 +6170,11 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
               // the group's rows so dv masks keep lining up
               ord += groups(gi).nrows
               gi += 1
+              preRead = Map.empty
             }
             if (gi >= groups.length) return false
             gRead += 1
-            val blocks = StoreSink.readColBlocks(rawIn, groups(gi), want)
+            val blocks = StoreSink.readColBlocks(rawIn, groups(gi), want, preRead)
             keyBlock = blocks.getOrElse(0, null)
             // per-column typed getters parse straight from the block text
             // by offset — no per-value String materialization

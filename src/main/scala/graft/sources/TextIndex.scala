@@ -330,9 +330,16 @@ object TextIndex {
     val fsys = StoreSink.fs(tmRoot)
     val impValid = StoreSink.readProps(tmRoot, fsys).toMap
       .get(ImpProp).contains("1")
-    val qt = termsAt(s, genRoot).where(length(col("t")) >= 4)
+    val qt0 = termsAt(s, genRoot).where(length(col("t")) >= 4)
       .orderBy(col("df").desc, col("t")).limit(1)
-      .select(col("t"), col("df"), shardCol(col("t")).as("b")).collect()(0)
+      .select(col("t"), col("df"), shardCol(col("t")).as("b"))
+      .collect().headOption
+    if (qt0.isEmpty) { // no scorable term: empty result, like probeTop
+      lastTopNFiles = Some((0, 0))
+      import s.implicits._
+      return Seq.empty[(Long, Long)].toDF("doc_id", "bm25_e4")
+    }
+    val qt = qt0.get
     val (term, df, shard) = (qt.getString(0), qt.getLong(1), qt.getString(2))
     val idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
     val plRoot = new Path(pl(genRoot))

@@ -312,6 +312,20 @@ class StoreColumnarSpec extends SparkSpec {
     }
     assert(readBack(dir) == rows.filterNot(r0 =>
       Set(5L, 150L, 250L)(r0._1)).toSet)
+    // a COW rewrite keeps the dictionary AND group stats (maintenance
+    // must not silently degrade the layout — review catch)
+    withStore(dir) {
+      spark.sql("DELETE FROM graft.store WHERE k >= 200")
+    }
+    val cowGroups = {
+      val e2 = StoreSink.readEntries(new Path(dir), fs).filter(_.rows > 0).head
+      val p2 = new Path(dir, e2.name)
+      val in2 = fs.open(p2)
+      try StoreSink.readColGroups(in2, fs.getFileStatus(p2).getLen).get
+      finally in2.close()
+    }
+    assert(cowGroups.forall(h => h.dictFlags(1) && h.gstats.contains(0)),
+      "COW replacements must keep dict blocks and per-group key stats")
     // 1-char values: ordinals cost as much as the values — stays plain
     val plain = freshDir("dict_plain")
     markColumnar(plain)

@@ -168,6 +168,20 @@ class TextIndexSpec extends SparkSpec {
       s"post-refresh probe must scan all candidates (bound disarmed): $post")
   }
 
+  test("ordered (impact-banded) writes mark the store: the k-sorted " +
+       "per-file ordering claim withdraws") {
+    val idx = freshDir("ordmark_idx")
+    TextIndex.build(spark, docs, idx)
+    val plRoot = new Path(TextIndex.postingsPath(idx))
+    // postings files are (shard, imp)-sorted, NOT k-sorted — without the
+    // marker, SupportsReportOrdering's per-partition `k ASC` claim could
+    // activate over them and a merge join would drop Sorts on unsorted
+    // keys (review catch)
+    assert(StoreSink.readProps(plRoot, fs).toMap
+      .contains(StoreSink.OrderedByProp),
+      "orderedBy commits must withdraw the k-sort claim")
+  }
+
   test("rebuild publishes through the generation pointer: old probe " +
        "results until the swap") {
     val idx = freshDir("gen_idx")
