@@ -47,10 +47,19 @@ object TextIndex {
   val NdProp = "graft.text.nd"
   val TlProp = "graft.text.tl"
   /** "1" while the postings' per-posting `imp` column (quantized tf/dl
-    * impact, build-time nd/tl) is a VALID scoring bound — impact depends
-    * on the global corpus stats, so ANY refresh invalidates it everywhere
-    * and [[probeTopN]] falls back to the full probe until a rebuild. */
+    * impact) is a VALID scoring bound. The tf/dl part is DECREASING in
+    * dl·nd/tl, so a stored impact quantized at vintage ratio rv stays an
+    * upper bound at any probe ratio rp ≥ rv — a refresh therefore keeps
+    * the bound ARMED when the corpus ratio did not drop (average doc
+    * length did not grow), re-quantizing its inserts at the current
+    * ratio and advancing the vintage ([[ImpNdProp]]/[[ImpTlProp]]);
+    * only a ratio DROP (longer average docs) disarms until rebuild —
+    * [[probeTopN]] then falls back to the full probe. */
   val ImpProp = "graft.text.imp"
+  /** The HIGHEST (nd, tl) vintage any armed impact was quantized at —
+    * the floor the current ratio is compared against. */
+  val ImpNdProp = "graft.text.imp_nd"
+  val ImpTlProp = "graft.text.imp_tl"
   private val Shards = 16
 
   /** Test observability: (files planned, candidate files) of the last
@@ -130,7 +139,8 @@ object TextIndex {
     StoreSink.withCommitLock(tmRoot, fsys) {
       val ps = StoreSink.readProps(tmRoot, fsys).toMap ++
         Map(NdProp -> st.getLong(0).toString, TlProp -> st.getLong(1).toString,
-            ImpProp -> "1") ++
+            ImpProp -> "1", ImpNdProp -> st.getLong(0).toString,
+            ImpTlProp -> st.getLong(1).toString) ++
         corpusRef.map(r => CorpusProp -> r._1) ++
         corpusRef.map(r => VersionProp -> r._2.toString)
       StoreSink.writeProps(tmRoot, fsys, ps.toSeq)
@@ -248,6 +258,22 @@ object TextIndex {
     // exact stat deltas (one collect over four bounded aggregates)
     val d = delDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     val i = insDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+    val ndNew = props(NdProp).toLong - d.getLong(0) + i.getLong(0)
+    val tlNew = props(TlProp).toLong - d.getLong(1) + i.getLong(1)
+    // IMPACT stays ARMED when the corpus nd/tl ratio did not drop below
+    // the armed vintage (the tf/dl part is decreasing in dl·nd/tl, so a
+    // stored impact quantized at a lower-or-equal ratio keeps bounding
+    // from above); inserts then re-quantize at the CURRENT ratio and the
+    // vintage advances. A ratio drop (average docs got longer) disarms —
+    // probeTopN falls back to the full probe until a rebuild. BigInt:
+    // nd·tl products overflow Long at corpus scale.
+    val impArmed = props.get(ImpProp).contains("1") && {
+      (props.get(ImpNdProp).map(_.toLong), props.get(ImpTlProp).map(_.toLong)) match {
+        case (Some(vNd), Some(vTl)) =>
+          BigInt(ndNew) * BigInt(vTl) >= BigInt(vNd) * BigInt(tlNew)
+        case _ => false // legacy armed index without a vintage: be safe
+      }
+    }
     // per-term df deltas; union gives the touched-term set
     val dfDelta = delTf.groupBy(col("t")).agg(count(lit(1)).as("ddel"))
       .join(insTf.groupBy(col("t")).agg(count(lit(1)).as("dins")), Seq("t"), "full")
@@ -261,8 +287,16 @@ object TextIndex {
     if (touched.nonEmpty) {
       // postings: surviving rows of touched shards (anti-join on changed
       // docs — never a literal IN over data-sized keys) + fresh rows
-      // fresh rows carry NULL imp (their impact would need the NEW nd/tl
-      // anyway); legacy indexes without the imp slot project it as null
+      // fresh rows re-quantize at the CURRENT ratio while armed (the
+      // vintage advances with them); disarmed refreshes write NULL imp —
+      // the bound is dead then anyway. Legacy indexes without the imp
+      // slot project it as null.
+      val insImp =
+        if (impArmed)
+          expr(s"""cast(round(1e4 * (tf * (1.2 + 1.0))
+                  |  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * $ndNew / cast(${math.max(tlNew, 1L)}L as double))))
+                  |as bigint)""".stripMargin)
+        else lit(null).cast("long")
       val plDf = s.read.format(Fmt).option("path", pl(genRoot)).load()
       val surviving0 = plDf
         .where(col("grp").isin(touched: _*))
@@ -273,14 +307,21 @@ object TextIndex {
             col("term"), col("dl"), col("imp"))
         else surviving0.select(col("k"), col("grp"), col("amt_cents"),
           col("term"), col("dl"), lit(null).cast("long").as("imp"))
-      surviving
+      val plWrite = surviving
         .unionByName(insRows.select(col("doc_id").as("k"),
           shardCol(col("t")).as("grp"), col("tf").as("amt_cents"),
           col("t").as("term"), col("dl"),
-          lit(null).cast("long").as("imp")))
+          insImp.as("imp")))
         .write.format(Fmt).mode("append").option("path", pl(genRoot))
         .option("replace", replaceSet(plRoot))
-        .option("preserveMarkers", "true").save()
+        .option("preserveMarkers", "true")
+      // an ARMED refresh preserves the impact BANDING of the touched
+      // shards (the clustered default would consolidate each shard into
+      // one file and the per-file bound could no longer discriminate);
+      // disarmed rewrites take the plain path — pruning is off anyway
+      (if (impArmed)
+         plWrite.option("orderedBy", "imp").option("writeTasks", "16")
+       else plWrite).save()
       // dictionary rows for the touched shards DERIVED from the
       // just-rewritten postings (df = posting rows per term — (doc, term)
       // rows are unique by construction): a REPLAYED refresh recomputes
@@ -299,14 +340,13 @@ object TextIndex {
     }
     StoreSink.withCommitLock(tmRoot, fsys) {
       val ps = StoreSink.readProps(tmRoot, fsys).toMap
-      val nd = ps(NdProp).toLong - d.getLong(0) + i.getLong(0)
-      val tl = ps(TlProp).toLong - d.getLong(1) + i.getLong(1)
-      // impact is a function of GLOBAL (nd, tl): any refresh stales every
-      // file's stored imp, so the top-k pruning bound disarms until a
-      // rebuild re-quantizes — probeTopN falls back to the full probe
+      val impPs =
+        if (impArmed) Map(ImpProp -> "1", ImpNdProp -> ndNew.toString,
+                          ImpTlProp -> tlNew.toString)
+        else Map.empty[String, String]
       StoreSink.writeProps(tmRoot, fsys, ((ps - ImpProp) ++ Map(
-        NdProp -> nd.toString, TlProp -> tl.toString,
-        VersionProp -> headV.toString)).toSeq)
+        NdProp -> ndNew.toString, TlProp -> tlNew.toString,
+        VersionProp -> headV.toString) ++ impPs).toSeq)
     }
     (changedDocs.count(), touched.size.toLong)
   }

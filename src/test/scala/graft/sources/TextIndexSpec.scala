@@ -156,8 +156,28 @@ class TextIndexSpec extends SparkSpec {
       .orderBy(col("bm25_e4").desc, col("doc_id")).limit(10).collect()
     assert(et.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
       "early-terminated top-k must equal the full scoring")
-    // refresh (one doc changes) disarms the bound: stale impact must not
-    // prune — the probe falls back to every candidate file
+    // refresh stage 1: delete a LONGER-than-average doc (doc 34: tf 5 +
+    // 9 filler words, avg dl ≈ 9) — the nd/tl ratio RISES, stored
+    // impacts remain upper bounds, the vintage advances, and the probe
+    // keeps pruning AND keeps equalling the full scoring
+    new StoreTable(corpus).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 34L)))
+    TextIndex.refresh(spark, idx)
+    TextIndex.lastTopNFiles = None
+    val armed = TextIndex.probeTopN(spark, idx, topk = 10).collect()
+    val mid = TextIndex.lastTopNFiles.get
+    assert(mid._1 < mid._2,
+      s"a ratio-raising refresh must keep the bound armed: $mid")
+    val full2 = TextIndex.score(spark, idx,
+        TextIndex.terms(spark, idx).where(length(col("t")) >= 4)
+          .orderBy(col("df").desc, col("t")).limit(1))
+      .select(col("doc_id"), col("bm25_e4"))
+      .orderBy(col("bm25_e4").desc, col("doc_id")).limit(10).collect()
+    assert(armed.map(_.toSeq).toSeq == full2.map(_.toSeq).toSeq,
+      "armed post-refresh top-k must still equal the full scoring")
+    // refresh stage 2: delete a SHORTER-than-average doc (doc 7: tf 3 +
+    // 3 filler) — the ratio drops below the vintage, stale impacts can
+    // under-bound, the probe falls back to every candidate file
     new StoreTable(corpus).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.EqualTo("k", 7L)))
     TextIndex.refresh(spark, idx)
@@ -165,7 +185,7 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.probeTopN(spark, idx, topk = 10).collect()
     val post = TextIndex.lastTopNFiles.get
     assert(post._1 == post._2,
-      s"post-refresh probe must scan all candidates (bound disarmed): $post")
+      s"a ratio-dropping refresh must disarm the bound: $post")
   }
 
   test("ordered (impact-banded) writes mark the store: the k-sorted " +
