@@ -386,6 +386,38 @@ object IndexOps extends OpModule {
         .orderBy(col("bm25_e4").desc, col("doc_id"))
     }),
 
+    // AGE-MARGINED GENERATION GC (round-12 verdict #6, driven through
+    // SQL): a rebuild supersedes gen-1, `CALL graft.index_expire` with a
+    // margin keeps the just-superseded generation alive for in-flight
+    // probes (dropped_fresh = 0), and only once its supersession stamp
+    // ages past the margin does it collect (dropped_aged = 1) — while
+    // the live generation keeps serving (probe_rows is the corpus-
+    // derived 5 × |queries|).
+    "q_index_expire" -> ((s, d) => graft.sources.Sources.withGraftCatalog(s) {
+      val idx = tmpIdx(d, "expire")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(idx), true)
+      AnnIndex.build(s, Tables.embeddings(s, d), idx) // gen-1
+      AnnIndex.build(s, Tables.embeddings(s, d), idx) // gen-2 supersedes
+      val fresh = s.sql(s"CALL graft.index_expire('$idx', ${3600L * 1000})")
+        .collect()(0).getLong(0)
+      val gen1Alive = fsys.exists(new org.apache.hadoop.fs.Path(s"$idx/gen-1"))
+      AnnIndex.backdateStale(idx, "gen-1",
+        System.currentTimeMillis - 7200L * 1000)
+      val aged = s.sql(s"CALL graft.index_expire('$idx', ${3600L * 1000})")
+        .collect()(0).getLong(0)
+      val gen1Gone = !fsys.exists(new org.apache.hadoop.fs.Path(s"$idx/gen-1"))
+      val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+      val probeRows = AnnIndex.probe(s, queries, idx).count()
+      import s.implicits._
+      Seq(
+        ("dropped_aged", aged),
+        ("dropped_fresh", if (gen1Alive) fresh else -1L),
+        ("gen1_gone", if (gen1Gone) 1L else 0L),
+        ("probe_rows", probeRows)).toDF("step", "v").orderBy(col("step"))
+    }),
+
     // HYBRID RETRIEVAL, INDEX-RESIDENT (round-12 verdict #9): dense (IVF
     // probe per query vector) and sparse (BM25 over the inverted index's
     // seed terms) fused by RECIPROCAL RANK — 1e6/(60+rank) integer
@@ -713,6 +745,20 @@ object IndexOps extends OpModule {
          |  UNION ALL SELECT -1, mx * 10000 * nc // tot FROM agg) t
          |ORDER BY c_id""".stripMargin
     },
+
+    // margin semantics as constants; the live probe count derives from
+    // the corpus (5 hits per non-zero-norm query under vec_id < 10)
+    "q_index_expire" ->
+      """WITH e AS (SELECT vec_id FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+        |    x -> ABS(CAST(x AS DOUBLE)))) > 0)
+        |SELECT step, v FROM (
+        |  SELECT 'dropped_aged' AS step, CAST(1 AS BIGINT) AS v
+        |  UNION ALL SELECT 'dropped_fresh', 0
+        |  UNION ALL SELECT 'gen1_gone', 1
+        |  UNION ALL SELECT 'probe_rows',
+        |    5 * (SELECT COUNT(*) FROM e WHERE vec_id < 10)) t
+        |ORDER BY step""".stripMargin,
 
     // both replay closed forms + the integer RRF kernel: dense = the
     // kmeans probe chain, sparse = q_bm25's top-20, fused per query

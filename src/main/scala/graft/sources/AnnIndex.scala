@@ -175,6 +175,15 @@ object AnnIndex {
   def dropStaleGenerations(indexPath: String): Int =
     IndexGen.dropStale(indexPath)
 
+  /** Test/fixture hook: backdate a superseded generation's supersession
+    * stamp so expire scenarios age deterministically. */
+  private[graft] def backdateStale(indexPath: String, gen: String,
+                                   toMs: Long): Unit = {
+    val root = new Path(indexPath)
+    StoreSink.atomicWriteSmall(root, StoreSink.fs(root),
+      s"$gen/${IndexGen.StaleAt}", toMs.toString)
+  }
+
   /** Live-generation table paths (public: specs and the streaming refresh
     * op address the sub-tables through the pointer, never by layout). */
   def codebookPath(indexPath: String): String = cb(genDir(indexPath))
