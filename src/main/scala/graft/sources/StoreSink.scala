@@ -1075,14 +1075,22 @@ object StoreSink {
     var i = p2 + 1
     var r = 0
     while (r < nrows) {
+      // corruption must be LOUD (the ColBlock offset-check discipline):
+      // a truncated ordinal list would otherwise silently decode the
+      // missing tail as ordinal 0
+      val start = i
       var v = 0
       while (i < text.length && text.charAt(i) != ',') {
         v = v * 10 + (text.charAt(i) - '0'); i += 1
       }
+      require(i > start, s"torn dict block: ordinals end after $r of $nrows rows")
+      require(v < math.max(n, 1), s"torn dict block: ordinal $v >= $n at row $r")
       i += 1
       idx(r) = v
       r += 1
     }
+    require(i >= text.length,
+      s"torn dict block: ordinal section holds more than $nrows rows")
     new DictBlock(values, idx)
   }
 
@@ -2812,10 +2820,20 @@ object StoreSink {
       val entries = readBranchLines(root, fsys, name)
       require(entries.nonEmpty, s"branch $name does not exist or is empty")
       writeManifestAtomic(root, fsys, readManifestLines(root, fsys) ++ entries)
-      // fold sketches BEFORE the branch delete: a crash in between then
-      // replays the (idempotent) fold instead of stranding the sidecar
-      // with no surviving reference to it (review catch)
-      foldBranchNdv(root, fsys, name) // published rows enter the NDV now
+      // fold sketches BEFORE the branch delete (a crash in between then
+      // replays the idempotent fold instead of stranding the sidecar) —
+      // but NON-THROWING: plain publish has no txn-marker idempotency
+      // guard, so a fold error surfacing here would leave the branch
+      // file behind a completed swap and a user RETRY would append the
+      // same entries twice (second review catch). NDV is advisory;
+      // losing one fold is the acceptable failure, double-publishing
+      // rows is not.
+      try foldBranchNdv(root, fsys, name) // published rows enter the NDV
+      catch { case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"branch NDV fold failed for $name at $pathStr — estimates " +
+            s"may lag until ANALYZE: $e")
+      }
       manifestFs(fsys).delete(new Path(root, branchFile(name)), false)
       stats = (entries.size.toLong,
         entries.map(l => math.max(parseEntry(l).rows, 0L)).sum)
@@ -5409,13 +5427,20 @@ private class StoreScan(pathStr: String,
     * Multiple files per value would concatenate unordered inside a key
     * group, so the claim is withdrawn (empty) the moment the layout
     * fragments — correctness first, the report is pure opportunity. */
+  // an orderedBy write ever landing means files may be sorted by a
+  // DIFFERENT column than k — the claim withdraws permanently. Resolved
+  // once per scan (planning calls this repeatedly; the flag is immutable
+  // once set).
+  private lazy val orderedByMarked: Boolean = {
+    val root = new Path(pathStr)
+    StoreSink.readProps(root, StoreSink.fs(root)).toMap
+      .contains(StoreSink.OrderedByProp)
+  }
+
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val root = new Path(pathStr)
     val fsys = StoreSink.fs(root)
-    // an orderedBy write ever landing means files may be sorted by a
-    // DIFFERENT column than k — the claim withdraws permanently
-    val ok = spec.isDefined && explicitFiles.isEmpty &&
-      !StoreSink.readProps(root, fsys).toMap.contains(StoreSink.OrderedByProp) && {
+    val ok = spec.isDefined && explicitFiles.isEmpty && !orderedByMarked && {
       val entries = currentEntries(root, fsys)
       entries.nonEmpty && entries.forall(_.part.exists(p =>
           StoreSink.partTag(p)._1 == spec.get.id)) && // one spec generation

@@ -285,6 +285,18 @@ object TextIndex {
       .filter(_.part.exists(p => touched.exists(p.endsWith)))
       .map(_.name).mkString(",")
     if (touched.nonEmpty) {
+      // DISARM FOR THE TORN WINDOW: the postings rewrite and the stats
+      // props write are two atomic steps — a probe landing between them
+      // would score with the OLD (nd, tl) against files whose imp stats
+      // were quantized at the NEW ratio (strictly smaller), an
+      // under-bound that can silently prune a true top-k file (second
+      // review catch). The final props write re-arms; a crash inside
+      // the window leaves the index safely disarmed until rebuild.
+      if (props.contains(ImpProp))
+        StoreSink.withCommitLock(tmRoot, fsys) {
+          val ps = StoreSink.readProps(tmRoot, fsys).toMap
+          StoreSink.writeProps(tmRoot, fsys, (ps - ImpProp).toSeq)
+        }
       // postings: surviving rows of touched shards (anti-join on changed
       // docs — never a literal IN over data-sized keys) + fresh rows
       // fresh rows re-quantize at the CURRENT ratio while armed (the
