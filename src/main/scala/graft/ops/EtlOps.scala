@@ -694,6 +694,39 @@ object EtlOps extends OpModule {
         .orderBy(col("bin"))
     }),
 
+    // DP TOP-K — the release ladder's SELECTION rung (count → histogram →
+    // mean → quantile → top-k): release the k most customer-heavy nations
+    // via the ONE-SHOT GUMBEL TOP-K (adding independent Gumbel noise to
+    // the utilities and taking the k best is exactly the exponential
+    // mechanism peeled k times without replacement). Utility = count
+    // (sensitivity 1), score_e6 = n·1e6 + 2·g_e6 — q_dp_quantile's
+    // bit-stable integer kernel, so every rank is replayable. The domain
+    // is the NATION CATALOG (data-independent keys, the q_dp_hist rule:
+    // a nation with zero customers still competes — adding one customer
+    // never creates a candidate an attacker could diff). rel_rank > 0
+    // marks the released set; counts of unreleased items stay internal
+    // in a real release (shown here because the oracle checks the whole
+    // mechanism, not the privacy posture of the output columns).
+    "q_dp_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.customer(s, d)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      Tables.nation(s, d).select(col("n_nationkey").as("c_nationkey"))
+        .join(counts, Seq("c_nationkey"), "left")
+        .na.fill(0L, Seq("n"))
+        .withColumn("uu", expr(
+          "(cast(conv(substring(md5(concat('dp-topk-r20-', cast(c_nationkey as string))), 1, 8), 16, 10) as double) + 0.5) / 4294967296.0"))
+        .withColumn("g_e6", expr(
+          "cast(round(1e6 * (-ln(-ln(uu)))) as bigint)"))
+        .withColumn("score_e6", col("n") * lit(1000000L) + col("g_e6") * 2)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score_e6").desc, col("c_nationkey"))))
+        .select(col("c_nationkey"), col("n"), col("score_e6"),
+          when(col("rk") <= 5, col("rk")).otherwise(lit(0))
+            .cast("long").as("rel_rank"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Layout-quality comparison: for one 2-D probe rectangle, how many of
     // 16 range-partitioned files does each clustering key force a scan to
     // touch? Three layouts over the same (x, y) = (size, key mod 256)
@@ -1194,6 +1227,27 @@ object EtlOps extends OpModule {
         |SELECT bin, n, util, score_e6,
         |  CAST(CASE WHEN score_e6 = MAX(score_e6) OVER () THEN 1 ELSE 0 END AS BIGINT) AS is_winner
         |FROM g ORDER BY bin""".stripMargin,
+
+    // one-shot Gumbel top-k replay: same utilities, same draws, same ranks
+    "q_dp_topk" ->
+      """WITH cnt AS (SELECT c_nationkey, COUNT(*) AS n
+        |            FROM customer GROUP BY 1),
+        |dom AS (SELECT n.n_nationkey AS c_nationkey, COALESCE(cnt.n, 0) AS n
+        |        FROM nation n LEFT JOIN cnt ON n.n_nationkey = cnt.c_nationkey),
+        |u AS (SELECT c_nationkey, n,
+        |    (CAST(('0x' || SUBSTR(md5('dp-topk-r20-' || CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0 AS uu
+        |  FROM dom),
+        |g AS (SELECT c_nationkey, n,
+        |    CAST(n * 1000000 + CAST(ROUND(1e6 * (-LN(-LN(uu)))) AS BIGINT) * 2
+        |      AS BIGINT) AS score_e6
+        |  FROM u),
+        |r AS (SELECT c_nationkey, n, score_e6,
+        |    ROW_NUMBER() OVER (ORDER BY score_e6 DESC, c_nationkey) AS rk
+        |  FROM g)
+        |SELECT c_nationkey, n, score_e6,
+        |  CAST(CASE WHEN rk <= 5 THEN rk ELSE 0 END AS BIGINT) AS rel_rank
+        |FROM r ORDER BY c_nationkey""".stripMargin,
 
     // same mechanism per fixed bin; the clamp is post-processing
     "q_dp_hist" ->
