@@ -117,6 +117,14 @@ private[sources] object IndexGen {
     val fsys = StoreSink.fs(root)
     val cur = StoreSink.readSmall(root, fsys, CurrentPtr)
     if (!fsys.exists(root) || cur.isEmpty) return 0
+    // generation numbers are monotone ([[next]] allocates max+1), so a
+    // non-current generation NUMBERED ABOVE the pointer is the staging
+    // area of an IN-FLIGHT rebuild, not a superseded one — stamping it
+    // here would have a second sweep delete it mid-build once the margin
+    // elapsed (advice catch). Unstamped gens BELOW the pointer are
+    // genuinely superseded legacy state and begin aging.
+    val curN = cur.flatMap(c =>
+      scala.util.Try(c.stripPrefix("gen-").toInt).toOption).getOrElse(Int.MaxValue)
     val now = System.currentTimeMillis
     var dropped = 0
     fsys.listStatus(root).map(_.getPath.getName)
@@ -128,7 +136,10 @@ private[sources] object IndexGen {
             dropped += 1
           case Some(_) => () // inside its margin: survives this sweep
           case None =>
-            StoreSink.atomicWriteSmall(root, fsys, s"$n/$StaleAt", now.toString)
+            val gn = scala.util.Try(n.stripPrefix("gen-").toInt)
+              .getOrElse(Int.MaxValue)
+            if (gn < curN) // never an in-flight staging generation
+              StoreSink.atomicWriteSmall(root, fsys, s"$n/$StaleAt", now.toString)
         }
       }
     dropped

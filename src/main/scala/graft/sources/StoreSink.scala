@@ -2313,9 +2313,6 @@ object StoreSink {
     }
   }
 
-  /** The merge body for callers ALREADY inside the commit lock (branch
-    * publish folds sketches in the same critical section as its manifest
-    * swap — the lock is not re-entrant). */
   /** Union per-column incoming sketches into the stored map — the ONE
     * merge kernel both the table NDV and the branch sidecar fold with
     * (a semantics fix must land in exactly one place). */
@@ -2327,9 +2324,13 @@ object StoreSink {
     }
   }
 
-  private def mergeNdvUnlocked(root: Path, fsys: FileSystem,
-                               incoming: Seq[(String, Array[Byte])],
-                               reset: Boolean): Unit = {
+  /** The merge body for callers ALREADY inside the commit lock (branch
+    * publish and reset-shaped batch commits fold sketches in the same
+    * critical section as their manifest swap — the lock is not
+    * re-entrant). */
+  private[sources] def mergeNdvUnlocked(root: Path, fsys: FileSystem,
+                                        incoming: Seq[(String, Array[Byte])],
+                                        reset: Boolean): Unit = {
     if (incoming.isEmpty) return
     val ps = readProps(root, fsys).toMap
     val stored: Map[String, Array[Byte]] =
@@ -4505,6 +4506,14 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
     branch.foreach { b =>
       require(!truncate && !dynamic && replaceFiles.isEmpty,
         "graft-store branch writes are append-only (write-audit-publish)")
+      // orderedBy must not compose with a branch write: this commit path
+      // returns before the OrderedByProp write below, so the k-ASC file-
+      // ordering claim (SupportsReportOrdering) would never be withdrawn
+      // and a merge join could drop Sorts over files sorted by the
+      // orderedBy column instead — wrong results (advice catch; same
+      // refusal discipline as truncate/dynamic above)
+      require(orderedByCol.isEmpty,
+        "orderedBy does not compose with branch (WAP) writes")
       StoreSink.withCommitLock(root, fsys) {
         val staging = new Path(root, StoreSink.Staging)
         StoreSink.promote(root, fsys, staging, committed)
@@ -4533,6 +4542,10 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
     replaceWhere.foreach { filters =>
       require(!truncate && !dynamic && replaceFiles.isEmpty,
         "REPLACE WHERE does not compose with truncate/dynamic/compaction commits")
+      // same ordering-claim hazard as the branch path: this commit
+      // returns before the OrderedByProp write (advice catch)
+      require(orderedByCol.isEmpty,
+        "orderedBy does not compose with REPLACE WHERE commits")
       val (origLine, replacedLine, _) =
         StoreTableDeleteBody.deletionRewrite(pathStr, filters)
       StoreSink.withCommitLock(root, fsys) {
@@ -4550,7 +4563,9 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
         reset = false)
       return
     }
-    var fullRewrite = false // set under the lock, read by the NDV fold
+    val ndvIncoming =
+      messages.map(_.asInstanceOf[StoreCommitMessage]).flatMap(_.ndv).toSeq
+    var ndvResetDone = false // set under the lock, read by the post-lock fold
     StoreSink.withCommitLock(root, fsys) {
       val staging = new Path(root, StoreSink.Staging)
       StoreSink.promote(root, fsys, staging, committed)
@@ -4593,7 +4608,7 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
           // stop being a permanent upper bound the first time maintenance
           // rewrites the table, no manual ANALYZE needed). Marker (`#`)
           // lines are not entries and must carry over regardless.
-          fullRewrite = fresh
+          ndvResetDone = fresh
             .filter(l => !l.startsWith("#") &&
               !replace.contains(StoreSink.parseEntry(l).name))
             .forall(l => StoreSink.parseEntry(l).rows == 0)
@@ -4635,18 +4650,27 @@ private class StoreBatchWrite(pathStr: String, queryId: String, truncate: Boolea
         return
       }
       StoreSink.writeManifestAtomic(root, fsys, visible)
+      // RESET-merge (logical truncate, or a FULL replace-set rewrite whose
+      // written rows ARE the live rows) re-baselines the NDV INSIDE this
+      // critical section: run after the lock, a concurrent append that
+      // committed and merged its sketches in between would have them
+      // wiped by the reset, leaving the NDV an UNDER-estimate of live
+      // rows — violating the deletes-are-only-an-upper-bound contract
+      // broadcast decisions rely on (advice catch). Plain unions stay
+      // outside: HLL union is idempotent and order-free.
+      if (truncate && !preserveMarkers) ndvResetDone = true
+      if (ndvResetDone)
+        StoreSink.mergeNdvUnlocked(root, fsys, ndvIncoming, reset = true)
       // replaced generations are NOT deleted here: their files stay
       // referenced by archived version manifests (time travel) until an
       // explicit StoreSink.vacuum expires them
       StoreSink.cleanStaging(root, fsys, queryId, underLock = true)
     }
     // incremental NDV: union this commit's writer sketches into the
-    // stored ones (no-op until ANALYZE establishes tracking); a logical
-    // truncate — or a FULL replace-set rewrite, whose written rows ARE
-    // the live rows — re-baselines from this commit alone
-    StoreSink.mergeNdv(root, fsys,
-      messages.map(_.asInstanceOf[StoreCommitMessage]).flatMap(_.ndv).toSeq,
-      reset = (truncate && !preserveMarkers) || fullRewrite)
+    // stored ones (no-op until ANALYZE establishes tracking); the reset
+    // shapes already folded under the lock above
+    if (!ndvResetDone)
+      StoreSink.mergeNdv(root, fsys, ndvIncoming, reset = false)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

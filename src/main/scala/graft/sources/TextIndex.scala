@@ -377,9 +377,20 @@ object TextIndex {
     * or phase 1 cannot establish θ. */
   def probeTopN(s: SparkSession, indexPath: String, topk: Int = 10): DataFrame = {
     val genRoot = IndexGen.dir(indexPath)
-    val (nd, tl) = statsAt(genRoot)
     val tmRoot = new Path(tm(genRoot))
     val fsys = StoreSink.fs(tmRoot)
+    // READ ORDER IS LOAD-BEARING: the postings MANIFEST resolves BEFORE
+    // the stats/armed props. An armed refresh completing in between then
+    // leaves us with OLD entries + NEW props — imp stats quantized at a
+    // LOWER-or-equal vintage ratio than the props' nd/tl, which can only
+    // OVER-bound (rank-safe). The props-then-entries order had the torn
+    // window the other way: old nd/tl + armed + new-ratio imp stats was
+    // an under-bound that could silently prune a true top-k file
+    // (advice catch — the refresh-side disarm only covers probes whose
+    // props read lands inside the rewrite window itself).
+    val plRoot = new Path(pl(genRoot))
+    val allEntries = StoreSink.readEntries(plRoot, fsys)
+    val (nd, tl) = statsAt(genRoot)
     val impValid = StoreSink.readProps(tmRoot, fsys).toMap
       .get(ImpProp).contains("1")
     val qt0 = termsAt(s, genRoot).where(length(col("t")) >= 4)
@@ -394,8 +405,7 @@ object TextIndex {
     val qt = qt0.get
     val (term, df, shard) = (qt.getString(0), qt.getLong(1), qt.getString(2))
     val idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
-    val plRoot = new Path(pl(genRoot))
-    val entries = StoreSink.readEntries(plRoot, fsys)
+    val entries = allEntries
       .filter(e => e.rows != 0 && e.part.exists(_.endsWith(shard)))
     // per-file score bound from the manifest's imp zone: stored imp
     // carries ±0.5 quantization slack, idf scaling another rounding —
