@@ -34,7 +34,8 @@ object IndexOps extends OpModule {
     val cosEC1 = cosQ("e.embedding", "c1.c_emb")
     s"""e AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
-       |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id % 199 = 0),
+       |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e
+       |       WHERE vec_id % ${TrainingOps.strideSql("e")} = 0),
        |a1 AS (SELECT n_id, n_emb, bucket FROM (
        |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, sd.c_id AS bucket,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -570,7 +571,7 @@ object IndexOps extends OpModule {
     s"""${p}e AS (SELECT vec_id, embedding FROM $src
        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
        |${p}sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM ${p}e
-       |           WHERE vec_id % 199 = 0),
+       |           WHERE vec_id % ${TrainingOps.strideSql(s"${p}e")} = 0),
        |${p}a1 AS (SELECT n_id, n_emb, bucket FROM (
        |    SELECT ${p}e.vec_id AS n_id, ${p}e.embedding AS n_emb,
        |      ${p}sd.c_id AS bucket,

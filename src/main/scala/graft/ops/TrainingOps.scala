@@ -39,6 +39,16 @@ object TrainingOps extends OpModule {
        |    / (SQRT(LIST_SUM(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |       * SQRT(LIST_SUM(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** The √n codebook-stride derivation as DuckDB SQL over a corpus CTE —
+    * the oracle twin of [[graft.sources.AnnIndex.seedStride]]: both
+    * engines compute GREATEST(ceil(√n), ceil(n/65536), 1) from the same
+    * non-zero-norm corpus (IEEE double sqrt/ceil are bit-identical), so
+    * training replays with no serialized literal even though the stride
+    * is data-dependent. */
+  private[graft] def strideSql(src: String): String =
+    s"""(SELECT GREATEST(CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT),
+       |          CAST(CEIL(COUNT(*) / 65536.0) AS BIGINT), 1) FROM $src)""".stripMargin
+
   /** Non-zero-norm embeddings with staged norms (cosine is undefined for
     * zero vectors; excluded identically on both sides). */
   private[graft] def nzEmbeddings(s: SparkSession, d: String): DataFrame = {
@@ -58,7 +68,8 @@ object TrainingOps extends OpModule {
     val cosQN = duckCos("pr.q_emb", "asg.n_emb")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
-       |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id % 199 = 0),
+       |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e
+       |       WHERE vec_id % ${strideSql("e")} = 0),
        |a1 AS (SELECT n_id, n_emb, bucket FROM (
        |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, sd.c_id AS bucket,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -578,8 +589,8 @@ object TrainingOps extends OpModule {
 
     // IVF with a TRAINED codebook (VERDICT r8 #4): the coarse quantizer's
     // centroids are no longer raw corpus vectors but a k-means-refined
-    // codebook — corpus-scaling stride-199 seeds (the recorded blocking
-    // rule: key cardinality grows with the corpus) refined by one exact
+    // codebook — √n-DERIVED stride seeds (k ≈ √n: the blocking-key rule
+    // AND a bounded centroid broadcast; round-12 verdict #1) refined by one exact
     // 2^-20-integer Lloyd step (q_emb_kmeans's bit-stable arithmetic, so
     // the converged centroids — and therefore cells, candidates, and the
     // recall curve — are reproducible in the oracle by replaying the same
@@ -593,9 +604,13 @@ object TrainingOps extends OpModule {
     // query pins the plan shape of.
     "q_sim_ivf_kmeans" -> ((s, d) => {
       val nz = nzEmbeddings(s, d)
+      // √n-cardinality codebook: stride derives from the corpus count
+      // (AnnIndex.seedStride — the oracle replays the same formula via
+      // strideSql), so k ≈ √n and the centroid broadcast stays bounded
+      val stride = graft.sources.AnnIndex.seedStride(nz.count())
       val vecs = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                            col("nrm").as("n_nrm"))
-      val seeds = nz.where(pmod(col("vec_id"), lit(199)) === 0)
+      val seeds = nz.where(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
                 col("nrm").as("c_nrm"))
       val a1 = assign(vecs, seeds)

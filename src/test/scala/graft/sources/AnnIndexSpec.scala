@@ -12,7 +12,20 @@ import org.apache.spark.sql.functions._
   *    from-scratch reassignment against that codebook, bit for bit;
   *  - refresh rewrites ONLY the touched posting lists — an untouched cell's
   *    data files carry over by identity. */
-class AnnIndexSpec extends SparkSpec {
+class AnnIndexSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // the MECHANICS tests below keep their hand-built two/three-cluster
+  // fixtures deterministic by pinning the seed stride to the historical
+  // 199 (so seed ids are exactly 0/199/398); the √n DERIVATION itself is
+  // pinned by the dedicated test at the bottom, which clears the pin
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    AnnIndex.seedStrideOverride = Some(199L)
+  }
+  override def afterAll(): Unit = {
+    AnnIndex.seedStrideOverride = None
+    super.afterAll()
+  }
 
   private val fmt = "graft.sources.StoreSink"
   private def fs = org.apache.hadoop.fs.FileSystem.get(
@@ -24,9 +37,10 @@ class AnnIndexSpec extends SparkSpec {
     dir
   }
 
-  /** Two well-separated clusters whose seed ids (vec_id % 199 == 0) are 0
-    * (cluster A, axis e1) and 199 (cluster B, axis e2) — so the trained
-    * cells are knowable and partition-touch assertions are deterministic. */
+  /** Two well-separated clusters whose seed ids (vec_id % 199 == 0 under
+    * the pinned test stride) are 0 (cluster A, axis e1) and 199 (cluster
+    * B, axis e2) — so the trained cells are knowable and partition-touch
+    * assertions are deterministic. */
   private def clusteredCorpus: DataFrame = {
     import spark.implicits._
     val a = (0 to 9).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f, i / 100.0f)))
@@ -333,6 +347,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(IndexGen.dropStaleOlder(idx, 3600_000L) == 0)
     assert(fs.exists(new Path(s"$idx/gen-0/${IndexGen.StaleAt}")),
       "an unstamped stale generation must begin aging, not die")
+  }
+
+  test("codebook cardinality is ~sqrt(n): the seed stride derives from " +
+       "the corpus count (k stays broadcast-sized at any scale)") {
+    AnnIndex.seedStrideOverride = None // exercise the REAL derivation
+    try {
+      // the formula: ceil(sqrt(n)), floored at 1, capped at 64k centroids
+      assert(AnnIndex.seedStride(1L) == 1L)
+      assert(AnnIndex.seedStride(100L) == 10L)
+      assert(AnnIndex.seedStride(400L) == 20L)
+      assert(AnnIndex.seedStride(401L) == 21L)
+      // past 65536² the n/65536 term binds: k never exceeds 64k
+      val big = 1L << 40
+      assert(AnnIndex.seedStride(big) == math.ceil(big / 65536.0).toLong)
+      // and a real build consumes it: unit vectors around a circle, seeds
+      // every `stride` ids are angularly spread, so every seed cell is
+      // nonempty and the codebook has exactly n/stride centroids
+      import spark.implicits._
+      def circle(n: Int): DataFrame = (0 until n).map { i =>
+        val t = 2 * math.Pi * i / n
+        (i.toLong, Array(math.cos(t).toFloat, math.sin(t).toFloat))
+      }.toDF("vec_id", "embedding")
+      val (k1, n1) = AnnIndex.build(spark, circle(100), freshDir("sqrtn_100"))
+      assert(k1 == 10L && n1 == 100L, s"k=sqrt(100): ($k1, $n1)")
+      val (k2, n2) = AnnIndex.build(spark, circle(400), freshDir("sqrtn_400"))
+      assert(k2 == 20L && n2 == 400L, s"k=sqrt(400): ($k2, $n2)")
+    } finally AnnIndex.seedStrideOverride = Some(199L)
   }
 
   test("rebuild is atomic: a probe in the stage/publish window reads the " +
