@@ -213,6 +213,12 @@ object IndexOps extends OpModule {
       }
       recallOf(AnnIndex.probe(s, queries, idx), "full")
         .unionByName(recallOf(AnnIndex.probePq(s, queries, idx), "pq"))
+        // the REFINEMENT dial (round-12 verdict #3): a 5×-wider ADC
+        // candidate set re-ranked exactly — recall recovers to the float
+        // probe's (the re-rank stage erases the code approximation as
+        // long as the true top-k survives the ADC cut)
+        .unionByName(recallOf(AnnIndex.probePq(s, queries, idx, adcN = 100),
+          "pqwide"))
         .orderBy(col("variant"), col("q_id"))
     }),
 
@@ -297,6 +303,66 @@ object IndexOps extends OpModule {
         .orderBy(col("bm25_e4").desc, col("doc_id"))
     }),
 
+    // PHRASE QUERY over POSITIONAL postings (round-12 verdict #4): the
+    // index is built with `graft.text.positions` — each (doc, term)
+    // posting carries its sorted raw-token positions — and the probe
+    // finds docs where the corpus's most frequent adjacent pair of
+    // len≥4 tokens occurs TEXTUALLY adjacent, with per-doc counts.
+    // Query formulation (the top bigram) is one corpus aggregate; the
+    // phrase probe itself plans only the two terms' shards and checks
+    // adjacency inside their posting lists — at 100 TB phrase retrieval
+    // costs two posting lists, never a corpus re-scan.
+    "q_bm25_phrase" -> ((s, d) => {
+      val idx = tmpIdx(d, "phrase")
+      val ti = graft.sources.TextIndex
+      ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")),
+        idx, positions = true)
+      val top = Tables.documents(s, d)
+        .select(split(trim(lower(col("text"))), " ").as("toks"))
+        .select(explode(expr(
+          """case when size(toks) < 2 then array()
+            |else transform(sequence(0, size(toks) - 2),
+            |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
+            |end""".stripMargin)).as("pr"))
+        .where(length(element_at(split(col("pr"), " "), 1)) >= 4 &&
+               length(element_at(split(col("pr"), " "), 2)) >= 4)
+        .groupBy(col("pr")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pr")).limit(1)
+        .collect()(0).getString(0).split(" ", 2)
+      ti.probePhrase(s, idx, top(0), top(1)).orderBy(col("doc_id"))
+    }),
+
+    // ANALYZER AS A BUILD PROPERTY (round-12 verdict #6): stopwords +
+    // minimum token length resolve at build time, persist in the index
+    // props, and refresh/probes read the index's OWN configuration —
+    // here the corpus's three most common operators ('join','hash',
+    // 'scan') are stopped and short tokens dropped, so the dictionary,
+    // df, dl, nd, tl — and therefore every score — reflect the analyzed
+    // token stream. The oracle serializes the same list as literals
+    // (the LSH-seed technique) and replays the filtered BM25 chain.
+    "q_bm25_analyzed" -> ((s, d) => {
+      val idx = tmpIdx(d, "analyzed")
+      val ti = graft.sources.TextIndex
+      ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")),
+        idx, stopwords = Seq("join", "hash", "scan"), minLen = 4)
+      ti.probeTop(s, idx, topk = 20)
+    }),
+
+    // PQ EXACT RE-RANK, WIDE (round-12 verdict #3): the same persisted
+    // IVFPQ probed with a 5×-wider ADC candidate set (top-100) before
+    // the exact-cosine re-rank — the standard FAISS refinement: ADC
+    // stays integer lookups, the float vectors are touched for 100 rows
+    // per query, and recall recovers toward the full-vector probe
+    // (q_ann_recall_pq's pqwide variant measures exactly that).
+    "q_sim_ivfpq_rerank" -> ((s, d) => {
+      val idx = tmpIdx(d, "pqrerank")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx)
+      AnnIndex.buildPq(s, Tables.embeddings(s, d), idx)
+      val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+      AnnIndex.probePq(s, queries, idx, adcN = 100)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // SPARSE RAG RETRIEVAL through the persisted index: Rocchio PRF
     // (q_rag_prf's two-round flow) executed index-resident — round 1
     // scores the dictionary's seed terms over their posting shards, the
@@ -358,7 +424,11 @@ object IndexOps extends OpModule {
             .repartitionByRange(4, col("k"))
             .write.format("graft.sources.StoreSink").mode("append")
             .option("path", corpus).save()
-          s.sql(s"CALL graft.text_index_build('$corpus', '$idx')").collect()
+          // 64-shard build (round-12 verdict #2): the shard count is a
+          // build property now — refresh bytes track the delta's touched
+          // shards out of 64, not a whole-store rewrite; results are
+          // shard-count-invariant, so the oracle is unchanged
+          s.sql(s"CALL graft.text_index_build('$corpus', '$idx', 64)").collect()
           // CDC: a doc-id range retires; fresh docs (known text) append
           s.sql("DELETE FROM graft.store WHERE k BETWEEN 10 AND 99")
           docs.where(col("doc_id").between(1, 50))
@@ -593,6 +663,59 @@ object IndexOps extends OpModule {
        |    FROM ${p}e CROSS JOIN ${p}c1) t WHERE arn = 1)""".stripMargin
   }
 
+  /** kmeans-cell replay composed with q_sim_pq's code/ADC chain — cells,
+    * codes, candidates, and the re-ranked top-5 all reproduce; `adcN`
+    * parameterizes the ADC candidate cut (20 = the default probe, 100 =
+    * the wide refinement), ONE closed form for both widths. */
+  private def pqProbeOracle(adcN: Int): String = {
+    val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
+    val cosRR = cosQ("qe.embedding", "ne.embedding")
+    s"""WITH $trainReplayCtes,
+       |prb AS (SELECT q_id, bucket FROM (
+       |    SELECT q.q_id, c1.c_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY $cosQC1 DESC, c1.c_id) AS prn
+       |    FROM q CROSS JOIN c1) t WHERE prn <= 2),
+       |sides AS (SELECT vec_id, s,
+       |    CASE WHEN s = 0 THEN embedding[1:32] ELSE embedding[33:64] END AS sub
+       |  FROM e, (SELECT UNNEST(RANGE(0, 2)) AS s)),
+       |cbq AS (SELECT vec_id AS c_id, s, sub AS c_sub FROM sides
+       |        WHERE vec_id BETWEEN 100 AND 107),
+       |enc AS (SELECT vec_id AS n_id, s, c_id AS code FROM (
+       |  SELECT v.vec_id, v.s, c.c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+       |      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.sub, c.c_sub),
+       |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.c_id) AS rn
+       |  FROM sides v JOIN cbq c ON v.s = c.s) t WHERE rn = 1),
+       |dtab AS (SELECT qs.vec_id AS q_id, c.s, c.c_id,
+       |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qs.sub, c.c_sub),
+       |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT) AS d_e6
+       |  FROM sides qs JOIN cbq c ON qs.s = c.s WHERE qs.vec_id < 10),
+       |cells AS (SELECT DISTINCT prb.q_id, asg.n_id
+       |          FROM prb JOIN asg ON prb.bucket = asg.bucket),
+       |adc AS (SELECT d.q_id, enc.n_id, SUM(d.d_e6) AS adc
+       |        FROM cells
+       |        JOIN enc ON enc.n_id = cells.n_id
+       |        JOIN dtab d ON enc.s = d.s AND enc.code = d.c_id
+       |                   AND d.q_id = cells.q_id
+       |        GROUP BY d.q_id, enc.n_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+       |  FROM adc) t WHERE rn <= $adcN),
+       |scored AS (SELECT cand.q_id, cand.n_id, $cosRR AS score
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+       |            JOIN e ne ON ne.vec_id = cand.n_id)
+       |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+       |  SELECT q_id, n_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, n_id) AS INTEGER) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
 
     // both assignment passes replayed: the frozen generation's occupancy
@@ -669,6 +792,51 @@ object IndexOps extends OpModule {
         |  ORDER BY bm25_e4 DESC, doc_id LIMIT 10) t
         |UNION ALL SELECT -1, 1
         |ORDER BY bm25_e4 DESC, doc_id""".stripMargin,
+
+    // phrase semantics as a closed form: the top len≥4 bigram from the
+    // raw token stream, then per-doc adjacent-occurrence counts — what
+    // the positional postings' p/p+1 intersection computes
+    "q_bm25_phrase" ->
+      """WITH tk AS (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ts
+        |            FROM documents),
+        |bp AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(
+        |         RANGE(0, GREATEST(LEN(ts) - 1, 0)),
+        |         j -> ts[CAST(j + 1 AS INT)] || ' ' || ts[CAST(j + 2 AS INT)])) AS pr
+        |       FROM tk),
+        |bf AS (SELECT doc_id, pr FROM bp
+        |       WHERE LEN(STRING_SPLIT(pr, ' ')[1]) >= 4
+        |         AND LEN(STRING_SPLIT(pr, ' ')[2]) >= 4),
+        |top AS (SELECT pr FROM (SELECT pr, COUNT(*) AS c FROM bf GROUP BY pr
+        |        ORDER BY c DESC, pr LIMIT 1) t)
+        |SELECT bf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM bf JOIN top ON bf.pr = top.pr
+        |GROUP BY bf.doc_id ORDER BY bf.doc_id""".stripMargin,
+
+    // the analyzer serialized as literals (the LSH-seed technique):
+    // stopwords + min length filter the token stream BEFORE tf/df/dl/
+    // nd/tl, so every stat — and every score — is over analyzed tokens
+    "q_bm25_analyzed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |    FROM documents) r
+        |  WHERE LEN(t) >= 4 AND t NOT IN ('join', 'hash', 'scan')),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qterms AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+        |           ORDER BY df DESC, t LIMIT 5),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT) AS sc
+        |  FROM tf JOIN qterms USING (t) JOIN dlen USING (doc_id), stats)
+        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sc) AS BIGINT) AS bm25_e4
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25_e4 DESC, doc_id LIMIT 20""".stripMargin,
 
     // post-refresh probe == full recompute over the HEAD corpus state
     // (retired range gone, shifted copies present) — what "incremental
@@ -891,54 +1059,11 @@ object IndexOps extends OpModule {
 
     // kmeans-cell replay composed with q_sim_pq's code/ADC chain: cells,
     // codes, candidates, and the re-ranked top-5 all reproduce
-    "q_sim_ivfpq_indexed" -> {
-      val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
-      val cosRR = cosQ("qe.embedding", "ne.embedding")
-      s"""WITH $trainReplayCtes,
-         |prb AS (SELECT q_id, bucket FROM (
-         |    SELECT q.q_id, c1.c_id AS bucket,
-         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-         |        ORDER BY $cosQC1 DESC, c1.c_id) AS prn
-         |    FROM q CROSS JOIN c1) t WHERE prn <= 2),
-         |sides AS (SELECT vec_id, s,
-         |    CASE WHEN s = 0 THEN embedding[1:32] ELSE embedding[33:64] END AS sub
-         |  FROM e, (SELECT UNNEST(RANGE(0, 2)) AS s)),
-         |cbq AS (SELECT vec_id AS c_id, s, sub AS c_sub FROM sides
-         |        WHERE vec_id BETWEEN 100 AND 107),
-         |enc AS (SELECT vec_id AS n_id, s, c_id AS code FROM (
-         |  SELECT v.vec_id, v.s, c.c_id,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s ORDER BY
-         |      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.sub, c.c_sub),
-         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-         |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.c_id) AS rn
-         |  FROM sides v JOIN cbq c ON v.s = c.s) t WHERE rn = 1),
-         |dtab AS (SELECT qs.vec_id AS q_id, c.s, c.c_id,
-         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qs.sub, c.c_sub),
-         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT) AS d_e6
-         |  FROM sides qs JOIN cbq c ON qs.s = c.s WHERE qs.vec_id < 10),
-         |cells AS (SELECT DISTINCT prb.q_id, asg.n_id
-         |          FROM prb JOIN asg ON prb.bucket = asg.bucket),
-         |adc AS (SELECT d.q_id, enc.n_id, SUM(d.d_e6) AS adc
-         |        FROM cells
-         |        JOIN enc ON enc.n_id = cells.n_id
-         |        JOIN dtab d ON enc.s = d.s AND enc.code = d.c_id
-         |                   AND d.q_id = cells.q_id
-         |        GROUP BY d.q_id, enc.n_id),
-         |cand AS (SELECT q_id, n_id FROM (
-         |  SELECT q_id, n_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
-         |  FROM adc) t WHERE rn <= 20),
-         |scored AS (SELECT cand.q_id, cand.n_id, $cosRR AS score
-         |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
-         |            JOIN e ne ON ne.vec_id = cand.n_id)
-         |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
-         |  SELECT q_id, n_id, score,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY score DESC, n_id) AS INTEGER) AS rn
-         |  FROM scored) t
-         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-    },
+    "q_sim_ivfpq_indexed" -> pqProbeOracle(20),
+
+    // the same chain at a 5×-wider ADC cut (the refinement dial) — one
+    // parameterized closed form serves both probe widths
+    "q_sim_ivfpq_rerank" -> pqProbeOracle(100),
 
     // the same probe replay, hydrated against documents (doc_id = vec_id)
     "q_rag_dense_indexed" -> {
@@ -1012,6 +1137,16 @@ object IndexOps extends OpModule {
          |      ORDER BY $cosRR DESC, cand.n_id) AS rn
          |  FROM cand JOIN q qe ON qe.q_id = cand.q_id
          |            JOIN asg ne ON ne.n_id = cand.n_id) t WHERE rn <= 5),
+         |candw AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+         |  FROM adc) t WHERE rn <= 100),
+         |ann_pqw AS (SELECT q_id, n_id FROM (
+         |  SELECT cand.q_id, cand.n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.q_id
+         |      ORDER BY $cosRR DESC, cand.n_id) AS rn
+         |  FROM candw cand JOIN q qe ON qe.q_id = cand.q_id
+         |            JOIN asg ne ON ne.n_id = cand.n_id) t WHERE rn <= 5),
          |exact AS (SELECT q_id, n_id FROM (
          |  SELECT q.q_id, e2.vec_id AS n_id,
          |    ROW_NUMBER() OVER (PARTITION BY q.q_id
@@ -1025,11 +1160,17 @@ object IndexOps extends OpModule {
          |rp AS (SELECT qs2.q_id, COUNT(ap.n_id) AS n_hit FROM qs2
          |  LEFT JOIN (SELECT exact.q_id, exact.n_id FROM exact
          |             JOIN ann_pq ap ON exact.q_id = ap.q_id AND exact.n_id = ap.n_id) ap
-         |    ON qs2.q_id = ap.q_id GROUP BY qs2.q_id)
+         |    ON qs2.q_id = ap.q_id GROUP BY qs2.q_id),
+         |rpw AS (SELECT qs2.q_id, COUNT(aw.n_id) AS n_hit FROM qs2
+         |  LEFT JOIN (SELECT exact.q_id, exact.n_id FROM exact
+         |             JOIN ann_pqw aw ON exact.q_id = aw.q_id AND exact.n_id = aw.n_id) aw
+         |    ON qs2.q_id = aw.q_id GROUP BY qs2.q_id)
          |SELECT variant, q_id, recall_e4 FROM (
          |  SELECT 'full' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM rf
          |  UNION ALL
-         |  SELECT 'pq' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM rp) t
+         |  SELECT 'pq' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM rp
+         |  UNION ALL
+         |  SELECT 'pqwide' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM rpw) t
          |ORDER BY variant, q_id""".stripMargin
     },
 

@@ -475,11 +475,16 @@ object AnnIndex {
 
   /** IVFPQ probe against the PERSISTED tables only: coarse codebook picks
     * nprobe cells per query, the ADC table (query × 16 codewords, integer
-    * 1e-6 units) scores the probed cells' CODES, and the top-20 ADC
+    * 1e-6 units) scores the probed cells' CODES, and the top-`adcN` ADC
     * survivors re-rank by exact cosine against the probed `postings`
-    * partitions — index-resident end to end, the corpus never opens. */
+    * partitions — index-resident end to end, the corpus never opens.
+    * `adcN` is the standard IVFPQ refinement dial (round-12 verdict #3):
+    * a wider ADC candidate set costs only integer lookups plus `adcN`
+    * exact re-rank rows per query, and recovers the recall the code
+    * approximation loses — q_ann_recall_pq's `pqwide` variant measures
+    * the curve. */
   def probePq(s: SparkSession, queries: DataFrame, indexPath: String,
-              nprobe: Int = 2, topk: Int = 5): DataFrame = {
+              nprobe: Int = 2, topk: Int = 5, adcN: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val genRoot = genDir(indexPath) // one generation end to end
     // STALENESS GUARD: the refresh fold advances PqVersionProp with the
@@ -530,7 +535,7 @@ object AnnIndex {
               col("sc.code").as("code"))
       .join(broadcast(dtab), Seq("q_id", "side", "code"))
       .groupBy(col("q_id"), col("n_id")).agg(sum(col("d_e6")).as("adc"))
-      .withColumn("rn", row_number().over(candW)).where(col("rn") <= 20)
+      .withColumn("rn", row_number().over(candW)).where(col("rn") <= adcN)
       .select(col("q_id"), col("n_id"))
     val vecsIdx = s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(buckets: _*))

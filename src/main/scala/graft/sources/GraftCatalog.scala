@@ -1129,7 +1129,10 @@ private object TextIndexBuildProcedure
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("corpus", org.apache.spark.sql.types.StringType).build(),
-    ProcedureParameter.in("index_path", org.apache.spark.sql.types.StringType).build())
+    ProcedureParameter.in("index_path", org.apache.spark.sql.types.StringType).build(),
+    // optional shard count (0 = derive from corpus tokens) — the
+    // round-12 verdict #2 knob, SQL-reachable
+    ProcedureParameter.in("shards", LongType).defaultValue("0").build())
 
   private def resultSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("n_terms", LongType, nullable = false),
@@ -1137,7 +1140,8 @@ private object TextIndexBuildProcedure
 
   override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
     val res = TextIndex.buildFromStore(org.apache.spark.sql.SparkSession.active,
-      input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+      input.getLong(2).toInt)
     val scan: org.apache.spark.sql.connector.read.Scan =
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = resultSchema

@@ -60,7 +60,52 @@ object TextIndex {
     * the floor the current ratio is compared against. */
   val ImpNdProp = "graft.text.imp_nd"
   val ImpTlProp = "graft.text.imp_tl"
-  private val Shards = 16
+  /** SHARD COUNT AS A BUILD PROPERTY (round-12 verdict #2): the fixed 16
+    * made refresh write-amplification O(corpus) — any realistic delta
+    * touches terms hashing into all 16 buckets, so every refresh rewrote
+    * the whole postings store. The count is now chosen AT BUILD (explicit
+    * arg, or derived from corpus tokens — [[defaultShards]]), persisted
+    * here, and resolved by every probe/refresh from the props (absent =
+    * legacy 16). With shards ∝ corpus, a delta's touched-shard fraction —
+    * and therefore refresh bytes — tracks the DELTA, not the corpus. */
+  val ShardsProp = "graft.text.shards"
+  /** ANALYZER properties (round-12 verdict #6): stopword list (comma-
+    * joined — tokens are space-split so never contain commas) and minimum
+    * token length, resolved IDENTICALLY at build and refresh so the index
+    * is self-describing; probes pick terms from the dictionary, which by
+    * construction only holds analyzer-surviving terms. */
+  val StopProp = "graft.text.stopwords"
+  val MinLenProp = "graft.text.minlen"
+  /** "1" when postings carry per-(doc,term) token POSITIONS (round-12
+    * verdict #4) — the csv `pos` slot phrase/proximity queries read.
+    * Positions index the RAW token stream (analyzer drops leave gaps, the
+    * Lucene convention), so adjacency means textual adjacency. */
+  val PosProp = "graft.text.positions"
+
+  /** Resolved per-index configuration — ONE props read per operation. */
+  private[graft] case class TextConf(shards: Int, stop: Seq[String],
+                                     minLen: Int, positions: Boolean)
+
+  private def confOf(ps: Map[String, String]): TextConf = TextConf(
+    ps.get(ShardsProp).map(_.toInt).getOrElse(16),
+    ps.get(StopProp).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+    ps.get(MinLenProp).map(_.toInt).getOrElse(1),
+    ps.get(PosProp).contains("1"))
+
+  private def confAt(genRoot: String): TextConf = {
+    val tmRoot = new Path(tm(genRoot))
+    confOf(StoreSink.readProps(tmRoot, StoreSink.fs(tmRoot)).toMap)
+  }
+
+  /** Default shard count from corpus size: ~1M postings per shard, power
+    * of two, floor 16 (the legacy count — test corpora stay there), cap
+    * 4096 (beyond that individual shards are still only ~25M rows and
+    * the file-count budget dominates). */
+  private[graft] def defaultShards(tl: Long): Int = {
+    var s = 16
+    while (s < 4096 && tl / s > (1L << 20)) s *= 2
+    s
+  }
 
   /** Test observability: (files planned, candidate files) of the last
     * [[probeTopN]] — pins that impact bounds actually skip files. */
@@ -74,65 +119,94 @@ object TextIndex {
 
   /** The term's shard — hash-based, writer and probe evaluate the SAME
     * Spark expression (never re-implemented driver-side). */
-  private def shardCol(t: org.apache.spark.sql.Column) =
-    concat(lit("b"), pmod(hash(t), lit(Shards)).cast("string"))
+  private def shardCol(t: org.apache.spark.sql.Column, nShards: Int) =
+    concat(lit("b"), pmod(hash(t), lit(nShards)).cast("string"))
 
-  /** q_bm25's tokenizer, verbatim: split-on-space of trimmed lowercase. */
-  private def tokensOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(split(trim(lower(col("text"))), " ")).as("t"))
+  /** q_bm25's tokenizer — split-on-space of trimmed lowercase — plus the
+    * index's analyzer (stopwords / min length) applied AFTER positions
+    * are assigned, so dropped tokens leave position gaps. */
+  private def tokensOf(docs: DataFrame, conf: TextConf): DataFrame = {
+    val raw = docs.select(col("doc_id"),
+      posexplode(split(trim(lower(col("text"))), " ")).as(Seq("p0", "t")))
+    val lenOk = if (conf.minLen > 1) raw.where(length(col("t")) >= conf.minLen)
+                else raw
+    val kept = if (conf.stop.nonEmpty) lenOk.where(!col("t").isin(conf.stop: _*))
+               else lenOk
+    kept.select(col("doc_id"), col("t"), (col("p0") + 1).as("pos"))
+  }
 
-  /** (tf, dlen) of a document set — the index's row ingredients. */
-  private def tfOf(docs: DataFrame): (DataFrame, DataFrame) = {
-    val tf = tokensOf(docs).groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
+  /** (tf, dlen) of a document set — the index's row ingredients; tf
+    * carries the sorted position csv when the index stores positions. */
+  private def tfOf(docs: DataFrame, conf: TextConf): (DataFrame, DataFrame) = {
+    val tok = tokensOf(docs, conf)
+    val tf =
+      if (conf.positions)
+        tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"),
+          expr("array_join(transform(array_sort(collect_list(pos)), x -> cast(x as string)), ',')")
+            .as("pos"))
+      else tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     (tf, tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
   }
 
   /** Build the index from (doc_id, text) rows; stage-then-swap publish.
-    * Returns (n_terms, n_postings). */
+    * Returns (n_terms, n_postings). `shards` = 0 derives the count from
+    * corpus tokens ([[defaultShards]]); `stopwords`/`minLen` configure the
+    * analyzer; `positions` stores per-posting token positions for phrase
+    * queries — all four persist as index properties, so probes and
+    * refresh resolve the index's OWN configuration, never a default. */
   def build(s: SparkSession, docs: DataFrame, indexPath: String,
-            corpusRef: Option[(String, Int)] = None): (Long, Long) = {
+            corpusRef: Option[(String, Int)] = None, shards: Int = 0,
+            stopwords: Seq[String] = Nil, minLen: Int = 1,
+            positions: Boolean = false): (Long, Long) = {
     val gen = IndexGen.next(indexPath)
     val genRoot = s"$indexPath/$gen"
     val plRoot = new Path(pl(genRoot))
     val tmRoot = new Path(tm(genRoot))
     val fsys = StoreSink.fs(plRoot)
-    StoreSink.writeExtras(plRoot, fsys, StoreSink.extrasOf(Seq(
-      StructField("term", StringType), StructField("dl", LongType),
-      StructField("imp", LongType))))
+    val conf0 = TextConf(shards, stopwords, minLen, positions)
+    StoreSink.writeExtras(plRoot, fsys, StoreSink.extrasOf(
+      Seq(StructField("term", StringType), StructField("dl", LongType),
+          StructField("imp", LongType)) ++
+      (if (positions) Seq(StructField("pos", StringType)) else Nil)))
     StoreSink.writeExtras(tmRoot, fsys, StoreSink.extrasOf(Seq(
       StructField("term", StringType))))
     // the manifest records per-file imp min/max (generalized zone stats):
     // that IS the per-file max-impact the top-k probe prunes on
     StoreSink.setProp(pl(genRoot), StoreSink.StatColsProp, "imp")
-    val (tf, dlen) = tfOf(docs)
+    val (tf, dlen) = tfOf(docs, conf0)
     val tfd = tf.join(dlen, "doc_id").localCheckpoint() // one tokenize pass
     // corpus stats resolve BEFORE the postings write: the quantized
     // impact bakes build-time nd/tl in (the WAND-style static score bound)
     val st = dlen.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
       .collect()(0)
     val (nd, tl) = (st.getLong(0), math.max(st.getLong(1), 1L))
+    // shard count fixes HERE — explicit, or scaled to the corpus so the
+    // refresh replace-set granularity tracks data size
+    val nShards = if (shards > 0) shards else defaultShards(tl)
     // IMPACT-ORDERED postings (round-12 verdict #4): `imp` = the e4-
     // quantized tf/dl part of the Okapi kernel (idf excluded — term-
     // independent), and the write RANGE-CLUSTERS on (shard, imp) so each
     // shard's files hold contiguous impact bands — per-file imp zones
     // then bound what any posting in the file can score, and probeTopN
     // stops opening files that cannot reach the running k-th score.
-    tfd.select(col("doc_id").as("k"), shardCol(col("t")).as("grp"),
+    val plCols = Seq(col("doc_id").as("k"),
+        shardCol(col("t"), nShards).as("grp"),
         col("tf").as("amt_cents"), col("t").as("term"), col("dl"),
         expr(s"""cast(round(1e4 * (tf * (1.2 + 1.0))
                 |  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * $nd / cast(${tl}L as double))))
-                |as bigint)""".stripMargin).as("imp"))
+                |as bigint)""".stripMargin).as("imp")) ++
+      (if (positions) Seq(col("pos")) else Nil)
+    tfd.select(plCols: _*)
       .write.format(Fmt).mode("append").option("path", pl(genRoot))
       .option("partitionedBy", "identity:grp")
       // ordered distribution: the planner range-partitions on (shard,
       // imp) so each shard's files are contiguous impact bands — a
       // repartition here would be overridden by the write's required
       // clustering (observed: everything re-collapsed to 1 file/shard)
-      .option("orderedBy", "imp").option("writeTasks", "64").save()
+      .option("orderedBy", "imp")
+      .option("writeTasks", math.max(64, 4 * nShards).toString).save()
     tfd.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .select(xxhash64(col("t")).as("k"), shardCol(col("t")).as("grp"),
+      .select(xxhash64(col("t")).as("k"), shardCol(col("t"), nShards).as("grp"),
         col("df").as("amt_cents"), col("t").as("term"))
       .write.format(Fmt).mode("append").option("path", tm(genRoot))
       .option("partitionedBy", "identity:grp").save()
@@ -140,7 +214,12 @@ object TextIndex {
       val ps = StoreSink.readProps(tmRoot, fsys).toMap ++
         Map(NdProp -> st.getLong(0).toString, TlProp -> st.getLong(1).toString,
             ImpProp -> "1", ImpNdProp -> st.getLong(0).toString,
-            ImpTlProp -> st.getLong(1).toString) ++
+            ImpTlProp -> st.getLong(1).toString,
+            ShardsProp -> nShards.toString) ++
+        (if (stopwords.nonEmpty) Map(StopProp -> stopwords.mkString(","))
+         else Map.empty) ++
+        (if (minLen > 1) Map(MinLenProp -> minLen.toString) else Map.empty) ++
+        (if (positions) Map(PosProp -> "1") else Map.empty) ++
         corpusRef.map(r => CorpusProp -> r._1) ++
         corpusRef.map(r => VersionProp -> r._2.toString)
       StoreSink.writeProps(tmRoot, fsys, ps.toSeq)
@@ -155,11 +234,12 @@ object TextIndex {
   /** Build from a corpus STORE (k = doc_id, trailing `text`), recording
     * provenance so [[refresh]] can fold its change feed. */
   def buildFromStore(s: SparkSession, corpusPath: String,
-                     indexPath: String): (Long, Long) = {
+                     indexPath: String, shards: Int = 0): (Long, Long) = {
     val v = StoreSink.listVersions(new Path(corpusPath),
       StoreSink.fs(new Path(corpusPath))).lastOption.getOrElse(0)
     build(s, s.read.format(Fmt).option("path", corpusPath).load()
-      .select(col("k").as("doc_id"), col("text")), indexPath, Some((corpusPath, v)))
+      .select(col("k").as("doc_id"), col("text")), indexPath,
+      Some((corpusPath, v)), shards = shards)
   }
 
   /** Corpus stats (nd, tl) from the terms store's props — exact integers,
@@ -191,10 +271,11 @@ object TextIndex {
   private def scoreAt(s: SparkSession, genRoot: String,
                       qterms: DataFrame): DataFrame = {
     val (nd, tl) = statsAt(genRoot)
+    val conf = confAt(genRoot) // the index's OWN shard count
     val q = qterms.select(col("t"), col("df")).localCheckpoint() // query-sized
     // driver-side shard list via the WRITER'S OWN expression (never a
     // re-implementation); bounded by |query terms|
-    val shards = q.select(shardCol(col("t")).as("b")).distinct()
+    val shards = q.select(shardCol(col("t"), conf.shards).as("b")).distinct()
       .collect().map(_.getString(0)).toSeq
     val termList = q.select(col("t")).collect().map(_.getString(0)).toSeq
     s.read.format(Fmt).option("path", pl(genRoot)).load()
@@ -246,12 +327,13 @@ object TextIndex {
     val headV = StoreSink.listVersions(new Path(corpus),
       StoreSink.fs(new Path(corpus))).lastOption.getOrElse(0)
     if (headV == fromV) return (0L, 0L)
+    val conf = confOf(props) // the index's own shards/analyzer/positions
     val feed = StoreSink.changes(s, corpus, fromV, Some(headV))
       .select(col("op"), col("k").as("doc_id"), col("text"))
       .localCheckpoint() // CDF-sized: changed rows only
     val changedDocs = feed.select(col("doc_id")).distinct().localCheckpoint()
     def side(op: String): (DataFrame, DataFrame) =
-      tfOf(feed.where(col("op") === op).select(col("doc_id"), col("text")))
+      tfOf(feed.where(col("op") === op).select(col("doc_id"), col("text")), conf)
     val (delTf, delDl) = side("delete")
     val (insTf, insDl) = side("insert")
     val insRows = insTf.join(insDl, "doc_id").localCheckpoint()
@@ -279,8 +361,9 @@ object TextIndex {
       .join(insTf.groupBy(col("t")).agg(count(lit(1)).as("dins")), Seq("t"), "full")
       .na.fill(0L, Seq("ddel", "dins"))
       .localCheckpoint() // changed-vocabulary-sized
-    val touched = dfDelta.select(shardCol(col("t")).as("b")).distinct()
-      .collect().map(_.getString(0)).toSeq // ≤ 16 shards
+    val touched = dfDelta.select(shardCol(col("t"), conf.shards).as("b"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq // ≤ conf.shards, ∝ the delta
     def replaceSet(root: Path): String = StoreSink.readEntries(root, fsys)
       .filter(_.part.exists(p => touched.exists(p.endsWith)))
       .map(_.name).mkString(",")
@@ -313,17 +396,20 @@ object TextIndex {
       val surviving0 = plDf
         .where(col("grp").isin(touched: _*))
         .join(changedDocs.withColumnRenamed("doc_id", "k"), Seq("k"), "left_anti")
+      val posCols = // positional indexes carry the pos slot through
+        if (conf.positions) Seq(col("pos")) else Nil
       val surviving =
         if (plDf.columns.contains("imp"))
-          surviving0.select(col("k"), col("grp"), col("amt_cents"),
-            col("term"), col("dl"), col("imp"))
-        else surviving0.select(col("k"), col("grp"), col("amt_cents"),
-          col("term"), col("dl"), lit(null).cast("long").as("imp"))
+          surviving0.select(Seq(col("k"), col("grp"), col("amt_cents"),
+            col("term"), col("dl"), col("imp")) ++ posCols: _*)
+        else surviving0.select(Seq(col("k"), col("grp"), col("amt_cents"),
+          col("term"), col("dl"), lit(null).cast("long").as("imp")) ++
+          posCols: _*)
       val plWrite = surviving
-        .unionByName(insRows.select(col("doc_id").as("k"),
-          shardCol(col("t")).as("grp"), col("tf").as("amt_cents"),
+        .unionByName(insRows.select(Seq(col("doc_id").as("k"),
+          shardCol(col("t"), conf.shards).as("grp"), col("tf").as("amt_cents"),
           col("t").as("term"), col("dl"),
-          insImp.as("imp")))
+          insImp.as("imp")) ++ posCols: _*))
         .write.format(Fmt).mode("append").option("path", pl(genRoot))
         .option("replace", replaceSet(plRoot))
         .option("preserveMarkers", "true")
@@ -332,7 +418,8 @@ object TextIndex {
       // one file and the per-file bound could no longer discriminate);
       // disarmed rewrites take the plain path — pruning is off anyway
       (if (impArmed)
-         plWrite.option("orderedBy", "imp").option("writeTasks", "16")
+         plWrite.option("orderedBy", "imp")
+           .option("writeTasks", conf.shards.toString)
        else plWrite).save()
       // dictionary rows for the touched shards DERIVED from the
       // just-rewritten postings (df = posting rows per term — (doc, term)
@@ -344,7 +431,8 @@ object TextIndex {
       s.read.format(Fmt).option("path", pl(genRoot)).load()
         .where(col("grp").isin(touched: _*))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .select(xxhash64(col("term")).as("k"), shardCol(col("term")).as("grp"),
+        .select(xxhash64(col("term")).as("k"),
+          shardCol(col("term"), conf.shards).as("grp"),
           col("df").as("amt_cents"), col("term"))
         .write.format(Fmt).mode("append").option("path", tm(genRoot))
         .option("replace", replaceSet(tmRoot))
@@ -393,9 +481,10 @@ object TextIndex {
     val (nd, tl) = statsAt(genRoot)
     val impValid = StoreSink.readProps(tmRoot, fsys).toMap
       .get(ImpProp).contains("1")
+    val conf = confAt(genRoot)
     val qt0 = termsAt(s, genRoot).where(length(col("t")) >= 4)
       .orderBy(col("df").desc, col("t")).limit(1)
-      .select(col("t"), col("df"), shardCol(col("t")).as("b"))
+      .select(col("t"), col("df"), shardCol(col("t"), conf.shards).as("b"))
       .collect().headOption
     if (qt0.isEmpty) { // no scorable term: empty result, like probeTop
       lastTopNFiles = Some((0, 0))
@@ -450,5 +539,47 @@ object TextIndex {
     val kept = theta.fold(ordered)(t => ordered.filter(e => ub(e) >= t))
     lastTopNFiles = Some((kept.size, entries.size))
     scoreFiles(kept).orderBy(col("bm25_e4").desc, col("doc_id")).limit(topk)
+  }
+
+  /** Test observability: shards planned by the last [[probePhrase]] —
+    * pins that a phrase probe still prunes to its terms' shards. */
+  @volatile private[graft] var lastPhraseShards: Option[Int] = None
+
+  /** PHRASE QUERY over POSITIONAL postings (round-12 verdict #4): docs
+    * where `t2` textually follows `t1` (adjacent raw-token positions),
+    * with the per-doc occurrence count. Index-resident and term-pruned:
+    * the two terms' shards are the only planned partitions — positions
+    * decode only for rows of the probed terms, so phrase cost is the two
+    * posting lists, never the corpus (the standard positional-index
+    * contract; Lucene's PhraseQuery shape). Adjacency = positions p in
+    * t1's list with p+1 in t2's — exact even for t1 == t2 (repeated-word
+    * phrases), since positions are distinct by construction. */
+  def probePhrase(s: SparkSession, indexPath: String,
+                  t1: String, t2: String): DataFrame = {
+    val genRoot = IndexGen.dir(indexPath)
+    val conf = confAt(genRoot)
+    require(conf.positions,
+      s"index at $indexPath was built without positions " +
+        s"($PosProp) — phrase queries need a positional build")
+    import s.implicits._
+    // shard list via the writer's own expression over the 2-term frame
+    val shards = Seq(t1, t2).toDF("t")
+      .select(shardCol(col("t"), conf.shards).as("b")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    lastPhraseShards = Some(shards.size)
+    val pl0 = s.read.format(Fmt).option("path", pl(genRoot)).load()
+      .where(col("grp").isin(shards: _*)) // partition pruning = list lookup
+      .where(col("term").isin(t1, t2))
+      .select(col("k").as("doc_id"), col("term"),
+        expr("transform(split(pos, ','), x -> cast(x as int))").as("ps"))
+    val a = pl0.where(col("term") === t1)
+      .select(col("doc_id"), col("ps").as("pa"))
+    val b = pl0.where(col("term") === t2)
+      .select(col("doc_id"), col("ps").as("pb"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"), expr(
+        "cast(size(array_intersect(transform(pa, p -> p + 1), pb)) as bigint)")
+        .as("n_occ"))
+      .where(col("n_occ") > 0)
   }
 }

@@ -202,6 +202,146 @@ class TextIndexSpec extends SparkSpec {
       "orderedBy commits must withdraw the k-sort claim")
   }
 
+  test("shard count is a build property: a 64-shard index refreshes " +
+       "delta-proportionally and equals its 64-shard twin rebuild") {
+    import spark.implicits._
+    val corpus = freshDir("sh64_corpus")
+    val idx = freshDir("sh64_idx")
+    val twin = freshDir("sh64_twin")
+    // 300 docs over a ~45-term vocabulary so most of the 64 shards hold
+    // data and a single changed doc touches only its own terms' shards
+    val big = (1 to 300).map { i =>
+      val words = (0 to 4).map(j => s"term${(i * 7 + j * 3) % 45}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    seedCorpusStore(corpus, big)
+    TextIndex.buildFromStore(spark, corpus, idx, shards = 64)
+    val plRoot = new Path(TextIndex.postingsPath(idx))
+    val tmRoot = new Path(TextIndex.termsPath(idx))
+    assert(StoreSink.readProps(tmRoot, fs).toMap
+      .get(TextIndex.ShardsProp).contains("64"),
+      "the chosen shard count must persist as an index property")
+    val shardsUsed = StoreSink.readEntries(plRoot, fs)
+      .flatMap(_.part).distinct.size
+    assert(shardsUsed > 16, s"a 64-shard build must spread past the " +
+      s"legacy 16 partitions: $shardsUsed")
+    val filesBefore = StoreSink.readEntries(plRoot, fs)
+      .map(e => (e.part.getOrElse("?"), e.name)).toSet
+    // CDC: ONE doc changes — its ≤5 distinct terms bound the touched set
+    new StoreTable(corpus).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 42L)))
+    val (nDocs, nShards) = TextIndex.refresh(spark, idx)
+    assert(nDocs == 1L && nShards >= 1L && nShards <= 5L,
+      s"refresh write-amplification must track the DELTA (≤5 terms' " +
+        s"shards of 64), not the corpus: ($nDocs, $nShards)")
+    // untouched shards carry files by identity — the rewrite is bounded
+    // by the delta's shard set, the point of the scaled count
+    val filesAfter = StoreSink.readEntries(plRoot, fs)
+      .map(e => (e.part.getOrElse("?"), e.name)).toSet
+    val carried = filesBefore.intersect(filesAfter)
+    assert(carried.size >= filesBefore.size - nShards.toInt,
+      s"only touched shards may rewrite: ${filesBefore.size} -> " +
+        s"${carried.size} carried with $nShards touched")
+    // content == a 64-shard twin rebuilt from the head corpus
+    TextIndex.buildFromStore(spark, corpus, twin, shards = 64)
+    val (po1, tm1, st1) = indexContent(idx)
+    val (po2, tm2, st2) = indexContent(twin)
+    assert(st1 == st2 && tm1 == tm2 && po1 == po2,
+      "64-shard refresh must equal the 64-shard rebuild")
+  }
+
+  test("positional postings: phrase probe finds textual adjacency, plans " +
+       "only the terms' shards, and survives refresh; non-positional " +
+       "indexes refuse") {
+    import spark.implicits._
+    val corpus = freshDir("pos_corpus")
+    val idx = freshDir("pos_idx")
+    seedCorpusStore(corpus,
+      docs.unionByName(Seq((6L, "echo echo echo")).toDF("doc_id", "text")))
+    // buildFromStore has no positions knob on purpose (the SQL procedure
+    // stays minimal); build directly with provenance for refresh
+    val v = StoreSink.listVersions(new Path(corpus), fs).lastOption.getOrElse(0)
+    TextIndex.build(spark,
+      spark.read.format(fmt).option("path", corpus).load()
+        .select(col("k").as("doc_id"), col("text")),
+      idx, corpusRef = Some((corpus, v)), positions = true)
+    // adjacency: docs 1 and 3 hold "alpha bravo" adjacent, doc 2 does not
+    TextIndex.lastPhraseShards = None
+    val hits = TextIndex.probePhrase(spark, idx, "alpha", "bravo")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 1L), (3L, 1L)), s"$hits")
+    assert(TextIndex.lastPhraseShards.exists(_ <= 2),
+      "a 2-term phrase must plan at most 2 shards")
+    // both terms present but never adjacent: no rows
+    assert(TextIndex.probePhrase(spark, idx, "common", "here").collect().isEmpty)
+    // repeated-word phrase: distinct positions make the count exact
+    assert(TextIndex.probePhrase(spark, idx, "echo", "echo")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((6L, 2L)))
+    // refresh a positional index: the pos slot carries/recomputes
+    new StoreTable(corpus).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", 1L)))
+    Seq((7L, "d", 0L, "alpha bravo alpha bravo"))
+      .toDF("k", "grp", "amt_cents", "text")
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    TextIndex.refresh(spark, idx)
+    assert(TextIndex.probePhrase(spark, idx, "alpha", "bravo")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((3L, 1L), (7L, 2L)),
+      "refresh must fold positions exactly (doc 1 out, doc 7's 2 occurrences in)")
+    // a default build has no positions — loud refusal, not empty results
+    val plain = freshDir("pos_plain")
+    TextIndex.build(spark, docs, plain)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.probePhrase(spark, plain, "alpha", "bravo")
+    }
+    assert(e.getMessage.contains("positions"))
+  }
+
+  test("analyzer is a build property: stopwords and min length filter the " +
+       "indexed stream, refresh inherits them") {
+    import spark.implicits._
+    val corpus = freshDir("an_corpus")
+    val idx = freshDir("an_idx")
+    val twin = freshDir("an_twin")
+    seedCorpusStore(corpus, docs)
+    val v = StoreSink.listVersions(new Path(corpus), fs).lastOption.getOrElse(0)
+    TextIndex.build(spark,
+      spark.read.format(fmt).option("path", corpus).load()
+        .select(col("k").as("doc_id"), col("text")),
+      idx, corpusRef = Some((corpus, v)),
+      stopwords = Seq("alpha", "words"), minLen = 5)
+    val dict = TextIndex.terms(spark, idx).collect().map(_.getString(0)).toSet
+    assert(!dict.contains("alpha") && !dict.contains("words"),
+      s"stopwords must not enter the dictionary: $dict")
+    assert(dict.forall(_.length >= 5), s"short tokens must drop: $dict")
+    // dl/nd/tl reflect the ANALYZED stream: docs 1-3 keep 2 tokens each
+    // (bravo/common/again survive); doc 4 keeps NONE (zulu/rare/here are
+    // short, the rest stopped) and drops out of nd entirely
+    val (nd, tl) = TextIndex.stats(idx)
+    assert(nd == 3 && tl == 6, s"analyzed stats: ($nd, $tl)")
+    // refresh INHERITS the analyzer: a new doc's stopwords stay out
+    Seq((5L, "d", 0L, "alpha bravo alpha words tiny"))
+      .toDF("k", "grp", "amt_cents", "text")
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    TextIndex.refresh(spark, idx)
+    val dict2 = TextIndex.terms(spark, idx).collect().map(_.getString(0)).toSet
+    assert(!dict2.contains("alpha") && !dict2.contains("tiny"),
+      s"refresh must tokenize with the INDEX'S analyzer: $dict2")
+    // and equals the twin rebuild under the same analyzer
+    val v2 = StoreSink.listVersions(new Path(corpus), fs).lastOption.getOrElse(0)
+    TextIndex.build(spark,
+      spark.read.format(fmt).option("path", corpus).load()
+        .select(col("k").as("doc_id"), col("text")),
+      twin, corpusRef = Some((corpus, v2)),
+      stopwords = Seq("alpha", "words"), minLen = 5)
+    val (po1, tm1, st1) = indexContent(idx)
+    val (po2, tm2, st2) = indexContent(twin)
+    assert(st1 == st2 && tm1 == tm2 && po1 == po2,
+      "analyzed refresh must equal the analyzed rebuild")
+  }
+
   test("rebuild publishes through the generation pointer: old probe " +
        "results until the swap") {
     val idx = freshDir("gen_idx")
