@@ -27,7 +27,9 @@ object Bench {
     // but the frozen 73-entry set never measured
     "q_agg_q1", "q_agg_percentile",                                  // aggregation
     "q_win_running", "q_topk_group", "q_session_batch",              // windows/sessions
-    "q_json_funcs",                                                  // set ops/scalars
+    // q_json_funcs rotated out at round 21 (cheap stable scalar) to price
+    // the √n-stride kmeans training pipeline (round-12 verdict #1/#8)
+    "q_sim_ivf_kmeans",                                              // √n-codebook IVF train+probe (r21)
     "q_dedup_near", "q_dedup_simhash",                               // dedup family
     "q_dedup_embcos",
     // q_sim_topk rotated out at round 20 (cheap stable; the similarity

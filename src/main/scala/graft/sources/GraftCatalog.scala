@@ -68,7 +68,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     * (versions_kept, live_files), not a silent side effect. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    Array("abandon", "analyze", "cherry_pick", "compact", "expire", "history",
+    Array("abandon", "analyze", "cherry_pick", "compact", "compact_if",
+      "expire", "history",
       "index_build", "index_expire", "index_rebuild_if", "index_refresh",
       "publish",
       "publish_all",
@@ -85,6 +86,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "analyze" => AnalyzeProcedure
       case "cherry_pick" => CherryPickProcedure
       case "compact" => CompactProcedure
+      case "compact_if" => CompactIfProcedure
       case "expire" => ExpireProcedure
       case "history" => HistoryProcedure
       case "remove_orphans" => RemoveOrphansProcedure
@@ -925,6 +927,52 @@ private sealed abstract class StoreProcedure(procName: String,
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = resultSchema
         override def rows(): Array[InternalRow] = Array(InternalRow(a, b))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.compact_if(path, target_rows, max_files, max_overlap_e4)` —
+  * trigger-based maintenance (round-12 verdict #5): manifest-only
+  * small-file count + k-zone overlap estimate, then the existing compact
+  * rewrite when either trips (see StoreSink.compactIf). Audit row:
+  * (action, files, overlap_e4, files_after). */
+private object CompactIfProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "compact_if"
+  override def description(): String =
+    "compact when manifest-derived small-file or zone-overlap triggers fire"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("target_rows", LongType).build(),
+    ProcedureParameter.in("max_files", LongType).build(),
+    ProcedureParameter.in("max_overlap_e4", LongType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("action",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("files", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("overlap_e4", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("files_after", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val (action, files, ov, after) = StoreSink.compactIf(
+      org.apache.spark.sql.SparkSession.active,
+      input.getUTF8String(0).toString, input.getLong(1), input.getLong(2),
+      input.getLong(3))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(action),
+          files, ov, after))
       }
     util.Collections.singletonList(scan).iterator()
   }

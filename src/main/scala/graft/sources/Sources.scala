@@ -1377,6 +1377,49 @@ object Sources extends OpModule {
       s.createDataFrame(rows.toSeq.asJava, schema).orderBy(col("v"), col("grp"))
     }),
 
+    // TRIGGER-BASED COMPACTION POLICY (round-12 verdict #5 —
+    // index_rebuild_if's posture for the table store): four full-range
+    // appends leave every file spanning the whole key domain, so the
+    // manifest's k-zone OVERLAP factor (Σ file widths / global width,
+    // e4) reads ~4×10000 — `CALL graft.compact_if` sees it past the
+    // 1.5× threshold and runs the compact rewrite; the second call
+    // measures the healed layout (one file, overlap exactly 10000) and
+    // KEEPS. Both decisions — inputs and actions — are exact manifest
+    // arithmetic the oracle replays from the orders table's own key
+    // bounds. At 100 TB this turns "when do we compact?" from a human
+    // judgement into one manifest read on a schedule.
+    "q_store_compact_policy" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecompactif")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k0"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      // k = 4·k0 + i: each append's zone spans the whole domain (maximal
+      // overlap) while all keys stay distinct across the four appends
+      (0 until 4).foreach { i =>
+        base.select((col("k0") * 4 + i).as("k"), col("grp"), col("amt_cents"))
+          .coalesce(1)
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save()
+      }
+      val big = 1000L * 1000 * 1000 // one output bin at any test tier
+      val r1 = s.sql(s"CALL graft.compact_if('$path', $big, 16, 15000)")
+        .collect()(0)
+      val r2 = s.sql(s"CALL graft.compact_if('$path', $big, 16, 15000)")
+        .collect()(0)
+      val total = s.read.format("graft.sources.StoreSink")
+        .option("path", path).load().count()
+      import s.implicits._
+      Seq(
+        ("c1", r1.getString(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)),
+        ("c2", r2.getString(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)),
+        ("rows", "-", total, 0L, 0L))
+        .toDF("step", "action", "a", "b", "c")
+        .orderBy(col("step"))
+    }),
+
     // OPTIMIZE ZORDER (Hilbert flavor) — 2-D clustering made observable by
     // the manifest's TWO zone columns: a hash-scattered generation prunes
     // nothing on either axis; `CALL graft.zorder` rewrites it clustered by
@@ -3930,6 +3973,22 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'z_fewer_files', '-', 1, 0
         |UNION ALL SELECT 'z_prune_gain', '-', 1, 0
         |ORDER BY v, grp""".stripMargin,
+
+    // decision arithmetic replayed from the orders key bounds: file i of
+    // the 4 appends spans [4·mn+i, 4·mx+i] (width 4D+1, D = mx-mn), the
+    // global zone is 4D+4 wide, so overlap_e4 = (16D+4)·10000 // (4D+4);
+    // post-compact the single file IS the global zone — exactly 10000
+    "q_store_compact_policy" ->
+      """WITH mm AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+        |                   CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+        |ov AS (SELECT CAST(16 * (mx - mn) + 4 AS BIGINT) * 10000
+        |         // CAST(4 * (mx - mn) + 4 AS BIGINT) AS o FROM mm)
+        |SELECT step, action, a, b, c FROM (
+        |  SELECT 'c1' AS step, 'compact' AS action, CAST(4 AS BIGINT) AS a,
+        |         (SELECT o FROM ov) AS b, CAST(1 AS BIGINT) AS c
+        |  UNION ALL SELECT 'c2', 'keep', 1, 10000, 1
+        |  UNION ALL SELECT 'rows', '-', (SELECT 4 * n FROM mm), 0, 0) t
+        |ORDER BY step""".stripMargin,
 
     // content invariant under the 2-D rewrite; the three flags pin what
     // z-ordering is FOR (both axes prunable, amt strictly better than the

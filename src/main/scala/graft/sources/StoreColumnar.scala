@@ -472,6 +472,46 @@ object StoreColumnar extends OpModule {
       }
     }),
 
+    // DICT-BLOCK PREFIX INDEX (round-12 verdict #7): the dictionary skip
+    // extends from eq/IN to LIKE 'p%' — a pushed StringStartsWith whose
+    // prefix matches NO value in a group's dictionary skips the group
+    // after ONE block read (URL encoding is per-character, so the prefix
+    // test runs on at-rest values). The fixture's grp carries a
+    // status×digit suffix so one prefix matches TEN dictionary values —
+    // a real prefix scan, not an equality in disguise — while grp-sorted
+    // groups of the other statuses skip (z_dict_like_skip).
+    "q_store_col_dict_like" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecoldictlike")
+      val fsys = fsOf(s)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      StoreSink.setProp(path, StoreSink.EncodingProp, "columnar")
+      StoreSink.setProp(path, StoreSink.GroupRowsProp, "2000")
+      StoreSink.setProp(path, StoreSink.DictProp, "on")
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          concat(lit("st-"), col("o_orderstatus"), lit("-"),
+                 pmod(col("o_orderkey"), lit(10)).cast("string")).as("grp"),
+          graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+        .repartition(1).sortWithinPartitions(col("grp"), col("k"))
+        .write.format(fmt).mode("append").option("path", path).save()
+      withStorePath(s, path) {
+        val rare = Tables.orders(s, d).groupBy(col("o_orderstatus"))
+          .count().orderBy(col("count"), col("o_orderstatus"))
+          .collect()(0).getString(0)
+        StoreSink.lastColGroups = None
+        val agg = s.table("graft.store")
+          .where(col("grp").like(s"st-$rare-%"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val skipped = StoreSink.lastColGroups.exists { case (r, t) =>
+          r >= 1 && r < t }
+        val rows = agg.toSeq ++ flagRows("z_dict_like_skip" -> skipped)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, summarySchema).orderBy(col("grp"))
+      }
+    }),
+
     // PER-GROUP ZONE STATS (round-12 verdict #1 — the parquet row-group
     // stats shape): multi-group columnar files carry `@slot:min:max`
     // tokens in each group header; a statically-pushed k-range the
@@ -681,6 +721,19 @@ object StoreColumnar extends OpModule {
         |UNION ALL SELECT 'z_dict', 1, 0
         |UNION ALL SELECT 'z_dict_skip', 1, 0
         |UNION ALL SELECT 'z_smaller', 1, 0
+        |ORDER BY grp""".stripMargin,
+
+    "q_store_col_dict_like" ->
+      """WITH base AS (
+        |  SELECT 'st-' || o_orderstatus || '-' ||
+        |      CAST(o_orderkey % 10 AS VARCHAR) AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |rare AS (SELECT o_orderstatus AS s FROM orders
+        |         GROUP BY 1 ORDER BY COUNT(*), 1 LIMIT 1)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM base WHERE grp LIKE 'st-' || (SELECT s FROM rare) || '-%'
+        |GROUP BY grp
+        |UNION ALL SELECT 'z_dict_like_skip', 1, 0
         |ORDER BY grp""".stripMargin,
 
     "q_store_col_group_zone" ->

@@ -2122,6 +2122,43 @@ object StoreSink {
       cluster = "morton:" + cols.mkString(","))
   }
 
+  /** TRIGGER-BASED MAINTENANCE (round-12 verdict #5 — index_rebuild_if's
+    * posture applied to the table store): decide from the MANIFEST ALONE
+    * whether the table needs compacting —
+    *  - small-file pressure: live row-bearing file count past `maxFiles`;
+    *  - clustering drift: the k-zone OVERLAP factor, Σ per-file zone
+    *    widths / global zone width in e4 units (10000 = disjoint zones;
+    *    n×10000 means a typical key is covered by ~n files, so every
+    *    range read opens ~n× the bytes it needs).
+    * Either trigger fires → the existing [[compact]] rewrite (range
+    * clustering restores disjoint zones and merges small files in the
+    * same pass). The decision costs one manifest read — at 100 TB
+    * somebody must decide WHEN to compact after weeks of CDC appends,
+    * and this makes it a policy instead of a human. Returns (action,
+    * files, overlap_e4, files_after); stat-less legacy manifests read as
+    * overlap 10000 (no evidence of drift → only the file-count trigger
+    * applies). */
+  def compactIf(spark: SparkSession, pathStr: String, targetRows: Long,
+                maxFiles: Long, maxOverlapE4: Long): (String, Long, Long, Long) = {
+    val root = new Path(pathStr)
+    val entries = readEntries(root, fs(root)).filter(_.rows > 0)
+    val nFiles = entries.size.toLong
+    val zones = entries.flatMap(e => e.minK.zip(e.maxK))
+    val overlapE4 =
+      if (zones.isEmpty) 10000L
+      else {
+        // BigInt: Σ widths over a petabyte manifest overflows a Long
+        val g = BigInt(zones.map(_._2).max) - BigInt(zones.map(_._1).min) + 1
+        val widths = zones.map { case (mn, mx) =>
+          BigInt(mx) - BigInt(mn) + 1 }.sum
+        (widths * 10000 / g).toLong
+      }
+    if (nFiles > maxFiles || overlapE4 > maxOverlapE4) {
+      val (_, after) = compact(spark, pathStr, targetRows)
+      ("compact", nFiles, overlapE4, after.toLong)
+    } else ("keep", nFiles, overlapE4, nFiles)
+  }
+
   /** PARTIAL compaction: only files whose zones overlap [lo, hi] are
     * rewritten (None = unbounded); everything else carries over by name.
     * This is the maintenance shape that matters at 100 TB — a CDC-heavy
@@ -5070,6 +5107,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
   // string twin (13th field): equality/range/prefix bounds on trailing
   // string columns, compared against truncated-prefix file stats
   private var strBounds: Seq[(String, Option[String], Option[String])] = Nil
+  private var strPrefixes: Seq[(String, String)] = Nil
 
   /** Trailing bigint columns — every one is a POTENTIAL stat column: a
     * predicate on it prunes exactly the files whose manifest lines carry a
@@ -5315,6 +5353,16 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
       val (lo, hi) = strColBounds(filters, c)
       if (lo.isDefined || hi.isDefined) Some((c, lo, hi)) else None
     }
+    // LIKE-prefix literals for the dictionary pre-check (round-12 verdict
+    // #7): a group whose dictionary holds NO value starting with a pushed
+    // prefix cannot satisfy `col LIKE 'p%'` on any row — sound because
+    // every filter returns residual below. grp included: dict blocks
+    // encode any qualifying string slot.
+    strPrefixes = filters.toSeq.collect {
+      case org.apache.spark.sql.sources.StringStartsWith(c, p)
+          if p.nonEmpty && (c == "grp" || trailingStrCols.contains(c)) =>
+        (c, p)
+    }
     kNullPred = filters.collectFirst {
       case IsNull("k") => true
       case IsNotNull("k") => false
@@ -5349,7 +5397,7 @@ private class StoreScanBuilder(pathStr: String, version: Option[Int] = None,
     else new StoreScan(pathStr, kLo, kHi, version, required, grpConjuncts,
       explicitFiles, table, grpValues, kValues, branch, aLo, aHi, limitN,
       maxFilesPerTrigger, statBounds, strBounds, topNDesc, topNNullsFirst,
-      kNullPred, offsetN)
+      kNullPred, offsetN, strPrefixes)
 }
 
 /** Metadata-answered aggregate scan: the values were computed at pushdown
@@ -5437,7 +5485,8 @@ private class StoreScan(pathStr: String,
                         topNDesc: Option[Boolean] = None,
                         topNNullsFirst: Boolean = false,
                         kNullPred: Option[Boolean] = None,
-                        offsetN: Option[Int] = None)
+                        offsetN: Option[Int] = None,
+                        strPrefixes: Seq[(String, String)] = Nil)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -5921,7 +5970,8 @@ private class StoreScan(pathStr: String,
       strBounds.collect { case (c, Some(lo), Some(hi)) if lo == hi =>
         (c, Seq(lo)) }
     StoreReaderFactory(required, table,
-      layout.physTypes, layout.physDefaults, layout.proj, gBounds, gStrSets)
+      layout.physTypes, layout.physDefaults, layout.proj, gBounds, gStrSets,
+      strPrefixes)
   }
 
   /** Streaming READ: tail the manifest as an offset log. The manifest is
@@ -6101,7 +6151,8 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
                                       physDefaults: Array[Any] = null,
                                       proj: Array[Int] = null,
                                       gBounds: Seq[(String, Option[Long], Option[Long])] = Nil,
-                                      gStrSets: Seq[(String, Seq[String])] = Nil)
+                                      gStrSets: Seq[(String, Seq[String])] = Nil,
+                                      gStrPrefixes: Seq[(String, String)] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[StoreFilePartition]
@@ -6183,6 +6234,19 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
             else None
           case _ => None
         }.toArray
+        // LIKE-'p%' dictionary pre-checks (round-12 verdict #7): URL
+        // encoding is per-character, so encoded(x).startsWith(encoded(p))
+        // iff x.startsWith(p) — the prefix test runs on at-rest values.
+        // Each pushed prefix is an independent conjunct: a dictionary
+        // with no value under it fails every row of the group.
+        val dictPrefixChecks: Array[(Int, String)] = gStrPrefixes.flatMap {
+          case (n, p) if p.nonEmpty && table.fieldNames.contains(n) =>
+            val s = slotOf(table.fieldIndex(n))
+            if (s >= 0 && s < types.length && types(s) == StringType)
+              Some((s, java.net.URLEncoder.encode(p, "UTF-8")))
+            else None
+          case _ => None
+        }.toArray
         new PartitionReader[InternalRow] {
           private var gi = -1
           private var gRows = 0
@@ -6196,23 +6260,28 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
           // blocks decoded by the CURRENT group's dict pre-check — reused
           // by readColBlocks when the group survives (read-once)
           private var preRead: Map[Int, StoreSink.ColValues] = Map.empty
+          private def dictBlock(h: StoreSink.ColHeader, s: Int): StoreSink.ColValues =
+            preRead.getOrElse(s, {
+              val x = StoreSink.readOneBlock(rawIn, h, s)
+              preRead += s -> x; x
+            })
           private def groupExcluded(h: StoreSink.ColHeader): Boolean =
             skipBounds.exists { case (s, lo, hi) =>
               h.gstats.get(s).exists { case (mn, mx) => mx < lo || mn > hi }
             } || (dictChecks.nonEmpty && dictChecks.exists { case (s, vs) =>
-              h.isDict(s) && {
-                val b = preRead.getOrElse(s, {
-                  val x = StoreSink.readOneBlock(rawIn, h, s)
-                  preRead += s -> x; x
-                })
-                b.dictValues.exists(d => !vs.exists(d.contains))
-              }
-            })
+              h.isDict(s) &&
+                dictBlock(h, s).dictValues.exists(d => !vs.exists(d.contains))
+            }) || (dictPrefixChecks.nonEmpty &&
+              dictPrefixChecks.exists { case (s, p) =>
+                h.isDict(s) &&
+                  dictBlock(h, s).dictValues.exists(d => !d.exists(_.startsWith(p)))
+              })
           private def loadGroup(): Boolean = {
             gi += 1
             preRead = Map.empty
             while (gi < groups.length &&
-                   (skipBounds.nonEmpty || dictChecks.nonEmpty) &&
+                   (skipBounds.nonEmpty || dictChecks.nonEmpty ||
+                    dictPrefixChecks.nonEmpty) &&
                    part.skipRows == 0L && groupExcluded(groups(gi))) {
               // every row of this group fails a pushed predicate: skip its
               // blocks entirely, but ordinals are FILE-wide — advance past

@@ -93,7 +93,8 @@ class GraftCatalogSpec extends SparkSpec {
       val cat = spark.sessionState.catalogManager.catalog("graft")
         .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       assert(cat.listProcedures(Array.empty).map(_.name()).sorted.toSeq ==
-        Seq("abandon", "analyze", "cherry_pick", "compact", "expire",
+        Seq("abandon", "analyze", "cherry_pick", "compact", "compact_if",
+          "expire",
           "history", "index_build", "index_expire", "index_rebuild_if",
           "index_refresh",
           "publish", "publish_all", "remove_orphans", "repartition_spec",

@@ -306,6 +306,20 @@ class StoreColumnarSpec extends SparkSpec {
     assert(n2 == 100, s"$n2")
     val (r, t) = StoreSink.lastColGroups.get
     assert(t == 3 && r == 1, s"dictionary pre-check must skip groups: $r of $t")
+    // LIKE-'p%' rides the same one-block pre-check (round-12 verdict #7):
+    // 'region-2%' matches nothing in groups 0/1's dictionaries — skipped;
+    // a prefix matching EVERY group ('region-%') skips nothing
+    StoreSink.lastColGroups = None
+    val nLike = spark.read.format(fmt).option("path", dir).load()
+      .where(col("grp").like("region-2%")).count()
+    assert(nLike == 100, s"$nLike")
+    val (rl, tl) = StoreSink.lastColGroups.get
+    assert(tl == 3 && rl == 1, s"prefix pre-check must skip groups: $rl of $tl")
+    StoreSink.lastColGroups = None
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .where(col("grp").like("region-%")).count() == 300)
+    assert(StoreSink.lastColGroups.get._1 == 3,
+      "an all-matching prefix must not skip anything")
     // masks stay ordinal-correct over dict blocks
     withStore(dir) {
       spark.sql("DELETE FROM graft.store WHERE k IN (5, 150, 250)")
