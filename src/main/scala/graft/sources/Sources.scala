@@ -3828,7 +3828,8 @@ object Sources extends OpModule {
       s"""WITH e_all AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE LIST_SUM(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) > 0),
          |e AS (SELECT vec_id, embedding FROM e_all WHERE vec_id % 89 <> 0),
-         |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id % 199 = 0),
+         |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e
+         |       WHERE vec_id % ${graft.ops.TrainingOps.strideSql("e")} = 0),
          |a1 AS (SELECT n_id, n_emb, bucket FROM (
          |    SELECT e.vec_id AS n_id, e.embedding AS n_emb, sd.c_id AS bucket,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id

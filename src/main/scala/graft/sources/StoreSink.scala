@@ -2151,7 +2151,13 @@ object StoreSink {
         val g = BigInt(zones.map(_._2).max) - BigInt(zones.map(_._1).min) + 1
         val widths = zones.map { case (mn, mx) =>
           BigInt(mx) - BigInt(mn) + 1 }.sum
-        (widths * 10000 / g).toLong
+        // a row-bearing file WITHOUT zones gives no evidence of its span:
+        // count it as covering the whole global zone rather than silently
+        // dropping it — a partially-legacy manifest must not read as
+        // healthy (review catch); fully stat-less manifests keep the
+        // no-evidence 10000 baseline above
+        val statless = nFiles - zones.size
+        ((widths + g * statless) * 10000 / g).toLong
       }
     if (nFiles > maxFiles || overlapE4 > maxOverlapE4) {
       val (_, after) = compact(spark, pathStr, targetRows)

@@ -70,7 +70,8 @@ object TextIndex {
     * and therefore refresh bytes — tracks the DELTA, not the corpus. */
   val ShardsProp = "graft.text.shards"
   /** ANALYZER properties (round-12 verdict #6): stopword list (comma-
-    * joined — tokens are space-split so never contain commas) and minimum
+    * joined at rest — build REFUSES comma-containing stopwords, which
+    * would silently re-split into different words at refresh) and minimum
     * token length, resolved IDENTICALLY at build and refresh so the index
     * is self-describing; probes pick terms from the dictionary, which by
     * construction only holds analyzer-surviving terms. */
@@ -158,6 +159,11 @@ object TextIndex {
             corpusRef: Option[(String, Int)] = None, shards: Int = 0,
             stopwords: Seq[String] = Nil, minLen: Int = 1,
             positions: Boolean = false): (Long, Long) = {
+    // the list round-trips through a comma-joined property: a stopword
+    // containing a comma would PARSE BACK as two different words at
+    // refresh — silent build/refresh drift; refuse loudly (review catch)
+    require(stopwords.forall(w => w.nonEmpty && !w.contains(",")),
+      s"stopwords must be non-empty and comma-free: $stopwords")
     val gen = IndexGen.next(indexPath)
     val genRoot = s"$indexPath/$gen"
     val plRoot = new Path(pl(genRoot))
@@ -270,8 +276,11 @@ object TextIndex {
 
   private def scoreAt(s: SparkSession, genRoot: String,
                       qterms: DataFrame): DataFrame = {
-    val (nd, tl) = statsAt(genRoot)
-    val conf = confAt(genRoot) // the index's OWN shard count
+    // ONE props read: stats and the shard count from the same snapshot
+    val tmR = new Path(tm(genRoot))
+    val props = StoreSink.readProps(tmR, StoreSink.fs(tmR)).toMap
+    val (nd, tl) = (props(NdProp).toLong, props(TlProp).toLong)
+    val conf = confOf(props) // the index's OWN shard count
     val q = qterms.select(col("t"), col("df")).localCheckpoint() // query-sized
     // driver-side shard list via the WRITER'S OWN expression (never a
     // re-implementation); bounded by |query terms|
@@ -419,7 +428,12 @@ object TextIndex {
       // disarmed rewrites take the plain path — pruning is off anyway
       (if (impArmed)
          plWrite.option("orderedBy", "imp")
-           .option("writeTasks", conf.shards.toString)
+           // task count scales with the TOUCHED set (4 impact bands per
+           // touched shard, the build's banding density), never the full
+           // shard count — a 4096-shard index taking a 2-shard delta must
+           // not schedule 4096 near-empty ordered tasks (review catch)
+           .option("writeTasks",
+             math.max(16, math.min(conf.shards, 4 * touched.size)).toString)
        else plWrite).save()
       // dictionary rows for the touched shards DERIVED from the
       // just-rewritten postings (df = posting rows per term — (doc, term)
@@ -478,10 +492,14 @@ object TextIndex {
     // props read lands inside the rewrite window itself).
     val plRoot = new Path(pl(genRoot))
     val allEntries = StoreSink.readEntries(plRoot, fsys)
-    val (nd, tl) = statsAt(genRoot)
-    val impValid = StoreSink.readProps(tmRoot, fsys).toMap
-      .get(ImpProp).contains("1")
-    val conf = confAt(genRoot)
+    // ONE props read after the entries: nd/tl, the armed flag, and the
+    // conf must come from the SAME snapshot — three separate reads were
+    // their own torn surface (a refresh landing between them could pair
+    // old stats with a new armed flag — review catch)
+    val props = StoreSink.readProps(tmRoot, fsys).toMap
+    val (nd, tl) = (props(NdProp).toLong, props(TlProp).toLong)
+    val impValid = props.get(ImpProp).contains("1")
+    val conf = confOf(props)
     val qt0 = termsAt(s, genRoot).where(length(col("t")) >= 4)
       .orderBy(col("df").desc, col("t")).limit(1)
       .select(col("t"), col("df"), shardCol(col("t"), conf.shards).as("b"))
