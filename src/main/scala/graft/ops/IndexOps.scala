@@ -457,6 +457,63 @@ object IndexOps extends OpModule {
         .orderBy(col("bm25_e4").desc, col("doc_id"))
     }),
 
+    // SPARSE-INDEX REBUILD POLICY — the arming lifecycle closed: a
+    // CDC batch inserts a doc FAR longer than average, so the corpus
+    // nd/tl ratio DROPS and the policy's internal refresh DISARMS the
+    // impact bound (stored impacts can under-bound, top-k early
+    // termination is off); `CALL graft.text_index_rebuild_if` sees the
+    // disarmed flag and REBUILDS under the index's own persisted
+    // configuration — re-quantizing every posting at the current ratio
+    // re-arms the bound, and the post-rebuild probeTopN prunes files
+    // again (z_pruned). A second call folds nothing and KEEPS. The
+    // oracle replays the head-corpus top-k closed form (the mega-doc
+    // reproduced via TRIM(REPEAT(...))) plus the three decision flags.
+    "q_text_index_policy" -> ((s, d) => graft.sources.Sources.withGraftCatalog(s) {
+      val ti = graft.sources.TextIndex
+      val corpus = tmpIdx(d, "tipcorpus")
+      val idx = tmpIdx(d, "tipidx")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(corpus), true)
+      fsys.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val (act1, act2, pruned, top) = graft.sources.Sources.withStorePath(s, corpus) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN text STRING")
+        docs.select(col("doc_id").as("k"), lit("d").as("grp"),
+            lit(0L).as("amt_cents"), col("text"))
+          .repartitionByRange(4, col("k"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save()
+        s.sql(s"CALL graft.text_index_build('$corpus', '$idx')").collect()
+        // a 400-token doc: far above any tier's average length, so the
+        // refresh inside the policy call sees the ratio drop and disarms
+        import s.implicits._
+        Seq((maxId + 1, "d", 0L, ("filler " * 400).trim))
+          .toDF("k", "grp", "amt_cents", "text")
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save()
+        val r1 = s.sql(s"CALL graft.text_index_rebuild_if('$idx')").collect()(0)
+        ti.lastTopNFiles = None
+        val t = ti.probeTopN(s, idx, topk = 10).collect()
+        val p = ti.lastTopNFiles.exists { case (pl, tt) => pl >= 1 && pl < tt }
+        val r2 = s.sql(s"CALL graft.text_index_rebuild_if('$idx')").collect()(0)
+        (r1.getString(0), r2.getString(0), p, t)
+      }
+      val rows = top.toSeq ++ Seq(
+        org.apache.spark.sql.Row(-1L, if (pruned) 1L else 0L),
+        org.apache.spark.sql.Row(-2L, if (act1 == "rebuild") 1L else 0L),
+        org.apache.spark.sql.Row(-3L, if (act2 == "keep") 1L else 0L))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bm25_e4",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+        .orderBy(col("bm25_e4").desc, col("doc_id"))
+    }),
+
     // AGE-MARGINED GENERATION GC (round-12 verdict #6, driven through
     // SQL): a rebuild supersedes gen-1, `CALL graft.index_expire` with a
     // margin keeps the just-superseded generation alive for in-flight
@@ -837,6 +894,38 @@ object IndexOps extends OpModule {
         |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(sc) AS BIGINT) AS bm25_e4
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25_e4 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the policy's observable: post-rebuild top-k == the head-corpus
+    // (documents + the 400-token mega-doc) single-term closed form, with
+    // the pruned/rebuild/keep decisions as flags — all deterministic
+    "q_text_index_policy" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT (SELECT MAX(doc_id) FROM documents) + 1,
+        |         TRIM(REPEAT('filler ', 400))),
+        |tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t FROM docs),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qt AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+        |       ORDER BY df DESC, t LIMIT 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT) AS bm25_e4
+        |  FROM tf JOIN qt USING (t) JOIN dlen USING (doc_id), stats)
+        |SELECT doc_id, bm25_e4 FROM (
+        |  SELECT doc_id, bm25_e4 FROM sc
+        |  ORDER BY bm25_e4 DESC, doc_id LIMIT 10) t
+        |UNION ALL SELECT -1, 1
+        |UNION ALL SELECT -2, 1
+        |UNION ALL SELECT -3, 1
+        |ORDER BY bm25_e4 DESC, doc_id""".stripMargin,
 
     // post-refresh probe == full recompute over the HEAD corpus state
     // (retired range gone, shifted copies present) — what "incremental

@@ -74,7 +74,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       "publish",
       "publish_all",
       "remove_orphans", "repartition_spec", "rollback", "tag",
-      "text_index_build", "text_index_refresh", "txn_recover",
+      "text_index_build", "text_index_rebuild_if", "text_index_refresh",
+      "txn_recover",
       "zorder", "zorder_by", "vacuum").map(Identifier.of(Array.empty, _))
   }
 
@@ -98,6 +99,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "index_refresh" => IndexRefreshProcedure
       case "index_rebuild_if" => IndexRebuildIfProcedure
       case "text_index_build" => TextIndexBuildProcedure
+      case "text_index_rebuild_if" => TextIndexRebuildIfProcedure
       case "text_index_refresh" => TextIndexRefreshProcedure
       case "publish" => PublishProcedure
       case "rollback" => RollbackProcedure
@@ -1194,6 +1196,45 @@ private object TextIndexBuildProcedure
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = resultSchema
         override def rows(): Array[InternalRow] = Array(InternalRow(res._1, res._2))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.text_index_rebuild_if(index_path)` — fold pending corpus
+  * changes, then rebuild IFF the refresh left the impact bound DISARMED
+  * (only a rebuild re-arms top-k early termination); see
+  * TextIndex.rebuildIf. Audit: (action, armed_before, postings_after). */
+private object TextIndexRebuildIfProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "text_index_rebuild_if"
+  override def description(): String =
+    "rebuild a persisted BM25 index when refresh disarmed its impact bound"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("index_path", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("action",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("armed_before", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("postings_after", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val (action, armed, after) = TextIndex.rebuildIf(
+      org.apache.spark.sql.SparkSession.active, input.getUTF8String(0).toString)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(action),
+          armed, after))
       }
     util.Collections.singletonList(scan).iterator()
   }

@@ -559,6 +559,37 @@ object TextIndex {
     scoreFiles(kept).orderBy(col("bm25_e4").desc, col("doc_id")).limit(topk)
   }
 
+  /** REBUILD POLICY for the sparse index (round-11's AnnIndex.rebuildIf
+    * posture, sparse edition — closing the arming lifecycle): fold any
+    * pending corpus changes, then rebuild IFF the impact bound came out
+    * DISARMED — a ratio-dropping refresh turned top-k early termination
+    * off, and only a full rebuild (re-quantizing every posting at the
+    * current nd/tl) can re-arm it. The rebuild REUSES the index's own
+    * persisted configuration (shards / analyzer / positions) and corpus
+    * provenance, and publishes atomically through the generation
+    * pointer. Returns (action, armed_before, postings_after). At 100 TB
+    * this is the scheduled job that keeps interactive top-k fast after
+    * corpora drift long — a policy tick, not a human watching a flag. */
+  def rebuildIf(s: SparkSession, indexPath: String): (String, Long, Long) = {
+    refresh(s, indexPath) // maintenance ordering: fold the feed first
+    val genRoot = IndexGen.dir(indexPath)
+    val tmRoot = new Path(tm(genRoot))
+    val props = StoreSink.readProps(tmRoot, StoreSink.fs(tmRoot)).toMap
+    if (props.get(ImpProp).contains("1")) return ("keep", 1L, 0L)
+    val conf = confOf(props)
+    val corpus = props.getOrElse(CorpusProp, throw new IllegalStateException(
+      s"index at $indexPath has no corpus provenance — policy needs one"))
+    val v = StoreSink.listVersions(new Path(corpus),
+      StoreSink.fs(new Path(corpus))).lastOption.getOrElse(0)
+    val (_, nPl) = build(s,
+      s.read.format(Fmt).option("path", corpus).load()
+        .select(col("k").as("doc_id"), col("text")),
+      indexPath, Some((corpus, v)), shards = conf.shards,
+      stopwords = conf.stop, minLen = conf.minLen,
+      positions = conf.positions)
+    ("rebuild", 0L, nPl)
+  }
+
   /** Test observability: shards planned by the last [[probePhrase]] —
     * pins that a phrase probe still prunes to its terms' shards. */
   @volatile private[graft] var lastPhraseShards: Option[Int] = None

@@ -98,7 +98,8 @@ class GraftCatalogSpec extends SparkSpec {
           "history", "index_build", "index_expire", "index_rebuild_if",
           "index_refresh",
           "publish", "publish_all", "remove_orphans", "repartition_spec",
-          "rollback", "tag", "text_index_build", "text_index_refresh",
+          "rollback", "tag", "text_index_build", "text_index_rebuild_if",
+          "text_index_refresh",
           "txn_recover", "vacuum", "zorder", "zorder_by"))
       intercept[Exception] { spark.sql("CALL graft.nope(1)") }
       val dir = "target/tmp/catalog_spec_proc"
