@@ -317,19 +317,23 @@ object IndexOps extends OpModule {
       val ti = graft.sources.TextIndex
       ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")),
         idx, positions = true)
-      val top = Tables.documents(s, d)
-        .select(split(trim(lower(col("text"))), " ").as("toks"))
-        .select(explode(expr(
-          """case when size(toks) < 2 then array()
-            |else transform(sequence(0, size(toks) - 2),
-            |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
-            |end""".stripMargin)).as("pr"))
-        .where(length(element_at(split(col("pr"), " "), 1)) >= 4 &&
-               length(element_at(split(col("pr"), " "), 2)) >= 4)
-        .groupBy(col("pr")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("pr")).limit(1)
-        .collect()(0).getString(0).split(" ", 2)
+      val top = topBigram(s, d)
       ti.probePhrase(s, idx, top(0), top(1)).orderBy(col("doc_id"))
+    }),
+
+    // PROXIMITY QUERY (the sloppy-phrase generalization): the same two
+    // terms probed with slop = 3 — `t2` anywhere within 3 raw-token
+    // positions after `t1` counts (distinct qualifying t1 positions).
+    // Strictly a superset of the exact phrase's matches; same two-shard
+    // pruning, same posting-list-bounded cost — the Lucene sloppy
+    // PhraseQuery shape on the persisted artifact.
+    "q_bm25_prox" -> ((s, d) => {
+      val idx = tmpIdx(d, "prox")
+      val ti = graft.sources.TextIndex
+      ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")),
+        idx, positions = true)
+      val top = topBigram(s, d)
+      ti.probePhrase(s, idx, top(0), top(1), slop = 3).orderBy(col("doc_id"))
     }),
 
     // ANALYZER AS A BUILD PROPERTY (round-12 verdict #6): stopwords +
@@ -720,6 +724,23 @@ object IndexOps extends OpModule {
        |    FROM ${p}e CROSS JOIN ${p}c1) t WHERE arn = 1)""".stripMargin
   }
 
+  /** Query formulation shared by the phrase/proximity probes: the
+    * corpus's most frequent adjacent pair of len≥4 tokens (deterministic
+    * tie-break) — one scan + a pair aggregate, bounded output. */
+  private def topBigram(s: SparkSession, d: String): Array[String] =
+    Tables.documents(s, d)
+      .select(split(trim(lower(col("text"))), " ").as("toks"))
+      .select(explode(expr(
+        """case when size(toks) < 2 then array()
+          |else transform(sequence(0, size(toks) - 2),
+          |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
+          |end""".stripMargin)).as("pr"))
+      .where(length(element_at(split(col("pr"), " "), 1)) >= 4 &&
+             length(element_at(split(col("pr"), " "), 2)) >= 4)
+      .groupBy(col("pr")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pr")).limit(1)
+      .collect()(0).getString(0).split(" ", 2)
+
   /** kmeans-cell replay composed with q_sim_pq's code/ADC chain — cells,
     * codes, candidates, and the re-ranked top-5 all reproduce; `adcN`
     * parameterizes the ADC candidate cut (20 = the default probe, 100 =
@@ -868,6 +889,32 @@ object IndexOps extends OpModule {
         |SELECT bf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM bf JOIN top ON bf.pr = top.pr
         |GROUP BY bf.doc_id ORDER BY bf.doc_id""".stripMargin,
+
+    // proximity closed form: same top bigram, matches counted as
+    // DISTINCT t1 positions with a t2 within (p, p+3] — the index-side
+    // filter/exists over position lists, replayed relationally
+    "q_bm25_prox" ->
+      """WITH tk AS (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ts
+        |            FROM documents),
+        |tp AS (SELECT doc_id, UNNEST(ts) AS t,
+        |              generate_subscripts(ts, 1) AS p FROM tk),
+        |bp AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(
+        |         RANGE(0, GREATEST(LEN(ts) - 1, 0)),
+        |         j -> ts[CAST(j + 1 AS INT)] || ' ' || ts[CAST(j + 2 AS INT)])) AS pr
+        |       FROM tk),
+        |bf AS (SELECT doc_id, pr FROM bp
+        |       WHERE LEN(STRING_SPLIT(pr, ' ')[1]) >= 4
+        |         AND LEN(STRING_SPLIT(pr, ' ')[2]) >= 4),
+        |top AS (SELECT STRING_SPLIT(pr, ' ')[1] AS w1,
+        |               STRING_SPLIT(pr, ' ')[2] AS w2
+        |        FROM (SELECT pr, COUNT(*) AS c FROM bf GROUP BY pr
+        |              ORDER BY c DESC, pr LIMIT 1) t)
+        |SELECT a.doc_id, CAST(COUNT(DISTINCT a.p) AS BIGINT) AS n_occ
+        |FROM tp a JOIN tp b ON a.doc_id = b.doc_id
+        |  AND b.p > a.p AND b.p <= a.p + 3
+        |CROSS JOIN top
+        |WHERE a.t = top.w1 AND b.t = top.w2
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     // the analyzer serialized as literals (the LSH-seed technique):
     // stopwords + min length filter the token stream BEFORE tf/df/dl/

@@ -274,6 +274,13 @@ class TextIndexSpec extends SparkSpec {
       "a 2-term phrase must plan at most 2 shards")
     // both terms present but never adjacent: no rows
     assert(TextIndex.probePhrase(spark, idx, "common", "here").collect().isEmpty)
+    // ...but within slop 2 they match: doc 1 "common words here" (gap 2)
+    // and doc 2 "common words again here" stays out until slop 3
+    assert(TextIndex.probePhrase(spark, idx, "common", "here", slop = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L)))
+    assert(TextIndex.probePhrase(spark, idx, "common", "here", slop = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L)))
     // repeated-word phrase: distinct positions make the count exact
     assert(TextIndex.probePhrase(spark, idx, "echo", "echo")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((6L, 2L)))
