@@ -206,11 +206,19 @@ object AnnIndex {
   private def pl(genRoot: String) = s"$genRoot/postings"
 
   /** Non-zero-norm vectors of a corpus STORE (k = vec_id, trailing `emb` =
-    * comma-joined float literals), shaped like TrainingOps.nzEmbeddings. */
-  private[graft] def nzOfStore(s: SparkSession, corpusPath: String): DataFrame =
-    nzOf(s.read.format(Fmt).option("path", corpusPath).load()
+    * comma-joined float literals), shaped like TrainingOps.nzEmbeddings.
+    * `at` pins the read to an archived version — build paths pass the
+    * version they are about to RECORD as provenance, so a concurrent
+    * append can never be indexed-but-unrecorded (the refresh would
+    * re-fold it and double-count; the TextIndex.rebuildIf review catch,
+    * applied to the dense family's identical pattern). */
+  private[graft] def nzOfStore(s: SparkSession, corpusPath: String,
+                               at: Option[Int] = None): DataFrame = {
+    val rd = s.read.format(Fmt).option("path", corpusPath)
+    nzOf(at.fold(rd)(v => rd.option("atVersion", v.toString)).load()
       .select(col("k").as("vec_id"),
         expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding")))
+  }
 
   private def nzOf(vecs: DataFrame): DataFrame = {
     graft.functions.FloatDot.register(vecs.sparkSession)
@@ -352,9 +360,10 @@ object AnnIndex {
     * (corpus path, corpus version) so [[refresh]] can fold its change feed. */
   def buildFromStore(s: SparkSession, corpusPath: String,
                      indexPath: String): (Long, Long) = {
-    val v = StoreSink.listVersions(new Path(corpusPath),
-      StoreSink.fs(new Path(corpusPath))).lastOption.getOrElse(0)
-    buildFrom(s, nzOfStore(s, corpusPath), indexPath, Some((corpusPath, v)))
+    val vs = StoreSink.listVersions(new Path(corpusPath),
+      StoreSink.fs(new Path(corpusPath)))
+    buildFrom(s, nzOfStore(s, corpusPath, vs.lastOption), indexPath,
+      Some((corpusPath, vs.lastOption.getOrElse(0))))
   }
 
   /** Probe the persisted index: queries' nprobe nearest cells, exact cosine

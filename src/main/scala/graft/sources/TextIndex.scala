@@ -241,11 +241,11 @@ object TextIndex {
     * provenance so [[refresh]] can fold its change feed. */
   def buildFromStore(s: SparkSession, corpusPath: String,
                      indexPath: String, shards: Int = 0): (Long, Long) = {
-    val v = StoreSink.listVersions(new Path(corpusPath),
-      StoreSink.fs(new Path(corpusPath))).lastOption.getOrElse(0)
-    build(s, s.read.format(Fmt).option("path", corpusPath).load()
-      .select(col("k").as("doc_id"), col("text")), indexPath,
-      Some((corpusPath, v)), shards = shards)
+    val vs = StoreSink.listVersions(new Path(corpusPath),
+      StoreSink.fs(new Path(corpusPath)))
+    // pinned at the recorded version — the rebuildIf race, same fix
+    build(s, corpusReadAt(s, corpusPath, vs), indexPath,
+      Some((corpusPath, vs.lastOption.getOrElse(0))), shards = shards)
   }
 
   /** Corpus stats (nd, tl) from the terms store's props — exact integers,
@@ -571,23 +571,60 @@ object TextIndex {
     * this is the scheduled job that keeps interactive top-k fast after
     * corpora drift long — a policy tick, not a human watching a flag. */
   def rebuildIf(s: SparkSession, indexPath: String): (String, Long, Long) = {
-    refresh(s, indexPath) // maintenance ordering: fold the feed first
-    val genRoot = IndexGen.dir(indexPath)
-    val tmRoot = new Path(tm(genRoot))
-    val props = StoreSink.readProps(tmRoot, StoreSink.fs(tmRoot)).toMap
-    if (props.get(ImpProp).contains("1")) return ("keep", 1L, 0L)
+    val genRoot0 = IndexGen.dir(indexPath)
+    val tmRoot0 = new Path(tm(genRoot0))
+    val props0 = StoreSink.readProps(tmRoot0, StoreSink.fs(tmRoot0)).toMap
+    val armed0 = props0.get(ImpProp).contains("1")
+    // an ALREADY-disarmed index skips the fold: the rebuild reads the
+    // corpus head anyway, so refreshing first would rewrite delta shards
+    // into a generation about to be superseded — all of it dead on
+    // arrival (review catch)
+    val props =
+      if (armed0) {
+        refresh(s, indexPath) // fold the feed — a ratio drop disarms here
+        val g = IndexGen.dir(indexPath)
+        val r = new Path(tm(g))
+        StoreSink.readProps(r, StoreSink.fs(r)).toMap
+      } else props0
+    if (props.get(ImpProp).contains("1")) {
+      // keep: report the LIVE posting count from the manifest — an audit
+      // row claiming 0 postings for a healthy index misleads monitoring
+      // (review catch); cost is one manifest read, no data bytes
+      val plR = new Path(pl(IndexGen.dir(indexPath)))
+      val n = StoreSink.readEntries(plR, StoreSink.fs(plR))
+        .map(e => math.max(e.rows, 0L)).sum
+      return ("keep", 1L, n)
+    }
     val conf = confOf(props)
     val corpus = props.getOrElse(CorpusProp, throw new IllegalStateException(
       s"index at $indexPath has no corpus provenance — policy needs one"))
-    val v = StoreSink.listVersions(new Path(corpus),
-      StoreSink.fs(new Path(corpus))).lastOption.getOrElse(0)
-    val (_, nPl) = build(s,
-      s.read.format(Fmt).option("path", corpus).load()
-        .select(col("k").as("doc_id"), col("text")),
-      indexPath, Some((corpus, v)), shards = conf.shards,
+    val vs = StoreSink.listVersions(new Path(corpus),
+      StoreSink.fs(new Path(corpus)))
+    // read PINNED at the listed version: an append racing the rebuild
+    // would otherwise get INDEXED (the unpinned read resolves head) but
+    // not RECORDED in VersionProp — the next refresh then re-folds it
+    // and nd/tl double-count, silently skewing every score (review
+    // catch). The shard count RE-DERIVES from the rebuilt corpus
+    // (shards = 0): the rebuild is the one moment resharding is free,
+    // and pinning the build-time count would erode the shards-∝-corpus
+    // contract; analyzer/positions are genuine configuration and carry.
+    val (_, nPl) = build(s, corpusReadAt(s, corpus, vs), indexPath,
+      Some((corpus, vs.lastOption.getOrElse(0))),
       stopwords = conf.stop, minLen = conf.minLen,
       positions = conf.positions)
-    ("rebuild", 0L, nPl)
+    ("rebuild", if (armed0) 1L else 0L, nPl)
+  }
+
+  /** The (doc_id, text) view of a corpus store PINNED at its latest
+    * listed version — the snapshot the caller is about to record as
+    * provenance. Pinning closes the race where a concurrent append gets
+    * indexed but not recorded (an uncommitted store has no versions to
+    * pin — read as-is, provenance 0). */
+  private def corpusReadAt(s: SparkSession, corpus: String,
+                           vs: Seq[Int]): DataFrame = {
+    val rd = s.read.format(Fmt).option("path", corpus)
+    vs.lastOption.fold(rd)(v => rd.option("atVersion", v.toString)).load()
+      .select(col("k").as("doc_id"), col("text"))
   }
 
   /** Test observability: shards planned by the last [[probePhrase]] —
@@ -611,7 +648,10 @@ object TextIndex {
     require(conf.positions,
       s"index at $indexPath was built without positions " +
         s"($PosProp) — phrase queries need a positional build")
-    require(slop >= 1, s"slop must be >= 1: $slop")
+    // the window test runs in int position space — an unbounded slop
+    // would wrap p + slop negative and silently match nothing (review
+    // catch); 1e6 positions is far past any document
+    require(slop >= 1 && slop <= 1000000, s"slop must be in [1, 1e6]: $slop")
     import s.implicits._
     // shard list via the writer's own expression over the 2-term frame
     val shards = Seq(t1, t2).toDF("t")
