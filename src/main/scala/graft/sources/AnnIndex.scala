@@ -423,14 +423,17 @@ object AnnIndex {
     // re-encode, never a table a probe is reading
     buildPqAt(s, nzOf(embeddings), genDir(indexPath))
 
-  /** Build the PQ leg from the index's own corpus store provenance. */
+  /** Build the PQ leg from the index's own corpus store provenance,
+    * read PINNED at the version the coarse index recorded — the codes
+    * must reflect exactly the postings' snapshot or the next refresh
+    * re-folds rows the codes already hold (the rebuildIf race class). */
   def buildPqFromStore(s: SparkSession, indexPath: String): (Long, Long) = {
     val genRoot = genDir(indexPath)
-    val corpus = StoreSink.readProps(new Path(cb(genRoot)),
-        StoreSink.fs(new Path(cb(genRoot)))).toMap
-      .getOrElse(CorpusProp, throw new IllegalStateException(
-        s"index at $indexPath has no corpus provenance — build PQ from a DataFrame"))
-    buildPqAt(s, nzOfStore(s, corpus), genRoot)
+    val ps = StoreSink.readProps(new Path(cb(genRoot)),
+      StoreSink.fs(new Path(cb(genRoot)))).toMap
+    val corpus = ps.getOrElse(CorpusProp, throw new IllegalStateException(
+      s"index at $indexPath has no corpus provenance — build PQ from a DataFrame"))
+    buildPqAt(s, nzOfStore(s, corpus, ps.get(VersionProp).map(_.toInt)), genRoot)
   }
 
   private def buildPqAt(s: SparkSession, nz: DataFrame,
