@@ -73,6 +73,25 @@ object IndexOps extends OpModule {
       AnnIndex.probe(s, queries, idx).orderBy(col("q_id"), col("rn"))
     }),
 
+    // FILTERED ANN SEARCH — "nearest neighbors WHERE label = 3", the
+    // predicate+vector query every production vector store serves. The
+    // filter attribute is PERSISTED IN THE POSTINGS at build (the
+    // amt_cents slot — the store's second zone column, so files whose
+    // [minA,maxA] exclude the value prune from the manifest alone), and
+    // the probe evaluates it index-resident: cell pruning plans nprobe
+    // partitions, the pushed equality drops non-matching candidates
+    // before ranking, and the corpus never opens. Post-filter-within-
+    // probed-cells semantics — the standard IVF filtered-search trade
+    // (matches outside probed cells are the recall cost; nprobe is the
+    // dial). At 100 TB: probe cost is nprobe lists × filter selectivity.
+    "q_sim_ivf_filtered" -> ((s, d) => {
+      val idx = tmpIdx(d, "simivfflt")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx, Some("label"))
+      val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+      AnnIndex.probeFiltered(s, queries, idx, 3L)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // EMBEDDING-SPACE HEALTH — the QA pass a corpus runs BEFORE indexing:
     // norm distribution (zero/degenerate vectors, scale drift) and the
     // anisotropy proxy ‖mean vector‖ / mean ‖vector‖ — a high ratio means
@@ -838,6 +857,28 @@ object IndexOps extends OpModule {
 
     // probing the persisted index == the retrain-per-query pipeline
     "q_sim_ivf_indexed" -> TrainingOps.simIvfKmeansOracle,
+
+    // the same training replay, candidates restricted by the persisted
+    // metadata attribute BEFORE ranking (post-filter within probed cells)
+    "q_sim_ivf_filtered" -> {
+      val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
+      val cosQN = cosQ("f.q_emb", "f.n_emb")
+      s"""WITH $trainReplayCtes,
+         |pr AS (SELECT q_id, q_emb, bucket FROM (
+         |    SELECT q.q_id, q.q_emb, c1.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQC1 DESC, c1.c_id) AS prn
+         |    FROM q CROSS JOIN c1) t WHERE prn <= 2),
+         |fcand AS (SELECT pr.q_id, pr.q_emb, asg.n_id, asg.n_emb
+         |  FROM asg JOIN pr ON asg.bucket = pr.bucket
+         |  JOIN embeddings lb ON lb.vec_id = asg.n_id AND lb.label = 3)
+         |SELECT q_id, n_id, CAST(ROUND(score * 10000) AS INTEGER) AS score_e4, rn FROM (
+         |  SELECT f.q_id, f.n_id, $cosQN AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY f.q_id
+         |      ORDER BY $cosQN DESC, f.n_id) AS INTEGER) AS rn
+         |  FROM fcand f) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
 
     // the persisted sparse index == the per-query tf/df recompute —
     // q_bm25's oracle SHARED verbatim (the dense family's contract)

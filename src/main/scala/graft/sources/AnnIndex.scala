@@ -302,9 +302,17 @@ object AnnIndex {
   /** Build the index from `nz` (vec_id, embedding, nrm): train the codebook,
     * assign every vector, persist both store tables. Returns
     * (n_centroids, n_postings). `corpusRef` records provenance for refresh
-    * (the corpus store path + the version the postings reflect). */
+    * (the corpus store path + the version the postings reflect). `attr`
+    * names an integer metadata column of `nz` to persist INSIDE the
+    * postings (the amt_cents slot, unused — 0 — on plain builds): the
+    * filtered-search attribute every production vector store carries
+    * alongside its vectors, so [[probeFiltered]] never has to join the
+    * corpus to evaluate its predicate. The slot is the store's SECOND
+    * ZONE COLUMN, so the attribute gets manifest min/max file pruning
+    * for free on top of the cell pruning. */
   private def buildFrom(s: SparkSession, nz: DataFrame, indexPath: String,
-                        corpusRef: Option[(String, Int)]): (Long, Long) = {
+                        corpusRef: Option[(String, Int)],
+                        attr: Option[String] = None): (Long, Long) = {
     // STAGE-THEN-SWAP: the whole generation is written aside and published
     // by one atomic pointer write — a concurrent probe reads the previous
     // generation until the swap, the new one after, never a torn index
@@ -325,9 +333,18 @@ object AnnIndex {
       .write.format(Fmt).mode("append").option("path", cb(genRoot)).save()
     val vecs = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                          col("nrm").as("n_nrm"))
-    graft.ops.TrainingOps.assign(vecs, centroidsOf(trained))
+    val assigned = graft.ops.TrainingOps.assign(vecs, centroidsOf(trained))
+    // attribute join-back: assign() normalizes its output shape, so the
+    // metadata column rides back on vec_id — a build-time equi-join, never
+    // paid at probe time (the attribute then lives inside the posting row)
+    val withAttr = attr.fold(assigned.withColumn("attr_v", lit(0L))) { c =>
+      assigned.join(
+        nz.select(col("vec_id").as("n_id"), col(c).cast("long").as("attr_v")),
+        "n_id")
+    }
+    withAttr
       .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
-        lit(0L).as("amt_cents"), col("n_emb").as("emb")) // farr: native array
+        col("attr_v").as("amt_cents"), col("n_emb").as("emb")) // farr: native array
       .write.format(Fmt).mode("append").option("path", pl(genRoot))
       .option("partitionedBy", "identity:grp").save()
     corpusRef.foreach { case (path, v) =>
@@ -352,9 +369,13 @@ object AnnIndex {
     (nCb, nPl)
   }
 
-  /** Build from a raw embeddings table (the sf-dir parquet). */
-  def build(s: SparkSession, embeddings: DataFrame, indexPath: String): (Long, Long) =
-    buildFrom(s, nzOf(embeddings), indexPath, None)
+  /** Build from a raw embeddings table (the sf-dir parquet). `attrCol`
+    * optionally names an integer metadata column to persist in the
+    * postings for [[probeFiltered]] (vector stores call this the
+    * filterable payload attribute). */
+  def build(s: SparkSession, embeddings: DataFrame, indexPath: String,
+            attrCol: Option[String] = None): (Long, Long) =
+    buildFrom(s, nzOf(embeddings), indexPath, None, attrCol)
 
   /** Build from a corpus STORE (k = vec_id, emb = float CSV), recording
     * (corpus path, corpus version) so [[refresh]] can fold its change feed. */
@@ -373,7 +394,28 @@ object AnnIndex {
     * those partitions — at any corpus size the probe reads nprobe lists per
     * query, never the table. Output shape = q_sim_ivf_kmeans. */
   def probe(s: SparkSession, queries: DataFrame, indexPath: String,
-            nprobe: Int = 2, topk: Int = 5): DataFrame = {
+            nprobe: Int = 2, topk: Int = 5): DataFrame =
+    probeImpl(s, queries, indexPath, nprobe, topk, None)
+
+  /** FILTERED ANN SEARCH — the predicate leg every production vector
+    * store exposes (Qdrant/Milvus/Vespa "filtered search", FAISS
+    * IDSelector): rank only vectors whose stored metadata attribute
+    * equals `attrEq`. The filter is evaluated against the attribute
+    * PERSISTED IN THE POSTINGS at build ([[build]]'s `attrCol`), so the
+    * probe stays index-resident — no corpus join — and the predicate is
+    * a pushed amt_cents equality: the store's second zone column prunes
+    * whole posting FILES whose [minA, maxA] excludes the value, on top
+    * of cell-level partition pruning. Semantics are post-filter WITHIN
+    * the probed cells (candidates drop before ranking, so top-k is over
+    * matching vectors — a match outside the probed cells is missed,
+    * exactly the recall trade every IVF filtered search makes; widen
+    * nprobe to buy it back). */
+  def probeFiltered(s: SparkSession, queries: DataFrame, indexPath: String,
+                    attrEq: Long, nprobe: Int = 2, topk: Int = 5): DataFrame =
+    probeImpl(s, queries, indexPath, nprobe, topk, Some(attrEq))
+
+  private def probeImpl(s: SparkSession, queries: DataFrame, indexPath: String,
+                        nprobe: Int, topk: Int, attrEq: Option[Long]): DataFrame = {
     val genRoot = genDir(indexPath) // one generation for the whole probe
     val cents = codebookAt(s, genRoot)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
@@ -389,8 +431,9 @@ object AnnIndex {
       .localCheckpoint() // bounded: |queries| × nprobe
     val buckets = probes.select(col("bucket")).distinct()
       .collect().map(_.getLong(0).toString).toSeq
-    val cand = s.read.format(Fmt).option("path", pl(genRoot)).load()
+    val scanned = s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(buckets: _*)) // partition pruning = list lookup
+    val cand = attrEq.fold(scanned)(v => scanned.where(col("amt_cents") === v))
       .select(col("k").as("n_id"), col("grp").cast("long").as("bucket"),
         col("emb").as("n_emb")) // farr decodes once in the reader
       .withColumn("n_nrm", sqrt(expr("graft_float_dot(n_emb, n_emb)")))

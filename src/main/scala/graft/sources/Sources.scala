@@ -1924,6 +1924,44 @@ object Sources extends OpModule {
     // pre-evolution file carries over BY NAME, still 3-wide (spec-pinned).
     // At 100 TB this is why evolution must be metadata-only: an
     // ALTER that rewrote files would be a full-table write.
+    // SCHEMA MERGE ON WRITE (`option("mergeSchema","true")` — Delta's
+    // auto-evolution knob under this store's add-TRAILING discipline): a
+    // WIDER append registers its extra trailing columns as new id'd slots
+    // itself — no separate ALTER — then stages rows under the merged
+    // layout; a second identically-shaped merge write is a metadata
+    // no-op. Old files never rewrite (short rows decode the new columns
+    // as NULL), so at 100 TB auto-evolution costs one sidecar write
+    // under the commit lock, never a data pass. The analyzer's arity
+    // check stands down only for the opted-in write (ACCEPT_ANY_SCHEMA
+    // granted per-resolution), and the builder re-validates the prefix
+    // positionally — stricter than what it replaced.
+    "q_store_schema_merge" -> ((s, d) => {
+      val path = tmp(d, "storeschmerge")
+      val (base, maxK) = seedStore(s, d, path) // v1: 3-column generation
+      base.where(pmod(col("k"), lit(101)) === 0)
+        .select((col("k") + maxK + 1).as("k"), lit("NEW").as("grp"),
+                (col("k") * 10).as("amt_cents"),
+                concat(lit("m"), col("k").cast("string")).as("note"),
+                pmod(col("k"), lit(7)).as("score"))
+        .write.format("graft.sources.StoreSink").mode("append")
+        .option("path", path).option("mergeSchema", "true").save()
+      // same SHAPE again on different keys: the merge is a metadata
+      // no-op and the rows append under the already-merged layout
+      base.where(pmod(col("k"), lit(103)) === 0)
+        .select((col("k") + 2 * (maxK + 1)).as("k"), lit("NEW2").as("grp"),
+                (col("k") * 11).as("amt_cents"),
+                concat(lit("p"), col("k").cast("string")).as("note"),
+                pmod(col("k"), lit(5)).as("score"))
+        .write.format("graft.sources.StoreSink").mode("append")
+        .option("path", path).option("mergeSchema", "true").save()
+      s.read.format("graft.sources.StoreSink").option("path", path).load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"),
+             count(col("note")).as("n_note"), max(col("note")).as("max_note"),
+             sum(col("score")).as("sum_score"))
+        .orderBy(col("grp"))
+    }),
+
     "q_store_evolve" -> ((s, d) => withGraftCatalog(s) {
       val path = tmp(d, "storeevolve")
       val (base, maxK) = seedStore(s, d, path) // v1: 3-column generation
@@ -4296,6 +4334,30 @@ object Sources extends OpModule {
 
     // evolution applied relationally: old rows read NULL in the new
     // column; the UPDATE's +5 reaches exactly the note-carrying rows
+    // auto-evolved trailing columns applied relationally: seed rows read
+    // the merged columns as NULL, both merge batches carry them
+    "q_store_schema_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |mx AS (SELECT MAX(k) AS maxk FROM base),
+        |ins1 AS (SELECT k + mx.maxk + 1 AS k, 'NEW' AS grp, k * 10 AS amt,
+        |          'm' || CAST(k AS VARCHAR) AS note, k % 7 AS score
+        |        FROM base, mx WHERE k % 101 = 0),
+        |ins2 AS (SELECT k + 2 * (mx.maxk + 1) AS k, 'NEW2' AS grp,
+        |          k * 11 AS amt, 'p' || CAST(k AS VARCHAR) AS note,
+        |          k % 5 AS score
+        |        FROM base, mx WHERE k % 103 = 0),
+        |allr AS (
+        |  SELECT k, grp, amt, CAST(NULL AS VARCHAR) AS note,
+        |    CAST(NULL AS BIGINT) AS score FROM base
+        |  UNION ALL SELECT k, grp, amt, note, score FROM ins1
+        |  UNION ALL SELECT k, grp, amt, note, score FROM ins2)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents,
+        |  COUNT(note) AS n_note, MAX(note) AS max_note,
+        |  CAST(SUM(score) AS BIGINT) AS sum_score
+        |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
+
     "q_store_evolve" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS grp,

@@ -130,7 +130,13 @@ class StoreSink extends TableProvider {
         Option(properties.get("startingVersion")).map(_.toInt))
     else new StoreTable(properties.get("path"),
       Option(properties.get("atVersion")).map(_.toInt),
-      requested = partitioning)
+      requested = partitioning,
+      // SCHEMA MERGE ON WRITE: the option must lift Spark's write-arity
+      // check (ACCEPT_ANY_SCHEMA) at TABLE resolution — the analyzer
+      // rejects a wider DataFrame before any write builder runs
+      // otherwise; the builder then re-validates the prefix itself and
+      // registers the new trailing slots (see mergeWriteSchema)
+      mergeCap = "true".equalsIgnoreCase(properties.get("mergeSchema")))
 }
 
 object StoreSink {
@@ -301,6 +307,68 @@ object StoreSink {
   private[sources] def writeExtras(root: Path, fsys: FileSystem,
                                    extras: Seq[ExtraField]): Unit =
     writeExtrasFile(new Path(root, SchemaFile), fsys, extras)
+
+  /** SCHEMA MERGE ON WRITE (`option("mergeSchema", "true")` — the Delta
+    * auto-evolution contract, constrained to this store's add-TRAILING
+    * rule): an append whose DataFrame is WIDER than the table
+    * auto-registers the extra trailing columns as new id'd slots before
+    * any row is staged, exactly as `ALTER TABLE ... ADD COLUMN` would
+    * have. Because the option lifts Spark's own arity check
+    * (ACCEPT_ANY_SCHEMA), this helper re-validates STRICTLY:
+    *  - the first live-width fields must match the live projection by
+    *    position — names case-insensitively, types exactly (mergeSchema
+    *    never reorders, renames, drops or retypes);
+    *  - every new field must be a supported trailing type
+    *    (int|bigint|string|farr) — the same domain ALTER accepts.
+    * Runs under the commit lock: two racing merge-writes serialize, the
+    * second seeing the first's columns (same names+types → its tail is
+    * empty and the merge is a no-op; a type conflict refuses loudly).
+    * Old files never rewrite — short rows decode the new columns as
+    * NULL, the store's standing evolution contract. */
+  private[sources] def mergeWriteSchema(pathStr: String,
+                                        incoming: StructType): Unit = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    def sameType(a: DataType, b: DataType): Boolean =
+      a == b || (isFarr(a) && isFarr(b))
+    withCommitLock(root, fsys) {
+      val extras = readExtras(root, fsys)
+      val liveF: Seq[(String, DataType)] =
+        schema.fields.map(f => (f.name, f.dataType)).toSeq ++
+          extras.filterNot(_.dropped).map(e => (e.name, e.dataType))
+      require(incoming.fields.length >= liveF.length,
+        s"mergeSchema write is NARROWER than the table (" +
+          s"${incoming.fields.length} < ${liveF.length} columns) — " +
+          "mergeSchema only ADDS trailing columns")
+      liveF.zipWithIndex.foreach { case ((n, t), i) =>
+        val f = incoming.fields(i)
+        require(f.name.equalsIgnoreCase(n),
+          s"mergeSchema write column $i is ${f.name}, table has $n — " +
+            "the existing projection must match by position")
+        require(sameType(f.dataType, t),
+          s"mergeSchema write column ${f.name} is ${f.dataType.simpleString}, " +
+            s"table has ${t.simpleString} — use ALTER COLUMN TYPE to widen")
+      }
+      var cur = extras
+      incoming.fields.drop(liveF.length).foreach { f =>
+        val dt = f.dataType match {
+          case LongType | StringType | IntegerType => f.dataType
+          case t if isFarr(t) => FloatArrayType
+          case t => throw new IllegalArgumentException(
+            s"mergeSchema cannot add column ${f.name} of type " +
+              s"${t.simpleString} (int|bigint|string|farr only)")
+        }
+        val liveNames = (schema.fields.map(_.name) ++
+          cur.filterNot(_.dropped).map(_.name))
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        require(!liveNames(f.name.toLowerCase(java.util.Locale.ROOT)),
+          s"mergeSchema duplicate new column: ${f.name}")
+        val nextId = (3 +: cur.map(_.id)).max + 1
+        cur = cur :+ ExtraField(nextId, f.name, dt, None)
+      }
+      if (cur != extras) writeExtras(root, fsys, cur)
+    }
+  }
 
   private[sources] def writeExtrasFile(sf: Path, fsys: FileSystem,
                                        extras: Seq[ExtraField]): Unit = {
@@ -3571,7 +3639,8 @@ object StoreSink {
 private class StoreTable(pathStr: String, version: Option[Int] = None,
                          requested: Array[Transform] = Array.empty,
                          viaCatalog: Boolean = false,
-                         branchView: Option[String] = None)
+                         branchView: Option[String] = None,
+                         mergeCap: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns
@@ -3835,12 +3904,21 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
         case (f, _) => f
       })
     else tblSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps =
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
                     TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
                     TableCapability.MICRO_BATCH_READ,
                     TableCapability.OVERWRITE_DYNAMIC,
                     TableCapability.OVERWRITE_BY_FILTER)
+    // mergeSchema writes carry columns the table does not know yet — the
+    // analyzer's arity check must stand down; the write builder performs
+    // the STRICTER validation itself (positional prefix + typed trailing
+    // adds) in mergeWriteSchema, so this never weakens a plain write
+    // (the capability is granted only when the option was passed)
+    if (mergeCap) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(pathStr, version,
@@ -4498,7 +4576,19 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
           case None => Array.empty
         }
-      override def toBatch: BatchWrite =
+      override def toBatch: BatchWrite = {
+        // SCHEMA MERGE ON WRITE: register any new trailing columns BEFORE
+        // the writer factory resolves the layout (it reads the sidecar at
+        // factory construction, after this point). Plain append/truncate
+        // only — branch (publish-time visibility), replaceWhere and
+        // dynamic overwrite each interleave schema state with data state
+        // in ways a silent merge would make ambiguous; loud over subtle.
+        if (info.options().getBoolean("mergeSchema", false)) {
+          require(info.options().get("branch") == null &&
+              replaceWhere.isEmpty && !doDynamic,
+            "mergeSchema composes with plain append/truncate writes only")
+          StoreSink.mergeWriteSchema(pathStr, info.schema())
+        }
         new StoreBatchWrite(pathStr, info.queryId(),
           // dynamic overwrite of an UNPARTITIONED store degrades to a
           // full overwrite — no partition exists to scope the replacement
@@ -4510,6 +4600,7 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
           dynamic = doDynamic && spec.isDefined,
           replaceWhere = replaceWhere,
           orderedByCol = orderedBy)
+      }
       override def toStreaming: StreamingWrite = {
         require(!doTruncate && !doDynamic && replaceWhere.isEmpty,
           "graft-store streaming write is append-only (no Complete-mode truncate)")

@@ -188,6 +188,44 @@ class AnnIndexSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "compaction must not change probe results")
   }
 
+  test("filtered probe: the attribute persists inside the postings, the " +
+       "equality applies index-resident before ranking, and planning " +
+       "stays cell-pruned") {
+    val idx = freshDir("filtered_idx")
+    import spark.implicits._
+    // metadata attribute = vec_id parity, persisted at build
+    val vecs = clusteredCorpus
+      .withColumn("label", pmod(col("vec_id"), lit(2)).cast("int"))
+    AnnIndex.build(spark, vecs, idx, Some("label"))
+    val posted = spark.read.format(fmt)
+      .option("path", AnnIndex.postingsPath(idx)).load()
+      .select(col("k"), col("amt_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(posted.nonEmpty && posted.forall { case (k, a) => a == k % 2 },
+      s"postings must carry the attribute in the amt slot: ${posted.toSeq}")
+    val q = Seq((9000L, Array(1.0f, 0.05f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+    StoreSink.lastZonePrune = None
+    val got = AnnIndex.probeFiltered(spark, q, idx, 1L, nprobe = 1, topk = 3)
+      .collect()
+    // cluster A holds ids 0..9; only the odd ones may rank
+    assert(got.length == 3 &&
+        got.forall(r => r.getLong(1) % 2 == 1 && r.getLong(1) <= 9),
+      s"filtered probe must rank odd-labeled cluster-A vectors only: ${got.toSeq}")
+    val (cand, kept) = StoreSink.lastZonePrune.get
+    assert(cand == 2 && kept <= 1,
+      s"filtered probe must still plan only the probed cell: kept $kept of $cand")
+    // the filtered set is NOT post-filtered top-k: an unfiltered top-3 of
+    // this query is the three nearest overall (0,1,2) — only one odd
+    val plain = AnnIndex.probe(spark, q, idx, nprobe = 1, topk = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.map(_.getLong(1)).toSet != plain,
+      "filtered ranking must differ from filtering the unfiltered top-k")
+    // an attribute value absent from the index returns empty, loudly-not
+    assert(AnnIndex.probeFiltered(spark, q, idx, 7L, nprobe = 2, topk = 3)
+      .collect().isEmpty)
+  }
+
   test("refresh refuses an index built without corpus provenance") {
     val idx = freshDir("noprov_idx")
     import spark.implicits._

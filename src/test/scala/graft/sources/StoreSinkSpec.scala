@@ -2150,4 +2150,75 @@ class StoreSinkSpec extends SparkSpec {
       (k.toLong, "s", k * 100L + (if (k % 10 == 0) 5L else 0L))
     }.toSet, "delta UPDATE content drifted")
   }
+
+  test("mergeSchema append auto-registers trailing columns; old rows read " +
+       "NULL; a same-shape second merge is a metadata no-op") {
+    val dir = freshDir("mergeschema")
+    df(1 to 20, "s").write.format(fmt).mode("overwrite")
+      .option("path", dir).save()
+    import spark.implicits._
+    Seq((100L, "w", 1L, "note-a", 7L), (101L, "w", 2L, "note-b", 8L))
+      .toDF("k", "grp", "amt_cents", "note", "score")
+      .write.format(fmt).mode("append").option("path", dir)
+      .option("mergeSchema", "true").save()
+    val schemaAfter = StoreSink.readExtras(new Path(dir), fs)
+    assert(schemaAfter.map(e => (e.id, e.name)) == Seq((4, "note"), (5, "score")),
+      s"merge must register id'd trailing slots: $schemaAfter")
+    val all = spark.read.format(fmt).option("path", dir).load()
+    assert(all.columns.toSeq == Seq("k", "grp", "amt_cents", "note", "score"))
+    assert(all.where(col("k") === 100L).select(col("note"), col("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("note-a", 7L)))
+    assert(all.where(col("k") <= 20L && col("note").isNull).count() == 20,
+      "pre-merge rows must decode the merged columns as NULL")
+    // second merge write, same shape: no new slots, rows land
+    Seq((102L, "w", 3L, "note-c", 9L))
+      .toDF("k", "grp", "amt_cents", "note", "score")
+      .write.format(fmt).mode("append").option("path", dir)
+      .option("mergeSchema", "true").save()
+    assert(StoreSink.readExtras(new Path(dir), fs) == schemaAfter,
+      "an already-merged shape must not touch the schema sidecar")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 23)
+  }
+
+  test("mergeSchema validates strictly: narrower refuses, prefix type " +
+       "conflict refuses, and WITHOUT the option a wider append still " +
+       "fails Spark's arity check") {
+    val dir = freshDir("mergeschema_neg")
+    df(1 to 10, "s").write.format(fmt).mode("overwrite")
+      .option("path", dir).save()
+    import spark.implicits._
+    // no option → the analyzer's TOO_MANY_DATA_COLUMNS still stands
+    val wide = Seq((50L, "w", 1L, "x")).toDF("k", "grp", "amt_cents", "note")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      wide.write.format(fmt).mode("append").option("path", dir).save()
+    }
+    assert(e1.getMessage.contains("TOO_MANY_DATA_COLUMNS") ||
+           e1.getMessage.contains("too many data columns"), e1.getMessage)
+    // narrower than the table refuses loudly (merge only ADDS)
+    val e2 = intercept[Exception] {
+      Seq((50L, "w")).toDF("k", "grp")
+        .write.format(fmt).mode("append").option("path", dir)
+        .option("mergeSchema", "true").save()
+    }
+    assert(e2.getMessage.contains("NARROWER"), e2.getMessage)
+    // a prefix type conflict refuses (mergeSchema never retypes)
+    val e3 = intercept[Exception] {
+      Seq(("a", "w", 1L)).toDF("k", "grp", "amt_cents")
+        .write.format(fmt).mode("append").option("path", dir)
+        .option("mergeSchema", "true").save()
+    }
+    assert(e3.getMessage.contains("ALTER COLUMN TYPE"), e3.getMessage)
+    // an unsupported trailing type refuses
+    val e4 = intercept[Exception] {
+      Seq((50L, "w", 1L, 0.5)).toDF("k", "grp", "amt_cents", "ratio")
+        .write.format(fmt).mode("append").option("path", dir)
+        .option("mergeSchema", "true").save()
+    }
+    assert(e4.getMessage.contains("int|bigint|string|farr"), e4.getMessage)
+    // nothing of the refused writes landed
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 10)
+    assert(StoreSink.readExtras(new Path(dir), fs).isEmpty,
+      "refused merges must not leave schema edits behind")
+  }
 }
