@@ -71,6 +71,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
     Array("abandon", "analyze", "cherry_pick", "compact", "compact_if",
       "expire", "history",
       "index_build", "index_expire", "index_rebuild_if", "index_refresh",
+      "maintain",
       "publish",
       "publish_all",
       "remove_orphans", "repartition_spec", "rollback", "tag",
@@ -88,6 +89,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "cherry_pick" => CherryPickProcedure
       case "compact" => CompactProcedure
       case "compact_if" => CompactIfProcedure
+      case "maintain" => MaintainProcedure
       case "expire" => ExpireProcedure
       case "history" => HistoryProcedure
       case "remove_orphans" => RemoveOrphansProcedure
@@ -975,6 +977,52 @@ private object CompactIfProcedure
         override def rows(): Array[InternalRow] = Array(InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(action),
           files, ov, after))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.maintain(path)` — run every maintenance step the table's
+  * own `graft.maintain.*` properties configure (compact_if / retention
+  * expiry / orphan sweep; see StoreSink.maintain). One audit row per
+  * executed step; a policy-less table returns a single 'none' row. The
+  * fleet-scheduler entry point: thresholds travel with the table, the
+  * scheduler only needs the path. */
+private object MaintainProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "maintain"
+  override def description(): String =
+    "run the maintenance steps configured by the table's graft.maintain.* properties"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("action",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("a", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("b", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("c", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val audit = StoreSink.maintain(org.apache.spark.sql.SparkSession.active,
+      input.getUTF8String(0).toString)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = audit.map { r =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(r._1),
+            org.apache.spark.unsafe.types.UTF8String.fromString(r._2),
+            r._3, r._4, r._5)
+        }.toArray
       }
     util.Collections.singletonList(scan).iterator()
   }

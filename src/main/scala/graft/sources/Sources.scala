@@ -1420,6 +1420,54 @@ object Sources extends OpModule {
         .orderBy(col("step"))
     }),
 
+    // PROPERTY-DRIVEN AUTO-MAINTENANCE (`CALL graft.maintain(path)`): the
+    // compact/expire/orphan thresholds live in the table's OWN
+    // `graft.maintain.*` properties — a fleet scheduler loops over paths
+    // with zero per-table arguments, the policy travels with the data
+    // (the Iceberg table-option / Delta autoOptimize posture). First call
+    // fires the compact trigger (4 fully-overlapping appends), runs the
+    // retention and orphan sweeps inside their huge safety windows
+    // (0 dropped — the audit PROVES they ran); second call reads the
+    // compacted manifest as healthy and keeps everything. At 100 TB this
+    // is the difference between "a human decides when to compact" and a
+    // cron loop: every decision here is manifest-only until a trigger
+    // actually fires.
+    "q_store_maintain" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storemaintain")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k0"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+      (0 until 4).foreach { i =>
+        base.select((col("k0") * 4 + i).as("k"), col("grp"), col("amt_cents"))
+          .coalesce(1)
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", path).save()
+      }
+      val century = 100L * 365 * 24 * 3600 * 1000
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES(" +
+          "'graft.maintain.compact'='1000000000:16:15000'," +
+          s"'graft.maintain.keep.ms'='$century'," +
+          s"'graft.maintain.orphans.ms'='$century')")
+      }
+      def callRows(tag: String) =
+        s.sql(s"CALL graft.maintain('$path')").collect().map { r =>
+          (s"$tag:${r.getString(0)}", r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))
+        }.toSeq
+      val r1 = callRows("m1")
+      val r2 = callRows("m2")
+      val total = s.read.format("graft.sources.StoreSink")
+        .option("path", path).load().count()
+      import s.implicits._
+      (r1 ++ r2 :+ (("rows", "-", total, 0L, 0L)))
+        .toDF("step", "action", "a", "b", "c")
+        .orderBy(col("step"))
+    }),
+
     // OPTIMIZE ZORDER (Hilbert flavor) — 2-D clustering made observable by
     // the manifest's TWO zone columns: a hash-scattered generation prunes
     // nothing on either axis; `CALL graft.zorder` rewrites it clustered by
@@ -4026,6 +4074,27 @@ object Sources extends OpModule {
         |  SELECT 'c1' AS step, 'compact' AS action, CAST(4 AS BIGINT) AS a,
         |         (SELECT o FROM ov) AS b, CAST(1 AS BIGINT) AS c
         |  UNION ALL SELECT 'c2', 'keep', 1, 10000, 1
+        |  UNION ALL SELECT 'rows', '-', (SELECT 4 * n FROM mm), 0, 0) t
+        |ORDER BY step""".stripMargin,
+
+    // the policy replay: compact decision arithmetic from the orders key
+    // bounds (the compact_if closed form), retention/orphans audited as
+    // ran-but-kept inside their century windows; versions = 4 appends +
+    // the policy compact, data files = 4 archived + 1 compacted
+    "q_store_maintain" ->
+      """WITH mm AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+        |                   CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+        |ov AS (SELECT CAST(16 * (mx - mn) + 4 AS BIGINT) * 10000
+        |         // CAST(4 * (mx - mn) + 4 AS BIGINT) AS o FROM mm)
+        |SELECT step, action, a, b, c FROM (
+        |  SELECT 'm1:compact' AS step, 'compact' AS action,
+        |         CAST(4 AS BIGINT) AS a, (SELECT o FROM ov) AS b,
+        |         CAST(1 AS BIGINT) AS c
+        |  UNION ALL SELECT 'm1:expire', 'ok', 0, 5, 0
+        |  UNION ALL SELECT 'm1:orphans', 'ok', 0, 5, 0
+        |  UNION ALL SELECT 'm2:compact', 'keep', 1, 10000, 1
+        |  UNION ALL SELECT 'm2:expire', 'ok', 0, 5, 0
+        |  UNION ALL SELECT 'm2:orphans', 'ok', 0, 5, 0
         |  UNION ALL SELECT 'rows', '-', (SELECT 4 * n FROM mm), 0, 0) t
         |ORDER BY step""".stripMargin,
 

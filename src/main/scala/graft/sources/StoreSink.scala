@@ -2206,6 +2206,56 @@ object StoreSink {
     * files, overlap_e4, files_after); stat-less legacy manifests read as
     * overlap 10000 (no evidence of drift → only the file-count trigger
     * applies). */
+  /** PROPERTY-DRIVEN AUTO-MAINTENANCE (`CALL graft.maintain(path)`): the
+    * thresholds live IN the table as `graft.maintain.*` properties, so
+    * one scheduler loop over many tables needs no per-table arguments —
+    * the policy travels with the data (Iceberg's table-level
+    * write/maintenance options, Delta's autoOptimize posture):
+    *  - `graft.maintain.compact`   = 'target_rows:max_files:max_overlap_e4'
+    *    → [[compactIf]] (manifest-only decision, rewrite only on trigger)
+    *  - `graft.maintain.keep.ms`   = retention window → [[expireBefore]]
+    *    at now − window (tags still pin, newest always survives)
+    *  - `graft.maintain.orphans.ms`= age margin → [[removeOrphans]]
+    * Absent keys skip their step; a table with NO policy returns a
+    * single 'none' row (running the fleet loop over an unconfigured
+    * table is a no-op, not an error); a MALFORMED policy refuses loudly
+    * (a typo must not read as "healthy, nothing to do"). Audit rows:
+    * (op, action, a, b, c) per executed step. */
+  def maintain(spark: SparkSession,
+               pathStr: String): Seq[(String, String, Long, Long, Long)] = {
+    val root = new Path(pathStr)
+    val ps = readProps(root, fs(root)).toMap
+    val out = Seq.newBuilder[(String, String, Long, Long, Long)]
+    ps.get("graft.maintain.compact").foreach { v =>
+      val p = v.split(":", -1)
+      require(p.length == 3 && p.forall(x => x.nonEmpty && x.forall(_.isDigit)),
+        "graft.maintain.compact must be 'target_rows:max_files:" +
+          s"max_overlap_e4' (non-negative integers), got '$v'")
+      val (action, files, ov, after) =
+        compactIf(spark, pathStr, p(0).toLong, p(1).toLong, p(2).toLong)
+      out += (("compact", action, files, ov, after))
+    }
+    ps.get("graft.maintain.keep.ms").foreach { v =>
+      require(v.nonEmpty && v.forall(_.isDigit),
+        s"graft.maintain.keep.ms must be a non-negative integer, got '$v'")
+      val (dropped, kept) =
+        expireBefore(pathStr, System.currentTimeMillis() - v.toLong)
+      out += (("expire", "ok", dropped.toLong, kept.toLong, 0L))
+    }
+    ps.get("graft.maintain.orphans.ms").foreach { v =>
+      require(v.nonEmpty && v.forall(_.isDigit),
+        s"graft.maintain.orphans.ms must be a non-negative integer, got '$v'")
+      // the property is an AGE margin; removeOrphans takes the absolute
+      // modification-time cutoff (the procedure's older_ms convention)
+      val (deleted, candidates) =
+        removeOrphans(pathStr, System.currentTimeMillis() - v.toLong)
+      out += (("orphans", "ok", deleted.toLong, candidates.toLong, 0L))
+    }
+    val res = out.result()
+    if (res.isEmpty) Seq(("none", "no graft.maintain.* properties", 0L, 0L, 0L))
+    else res
+  }
+
   def compactIf(spark: SparkSession, pathStr: String, targetRows: Long,
                 maxFiles: Long, maxOverlapE4: Long): (String, Long, Long, Long) = {
     val root = new Path(pathStr)

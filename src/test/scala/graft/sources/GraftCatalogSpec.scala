@@ -96,7 +96,7 @@ class GraftCatalogSpec extends SparkSpec {
         Seq("abandon", "analyze", "cherry_pick", "compact", "compact_if",
           "expire",
           "history", "index_build", "index_expire", "index_rebuild_if",
-          "index_refresh",
+          "index_refresh", "maintain",
           "publish", "publish_all", "remove_orphans", "repartition_spec",
           "rollback", "tag", "text_index_build", "text_index_rebuild_if",
           "text_index_refresh",
@@ -116,6 +116,38 @@ class GraftCatalogSpec extends SparkSpec {
       assert((vac.getLong(0), vac.getLong(1)) == (1L, 2L))
       assert(spark.read.format("graft.sources.StoreSink").option("path", dir)
         .load().count() == 200)
+    }
+  }
+
+  test("maintain: a policy-less table audits as 'none', a malformed policy " +
+       "refuses loudly, a healthy table under a good policy keeps") {
+    withCatalog {
+      import spark.implicits._
+      val dir = "target/tmp/catalog_spec_maintain"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      fs.delete(root, true)
+      (1 to 50).map(k => (k.toLong, "a", k * 1L)).toDF("k", "grp", "amt_cents")
+        .coalesce(1)
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", dir).save()
+      val none = spark.sql(s"CALL graft.maintain('$dir')").collect()
+      assert(none.length == 1 && none(0).getString(0) == "none",
+        s"no policy must audit as 'none': ${none.toSeq}")
+      // a typo'd policy must refuse, never read as "healthy, nothing to do"
+      StoreSink.writeProps(root, fs,
+        Seq("graft.maintain.compact" -> "16:15000"))
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.maintain('$dir')").collect()
+      }
+      assert(e.getMessage.contains("graft.maintain.compact"), e.getMessage)
+      // healthy single-file table under a sane policy: ran, kept
+      StoreSink.writeProps(root, fs,
+        Seq("graft.maintain.compact" -> "1000000000:16:15000"))
+      val keep = spark.sql(s"CALL graft.maintain('$dir')").collect()
+      assert(keep.length == 1 && keep(0).getString(0) == "compact" &&
+        keep(0).getString(1) == "keep", s"${keep.toSeq}")
     }
   }
 
