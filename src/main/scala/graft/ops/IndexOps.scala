@@ -322,6 +322,30 @@ object IndexOps extends OpModule {
         .orderBy(col("bm25_e4").desc, col("doc_id"))
     }),
 
+    // BOOLEAN AND RETRIEVAL on the persisted sparse index: only docs
+    // containing BOTH of the corpus's two most common len≥4 terms rank
+    // (the Lucene BooleanQuery-MUST shape). The conjunction is the
+    // n_terms gate over the shared BM25 scoring kernel — candidates are
+    // bounded by the rarest term's df, the probe plans only the terms'
+    // shards, and the corpus never re-opens. Query formulation (the two
+    // terms) is one corpus aggregate, mirrored in the oracle's qt CTE.
+    "q_bm25_and" -> ((s, d) => {
+      val idx = tmpIdx(d, "bm25and")
+      val ti = graft.sources.TextIndex
+      ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")), idx)
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .where(col("t") =!= "")
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val terms = tf.where(length(col("t")) >= 4)
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("t")).limit(2)
+        .collect().map(_.getString(0)).toSeq
+      ti.probeAnd(s, idx, terms, topk = 15)
+        .orderBy(col("bm25_e4").desc, col("doc_id"))
+    }),
+
     // PHRASE QUERY over POSITIONAL postings (round-12 verdict #4): the
     // index is built with `graft.text.positions` — each (doc, term)
     // posting carries its sorted raw-token positions — and the probe
@@ -886,6 +910,31 @@ object IndexOps extends OpModule {
 
     // the whole PRF stack on the artifact — q_rag_prf's oracle verbatim
     "q_rag_sparse_indexed" -> TextAnalysis.oracles("q_rag_prf"),
+
+    // conjunctive retrieval: the disjunctive scoring chain gated on
+    // n_terms = |query| before the top-k
+    "q_bm25_and" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qt AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+        |       ORDER BY df DESC, t LIMIT 2),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT) AS sc
+        |  FROM tf JOIN qt USING (t) JOIN dlen USING (doc_id), stats),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_terms,
+        |          CAST(SUM(sc) AS BIGINT) AS bm25_e4
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, bm25_e4 FROM agg WHERE n_terms = 2
+        |ORDER BY bm25_e4 DESC, doc_id LIMIT 15""".stripMargin,
 
     // rank-safe early termination == the full single-term top-k: one
     // closed form, the pruning is purely an I/O fact (the z row)

@@ -286,6 +286,7 @@ object TextIndex {
     // re-implementation); bounded by |query terms|
     val shards = q.select(shardCol(col("t"), conf.shards).as("b")).distinct()
       .collect().map(_.getString(0)).toSeq
+    lastScoreShards = Some((shards.size, conf.shards))
     val termList = q.select(col("t")).collect().map(_.getString(0)).toSeq
     s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(shards: _*)) // partition pruning = list lookup
@@ -310,6 +311,35 @@ object TextIndex {
       .orderBy(col("df").desc, col("t")).limit(5)
     scoreAt(s, genRoot, qterms)
       .orderBy(col("bm25_e4").desc, col("doc_id")).limit(topk)
+  }
+
+  /** Shards planned by the last scoreAt-based probe, as (planned, total)
+    * — the spec's pruning witness. */
+  @volatile private[graft] var lastScoreShards: Option[(Int, Int)] = None
+
+  /** BOOLEAN AND (conjunctive) RETRIEVAL: only documents containing
+    * EVERY query term rank, scored by summed per-term BM25 — the
+    * Lucene BooleanQuery-MUST shape on the persisted artifact. The
+    * conjunction is the n_terms gate over the shared scoring kernel:
+    * postings of the query's terms join from their shards alone
+    * (partition pruning = posting-list lookup), a doc's per-term rows
+    * count up, and docs missing ANY term drop before the top-k. A term
+    * absent from the DICTIONARY empties the result by the same gate
+    * (found < asked ⇒ no doc can reach the required count) — never an
+    * error, exactly the empty-postings contract. At 100 TB: cost is the
+    * query terms' posting lists, never the corpus; the candidate set is
+    * bounded by the RAREST term's df the moment the join executes. */
+  def probeAnd(s: SparkSession, indexPath: String, terms: Seq[String],
+               topk: Int = 10): DataFrame = {
+    val want = terms.distinct
+    require(want.nonEmpty && want.size <= 32 && want.forall(_.nonEmpty),
+      s"probeAnd takes 1..32 non-empty terms, got $terms")
+    val genRoot = IndexGen.dir(indexPath)
+    val qterms = termsAt(s, genRoot).where(col("t").isin(want: _*))
+    scoreAt(s, genRoot, qterms)
+      .where(col("n_terms") === want.size)
+      .orderBy(col("bm25_e4").desc, col("doc_id")).limit(topk)
+      .select(col("doc_id"), col("bm25_e4"))
   }
 
   /** INCREMENTAL MAINTENANCE: fold the corpus store's change feed since

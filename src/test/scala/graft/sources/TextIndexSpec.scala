@@ -83,6 +83,35 @@ class TextIndexSpec extends SparkSpec {
       s"single-term probe should plan a shard subset of $total files: $planned")
   }
 
+  test("probeAnd: conjunction gates on every term, dictionary-absent " +
+       "terms empty the result, and only the terms' shards plan") {
+    val idx = freshDir("and_idx")
+    TextIndex.build(spark, docs, idx)
+    // alpha ∧ bravo: docs 1 and 3 only (2 and 4 miss bravo)
+    val got = TextIndex.probeAnd(spark, idx, Seq("alpha", "bravo"), topk = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"alpha AND bravo must be docs 1,3: $got")
+    val (planned, total) = TextIndex.lastScoreShards.get
+    assert(planned <= 2 && total >= 16,
+      s"two terms must plan at most two of $total shards: $planned")
+    // the conjunctive scores are the SUM of both terms' kernel scores —
+    // strictly more than either single-term score for the same doc
+    val single = TextIndex.probeAnd(spark, idx, Seq("alpha"), topk = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TextIndex.probeAnd(spark, idx, Seq("alpha", "bravo"), topk = 10)
+      .collect().foreach { r =>
+        assert(r.getLong(1) > single(r.getLong(0)),
+          s"summed conjunctive score must exceed the single-term score: $r")
+      }
+    // a term the dictionary has never seen empties the conjunction
+    assert(TextIndex.probeAnd(spark, idx, Seq("alpha", "quux"), topk = 10)
+      .collect().isEmpty)
+    // degenerate arguments refuse loudly
+    intercept[IllegalArgumentException] {
+      TextIndex.probeAnd(spark, idx, Nil)
+    }
+  }
+
   test("refresh == full rebuild of the head corpus, bit for bit; " +
        "untouched shards carry files by identity") {
     import spark.implicits._
