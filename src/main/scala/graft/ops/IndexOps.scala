@@ -279,6 +279,50 @@ object IndexOps extends OpModule {
         .orderBy(col("variant"), col("q_id"))
     }),
 
+    // RECALL OF FILTERED ANN SEARCH — the measured cost of the
+    // post-filter-within-probed-cells trade (q_sim_ivf_filtered's
+    // semantics): ground truth is the EXACT filtered top-5 (brute force
+    // over every label-matching vector in the corpus), the probe ranks
+    // only matching vectors inside its nprobe cells — matches living in
+    // unprobed cells are the recall gap, and widening nprobe is the dial
+    // that buys it back (p2 ≥ p1 per query by construction). This is the
+    // number a 100 TB operator reads before choosing nprobe for a
+    // filtered workload — selective filters thin every cell, so filtered
+    // recall needs MORE probes than unfiltered at the same target.
+    "q_ann_recall_filtered" -> ((s, d) => {
+      val idx = tmpIdx(d, "recallflt")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx, Some("label"))
+      val nz = TrainingOps.nzEmbeddings(s, d)
+      val queries = nz.where(col("vec_id") < 10)
+      val qv = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("n_id"))
+      val exact = nz.where(col("label") === 3)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                col("nrm").as("n_nrm"))
+        .join(broadcast(qv))
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"))
+        .localCheckpoint() // bounded: 5 rows per query
+      def recallOf(ann: DataFrame, variant: String): DataFrame = {
+        val hits = exact.join(ann.select(col("q_id"), col("n_id")),
+            Seq("q_id", "n_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(lit(variant).as("variant"), col("q_id"),
+                  expr("coalesce(n_hit, 0L) * 10000L div 5").as("recall_e4"))
+      }
+      recallOf(AnnIndex.probeFiltered(s, queries, idx, 3L, nprobe = 1), "p1")
+        .unionByName(
+          recallOf(AnnIndex.probeFiltered(s, queries, idx, 3L, nprobe = 2), "p2"))
+        .orderBy(col("variant"), col("q_id"))
+    }),
+
     // PERSISTED BM25 INDEX (round-11 verdict #4 — the sparse twin of
     // q_sim_ivf_indexed): q_bm25 rebuilds tf/df/dlen per query; here the
     // inverted index is a store ARTIFACT (sources/TextIndex.scala:
@@ -1397,6 +1441,52 @@ object IndexOps extends OpModule {
          |  SELECT 'pq' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM rp
          |  UNION ALL
          |  SELECT 'pqwide' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM rpw) t
+         |ORDER BY variant, q_id""".stripMargin
+    },
+
+    // the filtered twin: both the ANN arms and the exact ground truth
+    // restrict to the attribute's matching vectors before ranking
+    "q_ann_recall_filtered" -> {
+      val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
+      val cosQN = cosQ("pr.q_emb", "asg.n_emb")
+      val cosQE = cosQ("q.q_emb", "e2.embedding")
+      def annAt(p: Int): String =
+        s"""(SELECT q_id, n_id FROM (
+           |  SELECT pr.q_id, asg.n_id,
+           |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+           |      ORDER BY $cosQN DESC, asg.n_id) AS rn
+           |  FROM asg JOIN (SELECT q_id, q_emb, bucket FROM prb WHERE prn <= $p) pr
+           |    ON asg.bucket = pr.bucket
+           |  JOIN fl ON fl.vec_id = asg.n_id) t
+           |WHERE rn <= 5)""".stripMargin
+      s"""WITH $trainReplayCtes,
+         |fl AS (SELECT vec_id FROM embeddings WHERE label = 3),
+         |prb AS (
+         |  SELECT q.q_id, q.q_emb, c1.c_id AS bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY $cosQC1 DESC, c1.c_id) AS prn
+         |  FROM q CROSS JOIN c1),
+         |ann1 AS ${annAt(1)},
+         |ann2 AS ${annAt(2)},
+         |exact AS (SELECT q_id, n_id FROM (
+         |  SELECT q.q_id, e2.vec_id AS n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY $cosQE DESC, e2.vec_id) AS rn
+         |  FROM q CROSS JOIN e e2 JOIN fl ON fl.vec_id = e2.vec_id) t
+         |  WHERE rn <= 5),
+         |qs AS (SELECT DISTINCT q_id FROM exact),
+         |r1 AS (SELECT qs.q_id, COUNT(ann1.n_id) AS n_hit FROM qs
+         |  LEFT JOIN (SELECT exact.q_id, exact.n_id FROM exact
+         |             JOIN ann1 ON exact.q_id = ann1.q_id AND exact.n_id = ann1.n_id) ann1
+         |    ON qs.q_id = ann1.q_id GROUP BY qs.q_id),
+         |r2 AS (SELECT qs.q_id, COUNT(ann2.n_id) AS n_hit FROM qs
+         |  LEFT JOIN (SELECT exact.q_id, exact.n_id FROM exact
+         |             JOIN ann2 ON exact.q_id = ann2.q_id AND exact.n_id = ann2.n_id) ann2
+         |    ON qs.q_id = ann2.q_id GROUP BY qs.q_id)
+         |SELECT variant, q_id, recall_e4 FROM (
+         |  SELECT 'p1' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM r1
+         |  UNION ALL
+         |  SELECT 'p2' AS variant, q_id, n_hit * 10000 // 5 AS recall_e4 FROM r2) t
          |ORDER BY variant, q_id""".stripMargin
     },
 
