@@ -707,6 +707,62 @@ object EtlOps extends OpModule {
     // marks the released set; counts of unreleased items stay internal
     // in a real release (shown here because the oracle checks the whole
     // mechanism, not the privacy posture of the output columns).
+    // DP RANGE QUERIES — the release ladder's seventh rung: the
+    // HIERARCHICAL (dyadic-tree) mechanism (Dwork et al.'s binary tree /
+    // Hay et al.'s boosting shape). A fixed 16-leaf domain (50k-cent
+    // buckets, clamped — data-independent keys, the q_dp_hist rule)
+    // aggregates into 31 dyadic nodes over 5 levels; every row touches
+    // exactly one node PER LEVEL, so sensitivity splits the budget 5 ways
+    // (Laplace scale 5× the flat histogram's — the classic depth-for-
+    // composability trade) and ANY range [lo,hi) answers from ≤ 2·log₂(16)
+    // released nodes instead of hi−lo leaves. Released: all 31 noisy
+    // nodes, plus three canonical range queries assembled from their
+    // dyadic decompositions. Noise = md5-seeded inverse-CDF Laplace in e6
+    // fixed point (the q_dp_count idiom) — every draw bit-stable, the
+    // DuckDB twin replays the whole tree. One corpus aggregate + a
+    // 31-row tree: nothing at 100 TB but the scan.
+    "q_dp_range" -> ((s, d) => {
+      import s.implicits._
+      val counts = Tables.orders(s, d)
+        .withColumn("bin", expr(
+          """least(greatest(
+            |cast(round(o_totalprice * 100) as bigint) div 5000000, 0L), 15L)"""
+            .stripMargin))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      val leaf = s.range(16).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+      val lvls = Seq((0L, 1L), (1L, 2L), (2L, 4L), (3L, 8L), (4L, 16L))
+        .toDF("lvl", "w")
+      val nodes = leaf.crossJoin(broadcast(lvls))
+        .select(col("lvl"), expr("bin div w").as("idx"), col("n"))
+        .groupBy(col("lvl"), col("idx")).agg(sum(col("n")).as("n"))
+        .withColumn("u", expr(
+          "cast(conv(substring(md5(concat('dp-range-r21-', cast(lvl as string), '-', cast(idx as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5"))
+        .withColumn("noise_e6", expr(
+          "cast(round(1e6 * (-10.0) * sign(u) * ln(1.0 - 2.0 * abs(u))) as bigint)"))
+        .withColumn("dp_n", col("n") + expr(
+          "cast(round(noise_e6 / 1e6) as bigint)"))
+        .select(col("lvl"), col("idx"), col("n"), col("dp_n"))
+        .localCheckpoint() // 31 rows — referenced by the range assembly
+      // canonical dyadic decompositions (data-independent node lists):
+      // [0,16) = root; [2,7) = [2,4)∪[4,6)∪{6}; [5,13) = {5}∪[6,8)∪[8,12)∪{12}
+      val dec = Seq(
+        ("r_all", 4L, 0L),
+        ("r_2_7", 1L, 1L), ("r_2_7", 1L, 2L), ("r_2_7", 0L, 6L),
+        ("r_5_13", 0L, 5L), ("r_5_13", 1L, 3L), ("r_5_13", 2L, 2L),
+        ("r_5_13", 0L, 12L)).toDF("tag", "lvl", "idx")
+      val ranges = dec.join(nodes, Seq("lvl", "idx"))
+        .groupBy(col("tag"))
+        .agg(sum(col("n")).as("n"), sum(col("dp_n")).as("dp_n"))
+        .select(col("tag"), lit(-1L).as("lvl"), lit(-1L).as("idx"),
+                col("n"), col("dp_n"))
+      nodes.select(lit("node").as("tag"), col("lvl"), col("idx"),
+                   col("n"), col("dp_n"))
+        .unionByName(ranges)
+        .orderBy(col("tag"), col("lvl"), col("idx"))
+    }),
+
     "q_dp_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.customer(s, d)
@@ -1267,6 +1323,46 @@ object EtlOps extends OpModule {
         |r AS (SELECT bin, n, n + CAST(ROUND(noise_e6 / 1e6) AS BIGINT) AS dp_n FROM nz)
         |SELECT bin, n, dp_n, GREATEST(dp_n, 0) AS released
         |FROM r ORDER BY bin""".stripMargin,
+
+    // the dyadic tree replayed: fixed 16-leaf domain, 31 nodes over 5
+    // levels, per-node Laplace at 5× the flat scale, three range
+    // queries assembled from their hardcoded decompositions
+    "q_dp_range" ->
+      """WITH cnt AS (
+        |  SELECT LEAST(GREATEST(
+        |      CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000, 0), 15) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |leaf AS (
+        |  SELECT b.bin, COALESCE(cnt.n, 0) AS n
+        |  FROM (SELECT UNNEST(RANGE(0, 16)) AS bin) b LEFT JOIN cnt USING (bin)),
+        |lv AS (SELECT CAST(lvl AS BIGINT) AS lvl, CAST(w AS BIGINT) AS w
+        |       FROM (VALUES (0, 1), (1, 2), (2, 4), (3, 8), (4, 16)) t(lvl, w)),
+        |nodes AS (SELECT lvl, bin // w AS idx, CAST(SUM(n) AS BIGINT) AS n
+        |          FROM leaf CROSS JOIN lv GROUP BY lvl, bin // w),
+        |uu AS (SELECT lvl, idx, n,
+        |  CAST(('0x' || SUBSTR(md5('dp-range-r21-' || CAST(lvl AS VARCHAR)
+        |    || '-' || CAST(idx AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 - 0.5 AS u
+        |  FROM nodes),
+        |nz AS (SELECT lvl, idx, n,
+        |  CAST(ROUND(1e6 * (-10.0) * SIGN(u) * LN(1.0 - 2.0 * ABS(u))) AS BIGINT)
+        |    AS noise_e6
+        |  FROM uu),
+        |noisy AS (SELECT lvl, idx, n,
+        |            n + CAST(ROUND(noise_e6 / 1e6) AS BIGINT) AS dp_n FROM nz),
+        |dec AS (SELECT tag, CAST(lvl AS BIGINT) AS lvl, CAST(idx AS BIGINT) AS idx
+        |        FROM (VALUES
+        |          ('r_all', 4, 0),
+        |          ('r_2_7', 1, 1), ('r_2_7', 1, 2), ('r_2_7', 0, 6),
+        |          ('r_5_13', 0, 5), ('r_5_13', 1, 3), ('r_5_13', 2, 2),
+        |          ('r_5_13', 0, 12)) t(tag, lvl, idx)),
+        |rng AS (SELECT tag, CAST(-1 AS BIGINT) AS lvl, CAST(-1 AS BIGINT) AS idx,
+        |          CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(dp_n) AS BIGINT) AS dp_n
+        |        FROM dec JOIN noisy USING (lvl, idx) GROUP BY tag)
+        |SELECT 'node' AS tag, lvl, idx, n, dp_n FROM noisy
+        |UNION ALL SELECT tag, lvl, idx, n, dp_n FROM rng
+        |ORDER BY tag, lvl, idx""".stripMargin,
 
     "q_layout_compare" ->
       s"""WITH b0 AS (
