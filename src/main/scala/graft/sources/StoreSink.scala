@@ -324,11 +324,22 @@ object StoreSink {
     * second seeing the first's columns (same names+types → its tail is
     * empty and the merge is a no-op; a type conflict refuses loudly).
     * Old files never rewrite — short rows decode the new columns as
-    * NULL, the store's standing evolution contract. */
+    * NULL, the store's standing evolution contract. If the DATA write
+    * aborts after the merge, the registered columns remain — the same
+    * metadata-only residue a standalone ALTER before a failed write
+    * leaves, and harmless for the same reason (no file references them).
+    * Tables with enforced CHECK constraints refuse: constraint
+    * validation is injected during the output resolution that
+    * ACCEPT_ANY_SCHEMA waives, so a merge write cannot prove the
+    * constraints were enforced — loud over silently unvalidated. */
   private[sources] def mergeWriteSchema(pathStr: String,
                                         incoming: StructType): Unit = {
     val root = new Path(pathStr)
     val fsys = fs(root)
+    require(readConstraints(root, fsys).isEmpty,
+      "mergeSchema does not compose with CHECK constraints (their " +
+        "validation rides the schema resolution the option waives) — " +
+        "ALTER the table instead")
     def sameType(a: DataType, b: DataType): Boolean =
       a == b || (isFarr(a) && isFarr(b))
     withCommitLock(root, fsys) {
@@ -4656,6 +4667,16 @@ private class StoreWriteBuilder(pathStr: String, info: LogicalWriteInfo,
           "graft-store streaming write is append-only (no Complete-mode truncate)")
         require(info.options().get("branch") == null,
           "graft-store branch writes are batch appends (WAP); streaming targets main")
+        // mergeSchema is batch-only: the option's ACCEPT_ANY_SCHEMA grant
+        // reaches STREAMING table resolution too (writeStream options flow
+        // into getTable), so without this refusal a wider streaming frame
+        // would slip past the analyzer and emit raw-width rows under a
+        // narrower persisted layout — silent corruption far from its
+        // cause. Evolve the table with a batch merge (or ALTER) first.
+        require(!info.options().getBoolean("mergeSchema", false),
+          "mergeSchema is a batch-write option; streaming writes must " +
+            "match the table schema (ALTER or a batch mergeSchema write " +
+            "evolves it first)")
         new StoreStreamingWrite(pathStr, info.queryId(), info.schema(), spec)
       }
     }

@@ -2220,5 +2220,25 @@ class StoreSinkSpec extends SparkSpec {
     assert(spark.read.format(fmt).option("path", dir).load().count() == 10)
     assert(StoreSink.readExtras(new Path(dir), fs).isEmpty,
       "refused merges must not leave schema edits behind")
+    // streaming + mergeSchema refuses: the option's capability grant
+    // reaches streaming resolution, but toStreaming never merges — a
+    // wider frame would otherwise emit raw-width rows under a narrower
+    // layout (the refusal IS the guard)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    mem.addData((1L, "s", 1L))
+    val chk = freshDir("mergeschema_neg_chk")
+    val err = intercept[Exception] {
+      val q = mem.toDF().toDF("k", "grp", "amt_cents")
+        .writeStream.format(fmt).option("path", dir)
+        .option("checkpointLocation", chk)
+        .option("mergeSchema", "true")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(err).contains("batch-write option"), chain(err))
   }
 }
