@@ -176,6 +176,23 @@ object IndexOps extends OpModule {
       AnnIndex.probePq(s, queries, idx).orderBy(col("q_id"), col("rn"))
     }),
 
+    // FILTERED IVFPQ — the metadata predicate on the COMPRESSED leg: the
+    // attribute persists in the `codes` rows (the amt slot, mirroring
+    // the postings), so the equality drops candidates BEFORE ADC ranking
+    // — non-matching vectors never consume the adcN refinement budget
+    // (post-filtering after the cut starves selective filters), and the
+    // probe stays integer-and-codes-only until the exact re-rank of the
+    // survivors. At 100 TB: nprobe cells × filter selectivity × two
+    // integer lookups, floats only for the top-adcN rerank.
+    "q_sim_ivfpq_filtered" -> ((s, d) => {
+      val idx = tmpIdx(d, "ivfpqflt")
+      AnnIndex.build(s, Tables.embeddings(s, d), idx, Some("label"))
+      AnnIndex.buildPq(s, Tables.embeddings(s, d), idx, Some("label"))
+      val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+      AnnIndex.probePqFiltered(s, queries, idx, 3L)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // DENSE RAG RETRIEVAL through the persisted index: the retrieve stage
     // an indexed RAG pipeline actually runs — probe the IVF lists for each
     // query's top-5 neighbors, then hydrate the hits against the documents
@@ -832,7 +849,12 @@ object IndexOps extends OpModule {
     * codes, candidates, and the re-ranked top-5 all reproduce; `adcN`
     * parameterizes the ADC candidate cut (20 = the default probe, 100 =
     * the wide refinement), ONE closed form for both widths. */
-  private def pqProbeOracle(adcN: Int): String = {
+  private def pqProbeOracle(adcN: Int): String = pqProbeOracle(adcN, "")
+
+  /** `candJoin` restricts the probed-cell candidate set BEFORE the ADC
+    * ranking (the filtered-search pre-filter — appended to the `cells`
+    * CTE's join chain); empty = the unfiltered probe. */
+  private def pqProbeOracle(adcN: Int, candJoin: String): String = {
     val cosQC1 = cosQ("q.q_emb", "c1.c_emb")
     val cosRR = cosQ("qe.embedding", "ne.embedding")
     s"""WITH $trainReplayCtes,
@@ -859,7 +881,7 @@ object IndexOps extends OpModule {
        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000) AS BIGINT) AS d_e6
        |  FROM sides qs JOIN cbq c ON qs.s = c.s WHERE qs.vec_id < 10),
        |cells AS (SELECT DISTINCT prb.q_id, asg.n_id
-       |          FROM prb JOIN asg ON prb.bucket = asg.bucket),
+       |          FROM prb JOIN asg ON prb.bucket = asg.bucket$candJoin),
        |adc AS (SELECT d.q_id, enc.n_id, SUM(d.d_e6) AS adc
        |        FROM cells
        |        JOIN enc ON enc.n_id = cells.n_id
@@ -1330,6 +1352,11 @@ object IndexOps extends OpModule {
     // kmeans-cell replay composed with q_sim_pq's code/ADC chain: cells,
     // codes, candidates, and the re-ranked top-5 all reproduce
     "q_sim_ivfpq_indexed" -> pqProbeOracle(20),
+
+    // the PQ probe replay with candidates label-restricted pre-ADC
+    "q_sim_ivfpq_filtered" -> pqProbeOracle(20,
+      "\n           JOIN (SELECT vec_id FROM embeddings WHERE label = 3) fl" +
+      "\n             ON fl.vec_id = asg.n_id"),
 
     // the same chain at a 5×-wider ADC cut (the refinement dial) — one
     // parameterized closed form serves both probe widths

@@ -362,7 +362,7 @@ object AnnIndex {
     val prevGen = genDir(indexPath)
     val prevPq = new Path(s"$prevGen/pqcb")
     if (prevGen != genRoot && StoreSink.fs(prevPq).exists(prevPq))
-      buildPqAt(s, nz, genRoot)
+      buildPqAt(s, nz, genRoot, attr)
     val nCb = StoreSink.readEntries(cbRoot, fsys).map(_.rows).sum
     val nPl = StoreSink.readEntries(plRoot, fsys).map(_.rows).sum
     publishGen(indexPath, gen) // the ONE visible instant of the rebuild
@@ -458,13 +458,14 @@ object AnnIndex {
     * instead of 64 floats; ADC scoring inside probed cells costs two
     * integer lookups per candidate, floats are touched only for the
     * top-20 re-rank. Returns (n_codewords, n_codes). */
-  def buildPq(s: SparkSession, embeddings: DataFrame, indexPath: String): (Long, Long) =
+  def buildPq(s: SparkSession, embeddings: DataFrame, indexPath: String,
+              attrCol: Option[String] = None): (Long, Long) =
     // PQ state joins the LIVE generation (built right after the coarse
     // swap, before the generation serves PQ probes); a coarse REBUILD
     // stages a fresh generation and re-encodes into IT (buildFrom's
     // carry-forward), so this delete only ever clears a same-generation
     // re-encode, never a table a probe is reading
-    buildPqAt(s, nzOf(embeddings), genDir(indexPath))
+    buildPqAt(s, nzOf(embeddings), genDir(indexPath), attrCol)
 
   /** Build the PQ leg from the index's own corpus store provenance,
     * read PINNED at the version the coarse index recorded — the codes
@@ -480,7 +481,8 @@ object AnnIndex {
   }
 
   private def buildPqAt(s: SparkSession, nz: DataFrame,
-                        genRoot: String): (Long, Long) = {
+                        genRoot: String,
+                        attr: Option[String] = None): (Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     val cdRoot = new Path(s"$genRoot/codes")
     val qbRoot = new Path(s"$genRoot/pqcb")
@@ -510,9 +512,18 @@ object AnnIndex {
       nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                 col("nrm").as("n_nrm")),
       codebookAt(s, genRoot))
-    wide.join(assigned.select(col("n_id").as("vec_id"), col("bucket")), "vec_id")
+    // the filterable attribute rides the codes rows too (same amt slot
+    // as the postings) so a filtered ADC probe never has to open the
+    // float postings to evaluate its predicate — the whole point of the
+    // compressed leg is that ADC stays integer-and-codes-only
+    val codesAttr = attr.fold(wide.withColumn("attr_v", lit(0L))) { c =>
+      wide.join(nz.select(col("vec_id"), col(c).cast("long").as("attr_v")),
+        "vec_id")
+    }
+    codesAttr
+      .join(assigned.select(col("n_id").as("vec_id"), col("bucket")), "vec_id")
       .select(col("vec_id").as("k"), col("bucket").cast("string").as("grp"),
-              lit(0L).as("amt_cents"), col("c0"), col("c1"))
+              col("attr_v").as("amt_cents"), col("c0"), col("c1"))
       .write.format(Fmt).mode("append").option("path", s"$genRoot/codes")
       .option("partitionedBy", "identity:grp").save()
     // record the corpus version these codes reflect (probePq's staleness
@@ -539,7 +550,24 @@ object AnnIndex {
     * approximation loses — q_ann_recall_pq's `pqwide` variant measures
     * the curve. */
   def probePq(s: SparkSession, queries: DataFrame, indexPath: String,
-              nprobe: Int = 2, topk: Int = 5, adcN: Int = 20): DataFrame = {
+              nprobe: Int = 2, topk: Int = 5, adcN: Int = 20): DataFrame =
+    probePqImpl(s, queries, indexPath, nprobe, topk, adcN, None)
+
+  /** FILTERED IVFPQ SEARCH — the filtered probe on the COMPRESSED leg:
+    * the metadata equality evaluates against the attribute persisted in
+    * the `codes` rows (buildPq's `attrCol`), so candidates drop BEFORE
+    * ADC ranking — non-matching vectors never consume the adcN
+    * refinement budget (post-filtering after the ADC cut would starve
+    * selective filters, the classic filtered-PQ failure), and the probe
+    * stays integer-and-codes-only until the exact re-rank. */
+  def probePqFiltered(s: SparkSession, queries: DataFrame, indexPath: String,
+                      attrEq: Long, nprobe: Int = 2, topk: Int = 5,
+                      adcN: Int = 20): DataFrame =
+    probePqImpl(s, queries, indexPath, nprobe, topk, adcN, Some(attrEq))
+
+  private def probePqImpl(s: SparkSession, queries: DataFrame,
+                          indexPath: String, nprobe: Int, topk: Int,
+                          adcN: Int, attrEq: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val genRoot = genDir(indexPath) // one generation end to end
     // STALENESS GUARD: the refresh fold advances PqVersionProp with the
@@ -576,8 +604,9 @@ object AnnIndex {
         expr(s"cast(round(${graft.ops.Similarity.PqL2Sq} * 1000000) as bigint)").as("d_e6"))
       .withColumnRenamed("c_id", "code")
       .localCheckpoint() // |queries| × 16
-    val codes = s.read.format(Fmt).option("path", s"$genRoot/codes").load()
+    val codesScan = s.read.format(Fmt).option("path", s"$genRoot/codes").load()
       .where(col("grp").isin(buckets: _*)) // the probed cells only
+    val codes = attrEq.fold(codesScan)(v => codesScan.where(col("amt_cents") === v))
       .select(col("k").as("n_id"), col("grp").cast("long").as("bucket"),
               col("c0"), col("c1"))
     val candW = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
