@@ -32,11 +32,15 @@ object Bench {
     "q_sim_ivf_kmeans",                                              // √n-codebook IVF train+probe (r21)
     "q_dedup_near", "q_dedup_simhash",                               // dedup family
     "q_dedup_embcos",
-    // q_sim_topk rotated out at round 20 (cheap stable; the similarity
-    // family keeps q_sim_lsh/q_sim_ivf/q_sim_bq + the indexed probes)
-    "q_sim_lsh",                                                     // similarity
+    // q_sim_topk rotated out at round 20, q_sim_lsh at round 21 (cheap
+    // stable; the family keeps q_sim_ivf/q_sim_bq + the indexed probes)
+    // for the round's flagship filtered search — attr build + pushed-
+    // predicate probe priced every round
+    "q_sim_ivf_filtered",                                            // filtered ANN (r21)
     "q_tfidf_terms", "q_lang_id", "q_quality_filter",                // text analysis
-    "q_contamination", "q_sim_ivf",                                  // curation (r2)
+    // q_sim_ivf rotated out at round 21 (the IVF family is priced by
+    // q_sim_ivf_kmeans + q_sim_ivf_indexed + q_sim_ivf_filtered)
+    "q_contamination",                                               // curation (r2)
     // q_pack_seq rotated out at round 19 (cheap stable training-batch op;
     // q_rag_pack exercises the same packing math) for the columnar-store
     // flagship; src_dsv2_sample likewise (protocol stays spec-verified)
