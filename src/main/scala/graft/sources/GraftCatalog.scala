@@ -69,7 +69,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "analyze", "cherry_pick", "compact", "compact_if",
-      "expire", "history",
+      "expire", "export", "history",
       "index_build", "index_expire", "index_rebuild_if", "index_refresh",
       "maintain",
       "publish",
@@ -91,6 +91,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "compact_if" => CompactIfProcedure
       case "maintain" => MaintainProcedure
       case "expire" => ExpireProcedure
+      case "export" => ExportProcedure
       case "history" => HistoryProcedure
       case "remove_orphans" => RemoveOrphansProcedure
       case "repartition_spec" => RepartitionSpecProcedure
@@ -977,6 +978,66 @@ private object CompactIfProcedure
         override def rows(): Array[InternalRow] = Array(InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(action),
           files, ov, after))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.export(path, dst, version)` — materialize ONE consistent
+  * snapshot of a store as plain parquet at `dst` (version ≤ 0 = current
+  * head): the interop escape hatch for consumers that speak only open
+  * formats (Iceberg's snapshot export posture). The read is pinned
+  * (atVersion) so a concurrent writer can never tear the export, and the
+  * output is an ordinary parquet directory — no manifest, no sidecars,
+  * no graft reader needed downstream. Audit row: (rows_exported,
+  * version) where version is the EFFECTIVE one (head resolves to
+  * last-archived + 1). At 100 TB this is a full copy by design — the
+  * point is leaving the format, not saving bytes. */
+private object ExportProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "export"
+  override def description(): String =
+    "materialize a pinned store version as plain parquet at dst"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("dst", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("version", LongType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("rows_exported", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("version", LongType,
+      nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val s = org.apache.spark.sql.SparkSession.active
+    val p = input.getUTF8String(0).toString
+    val dst = input.getUTF8String(1).toString
+    val v = input.getLong(2)
+    val root = new org.apache.hadoop.fs.Path(p)
+    // every commit archives its own version manifest alongside the
+    // current pointer, so the head's number IS the newest archive
+    val effective =
+      if (v > 0) v
+      else StoreSink.listVersions(root, StoreSink.fs(root))
+        .lastOption.getOrElse(0).toLong
+    val rd = s.read.format("graft.sources.StoreSink").option("path", p)
+    val df = (if (v > 0) rd.option("atVersion", v.toString) else rd).load()
+    df.write.mode("overwrite").parquet(dst)
+    // count what actually landed — the export's own files, not the plan
+    val nRows = s.read.parquet(dst).count()
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(nRows, effective))
       }
     util.Collections.singletonList(scan).iterator()
   }

@@ -1420,6 +1420,41 @@ object Sources extends OpModule {
         .orderBy(col("step"))
     }),
 
+    // SNAPSHOT EXPORT (`CALL graft.export(path, dst, version)`) — the
+    // interop escape hatch: one consistent pinned version materialized as
+    // PLAIN PARQUET (no manifest, no sidecars — a downstream consumer
+    // needs nothing but a parquet reader). The pre-delete version and the
+    // head export independently; reading the exports back (as parquet!)
+    // must reproduce each snapshot's content exactly, and the audit rows
+    // pin row counts + effective version numbers. At 100 TB an export is
+    // a full copy by design — the point is leaving the format.
+    "q_store_export" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeexport")
+      seedStore(s, d, path) // version 1
+      withStorePath(s, path) {
+        s.sql("DELETE FROM graft.store WHERE grp = 'F'") // v2 (current)
+      }
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val dst1 = tmp(d, "storeexport_v1")
+      val dst2 = tmp(d, "storeexport_head")
+      Seq(dst1, dst2).foreach(p =>
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true))
+      val a1 = s.sql(s"CALL graft.export('$path', '$dst1', 1)").collect()(0)
+      val a2 = s.sql(s"CALL graft.export('$path', '$dst2', 0)").collect()(0)
+      def aggOf(p: String, tag: String): DataFrame =
+        s.read.parquet(p).groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .select(lit(tag).as("step"), col("grp"), col("n"), col("sum_cents"))
+      import s.implicits._
+      aggOf(dst1, "v1").unionByName(aggOf(dst2, "head"))
+        .unionByName(Seq(
+          ("audit_v1", "-", a1.getLong(0), a1.getLong(1)),
+          ("audit_head", "-", a2.getLong(0), a2.getLong(1)))
+          .toDF("step", "grp", "n", "sum_cents"))
+        .orderBy(col("step"), col("grp"))
+    }),
+
     // PROPERTY-DRIVEN AUTO-MAINTENANCE (`CALL graft.maintain(path)`): the
     // compact/expire/orphan thresholds live in the table's OWN
     // `graft.maintain.*` properties — a fleet scheduler loops over paths
@@ -4076,6 +4111,22 @@ object Sources extends OpModule {
         |  UNION ALL SELECT 'c2', 'keep', 1, 10000, 1
         |  UNION ALL SELECT 'rows', '-', (SELECT 4 * n FROM mm), 0, 0) t
         |ORDER BY step""".stripMargin,
+
+    // both exports applied relationally; audits carry exact row counts
+    // and the effective version numbers (1 = archived, head = 2)
+    "q_store_export" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |v1 AS (SELECT * FROM base),
+        |head AS (SELECT * FROM base WHERE grp <> 'F')
+        |SELECT 'v1' AS step, grp, COUNT(*) AS n,
+        |  CAST(SUM(amt) AS BIGINT) AS sum_cents FROM v1 GROUP BY grp
+        |UNION ALL SELECT 'head', grp, COUNT(*), CAST(SUM(amt) AS BIGINT)
+        |FROM head GROUP BY grp
+        |UNION ALL SELECT 'audit_v1', '-', (SELECT COUNT(*) FROM v1), 1
+        |UNION ALL SELECT 'audit_head', '-', (SELECT COUNT(*) FROM head), 2
+        |ORDER BY step, grp""".stripMargin,
 
     // the policy replay: compact decision arithmetic from the orders key
     // bounds (the compact_if closed form), retention/orphans audited as
