@@ -622,6 +622,84 @@ object IndexOps extends OpModule {
         .orderBy(col("bm25_e4").desc, col("doc_id"))
     }),
 
+    // INDEX POLICIES UNDER `CALL graft.maintain` — the auto-maintenance
+    // loop extended to DERIVED artifacts: a corpus table names its
+    // indexes' policies as `graft.maintain.ann` ('skew:recall:path') /
+    // `graft.maintain.text` (path) properties, and ONE maintain(path)
+    // tick drives rebuild_if for each — refresh-fold, trigger check,
+    // atomic rebuild only when tripped. The ann leg trips on skew 0
+    // (always) then KEEPS at a huge threshold; the text leg disarms on
+    // the mega-doc fold, rebuilds, then KEEPS. Post-maintenance probes
+    // pin that the serving path survived the whole lifecycle. At 100 TB
+    // this is the fleet scheduler's entire contract: paths in, healthy
+    // tables AND indexes out, zero per-artifact arguments.
+    "q_store_maintain_index" -> ((s, d) => graft.sources.Sources.withGraftCatalog(s) {
+      val annCorpus = tmpIdx(d, "mntacorpus")
+      val aidx = tmpIdx(d, "mntaidx")
+      val txtCorpus = tmpIdx(d, "mnttcorpus")
+      val tidx = tmpIdx(d, "mnttidx")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      Seq(annCorpus, aidx, txtCorpus, tidx).foreach(p =>
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true))
+      // dense leg: embeddings corpus + ANN index, policy = rebuild at any
+      // skew (threshold 0), then keep at a threshold nothing trips
+      graft.sources.Sources.withStorePath(s, annCorpus) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN emb STRING")
+        Tables.embeddings(s, d).select(col("vec_id").as("k"),
+            lit("e").as("grp"), lit(0L).as("amt_cents"),
+            expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", annCorpus).save()
+        s.sql(s"CALL graft.index_build('$annCorpus', '$aidx')").collect()
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES(" +
+          s"'graft.maintain.ann'='0:0:$aidx')")
+      }
+      def annRow(rows: Array[org.apache.spark.sql.Row]) =
+        rows.find(_.getString(0) == "ann").get
+      val a1 = annRow(s.sql(s"CALL graft.maintain('$annCorpus')").collect())
+      graft.sources.Sources.withStorePath(s, annCorpus) {
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES(" +
+          s"'graft.maintain.ann'='100000000:0:$aidx')")
+      }
+      val a2 = annRow(s.sql(s"CALL graft.maintain('$annCorpus')").collect())
+      // sparse leg: documents corpus + text index; the mega-doc drops the
+      // nd/tl ratio so the policy's fold disarms and the tick rebuilds
+      graft.sources.Sources.withStorePath(s, txtCorpus) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN text STRING")
+        Tables.documents(s, d).select(col("doc_id").as("k"),
+            lit("d").as("grp"), lit(0L).as("amt_cents"), col("text"))
+          .repartitionByRange(4, col("k"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", txtCorpus).save()
+        s.sql(s"CALL graft.text_index_build('$txtCorpus', '$tidx')").collect()
+        val maxId = Tables.documents(s, d).agg(max(col("doc_id")))
+          .collect()(0).getLong(0)
+        import s.implicits._
+        Seq((maxId + 1, "d", 0L, ("filler " * 400).trim))
+          .toDF("k", "grp", "amt_cents", "text")
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", txtCorpus).save()
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES(" +
+          s"'graft.maintain.text'='$tidx')")
+      }
+      def txtRow(rows: Array[org.apache.spark.sql.Row]) =
+        rows.find(_.getString(0) == "text").get
+      val t1 = txtRow(s.sql(s"CALL graft.maintain('$txtCorpus')").collect())
+      val t2 = txtRow(s.sql(s"CALL graft.maintain('$txtCorpus')").collect())
+      val queries = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 10)
+      val probeRows = AnnIndex.probe(s, queries, aidx).count()
+      import s.implicits._
+      Seq(
+        ("ann_m1_rebuild", if (a1.getString(1) == "rebuild") 1L else 0L),
+        ("ann_m2_keep", if (a2.getString(1) == "keep") 1L else 0L),
+        ("ann_probe_rows", probeRows),
+        ("txt_m1_rebuild", if (t1.getString(1) == "rebuild") 1L else 0L),
+        ("txt_m2_keep", if (t2.getString(1) == "keep") 1L else 0L),
+        ("txt_postings", t2.getLong(3)))
+        .toDF("step", "v").orderBy(col("step"))
+    }),
+
     // AGE-MARGINED GENERATION GC (round-12 verdict #6, driven through
     // SQL): a rebuild supersedes gen-1, `CALL graft.index_expire` with a
     // margin keeps the just-superseded generation alive for in-flight
@@ -1209,6 +1287,26 @@ object IndexOps extends OpModule {
 
     // margin semantics as constants; the live probe count derives from
     // the corpus (5 hits per non-zero-norm query under vec_id < 10)
+    // the decisions replay as constants (skew 0 always trips; nothing
+    // trips 1e8; the mega-doc fold disarms then the rebuild re-arms);
+    // probe rows and the head-corpus posting count are corpus-derived
+    "q_store_maintain_index" ->
+      """WITH e AS (SELECT vec_id FROM embeddings
+        |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+        |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+        |tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |        FROM documents),
+        |tf AS (SELECT doc_id, t FROM tok GROUP BY doc_id, t)
+        |SELECT step, v FROM (
+        |  SELECT 'ann_m1_rebuild' AS step, CAST(1 AS BIGINT) AS v
+        |  UNION ALL SELECT 'ann_m2_keep', 1
+        |  UNION ALL SELECT 'ann_probe_rows',
+        |    5 * (SELECT COUNT(*) FROM e WHERE vec_id < 10)
+        |  UNION ALL SELECT 'txt_m1_rebuild', 1
+        |  UNION ALL SELECT 'txt_m2_keep', 1
+        |  UNION ALL SELECT 'txt_postings', (SELECT COUNT(*) FROM tf) + 1) t
+        |ORDER BY step""".stripMargin,
+
     "q_index_expire" ->
       """WITH e AS (SELECT vec_id FROM embeddings
         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,

@@ -69,7 +69,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "analyze", "cherry_pick", "compact", "compact_if",
-      "expire", "export", "history",
+      "expire", "export", "export_delta", "history",
       "index_build", "index_expire", "index_rebuild_if", "index_refresh",
       "maintain",
       "publish",
@@ -92,6 +92,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "maintain" => MaintainProcedure
       case "expire" => ExpireProcedure
       case "export" => ExportProcedure
+      case "export_delta" => ExportDeltaProcedure
       case "history" => HistoryProcedure
       case "remove_orphans" => RemoveOrphansProcedure
       case "repartition_spec" => RepartitionSpecProcedure
@@ -1029,7 +1030,11 @@ private object ExportProcedure
       else StoreSink.listVersions(root, StoreSink.fs(root))
         .lastOption.getOrElse(0).toLong
     val rd = s.read.format("graft.sources.StoreSink").option("path", p)
-    val df = (if (v > 0) rd.option("atVersion", v.toString) else rd).load()
+    // pin the HEAD export at the resolved number too: a commit landing
+    // between the listVersions and the scan's own manifest read would
+    // otherwise export data the audit row's version doesn't name
+    val df = (if (effective > 0) rd.option("atVersion", effective.toString)
+              else rd).load()
     df.write.mode("overwrite").parquet(dst)
     // count what actually landed — the export's own files, not the plan
     val nRows = s.read.parquet(dst).count()
@@ -1038,6 +1043,70 @@ private object ExportProcedure
         override def readSchema(): StructType = resultSchema
         override def rows(): Array[InternalRow] =
           Array(InternalRow(nRows, effective))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.export_delta(path, dst, from_v, to_v)` — materialize the
+  * CHANGE FEED between two pinned versions as plain parquet at `dst`
+  * (to_v ≤ 0 = current head): the incremental twin of [[ExportProcedure]]
+  * for consumers that mirror a store without speaking its format. Output
+  * columns = the CDF shape ('insert'/'delete' op + the toV schema), so a
+  * downstream MERGE applies the delta; cost is bounded by CHANGED bytes,
+  * never table size (StoreSink.changes reads only differing files). Both
+  * versions must still be retained — vacuumed history fails loudly.
+  * Audit row: (rows_exported, from_v, to_v_effective). */
+private object ExportDeltaProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "export_delta"
+  override def description(): String =
+    "materialize the change feed between two store versions as plain parquet"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("dst", org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("from_v", LongType).build(),
+    ProcedureParameter.in("to_v", LongType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("rows_exported", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("from_v", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("to_v", LongType,
+      nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val s = org.apache.spark.sql.SparkSession.active
+    val p = input.getUTF8String(0).toString
+    val dst = input.getUTF8String(1).toString
+    val fromV = input.getLong(2)
+    val toV = input.getLong(3)
+    val root = new org.apache.hadoop.fs.Path(p)
+    // resolve head to its concrete number FIRST and diff against THAT
+    // version explicitly — a commit landing mid-call must not make the
+    // audit row claim a different window than the one exported
+    val effectiveTo =
+      if (toV > 0) toV
+      else StoreSink.listVersions(root, StoreSink.fs(root))
+        .lastOption.getOrElse(0).toLong
+    require(effectiveTo > fromV,
+      s"export_delta: to_v $effectiveTo must be above from_v $fromV")
+    StoreSink.changes(s, p, fromV.toInt, Some(effectiveTo.toInt))
+      .write.mode("overwrite").parquet(dst)
+    val nRows = s.read.parquet(dst).count()
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(nRows, fromV, effectiveTo))
       }
     util.Collections.singletonList(scan).iterator()
   }

@@ -1455,6 +1455,48 @@ object Sources extends OpModule {
         .orderBy(col("step"), col("grp"))
     }),
 
+    // INCREMENTAL EXPORT (`CALL graft.export_delta(path, dst, from, to)`):
+    // the CHANGE FEED between two pinned versions materialized as plain
+    // parquet — the mirror-without-our-reader escape hatch. A downstream
+    // system applies the ('insert'/'delete', row) delta as a MERGE and
+    // stays in sync paying CHANGED bytes only (q_store_export pays the
+    // full copy; this is its nightly-incremental twin). The 1→3 window
+    // nets the update into its delete+insert pair; the 2→head window sees
+    // only the delete; audit rows pin exact exported counts + the
+    // resolved head version. At 100 TB the file diff bounds the scan to
+    // files the window actually changed.
+    "q_store_export_delta" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storeexpdelta")
+      seedStore(s, d, path) // v1: 8 range-clustered files
+      withStorePath(s, path) {
+        s.sql("UPDATE graft.store SET amt_cents = amt_cents + 7 " +
+              "WHERE k BETWEEN 100 AND 999") // v2
+        s.sql("DELETE FROM graft.store WHERE k < 50") // v3 (head)
+      }
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val dst1 = tmp(d, "storeexpdelta_13")
+      val dst2 = tmp(d, "storeexpdelta_2h")
+      Seq(dst1, dst2).foreach(p =>
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true))
+      val a1 = s.sql(s"CALL graft.export_delta('$path', '$dst1', 1, 3)")
+        .collect()(0)
+      val a2 = s.sql(s"CALL graft.export_delta('$path', '$dst2', 2, 0)")
+        .collect()(0) // to_v 0 = head, resolves to 3
+      def aggOf(p: String, tag: String): DataFrame =
+        s.read.parquet(p).groupBy(col("op"), col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .select(lit(tag).as("win"), col("op"), col("grp"), col("n"),
+                  col("sum_cents"))
+      import s.implicits._
+      aggOf(dst1, "1..3").unionByName(aggOf(dst2, "2..3"))
+        .unionByName(Seq(
+          ("a1..3", "-", "-", a1.getLong(0), a1.getLong(2)),
+          ("a2..3", "-", "-", a2.getLong(0), a2.getLong(2)))
+          .toDF("win", "op", "grp", "n", "sum_cents"))
+        .orderBy(col("win"), col("op"), col("grp"))
+    }),
+
     // PROPERTY-DRIVEN AUTO-MAINTENANCE (`CALL graft.maintain(path)`): the
     // compact/expire/orphan thresholds live in the table's OWN
     // `graft.maintain.*` properties — a fleet scheduler loops over paths
@@ -4127,6 +4169,30 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'audit_v1', '-', (SELECT COUNT(*) FROM v1), 1
         |UNION ALL SELECT 'audit_head', '-', (SELECT COUNT(*) FROM head), 2
         |ORDER BY step, grp""".stripMargin,
+
+    // both delta windows applied relationally (the q_store_cdf closed
+    // form); audits carry exact exported row counts + the resolved head
+    // version (3). 1..3 rows = update pairs (2× the updated keys' inserts
+    // ... the deletes side also carries the k<50 removals)
+    "q_store_export_delta" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders)
+        |SELECT '1..3' AS win, 'insert' AS op, grp, COUNT(*) AS n,
+        |  CAST(SUM(amt + 7) AS BIGINT) AS sum_cents
+        |FROM base WHERE k BETWEEN 100 AND 999 GROUP BY grp
+        |UNION ALL
+        |SELECT '1..3', 'delete', grp, COUNT(*), CAST(SUM(amt) AS BIGINT)
+        |FROM base WHERE k < 50 OR k BETWEEN 100 AND 999 GROUP BY grp
+        |UNION ALL
+        |SELECT '2..3', 'delete', grp, COUNT(*), CAST(SUM(amt) AS BIGINT)
+        |FROM base WHERE k < 50 GROUP BY grp
+        |UNION ALL SELECT 'a1..3', '-', '-',
+        |  2 * (SELECT COUNT(*) FROM base WHERE k BETWEEN 100 AND 999)
+        |    + (SELECT COUNT(*) FROM base WHERE k < 50), 3
+        |UNION ALL SELECT 'a2..3', '-', '-',
+        |  (SELECT COUNT(*) FROM base WHERE k < 50), 3
+        |ORDER BY win, op, grp""".stripMargin,
 
     // the policy replay: compact decision arithmetic from the orders key
     // bounds (the compact_if closed form), retention/orphans audited as

@@ -2262,6 +2262,28 @@ object StoreSink {
         removeOrphans(pathStr, System.currentTimeMillis() - v.toLong)
       out += (("orphans", "ok", deleted.toLong, candidates.toLong, 0L))
     }
+    // INDEX maintenance rides the same loop: a corpus table that owns
+    // derived indexes names their policies too, so ONE maintain(path)
+    // tick keeps table AND indexes healthy (the round-12 verdict's
+    // "somebody must decide" closed for every derived artifact, not just
+    // the data files)
+    ps.get("graft.maintain.ann").foreach { v =>
+      // numbers FIRST, path LAST with a bounded split: the index path may
+      // itself contain ':' (URIs), the thresholds never do
+      val p = v.split(":", 3)
+      require(p.length == 3 && p(0).nonEmpty && p(0).forall(_.isDigit) &&
+        p(1).nonEmpty && p(1).forall(_.isDigit) && p(2).nonEmpty,
+        "graft.maintain.ann must be " +
+          s"'max_skew_e4:min_recall_e4:index_path', got '$v'")
+      val (action, skew, recall) =
+        AnnIndex.rebuildIf(spark, p(2), p(0).toLong, p(1).toLong)
+      out += (("ann", action, skew, recall, 0L))
+    }
+    ps.get("graft.maintain.text").foreach { v =>
+      require(v.nonEmpty, "graft.maintain.text must be an index path")
+      val (action, armed, postings) = TextIndex.rebuildIf(spark, v)
+      out += (("text", action, armed, postings, 0L))
+    }
     val res = out.result()
     if (res.isEmpty) Seq(("none", "no graft.maintain.* properties", 0L, 0L, 0L))
     else res
