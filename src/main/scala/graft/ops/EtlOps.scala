@@ -763,6 +763,42 @@ object EtlOps extends OpModule {
         .orderBy(col("tag"), col("lvl"), col("idx"))
     }),
 
+    // DP HEAVY HITTERS over an UNBOUNDED domain — the release ladder's
+    // eighth rung, and the first where the key set itself is private
+    // (words in documents: no catalog to enumerate, so the q_dp_hist
+    // "data-independent domain" rule cannot apply). The STABILITY-BASED
+    // histogram (Korolova et al. / Google's unknown-domain DP histograms):
+    // (1) bound each document's L0 contribution to its top-5 in-doc terms
+    // (tf desc, term — deterministic, so sensitivity is 5 adds/removes),
+    // (2) Laplace at scale L0/ε = 10 on each observed term's count,
+    // (3) release ONLY terms whose noisy count clears a fixed threshold τ
+    // — the (ε,δ) mass of a term seen in few documents clearing τ by
+    // noise alone is negligible, which is what makes releasing
+    // data-derived KEYS private. All draws md5-seeded e6 integers (the
+    // q_dp_count idiom). One tokenize scan + one corpus-scaling-key
+    // aggregate: the q_tfidf_terms cost shape at 100 TB.
+    "q_dp_heavy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("t"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(split(lower(col("text")), " ")).as("t"))
+        .where(length(col("t")) >= 4)
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        .withColumn("rn", row_number().over(wDoc)).where(col("rn") <= 5)
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .withColumn("u", expr(
+          "cast(conv(substring(md5(concat('dp-heavy-r21-', t)), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5"))
+        .withColumn("noise_e6", expr(
+          "cast(round(1e6 * (-10.0) * sign(u) * ln(1.0 - 2.0 * abs(u))) as bigint)"))
+        .select(col("t"),
+                (col("n") + expr("cast(round(noise_e6 / 1e6) as bigint)"))
+                  .as("dp_n"))
+        .where(col("dp_n") > 25)
+        .orderBy(col("t"))
+    }),
+
     "q_dp_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.customer(s, d)
@@ -1363,6 +1399,28 @@ object EtlOps extends OpModule {
         |SELECT 'node' AS tag, lvl, idx, n, dp_n FROM noisy
         |UNION ALL SELECT tag, lvl, idx, n, dp_n FROM rng
         |ORDER BY tag, lvl, idx""".stripMargin,
+
+    // the same capped-contribution counts, Laplace draws, and threshold
+    // replayed over the tokenized corpus
+    "q_dp_heavy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok
+        |       WHERE LEN(t) >= 4 GROUP BY doc_id, t),
+        |cap AS (SELECT doc_id, t FROM (
+        |  SELECT doc_id, t, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tf DESC, t) AS rn FROM tf) x WHERE rn <= 5),
+        |g AS (SELECT t, COUNT(*) AS n FROM cap GROUP BY t),
+        |u AS (SELECT t, n,
+        |    CAST(('0x' || SUBSTR(md5('dp-heavy-r21-' || t), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 - 0.5 AS u
+        |  FROM g),
+        |nz AS (SELECT t,
+        |    n + CAST(ROUND(CAST(ROUND(1e6 * (-10.0) * SIGN(u)
+        |      * LN(1.0 - 2.0 * ABS(u))) AS BIGINT) / 1e6) AS BIGINT) AS dp_n
+        |  FROM u)
+        |SELECT t, dp_n FROM nz WHERE dp_n > 25 ORDER BY t""".stripMargin,
 
     "q_layout_compare" ->
       s"""WITH b0 AS (
