@@ -646,6 +646,84 @@ object TrainingOps extends OpModule {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // LATE-INTERACTION (multi-vector) RETRIEVAL — the ColBERT MaxSim
+    // kernel: entities are GROUPS of token vectors (here vec_id div 10),
+    // and score(q, d) = Σ over q's tokens of the MAX cosine against any
+    // of d's tokens — relevance that single-vector pooling erases (a doc
+    // matching every query facet with different tokens outranks one
+    // matching one facet well). Exact baseline: one cross join of query
+    // tokens × corpus tokens, then two integer aggregates (max per
+    // (token, doc), sum per doc) after the ONE e6 rounding — the embcos
+    // determinism technique, so both engines rank identically. The
+    // brute-force token join is the declared exact baseline; the IVF
+    // twin below is the sublinear path.
+    "q_sim_maxsim" -> ((s, d) => {
+      val nz = nzEmbeddings(s, d)
+      val q = nz.where(col("vec_id") < 20)
+        .select(expr("vec_id div 10").as("q_id"), col("vec_id").as("qt"),
+                col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("maxsim_e6").desc, col("d_id"))
+      nz.where(col("vec_id") >= 20)
+        .select(expr("vec_id div 10").as("d_id"),
+                col("embedding").as("t_emb"), col("nrm").as("t_nrm"))
+        .crossJoin(broadcast(q))
+        .withColumn("cos_e6",
+          round(expr("graft_float_dot(q_emb, t_emb)")
+            / (col("q_nrm") * col("t_nrm")) * 1e6).cast("long"))
+        .groupBy(col("q_id"), col("qt"), col("d_id"))
+        .agg(max(col("cos_e6")).as("m"))
+        .groupBy(col("q_id"), col("d_id")).agg(sum(col("m")).as("maxsim_e6"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select(col("q_id"), col("d_id"), col("maxsim_e6"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // MaxSim over an IVF-pruned candidate set — the PLAID/ColBERTv2
+    // serving shape: corpus tokens assign once to √n stride-seeded cells,
+    // each query token probes its 2 nearest cells, and the kernel scores
+    // ONLY (token, vector) pairs sharing a probed cell (a token with no
+    // candidate in a doc contributes 0 — the documented approximation).
+    // Per token the candidate mass is ~2n/k ≈ 2√n vectors, so query cost
+    // grows √n while the exact twin grows n. Same two integer aggregates
+    // after the one e6 rounding; the oracle replays seeding, assignment,
+    // probing, and the kernel.
+    "q_sim_maxsim_ivf" -> ((s, d) => {
+      val nz = nzEmbeddings(s, d)
+      val stride = graft.sources.AnnIndex.seedStride(nz.count())
+      val seeds = nz.where(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                col("nrm").as("c_nrm"))
+      val tvecs = nz.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                col("nrm").as("n_nrm"))
+      val asg = assign(tvecs, seeds)
+      val wP = Window.partitionBy(col("qt"))
+        .orderBy(col("p_score").desc, col("c_id"))
+      val qpr = nz.where(col("vec_id") < 20)
+        .select(expr("vec_id div 10").as("q_id"), col("vec_id").as("qt"),
+                col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        .join(broadcast(seeds))
+        .withColumn("p_score",
+          expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
+        .withColumn("prn", row_number().over(wP)).where(col("prn") <= 2)
+        .select(col("q_id"), col("qt"), col("q_emb"), col("q_nrm"),
+                col("c_id").as("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("maxsim_e6").desc, col("d_id"))
+      asg.join(broadcast(qpr), "bucket")
+        .withColumn("cos_e6",
+          round(expr("graft_float_dot(q_emb, n_emb)")
+            / (col("q_nrm") * col("n_nrm")) * 1e6).cast("long"))
+        .withColumn("d_id", expr("n_id div 10"))
+        .groupBy(col("q_id"), col("qt"), col("d_id"))
+        .agg(max(col("cos_e6")).as("m"))
+        .groupBy(col("q_id"), col("d_id")).agg(sum(col("m")).as("maxsim_e6"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select(col("q_id"), col("d_id"), col("maxsim_e6"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // Index-quality comparison: recall@5 per query for the fixed-16-cell
     // IVF (q_sim_ivf) and the trained-codebook IVF (q_sim_ivf_kmeans),
     // both against the exact brute-force top-5 (q_sim_topk) — the
@@ -1240,6 +1318,75 @@ object TrainingOps extends OpModule {
     // trained cells -> assignment/probe/rank — centroids are bit-stable, so
     // the hash pins the whole index, recall curve included
     "q_sim_ivf_kmeans" -> simIvfKmeansOracle,
+
+    // the exact MaxSim kernel: cross join, one e6 rounding, integer
+    // max-then-sum, top-5 per query group
+    "q_sim_maxsim" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |q AS (SELECT vec_id // 10 AS q_id, vec_id AS qt,
+         |        embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 20),
+         |t AS (SELECT vec_id // 10 AS d_id, embedding AS t_emb,
+         |        nrm AS t_nrm FROM e WHERE vec_id >= 20),
+         |pair AS (SELECT q_id, qt, d_id,
+         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, t_emb),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (q_nrm * t_nrm) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM q CROSS JOIN t),
+         |ms AS (SELECT q_id, d_id, CAST(SUM(m) AS BIGINT) AS maxsim_e6 FROM (
+         |    SELECT q_id, qt, d_id, MAX(cos_e6) AS m FROM pair
+         |    GROUP BY 1, 2, 3) x GROUP BY 1, 2),
+         |r AS (SELECT q_id, d_id, maxsim_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY maxsim_e6 DESC, d_id) AS rn FROM ms)
+         |SELECT q_id, d_id, maxsim_e6, CAST(rn AS INT) AS rn FROM r
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // seeding, assignment, probing, and the pruned kernel all replayed;
+    // the stride derives from the same corpus count on both engines
+    "q_sim_maxsim_ivf" -> {
+      val cosTS = duckCos("t.n_emb", "sd.c_emb")
+      val cosQS = duckCos("q.q_emb", "sd.c_emb")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |sd AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |       FROM e WHERE vec_id % ${strideSql("e")} = 0),
+         |t AS (SELECT vec_id AS n_id, vec_id // 10 AS d_id,
+         |        embedding AS n_emb, nrm AS n_nrm FROM e WHERE vec_id >= 20),
+         |asg AS (SELECT n_id, d_id, n_emb, n_nrm, c_id AS bucket FROM (
+         |    SELECT t.n_id, t.d_id, t.n_emb, t.n_nrm, sd.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY t.n_id
+         |        ORDER BY $cosTS DESC, sd.c_id) AS arn
+         |    FROM t CROSS JOIN sd) x WHERE arn = 1),
+         |q AS (SELECT vec_id // 10 AS q_id, vec_id AS qt,
+         |        embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 20),
+         |qpr AS (SELECT q_id, qt, q_emb, q_nrm, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.qt, q.q_emb, q.q_nrm, sd.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qt
+         |        ORDER BY $cosQS DESC, sd.c_id) AS prn
+         |    FROM q CROSS JOIN sd) x WHERE prn <= 2),
+         |pair AS (SELECT q_id, qt, d_id,
+         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (q_nrm * n_nrm) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM qpr JOIN asg USING (bucket)),
+         |ms AS (SELECT q_id, d_id, CAST(SUM(m) AS BIGINT) AS maxsim_e6 FROM (
+         |    SELECT q_id, qt, d_id, MAX(cos_e6) AS m FROM pair
+         |    GROUP BY 1, 2, 3) x GROUP BY 1, 2),
+         |r AS (SELECT q_id, d_id, maxsim_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY maxsim_e6 DESC, d_id) AS rn FROM ms)
+         |SELECT q_id, d_id, maxsim_e6, CAST(rn AS INT) AS rn FROM r
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
 
     // all 6 merge steps replayed as chained CTEs — learned merges, counts,
     // and the final symbol inventory are all hash-pinned
