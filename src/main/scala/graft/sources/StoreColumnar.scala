@@ -408,6 +408,66 @@ object StoreColumnar extends OpModule {
       }
     }),
 
+    // RUN-LENGTH-ENCODED INTEGER BLOCKS: under `graft.store.rle = on`, a
+    // qualifying integer block stores `count*value` runs (`r`-tagged
+    // length token — per-block, self-identifying, provably-smaller-only
+    // like the string dictionary). The fixture's amt column collapses to
+    // 5 distinct cent values and arrives SORTED — the post-compaction /
+    // clustered-write shape where runs are long — so its block shrinks
+    // (z_smaller), while the UNIQUE key column's block correctly stays
+    // plain (z_k_plain: the size guard refuses an encoding that can't
+    // pay). Content is bit-identical to the plain columnar twin, and the
+    // amt-predicate read decodes THROUGH the runs. The parquet RLE page
+    // shape; at 100 TB the at-rest win lands exactly on the columns
+    // clustering already made runny.
+    "q_store_col_rle" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecolrle")
+      val twin = tmp(d, "storecolrletwin")
+      val fsys = fsOf(s)
+      def seed(p: String, rle: Boolean): Unit = {
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true)
+        StoreSink.setProp(p, StoreSink.EncodingProp, "columnar")
+        StoreSink.setProp(p, StoreSink.GroupRowsProp, "2000")
+        if (rle) StoreSink.setProp(p, StoreSink.RleProp, "on")
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                  (pmod(col("o_orderkey"), lit(5)) * 100).as("amt_cents"))
+          .repartition(1).sortWithinPartitions(col("amt_cents"), col("k"))
+          .write.format(fmt).mode("append").option("path", p).save()
+      }
+      seed(path, rle = true); seed(twin, rle = false)
+      def bytesOf(p: String): Long = StoreSink.readEntries(
+        new org.apache.hadoop.fs.Path(p), fsys).flatMap(_.bytes).sum
+      val smaller = bytesOf(path) < bytesOf(twin)
+      val root = new org.apache.hadoop.fs.Path(path)
+      var tagged = false
+      var kPlain = true
+      StoreSink.readEntries(root, fsys).filter(_.rows > 0).foreach { e =>
+        val p = new org.apache.hadoop.fs.Path(root, e.name)
+        val in = fsys.open(p)
+        try StoreSink.readColGroups(in, fsys.getFileStatus(p).getLen)
+          .foreach(_.foreach { h =>
+            if (h.rleFlags.exists(identity)) tagged = true
+            if (h.isRle(0)) kPlain = false
+          })
+        finally in.close()
+      }
+      withStorePath(s, path) {
+        val full = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val one = s.table("graft.store").where(col("amt_cents") === 200)
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .collect()(0)
+        val rows = full.toSeq ++
+          Seq(Row("amt200", one.getLong(0), one.getLong(1))) ++
+          flagRows("z_k_plain" -> kPlain, "z_rle" -> tagged,
+                   "z_smaller" -> smaller)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, summarySchema).orderBy(col("grp"))
+      }
+    }),
+
     // DICTIONARY-ENCODED STRING BLOCKS (round-12 verdict #5): under
     // `graft.store.dict = on`, low-cardinality string blocks store their
     // distinct values once plus one ordinal per row (`d`-tagged length
@@ -708,6 +768,21 @@ object StoreColumnar extends OpModule {
         |UNION ALL SELECT 'z', 'all_columnar', 1, 0
         |UNION ALL SELECT 'z', 'content_invariant', 1, 0
         |ORDER BY v, grp""".stripMargin,
+
+    // content invariant under the run encoding; the amt-predicate read
+    // decodes through runs, flags pin the tagged/plain/smaller contracts
+    "q_store_col_rle" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+        |    (o_orderkey % 5) * 100 AS amt FROM orders)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS sum_cents
+        |FROM base GROUP BY grp
+        |UNION ALL SELECT 'amt200', COUNT(*), CAST(SUM(k) AS BIGINT)
+        |FROM base WHERE amt = 200
+        |UNION ALL SELECT 'z_k_plain', 1, 0
+        |UNION ALL SELECT 'z_rle', 1, 0
+        |UNION ALL SELECT 'z_smaller', 1, 0
+        |ORDER BY grp""".stripMargin,
 
     "q_store_col_dict" ->
       """WITH base AS (

@@ -867,6 +867,18 @@ object StoreSink {
     * ONE block (the indices — and every other column's blocks — are
     * never parsed), which is the parquet dictionary-page filter shape. */
   val DictProp = "graft.store.dict"
+  /** Optional RUN-LENGTH ENCODING for INTEGER blocks
+    * (`graft.store.rle = on`): a qualifying block stores `c0*v0,c1*v1,…`
+    * run pairs and its header length token carries an `r` prefix.
+    * Per-block, self-identifying, and provably-smaller-only, exactly like
+    * the string dictionary — and the payoff compounds with the layouts
+    * the store already produces: a range-clustered or orderedBy write
+    * leaves long constant runs in partition/group/low-cardinality
+    * columns, and a sorted key column's delta structure is RLE-friendly
+    * after updates collapse to few distinct values. The parquet RLE
+    * page shape. */
+  val RleProp = "graft.store.rle"
+
   /** Set (once, at commit) when an `orderedBy` write lands: such files
     * are sorted by (partition value, orderedBy col), NOT by k — the
     * SupportsReportOrdering per-partition `k ASC` claim must be
@@ -933,6 +945,13 @@ object StoreSink {
   private[sources] def dictAt(pathStr: String): Boolean = {
     val root = new Path(pathStr)
     readProps(root, fs(root)).toMap.get(DictProp).contains("on")
+  }
+
+  /** Should NEW columnar files run-length-encode qualifying integer
+    * blocks? (Writer-side, resolved on the driver like the others.) */
+  private[sources] def rleAt(pathStr: String): Boolean = {
+    val root = new Path(pathStr)
+    readProps(root, fs(root)).toMap.get(RleProp).contains("on")
   }
 
   /** Set one table property (read-merge-write under the commit lock). */
@@ -1038,9 +1057,12 @@ object StoreSink {
                                         compressed: Boolean,
                                         dataStart: Long,
                                         gstats: Map[Int, (Long, Long)] = Map.empty,
-                                        dictFlags: Array[Boolean] = Array.empty) {
+                                        dictFlags: Array[Boolean] = Array.empty,
+                                        rleFlags: Array[Boolean] = Array.empty) {
     def isDict(slot: Int): Boolean =
       slot < dictFlags.length && dictFlags(slot)
+    def isRle(slot: Int): Boolean =
+      slot < rleFlags.length && rleFlags(slot)
   }
 
   /** Sniff + parse the columnar GROUP header at `base`. Returns None
@@ -1070,9 +1092,12 @@ object StoreSink {
     // group-stat tokens (`@<slot>:<min>:<max>`) ride after the lens —
     // unambiguous: length tokens always open with a digit
     val (statToks, entries0) = parts.drop(1).partition(_.startsWith("@"))
-    // a `d` prefix on a length token marks a DICTIONARY-encoded block
+    // a `d` prefix on a length token marks a DICTIONARY-encoded block,
+    // an `r` prefix a RUN-LENGTH-encoded one (mutually exclusive)
     val dictFlags = entries0.map(_.startsWith("d"))
-    val entries = entries0.map(e => if (e.startsWith("d")) e.substring(1) else e)
+    val rleFlags = entries0.map(_.startsWith("r"))
+    val entries = entries0.map(e =>
+      if (e.startsWith("d") || e.startsWith("r")) e.substring(1) else e)
     val lens = entries.map(e => e.split(':')(0).toLong)
     val rawLens =
       if (compressed) entries.map(e => e.split(':')(1).toLong) else lens
@@ -1081,7 +1106,8 @@ object StoreSink {
       a(0).toInt -> (a(1).toLong, a(2).toLong)
     }.toMap
     Some(ColHeader(nrows, lens, rawLens, compressed,
-      base + ColMagicBytes.length + sb.length + 1L, gstats, dictFlags))
+      base + ColMagicBytes.length + sb.length + 1L, gstats, dictFlags,
+      rleFlags))
   }
 
   /** Walk a columnar file's GROUP chain (one header + blocks per group —
@@ -1206,6 +1232,68 @@ object StoreSink {
     if (sb.length >= plainLen) None else Some(sb.result())
   }
 
+  /** Run block: `c0*v0,c1*v1,…` decoded into per-run values plus a
+    * per-row run index — the DictBlock memory shape (one int per row),
+    * each run's value stored once. NOT exposed as a dictionary: run
+    * values can repeat across runs, and integer predicates are already
+    * served by zone stats. */
+  private[sources] final class RunBlock(values: Array[String],
+                                        idx: Array[Int]) extends ColValues {
+    override def isNull(r: Int): Boolean = values(idx(r)) == NullMark
+    override def long(r: Int): Long = raw(r).toLong
+    override def raw(r: Int): String = values(idx(r))
+  }
+
+  private[sources] def parseRleBlock(text: String, nrows: Int): RunBlock = {
+    // corruption must be LOUD (the dict/ColBlock discipline): a truncated
+    // run list must never silently decode short or repeat a run
+    val runs =
+      if (text.isEmpty) Array.empty[String] else text.split(",", -1)
+    val values = new Array[String](runs.length)
+    val idx = new Array[Int](nrows)
+    var r = 0
+    var ri = 0
+    while (ri < runs.length) {
+      val run = runs(ri)
+      val p = run.indexOf('*')
+      require(p > 0, s"torn RLE block: run '$run' has no count")
+      val c = run.substring(0, p).toInt
+      require(c >= 1, s"torn RLE block: run count $c < 1")
+      values(ri) = run.substring(p + 1)
+      var n = 0
+      while (n < c) {
+        require(r < nrows,
+          s"torn RLE block: runs cover more than $nrows rows")
+        idx(r) = ri; r += 1; n += 1
+      }
+      ri += 1
+    }
+    require(r == nrows, s"torn RLE block: runs cover $r of $nrows rows")
+    new RunBlock(values, idx)
+  }
+
+  /** Encode an integer block's values as RLE runs when it qualifies
+    * (≥ 16 rows) AND the runs are provably smaller than plain text —
+    * high-cardinality blocks (a unique key column in arrival order) keep
+    * the plain layout, exactly the dictionary's earn-its-keep rule.
+    * At-rest integer tokens are digits/'-'/`\N`, so '*' and ',' never
+    * occur inside a value. */
+  private[sources] def rleBlockText(values: Array[String]): Option[String] = {
+    if (values.length < 16) return None
+    val plainLen = values.map(_.length + 1).sum - 1
+    val sb = new StringBuilder
+    var i = 0
+    while (i < values.length) {
+      var j = i + 1
+      while (j < values.length && values(j) == values(i)) j += 1
+      if (i > 0) sb.append(',')
+      sb.append(j - i).append('*').append(values(i))
+      if (sb.length >= plainLen) return None // not smaller: keep plain
+      i = j
+    }
+    Some(sb.result())
+  }
+
   /** One loaded column block: the raw text plus per-value OFFSETS —
     * values parse straight out of the block (no per-value String
     * materialization; a 20-column file would otherwise hold millions of
@@ -1261,6 +1349,7 @@ object StoreSink {
                                     h: ColHeader, s: Int): ColValues = {
     val text = loadBlockText(in, h, s)
     if (h.isDict(s)) parseDictBlock(text, h.nrows)
+    else if (h.isRle(s)) parseRleBlock(text, h.nrows)
     else {
       val offs = new Array[Int](math.max(h.nrows, 0))
       if (h.nrows > 0) {
@@ -1299,6 +1388,9 @@ object StoreSink {
             else if (h.isDict(s)) {
               val db = parseDictBlock(loadBlockText(in, h, s), h.nrows)
               Array.tabulate(h.nrows)(db.raw)
+            } else if (h.isRle(s)) {
+              val rb = parseRleBlock(loadBlockText(in, h, s), h.nrows)
+              Array.tabulate(h.nrows)(rb.raw)
             } else loadBlockText(in, h, s).split(",", -1)
           }.toArray
           (0 until h.nrows).iterator.map { r =>
@@ -1334,7 +1426,8 @@ object StoreSink {
                                          compress: Boolean = false,
                                          groupRows: Int = 1 << 20,
                                          dictSlots: Set[Int] = Set.empty,
-                                         statSlots: Seq[Int] = Seq(0)): Array[Byte] = {
+                                         statSlots: Seq[Int] = Seq(0),
+                                         rleSlots: Set[Int] = Set.empty): Array[Byte] = {
     val width = if (lines.isEmpty) 0 else lines.head.count(_ == ',') + 1
     val slots = statSlots.filter(s => s >= 0 && s < width)
     val out = new java.io.ByteArrayOutputStream()
@@ -1373,7 +1466,8 @@ object StoreSink {
         if (sMin(si) == Long.MaxValue) None
         else Some((slots(si), sMin(si), sMax(si)))
       }
-      out.write(columnarBytes(group.size, bufs, compress, gs, dictSlots))
+      out.write(columnarBytes(group.size, bufs, compress, gs, dictSlots,
+        rleSlots))
     }
     out.toByteArray
   }
@@ -1384,19 +1478,25 @@ object StoreSink {
                                      bufs: Array[StringBuilder],
                                      compress: Boolean = false,
                                      gstats: Seq[(Int, Long, Long)] = Nil,
-                                     dictSlots: Set[Int] = Set.empty): Array[Byte] = {
-    // dictionary-qualify the declared string slots block by block; a `d`
-    // length-token prefix marks the encoded ones (self-identifying)
-    val encoded: Array[(Array[Byte], Boolean)] = bufs.indices.map { s =>
+                                     dictSlots: Set[Int] = Set.empty,
+                                     rleSlots: Set[Int] = Set.empty): Array[Byte] = {
+    // dictionary-qualify the declared string slots and RLE-qualify the
+    // integer slots block by block; a `d`/`r` length-token prefix marks
+    // the encoded ones (self-identifying). The slot sets are disjoint by
+    // construction (string vs integer types).
+    val encoded: Array[(Array[Byte], String)] = bufs.indices.map { s =>
       val plain = bufs(s).result()
-      val enc =
+      val (enc, marker) =
         if (nrows > 0 && dictSlots.contains(s))
-          dictBlockText(plain.split(",", -1))
-        else None
-      (enc.getOrElse(plain).getBytes(StandardCharsets.UTF_8), enc.isDefined)
+          (dictBlockText(plain.split(",", -1)), "d")
+        else if (nrows > 0 && rleSlots.contains(s))
+          (rleBlockText(plain.split(",", -1)), "r")
+        else (None, "")
+      (enc.getOrElse(plain).getBytes(StandardCharsets.UTF_8),
+        if (enc.isDefined) marker else "")
     }.toArray
     val rawBlocks = encoded.map(_._1)
-    def dPfx(i: Int): String = if (encoded(i)._2) "d" else ""
+    def dPfx(i: Int): String = encoded(i)._2
     val blocks = if (compress) rawBlocks.map(deflateBytes) else rawBlocks
     // per-group zone stats ride the header as `@<slot>:<min>:<max>` tokens
     val statPart = gstats.map { case (s, mn, mx) => s" @$s:$mn:$mx" }.mkString
@@ -1429,10 +1529,12 @@ object StoreSink {
                                      compress: Boolean = false,
                                      groupRows: Int = 1 << 20,
                                      dictSlots: Set[Int] = Set.empty,
-                                     statSlots: Seq[Int] = Seq(0)): Long = {
+                                     statSlots: Seq[Int] = Seq(0),
+                                     rleSlots: Set[Int] = Set.empty): Long = {
     val bytes =
       if (columnar && lines.nonEmpty)
-        columnarFileBytes(lines, compress, groupRows, dictSlots, statSlots)
+        columnarFileBytes(lines, compress, groupRows, dictSlots, statSlots,
+          rleSlots)
       else lines.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
     val out = fsys.create(p, true)
     try out.write(bytes) finally out.close()
@@ -4133,14 +4235,22 @@ private object StoreTableDeleteBody {
     val colEnc = StoreSink.columnarAt(pathStr)
     val zipEnc = StoreSink.compressAt(pathStr)
     val grpRows = StoreSink.groupRowsAt(pathStr)
-    val (cowDictSlots, cowStatSlots): (Set[Int], Seq[Int]) =
-      if (!colEnc) (Set.empty, Seq(0))
+    val (cowDictSlots, cowStatSlots, cowRleSlots)
+        : (Set[Int], Seq[Int], Set[Int]) =
+      if (!colEnc) (Set.empty, Seq(0), Set.empty)
       else {
         val layout = StoreSink.layoutAt(pathStr, None)
         val dicts =
           if (!StoreSink.dictAt(pathStr)) Set.empty[Int]
           else layout.physTypes.indices
             .filter(i => layout.physTypes(i) == StringType).toSet
+        // RLE follows the same COW re-derivation discipline as dict and
+        // stats: a rewrite must not silently degrade the at-rest layout
+        val rles =
+          if (!StoreSink.rleAt(pathStr)) Set.empty[Int]
+          else layout.physTypes.indices
+            .filter(i => layout.physTypes(i) == LongType ||
+              layout.physTypes(i) == IntegerType).toSet
         val declared = StoreSink.declaredStatCols(root, fsys,
             StoreSink.tableSchema(pathStr))
           .map { case (_, li) => layout.proj(li) }.filter(_ >= 0)
@@ -4148,7 +4258,7 @@ private object StoreTableDeleteBody {
           if (layout.physTypes.length > 2 && layout.physTypes(2) == LongType)
             Seq(2)
           else Nil
-        (dicts, (Seq(0) ++ amt ++ declared).distinct)
+        (dicts, (Seq(0) ++ amt ++ declared).distinct, rles)
       }
     var processed = 0
     val gen = System.nanoTime().toHexString
@@ -4228,7 +4338,7 @@ private object StoreTableDeleteBody {
           val nf = s"${e.name}-d$gen"
           val nBytes =
             StoreSink.writeDataFile(fsys, new Path(root, nf), kept, colEnc,
-              zipEnc, grpRows, cowDictSlots, cowStatSlots)
+              zipEnc, grpRows, cowDictSlots, cowStatSlots, cowRleSlots)
           StoreSink.StoreFileEntry(nf, nRows,
             if (nMin == Long.MaxValue) None else Some(nMin),
             if (nMax == Long.MinValue) None else Some(nMax),
@@ -4422,9 +4532,11 @@ private case class StoreDeltaWriterFactory(pathStr: String, queryId: String,
   private val compress: Boolean = StoreSink.compressAt(pathStr)
   private val groupRows: Int = StoreSink.groupRowsAt(pathStr)
   private val dictEnc: Boolean = StoreSink.dictAt(pathStr)
+  private val rleEnc: Boolean = StoreSink.rleAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new StoreDeltaWriter(pathStr, s"part-$queryId-$partitionId-$taskId",
-      dataSchema, spec, slots, columnar, compress, groupRows, dictEnc)
+      dataSchema, spec, slots, columnar, compress, groupRows, dictEnc,
+      rleEnc)
 }
 
 /** Per-task delta writer: inserts ride the ordinary staged-file writer;
@@ -4438,13 +4550,14 @@ private class StoreDeltaWriter(pathStr: String, fileName: String,
                                columnar: Boolean = false,
                                compress: Boolean = false,
                                groupRows: Int = 1 << 20,
-                               dictEnc: Boolean = false)
+                               dictEnc: Boolean = false,
+                               rleEnc: Boolean = false)
     extends DeltaWriter[InternalRow] {
 
   private val inserts =
     new StoreDataWriter(pathStr, fileName, dataSchema, spec, slots,
       columnar = columnar, compress = compress, groupRows = groupRows,
-      dictEnc = dictEnc)
+      dictEnc = dictEnc, rleEnc = rleEnc)
   private val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -5004,10 +5117,11 @@ private case class StoreWriterFactory(pathStr: String, queryId: String,
   private val compress: Boolean = StoreSink.compressAt(pathStr)
   private val groupRows: Int = StoreSink.groupRowsAt(pathStr)
   private val dictEnc: Boolean = StoreSink.dictAt(pathStr)
+  private val rleEnc: Boolean = StoreSink.rleAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-$partitionId-$taskId", dataSchema,
       spec, slots, statCols, strStatCols, columnar, ndvTrack, compress,
-      groupRows, dictEnc)
+      groupRows, dictEnc, rleEnc)
 }
 
 /** Streaming twin: epoch identity joins the task identity in the staged
@@ -5031,11 +5145,12 @@ private case class StoreStreamingWriterFactory(pathStr: String, queryId: String,
   private val compress: Boolean = StoreSink.compressAt(pathStr)
   private val groupRows: Int = StoreSink.groupRowsAt(pathStr)
   private val dictEnc: Boolean = StoreSink.dictAt(pathStr)
+  private val rleEnc: Boolean = StoreSink.rleAt(pathStr)
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StoreDataWriter(pathStr, s"part-$queryId-e$epochId-$partitionId-$taskId",
       dataSchema, spec, slots, statCols, strStatCols, columnar, ndvTrack,
-      compress, groupRows, dictEnc)
+      compress, groupRows, dictEnc, rleEnc)
 }
 
 private class StoreDataWriter(pathStr: String, fileName: String,
@@ -5048,7 +5163,8 @@ private class StoreDataWriter(pathStr: String, fileName: String,
                               ndvTrack: Boolean = false,
                               compress: Boolean = false,
                               groupRows: Int = 1 << 20,
-                              dictEnc: Boolean = false)
+                              dictEnc: Boolean = false,
+                              rleEnc: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val types = dataSchema.fields.map(_.dataType)
@@ -5089,7 +5205,8 @@ private class StoreDataWriter(pathStr: String, fileName: String,
         if (gMinS(gi) == Long.MaxValue) None
         else Some((gStatCols(gi)._2, gMinS(gi), gMaxS(gi)))
       }
-      val b = StoreSink.columnarBytes(grows, colBufs, compress, gs, dictSlots)
+      val b = StoreSink.columnarBytes(grows, colBufs, compress, gs, dictSlots,
+        rleSlots)
       out.write(b)
       bytes += b.length
       colBufs.foreach(_.setLength(0))
@@ -5132,6 +5249,16 @@ private class StoreDataWriter(pathStr: String, fileName: String,
     else (0 until physWidth).filter { si =>
       val i = if (slots == null) si else slots(si)
       i >= 0 && i < types.length && types(i) == StringType
+    }.toSet
+  /** Physical slots eligible for per-block run-length encoding: the
+    * integer-typed live slots, when the table opted in. Disjoint from
+    * [[dictSlots]] by type. */
+  private val rleSlots: Set[Int] =
+    if (!columnar || !rleEnc) Set.empty
+    else (0 until physWidth).filter { si =>
+      val i = if (slots == null) si else slots(si)
+      i >= 0 && i < types.length &&
+        (types(i) == LongType || types(i) == IntegerType)
     }.toSet
   private val sinks = scala.collection.mutable.LinkedHashMap[String, Sink]()
 

@@ -351,6 +351,74 @@ class StoreColumnarSpec extends SparkSpec {
       "the size guard must keep short-value blocks plain")
   }
 
+  test("RLE blocks: r-tag self-identification, round-trip, masks, COW " +
+       "keeps the layout, deflate composes, size guard, torn runs loud") {
+    import spark.implicits._
+    val dir = freshDir("rle")
+    markColumnar(dir)
+    StoreSink.setProp(dir, StoreSink.GroupRowsProp, "100")
+    StoreSink.setProp(dir, StoreSink.RleProp, "on")
+    // amt = 3 long runs per group (k-sorted); k unique — must stay plain
+    val rows = (0 until 300).map(i => (i.toLong, s"g${i % 7}", (i / 100) * 10L))
+    rows.toDF("k", "grp", "amt_cents").repartition(1)
+      .sortWithinPartitions("k")
+      .write.format(fmt).mode("append").option("path", dir).save()
+    def groupsOf(d: String): Seq[StoreSink.ColHeader] = {
+      val e = StoreSink.readEntries(new Path(d), fs).filter(_.rows > 0).head
+      val p = new Path(d, e.name)
+      val in = fs.open(p)
+      try StoreSink.readColGroups(in, fs.getFileStatus(p).getLen).get
+      finally in.close()
+    }
+    // the amt block (slot 2) run-encodes in every group; k stays plain
+    // (unique values can't shrink), grp is a string slot (never RLE)
+    assert(groupsOf(dir).forall(h =>
+      h.isRle(2) && !h.isRle(0) && !h.isRle(1) && !h.isDict(2)))
+    assert(readBack(dir) == rows.toSet, "RLE blocks must round-trip")
+    // masks stay ordinal-correct over run-encoded blocks
+    withStore(dir) {
+      spark.sql("DELETE FROM graft.store WHERE k IN (5, 150, 250)")
+    }
+    assert(readBack(dir) == rows.filterNot(r0 =>
+      Set(5L, 150L, 250L)(r0._1)).toSet)
+    // a COW rewrite keeps the run encoding AND group stats (maintenance
+    // must not silently degrade the layout — the dict review-catch rule)
+    withStore(dir) {
+      spark.sql("DELETE FROM graft.store WHERE k >= 200")
+    }
+    assert(groupsOf(dir).forall(h => h.isRle(2) && h.gstats.contains(0)),
+      "COW replacements must keep RLE blocks and per-group key stats")
+    // composes with deflate (#GC2): rle-then-compress round-trips
+    val zdir = freshDir("rle_zip")
+    markColumnar(zdir)
+    StoreSink.setProp(zdir, StoreSink.RleProp, "on")
+    StoreSink.setProp(zdir, StoreSink.CompressProp, "deflate")
+    rows.toDF("k", "grp", "amt_cents").repartition(1)
+      .sortWithinPartitions("k")
+      .write.format(fmt).mode("append").option("path", zdir).save()
+    assert(groupsOf(zdir).forall(h => h.compressed && h.isRle(2)))
+    assert(readBack(zdir) == rows.toSet, "RLE+deflate must round-trip")
+    // size guard: a unique integer column never qualifies
+    val plain = freshDir("rle_plain")
+    markColumnar(plain)
+    StoreSink.setProp(plain, StoreSink.RleProp, "on")
+    (0 until 100).map(i => (i.toLong, "x", i * 7L)).toDF("k", "grp", "amt_cents")
+      .repartition(1).sortWithinPartitions("k")
+      .write.format(fmt).mode("append").option("path", plain).save()
+    assert(groupsOf(plain).forall(h => !h.isRle(0) && !h.isRle(2)),
+      "the size guard must keep unique-value blocks plain")
+    // torn run lists are LOUD, never a silent short/shifted decode
+    intercept[IllegalArgumentException] {
+      StoreSink.parseRleBlock("3*1,2*5", 6) // covers 5 of 6 rows
+    }
+    intercept[IllegalArgumentException] {
+      StoreSink.parseRleBlock("3*1,4*5", 6) // covers 7 of 6 rows
+    }
+    intercept[IllegalArgumentException] {
+      StoreSink.parseRleBlock("3*1,x", 4) // runs must carry a count
+    }
+  }
+
   test("dictionary composes with deflate (#GC2) and the streaming write " +
        "path: dict-then-compress blocks round-trip and still dict-skip") {
     import spark.implicits._
