@@ -589,6 +589,122 @@ object TextIndex {
     scoreFiles(kept).orderBy(col("bm25_e4").desc, col("doc_id")).limit(topk)
   }
 
+  /** Test observability: (files planned, files in the query terms'
+    * shards) of the last [[probeOr]] — the multi-term pruning witness. */
+  @volatile private[graft] var lastOrFiles: Option[(Int, Int)] = None
+
+  /** DISJUNCTIVE (OR) TOP-K with WAND-style pruning — the full WAND
+    * shape (Broder et al.) over the impact-banded postings: docs
+    * containing ANY query term rank by summed per-term BM25, and a file
+    * F of term t is skipped when `UB_t(F) + Σ_{t'≠t} max_F' UB_t'(F')`
+    * cannot reach the running k-th score θ — the classic per-term
+    * upper-bound sum. Soundness: any doc whose t-posting lives in a
+    * skipped file has every other term's contribution bounded by that
+    * term's GLOBAL best-file bound (0 when absent), so its true total is
+    * < θ ≤ the true k-th score — it can neither enter the top-k nor win
+    * a tie (a doc with true total ≥ θ has every one of its files kept,
+    * since each file's UB+residual dominates the doc's total — so true
+    * top-k docs are always FULLY scored and ties break by doc_id).
+    * θ comes from phase-1 partial totals over each term's top impact
+    * bands; partials UNDERSTATE docs, so the k-th partial only ever
+    * UNDER-estimates θ — pruning less, never wrongly. Dictionary-absent
+    * terms contribute nothing; all absent → empty. Disarmed impact (post
+    * ratio-dropping refresh) falls back to the unpruned probe. At 100 TB
+    * an interactive multi-term query reads the top impact bands of each
+    * term plus whatever survives the bound — never the full posting
+    * lists of common terms. */
+  def probeOr(s: SparkSession, indexPath: String, terms: Seq[String],
+              topk: Int = 10): DataFrame = {
+    val want = terms.distinct
+    require(want.nonEmpty && want.size <= 32 && want.forall(_.nonEmpty),
+      s"probeOr takes 1..32 non-empty terms, got $terms")
+    val genRoot = IndexGen.dir(indexPath)
+    val tmRoot = new Path(tm(genRoot))
+    val fsys = StoreSink.fs(tmRoot)
+    // entries BEFORE props — the rank-safe torn direction (see probeTopN)
+    val plRoot = new Path(pl(genRoot))
+    val allEntries = StoreSink.readEntries(plRoot, fsys)
+    val props = StoreSink.readProps(tmRoot, fsys).toMap
+    val (nd, tl) = (props(NdProp).toLong, props(TlProp).toLong)
+    val impValid = props.get(ImpProp).contains("1")
+    val conf = confOf(props)
+    import s.implicits._
+    val qt = termsAt(s, genRoot).where(col("t").isin(want: _*))
+      .select(col("t"), col("df"), shardCol(col("t"), conf.shards).as("b"))
+      .collect()
+    if (qt.isEmpty) {
+      lastOrFiles = Some((0, 0))
+      return Seq.empty[(Long, Long)].toDF("doc_id", "bm25_e4")
+    }
+    val found = qt.map(_.getString(0)).toSeq
+    val dfOf = qt.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shardOf = qt.map(r => r.getString(0) -> r.getString(2)).toMap
+    def idf(t: String): Double = {
+      val df = dfOf(t)
+      math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+    }
+    def ub(t: String, e: StoreSink.StoreFileEntry): Long =
+      if (!impValid) Long.MaxValue
+      else e.stats.find(_._1 == "imp").map { case (_, _, mx) =>
+        math.ceil(idf(t) * (mx + 0.5)).toLong + 1L
+      }.getOrElse(Long.MaxValue)
+    def satAdd(a: Long, b: Long): Long =
+      if (a == Long.MaxValue || b == Long.MaxValue) Long.MaxValue else a + b
+    val perTerm: Seq[(String, Seq[StoreSink.StoreFileEntry])] =
+      found.map(t => t -> allEntries.filter(e =>
+        e.rows != 0 && e.part.exists(_.endsWith(shardOf(t)))))
+    val gmax: Map[String, Long] = perTerm.map { case (t, es) =>
+      t -> es.map(e => ub(t, e)).foldLeft(0L)(math.max) }.toMap
+    val qdf = qt.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("t", "df")
+    def scoreFiles(fs: Seq[StoreSink.StoreFileEntry]): DataFrame =
+      s.read.format(Fmt).option("path", pl(genRoot))
+        .option("files", fs.map(_.token).distinct.mkString(","))
+        .load()
+        .where(col("term").isin(found: _*))
+        .select(col("k").as("doc_id"), col("term").as("t"),
+                col("amt_cents").as("tf"), col("dl"))
+        .join(broadcast(qdf), "t")
+        .select(col("doc_id"), expr(
+          s"""cast(round(1e4 * ln(1.0 + ($nd - df + 0.5) / (df + 0.5))
+             |  * (tf * (1.2 + 1.0))
+             |  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * $nd / cast(${tl}L as double))))
+             |as bigint)""".stripMargin).as("sc"))
+        .groupBy(col("doc_id")).agg(sum(col("sc")).as("bm25_e4"))
+    val totalFiles = perTerm.flatMap(_._2).map(_.token).distinct.size
+    val phase1: Seq[StoreSink.StoreFileEntry] = perTerm.flatMap {
+      case (t, es) =>
+        val ordered = es.sortBy(e => (-ub(t, e), e.name))
+        var acc = 0L
+        val b = Seq.newBuilder[StoreSink.StoreFileEntry]
+        ordered.iterator.takeWhile { e =>
+          val go = acc < 50L * topk
+          if (go) { b += e; acc += math.max(e.rows, 0L) }
+          go
+        }.foreach(_ => ())
+        b.result()
+    }
+    val theta: Option[Long] =
+      if (!impValid || phase1.isEmpty) None
+      else {
+        val top = scoreFiles(phase1)
+          .orderBy(col("bm25_e4").desc, col("doc_id")).limit(topk).collect()
+        if (top.length >= topk) Some(top.last.getLong(1)) else None
+      }
+    val kept: Seq[StoreSink.StoreFileEntry] = theta match {
+      case None => perTerm.flatMap(_._2)
+      case Some(th) =>
+        perTerm.flatMap { case (t, es) =>
+          val residual =
+            found.filterNot(_ == t).map(gmax).foldLeft(0L)(satAdd)
+          // UB == θ files stay planned so ties still break by doc_id
+          es.filter(e => satAdd(ub(t, e), residual) >= th)
+        }
+    }
+    lastOrFiles = Some((kept.map(_.token).distinct.size, totalFiles))
+    scoreFiles(kept).orderBy(col("bm25_e4").desc, col("doc_id")).limit(topk)
+  }
+
   /** REBUILD POLICY for the sparse index (round-11's AnnIndex.rebuildIf
     * posture, sparse edition — closing the arming lifecycle): fold any
     * pending corpus changes, then rebuild IFF the impact bound came out

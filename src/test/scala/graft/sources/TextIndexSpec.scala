@@ -217,6 +217,43 @@ class TextIndexSpec extends SparkSpec {
       s"a ratio-dropping refresh must disarm the bound: $post")
   }
 
+  test("probeOr (WAND): prunes on the per-term bound plus the other " +
+       "terms' residuals, equals the full OR scoring, absent terms drop") {
+    import spark.implicits._
+    val idx = freshDir("or_idx")
+    // alphaword's tf varies 1..5 (discriminating impact bands); betaword
+    // is constant tf 1 in every doc (df = 300 → tiny idf, so the OTHER-
+    // term residual stays small and the alpha bands can actually prune)
+    val big = (1 to 300).map { i =>
+      val tf = 1 + i % 5
+      val filler = (1 to (3 + i % 7)).map(j => s"w${(i + j) % 40}").mkString(" ")
+      (i.toLong,
+        (Seq.fill(tf)("alphaword") ++ Seq("betaword", filler)).mkString(" "))
+    }.toDF("doc_id", "text")
+    TextIndex.build(spark, big, idx)
+    TextIndex.lastOrFiles = None
+    val got = TextIndex.probeOr(spark, idx,
+      Seq("alphaword", "betaword"), topk = 10).collect()
+    val (planned, total) = TextIndex.lastOrFiles.get
+    assert(planned >= 1 && planned < total,
+      s"WAND bound must skip files: planned $planned of $total")
+    // rank-safe incl. the partial-score tail: equals the full OR scoring
+    val qt = TextIndex.terms(spark, idx)
+      .where(col("t").isin("alphaword", "betaword"))
+    val full = TextIndex.score(spark, idx, qt)
+      .select(col("doc_id"), col("bm25_e4"))
+      .orderBy(col("bm25_e4").desc, col("doc_id")).limit(10).collect()
+    assert(got.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+      "WAND-pruned OR top-k must equal the full OR scoring")
+    // a dictionary-absent term contributes nothing; all absent → empty
+    val mixed = TextIndex.probeOr(spark, idx,
+      Seq("alphaword", "betaword", "zzznope"), topk = 10).collect()
+    assert(mixed.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq,
+      "an unknown term must not change the OR ranking")
+    assert(TextIndex.probeOr(spark, idx, Seq("zzznope"), topk = 5)
+      .collect().isEmpty, "all-unknown terms must return empty")
+  }
+
   test("ordered (impact-banded) writes mark the store: the k-sorted " +
        "per-file ordering claim withdraws") {
     val idx = freshDir("ordmark_idx")
