@@ -724,6 +724,25 @@ object TrainingOps extends OpModule {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // MaxSim index quality: recall@5 of the IVF-pruned late-interaction
+    // ranking against the exact kernel, per query group — the measured
+    // price of the per-token candidate cut (missing contributions read
+    // as 0). Both pipelines replay in ONE oracle (shared corpus CTEs),
+    // so the recall numbers are hash-pinned like every other recall row.
+    "q_ann_recall_maxsim" -> ((s, d) => {
+      val exact = queries("q_sim_maxsim")(s, d)
+        .select(col("q_id"), col("d_id")).localCheckpoint() // ≤ 5/query
+      val ivf = queries("q_sim_maxsim_ivf")(s, d)
+        .select(col("q_id"), col("d_id"))
+      val hits = exact.join(ivf, Seq("q_id", "d_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+                expr("coalesce(n_hit, 0L) * 10000L div 5").as("recall_e4"))
+        .orderBy(col("q_id"))
+    }),
+
     // Index-quality comparison: recall@5 per query for the fixed-16-cell
     // IVF (q_sim_ivf) and the trained-codebook IVF (q_sim_ivf_kmeans),
     // both against the exact brute-force top-5 (q_sim_topk) — the
@@ -1345,6 +1364,63 @@ object TrainingOps extends OpModule {
          |      ORDER BY maxsim_e6 DESC, d_id) AS rn FROM ms)
          |SELECT q_id, d_id, maxsim_e6, CAST(rn AS INT) AS rn FROM r
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // both rankings replayed over SHARED corpus CTEs, then the recall
+    // join — the q_ann_recall posture for the late-interaction family
+    "q_ann_recall_maxsim" -> {
+      val cosTS = duckCos("t.n_emb", "sd.c_emb")
+      val cosQS = duckCos("q.q_emb", "sd.c_emb")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |q AS (SELECT vec_id // 10 AS q_id, vec_id AS qt,
+         |        embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 20),
+         |t AS (SELECT vec_id AS n_id, vec_id // 10 AS d_id,
+         |        embedding AS n_emb, nrm AS n_nrm FROM e WHERE vec_id >= 20),
+         |xp AS (SELECT q_id, qt, d_id,
+         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (q_nrm * n_nrm) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM q CROSS JOIN t),
+         |xms AS (SELECT q_id, d_id, SUM(m) AS s FROM (
+         |    SELECT q_id, qt, d_id, MAX(cos_e6) AS m FROM xp
+         |    GROUP BY 1, 2, 3) x GROUP BY 1, 2),
+         |xtop AS (SELECT q_id, d_id FROM (
+         |    SELECT q_id, d_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY s DESC, d_id) AS rn FROM xms) z WHERE rn <= 5),
+         |sd AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |       FROM e WHERE vec_id % ${strideSql("e")} = 0),
+         |asg AS (SELECT n_id, d_id, n_emb, n_nrm, c_id AS bucket FROM (
+         |    SELECT t.n_id, t.d_id, t.n_emb, t.n_nrm, sd.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY t.n_id
+         |        ORDER BY $cosTS DESC, sd.c_id) AS arn
+         |    FROM t CROSS JOIN sd) x WHERE arn = 1),
+         |qpr AS (SELECT q_id, qt, q_emb, q_nrm, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.qt, q.q_emb, q.q_nrm, sd.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qt
+         |        ORDER BY $cosQS DESC, sd.c_id) AS prn
+         |    FROM q CROSS JOIN sd) x WHERE prn <= 2),
+         |ip AS (SELECT q_id, qt, d_id,
+         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (q_nrm * n_nrm) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM qpr JOIN asg USING (bucket)),
+         |ims AS (SELECT q_id, d_id, SUM(m) AS s FROM (
+         |    SELECT q_id, qt, d_id, MAX(cos_e6) AS m FROM ip
+         |    GROUP BY 1, 2, 3) x GROUP BY 1, 2),
+         |itop AS (SELECT q_id, d_id FROM (
+         |    SELECT q_id, d_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY s DESC, d_id) AS rn FROM ims) z WHERE rn <= 5),
+         |hits AS (SELECT q_id, COUNT(*) AS n_hit FROM xtop
+         |         JOIN itop USING (q_id, d_id) GROUP BY q_id)
+         |SELECT q_id,
+         |  CAST(COALESCE(n_hit, 0) * 10000 // 5 AS BIGINT) AS recall_e4
+         |FROM (SELECT DISTINCT q_id FROM xtop) g LEFT JOIN hits USING (q_id)
+         |ORDER BY q_id""".stripMargin
+    },
 
     // seeding, assignment, probing, and the pruned kernel all replayed;
     // the stride derives from the same corpus count on both engines
