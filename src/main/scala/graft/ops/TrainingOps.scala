@@ -680,14 +680,17 @@ object TrainingOps extends OpModule {
     }),
 
     // MaxSim over an IVF-pruned candidate set — the PLAID/ColBERTv2
-    // serving shape: corpus tokens assign once to √n stride-seeded cells,
-    // each query token probes its 2 nearest cells, and the kernel scores
-    // ONLY (token, vector) pairs sharing a probed cell (a token with no
-    // candidate in a doc contributes 0 — the documented approximation).
-    // Per token the candidate mass is ~2n/k ≈ 2√n vectors, so query cost
-    // grows √n while the exact twin grows n. Same two integer aggregates
-    // after the one e6 rounding; the oracle replays seeding, assignment,
-    // probing, and the kernel.
+    // serving shape, two stages: (1) CANDIDATE GENERATION — corpus
+    // tokens assign once to √n stride-seeded cells, each query token
+    // probes its 4 nearest, and a doc is a candidate when ANY of its
+    // tokens lands in a probed cell; (2) EXACT REFINEMENT — the full
+    // MaxSim kernel runs on the candidate docs alone, so ranking inside
+    // the candidate set is exact (recall is purely a candidate-coverage
+    // question, the PLAID contract). At 100 TB cells ≈ √n, a query
+    // probes 4·|tokens| of them, and refinement touches the docs those
+    // cells name — both stages sublinear in the corpus. Same two integer
+    // aggregates after the one e6 rounding; the oracle replays seeding,
+    // assignment, probing, candidacy, and the kernel.
     "q_sim_maxsim_ivf" -> ((s, d) => {
       val nz = nzEmbeddings(s, d)
       val stride = graft.sources.AnnIndex.seedStride(nz.count())
@@ -700,22 +703,25 @@ object TrainingOps extends OpModule {
       val asg = assign(tvecs, seeds)
       val wP = Window.partitionBy(col("qt"))
         .orderBy(col("p_score").desc, col("c_id"))
-      val qpr = nz.where(col("vec_id") < 20)
+      val q = nz.where(col("vec_id") < 20)
         .select(expr("vec_id div 10").as("q_id"), col("vec_id").as("qt"),
                 col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val probedCells = q
         .join(broadcast(seeds))
         .withColumn("p_score",
           expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
-        .withColumn("prn", row_number().over(wP)).where(col("prn") <= 2)
-        .select(col("q_id"), col("qt"), col("q_emb"), col("q_nrm"),
-                col("c_id").as("bucket"))
+        .withColumn("prn", row_number().over(wP)).where(col("prn") <= 4)
+        .select(col("q_id"), col("c_id").as("bucket")).distinct()
+      val cand = asg.join(broadcast(probedCells), "bucket")
+        .select(col("q_id"), expr("n_id div 10").as("d_id")).distinct()
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("maxsim_e6").desc, col("d_id"))
-      asg.join(broadcast(qpr), "bucket")
+      tvecs.select(expr("n_id div 10").as("d_id"), col("n_emb"), col("n_nrm"))
+        .join(broadcast(cand), "d_id")
+        .join(broadcast(q), "q_id")
         .withColumn("cos_e6",
           round(expr("graft_float_dot(q_emb, n_emb)")
             / (col("q_nrm") * col("n_nrm")) * 1e6).cast("long"))
-        .withColumn("d_id", expr("n_id div 10"))
         .groupBy(col("q_id"), col("qt"), col("d_id"))
         .agg(max(col("cos_e6")).as("m"))
         .groupBy(col("q_id"), col("d_id")).agg(sum(col("m")).as("maxsim_e6"))
@@ -1398,16 +1404,19 @@ object TrainingOps extends OpModule {
          |      ROW_NUMBER() OVER (PARTITION BY t.n_id
          |        ORDER BY $cosTS DESC, sd.c_id) AS arn
          |    FROM t CROSS JOIN sd) x WHERE arn = 1),
-         |qpr AS (SELECT q_id, qt, q_emb, q_nrm, c_id AS bucket FROM (
-         |    SELECT q.q_id, q.qt, q.q_emb, q.q_nrm, sd.c_id,
+         |qpr AS (SELECT q_id, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.qt, sd.c_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.qt
          |        ORDER BY $cosQS DESC, sd.c_id) AS prn
-         |    FROM q CROSS JOIN sd) x WHERE prn <= 2),
-         |ip AS (SELECT q_id, qt, d_id,
+         |    FROM q CROSS JOIN sd) x WHERE prn <= 4 GROUP BY q_id, c_id),
+         |cand AS (SELECT DISTINCT qpr.q_id, asg.d_id
+         |         FROM qpr JOIN asg ON asg.bucket = qpr.bucket),
+         |ip AS (SELECT q.q_id, q.qt, t.d_id,
          |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),
          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
          |      / (q_nrm * n_nrm) * 1000000) AS BIGINT) AS cos_e6
-         |  FROM qpr JOIN asg USING (bucket)),
+         |  FROM q JOIN cand ON cand.q_id = q.q_id
+         |  JOIN t ON t.d_id = cand.d_id),
          |ims AS (SELECT q_id, d_id, SUM(m) AS s FROM (
          |    SELECT q_id, qt, d_id, MAX(cos_e6) AS m FROM ip
          |    GROUP BY 1, 2, 3) x GROUP BY 1, 2),
@@ -1444,16 +1453,19 @@ object TrainingOps extends OpModule {
          |    FROM t CROSS JOIN sd) x WHERE arn = 1),
          |q AS (SELECT vec_id // 10 AS q_id, vec_id AS qt,
          |        embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 20),
-         |qpr AS (SELECT q_id, qt, q_emb, q_nrm, c_id AS bucket FROM (
-         |    SELECT q.q_id, q.qt, q.q_emb, q.q_nrm, sd.c_id,
+         |qpr AS (SELECT q_id, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.qt, sd.c_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.qt
          |        ORDER BY $cosQS DESC, sd.c_id) AS prn
-         |    FROM q CROSS JOIN sd) x WHERE prn <= 2),
-         |pair AS (SELECT q_id, qt, d_id,
+         |    FROM q CROSS JOIN sd) x WHERE prn <= 4 GROUP BY q_id, c_id),
+         |cand AS (SELECT DISTINCT qpr.q_id, asg.d_id
+         |         FROM qpr JOIN asg ON asg.bucket = qpr.bucket),
+         |pair AS (SELECT q.q_id, q.qt, t.d_id,
          |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),
          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
          |      / (q_nrm * n_nrm) * 1000000) AS BIGINT) AS cos_e6
-         |  FROM qpr JOIN asg USING (bucket)),
+         |  FROM q JOIN cand ON cand.q_id = q.q_id
+         |  JOIN t ON t.d_id = cand.d_id),
          |ms AS (SELECT q_id, d_id, CAST(SUM(m) AS BIGINT) AS maxsim_e6 FROM (
          |    SELECT q_id, qt, d_id, MAX(cos_e6) AS m FROM pair
          |    GROUP BY 1, 2, 3) x GROUP BY 1, 2),
