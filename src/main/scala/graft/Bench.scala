@@ -30,7 +30,10 @@ object Bench {
     // q_json_funcs rotated out at round 21 (cheap stable scalar) to price
     // the √n-stride kmeans training pipeline (round-12 verdict #1/#8)
     "q_sim_ivf_kmeans",                                              // √n-codebook IVF train+probe (r21)
-    "q_dedup_near", "q_dedup_simhash",                               // dedup family
+    // q_dedup_simhash rotated out at round 21 (the dedup family keeps
+    // q_dedup_near + q_dedup_embcos + the LSH/incr variants) to price
+    // the WAND multi-term OR probe every round
+    "q_dedup_near", "q_bm25_or",                                     // dedup + WAND OR top-k (r21)
     "q_dedup_embcos",
     // q_sim_topk rotated out at round 20, q_sim_lsh at round 21 (cheap
     // stable; the family keeps q_sim_ivf/q_sim_bq + the indexed probes)
@@ -45,7 +48,9 @@ object Bench {
     // q_rag_pack exercises the same packing math) for the columnar-store
     // flagship; src_dsv2_sample likewise (protocol stays spec-verified)
     "q_semdedup",                                                    // training-batch (r3)
-    "q_scd2", "q_cdc_merge",                                         // ETL lifecycle (r3)
+    // q_scd2 rotated out at round 21 (cheap stable; q_cdc_merge keeps the
+    // lifecycle family priced) for the RLE columnar store seed+scan
+    "q_store_col_rle", "q_cdc_merge",                                // RLE blocks + ETL lifecycle (r21/r3)
     "q_skew_salted",                                                 // scale posture
     // q_funnel rotated out at round 20 (q_window_funnel covers the family)
     "q_er_join",                                                     // event analytics / linkage (r4)

@@ -461,6 +461,28 @@ object IndexOps extends OpModule {
       ti.probePhrase(s, idx, top(0), top(1)).orderBy(col("doc_id"))
     }),
 
+    // SNIPPET GENERATION — the display half of retrieval (Lucene
+    // highlighter shape): the corpus's most document-frequent len≥6 term,
+    // its top-3 docs by tf, the FIRST match position from the positional
+    // postings (sorted csv → head, no decode), and a ±2-token window
+    // hydrated from the documents table by doc_id. The index answers
+    // WHERE; the corpus supplies bytes for 3 docs only — at 100 TB
+    // highlighting is one term-shard read + n point lookups, never a
+    // corpus scan. Edge clamps mirrored by the oracle's end-inclusive
+    // list_slice (the q_fim dialect trap, handled the same way).
+    "q_bm25_snippet" -> ((s, d) => {
+      val idx = tmpIdx(d, "snippet")
+      val ti = graft.sources.TextIndex
+      ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")),
+        idx, positions = true)
+      val term = ti.terms(s, idx).where(length(col("t")) >= 6)
+        .orderBy(col("df").desc, col("t")).limit(1)
+        .collect()(0).getString(0)
+      ti.snippet(s, idx, term,
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .orderBy(col("tf").desc, col("doc_id"))
+    }),
+
     // PROXIMITY QUERY (the sloppy-phrase generalization): the same two
     // terms probed with slop = 3 — `t2` anywhere within 3 raw-token
     // positions after `t1` counts (distinct qualifying t1 positions).
@@ -1115,6 +1137,28 @@ object IndexOps extends OpModule {
         |        FROM sc GROUP BY doc_id)
         |SELECT doc_id, bm25_e4 FROM agg WHERE n_terms = 2
         |ORDER BY bm25_e4 DESC, doc_id LIMIT 15""".stripMargin,
+
+    // same term choice (df desc over len≥6), same first-position, same
+    // edge-clamped window via end-INCLUSIVE list_slice
+    "q_bm25_snippet" ->
+      """WITH sp AS (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS toks
+        |            FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(toks) AS t,
+        |          generate_subscripts(toks, 1) AS p0 FROM sp),
+        |qt AS (SELECT t FROM (
+        |    SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok
+        |    WHERE LEN(t) >= 6 GROUP BY t) x
+        |  ORDER BY df DESC, t LIMIT 1),
+        |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+        |           CAST(MIN(p0) AS BIGINT) AS p
+        |         FROM tok JOIN qt USING (t) GROUP BY doc_id
+        |         ORDER BY tf DESC, doc_id LIMIT 3)
+        |SELECT h.doc_id, h.tf, h.p,
+        |  ARRAY_TO_STRING(LIST_SLICE(sp.toks,
+        |    CAST(GREATEST(h.p - 2, 1) AS BIGINT),
+        |    CAST(LEAST(h.p + 2, LEN(sp.toks)) AS BIGINT)), ' ') AS snip
+        |FROM hits h JOIN sp USING (doc_id)
+        |ORDER BY tf DESC, doc_id""".stripMargin,
 
     // WAND pruning == the plain OR scoring: one closed form (no per-doc
     // term gate — any matching term ranks), the z row is the I/O sanity

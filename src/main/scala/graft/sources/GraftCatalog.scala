@@ -69,7 +69,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     Array("abandon", "analyze", "cherry_pick", "compact", "compact_if",
-      "expire", "export", "export_delta", "history",
+      "expire", "export", "export_delta", "fsck", "history",
       "index_build", "index_expire", "index_rebuild_if", "index_refresh",
       "maintain",
       "publish",
@@ -93,6 +93,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
       case "expire" => ExpireProcedure
       case "export" => ExportProcedure
       case "export_delta" => ExportDeltaProcedure
+      case "fsck" => FsckProcedure
       case "history" => HistoryProcedure
       case "remove_orphans" => RemoveOrphansProcedure
       case "repartition_spec" => RepartitionSpecProcedure
@@ -1107,6 +1108,44 @@ private object ExportDeltaProcedure
         override def readSchema(): StructType = resultSchema
         override def rows(): Array[InternalRow] =
           Array(InternalRow(nRows, fromV, effectiveTo))
+      }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL graft.fsck(path)` — verify the manifest's claims against the
+  * files on disk (see StoreSink.fsck): detection-only, one audit row
+  * (entries, missing_files, sidecars, bad_sidecars). The nightly
+  * integrity tick every table format ships (Delta FSCK). */
+private object FsckProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "fsck"
+  override def description(): String =
+    "verify manifest-referenced files and sidecars exist and parse"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("path", org.apache.spark.sql.types.StringType).build())
+
+  private def resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("entries", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("missing_files", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sidecars", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("bad_sidecars", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val (n, miss, side, bad) =
+      StoreSink.fsck(input.getUTF8String(0).toString)
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(n, miss, side, bad))
       }
     util.Collections.singletonList(scan).iterator()
   }

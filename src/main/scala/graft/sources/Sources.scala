@@ -1455,6 +1455,40 @@ object Sources extends OpModule {
         .orderBy(col("step"), col("grp"))
     }),
 
+    // CONSISTENCY CHECK (`CALL graft.fsck(path)`): the manifest's claims
+    // verified against the files on disk — data files present, dv/eq
+    // sidecars present and well-formed — WITHOUT reading data bytes, and
+    // DETECTION-ONLY (damage counts in the audit row; an fsck that dies
+    // on the problem it exists to find is useless). The fixture checks a
+    // clean store (8 range-clustered files + one MoR deletion vector),
+    // then deletes a data file OUT FROM UNDER the manifest and fsck
+    // reports exactly one missing file. At 100 TB this is the nightly
+    // integrity tick: one manifest read + one stat per file.
+    "q_store_fsck" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storefsck")
+      val (_, maxK) = seedStore(s, d, path) // v1: 8 range-clustered files
+      withStorePath(s, path) {
+        s.sql(s"DELETE FROM graft.store WHERE k = $maxK") // one dv sidecar
+      }
+      val total = s.read.format("graft.sources.StoreSink")
+        .option("path", path).load().count()
+      val r1 = s.sql(s"CALL graft.fsck('$path')").collect()(0)
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val victim = graft.sources.StoreSink.readEntries(root, fsys)
+        .filter(_.rows > 0).map(_.name).sorted.head
+      fsys.delete(new org.apache.hadoop.fs.Path(root, victim), false)
+      val r2 = s.sql(s"CALL graft.fsck('$path')").collect()(0)
+      import s.implicits._
+      Seq(
+        ("clean", r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)),
+        ("damaged", r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)),
+        ("rows", total, 0L, 0L, 0L))
+        .toDF("step", "entries", "missing", "sidecars", "bad")
+        .orderBy(col("step"))
+    }),
+
     // INCREMENTAL EXPORT (`CALL graft.export_delta(path, dst, from, to)`):
     // the CHANGE FEED between two pinned versions materialized as plain
     // parquet — the mirror-without-our-reader escape hatch. A downstream
@@ -4169,6 +4203,19 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'audit_v1', '-', (SELECT COUNT(*) FROM v1), 1
         |UNION ALL SELECT 'audit_head', '-', (SELECT COUNT(*) FROM head), 2
         |ORDER BY step, grp""".stripMargin,
+
+    // the audit rows are structural constants (8 seeded files, one dv
+    // from the single-key delete, one missing after the damage); rows =
+    // the store's live count
+    "q_store_fsck" ->
+      """SELECT step, entries, missing, sidecars, bad FROM (
+        |  SELECT 'clean' AS step, CAST(8 AS BIGINT) AS entries,
+        |         CAST(0 AS BIGINT) AS missing, CAST(1 AS BIGINT) AS sidecars,
+        |         CAST(0 AS BIGINT) AS bad
+        |  UNION ALL SELECT 'damaged', 8, 1, 1, 0
+        |  UNION ALL SELECT 'rows',
+        |    (SELECT COUNT(*) - 1 FROM orders), 0, 0, 0) t
+        |ORDER BY step""".stripMargin,
 
     // both delta windows applied relationally (the q_store_cdf closed
     // form); audits carry exact exported row counts + the resolved head

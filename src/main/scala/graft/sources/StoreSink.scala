@@ -2391,6 +2391,43 @@ object StoreSink {
     else res
   }
 
+  /** CONSISTENCY CHECK (`CALL graft.fsck`) — verify the manifest's claims
+    * against the files on disk WITHOUT reading data bytes: every
+    * row-bearing entry's data file must exist, every referenced deletion
+    * vector / equality sidecar must exist, and dv ordinal lists must be
+    * strictly ascending and non-negative. DETECTION ONLY: damage counts
+    * in the audit row instead of throwing — an fsck that dies on the
+    * problem it exists to find is useless (readers still fail loudly on
+    * their own). Returns (entries, missing_files, sidecars,
+    * bad_sidecars). Cost = one manifest read + one metadata stat per
+    * file — at 100 TB the nightly integrity tick, not a scan. */
+  def fsck(pathStr: String): (Long, Long, Long, Long) = {
+    val root = new Path(pathStr)
+    val fsys = fs(root)
+    val entries = readEntries(root, fsys).filter(_.rows != 0)
+    var missing = 0L
+    var side = 0L
+    var bad = 0L
+    entries.foreach { e =>
+      if (!fsys.exists(new Path(root, e.name))) missing += 1
+      e.dv.foreach { d =>
+        side += 1
+        if (!fsys.exists(new Path(root, d))) bad += 1
+        else
+          try {
+            val o = readDv(root, fsys, d)
+            if (o.nonEmpty && (o.head < 0 ||
+                o.indices.drop(1).exists(i => o(i - 1) >= o(i)))) bad += 1
+          } catch { case _: Exception => bad += 1 }
+      }
+      e.eq.foreach { q =>
+        side += 1
+        if (!fsys.exists(new Path(root, q))) bad += 1
+      }
+    }
+    (entries.size.toLong, missing, side, bad)
+  }
+
   def compactIf(spark: SparkSession, pathStr: String, targetRows: Long,
                 maxFiles: Long, maxOverlapE4: Long): (String, Long, Long, Long) = {
     val root = new Path(pathStr)

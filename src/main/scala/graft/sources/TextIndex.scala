@@ -822,4 +822,44 @@ object TextIndex {
           .stripMargin).as("n_occ"))
       .where(col("n_occ") > 0)
   }
+
+  /** SNIPPET GENERATION — the display half of retrieval (the Lucene
+    * highlighter shape): for the top-n docs of `term` (tf desc, doc_id),
+    * the FIRST match position comes from the POSITIONAL postings (the
+    * csv is sorted, so its head is the min — no list decode), and a
+    * ±width raw-token window hydrates from the caller's (doc_id, text)
+    * frame. The index answers WHERE; the corpus supplies bytes only for
+    * the n docs being displayed — at 100 TB highlighting costs one
+    * term-shard read plus n point lookups, never a corpus scan. Windows
+    * clamp at both document edges (mirrored exactly by the oracle's
+    * end-inclusive list_slice). */
+  def snippet(s: SparkSession, indexPath: String, term: String,
+              docs: DataFrame, topn: Int = 3, width: Int = 2): DataFrame = {
+    val genRoot = IndexGen.dir(indexPath)
+    val conf = confAt(genRoot)
+    require(conf.positions,
+      s"index at $indexPath was built without positions " +
+        s"($PosProp) — snippets need a positional build")
+    require(topn >= 1 && topn <= 1000 && width >= 0 && width <= 1000,
+      s"snippet takes topn in [1,1000] and width in [0,1000]: $topn/$width")
+    import s.implicits._
+    val shard = Seq(term).toDF("t")
+      .select(shardCol(col("t"), conf.shards).as("b"))
+      .collect()(0).getString(0)
+    val hits = s.read.format(Fmt).option("path", pl(genRoot)).load()
+      .where(col("grp") === shard) // partition pruning = list lookup
+      .where(col("term") === term)
+      .select(col("k").as("doc_id"), col("amt_cents").as("tf"),
+              expr("cast(split_part(pos, ',', 1) as bigint)").as("p"))
+      .orderBy(col("tf").desc, col("doc_id")).limit(topn)
+    // stored positions are 1-BASED (tokensOf assigns p0 + 1), so the
+    // window is [p - width, p + width] clamped to [1, n] directly
+    hits.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("tf"), col("p"), expr(
+        s"""array_join(slice(split(trim(lower(text)), ' '),
+           |  cast(greatest(p - $width, 1) as int),
+           |  cast(least(p + $width, size(split(trim(lower(text)), ' ')))
+           |    - greatest(p - $width, 1) + 1 as int)), ' ')"""
+          .stripMargin).as("snip"))
+  }
 }

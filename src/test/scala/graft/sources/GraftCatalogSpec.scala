@@ -94,7 +94,7 @@ class GraftCatalogSpec extends SparkSpec {
         .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       assert(cat.listProcedures(Array.empty).map(_.name()).sorted.toSeq ==
         Seq("abandon", "analyze", "cherry_pick", "compact", "compact_if",
-          "expire", "export", "export_delta",
+          "expire", "export", "export_delta", "fsck",
           "history", "index_build", "index_expire", "index_rebuild_if",
           "index_refresh", "maintain",
           "publish", "publish_all", "remove_orphans", "repartition_spec",
