@@ -489,6 +489,47 @@ object TrainingOps extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKENIZER AS A TABLE — the trained BPE vocabulary persisted as an
+    // ordinary store artifact (w → symbol count in the amt slot) and
+    // apply served FROM the store: the persisted-artifact posture the
+    // index family established (q_sim_ivf_indexed / q_bm25_indexed),
+    // applied to the training-data pipeline's tokenizer. Train once,
+    // commit atomically, every downstream token-accounting job broadcast-
+    // joins the artifact instead of re-deriving the merge chain — at
+    // 100 TB the vocabulary is KB-sized metadata while retraining is a
+    // corpus scan. Shares q_bpe_apply's oracle verbatim: the round-trip
+    // through disk must lose nothing.
+    "q_bpe_apply_indexed" -> ((s, d) =>
+      graft.sources.Sources.withGraftCatalog(s) {
+        val art = s"target/tmp/idx_bpevocab_${java.lang.Integer.toHexString(d.hashCode)}"
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(art), true)
+        val (words, _) = bpeTrain(s, d)
+        graft.sources.Sources.withStorePath(s, art) {
+          s.sql("ALTER TABLE graft.store ADD COLUMN w STRING")
+          words.select(
+              row_number().over(Window.orderBy(col("w"))).cast("long").as("k"),
+              lit("v").as("grp"),
+              size(split(col("s"), " ")).cast("long").as("amt_cents"),
+              col("w"))
+            .write.format("graft.sources.StoreSink").mode("append")
+            .option("path", art).save()
+        }
+        val vocab = s.read.format("graft.sources.StoreSink")
+          .option("path", art).load()
+          .select(col("w"), col("amt_cents").as("n_sym"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+                  explode(split(trim(lower(col("text"))), " ")).as("w"))
+          .where(col("w") =!= "")
+          .join(broadcast(vocab), "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+          .withColumn("tpw_e4", expr("n_tokens * 10000L div n_words"))
+          .orderBy(col("doc_id"))
+      }),
+
     // TOKEN-BUDGET APPORTIONMENT (largest-remainder / Hamilton method):
     // split a 1e6-token training budget across languages proportionally
     // to their corpus token mass, in EXACT integer arithmetic — floor
@@ -1511,6 +1552,19 @@ object TrainingOps extends OpModule {
     // the same replayed merges, applied: per-word tokenization joined back
     // onto the corpus
     "q_bpe_apply" ->
+      s"""WITH $bpeChainSql,
+         |tok AS (SELECT w, CAST(LEN(STRING_SPLIT(s, ' ')) AS BIGINT) AS n_sym
+         |        FROM w6),
+         |dw AS (SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+         |       FROM documents),
+         |j AS (SELECT doc_id, n_sym FROM dw JOIN tok USING (w) WHERE w <> '')
+         |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_sym) * 10000 // COUNT(*) AS BIGINT) AS tpw_e4
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the persisted artifact must apply IDENTICALLY to the in-memory
+    // chain — one oracle, shared verbatim
+    "q_bpe_apply_indexed" ->
       s"""WITH $bpeChainSql,
          |tok AS (SELECT w, CAST(LEN(STRING_SPLIT(s, ' ')) AS BIGINT) AS n_sym
          |        FROM w6),

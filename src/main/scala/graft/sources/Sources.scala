@@ -1579,6 +1579,42 @@ object Sources extends OpModule {
         .orderBy(col("step"))
     }),
 
+    // ROW RETENTION under `CALL graft.maintain`: the
+    // `graft.maintain.ttl` = '<col>:<min_keep>' property retires rows
+    // below the cutoff through the ordinary row-level delete — the
+    // data-retention leg of the policy loop (compact/expire/orphans
+    // keep files healthy; ttl keeps the ROWS within policy). The cutoff
+    // is explicit, not wall-clock (replayable audits; schedulers advance
+    // the property). First tick drops exactly the sub-cutoff rows,
+    // second tick is a no-op; surviving content is pinned by the
+    // post-maintenance aggregate. At 100 TB this is GDPR/retention as a
+    // property instead of a human-run DELETE.
+    "q_store_maintain_ttl" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storemttl")
+      seedStore(s, d, path)
+      withStorePath(s, path) {
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES(" +
+          "'graft.maintain.ttl'='k:100')")
+      }
+      def ttlRow(tag: String) = {
+        val r = s.sql(s"CALL graft.maintain('$path')").collect()
+          .find(_.getString(0) == "ttl").get
+        (s"$tag:ttl", r.getString(1), r.getLong(2), r.getLong(3))
+      }
+      val r1 = ttlRow("m1")
+      val r2 = ttlRow("m2")
+      val sums = s.read.format("graft.sources.StoreSink")
+        .option("path", path).load()
+        .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sc"))
+        .collect()(0)
+      import s.implicits._
+      Seq(r1, r2,
+        ("rows", "-", sums.getLong(0), 0L),
+        ("sum_cents", "-", sums.getLong(1), 0L))
+        .toDF("step", "action", "a", "b")
+        .orderBy(col("step"))
+    }),
+
     // OPTIMIZE ZORDER (Hilbert flavor) — 2-D clustering made observable by
     // the manifest's TWO zone columns: a hash-scattered generation prunes
     // nothing on either axis; `CALL graft.zorder` rewrites it clustered by
@@ -4260,6 +4296,26 @@ object Sources extends OpModule {
         |  UNION ALL SELECT 'm2:expire', 'ok', 0, 5, 0
         |  UNION ALL SELECT 'm2:orphans', 'ok', 0, 5, 0
         |  UNION ALL SELECT 'rows', '-', (SELECT 4 * n FROM mm), 0, 0) t
+        |ORDER BY step""".stripMargin,
+
+    // the retention decision replayed from the orders key distribution:
+    // first tick drops k < 100, second drops nothing, the surviving
+    // count/sum pin the content
+    "q_store_maintain_ttl" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |stat AS (SELECT
+        |    CAST(COUNT(*) FILTER (WHERE k < 100) AS BIGINT) AS dropped,
+        |    CAST(COUNT(*) FILTER (WHERE k >= 100) AS BIGINT) AS kept,
+        |    CAST(SUM(amt) FILTER (WHERE k >= 100) AS BIGINT) AS sc
+        |  FROM base)
+        |SELECT step, action, a, b FROM (
+        |  SELECT 'm1:ttl' AS step, 'ok' AS action,
+        |         (SELECT dropped FROM stat) AS a, (SELECT kept FROM stat) AS b
+        |  UNION ALL SELECT 'm2:ttl', 'ok', 0, (SELECT kept FROM stat)
+        |  UNION ALL SELECT 'rows', '-', (SELECT kept FROM stat), 0
+        |  UNION ALL SELECT 'sum_cents', '-', (SELECT sc FROM stat), 0) t
         |ORDER BY step""".stripMargin,
 
     // content invariant under the 2-D rewrite; the three flags pin what

@@ -2339,6 +2339,27 @@ object StoreSink {
     val root = new Path(pathStr)
     val ps = readProps(root, fs(root)).toMap
     val out = Seq.newBuilder[(String, String, Long, Long, Long)]
+    ps.get("graft.maintain.ttl").foreach { v =>
+      // ROW RETENTION: '<col>:<min_keep>' — rows with col < min_keep
+      // retire through the ordinary row-level delete (zone pruning
+      // scopes the rewrite, MoR vectors keep a trickle cheap), BEFORE
+      // any compact step so soon-dead rows are never re-clustered. The
+      // cutoff is an EXPLICIT value, not wall-clock: a policy that
+      // re-derives "now" per tick is unreplayable and races its own
+      // audit trail — schedulers advance the property instead (the
+      // Iceberg retention-property posture). Audit: (dropped, kept).
+      val p = v.split(":", 2)
+      require(p.length == 2 && p(0).nonEmpty && p(1).nonEmpty &&
+        p(1).forall(c => c.isDigit || c == '-') && p(1) != "-",
+        s"graft.maintain.ttl must be '<col>:<min_keep_long>', got '$v'")
+      def live() = readEntries(root, fs(root))
+        .map(e => math.max(e.rows, 0L)).sum
+      val before = live()
+      new StoreTable(pathStr).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.LessThan(p(0), p(1).toLong)))
+      val after = live()
+      out += (("ttl", "ok", before - after, after, 0L))
+    }
     ps.get("graft.maintain.compact").foreach { v =>
       val p = v.split(":", -1)
       require(p.length == 3 && p.forall(x => x.nonEmpty && x.forall(_.isDigit)),
