@@ -1455,6 +1455,58 @@ object Sources extends OpModule {
         .orderBy(col("step"), col("grp"))
     }),
 
+    // METADATA COLUMNS (`_file`, `_pos` — SupportsMetadataColumns): row
+    // provenance without the columns existing in the table schema (the
+    // Iceberg/Delta contract). `_pos` is the PHYSICAL ordinal within the
+    // file — the same ordinal space deletion vectors mask — so a
+    // merge-on-read delete leaves survivors' positions UNTOUCHED: the
+    // fixture deletes one interior row (picked BY its _pos, so the hole
+    // is interior regardless of range-sampling boundaries) and pins
+    // exactly ONE global position hole (z_holes), zero k-vs-_pos order
+    // inversions in the k-sorted files (z_inversions), the 8-file
+    // layout, and the surviving row count. At 100 TB _file/_pos are what
+    // audits and positional-delete tooling join on.
+    "q_store_meta_cols" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storemetacols")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(path), true)
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+                graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions(col("k"))
+        .write.format("graft.sources.StoreSink").mode("overwrite")
+        .option("path", path).save()
+      def t() = s.read.format("graft.sources.StoreSink")
+        .option("path", path).load()
+        .select(col("k"), col("_file"), col("_pos"))
+      // victim BY POSITION: _pos 3 of the lexically-first file is interior
+      // (positions 0..2 survive below it, the file tail above it)
+      val victim = t().where(col("_pos") === 3)
+        .orderBy(col("_file")).limit(1).collect()(0).getLong(0)
+      withStorePath(s, path) {
+        s.sql(s"DELETE FROM graft.store WHERE k = $victim")
+      }
+      val after = t().localCheckpoint() // bounded: 3 narrow columns
+      val pf = after.groupBy(col("_file"))
+        .agg(count(lit(1)).as("n"), min(col("_pos")).as("mn"),
+             max(col("_pos")).as("mx"))
+        .collect()
+      val holes = pf.map(r => r.getLong(3) - r.getLong(2) + 1 - r.getLong(1)).sum
+      val inv = after
+        .withColumn("pk", lag(col("k"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_file")).orderBy(col("_pos"))))
+        .where(col("pk") > col("k")).count()
+      import s.implicits._
+      Seq(
+        ("files", pf.length.toLong),
+        ("rows", pf.map(_.getLong(1)).sum),
+        ("z_holes", holes),
+        ("z_inversions", inv))
+        .toDF("step", "v").orderBy(col("step"))
+    }),
+
     // CONSISTENCY CHECK (`CALL graft.fsck(path)`): the manifest's claims
     // verified against the files on disk — data files present, dv/eq
     // sidecars present and well-formed — WITHOUT reading data bytes, and
@@ -4239,6 +4291,16 @@ object Sources extends OpModule {
         |UNION ALL SELECT 'audit_v1', '-', (SELECT COUNT(*) FROM v1), 1
         |UNION ALL SELECT 'audit_head', '-', (SELECT COUNT(*) FROM head), 2
         |ORDER BY step, grp""".stripMargin,
+
+    // layout constants + the surviving count; the hole and inversion
+    // flags pin physical-ordinal semantics under merge-on-read
+    "q_store_meta_cols" ->
+      """SELECT step, v FROM (
+        |  SELECT 'files' AS step, CAST(8 AS BIGINT) AS v
+        |  UNION ALL SELECT 'rows', (SELECT COUNT(*) - 1 FROM orders)
+        |  UNION ALL SELECT 'z_holes', 1
+        |  UNION ALL SELECT 'z_inversions', 0) t
+        |ORDER BY step""".stripMargin,
 
     // the audit rows are structural constants (8 seeded files, one dv
     // from the single-key delete, one missing after the damage); rows =

@@ -4073,7 +4073,7 @@ private class StoreTable(pathStr: String, version: Option[Int] = None,
     * in the table schema (the Iceberg/Delta _file contract). The reader
     * materializes it only when the pruned schema asks. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(StoreFileColumn)
+    Array(StoreFileColumn, StorePosColumn)
   require(pathStr != null, "graft-store requires a path option")
 
   private def requireCurrent(op: String): Unit = {
@@ -5842,6 +5842,18 @@ private object StoreFileColumn extends MetadataColumn {
   override def comment(): String = "committed data file this row came from"
 }
 
+/** The `_pos` metadata column: the row's PHYSICAL ordinal within its data
+  * file — the same ordinal space deletion vectors mask, so a surviving
+  * row's `_pos` never renumbers under merge-on-read deletes (the
+  * Iceberg `_pos` contract; it is what positional delete files would
+  * reference). */
+private object StorePosColumn extends MetadataColumn {
+  override def name(): String = "_pos"
+  override def dataType(): DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = "physical row ordinal within _file"
+}
+
 private class StoreScan(pathStr: String,
                         kLo: Option[Long] = None, kHi: Option[Long] = None,
                         version: Option[Int] = None,
@@ -6576,7 +6588,8 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
         // group-size knob, never the file. Row ordinals run ACROSS
         // groups (dv masks are file-wide).
         val needSlots: Array[Int] = required.fieldNames
-          .filter(_ != "_file").map(n => slotOf(table.fieldIndex(n)))
+          .filter(n => n != "_file" && n != "_pos")
+          .map(n => slotOf(table.fieldIndex(n)))
         val want = if (eqKeys.isEmpty) needSlots else needSlots :+ 0
         // GROUP SKIPPING from per-group zone stats: bounds come ONLY from
         // statically-pushed scan filters (which stay residual — Spark
@@ -6673,6 +6686,11 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
             // by offset — no per-value String materialization
             colGetters = required.fieldNames.map {
               case "_file" => (_: Int) => fileName
+              // ord is the file-wide PHYSICAL ordinal of the row get()
+              // reads (next() leaves it on the returned row) — dv-masked
+              // and group-skipped ordinals advance it, so _pos never
+              // renumbers under merge-on-read
+              case "_pos" => (_: Int) => java.lang.Long.valueOf(ord.toLong)
               case n =>
                 val s = slotOf(table.fieldIndex(n))
                 blocks.get(s) match {
@@ -6747,8 +6765,13 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
     // resolve the projection ONCE per partition: table columns come from
     // the decoded (null-padded) row by their PHYSICAL slot; _file is
     // partition-constant metadata
+    // file-wide physical ordinal — hoisted so the _pos getter shares it
+    // with the read loop (masked ordinals advance it: _pos never
+    // renumbers under merge-on-read)
+    var ord = -1
     val getters: Array[InternalRow => Any] = required.fieldNames.map {
       case "_file" => (_: InternalRow) => fileName
+      case "_pos" => (_: InternalRow) => java.lang.Long.valueOf(ord.toLong)
       case n =>
         val idx = slotOf(table.fieldIndex(n))
         val dt = types(idx)
@@ -6757,7 +6780,6 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
     val identity = required == table && types.length == table.fields.length
     new PartitionReader[InternalRow] {
       private var line: String = _
-      private var ord = -1
       private var decoded: InternalRow = _
       // pushed-offset boundary skip: drop this many LIVE rows first
       private var toSkip = part.skipRows

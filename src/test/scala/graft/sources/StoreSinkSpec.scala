@@ -532,6 +532,33 @@ class StoreSinkSpec extends SparkSpec {
     assert(byGrp("a").size == 1 && byGrp("b").size == 1 && byGrp("a") != byGrp("b"))
   }
 
+  test("_pos metadata column: physical ordinals, stable under MoR deletes, " +
+       "both at-rest encodings") {
+    import spark.implicits._
+    for (columnar <- Seq(false, true)) {
+      val dir = freshDir(s"metapos_$columnar")
+      if (columnar) StoreSink.setProp(dir, StoreSink.EncodingProp, "columnar")
+      (0 until 40).map(i => (i.toLong, "a", i * 2L)).toDF("k", "grp", "amt_cents")
+        .repartition(1).sortWithinPartitions("k")
+        .write.format(fmt).mode("append").option("path", dir).save()
+      def t() = spark.read.format(fmt).option("path", dir).load()
+        .select(col("k"), col("_pos"))
+      // one k-sorted file: _pos == k exactly
+      assert(t().collect().forall(r => r.getLong(0) == r.getLong(1)),
+        s"columnar=$columnar: _pos must be the physical ordinal")
+      // MoR delete: survivors keep their PHYSICAL positions (holes, not
+      // renumbering — the ordinal space dv masks address)
+      val ckey = "spark.sql.catalog.graft"
+      spark.conf.set(ckey, "graft.sources.GraftCatalog")
+      spark.conf.set(GraftCatalog.StorePathKey, dir)
+      try spark.sql("DELETE FROM graft.store WHERE k = 7")
+      finally { spark.conf.unset(ckey); spark.conf.unset(GraftCatalog.StorePathKey) }
+      val after = t().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!after.exists(_._1 == 7L) && after.forall(p => p._1 == p._2),
+        s"columnar=$columnar: _pos must not renumber under a dv delete")
+    }
+  }
+
   test("zone-prune effectiveness is a per-scan SQL metric") {
     val dir = freshDir("metrics")
     df(1 to 40, "a").repartition(2).write.format(fmt).mode("overwrite").option("path", dir).save()
