@@ -2355,8 +2355,18 @@ object StoreSink {
       def live() = readEntries(root, fs(root))
         .map(e => math.max(e.rows, 0L)).sum
       val before = live()
-      new StoreTable(pathStr).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
-        org.apache.spark.sql.sources.LessThan(p(0), p(1).toLong)))
+      // the policy delete pins its OWN mode: under an ambient
+      // equality-delete scope the manifest row counts become upper
+      // bounds and the (dropped, kept) audit would silently lie — a
+      // maintenance tick must not change meaning with session conf
+      val sc = org.apache.spark.sql.internal.SQLConf.get
+      val modeKey = "spark.graft.store.delete.mode"
+      val prev = sc.getConfString(modeKey, "auto")
+      sc.setConfString(modeKey, "auto")
+      try
+        new StoreTable(pathStr).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.LessThan(p(0), p(1).toLong)))
+      finally sc.setConfString(modeKey, prev)
       val after = live()
       out += (("ttl", "ok", before - after, after, 0L))
     }

@@ -1189,6 +1189,84 @@ object StreamOps extends OpModule {
         .orderBy(col("tag"), col("q_id"), col("rn"))
     }),
 
+    // STREAMING WAND SERVING — s_bm25_probe's multi-term twin: each
+    // micro-batch carries a SET of query terms (a user query) and serves
+    // the disjunctive top-10 through TextIndex.probeOr — WAND pruning,
+    // per-batch shard planning, NO streaming state. Term sets are
+    // chunked deterministically by df-rank (rn % 3: two terms per
+    // query), so the union of per-batch rankings is a partition of the
+    // query workload and the oracle replays each chunk's OR closed form.
+    // At 100 TB this is the serving loop: every arriving query pays its
+    // terms' top impact bands plus whatever survives the bound.
+    "s_bm25_or_probe" -> ((s, d) => {
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val id = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"target/tmp/sbm25or_$id"
+      val feed = s"$base/feed"; val idx = s"$base/idx"
+      val out = s"$base/out"; val chk = s"$base/chk"
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ti = graft.sources.TextIndex
+      ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")), idx)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("t"))
+      val qterms = ti.terms(s, idx).where(length(col("t")) >= 4)
+        .orderBy(col("df").desc, col("t")).limit(6)
+        .withColumn("m", pmod(row_number().over(w), lit(3)).cast("long"))
+        .select(col("t"), col("m"))
+        .localCheckpoint() // 6 rows
+      def land(m: Int): Unit =
+        qterms.where(col("m") === m).coalesce(1)
+          .write.mode("append").parquet(feed)
+      land(0)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var stateless = false
+      withStreamParallelism(s) {
+        val schema = s.read.parquet(feed).schema
+        val q = s.readStream.schema(schema).parquet(feed)
+          .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+            val bs = batch.sparkSession
+            val bt = batch.localCheckpoint() // batch-sized term set
+            if (bt.count() > 0) {
+              nBatches.incrementAndGet()
+              val m = bt.select(col("m")).first().getLong(0)
+              val terms = bt.select(col("t")).collect()
+                .map(_.getString(0)).toSeq
+              ti.probeOr(bs, idx, terms, topk = 10)
+                .select(lit(m).as("m"), col("doc_id"), col("bm25_e4"))
+                .write.mode("append").parquet(out)
+            }
+            ()
+          }
+          .option("checkpointLocation", chk)
+          .start()
+        try {
+          q.processAllAvailable()
+          land(1); q.processAllAvailable()
+          land(2); q.processAllAvailable()
+          stateless = q.lastProgress == null ||
+            q.lastProgress.stateOperators.isEmpty
+        } finally q.stop()
+      }
+      val res = s.read.parquet(out)
+        .select(col("m"), col("doc_id"), col("bm25_e4"))
+        .collect().toSeq
+      val rows = res ++ Seq(
+        org.apache.spark.sql.Row(-1L, -1L,
+          if (nBatches.get() >= 3) 1L else 0L), // z_batches
+        org.apache.spark.sql.Row(-2L, -1L,
+          if (stateless) 1L else 0L)) // z_stateless
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bm25_e4",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, outSchema)
+        .orderBy(col("m"), col("bm25_e4").desc, col("doc_id"))
+    }),
+
     // STREAMING SPARSE PROBE (round-12 verdict #7 — s_ann_probe's BM25
     // twin): a stream of QUERY TERMS probes the persisted text index
     // through foreachBatch — each micro-batch scores its terms over
@@ -1885,6 +1963,37 @@ object StreamOps extends OpModule {
 
     // per-chunk closed forms: the df-rank % 3 split IS the batch
     // assignment, each chunk's scoring is q_bm25's kernel on its terms
+    // each chunk's OR closed form (no per-doc term gate), flags constant
+    "s_bm25_or_probe" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qt AS (SELECT t, df, ROW_NUMBER() OVER (ORDER BY df DESC, t) AS rn
+        |       FROM (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+        |             ORDER BY df DESC, t LIMIT 6) s),
+        |q2 AS (SELECT t, df, rn % 3 AS m FROM qt),
+        |sc AS (
+        |  SELECT q2.m, tf.doc_id,
+        |    CAST(SUM(CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT)) AS BIGINT) AS bm25_e4
+        |  FROM tf JOIN q2 USING (t) JOIN dlen USING (doc_id), stats
+        |  GROUP BY q2.m, tf.doc_id),
+        |top AS (SELECT m, doc_id, bm25_e4 FROM (
+        |  SELECT m, doc_id, bm25_e4,
+        |    ROW_NUMBER() OVER (PARTITION BY m
+        |      ORDER BY bm25_e4 DESC, doc_id) AS r
+        |  FROM sc) t WHERE r <= 10)
+        |SELECT m, doc_id, bm25_e4 FROM top
+        |UNION ALL SELECT -1, -1, 1
+        |UNION ALL SELECT -2, -1, 1
+        |ORDER BY m, bm25_e4 DESC, doc_id""".stripMargin,
+
     "s_bm25_probe" ->
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
