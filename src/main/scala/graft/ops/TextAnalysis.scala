@@ -53,6 +53,33 @@ object TextAnalysis extends OpModule {
 
     // Self-trained profile language ID: top-20 tokens per lang → classify
     // each doc by profile overlap (ties: lexicographic lang — D3).
+    // UNIGRAM-LM NEGATIVE LOG-LIKELIHOOD — the perplexity-filter
+    // baseline (CCNet's LM scoring rung below the KenLM model): score
+    // every document by its mean token NLL under the corpus's OWN
+    // unigram distribution. Rare-token-heavy docs (boilerplate hashes,
+    // codes, OCR noise) score HIGH and are what a quality gate trims.
+    // Determinism: one ln per token TYPE, rounded to e4 ONCE (the D1
+    // round-each-then-integer-sum rule), then exact integer mean per
+    // doc. Cost: one tokenize, one vocab aggregate, one join — token→
+    // vocab joins shuffle-scale with the corpus (no driver-side vocab).
+    "q_lm_unigram_nll" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .where(col("t") =!= "")
+      val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val lp = cnt.crossJoin(cnt.agg(sum(col("c")).as("tot")))
+        .select(col("t"), expr(
+          "cast(round(-1e4 * ln(c / cast(tot as double))) as bigint)")
+          .as("nll_e4"))
+      tok.join(lp, "t")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("nll_e4")).as("s"))
+        .select(col("doc_id"), col("n_tok"),
+                expr("s div n_tok").as("nll_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_lang_id" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"),
@@ -1176,6 +1203,21 @@ object TextAnalysis extends OpModule {
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // one e4 rounding per token type, exact integer mean per doc
+    "q_lm_unigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |cnt AS (SELECT t, COUNT(*) AS c FROM tk GROUP BY t),
+        |lp AS (SELECT t, CAST(ROUND(-1e4 * LN(c /
+        |         CAST((SELECT SUM(c) FROM cnt) AS DOUBLE))) AS BIGINT)
+        |         AS nll_e4
+        |       FROM cnt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(CAST(SUM(nll_e4) AS BIGINT) // COUNT(*) AS BIGINT) AS nll_e4
+        |FROM tk JOIN lp USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the whole rule battery in exact integer units — the pass bit is the
     // contract, not just the intermediate stats
     "q_quality_gopher" ->
