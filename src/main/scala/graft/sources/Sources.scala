@@ -1609,12 +1609,16 @@ object Sources extends OpModule {
           .write.format("graft.sources.StoreSink").mode("append")
           .option("path", path).save()
       }
-      val century = 100L * 365 * 24 * 3600 * 1000
+      // retention cutoffs in the REPLAYABLE explicit form (round-13
+      // verdict #7): the absolute epoch-ms cutoff is part of the table
+      // state, so every tick at this property state produces the same
+      // audit row — cutoff 1 ≡ "keep everything" with a pinned witness
+      // (the wall-clock .ms twins would re-derive now() per tick)
       withStorePath(s, path) {
         s.sql("ALTER TABLE graft.store SET TBLPROPERTIES(" +
           "'graft.maintain.compact'='1000000000:16:15000'," +
-          s"'graft.maintain.keep.ms'='$century'," +
-          s"'graft.maintain.orphans.ms'='$century')")
+          "'graft.maintain.keep.before'='1'," +
+          "'graft.maintain.orphans.before'='1')")
       }
       def callRows(tag: String) =
         s.sql(s"CALL graft.maintain('$path')").collect().map { r =>

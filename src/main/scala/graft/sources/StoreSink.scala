@@ -2329,6 +2329,14 @@ object StoreSink {
     *  - `graft.maintain.keep.ms`   = retention window → [[expireBefore]]
     *    at now − window (tags still pin, newest always survives)
     *  - `graft.maintain.orphans.ms`= age margin → [[removeOrphans]]
+    *  - `graft.maintain.keep.before` / `graft.maintain.orphans.before` =
+    *    EXPLICIT absolute epoch-ms cutoffs (they win over the `.ms`
+    *    twins) — the TTL rung's replayability posture extended to file
+    *    retention: a policy that re-derives "now" per tick races its own
+    *    audit trail, so a scheduler that wants replayable maintenance
+    *    advances the cutoff property and every tick at the same property
+    *    state produces the same audit row (round-13 verdict #7). The
+    *    `.ms` forms stay for fleets that accept wall-clock margins.
     * Absent keys skip their step; a table with NO policy returns a
     * single 'none' row (running the fleet loop over an unconfigured
     * table is a no-op, not an error); a MALFORMED policy refuses loudly
@@ -2349,8 +2357,11 @@ object StoreSink {
       // audit trail — schedulers advance the property instead (the
       // Iceberg retention-property posture). Audit: (dropped, kept).
       val p = v.split(":", 2)
-      require(p.length == 2 && p(0).nonEmpty && p(1).nonEmpty &&
-        p(1).forall(c => c.isDigit || c == '-') && p(1) != "-",
+      // an optional LEADING '-' followed by digits only — the permissive
+      // any-position '-' check let '1-2' through to toLong, which dies
+      // with a raw NumberFormatException instead of the loud property
+      // message this guard exists for (advice catch)
+      require(p.length == 2 && p(0).nonEmpty && p(1).matches("-?\\d+"),
         s"graft.maintain.ttl must be '<col>:<min_keep_long>', got '$v'")
       def live() = readEntries(root, fs(root))
         .map(e => math.max(e.rows, 0L)).sum
@@ -2361,12 +2372,19 @@ object StoreSink {
       // maintenance tick must not change meaning with session conf
       val sc = org.apache.spark.sql.internal.SQLConf.get
       val modeKey = "spark.graft.store.delete.mode"
-      val prev = sc.getConfString(modeKey, "auto")
+      // remember whether the key was SET: restoring a previously-unset
+      // key as an explicit 'auto' is harmless semantically but observable
+      // session-conf pollution (advice catch) — unset it back instead
+      val prev = if (sc.contains(modeKey)) Some(sc.getConfString(modeKey))
+                 else None
       sc.setConfString(modeKey, "auto")
       try
         new StoreTable(pathStr).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
           org.apache.spark.sql.sources.LessThan(p(0), p(1).toLong)))
-      finally sc.setConfString(modeKey, prev)
+      finally prev match {
+        case Some(old) => sc.setConfString(modeKey, old)
+        case None => sc.unsetConf(modeKey)
+      }
       val after = live()
       out += (("ttl", "ok", before - after, after, 0L))
     }
@@ -2379,22 +2397,32 @@ object StoreSink {
         compactIf(spark, pathStr, p(0).toLong, p(1).toLong, p(2).toLong)
       out += (("compact", action, files, ov, after))
     }
-    ps.get("graft.maintain.keep.ms").foreach { v =>
-      require(v.nonEmpty && v.forall(_.isDigit),
-        s"graft.maintain.keep.ms must be a non-negative integer, got '$v'")
-      val (dropped, kept) =
-        expireBefore(pathStr, System.currentTimeMillis() - v.toLong)
-      out += (("expire", "ok", dropped.toLong, kept.toLong, 0L))
-    }
-    ps.get("graft.maintain.orphans.ms").foreach { v =>
-      require(v.nonEmpty && v.forall(_.isDigit),
-        s"graft.maintain.orphans.ms must be a non-negative integer, got '$v'")
-      // the property is an AGE margin; removeOrphans takes the absolute
-      // modification-time cutoff (the procedure's older_ms convention)
-      val (deleted, candidates) =
-        removeOrphans(pathStr, System.currentTimeMillis() - v.toLong)
-      out += (("orphans", "ok", deleted.toLong, candidates.toLong, 0L))
-    }
+    // explicit-cutoff forms WIN over the wall-clock margins: the cutoff
+    // is then part of the table state and the tick replays (the TTL
+    // rung's own argument, which keep.ms/orphans.ms violated — round-13
+    // verdict #7)
+    def cutoffOf(beforeKey: String, msKey: String): Option[Long] =
+      ps.get(beforeKey).map { v =>
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"$beforeKey must be an absolute epoch-ms cutoff, got '$v'")
+        v.toLong
+      }.orElse(ps.get(msKey).map { v =>
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"$msKey must be a non-negative integer, got '$v'")
+        System.currentTimeMillis() - v.toLong
+      })
+    cutoffOf("graft.maintain.keep.before", "graft.maintain.keep.ms")
+      .foreach { cut =>
+        val (dropped, kept) = expireBefore(pathStr, cut)
+        out += (("expire", "ok", dropped.toLong, kept.toLong, 0L))
+      }
+    // the .ms property is an AGE margin; removeOrphans takes the absolute
+    // modification-time cutoff (the procedure's older_ms convention)
+    cutoffOf("graft.maintain.orphans.before", "graft.maintain.orphans.ms")
+      .foreach { cut =>
+        val (deleted, candidates) = removeOrphans(pathStr, cut)
+        out += (("orphans", "ok", deleted.toLong, candidates.toLong, 0L))
+      }
     // INDEX maintenance rides the same loop: a corpus table that owns
     // derived indexes names their policies too, so ONE maintain(path)
     // tick keeps table AND indexes healthy (the round-12 verdict's
@@ -2430,32 +2458,54 @@ object StoreSink {
     * in the audit row instead of throwing — an fsck that dies on the
     * problem it exists to find is useless (readers still fail loudly on
     * their own). Returns (entries, missing_files, sidecars,
-    * bad_sidecars). Cost = one manifest read + one metadata stat per
-    * file — at 100 TB the nightly integrity tick, not a scan. */
+    * bad_sidecars). EXECUTOR-PARALLEL (round-13 verdict #3): the driver
+    * reads the manifest and folds four counters; the per-entry
+    * exists/parse checks — one metadata stat per file, the expensive
+    * half against an object store — fan out over the cluster. A
+    * petabyte manifest's millions of HEAD requests would otherwise run
+    * as a single serial driver chain (the repo's own scale-bug class
+    * #6, a driver loop whose iteration count scales with the data);
+    * distributed, the nightly integrity tick is bounded by
+    * entries/parallelism round-trips. */
   def fsck(pathStr: String): (Long, Long, Long, Long) = {
     val root = new Path(pathStr)
     val fsys = fs(root)
     val entries = readEntries(root, fsys).filter(_.rows != 0)
-    var missing = 0L
-    var side = 0L
-    var bad = 0L
-    entries.foreach { e =>
-      if (!fsys.exists(new Path(root, e.name))) missing += 1
-      e.dv.foreach { d =>
-        side += 1
-        if (!fsys.exists(new Path(root, d))) bad += 1
-        else
-          try {
-            val o = readDv(root, fsys, d)
-            if (o.nonEmpty && (o.head < 0 ||
-                o.indices.drop(1).exists(i => o(i - 1) >= o(i)))) bad += 1
-          } catch { case _: Exception => bad += 1 }
+    if (entries.isEmpty) return (0L, 0L, 0L, 0L)
+    // ship only what the check needs: (data file, dv sidecar, eq sidecar)
+    val work: Seq[(String, Option[String], Option[String])] =
+      entries.map(e => (e.name, e.dv, e.eq))
+    val spark = SparkSession.active
+    val slices = math.max(1, math.min(work.size,
+      spark.sparkContext.defaultParallelism))
+    val (missing, side, bad) = spark.sparkContext
+      .parallelize(work, slices)
+      .mapPartitions { it =>
+        // executor-side FS from a fresh conf (the streaming writer's
+        // pattern — no SparkSession.active on a bare task thread)
+        val r = new Path(pathStr)
+        val f = StoreSink.fs(r, new Configuration())
+        var miss = 0L; var sd = 0L; var bd = 0L
+        it.foreach { case (name, dv, eq) =>
+          if (!f.exists(new Path(r, name))) miss += 1
+          dv.foreach { d =>
+            sd += 1
+            if (!f.exists(new Path(r, d))) bd += 1
+            else
+              try {
+                val o = StoreSink.readDv(r, f, d)
+                if (o.nonEmpty && (o.head < 0 ||
+                    o.indices.drop(1).exists(i => o(i - 1) >= o(i)))) bd += 1
+              } catch { case _: Exception => bd += 1 }
+          }
+          eq.foreach { q =>
+            sd += 1
+            if (!f.exists(new Path(r, q))) bd += 1
+          }
+        }
+        Iterator.single((miss, sd, bd))
       }
-      e.eq.foreach { q =>
-        side += 1
-        if (!fsys.exists(new Path(root, q))) bad += 1
-      }
-    }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
     (entries.size.toLong, missing, side, bad)
   }
 

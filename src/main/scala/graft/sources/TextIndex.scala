@@ -112,6 +112,16 @@ object TextIndex {
     * [[probeTopN]] — pins that impact bounds actually skip files. */
   @volatile private[graft] var lastTopNFiles: Option[(Int, Int)] = None
 
+  /** Phase-1 budget charge for a file with an UNKNOWN live count (rows <
+    * 0 — dv-attached entries): counting such files as zero let phase 1
+    * open unboundedly many of them (advice catch — rank-safety is
+    * unaffected, this is purely the θ-establishment cost bound). A
+    * nominal per-file estimate keeps the budget monotone. */
+  private val UnknownRowsEstimate = 4096L
+
+  private def budgetRows(rows: Long): Long =
+    if (rows < 0) UnknownRowsEstimate else rows
+
   private def pl(genRoot: String) = s"$genRoot/postings"
   private def tm(genRoot: String) = s"$genRoot/terms"
 
@@ -572,7 +582,7 @@ object TextIndex {
       val b = Seq.newBuilder[StoreSink.StoreFileEntry]
       ordered.iterator.takeWhile { e =>
         val go = acc < 50L * topk
-        if (go) { b += e; acc += math.max(e.rows, 0L) }
+        if (go) { b += e; acc += budgetRows(e.rows) }
         go
       }.foreach(_ => ())
       b.result()
@@ -679,7 +689,7 @@ object TextIndex {
         val b = Seq.newBuilder[StoreSink.StoreFileEntry]
         ordered.iterator.takeWhile { e =>
           val go = acc < 50L * topk
-          if (go) { b += e; acc += math.max(e.rows, 0L) }
+          if (go) { b += e; acc += budgetRows(e.rows) }
           go
         }.foreach(_ => ())
         b.result()
