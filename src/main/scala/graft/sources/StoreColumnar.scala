@@ -572,6 +572,71 @@ object StoreColumnar extends OpModule {
       }
     }),
 
+    // RLE-COMPOSED DICT ORDINALS (round-13 verdict #8): a string slot of
+    // a table with BOTH graft.store.dict AND graft.store.rle on tries a
+    // third block layout — the dictionary with its ORDINAL stream
+    // run-length-encoded (`e`-tagged: `n|values|c0*o0,c1*o1,…`). A
+    // sorted/clustered low-cardinality column leaves LONG ordinal runs
+    // (exactly what range-clustered, orderedBy, and partitioned writes
+    // produce), so the per-row ordinal cost collapses to one token per
+    // run — the parquet RLE/bit-packed hybrid over dictionary indices.
+    // Strictly-shrinking chain: `e` only when provably smaller than `d`,
+    // which itself only when smaller than plain — the dict-only TWIN
+    // pins the delta (z_smaller). The dictionary predicate index is
+    // LAYOUT-BLIND: the rare-status probe still skips groups from the
+    // `e` block's dictionary alone (z_dict_skip). Content is
+    // bit-identical to q_store_col_dict — shared closed form.
+    "q_store_col_dict_rle" -> ((s, d) => withGraftCatalog(s) {
+      val path = tmp(d, "storecoldictrle")
+      val twin = tmp(d, "storecoldictrletwin")
+      val fsys = fsOf(s)
+      def seed(p: String, rle: Boolean): Unit = {
+        fsys.delete(new org.apache.hadoop.fs.Path(p), true)
+        StoreSink.setProp(p, StoreSink.EncodingProp, "columnar")
+        StoreSink.setProp(p, StoreSink.GroupRowsProp, "2000")
+        StoreSink.setProp(p, StoreSink.DictProp, "on")
+        if (rle) StoreSink.setProp(p, StoreSink.RleProp, "on")
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"),
+                  concat(lit("status-"), col("o_orderstatus")).as("grp"),
+                  graft.ops.Det.cents(col("o_totalprice")).as("amt_cents"))
+          .repartition(1).sortWithinPartitions(col("grp"), col("k"))
+          .write.format(fmt).mode("append").option("path", p).save()
+      }
+      seed(path, rle = true); seed(twin, rle = false)
+      def bytesOf(p: String): Long = StoreSink.readEntries(
+        new org.apache.hadoop.fs.Path(p), fsys).flatMap(_.bytes).sum
+      val smaller = bytesOf(path) < bytesOf(twin)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val tagged = StoreSink.readEntries(root, fsys).filter(_.rows > 0)
+        .exists { e =>
+          val p = new org.apache.hadoop.fs.Path(root, e.name)
+          val in = fsys.open(p)
+          try StoreSink.readColGroups(in, fsys.getFileStatus(p).getLen)
+            .exists(_.exists(_.dictRleFlags.exists(identity)))
+          finally in.close()
+        }
+      withStorePath(s, path) {
+        val rare = s.table("graft.store").groupBy(col("grp")).count()
+          .orderBy(col("count"), col("grp")).collect()(0).getString(0)
+        StoreSink.lastColGroups = None
+        val rareAgg = s.table("graft.store").where(col("grp") === rare)
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()(0)
+        val skipped = StoreSink.lastColGroups.exists { case (r, t) =>
+          r >= 1 && r < t }
+        val full = s.table("graft.store").groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("amt_cents")).as("sum_cents"))
+          .collect()
+        val rows = full.toSeq ++
+          Seq(Row("rare", rareAgg.getLong(0), rareAgg.getLong(1))) ++
+          flagRows("z_dict_rle" -> tagged, "z_dict_skip" -> skipped,
+                   "z_smaller" -> smaller)
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, summarySchema).orderBy(col("grp"))
+      }
+    }),
+
     // PER-GROUP ZONE STATS (round-12 verdict #1 — the parquet row-group
     // stats shape): multi-group columnar files carry `@slot:min:max`
     // tokens in each group header; a statically-pushed k-range the
@@ -809,6 +874,22 @@ object StoreColumnar extends OpModule {
         |FROM base WHERE grp LIKE 'st-' || (SELECT s FROM rare) || '-%'
         |GROUP BY grp
         |UNION ALL SELECT 'z_dict_like_skip', 1, 0
+        |ORDER BY grp""".stripMargin,
+
+    // the q_store_col_dict closed form (content invariant under the
+    // ordinal-RLE layout); flags pin tagged/skip/smaller
+    "q_store_col_dict_rle" ->
+      """WITH base AS (
+        |  SELECT 'status-' || o_orderstatus AS grp,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt FROM orders),
+        |byg AS (SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS s
+        |        FROM base GROUP BY grp),
+        |rare AS (SELECT grp FROM byg ORDER BY n, grp LIMIT 1)
+        |SELECT grp, n, s AS sum_cents FROM byg
+        |UNION ALL SELECT 'rare', n, s FROM byg WHERE grp = (SELECT grp FROM rare)
+        |UNION ALL SELECT 'z_dict_rle', 1, 0
+        |UNION ALL SELECT 'z_dict_skip', 1, 0
+        |UNION ALL SELECT 'z_smaller', 1, 0
         |ORDER BY grp""".stripMargin,
 
     "q_store_col_group_zone" ->

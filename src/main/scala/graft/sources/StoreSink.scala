@@ -1058,11 +1058,20 @@ object StoreSink {
                                         dataStart: Long,
                                         gstats: Map[Int, (Long, Long)] = Map.empty,
                                         dictFlags: Array[Boolean] = Array.empty,
-                                        rleFlags: Array[Boolean] = Array.empty) {
+                                        rleFlags: Array[Boolean] = Array.empty,
+                                        dictRleFlags: Array[Boolean] = Array.empty) {
     def isDict(slot: Int): Boolean =
       slot < dictFlags.length && dictFlags(slot)
     def isRle(slot: Int): Boolean =
       slot < rleFlags.length && rleFlags(slot)
+    /** Dictionary block whose ORDINAL stream is run-length-encoded (the
+      * `e` length-token prefix) — same dictionary semantics as `d`
+      * (predicate pre-checks apply identically), denser at rest. */
+    def isDictRle(slot: Int): Boolean =
+      slot < dictRleFlags.length && dictRleFlags(slot)
+    /** Either dictionary form — the predicate-index checks key off the
+      * DICTIONARY, not the ordinal layout. */
+    def hasDict(slot: Int): Boolean = isDict(slot) || isDictRle(slot)
   }
 
   /** Sniff + parse the columnar GROUP header at `base`. Returns None
@@ -1093,11 +1102,16 @@ object StoreSink {
     // unambiguous: length tokens always open with a digit
     val (statToks, entries0) = parts.drop(1).partition(_.startsWith("@"))
     // a `d` prefix on a length token marks a DICTIONARY-encoded block,
-    // an `r` prefix a RUN-LENGTH-encoded one (mutually exclusive)
+    // an `r` prefix a RUN-LENGTH-encoded one, an `e` prefix a dictionary
+    // whose ordinal stream is itself run-length-encoded (all mutually
+    // exclusive per block)
     val dictFlags = entries0.map(_.startsWith("d"))
     val rleFlags = entries0.map(_.startsWith("r"))
+    val dictRleFlags = entries0.map(_.startsWith("e"))
     val entries = entries0.map(e =>
-      if (e.startsWith("d") || e.startsWith("r")) e.substring(1) else e)
+      if (e.startsWith("d") || e.startsWith("r") || e.startsWith("e"))
+        e.substring(1)
+      else e)
     val lens = entries.map(e => e.split(':')(0).toLong)
     val rawLens =
       if (compressed) entries.map(e => e.split(':')(1).toLong) else lens
@@ -1107,7 +1121,7 @@ object StoreSink {
     }.toMap
     Some(ColHeader(nrows, lens, rawLens, compressed,
       base + ColMagicBytes.length + sb.length + 1L, gstats, dictFlags,
-      rleFlags))
+      rleFlags, dictRleFlags))
   }
 
   /** Walk a columnar file's GROUP chain (one header + blocks per group —
@@ -1232,6 +1246,71 @@ object StoreSink {
     if (sb.length >= plainLen) None else Some(sb.result())
   }
 
+  /** COMPOSE RLE WITH DICT ORDINALS (round-13 verdict #8): re-encode a
+    * qualifying dictionary block's ORDINAL stream as `c*o` run pairs —
+    * `n|values|c0*o0,c1*o1,…`, the `e` length-token prefix. The layouts
+    * the store already produces make this the common dense case: a
+    * range-clustered / orderedBy / partitioned write leaves a sorted
+    * low-cardinality string column as a handful of LONG ordinal runs, so
+    * the per-row ordinal cost collapses to one token per run (the
+    * parquet RLE/bit-packed hybrid over dictionary indices). Guarded by
+    * the same provably-smaller-only rule: returns None unless the run
+    * form is strictly smaller than the plain-ordinal dictionary (which
+    * itself already beat plain text), so unclustered blocks keep the
+    * `d` layout and unique-ish columns keep plain. */
+  private[sources] def dictRleFromDict(dict: String): Option[String] = {
+    val p2 = dict.indexOf('|', dict.indexOf('|') + 1)
+    val ords = dict.substring(p2 + 1).split(",", -1)
+    val sb = new StringBuilder(dict.substring(0, p2 + 1))
+    var i = 0
+    while (i < ords.length) {
+      var j = i + 1
+      while (j < ords.length && ords(j) == ords(i)) j += 1
+      if (i > 0) sb.append(',')
+      sb.append(j - i).append('*').append(ords(i))
+      if (sb.length >= dict.length) return None // not smaller: keep `d`
+      i = j
+    }
+    Some(sb.result())
+  }
+
+  /** Parse an `e` block: the dictionary half exactly like [[parseDictBlock]],
+    * the ordinal half run-decoded with the RLE loudness checks (a torn
+    * run list must never silently decode short, repeat, or point past
+    * the dictionary). Decodes to the same [[DictBlock]] shape — readers
+    * and the dictionary predicate pre-checks are layout-blind. */
+  private[sources] def parseDictRleBlock(text: String, nrows: Int): DictBlock = {
+    val p1 = text.indexOf('|')
+    val p2 = text.indexOf('|', p1 + 1)
+    val n = text.substring(0, p1).toInt
+    val values =
+      if (n == 0) Array.empty[String]
+      else text.substring(p1 + 1, p2).split(",", -1)
+    require(values.length == n,
+      s"torn dict-rle block: ${values.length} != $n dictionary values")
+    val runs = text.substring(p2 + 1).split(",", -1)
+    val idx = new Array[Int](nrows)
+    var r = 0
+    runs.foreach { run =>
+      val p = run.indexOf('*')
+      require(p > 0, s"torn dict-rle block: run '$run' has no count")
+      val c = run.substring(0, p).toInt
+      require(c >= 1, s"torn dict-rle block: run count $c < 1")
+      val v = run.substring(p + 1).toInt
+      require(v >= 0 && v < math.max(n, 1),
+        s"torn dict-rle block: ordinal $v >= $n")
+      var m = 0
+      while (m < c) {
+        require(r < nrows,
+          s"torn dict-rle block: runs cover more than $nrows rows")
+        idx(r) = v; r += 1; m += 1
+      }
+    }
+    require(r == nrows,
+      s"torn dict-rle block: runs cover $r of $nrows rows")
+    new DictBlock(values, idx)
+  }
+
   /** Run block: `c0*v0,c1*v1,…` decoded into per-run values plus a
     * per-row run index — the DictBlock memory shape (one int per row),
     * each run's value stored once. NOT exposed as a dictionary: run
@@ -1349,6 +1428,7 @@ object StoreSink {
                                     h: ColHeader, s: Int): ColValues = {
     val text = loadBlockText(in, h, s)
     if (h.isDict(s)) parseDictBlock(text, h.nrows)
+    else if (h.isDictRle(s)) parseDictRleBlock(text, h.nrows)
     else if (h.isRle(s)) parseRleBlock(text, h.nrows)
     else {
       val offs = new Array[Int](math.max(h.nrows, 0))
@@ -1387,6 +1467,9 @@ object StoreSink {
             if (h.nrows == 0) Array.empty[String]
             else if (h.isDict(s)) {
               val db = parseDictBlock(loadBlockText(in, h, s), h.nrows)
+              Array.tabulate(h.nrows)(db.raw)
+            } else if (h.isDictRle(s)) {
+              val db = parseDictRleBlock(loadBlockText(in, h, s), h.nrows)
               Array.tabulate(h.nrows)(db.raw)
             } else if (h.isRle(s)) {
               val rb = parseRleBlock(loadBlockText(in, h, s), h.nrows)
@@ -1482,14 +1565,18 @@ object StoreSink {
                                      rleSlots: Set[Int] = Set.empty): Array[Byte] = {
     // dictionary-qualify the declared string slots and RLE-qualify the
     // integer slots block by block; a `d`/`r` length-token prefix marks
-    // the encoded ones (self-identifying). The slot sets are disjoint by
-    // construction (string vs integer types).
+    // the encoded ones (self-identifying). A string slot in BOTH sets
+    // (dict + rle tables) additionally tries the RLE-ordinal dictionary
+    // form (`e`) — picked only when provably smaller than `d`, which was
+    // itself provably smaller than plain: the strictly-shrinking chain.
     val encoded: Array[(Array[Byte], String)] = bufs.indices.map { s =>
       val plain = bufs(s).result()
       val (enc, marker) =
-        if (nrows > 0 && dictSlots.contains(s))
-          (dictBlockText(plain.split(",", -1)), "d")
-        else if (nrows > 0 && rleSlots.contains(s))
+        if (nrows > 0 && dictSlots.contains(s)) {
+          val d = dictBlockText(plain.split(",", -1))
+          val e = if (rleSlots.contains(s)) d.flatMap(dictRleFromDict) else None
+          if (e.isDefined) (e, "e") else (d, "d")
+        } else if (nrows > 0 && rleSlots.contains(s))
           (rleBlockText(plain.split(",", -1)), "r")
         else (None, "")
       (enc.getOrElse(plain).getBytes(StandardCharsets.UTF_8),
@@ -4364,11 +4451,12 @@ private object StoreTableDeleteBody {
             .filter(i => layout.physTypes(i) == StringType).toSet
         // RLE follows the same COW re-derivation discipline as dict and
         // stats: a rewrite must not silently degrade the at-rest layout
+        // (dict slots join the set for the `e` ordinal-RLE composition)
         val rles =
           if (!StoreSink.rleAt(pathStr)) Set.empty[Int]
           else layout.physTypes.indices
             .filter(i => layout.physTypes(i) == LongType ||
-              layout.physTypes(i) == IntegerType).toSet
+              layout.physTypes(i) == IntegerType).toSet ++ dicts
         val declared = StoreSink.declaredStatCols(root, fsys,
             StoreSink.tableSchema(pathStr))
           .map { case (_, li) => layout.proj(li) }.filter(_ >= 0)
@@ -5369,15 +5457,17 @@ private class StoreDataWriter(pathStr: String, fileName: String,
       i >= 0 && i < types.length && types(i) == StringType
     }.toSet
   /** Physical slots eligible for per-block run-length encoding: the
-    * integer-typed live slots, when the table opted in. Disjoint from
-    * [[dictSlots]] by type. */
+    * integer-typed live slots, when the table opted in — plus the dict
+    * slots (a string slot in BOTH sets opts its dictionary's ORDINAL
+    * stream into run encoding, the `e` composition — never raw-string
+    * RLE). */
   private val rleSlots: Set[Int] =
     if (!columnar || !rleEnc) Set.empty
     else (0 until physWidth).filter { si =>
       val i = if (slots == null) si else slots(si)
       i >= 0 && i < types.length &&
         (types(i) == LongType || types(i) == IntegerType)
-    }.toSet
+    }.toSet ++ dictSlots
   private val sinks = scala.collection.mutable.LinkedHashMap[String, Sink]()
 
   private def sinkFor(record: InternalRow, base: Int): Sink =
@@ -6717,11 +6807,11 @@ private case class StoreReaderFactory(required: StructType = StoreSink.schema,
             skipBounds.exists { case (s, lo, hi) =>
               h.gstats.get(s).exists { case (mn, mx) => mx < lo || mn > hi }
             } || (dictChecks.nonEmpty && dictChecks.exists { case (s, vs) =>
-              h.isDict(s) &&
+              h.hasDict(s) &&
                 dictBlock(h, s).dictValues.exists(d => !vs.exists(d.contains))
             }) || (dictPrefixChecks.nonEmpty &&
               dictPrefixChecks.exists { case (s, p) =>
-                h.isDict(s) &&
+                h.hasDict(s) &&
                   dictBlock(h, s).dictValues.exists(d => !d.exists(_.startsWith(p)))
               })
           private def loadGroup(): Boolean = {

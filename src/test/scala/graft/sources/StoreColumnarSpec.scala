@@ -419,6 +419,82 @@ class StoreColumnarSpec extends SparkSpec {
     }
   }
 
+  test("dict-RLE composed blocks (e-tag): round-trip, dict-skip is " +
+       "layout-blind, COW keeps the layout, runless ordinals stay d, " +
+       "torn runs loud") {
+    import spark.implicits._
+    val dir = freshDir("dictrle")
+    markColumnar(dir)
+    StoreSink.setProp(dir, StoreSink.GroupRowsProp, "100")
+    StoreSink.setProp(dir, StoreSink.DictProp, "on")
+    StoreSink.setProp(dir, StoreSink.RleProp, "on")
+    // k-sorted, grp flips every 100 rows = one ordinal RUN per group —
+    // the clustered shape where e must beat d
+    val rows = (0 until 300).map(i => (i.toLong, s"region-${i / 100}", i * 10L))
+    rows.toDF("k", "grp", "amt_cents").repartition(1)
+      .sortWithinPartitions("k")
+      .write.format(fmt).mode("append").option("path", dir).save()
+    def groupsOf(d: String): Seq[StoreSink.ColHeader] = {
+      val e = StoreSink.readEntries(new Path(d), fs).filter(_.rows > 0).head
+      val p = new Path(d, e.name)
+      val in = fs.open(p)
+      try StoreSink.readColGroups(in, fs.getFileStatus(p).getLen).get
+      finally in.close()
+    }
+    // grp (slot 1) composes to e; unique k/amt stay plain (the size guard
+    // refuses integer RLE that can't pay)
+    assert(groupsOf(dir).forall(h =>
+      h.isDictRle(1) && !h.isDict(1) && !h.isRle(0) && !h.isRle(2)),
+      s"${groupsOf(dir).map(h => h.dictRleFlags.toSeq)}")
+    assert(readBack(dir) == rows.toSet, "e blocks must round-trip")
+    // the dictionary predicate index is LAYOUT-BLIND: 'region-2' absent
+    // from groups 0/1's e-block dictionaries — skipped after one block
+    StoreSink.lastColGroups = None
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .where(col("grp") === "region-2").count() == 100)
+    assert(StoreSink.lastColGroups.contains((1, 3)),
+      s"e-block dict-skip: ${StoreSink.lastColGroups}")
+    // masks stay ordinal-correct through run-decoded ordinals
+    withStore(dir) {
+      spark.sql("DELETE FROM graft.store WHERE k IN (5, 150, 250)")
+    }
+    assert(readBack(dir) == rows.filterNot(r0 =>
+      Set(5L, 150L, 250L)(r0._1)).toSet)
+    // a COW rewrite re-derives the composed layout (maintenance must not
+    // silently degrade e back to d or plain — the dict review-catch rule)
+    withStore(dir) {
+      spark.sql("DELETE FROM graft.store WHERE k >= 200")
+    }
+    assert(groupsOf(dir).forall(h => h.isDictRle(1) && h.gstats.contains(0)),
+      "COW replacements must keep e blocks and per-group key stats")
+    // alternating values = 150 runs of 1: the run form can't pay — the
+    // provably-smaller chain stops at d
+    val ddir = freshDir("dictrle_d")
+    markColumnar(ddir)
+    StoreSink.setProp(ddir, StoreSink.DictProp, "on")
+    StoreSink.setProp(ddir, StoreSink.RleProp, "on")
+    (0 until 300).map(i =>
+        (i.toLong, if (i % 2 == 0) "alpha-value" else "beta-value", 0L))
+      .toDF("k", "grp", "amt_cents").repartition(1)
+      .sortWithinPartitions("k")
+      .write.format(fmt).mode("append").option("path", ddir).save()
+    assert(groupsOf(ddir).forall(h => h.isDict(1) && !h.isDictRle(1)),
+      "runless ordinals must keep the plain-ordinal dictionary")
+    // torn e blocks are LOUD, never a silent short/shifted/alias decode
+    intercept[IllegalArgumentException] {
+      StoreSink.parseDictRleBlock("2|a,b|3*0,2*1", 6) // covers 5 of 6
+    }
+    intercept[IllegalArgumentException] {
+      StoreSink.parseDictRleBlock("2|a,b|3*0,4*1", 6) // covers 7 of 6
+    }
+    intercept[IllegalArgumentException] {
+      StoreSink.parseDictRleBlock("2|a,b|3*5", 3) // ordinal 5 >= 2
+    }
+    intercept[IllegalArgumentException] {
+      StoreSink.parseDictRleBlock("2|a,b|x", 1) // runs must carry a count
+    }
+  }
+
   test("dictionary composes with deflate (#GC2) and the streaming write " +
        "path: dict-then-compress blocks round-trip and still dict-skip") {
     import spark.implicits._
