@@ -1,0 +1,303 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+/** PERSISTED LATE-INTERACTION (MaxSim) INDEX — the multi-vector member of
+  * the index family (round-13 verdict #1): q_sim_maxsim_ivf re-derives its
+  * cell assignment inside every query; a ColBERT-style serving system
+  * builds that artifact ONCE (the PLAID/ColBERTv2 shape) and probes it.
+  * Three ordinary graft-store tables under the shared [[IndexGen]]
+  * generation pointer (atomic rebuild, staged aside, one pointer swap):
+  *
+  *  - `cells` — the coarse quantizer: one row per √n-stride seed vector
+  *    (k = the seed token's vec_id, emb = the vector as farr). MaxSim
+  *    candidate generation only needs cells that TRACK the token
+  *    distribution, so the seeds themselves are the cells — exactly what
+  *    the retrain-per-query pipeline uses, which is what lets a probe
+  *    share its oracle verbatim. √n cardinality ([[AnnIndex.seedStride]]):
+  *    the cells broadcast stays bounded at any corpus.
+  *  - `postings` — one row per corpus TOKEN, identity-partitioned by its
+  *    assigned cell (k = token vec_id, grp = cell, amt_cents = the DOC id
+  *    the token belongs to, emb = the vector): probing c cells PLANS c
+  *    partitions — candidate generation is the store's partition pruning,
+  *    never a corpus scan.
+  *  - `doctok` — the SAME tokens keyed for refinement: identity-
+  *    partitioned by DOC BUCKET (grp = d_id % nb, amt_cents = d_id).
+  *    Stage 2 must score EVERY token of a candidate doc (ranking by the
+  *    probed cells' partial sums alone collapsed recall to 0–40% — the
+  *    round-21 scale lesson: never rank by partial sums), and a
+  *    cell-partitioned table scatters a doc's tokens; the doc-bucketed
+  *    twin is the ColBERT doc-ordered residual store, so refinement
+  *    PLANS only the candidate docs' buckets.
+  *
+  * Probe = PLAID two-stage serving: (1) each query token ranks the
+  * broadcast cells and takes its nprobe nearest; a doc is a CANDIDATE
+  * when any of its tokens lives in a probed cell (postings partitions);
+  * (2) the EXACT MaxSim kernel (one e6 rounding, integer max-then-sum)
+  * runs over the candidates' full token sets (doctok buckets). Ranking
+  * inside the candidate set is exact — recall is purely candidate
+  * coverage, the PLAID contract.
+  *
+  * Maintenance is INCREMENTAL ([[refresh]]): the corpus store's change
+  * feed folds under the FROZEN cells — changed tokens leave both token
+  * tables, inserts assign against the persisted cells, and only touched
+  * cell partitions / doc buckets rewrite (replace-set commits). At
+  * 100 TB: cells ≈ √n rows (broadcast-sized), a probe reads
+  * nprobe·|query tokens| posting lists plus the candidate docs' buckets,
+  * and refresh cost tracks the delta — the [[AnnIndex]] contract
+  * extended to multi-vector entities. */
+object MaxSimIndex {
+
+  private val Fmt = "graft.sources.StoreSink"
+  /** Doc-bucket count of the `doctok` table — a BUILD property: the
+    * refinement table's partition granularity (more buckets = finer
+    * candidate pruning, more files). */
+  val BucketsProp = "graft.index.maxsim.buckets"
+
+  private def cl(genRoot: String) = s"$genRoot/cells"
+  private def pl(genRoot: String) = s"$genRoot/postings"
+  private def dt(genRoot: String) = s"$genRoot/doctok"
+
+  def cellsPath(indexPath: String): String = cl(IndexGen.dir(indexPath))
+  def postingsPath(indexPath: String): String = pl(IndexGen.dir(indexPath))
+  def doctokPath(indexPath: String): String = dt(IndexGen.dir(indexPath))
+
+  /** Derived doc-bucket count: ~64k tokens per bucket, floor 4 (pruning
+    * must exist even on test corpora), cap 4096 (file-count budget — the
+    * [[TextIndex.defaultShards]] posture). */
+  private[graft] def docBuckets(nTokens: Long): Int =
+    math.max(4, math.min(4096, math.ceil(nTokens.toDouble / 65536.0).toInt))
+
+  /** The persisted cells as (c_id, c_emb, c_nrm). */
+  def cells(s: SparkSession, indexPath: String): DataFrame =
+    cellsAt(s, IndexGen.dir(indexPath))
+
+  private def cellsAt(s: SparkSession, genRoot: String): DataFrame = {
+    graft.functions.FloatDot.register(s)
+    s.read.format(Fmt).option("path", cl(genRoot)).load()
+      .select(col("k").as("c_id"), col("emb").as("c_emb"))
+      .withColumn("c_nrm", sqrt(expr("graft_float_dot(c_emb, c_emb)")))
+  }
+
+  /** Build the index. `nzAll` (vec_id, embedding, nrm) supplies the seed
+    * pool and the stride derivation — the SAME frame the
+    * retrain-per-query pipeline seeds from, so a probe of the persisted
+    * artifact reproduces it bit for bit; `tokens` (n_id, d_id, n_emb,
+    * n_nrm) are the corpus tokens to index, grouped into docs by d_id.
+    * Returns (n_cells, n_tokens). Stage-then-swap: a concurrent probe
+    * reads the previous generation until the pointer moves. */
+  def build(s: SparkSession, nzAll: DataFrame, tokens: DataFrame,
+            indexPath: String,
+            corpusRef: Option[(String, Int)] = None): (Long, Long) = {
+    graft.functions.FloatDot.register(s)
+    val gen = IndexGen.next(indexPath)
+    val genRoot = s"$indexPath/$gen"
+    val clRoot = new Path(cl(genRoot))
+    val plRoot = new Path(pl(genRoot))
+    val dtRoot = new Path(dt(genRoot))
+    val fsys = StoreSink.fs(clRoot)
+    val farr = StoreSink.extrasOf(Seq(
+      StructField("emb", StoreSink.FloatArrayType)))
+    StoreSink.writeExtras(clRoot, fsys, farr)
+    StoreSink.writeExtras(plRoot, fsys, farr)
+    StoreSink.writeExtras(dtRoot, fsys, farr)
+    val stride = AnnIndex.seedStrideOverride
+      .getOrElse(AnnIndex.seedStride(nzAll.count()))
+    val seeds = nzAll.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+              col("nrm").as("c_nrm"))
+      .localCheckpoint() // codebook-sized: √n rows
+    seeds.select(col("c_id").as("k"), lit("c").as("grp"),
+        lit(0L).as("amt_cents"), col("c_emb").as("emb"))
+      .coalesce(1)
+      .write.format(Fmt).mode("append").option("path", cl(genRoot)).save()
+    // token → cell assignment (the one corpus-sized stage of the build);
+    // the doc id rides back on n_id — a build-time equi-join, never paid
+    // at probe time (it then lives inside the posting row's amt slot,
+    // which doubles as the store's second zone column)
+    val asg = graft.ops.TrainingOps.assign(
+      tokens.select(col("n_id"), col("n_emb"), col("n_nrm")), seeds)
+    asg.join(tokens.select(col("n_id"), col("d_id")), "n_id")
+      .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
+              col("d_id").as("amt_cents"), col("n_emb").as("emb"))
+      .write.format(Fmt).mode("append").option("path", pl(genRoot))
+      .option("partitionedBy", "identity:grp").save()
+    val nTok = StoreSink.readEntries(plRoot, fsys).map(_.rows).sum
+    // the refinement twin: same tokens, doc-bucketed — bucket count fixes
+    // at build and persists (probes and refresh resolve the index's OWN
+    // granularity, never a default)
+    val nb = docBuckets(nTok)
+    tokens
+      .select(col("n_id").as("k"),
+              pmod(col("d_id"), lit(nb)).cast("string").as("grp"),
+              col("d_id").as("amt_cents"), col("n_emb").as("emb"))
+      .write.format(Fmt).mode("append").option("path", dt(genRoot))
+      .option("partitionedBy", "identity:grp").save()
+    StoreSink.withCommitLock(clRoot, fsys) {
+      val ps = StoreSink.readProps(clRoot, fsys).toMap ++
+        Map(BucketsProp -> nb.toString) ++
+        corpusRef.map(r => AnnIndex.CorpusProp -> r._1) ++
+        corpusRef.map(r => AnnIndex.VersionProp -> r._2.toString)
+      StoreSink.writeProps(clRoot, fsys, ps.toSeq)
+    }
+    val nCl = StoreSink.readEntries(clRoot, fsys).map(_.rows).sum
+    AnnIndex.onBeforeIndexPublish() // shared stage/publish-window hook
+    IndexGen.publish(indexPath, gen)
+    (nCl, nTok)
+  }
+
+  /** Build from a corpus STORE of token vectors (k = token vec_id,
+    * trailing `emb` = float CSV; doc id = k div 10, the harness's
+    * grouping convention), recording provenance for [[refresh]]. */
+  def buildFromStore(s: SparkSession, corpusPath: String,
+                     indexPath: String): (Long, Long) = {
+    val vs = StoreSink.listVersions(new Path(corpusPath),
+      StoreSink.fs(new Path(corpusPath)))
+    val nz = AnnIndex.nzOfStore(s, corpusPath, vs.lastOption)
+    build(s, nz, tokensOf(nz), indexPath,
+      Some((corpusPath, vs.lastOption.getOrElse(0))))
+  }
+
+  private def tokensOf(nz: DataFrame): DataFrame =
+    nz.select(col("vec_id").as("n_id"), expr("vec_id div 10").as("d_id"),
+              col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+
+  /** PLAID two-stage probe of the persisted artifact. `queries` =
+    * (q_id, qt, q_emb, q_nrm) — multi-vector queries, one row per query
+    * TOKEN. Stage 1 plans only the probed cells' postings partitions;
+    * stage 2 plans only the candidate docs' doctok buckets and runs the
+    * EXACT kernel (candidate-then-exact — ranking by stage-1 partial
+    * sums is the recall-collapsing bug this design exists to avoid).
+    * Output shape = q_sim_maxsim_ivf: (q_id, d_id, maxsim_e6, rn). */
+  def probe(s: SparkSession, queries: DataFrame, indexPath: String,
+            nprobe: Int = 4, topk: Int = 5): DataFrame = {
+    val genRoot = IndexGen.dir(indexPath) // ONE generation end to end
+    graft.functions.FloatDot.register(s)
+    val clRoot = new Path(cl(genRoot))
+    val nb = StoreSink.readProps(clRoot, StoreSink.fs(clRoot)).toMap
+      .getOrElse(BucketsProp, "4").toInt
+    val q = queries
+      .select(col("q_id"), col("qt"), col("q_emb"), col("q_nrm"))
+      .localCheckpoint() // query-sized
+    val wP = Window.partitionBy(col("qt"))
+      .orderBy(col("p_score").desc, col("c_id"))
+    val probed = q.join(broadcast(cellsAt(s, genRoot)))
+      .withColumn("p_score",
+        expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("prn", row_number().over(wP))
+      .where(col("prn") <= nprobe)
+      .select(col("q_id"), col("c_id").as("bucket")).distinct()
+      .localCheckpoint() // bounded: |query tokens| × nprobe
+    val buckets = probed.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0).toString).toSeq
+    // candidate docs: any token in a probed cell — partition pruning IS
+    // the inverted-list lookup; only (cell, doc) pairs flow, no vectors
+    val cand = s.read.format(Fmt).option("path", pl(genRoot)).load()
+      .where(col("grp").isin(buckets: _*))
+      .select(col("grp").cast("long").as("bucket"),
+              col("amt_cents").as("d_id"))
+      .join(broadcast(probed), "bucket")
+      .select(col("q_id"), col("d_id")).distinct()
+      .localCheckpoint() // the PLAID stage-2 working set
+    val docB = cand.select(pmod(col("d_id"), lit(nb)).cast("string").as("b"))
+      .distinct().collect().map(_.getString(0)).toSeq // ≤ nb
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("maxsim_e6").desc, col("d_id"))
+    // EXACT refinement over the candidates' FULL token sets, from the
+    // doc-bucketed twin — the corpus never opens at probe time
+    s.read.format(Fmt).option("path", dt(genRoot)).load()
+      .where(col("grp").isin(docB: _*))
+      .select(col("amt_cents").as("d_id"), col("emb").as("n_emb"))
+      .withColumn("n_nrm", sqrt(expr("graft_float_dot(n_emb, n_emb)")))
+      .join(broadcast(cand), "d_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cos_e6",
+        round(expr("graft_float_dot(q_emb, n_emb)")
+          / (col("q_nrm") * col("n_nrm")) * 1e6).cast("long"))
+      .groupBy(col("q_id"), col("qt"), col("d_id"))
+      .agg(max(col("cos_e6")).as("m"))
+      .groupBy(col("q_id"), col("d_id")).agg(sum(col("m")).as("maxsim_e6"))
+      .withColumn("rn", row_number().over(wTop)).where(col("rn") <= topk)
+      .select(col("q_id"), col("d_id"), col("maxsim_e6"), col("rn"))
+  }
+
+  /** INCREMENTAL MAINTENANCE: fold the corpus store's change feed since
+    * the indexed version into BOTH token tables under the FROZEN cells —
+    * deletes drop their token rows, inserts assign against the persisted
+    * cells, and only touched cell partitions / doc buckets rewrite (one
+    * replace-set commit each). The cells are never re-seeded — recall
+    * drifts only as far as the data does (rebuild to re-center, the IVF
+    * contract). Returns (tokens_changed, partitions_rewritten). */
+  def refresh(s: SparkSession, indexPath: String): (Long, Long) = {
+    val genRoot = IndexGen.dir(indexPath)
+    val clRoot = new Path(cl(genRoot))
+    val plRoot = new Path(pl(genRoot))
+    val dtRoot = new Path(dt(genRoot))
+    val fsys = StoreSink.fs(clRoot)
+    val props = StoreSink.readProps(clRoot, fsys).toMap
+    val corpus = props.getOrElse(AnnIndex.CorpusProp,
+      throw new IllegalStateException(
+        s"index at $indexPath was not built from a corpus store — nothing to refresh"))
+    val fromV = props(AnnIndex.VersionProp).toInt
+    val nb = props.getOrElse(BucketsProp, "4").toInt
+    val headV = StoreSink.listVersions(new Path(corpus),
+      StoreSink.fs(new Path(corpus))).lastOption.getOrElse(0)
+    if (headV == fromV) return (0L, 0L)
+    graft.functions.FloatDot.register(s)
+    val feed = StoreSink.changes(s, corpus, fromV, Some(headV))
+      .select(col("op"), col("k").as("vec_id"),
+        expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding"))
+      .localCheckpoint() // CDF-sized: changed rows only
+    val changedKeys = feed.select(col("vec_id").as("k")).distinct()
+    val ins = feed.where(col("op") === "insert")
+      .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+      .where(col("nrm") > 0)
+    val insTok = tokensOf(ins.select(col("vec_id"), col("embedding"), col("nrm")))
+    val newPl = graft.ops.TrainingOps.assign(
+        insTok.select(col("n_id"), col("n_emb"), col("n_nrm")),
+        cellsAt(s, genRoot))
+      .join(insTok.select(col("n_id"), col("d_id")), "n_id")
+      .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
+              col("d_id").as("amt_cents"), col("n_emb").as("emb"))
+      .localCheckpoint()
+    val newDt = insTok
+      .select(col("n_id").as("k"),
+              pmod(col("d_id"), lit(nb)).cast("string").as("grp"),
+              col("d_id").as("amt_cents"), col("n_emb").as("emb"))
+      .localCheckpoint()
+    var parts = 0L
+    // one fold per token table: surviving rows of touched partitions
+    // (anti-join on changed keys — the predicate must not scale with the
+    // delete batch) + the fresh rows, ONE replace-set commit
+    def fold(root: Path, path: String, fresh: DataFrame): Unit = {
+      def tbl = s.read.format(Fmt).option("path", path).load()
+      val touched = (fresh.select(col("grp")).distinct()
+        .unionByName(tbl.join(changedKeys, Seq("k"), "left_semi")
+          .select(col("grp")).distinct())
+        .distinct().collect().map(_.getString(0))).toSeq
+      if (touched.isEmpty) return
+      val replaced = StoreSink.readEntries(root, fsys)
+        .filter(_.part.exists(touched.contains)).map(_.name)
+      tbl.where(col("grp").isin(touched: _*))
+        .join(changedKeys, Seq("k"), "left_anti")
+        .select(col("k"), col("grp"), col("amt_cents"), col("emb"))
+        .unionByName(fresh)
+        .write.format(Fmt).mode("append").option("path", path)
+        .option("replace", replaced.mkString(","))
+        .option("preserveMarkers", "true").save()
+      parts += touched.size
+    }
+    fold(plRoot, pl(genRoot), newPl)
+    fold(dtRoot, dt(genRoot), newDt)
+    StoreSink.withCommitLock(clRoot, fsys) {
+      val ps = StoreSink.readProps(clRoot, fsys).toMap
+      StoreSink.writeProps(clRoot, fsys,
+        (ps + (AnnIndex.VersionProp -> headV.toString)).toSeq)
+    }
+    (changedKeys.count(), parts)
+  }
+}
