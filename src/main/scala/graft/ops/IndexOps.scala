@@ -469,6 +469,49 @@ object IndexOps extends OpModule {
         .orderBy(col("bm25_e4").desc, col("doc_id"))
     }),
 
+    // METADATA-FILTERED TEXT RETRIEVAL (round-13 verdict #2): "top-k
+    // matching docs WHERE tenant = 1" — the predicate+keywords query
+    // real retrieval almost always is. The integer attribute (here a
+    // synthetic tenant id, doc_id % 4) persists INSIDE the postings at
+    // build (the AnnIndex attrCol pattern), so the filtered WAND probe
+    // evaluates it index-resident: candidates drop before scoring, the
+    // corpus never joins, and the per-term impact bounds stay rank-safe
+    // (the filter only removes candidates; θ from filtered phase-1
+    // under-estimates — prunes less, never wrongly). Shares q_bm25_or's
+    // closed form restricted to the tenant's docs; the z row sanity-pins
+    // the planned/total pruning witness.
+    "q_bm25_filtered" -> ((s, d) => {
+      val idx = tmpIdx(d, "bm25flt")
+      val ti = graft.sources.TextIndex
+      ti.build(s, Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+                  pmod(col("doc_id"), lit(4)).as("attr")),
+        idx, attr = true)
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .where(col("t") =!= "")
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val terms = tf.where(length(col("t")) >= 4)
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("t")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      ti.lastOrFiles = None
+      val top = ti.probeOr(s, idx, terms, topk = 15, attrEq = Some(1L))
+        .collect()
+      val sane = ti.lastOrFiles.exists { case (p, t) => p >= 1 && p <= t }
+      val rows = top.toSeq :+ org.apache.spark.sql.Row(-1L,
+        if (sane) 1L else 0L)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bm25_e4",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+        .orderBy(col("bm25_e4").desc, col("doc_id"))
+    }),
+
     // PHRASE QUERY over POSITIONAL postings (round-12 verdict #4): the
     // index is built with `graft.text.positions` — each (doc, term)
     // posting carries its sorted raw-token positions — and the probe
@@ -1211,6 +1254,33 @@ object IndexOps extends OpModule {
         |  FROM tf JOIN qt USING (t) JOIN dlen USING (doc_id), stats),
         |top AS (SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS bm25_e4
         |        FROM sc GROUP BY doc_id
+        |        ORDER BY bm25_e4 DESC, doc_id LIMIT 15)
+        |SELECT doc_id, bm25_e4 FROM top
+        |UNION ALL SELECT -1, 1
+        |ORDER BY bm25_e4 DESC, doc_id""".stripMargin,
+
+    // the OR closed form restricted to the tenant's docs — corpus-wide
+    // stats (the index is built over everything; the filter only drops
+    // candidates), per-tenant top-k
+    "q_bm25_filtered" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dlen),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qt AS (SELECT t, df FROM dfreq WHERE LEN(t) >= 4
+        |       ORDER BY df DESC, t LIMIT 3),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(1e4 * LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * nd / CAST(tl AS DOUBLE))))
+        |    AS BIGINT) AS sc
+        |  FROM tf JOIN qt USING (t) JOIN dlen USING (doc_id), stats),
+        |top AS (SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS bm25_e4
+        |        FROM sc WHERE doc_id % 4 = 1 GROUP BY doc_id
         |        ORDER BY bm25_e4 DESC, doc_id LIMIT 15)
         |SELECT doc_id, bm25_e4 FROM top
         |UNION ALL SELECT -1, 1

@@ -82,16 +82,27 @@ object TextIndex {
     * Positions index the RAW token stream (analyzer drops leave gaps, the
     * Lucene convention), so adjacency means textual adjacency. */
   val PosProp = "graft.text.positions"
+  /** "1" when postings carry a per-doc integer ATTRIBUTE slot (round-13
+    * verdict #2 — the AnnIndex attrCol pattern, sparse edition): the
+    * metadata column real retrieval filters on ("top-k matching docs
+    * WHERE source/date/lang = x"), denormalized per posting exactly like
+    * `dl`, so a filtered probe evaluates its predicate INDEX-RESIDENT —
+    * candidates drop before scoring, the corpus never joins. Refresh
+    * reads the attribute from the corpus store's amt_cents slot (the
+    * CDF rows carry it), so maintenance stays delta-bounded. */
+  val AttrProp = "graft.text.attr"
 
   /** Resolved per-index configuration — ONE props read per operation. */
   private[graft] case class TextConf(shards: Int, stop: Seq[String],
-                                     minLen: Int, positions: Boolean)
+                                     minLen: Int, positions: Boolean,
+                                     attr: Boolean = false)
 
   private def confOf(ps: Map[String, String]): TextConf = TextConf(
     ps.get(ShardsProp).map(_.toInt).getOrElse(16),
     ps.get(StopProp).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
     ps.get(MinLenProp).map(_.toInt).getOrElse(1),
-    ps.get(PosProp).contains("1"))
+    ps.get(PosProp).contains("1"),
+    ps.get(AttrProp).contains("1"))
 
   private def confAt(genRoot: String): TextConf = {
     val tmRoot = new Path(tm(genRoot))
@@ -168,29 +179,39 @@ object TextIndex {
   def build(s: SparkSession, docs: DataFrame, indexPath: String,
             corpusRef: Option[(String, Int)] = None, shards: Int = 0,
             stopwords: Seq[String] = Nil, minLen: Int = 1,
-            positions: Boolean = false): (Long, Long) = {
+            positions: Boolean = false,
+            attr: Boolean = false): (Long, Long) = {
     // the list round-trips through a comma-joined property: a stopword
     // containing a comma would PARSE BACK as two different words at
     // refresh — silent build/refresh drift; refuse loudly (review catch)
     require(stopwords.forall(w => w.nonEmpty && !w.contains(",")),
       s"stopwords must be non-empty and comma-free: $stopwords")
+    require(!attr || docs.columns.contains("attr"),
+      "attr builds take docs carrying an integer 'attr' column")
     val gen = IndexGen.next(indexPath)
     val genRoot = s"$indexPath/$gen"
     val plRoot = new Path(pl(genRoot))
     val tmRoot = new Path(tm(genRoot))
     val fsys = StoreSink.fs(plRoot)
-    val conf0 = TextConf(shards, stopwords, minLen, positions)
+    val conf0 = TextConf(shards, stopwords, minLen, positions, attr)
     StoreSink.writeExtras(plRoot, fsys, StoreSink.extrasOf(
       Seq(StructField("term", StringType), StructField("dl", LongType),
           StructField("imp", LongType)) ++
-      (if (positions) Seq(StructField("pos", StringType)) else Nil)))
+      (if (positions) Seq(StructField("pos", StringType)) else Nil) ++
+      (if (attr) Seq(StructField("attr", LongType)) else Nil)))
     StoreSink.writeExtras(tmRoot, fsys, StoreSink.extrasOf(Seq(
       StructField("term", StringType))))
     // the manifest records per-file imp min/max (generalized zone stats):
     // that IS the per-file max-impact the top-k probe prunes on
     StoreSink.setProp(pl(genRoot), StoreSink.StatColsProp, "imp")
     val (tf, dlen) = tfOf(docs, conf0)
-    val tfd = tf.join(dlen, "doc_id").localCheckpoint() // one tokenize pass
+    val tfd0 = tf.join(dlen, "doc_id")
+    // the filterable attribute denormalizes per posting like dl — a
+    // build-time equi-join, never paid at probe time
+    val tfd = (if (attr)
+        tfd0.join(docs.select(col("doc_id"),
+          col("attr").cast("long").as("attr")), "doc_id")
+      else tfd0).localCheckpoint() // one tokenize pass
     // corpus stats resolve BEFORE the postings write: the quantized
     // impact bakes build-time nd/tl in (the WAND-style static score bound)
     val st = dlen.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
@@ -211,7 +232,8 @@ object TextIndex {
         expr(s"""cast(round(1e4 * (tf * (1.2 + 1.0))
                 |  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * $nd / cast(${tl}L as double))))
                 |as bigint)""".stripMargin).as("imp")) ++
-      (if (positions) Seq(col("pos")) else Nil)
+      (if (positions) Seq(col("pos")) else Nil) ++
+      (if (attr) Seq(col("attr")) else Nil)
     tfd.select(plCols: _*)
       .write.format(Fmt).mode("append").option("path", pl(genRoot))
       .option("partitionedBy", "identity:grp")
@@ -236,6 +258,7 @@ object TextIndex {
          else Map.empty) ++
         (if (minLen > 1) Map(MinLenProp -> minLen.toString) else Map.empty) ++
         (if (positions) Map(PosProp -> "1") else Map.empty) ++
+        (if (attr) Map(AttrProp -> "1") else Map.empty) ++
         corpusRef.map(r => CorpusProp -> r._1) ++
         corpusRef.map(r => VersionProp -> r._2.toString)
       StoreSink.writeProps(tmRoot, fsys, ps.toSeq)
@@ -250,12 +273,15 @@ object TextIndex {
   /** Build from a corpus STORE (k = doc_id, trailing `text`), recording
     * provenance so [[refresh]] can fold its change feed. */
   def buildFromStore(s: SparkSession, corpusPath: String,
-                     indexPath: String, shards: Int = 0): (Long, Long) = {
+                     indexPath: String, shards: Int = 0,
+                     attr: Boolean = false): (Long, Long) = {
     val vs = StoreSink.listVersions(new Path(corpusPath),
       StoreSink.fs(new Path(corpusPath)))
-    // pinned at the recorded version — the rebuildIf race, same fix
-    build(s, corpusReadAt(s, corpusPath, vs), indexPath,
-      Some((corpusPath, vs.lastOption.getOrElse(0))), shards = shards)
+    // pinned at the recorded version — the rebuildIf race, same fix;
+    // `attr` reads the filterable attribute from the store's amt slot
+    build(s, corpusReadAt(s, corpusPath, vs, attr), indexPath,
+      Some((corpusPath, vs.lastOption.getOrElse(0))), shards = shards,
+      attr = attr)
   }
 
   /** Corpus stats (nd, tl) from the terms store's props — exact integers,
@@ -378,14 +404,21 @@ object TextIndex {
     if (headV == fromV) return (0L, 0L)
     val conf = confOf(props) // the index's own shards/analyzer/positions
     val feed = StoreSink.changes(s, corpus, fromV, Some(headV))
-      .select(col("op"), col("k").as("doc_id"), col("text"))
+      .select(Seq(col("op"), col("k").as("doc_id"), col("text")) ++
+        // attr-carrying indexes read the attribute from the corpus
+        // store's amt slot — CDF rows carry it on both sides
+        (if (conf.attr) Seq(col("amt_cents").as("attr")) else Nil): _*)
       .localCheckpoint() // CDF-sized: changed rows only
     val changedDocs = feed.select(col("doc_id")).distinct().localCheckpoint()
     def side(op: String): (DataFrame, DataFrame) =
       tfOf(feed.where(col("op") === op).select(col("doc_id"), col("text")), conf)
     val (delTf, delDl) = side("delete")
     val (insTf, insDl) = side("insert")
-    val insRows = insTf.join(insDl, "doc_id").localCheckpoint()
+    val insRows0 = insTf.join(insDl, "doc_id")
+    val insRows = (if (conf.attr)
+        insRows0.join(feed.where(col("op") === "insert")
+          .select(col("doc_id"), col("attr")).distinct(), "doc_id")
+      else insRows0).localCheckpoint()
     // exact stat deltas (one collect over four bounded aggregates)
     val d = delDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     val i = insDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
@@ -446,7 +479,8 @@ object TextIndex {
         .where(col("grp").isin(touched: _*))
         .join(changedDocs.withColumnRenamed("doc_id", "k"), Seq("k"), "left_anti")
       val posCols = // positional indexes carry the pos slot through
-        if (conf.positions) Seq(col("pos")) else Nil
+        (if (conf.positions) Seq(col("pos")) else Nil) ++
+          (if (conf.attr) Seq(col("attr")) else Nil)
       val surviving =
         if (plDf.columns.contains("imp"))
           surviving0.select(Seq(col("k"), col("grp"), col("amt_cents"),
@@ -517,7 +551,8 @@ object TextIndex {
     * term reads the top impact bands, not the term's full posting list.
     * Falls back to the full probe when impact is disarmed (post-refresh)
     * or phase 1 cannot establish θ. */
-  def probeTopN(s: SparkSession, indexPath: String, topk: Int = 10): DataFrame = {
+  def probeTopN(s: SparkSession, indexPath: String, topk: Int = 10,
+                attrEq: Option[Long] = None): DataFrame = {
     val genRoot = IndexGen.dir(indexPath)
     val tmRoot = new Path(tm(genRoot))
     val fsys = StoreSink.fs(tmRoot)
@@ -562,16 +597,27 @@ object TextIndex {
       else e.stats.find(_._1 == "imp").map { case (_, _, mx) =>
         math.ceil(idf * (mx + 0.5)).toLong + 1L
       }.getOrElse(Long.MaxValue)
-    def scoreFiles(fs: Seq[StoreSink.StoreFileEntry]): DataFrame =
-      s.read.format(Fmt).option("path", pl(genRoot))
+    require(attrEq.isEmpty || conf.attr,
+      s"index at $indexPath has no attribute slot ($AttrProp) — " +
+        "filtered probes need an attr build")
+    def scoreFiles(fs: Seq[StoreSink.StoreFileEntry]): DataFrame = {
+      val base = s.read.format(Fmt).option("path", pl(genRoot))
         .option("files", fs.map(_.token).mkString(","))
         .load()
         .where(col("term") === term)
+      // FILTERED SEARCH: the attribute equality evaluates INDEX-RESIDENT
+      // (the attr slot persisted per posting) — candidates drop BEFORE
+      // scoring. Rank-safety of the pruning is untouched: the filter
+      // only removes candidates, per-file UBs stay unfiltered (only ever
+      // over-admit), and θ from filtered phase-1 under-estimates the
+      // filtered k-th score — pruning less, never wrongly.
+      attrEq.fold(base)(v => base.where(col("attr") === v))
         .select(col("k").as("doc_id"), expr(
           s"""cast(round(1e4 * ln(1.0 + ($nd - $df + 0.5) / ($df + 0.5))
              |  * (amt_cents * (1.2 + 1.0))
              |  / (amt_cents + 1.2 * (1.0 - 0.75 + 0.75 * dl * $nd / cast(${tl}L as double))))
              |as bigint)""".stripMargin).as("bm25_e4"))
+    }
     val ordered = entries.sortBy(e => (-ub(e), e.name))
     // phase 1 opens the top impact bands until they plausibly hold k
     // postings OF THE PROBED TERM (files mix the shard's whole
@@ -624,7 +670,7 @@ object TextIndex {
     * term plus whatever survives the bound — never the full posting
     * lists of common terms. */
   def probeOr(s: SparkSession, indexPath: String, terms: Seq[String],
-              topk: Int = 10): DataFrame = {
+              topk: Int = 10, attrEq: Option[Long] = None): DataFrame = {
     val want = terms.distinct
     require(want.nonEmpty && want.size <= 32 && want.forall(_.nonEmpty),
       s"probeOr takes 1..32 non-empty terms, got $terms")
@@ -667,11 +713,20 @@ object TextIndex {
       t -> es.map(e => ub(t, e)).foldLeft(0L)(math.max) }.toMap
     val qdf = qt.map(r => (r.getString(0), r.getLong(1))).toSeq
       .toDF("t", "df")
-    def scoreFiles(fs: Seq[StoreSink.StoreFileEntry]): DataFrame =
-      s.read.format(Fmt).option("path", pl(genRoot))
+    require(attrEq.isEmpty || conf.attr,
+      s"index at $indexPath has no attribute slot ($AttrProp) — " +
+        "filtered probes need an attr build")
+    def scoreFiles(fs: Seq[StoreSink.StoreFileEntry]): DataFrame = {
+      val base = s.read.format(Fmt).option("path", pl(genRoot))
         .option("files", fs.map(_.token).distinct.mkString(","))
         .load()
         .where(col("term").isin(found: _*))
+      // filtered WAND (round-13 verdict #2): the attr equality drops
+      // candidates index-resident BEFORE scoring; per-file/per-term UBs
+      // stay unfiltered (over-admit only) and filtered phase-1 partials
+      // under-estimate the filtered θ — the bound sum stays rank-safe
+      // for the filtered ranking.
+      attrEq.fold(base)(v => base.where(col("attr") === v))
         .select(col("k").as("doc_id"), col("term").as("t"),
                 col("amt_cents").as("tf"), col("dl"))
         .join(broadcast(qdf), "t")
@@ -681,6 +736,7 @@ object TextIndex {
              |  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * $nd / cast(${tl}L as double))))
              |as bigint)""".stripMargin).as("sc"))
         .groupBy(col("doc_id")).agg(sum(col("sc")).as("bm25_e4"))
+    }
     val totalFiles = perTerm.flatMap(_._2).map(_.token).distinct.size
     val phase1: Seq[StoreSink.StoreFileEntry] = perTerm.flatMap {
       case (t, es) =>
@@ -764,10 +820,10 @@ object TextIndex {
     // (shards = 0): the rebuild is the one moment resharding is free,
     // and pinning the build-time count would erode the shards-∝-corpus
     // contract; analyzer/positions are genuine configuration and carry.
-    val (_, nPl) = build(s, corpusReadAt(s, corpus, vs), indexPath,
+    val (_, nPl) = build(s, corpusReadAt(s, corpus, vs, conf.attr), indexPath,
       Some((corpus, vs.lastOption.getOrElse(0))),
       stopwords = conf.stop, minLen = conf.minLen,
-      positions = conf.positions)
+      positions = conf.positions, attr = conf.attr)
     ("rebuild", if (armed0) 1L else 0L, nPl)
   }
 
@@ -777,10 +833,12 @@ object TextIndex {
     * indexed but not recorded (an uncommitted store has no versions to
     * pin — read as-is, provenance 0). */
   private def corpusReadAt(s: SparkSession, corpus: String,
-                           vs: Seq[Int]): DataFrame = {
+                           vs: Seq[Int],
+                           attr: Boolean = false): DataFrame = {
     val rd = s.read.format(Fmt).option("path", corpus)
-    vs.lastOption.fold(rd)(v => rd.option("atVersion", v.toString)).load()
-      .select(col("k").as("doc_id"), col("text"))
+    val t = vs.lastOption.fold(rd)(v => rd.option("atVersion", v.toString)).load()
+    t.select(Seq(col("k").as("doc_id"), col("text")) ++
+      (if (attr) Seq(col("amt_cents").as("attr")) else Nil): _*)
   }
 
   /** Test observability: shards planned by the last [[probePhrase]] —

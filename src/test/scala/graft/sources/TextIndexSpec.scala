@@ -254,6 +254,80 @@ class TextIndexSpec extends SparkSpec {
       .collect().isEmpty, "all-unknown terms must return empty")
   }
 
+  test("filtered probes: the attr slot filters index-resident, WAND " +
+       "pruning still fires rank-safely, non-attr builds refuse, and " +
+       "refresh carries the attribute from the corpus amt slot") {
+    import spark.implicits._
+    val idx = freshDir("flt_idx")
+    // the probeOr fixture + a tenant attribute (doc_id % 2)
+    val big = (1 to 300).map { i =>
+      val tf = 1 + i % 5
+      val filler = (1 to (3 + i % 7)).map(j => s"w${(i + j) % 40}").mkString(" ")
+      (i.toLong,
+        (Seq.fill(tf)("alphaword") ++ Seq("betaword", filler)).mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("attr", pmod(col("doc_id"), lit(2)))
+    TextIndex.build(spark, big, idx, attr = true)
+    TextIndex.lastOrFiles = None
+    val got = TextIndex.probeOr(spark, idx, Seq("alphaword", "betaword"),
+      topk = 10, attrEq = Some(1L)).collect()
+    val (planned, total) = TextIndex.lastOrFiles.get
+    assert(planned >= 1 && planned < total,
+      s"filtered WAND must still skip files: planned $planned of $total")
+    assert(got.length == 10 && got.forall(_.getLong(0) % 2 == 1),
+      s"only tenant-1 docs may rank: ${got.toSeq}")
+    // == the unpruned filtered scoring (rank-safety under the filter)
+    val qt = TextIndex.terms(spark, idx)
+      .where(col("t").isin("alphaword", "betaword"))
+    val full = TextIndex.score(spark, idx, qt)
+      .where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("bm25_e4"))
+      .orderBy(col("bm25_e4").desc, col("doc_id")).limit(10).collect()
+    assert(got.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+      "filtered WAND top-k must equal the full filtered scoring")
+    // the single-term top-k probe filters the same way
+    val topn = TextIndex.probeTopN(spark, idx, topk = 5, attrEq = Some(0L))
+      .collect()
+    assert(topn.length == 5 && topn.forall(_.getLong(0) % 2 == 0),
+      s"${topn.toSeq}")
+    // an index without the slot refuses loudly (never a silent column miss)
+    val plainIdx = freshDir("flt_plain")
+    TextIndex.build(spark, big.drop("attr"), plainIdx)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.probeOr(spark, plainIdx, Seq("alphaword"), topk = 5,
+        attrEq = Some(1L))
+    }
+    assert(e.getMessage.contains("attr"))
+    // refresh: the corpus store carries the attribute in amt_cents; an
+    // inserted doc enters the filtered ranking with its attr intact
+    val corpus = freshDir("flt_corpus")
+    val root = new Path(corpus)
+    StoreSink.writeExtras(root, fs, StoreSink.extrasOf(Seq(
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType))))
+    big.select(col("doc_id").as("k"), lit("d").as("grp"),
+        col("attr").as("amt_cents"), col("text"))
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    val idx2 = freshDir("flt_idx2")
+    TextIndex.buildFromStore(spark, corpus, idx2, attr = true)
+    // doc 1001 (tenant 1) arrives stuffed with alphaword — must win
+    Seq((1001L, "d", 1L, Seq.fill(9)("alphaword").mkString(" ")))
+      .toDF("k", "grp", "amt_cents", "text")
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    val (changed, touched) = TextIndex.refresh(spark, idx2)
+    assert(changed == 1 && touched >= 1, s"($changed, $touched)")
+    val after = TextIndex.probeOr(spark, idx2, Seq("alphaword"),
+      topk = 3, attrEq = Some(1L)).collect()
+    assert(after.head.getLong(0) == 1001L,
+      s"the refreshed doc must rank with its attribute: ${after.toSeq}")
+    assert(TextIndex.probeOr(spark, idx2, Seq("alphaword"),
+        topk = 300, attrEq = Some(0L)).collect()
+      .forall(_.getLong(0) != 1001L),
+      "tenant 0 must never see the tenant-1 doc")
+  }
+
   test("ordered (impact-banded) writes mark the store: the k-sorted " +
        "per-file ordering claim withdraws") {
     val idx = freshDir("ordmark_idx")
