@@ -80,6 +80,48 @@ object TextAnalysis extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // BIGRAM-INTERPOLATED LM NLL — rung 2 of the perplexity filter
+    // (round-13 verdict #5; the CCNet-style LM scoring one step below
+    // KenLM): score each doc by its mean bigram NLL under
+    // p(w2|w1) = 0.7·c(w1,w2)/ctx(w1) + 0.3·c(w2)/total — the bigram
+    // MLE interpolated against the unigram model, so unseen-context
+    // smoothing comes from the same scan q_lm_unigram_nll runs.
+    // Context counts ctx(w1) = bigrams starting with w1 (probabilities
+    // normalize per context). Determinism: one ln per bigram TYPE
+    // rounded to e4 ONCE (the D1 rule), exact integer mean per doc.
+    // Corpus-scaling keys (the bigram vocabulary grows with the data —
+    // the blocking-key rule holds); cost = one tokenize, two vocab
+    // aggregates, one pair join — all shuffle-scaling, no driver state.
+    "q_lm_bigram_nll" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(trim(lower(text)), ' '), x -> x != '')").as("tf"))
+      val pair = docs.where(size(col("tf")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(tf) - 1),
+            |  i -> struct(element_at(tf, i) as w1,
+            |              element_at(tf, i + 1) as w2))""".stripMargin))
+          .as("pr"))
+        .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val uni = docs.select(explode(col("tf")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val ctx = pair.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
+      val big = pair.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val nll = big.join(ctx, "w1")
+        .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(uni.agg(sum(col("c")).as("tot")))
+        .select(col("w1"), col("w2"), expr(
+          """cast(round(-1e4 * ln((0.7 * cb) / cast(cc as double)
+            |  + (0.3 * c2) / cast(tot as double))) as bigint)"""
+            .stripMargin).as("nll_e4"))
+      pair.join(nll, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_big"), sum(col("nll_e4")).as("sx"))
+        .select(col("doc_id"), col("n_big"),
+                expr("sx div n_big").as("nll_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_lang_id" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"),
@@ -1217,6 +1259,32 @@ object TextAnalysis extends OpModule {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
         |  CAST(CAST(SUM(nll_e4) AS BIGINT) // COUNT(*) AS BIGINT) AS nll_e4
         |FROM tk JOIN lp USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the interpolated chain replayed: pair explode, context + unigram
+    // counts, one e4 rounding per bigram type, exact integer mean
+    "q_lm_bigram_nll" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT(TRIM(LOWER(text)), ' '),
+        |                x -> x <> '') AS tf
+        |  FROM documents),
+        |pair AS (
+        |  SELECT doc_id, tf[u.i] AS w1, tf[u.i + 1] AS w2
+        |  FROM d, UNNEST(range(1, LEN(tf))) AS u(i)),
+        |uc AS (SELECT UNNEST(tf) AS t FROM d),
+        |uni AS (SELECT t, COUNT(*) AS c FROM uc GROUP BY t),
+        |ctx AS (SELECT w1, COUNT(*) AS cc FROM pair GROUP BY w1),
+        |big AS (SELECT w1, w2, COUNT(*) AS cb FROM pair GROUP BY w1, w2),
+        |nll AS (
+        |  SELECT w1, w2,
+        |    CAST(ROUND(-1e4 * LN((0.7 * cb) / CAST(cc AS DOUBLE)
+        |      + (0.3 * c2) / CAST((SELECT SUM(c) FROM uni) AS DOUBLE)))
+        |    AS BIGINT) AS nll_e4
+        |  FROM big JOIN ctx USING (w1)
+        |  JOIN (SELECT t AS w2, c AS c2 FROM uni) USING (w2))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+        |  CAST(CAST(SUM(nll_e4) AS BIGINT) // COUNT(*) AS BIGINT) AS nll_e4
+        |FROM pair JOIN nll USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the whole rule battery in exact integer units — the pass bit is the
     // contract, not just the intermediate stats
