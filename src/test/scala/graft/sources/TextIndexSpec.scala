@@ -328,6 +328,30 @@ class TextIndexSpec extends SparkSpec {
       "tenant 0 must never see the tenant-1 doc")
   }
 
+  test("snippetMulti: overlapping term windows merge into one island, " +
+       "distant ones stay separate, only the terms' shards plan") {
+    import spark.implicits._
+    val idx = freshDir("snipmulti_idx")
+    // doc 1: foo at p2, bar at p4 → windows [0,4]/[2,6] overlap = ONE
+    // island; doc 2: foo at p1, bar at p9 → TWO islands
+    val d = Seq(
+      (1L, "w1 fooword w3 barword w5 w6 w7 w8 w9 w10"),
+      (2L, "fooword w2 w3 w4 w5 w6 w7 w8 barword w10")).toDF("doc_id", "text")
+    TextIndex.build(spark, d, idx, positions = true)
+    TextIndex.lastSnippetShards = None
+    val got = TextIndex.snippetMulti(spark, idx, Seq("fooword", "barword"),
+      d, topn = 3, width = 2).collect()
+    assert(TextIndex.lastSnippetShards.exists(_ <= 2),
+      s"only the terms' shards may plan: ${TextIndex.lastSnippetShards}")
+    val byDoc = got.groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 1, s"doc 1 windows must merge: ${got.toSeq}")
+    assert(byDoc(1L)(0).getString(4) == "w1 fooword w3 barword w5 w6",
+      s"${byDoc(1L)(0).getString(4)}")
+    assert(byDoc(2L).length == 2, s"doc 2 must keep two islands: ${got.toSeq}")
+    assert(byDoc(2L).map(_.getString(4)).toSet ==
+      Set("fooword w2 w3", "w7 w8 barword w10"), s"${got.toSeq}")
+  }
+
   test("ordered (impact-banded) writes mark the store: the k-sorted " +
        "per-file ordering claim withdraws") {
     val idx = freshDir("ordmark_idx")
