@@ -54,7 +54,10 @@ object Bench {
     "q_skew_salted",                                                 // scale posture
     // q_funnel rotated out at round 20 (q_window_funnel covers the family)
     "q_er_join",                                                     // event analytics / linkage (r4)
-    "q_emb_quantize", "q_agg_hll_sketch", "q_pipeline_e2e",          // vector + sketch + e2e chain (r4)
+    // q_emb_quantize rotated out at round 22 (cheap stable map-only;
+    // the vector family is priced by the sim/ANN ops) for the round's
+    // flagship persisted MaxSim probe
+    "q_agg_hll_sketch", "q_pipeline_e2e",                            // sketch + e2e chain (r4)
     "q_dedup_incr", "q_dedup_embcos_lsh", "q_runtime_filter",        // incr dedup + sub-block + bloom inject (r5)
     "q_pagerank", "q_winnow",                                        // graph iterate + winnow scan (r6)
     "q_dedup_contain", "q_ccnet_bucket",                             // posting-list block + DistRank ntile (r6)
@@ -75,6 +78,7 @@ object Bench {
     "s_store_upsert_delta",                                          // streaming delta upsert sink (r17)
     "q_store_col_proj", "q_bm25_indexed",                            // columnar narrow scan + persisted BM25 (r19)
     "q_bm25_topn", "q_store_col_dict",                               // impact-bound top-k + dict blocks (r20)
+    "q_sim_maxsim_indexed",                                          // persisted MaxSim/PLAID build+probe (r22)
     "s_tumble_wm", "s_stateful", "s_join_outer",                     // streaming
     "src_json")                                                      // ingest
 

@@ -848,6 +848,56 @@ object IndexOps extends OpModule {
         .toDF("step", "v").orderBy(col("step"))
     }),
 
+    // MaxSim INDEX UNDER `CALL graft.maintain`: the corpus table names
+    // its late-interaction index via `graft.maintain.maxsim`, and one
+    // maintain(path) tick folds the change feed under the frozen cells
+    // — first tick folds the CDC batch (tokens changed, partitions
+    // rewritten in both token tables), second tick is a no-op, and the
+    // post-maintenance PLAID probe still serves. The fleet-scheduler
+    // contract extended to the multi-vector artifact.
+    "q_store_maintain_maxsim" -> ((s, d) => graft.sources.Sources.withGraftCatalog(s) {
+      val corpus = tmpIdx(d, "mntmscorpus")
+      val idx = tmpIdx(d, "mntmsidx")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(corpus), true)
+      fsys.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.sources.Sources.withStorePath(s, corpus) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN emb STRING")
+        val all = Tables.embeddings(s, d).select(col("vec_id").as("k"),
+          lit("e").as("grp"), lit(0L).as("amt_cents"),
+          expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+        all.write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save()
+        graft.sources.MaxSimIndex.buildFromStore(s, corpus, idx)
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES(" +
+          s"'graft.maintain.maxsim'='$idx')")
+        val mx = Tables.embeddings(s, d).agg(max(col("vec_id")))
+          .collect()(0).getLong(0)
+        s.sql("DELETE FROM graft.store WHERE k BETWEEN 30 AND 99")
+        all.where(col("k").between(1, 50))
+          .select((col("k") + mx + 1).as("k"), col("grp"),
+                  col("amt_cents"), col("emb"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save()
+      }
+      def msRow(rows: Array[org.apache.spark.sql.Row]) =
+        rows.find(_.getString(0) == "maxsim").get
+      val m1 = msRow(s.sql(s"CALL graft.maintain('$corpus')").collect())
+      val m2 = msRow(s.sql(s"CALL graft.maintain('$corpus')").collect())
+      val q = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 20)
+        .select(expr("vec_id div 10").as("q_id"), col("vec_id").as("qt"),
+                col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val probeRows = graft.sources.MaxSimIndex.probe(s, q, idx).count()
+      import s.implicits._
+      Seq(
+        ("m1_fold", if (m1.getLong(2) > 0) 1L else 0L),
+        ("m1_parts", if (m1.getLong(3) >= 1) 1L else 0L),
+        ("m2_noop", if (m2.getLong(2) == 0 && m2.getLong(3) == 0) 1L else 0L),
+        ("probe_pos", if (probeRows >= 1) 1L else 0L))
+        .toDF("step", "v").orderBy(col("step"))
+    }),
+
     // AGE-MARGINED GENERATION GC (round-12 verdict #6, driven through
     // SQL): a rebuild supersedes gen-1, `CALL graft.index_expire` with a
     // margin keeps the just-superseded generation alive for in-flight
@@ -968,6 +1018,60 @@ object IndexOps extends OpModule {
         import scala.jdk.CollectionConverters._
         s.createDataFrame(rows.asJava, schema)
           .orderBy(col("q_id"), col("rn"), col("n_id"))
+      }
+    }),
+
+    // MaxSim INDEX MAINTENANCE: the late-interaction artifact follows
+    // its corpus. Build from a token store, apply a CDC batch (an id
+    // range retires, shifted copies arrive as new docs), refresh — the
+    // fold rewrites only touched cell partitions and doc buckets under
+    // the FROZEN cells — and the post-refresh PLAID probe must equal
+    // the frozen-cells rebuild over the head corpus, which is exactly
+    // what the oracle replays (seeds from the indexed base, assignment
+    // + kernel over the head). Without the fold the probe would rank
+    // dead tokens and miss the new docs.
+    "q_sim_maxsim_refresh" -> ((s, d) => graft.sources.Sources.withGraftCatalog(s) {
+      val corpus = tmpIdx(d, "msrefcorpus")
+      val idx = tmpIdx(d, "msrefidx")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(corpus), true)
+      fsys.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.sources.Sources.withStorePath(s, corpus) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN emb STRING")
+        val all = Tables.embeddings(s, d).select(col("vec_id").as("k"),
+          lit("e").as("grp"), lit(0L).as("amt_cents"),
+          expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+        all.write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save() // v1: the indexed generation
+        graft.sources.MaxSimIndex.buildFromStore(s, corpus, idx)
+        val mx = Tables.embeddings(s, d).agg(max(col("vec_id")))
+          .collect()(0).getLong(0)
+        s.sql("DELETE FROM graft.store WHERE k BETWEEN 30 AND 99")
+        all.where(col("k").between(1, 50))
+          .select((col("k") + mx + 1).as("k"), col("grp"),
+                  col("amt_cents"), col("emb"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save()
+        val (nKeys, nParts) = graft.sources.MaxSimIndex.refresh(s, idx)
+        val q = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 20)
+          .select(expr("vec_id div 10").as("q_id"), col("vec_id").as("qt"),
+                  col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val top = graft.sources.MaxSimIndex.probe(s, q, idx).collect()
+        val rows = top.toSeq :+ org.apache.spark.sql.Row(-1L, -1L,
+          if (nKeys > 0 && nParts >= 1) 1L else 0L, 0) // z_incremental
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("d_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("maxsim_e6",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rn",
+            org.apache.spark.sql.types.IntegerType)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema)
+          .orderBy(col("q_id"), col("rn"))
       }
     }),
 
@@ -1177,6 +1281,72 @@ object IndexOps extends OpModule {
     // the persisted MaxSim artifact serves the retrain-per-query
     // pipeline's results losslessly — ONE oracle, shared verbatim
     "q_sim_maxsim_indexed" -> TrainingOps.oracles("q_sim_maxsim_ivf"),
+
+    // the decision flags are structural constants: the CDC batch always
+    // changes tokens (fold > 0, partitions >= 1), the second tick finds
+    // nothing, the probe serves
+    "q_store_maintain_maxsim" ->
+      """SELECT step, v FROM (
+        |  SELECT 'm1_fold' AS step, CAST(1 AS BIGINT) AS v
+        |  UNION ALL SELECT 'm1_parts', 1
+        |  UNION ALL SELECT 'm2_noop', 1
+        |  UNION ALL SELECT 'probe_pos', 1) t
+        |ORDER BY step""".stripMargin,
+
+    // refresh == frozen rebuild, late-interaction edition: seeds from
+    // the BASE corpus (the indexed generation), token assignment +
+    // candidates + the exact kernel over the HEAD corpus (retired range
+    // gone, shifted copies in as new docs) — the closed form of "fold
+    // the feed under the frozen cells"
+    "q_sim_maxsim_refresh" -> {
+      val cosHS = TrainingOps.duckCos("h.embedding", "sd.c_emb")
+      val cosQS = TrainingOps.duckCos("q.q_emb", "sd.c_emb")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e
+         |       WHERE vec_id % ${TrainingOps.strideSql("e")} = 0),
+         |mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+         |head AS (SELECT vec_id, embedding, nrm FROM e
+         |           WHERE vec_id NOT BETWEEN 30 AND 99
+         |         UNION ALL
+         |         SELECT e2.vec_id + mx.m + 1, e2.embedding, e2.nrm
+         |         FROM e e2, mx WHERE e2.vec_id BETWEEN 1 AND 50),
+         |asg AS (SELECT n_id, d_id, n_emb, n_nrm, c_id AS bucket FROM (
+         |    SELECT h.vec_id AS n_id, h.vec_id // 10 AS d_id,
+         |      h.embedding AS n_emb, h.nrm AS n_nrm, sd.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY h.vec_id
+         |        ORDER BY $cosHS DESC, sd.c_id) AS arn
+         |    FROM head h CROSS JOIN sd) x WHERE arn = 1),
+         |q AS (SELECT vec_id // 10 AS q_id, vec_id AS qt,
+         |        embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 20),
+         |qpr AS (SELECT q_id, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.qt, sd.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qt
+         |        ORDER BY $cosQS DESC, sd.c_id) AS prn
+         |    FROM q CROSS JOIN sd) x WHERE prn <= 4 GROUP BY q_id, c_id),
+         |cand AS (SELECT DISTINCT qpr.q_id, asg.d_id
+         |         FROM qpr JOIN asg ON asg.bucket = qpr.bucket),
+         |pair AS (SELECT q.q_id, q.qt, a.d_id,
+         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (q_nrm * n_nrm) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM q JOIN cand ON cand.q_id = q.q_id
+         |  JOIN asg a ON a.d_id = cand.d_id),
+         |ms AS (SELECT q_id, d_id, CAST(SUM(m) AS BIGINT) AS maxsim_e6 FROM (
+         |    SELECT q_id, qt, d_id, MAX(cos_e6) AS m FROM pair
+         |    GROUP BY 1, 2, 3) x GROUP BY 1, 2),
+         |r AS (SELECT q_id, d_id, maxsim_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY maxsim_e6 DESC, d_id) AS rn FROM ms)
+         |SELECT q_id, d_id, maxsim_e6, CAST(rn AS INT) AS rn FROM r
+         |WHERE rn <= 5
+         |UNION ALL SELECT -1, -1, 1, 0
+         |ORDER BY q_id, rn""".stripMargin
+    },
 
     // the same training replay, candidates restricted by the persisted
     // metadata attribute BEFORE ranking (post-filter within probed cells)

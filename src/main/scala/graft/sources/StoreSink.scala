@@ -2532,6 +2532,14 @@ object StoreSink {
       val (action, armed, postings) = TextIndex.rebuildIf(spark, v)
       out += (("text", action, armed, postings, 0L))
     }
+    ps.get("graft.maintain.maxsim").foreach { v =>
+      // the late-interaction index joins the loop: a maintain tick folds
+      // the corpus CDF under the frozen cells (touched cell partitions /
+      // doc buckets only) — audit (tokens_changed, partitions_rewritten)
+      require(v.nonEmpty, "graft.maintain.maxsim must be an index path")
+      val (keys, parts) = MaxSimIndex.refresh(spark, v)
+      out += (("maxsim", "ok", keys, parts, 0L))
+    }
     val res = out.result()
     if (res.isEmpty) Seq(("none", "no graft.maintain.* properties", 0L, 0L, 0L))
     else res

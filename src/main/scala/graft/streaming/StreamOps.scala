@@ -1189,6 +1189,91 @@ object StreamOps extends OpModule {
         .orderBy(col("tag"), col("q_id"), col("rn"))
     }),
 
+    // STREAMING LATE-INTERACTION SERVING — s_ann_probe's multi-vector
+    // twin: each micro-batch carries a COMPLETE query's TOKEN SET (a
+    // ColBERT query arrives whole) and serves the PLAID two-stage probe
+    // against the persisted MaxSim index — candidate cells, exact
+    // kernel over candidate docs, NO streaming state (z_stateless).
+    // Probes are per-query independent (per-token windows partition by
+    // qt, candidates/kernel by q_id), so the union of per-batch probes
+    // equals the one-shot probe — the shared training replay is the
+    // oracle. At 100 TB: each arriving query pays nprobe·|tokens|
+    // posting lists + its candidates' buckets, while refresh/rebuild
+    // swap generations under the pointer without the serving loop
+    // noticing.
+    "s_maxsim_probe" -> ((s, d) => {
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val id = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"target/tmp/smaxsimp_$id"
+      val feed = s"$base/feed"; val idx = s"$base/idx"
+      val out = s"$base/out"; val chk = s"$base/chk"
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      val nz = graft.ops.TrainingOps.nzEmbeddings(s, d)
+      val tokens = nz.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("n_id"), expr("vec_id div 10").as("d_id"),
+                col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      graft.sources.MaxSimIndex.build(s, nz, tokens, idx)
+      val queries = nz.where(col("vec_id") < 20)
+        .select(col("vec_id"),
+          expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+      def land(m: Int): Unit = // one whole query's tokens per batch
+        queries.where(expr("vec_id div 10") === m)
+          .coalesce(1).write.mode("append").parquet(feed)
+      land(0)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var stateless = false
+      withStreamParallelism(s) {
+        val schema = s.read.parquet(feed).schema
+        val q = s.readStream.schema(schema).parquet(feed)
+          .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+            val bs = batch.sparkSession
+            graft.functions.FloatDot.register(bs)
+            val bq = batch.select(col("vec_id"),
+                expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding"))
+              .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+              .select(expr("vec_id div 10").as("q_id"), col("vec_id").as("qt"),
+                      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+              .localCheckpoint() // batch-sized
+            if (bq.count() > 0) {
+              nBatches.incrementAndGet()
+              graft.sources.MaxSimIndex.probe(bs, bq, idx)
+                .write.mode("append").parquet(out)
+            }
+            ()
+          }
+          .option("checkpointLocation", chk)
+          .start()
+        try {
+          q.processAllAvailable()
+          land(1); q.processAllAvailable()
+          stateless = q.lastProgress == null ||
+            q.lastProgress.stateOperators.isEmpty
+        } finally q.stop()
+      }
+      val res = s.read.parquet(out)
+        .select(lit("t").as("tag"), col("q_id"), col("d_id"),
+                col("maxsim_e6"), col("rn")).collect().toSeq
+      def flag(tagName: String, v: Boolean) = org.apache.spark.sql.Row(
+        tagName, -1L, -1L, if (v) 1L else 0L, 0)
+      val rows = res ++ Seq(
+        flag("z_batches", nBatches.get() >= 2),
+        flag("z_stateless", stateless))
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("q_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("d_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("maxsim_e6",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.IntegerType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, outSchema)
+        .orderBy(col("tag"), col("q_id"), col("rn"))
+    }),
+
     // STREAMING WAND SERVING — s_bm25_probe's multi-term twin: each
     // micro-batch carries a SET of query terms (a user query) and serves
     // the disjunctive top-10 through TextIndex.probeOr — WAND pruning,
@@ -1907,6 +1992,16 @@ object StreamOps extends OpModule {
     "s_ann_probe" -> {
       s"""WITH base AS (SELECT * FROM (${graft.ops.TrainingOps.simIvfKmeansOracle}) t)
          |SELECT 't' AS tag, q_id, n_id, score_e4, rn FROM base
+         |UNION ALL SELECT 'z_batches', -1, -1, 1, 0
+         |UNION ALL SELECT 'z_stateless', -1, -1, 1, 0
+         |ORDER BY tag, q_id, rn""".stripMargin
+    },
+
+    // per-batch PLAID probes union to the one-shot probe (per-query
+    // independence) — the shared late-interaction replay, plus flags
+    "s_maxsim_probe" -> {
+      s"""WITH base AS (SELECT * FROM (${graft.ops.TrainingOps.oracles("q_sim_maxsim_ivf")}) t)
+         |SELECT 't' AS tag, q_id, d_id, maxsim_e6, rn FROM base
          |UNION ALL SELECT 'z_batches', -1, -1, 1, 0
          |UNION ALL SELECT 'z_stateless', -1, -1, 1, 0
          |ORDER BY tag, q_id, rn""".stripMargin
