@@ -1021,6 +1021,60 @@ object IndexOps extends OpModule {
       }
     }),
 
+    // MaxSim OCCUPANCY AUDIT — q_index_stats for the late-interaction
+    // artifact: per-cell live TOKEN counts from the postings manifest
+    // alone (zero data reads) plus the max/mean skew factor in e4
+    // units. A token pile-up in one cell means stage-1 candidate
+    // generation degenerates toward a scan for queries probing it —
+    // this audit is how a PLAID operator notices before latency does.
+    "q_maxsim_stats" -> ((s, d) => {
+      val idx = tmpIdx(d, "msstats")
+      val nz = TrainingOps.nzEmbeddings(s, d)
+      val tokens = nz.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("n_id"), expr("vec_id div 10").as("d_id"),
+                col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      graft.sources.MaxSimIndex.build(s, nz, tokens, idx)
+      val cells = graft.sources.MaxSimIndex.cellCounts(idx)
+      val total = cells.map(_._2).sum
+      val maxN = cells.map(_._2).max
+      val skewE4 = maxN * 10000L * cells.size / total
+      import s.implicits._
+      cells.toDF("c_id", "n_tokens")
+        .unionByName(Seq((-1L, skewE4)).toDF("c_id", "n_tokens"))
+        .orderBy(col("c_id"))
+    }),
+
+    // RECALL OF THE PERSISTED MaxSim PROBE — the q_ann_recall posture
+    // for the late-interaction artifact: recall@5 of the index-resident
+    // PLAID probe against the exact MaxSim kernel, per query. The
+    // persisted probe reproduces the retrain-per-query two-stage
+    // pipeline bit for bit (candidate-then-exact), so this SHARES
+    // q_ann_recall_maxsim's oracle verbatim — and pins that recall
+    // survives the disk round-trip (1.0 at both tiers after the
+    // round-21 candidate-then-exact fix).
+    "q_ann_recall_maxsim_indexed" -> ((s, d) => {
+      val idx = tmpIdx(d, "recallmaxsim")
+      val nz = TrainingOps.nzEmbeddings(s, d)
+      val tokens = nz.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("n_id"), expr("vec_id div 10").as("d_id"),
+                col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      graft.sources.MaxSimIndex.build(s, nz, tokens, idx)
+      val q = nz.where(col("vec_id") < 20)
+        .select(expr("vec_id div 10").as("q_id"), col("vec_id").as("qt"),
+                col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val exact = TrainingOps.queries("q_sim_maxsim")(s, d)
+        .select(col("q_id"), col("d_id")).localCheckpoint() // ≤ 5/query
+      val ivf = graft.sources.MaxSimIndex.probe(s, q, idx)
+        .select(col("q_id"), col("d_id"))
+      val hits = exact.join(ivf, Seq("q_id", "d_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+                expr("coalesce(n_hit, 0L) * 10000L div 5").as("recall_e4"))
+        .orderBy(col("q_id"))
+    }),
+
     // MaxSim INDEX MAINTENANCE: the late-interaction artifact follows
     // its corpus. Build from a token store, apply a CDC batch (an id
     // range retires, shifted copies arrive as new docs), refresh — the
@@ -1281,6 +1335,38 @@ object IndexOps extends OpModule {
     // the persisted MaxSim artifact serves the retrain-per-query
     // pipeline's results losslessly — ONE oracle, shared verbatim
     "q_sim_maxsim_indexed" -> TrainingOps.oracles("q_sim_maxsim_ivf"),
+
+    // the persisted probe == the retrain pipeline, so the recall replay
+    // is shared verbatim
+    "q_ann_recall_maxsim_indexed" ->
+      TrainingOps.oracles("q_ann_recall_maxsim"),
+
+    // seeds-only assignment replayed over the corpus tokens; counts and
+    // the skew factor are exact integers
+    "q_maxsim_stats" -> {
+      val cosTS = cosQ("t.n_emb", "sd.c_emb")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e
+         |       WHERE vec_id % ${TrainingOps.strideSql("e")} = 0),
+         |t AS (SELECT vec_id AS n_id, embedding AS n_emb FROM e
+         |      WHERE vec_id >= 20),
+         |asg AS (SELECT n_id, bucket FROM (
+         |    SELECT t.n_id, sd.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY t.n_id
+         |        ORDER BY $cosTS DESC, sd.c_id) AS arn
+         |    FROM t CROSS JOIN sd) x WHERE arn = 1),
+         |cells AS (SELECT bucket AS c_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |          FROM asg GROUP BY bucket),
+         |agg AS (SELECT CAST(MAX(n_tokens) AS BIGINT) AS mx,
+         |               CAST(SUM(n_tokens) AS BIGINT) AS tot,
+         |               CAST(COUNT(*) AS BIGINT) AS nc FROM cells)
+         |SELECT c_id, n_tokens FROM (
+         |  SELECT c_id, n_tokens FROM cells
+         |  UNION ALL SELECT -1, mx * 10000 * nc // tot FROM agg) z
+         |ORDER BY c_id""".stripMargin
+    },
 
     // the decision flags are structural constants: the CDC batch always
     // changes tokens (fold > 0, partitions >= 1), the second tick finds

@@ -836,6 +836,60 @@ object TrainingOps extends OpModule {
           expr("cast(round(aggregate(embedding, cast(0.0 as double), (a, x) -> greatest(a, abs(floor(cast(x as double) / scale + 0.5d) * scale - cast(x as double)))) * 1e6) as bigint)").as("max_err_e6"))
         .orderBy(col("vec_id"))),
 
+    // MATRYOSHKA (MRL) TRUNCATION EVAL — the dimension-budget dial of
+    // embedding serving: MRL-trained embeddings promise that a PREFIX of
+    // the vector is itself a usable embedding, so a 100 TB pipeline can
+    // index/serve at 8 or 32 dims and rerank at full width. This query
+    // measures what that buys: recall@5 of cosine ranking over the
+    // first k dims (k = 8, 32) against the full-dimension exact top-5,
+    // per query. Zero-norm PREFIXES are excluded like zero vectors
+    // (cosine undefined), identically on both engines. The whole
+    // comparison is the brute-force kernel on sliced arrays — slicing
+    // is free column math, and the recall curve is the number an
+    // operator reads before choosing the serving width.
+    "q_mrl_recall" -> ((s, d) => {
+      val nz = nzEmbeddings(s, d)
+      val qv = nz.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("q_nrm"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("n_id"))
+      val exact = nz
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+                col("nrm").as("n_nrm"))
+        .join(broadcast(qv))
+        .withColumn("score",
+          expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(wTop)).where(col("rn") <= 5)
+        .select(col("q_id"), col("n_id")).localCheckpoint() // 5/query
+      def trunc(k: Int): DataFrame = {
+        val tq = nz.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+                  expr(s"slice(embedding, 1, $k)").as("q_emb"))
+          .withColumn("q_nrm", sqrt(expr("graft_float_dot(q_emb, q_emb)")))
+          .where(col("q_nrm") > 0)
+        nz.select(col("vec_id").as("n_id"),
+                  expr(s"slice(embedding, 1, $k)").as("n_emb"))
+          .withColumn("n_nrm", sqrt(expr("graft_float_dot(n_emb, n_emb)")))
+          .where(col("n_nrm") > 0)
+          .join(broadcast(tq))
+          .withColumn("score",
+            expr("graft_float_dot(q_emb, n_emb)") / (col("q_nrm") * col("n_nrm")))
+          .withColumn("rn", row_number().over(wTop)).where(col("rn") <= 5)
+          .select(col("q_id"), col("n_id"))
+      }
+      def recallOf(ann: DataFrame, variant: String): DataFrame = {
+        val hits = exact.join(ann, Seq("q_id", "n_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(lit(variant).as("variant"), col("q_id"),
+                  expr("coalesce(n_hit, 0L) * 10000L div 5").as("recall_e4"))
+      }
+      recallOf(trunc(8), "d08").unionByName(recallOf(trunc(32), "d32"))
+        .orderBy(col("variant"), col("q_id"))
+    }),
+
     // Training-mixture construction: per-source sampling WEIGHTS (not just
     // rates) — upweight curated sources, downweight noisy ones — applied
     // through the same deterministic md5-threshold predicate as
@@ -1515,6 +1569,61 @@ object TrainingOps extends OpModule {
          |      ORDER BY maxsim_e6 DESC, d_id) AS rn FROM ms)
          |SELECT q_id, d_id, maxsim_e6, CAST(rn AS INT) AS rn FROM r
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
+
+    // full-width exact + both truncated rankings + recall joins in one
+    // replay — the truncation is plain list slicing on both engines
+    "q_mrl_recall" -> {
+      val cosF = duckCos("q.q_emb", "e.embedding")
+      val cos8 = duckCos("tq8.q_emb", "tn8.n_emb")
+      val cos32 = duckCos("tq32.q_emb", "tn32.n_emb")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |      WHERE vec_id < 10),
+         |ex AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosF DESC, e.vec_id) AS rn
+         |    FROM q CROSS JOIN e) x WHERE rn <= 5),
+         |tq8 AS (SELECT vec_id AS q_id, embedding[1:8] AS q_emb FROM e
+         |  WHERE vec_id < 10 AND LIST_SUM(LIST_TRANSFORM(embedding[1:8],
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |tn8 AS (SELECT vec_id AS n_id, embedding[1:8] AS n_emb FROM e
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding[1:8],
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |a8 AS (SELECT q_id, n_id FROM (
+         |    SELECT tq8.q_id, tn8.n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY tq8.q_id
+         |        ORDER BY $cos8 DESC, tn8.n_id) AS rn
+         |    FROM tq8 CROSS JOIN tn8) x WHERE rn <= 5),
+         |tq32 AS (SELECT vec_id AS q_id, embedding[1:32] AS q_emb FROM e
+         |  WHERE vec_id < 10 AND LIST_SUM(LIST_TRANSFORM(embedding[1:32],
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |tn32 AS (SELECT vec_id AS n_id, embedding[1:32] AS n_emb FROM e
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding[1:32],
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |a32 AS (SELECT q_id, n_id FROM (
+         |    SELECT tq32.q_id, tn32.n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY tq32.q_id
+         |        ORDER BY $cos32 DESC, tn32.n_id) AS rn
+         |    FROM tq32 CROSS JOIN tn32) x WHERE rn <= 5),
+         |qs AS (SELECT DISTINCT q_id FROM ex),
+         |h8 AS (SELECT ex.q_id, COUNT(*) AS n_hit FROM ex
+         |       JOIN a8 ON ex.q_id = a8.q_id AND ex.n_id = a8.n_id
+         |       GROUP BY ex.q_id),
+         |h32 AS (SELECT ex.q_id, COUNT(*) AS n_hit FROM ex
+         |        JOIN a32 ON ex.q_id = a32.q_id AND ex.n_id = a32.n_id
+         |        GROUP BY ex.q_id)
+         |SELECT 'd08' AS variant, qs.q_id,
+         |  CAST(COALESCE(n_hit, 0) * 10000 // 5 AS BIGINT) AS recall_e4
+         |FROM qs LEFT JOIN h8 USING (q_id)
+         |UNION ALL
+         |SELECT 'd32', qs.q_id,
+         |  CAST(COALESCE(n_hit, 0) * 10000 // 5 AS BIGINT)
+         |FROM qs LEFT JOIN h32 USING (q_id)
+         |ORDER BY variant, q_id""".stripMargin
     },
 
     // all 6 merge steps replayed as chained CTEs — learned merges, counts,

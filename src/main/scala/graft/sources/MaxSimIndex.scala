@@ -76,6 +76,18 @@ object MaxSimIndex {
   def cells(s: SparkSession, indexPath: String): DataFrame =
     cellsAt(s, IndexGen.dir(indexPath))
 
+  /** Per-cell live token counts from the postings MANIFEST alone (zero
+    * data reads — one line per partition file): the occupancy audit a
+    * PLAID operator reads before deciding to rebuild (skewed token
+    * piles = stage-1 candidate lists degenerating toward a scan). */
+  def cellCounts(indexPath: String): Seq[(Long, Long)] = {
+    val plRoot = new Path(postingsPath(indexPath))
+    StoreSink.readEntries(plRoot, StoreSink.fs(plRoot))
+      .groupBy(e => StoreSink.partTag(e.part.get)._2.toLong)
+      .map { case (c, es) => (c, es.map(e => math.max(e.rows, 0L)).sum) }
+      .toSeq
+  }
+
   private def cellsAt(s: SparkSession, genRoot: String): DataFrame = {
     graft.functions.FloatDot.register(s)
     s.read.format(Fmt).option("path", cl(genRoot)).load()
