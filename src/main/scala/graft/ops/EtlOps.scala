@@ -657,6 +657,28 @@ object EtlOps extends OpModule {
                 greatest(col("dp_n"), lit(0L)).as("released"))
         .orderBy(col("bin"))),
 
+    // DP TWO-WAY MARGINAL — the release ladder's ninth rung: a
+    // CONTINGENCY TABLE (lang × length-bucket over documents) released
+    // with per-cell Laplace noise — the workhorse of DP data synopses
+    // (every census-style release is a stack of noisy marginals). Each
+    // occupied cell draws its own md5-seeded Laplace (seed = the cell
+    // key, the q_dp_hist idiom — bit-stable, replayed verbatim), counts
+    // clamp at zero post-noise (pure post-processing). One aggregate
+    // over the corpus + cells-sized column math — nothing at 100 TB but
+    // the scan; the cell count is |langs| × |buckets|, catalog-sized.
+    "q_dp_marginal" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), expr("n_chars div 500").as("lb"))
+        .groupBy(col("lang"), col("lb")).agg(count(lit(1)).as("n"))
+        .withColumn("u", expr(
+          "cast(conv(substring(md5(concat('dp-marg-r22-', lang, '-', cast(lb as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5"))
+        .withColumn("noise_e6", expr(
+          "cast(round(1e6 * (-2.0) * sign(u) * ln(1.0 - 2.0 * abs(u))) as bigint)"))
+        .withColumn("dp_n", col("n") + expr("cast(round(noise_e6 / 1e6) as bigint)"))
+        .select(col("lang"), col("lb"), col("n"), col("dp_n"),
+                greatest(col("dp_n"), lit(0L)).as("released"))
+        .orderBy(col("lang"), col("lb"))),
+
     // DP QUANTILE — the release ladder's fifth rung (count → histogram →
     // mean → quantile): the EXPONENTIAL MECHANISM selecting a median bin.
     // Utility of bin b = −|2·rank(b) − N| (doubled to stay integer; rank =
@@ -1359,6 +1381,26 @@ object EtlOps extends OpModule {
         |r AS (SELECT bin, n, n + CAST(ROUND(noise_e6 / 1e6) AS BIGINT) AS dp_n FROM nz)
         |SELECT bin, n, dp_n, GREATEST(dp_n, 0) AS released
         |FROM r ORDER BY bin""".stripMargin,
+
+    // per-cell Laplace replayed from the same cell-keyed seeds; clamp
+    // is post-processing
+    "q_dp_marginal" ->
+      """WITH g AS (
+        |  SELECT lang, n_chars // 500 AS lb, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT lang, lb, n,
+        |    CAST(('0x' || SUBSTR(md5('dp-marg-r22-' || lang || '-' || CAST(lb AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 - 0.5 AS u
+        |  FROM g),
+        |nz AS (
+        |  SELECT lang, lb, n,
+        |    CAST(ROUND(1e6 * (-2.0) * SIGN(u) * LN(1.0 - 2.0 * ABS(u))) AS BIGINT) AS noise_e6
+        |  FROM u),
+        |r AS (SELECT lang, lb, n,
+        |        n + CAST(ROUND(noise_e6 / 1e6) AS BIGINT) AS dp_n FROM nz)
+        |SELECT lang, lb, n, dp_n, GREATEST(dp_n, 0) AS released
+        |FROM r ORDER BY lang, lb""".stripMargin,
 
     // the dyadic tree replayed: fixed 16-leaf domain, 31 nodes over 5
     // levels, per-node Laplace at 5× the flat scale, three range

@@ -1021,6 +1021,30 @@ object IndexOps extends OpModule {
       }
     }),
 
+    // FILTERED LATE-INTERACTION SEARCH — "MaxSim top-k WHERE tenant=1",
+    // completing the filtered-search symmetry across all three
+    // retrieval legs (dense probeFiltered, sparse attrEq probes, and
+    // now the multi-vector PLAID probe). The doc-level attribute (a
+    // synthetic tenant id, d_id % 3) persists in BOTH token tables at
+    // build; candidacy drops non-matching docs BEFORE any kernel work,
+    // and refinement's bucket scans shrink with the filter. The oracle
+    // is the maxsim_ivf replay with candidates tenant-restricted —
+    // corpus-wide cells, filtered candidate set, exact kernel.
+    "q_sim_maxsim_filtered" -> ((s, d) => {
+      val idx = tmpIdx(d, "maxsimflt")
+      val nz = TrainingOps.nzEmbeddings(s, d)
+      val tokens = nz.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("n_id"), expr("vec_id div 10").as("d_id"),
+                col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+        .withColumn("attr", pmod(col("d_id"), lit(3)))
+      graft.sources.MaxSimIndex.build(s, nz, tokens, idx, attr = true)
+      val q = nz.where(col("vec_id") < 20)
+        .select(expr("vec_id div 10").as("q_id"), col("vec_id").as("qt"),
+                col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      graft.sources.MaxSimIndex.probeFiltered(s, q, idx, 1L)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // MaxSim OCCUPANCY AUDIT — q_index_stats for the late-interaction
     // artifact: per-cell live TOKEN counts from the postings manifest
     // alone (zero data reads) plus the max/mean skew factor in e4
@@ -1340,6 +1364,53 @@ object IndexOps extends OpModule {
     // is shared verbatim
     "q_ann_recall_maxsim_indexed" ->
       TrainingOps.oracles("q_ann_recall_maxsim"),
+
+    // the maxsim_ivf replay with candidates tenant-restricted: the
+    // filter applies at candidacy (the pre-kernel drop), stats and
+    // cells stay corpus-wide
+    "q_sim_maxsim_filtered" -> {
+      val cosTS = cosQ("t.n_emb", "sd.c_emb")
+      val cosQS = cosQ("q.q_emb", "sd.c_emb")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |sd AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |       FROM e WHERE vec_id % ${TrainingOps.strideSql("e")} = 0),
+         |t AS (SELECT vec_id AS n_id, vec_id // 10 AS d_id,
+         |        embedding AS n_emb, nrm AS n_nrm FROM e WHERE vec_id >= 20),
+         |asg AS (SELECT n_id, d_id, n_emb, n_nrm, c_id AS bucket FROM (
+         |    SELECT t.n_id, t.d_id, t.n_emb, t.n_nrm, sd.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY t.n_id
+         |        ORDER BY $cosTS DESC, sd.c_id) AS arn
+         |    FROM t CROSS JOIN sd) x WHERE arn = 1),
+         |q AS (SELECT vec_id // 10 AS q_id, vec_id AS qt,
+         |        embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 20),
+         |qpr AS (SELECT q_id, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.qt, sd.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qt
+         |        ORDER BY $cosQS DESC, sd.c_id) AS prn
+         |    FROM q CROSS JOIN sd) x WHERE prn <= 4 GROUP BY q_id, c_id),
+         |cand AS (SELECT DISTINCT qpr.q_id, asg.d_id
+         |         FROM qpr JOIN asg ON asg.bucket = qpr.bucket
+         |         WHERE asg.d_id % 3 = 1),
+         |pair AS (SELECT q.q_id, q.qt, t.d_id,
+         |    CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q_emb, n_emb),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (q_nrm * n_nrm) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM q JOIN cand ON cand.q_id = q.q_id
+         |  JOIN t ON t.d_id = cand.d_id),
+         |ms AS (SELECT q_id, d_id, CAST(SUM(m) AS BIGINT) AS maxsim_e6 FROM (
+         |    SELECT q_id, qt, d_id, MAX(cos_e6) AS m FROM pair
+         |    GROUP BY 1, 2, 3) x GROUP BY 1, 2),
+         |r AS (SELECT q_id, d_id, maxsim_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY maxsim_e6 DESC, d_id) AS rn FROM ms)
+         |SELECT q_id, d_id, maxsim_e6, CAST(rn AS INT) AS rn FROM r
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
 
     // seeds-only assignment replayed over the corpus tokens; counts and
     // the skew factor are exact integers

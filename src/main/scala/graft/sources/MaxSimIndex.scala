@@ -57,6 +57,14 @@ object MaxSimIndex {
     * refinement table's partition granularity (more buckets = finer
     * candidate pruning, more files). */
   val BucketsProp = "graft.index.maxsim.buckets"
+  /** "1" when both token tables carry a per-DOC integer attribute slot
+    * (round-13 verdict #2's pattern completed across all three
+    * retrieval legs): filtered late-interaction search drops
+    * non-matching docs at CANDIDATE GENERATION — before any kernel work
+    * — and refinement's doc set shrinks with the filter. Refresh reads
+    * the attribute from the corpus store's amt slot (CDF rows carry
+    * it), like the TextIndex attr convention. */
+  val AttrProp = "graft.index.maxsim.attr"
 
   private def cl(genRoot: String) = s"$genRoot/cells"
   private def pl(genRoot: String) = s"$genRoot/postings"
@@ -104,7 +112,10 @@ object MaxSimIndex {
     * reads the previous generation until the pointer moves. */
   def build(s: SparkSession, nzAll: DataFrame, tokens: DataFrame,
             indexPath: String,
-            corpusRef: Option[(String, Int)] = None): (Long, Long) = {
+            corpusRef: Option[(String, Int)] = None,
+            attr: Boolean = false): (Long, Long) = {
+    require(!attr || tokens.columns.contains("attr"),
+      "attr builds take tokens carrying an integer per-doc 'attr' column")
     graft.functions.FloatDot.register(s)
     val gen = IndexGen.next(indexPath)
     val genRoot = s"$indexPath/$gen"
@@ -113,10 +124,14 @@ object MaxSimIndex {
     val dtRoot = new Path(dt(genRoot))
     val fsys = StoreSink.fs(clRoot)
     val farr = StoreSink.extrasOf(Seq(
-      StructField("emb", StoreSink.FloatArrayType)))
-    StoreSink.writeExtras(clRoot, fsys, farr)
+      StructField("emb", StoreSink.FloatArrayType)) ++
+      (if (attr) Seq(StructField("attr",
+        org.apache.spark.sql.types.LongType)) else Nil))
+    StoreSink.writeExtras(clRoot, fsys, StoreSink.extrasOf(Seq(
+      StructField("emb", StoreSink.FloatArrayType))))
     StoreSink.writeExtras(plRoot, fsys, farr)
     StoreSink.writeExtras(dtRoot, fsys, farr)
+    val attrCols = if (attr) Seq(col("attr")) else Nil
     val stride = AnnIndex.seedStrideOverride
       .getOrElse(AnnIndex.seedStride(nzAll.count()))
     val seeds = nzAll.where(pmod(col("vec_id"), lit(stride)) === 0)
@@ -133,9 +148,11 @@ object MaxSimIndex {
     // which doubles as the store's second zone column)
     val asg = graft.ops.TrainingOps.assign(
       tokens.select(col("n_id"), col("n_emb"), col("n_nrm")), seeds)
-    asg.join(tokens.select(col("n_id"), col("d_id")), "n_id")
-      .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
-              col("d_id").as("amt_cents"), col("n_emb").as("emb"))
+    asg.join(tokens.select(Seq(col("n_id"), col("d_id")) ++ attrCols: _*),
+        "n_id")
+      .select(Seq(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
+              col("d_id").as("amt_cents"), col("n_emb").as("emb")) ++
+        attrCols: _*)
       .write.format(Fmt).mode("append").option("path", pl(genRoot))
       .option("partitionedBy", "identity:grp").save()
     val nTok = StoreSink.readEntries(plRoot, fsys).map(_.rows).sum
@@ -144,14 +161,16 @@ object MaxSimIndex {
     // granularity, never a default)
     val nb = docBuckets(nTok)
     tokens
-      .select(col("n_id").as("k"),
+      .select(Seq(col("n_id").as("k"),
               pmod(col("d_id"), lit(nb)).cast("string").as("grp"),
-              col("d_id").as("amt_cents"), col("n_emb").as("emb"))
+              col("d_id").as("amt_cents"), col("n_emb").as("emb")) ++
+        attrCols: _*)
       .write.format(Fmt).mode("append").option("path", dt(genRoot))
       .option("partitionedBy", "identity:grp").save()
     StoreSink.withCommitLock(clRoot, fsys) {
       val ps = StoreSink.readProps(clRoot, fsys).toMap ++
         Map(BucketsProp -> nb.toString) ++
+        (if (attr) Map(AttrProp -> "1") else Map.empty) ++
         corpusRef.map(r => AnnIndex.CorpusProp -> r._1) ++
         corpusRef.map(r => AnnIndex.VersionProp -> r._2.toString)
       StoreSink.writeProps(clRoot, fsys, ps.toSeq)
@@ -166,17 +185,29 @@ object MaxSimIndex {
     * trailing `emb` = float CSV; doc id = k div 10, the harness's
     * grouping convention), recording provenance for [[refresh]]. */
   def buildFromStore(s: SparkSession, corpusPath: String,
-                     indexPath: String): (Long, Long) = {
+                     indexPath: String,
+                     attr: Boolean = false): (Long, Long) = {
     val vs = StoreSink.listVersions(new Path(corpusPath),
       StoreSink.fs(new Path(corpusPath)))
-    val nz = AnnIndex.nzOfStore(s, corpusPath, vs.lastOption)
-    build(s, nz, tokensOf(nz), indexPath,
-      Some((corpusPath, vs.lastOption.getOrElse(0))))
+    // attr builds read the per-doc attribute from the corpus store's amt
+    // slot (the TextIndex convention — CDF rows carry it for refresh)
+    val rd = s.read.format(Fmt).option("path", corpusPath)
+    val t = vs.lastOption.fold(rd)(v => rd.option("atVersion", v.toString))
+      .load()
+    graft.functions.FloatDot.register(s)
+    val nz = t.select(Seq(col("k").as("vec_id"),
+        expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding")) ++
+        (if (attr) Seq(col("amt_cents").as("attr")) else Nil): _*)
+      .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+      .where(col("nrm") > 0)
+    build(s, nz, tokensOf(nz, attr), indexPath,
+      Some((corpusPath, vs.lastOption.getOrElse(0))), attr = attr)
   }
 
-  private def tokensOf(nz: DataFrame): DataFrame =
-    nz.select(col("vec_id").as("n_id"), expr("vec_id div 10").as("d_id"),
-              col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+  private def tokensOf(nz: DataFrame, attr: Boolean = false): DataFrame =
+    nz.select(Seq(col("vec_id").as("n_id"), expr("vec_id div 10").as("d_id"),
+              col("embedding").as("n_emb"), col("nrm").as("n_nrm")) ++
+      (if (attr) Seq(col("attr")) else Nil): _*)
 
   /** PLAID two-stage probe of the persisted artifact. `queries` =
     * (q_id, qt, q_emb, q_nrm) — multi-vector queries, one row per query
@@ -186,12 +217,32 @@ object MaxSimIndex {
     * sums is the recall-collapsing bug this design exists to avoid).
     * Output shape = q_sim_maxsim_ivf: (q_id, d_id, maxsim_e6, rn). */
   def probe(s: SparkSession, queries: DataFrame, indexPath: String,
-            nprobe: Int = 4, topk: Int = 5): DataFrame = {
+            nprobe: Int = 4, topk: Int = 5): DataFrame =
+    probeImpl(s, queries, indexPath, nprobe, topk, None)
+
+  /** FILTERED LATE-INTERACTION SEARCH — the metadata predicate on the
+    * multi-vector leg (completing the filtered symmetry with
+    * AnnIndex.probeFiltered and TextIndex's attrEq probes): only docs
+    * whose stored attribute equals `attrEq` become candidates, so
+    * non-matching docs never consume kernel work, and refinement's
+    * doc-bucket scan shrinks with the filter. Post-filter-within-
+    * probed-cells semantics, the standard IVF filtered-search trade. */
+  def probeFiltered(s: SparkSession, queries: DataFrame, indexPath: String,
+                    attrEq: Long, nprobe: Int = 4,
+                    topk: Int = 5): DataFrame =
+    probeImpl(s, queries, indexPath, nprobe, topk, Some(attrEq))
+
+  private def probeImpl(s: SparkSession, queries: DataFrame,
+                        indexPath: String, nprobe: Int, topk: Int,
+                        attrEq: Option[Long]): DataFrame = {
     val genRoot = IndexGen.dir(indexPath) // ONE generation end to end
     graft.functions.FloatDot.register(s)
     val clRoot = new Path(cl(genRoot))
-    val nb = StoreSink.readProps(clRoot, StoreSink.fs(clRoot)).toMap
-      .getOrElse(BucketsProp, "4").toInt
+    val props = StoreSink.readProps(clRoot, StoreSink.fs(clRoot)).toMap
+    val nb = props.getOrElse(BucketsProp, "4").toInt
+    require(attrEq.isEmpty || props.get(AttrProp).contains("1"),
+      s"index at $indexPath has no attribute slot ($AttrProp) — " +
+        "filtered probes need an attr build")
     val q = queries
       .select(col("q_id"), col("qt"), col("q_emb"), col("q_nrm"))
       .localCheckpoint() // query-sized
@@ -208,8 +259,12 @@ object MaxSimIndex {
       .collect().map(_.getLong(0).toString).toSeq
     // candidate docs: any token in a probed cell — partition pruning IS
     // the inverted-list lookup; only (cell, doc) pairs flow, no vectors
-    val cand = s.read.format(Fmt).option("path", pl(genRoot)).load()
+    val candScan = s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(buckets: _*))
+    // filtered candidacy: the doc-level attribute drops non-matching
+    // docs BEFORE any kernel work (candidates shrink, so stage 2's
+    // bucket scans and broadcasts shrink with the filter)
+    val cand = attrEq.fold(candScan)(v => candScan.where(col("attr") === v))
       .select(col("grp").cast("long").as("bucket"),
               col("amt_cents").as("d_id"))
       .join(broadcast(probed), "bucket")
@@ -221,8 +276,9 @@ object MaxSimIndex {
       .orderBy(col("maxsim_e6").desc, col("d_id"))
     // EXACT refinement over the candidates' FULL token sets, from the
     // doc-bucketed twin — the corpus never opens at probe time
-    s.read.format(Fmt).option("path", dt(genRoot)).load()
+    val refScan = s.read.format(Fmt).option("path", dt(genRoot)).load()
       .where(col("grp").isin(docB: _*))
+    attrEq.fold(refScan)(v => refScan.where(col("attr") === v))
       .select(col("amt_cents").as("d_id"), col("emb").as("n_emb"))
       .withColumn("n_nrm", sqrt(expr("graft_float_dot(n_emb, n_emb)")))
       .join(broadcast(cand), "d_id")
@@ -256,30 +312,38 @@ object MaxSimIndex {
         s"index at $indexPath was not built from a corpus store — nothing to refresh"))
     val fromV = props(AnnIndex.VersionProp).toInt
     val nb = props.getOrElse(BucketsProp, "4").toInt
+    val hasAttr = props.get(AttrProp).contains("1")
+    val attrCols = if (hasAttr) Seq(col("attr")) else Nil
     val headV = StoreSink.listVersions(new Path(corpus),
       StoreSink.fs(new Path(corpus))).lastOption.getOrElse(0)
     if (headV == fromV) return (0L, 0L)
     graft.functions.FloatDot.register(s)
     val feed = StoreSink.changes(s, corpus, fromV, Some(headV))
-      .select(col("op"), col("k").as("vec_id"),
-        expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding"))
+      .select(Seq(col("op"), col("k").as("vec_id"),
+        expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding")) ++
+        // attr indexes read the attribute from the corpus amt slot
+        (if (hasAttr) Seq(col("amt_cents").as("attr")) else Nil): _*)
       .localCheckpoint() // CDF-sized: changed rows only
     val changedKeys = feed.select(col("vec_id").as("k")).distinct()
     val ins = feed.where(col("op") === "insert")
       .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
       .where(col("nrm") > 0)
-    val insTok = tokensOf(ins.select(col("vec_id"), col("embedding"), col("nrm")))
+    val insTok = tokensOf(ins.select(Seq(col("vec_id"), col("embedding"),
+      col("nrm")) ++ attrCols: _*), hasAttr)
     val newPl = graft.ops.TrainingOps.assign(
         insTok.select(col("n_id"), col("n_emb"), col("n_nrm")),
         cellsAt(s, genRoot))
-      .join(insTok.select(col("n_id"), col("d_id")), "n_id")
-      .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
-              col("d_id").as("amt_cents"), col("n_emb").as("emb"))
+      .join(insTok.select(Seq(col("n_id"), col("d_id")) ++ attrCols: _*),
+        "n_id")
+      .select(Seq(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
+              col("d_id").as("amt_cents"), col("n_emb").as("emb")) ++
+        attrCols: _*)
       .localCheckpoint()
     val newDt = insTok
-      .select(col("n_id").as("k"),
+      .select(Seq(col("n_id").as("k"),
               pmod(col("d_id"), lit(nb)).cast("string").as("grp"),
-              col("d_id").as("amt_cents"), col("n_emb").as("emb"))
+              col("d_id").as("amt_cents"), col("n_emb").as("emb")) ++
+        attrCols: _*)
       .localCheckpoint()
     var parts = 0L
     // one fold per token table: surviving rows of touched partitions
@@ -296,7 +360,8 @@ object MaxSimIndex {
         .filter(_.part.exists(touched.contains)).map(_.name)
       tbl.where(col("grp").isin(touched: _*))
         .join(changedKeys, Seq("k"), "left_anti")
-        .select(col("k"), col("grp"), col("amt_cents"), col("emb"))
+        .select(Seq(col("k"), col("grp"), col("amt_cents"), col("emb")) ++
+          attrCols: _*)
         .unionByName(fresh)
         .write.format(Fmt).mode("append").option("path", path)
         .option("replace", replaced.mkString(","))
