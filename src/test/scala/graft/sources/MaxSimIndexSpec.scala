@@ -177,6 +177,60 @@ class MaxSimIndexSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(MaxSimIndex.refresh(spark, idx) == ((0L, 0L)))
   }
 
+  test("filtered probe: the doc attribute gates candidacy, refresh " +
+       "carries it from the corpus amt slot, non-attr builds refuse") {
+    graft.functions.FloatDot.register(spark)
+    val corpus = freshDir("flt_corpus")
+    val idx = freshDir("flt_idx")
+    // corpus amt slot = the per-doc attribute (d_id % 2): docs 0, 20
+    // are tenant 0; doc 19 is tenant 1
+    val root = new Path(corpus)
+    StoreSink.writeExtras(root, fs, StoreSink.extrasOf(Seq(
+      org.apache.spark.sql.types.StructField("emb",
+        org.apache.spark.sql.types.StringType))))
+    clusteredTokens.select(col("vec_id").as("k"), lit("e").as("grp"),
+        expr("(vec_id div 10) % 2").as("amt_cents"),
+        expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    MaxSimIndex.buildFromStore(spark, corpus, idx, attr = true)
+    // an e2 query filtered to tenant 1 sees doc 19 alone (docs 20 and
+    // 0 are tenant 0 — dropped at candidacy, never scored)
+    val qe2 = q(9000L, Array(0.0f, 1.0f, 0.01f, 0.0f))
+    val t1 = MaxSimIndex.probeFiltered(spark, qe2, idx, 1L, nprobe = 2)
+      .collect()
+    assert(t1.map(_.getLong(1)).toSet == Set(19L), s"${t1.toSeq}")
+    val t0 = MaxSimIndex.probeFiltered(spark, qe2, idx, 0L, nprobe = 2)
+      .collect()
+    assert(t0.map(_.getLong(1)).toSet == Set(0L, 20L), s"${t0.toSeq}")
+    // refresh: doc 30 (tenant 0) arrives through the CDF — the amt slot
+    // carries its attribute into both token tables
+    import spark.implicits._
+    Seq((300L, "e", 0L, "0.0,1.0,0.02,0.0"))
+      .toDF("k", "grp", "amt_cents", "emb")
+      .coalesce(1)
+      .write.format(fmt).mode("append").option("path", corpus).save()
+    MaxSimIndex.refresh(spark, idx)
+    val after = MaxSimIndex.probeFiltered(spark, qe2, idx, 0L, nprobe = 2)
+      .collect()
+    assert(after.map(_.getLong(1)).toSet == Set(0L, 20L, 30L),
+      s"${after.toSeq}")
+    assert(MaxSimIndex.probeFiltered(spark, qe2, idx, 1L, nprobe = 2)
+      .collect().map(_.getLong(1)).toSet == Set(19L),
+      "tenant 1 must never see the tenant-0 doc")
+    // an index without the slot refuses loudly
+    val plainIdx = freshDir("flt_plain")
+    val nz = clusteredTokens
+      .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
+    MaxSimIndex.build(spark, nz,
+      nz.select(col("vec_id").as("n_id"), expr("vec_id div 10").as("d_id"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm")), plainIdx)
+    val e = intercept[IllegalArgumentException] {
+      MaxSimIndex.probeFiltered(spark, qe2, plainIdx, 1L)
+    }
+    assert(e.getMessage.contains("attr"))
+  }
+
   test("refresh refuses an index built without corpus provenance") {
     graft.functions.FloatDot.register(spark)
     val idx = freshDir("noprov_idx")
