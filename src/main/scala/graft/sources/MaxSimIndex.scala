@@ -269,7 +269,12 @@ object MaxSimIndex {
               col("amt_cents").as("d_id"))
       .join(broadcast(probed), "bucket")
       .select(col("q_id"), col("d_id")).distinct()
-      .localCheckpoint() // the PLAID stage-2 working set
+      // the PLAID stage-2 working set: bounded by the probed cells' DOC
+      // counts × |queries| — cells hold ~√n tokens each under healthy
+      // occupancy, so this broadcast is sublinear in the corpus; a
+      // token pile-up in one cell is exactly what [[cellCounts]]' skew
+      // audit exists to catch before this set degenerates
+      .localCheckpoint()
     val docB = cand.select(pmod(col("d_id"), lit(nb)).cast("string").as("b"))
       .distinct().collect().map(_.getString(0)).toSeq // ≤ nb
     val wTop = Window.partitionBy(col("q_id"))
