@@ -122,6 +122,37 @@ object TextAnalysis extends OpModule {
         .orderBy(col("doc_id"))
     }),
 
+    // VOCABULARY COVERAGE / OOV AUDIT — the tokenizer-budget question
+    // every training pipeline answers before freezing a vocab: train
+    // the top-1000 word list on the TRAIN split (doc_id % 7 != 0, freq
+    // desc / word asc — deterministic), then measure per split what
+    // fraction of TOKEN OCCURRENCES falls outside it. Held-out OOV >
+    // train OOV is the expected generalization gap; a large gap means
+    // the vocab memorized split-specific tokens (ids, hashes) and the
+    // budget is mis-spent. Exact integers end to end (counts + one e4
+    // division); the token→vocab join shuffle-scales with the corpus
+    // (no driver-side vocab — the broadcast is the 1000-row list).
+    "q_vocab_coverage" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(split(trim(lower(col("text"))), " ")).as("t"))
+        .where(col("t") =!= "")
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(7)) === 0, "heldout")
+            .otherwise("train"))
+      val vocab = tok.where(col("split") === "train")
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(1000)
+        .select(col("t")).localCheckpoint() // 1000 rows
+      tok.join(broadcast(vocab.withColumn("inv", lit(1L))), Seq("t"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_tok"),
+             sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("split"), col("n_tok"), col("n_oov"),
+                expr("n_oov * 10000 div n_tok").as("oov_e4"))
+        .orderBy(col("split"))
+    }),
+
     "q_lang_id" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"),
@@ -1260,6 +1291,26 @@ object TextAnalysis extends OpModule {
         |  CAST(CAST(SUM(nll_e4) AS BIGINT) // COUNT(*) AS BIGINT) AS nll_e4
         |FROM tk JOIN lp USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the top-1000 train vocab + per-split occurrence coverage, exact
+    // integers (LIMIT ordering deterministic on both engines)
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'heldout' ELSE 'train' END AS split
+        |       FROM tok WHERE t <> ''),
+        |vocab AS (SELECT t FROM (
+        |    SELECT t, COUNT(*) AS c FROM tk WHERE split = 'train'
+        |    GROUP BY t) x
+        |  ORDER BY c DESC, t LIMIT 1000)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(COUNT(*) FILTER (WHERE v.t IS NULL) AS BIGINT) AS n_oov,
+        |  CAST(COUNT(*) FILTER (WHERE v.t IS NULL) * 10000
+        |    // COUNT(*) AS BIGINT) AS oov_e4
+        |FROM tk LEFT JOIN vocab v ON tk.t = v.t
+        |GROUP BY split ORDER BY split""".stripMargin,
+
     // the interpolated chain replayed: pair explode, context + unigram
     // counts, one e4 rounding per bigram type, exact integer mean
     "q_lm_bigram_nll" ->
