@@ -898,6 +898,62 @@ object IndexOps extends OpModule {
         .toDF("step", "v").orderBy(col("step"))
     }),
 
+    // MaxSim REBUILD POLICY driven to an automatic decision (the
+    // q_index_policy posture for the late-interaction leg): the token
+    // corpus takes SKEWED growth — one copy of token 0's vector per
+    // existing id, so the whole batch lands in token 0's frozen cell —
+    // and the maintain tick's 'max_skew_e4:path' policy folds the feed,
+    // reads the manifest occupancy audit (the DECISION skew, replayed
+    // exactly by the oracle from the frozen assignment over the head
+    // corpus), trips the 1.5× threshold, and RE-SEEDS atomically via
+    // the generation pointer. A second tick at a huge threshold KEEPS,
+    // and the post-policy probe still serves.
+    "q_maxsim_policy" -> ((s, d) => graft.sources.Sources.withGraftCatalog(s) {
+      val corpus = tmpIdx(d, "mspolcorpus")
+      val idx = tmpIdx(d, "mspolidx")
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(corpus), true)
+      fsys.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val (m1, m2) = graft.sources.Sources.withStorePath(s, corpus) {
+        s.sql("ALTER TABLE graft.store ADD COLUMN emb STRING")
+        val all = Tables.embeddings(s, d).select(col("vec_id").as("k"),
+          lit("e").as("grp"), lit(0L).as("amt_cents"),
+          expr("array_join(transform(embedding, x -> cast(x as string)), ',')").as("emb"))
+        all.write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save() // v1: the indexed generation
+        graft.sources.MaxSimIndex.buildFromStore(s, corpus, idx)
+        val mx = Tables.embeddings(s, d).agg(max(col("vec_id")))
+          .collect()(0).getLong(0)
+        val v0 = Tables.embeddings(s, d).where(col("vec_id") === 0)
+          .select(expr("array_join(transform(embedding, x -> cast(x as string)), ',')"))
+          .collect()(0).getString(0)
+        all.select((col("k") + mx + 1).as("k"), col("grp"),
+            col("amt_cents"), lit(v0).as("emb"))
+          .write.format("graft.sources.StoreSink").mode("append")
+          .option("path", corpus).save() // v2: the skewed batch
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES(" +
+          s"'graft.maintain.maxsim'='15000:$idx')")
+        def msRow() = s.sql(s"CALL graft.maintain('$corpus')").collect()
+          .find(_.getString(0) == "maxsim").get
+        val r1 = msRow()
+        s.sql("ALTER TABLE graft.store SET TBLPROPERTIES(" +
+          s"'graft.maintain.maxsim'='1000000000:$idx')")
+        (r1, msRow())
+      }
+      val q = TrainingOps.nzEmbeddings(s, d).where(col("vec_id") < 20)
+        .select(expr("vec_id div 10").as("q_id"), col("vec_id").as("qt"),
+                col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val probeRows = graft.sources.MaxSimIndex.probe(s, q, idx).count()
+      import s.implicits._
+      Seq(
+        ("m1_rebuild", if (m1.getString(1) == "rebuild") 1L else 0L),
+        ("m2_keep", if (m2.getString(1) == "keep") 1L else 0L),
+        ("probe_pos", if (probeRows >= 1) 1L else 0L),
+        ("skew1", m1.getLong(2)))
+        .toDF("step", "v").orderBy(col("step"))
+    }),
+
     // AGE-MARGINED GENERATION GC (round-12 verdict #6, driven through
     // SQL): a rebuild supersedes gen-1, `CALL graft.index_expire` with a
     // margin keeps the just-superseded generation alive for in-flight
@@ -1410,6 +1466,42 @@ object IndexOps extends OpModule {
          |      ORDER BY maxsim_e6 DESC, d_id) AS rn FROM ms)
          |SELECT q_id, d_id, maxsim_e6, CAST(rn AS INT) AS rn FROM r
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
+
+    // decision flags + the DECISION skew replayed: frozen base-corpus
+    // seeds, assignment of the skew-grown head, occupancy arithmetic
+    "q_maxsim_policy" -> {
+      val cosHS = cosQ("h.embedding", "sd.c_emb")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |    x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |sd AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e
+         |       WHERE vec_id % ${TrainingOps.strideSql("e")} = 0),
+         |mxx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+         |copies AS (SELECT e2.vec_id + mxx.m + 1 AS vec_id, e0.embedding
+         |  FROM embeddings e2, mxx,
+         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) e0),
+         |head AS (SELECT vec_id, embedding FROM e
+         |         UNION ALL
+         |         SELECT vec_id, embedding FROM copies
+         |         WHERE LIST_SUM(LIST_TRANSFORM(embedding,
+         |           x -> ABS(CAST(x AS DOUBLE)))) > 0),
+         |asg AS (SELECT n_id, bucket FROM (
+         |    SELECT h.vec_id AS n_id, sd.c_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY h.vec_id
+         |        ORDER BY $cosHS DESC, sd.c_id) AS arn
+         |    FROM head h CROSS JOIN sd) x WHERE arn = 1),
+         |cells AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM asg GROUP BY bucket),
+         |skew AS (SELECT CAST(MAX(n) AS BIGINT) * 10000
+         |           * CAST(COUNT(*) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS s
+         |         FROM cells)
+         |SELECT step, v FROM (
+         |  SELECT 'm1_rebuild' AS step, CAST(1 AS BIGINT) AS v
+         |  UNION ALL SELECT 'm2_keep', 1
+         |  UNION ALL SELECT 'probe_pos', 1
+         |  UNION ALL SELECT 'skew1', (SELECT s FROM skew)) z
+         |ORDER BY step""".stripMargin
     },
 
     // seeds-only assignment replayed over the corpus tokens; counts and

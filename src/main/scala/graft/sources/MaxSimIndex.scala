@@ -298,6 +298,37 @@ object MaxSimIndex {
       .select(col("q_id"), col("d_id"), col("maxsim_e6"), col("rn"))
   }
 
+  /** REBUILD POLICY — the AnnIndex.rebuildIf posture for the
+    * late-interaction artifact: fold any pending corpus changes, then
+    * retrain IFF the postings' occupancy skew (max cell / mean cell, e4
+    * units, from the MANIFEST alone — the [[cellCounts]] audit) exceeds
+    * the threshold. Skewed token piles mean stage-1 candidate lists
+    * degenerate toward a scan for queries probing the hot cell; only a
+    * re-seed at the current corpus re-centers them. The rebuild reuses
+    * the index's own corpus provenance and attr configuration and
+    * publishes atomically through the generation pointer. Returns
+    * (action, skew_e4). */
+  def rebuildIf(s: SparkSession, indexPath: String,
+                maxSkewE4: Long): (String, Long) = {
+    refresh(s, indexPath) // maintenance ordering: fold the feed first
+    val genRoot = IndexGen.dir(indexPath)
+    val clRoot = new Path(cl(genRoot))
+    val props = StoreSink.readProps(clRoot, StoreSink.fs(clRoot)).toMap
+    val corpus = props.getOrElse(AnnIndex.CorpusProp,
+      throw new IllegalStateException(
+        s"index at $indexPath has no corpus provenance — policy needs one"))
+    val hasAttr = props.get(AttrProp).contains("1")
+    val cells = cellCounts(indexPath)
+    val total = cells.map(_._2).sum
+    val skewE4 =
+      if (total == 0L || cells.isEmpty) 0L
+      else cells.map(_._2).max * 10000L * cells.size / total
+    if (skewE4 > maxSkewE4) {
+      buildFromStore(s, corpus, indexPath, attr = hasAttr) // atomic swap
+      ("rebuild", skewE4)
+    } else ("keep", skewE4)
+  }
+
   /** INCREMENTAL MAINTENANCE: fold the corpus store's change feed since
     * the indexed version into BOTH token tables under the FROZEN cells —
     * deletes drop their token rows, inserts assign against the persisted

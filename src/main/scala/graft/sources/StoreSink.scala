@@ -2533,12 +2533,21 @@ object StoreSink {
       out += (("text", action, armed, postings, 0L))
     }
     ps.get("graft.maintain.maxsim").foreach { v =>
-      // the late-interaction index joins the loop: a maintain tick folds
-      // the corpus CDF under the frozen cells (touched cell partitions /
-      // doc buckets only) — audit (tokens_changed, partitions_rewritten)
-      require(v.nonEmpty, "graft.maintain.maxsim must be an index path")
-      val (keys, parts) = MaxSimIndex.refresh(spark, v)
-      out += (("maxsim", "ok", keys, parts, 0L))
+      // the late-interaction index joins the loop. Two forms (the .ann
+      // numbers-first convention): 'max_skew_e4:index_path' = rebuild
+      // POLICY (fold, then retrain if the occupancy skew trips — audit
+      // (action, skew_e4)); a bare path = refresh-only fold — audit
+      // (tokens_changed, partitions_rewritten).
+      require(v.nonEmpty, "graft.maintain.maxsim must be an index path " +
+        "or 'max_skew_e4:index_path'")
+      val p = v.split(":", 2)
+      if (p.length == 2 && p(0).nonEmpty && p(0).forall(_.isDigit)) {
+        val (action, skew) = MaxSimIndex.rebuildIf(spark, p(1), p(0).toLong)
+        out += (("maxsim", action, skew, 0L, 0L))
+      } else {
+        val (keys, parts) = MaxSimIndex.refresh(spark, v)
+        out += (("maxsim", "ok", keys, parts, 0L))
+      }
     }
     val res = out.result()
     if (res.isEmpty) Seq(("none", "no graft.maintain.* properties", 0L, 0L, 0L))
