@@ -420,13 +420,12 @@ object IndexOps extends OpModule {
       val idx = tmpIdx(d, "bm25and")
       val ti = graft.sources.TextIndex
       ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")), idx)
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"),
-                explode(split(trim(lower(col("text"))), " ")).as("t"))
-        .where(col("t") =!= "")
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      val terms = tf.where(length(col("t")) >= 4)
-        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      // query formulation from the index's OWN dictionary (df is exact
+      // there — the build already aggregated it): the ad-hoc corpus
+      // re-tokenization this replaced chose the identical terms and cost
+      // a second full token pass (r14 optimization; the snippet queries
+      // always did it this way)
+      val terms = ti.terms(s, idx).where(length(col("t")) >= 4)
         .orderBy(col("df").desc, col("t")).limit(2)
         .collect().map(_.getString(0)).toSeq
       ti.probeAnd(s, idx, terms, topk = 15)
@@ -445,13 +444,10 @@ object IndexOps extends OpModule {
       val idx = tmpIdx(d, "bm25or")
       val ti = graft.sources.TextIndex
       ti.build(s, Tables.documents(s, d).select(col("doc_id"), col("text")), idx)
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"),
-                explode(split(trim(lower(col("text"))), " ")).as("t"))
-        .where(col("t") =!= "")
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      val terms = tf.where(length(col("t")) >= 4)
-        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      // top-3 by df from the index dictionary — identical terms to the
+      // ad-hoc corpus re-tokenization this replaced, minus the second
+      // full token pass (r14 optimization)
+      val terms = ti.terms(s, idx).where(length(col("t")) >= 4)
         .orderBy(col("df").desc, col("t")).limit(3)
         .collect().map(_.getString(0)).toSeq
       ti.lastOrFiles = None
@@ -487,13 +483,9 @@ object IndexOps extends OpModule {
           .select(col("doc_id"), col("text"),
                   pmod(col("doc_id"), lit(4)).as("attr")),
         idx, attr = true)
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"),
-                explode(split(trim(lower(col("text"))), " ")).as("t"))
-        .where(col("t") =!= "")
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      val terms = tf.where(length(col("t")) >= 4)
-        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      // top-3 by df from the index dictionary — identical terms to the
+      // ad-hoc corpus re-tokenization this replaced (r14 optimization)
+      val terms = ti.terms(s, idx).where(length(col("t")) >= 4)
         .orderBy(col("df").desc, col("t")).limit(3)
         .collect().map(_.getString(0)).toSeq
       ti.lastOrFiles = None

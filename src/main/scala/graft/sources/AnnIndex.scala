@@ -414,12 +414,27 @@ object AnnIndex {
                     attrEq: Long, nprobe: Int = 2, topk: Int = 5): DataFrame =
     probeImpl(s, queries, indexPath, nprobe, topk, Some(attrEq))
 
+  /** Materialize a bounded probes frame in ONE job: collect the rows once,
+    * hand back a local-relation twin for the broadcast side plus the
+    * distinct bucket list for partition pruning. The previous
+    * localCheckpoint + distinct().collect() pair was two sequential jobs
+    * over the same |queries|×nprobe rows (r14 optimization — results are
+    * the collected rows themselves, so the join input is bit-identical). */
+  private def localizeProbes(s: SparkSession,
+                             probes: DataFrame): (DataFrame, Seq[String]) = {
+    val rows = probes.collect()
+    import scala.jdk.CollectionConverters._
+    val local = s.createDataFrame(rows.toSeq.asJava, probes.schema)
+    val bi = probes.schema.fieldIndex("bucket")
+    (local, rows.map(_.getLong(bi)).distinct.map(_.toString).toSeq)
+  }
+
   private def probeImpl(s: SparkSession, queries: DataFrame, indexPath: String,
                         nprobe: Int, topk: Int, attrEq: Option[Long]): DataFrame = {
     val genRoot = genDir(indexPath) // one generation for the whole probe
     val cents = codebookAt(s, genRoot)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
-    val probes = queries
+    val (probes, buckets) = localizeProbes(s, queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
               col("nrm").as("q_nrm"))
       .join(broadcast(cents))
@@ -427,10 +442,7 @@ object AnnIndex {
         expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
       .withColumn("prn", row_number().over(wProbe))
       .where(col("prn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("bucket"))
-      .localCheckpoint() // bounded: |queries| × nprobe
-    val buckets = probes.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0).toString).toSeq
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("bucket")))
     val scanned = s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(buckets: _*)) // partition pruning = list lookup
     val cand = attrEq.fold(scanned)(v => scanned.where(col("amt_cents") === v))
@@ -582,7 +594,7 @@ object AnnIndex {
     }
     val cents = codebookAt(s, genRoot)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("c_id"))
-    val probes = queries
+    val (probes, buckets) = localizeProbes(s, queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
               col("nrm").as("q_nrm"))
       .join(broadcast(cents))
@@ -590,10 +602,7 @@ object AnnIndex {
         expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
       .withColumn("prn", row_number().over(wProbe))
       .where(col("prn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("bucket"))
-      .localCheckpoint() // bounded: |queries| × nprobe
-    val buckets = probes.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0).toString).toSeq
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("bucket")))
     val cb = s.read.format(Fmt).option("path", s"$genRoot/pqcb").load()
       .select((col("k") % 1000).as("c_id"), (col("k") / 1000).cast("int").as("side"),
         col("sub").as("c_sub"))

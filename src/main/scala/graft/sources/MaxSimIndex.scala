@@ -248,15 +248,26 @@ object MaxSimIndex {
       .localCheckpoint() // query-sized
     val wP = Window.partitionBy(col("qt"))
       .orderBy(col("p_score").desc, col("c_id"))
-    val probed = q.join(broadcast(cellsAt(s, genRoot)))
+    // ONE bounded job: the (q_id, bucket) pairs collect once; the
+    // broadcast side below is a local relation of the same rows and the
+    // bucket list for partition pruning derives driver-side (the previous
+    // localCheckpoint + distinct().collect() pair was two sequential jobs
+    // over the same |query tokens| × nprobe rows — r14 optimization)
+    val probedRows = q.join(broadcast(cellsAt(s, genRoot)))
       .withColumn("p_score",
         expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
       .withColumn("prn", row_number().over(wP))
       .where(col("prn") <= nprobe)
       .select(col("q_id"), col("c_id").as("bucket")).distinct()
-      .localCheckpoint() // bounded: |query tokens| × nprobe
-    val buckets = probed.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0).toString).toSeq
+      .collect()
+    val probed = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(probedRows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          StructField("q_id", org.apache.spark.sql.types.LongType),
+          StructField("bucket", org.apache.spark.sql.types.LongType))))
+    }
+    val buckets = probedRows.map(_.getLong(1)).distinct.map(_.toString).toSeq
     // candidate docs: any token in a probed cell — partition pruning IS
     // the inverted-list lookup; only (cell, doc) pairs flow, no vectors
     val candScan = s.read.format(Fmt).option("path", pl(genRoot)).load()
@@ -264,19 +275,28 @@ object MaxSimIndex {
     // filtered candidacy: the doc-level attribute drops non-matching
     // docs BEFORE any kernel work (candidates shrink, so stage 2's
     // bucket scans and broadcasts shrink with the filter)
-    val cand = attrEq.fold(candScan)(v => candScan.where(col("attr") === v))
+    // the PLAID stage-2 working set: bounded by the probed cells' DOC
+    // counts × |queries| — cells hold ~√n tokens each under healthy
+    // occupancy, so this set is sublinear in the corpus; a token pile-up
+    // in one cell is exactly what [[cellCounts]]' skew audit exists to
+    // catch before this set degenerates. Collected ONCE: the broadcast
+    // side is a local relation and the doc-bucket list derives
+    // driver-side (was a localCheckpoint + a second distinct/collect job)
+    val candRows = attrEq.fold(candScan)(v => candScan.where(col("attr") === v))
       .select(col("grp").cast("long").as("bucket"),
               col("amt_cents").as("d_id"))
       .join(broadcast(probed), "bucket")
       .select(col("q_id"), col("d_id")).distinct()
-      // the PLAID stage-2 working set: bounded by the probed cells' DOC
-      // counts × |queries| — cells hold ~√n tokens each under healthy
-      // occupancy, so this broadcast is sublinear in the corpus; a
-      // token pile-up in one cell is exactly what [[cellCounts]]' skew
-      // audit exists to catch before this set degenerates
-      .localCheckpoint()
-    val docB = cand.select(pmod(col("d_id"), lit(nb)).cast("string").as("b"))
-      .distinct().collect().map(_.getString(0)).toSeq // ≤ nb
+      .collect()
+    val cand = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(candRows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          StructField("q_id", org.apache.spark.sql.types.LongType),
+          StructField("d_id", org.apache.spark.sql.types.LongType))))
+    }
+    val docB = candRows.map(r => java.lang.Math.floorMod(r.getLong(1), nb.toLong))
+      .distinct.map(_.toString).toSeq // ≤ nb
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("maxsim_e6").desc, col("d_id"))
     // EXACT refinement over the candidates' FULL token sets, from the

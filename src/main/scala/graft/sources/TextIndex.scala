@@ -213,8 +213,15 @@ object TextIndex {
           col("attr").cast("long").as("attr")), "doc_id")
       else tfd0).localCheckpoint() // one tokenize pass
     // corpus stats resolve BEFORE the postings write: the quantized
-    // impact bakes build-time nd/tl in (the WAND-style static score bound)
-    val st = dlen.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+    // impact bakes build-time nd/tl in (the WAND-style static score bound).
+    // Derived from the CHECKPOINTED tfd, not the raw dlen lineage — the
+    // latter re-tokenized the whole corpus for one (count, sum) pair
+    // (measured ~0.4 s of the sf0.1 build); tfd carries dl per posting, so
+    // one doc-level first(dl) fold over the materialized rows is the same
+    // exact pair (tfd's doc set == dlen's: dlen derives from tf and the
+    // join is on that very key).
+    val st = tfd.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
       .collect()(0)
     val (nd, tl) = (st.getLong(0), math.max(st.getLong(1), 1L))
     // shard count fixes HERE — explicit, or scaled to the corpus so the
@@ -317,13 +324,29 @@ object TextIndex {
     val props = StoreSink.readProps(tmR, StoreSink.fs(tmR)).toMap
     val (nd, tl) = (props(NdProp).toLong, props(TlProp).toLong)
     val conf = confOf(props) // the index's OWN shard count
-    val q = qterms.select(col("t"), col("df")).localCheckpoint() // query-sized
-    // driver-side shard list via the WRITER'S OWN expression (never a
-    // re-implementation); bounded by |query terms|
-    val shards = q.select(shardCol(col("t"), conf.shards).as("b")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // ONE query-sized job: terms, df, and the shard (computed by the
+    // WRITER'S OWN expression, never a driver re-implementation) collect
+    // together; the broadcast side below is a local relation of the same
+    // rows. The previous localCheckpoint + two collects were three
+    // sequential jobs for the same |query terms| rows (r14 optimization).
+    val qrows = qterms
+      .select(col("t"), col("df").cast("long").as("df"),
+              shardCol(col("t"), conf.shards).as("b"))
+      .collect()
+    val shards = qrows.map(_.getString(2)).distinct.toSeq
     lastScoreShards = Some((shards.size, conf.shards))
-    val termList = q.select(col("t")).collect().map(_.getString(0)).toSeq
+    val termList = qrows.map(_.getString(0)).toSeq
+    val q = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        qrows.map(r => org.apache.spark.sql.Row(r.getString(0), r.getLong(1)))
+          .toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("df",
+            org.apache.spark.sql.types.LongType))))
+    }
     s.read.format(Fmt).option("path", pl(genRoot)).load()
       .where(col("grp").isin(shards: _*)) // partition pruning = list lookup
       .where(col("term").isin(termList: _*))
