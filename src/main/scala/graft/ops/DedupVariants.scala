@@ -139,8 +139,14 @@ object DedupVariants extends OpModule {
       val rare = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .where(col("df").between(2, RareDf)).select(col("g"))
       val rp = post.join(rare, "g")
-      val cand = rp.select(col("g"), col("doc_id").as("doc_a"))
-        .join(rp.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      // candidate pairs explode MAP-SIDE from each rare gram's own doc
+      // list (bounded: df ≤ RareDf by the filter above) — the r14
+      // pair-generation reshape; the posting self-join on g paid an
+      // extra exchange + sort for the identical pair set, and the
+      // collect_set groupBy reuses the join's g partitioning outright
+      val cand = rp.groupBy(col("g")).agg(collect_set(col("doc_id")).as("ds"))
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
         .where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
       cand

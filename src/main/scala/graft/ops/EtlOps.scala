@@ -866,19 +866,28 @@ object EtlOps extends OpModule {
     // top-20 by (lift DESC, ant, cons) is TakeOrderedAndProject, never a
     // global sort.
     "q_assoc_rules" -> ((s, d) => {
-      val bi = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
-      val n = bi.agg(countDistinct(col("o")).as("n_baskets"))
+      // baskets = one collect_set aggregate per order; pair mining is a
+      // MAP-SIDE double explode of each basket's own item array (the r14
+      // pair-generation reshape, see GraphOps.strongCoPurchase) — the
+      // previous (o, i)-distinct + basket self-join paid two extra
+      // exchanges of the item table before the same (ia, ib) aggregate.
+      // collect_set both dedupes within the basket and replaces the
+      // distinct; element order is irrelevant (every pair explodes).
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .groupBy(col("o")).agg(collect_set(col("i")).as("xs"))
+      val n = baskets.agg(count(lit(1)).as("n_baskets"))
       // supp is a BOUNDED (catalog-sized) aggregate referenced by two rule
       // joins — materialize once (round-10 shared-subplan rule). The pair
       // table is NOT materialized: it can be co-purchase-mass large, and an
       // eager checkpoint was measured SLOWER at sf1 than re-mining; instead
       // both rule directions EXPLODE from one pairs reference, so the
-      // mining subplan exists once (7 → 4 static lineitem scans).
-      val supp = bi.groupBy(col("i")).agg(count(lit(1)).as("s"))
+      // mining subplan exists once.
+      val supp = baskets.select(explode(col("xs")).as("i"))
+        .groupBy(col("i")).agg(count(lit(1)).as("s"))
         .localCheckpoint(true)
-      val pairs = bi.select(col("o"), col("i").as("ia"))
-        .join(bi.select(col("o"), col("i").as("ib")), Seq("o"))
+      val pairs = baskets.select(explode(col("xs")).as("ia"), col("xs"))
+        .select(col("ia"), explode(col("xs")).as("ib"))
         .where(col("ia") < col("ib"))
         .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("sp"))
         .where(col("sp") >= 2)

@@ -44,20 +44,43 @@ object GraphOps extends OpModule {
   /** Minimum co-occurrence support for an edge. */
   private val MinSupport = 3
 
-  /** Undirected co-occurrence edges (u < v lexicographic, n_co ≥ 3). */
-  private[ops] def edges(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"),
-              explode(array_distinct(split(trim(lower(col("text"))), " "))).as("t"))
-      .where(length(col("t")) >= 4)
-    val a = tok.select(col("doc_id"), col("t").as("u"))
-    val b = tok.select(col("doc_id"), col("t").as("v"))
-    a.join(b, Seq("doc_id")).where(col("u") < col("v"))
+  /** Undirected co-occurrence edges (u < v lexicographic, n_co ≥ 3).
+    * Pair generation is a MAP-SIDE double explode of each document's own
+    * distinct-token array — the r14 optimization replacing the token-list
+    * self-join on doc_id, which paid two exchanges of the exploded token
+    * table plus a sort-merge before the same (u, v) aggregate (measured
+    * 0.49 → 0.37 s at sf0.1, pair set bit-identical; the per-doc fan-out
+    * is the identical C(k, 2), only WHERE it happens moves). The (u, v)
+    * count keeps map-side partial aggregation, so the one remaining
+    * exchange carries pre-reduced pair counts. */
+  private[ops] def edges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(array_distinct(split(trim(lower(col("text"))), " ")).as("xs"))
+      .select(explode(col("xs")).as("u"), col("xs"))
+      .where(length(col("u")) >= 4)
+      .select(col("u"), explode(col("xs")).as("v"))
+      .where(length(col("v")) >= 4 && col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_co"))
       .where(col("n_co") >= MinSupport)
       .select(col("u"), col("v"))
-  }
+
+  /** Strong co-purchase part edges (u < v, co-ordered in ≥ 2 distinct
+    * orders) — the shared edge set of q_label_prop / q_link_pred /
+    * q_modularity. Same map-side pair-generation shape as [[edges]]:
+    * collect_set(p) per order replaces the (o, p)-distinct + self-join on
+    * o (two exchanges of the item table gone; collect_set order does not
+    * matter — every pair explodes and the count is order-blind). */
+  private[ops] def strongCoPurchase(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(collect_set(col("p")).as("xs"))
+      .select(explode(col("xs")).as("u"), col("xs"))
+      .select(col("u"), explode(col("xs")).as("v"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= 2)
+      .select(col("u"), col("v"))
 
   /** The same construction as a DuckDB CTE prefix (both oracles embed it). */
   private val EdgesSql =
@@ -170,14 +193,7 @@ object GraphOps extends OpModule {
     // the standard common-neighbor/Adamic-Adar hub filter. Equi-joins and
     // aggregations only; no all-pairs anywhere.
     "q_link_pred" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.select(col("o"), col("p").as("u"))
-        .join(li.select(col("o"), col("p").as("v")), Seq("o"))
-        .where(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
-        .where(col("n_co") >= 2)
-        .select(col("u"), col("v"))
+      val e = strongCoPurchase(s, d)
         // round-10 localCheckpoint: reused by degree/hub-filter/wedge
         // stages (42 static file scans without it)
         .localCheckpoint(true)
@@ -278,14 +294,7 @@ object GraphOps extends OpModule {
     // convergence with a driver-side delta count). Output = per-community
     // membership summary.
     "q_label_prop" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.select(col("o"), col("p").as("u"))
-        .join(li.select(col("o"), col("p").as("v")), Seq("o"))
-        .where(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
-        .where(col("n_co") >= 2)
-        .select(col("u"), col("v"))
+      val e = strongCoPurchase(s, d)
       // edges materialize ONCE (localCheckpoint, the q_dedup_cluster
       // idiom) — both vote rounds and the seed read the same edge blocks
       // instead of re-running the co-purchase build per round
@@ -311,14 +320,7 @@ object GraphOps extends OpModule {
     }),
 
     "q_modularity" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.select(col("o"), col("p").as("u"))
-        .join(li.select(col("o"), col("p").as("v")), Seq("o"))
-        .where(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
-        .where(col("n_co") >= 2)
-        .select(col("u"), col("v"))
+      val e = strongCoPurchase(s, d)
       val brand = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
       // round-10 localCheckpoint: eb feeds m/d_c/e_c (12 static scans)
       val eb = e.join(broadcast(brand.select(col("p_partkey").as("u"), col("p_brand").as("bu"))), Seq("u"))
@@ -349,13 +351,7 @@ object GraphOps extends OpModule {
     // replay exactly; full closure lives in q_dedup_cluster's min-label
     // iteration.
     "q_bfs_levels" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.select(col("o"), col("p").as("u"))
-        .join(li.select(col("o"), col("p").as("v")), Seq("o"))
-        .where(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
-        .where(col("n_co") >= 2)
+      val e = strongCoPurchase(s, d)
       // edges materialize once (round-10: the q_label_prop localCheckpoint
       // fix — each of the 3 expand rounds plus the seed/l0 derivation was
       // re-running the co-purchase build; 5.57 → 4.41 s at sf0.1, sf1 in

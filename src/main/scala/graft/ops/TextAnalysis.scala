@@ -233,9 +233,16 @@ object TextAnalysis extends OpModule {
         .orderBy(col("df").desc, col("t")).limit(50)
       val dt = tok.join(broadcast(voc), "t")
       val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
-      val a = dt.select(col("doc_id"), col("t").as("ta"), col("df").as("dfa"))
-      val b = dt.select(col("doc_id"), col("t").as("tb"), col("df").as("dfb"))
-      a.join(b, Seq("doc_id")).where(col("ta") < col("tb"))
+      // pair expansion explodes MAP-SIDE from each doc's own (t, df) set
+      // (≤50 vocab tokens per doc) — the r14 pair-generation reshape: the
+      // per-doc self-join paid two exchanges of dt for the identical pairs
+      dt.groupBy(col("doc_id"))
+        .agg(collect_set(struct(col("t"), col("df"))).as("xs"))
+        .select(explode(col("xs")).as("pa"), col("xs"))
+        .select(col("pa"), explode(col("xs")).as("pb"))
+        .where(col("pa.t") < col("pb.t"))
+        .select(col("pa.t").as("ta"), col("pb.t").as("tb"),
+                col("pa.df").as("dfa"), col("pb.df").as("dfb"))
         .groupBy(col("ta"), col("tb"))
         .agg(count(lit(1)).as("n_co"), max(col("dfa")).as("dfa"), max(col("dfb")).as("dfb"))
         .crossJoin(broadcast(nd))
@@ -934,9 +941,12 @@ object TextAnalysis extends OpModule {
       val voc = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("t")).limit(50)
       val dt = tok.join(broadcast(voc.select(col("t"))), "t")
-      val a = dt.select(col("doc_id"), col("t").as("ta"))
-      val b = dt.select(col("doc_id"), col("t").as("tb"))
-      val co = a.join(b, Seq("doc_id")).where(col("ta") < col("tb"))
+      // map-side pair expansion from each doc's own vocab-token set (≤50
+      // per doc) — the r14 pair-generation reshape (see q_tok_cooccur)
+      val co = dt.groupBy(col("doc_id")).agg(collect_set(col("t")).as("xs"))
+        .select(explode(col("xs")).as("ta"), col("xs"))
+        .select(col("ta"), explode(col("xs")).as("tb"))
+        .where(col("ta") < col("tb"))
         .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("w"))
       // symmetrize; localCheckpoint cuts the lineage the 3 iterations share
       val edges = co.select(col("ta").as("u"), col("tb").as("v"), col("w"))
