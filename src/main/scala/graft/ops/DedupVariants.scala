@@ -304,12 +304,19 @@ object DedupVariants extends OpModule {
         .select(col("doc_id"), explode(graft.functions.TextHashes.shinglesAll(8)(
           split(trim(col("text")), " "))).as("g"))
         .select(col("doc_id"), md5(col("g")).as("gh"))
-      val df = grams.distinct()
-        .groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      grams.join(df, "gh")
+      // r14 reshape: one (gh, doc_id) partial-aggregating count, then df =
+      // a COUNT window over gh — the distinct + df-aggregate + full-grams
+      // join chain paid four exchanges (one of them the entire un-deduped
+      // gram table) for the same numbers (measured 1.74 -> 1.15 s at
+      // sf0.1, output bit-identical). n_spans = sum of per-doc occurrence
+      // counts == the old per-row count; n_dup weights by the same c.
+      val gcount = grams.groupBy(col("gh"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      gcount.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .agg(sum(col("c")).as("n_spans"),
+             sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_spans"), col("n_dup"),
                 expr("n_dup * 10000 div n_spans").as("dup_frac_e4"))
         .orderBy(col("doc_id"))
