@@ -181,16 +181,24 @@ object TrainingOps extends OpModule {
     * carries one row per token instead of the window's full |tokens| ×
     * |cells| cross product with the embedding on every row — the n·√n →
     * n shuffle cut (r14 optimization; measured 2.1 → 1.65 s on the 10×
-    * tier, assignments bit-identical). */
-  private[graft] def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    * tier, assignments bit-identical).
+    *
+    * `carry` names extra `vecs` columns (functionally dependent on n_id —
+    * e.g. the doc id / filter attribute of an index build) to ride
+    * through the aggregate, so callers stop paying a corpus-sized
+    * join-back on n_id to recover them; the comparator never reaches the
+    * carried fields (the (score, −c_id) prefix is already unique). */
+  private[graft] def assign(vecs: DataFrame, cents: DataFrame,
+                            carry: Seq[String] = Nil): DataFrame =
     vecs.join(broadcast(cents))
       .withColumn("c_score",
         expr("graft_float_dot(n_emb, c_emb)") / (col("n_nrm") * col("c_nrm")))
       .groupBy(col("n_id"))
-      .agg(max(struct(col("c_score"), (-col("c_id")).as("nc"),
-                      col("n_emb"), col("n_nrm"))).as("m"))
-      .select(col("n_id"), col("m.n_emb").as("n_emb"),
-              col("m.n_nrm").as("n_nrm"), (-col("m.nc")).as("bucket"))
+      .agg(max(struct(Seq(col("c_score"), (-col("c_id")).as("nc"),
+                      col("n_emb"), col("n_nrm")) ++ carry.map(col): _*)).as("m"))
+      .select(Seq(col("n_id"), col("m.n_emb").as("n_emb"),
+              col("m.n_nrm").as("n_nrm"), (-col("m.nc")).as("bucket")) ++
+        carry.map(c => col(s"m.$c").as(c)): _*)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DSIR-style importance resampling (Xie et al. 2023): rank raw-corpus

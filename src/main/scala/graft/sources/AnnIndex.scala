@@ -333,14 +333,18 @@ object AnnIndex {
       .write.format(Fmt).mode("append").option("path", cb(genRoot)).save()
     val vecs = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                          col("nrm").as("n_nrm"))
-    val assigned = graft.ops.TrainingOps.assign(vecs, centroidsOf(trained))
-    // attribute join-back: assign() normalizes its output shape, so the
-    // metadata column rides back on vec_id — a build-time equi-join, never
-    // paid at probe time (the attribute then lives inside the posting row)
-    val withAttr = attr.fold(assigned.withColumn("attr_v", lit(0L))) { c =>
-      assigned.join(
-        nz.select(col("vec_id").as("n_id"), col(c).cast("long").as("attr_v")),
-        "n_id")
+    // the filterable attribute projects straight off nz and rides THROUGH
+    // the assignment's aggregate (assign's carry — r14: the former
+    // join-back on vec_id re-shuffled the whole vector table to recover a
+    // column the scan already had) and lands inside the posting row,
+    // never paid at probe time
+    val withAttr = attr.fold(
+      graft.ops.TrainingOps.assign(vecs, centroidsOf(trained))
+        .withColumn("attr_v", lit(0L))) { c =>
+      graft.ops.TrainingOps.assign(
+        nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm"), col(c).cast("long").as("attr_v")),
+        centroidsOf(trained), carry = Seq("attr_v"))
     }
     withAttr
       .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
@@ -512,14 +516,17 @@ object AnnIndex {
         lit(0L).as("amt_cents"), col("c_sub").as("sub"))
       .coalesce(1)
       .write.format(Fmt).mode("append").option("path", s"$genRoot/pqcb").save()
-    val encW = Window.partitionBy(col("vec_id"), col("side"))
-      .orderBy(col("dist"), col("c_id"))
+    // per-(vec, side) argmin as ONE partial-aggregating pivot — min(struct
+    // (dist, c_id)) per side picks the identical codeword as the former
+    // row_number window ordered by (dist, c_id), and the aggregate
+    // reduces the vec × codewords cross product map-side instead of
+    // shuffling it whole (r14 — the assign() reshape, PQ edition)
     val wide = graft.ops.Similarity.pqSides(nz).join(broadcast(cb), "side")
       .withColumn("dist", expr(graft.ops.Similarity.PqL2Sq))
-      .withColumn("rn", row_number().over(encW)).where(col("rn") === 1)
       .groupBy(col("vec_id")).agg(
-        max(when(col("side") === 0, col("c_id"))).as("c0"),
-        max(when(col("side") === 1, col("c_id"))).as("c1"))
+        min(when(col("side") === 0, struct(col("dist"), col("c_id")))).as("m0"),
+        min(when(col("side") === 1, struct(col("dist"), col("c_id")))).as("m1"))
+      .select(col("vec_id"), col("m0.c_id").as("c0"), col("m1.c_id").as("c1"))
     val assigned = graft.ops.TrainingOps.assign(
       nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                 col("nrm").as("n_nrm")),
@@ -802,14 +809,14 @@ object AnnIndex {
         .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
         .where(col("nrm") > 0)
         .select(col("vec_id"), col("embedding"), col("nrm"))
-      val encW = Window.partitionBy(col("vec_id"), col("side"))
-        .orderBy(col("dist"), col("c_id"))
+      // same argmin pivot as buildPqAt (r14): min(struct(dist, c_id)) per
+      // side == the former (dist, c_id) window winner, partial-aggregated
       val wide = graft.ops.Similarity.pqSides(ins).join(broadcast(cbq), "side")
         .withColumn("dist", expr(graft.ops.Similarity.PqL2Sq))
-        .withColumn("rn", row_number().over(encW)).where(col("rn") === 1)
         .groupBy(col("vec_id")).agg(
-          max(when(col("side") === 0, col("c_id"))).as("c0"),
-          max(when(col("side") === 1, col("c_id"))).as("c1"))
+          min(when(col("side") === 0, struct(col("dist"), col("c_id")))).as("m0"),
+          min(when(col("side") === 1, struct(col("dist"), col("c_id")))).as("m1"))
+        .select(col("vec_id"), col("m0.c_id").as("c0"), col("m1.c_id").as("c1"))
       val newCodes = wide
         .join(newAsg.select(col("k").as("vec_id"), col("grp")), "vec_id")
         .select(col("vec_id").as("k"), col("grp"), lit(0L).as("amt_cents"),

@@ -143,13 +143,16 @@ object MaxSimIndex {
       .coalesce(1)
       .write.format(Fmt).mode("append").option("path", cl(genRoot)).save()
     // token → cell assignment (the one corpus-sized stage of the build);
-    // the doc id rides back on n_id — a build-time equi-join, never paid
-    // at probe time (it then lives inside the posting row's amt slot,
-    // which doubles as the store's second zone column)
+    // the doc id (and filter attribute) ride THROUGH the assignment's
+    // aggregate (assign's carry — r14: the former join-back on n_id
+    // re-shuffled the whole token table to recover columns the input
+    // already had) and land in the posting row's amt slot, which doubles
+    // as the store's second zone column
     val asg = graft.ops.TrainingOps.assign(
-      tokens.select(col("n_id"), col("n_emb"), col("n_nrm")), seeds)
-    asg.join(tokens.select(Seq(col("n_id"), col("d_id")) ++ attrCols: _*),
-        "n_id")
+      tokens.select(Seq(col("n_id"), col("n_emb"), col("n_nrm"),
+        col("d_id")) ++ attrCols: _*),
+      seeds, carry = Seq("d_id") ++ (if (attr) Seq("attr") else Nil))
+    asg
       .select(Seq(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
               col("d_id").as("amt_cents"), col("n_emb").as("emb")) ++
         attrCols: _*)
