@@ -177,11 +177,11 @@ object TrainingOps extends OpModule {
     * (c_score desc, c_id asc): the struct comparator settles on (score,
     * −c_id), which is unique per candidate, before ever reaching the
     * payload fields, and score NaNs cannot occur (both sides filter
-    * nrm > 0). The aggregate PARTIALLY REDUCES MAP-SIDE, so the exchange
-    * carries one row per token instead of the window's full |tokens| ×
-    * |cells| cross product with the embedding on every row — the n·√n →
-    * n shuffle cut (r14 optimization; measured 2.1 → 1.65 s on the 10×
-    * tier, assignments bit-identical).
+    * nrm > 0). The aggregate partially reduces map-side like the window
+    * plan's WindowGroupLimit did, but replaces the post-shuffle Sort +
+    * Window + rank-filter pass with the aggregate's final merge — one
+    * operator pass less over the assignment (r14 optimization; measured
+    * 2.1 → 1.65 s on the 10× tier, assignments bit-identical).
     *
     * `carry` names extra `vecs` columns (functionally dependent on n_id —
     * e.g. the doc id / filter attribute of an index build) to ride
