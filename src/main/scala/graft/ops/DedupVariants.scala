@@ -149,9 +149,25 @@ object DedupVariants extends OpModule {
         .select(col("doc_a"), explode(col("ds")).as("doc_b"))
         .where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
+        // bounded (rare-gram-capped) pair set, mined ONCE — the id
+        // union below otherwise re-runs the whole mining lineage for a
+        // second action-side reference (the q_dsir_sample rule)
+        .localCheckpoint()
+      // §3.2 pre-filter (r15): the verification joins only ever need the
+      // CANDIDATE docs' shingle arrays, yet they used to shuffle the whole
+      // corpus array table twice (by doc_a, then by doc_b). Semi-join the
+      // broadcast candidate-id set first — the corpus is filtered MAP-SIDE
+      // with zero exchange of the arrays — and checkpoint the survivors so
+      // the corpus pays ONE more scan instead of two. At cluster scale the
+      // broadcast id set swaps for a Bloom filter over the same ids (no
+      // false negatives, so the exact joins below are unchanged).
+      val candIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .localCheckpoint() // candidate-bounded survivor arrays
       cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .join(shCand.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(shCand.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .withColumn("inter", expr("cast(size(array_intersect(sh_a, sh_b)) as long)"))
         .withColumn("cont_a_e4", expr("inter * 10000L div size(sh_a)"))
         .withColumn("cont_b_e4", expr("inter * 10000L div size(sh_b)"))

@@ -28,11 +28,20 @@ object Similarity extends OpModule {
 
   /** (vec_id, side, sub): the two 32-dim halves of every vector — the PQ
     * sub-space split shared by q_sim_pq and q_sim_ivfpq. */
-  private[graft] def pqSides(df: DataFrame): DataFrame = df.select(col("vec_id"), col("nrm"),
+  /** Split each vector into its two PQ subspaces (one row per side).
+    * `carry` names extra `df` columns (functionally dependent on vec_id —
+    * e.g. an index build's filter attribute) to ride through the explode,
+    * so downstream per-vec aggregates stop paying a corpus-sized
+    * join-back on vec_id to recover them (the assign()-carry convention,
+    * r15). */
+  private[graft] def pqSides(df: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    df.select(Seq(col("vec_id"), col("nrm"),
       explode(array(
         struct(lit(0).as("side"), expr("slice(embedding, 1, 32)").as("sub")),
-        struct(lit(1).as("side"), expr("slice(embedding, 33, 32)").as("sub")))).as("h"))
-    .select(col("vec_id"), col("h.side").as("side"), col("h.sub").as("sub"))
+        struct(lit(1).as("side"), expr("slice(embedding, 33, 32)").as("sub")))).as("h")) ++
+      carry.map(col): _*)
+    .select(Seq(col("vec_id"), col("h.side").as("side"), col("h.sub").as("sub")) ++
+      carry.map(col): _*)
 
   /** Ascending sequential L2² fold over a (sub, c_sub) pair — the exact
     * expression DuckDB's LIST_SUM/LIST_TRANSFORM twin replays. */
@@ -141,7 +150,7 @@ object Similarity extends OpModule {
       val e = Tables.embeddings(s, d)
         .withColumn("nrm", sqrt(expr("graft_float_dot(embedding, embedding)")))
         .where(col("nrm") > 0)
-      val sides = pqSides _
+      val sides = (df: DataFrame) => pqSides(df)
       val l2sq = PqL2Sq
       val cb = sides(e.where(col("vec_id").between(100, 107)))
         .select(col("vec_id").as("c_id"), col("side"), col("sub").as("c_sub"))

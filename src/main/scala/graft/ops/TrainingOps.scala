@@ -171,8 +171,8 @@ object TrainingOps extends OpModule {
     (words, merges.result())
   }
 
-  /** Nearest-centroid assignment (cosine, ties to the lowest centroid id). */
-  /** Nearest-centroid assignment. Winner per token = max(struct(c_score,
+  /** Nearest-centroid assignment (cosine, ties to the lowest centroid
+    * id). Winner per token = max(struct(c_score,
     * −c_id, …)) — identical to the former row_number window ordered by
     * (c_score desc, c_id asc): the struct comparator settles on (score,
     * −c_id), which is unique per candidate, before ever reaching the

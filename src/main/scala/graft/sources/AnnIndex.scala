@@ -327,10 +327,6 @@ object AnnIndex {
     StoreSink.writeExtras(plRoot, fsys, StoreSink.extrasOf(Seq(
       StructField("emb", StoreSink.FloatArrayType))))
     val trained = train(nz).localCheckpoint() // codebook-sized (√n rows)
-    trained.select(col("c_id").as("k"), lit("c").as("grp"),
-        col("n").as("amt_cents"), col("sv_csv"))
-      .coalesce(1)
-      .write.format(Fmt).mode("append").option("path", cb(genRoot)).save()
     val vecs = nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                          col("nrm").as("n_nrm"))
     // the filterable attribute projects straight off nz and rides THROUGH
@@ -346,11 +342,21 @@ object AnnIndex {
           col("nrm").as("n_nrm"), col(c).cast("long").as("attr_v")),
         centroidsOf(trained), carry = Seq("attr_v"))
     }
-    withAttr
-      .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
-        col("attr_v").as("amt_cents"), col("n_emb").as("emb")) // farr: native array
-      .write.format(Fmt).mode("append").option("path", pl(genRoot))
-      .option("partitionedBy", "identity:grp").save()
+    // the codebook and postings commits are independent (different roots,
+    // both read the checkpointed `trained`) — overlap them so the tiny
+    // single-task codebook write rides the assignment's tail (§2.6, r15)
+    StoreSink.inParallel {
+      trained.select(col("c_id").as("k"), lit("c").as("grp"),
+          col("n").as("amt_cents"), col("sv_csv"))
+        .coalesce(1)
+        .write.format(Fmt).mode("append").option("path", cb(genRoot)).save()
+    } {
+      withAttr
+        .select(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
+          col("attr_v").as("amt_cents"), col("n_emb").as("emb")) // farr: native array
+        .write.format(Fmt).mode("append").option("path", pl(genRoot))
+        .option("partitionedBy", "identity:grp").save()
+    }
     corpusRef.foreach { case (path, v) =>
       StoreSink.withCommitLock(cbRoot, fsys) {
         val ps = StoreSink.readProps(cbRoot, fsys).toMap
@@ -520,26 +526,30 @@ object AnnIndex {
     // (dist, c_id)) per side picks the identical codeword as the former
     // row_number window ordered by (dist, c_id), and the aggregate
     // reduces the vec × codewords cross product map-side instead of
-    // shuffling it whole (r14 — the assign() reshape, PQ edition)
-    val wide = graft.ops.Similarity.pqSides(nz).join(broadcast(cb), "side")
+    // shuffling it whole (r14 — the assign() reshape, PQ edition). The
+    // filterable attribute rides THROUGH the aggregate as a pqSides carry
+    // (max of a per-vec constant; r15 — the former join-back on vec_id
+    // re-shuffled the whole vector table to recover a column the scan
+    // already had) and lands in the codes rows' amt slot, so a filtered
+    // ADC probe never has to open the float postings to evaluate its
+    // predicate — the whole point of the compressed leg is that ADC stays
+    // integer-and-codes-only.
+    val nzA = attr.fold(nz.withColumn("attr_v", lit(0L)))(c =>
+      nz.withColumn("attr_v", col(c).cast("long")))
+    val wide = graft.ops.Similarity.pqSides(nzA, carry = Seq("attr_v"))
+      .join(broadcast(cb), "side")
       .withColumn("dist", expr(graft.ops.Similarity.PqL2Sq))
       .groupBy(col("vec_id")).agg(
         min(when(col("side") === 0, struct(col("dist"), col("c_id")))).as("m0"),
-        min(when(col("side") === 1, struct(col("dist"), col("c_id")))).as("m1"))
-      .select(col("vec_id"), col("m0.c_id").as("c0"), col("m1.c_id").as("c1"))
+        min(when(col("side") === 1, struct(col("dist"), col("c_id")))).as("m1"),
+        max(col("attr_v")).as("attr_v"))
+      .select(col("vec_id"), col("m0.c_id").as("c0"), col("m1.c_id").as("c1"),
+        col("attr_v"))
     val assigned = graft.ops.TrainingOps.assign(
       nz.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
                 col("nrm").as("n_nrm")),
       codebookAt(s, genRoot))
-    // the filterable attribute rides the codes rows too (same amt slot
-    // as the postings) so a filtered ADC probe never has to open the
-    // float postings to evaluate its predicate — the whole point of the
-    // compressed leg is that ADC stays integer-and-codes-only
-    val codesAttr = attr.fold(wide.withColumn("attr_v", lit(0L))) { c =>
-      wide.join(nz.select(col("vec_id"), col(c).cast("long").as("attr_v")),
-        "vec_id")
-    }
-    codesAttr
+    wide
       .join(assigned.select(col("n_id").as("vec_id"), col("bucket")), "vec_id")
       .select(col("vec_id").as("k"), col("bucket").cast("string").as("grp"),
               col("attr_v").as("amt_cents"), col("c0"), col("c1"))

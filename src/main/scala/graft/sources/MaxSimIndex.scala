@@ -138,10 +138,6 @@ object MaxSimIndex {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
               col("nrm").as("c_nrm"))
       .localCheckpoint() // codebook-sized: √n rows
-    seeds.select(col("c_id").as("k"), lit("c").as("grp"),
-        lit(0L).as("amt_cents"), col("c_emb").as("emb"))
-      .coalesce(1)
-      .write.format(Fmt).mode("append").option("path", cl(genRoot)).save()
     // token → cell assignment (the one corpus-sized stage of the build);
     // the doc id (and filter attribute) ride THROUGH the assignment's
     // aggregate (assign's carry — r14: the former join-back on n_id
@@ -152,12 +148,22 @@ object MaxSimIndex {
       tokens.select(Seq(col("n_id"), col("n_emb"), col("n_nrm"),
         col("d_id")) ++ attrCols: _*),
       seeds, carry = Seq("d_id") ++ (if (attr) Seq("attr") else Nil))
-    asg
-      .select(Seq(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
-              col("d_id").as("amt_cents"), col("n_emb").as("emb")) ++
-        attrCols: _*)
-      .write.format(Fmt).mode("append").option("path", pl(genRoot))
-      .option("partitionedBy", "identity:grp").save()
+    // cells and postings commit CONCURRENTLY (different roots, both read
+    // the checkpointed seeds; §2.6, r15) — only the doctok twin must wait:
+    // its bucket count derives from the committed postings' row count
+    StoreSink.inParallel {
+      seeds.select(col("c_id").as("k"), lit("c").as("grp"),
+          lit(0L).as("amt_cents"), col("c_emb").as("emb"))
+        .coalesce(1)
+        .write.format(Fmt).mode("append").option("path", cl(genRoot)).save()
+    } {
+      asg
+        .select(Seq(col("n_id").as("k"), col("bucket").cast("string").as("grp"),
+                col("d_id").as("amt_cents"), col("n_emb").as("emb")) ++
+          attrCols: _*)
+        .write.format(Fmt).mode("append").option("path", pl(genRoot))
+        .option("partitionedBy", "identity:grp").save()
+    }
     val nTok = StoreSink.readEntries(plRoot, fsys).map(_.rows).sum
     // the refinement twin: same tokens, doc-bucketed — bucket count fixes
     // at build and persists (probes and refresh resolve the index's OWN
@@ -256,19 +262,19 @@ object MaxSimIndex {
     // bucket list for partition pruning derives driver-side (the previous
     // localCheckpoint + distinct().collect() pair was two sequential jobs
     // over the same |query tokens| × nprobe rows — r14 optimization)
-    val probedRows = q.join(broadcast(cellsAt(s, genRoot)))
+    val probedDf = q.join(broadcast(cellsAt(s, genRoot)))
       .withColumn("p_score",
         expr("graft_float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")))
       .withColumn("prn", row_number().over(wP))
       .where(col("prn") <= nprobe)
       .select(col("q_id"), col("c_id").as("bucket")).distinct()
-      .collect()
+    val probedRows = probedDf.collect()
+    // local-relation schema derives from the collected frame itself (the
+    // AnnIndex.localizeProbes convention) — a type change in the cells
+    // table can no longer drift from a hand-written schema here
     val probed = {
       import scala.jdk.CollectionConverters._
-      s.createDataFrame(probedRows.toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          StructField("q_id", org.apache.spark.sql.types.LongType),
-          StructField("bucket", org.apache.spark.sql.types.LongType))))
+      s.createDataFrame(probedRows.toSeq.asJava, probedDf.schema)
     }
     val buckets = probedRows.map(_.getLong(1)).distinct.map(_.toString).toSeq
     // candidate docs: any token in a probed cell — partition pruning IS
@@ -285,18 +291,15 @@ object MaxSimIndex {
     // catch before this set degenerates. Collected ONCE: the broadcast
     // side is a local relation and the doc-bucket list derives
     // driver-side (was a localCheckpoint + a second distinct/collect job)
-    val candRows = attrEq.fold(candScan)(v => candScan.where(col("attr") === v))
+    val candDf = attrEq.fold(candScan)(v => candScan.where(col("attr") === v))
       .select(col("grp").cast("long").as("bucket"),
               col("amt_cents").as("d_id"))
       .join(broadcast(probed), "bucket")
       .select(col("q_id"), col("d_id")).distinct()
-      .collect()
+    val candRows = candDf.collect()
     val cand = {
       import scala.jdk.CollectionConverters._
-      s.createDataFrame(candRows.toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          StructField("q_id", org.apache.spark.sql.types.LongType),
-          StructField("d_id", org.apache.spark.sql.types.LongType))))
+      s.createDataFrame(candRows.toSeq.asJava, candDf.schema)
     }
     val docB = candRows.map(r => java.lang.Math.floorMod(r.getLong(1), nb.toLong))
       .distinct.map(_.toString).toSeq // ≤ nb

@@ -964,6 +964,33 @@ object StoreSink {
     }
   }
 
+  /** Run two INDEPENDENT driver actions concurrently (optimization guide
+    * §2.6 — Spark's scheduler happily runs several jobs at once; actions
+    * are only sequential because driver code calls them sequentially, so
+    * the second job's tasks back-fill executors freed by the first's
+    * tail). Used by the index builds whose two store commits target
+    * DIFFERENT table roots (per-root commit locks never contend) and read
+    * from the SAME already-materialized input. `a` runs on a spawned
+    * thread — SparkContext keeps job group/description in an
+    * InheritableThreadLocal, so the child thread's jobs stay in the
+    * caller's group — while `b` runs on the calling thread. Both always
+    * run to completion before return; the first failure rethrows. */
+  private[graft] def inParallel[A, B](a: => A)(b: => B): (A, B) = {
+    @volatile var ra: Either[Throwable, A] = null
+    val th = new Thread(() => {
+      ra = try Right(a) catch { case e: Throwable => Left(e) }
+    }, "graft-parallel-commit")
+    th.setDaemon(true)
+    th.start()
+    val rb = try Right(b) catch { case e: Throwable => Left(e) }
+    th.join()
+    (ra, rb) match {
+      case (Right(x), Right(y)) => (x, y)
+      case (Left(e), _)         => throw e
+      case (_, Left(e))         => throw e
+    }
+  }
+
   /** Test observability: (blocks read, blocks in file) of the last
     * columnar projected read — pins that narrow projections skip blocks. */
   @volatile private[sources] var lastColBlocks: Option[(Int, Int)] = None

@@ -241,20 +241,28 @@ object TextIndex {
                 |as bigint)""".stripMargin).as("imp")) ++
       (if (positions) Seq(col("pos")) else Nil) ++
       (if (attr) Seq(col("attr")) else Nil)
-    tfd.select(plCols: _*)
-      .write.format(Fmt).mode("append").option("path", pl(genRoot))
-      .option("partitionedBy", "identity:grp")
-      // ordered distribution: the planner range-partitions on (shard,
-      // imp) so each shard's files are contiguous impact bands — a
-      // repartition here would be overridden by the write's required
-      // clustering (observed: everything re-collapsed to 1 file/shard)
-      .option("orderedBy", "imp")
-      .option("writeTasks", math.max(64, 4 * nShards).toString).save()
-    tfd.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .select(xxhash64(col("t")).as("k"), shardCol(col("t"), nShards).as("grp"),
-        col("df").as("amt_cents"), col("t").as("term"))
-      .write.format(Fmt).mode("append").option("path", tm(genRoot))
-      .option("partitionedBy", "identity:grp").save()
+    // the two table commits are INDEPENDENT (both read the checkpointed
+    // tfd, different roots, props write comes after both) — overlap them
+    // so the terms aggregate's tasks back-fill the postings write's tail
+    // (§2.6; r15 — they used to run strictly sequentially, ~1 s of the
+    // sf0.1 build spent as two serial commits)
+    StoreSink.inParallel {
+      tfd.select(plCols: _*)
+        .write.format(Fmt).mode("append").option("path", pl(genRoot))
+        .option("partitionedBy", "identity:grp")
+        // ordered distribution: the planner range-partitions on (shard,
+        // imp) so each shard's files are contiguous impact bands — a
+        // repartition here would be overridden by the write's required
+        // clustering (observed: everything re-collapsed to 1 file/shard)
+        .option("orderedBy", "imp")
+        .option("writeTasks", math.max(64, 4 * nShards).toString).save()
+    } {
+      tfd.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .select(xxhash64(col("t")).as("k"), shardCol(col("t"), nShards).as("grp"),
+          col("df").as("amt_cents"), col("t").as("term"))
+        .write.format(Fmt).mode("append").option("path", tm(genRoot))
+        .option("partitionedBy", "identity:grp").save()
+    }
     StoreSink.withCommitLock(tmRoot, fsys) {
       val ps = StoreSink.readProps(tmRoot, fsys).toMap ++
         Map(NdProp -> st.getLong(0).toString, TlProp -> st.getLong(1).toString,
